@@ -1,13 +1,169 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` wherever the operator is
+  * SQL-expressible.
+  *
+  * Float determinism policy (critical for the driver's hash compare):
+  * aggregates over doubles are computed in DECIMAL (order-independent, exact)
+  * and cast to DOUBLE at the end; per-row double arithmetic is IEEE-identical
+  * across engines; raw double aggregation is never hashed.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  import graft.functions.GraftFunctions._
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A6/A8 analog — partial+final hash aggregate, decimal-exact sums.
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // P1/P6 analog — predicate + projection pushed to the parquet scan.
+    "q02_filter_pushdown" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_size").between(10, 25))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    },
+
+    // J7-style equi join + decimal revenue + deterministic top-k.
+    "q03_join_revenue_topk" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
+            .cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Broadcast dimension join (the small side is explicit).
+    "q04_broadcast_join_agg" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines")
+        )
+    },
+
+    // P3 analog — tag/semi-join filtering.
+    "q05_semi_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 1000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // W7/A2 analog — ranked window, deterministic tie-break.
+    "q06_window_topk" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    // W2 analog — token-budget cutoff by running (decimal-exact) sum.
+    "q07_budget_cutoff" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("cum_value", sum(dec2(col("value"))).over(w).cast("double"))
+        .filter(col("cum_value") <= 500.0)
+        .select(col("user_id"), col("event_id"), col("cum_value"))
+    },
+
+    // F5-adjacent — JSON payload extraction + grouped agg.
+    "q08_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+    },
+
+    // §2.7 exact dedup — hash-groupBy keeping the min-id representative.
+    "q09_dedup_exact" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      "SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_size BETWEEN 10 AND 25",
+    "q03_join_revenue_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_broadcast_join_agg" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 1000.0)""".stripMargin,
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q07_budget_cutoff" ->
+      """SELECT user_id, event_id, cum_value FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        |  FROM events) t
+        |WHERE cum_value <= 500.0""".stripMargin,
+    "q08_json_extract" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q09_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+  )
 }

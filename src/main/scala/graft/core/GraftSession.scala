@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the defaults this engine assumes.
+  *
+  * Tuned for correctness-at-scale first: AQE on (runtime re-plan, skew-join
+  * splitting, shuffle coalescing), shuffle partitions sized for the local
+  * harness (a real cluster deployment would raise this to ~2-3x total cores;
+  * AQE coalescing makes over-provisioning cheap), UTC so timestamp semantics
+  * match the DuckDB oracle bit-for-bit.
+  */
+object GraftSession {
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: Int = 32): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

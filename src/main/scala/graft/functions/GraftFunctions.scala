@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Public Column API for the engine's native expressions, plus SQL
+  * registration so `spark.sql("... cosine_similarity(a, b) ...")` works.
+  */
+object GraftFunctions {
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def cosine_distance(a: Column, b: Column): Column =
+    ColumnShim.column(CosineDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def euclidean_distance(a: Column, b: Column): Column =
+    ColumnShim.column(EuclideanDistance(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def l2_norm(a: Column): Column = ColumnShim.column(L2Norm(ColumnShim.expression(a)))
+
+  def l2_normalize(a: Column): Column = ColumnShim.column(L2Normalize(ColumnShim.expression(a)))
+
+  /** Idempotent per-session SQL registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("euclidean_distance", es => EuclideanDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector math in the hot path (KNN join,
+  * dedup probe, clustering distance). These stay inside whole-stage codegen —
+  * the generated Java calls the static [[VectorKernels]] methods directly, so
+  * there is no ScalaUDF encode/decode per row.
+  */
+object VectorExpressions {
+  private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+}
+
+trait BinaryVectorExpression extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(c => VectorExpressions.isFloatArray(c.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> inputs")
+  override def dataType: DataType = DoubleType
+  protected def kernelName: String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = evalKernel(
+    a.asInstanceOf[ArrayData],
+    b.asInstanceOf[ArrayData]
+  )
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"${ev.value} = graft.functions.VectorKernels.$kernelName($a, $b);"
+    )
+}
+
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernelName: String = "cosineSimilarity"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Double =
+    VectorKernels.cosineSimilarity(a, b)
+  override def prettyName: String = "cosine_similarity"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class CosineDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernelName: String = "cosineDistance"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Double =
+    VectorKernels.cosineDistance(a, b)
+  override def prettyName: String = "cosine_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernelName: String = "dotProduct"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Double =
+    VectorKernels.dotProduct(a, b)
+  override def prettyName: String = "dot_product"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class EuclideanDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def kernelName: String = "euclideanDistance"
+  override protected def evalKernel(a: ArrayData, b: ArrayData): Double =
+    VectorKernels.euclideanDistance(a, b)
+  override def prettyName: String = "euclidean_distance"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> input")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.l2Norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.VectorKernels.l2Norm($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> input")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    new GenericArrayData(VectorKernels.normalize(a.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a =>
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+          s"graft.functions.VectorKernels.normalize($a));"
+    )
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Scalar vector kernels shared by the interpreted and codegen'd paths of the
+  * vector [[org.apache.spark.sql.catalyst.expressions.Expression]]s.
+  *
+  * Semantics mirror the reference engine's math package
+  * (/root/reference/pkg/math/simd.go:10-146): float32 storage with float64
+  * accumulation, mismatched lengths truncated to the shorter vector,
+  * empty/zero-norm input treated as maximally distant (similarity -1.0,
+  * distance 2.0), similarity clamped to [-1, 1].
+  *
+  * Defined as an `object` so the JVM sees static forwarders — the generated
+  * whole-stage code calls these as plain static methods (no virtual dispatch,
+  * no boxing).
+  */
+object VectorKernels {
+
+  def cosineSimilarity(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return -1.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) return -1.0
+    val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (sim > 1.0) 1.0 else if (sim < -1.0) -1.0 else sim
+  }
+
+  def cosineDistance(a: ArrayData, b: ArrayData): Double =
+    1.0 - cosineSimilarity(a, b)
+
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  def euclideanDistance(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  def l2Norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** L2-normalize; zero vectors pass through unchanged
+    * (reference NormalizeInPlace, simd.go:131-146).
+    */
+  def normalize(a: ArrayData): Array[Float] = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    val norm = l2Norm(a)
+    var i = 0
+    if (norm == 0.0) {
+      while (i < n) { out(i) = a.getFloat(i); i += 1 }
+    } else {
+      while (i < n) { out(i) = (a.getFloat(i).toDouble / norm).toFloat; i += 1 }
+    }
+    out
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** Usage sample / smoke entry point: drives the vector expressions through
+  * both the Column API and SQL registration against the embeddings table.
+  * `sbt "runMain graft.tools.Demo [sfDir]"`
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get(cores = 8)
+    val emb = Tables.embeddings(spark, dir)
+    emb.createOrReplaceTempView("embeddings")
+
+    val pairs = emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("ida"),
+        col("b.vec_id").as("idb"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"),
+        euclidean_distance(col("a.embedding"), col("b.embedding")).as("dist")
+      )
+      .orderBy(col("sim").desc, col("ida"), col("idb"))
+    println("== Column API: top-5 most similar pairs of first 50 vectors ==")
+    pairs.filter(col("ida") < 50 && col("idb") < 50).show(5)
+
+    println("== SQL API: same expression registered in the FunctionRegistry ==")
+    spark.sql(
+      """SELECT vec_id, l2_norm(embedding) AS norm,
+        |       l2_norm(l2_normalize(embedding)) AS unit_norm,
+        |       cosine_similarity(embedding, embedding) AS self_sim
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).show()
+
+    println("== physical plan of the similarity join (expect WholeStageCodegen + no UDF) ==")
+    pairs.explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and Catalyst `Expression`s.
+  *
+  * Spark 4.x made the classic `Column(expr)` constructor `private[sql]`
+  * (Column now wraps a `ColumnNode`). Extension libraries that ship native
+  * Catalyst expressions need this one-hop shim in the `org.apache.spark.sql`
+  * namespace to lift them into `Column`s without going through the (slower,
+  * non-codegen) ScalaUDF path.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

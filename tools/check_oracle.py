@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Dev-only pre-validation of SparkEntry oracles (mimics the driver's gate).
+
+NOT part of the shipped library — the engine itself is pure Scala/Spark.
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result, runs the matching SQL from
+oracle_sql.json in DuckDB against <sfDir>/*.parquet tables, and compares
+(schema-sorted columns, row-sorted values, exact equality).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as pads
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            ds = pads.dataset(f"{out_dir}/{name}")
+            spark_tbl = ds.to_table()
+            spark_cols = spark_tbl.column_names
+            spark_rows = [tuple(d[c] for c in spark_cols)
+                          for d in spark_tbl.to_pylist()]
+            res = con.execute(sql)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        sc, sr = canon(spark_rows, spark_cols)
+        dc, dr = canon(duck_rows, duck_cols)
+        if sc != dc:
+            print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            n_fail += 1
+        elif sr != dr:
+            n_fail += 1
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            for i, (a, b) in enumerate(zip(sr, dr)):
+                if a != b:
+                    print(f"  first diff at {i}:\n   spark={a}\n   duck ={b}")
+                    break
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sr)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
