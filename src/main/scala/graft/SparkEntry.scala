@@ -1,6 +1,7 @@
 package graft
 
 import graft.core.Tables
+import graft.functions.TextFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -114,6 +115,108 @@ object SparkEntry {
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
         .select(col("doc_id"), col("n_dups"))
+    },
+
+    // F13 token estimates (both variants) aggregated per source.
+    "q10_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          sum(TextFunctions.tokens_raw(col("text"))).as("sum_tokens"),
+          sum(TextFunctions.tokens_nows(col("text"))).as("sum_tokens_nows")
+        )
+    },
+
+    // F15 sensitivity classification histogram.
+    "q11_sensitivity_histogram" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("lvl", TextFunctions.sensitivity_level(col("text")))
+        .groupBy(col("lvl"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // F11 keyword extraction (native higher-order functions).
+    "q12_keywords" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          array_join(array_sort(TextFunctions.keywords_lower(col("text"), 100000)), ", ").as("kw")
+        )
+    },
+
+    // Language-ID + quality scoring (training-pipeline text analysis).
+    "q13_lang_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("pred_lang", TextFunctions.lang_id(col("text")))
+        .withColumn("q", TextFunctions.quality_score(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === "en", 1).otherwise(0)).as("n_en"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_quality")
+        )
+    },
+
+    // F14 content-identity fingerprint dedup (16-byte shuffle key).
+    "q14_fingerprint_dedup" -> { (s, dir) =>
+      graft.operators.DedupOps.exactDedupByFingerprint(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // F8 pruner — 37-stage native regexp_replace chain.
+    "q15_prune_lengths" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), length(TextFunctions.prune(col("text"))).as("pruned_len"))
+    },
+
+    // F12 importance scoring as pure column expressions.
+    "q16_importance" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.importance(lit("user"), col("text")).as("imp"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs via inverted-index join (no cross
+    // join; the 100 TB-safe plan shape).
+    "q17_neardup_jaccard" -> { (s, dir) =>
+      graft.operators.DedupOps.jaccardPairs(
+        Tables.documents(s, dir), "text", "doc_id", n = 3, threshold = 0.6)
+    },
+
+    // Brute-force cosine top-k with map-side top-k combine (S4/J5 analog).
+    "q18_knn_bruteforce" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.KnnOps.bruteForceKnn(
+        emb, emb.filter(col("vec_id") < 10), k = 5,
+        idCol = "vec_id", embCol = "embedding",
+        qidCol = "vec_id", qembCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
+    // A1 centroid aggregate, decimal-exact per dimension.
+    "q19_centroids" -> { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("mean_v"))
+    },
+
+    // MinHash+LSH near-dup pairs (banded shuffle + exact verify). Approximate
+    // by design → rows-only check; recall is asserted in ScalaTest.
+    "q20_minhash_lsh" -> { (s, dir) =>
+      graft.operators.DedupOps.minhashLshPairs(
+        Tables.documents(s, dir), "text", "doc_id",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+    },
+
+    // SimHash near-dup pairs (chunk banding + hamming verify); rows-only.
+    "q21_simhash_pairs" -> { (s, dir) =>
+      graft.operators.DedupOps.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
+    },
+
+    // Embedding-cosine near-dup via hyperplane LSH + exact verify; rows-only.
+    "q22_embedding_neardup" -> { (s, dir) =>
+      graft.operators.DedupOps.embeddingNearDupPairs(
+        Tables.embeddings(s, dir), "embedding", "vec_id", threshold = 0.9)
     }
   )
 
@@ -164,6 +267,128 @@ object SparkEntry {
       """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q09_dedup_exact" ->
-      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+    "q10_token_stats" ->
+      """SELECT source,
+        |  sum(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END) AS sum_tokens,
+        |  sum((length(regexp_replace(text, '\s+', '', 'g')) + 3) // 4) AS sum_tokens_nows
+        |FROM documents GROUP BY source""".stripMargin,
+    "q11_sensitivity_histogram" ->
+      s"""SELECT ${sensitivityOracleExpr("text")} AS lvl, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q12_keywords" ->
+      s"""SELECT doc_id, array_to_string(list_sort(list_distinct(list_filter(
+        |  list_transform(string_split_regex(text, '\\s+'), w -> lower(trim(w, '.,;:!?"$squote$squote()[]{}'))),
+        |  w -> strlen(w) >= 4 AND NOT list_contains([$stopListSql], w)))), ', ') AS kw
+        |FROM documents""".stripMargin,
+    "q13_lang_quality" ->
+      s"""SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN ${langOracleExpr("text")} = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |  CAST(sum(CAST(${qualityOracleExpr("text")} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+        |FROM documents GROUP BY source""".stripMargin,
+    "q14_fingerprint_dedup" ->
+      """SELECT substring(sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp,
+        |  min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q15_prune_lengths" ->
+      s"SELECT doc_id, length(${pruneOracleExpr("text")}) AS pruned_len FROM documents",
+    "q16_importance" ->
+      s"SELECT doc_id, ${importanceOracleExpr("text")} AS imp FROM documents",
+    "q17_neardup_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
+        |), sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = ida
+        |JOIN sz sb ON sb.doc_id = idb
+        |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.6""".stripMargin,
+    "q18_knn_bruteforce" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10) t
+        |WHERE rnk <= 5""".stripMargin,
+    "q19_centroids" ->
+      """SELECT label, i - 1 AS dim,
+        |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
+        |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+        |GROUP BY 1, 2""".stripMargin
   )
+
+  private val squote = "'"
+
+  /** DuckDB stop-word list literal (same set as TextAlgs.memoryStopWords). */
+  private def stopListSql: String =
+    graft.text.TextAlgs.memoryStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB equivalent of TextFunctions.sensitivity_level. */
+  private def sensitivityOracleExpr(c: String): String = {
+    def any(pats: Seq[String]) =
+      pats.map(p => s"regexp_matches($c, '${p.replace("'", "''")}')").mkString(" OR ")
+    val cred = any(TextFunctions.credentialPatterns)
+    val pii = any(TextFunctions.piiPatterns)
+    val internal = TextFunctions.internalDomains.map(d => s"contains(lower($c), '$d')").mkString(" OR ")
+    s"GREATEST(CASE WHEN $cred THEN 3 ELSE 0 END, CASE WHEN $internal THEN 2 ELSE 0 END, CASE WHEN $pii THEN 1 ELSE 0 END)"
+  }
+
+  /** DuckDB equivalent of TextFunctions.lang_id (same word sets, same CASE order). */
+  private def langOracleExpr(c: String): String = {
+    def score(words: Seq[String]) =
+      s"len(regexp_extract_all(lower($c), '\\b(${words.mkString("|")})\\b'))"
+    val en = score(Seq("the", "and", "of", "to", "in", "is", "that", "it"))
+    val de = score(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val fr = score(Seq("le", "les", "des", "et", "est", "dans", "pour", "que"))
+    val es = score(Seq("el", "los", "las", "y", "es", "en", "que", "un"))
+    s"CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en' " +
+      s"WHEN $de >= $fr AND $de >= $es THEN 'de' WHEN $fr >= $es THEN 'fr' ELSE 'es' END"
+  }
+
+  /** DuckDB equivalent of TextFunctions.quality_score (identical double ops). */
+  private def qualityOracleExpr(c: String): String = {
+    val nw = s"len(regexp_extract_all($c, '\\S+'))"
+    val ns = s"len(regexp_extract_all(lower($c), '\\b(the|a|and|of|to|in|is|that|it|for)\\b'))"
+    val np = s"len(regexp_extract_all($c, '[.,;:!?]'))"
+    s"(least(CAST($nw AS DOUBLE) / 100.0, 1.0) * 0.5 + " +
+      s"least(CAST($ns AS DOUBLE) * 4.0 / greatest(CAST($nw AS DOUBLE), 1.0), 1.0) * 0.3 + " +
+      s"least(CAST($np AS DOUBLE) * 20.0 / greatest(CAST($nw AS DOUBLE), 1.0), 1.0) * 0.2)"
+  }
+
+  /** DuckDB equivalent of TextFunctions.prune (same 37-stage chain). */
+  private def pruneOracleExpr(c: String): String = {
+    var e = c
+    TextFunctions.fillerPhrases.foreach { ph =>
+      e = s"regexp_replace($e, '(?i)\\b\\Q$ph\\E\\b[,]?\\s*', '', 'g')"
+    }
+    e = s"regexp_replace($e, '\\s+', ' ', 'g')"
+    e = s"regexp_replace($e, '\\.{2,}', '.', 'g')"
+    e = s"regexp_replace($e, '\\n{3,}', '\n\n', 'g')"
+    e = s"regexp_replace($e, '(?i)\\b(very|really|quite)\\s+', '', 'g')"
+    e = s"regexp_replace($e, '\\s{2,}', ' ', 'g')"
+    e = s"regexp_replace($e, '\\s+([.,;:!?])', '\\1', 'g')"
+    s"trim($e)"
+  }
+
+  /** DuckDB equivalent of TextFunctions.importance with role='user'
+    * (identical double-add order for bit-exact results).
+    */
+  private def importanceOracleExpr(c: String): String = {
+    def any(kws: Seq[String]) =
+      kws.map(k => s"contains(lower($c), '${k.replace("'", "''")}')").mkString(" OR ")
+    val raw = s"0.5 + CASE WHEN contains($c, '``' || '`') OR contains($c, chr(9)) THEN 0.4 ELSE 0.0 END" +
+      s" + CASE WHEN ${any(TextFunctions.errorKw)} THEN 0.3 ELSE 0.0 END" +
+      s" + CASE WHEN ${any(TextFunctions.decisionKw)} THEN 0.2 ELSE 0.0 END" +
+      s" - CASE WHEN length($c) < 50 THEN 0.1 ELSE 0.0 END"
+    s"least(1.0, greatest(0.0, $raw))"
+  }
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.text.TextAlgs
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** UDF wrappers over [[graft.text.TextAlgs]] for the genuinely sequential
+  * text transforms (sentence scoring with greedy selection, recursive JSON
+  * walks). Everything that CAN be a native column expression lives in
+  * [[TextFunctions]] instead — these UDFs are only for logic Catalyst cannot
+  * express.
+  */
+object CompressFunctions {
+
+  private val extractiveUdf: UserDefinedFunction =
+    udf((text: String, ratio: Double, minLen: Int) =>
+      if (text == null) null else TextAlgs.extractiveCompress(text, ratio, minLen))
+
+  private val placeholderUdf: UserDefinedFunction =
+    udf((text: String, preserve: Boolean) =>
+      if (text == null) null else TextAlgs.placeholderCompress(text, preserve))
+
+  private val paragraphUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else TextAlgs.paragraphSummary(text))
+
+  private val sentenceUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else TextAlgs.sentenceSummary(text))
+
+  private val keywordSummaryUdf: UserDefinedFunction =
+    udf((text: String) => if (text == null) null else TextAlgs.keywordSummary(text))
+
+  private val compressLevelUdf: UserDefinedFunction =
+    udf((text: String, level: Int) => if (text == null) null else TextAlgs.compressToLevel(text, level))
+
+  /** Extractive compression keeping ~`ratio` of tokens (F4). */
+  def extract_salient(text: Column, ratio: Double, minChunkLength: Int = 0): Column =
+    extractiveUdf(text, org.apache.spark.sql.functions.lit(ratio),
+      org.apache.spark.sql.functions.lit(minChunkLength))
+
+  /** JSON/XML/table placeholder compression (F5-F7). */
+  def placeholder_compress(text: Column, preserveStructure: Boolean = true): Column =
+    placeholderUdf(text, org.apache.spark.sql.functions.lit(preserveStructure))
+
+  /** Summarize level 1: first paragraph + code blocks (F9). */
+  def paragraph_summary(text: Column): Column = paragraphUdf(text)
+
+  /** Summarize level 2: first 1-2 sentences, code stripped (F10). */
+  def sentence_summary(text: Column): Column = sentenceUdf(text)
+
+  /** Summarize level 3: significant words, original casing, cap 12 (F11). */
+  def keyword_summary(text: Column): Column = keywordSummaryUdf(text)
+
+  /** Session compression ladder 0-3 (T2's per-level transform). */
+  def compress_to_level(text: Column, level: Column): Column = compressLevelUdf(text, level)
+}

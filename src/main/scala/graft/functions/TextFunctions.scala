@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-expression text analytics. Everything here compiles to native
+  * Catalyst expressions (whole-stage codegen, no UDFs) so it runs at full
+  * scan speed and pushes through the optimizer.
+  *
+  * Reference semantics:
+  *   - token estimates: /root/reference/pkg/compress/extractive.go:197-203
+  *     (byte-based) and pkg/summarize/importance.go:76-86 (non-space runes)
+  *   - importance scoring: pkg/summarize/importance.go:18-98
+  *   - sensitivity levels: pkg/sensitivity/sensitivity.go:76-141
+  *   - keyword extraction: pkg/memory/decay.go:198-225 (lowercased, capped)
+  *   - filler-phrase pruning: pkg/compress/pruner.go:25-137
+  * Language ID / quality scoring are additions for LLM-training-data
+  * pipelines (not present in the reference).
+  */
+object TextFunctions {
+
+  /** ceil(bytes/4) token heuristic (Go len() counts bytes). */
+  def tokens_raw(text: Column): Column =
+    when(octet_length(text) === 0, 0)
+      .otherwise(((octet_length(text) + lit(3)) / lit(4)).cast("int"))
+
+  /** Whitespace-excluded variant: ceil(non-space chars / 4). */
+  def tokens_nows(text: Column): Column =
+    ((length(regexp_replace(text, "\\s+", "")) + lit(3)) / lit(4)).cast("int")
+
+  /** Token counting with a BPE-ish word/number/punct segmentation regex —
+    * closer to real tokenizer counts than chars/4 for mixed prose+code.
+    */
+  def tokens_bpeish(text: Column): Column =
+    regexp_count(text, lit("'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"))
+
+  // --- importance (F12)
+
+  val errorKw = Seq(
+    "error", "exception", "panic", "fatal", "failed", "failure",
+    "crash", "bug", "traceback", "stack trace", "nil pointer",
+    "segfault", "timeout", "deadlock"
+  )
+  val decisionKw = Seq(
+    "decided", "decision", "conclusion", "therefore", "we will",
+    "we should", "let's use", "going with", "chosen", "agreed",
+    "final answer", "solution is", "approach is"
+  )
+
+  private def containsAny(lowered: Column, kws: Seq[String]): Column =
+    kws.map(k => lowered.contains(lit(k))).reduce(_ || _)
+
+  /** Turn importance in [0,1]: system=1.0; base 0.5 +0.4 code +0.3 error
+    * +0.2 decision +0.2 tool −0.1 short, clamped.
+    */
+  def importance(role: Column, content: Column): Column = {
+    val lowered = lower(content)
+    val raw = lit(0.5) +
+      when(content.contains("```") || content.contains("\t"), 0.4).otherwise(0.0) +
+      when(containsAny(lowered, errorKw), 0.3).otherwise(0.0) +
+      when(containsAny(lowered, decisionKw), 0.2).otherwise(0.0) +
+      when(role === "tool", 0.2).otherwise(0.0) -
+      when(length(content) < 50, 0.1).otherwise(0.0)
+    when(role === "system", 1.0).otherwise(least(lit(1.0), greatest(lit(0.0), raw)))
+  }
+
+  // --- sensitivity (F15): 0=none 1=pii 2=internal 3=credentials
+
+  val credentialPatterns = Seq(
+    "AKIA[0-9A-Z]{16}",
+    "sk-[a-zA-Z0-9_-]{20,}",
+    "ghp_[a-zA-Z0-9]{36}",
+    "gh[pousr]_[a-zA-Z0-9]{36}",
+    "xox[baprs]-[a-zA-Z0-9-]+",
+    "(?i)(password|secret|token|api_key|apikey)\\s*[:=]\\s*\\S+"
+  )
+  val piiPatterns = Seq(
+    "[a-zA-Z0-9._%+\\-]+@[a-zA-Z0-9.\\-]+\\.[a-zA-Z]{2,}",
+    "(?:\\+?1[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}",
+    "\\b(?:\\d[ -]*?){13,19}\\b",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  )
+  val internalDomains = Seq(".internal", ".corp", ".local")
+
+  private def rlikeAny(c: Column, pats: Seq[String]): Column =
+    pats.map(p => c.rlike(p)).reduce(_ || _)
+
+  def sensitivity_level(text: Column): Column = {
+    val lowered = lower(text)
+    greatest(
+      when(rlikeAny(text, credentialPatterns), 3).otherwise(0),
+      when(internalDomains.map(d => lowered.contains(lit(d))).reduce(_ || _), 2).otherwise(0),
+      when(rlikeAny(text, piiPatterns), 1).otherwise(0)
+    )
+  }
+
+  // --- keywords (F11): lowercased, punctuation-trimmed, stopword-filtered,
+  //     first-occurrence dedup, capped. Fully native higher-order functions.
+
+  private val trimChars = ".,;:!?\"'()[]{}"
+
+  def keywords_lower(text: Column, cap: Int): Column = {
+    val stop = graft.text.TextAlgs.memoryStopWords.toSeq.sorted
+    val words = split(text, "\\s+")
+    val cleaned = transform(words, w => lower(trim(w, trimChars)))
+    val kept = filter(cleaned, w => length(w) >= 4 && !w.isin(stop: _*))
+    slice(array_distinct(kept), 1, cap)
+  }
+
+  /** Reference keyword summary string ("a, b, c"). */
+  def keywords_summary(text: Column, cap: Int): Column =
+    array_join(keywords_lower(text, cap), ", ")
+
+  // --- pruner (F8): pure chain of regexp_replace — codegen'd end to end.
+
+  val fillerPhrases = Seq(
+    "as mentioned earlier", "as we discussed", "it is important to note that",
+    "it should be noted that", "please note that", "in order to",
+    "for the purpose of", "at this point in time", "at the present time",
+    "in the event that", "due to the fact that", "in light of the fact that",
+    "it goes without saying", "needless to say", "as a matter of fact",
+    "in actual fact", "basically", "essentially", "fundamentally", "literally",
+    "actually", "obviously", "clearly", "of course", "as you know",
+    "as you can see", "it is worth mentioning", "i would like to point out",
+    "let me explain", "allow me to"
+  )
+
+  def prune(text: Column): Column = {
+    var c = text
+    fillerPhrases.foreach { phrase =>
+      c = regexp_replace(c, "(?i)\\b" + java.util.regex.Pattern.quote(phrase) + "\\b[,]?\\s*", "")
+    }
+    c = regexp_replace(c, "\\s+", " ")
+    c = regexp_replace(c, "\\.{2,}", ".")
+    c = regexp_replace(c, "\\n{3,}", "\n\n")
+    c = regexp_replace(c, "(?i)\\b(very|really|quite)\\s+", "")
+    c = regexp_replace(c, "\\s{2,}", " ")
+    c = regexp_replace(c, "\\s+([.,;:!?])", "$1")
+    trim(c)
+  }
+
+  // --- content identity hash (F14): 16-hex SHA-256 prefix over
+  //     whitespace-normalized lowercase text.
+
+  def fingerprint(text: Column): Column =
+    substring(sha2(lower(regexp_replace(text, "\\s+", " ")), 256), 1, 16)
+
+  // --- language ID (training-pipeline addition): stopword-count heuristic.
+
+  private def langScore(lowered: Column, words: Seq[String]): Column =
+    regexp_count(lowered, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  def lang_id(text: Column): Column = {
+    val lowered = lower(text)
+    val en = langScore(lowered, Seq("the", "and", "of", "to", "in", "is", "that", "it"))
+    val de = langScore(lowered, Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
+    val fr = langScore(lowered, Seq("le", "les", "des", "et", "est", "dans", "pour", "que"))
+    val es = langScore(lowered, Seq("el", "los", "las", "y", "es", "en", "que", "un"))
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  // --- quality scoring (training-pipeline addition): word count, stopword
+  //     density, punctuation ratio → [0,1]. Deterministic per-row doubles.
+
+  def quality_score(text: Column): Column = {
+    val nWords = regexp_count(text, lit("\\S+"))
+    val nStop = regexp_count(lower(text), lit("\\b(the|a|and|of|to|in|is|that|it|for)\\b"))
+    val nPunct = regexp_count(text, lit("[.,;:!?]"))
+    val wordScore = least(nWords.cast("double") / 100.0, lit(1.0))
+    val stopScore = least(nStop.cast("double") * 4.0 / greatest(nWords.cast("double"), lit(1.0)), lit(1.0))
+    val punctScore = least(nPunct.cast("double") * 20.0 / greatest(nWords.cast("double"), lit(1.0)), lit(1.0))
+    wordScore * 0.5 + stopScore * 0.3 + punctScore * 0.2
+  }
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder}
+
+/** Element-wise mean of float vectors — the centroid aggregate
+  * (reference: /root/reference/pkg/math/simd.go:185-200 Mean,
+  * pkg/contextlab/cluster.go:291-313 merge-time centroid).
+  * float32 storage, float64 accumulation, partial aggregation (map-side
+  * combine) for free via the Aggregator contract.
+  */
+object VectorMeanAgg extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float]] {
+
+  def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    if (v == null || v.isEmpty) return b
+    val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    var i = 0
+    val n = math.min(acc.length, v.length)
+    while (i < n) { acc(i) += v(i); i += 1 }
+    (acc, b._2 + 1)
+  }
+
+  def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) return b
+    if (b._1.isEmpty) return a
+    val n = math.min(a._1.length, b._1.length)
+    var i = 0
+    while (i < n) { a._1(i) += b._1(i); i += 1 }
+    (a._1, a._2 + b._2)
+  }
+
+  def finish(r: (Array[Double], Long)): Seq[Float] =
+    if (r._2 == 0L) Seq.empty else r._1.map(x => (x / r._2).toFloat).toSeq
+
+  def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Float]] = ExpressionEncoder()
+
+  /** Column form: `df.groupBy(...).agg(VectorMeanAgg.column(col("emb")))`. */
+  def column(c: Column): Column = {
+    import org.apache.spark.sql.functions.udaf
+    udaf(this).apply(c)
+  }
+}

@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
   private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
+    case NullType                => true // NULL literal; null-propagates at eval
     case _                       => false
   }
 }

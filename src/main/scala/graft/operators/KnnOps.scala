@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+
+/** Similarity search over an embedding column.
+  *
+  * The reference's vector path is a top-K query against Pinecone/Qdrant
+  * (/root/reference/pkg/retriever/pinecone/client.go:83-150); the batch
+  * equivalent is a KNN join: broadcast the (small) query set against the
+  * (huge) corpus.
+  *
+  * Scale design: the corpus is never shuffled whole. Per-partition top-k
+  * runs map-side via a typed Aggregator (partial aggregation merges k-sized
+  * buffers, so the shuffle carries at most numPartitions × k rows per query,
+  * not the corpus). The IVF variant prunes the scanned fraction to
+  * nprobe/ncells of the corpus at a small recall cost.
+  */
+object KnnOps {
+
+  private type Hit = (Double, Long) // (-sim for ordering, id); sorted ascending
+
+  /** Typed top-k aggregator with map-side combine. Keeps the k smallest
+    * (negSim, id) pairs == the k highest-similarity neighbors with
+    * deterministic id tie-breaks.
+    */
+  private class TopKAgg(k: Int) extends Aggregator[Hit, List[Hit], Seq[Hit]] {
+    def zero: List[Hit] = Nil
+    def reduce(buf: List[Hit], h: Hit): List[Hit] = insert(buf, h)
+    def merge(a: List[Hit], b: List[Hit]): List[Hit] = b.foldLeft(a)(insert)
+    def finish(buf: List[Hit]): Seq[Hit] = buf
+    private def insert(buf: List[Hit], h: Hit): List[Hit] = {
+      val merged = (h :: buf).sorted
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def bufferEncoder: Encoder[List[Hit]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Hit]] = ExpressionEncoder()
+  }
+
+  /** Brute-force cosine top-k: every query × every corpus row, evaluated by
+    * the codegen'd cosine expression, reduced map-side to k hits per query.
+    * Output: (query_id, neighbor_id, rank), rank 1..k by sim desc, id asc.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String, embCol: String,
+                    qidCol: String, qembCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(qembCol).as("qemb"))))
+      .select(
+        col("query_id"),
+        (-GraftFunctions.cosine_similarity(col(embCol), col("qemb"))).as("negsim"),
+        col(idCol).cast("long").as("neighbor_id")
+      )
+      .as[(Long, Double, Long)]
+    val agg = new TopKAgg(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("hits"))
+      .toDF("query_id", "hits")
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("query_id"),
+        col("hit._2").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        (-col("hit._1")).as("sim")
+      )
+  }
+
+  /** IVF (inverted-file) approximate KNN: KMeans-partition the corpus into
+    * `ncells` Voronoi cells, then scan only the `nprobe` cells whose
+    * centroids are closest to each query. Centroids are broadcast; the
+    * corpus-side join is an equi-join on cell id.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String, embCol: String, qidCol: String, qembCol: String,
+             ncells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val corpusVec = corpus.withColumn("features", toVec(col(embCol)))
+    val model = new KMeans().setK(ncells).setSeed(seed).setFeaturesCol("features")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col(idCol), col(embCol), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+    val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
+    // nprobe nearest cells per query (tiny: nQueries × ncells)
+    val qCells = queries.select(col(qidCol).as("query_id"), col(qembCol).as("qemb"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", GraftFunctions.cosine_distance(col("qemb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cdist").asc, col("cell").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qemb"), col("cell"))
+    // scan only probed cells
+    val pruned = assigned.join(broadcast(qCells), "cell")
+    bruteForceKnnOnPairs(pruned, k, idCol, embCol)
+  }
+
+  private def bruteForceKnnOnPairs(pairs: DataFrame, k: Int,
+                                   idCol: String, embCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val scored = pairs.select(
+      col("query_id"),
+      (-GraftFunctions.cosine_similarity(col(embCol), col("qemb"))).as("negsim"),
+      col(idCol).cast("long").as("neighbor_id")
+    ).as[(Long, Double, Long)]
+    val agg = new TopKAgg(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("hits"))
+      .toDF("query_id", "hits")
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(
+        col("query_id"),
+        col("hit._2").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        (-col("hit._1")).as("sim")
+      )
+  }
+
+  /** Pairwise self-similarity above a threshold for one small group —
+    * the J1/J2 distance-matrix analog, as a relational theta join.
+    */
+  def similarPairs(df: DataFrame, idCol: String, embCol: String,
+                   minSim: Double): DataFrame =
+    df.select(col(idCol).as("ida"), col(embCol).as("ea")).as("a")
+      .join(df.select(col(idCol).as("idb"), col(embCol).as("eb")).as("b"),
+        col("ida") < col("idb"))
+      .withColumn("sim", GraftFunctions.cosine_similarity(col("ea"), col("eb")))
+      .filter(col("sim") >= minSim)
+      .select(col("ida"), col("idb"), col("sim"))
+}

@@ -1,0 +1,487 @@
+package graft.text
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+/** Pure text algorithms mirroring the reference engine's compression /
+  * summarization semantics. Kept free of Spark imports so they can run inside
+  * UDFs, typed `flatMapGroups`, and plain unit tests alike.
+  *
+  * Reference behavior re-expressed (not translated) from:
+  *   - token estimate: /root/reference/pkg/compress/extractive.go:197-203
+  *   - sentence split/score/extract: extractive.go:63-169
+  *   - summarize levels: /root/reference/pkg/summarize/hierarchy.go:204-311
+  *   - keyword extraction: hierarchy.go:249-268, pkg/memory/decay.go:198-225,
+  *     pkg/session/sqlite.go:642-660
+  *   - session sentence level: pkg/session/sqlite.go:615-633
+  */
+object TextAlgs {
+
+  /** ceil(bytes/4) — the reference counts Go string bytes. */
+  def estimateTokens(text: String): Int = {
+    val n = text.getBytes("UTF-8").length
+    if (n == 0) 0 else (n + 3) / 4
+  }
+
+  /** Whitespace-excluded variant (importance.go:76-86): printable runes / 4. */
+  def estimateTokensNoWs(text: String): Int = {
+    var n = 0
+    text.codePoints().forEach(cp => if (!Character.isWhitespace(cp)) n += 1)
+    (n + 3) / 4
+  }
+
+  /** Split keeping the delimiter, trailing remainder kept (extractive.go:112-133). */
+  def splitSentences(text: String, delimiters: String = ".!?"): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    text.foreach { ch =>
+      cur.append(ch)
+      if (delimiters.indexOf(ch.toInt) >= 0) {
+        val s = cur.result().trim
+        if (s.nonEmpty) out += s
+        cur.clear()
+      }
+    }
+    val rest = cur.result().trim
+    if (rest.nonEmpty) out += rest
+    out.result()
+  }
+
+  /** Position/length/keyword/digit sentence score (extractive.go:136-169). */
+  def scoreSentence(sentence: String, index: Int, total: Int): Double = {
+    var score = 0.0
+    if (index == 0) score += 2.0
+    else if (index == total - 1) score += 1.0
+    val words = sentence.split("\\s+").count(_.nonEmpty)
+    if (words >= 5 && words <= 25) score += 1.0
+    val lower = sentence.toLowerCase
+    if (lower.contains("important") || lower.contains("key") ||
+      lower.contains("must") || lower.contains("should")) score += 1.5
+    if (sentence.exists(_.isDigit)) score += 0.5
+    score
+  }
+
+  /** Greedy top-score selection until targetReduction of the original tokens,
+    * restored to document order (extractive.go:63-109). Selection sort order
+    * for equal scores follows first-index-first like the reference's stable
+    * quadratic sort.
+    */
+  def extractSalientSpans(text: String, targetReduction: Double): String = {
+    val sentences = splitSentences(text)
+    if (sentences.length <= 1) return text
+    val scored = sentences.zipWithIndex.map { case (s, i) =>
+      (s, i, scoreSentence(s, i, sentences.length))
+    }
+    // score desc; the reference's selection sort is "first max wins", which for
+    // ties keeps the earliest index first — sortBy is stable, so sort on -score.
+    val byScore = scored.sortBy { case (_, _, sc) => -sc }
+    val targetTokens = (estimateTokens(text) * targetReduction).toInt
+    val selected = mutable.ArrayBuffer.empty[(String, Int, Double)]
+    var currentTokens = 0
+    var done = false
+    byScore.foreach { s =>
+      if (!done) {
+        val t = estimateTokens(s._1)
+        if (currentTokens + t > targetTokens && selected.nonEmpty) done = true
+        else {
+          selected += s
+          currentTokens += t
+        }
+      }
+    }
+    selected.sortBy(_._2).map(_._1.trim).mkString(" ")
+  }
+
+  /** Extractive compression with the min-length skip (MinChunkLength gate). */
+  def extractiveCompress(text: String, targetReduction: Double, minChunkLength: Int): String =
+    if (text.length < minChunkLength) text else extractSalientSpans(text, targetReduction)
+
+  // --- Summarize hierarchy (levels 0-4: full → paragraph → sentence → keywords → evicted)
+
+  val summarizeStopWords: Set[String] = Set(
+    "the", "and", "for", "that", "this", "with", "from", "have",
+    "will", "been", "were", "they", "their", "there", "when",
+    "what", "which", "would", "could", "should", "about", "into",
+    "more", "also", "some", "than", "then", "just", "like"
+  )
+
+  val memoryStopWords: Set[String] = Set(
+    "that", "this", "with", "from", "have", "been", "were", "they",
+    "their", "which", "would", "there", "about", "could", "other", "into",
+    "more", "some", "than", "them", "very", "when", "what", "your",
+    "also", "each", "does", "will", "just", "should", "because", "these"
+  )
+
+  private val trimChars = ".,;:!?\"'()[]{}"
+
+  /** First paragraph + fenced code blocks; fallback 300-rune truncate
+    * (hierarchy.go:204-233).
+    */
+  def paragraphSummary(text: String): String = {
+    val lines = text.split("\n", -1)
+    val out = mutable.ArrayBuffer.empty[String]
+    var inCode = false
+    var paragraphDone = false
+    lines.foreach { line =>
+      if (line.startsWith("```")) {
+        inCode = !inCode
+        out += line
+      } else if (inCode) {
+        out += line
+      } else if (!paragraphDone) {
+        out += line
+        if (line.isEmpty && out.length > 1) paragraphDone = true
+      }
+    }
+    val result = out.mkString("\n").trim
+    if (result.isEmpty) truncateRunes(text, 300) else result
+  }
+
+  /** First 1-2 sentences after stripping code fences; fallback 150-rune
+    * truncate (hierarchy.go:235-247).
+    */
+  def sentenceSummary(text: String): String = {
+    val stripped = stripCodeBlocks(text)
+    val sentences = splitSentences(stripped)
+    if (sentences.isEmpty) truncateRunes(stripped, 150)
+    else if (sentences.length == 1) sentences.head
+    else sentences(0) + " " + sentences(1)
+  }
+
+  /** Significant-words summary, original casing, capped at 12
+    * (hierarchy.go:249-268).
+    */
+  def keywordSummary(text: String): String = {
+    val words = stripCodeBlocks(text).split("\\s+").filter(_.nonEmpty)
+    val seen = mutable.Set.empty[String]
+    val keywords = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < words.length && keywords.length < 12) {
+      val w = trim(words(i))
+      val lower = w.toLowerCase
+      if (w.length >= 4 && !summarizeStopWords(lower) && !seen(lower)) {
+        seen += lower
+        keywords += w
+      }
+      i += 1
+    }
+    keywords.mkString(", ")
+  }
+
+  /** Lowercased keyword list with a cap (memory decay cap=20 with memory
+    * stopwords; session level-3 cap=15). decay.go:198-225, sqlite.go:642-660.
+    */
+  def keywordsLower(text: String, cap: Int, stop: Set[String] = memoryStopWords): String = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val seen = mutable.Set.empty[String]
+    val keywords = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < words.length && keywords.length < cap) {
+      val lower = trim(words(i)).toLowerCase
+      if (lower.nonEmpty && lower.length >= 4 && !stop(lower) && !seen(lower)) {
+        seen += lower
+        keywords += lower
+      }
+      i += 1
+    }
+    keywords.mkString(", ")
+  }
+
+  /** Session level-2: first sentence, else word-boundary truncate near 50
+    * chars (session/sqlite.go:615-633).
+    */
+  def firstSentenceOrTruncate(text: String): String = {
+    val idx = text.indexWhere(c => c == '.' || c == '!' || c == '?')
+    if (idx >= 0) return text.substring(0, idx + 1)
+    if (text.length > 50) {
+      var cut = 50
+      while (cut > 0 && text.charAt(cut) != ' ') cut -= 1
+      if (cut == 0) cut = 50
+      text.substring(0, cut).trim + "..."
+    } else text
+  }
+
+  /** Session compression ladder (session/sqlite.go:603-639):
+    * 1=extractive 20%, 2=first sentence, 3=keywords(15). Always re-derives
+    * from the original content.
+    */
+  def compressToLevel(original: String, level: Int): String = level match {
+    case 1 => extractiveCompress(original, 0.2, 20)
+    case 2 => firstSentenceOrTruncate(original)
+    case 3 => keywordsLower(original, 15)
+    case _ => original
+  }
+
+  /** Memory decay summary = extractive 20% with min length 20
+    * (decay.go:184-195).
+    */
+  def decaySummary(text: String): String = extractiveCompress(text, 0.2, 20)
+
+  def stripCodeBlocks(text: String): String = {
+    val out = new StringBuilder
+    var inCode = false
+    text.split("\n", -1).foreach { line =>
+      if (line.startsWith("```")) inCode = !inCode
+      else if (!inCode) { out.append(line); out.append('\n') }
+    }
+    out.result()
+  }
+
+  def truncateRunes(s: String, maxRunes: Int): String = {
+    val cps = s.codePointCount(0, s.length)
+    if (cps <= maxRunes) s
+    else s.substring(0, s.offsetByCodePoints(0, maxRunes)) + "…"
+  }
+
+  private def trim(w: String): String = {
+    var start = 0
+    var end = w.length
+    while (start < end && trimChars.indexOf(w.charAt(start).toInt) >= 0) start += 1
+    while (end > start && trimChars.indexOf(w.charAt(end - 1).toInt) >= 0) end -= 1
+    w.substring(start, end)
+  }
+
+  // --- Placeholder compression (pkg/compress/placeholder.go:93-271).
+  // JSON handling uses a tiny recursive-descent walk over a parsed tree; keys
+  // keep first-appearance order (the reference iterates Go maps, whose order
+  // is deterministic only per-process — we pin document order instead).
+
+  val preserveKeys: Seq[String] = Seq("id", "name", "title", "error", "message", "status")
+  val maxObjectDepth = 2
+  val maxArrayItems = 3
+
+  sealed trait J
+  case class JObj(fields: Vector[(String, J)]) extends J
+  case class JArr(items: Vector[J]) extends J
+  case class JStr(s: String) extends J
+  case class JNum(raw: String) extends J
+  case class JBool(b: Boolean) extends J
+  case object JNull extends J
+
+  /** Minimal JSON parser (sufficient for placeholder summarization). */
+  def parseJson(s: String): Option[J] = {
+    val p = new JsonParser(s)
+    try {
+      val v = p.parseValue()
+      p.skipWs()
+      if (p.atEnd) Some(v) else None
+    } catch { case _: Exception => None }
+  }
+
+  private final class JsonParser(s: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= s.length
+    def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) throw new IllegalArgumentException(s"expected $c")
+      i += 1
+    }
+    def parseValue(): J = {
+      skipWs()
+      if (atEnd) throw new IllegalArgumentException("eof")
+      s.charAt(i) match {
+        case '{' => parseObj()
+        case '[' => parseArr()
+        case '"' => JStr(parseString())
+        case 't' => literal("true"); JBool(true)
+        case 'f' => literal("false"); JBool(false)
+        case 'n' => literal("null"); JNull
+        case _   => parseNum()
+      }
+    }
+    private def literal(lit: String): Unit = {
+      if (!s.startsWith(lit, i)) throw new IllegalArgumentException(lit)
+      i += lit.length
+    }
+    private def parseObj(): J = {
+      expect('{'); skipWs()
+      val fields = Vector.newBuilder[(String, J)]
+      if (i < s.length && s.charAt(i) == '}') { i += 1; return JObj(fields.result()) }
+      while (true) {
+        skipWs()
+        val k = parseString()
+        skipWs(); expect(':')
+        val v = parseValue()
+        fields += ((k, v))
+        skipWs()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect('}'); return JObj(fields.result()) }
+      }
+      JObj(fields.result())
+    }
+    private def parseArr(): J = {
+      expect('['); skipWs()
+      val items = Vector.newBuilder[J]
+      if (i < s.length && s.charAt(i) == ']') { i += 1; return JArr(items.result()) }
+      while (true) {
+        items += parseValue()
+        skipWs()
+        if (i < s.length && s.charAt(i) == ',') i += 1
+        else { expect(']'); return JArr(items.result()) }
+      }
+      JArr(items.result())
+    }
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          i += 1
+          s.charAt(i) match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case other => sb.append(other)
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      expect('"')
+      sb.result()
+    }
+    private def parseNum(): J = {
+      val start = i
+      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i).toInt) >= 0)) i += 1
+      if (i == start) throw new IllegalArgumentException("num")
+      val raw = s.substring(start, i)
+      java.lang.Double.parseDouble(raw) // validate
+      JNum(raw)
+    }
+  }
+
+  private def renderJson(j: J): String = j match {
+    case JObj(fs) => fs.map { case (k, v) => "\"" + escape(k) + "\":" + renderJson(v) }.mkString("{", ",", "}")
+    case JArr(is) => is.map(renderJson).mkString("[", ",", "]")
+    case JStr(s)  => "\"" + escape(s) + "\""
+    case JNum(r)  =>
+      val d = java.lang.Double.parseDouble(r)
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15 && !r.exists(c => c == '.' || c == 'e' || c == 'E'))
+        r
+      else r
+    case JBool(b) => b.toString
+    case JNull    => "null"
+  }
+
+  private def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def compressJsonValue(v: J, depth: Int): J = {
+    if (depth >= maxObjectDepth) return JStr("[...]")
+    v match {
+      case JObj(fields) =>
+        val kept = fields.filter { case (k, _) => preserveKeys.contains(k.toLowerCase) }
+          .map { case (k, fv) => (k, compressJsonValue(fv, depth + 1)) }
+        if (kept.isEmpty && fields.nonEmpty) JStr(s"{...${fields.length} keys}")
+        else JObj(kept)
+      case JArr(items) =>
+        if (items.length <= maxArrayItems) JArr(items.map(compressJsonValue(_, depth + 1)))
+        else JArr(items.take(maxArrayItems).map(compressJsonValue(_, depth + 1)) :+
+          JStr(s"...+${items.length - maxArrayItems} more"))
+      case other => other
+    }
+  }
+
+  private def summarizeJson(v: J): String = v match {
+    case JObj(fields) =>
+      val keys = fields.map(_._1)
+      if (keys.length > 5) s"[JSON object with ${keys.length} keys: ${keys.take(5).mkString(", ")}, ...]"
+      else s"[JSON object with keys: ${keys.mkString(", ")}]"
+    case JArr(items) =>
+      if (items.isEmpty) "[empty JSON array]" else s"[JSON array with ${items.length} items]"
+    case JStr(s)  => s"[JSON value: $s]"
+    case JNum(r)  => s"[JSON value: $r]"
+    case JBool(b) => s"[JSON value: $b]"
+    case JNull    => "[JSON value: <nil>]"
+  }
+
+  def tryCompressJson(text: String, preserveStructure: Boolean): Option[String] = {
+    val trimmed = text.trim
+    if (!trimmed.startsWith("{") && !trimmed.startsWith("[")) return None
+    parseJson(trimmed).map { j =>
+      if (preserveStructure) renderJson(compressJsonValue(j, 0)) else summarizeJson(j)
+    }
+  }
+
+  private val openTag: Regex = "<(\\w+)[^>]*>".r
+  private val closeTag: Regex = "</(\\w+)>".r
+  private val elementTag: Regex = "<(\\w+)[^/>]*>".r
+
+  /** XML tag census summary (placeholder.go:191-236); element order is
+    * first-appearance (deterministic), capped at 5 names.
+    */
+  def tryCompressXml(text: String): Option[String] = {
+    val trimmed = text.trim
+    if (!trimmed.startsWith("<")) return None
+    if (openTag.findFirstIn(trimmed).isEmpty || closeTag.findFirstIn(trimmed).isEmpty) return None
+    val counts = mutable.LinkedHashMap.empty[String, Int]
+    elementTag.findAllMatchIn(trimmed).foreach { m =>
+      val name = m.group(1)
+      counts(name) = counts.getOrElse(name, 0) + 1
+    }
+    if (counts.isEmpty) return None
+    val sb = new StringBuilder("[XML with elements: ")
+    var i = 0
+    val it = counts.iterator
+    var brk = false
+    while (it.hasNext && !brk) {
+      val (elem, count) = it.next()
+      if (i > 0) sb.append(", ")
+      if (i >= 5) { sb.append("..."); brk = true }
+      else {
+        if (count > 1) sb.append(s"$elem(×$count)") else sb.append(elem)
+        i += 1
+      }
+    }
+    sb.append("]")
+    Some(sb.result())
+  }
+
+  /** Consistent-delimiter table detection (placeholder.go:239-271). */
+  def tryCompressTable(text: String): Option[String] = {
+    val lines = text.split("\n", -1)
+    if (lines.length < 3) return None
+    val delimiters = Seq("\t", "|", ",")
+    delimiters.foreach { delim =>
+      val cols = countOccurrences(lines(0), delim)
+      if (cols >= 2) {
+        val consistent = lines.drop(1).forall { line =>
+          line.trim.isEmpty || countOccurrences(line, delim) == cols
+        }
+        if (consistent) {
+          val headers = lines(0).split(Regex.quote(delim), -1).map(_.trim)
+          return Some(s"[Table with ${lines.length - 1} rows, columns: ${headers.mkString(", ")}]")
+        }
+      }
+    }
+    None
+  }
+
+  private def countOccurrences(s: String, sub: String): Int = {
+    var count = 0
+    var idx = s.indexOf(sub)
+    while (idx >= 0) { count += 1; idx = s.indexOf(sub, idx + sub.length) }
+    count
+  }
+
+  /** Full placeholder dispatch: JSON → XML → table → unchanged
+    * (placeholder.go:60-90).
+    */
+  def placeholderCompress(text: String, preserveStructure: Boolean = true): String =
+    tryCompressJson(text, preserveStructure)
+      .orElse(tryCompressXml(text))
+      .orElse(tryCompressTable(text))
+      .getOrElse(text)
+}

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session per suite (lazy, reused across suites in the same
+  * JVM via getOrCreate).
+  */
+trait SparkTest {
+  lazy val spark: SparkSession = {
+    val s = graft.core.GraftSession.builder(4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite with SparkTest {
+  import GraftFunctions._
+
+  private def pair(a: Seq[Float], b: Seq[Float],
+                   f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double = {
+    import spark.implicits._
+    Seq((a, b)).toDF("a", "b").select(f(col("a"), col("b")).as("v")).head().getDouble(0)
+  }
+
+  test("cosine similarity: identical=1, orthogonal=0, opposite=-1") {
+    assert(math.abs(pair(Seq(1f, 0f), Seq(1f, 0f), cosine_similarity) - 1.0) < 1e-12)
+    assert(math.abs(pair(Seq(1f, 0f), Seq(0f, 1f), cosine_similarity)) < 1e-12)
+    assert(math.abs(pair(Seq(1f, 0f), Seq(-1f, 0f), cosine_similarity) + 1.0) < 1e-12)
+  }
+
+  test("empty or zero vectors are maximally distant (reference semantics)") {
+    assert(pair(Seq.empty, Seq(1f), cosine_similarity) == -1.0)
+    assert(pair(Seq(0f, 0f), Seq(1f, 1f), cosine_similarity) == -1.0)
+    assert(pair(Seq.empty, Seq(1f), cosine_distance) == 2.0)
+  }
+
+  test("mismatched lengths truncate to the shorter vector") {
+    val sim = pair(Seq(1f, 0f, 5f), Seq(1f, 0f), cosine_similarity)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("euclidean, dot product, norm agree with hand computation") {
+    assert(math.abs(pair(Seq(0f, 3f), Seq(4f, 0f), euclidean_distance) - 5.0) < 1e-12)
+    assert(math.abs(pair(Seq(1f, 2f), Seq(3f, 4f), dot_product) - 11.0) < 1e-12)
+    import spark.implicits._
+    val n = Seq(Seq(3f, 4f)).toDF("a").select(l2_norm(col("a"))).head().getDouble(0)
+    assert(math.abs(n - 5.0) < 1e-12)
+  }
+
+  test("l2_normalize yields unit vectors, passes zero vectors through") {
+    import spark.implicits._
+    val out = Seq(Seq(3f, 4f), Seq(0f, 0f)).toDF("a")
+      .select(l2_normalize(col("a")).as("n"))
+      .collect().map(_.getSeq[Float](0))
+    assert(math.abs(out(0)(0) - 0.6f) < 1e-6 && math.abs(out(0)(1) - 0.8f) < 1e-6)
+    assert(out(1) == Seq(0f, 0f))
+  }
+
+  test("SQL registration works and nulls propagate") {
+    import spark.implicits._
+    Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b").createOrReplaceTempView("v")
+    val viaSql = spark.sql("SELECT cosine_distance(a, b) AS d FROM v").head().getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+    val nullRow = spark.sql("SELECT cosine_similarity(a, NULL) AS d FROM v").head()
+    assert(nullRow.isNullAt(0))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def vec(seed: Int, dim: Int = 16): Seq[Float] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+  }
+
+  test("brute-force KNN returns k ranked neighbors; self is rank 1") {
+    import spark.implicits._
+    val queries = (0 until 5).map(i => (i.toLong, vec(i))).toDF("qid", "qemb")
+    val out = KnnOps.bruteForceKnn(corpus, queries, k = 3,
+      "id", "embedding", "qid", "qemb")
+    val rows = out.collect()
+    assert(rows.length == 15)
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id"))
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9)
+    }
+    // ranks strictly ordered by sim desc within each query
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("brute-force KNN agrees with a naive window-based computation") {
+    import spark.implicits._
+    val queries = (10 until 13).map(i => (i.toLong, vec(i))).toDF("qid", "qemb")
+    val got = KnnOps.bruteForceKnn(corpus, queries, k = 4, "id", "embedding", "qid", "qemb")
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    val naive = corpus.crossJoin(queries)
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col("embedding"), col("qemb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select(col("qid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+  }
+
+  test("IVF KNN achieves high recall vs brute force") {
+    import spark.implicits._
+    val queries = (0 until 10).map(i => (1000L + i, vec(500 + i))).toDF("qid", "qemb")
+    val exact = KnnOps.bruteForceKnn(corpus, queries, k = 5, "id", "embedding", "qid", "qemb")
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KnnOps.ivfKnn(corpus, queries, k = 5, "id", "embedding", "qid", "qemb",
+      ncells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall too low")
+  }
+
+  test("similarPairs finds the planted near-identical pair") {
+    import spark.implicits._
+    val df = ((0 until 10).map(i => (i.toLong, vec(i))) :+
+      (99L, vec(3).map(x => x * 1.001f))).toDF("id", "embedding")
+    val out = KnnOps.similarPairs(df, "id", "embedding", minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 99L)))
+  }
+
+  test("vector mean aggregator computes per-group centroids") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1f, 2f)), ("a", Seq(3f, 4f)),
+      ("b", Seq(10f, 0f))
+    ).toDF("g", "emb")
+    val out = df.groupBy("g")
+      .agg(graft.functions.VectorMeanAgg.column(col("emb")).as("centroid"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(out("a") == Seq(2f, 3f))
+    assert(out("b") == Seq(10f, 0f))
+  }
+}

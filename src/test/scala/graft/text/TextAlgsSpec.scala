@@ -1,0 +1,128 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAlgsSpec extends AnyFunSuite {
+  import TextAlgs._
+
+  test("token estimate is ceil(bytes/4), zero for empty") {
+    assert(estimateTokens("") == 0)
+    assert(estimateTokens("a") == 1)
+    assert(estimateTokens("abcd") == 1)
+    assert(estimateTokens("abcde") == 2)
+    assert(estimateTokens("12345678") == 2)
+  }
+
+  test("no-whitespace token estimate counts printable runes") {
+    assert(estimateTokensNoWs("a b c d") == 1) // 4 printable chars
+    assert(estimateTokensNoWs("abcd efgh") == 2)
+  }
+
+  test("sentence split keeps delimiters and trailing remainder") {
+    assert(splitSentences("One. Two! Three? tail") ==
+      Vector("One.", "Two!", "Three?", "tail"))
+    assert(splitSentences("no delimiter") == Vector("no delimiter"))
+    assert(splitSentences("") == Vector())
+  }
+
+  test("sentence scoring: position, length, keywords, digits") {
+    // first sentence: +2; has "key": +1.5; 5-25 words: +1
+    val s = "This key point has exactly seven words here"
+    assert(scoreSentence(s, 0, 3) == 2.0 + 1.5 + 1.0)
+    // last sentence +1, digit +0.5, short (<5 words) no length bonus
+    assert(scoreSentence("Only 4 words here", 2, 3) == 1.0 + 0.5)
+  }
+
+  test("extractive keeps top-scored sentences in document order") {
+    val text = "First important sentence with several words here. " +
+      "Filler. " +
+      "Another important key detail with number 42 included. " +
+      "Trailing remark at the end."
+    val out = extractSalientSpans(text, 0.5)
+    assert(out.nonEmpty && out.length < text.length)
+    // document order must be preserved
+    val first = out.indexOf("First")
+    val another = out.indexOf("Another")
+    if (first >= 0 && another >= 0) assert(first < another)
+  }
+
+  test("extractive passes through single-sentence and short text") {
+    assert(extractSalientSpans("single sentence no delimiters", 0.3) ==
+      "single sentence no delimiters")
+    assert(extractiveCompress("tiny", 0.3, 20) == "tiny")
+  }
+
+  test("paragraph summary keeps first paragraph and code blocks") {
+    val text = "Intro line one.\nIntro line two.\n\nSecond paragraph.\n```scala\ncode here\n```\nAfter code."
+    val out = paragraphSummary(text)
+    assert(out.contains("Intro line one."))
+    assert(out.contains("code here"))
+    assert(!out.contains("Second paragraph."))
+  }
+
+  test("sentence summary returns first two sentences, strips code") {
+    val text = "```\nignored()\n```\nFirst sentence. Second sentence. Third."
+    assert(sentenceSummary(text) == "First sentence. Second sentence.")
+  }
+
+  test("keyword summary caps at 12, keeps casing, dedups case-insensitively") {
+    val text = ("Spark Catalyst optimizer spark CATALYST rewrite rules engine " +
+      "partition shuffle broadcast join window aggregate stream watermark state")
+    val out = keywordSummary(text)
+    val words = out.split(", ")
+    assert(words.length == 12)
+    assert(words.head == "Spark")
+    assert(!words.map(_.toLowerCase).drop(1).contains("spark"))
+  }
+
+  test("lowercase keywords: stopwords dropped, cap respected") {
+    val out = keywordsLower("These tokens WILL survive; these will not: the when what", 20)
+    assert(out == "tokens, survive")
+  }
+
+  test("first sentence or 50-char word-boundary truncate") {
+    assert(firstSentenceOrTruncate("Short claim. More text") == "Short claim.")
+    val long = "word " * 20
+    val out = firstSentenceOrTruncate(long)
+    assert(out.endsWith("...") && out.length <= 54)
+    assert(firstSentenceOrTruncate("short no delim") == "short no delim")
+  }
+
+  test("placeholder JSON preserve-structure keeps whitelisted keys, truncates arrays") {
+    val json = """{"id": 7, "name": "x", "junk": {"deep": 1}, "items": [1,2,3,4,5]}"""
+    val out = placeholderCompress(json)
+    assert(out.contains("\"id\""))
+    assert(out.contains("\"name\""))
+    assert(!out.contains("junk"))
+  }
+
+  test("placeholder JSON summarize lists keys") {
+    val out = tryCompressJson("""{"a":1,"b":2}""", preserveStructure = false)
+    assert(out.contains("[JSON object with keys: a, b]"))
+  }
+
+  test("placeholder XML census with counts in first-appearance order") {
+    val xml = "<root><item>1</item><item>2</item><other/></root>"
+    val out = tryCompressXml(xml)
+    assert(out.isDefined)
+    assert(out.get.startsWith("[XML with elements: root, item(×2)"))
+  }
+
+  test("placeholder table detection") {
+    val table = "a\tb\tc\n1\t2\t3\n4\t5\t6"
+    assert(tryCompressTable(table).contains("[Table with 2 rows, columns: a, b, c]"))
+    assert(tryCompressTable("not\na\ntable").isEmpty)
+  }
+
+  test("non-JSON non-XML non-table text passes through") {
+    assert(placeholderCompress("plain prose text here") == "plain prose text here")
+  }
+
+  test("compression ladder levels") {
+    val text = "First sentence with important details. Second one here. Third closes it."
+    assert(compressToLevel(text, 0) == text)
+    assert(compressToLevel(text, 2) == "First sentence with important details.")
+    val kw = compressToLevel(text, 3)
+    assert(kw.contains("first") && !kw.contains("First sentence with"))
+  }
+}
