@@ -17,9 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full dedup pipeline (cluster → select → MMR → compress)
+    * on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q27_dedup_pipeline")(spark, "/root/testdata/sf0.001")
 
   import graft.functions.GraftFunctions._
 
@@ -217,6 +219,58 @@ object SparkEntry {
     "q22_embedding_neardup" -> { (s, dir) =>
       graft.operators.DedupOps.embeddingNearDupPairs(
         Tables.embeddings(s, dir), "embedding", "vec_id", threshold = 0.9)
+    },
+
+    // C1 agglomerative clustering per request group (flatMapGroups);
+    // deterministic but not SQL-expressible -> rows-only.
+    "q23_agglomerative" -> { (s, dir) =>
+      graft.operators.ClusterOps.agglomerativeCluster(
+        Tables.embeddings(s, dir), "label", "vec_id", "embedding",
+        graft.operators.ClusterAlgs.ClusterConfig(threshold = 0.95))
+    },
+
+    // A2/C4 representative-by-score selection — windows, oracle-checked.
+    "q24_representatives" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      val dummy = chunks.select(col("request_group"), col("doc_id"),
+        col("text"), col("embedding"), length(col("text")).as("tl"))
+      graft.operators.ClusterOps.selectRepresentatives(
+        dummy, Seq("request_group"), "doc_id", "embedding", "tl", "text", "score")
+        .select(col("request_group"), col("doc_id"))
+    },
+
+    // C3 MMR re-rank per group (flatMapGroups); rows-only.
+    "q25_mmr_rerank" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      graft.operators.ClusterOps.mmrRerank(
+        chunks, "request_group", "doc_id", "embedding", "score", lambda = 0.5, k = 8)
+    },
+
+    // C2 K-Means dedup with medoid pruning (Spark ML); rows-only.
+    "q26_kmeans_dedup" -> { (s, dir) =>
+      graft.operators.ClusterOps.kmeansDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("cluster"), col("kept"))
+    },
+
+    // §3.1 flagship pipeline: cluster → select → MMR → compress; rows-only.
+    "q27_dedup_pipeline" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      graft.operators.PipelineOps.dedupPipeline(
+        chunks, "request_group", "doc_id", "text", "embedding", "score")
+    },
+
+    // A12 diversity/coverage metrics of the MMR selection; rows-only.
+    "q28_selection_metrics" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      val mmr = graft.operators.ClusterOps.mmrRerank(
+        chunks, "request_group", "doc_id", "embedding", "score", lambda = 0.5, k = 8)
+      val selected = chunks.join(mmr, chunks("doc_id") === mmr("id")).drop("group", "id")
+      graft.operators.ClusterOps.selectionMetrics(chunks, selected, "doc_id", "embedding")
     }
   )
 
@@ -319,6 +373,13 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10) t
         |WHERE rnk <= 5""".stripMargin,
+    "q24_representatives" ->
+      """SELECT request_group, doc_id FROM (
+        |  SELECT e.label AS request_group, d.doc_id,
+        |    row_number() OVER (PARTITION BY e.label
+        |      ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) t
+        |WHERE rn = 1""".stripMargin,
     "q19_centroids" ->
       """SELECT label, i - 1 AS dim,
         |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v

@@ -1,0 +1,279 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/** Pure per-group clustering / re-ranking algorithms (no Spark imports).
+  * These run inside `flatMapGroups` on bounded groups — the reference's
+  * request-sized workloads (N ≤ ~500, FAQ.md:73) — while corpus-scale paths
+  * use the keyed-shuffle operators in [[DedupOps]]/[[KnnOps]].
+  *
+  * Reference behavior re-expressed from:
+  *   - agglomerative merge loop: /root/reference/pkg/contextlab/cluster.go:67-313
+  *   - MMR greedy selection: pkg/contextlab/mmr.go:50-205
+  *   - representative strategies: pkg/contextlab/selector.go:88-238
+  *
+  * Determinism: the reference scans pairs in index order with strict `<`
+  * comparisons, so "first minimal pair wins" — preserved here. (Its MMR
+  * iterates a Go map, making *ties* order-random; we iterate in index order,
+  * so ties resolve to the lowest index. Callers must sort group rows by id
+  * before invoking, since Spark shuffles destroy input order.)
+  */
+object ClusterAlgs {
+
+  def cosineSim(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) return -1.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) return -1.0
+    val s = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (s > 1.0) 1.0 else if (s < -1.0) -1.0 else s
+  }
+
+  def cosineDist(a: Array[Float], b: Array[Float]): Double = 1.0 - cosineSim(a, b)
+
+  sealed trait Linkage
+  case object Single extends Linkage
+  case object Complete extends Linkage
+  case object Average extends Linkage
+
+  final case class ClusterConfig(
+      threshold: Double = 0.15,
+      minClusters: Int = 0,
+      maxClusters: Int = 0,
+      linkage: Linkage = Average)
+
+  /** Agglomerative clustering. Returns per-input cluster ids, compacted in
+    * node order (stable). Inputs with empty embeddings become singletons when
+    * no embeddings exist at all; otherwise they sit at max distance (2.0)
+    * from everything and stay unmerged below any threshold < 2.
+    */
+  def agglomerate(embeddings: IndexedSeq[Array[Float]], cfg: ClusterConfig = ClusterConfig()): Array[Int] = {
+    val n = embeddings.length
+    val out = new Array[Int](n)
+    if (n == 0) return out
+    if (n == 1 || !embeddings.exists(_.nonEmpty)) {
+      var i = 0
+      while (i < n) { out(i) = i; i += 1 }
+      return if (n == 1) Array(0) else out
+    }
+
+    // distance matrix, empty embeddings at max distance
+    val dist = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d =
+          if (embeddings(i).isEmpty || embeddings(j).isEmpty) 2.0
+          else cosineDist(embeddings(i), embeddings(j))
+        dist(i)(j) = d; dist(j)(i) = d
+        j += 1
+      }
+      i += 1
+    }
+
+    val members = Array.tabulate(n)(i => mutable.ArrayBuffer(i))
+    val active = Array.fill(n)(true)
+    var activeCount = n
+
+    def linkageDist(a: Int, b: Int): Double = cfg.linkage match {
+      case Single =>
+        var m = 2.0
+        members(a).foreach(i => members(b).foreach(j => if (dist(i)(j) < m) m = dist(i)(j)))
+        m
+      case Complete =>
+        var m = 0.0
+        members(a).foreach(i => members(b).foreach(j => if (dist(i)(j) > m) m = dist(i)(j)))
+        m
+      case Average =>
+        var s = 0.0; var c = 0
+        members(a).foreach(i => members(b).foreach { j => s += dist(i)(j); c += 1 })
+        if (c == 0) 2.0 else s / c
+    }
+
+    var done = false
+    while (activeCount > 1 && !done) {
+      if (cfg.minClusters > 0 && activeCount <= cfg.minClusters) done = true
+      else {
+        var minDist = 2.0
+        var minI = -1; var minJ = -1
+        var a = 0
+        while (a < n) {
+          if (active(a)) {
+            var b = a + 1
+            while (b < n) {
+              if (active(b)) {
+                val d = linkageDist(a, b)
+                if (d < minDist) { minDist = d; minI = a; minJ = b }
+              }
+              b += 1
+            }
+          }
+          a += 1
+        }
+        if (minDist > cfg.threshold || minI < 0) done = true
+        else {
+          members(minI) ++= members(minJ)
+          active(minJ) = false
+          activeCount -= 1
+          if (cfg.maxClusters > 0 && activeCount <= cfg.maxClusters) done = true
+        }
+      }
+    }
+
+    var cid = 0
+    var k = 0
+    while (k < n) {
+      if (active(k)) {
+        members(k).foreach(idx => out(idx) = cid)
+        cid += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Min-max normalize scores to [0,1]; all-equal → all 1.0 (mmr.go:102-135). */
+  def normalizeScores(scores: IndexedSeq[Double]): Array[Double] = {
+    if (scores.isEmpty) return Array.empty
+    val mn = scores.min
+    val mx = scores.max
+    if (mx - mn == 0) Array.fill(scores.length)(1.0)
+    else scores.map(s => (s - mn) / (mx - mn)).toArray
+  }
+
+  /** Greedy MMR selection: returns selected indices in selection order.
+    * MMR = λ·normScore − (1−λ)·maxSimToSelected. If `chunks.length <= k` all
+    * indices are returned unchanged (reference short-circuit).
+    */
+  def mmrSelect(embeddings: IndexedSeq[Array[Float]], scores: IndexedSeq[Double],
+                lambda0: Double, k0: Int): Array[Int] = {
+    val n = embeddings.length
+    if (n == 0) return Array.empty
+    val lambda = math.max(0.0, math.min(1.0, lambda0))
+    val k = if (k0 <= 0) 8 else k0
+    if (n <= k) return Array.tabulate(n)(identity)
+
+    val norm = normalizeScores(scores)
+    val sim = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      sim(i)(i) = 1.0
+      var j = i + 1
+      while (j < n) {
+        val s =
+          if (embeddings(i).isEmpty || embeddings(j).isEmpty) 0.0
+          else cosineSim(embeddings(i), embeddings(j))
+        sim(i)(j) = s; sim(j)(i) = s
+        j += 1
+      }
+      i += 1
+    }
+
+    val selected = mutable.ArrayBuffer.empty[Int]
+    val remaining = mutable.LinkedHashSet.tabulate(n)(identity)
+    while (selected.length < k && remaining.nonEmpty) {
+      var bestIdx = -1
+      var bestMmr = -2.0
+      remaining.foreach { idx =>
+        val rel = norm(idx)
+        val mmr =
+          if (selected.isEmpty) lambda * rel
+          else {
+            var maxSim = 0.0
+            selected.foreach { s => if (sim(idx)(s) > maxSim) maxSim = sim(idx)(s) }
+            lambda * rel - (1 - lambda) * maxSim
+          }
+        if (mmr > bestMmr) { bestMmr = mmr; bestIdx = idx }
+      }
+      if (bestIdx >= 0) { selected += bestIdx; remaining -= bestIdx }
+      else remaining.clear()
+    }
+    selected.toArray
+  }
+
+  /** Average pairwise cosine distance of a selection (mmr.go:218-237). */
+  def diversityScore(embeddings: IndexedSeq[Array[Float]]): Double = {
+    val n = embeddings.length
+    if (n < 2) return 0.0
+    var total = 0.0; var pairs = 0
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        total += cosineDist(embeddings(i), embeddings(j))
+        pairs += 1
+        j += 1
+      }
+      i += 1
+    }
+    total / pairs
+  }
+
+  /** Mean over originals of min distance to any selected (mmr.go:241-262). */
+  def coverageScore(selected: IndexedSeq[Array[Float]], original: IndexedSeq[Array[Float]]): Double = {
+    if (selected.isEmpty || original.isEmpty) return 0.0
+    var total = 0.0
+    original.foreach { o =>
+      var m = 2.0
+      selected.foreach { s =>
+        val d = cosineDist(o, s)
+        if (d < m) m = d
+      }
+      total += m
+    }
+    total / original.length
+  }
+
+  /** Element-wise mean centroid (float32 out, float64 accumulate). */
+  def centroid(embeddings: Seq[Array[Float]]): Array[Float] = {
+    val nonEmpty = embeddings.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) return Array.empty
+    val dim = nonEmpty.head.length
+    val acc = new Array[Double](dim)
+    nonEmpty.foreach { e =>
+      var d = 0
+      while (d < math.min(dim, e.length)) { acc(d) += e(d); d += 1 }
+    }
+    acc.map(x => (x / nonEmpty.length).toFloat)
+  }
+
+  /** Hybrid representative: weighted min-max-normalized score / centroid
+    * proximity / length (selector.go:153-238). Returns the winning index;
+    * strict `>` keeps the first best (lowest index) on ties.
+    */
+  def selectHybrid(scores: IndexedSeq[Double], embeddings: IndexedSeq[Array[Float]],
+                   textLens: IndexedSeq[Int], centroidVec: Array[Float],
+                   scoreWeight: Double = 0.4, centroidWeight: Double = 0.4,
+                   lengthWeight: Double = 0.2): Int = {
+    val n = scores.length
+    if (n == 0) return -1
+    if (n == 1) return 0
+    val total = scoreWeight + centroidWeight + lengthWeight
+    if (centroidVec.isEmpty || total == 0) return scores.zipWithIndex.maxBy(t => (t._1, -t._2))._2
+    val sw = scoreWeight / total
+    val cw = centroidWeight / total
+    val lw = lengthWeight / total
+    val dists = embeddings.map(e => cosineDist(e, centroidVec))
+    val minS = scores.min; val maxS = scores.max
+    val minD = dists.min; val maxD = dists.max
+    val minL = textLens.min; val maxL = textLens.max
+    var best = 0
+    var bestH = -1.0
+    var i = 0
+    while (i < n) {
+      var h = 0.0
+      h += (if (maxS - minS > 0) sw * (scores(i) - minS) / (maxS - minS) else sw)
+      h += (if (maxD - minD > 0) cw * (1.0 - (dists(i) - minD) / (maxD - minD)) else cw)
+      h += (if (maxL - minL > 0) lw * (textLens(i) - minL).toDouble / (maxL - minL) else lw)
+      if (h > bestH) { bestH = h; best = i }
+      i += 1
+    }
+    best
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Clustering & re-ranking operators — the heart of the reference engine
+  * (SURVEY.md §2.9), Spark-shaped:
+  *
+  *   - agglomerative clustering / MMR run per *group* inside
+  *     `flatMapGroups` (sequential by nature; groups are request-sized),
+  *   - representative selection is pure windows/aggregates,
+  *   - the corpus-scale dedup path is Spark ML KMeans + medoid pruning.
+  *
+  * Group rows are sorted by id before the sequential algorithms run, fixing
+  * the tie-breaking the reference left to insertion order (SURVEY.md §7.4).
+  */
+object ClusterOps {
+
+  private case class GroupRow(group: Long, id: Long, emb: Array[Float], score: Double, textLen: Int)
+
+  /** Agglomerative clustering per group: returns (group, id, cluster_id).
+    * cluster_id is unique within a group; (group, cluster_id) is the global
+    * cluster key.
+    */
+  def agglomerativeCluster(df: DataFrame, groupCol: String, idCol: String,
+                           embCol: String, cfg: ClusterAlgs.ClusterConfig = ClusterAlgs.ClusterConfig(),
+                           maxGroupSize: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(groupCol).cast("long").as("group"),
+      col(idCol).cast("long").as("id"),
+      col(embCol).as("emb")
+    ).as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._2)
+        require(rows.length <= maxGroupSize,
+          s"group $g has ${rows.length} rows > maxGroupSize=$maxGroupSize; " +
+            "use DedupOps LSH paths for corpus-scale groups (O(N^2)-O(N^3) here)")
+        val ids = ClusterAlgs.agglomerate(rows.map(_._3), cfg)
+        rows.indices.map(i => (g, rows(i)._2, ids(i)))
+      }
+      .toDF("group", "id", "cluster_id")
+  }
+
+  /** MMR re-rank per group: keeps K rows balancing relevance and diversity.
+    * Returns (group, id, mmr_rank) in selection order.
+    */
+  def mmrRerank(df: DataFrame, groupCol: String, idCol: String, embCol: String,
+                scoreCol: String, lambda: Double = 0.5, k: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(groupCol).cast("long").as("group"),
+      col(idCol).cast("long").as("id"),
+      col(embCol).as("emb"),
+      col(scoreCol).cast("double").as("score")
+    ).as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._2)
+        val sel = ClusterAlgs.mmrSelect(rows.map(_._3), rows.map(_._4), lambda, k)
+        sel.zipWithIndex.map { case (idx, rank) => (g, rows(idx)._2, rank + 1) }
+      }
+      .toDF("group", "id", "mmr_rank")
+  }
+
+  /** Representative selection by strategy over a clustered DataFrame
+    * (clusterCols = the cluster key columns). Strategies map to A2-A5:
+    * score → max_by(score), length → max_by(length), centroid → closest to
+    * the per-cluster mean vector, hybrid → weighted min-max normalization.
+    * All tie-breaks: lowest id.
+    */
+  def selectRepresentatives(df: DataFrame, clusterCols: Seq[String], idCol: String,
+                            embCol: String, scoreCol: String, textCol: String,
+                            strategy: String): DataFrame = {
+    val cluster = clusterCols.map(col)
+    strategy match {
+      case "score" =>
+        val w = Window.partitionBy(cluster: _*).orderBy(col(scoreCol).desc, col(idCol).asc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      case "length" =>
+        val w = Window.partitionBy(cluster: _*).orderBy(length(col(textCol)).desc, col(idCol).asc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      case "centroid" =>
+        val cent = df.groupBy(cluster: _*)
+          .agg(graft.functions.VectorMeanAgg.column(col(embCol)).as("centroid"))
+        val joined = df.join(cent, clusterCols)
+        val w = Window.partitionBy(cluster: _*)
+          .orderBy(GraftFunctions.cosine_distance(col(embCol), col("centroid")).asc, col(idCol).asc)
+        joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn", "centroid")
+      case "hybrid" =>
+        val cent = df.groupBy(cluster: _*)
+          .agg(graft.functions.VectorMeanAgg.column(col(embCol)).as("centroid"))
+        val withDist = df.join(cent, clusterCols)
+          .withColumn("cdist", GraftFunctions.cosine_distance(col(embCol), col("centroid")))
+          .withColumn("tlen", length(col(textCol)).cast("double"))
+        val w = Window.partitionBy(cluster: _*)
+        val sc = col(scoreCol).cast("double")
+        val normScore = when(max(sc).over(w) - min(sc).over(w) > 0,
+          (sc - min(sc).over(w)) / (max(sc).over(w) - min(sc).over(w))).otherwise(1.0)
+        val normDist = when(max(col("cdist")).over(w) - min(col("cdist")).over(w) > 0,
+          lit(1.0) - (col("cdist") - min(col("cdist")).over(w)) /
+            (max(col("cdist")).over(w) - min(col("cdist")).over(w))).otherwise(1.0)
+        val normLen = when(max(col("tlen")).over(w) - min(col("tlen")).over(w) > 0,
+          (col("tlen") - min(col("tlen")).over(w)) /
+            (max(col("tlen")).over(w) - min(col("tlen")).over(w))).otherwise(1.0)
+        val hybrid = normScore * 0.4 + normDist * 0.4 + normLen * 0.2
+        val wRank = Window.partitionBy(cluster: _*).orderBy(hybrid.desc, col(idCol).asc)
+        withDist.withColumn("rn", row_number().over(wRank)).filter(col("rn") === 1)
+          .drop("rn", "centroid", "cdist", "tlen")
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+  }
+
+  /** K-Means dedup (reference C2, pkg/dedup/kmeans.go): K = sqrt(N/2) by
+    * default, assign via Spark ML, then per-cluster medoid pruning — keep the
+    * member closest to the centroid, drop members within `pruneThreshold`
+    * cosine distance of that medoid. Returns the input rows + `kept` flag +
+    * `cluster`.
+    */
+  def kmeansDedup(df: DataFrame, idCol: String, embCol: String,
+                  k0: Int = 0, pruneThreshold: Double = 0.05,
+                  maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+    val n = df.count()
+    val k = if (k0 > 0) k0 else math.max(1, math.sqrt(n / 2.0).toInt)
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withFeatures = df.withColumn("features", toVec(col(embCol)))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .withColumnRenamed("prediction", "cluster").drop("features")
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = df.sparkSession
+    val centDf = spark.createDataFrame(centroids).toDF("cluster", "centroid")
+    val withDist = assigned.join(broadcast(centDf), "cluster")
+      .withColumn("cdist", GraftFunctions.cosine_distance(col(embCol), col("centroid")))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("cdist").asc, col(idCol).asc)
+    val withMedoid = withDist
+      .withColumn("rn", row_number().over(w))
+      .withColumn("medoid_emb", first(col(embCol)).over(
+        Window.partitionBy(col("cluster")).orderBy(col("cdist").asc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    withMedoid
+      .withColumn("medoid_dist", GraftFunctions.cosine_distance(col(embCol), col("medoid_emb")))
+      .withColumn("kept", col("rn") === 1 || col("medoid_dist") >= pruneThreshold)
+      .drop("centroid", "cdist", "rn", "medoid_emb", "medoid_dist")
+  }
+
+  /** A12 diversity/coverage metrics of a selection vs the original set, as
+    * relational aggregates (self-join + avg; join + groupBy-min + avg).
+    */
+  def selectionMetrics(original: DataFrame, selected: DataFrame,
+                       idCol: String, embCol: String): DataFrame = {
+    val spark = original.sparkSession
+    val sel = selected.select(col(idCol).as("sid"), col(embCol).as("semb"))
+    val diversity = sel.as("a").join(sel.as("b"), col("a.sid") < col("b.sid"))
+      .select(GraftFunctions.cosine_distance(col("a.semb"), col("b.semb")).as("d"))
+      .agg(coalesce(avg(col("d")), lit(0.0)).as("diversity"))
+    val coverage = original.select(col(idCol).as("oid"), col(embCol).as("oemb"))
+      .crossJoin(broadcast(sel))
+      .groupBy(col("oid"))
+      .agg(min(GraftFunctions.cosine_distance(col("oemb"), col("semb"))).as("mind"))
+      .agg(avg(col("mind")).as("coverage"))
+    diversity.crossJoin(coverage)
+  }
+}

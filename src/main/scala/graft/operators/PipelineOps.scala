@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.{CompressFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship dedup pipeline (reference §3.1, cmd/api.go:405-588 →
+  * pkg/pipeline/pipeline.go): per request-group,
+  *
+  *   cluster (agglomerative, threshold 0.15, average linkage)
+  *     → representative per cluster (by score)
+  *     → MMR re-rank to K (λ=0.5, K=8)
+  *     → extractive compression (ratio 0.5)
+  *
+  * One Spark job; shuffle boundaries only at the two groupBys. The input is
+  * any DataFrame with (group, id, text, embedding, score) columns.
+  */
+object PipelineOps {
+
+  final case class PipelineConfig(
+      clusterThreshold: Double = 0.15,
+      linkage: ClusterAlgs.Linkage = ClusterAlgs.Average,
+      selectStrategy: String = "score",
+      mmrLambda: Double = 0.5,
+      targetK: Int = 8,
+      compressRatio: Double = 0.5,
+      minChunkLength: Int = 50)
+
+  def dedupPipeline(df: DataFrame, groupCol: String, idCol: String, textCol: String,
+                    embCol: String, scoreCol: String,
+                    cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    // 1. cluster per group
+    val clustered = ClusterOps.agglomerativeCluster(
+      df, groupCol, idCol, embCol,
+      ClusterAlgs.ClusterConfig(threshold = cfg.clusterThreshold, linkage = cfg.linkage))
+    val withCluster = df.join(
+      clustered,
+      df(groupCol).cast("long") === clustered("group") && df(idCol).cast("long") === clustered("id")
+    ).select(df.columns.map(df(_)) :+ clustered("cluster_id"): _*)
+
+    // 2. representative per (group, cluster)
+    val reps = ClusterOps.selectRepresentatives(
+      withCluster, Seq(groupCol, "cluster_id"), idCol, embCol, scoreCol, textCol,
+      cfg.selectStrategy)
+
+    // 3. MMR to K per group
+    val mmr = ClusterOps.mmrRerank(reps, groupCol, idCol, embCol, scoreCol,
+      cfg.mmrLambda, cfg.targetK)
+    val selected = reps.join(
+      mmr,
+      reps(groupCol).cast("long") === mmr("group") && reps(idCol).cast("long") === mmr("id")
+    ).select(reps.columns.map(reps(_)) :+ mmr("mmr_rank"): _*)
+
+    // 4. extractive compression
+    selected
+      .withColumn("compressed",
+        CompressFunctions.extract_salient(col(textCol), cfg.compressRatio, cfg.minChunkLength))
+      .select(col(groupCol), col(idCol), col("cluster_id"), col("mmr_rank"),
+        col(scoreCol), col("compressed"))
+  }
+
+  /** Per-stage stats row mirroring pkg/pipeline/pipeline.go:16-32 /
+    * types/chunk.go:122-146: counts, token totals, reduction percent.
+    */
+  def pipelineStats(input: DataFrame, output: DataFrame,
+                    textColIn: String, textColOut: String): DataFrame = {
+    val in = input.agg(
+      count(lit(1)).as("input_count"),
+      sum(TextFunctions.tokens_raw(col(textColIn))).as("input_tokens"))
+    val out = output.agg(
+      count(lit(1)).as("output_count"),
+      sum(TextFunctions.tokens_raw(col(textColOut))).as("output_tokens"))
+    in.crossJoin(out)
+      .withColumn("reduction_percent",
+        when(col("input_tokens") > 0,
+          (col("input_tokens") - col("output_tokens")).cast("double") / col("input_tokens") * 100)
+          .otherwise(0.0))
+  }
+
+  /** Chunk-table construction for the harness data: documents ⋈ embeddings
+    * (doc_id = vec_id), score = quality, group = embedding label — the
+    * request-group analog.
+    */
+  def chunkTable(documents: DataFrame, embeddings: DataFrame): DataFrame =
+    documents.join(embeddings, documents("doc_id") === embeddings("vec_id"))
+      .select(
+        col("label").cast("long").as("request_group"),
+        col("doc_id"),
+        col("text"),
+        col("embedding"),
+        TextFunctions.quality_score(col("text")).as("score"))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusterAlgsSpec extends AnyFunSuite {
+  import ClusterAlgs._
+
+  // orthogonal unit vectors = distinct clusters; ±ε perturbations = dups
+  // (pattern of the reference's memory_test.go fixtures)
+  private def unit(dim: Int, axis: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    v(axis) = 1f
+    v
+  }
+  private def perturb(v: Array[Float], eps: Float): Array[Float] = {
+    val out = v.clone()
+    out(0) = out(0) + eps
+    out(out.length - 1) = out(out.length - 1) + eps
+    out
+  }
+
+  test("agglomerate merges near-identical vectors, keeps orthogonal apart") {
+    val vecs = IndexedSeq(
+      unit(8, 0), perturb(unit(8, 0), 0.01f), // cluster A (dist ~0)
+      unit(8, 1), perturb(unit(8, 1), 0.02f), // cluster B
+      unit(8, 2)                              // singleton C
+    )
+    val ids = agglomerate(vecs, ClusterConfig(threshold = 0.15))
+    assert(ids(0) == ids(1))
+    assert(ids(2) == ids(3))
+    assert(Set(ids(0), ids(2), ids(4)).size == 3)
+  }
+
+  test("agglomerate respects threshold: nothing merges at tiny threshold") {
+    val vecs = IndexedSeq(unit(4, 0), unit(4, 1), unit(4, 2))
+    val ids = agglomerate(vecs, ClusterConfig(threshold = 0.001))
+    assert(ids.toSet.size == 3)
+  }
+
+  test("agglomerate minClusters and maxClusters stop conditions") {
+    val vecs = IndexedSeq(
+      unit(4, 0), perturb(unit(4, 0), 0.01f), unit(4, 1), perturb(unit(4, 1), 0.01f))
+    // minClusters=4 forbids any merge
+    assert(agglomerate(vecs, ClusterConfig(threshold = 2.0, minClusters = 4)).toSet.size == 4)
+    // high threshold with maxClusters=3: stops after first merge
+    assert(agglomerate(vecs, ClusterConfig(threshold = 2.0, maxClusters = 3)).toSet.size == 3)
+  }
+
+  test("no embeddings -> all singletons; single input -> one cluster") {
+    assert(agglomerate(IndexedSeq(Array.empty[Float], Array.empty[Float])).toSet.size == 2)
+    assert(agglomerate(IndexedSeq(unit(4, 0))).toSeq == Seq(0))
+  }
+
+  test("empty-embedding rows never merge when others have embeddings") {
+    val vecs = IndexedSeq(unit(4, 0), Array.empty[Float], perturb(unit(4, 0), 0.01f))
+    val ids = agglomerate(vecs, ClusterConfig(threshold = 0.15))
+    assert(ids(0) == ids(2) && ids(1) != ids(0))
+  }
+
+  test("linkage variants: complete is more conservative than single") {
+    // chain: a~b, b~c, but a far from c
+    val a = Array(1f, 0f, 0f)
+    val b = Array(0.85f, 0.5f, 0f) // ~31 deg from a
+    val c = Array(0.5f, 0.85f, 0f) // ~31 deg from b, ~60 deg from a
+    val single = agglomerate(IndexedSeq(a, b, c), ClusterConfig(threshold = 0.16, linkage = Single))
+    val complete = agglomerate(IndexedSeq(a, b, c), ClusterConfig(threshold = 0.16, linkage = Complete))
+    assert(single.toSet.size == 1)    // chains through b
+    assert(complete.toSet.size == 2)  // a-c distance blocks full merge
+  }
+
+  test("normalizeScores: min-max to [0,1], all-equal -> 1.0") {
+    assert(normalizeScores(IndexedSeq(1.0, 3.0, 2.0)).toSeq == Seq(0.0, 1.0, 0.5))
+    assert(normalizeScores(IndexedSeq(2.0, 2.0)).toSeq == Seq(1.0, 1.0))
+  }
+
+  test("mmrSelect returns all when n <= k, first pick is best score") {
+    val vecs = IndexedSeq(unit(4, 0), unit(4, 1), unit(4, 2))
+    assert(mmrSelect(vecs, IndexedSeq(1.0, 2.0, 3.0), 0.5, 5).toSeq == Seq(0, 1, 2))
+    val many = IndexedSeq(unit(4, 0), perturb(unit(4, 0), 0.01f), unit(4, 1), unit(4, 2))
+    val sel = mmrSelect(many, IndexedSeq(0.9, 1.0, 0.5, 0.1), 0.5, 2)
+    assert(sel.head == 1) // highest normalized score picked first
+    // second pick should avoid index 0 (nearly identical to 1)
+    assert(sel(1) != 0)
+  }
+
+  test("mmr diversity: lambda=1 is pure relevance order") {
+    val vecs = IndexedSeq(unit(4, 0), perturb(unit(4, 0), 0.001f), unit(4, 1), unit(4, 2))
+    val sel = mmrSelect(vecs, IndexedSeq(1.0, 0.9, 0.5, 0.4), 1.0, 3)
+    assert(sel.toSeq == Seq(0, 1, 2)) // dup of 0 still chosen second
+  }
+
+  test("diversity and coverage scores") {
+    val sel = IndexedSeq(unit(4, 0), unit(4, 1))
+    assert(math.abs(diversityScore(sel) - 1.0) < 1e-9) // orthogonal: dist 1.0
+    assert(diversityScore(IndexedSeq(unit(4, 0))) == 0.0)
+    val cov = coverageScore(sel, IndexedSeq(unit(4, 0), unit(4, 1), unit(4, 0)))
+    assert(math.abs(cov) < 1e-9) // every original coincides with a selected
+  }
+
+  test("centroid is the element-wise mean") {
+    val c = centroid(Seq(Array(1f, 2f), Array(3f, 4f)))
+    assert(c.toSeq == Seq(2f, 3f))
+    assert(centroid(Seq(Array.empty[Float])).isEmpty)
+  }
+
+  test("hybrid selection balances score, centroid proximity, length") {
+    val vecs = IndexedSeq(unit(4, 0), perturb(unit(4, 0), 0.05f), perturb(unit(4, 0), 0.1f))
+    val cent = centroid(vecs)
+    // equal scores/lengths: the member closest to centroid wins
+    val idx = selectHybrid(IndexedSeq(1.0, 1.0, 1.0), vecs, IndexedSeq(10, 10, 10), cent)
+    val dists = vecs.map(v => cosineDist(v, cent))
+    assert(dists(idx) == dists.min)
+  }
+}

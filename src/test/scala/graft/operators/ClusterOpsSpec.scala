@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusterOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def unit(dim: Int, axis: Int, eps: Float = 0f): Seq[Float] = {
+    val v = Array.fill(dim)(0f)
+    v(axis) = 1f
+    if (eps != 0) v(0) += eps
+    v.toSeq
+  }
+
+  private lazy val grouped = {
+    import spark.implicits._
+    Seq(
+      // group 1: two near-dup pairs + singleton
+      (1L, 10L, unit(8, 0), 0.9, "first doc text alpha"),
+      (1L, 11L, unit(8, 0, 0.02f), 0.5, "second doc text beta longer"),
+      (1L, 12L, unit(8, 1), 0.7, "third doc text gamma"),
+      (1L, 13L, unit(8, 1, 0.01f), 0.8, "fourth doc text delta epsilon"),
+      (1L, 14L, unit(8, 2), 0.1, "fifth"),
+      // group 2: all distinct
+      (2L, 20L, unit(8, 3), 0.3, "doc twenty"),
+      (2L, 21L, unit(8, 4), 0.6, "doc twenty one")
+    ).toDF("g", "id", "embedding", "score", "text")
+  }
+
+  test("agglomerativeCluster groups near-dups within each group") {
+    val out = ClusterOps.agglomerativeCluster(grouped, "g", "id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 10L)) == out((1L, 11L)))
+    assert(out((1L, 12L)) == out((1L, 13L)))
+    assert(out((1L, 10L)) != out((1L, 12L)))
+    assert(out((1L, 14L)) != out((1L, 10L)))
+    assert(out((2L, 20L)) != out((2L, 21L)))
+  }
+
+  test("selectRepresentatives by score picks the max-score member per cluster") {
+    val clustered = ClusterOps.agglomerativeCluster(grouped, "g", "id", "embedding")
+    val df = grouped.join(clustered, grouped("g") === clustered("group") && grouped("id") === clustered("id"))
+      .select(grouped("g"), grouped("id"), col("cluster_id"), col("embedding"), col("score"), col("text"))
+    val reps = ClusterOps.selectRepresentatives(df, Seq("g", "cluster_id"),
+      "id", "embedding", "score", "text", "score")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // cluster {10,11}: max score 10; {12,13}: 13; singletons keep themselves
+    assert(reps == Set(10L, 13L, 14L, 20L, 21L))
+  }
+
+  test("selectRepresentatives by length picks the longest text") {
+    val clustered = ClusterOps.agglomerativeCluster(grouped, "g", "id", "embedding")
+    val df = grouped.join(clustered, grouped("g") === clustered("group") && grouped("id") === clustered("id"))
+      .select(grouped("g"), grouped("id"), col("cluster_id"), col("embedding"), col("score"), col("text"))
+    val reps = ClusterOps.selectRepresentatives(df, Seq("g", "cluster_id"),
+      "id", "embedding", "score", "text", "length")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(reps.contains(11L)) // "second doc text beta" longer than "first doc text alpha"
+    assert(reps.contains(13L))
+  }
+
+  test("centroid and hybrid strategies run and pick one row per cluster") {
+    val clustered = ClusterOps.agglomerativeCluster(grouped, "g", "id", "embedding")
+    val df = grouped.join(clustered, grouped("g") === clustered("group") && grouped("id") === clustered("id"))
+      .select(grouped("g"), grouped("id"), col("cluster_id"), col("embedding"), col("score"), col("text"))
+    val nClusters = df.select("g", "cluster_id").distinct().count()
+    for (strategy <- Seq("centroid", "hybrid")) {
+      val reps = ClusterOps.selectRepresentatives(df, Seq("g", "cluster_id"),
+        "id", "embedding", "score", "text", strategy)
+      assert(reps.count() == nClusters, s"strategy $strategy")
+    }
+  }
+
+  test("mmrRerank keeps at most k per group in rank order") {
+    val out = ClusterOps.mmrRerank(grouped, "g", "id", "embedding", "score", 0.5, 3)
+    val byGroup = out.collect().groupBy(_.getLong(0))
+    assert(byGroup(1L).length == 3)
+    assert(byGroup(2L).length == 2)
+    assert(byGroup(1L).map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    // group 1 first pick = highest score (id 10, score 0.9)
+    assert(byGroup(1L).find(_.getInt(2) == 1).get.getLong(1) == 10L)
+  }
+
+  test("kmeansDedup prunes near-identical members, keeps medoids") {
+    import spark.implicits._
+    val df = (0 until 40).map { i =>
+      val base = i % 4
+      (i.toLong, unit(8, base, if (i / 4 > 0) 0.001f * (i / 4) else 0f))
+    }.toDF("id", "embedding")
+    val out = ClusterOps.kmeansDedup(df, "id", "embedding", k0 = 4, pruneThreshold = 0.05)
+    val kept = out.filter(col("kept")).count()
+    // 4 tight groups of 10 -> ~4 survivors
+    assert(kept >= 4 && kept <= 8, s"kept $kept")
+    assert(out.count() == 40)
+  }
+
+  test("dedupPipeline end to end: output bounded by k per group, compressed text present") {
+    val out = PipelineOps.dedupPipeline(grouped, "g", "id", "text", "embedding", "score",
+      PipelineOps.PipelineConfig(targetK = 2, minChunkLength = 0))
+    val rows = out.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length <= 2))
+    assert(rows.forall(r => r.getAs[String]("compressed") != null))
+  }
+
+  test("pipelineStats reports counts, tokens, reduction") {
+    val outDf = PipelineOps.dedupPipeline(grouped, "g", "id", "text", "embedding", "score",
+      PipelineOps.PipelineConfig(targetK = 2, minChunkLength = 0))
+    val stats = PipelineOps.pipelineStats(grouped, outDf, "text", "compressed").head()
+    assert(stats.getAs[Long]("input_count") == 7L)
+    assert(stats.getAs[Long]("output_count") <= 4L)
+    assert(stats.getAs[Double]("reduction_percent") >= 0.0)
+  }
+
+  test("selectionMetrics returns one row with diversity and coverage") {
+    val sel = grouped.filter(col("id").isin(10L, 12L, 20L))
+    val m = ClusterOps.selectionMetrics(grouped, sel, "id", "embedding").head()
+    assert(m.getDouble(0) > 0.0)  // diversity of orthogonal picks
+    assert(m.getDouble(1) >= 0.0) // coverage
+  }
+}
