@@ -271,8 +271,130 @@ object SparkEntry {
         chunks, "request_group", "doc_id", "embedding", "score", lambda = 0.5, k = 8)
       val selected = chunks.join(mmr, chunks("doc_id") === mmr("id")).drop("group", "id")
       graft.operators.ClusterOps.selectionMetrics(chunks, selected, "doc_id", "embedding")
+    },
+
+    // W1+W2 memory recall: expiry filter, recency scoring, tag boost,
+    // relevance ranking, take-while token budget. Pure-recency weight keeps
+    // the oracle float-exact; the cosine path is covered in ScalaTest.
+    "q29_memory_recall" -> { (s, dir) =>
+      val mem = memoriesAnalog(s, dir)
+      graft.operators.MemoryOps.recall(
+        mem, None,
+        graft.operators.MemoryOps.RecallParams(
+          recencyWeight = 1.0, maxResults = 50, maxTokens = 2000,
+          boostTags = Seq("src3"), taskContext = "src1"),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+        .select(col("id"), col("relevance"), col("rank"))
+    },
+
+    // T1 memory decay pass: age/level CASE over timestamps -> lifecycle
+    // events (text transforms are Scala-side; the oracle checks the
+    // action/level decisions).
+    "q30_memory_decay" -> { (s, dir) =>
+      val (_, events) = graft.operators.MemoryOps.decayOnce(
+        memoriesAnalog(s, dir), lit("2024-02-01 00:00:00").cast("timestamp"))
+      events.select(col("entry_id"), col("event_type"), col("compression_level"))
+    },
+
+    // T2 session budget enforcement (flatMapGroups loop); rows-only.
+    "q31_session_budget" -> { (s, dir) =>
+      val entries = sessionEntriesAnalog(s, dir)
+      graft.operators.SessionOps.enforceBudget(entries, maxTokens = 500, preserveRecent = 3)
+    },
+
+    // W4 cache-boundary evaluation: cumsum windows + stability gate + top-4.
+    "q32_cache_boundary" -> { (s, dir) =>
+      val entries = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("session_id"),
+        col("event_id").cast("string").as("id"),
+        col("event_id").cast("int").as("seq"),
+        ceil(col("value")).cast("int").as("tokens"),
+        (col("event_id") % 4).cast("int").as("stable_since_turn"))
+      graft.operators.SessionOps.evaluateCacheBoundary(
+        entries, graft.operators.SessionOps.BoundaryConfig(
+          minStableTurns = 2, minPrefixTokens = 500, maxMarkers = 4))
+        .select(col("session_id"), col("entry_id"), col("tokens_up_to_here"), col("marker_rank"))
+    },
+
+    // F16/W6 cache pattern classification + top-K marker selection.
+    "q33_pattern_markers" -> { (s, dir) =>
+      graft.operators.CachePlanOps.topKMarkers(
+        Tables.documents(s, dir), "source", "doc_id", "text", maxMarkers = 4)
+        .select(col("source"), col("doc_id"), col("pattern_type"),
+          col("chunk_tokens"), col("marker_rank"))
+    },
+
+    // C5 blast radius: BFS over reverse dependency edges (iterative joins).
+    "q34_blast_radius" -> { (s, dir) =>
+      val supNation = Tables.supplier(s, dir).select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nationRegion = Tables.nation(s, dir).select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      val edges = supNation.union(nationRegion)
+      val changed = s.createDataFrame(Seq(Tuple1("r0"))).toDF("id")
+      graft.operators.GraphOps.blastRadius(edges, changed)
+        .select(col("id"), col("depth"), col("impact_score"))
+    },
+
+    // F17/F18 Conventional-Commit parse + risk scoring over synthetic
+    // commit messages derived from documents.
+    "q35_commit_risk" -> { (s, dir) =>
+      val commits = commitsAnalog(s, dir)
+      val (ctype, scope, breaking) = graft.operators.CommitOps.parseConventional(col("message"))
+      val parsed = commits
+        .withColumn("commit_type", ctype)
+        .withColumn("scope", scope)
+        .withColumn("breaking", breaking)
+      graft.operators.CommitOps.riskLevel(parsed)
+        .select(col("doc_id"), col("commit_type"), col("scope"), col("breaking"),
+          col("risk_score"), col("risk"))
     }
   )
+
+  /** Deterministic memories-table analog over documents: timestamps derive
+    * from doc_id so decay/recency tests are reproducible (time is data).
+    */
+  private def memoriesAnalog(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      col("text"),
+      col("source"),
+      array(col("lang"), col("source")).as("tags"),
+      (col("doc_id") % 3).cast("int").as("decay_level"),
+      (col("doc_id") % 13 === 0).as("expired"),
+      lit(null).cast("timestamp").as("expires_at"),
+      lit(null).cast("timestamp").as("expired_at"),
+      lit(null).cast("string").as("superseded_by"),
+      lit(0).as("access_count"),
+      timestamp_seconds(unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")) +
+        col("doc_id") * 3600L).as("last_referenced"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("created_at"))
+
+  private def sessionEntriesAnalog(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      (col("doc_id") % 20).cast("string").as("session_id"),
+      col("doc_id").cast("string").as("id"),
+      col("text").as("original_content"),
+      lit(0).as("compression_level"),
+      TextFunctions.quality_score(col("text")).as("importance"),
+      TextFunctions.tokens_raw(col("text")).as("tokens"),
+      col("doc_id").cast("int").as("seq"))
+
+  private def commitsAnalog(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0, concat(lit("feat("), col("source"), lit("): "), substring(col("text"), 1, 30)))
+        .when(col("doc_id") % 6 === 1, concat(lit("fix: "), substring(col("text"), 1, 30)))
+        .when(col("doc_id") % 6 === 2, concat(lit("revert!: "), substring(col("text"), 1, 30)))
+        .when(col("doc_id") % 6 === 3, concat(lit("docs(readme): "), substring(col("text"), 1, 30)))
+        .when(col("doc_id") % 6 === 4, substring(col("text"), 1, 40))
+        .otherwise(concat(lit("perf: hotfix "), substring(col("text"), 1, 30)))
+        .as("message"),
+      col("n_chars").cast("int").as("insertions"),
+      (col("doc_id") % 100).cast("int").as("deletions"),
+      (col("doc_id") % 30).cast("int").as("n_files"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -384,8 +506,163 @@ object SparkEntry {
       """SELECT label, i - 1 AS dim,
         |  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_v
         |FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q29_memory_recall" ->
+      """WITH mem AS (
+        |  SELECT doc_id AS id, text, source, lang,
+        |    TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL 1 HOUR AS last_referenced,
+        |    (doc_id % 13 = 0) AS expired
+        |  FROM documents),
+        |scored AS (
+        |  SELECT id, least(
+        |      0.0 * (1.0 - 1.0) +
+        |      (CASE WHEN age > 0 THEN 1.0 / (1.0 + age / 24.0) ELSE 1.0 END) * 1.0 +
+        |      (CASE WHEN lang = 'src3' OR source = 'src3' THEN 0.1 ELSE 0.0 END) +
+        |      (CASE WHEN source <> '' AND contains('src1', lower(source)) THEN 0.05 ELSE 0.0 END) +
+        |      (CASE WHEN contains(lower(text), 'src1') THEN 0.05 ELSE 0.0 END),
+        |    1.0) AS relevance,
+        |    (strlen(text) + 3) // 4 AS tok
+        |  FROM (SELECT *, CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(last_referenced) AS DOUBLE) / 3600.0 AS age
+        |        FROM mem WHERE NOT expired)),
+        |ranked AS (
+        |  SELECT id, relevance,
+        |    row_number() OVER (ORDER BY relevance DESC, id ASC) AS rank,
+        |    SUM(tok) OVER (ORDER BY relevance DESC, id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM scored)
+        |SELECT id, relevance, rank FROM ranked
+        |WHERE rank < (SELECT COALESCE(min(rank), 2147483647) FROM ranked WHERE cum > 2000)
+        |  AND rank <= 50""".stripMargin,
+    "q30_memory_decay" ->
+      """WITH mem AS (
+        |  SELECT doc_id, doc_id % 3 AS decay_level,
+        |    CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') -
+        |         epoch(TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL 1 HOUR) AS DOUBLE) / 3600.0 AS age
+        |  FROM documents),
+        |acted AS (
+        |  SELECT doc_id, decay_level,
+        |    CASE WHEN decay_level >= 2 AND age > 720.0 THEN 'evict'
+        |         WHEN decay_level = 1 AND age > 168.0 THEN 'keywords'
+        |         WHEN decay_level = 0 AND age > 24.0 THEN 'summary'
+        |         ELSE 'none' END AS action
+        |  FROM mem)
+        |SELECT doc_id AS entry_id,
+        |  CASE WHEN action = 'evict' THEN 'evicted' ELSE 'compressed' END AS event_type,
+        |  CASE WHEN action = 'keywords' THEN 2 WHEN action = 'summary' THEN 1
+        |       ELSE decay_level END AS compression_level
+        |FROM acted WHERE action <> 'none'""".stripMargin,
+    "q32_cache_boundary" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS session_id, CAST(event_id AS VARCHAR) AS id,
+        |    event_id AS seq, CAST(ceil(value) AS INT) AS tokens,
+        |    CAST(event_id % 4 AS INT) AS stable_since_turn
+        |  FROM events),
+        |c AS (
+        |  SELECT *, SUM(tokens) OVER (PARTITION BY session_id ORDER BY seq ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e),
+        |capped AS (
+        |  SELECT *, row_number() OVER (PARTITION BY session_id ORDER BY cum DESC, seq ASC) AS top_rank
+        |  FROM c WHERE stable_since_turn > 0 AND stable_since_turn <= 2 AND cum >= 500)
+        |SELECT session_id, id AS entry_id, cum AS tokens_up_to_here,
+        |  row_number() OVER (PARTITION BY session_id ORDER BY cum ASC) AS marker_rank
+        |FROM capped WHERE top_rank <= 4""".stripMargin,
+    "q33_pattern_markers" ->
+      s"""WITH t AS (SELECT source, doc_id, text, lower(text) AS lo, (strlen(text) + 3) // 4 AS tok FROM documents),
+        |typed AS (
+        |  SELECT source, doc_id, tok,
+        |    CASE WHEN length(text) < 50 THEN NULL
+        |      WHEN ${CachePlanOracle.systemExpr} THEN 'system'
+        |      WHEN (${CachePlanOracle.toolCountExpr}) >= 2 THEN 'tool'
+        |      WHEN contains(text, '``' || '`') OR contains(text, 'def ') OR contains(text, 'func ') OR contains(text, 'function ') THEN 'code'
+        |      ELSE 'document' END AS pattern_type
+        |  FROM t),
+        |rec AS (
+        |  SELECT * FROM typed
+        |  WHERE CASE WHEN pattern_type IS NULL THEN false
+        |             WHEN pattern_type = 'code' THEN tok >= 512
+        |             ELSE true END)
+        |SELECT source, doc_id, pattern_type, chunk_tokens, marker_rank FROM (
+        |  SELECT source, doc_id, pattern_type, tok AS chunk_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY tok DESC, doc_id ASC) AS marker_rank
+        |  FROM rec) x
+        |WHERE marker_rank <= 4""".stripMargin,
+    "q34_blast_radius" ->
+      """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id, 1 AS depth, CAST(1.0 AS DOUBLE) AS impact_score
+        |FROM nation WHERE n_regionkey = 0
+        |UNION ALL
+        |SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id, 2 AS depth, CAST(0.5 AS DOUBLE) AS impact_score
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 0""".stripMargin,
+    "q35_commit_risk" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'feat(' || source || '): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 1 THEN 'fix: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 2 THEN 'revert!: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 3 THEN 'docs(readme): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 4 THEN substring(text, 1, 40)
+        |         ELSE 'perf: hotfix ' || substring(text, 1, 30) END AS message,
+        |    CAST(n_chars AS INT) AS insertions, CAST(doc_id % 100 AS INT) AS deletions,
+        |    CAST(doc_id % 30 AS INT) AS n_files
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT *, trim(message) AS msg,
+        |    (contains(trim(message), 'BREAKING CHANGE') OR contains(trim(message), '!')) AS breaking,
+        |    (strpos(trim(message), ':') > 0) AS has_colon,
+        |    regexp_replace(trim(regexp_extract(trim(message), '^([^:]*):', 1)), '!$$', '') AS prefix
+        |  FROM c),
+        |typed AS (
+        |  SELECT *,
+        |    CASE WHEN has_colon THEN regexp_extract(prefix, '\\(([^)]*)\\)', 1) ELSE '' END AS scope,
+        |    lower(regexp_replace(prefix, '\\(.*$$', '')) AS bare
+        |  FROM parsed),
+        |ct AS (
+        |  SELECT *,
+        |    CASE WHEN NOT has_colon THEN 'unknown'
+        |         WHEN bare IN ('feat', 'feature') THEN 'feat'
+        |         WHEN bare IN ('fix', 'bugfix') THEN 'fix'
+        |         WHEN bare = 'refactor' THEN 'refactor'
+        |         WHEN bare IN ('test', 'tests') THEN 'test'
+        |         WHEN bare IN ('docs', 'doc') THEN 'docs'
+        |         WHEN bare = 'chore' THEN 'chore'
+        |         WHEN bare = 'perf' THEN 'perf'
+        |         WHEN bare = 'revert' THEN 'revert'
+        |         ELSE 'unknown' END AS commit_type
+        |  FROM typed),
+        |risked AS (
+        |  SELECT *,
+        |    (CASE WHEN breaking THEN 3 ELSE 0 END) +
+        |    (CASE WHEN insertions + deletions > 500 THEN 2 WHEN insertions + deletions > 200 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_files > 20 THEN 2 WHEN n_files > 10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'revert' THEN 3 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'fix' AND n_files > 5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN ${CommitOracle.riskKwExpr} THEN 1 ELSE 0 END) AS risk_score
+        |  FROM ct)
+        |SELECT doc_id, commit_type, scope, breaking, risk_score,
+        |  CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk
+        |FROM risked""".stripMargin
   )
+
+  /** DuckDB fragments for the cache-pattern oracle (same lists as
+    * CachePlanOps).
+    */
+  private object CachePlanOracle {
+    def systemExpr: String =
+      graft.operators.CachePlanOps.systemPromptPrefixes
+        .map(p => s"contains(substring(lo, 1, 200), '${p.replace("'", "''")}')")
+        .mkString(" OR ")
+    def toolCountExpr: String =
+      graft.operators.CachePlanOps.toolDefinitionMarkers
+        .map(m => s"(CASE WHEN contains(lo, '${m.replace("'", "''")}') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+  }
+
+  private object CommitOracle {
+    def riskKwExpr: String =
+      graft.operators.CommitOps.riskKeywords
+        .map(k => s"contains(lower(message), '$k')")
+        .mkString(" OR ")
+  }
 
   private val squote = "'"
 

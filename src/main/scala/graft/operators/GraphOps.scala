@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dependency-graph analytics (reference pkg/graph/graph.go): blast-radius
+  * BFS over reverse edges with halving impact scores, and degree statistics.
+  *
+  * BFS as iterative frontier-expansion joins — the standard distributed
+  * pattern (each round is one equi-join + aggregate; rounds = max depth,
+  * which is small for dependency graphs). No driver-side adjacency maps.
+  */
+object GraphOps {
+
+  /** BFS over reverse edges: which nodes transitively depend on `changed`.
+    * edges(src, dst) means src depends on dst; traversal walks dst→src.
+    * Returns (id, depth, impact_score) with impact 1.0·0.5^(depth−1),
+    * shallowest depth per node (graph.go:130-209). maxDepth 0 = unlimited
+    * (bounded by graph diameter).
+    */
+  def blastRadius(edges: DataFrame, changed: DataFrame, maxDepth: Int = 0): DataFrame = {
+    val rev = edges.select(col("dst").as("from_node"), col("src").as("to_node"))
+    var visited = changed.select(col("id")).distinct()
+      .withColumn("depth", lit(0))
+    visited.cache()
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (!done) {
+      depth += 1
+      if (maxDepth > 0 && depth > maxDepth) done = true
+      else {
+        val next = frontier.join(rev, frontier("id") === rev("from_node"))
+          .select(col("to_node").as("id"))
+          .distinct()
+          .join(visited.select(col("id").as("v_id")), col("id") === col("v_id"), "left_anti")
+          .withColumn("depth", lit(depth))
+        next.cache()
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.union(next)
+          visited.cache()
+          frontier = next
+        }
+      }
+    }
+    visited.filter(col("depth") > 0)
+      .withColumn("impact_score", pow(lit(0.5), col("depth") - 1))
+  }
+
+  /** A11 degree stats: per-node in/out degree plus top-hub ranking by
+    * in-degree (dependents), deterministic id tie-break.
+    */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_degree"))
+    val inDeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    outDeg.join(inDeg, Seq("id"), "full_outer")
+      .na.fill(0L, Seq("out_degree", "in_degree"))
+  }
+
+  def topHubs(edges: DataFrame, k: Int = 5): DataFrame =
+    degreeStats(edges).orderBy(col("in_degree").desc, col("id").asc).limit(k)
+}

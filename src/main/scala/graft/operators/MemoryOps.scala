@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.text.TextAlgs
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Batch operators over a `memories` table (schema per FIXTURES.md §3:
+  * id, text, embedding, source, tags array, decay_level, sensitivity,
+  * created_at, last_referenced, access_count, expired, expires_at, ...).
+  *
+  * The reference's mutable SQLite store becomes copy-on-write DataFrame
+  * transforms: each op returns the new table state (and, where the reference
+  * emits lifecycle events, an events DataFrame). Time is always a parameter
+  * (`now`), never wall clock — decay tests stay deterministic
+  * (SURVEY.md §7.4 risk 5).
+  *
+  * Reference: /root/reference/pkg/memory/sqlite.go:282-481 (recall),
+  * :243-279 (write-time dedup), pkg/memory/decay.go:66-177 (decay pass),
+  * pkg/memory/store.go:261-271 (defaults).
+  */
+object MemoryOps {
+
+  final case class RecallParams(
+      recencyWeight: Double = 0.0,
+      maxResults: Int = 10,
+      maxTokens: Int = 0,
+      minRelevance: Double = 0.0,
+      boostTags: Seq[String] = Nil,
+      taskContext: String = "",
+      includeExpired: Boolean = false)
+
+  /** P2 expiry predicate: not expired and TTL in the future (or unset). */
+  def activePredicate(now: Column): Column =
+    !col("expired") && (col("expires_at").isNull || col("expires_at") > now)
+
+  /** W1+W2 recall: filter → score → rank → token-budget cutoff.
+    *
+    * relevance = (1−w)·cosineSim(query, emb) + w·recency, where
+    * recency = 1/(1+ageHours/24); +0.1 boost on tag overlap, +0.05 when the
+    * task context names the source, +0.05 when the text contains the task
+    * context; clamped to 1.0. The cutoff is take-while in relevance order:
+    * rows stop at the first token-budget violation (not best-fit), matching
+    * the reference's scan-and-break loop.
+    */
+  def recall(memories: DataFrame, queryEmbedding: Option[Array[Float]],
+             params: RecallParams, now: Column): DataFrame = {
+    var m = memories
+    if (!params.includeExpired) m = m.filter(activePredicate(now))
+
+    val sim: Column = queryEmbedding match {
+      case Some(q) =>
+        val qCol = typedLit(q.toSeq)
+        when(size(col("embedding")) > 0,
+          GraftFunctions.cosine_similarity(col("embedding"), qCol.cast("array<float>")))
+          .otherwise(0.0)
+      case None => lit(0.0)
+    }
+    val ageHours = (unix_timestamp(now) - unix_timestamp(col("last_referenced"))).cast("double") / 3600.0
+    val recency = when(ageHours > 0, lit(1.0) / (lit(1.0) + ageHours / 24.0)).otherwise(1.0)
+    var relevance = sim * (1.0 - params.recencyWeight) + recency * params.recencyWeight
+    if (params.boostTags.nonEmpty)
+      relevance = relevance +
+        when(arrays_overlap(col("tags"), typedLit(params.boostTags)), 0.1).otherwise(0.0)
+    if (params.taskContext.nonEmpty) {
+      val ctx = params.taskContext.toLowerCase
+      relevance = relevance +
+        when(col("source") =!= "" && lit(ctx).contains(lower(col("source"))), 0.05).otherwise(0.0) +
+        when(lower(col("text")).contains(ctx), 0.05).otherwise(0.0)
+    }
+    relevance = least(relevance, lit(1.0))
+
+    var scored = m.withColumn("relevance", relevance)
+    if (params.minRelevance > 0) scored = scored.filter(col("relevance") >= params.minRelevance)
+
+    val wRank = Window.orderBy(col("relevance").desc, col("id").asc)
+    val ranked = scored
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("mem_tokens", TextFunctions.tokens_raw(col("text")))
+      .withColumn("cum_tokens",
+        sum(col("mem_tokens")).over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val budgeted =
+      if (params.maxTokens > 0) {
+        // take-while: stop at the first violating rank
+        val firstViolation = ranked.filter(col("cum_tokens") > params.maxTokens)
+          .agg(min(col("rank"))).head()
+        val cut = if (firstViolation.isNullAt(0)) Int.MaxValue else firstViolation.getInt(0)
+        ranked.filter(col("rank") < cut)
+      } else ranked
+    budgeted.filter(col("rank") <= params.maxResults)
+      .drop("mem_tokens", "cum_tokens")
+  }
+
+  /** J3 write-time dedup probe: classify each new entry as duplicate
+    * (min distance < dedupThreshold), conflicted (any distance in
+    * [dedupThreshold, conflictThreshold)), or new. Two-stage per SURVEY §7.4
+    * risk 2: within-batch self-dedup first (vs lower-id batch rows), then a
+    * broadcast join against the store. Returns the new entries with
+    * `dup_of` (nullable id) and `conflict_ids` (array).
+    */
+  def writeDedup(newEntries: DataFrame, existing: DataFrame,
+                 dedupThreshold: Double = 0.15,
+                 conflictThreshold: Double = 0.35): DataFrame = {
+    val ex = existing.filter(!col("expired"))
+      .select(col("id").as("ex_id"), col("embedding").as("ex_emb"))
+    val batch = newEntries.select(col("id").as("b_id"), col("embedding").as("b_emb"))
+
+    // candidate matches: store ∪ lower-id rows of the same batch
+    val vsStore = newEntries.as("n")
+      .join(broadcast(ex), GraftFunctions.cosine_distance(col("n.embedding"), col("ex_emb")) < conflictThreshold, "inner")
+      .select(col("n.id").as("nid"), col("ex_id").as("mid"),
+        GraftFunctions.cosine_distance(col("n.embedding"), col("ex_emb")).as("dist"))
+    val vsBatch = newEntries.as("n")
+      .join(broadcast(batch), col("b_id") < col("n.id") &&
+        GraftFunctions.cosine_distance(col("n.embedding"), col("b_emb")) < conflictThreshold, "inner")
+      .select(col("n.id").as("nid"), col("b_id").as("mid"),
+        GraftFunctions.cosine_distance(col("n.embedding"), col("b_emb")).as("dist"))
+    val matches = vsStore.union(vsBatch)
+
+    val flags = matches.groupBy(col("nid")).agg(
+      min_by(col("mid"), struct(col("dist"), col("mid"))).as("closest_id"),
+      min(col("dist")).as("min_dist"),
+      sort_array(collect_list(when(col("dist") >= dedupThreshold, col("mid")))).as("conflict_ids")
+    )
+    newEntries.join(flags, newEntries("id") === flags("nid"), "left")
+      .withColumn("dup_of",
+        when(col("min_dist") < dedupThreshold, col("closest_id")).otherwise(lit(null)))
+      .withColumn("conflict_ids",
+        when(col("dup_of").isNull, coalesce(col("conflict_ids"), array())).otherwise(array()))
+      .drop("nid", "closest_id", "min_dist")
+  }
+
+  /** Touch returned memories: access_count++ and last_referenced = now. */
+  def touch(memories: DataFrame, ids: DataFrame, now: Column): DataFrame = {
+    val touched = ids.select(col("id").as("t_id")).distinct()
+    memories.join(broadcast(touched), memories("id") === col("t_id"), "left")
+      .withColumn("access_count",
+        when(col("t_id").isNotNull, col("access_count") + 1).otherwise(col("access_count")))
+      .withColumn("last_referenced",
+        when(col("t_id").isNotNull, now.cast("timestamp")).otherwise(col("last_referenced")))
+      .drop("t_id")
+  }
+
+  final case class DecayConfig(
+      summaryAgeHours: Double = 24.0,
+      keywordsAgeHours: Double = 7 * 24.0,
+      evictAgeHours: Double = 30 * 24.0)
+
+  private val decaySummaryUdf = udf((t: String) => TextAlgs.decaySummary(t))
+  private val decayKeywordsUdf = udf((t: String) => TextAlgs.keywordsLower(t, 20))
+
+  /** T1 decay pass as one batch transform. Age gates nest
+    * (evict 30d ≫ keywords 7d ≫ summary 24h) and level-gate like the
+    * reference's three sequential sweeps:
+    * evict (level ≥ 2, age > evictAge) → keywords (level = 1, age >
+    * keywordsAge) → summary (level = 0, age > summaryAge).
+    * Returns (newMemories, events) — events carry type/entry_id/tokens
+    * before/after (pkg/memory/cache_events.go).
+    */
+  def decayOnce(memories: DataFrame, now: Column,
+                cfg: DecayConfig = DecayConfig()): (DataFrame, DataFrame) = {
+    val age = (unix_timestamp(now) - unix_timestamp(col("last_referenced"))).cast("double") / 3600.0
+    val action = when(col("decay_level") >= 2 && age > cfg.evictAgeHours, "evict")
+      .when(col("decay_level") === 1 && age > cfg.keywordsAgeHours, "keywords")
+      .when(col("decay_level") === 0 && age > cfg.summaryAgeHours, "summary")
+      .otherwise("none")
+    val staged = memories.withColumn("decay_action", action)
+      .withColumn("new_text",
+        when(col("decay_action") === "keywords", decayKeywordsUdf(col("text")))
+          .when(col("decay_action") === "summary", decaySummaryUdf(col("text")))
+          .otherwise(col("text")))
+      .withColumn("new_level",
+        when(col("decay_action") === "keywords", 2)
+          .when(col("decay_action") === "summary", 1)
+          .otherwise(col("decay_level")))
+
+    val events = staged.filter(col("decay_action") =!= "none")
+      .select(
+        when(col("decay_action") === "evict", "evicted").otherwise("compressed").as("event_type"),
+        col("id").as("entry_id"),
+        TextFunctions.tokens_raw(col("text")).as("tokens_before"),
+        when(col("decay_action") === "evict", 0)
+          .otherwise(TextFunctions.tokens_raw(col("new_text"))).as("tokens_after"),
+        col("new_level").as("compression_level"))
+
+    val updated = staged.filter(col("decay_action") =!= "evict")
+      .withColumn("text", col("new_text"))
+      .withColumn("decay_level", col("new_level"))
+      .drop("decay_action", "new_text", "new_level")
+    (updated, events)
+  }
+
+  /** A7 memory stats: totals, active vs expired, per-level and per-source
+    * breakdowns, created_at range.
+    */
+  def stats(memories: DataFrame): DataFrame =
+    memories.groupBy(col("decay_level")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("expired"), 1).otherwise(0)).as("n_expired"),
+      min(col("created_at")).as("oldest"),
+      max(col("created_at")).as("newest"))
+
+  /** Forget by predicate (ids / tags / source / session); returns the
+    * surviving table. The reference deletes; retention-minded callers can
+    * instead flip `expired` via `expire`.
+    */
+  def forget(memories: DataFrame, predicate: Column): DataFrame =
+    memories.filter(!predicate)
+
+  /** Mark matching rows expired (soft delete with timestamp). */
+  def expire(memories: DataFrame, predicate: Column, now: Column): DataFrame =
+    memories
+      .withColumn("expired", when(predicate, lit(true)).otherwise(col("expired")))
+      .withColumn("expired_at", when(predicate, now.cast("timestamp")).otherwise(col("expired_at")))
+
+  /** Supersede: expire `oldId` and point it at `newId`. */
+  def supersede(memories: DataFrame, oldId: String, newId: String, now: Column): DataFrame =
+    memories
+      .withColumn("expired", when(col("id") === oldId, lit(true)).otherwise(col("expired")))
+      .withColumn("expired_at", when(col("id") === oldId, now.cast("timestamp")).otherwise(col("expired_at")))
+      .withColumn("superseded_by", when(col("id") === oldId, lit(newId)).otherwise(col("superseded_by")))
+}

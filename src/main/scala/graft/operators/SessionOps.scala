@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.text.TextAlgs
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Session-window operators over a `session_entries` table (FIXTURES.md §4:
+  * id, session_id, role, content, original_content, embedding, importance,
+  * compression_level, tokens, seq, inserted_at_push, stable_since_turn, ...).
+  *
+  * Reference: /root/reference/pkg/session/sqlite.go:441-601 (push dedup +
+  * budget enforcement), :270-345 (context read),
+  * pkg/session/cache_boundary.go:40-269 (boundary evaluation + push record).
+  */
+object SessionOps {
+
+  /** J4 push-time dedup: flag entries whose embedding is within `threshold`
+    * cosine distance of an earlier entry in the same session (store rows or
+    * lower-seq batch rows). Broadcast-join scoped by session.
+    */
+  def pushDedup(newEntries: DataFrame, existing: DataFrame,
+                threshold: Double = 0.15): DataFrame = {
+    val ex = existing.select(col("session_id").as("x_sid"), col("embedding").as("x_emb"),
+      lit(-1L).as("x_seq"))
+    val batch = newEntries.select(col("session_id").as("x_sid"), col("embedding").as("x_emb"),
+      col("seq").as("x_seq"))
+    val candidates = ex.union(batch)
+    val hits = newEntries.as("n")
+      .join(broadcast(candidates),
+        col("n.session_id") === col("x_sid") &&
+          (col("x_seq") < 0 || col("x_seq") < col("n.seq")) &&
+          GraftFunctions.cosine_distance(col("n.embedding"), col("x_emb")) < threshold,
+        "inner")
+      .select(col("n.session_id").as("h_sid"), col("n.seq").as("h_seq")).distinct()
+    newEntries.join(hits,
+      newEntries("session_id") === hits("h_sid") && newEntries("seq") === hits("h_seq"), "left")
+      .withColumn("is_duplicate", col("h_sid").isNotNull)
+      .drop("h_sid", "h_seq")
+  }
+
+  final case class BudgetAction(id: String, action: String, newLevel: Int,
+                                newContent: String, newTokens: Int)
+
+  /** T2 budget enforcement per session, re-expressed verbatim as the
+    * reference's loop inside flatMapGroups: while over budget, walk
+    * candidates (all but the `preserveRecent` newest, ordered importance asc
+    * then seq asc) compressing one level per visit (levels re-derive from
+    * original_content); entries already at keywords are evicted. If every
+    * entry is "recent", evict oldest until within budget.
+    *
+    * Input needs (session_id, id, original_content, compression_level,
+    * importance, tokens, seq). Returns one action row per mutated entry:
+    * (session_id, id, action compressed|evicted, new_level, new_content,
+    * new_tokens).
+    */
+  def enforceBudget(entries: DataFrame, maxTokens: Int, preserveRecent: Int = 10): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    entries.select(
+      col("session_id").cast("string"), col("id").cast("string"),
+      col("original_content"), col("compression_level").cast("int"),
+      col("importance").cast("double"), col("tokens").cast("int"), col("seq").cast("int")
+    ).as[(String, String, String, Int, Double, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val rows = it.toIndexedSeq.sortBy(_._7) // seq asc
+        var currentTokens = rows.map(_._6).sum
+        val actions = scala.collection.mutable.ArrayBuffer.empty[BudgetAction]
+        if (currentTokens > maxTokens) {
+          val limit = rows.length - preserveRecent
+          if (limit <= 0) {
+            // all recent: evict oldest until within budget
+            var i = 0
+            while (currentTokens > maxTokens && i < rows.length) {
+              val r = rows(i)
+              actions += BudgetAction(r._2, "evicted", r._4, "", 0)
+              currentTokens -= r._6
+              i += 1
+            }
+          } else {
+            // stable sort: importance asc, ties keep seq order
+            val candidates = rows.take(limit).sortBy(c => (c._5, c._7))
+            var i = 0
+            while (currentTokens > maxTokens && i < candidates.length) {
+              val c = candidates(i)
+              val nextLevel = c._4 + 1
+              if (nextLevel > 3) {
+                actions += BudgetAction(c._2, "evicted", c._4, "", 0)
+                currentTokens -= c._6
+              } else {
+                val newContent = TextAlgs.compressToLevel(c._3, nextLevel)
+                val newTokens = TextAlgs.estimateTokens(newContent)
+                actions += BudgetAction(c._2, "compressed", nextLevel, newContent, newTokens)
+                currentTokens -= (c._6 - newTokens)
+              }
+              i += 1
+            }
+          }
+        }
+        actions.map(a => (sid, a.id, a.action, a.newLevel, a.newContent, a.newTokens))
+      }
+      .toDF("session_id", "id", "action", "new_level", "new_content", "new_tokens")
+  }
+
+  /** Context read: role filter, seq order, take-while token budget (stops at
+    * the first entry that would exceed `maxTokens`; 0 = unlimited).
+    */
+  def contextRead(entries: DataFrame, sessionId: String, role: Option[String],
+                  maxTokens: Int): DataFrame = {
+    var df = entries.filter(col("session_id") === sessionId)
+    role.foreach(r => df = df.filter(col("role") === r))
+    val w = Window.partitionBy(col("session_id")).orderBy(col("seq").asc)
+    val ranked = df.withColumn("cum_tokens",
+      sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    if (maxTokens <= 0) ranked.drop("cum_tokens")
+    else {
+      val firstOver = ranked.filter(col("cum_tokens") > maxTokens)
+        .agg(min(col("seq"))).head()
+      val cut = if (firstOver.isNullAt(0)) Int.MaxValue else firstOver.getInt(0)
+      ranked.filter(col("seq") < cut).drop("cum_tokens")
+    }
+  }
+
+  final case class BoundaryConfig(
+      minStableTurns: Int = 2,
+      minPrefixTokens: Int = 1024,
+      maxMarkers: Int = 4)
+
+  /** W4 cache-boundary evaluation per session: cumulative tokens in seq
+    * order; candidates are entries with stable_since_turn in
+    * [1, minStableTurns]; eligible once the cumulative prefix reaches
+    * minPrefixTokens; top `maxMarkers` by cumulative tokens, re-sorted to
+    * document order. Output: (session_id, entry_id, tokens_up_to_here,
+    * stable_since_turn, marker_rank).
+    */
+  def evaluateCacheBoundary(entries: DataFrame,
+                            cfg: BoundaryConfig = BoundaryConfig()): DataFrame = {
+    val wSeq = Window.partitionBy(col("session_id")).orderBy(col("seq").asc)
+    val cum = entries.withColumn("tokens_up_to_here",
+      sum(col("tokens")).over(wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val eligible = cum.filter(
+      col("stable_since_turn") > 0 && col("stable_since_turn") <= cfg.minStableTurns &&
+        col("tokens_up_to_here") >= cfg.minPrefixTokens)
+    val wTop = Window.partitionBy(col("session_id"))
+      .orderBy(col("tokens_up_to_here").desc, col("seq").asc)
+    val capped = eligible.withColumn("top_rank", row_number().over(wTop))
+      .filter(col("top_rank") <= cfg.maxMarkers)
+    val wDoc = Window.partitionBy(col("session_id")).orderBy(col("tokens_up_to_here").asc)
+    capped.withColumn("marker_rank", row_number().over(wDoc))
+      .select(col("session_id"), col("id").as("entry_id"),
+        col("tokens_up_to_here"), col("stable_since_turn"), col("marker_rank"))
+  }
+
+  /** Boundary advance/retreat detection vs the stored per-session boundary
+    * (sessions.cache_boundary_tokens). Returns per-session
+    * (total_stable_tokens, advanced, retreated).
+    */
+  def boundaryDelta(markers: DataFrame, sessions: DataFrame): DataFrame = {
+    val totals = markers.groupBy(col("session_id"))
+      .agg(max(col("tokens_up_to_here")).as("total_stable_tokens"))
+    sessions.select(col("id").as("session_id"), col("cache_boundary_tokens"))
+      .join(totals, Seq("session_id"), "left")
+      .withColumn("total_stable_tokens", coalesce(col("total_stable_tokens"), lit(0L)))
+      .withColumn("advanced", col("total_stable_tokens") > col("cache_boundary_tokens"))
+      .withColumn("retreated",
+        col("total_stable_tokens") < col("cache_boundary_tokens") && col("cache_boundary_tokens") > 0)
+  }
+
+  /** W5 stable-entry promotion after a push: entries inserted at or before
+    * (pushCount − minStableTurns) with stable_since_turn = 0 get
+    * stable_since_turn = inserted_at_push.
+    */
+  def recordPush(entries: DataFrame, pushCount: Int, minStableTurns: Int = 2): DataFrame = {
+    val threshold = pushCount - minStableTurns
+    if (threshold <= 0) entries
+    else entries.withColumn("stable_since_turn",
+      when(col("stable_since_turn") === 0 && col("inserted_at_push") <= threshold,
+        col("inserted_at_push")).otherwise(col("stable_since_turn")))
+  }
+
+  /** A8 token totals and compression savings per session. */
+  def tokenStats(entries: DataFrame): DataFrame =
+    entries.groupBy(col("session_id")).agg(
+      sum(col("tokens")).as("current_tokens"),
+      sum(((octet_length(col("original_content")) + lit(3)) / lit(4)).cast("long")).as("original_tokens"),
+      count(lit(1)).as("n_entries"))
+      .withColumn("savings", col("original_tokens") - col("current_tokens"))
+}

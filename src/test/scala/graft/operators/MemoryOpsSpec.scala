@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MemoryOpsSpec extends AnyFunSuite with SparkTest {
+
+  private val T0 = "2024-01-01 00:00:00"
+  private def now = lit("2024-01-02 00:00:00").cast("timestamp")
+
+  private def unit(axis: Int, eps: Float = 0f): Seq[Float] = {
+    val v = Array.fill(8)(0f)
+    v(axis) = 1f
+    v(7) = v(7) + eps
+    v.toSeq
+  }
+
+  private def mem(rows: Seq[(String, String, Seq[Float], Seq[String], Boolean, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "text", "embedding", "tags", "expired", "lr")
+      .withColumn("last_referenced", col("lr").cast("timestamp")).drop("lr")
+      .withColumn("source", lit("test"))
+      .withColumn("decay_level", lit(0))
+      .withColumn("access_count", lit(0))
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+      .withColumn("expired_at", lit(null).cast("timestamp"))
+      .withColumn("superseded_by", lit(null).cast("string"))
+      .withColumn("created_at", lit(T0).cast("timestamp"))
+  }
+
+  private lazy val store = mem(Seq(
+    ("a", "alpha memory about spark", unit(0), Seq("eng"), false, T0),
+    ("b", "beta memory about cooking", unit(1), Seq("food"), false, T0),
+    ("c", "gamma memory expired", unit(2), Seq("eng"), true, T0),
+    ("d", "delta recent memory", unit(3), Seq("ops"), false, "2024-01-01 23:00:00")
+  ))
+
+  test("recall: expired rows excluded, similarity ranks by query embedding") {
+    val out = MemoryOps.recall(store, Some(unit(0).toArray),
+      MemoryOps.RecallParams(maxResults = 10), now)
+    val ids = out.orderBy(col("rank")).collect().map(_.getAs[String]("id"))
+    assert(ids.head == "a")        // exact match on embedding
+    assert(!ids.contains("c"))     // expired excluded
+  }
+
+  test("recall: recency weight favors fresh entries; boost tags add 0.1") {
+    val pureRecency = MemoryOps.recall(store, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0), now)
+      .orderBy(col("rank")).collect().map(_.getAs[String]("id"))
+    assert(pureRecency.head == "d") // referenced 1h ago beats 24h ago
+    val boosted = MemoryOps.recall(store, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0, boostTags = Seq("food")), now)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("relevance")).toMap
+    val unboosted = MemoryOps.recall(store, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0), now)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Double]("relevance")).toMap
+    assert(math.abs(boosted("b") - unboosted("b") - 0.1) < 1e-9)
+  }
+
+  test("recall: token budget is take-while, maxResults caps count") {
+    val out = MemoryOps.recall(store, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0, maxTokens = 12), now)
+    // "delta recent memory" = 19 bytes -> 5 tokens; next would exceed 12? each ~6 tokens
+    val n = out.count()
+    assert(n >= 1 && n < 4)
+    val capped = MemoryOps.recall(store, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0, maxResults = 2), now)
+    assert(capped.count() == 2)
+  }
+
+  test("writeDedup: dup band, conflict band, far band") {
+    import spark.implicits._
+    val newEntries = Seq(
+      ("n1", unit(0, 0.02f)),                  // ~dup of a (dist < 0.15)
+      ("n2", Seq(0.8f, 0.6f, 0f, 0f, 0f, 0f, 0f, 0f)), // conflict band vs a (dist ~0.2)
+      ("n3", unit(5))                          // far from everything
+    ).toDF("id", "embedding")
+    val out = MemoryOps.writeDedup(newEntries, store)
+      .collect().map(r => r.getAs[String]("id") ->
+        ((r.getAs[String]("dup_of"), r.getSeq[String](r.fieldIndex("conflict_ids")).toList))).toMap
+    assert(out("n1")._1 == "a")
+    assert(out("n1")._2.isEmpty)
+    // n2 conflicts with stored "a" AND batch row "n1" (which will be
+    // inserted first — the reference probes against the evolving store)
+    assert(out("n2")._1 == null && out("n2")._2 == List("a", "n1"))
+    assert(out("n3")._1 == null && out("n3")._2.isEmpty)
+  }
+
+  test("writeDedup: within-batch self-dedup against lower ids") {
+    import spark.implicits._
+    val newEntries = Seq(
+      ("m1", unit(6)),
+      ("m2", unit(6, 0.01f)) // dup of m1 within the same batch
+    ).toDF("id", "embedding")
+    val out = MemoryOps.writeDedup(newEntries, store)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("dup_of")).toMap
+    assert(out("m1") == null)
+    assert(out("m2") == "m1")
+  }
+
+  test("touch bumps access_count and last_referenced for hit ids only") {
+    import spark.implicits._
+    val out = MemoryOps.touch(store, Seq("a", "d").toDF("id"), now)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("access_count"), r.getAs[java.sql.Timestamp]("last_referenced"))).toMap
+    assert(out("a")._1 == 1 && out("b")._1 == 0)
+    assert(out("a")._2.toString.startsWith("2024-01-02"))
+    assert(out("b")._2.toString.startsWith("2024-01-01"))
+  }
+
+  test("decayOnce: level gates and age thresholds drive transitions") {
+    import spark.implicits._
+    val aged = Seq(
+      // (id, decay_level, last_referenced)
+      ("full_old", 0, "2023-12-30 00:00:00"),   // age 3d > 24h -> summary
+      ("full_new", 0, "2024-01-01 12:00:00"),   // 12h -> none
+      ("sum_old", 1, "2023-12-20 00:00:00"),    // 13d > 7d -> keywords
+      ("kw_ancient", 2, "2023-11-01 00:00:00"), // 62d > 30d -> evict
+      ("kw_recent", 2, "2023-12-31 00:00:00")   // 2d -> none
+    ).toDF("id", "decay_level", "lr")
+      .withColumn("last_referenced", col("lr").cast("timestamp")).drop("lr")
+      .withColumn("text", lit("First important sentence here. Second filler sentence follows. Third one."))
+    val (updated, events) = MemoryOps.decayOnce(aged, now)
+    val ev = events.collect().map(r => r.getAs[String]("entry_id") -> r.getAs[String]("event_type")).toMap
+    assert(ev == Map("full_old" -> "compressed", "sum_old" -> "compressed", "kw_ancient" -> "evicted"))
+    val levels = updated.collect().map(r => r.getAs[String]("id") -> r.getAs[Int]("decay_level")).toMap
+    assert(levels("full_old") == 1 && levels("sum_old") == 2 && levels("full_new") == 0)
+    assert(!levels.contains("kw_ancient")) // evicted
+  }
+
+  test("expire and supersede flip flags without touching other rows") {
+    val expired = MemoryOps.expire(store, col("id") === "a", now)
+      .filter(col("id") === "a").head()
+    assert(expired.getAs[Boolean]("expired"))
+    val sup = MemoryOps.supersede(store, "b", "a", now)
+      .filter(col("id") === "b").head()
+    assert(sup.getAs[Boolean]("expired") && sup.getAs[String]("superseded_by") == "a")
+  }
+
+  test("stats groups by decay level with expired counts") {
+    val rows = MemoryOps.stats(store).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 4)
+    assert(rows.map(_.getAs[Long]("n_expired")).sum == 1)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MiscOpsSpec extends AnyFunSuite with SparkTest {
+
+  test("prefixPartition freezes everything up to the last cache marker") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, "system prompt text", true),
+      (1L, 2, "tool definitions here", false),
+      (1L, 3, "more context", true),
+      (1L, 4, "fresh user content", false),
+      (2L, 1, "no markers at all", false)
+    ).toDF("g", "ord", "text", "marker")
+    val out = CachePlanOps.prefixPartition(df, "g", "ord", "text", "marker")
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Int]("ord")) ->
+        r.getAs[Boolean]("in_prefix")).toMap
+    assert(out((1L, 1)) && out((1L, 2)) && out((1L, 3)))
+    assert(!out((1L, 4)))
+    assert(!out((2L, 1))) // no markers -> all suffix
+  }
+
+  test("prefixPartition reports marker count and frozen tokens per group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, "aaaa", true), (1L, 2, "bbbbbbbb", false)
+    ).toDF("g", "ord", "text", "marker")
+    val r = CachePlanOps.prefixPartition(df, "g", "ord", "text", "marker").head()
+    assert(r.getAs[Long]("marker_count") == 1L)
+    assert(r.getAs[Long]("frozen_prefix_tokens") == 1L) // only "aaaa" frozen
+    assert(r.getAs[String]("prefix_hash").length == 16)
+  }
+
+  test("patternType classifies system, tool, code, document, short") {
+    import spark.implicits._
+    val pad = " filler words to pass the fifty character minimum threshold"
+    val df = Seq(
+      ("sys", "You are a helpful assistant for data work." + pad),
+      ("tool", "function with parameters and tool_name defined." + pad),
+      ("code", "Here is a snippet ```scala val x = 1``` inline." + pad),
+      ("doc", "Plain prose paragraph with nothing special at all." + pad),
+      ("short", "tiny")
+    ).toDF("k", "text")
+    val out = df.select(col("k"), CachePlanOps.patternType(col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("sys") == "system")
+    assert(out("tool") == "tool")
+    assert(out("code") == "code")
+    assert(out("doc") == "document")
+    assert(out("short") == null)
+  }
+
+  test("topKMarkers keeps at most 4 highest-token recommended chunks per group") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => (1L, i.toLong, "word " * (10 * i) + "tail content here"))
+      .toDF("g", "id", "text")
+    val out = CachePlanOps.topKMarkers(df, "g", "id", "text")
+      .orderBy("marker_rank").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(8L, 7L, 6L, 5L)) // largest first
+  }
+
+  test("blastRadius walks reverse edges with halving impact") {
+    import spark.implicits._
+    val edges = Seq(
+      ("b", "a"), ("c", "b"), ("d", "c"), ("x", "y") // b->a means b depends on a
+    ).toDF("src", "dst")
+    val changed = Seq(Tuple1("a")).toDF("id")
+    val out = GraphOps.blastRadius(edges, changed)
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Int]("depth"), r.getAs[Double]("impact_score"))).toMap
+    assert(out == Map("b" -> (1, 1.0), "c" -> (2, 0.5), "d" -> (3, 0.25)))
+    val capped = GraphOps.blastRadius(edges, changed, maxDepth = 2)
+    assert(capped.count() == 2)
+  }
+
+  test("degree stats and top hubs") {
+    import spark.implicits._
+    val edges = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d")).toDF("src", "dst")
+    val hubs = GraphOps.topHubs(edges, 2).collect()
+    assert(hubs.head.getAs[String]("id") == "hub")
+    assert(hubs.head.getAs[Long]("in_degree") == 3L)
+  }
+
+  test("conventional commit parse: type, scope, breaking") {
+    import spark.implicits._
+    val df = Seq(
+      "feat(core): add thing",
+      "fix: squash bug",
+      "revert!: undo it",
+      "random message no colon",
+      "FEAT: uppercase unknown? no - lowercased",
+      "chore(deps): bump"
+    ).toDF("message")
+    val (t, sc, br) = CommitOps.parseConventional(col("message"))
+    val out = df.select(col("message"), t.as("t"), sc.as("s"), br.as("b")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out("feat(core): add thing") == (("feat", "core", false)))
+    assert(out("fix: squash bug") == (("fix", "", false)))
+    assert(out("revert!: undo it") == (("revert", "", true)))
+    assert(out("random message no colon")._1 == "unknown")
+    assert(out("chore(deps): bump") == (("chore", "deps", false)))
+  }
+
+  test("risk scoring: breaking + revert + big diff = high") {
+    import spark.implicits._
+    val df = Seq(
+      ("safe docs change", "docs", false, 10, 5, 1),
+      ("revert!: bad deploy emergency", "revert", true, 600, 100, 25),
+      ("fix: broad hotfix", "fix", false, 100, 50, 8)
+    ).toDF("message", "commit_type", "breaking", "insertions", "deletions", "n_files")
+    val out = CommitOps.riskLevel(df)
+      .collect().map(r => r.getAs[String]("commit_type") ->
+        (r.getAs[Int]("risk_score"), r.getAs[String]("risk"))).toMap
+    assert(out("docs") == (0, "low"))
+    assert(out("revert")._2 == "high")
+    assert(out("fix") == (2, "medium")) // broad fix +1, hotfix keyword +1
+  }
+
+  test("high churn files via explode") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a.scala", "b.scala"), Seq("a.scala"), Seq("a.scala", "c.scala"), Seq("b.scala")
+    ).toDF("files")
+    val out = CommitOps.highChurnFiles(df, "files", minChanges = 3).collect()
+    assert(out.length == 1 && out.head.getString(0) == "a.scala")
+  }
+
+  test("findSimilar returns top-k above min similarity") {
+    import spark.implicits._
+    def vec(axis: Int): Seq[Float] = { val v = Array.fill(4)(0f); v(axis) = 1f; v.toSeq }
+    val commits = Seq((1L, vec(0)), (2L, vec(1)), (3L, Seq(0.9f, 0.1f, 0f, 0f))).toDF("id", "embedding")
+    val out = CommitOps.findSimilar(commits, vec(0).toArray, "id", "embedding", 0.5, 2)
+      .orderBy("rnk").collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+}

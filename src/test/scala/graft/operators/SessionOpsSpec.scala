@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def unit(axis: Int, eps: Float = 0f): Seq[Float] = {
+    val v = Array.fill(8)(0f)
+    v(axis) = 1f
+    v(7) = v(7) + eps
+    v.toSeq
+  }
+
+  test("pushDedup flags entries near existing or earlier-in-batch embeddings") {
+    import spark.implicits._
+    val existing = Seq(("s1", 1, unit(0))).toDF("session_id", "seq", "embedding")
+    val incoming = Seq(
+      ("s1", 10, unit(0, 0.01f)), // dup of existing
+      ("s1", 11, unit(1)),        // new
+      ("s1", 12, unit(1, 0.01f)), // dup of seq 11 within batch
+      ("s2", 13, unit(0))         // other session: no existing match
+    ).toDF("session_id", "seq", "embedding")
+    val out = SessionOps.pushDedup(incoming, existing)
+      .collect().map(r => r.getAs[Int]("seq") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(out == Map(10 -> true, 11 -> false, 12 -> true, 13 -> false))
+  }
+
+  private def entries(rows: (String, String, String, Int, Double, Int, Int)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("session_id", "id", "original_content",
+      "compression_level", "importance", "tokens", "seq")
+  }
+
+  test("enforceBudget compresses lowest-importance old entries first") {
+    val text = "First sentence of content. Second one follows here. Third closes."
+    val df = entries(
+      ("s1", "e1", text, 0, 0.2, 100, 1),
+      ("s1", "e2", text, 0, 0.9, 100, 2),
+      ("s1", "e3", text, 0, 0.5, 100, 3),
+      ("s1", "e4", text, 0, 0.5, 100, 4), // preserved (recent)
+      ("s1", "e5", text, 0, 0.5, 100, 5)  // preserved (recent)
+    )
+    val actions = SessionOps.enforceBudget(df, maxTokens = 450, preserveRecent = 2)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("action"), r.getAs[Int]("new_level")))
+    // 500 tokens > 450: compress e1 (lowest importance) one level; the
+    // level-1 extractive pass shrinks it enough to stop
+    assert(actions.nonEmpty)
+    assert(actions.head._1 == "e1" && actions.head._2 == "compressed" && actions.head._3 == 1)
+    assert(!actions.map(_._1).contains("e4") && !actions.map(_._1).contains("e5"))
+  }
+
+  test("enforceBudget evicts keyword-level entries and falls back to oldest-eviction") {
+    val df = entries(
+      ("s1", "k1", "already keywords content", 3, 0.1, 50, 1),
+      ("s1", "k2", "some other content here", 0, 0.9, 50, 2),
+      ("s1", "k3", "recent content", 0, 0.5, 50, 3))
+    val actions = SessionOps.enforceBudget(df, maxTokens = 100, preserveRecent = 1)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("action")))
+    assert(actions.contains(("k1", "evicted"))) // level 3 -> evict
+    // all-recent fallback
+    val df2 = entries(
+      ("s2", "r1", "aaa", 0, 0.5, 60, 1),
+      ("s2", "r2", "bbb", 0, 0.5, 60, 2))
+    val a2 = SessionOps.enforceBudget(df2, maxTokens = 100, preserveRecent = 5)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("action")))
+    assert(a2.toSeq == Seq(("r1", "evicted"))) // evict oldest until within budget
+  }
+
+  test("contextRead: role filter and take-while token budget in seq order") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "c1", "user", 40, 1),
+      ("s1", "c2", "assistant", 40, 2),
+      ("s1", "c3", "user", 40, 3),
+      ("s1", "c4", "user", 40, 4)
+    ).toDF("session_id", "id", "role", "tokens", "seq")
+    val all = SessionOps.contextRead(df, "s1", None, maxTokens = 100)
+      .orderBy("seq").collect().map(_.getAs[String]("id"))
+    assert(all.toSeq == Seq("c1", "c2")) // 120 > 100 stops at c3
+    val users = SessionOps.contextRead(df, "s1", Some("user"), maxTokens = 0)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(users == Set("c1", "c3", "c4"))
+  }
+
+  test("evaluateCacheBoundary: stability gate, min prefix, top-4 markers in doc order") {
+    import spark.implicits._
+    val df = (1 to 10).map { i =>
+      ("s1", s"b$i", i, 300, if (i <= 6) 1 else 0) // first 6 stable
+    }.toDF("session_id", "id", "seq", "tokens", "stable_since_turn")
+    val out = SessionOps.evaluateCacheBoundary(df,
+      SessionOps.BoundaryConfig(minStableTurns = 2, minPrefixTokens = 1000, maxMarkers = 4))
+      .orderBy("marker_rank").collect()
+    // eligible: seq 4,5,6 (cum 1200,1500,1800 >= 1000, stable)
+    assert(out.map(_.getAs[String]("entry_id")).toSeq == Seq("b4", "b5", "b6"))
+    assert(out.map(_.getAs[Long]("tokens_up_to_here")).toSeq == Seq(1200L, 1500L, 1800L))
+  }
+
+  test("boundaryDelta detects advance and retreat") {
+    import spark.implicits._
+    val markers = Seq(("s1", "x", 1500L, 1, 1)).toDF(
+      "session_id", "entry_id", "tokens_up_to_here", "stable_since_turn", "marker_rank")
+    val sessions = Seq(("s1", 1000L), ("s2", 500L)).toDF("id", "cache_boundary_tokens")
+    val out = SessionOps.boundaryDelta(markers, sessions)
+      .collect().map(r => r.getAs[String]("session_id") ->
+        (r.getAs[Boolean]("advanced"), r.getAs[Boolean]("retreated"))).toMap
+    assert(out("s1") == (true, false))  // 1500 > 1000
+    assert(out("s2") == (false, true))  // 0 < 500
+  }
+
+  test("recordPush promotes entries older than pushCount - minStableTurns") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "p1", 1, 0), ("s1", "p2", 3, 0), ("s1", "p3", 5, 0), ("s1", "p4", 2, 9)
+    ).toDF("session_id", "id", "inserted_at_push", "stable_since_turn")
+    val out = SessionOps.recordPush(df, pushCount = 5, minStableTurns = 2)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Int]("stable_since_turn")).toMap
+    assert(out == Map("p1" -> 1, "p2" -> 3, "p3" -> 0, "p4" -> 9))
+  }
+
+  test("tokenStats computes savings vs original content") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "abcdefgh", 1),  // original 2 tokens, current 1
+      ("s1", "abcd", 1)
+    ).toDF("session_id", "original_content", "tokens")
+    val r = SessionOps.tokenStats(df).head()
+    assert(r.getAs[Long]("current_tokens") == 2L)
+    assert(r.getAs[Long]("original_tokens") == 3L)
+    assert(r.getAs[Long]("savings") == 1L)
+  }
+}
