@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Sources and sinks (SURVEY §2.1).
+  *
+  * S1/S2: JSONL scans with fixed schemas, malformed lines dropped —
+  * schema-on-read exactly like the reference's line parser that skips bad
+  * rows (/root/reference/pkg/ingest/pipeline.go:256-304,
+  * cmd/analyze.go:120-170). Rows with a null id or values (the parser's
+  * empty-field skip, analyze.go:154-156) are filtered out.
+  *
+  * S3: batched sink with bounded retry — the reference's Pinecone upsert
+  * batcher (pkg/pinecone/client.go:104-155) generalized to any row consumer;
+  * batches form per partition so the write parallelism is the partition
+  * count.
+  */
+object Sources {
+
+  /** {"id": "...", "values": [f32...], "metadata": {"k": "v"}} */
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("values", ArrayType(FloatType)),
+    StructField("metadata", MapType(StringType, StringType))
+  ))
+
+  /** Chunk records: {"id", "text", "embedding", "score", "metadata"} */
+  val chunkSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("text", StringType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("score", FloatType),
+    StructField("metadata", MapType(StringType, StringType))
+  ))
+
+  def readVectorJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(vectorSchema).option("mode", "DROPMALFORMED").json(path)
+      .filter("id IS NOT NULL AND values IS NOT NULL AND size(values) > 0")
+
+  def readChunkJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(chunkSchema).option("mode", "DROPMALFORMED").json(path)
+      .filter("id IS NOT NULL")
+
+  /** Batched, retried writes per partition. `write` is invoked once per
+    * batch of up to `batchSize` rows; transient failures retry with
+    * exponential backoff up to `maxRetries` before rethrowing. The writer
+    * function must be serializable and idempotent (batches may be retried).
+    */
+  def writeBatched(df: DataFrame, batchSize: Int = 100, maxRetries: Int = 3,
+                   initialBackoffMs: Long = 100)(write: Seq[Row] => Unit): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(batchSize).foreach { batch =>
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try {
+            write(batch)
+            done = true
+          } catch {
+            case e: Exception if attempt < maxRetries =>
+              Thread.sleep(initialBackoffMs * (1L << attempt))
+              attempt += 1
+          }
+        }
+      }
+    }
+}

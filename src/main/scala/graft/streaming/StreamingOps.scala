@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Stateful incremental operators (SURVEY §2.10 T3-T5) as Structured
+  * Streaming `flatMapGroupsWithState` / `mapGroupsWithState` functions. Time
+  * is event time carried in the data (epoch millis), never wall clock, so
+  * the same functions run identically over bounded batches in tests.
+  */
+object StreamingOps {
+
+  // --- T4: prompt-cache TTL tracker (reference pkg/cache/ttl.go:11-125).
+
+  case class PrefixTouch(prefixHash: String, tsMillis: Long)
+  case class TtlState(lastSeen: Long, expiresAt: Long, hits: Int, misses: Int)
+  case class TtlEvent(prefixHash: String, tsMillis: Long, wasAlive: Boolean,
+                      hitCount: Int, missCount: Int, nextDeadline: Long)
+
+  /** Touch stream → warm/cold events. First touch of a prefix is a miss;
+    * touches within `ttlMillis` of the previous one are hits; later ones are
+    * cold-start misses. `nextDeadline` = ts + ttl (the latest safe send time
+    * before the cache dies; subtract a safety margin for scheduling).
+    */
+  def ttlTracker(touches: Dataset[PrefixTouch], ttlMillis: Long = 5 * 60 * 1000L)
+  : Dataset[TtlEvent] = {
+    import touches.sparkSession.implicits._
+    touches.groupByKey(_.prefixHash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[PrefixTouch], state: GroupState[TtlState]) => {
+          var st = state.getOption.getOrElse(TtlState(0L, 0L, 0, 0))
+          val out = rows.toSeq.sortBy(_.tsMillis).map { t =>
+            val known = st.expiresAt > 0
+            val alive = known && t.tsMillis < st.expiresAt
+            st =
+              if (!known) TtlState(t.tsMillis, t.tsMillis + ttlMillis, 0, 1)
+              else if (alive) st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, hits = st.hits + 1)
+              else st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, misses = st.misses + 1)
+            TtlEvent(hash, t.tsMillis, alive, st.hits, st.misses, t.tsMillis + ttlMillis)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  // --- T5: prefix stability validator (reference pkg/cache/stability.go).
+
+  case class StabilityCheck(callSite: String, prefixHash: String, tsMillis: Long)
+  case class StabilityState(lastHash: String, totalChecks: Int, changes: Int)
+  case class StabilityIssue(callSite: String, tsMillis: Long, stabilityRate: Double,
+                            totalChecks: Int, changes: Int,
+                            previousHash: String, currentHash: String)
+
+  /** Per-call-site prefix-hash history: after `warmupChecks` observations,
+    * emit an issue whenever the stability rate (1 − changes/checks) drops
+    * below `unstableThreshold`.
+    */
+  def stabilityValidator(checks: Dataset[StabilityCheck],
+                         warmupChecks: Int = 3,
+                         unstableThreshold: Double = 0.8): Dataset[StabilityIssue] = {
+    import checks.sparkSession.implicits._
+    checks.groupByKey(_.callSite)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (site: String, rows: Iterator[StabilityCheck], state: GroupState[StabilityState]) => {
+          var st = state.getOption.getOrElse(StabilityState("", 0, 0))
+          val out = rows.toSeq.sortBy(_.tsMillis).flatMap { c =>
+            val changed = st.lastHash.nonEmpty && st.lastHash != c.prefixHash
+            val prev = st.lastHash
+            st = StabilityState(c.prefixHash, st.totalChecks + 1,
+              st.changes + (if (changed) 1 else 0))
+            val rate = 1.0 - st.changes.toDouble / st.totalChecks
+            if (st.totalChecks >= warmupChecks && rate < unstableThreshold)
+              Some(StabilityIssue(site, c.tsMillis, rate, st.totalChecks, st.changes,
+                prev, c.prefixHash))
+            else None
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** F19 dynamic-pattern pre-flight check (stability.go:100-114, 216-227):
+    * substrings that commonly make prefixes unstable.
+    */
+  val dynamicPatterns: Seq[String] = Seq(
+    "request_id", "requestid", "request-id", "request id",
+    "timestamp", "datetime", "time.now", "date.now",
+    "uuid", "random", "rand.",
+    "user_id", "userid", "user-id",
+    "session_id", "sessionid",
+    "nonce", "token:")
+
+  def dynamicPatternHits(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lowered = lower(text)
+    filter(
+      array(dynamicPatterns.map(lit): _*),
+      p => lowered.contains(p))
+  }
+
+  // --- T3: session cache-boundary manager as keyed state.
+
+  case class BoundaryPush(sessionId: String, tsMillis: Long, totalStableTokens: Long)
+  case class BoundaryState(pushCount: Int, boundaryTokens: Long)
+  case class BoundaryUpdate(sessionId: String, tsMillis: Long, pushCount: Int,
+                            boundaryTokens: Long, advanced: Boolean, retreated: Boolean)
+
+  /** Push stream → boundary advance/retreat events with a per-session push
+    * counter (cache_boundary.go:228-269 + the stored-boundary comparison).
+    */
+  def boundaryManager(pushes: Dataset[BoundaryPush]): Dataset[BoundaryUpdate] = {
+    import pushes.sparkSession.implicits._
+    pushes.groupByKey(_.sessionId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (sid: String, rows: Iterator[BoundaryPush], state: GroupState[BoundaryState]) => {
+          var st = state.getOption.getOrElse(BoundaryState(0, 0L))
+          val out = rows.toSeq.sortBy(_.tsMillis).map { p =>
+            val advanced = p.totalStableTokens > st.boundaryTokens
+            val retreated = p.totalStableTokens < st.boundaryTokens && st.boundaryTokens > 0
+            st = BoundaryState(st.pushCount + 1, p.totalStableTokens)
+            BoundaryUpdate(sid, p.tsMillis, st.pushCount, p.totalStableTokens, advanced, retreated)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream — the
+    * standard streaming shape for the events table (ts, event_type, value).
+    */
+  def windowedEventCounts(events: DataFrame, windowDuration: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

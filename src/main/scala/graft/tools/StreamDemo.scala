@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+
+/** Streaming smoke entry point: streams the events table through the
+  * watermarked window aggregation and the TTL tracker, end to end.
+  * `sbt "runMain graft.tools.StreamDemo [sfDir]"`
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.get(cores = 8)
+    import spark.implicits._
+
+    // stage events into a single-table directory for a file stream source
+    val staged = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val batchEvents = Tables.events(spark, dir)
+    batchEvents.write.mode("overwrite").parquet(staged)
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(staged)
+
+    println("== streaming windowed aggregation over events ==")
+    val q1 = StreamingOps.windowedEventCounts(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("stream_counts").outputMode("update").start()
+    q1.processAllAvailable()
+    spark.table("stream_counts").orderBy(col("window"), col("event_type")).show(8, truncate = false)
+    q1.stop()
+
+    println("== streaming TTL tracker over event-type prefix hashes ==")
+    val touches = stream.select(
+      col("event_type").as("prefixHash"),
+      (unix_timestamp(col("ts")) * 1000).as("tsMillis")
+    ).as[StreamingOps.PrefixTouch]
+    val q2 = StreamingOps.ttlTracker(touches)
+      .writeStream.format("memory").queryName("stream_ttl").outputMode("append").start()
+    q2.processAllAvailable()
+    spark.sql(
+      """SELECT prefixHash, count(*) AS touches, sum(CASE WHEN wasAlive THEN 1 ELSE 0 END) AS warm
+        |FROM stream_ttl GROUP BY prefixHash ORDER BY prefixHash""".stripMargin).show()
+    q2.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.SparkTest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingOpsSpec extends AnyFunSuite with SparkTest {
+  import StreamingOps._
+
+  test("ttlTracker: first touch cold, fast re-touch warm, late re-touch cold") {
+    import spark.implicits._
+    val m = 60 * 1000L
+    val touches = Seq(
+      PrefixTouch("p1", 0L),
+      PrefixTouch("p1", 2 * m),  // within 5m -> warm
+      PrefixTouch("p1", 10 * m), // 8m gap -> cold
+      PrefixTouch("p2", 1 * m)
+    ).toDS()
+    val out = ttlTracker(touches).collect().sortBy(e => (e.prefixHash, e.tsMillis))
+    assert(out.map(e => (e.prefixHash, e.wasAlive)).toSeq ==
+      Seq(("p1", false), ("p1", true), ("p1", false), ("p2", false)))
+    assert(out(2).missCount == 2 && out(2).hitCount == 1)
+    assert(out(1).nextDeadline == 7 * m)
+  }
+
+  test("ttlTracker maintains state across streaming micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60 * 1000L
+    val stream = MemoryStream[PrefixTouch]
+    val q = ttlTracker(stream.toDS()).writeStream
+      .format("memory").queryName("ttl_out").outputMode("append").start()
+    stream.addData(PrefixTouch("p1", 0L))
+    q.processAllAvailable()
+    stream.addData(PrefixTouch("p1", 2 * m)) // different micro-batch; state must persist
+    q.processAllAvailable()
+    val rows = spark.table("ttl_out").as[TtlEvent].collect().sortBy(_.tsMillis)
+    q.stop()
+    assert(rows.map(_.wasAlive).toSeq == Seq(false, true))
+  }
+
+  test("stabilityValidator: stable prefixes silent, flapping prefixes flagged after warmup") {
+    import spark.implicits._
+    val stable = (1 to 5).map(i => StabilityCheck("site_a", "hash1", i * 1000L))
+    val flapping = (1 to 6).map(i => StabilityCheck("site_b", s"hash$i", i * 1000L))
+    val out = stabilityValidator((stable ++ flapping).toDS()).collect()
+    assert(!out.exists(_.callSite == "site_a"))
+    val issues = out.filter(_.callSite == "site_b").sortBy(_.tsMillis)
+    assert(issues.nonEmpty)
+    assert(issues.last.stabilityRate < 0.8)
+    assert(issues.last.changes == 5)
+  }
+
+  test("dynamicPatternHits finds instability substrings") {
+    import spark.implicits._
+    val hits = Seq("Prefix with a timestamp and request_id inside", "clean prefix")
+      .toDF("t")
+      .select(dynamicPatternHits(col("t")).as("hits"))
+      .collect().map(_.getSeq[String](0))
+    assert(hits(0).toSet == Set("timestamp", "request_id"))
+    assert(hits(1).isEmpty)
+  }
+
+  test("boundaryManager tracks push count and advance/retreat") {
+    import spark.implicits._
+    val pushes = Seq(
+      BoundaryPush("s1", 1000L, 1000L),
+      BoundaryPush("s1", 2000L, 1500L), // advanced
+      BoundaryPush("s1", 3000L, 800L),  // retreated
+      BoundaryPush("s1", 4000L, 800L)   // unchanged
+    ).toDS()
+    val out = boundaryManager(pushes).collect().sortBy(_.tsMillis)
+    assert(out.map(u => (u.advanced, u.retreated)).toSeq ==
+      Seq((true, false), (true, false), (false, true), (false, false)))
+    assert(out.last.pushCount == 4)
+  }
+
+  test("windowedEventCounts aggregates a streamed events table with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDS().toDF("ts", "event_type", "value")
+    val q = windowedEventCounts(df, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("update").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    stream.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+    q.stop()
+    val byType = rows.map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(byType("click") == 2L && byType("view") == 1L)
+  }
+
+  test("JSONL vector source drops malformed lines and empty ids/values") {
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(tmp, "vecs.jsonl")
+    val pw = new java.io.PrintWriter(f)
+    pw.println("""{"id": "v1", "values": [0.1, 0.2], "metadata": {"k": "a"}}""")
+    pw.println("""{"id": "v2", "values": [0.3, 0.4]}""")
+    pw.println("""not json at all""")
+    pw.println("""{"id": null, "values": [0.5]}""")
+    pw.println("""{"id": "v3", "values": []}""")
+    pw.close()
+    val out = graft.sources.Sources.readVectorJsonl(spark, f.getAbsolutePath)
+    val ids = out.collect().map(_.getAs[String]("id")).toSet
+    assert(ids == Set("v1", "v2"))
+  }
+
+  test("batched sink groups rows and retries transient failures") {
+    import spark.implicits._
+    val acc = spark.sparkContext.collectionAccumulator[Int]
+    val failures = spark.sparkContext.longAccumulator("failures")
+    val df = (1 to 25).toDF("v").repartition(1)
+    var first = true
+    graft.sources.Sources.writeBatched(df, batchSize = 10) { batch =>
+      // fail the first attempt of the first batch to exercise retry
+      if (failures.value == 0 && batch.exists(_.getInt(0) == 1)) {
+        failures.add(1)
+        throw new RuntimeException("transient")
+      }
+      acc.add(batch.size)
+    }
+    val sizes = acc.value
+    assert(sizes.size() == 3)
+    assert(failures.value == 1L)
+  }
+}
