@@ -350,6 +350,27 @@ object SparkEntry {
       graft.operators.CommitOps.riskLevel(parsed)
         .select(col("doc_id"), col("commit_type"), col("scope"), col("breaking"),
           col("risk_score"), col("risk"))
+    },
+
+    // Multimodal plumbing: binary payloads -> batched decode (stubbed
+    // deterministic codec) + feature extraction + frame sampling; rows-only.
+    "q36_multimodal_decode" -> { (s, dir) =>
+      val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
+      val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
+      decoded.select(col("media_id"), col("modality"), col("width"), col("height"),
+        col("duration_ms"), col("format"))
+    },
+
+    // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
+    // embedding provider path); deterministic, rows-only.
+    "q37_embed_knn" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val embedded = new graft.functions.CachedEmbedder(new graft.functions.HashingEmbedder(64))
+        .embed(docs, "text", "embedding")
+      graft.operators.KnnOps.bruteForceKnn(
+        embedded, embedded.filter(col("doc_id") < 5), k = 3,
+        idCol = "doc_id", embCol = "embedding", qidCol = "doc_id", qembCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
     }
   )
 

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Pluggable embedding surface (reference pkg/embedding/interface.go:18-135):
+  * an `Embedder` maps a text column to an `Array[Float]` column. The
+  * reference memoizes per-text through a content-hash cache; the batch
+  * equivalent is `CachedEmbedder`: dropDuplicates on the text, embed each
+  * distinct text once, join back — the shuffle carries distinct texts only.
+  *
+  * `HashingEmbedder` is the deterministic, zero-egress implementation
+  * (feature-hashing bag-of-words, L2-normalized): tests and benches run
+  * without a model server; a real provider implements the same one-method
+  * trait with a `mapPartitions` batch call.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame
+}
+
+final class HashingEmbedder(val dim: Int = 64) extends Embedder {
+  private def embedText(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null) return v
+    text.toLowerCase.split("\\W+").foreach { w =>
+      if (w.nonEmpty) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(w, 42)
+        val bucket = math.floorMod(h, dim)
+        val sign = if (math.floorMod(h >> 16, 2) == 0) 1f else -1f
+        v(bucket) += sign
+      }
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (norm > 0) v.map(x => (x / norm).toFloat) else v
+  }
+
+  private val embedUdf = udf((t: String) => embedText(t))
+
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, embedUdf(col(textCol)))
+}
+
+/** Memoizing wrapper: embeds each distinct text once (the batch analog of
+  * the reference's CachedProvider). Worth it whenever the duplicate rate is
+  * non-trivial — exactly the corpora this engine targets.
+  */
+final class CachedEmbedder(inner: Embedder) extends Embedder {
+  def dim: Int = inner.dim
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val distinct = df.select(col(textCol)).distinct()
+    val embedded = inner.embed(distinct, textCol, outCol)
+    df.join(embedded, Seq(textCol), "left")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * payloads travel as opaque `binary` columns with typed metadata, and the
+  * per-row media transforms (decode, feature-extract, resize, frame-sample)
+  * run batched inside `mapPartitions` so a real decoder library amortizes
+  * model/codec initialization per partition, not per row.
+  *
+  * The decode step itself is STUBBED with a deterministic fake (this
+  * environment ships no image/audio codecs): `fakeDecode` derives
+  * width/height/duration from the payload bytes, and the "features" are a
+  * real byte-histogram computation over the binary payload. The Spark-side
+  * contract — schema, batching, partitioning, null handling — is real and
+  * tested; swapping in an actual codec means replacing ONLY `fakeDecode`.
+  */
+object MultimodalOps {
+
+  /** Canonical media-table schema: payloads + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("data", BinaryType),
+    StructField("source_uri", StringType),
+    StructField("metadata", MapType(StringType, StringType))
+  ))
+
+  final case class DecodedMeta(width: Int, height: Int, durationMs: Long, format: String)
+
+  /** STUB — deterministic fake decoder. A real implementation would call an
+    * image/audio codec here (e.g. TwelveMonkeys/JavaCV); everything around
+    * it stays unchanged.
+    */
+  private[operators] def fakeDecode(modality: String, data: Array[Byte]): DecodedMeta = {
+    val n = if (data == null) 0 else data.length
+    val a = if (n > 0) (data(0) & 0xff) else 0
+    val b = if (n > 1) (data(1) & 0xff) else 0
+    modality match {
+      case "image" => DecodedMeta(64 + a % 192, 64 + b % 192, 0L, "fake/png")
+      case "audio" => DecodedMeta(0, 0, 1000L + (n.toLong * 20), "fake/wav")
+      case _       => DecodedMeta(320 + a % 64, 240 + b % 48, 1000L + (n.toLong * 40), "fake/mp4")
+    }
+  }
+
+  /** Byte-histogram feature vector (16 buckets, L1-normalized float32) —
+    * a real distributed computation standing in for an embedding model.
+    */
+  private[operators] def byteHistogram(data: Array[Byte], buckets: Int = 16): Array[Float] = {
+    val hist = new Array[Float](buckets)
+    if (data == null || data.isEmpty) return hist
+    var i = 0
+    while (i < data.length) {
+      hist((data(i) & 0xff) * buckets / 256) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < buckets) { hist(j) /= data.length; j += 1 }
+    hist
+  }
+
+  /** Decode + feature-extract over a media table. Runs in mapPartitions with
+    * explicit batch grouping (`batchSize` rows per decoder call) — the shape
+    * a vectorized decoder needs. Output adds width/height/duration_ms/format
+    * and a `features` float array; null payloads produce null features.
+    */
+  def decodeAndFeaturize(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("format", StringType),
+      StructField("features", ArrayType(FloatType))
+    ))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val modalityIdx = df.schema.fieldIndex("modality")
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      // batch boundary = where a real codec would process a vector of inputs
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val data = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
+          if (data == null) {
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          } else {
+            val meta = fakeDecode(r.getString(modalityIdx), data)
+            Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
+              meta.format, byteHistogram(data).toSeq))
+          }
+        }
+      }
+    }(encoder)
+  }
+
+  /** Resize plan: computes target dimensions preserving aspect ratio (the
+    * pure-metadata half of a resize; the pixel work belongs to the stubbed
+    * decoder). Native column expressions.
+    */
+  def resizePlan(df: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(maxDim) / col("width"), lit(maxDim) / col("height"), lit(1.0))
+    df.withColumn("target_width", floor(col("width") * scale).cast("int"))
+      .withColumn("target_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sample plan for video rows: one row per sampled frame timestamp
+    * at `fps` frames/second — posexplode over a generated sequence, so the
+    * sampling fan-out happens in the engine, not the decoder.
+    */
+  def frameSamplePlan(df: DataFrame, fps: Double): DataFrame = {
+    val nFrames = greatest(lit(1), floor(col("duration_ms") / 1000.0 * fps)).cast("int")
+    df.filter(col("modality") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_ts_ms", (col("frame_idx") / fps * 1000.0).cast("long"))
+  }
+
+  /** Synthetic deterministic media table for tests/benches: payload bytes
+    * derive from the id, so every run sees identical data.
+    */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val modality = Seq("image", "audio", "video")(i % 3)
+      val data = Array.tabulate[Byte](128 + (i * 37) % 512)(j => ((i * 131 + j * 17) % 256).toByte)
+      (i.toLong, modality, data, s"synthetic://$i", Map("seed" -> i.toString))
+    }.toDF("media_id", "modality", "data", "source_uri", "metadata")
+  }
+}

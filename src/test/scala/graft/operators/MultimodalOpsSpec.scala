@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val media = MultimodalOps.syntheticMedia(spark, 30)
+
+  test("decodeAndFeaturize adds metadata and normalized features per row") {
+    val out = MultimodalOps.decodeAndFeaturize(media, batchSize = 8)
+    val rows = out.collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val feats = r.getSeq[Float](r.fieldIndex("features"))
+      assert(feats.length == 16)
+      assert(math.abs(feats.sum - 1.0f) < 1e-4) // L1-normalized histogram
+      assert(r.getAs[String]("format").startsWith("fake/"))
+    }
+    val img = rows.find(_.getAs[String]("modality") == "image").get
+    assert(img.getAs[Int]("width") >= 64 && img.getAs[Int]("height") >= 64)
+  }
+
+  test("decodeAndFeaturize is deterministic and null-safe") {
+    import spark.implicits._
+    val withNull = media.union(
+      Seq((999L, "image", null.asInstanceOf[Array[Byte]], "u", Map.empty[String, String]))
+        .toDF("media_id", "modality", "data", "source_uri", "metadata"))
+    val out = MultimodalOps.decodeAndFeaturize(withNull)
+    val nullRow = out.filter(col("media_id") === 999L).head()
+    assert(nullRow.isNullAt(nullRow.fieldIndex("features")))
+    val a = MultimodalOps.decodeAndFeaturize(media).orderBy("media_id")
+      .select("features").collect().map(_.getSeq[Float](0))
+    val b = MultimodalOps.decodeAndFeaturize(media).orderBy("media_id")
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+  }
+
+  test("resizePlan preserves aspect ratio and never upscales") {
+    val decoded = MultimodalOps.decodeAndFeaturize(media)
+      .filter(col("modality") === "image")
+    val out = MultimodalOps.resizePlan(decoded, maxDim = 100).collect()
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (tw, th) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
+      assert(tw <= 100 && th <= 100)
+      assert(tw <= w && th <= h)
+      if (w > 100 || h > 100) assert(math.max(tw, th) >= 99) // scaled to bound
+    }
+  }
+
+  test("frameSamplePlan fans out one row per sampled frame") {
+    val decoded = MultimodalOps.decodeAndFeaturize(media)
+    val frames = MultimodalOps.frameSamplePlan(decoded, fps = 2.0)
+    val byVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("duration_ms").as("dur")).collect()
+    byVideo.foreach { r =>
+      val expected = math.max(1, (r.getAs[Long]("dur") / 1000.0 * 2.0).toInt)
+      assert(r.getAs[Long]("n") == expected)
+    }
+    assert(frames.filter(col("modality") =!= "video").count() == 0)
+  }
+
+  test("hashing embedder: deterministic unit vectors; cached wrapper joins back") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta"))
+      .toDF("id", "text")
+    val embedder = new graft.functions.HashingEmbedder(32)
+    val out = embedder.embed(docs, "text", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out(1) == out(2)) // same text, same vector
+    assert(math.abs(out(1).map(x => x * x).sum - 1.0) < 1e-5)
+    val cached = new graft.functions.CachedEmbedder(embedder)
+      .embed(docs, "text", "emb")
+    assert(cached.count() == 3)
+    assert(cached.select("emb").distinct().count() == 2)
+  }
+}
