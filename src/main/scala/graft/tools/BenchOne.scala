@@ -1,0 +1,17 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries: `runMain graft.tools.BenchOne <sfDir> <q1> [q2...]` */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val spark = graft.core.GraftSession.get(cores = 32)
+    args.tail.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[benchone] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}
