@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations the 100 TB design depends on
+  * must be visible in the plan, not assumed — filter/projection pushdown to
+  * parquet, broadcast joins for dimension tables, partial aggregation, and
+  * native (non-UDF) vector expressions inside codegen.
+  */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q02: predicate and projection pushed to the parquet scan") {
+    val plan = physicalPlan("q02_filter_pushdown")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(p_size,10)"), plan.linesIterator.toSeq.takeRight(5).mkString("\n"))
+    assert(plan.contains("ReadSchema"))
+    // only the four selected columns are read
+    assert(!plan.contains("p_retailprice"))
+  }
+
+  test("q04: dimension join is a broadcast hash join") {
+    val plan = physicalPlan("q04_broadcast_join_agg")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial)") {
+    val plan = physicalPlan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q05: semi join planned (no row explosion)") {
+    val plan = physicalPlan("q05_semi_join")
+    assert(plan.contains("LeftSemi"))
+  }
+
+  test("knn: cosine runs as a native expression, not a ScalaUDF") {
+    val plan = physicalPlan("q18_knn_bruteforce")
+    assert(plan.contains("cosine_similarity"))
+    // the similarity evaluation itself must not be a UDF invocation
+    assert(!plan.contains("UDF(cosine"))
+  }
+
+  test("vector expressions participate in whole-stage codegen") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val df = emb.select(
+      graft.functions.GraftFunctions.cosine_similarity(col("embedding"), col("embedding")).as("s"))
+    df.collect() // force execution so the final (post-AQE) plan exists
+    val executed = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks whole-stage-codegen stages in the compact plan
+    assert(executed.contains("*(1) Project [cosine_similarity"))
+    assert(!executed.contains("ScalaUDF"))
+  }
+
+  test("q17: jaccard join has no cartesian product") {
+    val plan = physicalPlan("q17_neardup_jaccard")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text function queries stay UDF-free") {
+    for (q <- Seq("q11_sensitivity_histogram", "q12_keywords", "q15_prune_lengths", "q16_importance")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("ScalaUDF"), s"$q contains a UDF")
+    }
+  }
+}

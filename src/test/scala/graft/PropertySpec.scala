@@ -1,0 +1,131 @@
+package graft.operators
+
+
+import graft.text.TextAlgs
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the invariants the reference asserts implicitly
+  * (SURVEY §5): selection ⊆ candidates, cluster ids bounded, budgets
+  * respected, idempotence of normalizing transforms.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(2, 8).flatMap(d => Gen.listOfN(d, Gen.choose(-1f, 1f)).map(_.toArray))
+  private val vecsGen: Gen[IndexedSeq[Array[Float]]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, vecGen).map(_.toIndexedSeq))
+  private val textGen: Gen[String] = Gen.listOfN(30,
+    Gen.oneOf("alpha", "beta.", "gamma!", "the", "важно", "key", "42", "x"))
+    .map(_.mkString(" "))
+
+  test("agglomerate: cluster ids are contiguous 0..k-1 and cover every input") {
+    check(Prop.forAll(vecsGen) { vecs =>
+      val ids = ClusterAlgs.agglomerate(vecs)
+      ids.length == vecs.length &&
+        (ids.isEmpty || ids.toSet == (0 until (ids.max + 1)).toSet)
+    })
+  }
+
+  test("agglomerate: cluster count shrinks monotonically with threshold") {
+    check(Prop.forAll(vecsGen.suchThat(_.nonEmpty)) { vecs =>
+      val tight = ClusterAlgs.agglomerate(vecs, ClusterAlgs.ClusterConfig(threshold = 0.05)).toSet.size
+      val loose = ClusterAlgs.agglomerate(vecs, ClusterAlgs.ClusterConfig(threshold = 0.5)).toSet.size
+      loose <= tight
+    })
+  }
+
+  test("mmrSelect: selection is a subset of candidates with size min(k, n), no repeats") {
+    val scoresFor = (n: Int) => Gen.listOfN(n, Gen.choose(0.0, 1.0)).map(_.toIndexedSeq)
+    check(Prop.forAll(vecsGen, Gen.choose(1, 6)) { (vecs, k) =>
+      Prop.forAll(scoresFor(vecs.length)) { scores =>
+        val sel = ClusterAlgs.mmrSelect(vecs, scores, 0.5, k)
+        sel.length == math.min(k, vecs.length) &&
+          sel.distinct.length == sel.length &&
+          sel.forall(i => i >= 0 && i < vecs.length)
+      }
+    })
+  }
+
+  test("extractive compression never invents text and respects document order") {
+    check(Prop.forAll(textGen, Gen.choose(0.1, 0.9)) { (text, ratio) =>
+      val out = TextAlgs.extractSalientSpans(text, ratio)
+      val sentences = TextAlgs.splitSentences(text).toSet
+      val outSentences = TextAlgs.splitSentences(out)
+      // every output sentence is an input sentence (duplicates make strict
+      // order-index checks ambiguous), and compression never grows the text
+      outSentences.forall(sentences.contains) && out.length <= text.length
+    })
+  }
+
+  test("token budget: recall cutoff never exceeds the budget") {
+    // scalar model of the take-while cutoff used in MemoryOps.recall
+    val tokensGen = Gen.listOf(Gen.choose(1, 50))
+    check(Prop.forAll(tokensGen, Gen.choose(10, 200)) { (tokens, budget) =>
+      val kept = tokens.scanLeft(0)(_ + _).tail.takeWhile(_ <= budget).length
+      tokens.take(kept).sum <= budget
+    })
+  }
+
+  test("keywordsLower: lowercase, no stopwords, length >= 4, capped, unique") {
+    check(Prop.forAll(textGen, Gen.choose(1, 10)) { (text, cap) =>
+      val out = TextAlgs.keywordsLower(text, cap)
+      val words = if (out.isEmpty) Nil else out.split(", ").toList
+      words.length <= cap &&
+        words.forall(w => w == w.toLowerCase && w.length >= 4 &&
+          !TextAlgs.memoryStopWords(w)) &&
+        words.distinct == words
+    })
+  }
+
+  test("normalize is idempotent and unit-norm for nonzero vectors") {
+    check(Prop.forAll(vecGen.suchThat(v => v.exists(_ != 0f))) { v =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val once = graft.functions.VectorKernels.normalize(new GenericArrayData(v.map(Float.box)))
+      val twice = graft.functions.VectorKernels.normalize(new GenericArrayData(once.map(Float.box)))
+      val norm = math.sqrt(once.map(x => x.toDouble * x).sum)
+      math.abs(norm - 1.0) < 1e-4 &&
+        once.zip(twice).forall { case (a, b) => math.abs(a - b) < 1e-5 }
+    })
+  }
+
+  test("cosine similarity is symmetric and bounded") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val ab = ClusterAlgs.cosineSim(a, b)
+      val ba = ClusterAlgs.cosineSim(b, a)
+      ab == ba && ab >= -1.0 && ab <= 1.0
+    })
+  }
+
+  test("simhash: identical texts collide; hamming bounded by 64") {
+    check(Prop.forAll(textGen, textGen) { (a, b) =>
+      val ha = graft.operators.DedupOps.simhash64(a)
+      val hb = graft.operators.DedupOps.simhash64(b)
+      val hamming = java.lang.Long.bitCount(ha ^ hb)
+      graft.operators.DedupOps.simhash64(a) == ha && hamming >= 0 && hamming <= 64
+    })
+  }
+
+  test("shingle hashes: deterministic, distinct, subset-stable under text identity") {
+    check(Prop.forAll(textGen) { t =>
+      val h1 = graft.operators.DedupOps.shingleHashes(t, 3)
+      val h2 = graft.operators.DedupOps.shingleHashes(t, 3)
+      h1.toSeq == h2.toSeq && h1.distinct.length == h1.length
+    })
+  }
+
+  test("compressToLevel monotonically shrinks or holds token counts per level") {
+    check(Prop.forAll(textGen) { t =>
+      val t0 = TextAlgs.estimateTokens(TextAlgs.compressToLevel(t, 0))
+      val t2 = TextAlgs.estimateTokens(TextAlgs.compressToLevel(t, 2))
+      val t3 = TextAlgs.estimateTokens(TextAlgs.compressToLevel(t, 3))
+      t2 <= t0 + 1 && t3 <= t0 + 1 // +1 for the "..." suffix edge
+    })
+  }
+}
