@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThan, LessThan, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Cluster-wide registration entry point:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * injects the vector functions into every session's FunctionRegistry and
+  * adds [[VectorExprSimplification]] to the optimizer. (Per-session
+  * programmatic registration remains available via
+  * [[graft.functions.GraftFunctions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    e.injectFunction((FunctionIdentifier("cosine_similarity"), info("cosine_similarity"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("cosine_distance"), info("cosine_distance"),
+      (es: Seq[Expression]) => CosineDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("euclidean_distance"), info("euclidean_distance"),
+      (es: Seq[Expression]) => EuclideanDistance(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("l2_norm"), info("l2_norm"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+    e.injectFunction((FunctionIdentifier("l2_normalize"), info("l2_normalize"),
+      (es: Seq[Expression]) => L2Normalize(es.head)))
+    e.injectOptimizerRule(_ => VectorExprSimplification)
+  }
+}
+
+/** Algebraic simplifications for the vector expressions:
+  *
+  *  1. cosine over normalized inputs — cosine similarity/distance is
+  *     scale-invariant, so `cosine_*(l2_normalize(x), y)` ≡ `cosine_*(x, y)`
+  *     (each elided normalization removes a full vector pass and a rounding
+  *     step; the unnormalized computation is the more accurate one).
+  *  2. double normalization — `l2_normalize` is idempotent.
+  *  3. threshold-predicate canonicalization —
+  *     `cosine_distance(a,b) < t` ⇔ `cosine_similarity(a,b) > 1-t` when `t`
+  *     is a foldable literal; similarity form skips the final subtraction per
+  *     row and keeps equivalent predicates in one canonical shape for reuse.
+  */
+object VectorExprSimplification extends Rule[LogicalPlan] {
+  private def stripNorm(e: Expression): Expression = e match {
+    case L2Normalize(inner) => stripNorm(inner)
+    case other              => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case CosineSimilarity(a @ L2Normalize(_), b) => CosineSimilarity(stripNorm(a), stripNorm(b))
+    case CosineSimilarity(a, b @ L2Normalize(_)) => CosineSimilarity(stripNorm(a), stripNorm(b))
+    case CosineDistance(a @ L2Normalize(_), b)   => CosineDistance(stripNorm(a), stripNorm(b))
+    case CosineDistance(a, b @ L2Normalize(_))   => CosineDistance(stripNorm(a), stripNorm(b))
+    case L2Normalize(inner @ L2Normalize(_))     => inner
+    case LessThan(CosineDistance(a, b), Literal(t: Double, dt)) =>
+      GreaterThan(CosineSimilarity(a, b), Literal(1.0 - t, dt))
+    case GreaterThan(CosineDistance(a, b), Literal(t: Double, dt)) =>
+      LessThan(CosineSimilarity(a, b), Literal(1.0 - t, dt))
+  }
+}

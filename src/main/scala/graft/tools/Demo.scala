@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
 object Demo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = GraftSession.get(cores = 8)
+    // wire the library the way a cluster deployment would: via config
+    val spark = GraftSession.builder(cores = 8)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.embeddings(spark, dir)
     emb.createOrReplaceTempView("embeddings")
 

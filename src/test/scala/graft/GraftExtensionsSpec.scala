@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // Extensions bind at session construction, and getOrCreate would hand back
+  // the (extension-less) session other suites share — so detach the default
+  // session, build a fresh one on the same SparkContext, and restore after.
+  private var previousDefault: Option[SparkSession] = None
+
+  private lazy val spark: SparkSession = {
+    previousDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    previousDefault.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
+    super.afterAll()
+  }
+
+  test("extension-injected SQL functions resolve without manual registration") {
+    import spark.implicits._
+    Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b").createOrReplaceTempView("ext_v")
+    val d = spark.sql("SELECT cosine_distance(a, b) AS d FROM ext_v").head().getDouble(0)
+    assert(math.abs(d - 1.0) < 1e-12)
+  }
+
+  test("optimizer strips redundant normalization inside cosine") {
+    import spark.implicits._
+    val df = Seq((Seq(3f, 4f), Seq(4f, 3f))).toDF("a", "b")
+    val q = df.select(graft.functions.GraftFunctions.cosine_similarity(
+      graft.functions.GraftFunctions.l2_normalize(col("a")),
+      graft.functions.GraftFunctions.l2_normalize(col("b"))).as("s"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("l2_normalize"), optimized)
+    // value unchanged (cosine is scale-invariant)
+    assert(math.abs(q.head().getDouble(0) - 24.0 / 25.0) < 1e-6)
+  }
+
+  // parquet-backed input below: literal inputs would be constant-folded
+  // before the rewritten expressions become visible in the plan
+  private lazy val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("optimizer collapses double normalization") {
+    val q = emb.select(graft.functions.GraftFunctions.l2_normalize(
+      graft.functions.GraftFunctions.l2_normalize(col("embedding"))).as("n"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert("l2_normalize".r.findAllIn(optimized).size == 1, optimized)
+    assert(q.head().getSeq[Float](0).map(x => x.toDouble * x).sum > 0.999)
+  }
+
+  test("distance thresholds canonicalize to similarity form") {
+    val q = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .filter(graft.functions.GraftFunctions.cosine_distance(
+        col("x.embedding"), col("y.embedding")) < 0.8)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_similarity"), optimized)
+    assert(!optimized.contains("cosine_distance"), optimized)
+    // equivalent predicate: same rows as the unrewritten similarity form
+    val expected = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .filter(graft.functions.GraftFunctions.cosine_similarity(
+        col("x.embedding"), col("y.embedding")) > 0.2)
+      .count()
+    assert(q.count() == expected && expected > 0)
+  }
+}
