@@ -351,17 +351,34 @@ object DedupOps {
   private def hyperplaneSig(emb: Column, planes: Int, seed: Long): Column =
     hyperplaneSigUdf(emb, lit(planes), lit(seed))
 
+  /** Per-executor plane cache: plane values derive deterministically from
+    * (seed, bit, dim) so every executor materializes identical planes once
+    * instead of drawing planes*dim gaussians per row.
+    */
+  private object PlaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+    def get(seed: Long, planes: Int, dim: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((seed, planes, dim), { _ =>
+        Array.tabulate(planes) { b =>
+          val rng = new java.util.Random(seed * 1000003L + b)
+          Array.fill(dim)(rng.nextGaussian())
+        }
+      })
+  }
+
   private val hyperplaneSigUdf = udf { (emb: Seq[Float], planes: Int, seed: Long) =>
     if (emb == null) null
     else {
+      val pl = PlaneCache.get(seed, planes, emb.length)
       var sigBits = 0L
       var b = 0
       while (b < planes) {
-        val rng = new java.util.Random(seed * 1000003L + b)
+        val plane = pl(b)
         var dot = 0.0
         var d = 0
         while (d < emb.length) {
-          dot += emb(d) * rng.nextGaussian()
+          dot += emb(d) * plane(d)
           d += 1
         }
         if (dot >= 0) sigBits |= (1L << b)
