@@ -516,6 +516,24 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10) t
         |WHERE rnk <= 5""".stripMargin,
+    "q20_minhash_lsh" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
+        |), sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = ida
+        |JOIN sz sb ON sb.doc_id = idb
+        |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,
