@@ -361,6 +361,35 @@ object SparkEntry {
         col("duration_ms"), col("format"))
     },
 
+    // Corpus-scale flagship throughput: every lineitem row becomes a text
+    // chunk (~600K at sf0.1), hash-embedded, then the full dedup pipeline
+    // (cluster -> representative -> MMR -> compress) runs over ~6000
+    // request groups in parallel. This is the BASELINE.md throughput
+    // comparison point; rows-only (sequential per-group algorithms).
+    "q38_corpus_pipeline" -> { (s, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // derive a collision-free chunk id from a deterministic within-order
+      // row number.
+      val wOrder = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val chunks = Tables.lineitem(s, dir)
+        .withColumn("line_rn", row_number().over(wOrder))
+        .select(
+          (col("l_orderkey") * 100 + col("line_rn")).as("chunk_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate").cast("string"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_partkey"),
+            col("l_suppkey")).as("text"),
+          (col("l_orderkey") % 6000).as("request_group"),
+          col("l_quantity").as("score"))
+      val embedded = new graft.functions.HashingEmbedder(32)
+        .embed(chunks, "text", "embedding")
+      graft.operators.PipelineOps.dedupPipeline(
+        embedded, "request_group", "chunk_id", "text", "embedding", "score",
+        graft.operators.PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0))
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
