@@ -352,6 +352,20 @@ object SparkEntry {
           col("risk_score"), col("risk"))
     },
 
+    // A9/A10 commit pattern summary: counts by type and risk level.
+    "q39_commit_patterns" -> { (s, dir) =>
+      val commits = commitsAnalog(s, dir)
+      val (ctype, scope, breaking) = graft.operators.CommitOps.parseConventional(col("message"))
+      val parsed = commits
+        .withColumn("commit_type", ctype)
+        .withColumn("scope", scope)
+        .withColumn("breaking", breaking)
+      graft.operators.CommitOps.riskLevel(parsed)
+        .groupBy(col("commit_type"), col("risk"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("insertions").cast("long")).as("sum_insertions"))
+    },
+
     // Multimodal plumbing: binary payloads -> batched decode (stubbed
     // deterministic codec) + feature extraction + frame sampling; rows-only.
     "q36_multimodal_decode" -> { (s, dir) =>
@@ -708,7 +722,56 @@ object SparkEntry {
         |  FROM ct)
         |SELECT doc_id, commit_type, scope, breaking, risk_score,
         |  CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk
-        |FROM risked""".stripMargin
+        |FROM risked""".stripMargin,
+    "q39_commit_patterns" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'feat(' || source || '): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 1 THEN 'fix: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 2 THEN 'revert!: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 3 THEN 'docs(readme): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 4 THEN substring(text, 1, 40)
+        |         ELSE 'perf: hotfix ' || substring(text, 1, 30) END AS message,
+        |    CAST(n_chars AS INT) AS insertions, CAST(doc_id % 100 AS INT) AS deletions,
+        |    CAST(doc_id % 30 AS INT) AS n_files
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT *, trim(message) AS msg,
+        |    (contains(trim(message), 'BREAKING CHANGE') OR contains(trim(message), '!')) AS breaking,
+        |    (strpos(trim(message), ':') > 0) AS has_colon,
+        |    regexp_replace(trim(regexp_extract(trim(message), '^([^:]*):', 1)), '!$$', '') AS prefix
+        |  FROM c),
+        |typed AS (
+        |  SELECT *,
+        |    CASE WHEN has_colon THEN regexp_extract(prefix, '\\(([^)]*)\\)', 1) ELSE '' END AS scope,
+        |    lower(regexp_replace(prefix, '\\(.*$$', '')) AS bare
+        |  FROM parsed),
+        |ct AS (
+        |  SELECT *,
+        |    CASE WHEN NOT has_colon THEN 'unknown'
+        |         WHEN bare IN ('feat', 'feature') THEN 'feat'
+        |         WHEN bare IN ('fix', 'bugfix') THEN 'fix'
+        |         WHEN bare = 'refactor' THEN 'refactor'
+        |         WHEN bare IN ('test', 'tests') THEN 'test'
+        |         WHEN bare IN ('docs', 'doc') THEN 'docs'
+        |         WHEN bare = 'chore' THEN 'chore'
+        |         WHEN bare = 'perf' THEN 'perf'
+        |         WHEN bare = 'revert' THEN 'revert'
+        |         ELSE 'unknown' END AS commit_type
+        |  FROM typed),
+        |risked AS (
+        |  SELECT *,
+        |    (CASE WHEN breaking THEN 3 ELSE 0 END) +
+        |    (CASE WHEN insertions + deletions > 500 THEN 2 WHEN insertions + deletions > 200 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_files > 20 THEN 2 WHEN n_files > 10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'revert' THEN 3 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'fix' AND n_files > 5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN ${CommitOracle.riskKwExpr} THEN 1 ELSE 0 END) AS risk_score
+        |  FROM ct)
+        |SELECT commit_type,
+        |  CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk,
+        |  count(*) AS n, sum(CAST(insertions AS BIGINT)) AS sum_insertions
+        |FROM risked GROUP BY 1, 2""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as
