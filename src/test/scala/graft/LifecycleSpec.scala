@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{MemoryOps, SessionOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lifecycle scenarios mirroring the reference's integration
+  * tests (pkg/memory/memory_test.go store/recall/decay roundtrip,
+  * pkg/session/session_test.go push/budget/boundary): multiple batch rounds
+  * over the same tables with simulated time.
+  */
+class LifecycleSpec extends AnyFunSuite with SparkTest {
+
+  private def unit(axis: Int, eps: Float = 0f): Seq[Float] = {
+    val v = Array.fill(8)(0f)
+    v(axis) = 1f
+    v(7) = v(7) + eps
+    v.toSeq
+  }
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  test("memory lifecycle: store with dedup -> recall -> touch -> decay -> stats") {
+    import spark.implicits._
+    // day 0: initial store
+    var memories = Seq(
+      ("m1", "the engine uses catalyst for planning", unit(0), Seq("eng")),
+      ("m2", "cooking pasta requires salted water", unit(1), Seq("food"))
+    ).toDF("id", "text", "embedding", "tags")
+      .withColumn("source", lit("seed"))
+      .withColumn("decay_level", lit(0))
+      .withColumn("expired", lit(false))
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+      .withColumn("expired_at", lit(null).cast("timestamp"))
+      .withColumn("superseded_by", lit(null).cast("string"))
+      .withColumn("access_count", lit(0))
+      .withColumn("last_referenced", ts("2024-01-01 00:00:00"))
+      .withColumn("created_at", ts("2024-01-01 00:00:00"))
+
+    // day 1: a new batch arrives — one duplicate, one conflict, one new
+    val incoming = Seq(
+      ("m3", "catalyst plans the engine queries", unit(0, 0.02f), Seq("eng")),   // dup of m1
+      ("m4", "engines and catalysts, broadly", Seq(0.8f, 0f, 0f, 0f, 0f, 0f, 0f, 0.6f), Seq("eng")), // conflict band
+      ("m5", "gardening in spring", unit(3), Seq("garden"))
+    ).toDF("id", "text", "embedding", "tags")
+    val flagged = MemoryOps.writeDedup(incoming, memories)
+    val dups = flagged.filter(col("dup_of").isNotNull)
+    val newRows = flagged.filter(col("dup_of").isNull)
+      .select(col("id"), col("text"), col("embedding"), col("tags"))
+      .withColumn("source", lit("batch1"))
+      .withColumn("decay_level", lit(0))
+      .withColumn("expired", lit(false))
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+      .withColumn("expired_at", lit(null).cast("timestamp"))
+      .withColumn("superseded_by", lit(null).cast("string"))
+      .withColumn("access_count", lit(0))
+      .withColumn("last_referenced", ts("2024-01-02 00:00:00"))
+      .withColumn("created_at", ts("2024-01-02 00:00:00"))
+    assert(dups.select("id").as[String].collect().toSeq == Seq("m3"))
+    // duplicate touch-through: the original gets its reference refreshed
+    memories = MemoryOps.touch(memories, dups.select(col("dup_of").as("id")), ts("2024-01-02 00:00:00"))
+    memories = memories.unionByName(newRows)
+    assert(memories.count() == 4) // m1 m2 m4 m5; m3 absorbed
+
+    // recall with the m1 embedding: m1 ranks first, gets touched again
+    val recalled = MemoryOps.recall(memories, Some(unit(0).toArray),
+      MemoryOps.RecallParams(maxResults = 2), ts("2024-01-03 00:00:00"))
+    assert(recalled.orderBy("rank").select("id").as[String].head() == "m1")
+    memories = MemoryOps.touch(memories, recalled.select("id"), ts("2024-01-03 00:00:00"))
+    val m1 = memories.filter(col("id") === "m1").head()
+    assert(m1.getAs[Int]("access_count") == 2)
+
+    // day 40: decay pass — untouched m2 (level 0, 39 days) summarizes;
+    // touched m1 only ages from day 3
+    val (afterDecay, events) = MemoryOps.decayOnce(memories, ts("2024-02-10 00:00:00"))
+    val evMap = events.collect().map(r => r.getAs[String]("entry_id") -> r.getAs[String]("event_type")).toMap
+    assert(evMap.keySet.contains("m2") && evMap("m2") == "compressed")
+    val levels = afterDecay.collect().map(r => r.getAs[String]("id") -> r.getAs[Int]("decay_level")).toMap
+    assert(levels("m2") == 1)
+    assert(MemoryOps.stats(afterDecay).agg(sum("n")).head().getLong(0) == 4L)
+  }
+
+  test("session lifecycle: pushes with dedup -> budget sweep -> boundary advances") {
+    import spark.implicits._
+    def entryRow(id: String, seq: Int, push: Int, tokens: Int, text: String, emb: Seq[Float]) =
+      (id, "s1", seq, push, 0, tokens, text, text, 0.5, emb)
+    def toDf(rows: Seq[(String, String, Int, Int, Int, Int, String, String, Double, Seq[Float])]): DataFrame =
+      rows.toDF("id", "session_id", "seq", "inserted_at_push", "stable_since_turn",
+        "tokens", "content", "original_content", "importance", "embedding")
+        .withColumn("compression_level", lit(0))
+
+    // push 1-2: six entries, one duplicate within push 2
+    var entries = toDf(Seq(
+      entryRow("e1", 1, 1, 400, "intro context block one. more text here.", unit(0)),
+      entryRow("e2", 2, 1, 400, "tool output block two. data follows now.", unit(1)),
+      entryRow("e3", 3, 2, 400, "assistant reply three. reasoning follows.", unit(2))))
+    val push2 = toDf(Seq(
+      entryRow("e4", 4, 2, 400, "user question four. asking for details.", unit(3)),
+      entryRow("e5", 5, 2, 400, "intro context block one, again basically.", unit(0, 0.01f))))
+    val deduped = SessionOps.pushDedup(push2, entries)
+    assert(deduped.filter(col("is_duplicate")).select("id").as[String].collect().toSeq == Seq("e5"))
+    entries = entries.unionByName(push2.join(
+      deduped.filter(!col("is_duplicate")).select(col("id").as("keep_id")),
+      col("id") === col("keep_id"), "left_semi"))
+    assert(entries.count() == 4)
+
+    // after push 4 the early entries become stable
+    entries = SessionOps.recordPush(entries, pushCount = 4, minStableTurns = 2)
+    val stable = entries.filter(col("stable_since_turn") > 0).select("id").as[String].collect().toSet
+    assert(stable == Set("e1", "e2", "e3", "e4"))
+
+    // boundary: markers appear once the cumulative prefix crosses 1024 tokens
+    val markers = SessionOps.evaluateCacheBoundary(entries,
+      SessionOps.BoundaryConfig(minStableTurns = 2, minPrefixTokens = 1024, maxMarkers = 4))
+    val markerIds = markers.orderBy("marker_rank").select("entry_id").as[String].collect().toSeq
+    assert(markerIds == Seq("e3", "e4")) // cum 1200, 1600
+    val delta = SessionOps.boundaryDelta(markers,
+      Seq(("s1", 0L)).toDF("id", "cache_boundary_tokens")).head()
+    assert(delta.getAs[Boolean]("advanced") && !delta.getAs[Boolean]("retreated"))
+
+    // budget sweep: 1600 tokens > 900 budget -> oldest low-importance
+    // entries compress (all importance equal -> seq order wins)
+    val actions = SessionOps.enforceBudget(entries, maxTokens = 900, preserveRecent = 1)
+      .orderBy("id").collect()
+    assert(actions.nonEmpty)
+    assert(actions.forall(_.getAs[String]("action") == "compressed"))
+    assert(actions.head.getAs[String]("id") == "e1")
+  }
+}
