@@ -352,6 +352,21 @@ object SparkEntry {
           col("risk_score"), col("risk"))
     },
 
+    // SQL-first path: the same engine through spark.sql with the
+    // registry-injected vector functions (nearest neighbor per query vector).
+    "q40_sql_knn" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT query_id, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+          |  FROM embeddings_v q JOIN embeddings_v c
+          |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+          |WHERE rnk = 1""".stripMargin)
+    },
+
     // A9/A10 commit pattern summary: counts by type and risk level.
     "q39_commit_patterns" -> { (s, dir) =>
       val commits = commitsAnalog(s, dir)
@@ -577,6 +592,14 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = ida
         |JOIN sz sb ON sb.doc_id = idb
         |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
+    "q40_sql_knn" ->
+      """SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+        |WHERE rnk = 1""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,
