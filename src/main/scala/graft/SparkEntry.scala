@@ -519,14 +519,14 @@ object SparkEntry {
         |  FROM events) t
         |WHERE cum_value <= 500.0""".stripMargin,
     "q08_json_extract" ->
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, count(*) AS n
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
     "q09_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
     "q10_token_stats" ->
       """SELECT source,
-        |  sum(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END) AS sum_tokens,
-        |  sum((length(regexp_replace(text, '\s+', '', 'g')) + 3) // 4) AS sum_tokens_nows
+        |  CAST(sum(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END) AS BIGINT) AS sum_tokens,
+        |  CAST(sum((length(regexp_replace(text, '[ \t\n\r\f]+', '', 'g')) + 3) // 4) AS BIGINT) AS sum_tokens_nows
         |FROM documents GROUP BY source""".stripMargin,
     "q11_sensitivity_histogram" ->
       s"""SELECT ${sensitivityOracleExpr("text")} AS lvl, count(*) AS n
@@ -538,7 +538,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q13_lang_quality" ->
       s"""SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN ${langOracleExpr("text")} = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |  CAST(sum(CASE WHEN ${langOracleExpr("text")} = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
         |  CAST(sum(CAST(${qualityOracleExpr("text")} AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
         |FROM documents GROUP BY source""".stripMargin,
     "q14_fingerprint_dedup" ->
@@ -669,8 +669,8 @@ object SparkEntry {
         |capped AS (
         |  SELECT *, row_number() OVER (PARTITION BY session_id ORDER BY cum DESC, seq ASC) AS top_rank
         |  FROM c WHERE stable_since_turn > 0 AND stable_since_turn <= 2 AND cum >= 500)
-        |SELECT session_id, id AS entry_id, cum AS tokens_up_to_here,
-        |  row_number() OVER (PARTITION BY session_id ORDER BY cum ASC) AS marker_rank
+        |SELECT session_id, id AS entry_id, CAST(cum AS BIGINT) AS tokens_up_to_here,
+        |  row_number() OVER (PARTITION BY session_id ORDER BY cum ASC, seq ASC) AS marker_rank
         |FROM capped WHERE top_rank <= 4""".stripMargin,
     "q33_pattern_markers" ->
       s"""WITH t AS (SELECT source, doc_id, text, lower(text) AS lo, (strlen(text) + 3) // 4 AS tok FROM documents),
@@ -793,7 +793,7 @@ object SparkEntry {
         |  FROM ct)
         |SELECT commit_type,
         |  CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk,
-        |  count(*) AS n, sum(CAST(insertions AS BIGINT)) AS sum_insertions
+        |  count(*) AS n, CAST(sum(CAST(insertions AS BIGINT)) AS BIGINT) AS sum_insertions
         |FROM risked GROUP BY 1, 2""".stripMargin
   )
 

@@ -24,9 +24,12 @@ object TextFunctions {
     when(octet_length(text) === 0, 0)
       .otherwise(((octet_length(text) + lit(3)) / lit(4)).cast("int"))
 
-  /** Whitespace-excluded variant: ceil(non-space chars / 4). */
+  /** Whitespace-excluded variant: ceil(non-space chars / 4). The whitespace
+    * class is spelled out explicitly — Java's \s includes \x0B while RE2's
+    * (DuckDB's) does not, so a bare \s+ silently diverges across engines.
+    */
   def tokens_nows(text: Column): Column =
-    ((length(regexp_replace(text, "\\s+", "")) + lit(3)) / lit(4)).cast("int")
+    ((length(regexp_replace(text, "[ \\t\\n\\r\\f]+", "")) + lit(3)) / lit(4)).cast("int")
 
   /** Token counting with a BPE-ish word/number/punct segmentation regex —
     * closer to real tokenizer counts than chars/4 for mixed prose+code.

@@ -147,7 +147,10 @@ object SessionOps {
       .orderBy(col("tokens_up_to_here").desc, col("seq").asc)
     val capped = eligible.withColumn("top_rank", row_number().over(wTop))
       .filter(col("top_rank") <= cfg.maxMarkers)
-    val wDoc = Window.partitionBy(col("session_id")).orderBy(col("tokens_up_to_here").asc)
+    // seq tie-break: zero-token entries share a cumulative value, and an
+    // untied window would hand out marker_rank nondeterministically.
+    val wDoc = Window.partitionBy(col("session_id"))
+      .orderBy(col("tokens_up_to_here").asc, col("seq").asc)
     capped.withColumn("marker_rank", row_number().over(wDoc))
       .select(col("session_id"), col("id").as("entry_id"),
         col("tokens_up_to_here"), col("stable_since_turn"), col("marker_rank"))

@@ -8,6 +8,7 @@ Reads each <verifyOutDir>/<name>/ parquet result, runs the matching SQL from
 oracle_sql.json in DuckDB against <sfDir>/*.parquet tables, and compares
 (schema-sorted columns, row-sorted values, exact equality).
 """
+import decimal
 import json
 import math
 import sys
@@ -30,6 +31,11 @@ def canon(rows, cols):
 
 
 def norm(v):
+    # Decimal compares equal to int in Python; tag it so a DuckDB HUGEINT
+    # (decimal128) column fails against Spark's int64 like the driver's
+    # typed hash does.
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -55,9 +61,14 @@ def main(sf_dir, out_dir):
             spark_cols = spark_tbl.column_names
             spark_rows = [tuple(d[c] for c in spark_cols)
                           for d in spark_tbl.to_pylist()]
-            res = con.execute(sql)
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            # Fetch through Arrow so DuckDB's wide types survive (an integer
+            # sum is HUGEINT -> decimal128 in Arrow, which the driver's typed
+            # hash distinguishes from Spark's int64; fetchall() would mask it
+            # by converting both to Python int).
+            duck_tbl = con.execute(sql).arrow()
+            duck_cols = duck_tbl.column_names
+            duck_rows = [tuple(d[c] for c in duck_cols)
+                         for d in duck_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
