@@ -335,7 +335,8 @@ object SparkEntry {
       val edges = supNation.union(nationRegion)
       val changed = s.createDataFrame(Seq(Tuple1("r0"))).toDF("id")
       graft.operators.GraphOps.blastRadius(edges, changed)
-        .select(col("id"), col("depth"), col("impact_score"))
+        .select(col("id"), col("depth"), col("impact_score"),
+          array_join(col("path"), "/").as("path"))
     },
 
     // F17/F18 Conventional-Commit parse + risk scoring over synthetic
@@ -693,10 +694,12 @@ object SparkEntry {
         |  FROM rec) x
         |WHERE marker_rank <= 4""".stripMargin,
     "q34_blast_radius" ->
-      """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id, 1 AS depth, CAST(1.0 AS DOUBLE) AS impact_score
+      """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id, 1 AS depth, CAST(1.0 AS DOUBLE) AS impact_score,
+        |  'r0/n' || CAST(n_nationkey AS VARCHAR) AS path
         |FROM nation WHERE n_regionkey = 0
         |UNION ALL
-        |SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id, 2 AS depth, CAST(0.5 AS DOUBLE) AS impact_score
+        |SELECT 's' || CAST(s_suppkey AS VARCHAR) AS id, 2 AS depth, CAST(0.5 AS DOUBLE) AS impact_score,
+        |  'r0/n' || CAST(n_nationkey AS VARCHAR) || '/s' || CAST(s_suppkey AS VARCHAR) AS path
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_regionkey = 0""".stripMargin,
     "q35_commit_risk" ->
       s"""WITH c AS (

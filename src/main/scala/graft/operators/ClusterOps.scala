@@ -128,10 +128,15 @@ object ClusterOps {
   def kmeansDedup(df: DataFrame, idCol: String, embCol: String,
                   k0: Int = 0, pruneThreshold: Double = 0.05,
                   maxIter: Int = 10, seed: Long = 42L): DataFrame = {
-    val n = df.count()
-    val k = if (k0 > 0) k0 else math.max(1, math.sqrt(n / 2.0).toInt)
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // Persist the UDF-built features once: KMeans.fit iterates maxIter times
+    // and transform scans again — without the cache each pass would re-read
+    // the source and re-run the UDF.
     val withFeatures = df.withColumn("features", toVec(col(embCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // K = sqrt(N/2): when K isn't given the count doubles as the cache
+    // materialization, so it costs no extra scan.
+    val k = if (k0 > 0) k0 else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("features").fit(withFeatures)
     val assigned = model.transform(withFeatures)

@@ -44,13 +44,20 @@ object CommitOps {
     (ctype, scope, breaking)
   }
 
-  /** F18 risk scoring (commits.go:146-205): additive score → low/medium/high.
-    * Expects columns commit_type, breaking, insertions, deletions,
-    * n_files, message.
+  /** F18 risk scoring (commits.go:146-205): additive score → low/medium/high,
+    * plus the reference's RiskReasons array (one label per triggered signal,
+    * in the reference's emission order; the keyword reason names the FIRST
+    * matching keyword, mirroring the loop's break). Expects columns
+    * commit_type, breaking, insertions, deletions, n_files, message.
     */
   def riskLevel(df: DataFrame): DataFrame = {
     val totalLines = col("insertions") + col("deletions")
-    val kwHit = riskKeywords.map(k => lower(col("message")).contains(lit(k))).reduce(_ || _)
+    val lowered = lower(col("message"))
+    val kwHit = riskKeywords.map(k => lowered.contains(lit(k))).reduce(_ || _)
+    // first matching keyword, in list order (the reference breaks on first hit)
+    val firstKw = riskKeywords.foldRight(lit(null).cast("string")) { (k, acc) =>
+      when(lowered.contains(lit(k)), k).otherwise(acc)
+    }
     val score =
       when(col("breaking"), 3).otherwise(0) +
         when(totalLines > 500, 2).when(totalLines > 200, 1).otherwise(0) +
@@ -58,14 +65,48 @@ object CommitOps {
         when(col("commit_type") === "revert", 3).otherwise(0) +
         when(col("commit_type") === "fix" && col("n_files") > 5, 1).otherwise(0) +
         when(kwHit, 1).otherwise(0)
+    val reasons = array_compact(array(
+      when(col("breaking"), "breaking change"),
+      when(totalLines > 500, concat(lit("large diff ("), totalLines.cast("string"), lit(" lines)")))
+        .when(totalLines > 200, concat(lit("medium diff ("), totalLines.cast("string"), lit(" lines)"))),
+      when(col("n_files") > 20, concat(col("n_files").cast("string"), lit(" files changed"))),
+      when(col("commit_type") === "revert", "revert commit"),
+      when(col("commit_type") === "fix" && col("n_files") > 5, "broad fix"),
+      when(kwHit, concat(lit("risk keyword: "), firstKw))
+    ))
     df.withColumn("risk_score", score)
       .withColumn("risk",
         when(score >= 3, "high").when(score >= 1, "medium").otherwise("low"))
+      .withColumn("risk_reasons", reasons)
   }
 
-  /** A9 risk summary: counts by level + top reason keywords via explode. */
-  def riskSummary(df: DataFrame): DataFrame =
-    df.groupBy(col("risk")).agg(count(lit(1)).as("n"))
+  /** A9 risk summary (commits.go:307-349): per-level counts, the top-3 risk
+    * reasons by frequency (ties broken by reason string for determinism —
+    * the reference's map iteration leaves ties unspecified), and the overall
+    * risk level (any high → high, else any medium → medium, else low).
+    * One-row result; reason frequencies aggregate via explode + count.
+    */
+  def riskSummary(df: DataFrame): DataFrame = {
+    val levels = df.agg(
+      sum(when(col("risk") === "high", 1).otherwise(0)).cast("long").as("high_count"),
+      sum(when(col("risk") === "medium", 1).otherwise(0)).cast("long").as("medium_count"),
+      sum(when(col("risk") === "low", 1).otherwise(0)).cast("long").as("low_count"))
+    val topReasons = df.select(explode(col("risk_reasons")).as("reason"))
+      .groupBy(col("reason")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("reason").asc)
+      .limit(3)
+      .agg(collect_list(struct(col("cnt"), col("reason"))).as("top_raw"))
+      .select(transform(array_sort(col("top_raw"),
+          (a, b) => when(a("cnt") > b("cnt"), -1).when(a("cnt") < b("cnt"), 1)
+            .when(a("reason") < b("reason"), -1).when(a("reason") > b("reason"), 1)
+            .otherwise(0)),
+        x => x("reason")).as("top_risk_reasons"))
+    levels.crossJoin(topReasons)
+      .withColumn("overall_risk",
+        when(col("high_count") > 0, "high")
+          .when(col("medium_count") > 0, "medium")
+          .otherwise("low"))
+  }
 
   /** A10 pattern detection: counts by type; high-churn files (≥ minChanges
     * changes) via explode + groupBy.
@@ -76,16 +117,29 @@ object CommitOps {
       .filter(col("n_changes") >= minChanges)
 
   /** J5 commit similarity: query embedding vs corpus, min similarity 0.5,
-    * top-K (commits.go:216-250) — broadcast-KNN, deterministic tie-break.
+    * top-K (commits.go:216-250). orderBy().limit() compiles to
+    * TakeOrderedAndProject (per-partition k-heaps, merged on the driver), so
+    * the corpus is never collected into a single-partition window; the rank
+    * window runs on the <= k surviving rows under a constant partition key.
     */
   def findSimilar(commits: DataFrame, queryEmb: Array[Float], idCol: String,
                   embCol: String, minSimilarity: Double = 0.5, k: Int = 10): DataFrame = {
     val q = typedLit(queryEmb.toSeq).cast("array<float>")
-    val w = Window.orderBy(col("sim").desc, col(idCol).asc)
-    commits
+    val top = commits
       .withColumn("sim", graft.functions.GraftFunctions.cosine_similarity(col(embCol), q))
       .filter(col("sim") >= minSimilarity)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+    // rank the <= k survivors via array pack + posexplode — no WindowExec,
+    // so no unpartitioned-window single-partition path in the plan.
+    val keyed = struct((-col("sim")).as("k1"), col(idCol).as("k2"),
+      struct(top.columns.map(col): _*).as("row"))
+    val cmp = (a: Column, b: Column) =>
+      when(a("k1") < b("k1"), -1).when(a("k1") > b("k1"), 1)
+        .when(a("k2") < b("k2"), -1).when(a("k2") > b("k2"), 1)
+        .otherwise(0)
+    top.agg(array_sort(collect_list(keyed), cmp).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "r")))
+      .select(col("r.row.*"), (col("pos") + 1).cast("int").as("rnk"))
   }
 }

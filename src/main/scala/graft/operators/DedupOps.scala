@@ -351,6 +351,29 @@ object DedupOps {
   private def hyperplaneSig(emb: Column, planes: Int, seed: Long): Column =
     hyperplaneSigUdf(emb, lit(planes), lit(seed))
 
+  /** Explode a row into its (band, bkey) LSH bucket keys — the blocking
+    * primitive behind `embeddingNearDupPairs`, exposed so other operators
+    * (memory write-dedup, session push-dedup) can route their similarity
+    * probes through a keyed shuffle instead of a broadcast theta join.
+    * Output: all `keep` columns plus (band, bkey).
+    */
+  def hyperplaneBandKeys(df: DataFrame, embCol: String, keep: Seq[String],
+                         planes: Int = 32, bandBits: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    require(planes % bandBits == 0, "bandBits must divide planes")
+    val bands = planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val sig = hyperplaneSig(col(embCol), planes, seed)
+    df.select(keep.map(col) :+ sig.as("hsig"): _*)
+      .select(
+        keep.map(col) :+
+          posexplode(
+            array((0 until bands).map(i =>
+              shiftright(col("hsig"), i * bandBits).bitwiseAND(lit(mask))): _*)
+          ).as(Seq("band", "bkey")): _*
+      )
+  }
+
   /** Per-executor plane cache: plane values derive deterministically from
     * (seed, bit, dim) so every executor materializes identical planes once
     * instead of drawing planes*dim gaussians per row.

@@ -14,15 +14,24 @@ object GraphOps {
 
   /** BFS over reverse edges: which nodes transitively depend on `changed`.
     * edges(src, dst) means src depends on dst; traversal walks dst→src.
-    * Returns (id, depth, impact_score) with impact 1.0·0.5^(depth−1),
-    * shallowest depth per node (graph.go:130-209). maxDepth 0 = unlimited
-    * (bounded by graph diameter).
+    * Returns (id, depth, impact_score, path) with impact 1.0·0.5^(depth−1),
+    * shallowest depth per node, and the shortest path from the changed seed
+    * as an array of node ids (graph.go:130-209, the Path field; where the
+    * reference keeps whichever path BFS found first, this keeps the
+    * lexicographically smallest — deterministic across partitionings).
+    * maxDepth 0 = unlimited (bounded by graph diameter).
+    *
+    * Each frontier is localCheckpoint-ed (eager): lineage stays flat no
+    * matter how deep the graph is, and the per-round isEmpty doubles as the
+    * materializing action. On a real cluster with a checkpoint dir
+    * configured, prefer reliable checkpoints for very deep traversals.
     */
   def blastRadius(edges: DataFrame, changed: DataFrame, maxDepth: Int = 0): DataFrame = {
     val rev = edges.select(col("dst").as("from_node"), col("src").as("to_node"))
     var visited = changed.select(col("id")).distinct()
       .withColumn("depth", lit(0))
-    visited.cache()
+      .withColumn("path", array(col("id")))
+      .localCheckpoint()
     var frontier = visited
     var depth = 0
     var done = false
@@ -31,15 +40,17 @@ object GraphOps {
       if (maxDepth > 0 && depth > maxDepth) done = true
       else {
         val next = frontier.join(rev, frontier("id") === rev("from_node"))
-          .select(col("to_node").as("id"))
-          .distinct()
+          .select(col("to_node").as("id"),
+            concat(col("path"), array(col("to_node"))).as("path"))
+          .groupBy(col("id"))
+          .agg(min(col("path")).as("path"))
           .join(visited.select(col("id").as("v_id")), col("id") === col("v_id"), "left_anti")
           .withColumn("depth", lit(depth))
-        next.cache()
+          .select(col("id"), col("depth"), col("path"))
+          .localCheckpoint()
         if (next.isEmpty) done = true
         else {
           visited = visited.union(next)
-          visited.cache()
           frontier = next
         }
       }

@@ -74,49 +74,135 @@ object MemoryOps {
     var scored = m.withColumn("relevance", relevance)
     if (params.minRelevance > 0) scored = scored.filter(col("relevance") >= params.minRelevance)
 
-    val wRank = Window.orderBy(col("relevance").desc, col("id").asc)
-    val ranked = scored
-      .withColumn("rank", row_number().over(wRank))
-      .withColumn("mem_tokens", TextFunctions.tokens_raw(col("text")))
+    // Scale shape: orderBy().limit() compiles to TakeOrderedAndProject —
+    // every partition keeps its own maxResults candidates and the driver
+    // merges k-sized heaps, so the store is never shuffled to one partition
+    // (the old global Window.orderBy was exactly that, and flooded the logs
+    // with "No Partition Defined" warnings).
+    val top = scored
+      .orderBy(col("relevance").desc, col("id").asc)
+      .limit(params.maxResults)
+
+    // rank + running token total on the surviving <= maxResults rows,
+    // WITHOUT WindowExec: pack the bounded result into one sorted array and
+    // posexplode. (An unpartitioned window would log the "No Partition
+    // Defined" scale warning even here; a constant partition key gets
+    // folded away. The O(k²) prefix sums are over a config-sized k.)
+    val payload = struct(top.columns.map(col): _*)
+    val keyed = struct((-col("relevance")).as("k1"), col("id").as("k2"), payload.as("row"))
+    val cmp = (a: Column, b: Column) =>
+      when(a("k1") < b("k1"), -1).when(a("k1") > b("k1"), 1)
+        .when(a("k2") < b("k2"), -1).when(a("k2") > b("k2"), 1)
+        .otherwise(0)
+    val ranked = top
+      .agg(array_sort(collect_list(keyed), cmp).as("arr"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("pos", "r")))
+      .withColumn("rank", (col("pos") + 1).cast("int"))
       .withColumn("cum_tokens",
-        sum(col("mem_tokens")).over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        aggregate(slice(col("arr"), lit(1), col("pos") + 1), lit(0L),
+          (acc, x) => acc + TextFunctions.tokens_raw(x("row")("text")).cast("long")))
+    // take-while cutoff: tokens are non-negative, so the running sum is
+    // monotone and "stop at the first violation" is the same set as
+    // "keep while cum <= budget" — no driver-side min(rank) job needed.
     val budgeted =
-      if (params.maxTokens > 0) {
-        // take-while: stop at the first violating rank
-        val firstViolation = ranked.filter(col("cum_tokens") > params.maxTokens)
-          .agg(min(col("rank"))).head()
-        val cut = if (firstViolation.isNullAt(0)) Int.MaxValue else firstViolation.getInt(0)
-        ranked.filter(col("rank") < cut)
-      } else ranked
-    budgeted.filter(col("rank") <= params.maxResults)
-      .drop("mem_tokens", "cum_tokens")
+      if (params.maxTokens > 0) ranked.filter(col("cum_tokens") <= params.maxTokens)
+      else ranked
+    budgeted.select(col("r.row.*"), col("rank"))
   }
+
+  /** Recall with the reference's result metadata
+    * (/root/reference/pkg/memory/sqlite.go:460-530): a cache-boundary hint —
+    * entries with relevance >= 0.7 are stable candidates, hint confidence is
+    * the mean relevance of the returned set — and sensitivity metadata
+    * (per-entry level, result-wide max). All pure expressions over the
+    * recalled rows; the result-wide aggregates window over the (<=
+    * maxResults) returned set.
+    */
+  def recallWithHints(memories: DataFrame, queryEmbedding: Option[Array[Float]],
+                      params: RecallParams, now: Column,
+                      stableRelevance: Double = 0.7): DataFrame = {
+    val recalled = recall(memories, queryEmbedding, params, now)
+      .withColumn("sensitivity", TextFunctions.sensitivity_level(col("text")))
+      .withColumn("stable_hint", col("relevance") >= stableRelevance)
+    // Result-wide hint confidence (mean relevance, the reference's
+    // totalScore/len) and max sensitivity: a one-row aggregate cross-joined
+    // back — the recalled set is config-bounded, and summing in DECIMAL
+    // keeps the mean order-independent across engines.
+    val totals = recalled.agg(
+      (sum(col("relevance").cast("decimal(28,15)")).cast("double") / count(lit(1)))
+        .as("hint_confidence"),
+      max(col("sensitivity")).as("max_sensitivity"))
+    recalled.crossJoin(broadcast(totals))
+  }
+
+  final case class WriteDedupConfig(
+      dedupThreshold: Double = 0.15,
+      conflictThreshold: Double = 0.35,
+      /** "exact"  — compare each batch row against every store row
+        *            (broadcast of the SMALL batch against the store scan);
+        * "lsh"    — hyperplane-LSH blocking: candidates share a signature
+        *            band, so the probe is a keyed shuffle join. Approximate
+        *            (recall follows the banding curve) but the only shape
+        *            that survives a store that no longer fits a broadcast. */
+      strategy: String = "exact",
+      planes: Int = 32,
+      bandBits: Int = 8,
+      seed: Long = 42L)
 
   /** J3 write-time dedup probe: classify each new entry as duplicate
     * (min distance < dedupThreshold), conflicted (any distance in
-    * [dedupThreshold, conflictThreshold)), or new. Two-stage per SURVEY §7.4
-    * risk 2: within-batch self-dedup first (vs lower-id batch rows), then a
-    * broadcast join against the store. Returns the new entries with
-    * `dup_of` (nullable id) and `conflict_ids` (array).
+    * [dedupThreshold, conflictThreshold)), or new. Candidates come from the
+    * store ∪ lower-id rows of the same batch (two-stage per SURVEY §7.4
+    * risk 2); the reference's own TODO (pkg/memory/sqlite.go:240-242) wants
+    * exactly the pre-filter the "lsh" strategy supplies. Returns the new
+    * entries with `dup_of` (nullable id) and `conflict_ids` (array).
+    *
+    * Scale note: "exact" broadcasts the BATCH (small, bounded by write
+    * size) and scans the store once — never the reverse; "lsh" replaces the
+    * theta join entirely with a shuffle keyed on signature bands.
     */
   def writeDedup(newEntries: DataFrame, existing: DataFrame,
-                 dedupThreshold: Double = 0.15,
-                 conflictThreshold: Double = 0.35): DataFrame = {
+                 cfg: WriteDedupConfig = WriteDedupConfig()): DataFrame = {
+    val dedupThreshold = cfg.dedupThreshold
+    val conflictThreshold = cfg.conflictThreshold
     val ex = existing.filter(!col("expired"))
       .select(col("id").as("ex_id"), col("embedding").as("ex_emb"))
     val batch = newEntries.select(col("id").as("b_id"), col("embedding").as("b_emb"))
 
-    // candidate matches: store ∪ lower-id rows of the same batch
-    val vsStore = newEntries.as("n")
-      .join(broadcast(ex), GraftFunctions.cosine_distance(col("n.embedding"), col("ex_emb")) < conflictThreshold, "inner")
-      .select(col("n.id").as("nid"), col("ex_id").as("mid"),
-        GraftFunctions.cosine_distance(col("n.embedding"), col("ex_emb")).as("dist"))
-    val vsBatch = newEntries.as("n")
-      .join(broadcast(batch), col("b_id") < col("n.id") &&
-        GraftFunctions.cosine_distance(col("n.embedding"), col("b_emb")) < conflictThreshold, "inner")
-      .select(col("n.id").as("nid"), col("b_id").as("mid"),
-        GraftFunctions.cosine_distance(col("n.embedding"), col("b_emb")).as("dist"))
-    val matches = vsStore.union(vsBatch)
+    val matches: DataFrame = cfg.strategy match {
+      case "exact" =>
+        // Broadcast the batch (the small side); the store is only scanned.
+        val bB = broadcast(batch)
+        val vsStore = ex.join(bB,
+          GraftFunctions.cosine_distance(col("ex_emb"), col("b_emb")) < conflictThreshold)
+          .select(col("b_id").as("nid"), col("ex_id").as("mid"),
+            GraftFunctions.cosine_distance(col("ex_emb"), col("b_emb")).as("dist"))
+        val vsBatch = batch.as("n")
+          .join(bB.as("p"), col("p.b_id") < col("n.b_id") &&
+            GraftFunctions.cosine_distance(col("n.b_emb"), col("p.b_emb")) < conflictThreshold)
+          .select(col("n.b_id").as("nid"), col("p.b_id").as("mid"),
+            GraftFunctions.cosine_distance(col("n.b_emb"), col("p.b_emb")).as("dist"))
+        vsStore.union(vsBatch)
+      case "lsh" =>
+        // Keyed-shuffle candidates: batch rows meet store/batch rows that
+        // share a hyperplane signature band; exact distance verifies.
+        val probe = DedupOps.hyperplaneBandKeys(
+          batch.select(col("b_id").as("nid"), col("b_emb").as("nemb")),
+          "nemb", Seq("nid", "nemb"), cfg.planes, cfg.bandBits, cfg.seed)
+        val target = DedupOps.hyperplaneBandKeys(
+          ex.select(col("ex_id").as("mid"), col("ex_emb").as("memb"), lit(true).as("from_store"))
+            .union(batch.select(col("b_id"), col("b_emb"), lit(false))),
+          "memb", Seq("mid", "memb", "from_store"), cfg.planes, cfg.bandBits, cfg.seed)
+        probe.join(target,
+          probe("band") === target("band") && probe("bkey") === target("bkey") &&
+            (col("from_store") || col("mid") < col("nid")))
+          .select(col("nid"), col("mid"), col("nemb"), col("memb"))
+          .distinct()
+          .withColumn("dist", GraftFunctions.cosine_distance(col("nemb"), col("memb")))
+          .filter(col("dist") < conflictThreshold)
+          .select(col("nid"), col("mid"), col("dist"))
+      case other => throw new IllegalArgumentException(s"unknown writeDedup strategy $other")
+    }
 
     val flags = matches.groupBy(col("nid")).agg(
       min_by(col("mid"), struct(col("dist"), col("mid"))).as("closest_id"),
@@ -130,6 +216,12 @@ object MemoryOps {
         when(col("dup_of").isNull, coalesce(col("conflict_ids"), array())).otherwise(array()))
       .drop("nid", "closest_id", "min_dist")
   }
+
+  /** Back-compat overload with bare thresholds (exact strategy). */
+  def writeDedup(newEntries: DataFrame, existing: DataFrame,
+                 dedupThreshold: Double, conflictThreshold: Double): DataFrame =
+    writeDedup(newEntries, existing,
+      WriteDedupConfig(dedupThreshold = dedupThreshold, conflictThreshold = conflictThreshold))
 
   /** Touch returned memories: access_count++ and last_referenced = now. */
   def touch(memories: DataFrame, ids: DataFrame, now: Column): DataFrame = {

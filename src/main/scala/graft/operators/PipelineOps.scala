@@ -26,9 +26,12 @@ object PipelineOps {
       compressRatio: Double = 0.5,
       minChunkLength: Int = 50)
 
-  def dedupPipeline(df: DataFrame, groupCol: String, idCol: String, textCol: String,
+  def dedupPipeline(df0: DataFrame, groupCol: String, idCol: String, textCol: String,
                     embCol: String, scoreCol: String,
                     cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    // The input feeds both the clustering groupBy and the join-back below;
+    // persist it once instead of re-evaluating its lineage per branch.
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1. cluster per group
     val clustered = ClusterOps.agglomerativeCluster(
       df, groupCol, idCol, embCol,

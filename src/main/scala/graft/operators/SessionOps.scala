@@ -18,7 +18,10 @@ object SessionOps {
 
   /** J4 push-time dedup: flag entries whose embedding is within `threshold`
     * cosine distance of an earlier entry in the same session (store rows or
-    * lower-seq batch rows). Broadcast-join scoped by session.
+    * lower-seq batch rows). The join has an equi key — session_id — so it
+    * shuffles both sides on that key; per-session candidate sets are
+    * conversation-sized, so the per-key work is tiny. (Broadcasting the
+    * union of every session's entries, the old shape, dies first at scale.)
     */
   def pushDedup(newEntries: DataFrame, existing: DataFrame,
                 threshold: Double = 0.15): DataFrame = {
@@ -28,7 +31,7 @@ object SessionOps {
       col("seq").as("x_seq"))
     val candidates = ex.union(batch)
     val hits = newEntries.as("n")
-      .join(broadcast(candidates),
+      .join(candidates,
         col("n.session_id") === col("x_sid") &&
           (col("x_seq") < 0 || col("x_seq") < col("n.seq")) &&
           GraftFunctions.cosine_distance(col("n.embedding"), col("x_emb")) < threshold,
