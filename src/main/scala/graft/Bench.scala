@@ -12,6 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up at the smallest SF: first-run codegen compilation and encoder
+    // JIT dominate small-data timings (q31 was ~6.5 s cold vs ~0.5 s warm),
+    // so a cheap pass over tiny data first makes the timed numbers measure
+    // the plans, not the JVM.
+    val warmDir = new java.io.File("/root/testdata/sf0.001")
+    if (warmDir.isDirectory && warmDir.getPath != sfDir)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => L2Norm(es.head)))
     e.injectFunction((FunctionIdentifier("l2_normalize"), info("l2_normalize"),
       (es: Seq[Expression]) => L2Normalize(es.head)))
+    e.injectFunction((FunctionIdentifier("content_hash"), info("content_hash"),
+      (es: Seq[Expression]) => ContentHash(es.head)))
     e.injectOptimizerRule(_ => VectorExprSimplification)
   }
 }

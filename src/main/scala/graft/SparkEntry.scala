@@ -215,10 +215,18 @@ object SparkEntry {
       graft.operators.DedupOps.simhashPairs(Tables.documents(s, dir), "text", "doc_id", maxHamming = 3)
     },
 
-    // Embedding-cosine near-dup via hyperplane LSH + exact verify; rows-only.
+    // Embedding-cosine near-dup via hyperplane LSH + exact verify. Exact
+    // duplicates are planted (vec_id + 1e6 carries an identical vector):
+    // identical vectors share every signature band, so the approximate path
+    // finds them with certainty, and the natural pairs all sit below 0.52
+    // cosine — the output is exactly the planted set, hence oracle-checkable.
     "q22_embedding_neardup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
       graft.operators.DedupOps.embeddingNearDupPairs(
-        Tables.embeddings(s, dir), "embedding", "vec_id", threshold = 0.9)
+        emb.unionByName(planted), "embedding", "vec_id", threshold = 0.9)
+        .select(col("ida"), col("idb"))
     },
 
     // C1 agglomerative clustering per request group (flatMapGroups);
@@ -420,6 +428,127 @@ object SparkEntry {
         graft.operators.PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0))
     },
 
+    // §3.2 broker stage 1: over-fetch K'=50 neighbors per query via the
+    // map-side top-k KNN — the broker's retrieval input, oracled on ranks.
+    "q41_broker_overfetch" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.KnnOps.bruteForceKnn(
+        emb, emb.filter(col("vec_id") < 5), k = 50,
+        idCol = "vec_id", embCol = "embedding", qidCol = "vec_id", qembCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
+    // §3.2 full broker composition (over-fetch → cluster → representative →
+    // top-K). With this table's max pairwise cosine at 0.51, the 0.15
+    // cluster threshold provably merges nothing, so the whole composition is
+    // SQL-expressible: per query, top-8 by similarity — a real end-to-end
+    // oracle on the broker path. (The MMR variant is q47, rows-only.)
+    "q42_retrieve_broker" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.PipelineOps.retrieveBroker(
+        emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", "embedding",
+        graft.operators.PipelineOps.BrokerConfig(enableMMR = false))
+        .select(col("query_id"), col("neighbor_id"), col("final_rank"))
+    },
+
+    // J3 write-dedup band decisions, oracled: planted exact copies land in
+    // the dup band, half-zeroed vectors land mostly in the conflict band
+    // (cos ≈ √(E_kept/E_total) ≈ 0.71), and the oracle replays the same
+    // band math in SQL — whatever band each row lands in, both engines must
+    // agree.
+    "q43_write_dedup_bands" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val store = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding"), lit(false).as("expired"))
+      val dups = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("id"), col("embedding"))
+      val halves = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .select((col("vec_id") + 2000000L).as("id"),
+          transform(col("embedding"), (x, i) => when(i < 32, x).otherwise(lit(0f))).as("embedding"))
+      graft.operators.MemoryOps.writeDedup(dups.unionByName(halves), store)
+        .select(col("id"), col("dup_of"), col("conflict_ids"))
+    },
+
+    // A9 risk summary: per-level counts, top-3 reason frequencies, overall
+    // risk — the reference's Summarize() as one aggregate row.
+    "q44_risk_summary" -> { (s, dir) =>
+      val commits = commitsAnalog(s, dir)
+      val (ctype, scope, breaking) = graft.operators.CommitOps.parseConventional(col("message"))
+      val parsed = commits
+        .withColumn("commit_type", ctype)
+        .withColumn("scope", scope)
+        .withColumn("breaking", breaking)
+      graft.operators.CommitOps.riskSummary(
+        graft.operators.CommitOps.riskLevel(parsed))
+    },
+
+    // W1 recall with the reference's result metadata: stable-entry hint
+    // (relevance >= 0.7), decimal-exact mean-relevance confidence, per-entry
+    // sensitivity and result-wide max.
+    "q45_recall_hints" -> { (s, dir) =>
+      val mem = memoriesAnalog(s, dir)
+      graft.operators.MemoryOps.recallWithHints(
+        mem, None,
+        graft.operators.MemoryOps.RecallParams(
+          recencyWeight = 1.0, maxResults = 50, maxTokens = 2000,
+          boostTags = Seq("src3"), taskContext = "src1"),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+        .select(col("id"), col("rank"), col("relevance"), col("stable_hint"),
+          col("sensitivity"), col("hint_confidence"), col("max_sensitivity"))
+    },
+
+    // W1 recall, cosine path oracled (recencyWeight < 1): relevance blends
+    // the codegen'd cosine with recency; ids/ranks compare across engines
+    // (per the float-determinism recipe, similarity ranks are compared, not
+    // the raw doubles). The query vector uses /16 fractions so its float and
+    // SQL-literal double forms are bit-identical.
+    "q46_recall_cosine" -> { (s, dir) =>
+      val mem = memoriesAnalog(s, dir)
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          col("id") === col("vec_id"))
+        .drop("vec_id")
+      graft.operators.MemoryOps.recall(
+        mem, Some(q46QueryVec),
+        graft.operators.MemoryOps.RecallParams(
+          recencyWeight = 0.5, maxResults = 25, maxTokens = 0),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+        .select(col("id"), col("rank"))
+    },
+
+    // §3.2 broker with MMR re-rank (the reference's default path); the MMR
+    // loop is sequential per query -> rows-only.
+    "q47_broker_mmr" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.PipelineOps.retrieveBroker(
+        emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "vec_id", "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("final_rank"))
+    },
+
+    // Composed MERGE-style memory write: dedup probe + touch-on-dup +
+    // conflict surfacing + sensitivity auto-classify in one transform; the
+    // report's band decisions and sensitivity levels are oracled.
+    "q48_merge_write" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val store = memoriesAnalog(s, dir)
+        .join(emb.select(col("vec_id"), col("embedding")), col("id") === col("vec_id"))
+        .drop("vec_id")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text").as("d_text"))
+      val dups = emb.filter(col("vec_id") < 40)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select((col("vec_id") + 1000000L).as("id"), col("d_text").as("text"), col("embedding"))
+      val halves = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select((col("vec_id") + 2000000L).as("id"), col("d_text").as("text"),
+          transform(col("embedding"), (x, i) => when(i < 32, x).otherwise(lit(0f))).as("embedding"))
+      val (_, report) = graft.operators.MemoryOps.mergeWrite(
+        store, dups.unionByName(halves),
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      report.select(col("id"), col("action"), size(col("conflict_ids")).as("n_conflicts"),
+        col("sensitivity"))
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -475,6 +604,15 @@ object SparkEntry {
       col("n_chars").cast("int").as("insertions"),
       (col("doc_id") % 100).cast("int").as("deletions"),
       (col("doc_id") % 30).cast("int").as("n_files"))
+
+  /** q46 query vector: /16 fractions are exact in both float32 and float64,
+    * so the Scala literal and the SQL literal denote the same values.
+    */
+  private[graft] val q46QueryVec: Array[Float] =
+    Array.tabulate(64)(i => (((i * 37) % 19) - 9) / 16.0f)
+
+  private def q46QueryVecSql: String =
+    q46QueryVec.map(_.toString).mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -601,6 +739,196 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
         |WHERE rnk = 1""".stripMargin,
+    "q22_embedding_neardup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS ida, CAST(vec_id + 1000000 AS BIGINT) AS idb
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q41_broker_overfetch" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
+        |WHERE rnk <= 50""".stripMargin,
+    "q42_retrieve_broker" ->
+      """SELECT query_id, neighbor_id, final_rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS final_rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
+        |WHERE final_rank <= 8""".stripMargin,
+    "q43_write_dedup_bands" ->
+      """WITH store AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |batch AS (
+        |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 40
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 2000000 AS BIGINT) AS id,
+        |    list_transform(generate_series(1, 64), i -> CASE WHEN i <= 32 THEN CAST(embedding[i] AS DOUBLE) ELSE 0.0 END) AS emb
+        |  FROM embeddings WHERE vec_id >= 40 AND vec_id < 80),
+        |cand AS (
+        |  SELECT b.id AS nid, s.id AS mid, 1.0 - list_cosine_similarity(b.emb, s.emb) AS dist FROM batch b, store s
+        |  UNION ALL
+        |  SELECT b.id AS nid, p.id AS mid, 1.0 - list_cosine_similarity(b.emb, p.emb) AS dist
+        |  FROM batch b JOIN batch p ON p.id < b.id),
+        |m AS (SELECT * FROM cand WHERE dist < 0.35),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dist, mid) AS rn FROM m),
+        |agg AS (SELECT nid, min(dist) AS min_dist,
+        |          min(CASE WHEN rn = 1 THEN mid END) AS closest_id,
+        |          list_sort(list(mid) FILTER (dist >= 0.15)) AS conflicts
+        |        FROM ranked GROUP BY nid)
+        |SELECT b.id, CASE WHEN a.min_dist < 0.15 THEN a.closest_id END AS dup_of,
+        |  CASE WHEN a.min_dist IS NULL OR a.min_dist < 0.15 THEN CAST([] AS BIGINT[])
+        |       ELSE COALESCE(a.conflicts, CAST([] AS BIGINT[])) END AS conflict_ids
+        |FROM batch b LEFT JOIN agg a ON a.nid = b.id""".stripMargin,
+    "q44_risk_summary" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'feat(' || source || '): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 1 THEN 'fix: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 2 THEN 'revert!: ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 3 THEN 'docs(readme): ' || substring(text, 1, 30)
+        |         WHEN doc_id % 6 = 4 THEN substring(text, 1, 40)
+        |         ELSE 'perf: hotfix ' || substring(text, 1, 30) END AS message,
+        |    CAST(n_chars AS INT) AS insertions, CAST(doc_id % 100 AS INT) AS deletions,
+        |    CAST(doc_id % 30 AS INT) AS n_files
+        |  FROM documents),
+        |parsed AS (
+        |  SELECT *, trim(message) AS msg,
+        |    (contains(trim(message), 'BREAKING CHANGE') OR contains(trim(message), '!')) AS breaking,
+        |    (strpos(trim(message), ':') > 0) AS has_colon,
+        |    regexp_replace(trim(regexp_extract(trim(message), '^([^:]*):', 1)), '!$$', '') AS prefix
+        |  FROM c),
+        |typed AS (
+        |  SELECT *,
+        |    lower(regexp_replace(prefix, '\\(.*$$', '')) AS bare
+        |  FROM parsed),
+        |ct AS (
+        |  SELECT *,
+        |    CASE WHEN NOT has_colon THEN 'unknown'
+        |         WHEN bare IN ('feat', 'feature') THEN 'feat'
+        |         WHEN bare IN ('fix', 'bugfix') THEN 'fix'
+        |         WHEN bare = 'refactor' THEN 'refactor'
+        |         WHEN bare IN ('test', 'tests') THEN 'test'
+        |         WHEN bare IN ('docs', 'doc') THEN 'docs'
+        |         WHEN bare = 'chore' THEN 'chore'
+        |         WHEN bare = 'perf' THEN 'perf'
+        |         WHEN bare = 'revert' THEN 'revert'
+        |         ELSE 'unknown' END AS commit_type
+        |  FROM typed),
+        |risked AS (
+        |  SELECT *,
+        |    (CASE WHEN breaking THEN 3 ELSE 0 END) +
+        |    (CASE WHEN insertions + deletions > 500 THEN 2 WHEN insertions + deletions > 200 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_files > 20 THEN 2 WHEN n_files > 10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'revert' THEN 3 ELSE 0 END) +
+        |    (CASE WHEN commit_type = 'fix' AND n_files > 5 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN ${CommitOracle.riskKwExpr} THEN 1 ELSE 0 END) AS risk_score
+        |  FROM ct),
+        |lvl AS (
+        |  SELECT *,
+        |    CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk,
+        |    list_filter([
+        |      CASE WHEN breaking THEN 'breaking change' END,
+        |      CASE WHEN insertions + deletions > 500 THEN 'large diff (' || CAST(insertions + deletions AS VARCHAR) || ' lines)'
+        |           WHEN insertions + deletions > 200 THEN 'medium diff (' || CAST(insertions + deletions AS VARCHAR) || ' lines)' END,
+        |      CASE WHEN n_files > 20 THEN CAST(n_files AS VARCHAR) || ' files changed' END,
+        |      CASE WHEN commit_type = 'revert' THEN 'revert commit' END,
+        |      CASE WHEN commit_type = 'fix' AND n_files > 5 THEN 'broad fix' END,
+        |      CASE ${CommitOracle.firstKwExpr} END
+        |    ], x -> x IS NOT NULL) AS rs
+        |  FROM risked),
+        |counts AS (
+        |  SELECT CAST(sum(CASE WHEN risk = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |         CAST(sum(CASE WHEN risk = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS medium_count,
+        |         CAST(sum(CASE WHEN risk = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |  FROM lvl),
+        |top AS (
+        |  SELECT COALESCE(list(reason ORDER BY cnt DESC, reason ASC), CAST([] AS VARCHAR[])) AS top_risk_reasons
+        |  FROM (SELECT reason, count(*) AS cnt
+        |        FROM (SELECT unnest(rs) AS reason FROM lvl)
+        |        GROUP BY reason ORDER BY cnt DESC, reason ASC LIMIT 3))
+        |SELECT high_count, medium_count, low_count, top_risk_reasons,
+        |  CASE WHEN high_count > 0 THEN 'high' WHEN medium_count > 0 THEN 'medium' ELSE 'low' END AS overall_risk
+        |FROM counts, top""".stripMargin,
+    "q45_recall_hints" ->
+      s"""WITH mem AS (
+        |  SELECT doc_id AS id, text, source, lang,
+        |    TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL 1 HOUR AS last_referenced,
+        |    (doc_id % 13 = 0) AS expired
+        |  FROM documents),
+        |scored AS (
+        |  SELECT id, text, least(
+        |      0.0 * (1.0 - 1.0) +
+        |      (CASE WHEN age > 0 THEN 1.0 / (1.0 + age / 24.0) ELSE 1.0 END) * 1.0 +
+        |      (CASE WHEN lang = 'src3' OR source = 'src3' THEN 0.1 ELSE 0.0 END) +
+        |      (CASE WHEN source <> '' AND contains('src1', lower(source)) THEN 0.05 ELSE 0.0 END) +
+        |      (CASE WHEN contains(lower(text), 'src1') THEN 0.05 ELSE 0.0 END),
+        |    1.0) AS relevance,
+        |    (strlen(text) + 3) // 4 AS tok
+        |  FROM (SELECT *, CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(last_referenced) AS DOUBLE) / 3600.0 AS age
+        |        FROM mem WHERE NOT expired)),
+        |ranked AS (
+        |  SELECT id, text, relevance,
+        |    row_number() OVER (ORDER BY relevance DESC, id ASC) AS rank,
+        |    SUM(tok) OVER (ORDER BY relevance DESC, id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM scored),
+        |returned AS (
+        |  SELECT id, rank, relevance, ${sensitivityOracleExpr("text")} AS sensitivity
+        |  FROM ranked
+        |  WHERE rank < (SELECT COALESCE(min(rank), 2147483647) FROM ranked WHERE cum > 2000)
+        |    AND rank <= 50),
+        |totals AS (
+        |  SELECT CAST(sum(CAST(relevance AS DECIMAL(28,15))) AS DOUBLE) / count(*) AS hint_confidence,
+        |         max(sensitivity) AS max_sensitivity
+        |  FROM returned)
+        |SELECT id, rank, relevance, relevance >= 0.7 AS stable_hint, sensitivity,
+        |  hint_confidence, max_sensitivity
+        |FROM returned, totals""".stripMargin,
+    "q46_recall_cosine" ->
+      s"""WITH mem AS (
+        |  SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb,
+        |    TIMESTAMP '2024-01-01 00:00:00' + CAST(d.doc_id AS INT) * INTERVAL 1 HOUR AS last_referenced,
+        |    (d.doc_id % 13 = 0) AS expired
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |scored AS (
+        |  SELECT id,
+        |    list_cosine_similarity(emb, CAST($q46QueryVecSql AS DOUBLE[])) * 0.5 +
+        |    (CASE WHEN age > 0 THEN 1.0 / (1.0 + age / 24.0) ELSE 1.0 END) * 0.5 AS relevance
+        |  FROM (SELECT *, CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(last_referenced) AS DOUBLE) / 3600.0 AS age
+        |        FROM mem WHERE NOT expired))
+        |SELECT id, rank FROM (
+        |  SELECT id, row_number() OVER (ORDER BY relevance DESC, id ASC) AS rank FROM scored) t
+        |WHERE rank <= 25""".stripMargin,
+    "q48_merge_write" ->
+      s"""WITH store AS (
+        |  SELECT CAST(e.vec_id AS BIGINT) AS id, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE NOT (d.doc_id % 13 = 0)),
+        |batch AS (
+        |  SELECT CAST(e.vec_id + 1000000 AS BIGINT) AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id WHERE e.vec_id < 40
+        |  UNION ALL
+        |  SELECT CAST(e.vec_id + 2000000 AS BIGINT) AS id, d.text,
+        |    list_transform(generate_series(1, 64), i -> CASE WHEN i <= 32 THEN CAST(e.embedding[i] AS DOUBLE) ELSE 0.0 END) AS emb
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.vec_id >= 40 AND e.vec_id < 80),
+        |cand AS (
+        |  SELECT b.id AS nid, s.id AS mid, 1.0 - list_cosine_similarity(b.emb, s.emb) AS dist FROM batch b, store s
+        |  UNION ALL
+        |  SELECT b.id AS nid, p.id AS mid, 1.0 - list_cosine_similarity(b.emb, p.emb) AS dist
+        |  FROM batch b JOIN batch p ON p.id < b.id),
+        |m AS (SELECT * FROM cand WHERE dist < 0.35),
+        |agg AS (SELECT nid, min(dist) AS min_dist,
+        |          count(*) FILTER (dist >= 0.15) AS n_conf
+        |        FROM m GROUP BY nid)
+        |SELECT b.id,
+        |  CASE WHEN a.min_dist < 0.15 THEN 'deduplicated' ELSE 'stored' END AS action,
+        |  CAST(CASE WHEN a.min_dist IS NULL OR a.min_dist < 0.15 THEN 0 ELSE COALESCE(a.n_conf, 0) END AS INT) AS n_conflicts,
+        |  ${sensitivityOracleExpr("b.text")} AS sensitivity
+        |FROM batch b LEFT JOIN agg a ON a.nid = b.id""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,
@@ -819,6 +1147,11 @@ object SparkEntry {
       graft.operators.CommitOps.riskKeywords
         .map(k => s"contains(lower(message), '$k')")
         .mkString(" OR ")
+    /** First matching keyword, list order — the reference breaks on first hit. */
+    def firstKwExpr: String =
+      graft.operators.CommitOps.riskKeywords
+        .map(k => s"WHEN contains(lower(message), '$k') THEN 'risk keyword: $k'")
+        .mkString(" ")
   }
 
   private val squote = "'"

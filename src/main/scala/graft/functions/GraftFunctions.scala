@@ -24,6 +24,9 @@ object GraftFunctions {
 
   def l2_normalize(a: Column): Column = ColumnShim.column(L2Normalize(ColumnShim.expression(a)))
 
+  /** FNV-1a 64 content hash (16 hex chars) for change detection. */
+  def content_hash(a: Column): Column = ColumnShim.column(ContentHash(ColumnShim.expression(a)))
+
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -33,5 +36,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("euclidean_distance", es => EuclideanDistance(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("content_hash", es => ContentHash(es.head), "scala_udf")
   }
 }

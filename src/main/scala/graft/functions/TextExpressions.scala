@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level text kernels callable from generated code (static forwarders,
+  * no ScalaUDF boxing).
+  */
+object HashKernels {
+
+  /** FNV-1a 64 over the UTF-8 bytes, rendered as 16 lowercase hex chars —
+    * the reference's session content hash for change detection
+    * (/root/reference/pkg/session/sqlite.go:691-705: `v ^= byte; v *= prime`
+    * over the Go string's bytes, formatted %016x).
+    */
+  def fnv1a64Hex(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var v = 0xcbf29ce484222325L // FNV offset basis
+    var i = 0
+    while (i < bytes.length) {
+      v ^= (bytes(i) & 0xffL)
+      v *= 0x100000001b3L // FNV prime
+      i += 1
+    }
+    val hex = new Array[Byte](16)
+    var j = 15
+    var x = v
+    while (j >= 0) {
+      val nib = (x & 0xfL).toInt
+      hex(j) = (if (nib < 10) '0' + nib else 'a' + nib - 10).toByte
+      x >>>= 4
+      j -= 1
+    }
+    UTF8String.fromBytes(hex)
+  }
+}
+
+/** content_hash(text): 16-hex FNV-1a 64 of the UTF-8 bytes. Whole-stage
+  * codegen (calls the static kernel directly), null-propagating.
+  */
+case class ContentHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "content_hash"
+  override protected def nullSafeEval(a: Any): Any =
+    HashKernels.fnv1a64Hex(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.HashKernels.fnv1a64Hex($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

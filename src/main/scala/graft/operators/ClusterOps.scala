@@ -70,6 +70,19 @@ object ClusterOps {
       .toDF("group", "id", "mmr_rank")
   }
 
+  /** C3 query-relevance MMR (reference pkg/contextlab/mmr.go:191-205,
+    * RerankWithQuery): when chunk scores are absent or unreliable, relevance
+    * is the cosine similarity to a per-row query embedding column — computed
+    * by the codegen'd expression, then ranked by the ordinary MMR loop.
+    */
+  def mmrRerankWithQuery(df: DataFrame, groupCol: String, idCol: String,
+                         embCol: String, queryEmbCol: String,
+                         lambda: Double = 0.5, k: Int = 8): DataFrame = {
+    val withScore = df.withColumn("__qsim",
+      GraftFunctions.cosine_similarity(col(embCol), col(queryEmbCol)))
+    mmrRerank(withScore, groupCol, idCol, embCol, "__qsim", lambda, k)
+  }
+
   /** Representative selection by strategy over a clustered DataFrame
     * (clusterCols = the cluster key columns). Strategies map to A2-A5:
     * score → max_by(score), length → max_by(length), centroid → closest to

@@ -223,6 +223,55 @@ object MemoryOps {
     writeDedup(newEntries, existing,
       WriteDedupConfig(dedupThreshold = dedupThreshold, conflictThreshold = conflictThreshold))
 
+  /** Composed MERGE-style store write (reference pkg/memory/sqlite.go:117-226
+    * Store): skip empty texts; a batch entry whose nearest store neighbor is
+    * within the dedup band is NOT inserted — instead the matched store row is
+    * touched (access_count += number of dups that hit it, last_referenced =
+    * now); conflict-band neighbors are surfaced but never block the insert;
+    * inserted rows start at decay_level 0 / access_count 0 with sensitivity
+    * max(declared, auto-classified) when autoClassify is on.
+    *
+    * Returns (newStore, report): the post-write table state and the
+    * annotated batch (action ∈ stored|deduplicated, dup_of, conflict_ids,
+    * sensitivity). One writeDedup probe + one equi-join touch + one union —
+    * no per-entry loop, same decisions as the reference's sequential scan.
+    */
+  def mergeWrite(memories: DataFrame, newEntries: DataFrame, now: Column,
+                 cfg: WriteDedupConfig = WriteDedupConfig(),
+                 autoClassify: Boolean = true): (DataFrame, DataFrame) = {
+    val nonEmpty = newEntries.filter(col("text").isNotNull && col("text") =!= "")
+    val flagged = writeDedup(nonEmpty, memories, cfg)
+    val declared =
+      if (nonEmpty.columns.contains("sensitivity")) coalesce(col("sensitivity"), lit(0))
+      else lit(0)
+    val sens =
+      if (autoClassify) greatest(declared, TextFunctions.sensitivity_level(col("text")))
+      else declared
+    val report = flagged
+      .withColumn("action", when(col("dup_of").isNotNull, "deduplicated").otherwise("stored"))
+      .withColumn("sensitivity", sens)
+
+    // touch-on-dup: each store row gains one access per duplicate that hit it
+    val touches = report.filter(col("action") === "deduplicated")
+      .groupBy(col("dup_of").as("t_id")).agg(count(lit(1)).as("t_hits"))
+    val touched = memories.join(touches, memories("id") === col("t_id"), "left")
+      .withColumn("access_count",
+        when(col("t_hits").isNotNull, col("access_count") + col("t_hits"))
+          .otherwise(col("access_count")))
+      .withColumn("last_referenced",
+        when(col("t_hits").isNotNull, now.cast("timestamp")).otherwise(col("last_referenced")))
+      .drop("t_id", "t_hits")
+
+    val inserted = report.filter(col("action") === "stored")
+      .withColumn("decay_level", lit(0))
+      .withColumn("access_count", lit(0L))
+      .withColumn("expired", lit(false))
+      .withColumn("created_at", now.cast("timestamp"))
+      .withColumn("last_referenced", now.cast("timestamp"))
+      .drop("action", "dup_of", "conflict_ids")
+    (touched.unionByName(inserted, allowMissingColumns = true), report)
+  }
+
   /** Touch returned memories: access_count++ and last_referenced = now. */
   def touch(memories: DataFrame, ids: DataFrame, now: Column): DataFrame = {
     val touched = ids.select(col("id").as("t_id")).distinct()

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{CompressFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The flagship dedup pipeline (reference §3.1, cmd/api.go:405-588 →
@@ -24,7 +25,15 @@ object PipelineOps {
       mmrLambda: Double = 0.5,
       targetK: Int = 8,
       compressRatio: Double = 0.5,
-      minChunkLength: Int = 50)
+      minChunkLength: Int = 50,
+      /** Stage toggles (reference pkg/pipeline/pipeline.go:73-177: any
+        * subset of dedup/compress/summarize runs; a disabled stage passes
+        * rows through). summarize collapses each surviving chunk to its
+        * first-sentence-per-paragraph summary after compression.
+        */
+      dedupEnabled: Boolean = true,
+      compressEnabled: Boolean = true,
+      summarizeEnabled: Boolean = false)
 
   def dedupPipeline(df0: DataFrame, groupCol: String, idCol: String, textCol: String,
                     embCol: String, scoreCol: String,
@@ -32,34 +41,117 @@ object PipelineOps {
     // The input feeds both the clustering groupBy and the join-back below;
     // persist it once instead of re-evaluating its lineage per branch.
     val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 1. cluster per group
+
+    // ── Stage 1: dedup (cluster → representative → MMR) ──
+    val selected =
+      if (cfg.dedupEnabled) {
+        // 1a. cluster per group
+        val clustered = ClusterOps.agglomerativeCluster(
+          df, groupCol, idCol, embCol,
+          ClusterAlgs.ClusterConfig(threshold = cfg.clusterThreshold, linkage = cfg.linkage))
+        val withCluster = df.join(
+          clustered,
+          df(groupCol).cast("long") === clustered("group") && df(idCol).cast("long") === clustered("id")
+        ).select(df.columns.map(df(_)) :+ clustered("cluster_id"): _*)
+
+        // 1b. representative per (group, cluster)
+        val reps = ClusterOps.selectRepresentatives(
+          withCluster, Seq(groupCol, "cluster_id"), idCol, embCol, scoreCol, textCol,
+          cfg.selectStrategy)
+
+        // 1c. MMR to K per group
+        val mmr = ClusterOps.mmrRerank(reps, groupCol, idCol, embCol, scoreCol,
+          cfg.mmrLambda, cfg.targetK)
+        reps.join(
+          mmr,
+          reps(groupCol).cast("long") === mmr("group") && reps(idCol).cast("long") === mmr("id")
+        ).select(reps.columns.map(reps(_)) :+ mmr("mmr_rank"): _*)
+      } else {
+        df.withColumn("cluster_id", lit(0L)).withColumn("mmr_rank", lit(0))
+      }
+
+    // ── Stage 2: compress (extractive) ──
+    val compressed =
+      if (cfg.compressEnabled)
+        selected.withColumn("compressed",
+          CompressFunctions.extract_salient(col(textCol), cfg.compressRatio, cfg.minChunkLength))
+      else selected.withColumn("compressed", col(textCol))
+
+    // ── Stage 3: summarize (optional) ──
+    val summarized =
+      if (cfg.summarizeEnabled)
+        compressed.withColumn("compressed",
+          CompressFunctions.paragraph_summary(col("compressed")))
+      else compressed
+
+    summarized.select(col(groupCol), col(idCol), col("cluster_id"), col("mmr_rank"),
+      col(scoreCol), col("compressed"))
+  }
+
+  final case class BrokerConfig(
+      overFetchK: Int = 50,
+      targetK: Int = 8,
+      clusterThreshold: Double = 0.15,
+      linkage: ClusterAlgs.Linkage = ClusterAlgs.Average,
+      mmrLambda: Double = 0.5,
+      enableMMR: Boolean = true)
+
+  /** §3.2 retrieve broker (reference pkg/contextlab/broker.go:130-197, with
+    * DefaultBrokerConfig's OverFetchK=50 at broker.go:52): per query vector,
+    *
+    *   over-fetch top-K' chunks (KNN, map-side top-k combine)
+    *     → agglomerative-cluster the K' chunks
+    *     → representative per cluster (by score = query similarity — the
+    *       RerankWithQuery convention, mmr.go:191-205: retrieval cosine IS
+    *       the relevance)
+    *     → MMR down to targetK (or plain top-K by score when MMR is off)
+    *
+    * Scale shape: the corpus is touched only by the KNN stage (never
+    * shuffled whole); everything after runs on nQueries × K' rows, keyed by
+    * query. Returns (query_id, neighbor_id, sim, final_rank).
+    */
+  def retrieveBroker(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String,
+                     qidCol: String, qembCol: String,
+                     cfg: BrokerConfig = BrokerConfig()): DataFrame = {
+    // Step 1: over-fetch. sim is the cosine to the query — downstream score.
+    val fetched = KnnOps.bruteForceKnn(
+      corpus, queries, cfg.overFetchK, idCol, embCol, qidCol, qembCol)
+    val chunks = fetched
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("emb")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("emb"), col("sim"))
+
+    // Step 2: cluster the fetched chunks per query.
     val clustered = ClusterOps.agglomerativeCluster(
-      df, groupCol, idCol, embCol,
+      chunks, "query_id", "neighbor_id", "emb",
       ClusterAlgs.ClusterConfig(threshold = cfg.clusterThreshold, linkage = cfg.linkage))
-    val withCluster = df.join(
+    val withCluster = chunks.join(
       clustered,
-      df(groupCol).cast("long") === clustered("group") && df(idCol).cast("long") === clustered("id")
-    ).select(df.columns.map(df(_)) :+ clustered("cluster_id"): _*)
+      chunks("query_id") === clustered("group") && chunks("neighbor_id") === clustered("id"))
+      .select(chunks("query_id"), chunks("neighbor_id"), chunks("emb"), chunks("sim"),
+        clustered("cluster_id"))
 
-    // 2. representative per (group, cluster)
+    // Step 3: representative per cluster, by query similarity.
     val reps = ClusterOps.selectRepresentatives(
-      withCluster, Seq(groupCol, "cluster_id"), idCol, embCol, scoreCol, textCol,
-      cfg.selectStrategy)
+      withCluster, Seq("query_id", "cluster_id"), "neighbor_id", "emb", "sim", "sim",
+      "score")
 
-    // 3. MMR to K per group
-    val mmr = ClusterOps.mmrRerank(reps, groupCol, idCol, embCol, scoreCol,
-      cfg.mmrLambda, cfg.targetK)
-    val selected = reps.join(
-      mmr,
-      reps(groupCol).cast("long") === mmr("group") && reps(idCol).cast("long") === mmr("id")
-    ).select(reps.columns.map(reps(_)) :+ mmr("mmr_rank"): _*)
-
-    // 4. extractive compression
-    selected
-      .withColumn("compressed",
-        CompressFunctions.extract_salient(col(textCol), cfg.compressRatio, cfg.minChunkLength))
-      .select(col(groupCol), col(idCol), col("cluster_id"), col("mmr_rank"),
-        col(scoreCol), col("compressed"))
+    // Step 4: MMR (or top-K by score) down to targetK.
+    if (cfg.enableMMR) {
+      val mmr = ClusterOps.mmrRerank(
+        reps, "query_id", "neighbor_id", "emb", "sim", cfg.mmrLambda, cfg.targetK)
+      reps.join(mmr,
+        reps("query_id") === mmr("group") && reps("neighbor_id") === mmr("id"))
+        .select(reps("query_id"), reps("neighbor_id"), reps("sim"),
+          mmr("mmr_rank").as("final_rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      reps.withColumn("final_rank", row_number().over(w))
+        .filter(col("final_rank") <= cfg.targetK)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("final_rank"))
+    }
   }
 
   /** Per-stage stats row mirroring pkg/pipeline/pipeline.go:16-32 /

@@ -186,6 +186,26 @@ object SessionOps {
         col("inserted_at_push")).otherwise(col("stable_since_turn")))
   }
 
+  /** Content-hash change detection (reference pkg/session/sqlite.go:691-705):
+    * join incoming entries against stored ones by (session_id, id) and flag
+    * rows whose FNV-1a content hash differs — the update path's "did the
+    * text actually change" gate, so unchanged pushes skip re-embedding.
+    * Equi-join on the id pair; hashes are computed by the codegen'd
+    * content_hash expression, never by shipping full texts twice.
+    */
+  def changedEntries(newEntries: DataFrame, existing: DataFrame,
+                     contentCol: String = "content"): DataFrame = {
+    val ex = existing.select(
+      col("session_id").as("x_sid"), col("id").as("x_id"),
+      GraftFunctions.content_hash(col(contentCol)).as("x_hash"))
+    newEntries
+      .withColumn("content_hash", GraftFunctions.content_hash(col(contentCol)))
+      .join(ex, col("session_id") === col("x_sid") && col("id") === col("x_id"), "left")
+      .withColumn("is_new", col("x_hash").isNull)
+      .withColumn("content_changed", col("x_hash").isNotNull && col("x_hash") =!= col("content_hash"))
+      .drop("x_sid", "x_id", "x_hash")
+  }
+
   /** A8 token totals and compression savings per session. */
   def tokenStats(entries: DataFrame): DataFrame =
     entries.groupBy(col("session_id")).agg(

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.SparkTest
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 surface: LSH-blocked write dedup, content hashing, risk
+  * summaries, merge-style memory writes, broker composition, blast-radius
+  * paths, and pipeline stage toggles.
+  */
+class Round2Spec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def vec(axis: Int, dim: Int = 16): Seq[Float] = {
+    val v = Array.fill(dim)(0.01f) // small common component, distinct axes stay far apart
+    v(axis) = 1f
+    v.toSeq
+  }
+
+  private def entries(rows: Seq[(Long, Seq[Float])]): DataFrame =
+    rows.toDF("id", "embedding")
+
+  private def store(rows: Seq[(Long, Seq[Float])]): DataFrame =
+    rows.toDF("id", "embedding").withColumn("expired", lit(false))
+
+  // --- writeDedup strategies
+
+  test("writeDedup: lsh strategy matches exact strategy on planted data") {
+    val st = store((0L until 8L).map(i => i -> vec(i.toInt)))
+    val batch = entries(Seq(
+      100L -> vec(0),            // exact dup of store 0
+      101L -> vec(9),            // new
+      102L -> vec(9)             // within-batch dup of 101
+    ))
+    val exact = MemoryOps.writeDedup(batch, st,
+      MemoryOps.WriteDedupConfig(strategy = "exact"))
+      .select(col("id"), col("dup_of")).collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val lsh = MemoryOps.writeDedup(batch, st,
+      MemoryOps.WriteDedupConfig(strategy = "lsh"))
+      .select(col("id"), col("dup_of")).collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(exact === lsh)
+    assert(exact(100L).contains(0L))
+    assert(exact(101L).isEmpty)
+    assert(exact(102L).contains(101L))
+  }
+
+  test("writeDedup lsh plan is a keyed join, not a broadcast nested loop") {
+    val st = store((0L until 8L).map(i => i -> vec(i.toInt)))
+    val batch = entries(Seq(100L -> vec(0)))
+    val plan = MemoryOps.writeDedup(batch, st,
+      MemoryOps.WriteDedupConfig(strategy = "lsh"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  // --- content hash (FNV-1a 64)
+
+  test("content_hash matches FNV-1a 64 test vectors and codegen survives") {
+    val out = Seq(("", "x"), ("a", "y")).toDF("t", "tag")
+      .select(col("tag"), GraftFunctions.content_hash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("x") == "cbf29ce484222325") // offset basis: empty input
+    assert(out("y") == "af63dc4c8601ec8c") // canonical FNV-1a("a")
+    // SQL registration path
+    val viaSql = spark.sql("SELECT content_hash('a') AS h").head().getString(0)
+    assert(viaSql == "af63dc4c8601ec8c")
+  }
+
+  test("changedEntries flags new and changed rows by content hash") {
+    val existing = Seq(("s1", "e1", "hello"), ("s1", "e2", "world"))
+      .toDF("session_id", "id", "content")
+    val incoming = Seq(("s1", "e1", "hello"), ("s1", "e2", "WORLD"), ("s1", "e3", "new"))
+      .toDF("session_id", "id", "content")
+    val out = SessionOps.changedEntries(incoming, existing)
+      .select(col("id"), col("is_new"), col("content_changed"))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out("e1") == ((false, false)))
+    assert(out("e2") == ((false, true)))
+    assert(out("e3") == ((true, false)))
+  }
+
+  // --- risk summary
+
+  test("riskSummary: level counts, top-3 reasons, overall risk") {
+    val commits = Seq(
+      (1L, "revert!: bad deploy", 10, 0, 2),     // breaking + revert -> high
+      (2L, "fix: hotfix for crash", 10, 0, 8),   // broad fix + keyword -> medium
+      (3L, "docs: readme", 1, 0, 1)              // low
+    ).toDF("id", "message", "insertions", "deletions", "n_files")
+    val (ctype, scope, breaking) = CommitOps.parseConventional(col("message"))
+    val scored = CommitOps.riskLevel(commits
+      .withColumn("commit_type", ctype).withColumn("scope", scope)
+      .withColumn("breaking", breaking))
+    val s = CommitOps.riskSummary(scored).head()
+    assert(s.getAs[Long]("high_count") == 1L)
+    assert(s.getAs[Long]("medium_count") == 1L)
+    assert(s.getAs[Long]("low_count") == 1L)
+    assert(s.getAs[String]("overall_risk") == "high")
+    val reasons = s.getAs[scala.collection.Seq[String]]("top_risk_reasons")
+    assert(reasons.size == 3)
+    assert(reasons.contains("breaking change"))
+    assert(reasons.contains("broad fix"))
+  }
+
+  test("riskLevel emits reference-shaped reason strings") {
+    val commits = Seq((1L, "feat: big one", 400, 200, 25))
+      .toDF("id", "message", "insertions", "deletions", "n_files")
+    val (ctype, scope, breaking) = CommitOps.parseConventional(col("message"))
+    val reasons = CommitOps.riskLevel(commits
+      .withColumn("commit_type", ctype).withColumn("scope", scope)
+      .withColumn("breaking", breaking))
+      .head().getAs[scala.collection.Seq[String]]("risk_reasons")
+    assert(reasons.contains("large diff (600 lines)"))
+    assert(reasons.contains("25 files changed"))
+  }
+
+  // --- mergeWrite
+
+  test("mergeWrite: dups touch the store, non-dups insert with classification") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    val st = Seq((0L, vec(0), false, 5L, "2024-01-01 00:00:00", "plain text"))
+      .toDF("id", "embedding", "expired", "access_count", "lr", "text")
+      .withColumn("last_referenced", col("lr").cast("timestamp")).drop("lr")
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("decay_level", lit(0))
+    val batch = Seq(
+      (100L, vec(0), "dup of zero"),
+      (101L, vec(3), "password: hunter2 must classify"),
+      (102L, vec(4), "")
+    ).toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(st, batch, now)
+    val rep = report.select(col("id"), col("action"), col("sensitivity"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toList
+    assert(rep.contains((100L, "deduplicated", 0)))
+    assert(rep.contains((101L, "stored", 3))) // credential pattern -> level 3
+    assert(!rep.exists(_._1 == 102L))         // empty text skipped
+    val storeRows = newStore.collect()
+    assert(storeRows.length == 2)             // original + one insert
+    val touched = newStore.filter(col("id") === 0L).head()
+    assert(touched.getAs[Long]("access_count") == 6L) // touch-on-dup
+  }
+
+  // --- broker
+
+  test("retrieveBroker: per-query targetK results, rank 1 is the query itself") {
+    val corpus = (0L until 30L).map(i => i -> vec((i % 12).toInt)).toDF("vid", "emb")
+    val queries = corpus.filter(col("vid") < 2)
+    val out = PipelineOps.retrieveBroker(corpus, queries, "vid", "emb", "vid", "emb",
+      PipelineOps.BrokerConfig(overFetchK = 10, targetK = 3, enableMMR = false))
+      .collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      val first = rows.minBy(_.getAs[Int]("final_rank"))
+      // identical vectors exist (i % 12 collides) — rank 1 must carry sim ~= 1
+      assert(first.getAs[Double]("sim") > 0.999)
+      assert(first.getAs[Long]("neighbor_id") % 12 == q % 12)
+    }
+  }
+
+  test("retrieveBroker with MMR diversifies: no two picks from one duplicate pile") {
+    // corpus: 3 piles of identical vectors; MMR at lambda 0.5 should pick
+    // across piles rather than twice from the query's own pile.
+    val corpus = (0L until 12L).map(i => i -> vec((i % 3).toInt)).toDF("vid", "emb")
+    val queries = corpus.filter(col("vid") === 0L)
+    val out = PipelineOps.retrieveBroker(corpus, queries, "vid", "emb", "vid", "emb",
+      PipelineOps.BrokerConfig(overFetchK = 12, targetK = 3, clusterThreshold = 0.15))
+      .collect()
+    val piles = out.map(_.getAs[Long]("neighbor_id") % 3).toSet
+    assert(piles.size == 3, s"expected one pick per pile, got ${out.mkString(",")}")
+  }
+
+  test("mmrRerankWithQuery uses query similarity as relevance") {
+    val df = Seq(
+      (1L, 10L, vec(0), vec(0)),
+      (1L, 11L, vec(1), vec(0)),
+      (1L, 12L, vec(2), vec(0))
+    ).toDF("g", "id", "emb", "qemb")
+    val out = ClusterOps.mmrRerankWithQuery(df, "g", "id", "emb", "qemb", k = 2)
+      .orderBy(col("mmr_rank")).collect()
+    assert(out.head.getAs[Long]("id") == 10L) // most query-similar first
+  }
+
+  // --- blast radius paths
+
+  test("blastRadius tracks shortest deterministic paths") {
+    val edges = Seq(
+      ("b", "a"), ("c", "a"), ("d", "b"), ("d", "c") // d depends on b and c; both on a
+    ).toDF("src", "dst")
+    val changed = Seq(Tuple1("a")).toDF("id")
+    val out = GraphOps.blastRadius(edges, changed)
+      .select(col("id"), col("depth"), array_join(col("path"), "/").as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out("b") == ((1, "a/b")))
+    assert(out("c") == ((1, "a/c")))
+    assert(out("d")._1 == 2)
+    assert(out("d")._2 == "a/b/d") // lexicographically smallest of the two shortest paths
+  }
+
+  // --- pipeline stage toggles
+
+  test("dedupPipeline stage toggles: dedup off passes rows through; summarize shortens") {
+    val df = (0L until 6L).map { i =>
+      (1L, i, s"Sentence one about topic $i. Sentence two with more words here. " * 3,
+        vec((i % 2).toInt), 1.0 + i)
+    }.toDF("g", "id", "text", "emb", "score")
+    val all = PipelineOps.dedupPipeline(df, "g", "id", "text", "emb", "score",
+      PipelineOps.PipelineConfig(dedupEnabled = false, compressEnabled = false))
+    assert(all.count() == 6) // no dedup, no compression: every row survives
+    assert(all.head().getAs[String]("compressed").nonEmpty)
+    val deduped = PipelineOps.dedupPipeline(df, "g", "id", "text", "emb", "score",
+      PipelineOps.PipelineConfig(targetK = 2, minChunkLength = 0))
+    assert(deduped.count() <= 2) // two near-identical piles -> 2 reps -> MMR K=2
+    val summarized = PipelineOps.dedupPipeline(df, "g", "id", "text", "emb", "score",
+      PipelineOps.PipelineConfig(dedupEnabled = false, compressEnabled = false,
+        summarizeEnabled = true))
+    val full = all.filter(col("id") === 0L).head().getAs[String]("compressed")
+    val summ = summarized.filter(col("id") === 0L).head().getAs[String]("compressed")
+    assert(summ.length < full.length)
+  }
+}
