@@ -549,6 +549,40 @@ object SparkEntry {
         col("sensitivity"))
     },
 
+    // A10 high-churn detection over an array column (explode + groupBy +
+    // threshold), the reference's FilesChanged aggregation.
+    "q49_high_churn" -> { (s, dir) =>
+      val withFiles = Tables.documents(s, dir)
+        .withColumn("files", array(col("source"), col("lang")))
+      graft.operators.CommitOps.highChurnFiles(withFiles, "files", minChanges = 3)
+    },
+
+    // Dedup sweep: connected components (min-label propagation) over the
+    // near-dup pairs, keep the min-id representative per component. With
+    // planted exact duplicates the component structure is known, so the
+    // keep/drop decisions are oracled.
+    "q50_dedup_sweep" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(planted)
+      val pairs = graft.operators.DedupOps.embeddingNearDupPairs(
+        all, "embedding", "vec_id", threshold = 0.9)
+      graft.operators.DedupOps.dedupSweep(all, pairs, "vec_id")
+        .select(col("vec_id"), col("keep"))
+    },
+
+    // IVF KNN with full probe (nprobe = ncells): the cell-routing machinery
+    // end-to-end, which at full probe must reproduce the exact result —
+    // hence oracle-checkable; pruned-probe recall is asserted in ScalaTest.
+    "q51_ivf_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.KnnOps.ivfKnn(
+        emb, emb.filter(col("vec_id") < 5), k = 5,
+        "vec_id", "embedding", "vec_id", "embedding", ncells = 8, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -929,6 +963,23 @@ object SparkEntry {
         |  CAST(CASE WHEN a.min_dist IS NULL OR a.min_dist < 0.15 THEN 0 ELSE COALESCE(a.n_conf, 0) END AS INT) AS n_conflicts,
         |  ${sensitivityOracleExpr("b.text")} AS sensitivity
         |FROM batch b LEFT JOIN agg a ON a.nid = b.id""".stripMargin,
+    "q49_high_churn" ->
+      """SELECT file, count(*) AS n_changes
+        |FROM (SELECT unnest([source, lang]) AS file FROM documents)
+        |GROUP BY file HAVING count(*) >= 3""".stripMargin,
+    "q50_dedup_sweep" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, true AS keep FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id, false AS keep
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q51_ivf_knn" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,

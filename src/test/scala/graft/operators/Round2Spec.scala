@@ -201,6 +201,27 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(out("d")._2 == "a/b/d") // lexicographically smallest of the two shortest paths
   }
 
+  // --- embedding near-dup recall vs exact
+
+  test("embeddingNearDupPairs recall vs exact similarPairs on near-dup data") {
+    // pairs at sim >= 0.9: planted perturbed copies of base vectors
+    val base = (0L until 20L).map(i => i -> vec((i % 20).toInt, dim = 32))
+    val perturbed = base.map { case (i, v) =>
+      (i + 100L) -> v.updated(31, v(31) + 0.05f) // tiny nudge: sim stays > 0.99
+    }
+    val df = (base ++ perturbed).toDF("id", "embedding")
+    val exact = KnnOps.similarPairs(df, "id", "embedding", minSim = 0.9)
+      .select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = DedupOps.embeddingNearDupPairs(df, "embedding", "id", threshold = 0.9)
+      .select(col("ida"), col("idb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(approx.subsetOf(exact)) // precision exact by construction
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
   // --- pipeline stage toggles
 
   test("dedupPipeline stage toggles: dedup off passes rows through; summarize shortens") {
