@@ -773,6 +773,37 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c
         |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
         |WHERE rnk = 1""".stripMargin,
+    // SimHash replayed in SQL: FNV-1a 64 per word via list_reduce with
+    // HUGEINT mod-2^64 wraparound, bit votes, then ALL pairs at hamming <= 3
+    // (the Spark side's 16-bit chunk banding is lossless for maxHamming 3 by
+    // pigeonhole, so the full-join oracle is exactly equivalent).
+    "q21_simhash_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT), list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616
+        |    ) AS h
+        |  FROM words),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hashes, (SELECT unnest(generate_series(0, 63)) AS b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN power(2, b)::HUGEINT ELSE 0::HUGEINT END) -
+        |      CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+        |    AS BIGINT) AS h64
+        |  FROM votes GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    bit_count(xor(a.h64, b.h64)) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT ida, idb, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin,
     "q22_embedding_neardup" ->
       """SELECT CAST(vec_id AS BIGINT) AS ida, CAST(vec_id + 1000000 AS BIGINT) AS idb
         |FROM embeddings WHERE vec_id < 50""".stripMargin,

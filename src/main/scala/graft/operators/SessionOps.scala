@@ -118,12 +118,11 @@ object SessionOps {
     val ranked = df.withColumn("cum_tokens",
       sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     if (maxTokens <= 0) ranked.drop("cum_tokens")
-    else {
-      val firstOver = ranked.filter(col("cum_tokens") > maxTokens)
-        .agg(min(col("seq"))).head()
-      val cut = if (firstOver.isNullAt(0)) Int.MaxValue else firstOver.getInt(0)
-      ranked.filter(col("seq") < cut).drop("cum_tokens")
-    }
+    else
+      // take-while without a driver action: tokens are non-negative, so the
+      // per-session running sum is monotone and "stop before the first
+      // violating entry" is the same row set as "keep while cum <= budget".
+      ranked.filter(col("cum_tokens") <= maxTokens).drop("cum_tokens")
   }
 
   final case class BoundaryConfig(

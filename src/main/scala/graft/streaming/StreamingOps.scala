@@ -125,6 +125,65 @@ object StreamingOps {
         })
   }
 
+  // --- End-to-end streaming session push: dedup + budget in one stateful op.
+
+  case class SessionPush(sessionId: String, id: String, seq: Int, tokens: Int,
+                         embedding: Array[Float])
+  case class SessionPushState(recentEmbeddings: List[Array[Float]],
+                              totalTokens: Long, pushCount: Int)
+  case class PushDecision(sessionId: String, id: String, seq: Int,
+                          accepted: Boolean, reason: String,
+                          totalTokens: Long, pushCount: Int)
+
+  /** The reference's push path (pkg/session/sqlite.go:441-601) as one
+    * streaming stateful operator: per session, in seq order, reject entries
+    * whose embedding sits within `dedupThreshold` cosine distance of a
+    * recently accepted one (bounded state: the last `recentWindow`
+    * embeddings — the same recency scoping the batch `pushDedup` applies),
+    * accumulate the running token total, and flag entries that push the
+    * session over `maxTokens` so a budget-enforcement pass can follow.
+    * Keyed by session — state stays conversation-sized; event order comes
+    * from seq, never wall clock, so the operator replays identically in
+    * batch tests.
+    */
+  def sessionPushPipeline(pushes: Dataset[SessionPush],
+                          dedupThreshold: Double = 0.15,
+                          recentWindow: Int = 32,
+                          maxTokens: Long = Long.MaxValue): Dataset[PushDecision] = {
+    import pushes.sparkSession.implicits._
+    def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    pushes.groupByKey(_.sessionId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (sid: String, rows: Iterator[SessionPush], state: GroupState[SessionPushState]) => {
+          var st = state.getOption.getOrElse(SessionPushState(Nil, 0L, 0))
+          val out = rows.toSeq.sortBy(_.seq).map { p =>
+            val isDup = p.embedding != null && p.embedding.nonEmpty &&
+              st.recentEmbeddings.exists(e => cosineDist(e, p.embedding) < dedupThreshold)
+            if (isDup) {
+              st = st.copy(pushCount = st.pushCount + 1)
+              PushDecision(sid, p.id, p.seq, accepted = false, "duplicate",
+                st.totalTokens, st.pushCount)
+            } else {
+              val total = st.totalTokens + p.tokens
+              st = SessionPushState(
+                (p.embedding :: st.recentEmbeddings).take(recentWindow),
+                total, st.pushCount + 1)
+              val reason = if (total > maxTokens) "over_budget" else "ok"
+              PushDecision(sid, p.id, p.seq, accepted = true, reason, total, st.pushCount)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream — the
     * standard streaming shape for the events table (ts, event_type, value).
     */

@@ -125,4 +125,32 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(sizes.size() == 3)
     assert(failures.value == 1L)
   }
+
+  test("sessionPushPipeline: dedup + budget decisions with cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int): Array[Float] = { val a = Array.fill(8)(0f); a(axis) = 1f; a }
+    val stream = MemoryStream[SessionPush]
+    val q = sessionPushPipeline(stream.toDS(), maxTokens = 100).writeStream
+      .format("memory").queryName("push_out").outputMode("append").start()
+    stream.addData(
+      SessionPush("s1", "e1", 1, 40, v(0)),
+      SessionPush("s1", "e2", 2, 40, v(1)),
+      SessionPush("s1", "e3", 3, 10, v(0))) // dup of e1 within the batch
+    q.processAllAvailable()
+    stream.addData(
+      SessionPush("s1", "e4", 4, 40, v(1)), // dup of e2 ACROSS micro-batches
+      SessionPush("s1", "e5", 5, 40, v(2)), // pushes total to 120 -> over budget
+      SessionPush("s2", "e1", 1, 10, v(0))) // other session unaffected
+    q.processAllAvailable()
+    val rows = spark.table("push_out").as[PushDecision].collect()
+      .sortBy(d => (d.sessionId, d.seq))
+    q.stop()
+    val s1 = rows.filter(_.sessionId == "s1")
+    assert(s1.map(_.accepted).toSeq == Seq(true, true, false, false, true))
+    assert(s1.map(_.reason).toSeq == Seq("ok", "ok", "duplicate", "duplicate", "over_budget"))
+    assert(s1.last.totalTokens == 120L)
+    assert(s1.last.pushCount == 5)
+    assert(rows.count(_.sessionId == "s2") == 1 && rows.filter(_.sessionId == "s2").head.accepted)
+  }
 }
