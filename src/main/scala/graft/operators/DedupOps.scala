@@ -419,9 +419,14 @@ object DedupOps {
     */
   def dedupSweep(df: DataFrame, pairs: DataFrame, idCol: String,
                  maxIters: Int = 5): DataFrame = {
+    // The edge list re-enters the join every propagation round — persist it
+    // once, or each round re-runs the (possibly expensive: LSH banding +
+    // verify) pair-generation lineage from scratch.
     val edges = pairs.select(col("ida"), col("idb"))
       .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = df.select(col(idCol).as("id")).withColumn("label", col("id"))
+    labels.cache() // referenced 3x per round (both join sides + convergence check)
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {

@@ -115,12 +115,17 @@ object PipelineOps {
                      qidCol: String, qembCol: String,
                      cfg: BrokerConfig = BrokerConfig()): DataFrame = {
     // Step 1: over-fetch. sim is the cosine to the query — downstream score.
+    // The fetched set (nQueries × K' rows) is the broadcast side of the
+    // embedding join-back — the corpus is only scanned, never shuffled.
+    // chunks feeds two plan branches (clustering and the cluster join-back),
+    // so persist it rather than re-running the KNN per branch.
     val fetched = KnnOps.bruteForceKnn(
       corpus, queries, cfg.overFetchK, idCol, embCol, qidCol, qembCol)
-    val chunks = fetched
-      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("emb")),
-        "neighbor_id")
+    val chunks = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("emb"))
+      .join(broadcast(fetched), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("emb"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Step 2: cluster the fetched chunks per query.
     val clustered = ClusterOps.agglomerativeCluster(

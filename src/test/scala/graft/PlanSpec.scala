@@ -70,4 +70,25 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       assert(!plan.contains("ScalaUDF"), s"$q contains a UDF")
     }
   }
+
+  test("recall ranks via TakeOrderedAndProject, never an unpartitioned window") {
+    for (q <- Seq("q29_memory_recall", "q46_recall_cosine")) {
+      val plan = physicalPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q lost the top-K shape")
+      assert(!plan.contains("Window "), s"$q reintroduced a window:\n${plan.take(1500)}")
+    }
+  }
+
+  test("broker evaluates the KNN once (cached) and keeps joins keyed") {
+    val df = graft.SparkEntry.queries("q42_retrieve_broker")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), "fetched chunks not cached")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("blast radius path join stays keyed") {
+    val plan = physicalPlan("q34_blast_radius")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
