@@ -42,6 +42,26 @@ object Sources {
     spark.read.schema(chunkSchema).option("mode", "DROPMALFORMED").json(path)
       .filter("id IS NOT NULL")
 
+  /** Write a table bucketed (and sorted) by the join/aggregation key.
+    *
+    * This is the 100 TB co-location primitive: two tables bucketed by the
+    * same key with the same bucket count join with ZERO shuffle — each task
+    * reads bucket i of both sides — and aggregations on the bucket key skip
+    * their exchange too. Use for the big fact tables that join repeatedly on
+    * the same key (lineitem⋈orders on orderkey, chunks⋈embeddings on id):
+    * one write-time shuffle amortizes across every later query.
+    * `PlanSpec` proves the Exchange disappears.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Batched, retried writes per partition. `write` is invoked once per
     * batch of up to `batchSize` rows; transient failures retry with
     * exponential backoff up to `maxRetries` before rethrowing. The writer

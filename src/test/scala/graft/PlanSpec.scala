@@ -91,4 +91,39 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bucketed tables join and aggregate with zero shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val lineitem = graft.core.Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val orders = graft.core.Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    graft.sources.Sources.writeBucketed(lineitem, "li_b", s"$tmp/li", "l_orderkey", 8)
+    graft.sources.Sources.writeBucketed(orders, "or_b", s"$tmp/or", "o_orderkey", 8)
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle both sides
+      withSqlConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val joined = spark.table("li_b")
+          .join(spark.table("or_b"), col("l_orderkey") === col("o_orderkey"))
+        joined.collect()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1500)}")
+        val agg = spark.table("li_b").groupBy("l_orderkey").count()
+        agg.collect()
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+          "bucket-key aggregation still shuffles")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+
+  private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
