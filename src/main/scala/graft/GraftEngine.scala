@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Verb-level facade: one method per tool/verb the reference engine exposes
+  * over MCP/CLI (/root/reference/cmd/mcp.go:309-534, cmd/mcp_memory.go,
+  * cmd/mcp_session.go), so a user of the reference can find each capability
+  * under the name they already know. Each method is a thin delegation to the
+  * batch operators — DataFrames in, DataFrames out; state tables are
+  * copy-on-write (callers persist the returned table state wherever they
+  * keep it: parquet, Delta, a catalog table).
+  *
+  * | reference tool          | here                          |
+  * |-------------------------|-------------------------------|
+  * | deduplicate_chunks      | [[deduplicateChunks]]         |
+  * | retrieve_deduplicated   | [[retrieveDeduplicated]]      |
+  * | analyze_redundancy      | [[analyzeRedundancy]]         |
+  * | store_memory            | [[storeMemory]]               |
+  * | recall_memory           | [[recallMemory]]              |
+  * | forget_memory           | [[forgetMemory]]              |
+  * | memory_expire           | [[memoryExpire]]              |
+  * | memory_supersede        | [[memorySupersede]]           |
+  * | memory_stats            | [[memoryStats]]               |
+  * | push_session            | [[pushSession]]               |
+  * | session_context         | [[sessionContext]]            |
+  * | create_session / delete_session | table row add/remove — [[deleteSession]] |
+  */
+object GraftEngine {
+
+  /** deduplicate_chunks: the §3.1 pipeline (cluster → representative → MMR →
+    * compress) over (group, id, text, embedding, score) chunks.
+    */
+  def deduplicateChunks(chunks: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, embCol: String, scoreCol: String,
+                        cfg: PipelineOps.PipelineConfig = PipelineOps.PipelineConfig()): DataFrame =
+    PipelineOps.dedupPipeline(chunks, groupCol, idCol, textCol, embCol, scoreCol, cfg)
+
+  /** retrieve_deduplicated: over-fetch KNN → cluster → select → MMR/top-K. */
+  def retrieveDeduplicated(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, embCol: String,
+                           qidCol: String, qembCol: String,
+                           cfg: PipelineOps.BrokerConfig = PipelineOps.BrokerConfig()): DataFrame =
+    PipelineOps.retrieveBroker(corpus, queries, idCol, embCol, qidCol, qembCol, cfg)
+
+  /** analyze_redundancy: cluster without selecting; per-cluster members +
+    * group redundancy ratio.
+    */
+  def analyzeRedundancy(chunks: DataFrame, groupCol: String, idCol: String,
+                        embCol: String, threshold: Double = 0.15): DataFrame =
+    ClusterOps.analyzeRedundancy(chunks, groupCol, idCol, embCol, threshold)
+
+  /** store_memory: MERGE-style write — dedup probe, touch-on-dup, conflict
+    * surfacing, sensitivity auto-classification. Returns (newStore, report).
+    */
+  def storeMemory(memories: DataFrame, newEntries: DataFrame, now: Column,
+                  cfg: MemoryOps.WriteDedupConfig = MemoryOps.WriteDedupConfig(),
+                  autoClassify: Boolean = true): (DataFrame, DataFrame) =
+    MemoryOps.mergeWrite(memories, newEntries, now, cfg, autoClassify)
+
+  /** recall_memory: filtered, scored, ranked, budget-cut recall with the
+    * cache-boundary hint and sensitivity metadata.
+    */
+  def recallMemory(memories: DataFrame, queryEmbedding: Option[Array[Float]],
+                   params: MemoryOps.RecallParams, now: Column): DataFrame =
+    MemoryOps.recallWithHints(memories, queryEmbedding, params, now)
+
+  /** forget_memory: hard delete by predicate (ids/tags/source/session). */
+  def forgetMemory(memories: DataFrame, predicate: Column): DataFrame =
+    MemoryOps.forget(memories, predicate)
+
+  /** memory_expire: soft delete (expired flag + timestamp). */
+  def memoryExpire(memories: DataFrame, predicate: Column, now: Column): DataFrame =
+    MemoryOps.expire(memories, predicate, now)
+
+  /** memory_supersede: expire oldId, point it at newId. */
+  def memorySupersede(memories: DataFrame, oldId: String, newId: String, now: Column): DataFrame =
+    MemoryOps.supersede(memories, oldId, newId, now)
+
+  /** memory_stats: per-level counts, expiry counts, age range. */
+  def memoryStats(memories: DataFrame): DataFrame = MemoryOps.stats(memories)
+
+  /** push_session (batch): content-hash change detection + embedding dedup
+    * against earlier entries of the same session. The streaming form is
+    * [[graft.streaming.StreamingOps.sessionPushPipeline]].
+    */
+  def pushSession(newEntries: DataFrame, existing: DataFrame,
+                  dedupThreshold: Double = 0.15): DataFrame =
+    SessionOps.pushDedup(newEntries, existing, dedupThreshold)
+
+  /** session_context: role filter, seq order, take-while token budget. */
+  def sessionContext(entries: DataFrame, sessionId: String, role: Option[String] = None,
+                     maxTokens: Int = 0): DataFrame =
+    SessionOps.contextRead(entries, sessionId, role, maxTokens)
+
+  /** delete_session: drop a session's rows (create_session is just adding a
+    * row to the sessions table — no engine work).
+    */
+  def deleteSession(entries: DataFrame, sessionId: String): DataFrame =
+    entries.filter(col("session_id") =!= sessionId)
+}

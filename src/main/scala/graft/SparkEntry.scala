@@ -583,6 +583,15 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
     },
 
+    // analyze_redundancy verb: cluster without selecting, report members +
+    // redundancy ratio. At threshold 0.15 this table never merges (max
+    // pairwise cosine 0.51), so cluster ids are the in-group id order and
+    // every decision is oracled.
+    "q52_analyze_redundancy" -> { (s, dir) =>
+      graft.GraftEngine.analyzeRedundancy(
+        Tables.embeddings(s, dir), "label", "vec_id", "embedding")
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -1011,6 +1020,16 @@ object SparkEntry {
         |        c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
         |WHERE rnk <= 5""".stripMargin,
+    "q52_analyze_redundancy" ->
+      """WITH c AS (
+        |  SELECT CAST(label AS BIGINT) AS "group", CAST(vec_id AS BIGINT) AS id,
+        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS cluster_id
+        |  FROM embeddings),
+        |t AS (SELECT "group", count(*) AS n_chunks FROM c GROUP BY "group")
+        |SELECT c."group", CAST(c.cluster_id AS INT) AS cluster_id, CAST(1 AS BIGINT) AS size,
+        |  [c.id] AS member_ids, false AS is_redundant,
+        |  t.n_chunks, t.n_chunks AS n_clusters, CAST(0.0 AS DOUBLE) AS redundancy_ratio
+        |FROM c JOIN t USING ("group")""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,

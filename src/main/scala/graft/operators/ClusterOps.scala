@@ -70,6 +70,29 @@ object ClusterOps {
       .toDF("group", "id", "mmr_rank")
   }
 
+  /** Redundancy analysis (reference cmd/mcp.go:803-900, analyze_redundancy):
+    * cluster WITHOUT selecting, then report each cluster's size and members
+    * plus the group-level redundancy ratio (1 − clusters/chunks). Returns
+    * one row per (group, cluster): (group, cluster_id, size, member_ids,
+    * is_redundant, n_chunks, n_clusters, redundancy_ratio).
+    */
+  def analyzeRedundancy(df: DataFrame, groupCol: String, idCol: String,
+                        embCol: String, threshold: Double = 0.15,
+                        linkage: ClusterAlgs.Linkage = ClusterAlgs.Average): DataFrame = {
+    val clustered = agglomerativeCluster(df, groupCol, idCol, embCol,
+      ClusterAlgs.ClusterConfig(threshold = threshold, linkage = linkage))
+    val clusters = clustered.groupBy(col("group"), col("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        sort_array(collect_list(col("id"))).as("member_ids"))
+      .withColumn("is_redundant", col("size") > 1)
+    val totals = clustered.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .withColumn("redundancy_ratio",
+        lit(1.0) - col("n_clusters").cast("double") / col("n_chunks"))
+    clusters.join(totals, "group")
+  }
+
   /** C3 query-relevance MMR (reference pkg/contextlab/mmr.go:191-205,
     * RerankWithQuery): when chunk scores are absent or unreliable, relevance
     * is the cosine similarity to a per-row query embedding column — computed

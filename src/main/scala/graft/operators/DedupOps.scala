@@ -444,8 +444,11 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
-    df.join(labels, df(idCol) === labels("id"))
-      .withColumn("keep", col("id") === col("label"))
-      .drop("id")
+    // internal label key renamed so an input id column literally named "id"
+    // can't collide with it
+    df.join(labels.withColumnRenamed("id", "__sweep_id"),
+        df(idCol) === col("__sweep_id"))
+      .withColumn("keep", col("__sweep_id") === col("label"))
+      .drop("__sweep_id")
   }
 }

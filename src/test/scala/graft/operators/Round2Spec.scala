@@ -222,6 +222,54 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- redundancy analysis + facade
+
+  test("analyzeRedundancy reports cluster members and redundancy ratio") {
+    // two piles of near-identical vectors + one singleton in one group
+    val df = Seq(
+      (1L, 10L, vec(0)), (1L, 11L, vec(0)), (1L, 12L, vec(1)),
+      (1L, 13L, vec(1)), (1L, 14L, vec(2))
+    ).toDF("g", "id", "emb")
+    val out = graft.GraftEngine.analyzeRedundancy(df, "g", "id", "emb", threshold = 0.15)
+      .collect()
+    assert(out.length == 3) // three clusters
+    val bySize = out.groupBy(_.getAs[Long]("size"))
+    assert(bySize(2L).length == 2 && bySize(1L).length == 1)
+    assert(out.forall(_.getAs[Long]("n_chunks") == 5L))
+    assert(out.forall(_.getAs[Long]("n_clusters") == 3L))
+    assert(out.forall(r => math.abs(r.getAs[Double]("redundancy_ratio") - 0.4) < 1e-12))
+    val redundant = out.filter(_.getAs[Boolean]("is_redundant"))
+    assert(redundant.length == 2)
+    assert(redundant.forall(_.getAs[scala.collection.Seq[Long]]("member_ids").length == 2))
+  }
+
+  // --- empty-input robustness (the shapes a driver hits first)
+
+  test("empty inputs: recall, findSimilar, writeDedup, mergeWrite, sweep survive") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    val emptyMem = Seq.empty[(String, String, Seq[Float])].toDF("id", "text", "embedding")
+      .withColumn("expired", lit(false))
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+      .withColumn("last_referenced", now)
+      .withColumn("tags", array().cast("array<string>"))
+    assert(MemoryOps.recall(emptyMem, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0, maxResults = 5, maxTokens = 100), now)
+      .count() == 0)
+    val commits = Seq.empty[(Long, Seq[Float])].toDF("id", "embedding")
+    assert(CommitOps.findSimilar(commits, Array(1f, 0f), "id", "embedding").count() == 0)
+    val st = store(Seq(0L -> vec(0)))
+    val emptyBatch = Seq.empty[(Long, Seq[Float])].toDF("id", "embedding")
+    assert(MemoryOps.writeDedup(emptyBatch, st).count() == 0)
+    val stText = st.withColumn("text", lit("t"))
+      .withColumn("access_count", lit(0L)).withColumn("last_referenced", now)
+    val (ns, rep) = MemoryOps.mergeWrite(stText,
+      emptyBatch.withColumn("text", lit("x")), now)
+    assert(rep.count() == 0 && ns.count() == 1)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    val swept = DedupOps.dedupSweep(st.select("id", "embedding"), emptyPairs, "id")
+    assert(swept.filter(col("keep")).count() == 1)
+  }
+
   // --- pipeline stage toggles
 
   test("dedupPipeline stage toggles: dedup off passes rows through; summarize shortens") {
