@@ -592,6 +592,16 @@ object SparkEntry {
         Tables.embeddings(s, dir), "label", "vec_id", "embedding")
     },
 
+    // Document chunking: overlapping word windows (size 40, overlap 10) as
+    // pure native expressions — the ingest-side chunker for a training-data
+    // pipeline, exploded to one row per chunk.
+    "q53_chunk_documents" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        posexplode(TextFunctions.chunk_words(col("text"), 40, 10))
+          .as(Seq("chunk_idx", "chunk_text")))
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -1030,6 +1040,15 @@ object SparkEntry {
         |  [c.id] AS member_ids, false AS is_redundant,
         |  t.n_chunks, t.n_chunks AS n_clusters, CAST(0.0 AS DOUBLE) AS redundancy_ratio
         |FROM c JOIN t USING ("group")""".stripMargin,
+    "q53_chunk_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, words, unnest(range(0, len(words), 30)) AS st FROM w WHERE len(words) > 0)
+        |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
+        |  array_to_string(words[st+1 : st+40], ' ') AS chunk_text
+        |FROM s""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,

@@ -37,6 +37,28 @@ object TextFunctions {
   def tokens_bpeish(text: Column): Column =
     regexp_count(text, lit("'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"))
 
+  // --- document chunking (training-pipeline addition): overlapping
+  //     word-window chunks, fully native (split + sequence + slice), so the
+  //     chunker runs at scan speed and pushes through the optimizer.
+
+  /** Split into word-window chunks of `chunkSize` words advancing by
+    * `chunkSize - overlap`; returns the array of chunk texts (single-space
+    * joined). Empty/whitespace-only text yields no chunks.
+    */
+  def chunk_words(text: Column, chunkSize: Int, overlap: Int = 0): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val words = filter(split(text, "[ \\t\\n\\r\\f]+"), w => length(w) > 0)
+    val n = size(words)
+    when(n === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), n - 1, lit(step)),
+        s => concat_ws(" ", slice(words, s + 1, lit(chunkSize)))
+      )
+    )
+  }
+
   // --- importance (F12)
 
   val errorKw = Seq(

@@ -222,6 +222,22 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- chunking
+
+  test("chunk_words: overlapping windows, whitespace-only text yields none") {
+    val df = Seq(
+      ("d1", (1 to 10).map(i => s"w$i").mkString(" ")),
+      ("d2", "one two"),
+      ("d3", "   ")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      graft.functions.TextFunctions.chunk_words(col("text"), chunkSize = 4, overlap = 1).as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[scala.collection.Seq[String]]("c")).toMap
+    assert(out("d1") == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(out("d2") == Seq("one two"))
+    assert(out("d3").isEmpty)
+  }
+
   // --- redundancy analysis + facade
 
   test("analyzeRedundancy reports cluster members and redundancy ratio") {
