@@ -1030,6 +1030,96 @@ object SparkEntry {
         |        c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
         |WHERE rnk <= 5""".stripMargin,
+    // Greedy MMR replayed in SQL: a recursive CTE carries the selected list,
+    // each step re-derives every candidate's max-sim-to-selected and picks
+    // the (mmr desc, id asc) argmax via a struct-min — the same strict-'>'
+    // first-max-in-id-order tie-break as the Scala loop. Groups at or below
+    // K short-circuit to id order, exactly like the reference.
+    "q25_mmr_rerank" ->
+      s"""WITH RECURSIVE ch AS (
+        |  SELECT CAST(e.label AS BIGINT) AS g, CAST(d.doc_id AS BIGINT) AS id,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb, ${qualityOracleExpr("text")} AS score
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |norm AS (
+        |  SELECT g, id, emb,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS rel, n
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mn, max(score) OVER (PARTITION BY g) AS mx,
+        |               count(*) OVER (PARTITION BY g) AS n
+        |        FROM ch)),
+        |sims AS (
+        |  SELECT a.g, a.id AS ia, b.id AS ib, list_cosine_similarity(a.emb, b.emb) AS s
+        |  FROM norm a JOIN norm b ON a.g = b.g AND a.id <> b.id),
+        |sel AS (
+        |  SELECT g, [min({'m': -0.5 * rel, 'i': id}).i] AS picked, 1 AS k
+        |  FROM norm WHERE n > 8 GROUP BY g
+        |  UNION ALL
+        |  SELECT u.g, list_append(u.picked, u.nxt), u.k + 1
+        |  FROM (
+        |    SELECT t.g, t.picked, t.k,
+        |      min({'m': -(0.5 * t.rel - 0.5 * greatest(0.0, t.ms)), 'i': t.id}).i AS nxt
+        |    FROM (
+        |      SELECT s.g, s.picked, s.k, nr.id, nr.rel, max(sm.s) AS ms
+        |      FROM sel s
+        |      JOIN norm nr ON nr.g = s.g AND NOT list_contains(s.picked, nr.id)
+        |      JOIN sims sm ON sm.g = s.g AND sm.ia = nr.id AND list_contains(s.picked, sm.ib)
+        |      WHERE s.k < 8
+        |      GROUP BY s.g, s.picked, s.k, nr.id, nr.rel
+        |    ) t
+        |    GROUP BY t.g, t.picked, t.k
+        |  ) u),
+        |final AS (
+        |  SELECT g, picked FROM (
+        |    SELECT g, picked, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn FROM sel) WHERE rn = 1),
+        |big AS (
+        |  SELECT f.g AS "group", f.picked[CAST(i AS INT)] AS id, CAST(i AS INT) AS mmr_rank
+        |  FROM final f, unnest(generate_series(1, len(f.picked))) AS t(i)),
+        |small AS (
+        |  SELECT g AS "group", id, CAST(row_number() OVER (PARTITION BY g ORDER BY id) AS INT) AS mmr_rank
+        |  FROM norm WHERE n <= 8)
+        |SELECT * FROM big UNION ALL SELECT * FROM small""".stripMargin,
+    // Full default broker path (over-fetch -> cluster [no merges on this
+    // table] -> select -> MMR), with the MMR recursion seeded by the KNN
+    // top-50 and relevance = normalized query similarity.
+    "q47_broker_mmr" ->
+      """WITH RECURSIVE knn AS (
+        |  SELECT q.vec_id AS g, c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS emb,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5),
+        |ch AS (SELECT g, id, emb, score FROM knn WHERE rn <= 50),
+        |norm AS (
+        |  SELECT g, id, emb,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS rel
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mn, max(score) OVER (PARTITION BY g) AS mx
+        |        FROM ch)),
+        |sims AS (
+        |  SELECT a.g, a.id AS ia, b.id AS ib, list_cosine_similarity(a.emb, b.emb) AS s
+        |  FROM norm a JOIN norm b ON a.g = b.g AND a.id <> b.id),
+        |sel AS (
+        |  SELECT g, [min({'m': -0.5 * rel, 'i': id}).i] AS picked, 1 AS k
+        |  FROM norm GROUP BY g
+        |  UNION ALL
+        |  SELECT u.g, list_append(u.picked, u.nxt), u.k + 1
+        |  FROM (
+        |    SELECT t.g, t.picked, t.k,
+        |      min({'m': -(0.5 * t.rel - 0.5 * greatest(0.0, t.ms)), 'i': t.id}).i AS nxt
+        |    FROM (
+        |      SELECT s.g, s.picked, s.k, nr.id, nr.rel, max(sm.s) AS ms
+        |      FROM sel s
+        |      JOIN norm nr ON nr.g = s.g AND NOT list_contains(s.picked, nr.id)
+        |      JOIN sims sm ON sm.g = s.g AND sm.ia = nr.id AND list_contains(s.picked, sm.ib)
+        |      WHERE s.k < 8
+        |      GROUP BY s.g, s.picked, s.k, nr.id, nr.rel
+        |    ) t
+        |    GROUP BY t.g, t.picked, t.k
+        |  ) u),
+        |final AS (
+        |  SELECT g, picked FROM (
+        |    SELECT g, picked, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn FROM sel) WHERE rn = 1)
+        |SELECT f.g AS query_id, f.picked[CAST(i AS INT)] AS neighbor_id, CAST(i AS INT) AS final_rank
+        |FROM final f, unnest(generate_series(1, len(f.picked))) AS t(i)""".stripMargin,
     "q52_analyze_redundancy" ->
       """WITH c AS (
         |  SELECT CAST(label AS BIGINT) AS "group", CAST(vec_id AS BIGINT) AS id,
