@@ -423,7 +423,9 @@ object SparkEntry {
           col("l_quantity").as("score"))
       val embedded = new graft.functions.HashingEmbedder(32)
         .embed(chunks, "text", "embedding")
-      graft.operators.PipelineOps.dedupPipeline(
+      // fused path: one keyed shuffle for cluster+select+MMR (the composed
+      // form is exercised by q27; results are identical — see Round2Spec)
+      graft.operators.PipelineOps.dedupPipelineFused(
         embedded, "request_group", "chunk_id", "text", "embedding", "score",
         graft.operators.PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0))
     },

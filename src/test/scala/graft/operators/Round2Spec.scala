@@ -222,6 +222,24 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- fused pipeline equivalence
+
+  test("dedupPipelineFused matches the composable pipeline on real data") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val embs = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val chunks = PipelineOps.chunkTable(docs, embs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("request_group").cast("long"), col("doc_id").cast("long"),
+        col("cluster_id").cast("long"), col("mmr_rank").cast("int"), col("compressed"))
+        .collect().map(_.toSeq).toSet
+    val composed = canon(PipelineOps.dedupPipeline(
+      chunks, "request_group", "doc_id", "text", "embedding", "score"))
+    val fused = canon(PipelineOps.dedupPipelineFused(
+      chunks, "request_group", "doc_id", "text", "embedding", "score"))
+    assert(fused == composed)
+    assert(fused.nonEmpty)
+  }
+
   // --- chunking
 
   test("chunk_words: overlapping windows, whitespace-only text yields none") {
