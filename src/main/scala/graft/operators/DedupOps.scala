@@ -321,24 +321,31 @@ object DedupOps {
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             threshold: Double, planes: Int = 32,
                             bandBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val sig = hyperplaneSig(col(embCol), planes, seed)
     val bands = planes / bandBits
     val mask = (1L << bandBits) - 1
-    val withSig = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"), sig.as("hsig"))
-    val banded = withSig.select(
-      col("doc_id"), col("emb"),
-      posexplode(
-        array((0 until bands).map(i =>
-          shiftright(col("hsig"), i * bandBits).bitwiseAND(lit(mask))): _*)
-      ).as(Seq("band", "bkey"))
-    )
+    // Candidates dedup on the 16-byte id pair, not on rows that drag both
+    // embedding vectors through the shuffle; vectors re-join (keyed) only
+    // for the exact verify of the surviving pairs. The source projection is
+    // persisted because it feeds the banding and both verify joins.
+    val withEmb = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withEmb
+      .withColumn("hsig", hyperplaneSig(col("emb"), planes, seed))
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until bands).map(i =>
+            shiftright(col("hsig"), i * bandBits).bitwiseAND(lit(mask))): _*)
+        ).as(Seq("band", "bkey"))
+      )
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.emb").as("ea"), col("b.emb").as("eb"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
+      .join(withEmb.select(col("doc_id").as("ida"), col("emb").as("ea")), "ida")
+      .join(withEmb.select(col("doc_id").as("idb"), col("emb").as("eb")), "idb")
       .withColumn("sim", GraftFunctions.cosine_similarity(col("ea"), col("eb")))
       .filter(col("sim") >= threshold)
       .select(col("ida"), col("idb"), col("sim"))
