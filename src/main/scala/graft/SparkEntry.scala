@@ -1032,6 +1032,170 @@ object SparkEntry {
         |        c.vec_id) AS rnk
         |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
         |WHERE rnk <= 5""".stripMargin,
+    // T2 session budget enforcement replayed in SQL: the reference's while
+    // loop visits candidates (all but the newest preserveRecent, ordered
+    // importance asc then seq) compressing one level each while the session
+    // is over budget. Every visited candidate compresses unconditionally
+    // and the loop stops at the first under-budget state, so the visited
+    // set is the prefix where the running-min of before-tokens stays over
+    // budget — window math, no recursion. Compression is the same
+    // extractive replay as q27 at ratio 0.2 / min length 20.
+    "q31_session_budget" ->
+      s"""WITH e AS (
+        |  SELECT CAST(doc_id % 20 AS VARCHAR) AS session_id, CAST(doc_id AS VARCHAR) AS id,
+        |    text, ${qualityOracleExpr("text")} AS importance,
+        |    CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END AS tokens,
+        |    CAST(doc_id AS INT) AS seq
+        |  FROM documents),
+        |tot AS (SELECT session_id, CAST(sum(tokens) AS BIGINT) AS t, count(*) AS n FROM e GROUP BY session_id),
+        |withrn AS (
+        |  SELECT e.*, t, n, row_number() OVER (PARTITION BY e.session_id ORDER BY seq ASC) AS seqrn
+        |  FROM e JOIN tot USING (session_id)),
+        |limited AS (SELECT * FROM withrn WHERE seqrn <= n - 3),
+        |sent AS (
+        |  SELECT l.session_id, l.id, l.text, l.importance, l.tokens, l.seq, l.t, s.sentence, s.idx
+        |  FROM limited l,
+        |  LATERAL (
+        |    SELECT trim(u.x) AS sentence, row_number() OVER (ORDER BY u.i) AS idx
+        |    FROM (SELECT unnest(regexp_extract_all(l.text, '[^.!?]*[.!?]|[^.!?]+$$')) AS x,
+        |                 generate_subscripts(regexp_extract_all(l.text, '[^.!?]*[.!?]|[^.!?]+$$'), 1) AS i) u
+        |    WHERE len(trim(u.x)) > 0
+        |  ) s),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY session_id, id) AS total,
+        |    CAST((strlen(sentence) + 3) // 4 AS BIGINT) AS stok,
+        |    (strlen(text) + 3) // 4 AS dtok
+        |  FROM sent),
+        |sscore AS (
+        |  SELECT session_id, id, text, sentence, idx, total, stok,
+        |    CAST(dtok * 0.2 AS BIGINT) AS target,
+        |    (CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN len(list_filter(string_split_regex(sentence, '\\s+'), w -> len(w) > 0)) BETWEEN 5 AND 25 THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN contains(lower(sentence), 'important') OR contains(lower(sentence), 'key')
+        |       OR contains(lower(sentence), 'must') OR contains(lower(sentence), 'should') THEN 1.5 ELSE 0.0 END) +
+        |    (CASE WHEN regexp_matches(sentence, '[0-9]') THEN 0.5 ELSE 0.0 END) AS sc
+        |  FROM counted),
+        |sranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY session_id, id ORDER BY sc DESC, idx ASC) AS srn,
+        |    sum(stok) OVER (PARTITION BY session_id, id ORDER BY sc DESC, idx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sscore),
+        |comp AS (
+        |  SELECT session_id, id,
+        |    CASE WHEN max(total) = 1 THEN min(text)
+        |         WHEN length(min(text)) < 20 THEN min(text)
+        |         ELSE string_agg(sentence, ' ' ORDER BY idx) FILTER (srn = 1 OR cum <= target)
+        |    END AS new_content
+        |  FROM sranked GROUP BY session_id, id),
+        |annotated AS (
+        |  SELECT l.session_id, l.id, l.importance, l.tokens, l.seq, l.t, c.new_content,
+        |    CASE WHEN strlen(c.new_content) = 0 THEN 0 ELSE (strlen(c.new_content) + 3) // 4 END AS newtok
+        |  FROM limited l JOIN comp c ON c.session_id = l.session_id AND c.id = l.id),
+        |ord AS (
+        |  SELECT *, row_number() OVER (PARTITION BY session_id ORDER BY importance ASC, seq ASC) AS rn,
+        |    CAST(tokens - newtok AS BIGINT) AS savings
+        |  FROM annotated),
+        |run AS (
+        |  SELECT *, t - COALESCE(sum(savings) OVER (PARTITION BY session_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM ord),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(before) OVER (PARTITION BY session_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minbefore
+        |    FROM run) WHERE minbefore > 500)
+        |SELECT session_id, id, 'compressed' AS action, CAST(1 AS INT) AS new_level,
+        |  new_content, CAST(newtok AS INT) AS new_tokens
+        |FROM kept""".stripMargin,
+    // The FLAGSHIP §3.1 pipeline fully replayed in SQL: at this table's
+    // separation the 0.15-distance clustering is the identity (cluster_id =
+    // in-group id order), so the pipeline reduces to the MMR recursion over
+    // all chunks plus the extractive compressor — keep-delimiter sentence
+    // split, position/length/keyword/digit scores, greedy prefix selection
+    // (first sentence always kept, then while the running token total fits
+    // the 0.5 target), restored to document order.
+    "q27_dedup_pipeline" ->
+      s"""WITH RECURSIVE ch AS (
+        |  SELECT CAST(e.label AS BIGINT) AS g, CAST(d.doc_id AS BIGINT) AS id,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb, ${qualityOracleExpr("text")} AS score
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |norm AS (
+        |  SELECT g, id, emb,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS rel, n, score,
+        |    CAST(cid AS INT) AS cluster_id
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mn, max(score) OVER (PARTITION BY g) AS mx,
+        |               count(*) OVER (PARTITION BY g) AS n,
+        |               row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS cid
+        |        FROM ch)),
+        |sims AS (
+        |  SELECT a.g, a.id AS ia, b.id AS ib, list_cosine_similarity(a.emb, b.emb) AS s
+        |  FROM norm a JOIN norm b ON a.g = b.g AND a.id <> b.id),
+        |sel AS (
+        |  SELECT g, [min({'m': -0.5 * rel, 'i': id}).i] AS picked, 1 AS k
+        |  FROM norm WHERE n > 8 GROUP BY g
+        |  UNION ALL
+        |  SELECT u.g, list_append(u.picked, u.nxt), u.k + 1
+        |  FROM (
+        |    SELECT t.g, t.picked, t.k,
+        |      min({'m': -(0.5 * t.rel - 0.5 * greatest(0.0, t.ms)), 'i': t.id}).i AS nxt
+        |    FROM (
+        |      SELECT s.g, s.picked, s.k, nr.id, nr.rel, max(sm.s) AS ms
+        |      FROM sel s
+        |      JOIN norm nr ON nr.g = s.g AND NOT list_contains(s.picked, nr.id)
+        |      JOIN sims sm ON sm.g = s.g AND sm.ia = nr.id AND list_contains(s.picked, sm.ib)
+        |      WHERE s.k < 8
+        |      GROUP BY s.g, s.picked, s.k, nr.id, nr.rel
+        |    ) t
+        |    GROUP BY t.g, t.picked, t.k
+        |  ) u),
+        |final AS (
+        |  SELECT g, picked FROM (
+        |    SELECT g, picked, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn FROM sel) WHERE rn = 1),
+        |mmr AS (
+        |  SELECT f.g, f.picked[CAST(i AS INT)] AS id, CAST(i AS INT) AS mmr_rank
+        |  FROM final f, unnest(generate_series(1, len(f.picked))) AS t(i)
+        |  UNION ALL
+        |  SELECT g, id, CAST(row_number() OVER (PARTITION BY g ORDER BY id) AS INT) AS mmr_rank
+        |  FROM norm WHERE n <= 8),
+        |sent AS (
+        |  SELECT doc_id, text, s.sentence, s.idx
+        |  FROM documents,
+        |  LATERAL (
+        |    SELECT trim(u.x) AS sentence, row_number() OVER (ORDER BY u.i) AS idx
+        |    FROM (SELECT unnest(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$$')) AS x,
+        |                 generate_subscripts(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$$'), 1) AS i) u
+        |    WHERE len(trim(u.x)) > 0
+        |  ) s),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS total,
+        |    CAST((strlen(sentence) + 3) // 4 AS BIGINT) AS stok,
+        |    (strlen(text) + 3) // 4 AS dtok
+        |  FROM sent),
+        |sscore AS (
+        |  SELECT doc_id, text, sentence, idx, total, stok,
+        |    CAST(dtok * 0.5 AS BIGINT) AS target,
+        |    (CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN len(list_filter(string_split_regex(sentence, '\\s+'), w -> len(w) > 0)) BETWEEN 5 AND 25 THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN contains(lower(sentence), 'important') OR contains(lower(sentence), 'key')
+        |       OR contains(lower(sentence), 'must') OR contains(lower(sentence), 'should') THEN 1.5 ELSE 0.0 END) +
+        |    (CASE WHEN regexp_matches(sentence, '[0-9]') THEN 0.5 ELSE 0.0 END) AS sc
+        |  FROM counted),
+        |sranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, idx ASC) AS srn,
+        |    sum(stok) OVER (PARTITION BY doc_id ORDER BY sc DESC, idx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sscore),
+        |comp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN max(total) = 1 THEN min(text)
+        |         WHEN length(min(text)) < 50 THEN min(text)
+        |         ELSE string_agg(sentence, ' ' ORDER BY idx) FILTER (srn = 1 OR cum <= target)
+        |    END AS compressed
+        |  FROM sranked GROUP BY doc_id)
+        |SELECT m.g AS request_group, m.id AS doc_id, nr.cluster_id, m.mmr_rank, nr.score, c.compressed
+        |FROM mmr m
+        |JOIN norm nr ON nr.g = m.g AND nr.id = m.id
+        |JOIN comp c ON c.doc_id = m.id""".stripMargin,
     // Greedy MMR replayed in SQL: a recursive CTE carries the selected list,
     // each step re-derives every candidate's max-sim-to-selected and picks
     // the (mmr desc, id asc) argmax via a struct-min — the same strict-'>'
