@@ -74,17 +74,21 @@ object KnnOps {
       )
   }
 
-  /** IVF (inverted-file) approximate KNN: KMeans-partition the corpus into
-    * `ncells` Voronoi cells, then scan only the `nprobe` cells whose
-    * centroids are closest to each query. Centroids are broadcast; the
-    * corpus-side join is an equi-join on cell id.
+  /** A built IVF index: the corpus with its cell assignment (persist or
+    * write this bucketed by `cell` for repeated querying) plus the tiny
+    * centroid table. Building costs one KMeans fit; querying costs only a
+    * centroid ranking and a keyed scan of the probed cells — index once,
+    * query many, like a real vector-serving deployment.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             idCol: String, embCol: String, qidCol: String, qembCol: String,
-             ncells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** KMeans-partition the corpus into `ncells` Voronoi cells. */
+  def ivfIndex(corpus: DataFrame, idCol: String, embCol: String,
+               ncells: Int = 16, seed: Long = 42L): IvfIndex = {
     val spark = corpus.sparkSession
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val corpusVec = corpus.withColumn("features", toVec(col(embCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(ncells).setSeed(seed).setFeaturesCol("features")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
@@ -92,20 +96,34 @@ object KnnOps {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }
-    val centroidDf = spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid")
-    // nprobe nearest cells per query (tiny: nQueries × ncells)
+    IvfIndex(assigned, spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+  }
+
+  /** Query a built index: rank centroids per query (tiny cross join of
+    * nQueries × ncells), scan only the `nprobe` nearest cells via a keyed
+    * join, map-side top-k combine.
+    */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
+               idCol: String, embCol: String, qidCol: String, qembCol: String,
+               nprobe: Int = 4): DataFrame = {
     val qCells = queries.select(col(qidCol).as("query_id"), col(qembCol).as("qemb"))
-      .crossJoin(broadcast(centroidDf))
+      .crossJoin(broadcast(index.centroids))
       .withColumn("cdist", GraftFunctions.cosine_distance(col("qemb"), col("centroid")))
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cdist").asc, col("cell").asc)))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qemb"), col("cell"))
-    // scan only probed cells
-    val pruned = assigned.join(broadcast(qCells), "cell")
+    val pruned = index.assigned.join(broadcast(qCells), "cell")
     bruteForceKnnOnPairs(pruned, k, idCol, embCol)
   }
+
+  /** IVF (inverted-file) approximate KNN: one-shot build + query. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String, embCol: String, qidCol: String, qembCol: String,
+             ncells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfQuery(ivfIndex(corpus, idCol, embCol, ncells, seed),
+      queries, k, idCol, embCol, qidCol, qembCol, nprobe)
 
   private def bruteForceKnnOnPairs(pairs: DataFrame, k: Int,
                                    idCol: String, embCol: String): DataFrame = {

@@ -222,6 +222,28 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- IVF index reuse
+
+  test("ivfIndex builds once and serves repeated query batches") {
+    val corpus = (0L until 40L).map(i => i -> vec((i % 10).toInt)).toDF("id", "embedding")
+    val idx = KnnOps.ivfIndex(corpus, "id", "embedding", ncells = 4)
+    val q1 = corpus.filter(col("id") < 2)
+    val q2 = corpus.filter(col("id") >= 2 && col("id") < 4)
+    val r1 = KnnOps.ivfQuery(idx, q1, k = 3, "id", "embedding", "id", "embedding", nprobe = 4)
+    val r2 = KnnOps.ivfQuery(idx, q2, k = 3, "id", "embedding", "id", "embedding", nprobe = 4)
+    assert(r1.select("query_id").distinct().count() == 2)
+    assert(r2.select("query_id").distinct().count() == 2)
+    // full probe == exact: rank-1 neighbor of each query is itself or an
+    // identical vector (sim ~ 1)
+    val top = r1.filter(col("rank") === 1).collect()
+    assert(top.forall(_.getAs[Double]("sim") > 0.999))
+    // one-shot form must agree with build+query
+    val oneShot = KnnOps.ivfKnn(corpus, q1, k = 3, "id", "embedding", "id", "embedding",
+      ncells = 4, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(r1.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet == oneShot)
+  }
+
   // --- fused pipeline equivalence
 
   test("dedupPipelineFused matches the composable pipeline on real data") {
