@@ -1296,6 +1296,66 @@ object SparkEntry {
         |  [c.id] AS member_ids, false AS is_redundant,
         |  t.n_chunks, t.n_chunks AS n_clusters, CAST(0.0 AS DOUBLE) AS redundancy_ratio
         |FROM c JOIN t USING ("group")""".stripMargin,
+    // The zero-egress embedding provider replayed end to end: Scala's
+    // MurmurHash3.stringHash runs in SQL as 32-bit arithmetic over HUGEINT
+    // (pairwise char blocks, rotate-via-shift-sum, avalanche), buckets and
+    // signs come from the unsigned form's two's-complement bits, the
+    // feature vector L2-normalizes through a float round-trip, and the KNN
+    // ranks must then agree with the engine's cosine kernel.
+    "q37_embed_knn" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\W+')) AS w FROM docs)
+        |  WHERE len(w) > 0),
+        |hb AS (
+        |  SELECT doc_id, w,
+        |    list_reduce(
+        |      list_prepend(CAST(42 AS HUGEINT),
+        |        list_transform(generate_series(1, len(w) // 2),
+        |          j -> CAST(unicode(w[2*j-1]) * 65536 + unicode(w[2*j]) AS HUGEINT))),
+        |      (h, data) ->
+        |        ((xor(h, (((data * 3432918353) % CAST(4294967296 AS HUGEINT) * 32768 % CAST(4294967296 AS HUGEINT) + (data * 3432918353) % CAST(4294967296 AS HUGEINT) // 131072) * 461845907) % CAST(4294967296 AS HUGEINT))
+        |          * 8192 + xor(h, (((data * 3432918353) % CAST(4294967296 AS HUGEINT) * 32768 % CAST(4294967296 AS HUGEINT) + (data * 3432918353) % CAST(4294967296 AS HUGEINT) // 131072) * 461845907) % CAST(4294967296 AS HUGEINT)) // 524288)
+        |         % CAST(4294967296 AS HUGEINT) * 5 + 3864292196) % CAST(4294967296 AS HUGEINT)
+        |    ) AS hblocks
+        |  FROM words),
+        |hm AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) % 2 = 1 THEN
+        |      xor(hblocks,
+        |        ((CAST(unicode(w[len(w)]) AS HUGEINT) * 3432918353 % CAST(4294967296 AS HUGEINT) * 32768 % CAST(4294967296 AS HUGEINT)
+        |          + CAST(unicode(w[len(w)]) AS HUGEINT) * 3432918353 % CAST(4294967296 AS HUGEINT) // 131072) * 461845907) % CAST(4294967296 AS HUGEINT))
+        |    ELSE hblocks END AS h0
+        |  FROM hb),
+        |h3 AS (SELECT doc_id, w, xor(h0, CAST(len(w) AS HUGEINT)) AS h FROM hm),
+        |h4 AS (SELECT doc_id, w, xor(h, h // 65536) * 2246822507 % CAST(4294967296 AS HUGEINT) AS h FROM h3),
+        |h5 AS (SELECT doc_id, w, xor(h, h // 8192) * 3266489909 % CAST(4294967296 AS HUGEINT) AS h FROM h4),
+        |hu AS (SELECT doc_id, CAST(xor(h, h // 65536) AS BIGINT) AS h FROM h5),
+        |sgn AS (
+        |  SELECT doc_id, h % 64 AS bucket,
+        |    CASE WHEN (h // 65536) % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM hu),
+        |counts AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM sgn GROUP BY doc_id, bucket),
+        |dense AS (
+        |  SELECT d.doc_id, b.b, COALESCE(c.v, 0.0) AS v
+        |  FROM (SELECT DISTINCT doc_id FROM docs) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+        |  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.b),
+        |normd AS (
+        |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM dense GROUP BY doc_id),
+        |emb AS (
+        |  SELECT d.doc_id,
+        |    list_transform(array_agg(struct_pack(b := d.b, x := d.v) ORDER BY d.b),
+        |      s -> CASE WHEN n.nrm > 0 THEN CAST(CAST(s.x / n.nrm AS FLOAT) AS DOUBLE) ELSE s.x END) AS e
+        |  FROM dense d JOIN normd n ON n.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, n.nrm)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.doc_id
+        |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.doc_id) AS rnk
+        |  FROM emb q JOIN emb c ON q.doc_id < 5) t
+        |WHERE rnk <= 3""".stripMargin,
     "q53_chunk_documents" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
