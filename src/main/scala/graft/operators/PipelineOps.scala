@@ -104,7 +104,8 @@ object PipelineOps {
     */
   def dedupPipelineFused(df: DataFrame, groupCol: String, idCol: String, textCol: String,
                          embCol: String, scoreCol: String,
-                         cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+                         cfg: PipelineConfig = PipelineConfig(),
+                         maxGroupSize: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val clusterCfg = ClusterAlgs.ClusterConfig(
@@ -122,6 +123,9 @@ object PipelineOps {
         if (!runDedup) {
           rows.map(r => (g, r._2, 0L, 0, r._5, r._3))
         } else {
+          require(rows.length <= maxGroupSize,
+            s"group $g has ${rows.length} rows > maxGroupSize=$maxGroupSize; " +
+              "use DedupOps LSH paths for corpus-scale groups (O(N^2)-O(N^3) here)")
           val embs = rows.map(_._4)
           val cids = ClusterAlgs.agglomerate(embs, clusterCfg)
           val reps = rows.indices.groupBy(cids(_)).toSeq.map { case (cid, idxs0) =>
