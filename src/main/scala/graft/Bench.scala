@@ -17,7 +17,7 @@ object Bench {
     // so a cheap pass over tiny data first makes the timed numbers measure
     // the plans, not the JVM.
     val warmDir = new java.io.File("/root/testdata/sf0.001")
-    if (warmDir.isDirectory && warmDir.getPath != sfDir)
+    if (warmDir.isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
       }

@@ -98,5 +98,6 @@ object GraftEngine {
     * row to the sessions table — no engine work).
     */
   def deleteSession(entries: DataFrame, sessionId: String): DataFrame =
-    entries.filter(col("session_id") =!= sessionId)
+    // null-safe: a plain =!= would silently drop rows with a NULL session_id
+    entries.filter(!(col("session_id") <=> lit(sessionId)))
 }

@@ -995,12 +995,13 @@ object SparkEntry {
         |  WHERE NOT (d.doc_id % 13 = 0)),
         |batch AS (
         |  SELECT CAST(e.vec_id + 1000000 AS BIGINT) AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id WHERE e.vec_id < 40
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |  WHERE e.vec_id < 40 AND d.text IS NOT NULL AND d.text <> ''
         |  UNION ALL
         |  SELECT CAST(e.vec_id + 2000000 AS BIGINT) AS id, d.text,
         |    list_transform(generate_series(1, 64), i -> CASE WHEN i <= 32 THEN CAST(e.embedding[i] AS DOUBLE) ELSE 0.0 END) AS emb
         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-        |  WHERE e.vec_id >= 40 AND e.vec_id < 80),
+        |  WHERE e.vec_id >= 40 AND e.vec_id < 80 AND d.text IS NOT NULL AND d.text <> ''),
         |cand AS (
         |  SELECT b.id AS nid, s.id AS mid, 1.0 - list_cosine_similarity(b.emb, s.emb) AS dist FROM batch b, store s
         |  UNION ALL

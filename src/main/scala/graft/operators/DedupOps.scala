@@ -451,11 +451,15 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
-    // internal label key renamed so an input id column literally named "id"
-    // can't collide with it
-    df.join(labels.withColumnRenamed("id", "__sweep_id"),
+    // internal columns renamed so input columns literally named "id" or
+    // "label" can't collide with the propagation state; the component label
+    // is exposed as "label" unless the input already owns that name
+    val joined = df.join(labels.withColumnRenamed("id", "__sweep_id")
+          .withColumnRenamed("label", "__sweep_label"),
         df(idCol) === col("__sweep_id"))
-      .withColumn("keep", col("__sweep_id") === col("label"))
+      .withColumn("keep", col("__sweep_id") === col("__sweep_label"))
       .drop("__sweep_id")
+    if (df.columns.contains("label")) joined
+    else joined.withColumnRenamed("__sweep_label", "label")
   }
 }

@@ -100,7 +100,9 @@ object MemoryOps {
       .withColumn("rank", (col("pos") + 1).cast("int"))
       .withColumn("cum_tokens",
         aggregate(slice(col("arr"), lit(1), col("pos") + 1), lit(0L),
-          (acc, x) => acc + TextFunctions.tokens_raw(x("row")("text")).cast("long")))
+          // null texts count 0 tokens (the window sum this replaced skipped
+          // nulls; an unguarded null would poison the whole running sum)
+          (acc, x) => acc + coalesce(TextFunctions.tokens_raw(x("row")("text")), lit(0)).cast("long")))
     // take-while cutoff: tokens are non-negative, so the running sum is
     // monotone and "stop at the first violation" is the same set as
     // "keep while cum <= budget" — no driver-side min(rank) job needed.
@@ -121,9 +123,12 @@ object MemoryOps {
   def recallWithHints(memories: DataFrame, queryEmbedding: Option[Array[Float]],
                       params: RecallParams, now: Column,
                       stableRelevance: Double = 0.7): DataFrame = {
+    // the recalled set (<= maxResults rows) feeds both the totals aggregate
+    // and the returned rows — persist so the store scan runs once
     val recalled = recall(memories, queryEmbedding, params, now)
       .withColumn("sensitivity", TextFunctions.sensitivity_level(col("text")))
       .withColumn("stable_hint", col("relevance") >= stableRelevance)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Result-wide hint confidence (mean relevance, the reference's
     // totalScore/len) and max sensitivity: a one-row aggregate cross-joined
     // back — the recalled set is config-bounded, and summing in DECIMAL
@@ -240,7 +245,10 @@ object MemoryOps {
                  cfg: WriteDedupConfig = WriteDedupConfig(),
                  autoClassify: Boolean = true): (DataFrame, DataFrame) = {
     val nonEmpty = newEntries.filter(col("text").isNotNull && col("text") =!= "")
+    // the probe feeds the report, the touch aggregation, and the insert
+    // branch — persist once instead of re-running the dedup join per branch
     val flagged = writeDedup(nonEmpty, memories, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val declared =
       if (nonEmpty.columns.contains("sensitivity")) coalesce(col("sensitivity"), lit(0))
       else lit(0)
@@ -262,13 +270,17 @@ object MemoryOps {
         when(col("t_hits").isNotNull, now.cast("timestamp")).otherwise(col("last_referenced")))
       .drop("t_id", "t_hits")
 
+    // a within-batch duplicate's match is itself an inserted batch row — the
+    // reference's sequential Store inserts it first, then bumps it per dup;
+    // the batch form gives inserted rows their dup-hit count directly
     val inserted = report.filter(col("action") === "stored")
+      .join(touches, col("id") === col("t_id"), "left")
       .withColumn("decay_level", lit(0))
-      .withColumn("access_count", lit(0L))
+      .withColumn("access_count", coalesce(col("t_hits"), lit(0L)))
       .withColumn("expired", lit(false))
       .withColumn("created_at", now.cast("timestamp"))
       .withColumn("last_referenced", now.cast("timestamp"))
-      .drop("action", "dup_of", "conflict_ids")
+      .drop("action", "dup_of", "conflict_ids", "t_id", "t_hits")
     (touched.unionByName(inserted, allowMissingColumns = true), report)
   }
 

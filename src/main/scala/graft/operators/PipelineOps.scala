@@ -128,11 +128,18 @@ object PipelineOps {
               "use DedupOps LSH paths for corpus-scale groups (O(N^2)-O(N^3) here)")
           val embs = rows.map(_._4)
           val cids = ClusterAlgs.agglomerate(embs, clusterCfg)
+          // text length in code points to match the composed pipeline's
+          // Spark length() (String.length counts UTF-16 units and diverges
+          // on supplementary-plane characters)
+          def cpLen(i: Int): Int = {
+            val t = rows(i)._3
+            if (t == null) 0 else t.codePointCount(0, t.length)
+          }
           val reps = rows.indices.groupBy(cids(_)).toSeq.map { case (cid, idxs0) =>
             val idxs = idxs0.toIndexedSeq
             strategy match {
               case "score"  => idxs.maxBy(i => (rows(i)._5, -rows(i)._2))
-              case "length" => idxs.maxBy(i => (rows(i)._3.length, -rows(i)._2))
+              case "length" => idxs.maxBy(i => (cpLen(i), -rows(i)._2))
               case "centroid" =>
                 val cent = ClusterAlgs.centroid(idxs.map(embs(_)))
                 idxs.minBy(i => (ClusterAlgs.cosineDist(embs(i), cent), rows(i)._2))
@@ -140,7 +147,7 @@ object PipelineOps {
                 val cent = ClusterAlgs.centroid(idxs.map(embs(_)))
                 idxs(ClusterAlgs.selectHybrid(
                   idxs.map(i => rows(i)._5), idxs.map(embs(_)),
-                  idxs.map(i => rows(i)._3.length), cent))
+                  idxs.map(cpLen), cent))
               case other => throw new IllegalArgumentException(s"unknown strategy $other")
             }
           }.sortBy(i => rows(i)._2).toIndexedSeq // representatives feed MMR in id order

@@ -196,13 +196,18 @@ object SessionOps {
                      contentCol: String = "content"): DataFrame = {
     val ex = existing.select(
       col("session_id").as("x_sid"), col("id").as("x_id"),
-      GraftFunctions.content_hash(col(contentCol)).as("x_hash"))
+      GraftFunctions.content_hash(col(contentCol)).as("x_hash"),
+      lit(true).as("x_exists"))
     newEntries
       .withColumn("content_hash", GraftFunctions.content_hash(col(contentCol)))
       .join(ex, col("session_id") === col("x_sid") && col("id") === col("x_id"), "left")
-      .withColumn("is_new", col("x_hash").isNull)
-      .withColumn("content_changed", col("x_hash").isNotNull && col("x_hash") =!= col("content_hash"))
-      .drop("x_sid", "x_id", "x_hash")
+      // existence comes from the join marker, not from hash nullability (a
+      // stored NULL content hashes to NULL but the row still exists), and
+      // the change test is null-safe so NULL-vs-text counts as a change
+      .withColumn("is_new", col("x_exists").isNull)
+      .withColumn("content_changed",
+        col("x_exists").isNotNull && !(col("x_hash") <=> col("content_hash")))
+      .drop("x_sid", "x_id", "x_hash", "x_exists")
   }
 
   /** A8 token totals and compression savings per session. */

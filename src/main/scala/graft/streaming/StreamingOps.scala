@@ -172,9 +172,12 @@ object StreamingOps {
                 st.totalTokens, st.pushCount)
             } else {
               val total = st.totalTokens + p.tokens
-              st = SessionPushState(
-                (p.embedding :: st.recentEmbeddings).take(recentWindow),
-                total, st.pushCount + 1)
+              // embedding-less pushes are accepted but never enter the dedup
+              // state (a stored null would NPE the next distance check)
+              val newRecent =
+                if (p.embedding == null || p.embedding.isEmpty) st.recentEmbeddings
+                else (p.embedding :: st.recentEmbeddings).take(recentWindow)
+              st = SessionPushState(newRecent, total, st.pushCount + 1)
               val reason = if (total > maxTokens) "over_budget" else "ok"
               PushDecision(sid, p.id, p.seq, accepted = true, reason, total, st.pushCount)
             }

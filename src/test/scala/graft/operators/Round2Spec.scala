@@ -222,6 +222,48 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- review-pass regressions
+
+  test("changedEntries: stored NULL content is not 'new' and counts as changed") {
+    val existing = Seq(("s1", "e1", Option.empty[String]), ("s1", "e2", Some("same")))
+      .toDF("session_id", "id", "content")
+    val incoming = Seq(("s1", "e1", "now has text"), ("s1", "e2", "same"))
+      .toDF("session_id", "id", "content")
+    val out = SessionOps.changedEntries(incoming, existing)
+      .select(col("id"), col("is_new"), col("content_changed"))
+      .collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(out("e1") == ((false, true)))  // exists; NULL -> text is a change
+    assert(out("e2") == ((false, false)))
+  }
+
+  test("mergeWrite: within-batch dup target is inserted with its touch count") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    val emptyStore = Seq.empty[(Long, Seq[Float], Boolean, Long, String)]
+      .toDF("id", "embedding", "expired", "access_count", "text")
+      .withColumn("last_referenced", now)
+    val batch = Seq(
+      (1L, vec(0), "first copy"),
+      (2L, vec(0), "second copy dupes the first")
+    ).toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(emptyStore, batch, now)
+    val actions = report.select("id", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(actions(1L) == "stored" && actions(2L) == "deduplicated")
+    val inserted = newStore.collect()
+    assert(inserted.length == 1)
+    assert(inserted.head.getAs[Long]("access_count") == 1L) // bumped by its dup
+  }
+
+  test("dedupSweep tolerates input columns named id and label") {
+    val df = Seq((1L, "x", vec(0)), (2L, "x", vec(0)), (3L, "y", vec(5)))
+      .toDF("id", "label", "embedding")
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    val out = DedupOps.dedupSweep(df, pairs, "id")
+      .select(col("id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   // --- IVF index reuse
 
   test("ivfIndex builds once and serves repeated query batches") {

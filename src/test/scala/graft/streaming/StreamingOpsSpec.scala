@@ -153,4 +153,16 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(s1.last.pushCount == 5)
     assert(rows.count(_.sessionId == "s2") == 1 && rows.filter(_.sessionId == "s2").head.accepted)
   }
+
+  test("sessionPushPipeline: embedding-less pushes are accepted and never poison state") {
+    import spark.implicits._
+    def v(axis: Int): Array[Float] = { val a = Array.fill(8)(0f); a(axis) = 1f; a }
+    val pushes = Seq(
+      SessionPush("s1", "e1", 1, 10, null),       // no embedding
+      SessionPush("s1", "e2", 2, 10, v(0)),       // must not NPE against stored null
+      SessionPush("s1", "e3", 3, 10, v(0))        // dup of e2
+    ).toDS()
+    val out = sessionPushPipeline(pushes).collect().sortBy(_.seq)
+    assert(out.map(_.accepted).toSeq == Seq(true, true, false))
+  }
 }
