@@ -594,6 +594,14 @@ object SparkEntry {
         Tables.embeddings(s, dir), "label", "vec_id", "embedding")
     },
 
+    // F20 age formatting over the memories analog's reference ages.
+    "q54_age_format" -> { (s, dir) =>
+      val mem = memoriesAnalog(s, dir)
+      val age = (unix_timestamp(lit("2024-02-01 00:00:00").cast("timestamp")) -
+        unix_timestamp(col("last_referenced"))).cast("double")
+      mem.select(col("id"), TextFunctions.format_age(age).as("age_label"))
+    },
+
     // Document chunking: overlapping word windows (size 40, overlap 10) as
     // pure native expressions — the ingest-side chunker for a training-data
     // pipeline, exploded to one row per chunk.
@@ -1357,6 +1365,18 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.doc_id) AS rnk
         |  FROM emb q JOIN emb c ON q.doc_id < 5) t
         |WHERE rnk <= 3""".stripMargin,
+    "q54_age_format" ->
+      """WITH mem AS (
+        |  SELECT doc_id AS id,
+        |    CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') -
+        |         epoch(TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id AS INT) * INTERVAL 1 HOUR) AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT id,
+        |  CASE WHEN s < 60 THEN CAST(s AS VARCHAR) || 's'
+        |       WHEN s < 3600 THEN CAST(s // 60 AS VARCHAR) || 'm'
+        |       WHEN s < 86400 THEN CAST(s // 3600 AS VARCHAR) || 'h'
+        |       ELSE CAST(s // 86400 AS VARCHAR) || 'd' END AS age_label
+        |FROM mem""".stripMargin,
     "q53_chunk_documents" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

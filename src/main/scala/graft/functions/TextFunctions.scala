@@ -59,6 +59,18 @@ object TextFunctions {
     )
   }
 
+  // --- age formatting (F20, reference pkg/session/sqlite.go:744-755):
+  //     humanized durations, truncating like Go's int() casts.
+
+  /** "Ns" under a minute, "Nm" under an hour, "Nh" under a day, else "Nd". */
+  def format_age(ageSeconds: Column): Column = {
+    val s = ageSeconds.cast("long")
+    when(s < 60, concat(s.cast("string"), lit("s")))
+      .when(s < 3600, concat((s / 60).cast("long").cast("string"), lit("m")))
+      .when(s < 86400, concat((s / 3600).cast("long").cast("string"), lit("h")))
+      .otherwise(concat((s / 86400).cast("long").cast("string"), lit("d")))
+  }
+
   // --- importance (F12)
 
   val errorKw = Seq(

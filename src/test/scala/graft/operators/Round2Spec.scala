@@ -222,6 +222,17 @@ class Round2Spec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  // --- age formatting (F20)
+
+  test("format_age humanizes durations with Go-style truncation") {
+    val cases = Seq(0L -> "0s", 59L -> "59s", 60L -> "1m", 3599L -> "59m",
+      3600L -> "1h", 86399L -> "23h", 86400L -> "1d", 200000L -> "2d")
+    val out = cases.map(_._1).toDF("s")
+      .select(col("s"), graft.functions.TextFunctions.format_age(col("s")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (s, want) => assert(out(s) == want, s"age $s") }
+  }
+
   // --- review-pass regressions
 
   test("changedEntries: stored NULL content is not 'new' and counts as changed") {
