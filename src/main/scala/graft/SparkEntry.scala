@@ -469,7 +469,11 @@ object SparkEntry {
         .select((col("vec_id") + 2000000L).as("id"),
           transform(col("embedding"), (x, i) => when(i < 32, x).otherwise(lit(0f))).as("embedding"))
       graft.operators.MemoryOps.writeDedup(dups.unionByName(halves), store)
-        .select(col("id"), col("dup_of"), col("conflict_ids"))
+        .select(col("id"), col("dup_of"),
+          // driver's oracle checker row-sorts on every column, so arrays are
+          // projected to a canonical joined string on both sides
+          array_join(transform(col("conflict_ids"), x => x.cast("string")), ",")
+            .as("conflict_ids"))
     },
 
     // A9 risk summary: per-level counts, top-3 reason frequencies, overall
@@ -483,6 +487,7 @@ object SparkEntry {
         .withColumn("breaking", breaking)
       graft.operators.CommitOps.riskSummary(
         graft.operators.CommitOps.riskLevel(parsed))
+        .withColumn("top_risk_reasons", array_join(col("top_risk_reasons"), "|"))
     },
 
     // W1 recall with the reference's result metadata: stable-entry hint
@@ -592,6 +597,8 @@ object SparkEntry {
     "q52_analyze_redundancy" -> { (s, dir) =>
       graft.GraftEngine.analyzeRedundancy(
         Tables.embeddings(s, dir), "label", "vec_id", "embedding")
+        .withColumn("member_ids",
+          array_join(transform(col("member_ids"), x => x.cast("string")), ","))
     },
 
     // F20 age formatting over the memories analog's reference ages.
@@ -873,8 +880,9 @@ object SparkEntry {
         |          list_sort(list(mid) FILTER (dist >= 0.15)) AS conflicts
         |        FROM ranked GROUP BY nid)
         |SELECT b.id, CASE WHEN a.min_dist < 0.15 THEN a.closest_id END AS dup_of,
-        |  CASE WHEN a.min_dist IS NULL OR a.min_dist < 0.15 THEN CAST([] AS BIGINT[])
-        |       ELSE COALESCE(a.conflicts, CAST([] AS BIGINT[])) END AS conflict_ids
+        |  COALESCE(array_to_string(
+        |    CASE WHEN a.min_dist IS NULL OR a.min_dist < 0.15 THEN CAST([] AS BIGINT[])
+        |         ELSE COALESCE(a.conflicts, CAST([] AS BIGINT[])) END, ','), '') AS conflict_ids
         |FROM batch b LEFT JOIN agg a ON a.nid = b.id""".stripMargin,
     "q44_risk_summary" ->
       s"""WITH c AS (
@@ -939,7 +947,8 @@ object SparkEntry {
         |         CAST(sum(CASE WHEN risk = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS low_count
         |  FROM lvl),
         |top AS (
-        |  SELECT COALESCE(list(reason ORDER BY cnt DESC, reason ASC), CAST([] AS VARCHAR[])) AS top_risk_reasons
+        |  SELECT COALESCE(array_to_string(
+        |    COALESCE(list(reason ORDER BY cnt DESC, reason ASC), CAST([] AS VARCHAR[])), '|'), '') AS top_risk_reasons
         |  FROM (SELECT reason, count(*) AS cnt
         |        FROM (SELECT unnest(rs) AS reason FROM lvl)
         |        GROUP BY reason ORDER BY cnt DESC, reason ASC LIMIT 3))
@@ -1302,7 +1311,7 @@ object SparkEntry {
         |  FROM embeddings),
         |t AS (SELECT "group", count(*) AS n_chunks FROM c GROUP BY "group")
         |SELECT c."group", CAST(c.cluster_id AS INT) AS cluster_id, CAST(1 AS BIGINT) AS size,
-        |  [c.id] AS member_ids, false AS is_redundant,
+        |  CAST(c.id AS VARCHAR) AS member_ids, false AS is_redundant,
         |  t.n_chunks, t.n_chunks AS n_clusters, CAST(0.0 AS DOUBLE) AS redundancy_ratio
         |FROM c JOIN t USING ("group")""".stripMargin,
     // The zero-egress embedding provider replayed end to end: Scala's
