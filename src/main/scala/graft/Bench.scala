@@ -12,24 +12,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up at the smallest SF: first-run codegen compilation and encoder
-    // JIT dominate small-data timings (q31 was ~6.5 s cold vs ~0.5 s warm),
-    // so a cheap pass over tiny data first makes the timed numbers measure
-    // the plans, not the JVM.
-    val warmDir = new java.io.File("/root/testdata/sf0.001")
-    if (warmDir.isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir.getPath).count() catch { case _: Throwable => () }
-      }
+    // Warm-up at the smallest sibling SF of the benchmarked dir: first-run
+    // codegen compilation and encoder JIT dominate small-data timings (q31
+    // was ~6.5 s cold vs ~0.5 s warm), so a cheap pass over tiny data first
+    // makes the timed numbers measure the plans, not the JVM. Timed numbers
+    // are therefore WARM-JVM (tagged "jvm":"warm" below) and not comparable
+    // with cold-start runs.
+    val sfParent = Option(new java.io.File(sfDir).getParentFile)
+    val warmDir = sfParent.map(p => new java.io.File(p, "sf0.001"))
+      .filter(_.isDirectory)
+    warmDir match {
+      case Some(d) =>
+        SparkEntry.queries.foreach { case (name, fn) =>
+          try fn(spark, d.getPath).count() catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+          }
+        }
+      case None =>
+        System.err.println(s"[bench] no sf0.001 sibling of $sfDir; timings are cold-JVM")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val jvm = if (warmDir.isDefined) "warm" else "cold"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object GraftEngine {
 
+  /** Release every DataFrame the operators persisted internally (dedup
+    * probes, LSH banding inputs, broker over-fetches). Call after
+    * materializing results in a long-lived session; un-materialized results
+    * stay correct and simply recompute from lineage.
+    */
+  def releaseCaches(): Unit = graft.util.OpCaches.release()
+
   /** deduplicate_chunks: the §3.1 pipeline (cluster → representative → MMR →
     * compress) over (group, id, text, embedding, score) chunks.
     */

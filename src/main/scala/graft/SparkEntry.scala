@@ -1391,7 +1391,8 @@ object SparkEntry {
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
         |  FROM documents),
         |s AS (
-        |  SELECT doc_id, words, unnest(range(0, len(words), 30)) AS st FROM w WHERE len(words) > 0)
+        |  SELECT doc_id, words, unnest(range(0, greatest(len(words) - 10, 1), 30)) AS st
+        |  FROM w WHERE len(words) > 0)
         |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
         |  array_to_string(words[st+1 : st+40], ' ') AS chunk_text
         |FROM s""".stripMargin,

@@ -51,9 +51,13 @@ object TextFunctions {
     val step = chunkSize - overlap
     val words = filter(split(text, "[ \\t\\n\\r\\f]+"), w => length(w) > 0)
     val n = size(words)
+    // A start offset s contributes new words only while s < n - overlap
+    // (otherwise its window is fully contained in the previous chunk), so
+    // the sequence stops at n-1-overlap; greatest(…, 0) keeps one chunk for
+    // docs shorter than the overlap.
     when(n === 0, array().cast("array<string>")).otherwise(
       transform(
-        sequence(lit(0), n - 1, lit(step)),
+        sequence(lit(0), greatest(n - 1 - overlap, lit(0)), lit(step)),
         s => concat_ws(" ", slice(words, s + 1, lit(chunkSize)))
       )
     )

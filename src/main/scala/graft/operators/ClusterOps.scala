@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.OpCaches.TrackedPersist
+
 import graft.functions.GraftFunctions
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
@@ -169,7 +171,7 @@ object ClusterOps {
     // and transform scans again — without the cache each pass would re-read
     // the source and re-run the UDF.
     val withFeatures = df.withColumn("features", toVec(col(embCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // K = sqrt(N/2): when K isn't given the count doubles as the cache
     // materialization, so it costs no extra scan.
     val k = if (k0 > 0) k0 else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)

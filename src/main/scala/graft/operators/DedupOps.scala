@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.OpCaches.TrackedPersist
+
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -110,7 +112,7 @@ object DedupOps {
     // plan branches (frequency count, prefix window, both verify joins) and
     // would otherwise be recomputed per branch.
     val sh = df.select(col(idCol).as("doc_id"), wordShingleHashes(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val withSize = sh.withColumn("nsh", size(col("sh")))
     var ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     if (maxShingleFreq > 0) {
@@ -222,7 +224,7 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = df.select(col(idCol).as("doc_id"), wordShingleHashes(col(textCol), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sig = sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes))
     val banded = sig.select(
       col("doc_id"),
@@ -328,7 +330,7 @@ object DedupOps {
     // for the exact verify of the surviving pairs. The source projection is
     // persisted because it feeds the banding and both verify joins.
     val withEmb = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val banded = withEmb
       .withColumn("hsig", hyperplaneSig(col("emb"), planes, seed))
       .select(
@@ -431,7 +433,7 @@ object DedupOps {
     // verify) pair-generation lineage from scratch.
     val edges = pairs.select(col("ida"), col("idb"))
       .union(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     var labels = df.select(col(idCol).as("id")).withColumn("label", col("id"))
     labels.cache() // referenced 3x per round (both join sides + convergence check)
     var i = 0
@@ -451,10 +453,16 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
+    // The converged labels are two longs per row — checkpoint them locally
+    // (truncating the lineage that references the cached edge list) so both
+    // loop caches can be released instead of living as long as the session.
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
     // internal columns renamed so input columns literally named "id" or
     // "label" can't collide with the propagation state; the component label
     // is exposed as "label" unless the input already owns that name
-    val joined = df.join(labels.withColumnRenamed("id", "__sweep_id")
+    val joined = df.join(finalLabels.withColumnRenamed("id", "__sweep_id")
           .withColumnRenamed("label", "__sweep_label"),
         df(idCol) === col("__sweep_id"))
       .withColumn("keep", col("__sweep_id") === col("__sweep_label"))

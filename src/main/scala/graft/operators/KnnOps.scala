@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.OpCaches.TrackedPersist
+
 import graft.functions.GraftFunctions
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
@@ -88,7 +90,7 @@ object KnnOps {
     val spark = corpus.sparkSession
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val corpusVec = corpus.withColumn("features", toVec(col(embCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val model = new KMeans().setK(ncells).setSeed(seed).setFeaturesCol("features")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)

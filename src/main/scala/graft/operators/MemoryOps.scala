@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.OpCaches.TrackedPersist
+
 import graft.functions.{GraftFunctions, TextFunctions}
 import graft.text.TextAlgs
 import org.apache.spark.sql.expressions.Window
@@ -128,7 +130,7 @@ object MemoryOps {
     val recalled = recall(memories, queryEmbedding, params, now)
       .withColumn("sensitivity", TextFunctions.sensitivity_level(col("text")))
       .withColumn("stable_hint", col("relevance") >= stableRelevance)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // Result-wide hint confidence (mean relevance, the reference's
     // totalScore/len) and max sensitivity: a one-row aggregate cross-joined
     // back — the recalled set is config-bounded, and summing in DECIMAL
@@ -181,12 +183,14 @@ object MemoryOps {
         val vsStore = ex.join(bB,
           GraftFunctions.cosine_distance(col("ex_emb"), col("b_emb")) < conflictThreshold)
           .select(col("b_id").as("nid"), col("ex_id").as("mid"),
-            GraftFunctions.cosine_distance(col("ex_emb"), col("b_emb")).as("dist"))
+            GraftFunctions.cosine_distance(col("ex_emb"), col("b_emb")).as("dist"),
+            lit(true).as("m_store"))
         val vsBatch = batch.as("n")
           .join(bB.as("p"), col("p.b_id") < col("n.b_id") &&
             GraftFunctions.cosine_distance(col("n.b_emb"), col("p.b_emb")) < conflictThreshold)
           .select(col("n.b_id").as("nid"), col("p.b_id").as("mid"),
-            GraftFunctions.cosine_distance(col("n.b_emb"), col("p.b_emb")).as("dist"))
+            GraftFunctions.cosine_distance(col("n.b_emb"), col("p.b_emb")).as("dist"),
+            lit(false).as("m_store"))
         vsStore.union(vsBatch)
       case "lsh" =>
         // Keyed-shuffle candidates: batch rows meet store/batch rows that
@@ -201,25 +205,31 @@ object MemoryOps {
         probe.join(target,
           probe("band") === target("band") && probe("bkey") === target("bkey") &&
             (col("from_store") || col("mid") < col("nid")))
-          .select(col("nid"), col("mid"), col("nemb"), col("memb"))
+          .select(col("nid"), col("mid"), col("nemb"), col("memb"), col("from_store"))
           .distinct()
           .withColumn("dist", GraftFunctions.cosine_distance(col("nemb"), col("memb")))
           .filter(col("dist") < conflictThreshold)
-          .select(col("nid"), col("mid"), col("dist"))
+          .select(col("nid"), col("mid"), col("dist"), col("from_store").as("m_store"))
       case other => throw new IllegalArgumentException(s"unknown writeDedup strategy $other")
     }
 
+    // closest match carries its provenance (store row vs earlier batch row)
+    // so callers can key follow-up joins against the right table — ids are
+    // only unique per namespace, not across both
     val flags = matches.groupBy(col("nid")).agg(
-      min_by(col("mid"), struct(col("dist"), col("mid"))).as("closest_id"),
+      min_by(struct(col("mid").as("mid"), col("m_store").as("m_store")),
+        struct(col("dist"), col("mid"), col("m_store"))).as("closest"),
       min(col("dist")).as("min_dist"),
       sort_array(collect_list(when(col("dist") >= dedupThreshold, col("mid")))).as("conflict_ids")
     )
     newEntries.join(flags, newEntries("id") === flags("nid"), "left")
       .withColumn("dup_of",
-        when(col("min_dist") < dedupThreshold, col("closest_id")).otherwise(lit(null)))
+        when(col("min_dist") < dedupThreshold, col("closest")("mid")).otherwise(lit(null)))
+      .withColumn("dup_from_store",
+        when(col("dup_of").isNotNull, col("closest")("m_store")).otherwise(lit(null)))
       .withColumn("conflict_ids",
         when(col("dup_of").isNull, coalesce(col("conflict_ids"), array())).otherwise(array()))
-      .drop("nid", "closest_id", "min_dist")
+      .drop("nid", "closest", "min_dist")
   }
 
   /** Back-compat overload with bare thresholds (exact strategy). */
@@ -248,7 +258,7 @@ object MemoryOps {
     // the probe feeds the report, the touch aggregation, and the insert
     // branch — persist once instead of re-running the dedup join per branch
     val flagged = writeDedup(nonEmpty, memories, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val declared =
       if (nonEmpty.columns.contains("sensitivity")) coalesce(col("sensitivity"), lit(0))
       else lit(0)
@@ -259,10 +269,16 @@ object MemoryOps {
       .withColumn("action", when(col("dup_of").isNotNull, "deduplicated").otherwise("stored"))
       .withColumn("sensitivity", sens)
 
-    // touch-on-dup: each store row gains one access per duplicate that hit it
+    // touch-on-dup: each match target gains one access per duplicate that
+    // hit it. Targets split by provenance — store ids only touch the store,
+    // batch ids only seed inserted rows — so an id shared across the two
+    // namespaces never bumps an unrelated row.
     val touches = report.filter(col("action") === "deduplicated")
-      .groupBy(col("dup_of").as("t_id")).agg(count(lit(1)).as("t_hits"))
-    val touched = memories.join(touches, memories("id") === col("t_id"), "left")
+      .groupBy(col("dup_of").as("t_id"), col("dup_from_store").as("t_store"))
+      .agg(count(lit(1)).as("t_hits"))
+    val storeTouches = touches.filter(col("t_store")).drop("t_store")
+    val batchTouches = touches.filter(!col("t_store")).drop("t_store")
+    val touched = memories.join(storeTouches, memories("id") === col("t_id"), "left")
       .withColumn("access_count",
         when(col("t_hits").isNotNull, col("access_count") + col("t_hits"))
           .otherwise(col("access_count")))
@@ -274,13 +290,13 @@ object MemoryOps {
     // reference's sequential Store inserts it first, then bumps it per dup;
     // the batch form gives inserted rows their dup-hit count directly
     val inserted = report.filter(col("action") === "stored")
-      .join(touches, col("id") === col("t_id"), "left")
+      .join(batchTouches, col("id") === col("t_id"), "left")
       .withColumn("decay_level", lit(0))
       .withColumn("access_count", coalesce(col("t_hits"), lit(0L)))
       .withColumn("expired", lit(false))
       .withColumn("created_at", now.cast("timestamp"))
       .withColumn("last_referenced", now.cast("timestamp"))
-      .drop("action", "dup_of", "conflict_ids", "t_id", "t_hits")
+      .drop("action", "dup_of", "dup_from_store", "conflict_ids", "t_id", "t_hits")
     (touched.unionByName(inserted, allowMissingColumns = true), report)
   }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.util.OpCaches.TrackedPersist
+
 import graft.functions.{CompressFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -40,7 +42,7 @@ object PipelineOps {
                     cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     // The input feeds both the clustering groupBy and the join-back below;
     // persist it once instead of re-evaluating its lineage per branch.
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = df0.persistTracked
 
     // ── Stage 1: dedup (cluster → representative → MMR) ──
     val selected =
@@ -211,7 +213,7 @@ object PipelineOps {
       .select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("emb"))
       .join(broadcast(fetched), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("emb"), col("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     // Step 2: cluster the fetched chunks per query.
     val clustered = ClusterOps.agglomerativeCluster(

@@ -1,0 +1,45 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Registry of DataFrames persisted inside operators.
+  *
+  * Operators persist intermediates that re-enter their plan more than once
+  * (LSH banding inputs, dedup probes, broker over-fetches). Those frames
+  * back the lazily-returned result, so the operator itself can never
+  * unpersist them — but a long-lived session would otherwise accumulate
+  * cached blocks with no handle to release them. Every internal persist is
+  * tracked here; callers release them all with `GraftEngine.releaseCaches()`
+  * once downstream results are materialized. Releasing early is safe —
+  * un-materialized results recompute from lineage.
+  */
+object OpCaches {
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` at the given level and track the handle. */
+  def trackPersist(df: DataFrame,
+                   level: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    registry.add(p)
+    p
+  }
+
+  /** Unpersist (non-blocking) every tracked frame and clear the registry. */
+  def release(): Unit = {
+    var d = registry.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = registry.poll()
+    }
+  }
+
+  /** Number of currently tracked cached frames (for tests). */
+  def trackedCount: Int = registry.size()
+
+  /** `df.persistTracked` — persist MEMORY_AND_DISK and register the handle. */
+  implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
+    def persistTracked: DataFrame = trackPersist(df)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 surface: match provenance in write dedup (store vs batch
+  * namespaces), operator cache tracking/release, and the de-duplicated
+  * trailing chunk in chunk_words.
+  */
+class Round3Spec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def vec(axis: Int, dim: Int = 16): Seq[Float] = {
+    val v = Array.fill(dim)(0.01f)
+    v(axis) = 1f
+    v.toSeq
+  }
+
+  test("mergeWrite: a batch id colliding with an unrelated store id never cross-touches") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    // batch row 2 is a fresh insert whose id collides with an UNRELATED
+    // store row (far vector, access_count 10); batch row 9 is a within-batch
+    // dup of batch row 2 (dedup matches lower batch ids). The touch for
+    // dup target id=2 lives in the batch namespace, so store row 2 must not
+    // be bumped and inserted row 2 must carry exactly its within-batch hit.
+    val st = Seq(
+      (2L, vec(0), false, 10L, "unrelated store row with a colliding id"),
+      (7L, vec(1), false, 3L, "far store row"))
+      .toDF("id", "embedding", "expired", "access_count", "text")
+      .withColumn("last_referenced", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("decay_level", lit(0))
+    val batch = Seq(
+      (2L, vec(5), "new axis-5 text"),
+      (9L, vec(5), "duplicate of the batch row above"))
+      .toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(st, batch, now)
+
+    val rep = report.select(col("id"), col("action"), col("dup_of"), col("dup_from_store"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rep(2L)._1 == "stored")
+    assert(rep(9L) == (("deduplicated", Some(2L), Some(false))))
+
+    val rows = newStore.collect().map { r =>
+      (r.getAs[Long]("id"), r.getAs[String]("text").startsWith("unrelated")) ->
+        r.getAs[Long]("access_count")
+    }.toMap
+    assert(rows((2L, true)) == 10L, "store row 2 must not be bumped by a batch-namespace touch")
+    assert(rows((7L, false)) == 3L)
+    assert(rows((2L, false)) == 1L, "inserted dup target carries its within-batch hit")
+  }
+
+  test("mergeWrite: store dup target with an id also present in the batch only touches the store") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    // store row id=42 is the dup target; the batch ALSO inserts an unrelated
+    // row with id=42 (far vector). The touch must land on the store row only
+    // and the inserted row must start at access_count 0.
+    val st = Seq((42L, vec(0), false, 5L, "store target"))
+      .toDF("id", "embedding", "expired", "access_count", "text")
+      .withColumn("last_referenced", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("decay_level", lit(0))
+    val batch = Seq(
+      (42L, vec(9), "unrelated batch row reusing id 42"),
+      (100L, vec(0), "dup of store 42"))
+      .toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(st, batch, now)
+
+    val rep = report.select(col("id"), col("action"), col("dup_of"), col("dup_from_store"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rep(42L)._1 == "stored")
+    assert(rep(100L) == (("deduplicated", Some(42L), Some(true))))
+
+    val rows = newStore.collect().map { r =>
+      (r.getAs[Long]("id"), r.getAs[String]("text").startsWith("store")) ->
+        r.getAs[Long]("access_count")
+    }.toMap
+    assert(rows((42L, true)) == 6L, "store target gains the dup hit")
+    assert(rows((42L, false)) == 0L, "inserted id-42 row must not inherit the store touch")
+  }
+
+  test("OpCaches tracks operator persists and releaseCaches frees them") {
+    graft.GraftEngine.releaseCaches() // start clean
+    val corpus = (0L until 40L).map(i => i -> vec((i % 8).toInt)).toDF("vid", "emb")
+    val queries = corpus.filter(col("vid") < 2)
+    val out = PipelineOps.retrieveBroker(corpus, queries, "vid", "emb", "vid", "emb",
+      PipelineOps.BrokerConfig(overFetchK = 10, targetK = 3, enableMMR = false))
+    assert(out.count() > 0)
+    assert(graft.util.OpCaches.trackedCount > 0, "broker persists its over-fetch")
+    graft.GraftEngine.releaseCaches()
+    assert(graft.util.OpCaches.trackedCount == 0)
+    // released caches must not break re-evaluation (recompute from lineage)
+    assert(out.count() > 0)
+  }
+
+  test("dedupSweep releases its loop caches after convergence") {
+    graft.GraftEngine.releaseCaches()
+    val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
+    val pairs = Seq((0L, 10L), (1L, 11L)).toDF("ida", "idb")
+    val out = DedupOps.dedupSweep(df, pairs, "vec_id")
+    val kept = out.filter(col("keep")).count()
+    assert(kept == 18) // 20 rows, two merged pairs
+    // edges + labels loop caches were unpersisted inside the operator; the
+    // only survivors are the localCheckpoint blocks and tracked handles
+    graft.GraftEngine.releaseCaches()
+    assert(out.filter(col("keep")).count() == kept)
+  }
+}
