@@ -619,6 +619,24 @@ object SparkEntry {
           .as(Seq("chunk_idx", "chunk_text")))
     },
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting): word
+    // 3-grams -> polynomial rolling hash -> window-of-4 minima, fully
+    // native expressions + one doc-keyed window. Oracle replays the exact
+    // fold and window min in DuckDB BIGINT arithmetic.
+    "q55_winnow_fingerprints" -> { (s, dir) =>
+      graft.operators.DedupOps.winnowFingerprints(
+        Tables.documents(s, dir), "text", "doc_id", k = 3, w = 4)
+    },
+
+    // Fingerprint-overlap near-dup candidates: inverted-index join on
+    // selected gram hashes, >= 3 shared fingerprints. Exact and fully
+    // SQL-expressible, unlike the probabilistic MinHash/SimHash paths.
+    "q56_fingerprint_neardup" -> { (s, dir) =>
+      graft.operators.DedupOps.fingerprintNearDupPairs(
+        Tables.documents(s, dir), "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxHashFreq = 100L)
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -680,6 +698,34 @@ object SparkEntry {
     */
   private[graft] val q46QueryVec: Array[Float] =
     Array.tabulate(64)(i => (((i * 37) % 19) - 9) / 16.0f)
+
+  /** Winnowing replay in DuckDB: word 3-grams, polynomial rolling hash
+    * (acc*31 + ascii(ch) mod 1e9+7 — the exact `TextFunctions.rolling_hash`
+    * fold, all within BIGINT range), hash·2^20+pos packing, and a
+    * 4-gram-hash window min. `m` exposes (doc_id, ng, pos, wmin).
+    */
+  private def winnowOracleCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(words) - 2 AS ng, unnest(generate_series(0, len(words) - 3)) AS pos, words
+      |  FROM w WHERE len(words) >= 3),
+      |gr AS (
+      |  SELECT doc_id, ng, pos, array_to_string(words[pos+1 : pos+3], ' ') AS gram FROM g),
+      |h AS (
+      |  SELECT doc_id, ng, pos,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
+      |  FROM gr),
+      |c AS (SELECT doc_id, ng, pos, hash * 1048576 + pos AS comb FROM h),
+      |m AS (
+      |  SELECT doc_id, ng, pos,
+      |    min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM c)""".stripMargin
 
   private def q46QueryVecSql: String =
     q46QueryVec.map(_.toString).mkString("[", ", ", "]")
@@ -1396,6 +1442,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
         |  array_to_string(words[st+1 : st+40], ' ') AS chunk_text
         |FROM s""".stripMargin,
+    "q55_winnow_fingerprints" ->
+      s"""$winnowOracleCte
+        |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash,
+        |  CAST(wmin % 1048576 AS BIGINT) AS fp_pos
+        |FROM m WHERE pos <= greatest(ng - 4, 0)""".stripMargin,
+    "q56_fingerprint_neardup" ->
+      s"""$winnowOracleCte,
+        |fp AS (
+        |  SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash
+        |  FROM m WHERE pos <= greatest(ng - 4, 0)),
+        |keepers AS (
+        |  SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 100),
+        |posting AS (SELECT doc_id, fp_hash FROM fp JOIN keepers USING (fp_hash))
+        |SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared
+        |FROM posting a JOIN posting b
+        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (
         |  SELECT e.label AS request_group, d.doc_id,

@@ -63,6 +63,22 @@ object TextFunctions {
     )
   }
 
+  /** Polynomial rolling hash of a string: fold over characters with
+    * acc = (acc*31 + code) mod 1e9+7. The base/modulus keep the accumulator
+    * under 2^35 (no 64-bit overflow) so the exact fold is replayable in any
+    * engine with plain BIGINT arithmetic — this is the content-identity
+    * primitive behind winnowing fingerprints (Schleimer et al., SIGMOD'03),
+    * the rolling-hash counterpart to the SHA-256 `fingerprint` below.
+    * Character codes come from `ascii()` (first-code-unit semantics), which
+    * agrees across engines for BMP text.
+    */
+  def rolling_hash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
   // --- age formatting (F20, reference pkg/session/sqlite.go:744-755):
   //     humanized durations, truncating like Go's int() casts.
 

@@ -470,4 +470,73 @@ object DedupOps {
     if (df.columns.contains("label")) joined
     else joined.withColumnRenamed("__sweep_label", "label")
   }
+
+  // --- winnowing fingerprints (training-pipeline addition; not in the
+  //     reference, whose only content identity is whole-text SHA-256 at
+  //     pkg/cache/patterns.go:292-307). Schleimer/Wilkerson/Aiken,
+  //     "Winnowing: Local Algorithms for Document Fingerprinting"
+  //     (SIGMOD'03): hash every word k-gram with a polynomial rolling hash,
+  //     slide a window of w consecutive gram hashes, and keep the minimum
+  //     of each window (position-tagged). Guarantees at least one shared
+  //     fingerprint for any shared run of k+w-1 words — the standard
+  //     copy-detection primitive for near-dup candidate generation.
+
+  /** Selected fingerprints per document: (doc_id, fp_hash, fp_pos), one row
+    * per distinct window-minimum. Fully native expressions + one keyed
+    * window (partitioned by doc — no global shuffle, scales with the
+    * corpus). Hash and position pack into one BIGINT (hash·2^20 + pos, min
+    * tie-break = lowest hash then leftmost position), so both the Spark
+    * plan and the DuckDB oracle reduce to a plain integer window-min; docs
+    * are assumed < 2^20 grams (a 4 MB+ text — split first if bigger).
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
+    val grams = when(size(words) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(words) - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+    df.select(col(idCol).as("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), size(col("grams")).as("ng"),
+        posexplode(col("grams")).as(Seq("pos", "gram")))
+      .withColumn("comb",
+        graft.functions.TextFunctions.rolling_hash(col("gram")) * 1048576L + col("pos"))
+      .withColumn("wmin", min(col("comb")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(0, w - 1)))
+      // winnowing uses full windows only: starts 0 .. ng-w (or the single
+      // truncated window when a doc has fewer than w grams)
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col("doc_id"),
+        shiftright(col("wmin"), 20).as("fp_hash"),
+        col("wmin").bitwiseAND(lit(1048575L)).as("fp_pos"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs by shared winnowing fingerprints: docs that
+    * share >= `minShared` distinct selected gram hashes. The join is keyed
+    * on fp_hash (an inverted index shuffle, never all-pairs); hashes hitting
+    * more than `maxHashFreq` docs are dropped first — the boilerplate guard
+    * that keeps posting lists bounded on 100 TB corpora (same role as
+    * `maxShingleFreq` in [[jaccardPairs]]).
+    */
+  def fingerprintNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 3, w: Int = 4, minShared: Int = 2,
+                              maxHashFreq: Long = 0L): DataFrame = {
+    val d = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+      .persistTracked
+    val posting =
+      if (maxHashFreq > 0) {
+        val keep = d.groupBy("fp_hash").agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") <= maxHashFreq).select("fp_hash")
+        d.join(keep, "fp_hash")
+      } else d
+    posting.as("a").join(posting.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

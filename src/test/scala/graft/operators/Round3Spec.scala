@@ -97,6 +97,49 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     assert(out.count() > 0)
   }
 
+  test("winnowFingerprints: guarantee + determinism on a shared run") {
+    // winnowing guarantee: any shared run of k+w-1 = 6 words yields at least
+    // one shared fingerprint; disjoint texts share none
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      1L -> s"prefix one two $shared suffix here",
+      2L -> s"$shared completely different tail words",
+      3L -> "nothing in common with the others at all").toDF("doc_id", "text")
+    val fp = DedupOps.winnowFingerprints(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 6-word run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // deterministic across runs
+    val again = DedupOps.winnowFingerprints(df, "text", "doc_id")
+      .collect().groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert(fp == again)
+  }
+
+  test("winnowFingerprints: short docs yield one global-min fingerprint") {
+    val df = Seq(10L -> "just four words here").toDF("doc_id", "text") // 2 grams < w
+    val fp = DedupOps.winnowFingerprints(df, "text", "doc_id").collect()
+    assert(fp.length == 1)
+    val none = DedupOps.winnowFingerprints(
+      Seq(11L -> "two words").toDF("doc_id", "text"), "text", "doc_id").collect()
+    assert(none.isEmpty, "fewer than k words -> no grams -> no fingerprints")
+  }
+
+  test("fingerprintNearDupPairs finds the planted pair and stays keyed") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      1L -> base,
+      2L -> (base + " with a small tail edit"),
+      3L -> "entirely unrelated content about spark catalyst optimizer rules").toDF("doc_id", "text")
+    val pairs = DedupOps.fingerprintNearDupPairs(df, "text", "doc_id", minShared = 2)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "fingerprint join must stay hash-keyed")
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
