@@ -637,6 +637,21 @@ object SparkEntry {
         k = 3, w = 4, minShared = 3, maxHashFreq = 100L)
     },
 
+    // LSH-bucketed ANN: planted exact-copy queries must retrieve their
+    // source vector at rank 1 through the banded-bucket join (identical
+    // vectors share every bucket, and max cross-vector cosine on this
+    // table is 0.51, so rank 1 is deterministic). Oracles the full LSH
+    // plumbing: signature, banding, keyed candidate join, top-k rank.
+    "q57_lsh_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000L).as("qid"), col("embedding"))
+      graft.operators.KnnOps.lshKnn(
+        emb, queries, k = 5, "vec_id", "embedding", "qid", "embedding")
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+    },
+
     // End-to-end text -> hash embedding -> cosine KNN (the zero-egress
     // embedding provider path); deterministic, rows-only.
     "q37_embed_knn" -> { (s, dir) =>
@@ -1442,6 +1457,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
         |  array_to_string(words[st+1 : st+40], ' ') AS chunk_text
         |FROM s""".stripMargin,
+    "q57_lsh_knn" ->
+      """SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
+        |  CAST(vec_id AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 25""".stripMargin,
     "q55_winnow_fingerprints" ->
       s"""$winnowOracleCte
         |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash,

@@ -151,6 +151,34 @@ object KnnOps {
       )
   }
 
+  /** LSH-bucketed approximate KNN — the third point on the ANN scale path
+    * (brute force → IVF → LSH): corpus and query vectors hash to random-
+    * hyperplane band buckets ([[DedupOps.hyperplaneBandKeys]]) and a query
+    * only scores corpus rows sharing at least one (band, bkey) bucket.
+    * Every shuffle is keyed on the bucket or an id — the corpus is never
+    * broadcast, never crossed with the queries, and the banded shuffle
+    * carries bare ids (embeddings re-join after the candidate distinct).
+    * Identical vectors share every bucket, so exact-duplicate lookup has
+    * recall 1; near-neighbor recall rises with coarser buckets (lower
+    * `bandBits`) or more bands. Unlike IVF there is no training pass, so
+    * this path also serves streaming/incremental corpora.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String, embCol: String, qidCol: String, qembCol: String,
+             planes: Int = 32, bandBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("cid"), col(embCol).as("cemb"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"), col(qembCol).as("qemb"))
+    val cBand = DedupOps.hyperplaneBandKeys(c, "cemb", Seq("cid"), planes, bandBits, seed)
+      .select(col("cid"), col("band"), col("bkey"))
+    val qBand = DedupOps.hyperplaneBandKeys(q, "qemb", Seq("query_id"), planes, bandBits, seed)
+      .select(col("query_id"), col("band"), col("bkey"))
+    val cand = qBand.join(cBand, Seq("band", "bkey"))
+      .select(col("query_id"), col("cid"))
+      .distinct()
+    val pairs = cand.join(q, "query_id").join(c, "cid")
+    bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
+  }
+
   /** Pairwise self-similarity above a threshold for one small group —
     * the J1/J2 distance-matrix analog, as a relational theta join.
     */

@@ -140,6 +140,38 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("lshKnn: self-retrieval recall 1, decent neighbor recall, keyed plan") {
+    val rng = new scala.util.Random(7)
+    // 8 tight clusters around axes: 96 corpus vectors, mild perturbation
+    val corpus = (0L until 96L).map { i =>
+      val base = vec((i % 8).toInt, dim = 32).toArray
+      i -> base.map(x => x + rng.nextFloat() * 0.05f).toSeq
+    }.toDF("vid", "emb")
+    val queries = corpus.filter(col("vid") < 10)
+      .select((col("vid") + 5000L).as("qid"), col("emb"))
+    val res = KnnOps.lshKnn(corpus, queries, k = 3, "vid", "emb", "qid", "emb",
+      planes = 16, bandBits = 4)
+    val rows = res.collect()
+    // every query's rank-1 hit is its own source vector (identical vectors
+    // share all buckets; sim 1.0 beats every perturbed neighbor)
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert((0L until 10L).forall(i => rank1.get(5000L + i).contains(i)))
+    // recall@3 vs brute force on clustered data
+    val exact = KnnOps.bruteForceKnn(corpus, queries, k = 3, "vid", "emb", "qid", "emb")
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val got = rows.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recall = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty[Long]) & exact(q)).size.toDouble / 3)
+      .sum / exact.size
+    assert(recall >= 0.5, s"recall@3 $recall too low for clustered data")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate join must stay keyed")
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
