@@ -395,8 +395,15 @@ object SparkEntry {
     "q36_multimodal_decode" -> { (s, dir) =>
       val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
       val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
+      // buckets_hit: the count of non-zero byte-histogram buckets — an
+      // integer-exact projection of the (float) feature vector, so the
+      // mapPartitions feature path is oracle-checkable too. The synthetic
+      // payload derives from media_id by pure arithmetic, so the DuckDB
+      // oracle replays decode metadata AND this feature summary without
+      // ever seeing the bytes.
       decoded.select(col("media_id"), col("modality"), col("width"), col("height"),
-        col("duration_ms"), col("format"))
+        col("duration_ms"), col("format"),
+        size(filter(col("features"), f => f > 0f)).as("buckets_hit"))
     },
 
     // Corpus-scale flagship throughput: every lineitem row becomes a text
@@ -1461,6 +1468,33 @@ object SparkEntry {
       """SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
         |  CAST(vec_id AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 25""".stripMargin,
+    // replays syntheticMedia + fakeDecode + byteHistogram arithmetic from
+    // MultimodalOps: payload byte j of media i is (i*131 + j*17) % 256 and
+    // the payload length is 128 + (i*37) % 512, so decode metadata and the
+    // non-zero-bucket count are closed-form
+    "q36_multimodal_decode" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
+        |base AS (
+        |  SELECT i, 128 + (i * 37) % 512 AS n,
+        |    (i * 131) % 256 AS a, (i * 131 + 17) % 256 AS b,
+        |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |  FROM ids),
+        |feat AS (
+        |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % 256) * 16) // 256) AS bh
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 638)) AS j) js
+        |  WHERE j < 128 + (i * 37) % 512
+        |  GROUP BY i)
+        |SELECT CAST(base.i AS BIGINT) AS media_id, modality,
+        |  CAST(CASE modality WHEN 'image' THEN 64 + a % 192
+        |       WHEN 'audio' THEN 0 ELSE 320 + a % 64 END AS INT) AS width,
+        |  CAST(CASE modality WHEN 'image' THEN 64 + b % 192
+        |       WHEN 'audio' THEN 0 ELSE 240 + b % 48 END AS INT) AS height,
+        |  CAST(CASE modality WHEN 'image' THEN 0
+        |       WHEN 'audio' THEN 1000 + n * 20 ELSE 1000 + n * 40 END AS BIGINT) AS duration_ms,
+        |  CASE modality WHEN 'image' THEN 'fake/png'
+        |       WHEN 'audio' THEN 'fake/wav' ELSE 'fake/mp4' END AS format,
+        |  CAST(bh AS INT) AS buckets_hit
+        |FROM base JOIN feat ON base.i = feat.i""".stripMargin,
     "q55_winnow_fingerprints" ->
       s"""$winnowOracleCte
         |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash,
