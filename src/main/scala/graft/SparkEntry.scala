@@ -103,6 +103,19 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("cum_value"))
     },
 
+    // Streaming-shaped tumbling-window aggregation, run in batch: the SAME
+    // StreamingOps.windowedEventCounts operator that powers the readStream
+    // path (Catalyst eliminates the watermark node on batch input), so the
+    // oracle row checks the streaming operator's aggregation logic. Value
+    // sums go through decimal to stay order-independent.
+    "q58_windowed_events" -> { (s, dir) =>
+      graft.streaming.StreamingOps.windowedEventCounts(
+        Tables.events(s, dir).withColumn("value", dec2(col("value"))),
+        "1 hour", "2 hours")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value").cast("double").as("total_value"))
+    },
+
     // F5-adjacent — JSON payload extraction + grouped agg.
     "q08_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -763,6 +776,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // 1-hour tumbling windows align to epoch boundaries = date_trunc('hour')
+    "q58_windowed_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q02_filter_pushdown" ->
       "SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_size BETWEEN 10 AND 25",
     "q03_join_revenue_topk" ->
