@@ -116,6 +116,17 @@ object SparkEntry {
           col("n"), col("total_value").cast("double").as("total_value"))
     },
 
+    // Skew-salted fact⋈dim join: events are heavily skewed on user_id (few
+    // users, many events), so the salted path spreads each hot user across
+    // 8 reducers while producing byte-identical results to the plain join —
+    // which is exactly what the oracle checks.
+    "q59_salted_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("user_events"))
+      graft.operators.JoinOps.saltedJoin(ev, dim, Seq("user_id"), col("event_id"), 8)
+        .select(col("event_id"), col("user_id"), col("user_events"))
+    },
+
     // F5-adjacent — JSON payload extraction + grouped agg.
     "q08_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -776,6 +787,10 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q59_salted_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
+        |SELECT event_id, user_id, user_events
+        |FROM events JOIN dim USING (user_id)""".stripMargin,
     // 1-hour tumbling windows align to epoch boundaries = date_trunc('hour')
     "q58_windowed_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

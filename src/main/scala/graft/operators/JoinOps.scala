@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation join utilities for 100 TB-shaped workloads.
+  *
+  * A shuffled equi-join sends every row of a key to one reducer; a hot key
+  * (one user, one boilerplate document, one null-ish default) turns that
+  * reducer into the whole job's critical path. AQE's skew-join handles the
+  * sort-merge case at runtime, but it can't help when the skewed side feeds
+  * a keyed aggregation or when stats hide the skew — these operators encode
+  * the classic salting patterns explicitly.
+  *
+  * Not derived from the reference (its stores are single-node SQLite and
+  * never shuffle); this is engine-level plumbing our dedup/recall joins
+  * need at corpus scale.
+  */
+object JoinOps {
+
+  /** Inner equi-join with full salting: the (skewed) `left` adds a salt in
+    * [0, buckets) hashed from `saltFrom` (any column that varies within a
+    * key — an id, not the key itself), the (smaller) `right` replicates
+    * every row `buckets` times, and the join key becomes (keys…, salt). A
+    * hot key's rows now land on `buckets` reducers instead of one.
+    * Result = `left.join(right, keys)` exactly; cost = |right| × buckets
+    * extra shuffle rows, so use when `right` is the dimension side and too
+    * big (or too dynamic) to broadcast.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFrom: org.apache.spark.sql.Column,
+                 buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(keys.nonEmpty, "need at least one join key")
+    val l = left.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
+    val r = right.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Inner equi-join that salts ONLY detected hot keys: keys whose left-side
+    * row count exceeds `hotThreshold` take the salted path; everything else
+    * joins plainly, and the two halves union. The hot-key set is bounded by
+    * |left| / hotThreshold rows (small by construction), so broadcasting it
+    * for the split is safe at any scale. This is the production shape when
+    * replication of the whole right side (as [[saltedJoin]] does) would be
+    * too expensive.
+    */
+  def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    saltFrom: org.apache.spark.sql.Column,
+                    hotThreshold: Long = 100000L,
+                    buckets: Int = 16): DataFrame = {
+    import graft.util.OpCaches.TrackedPersist
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val keyCols = keys.map(col)
+    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(keyCols: _*)
+      .persistTracked
+    val hotB = broadcast(hot)
+    val leftHot = left.join(hotB, keys, "left_semi")
+    val leftCold = left.join(hotB, keys, "left_anti")
+    val rightHot = right.join(hotB, keys, "left_semi")
+    val salted = saltedJoin(leftHot, rightHot, keys, saltFrom, buckets)
+    salted.unionByName(leftCold.join(right, keys))
+  }
+}

@@ -172,6 +172,39 @@ class Round3Spec extends AnyFunSuite with SparkTest {
       "LSH candidate join must stay keyed")
   }
 
+  test("saltedJoin: equals the plain join and salts the shuffle key") {
+    // skewed fact: one hot key (90 rows), several cold keys
+    val fact = ((0 until 90).map(i => (i.toLong, 1L)) ++
+      (90 until 100).map(i => (i.toLong, (i % 5 + 2).toLong))).toDF("row_id", "k")
+    val dim = (1L to 6L).map(k => (k, s"dim_$k")).toDF("k", "payload")
+    val plain = fact.join(dim, "k").select("row_id", "k", "payload")
+    val salted = JoinOps.saltedJoin(fact, dim, Seq("k"), col("row_id"), 8)
+      .select("row_id", "k", "payload")
+    assert(salted.collect().toSet == plain.collect().toSet)
+    assert(salted.count() == plain.count())
+    // with broadcast off, the physical join key must include the salt
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = JoinOps.saltedJoin(fact, dim, Seq("k"), col("row_id"), 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), "salt must be part of the join key")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("skewAwareJoin: salts only hot keys, still exact") {
+    val fact = ((0 until 80).map(i => (i.toLong, 1L)) ++
+      (80 until 100).map(i => (i.toLong, (i % 4 + 2).toLong))).toDF("row_id", "k")
+    val dim = (1L to 6L).map(k => (k, s"dim_$k")).toDF("k", "payload")
+    val plain = fact.join(dim, "k").select("row_id", "k", "payload")
+    val out = JoinOps.skewAwareJoin(fact, dim, Seq("k"), col("row_id"),
+      hotThreshold = 20L, buckets = 4)
+      .select("row_id", "k", "payload")
+    assert(out.collect().toSet == plain.collect().toSet)
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
