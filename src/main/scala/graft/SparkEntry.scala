@@ -127,6 +127,37 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("user_events"))
     },
 
+    // T6 batch analog — exact LRU replay at capacity 3 over the events
+    // access log (shard = user_id as the cache instance, key = event_type):
+    // lag/lead windows + one shard-keyed range join give each access its
+    // stack distance with no sequential state.
+    "q60_lru_cache_sim" -> { (s, dir) =>
+      graft.operators.CacheSimOps.lruHitStats(
+        Tables.events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"), capacity = 3)
+    },
+
+    // T7 batch analog — 2-worker FIFO queue schedule replay per user queue
+    // (flatMapGroups over bounded per-queue state, like T2); the oracle
+    // replays the same schedule with a recursive CTE carrying the sorted
+    // worker-free-time list.
+    "q61_queue_replay" -> { (s, dir) =>
+      val jobs = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("submit_us"),
+        (floor(col("value")) * 1000000).cast("long").as("dur_us"))
+      graft.operators.QueueOps.replaySchedule(
+        jobs, "user_id", "event_id", "submit_us", "dur_us", workers = 2)
+    },
+
+    // T6/T4 batch analog — TTL-cache replay (the reference's 5-minute
+    // prefix TTL): hit iff the previous same-key access is within TTL.
+    "q62_ttl_cache_sim" -> { (s, dir) =>
+      graft.operators.CacheSimOps.ttlHitStats(
+        Tables.events(s, dir), "user_id", "event_type", "ts",
+        ttlSeconds = 300, tieCols = Seq("event_id"))
+    },
+
     // F5-adjacent — JSON payload extraction + grouped agg.
     "q08_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -787,6 +818,67 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q60_lru_cache_sim" ->
+      """WITH a AS (
+        |  SELECT user_id AS shard, event_type AS k,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |b AS (
+        |  SELECT shard, k, rn,
+        |    lag(rn) OVER (PARTITION BY shard, k ORDER BY rn) AS prev,
+        |    coalesce(lead(rn) OVER (PARTITION BY shard, k ORDER BY rn), 9223372036854775807) AS nxt
+        |  FROM a),
+        |sd AS (
+        |  SELECT i.shard, i.rn,
+        |    (SELECT count(*) FROM b j
+        |     WHERE j.shard = i.shard AND j.rn > i.prev AND j.rn < i.rn AND j.nxt >= i.rn) AS stack_dist
+        |  FROM b i WHERE i.prev IS NOT NULL),
+        |o AS (
+        |  SELECT b.shard,
+        |    CASE WHEN b.prev IS NULL THEN 'cold_miss'
+        |         WHEN sd.stack_dist < 3 THEN 'hit' ELSE 'capacity_miss' END AS outcome
+        |  FROM b LEFT JOIN sd ON b.shard = sd.shard AND b.rn = sd.rn)
+        |SELECT shard, count(*) AS accesses,
+        |  count(*) FILTER (outcome = 'cold_miss') AS cold_misses,
+        |  count(*) FILTER (outcome = 'hit') AS hits,
+        |  count(*) FILTER (outcome = 'capacity_miss') AS capacity_misses
+        |FROM o GROUP BY shard""".stripMargin,
+    "q61_queue_replay" ->
+      """WITH RECURSIVE jobs AS (
+        |  SELECT user_id AS queue, event_id AS job_id,
+        |    epoch_us(ts) AS submit_us,
+        |    CAST(floor(value) AS BIGINT) * 1000000 AS dur_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |sim AS (
+        |  SELECT queue, rn, job_id, submit_us,
+        |    submit_us AS start_us, submit_us + dur_us AS end_us,
+        |    list_sort([CAST(0 AS BIGINT), submit_us + dur_us]) AS free
+        |  FROM jobs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT j.queue, j.rn, j.job_id, j.submit_us,
+        |    greatest(j.submit_us, s.free[1]) AS start_us,
+        |    greatest(j.submit_us, s.free[1]) + j.dur_us AS end_us,
+        |    list_sort([greatest(j.submit_us, s.free[1]) + j.dur_us, s.free[2]]) AS free
+        |  FROM sim s JOIN jobs j ON j.queue = s.queue AND j.rn = s.rn + 1)
+        |SELECT queue, job_id, start_us, end_us, start_us - submit_us AS wait_us
+        |FROM sim""".stripMargin,
+    "q62_ttl_cache_sim" ->
+      """WITH a AS (
+        |  SELECT user_id AS shard,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts, ts
+        |  FROM events),
+        |o AS (
+        |  SELECT shard,
+        |    CASE WHEN prev_ts IS NULL THEN 'cold_miss'
+        |         WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) <= 300 THEN 'hit'
+        |         ELSE 'expired_miss' END AS outcome
+        |  FROM a)
+        |SELECT shard, count(*) AS accesses,
+        |  count(*) FILTER (outcome = 'hit') AS hits,
+        |  count(*) FILTER (outcome = 'expired_miss') AS expired_misses,
+        |  count(*) FILTER (outcome = 'cold_miss') AS cold_misses
+        |FROM o GROUP BY shard""".stripMargin,
     "q59_salted_join" ->
       """WITH dim AS (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id)
         |SELECT event_id, user_id, user_events

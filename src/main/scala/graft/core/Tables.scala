@@ -32,8 +32,10 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: float division rounds the nanos and can
+        // land one microsecond above DuckDB's truncation
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }

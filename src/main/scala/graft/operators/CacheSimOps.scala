@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analog of the reference's serving-side caches (T6):
+  * `pkg/cache/memory.go:27-267` is an in-process LRU with TTL + byte caps,
+  * `pkg/cache/ttl.go:11-125` the 5-minute-TTL prefix tracker. A Spark
+  * engine doesn't serve point lookups, but the *analysis* those caches
+  * imply — "what would the hit rate be at capacity C / TTL T?" — is a
+  * batch computation over an access log, and that's what lives here.
+  *
+  * Both simulations are sharded: the reference's caches are per-process,
+  * so replay partitions by a shard column (cache instance) and all joins
+  * and windows stay keyed on it — no global state, scales with shards.
+  */
+object CacheSimOps {
+
+  /** Exact LRU hit/miss replay at entry-capacity `capacity`.
+    *
+    * An access to key k is a HIT iff k was accessed before in its shard and
+    * fewer than `capacity` distinct keys (k's stack distance) were touched
+    * since that previous access. Stack distance is computed relationally:
+    * an access j is the last touch of its key before access i iff
+    * `j.rn < i.rn <= coalesce(j.next_rn, ∞)`, so counting the j's in
+    * `(i.prev_rn, i.rn)` with that property counts the distinct keys in
+    * between — no per-row set state, just lag/lead windows plus one
+    * shard-keyed range join (each shard's log is one cache instance and
+    * bounded, exactly like the reference's per-process cache).
+    *
+    * Output: one row per shard — accesses, cold_misses (first touches),
+    * hits, capacity_misses.
+    */
+  def lruHitStats(df: DataFrame, shardCol: String, keyCol: String,
+                  orderCols: Seq[String], capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val wShard = Window.partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
+    val wKey = Window.partitionBy(col("shard"), col("k")).orderBy(col("rn"))
+    val acc = df
+      .withColumn("rn", row_number().over(wShard))
+      .select(col(shardCol).as("shard"), col(keyCol).as("k"), col("rn"))
+      .withColumn("prev", lag(col("rn"), 1).over(wKey))
+      .withColumn("nxt", coalesce(lead(col("rn"), 1).over(wKey), lit(Long.MaxValue)))
+    val i = acc.filter(col("prev").isNotNull)
+      .select(col("shard"), col("rn").as("i_rn"), col("prev").as("i_prev"))
+    val j = acc.select(col("shard"), col("rn").as("j_rn"), col("nxt").as("j_nxt"))
+    // shard-keyed equi join + range filter: j is a "last touch before i"
+    val dist = i.join(j,
+        i("shard") === j("shard") &&
+          col("j_rn") > col("i_prev") && col("j_rn") < col("i_rn") &&
+          col("j_nxt") >= col("i_rn"))
+      .groupBy(i("shard").as("shard"), col("i_rn"))
+      .agg(count(lit(1)).as("stack_dist"))
+    val perAccess = acc.join(
+        dist.withColumnRenamed("i_rn", "rn"), Seq("shard", "rn"), "left")
+      .withColumn("stack_dist",
+        when(col("prev").isNull, lit(null)).otherwise(coalesce(col("stack_dist"), lit(0L))))
+      .withColumn("outcome",
+        when(col("prev").isNull, "cold_miss")
+          .when(col("stack_dist") < capacity, "hit")
+          .otherwise("capacity_miss"))
+    perAccess.groupBy(col("shard"))
+      .agg(count(lit(1)).as("accesses"),
+        count(when(col("outcome") === "cold_miss", 1)).as("cold_misses"),
+        count(when(col("outcome") === "hit", 1)).as("hits"),
+        count(when(col("outcome") === "capacity_miss", 1)).as("capacity_misses"))
+  }
+
+  /** TTL-cache hit/miss replay (the reference's 5-minute prefix TTL): an
+    * access is a HIT iff the previous access to the same (shard, key) lies
+    * within `ttlSeconds`. Pure lag() windows — one keyed shuffle, no join.
+    * Output: per shard — accesses, hits, expired_misses, cold_misses.
+    */
+  def ttlHitStats(df: DataFrame, shardCol: String, keyCol: String,
+                  tsCol: String, ttlSeconds: Long,
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    require(ttlSeconds > 0, "ttlSeconds must be positive")
+    val wKey = Window.partitionBy(col("shard"), col("k"))
+      .orderBy(col("ts") +: tieCols.map(col): _*)
+    val acc = df
+      .select(col(shardCol).as("shard") +: col(keyCol).as("k") +:
+        col(tsCol).cast("timestamp").as("ts") +: tieCols.map(col): _*)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wKey))
+      .withColumn("outcome",
+        when(col("prev_ts").isNull, "cold_miss")
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) <= ttlSeconds, "hit")
+          .otherwise("expired_miss"))
+    acc.groupBy(col("shard"))
+      .agg(count(lit(1)).as("accesses"),
+        count(when(col("outcome") === "hit", 1)).as("hits"),
+        count(when(col("outcome") === "expired_miss", 1)).as("expired_misses"),
+        count(when(col("outcome") === "cold_miss", 1)).as("cold_misses"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** Batch analog of the reference's async batch job queue (T7,
+  * `pkg/batch/batch.go:55-263`: submit/poll API, fixed worker pool, result
+  * TTL). The serving loop itself is driver infrastructure, but the
+  * *schedule* it produces — when each job starts, how long it waits, when
+  * it finishes under W workers — is a deterministic replay over a
+  * submissions log. Replay is per queue shard via `flatMapGroups` (each
+  * queue's state is W worker-free timestamps), the same
+  * bounded-sequential-group pattern as session budget enforcement (T2).
+  */
+object QueueOps {
+
+  /** Replay a W-worker FIFO schedule per queue. Input columns are renamed
+    * to (queue, job_id, submit_us, dur_us); jobs run in (submit_us, job_id)
+    * order, each starting at max(its submit time, earliest worker-free
+    * time). Output: queue, job_id, start_us, end_us, wait_us.
+    */
+  def replaySchedule(df: DataFrame, queueCol: String, idCol: String,
+                     submitCol: String, durCol: String,
+                     workers: Int): DataFrame = {
+    require(workers > 0, "workers must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val jobs = df.select(
+      col(queueCol).cast("long").as("queue"),
+      col(idCol).cast("long").as("job_id"),
+      col(submitCol).cast("long").as("submit_us"),
+      col(durCol).cast("long").as("dur_us"))
+      .as[(Long, Long, Long, Long)]
+    jobs.groupByKey(_._1)
+      .flatMapGroups { (queue, it) =>
+        val sorted = it.toIndexedSeq.sortBy(j => (j._3, j._2))
+        val free = Array.fill(workers)(0L)
+        sorted.map { case (_, id, submit, dur) =>
+          var m = 0
+          var k = 1
+          while (k < workers) { if (free(k) < free(m)) m = k; k += 1 }
+          val start = math.max(submit, free(m))
+          val end = start + dur
+          free(m) = end
+          (queue, id, start, end, start - submit)
+        }
+      }
+      .toDF("queue", "job_id", "start_us", "end_us", "wait_us")
+  }
+
+  /** Per-queue schedule statistics: job count, total/max wait, makespan. */
+  def queueStats(schedule: DataFrame): DataFrame =
+    schedule.groupBy(col("queue"))
+      .agg(count(lit(1)).as("jobs"),
+        sum(col("wait_us")).as("total_wait_us"),
+        max(col("wait_us")).as("max_wait_us"),
+        (max(col("end_us")) - min(col("start_us"))).as("makespan_us"))
+}

@@ -205,6 +205,50 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("lruHitStats matches a hand-replayed LRU at capacity 2") {
+    // access stream A B A C B D A; true LRU(2): A,B,C,D cold; A@3 hit;
+    // B@5 and A@7 capacity misses
+    val df = Seq("A", "B", "A", "C", "B", "D", "A").zipWithIndex
+      .map { case (k, i) => (1L, k, i.toLong) }.toDF("shard_id", "k", "seq")
+    val out = CacheSimOps.lruHitStats(df, "shard_id", "k", Seq("seq"), capacity = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("accesses") == 7L)
+    assert(r.getAs[Long]("cold_misses") == 4L)
+    assert(r.getAs[Long]("hits") == 1L)
+    assert(r.getAs[Long]("capacity_misses") == 2L)
+  }
+
+  test("ttlHitStats classifies hit vs expired vs cold") {
+    val df = Seq((1L, "A", 0L), (1L, "A", 5L), (1L, "A", 20L), (1L, "B", 21L))
+      .toDF("shard_id", "k", "t")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val r = CacheSimOps.ttlHitStats(df, "shard_id", "k", "ts", ttlSeconds = 10)
+      .collect().head
+    assert(r.getAs[Long]("accesses") == 4L)
+    assert(r.getAs[Long]("hits") == 1L)          // A@5
+    assert(r.getAs[Long]("expired_misses") == 1L) // A@20
+    assert(r.getAs[Long]("cold_misses") == 2L)   // A@0, B@21
+  }
+
+  test("replaySchedule matches a hand-replayed 2-worker queue") {
+    val jobs = Seq((9L, 1L, 0L, 10L), (9L, 2L, 1L, 10L), (9L, 3L, 2L, 3L), (9L, 4L, 3L, 1L))
+      .toDF("q", "jid", "submit_us", "dur_us")
+    val out = QueueOps.replaySchedule(jobs, "q", "jid", "submit_us", "dur_us", workers = 2)
+      .collect().map(r => r.getAs[Long]("job_id") ->
+        (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("wait_us"))).toMap
+    assert(out(1L) == ((0L, 10L, 0L)))
+    assert(out(2L) == ((1L, 11L, 0L)))
+    assert(out(3L) == ((10L, 13L, 8L)))  // waits for worker freed at 10
+    assert(out(4L) == ((11L, 12L, 8L)))  // waits for worker freed at 11
+    val stats = QueueOps.queueStats(
+      QueueOps.replaySchedule(jobs, "q", "jid", "submit_us", "dur_us", workers = 2))
+      .collect().head
+    assert(stats.getAs[Long]("jobs") == 4L)
+    assert(stats.getAs[Long]("max_wait_us") == 8L)
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
