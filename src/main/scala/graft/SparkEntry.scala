@@ -336,6 +336,20 @@ object SparkEntry {
       graft.operators.ClusterOps.selectionMetrics(chunks, selected, "doc_id", "embedding")
     },
 
+    // A12 diversity/coverage metrics on a FIXED selection (vec_id < 40), so
+    // the metric math itself is oracle-checked (q28 keeps exercising the
+    // MMR-derived selection rows-only). Metrics floor-scale to micro-units:
+    // floor is mode-identical across engines where round() half-mode isn't,
+    // and cross-engine double drift (~1e-13) sits far below the 1e-6 grid.
+    "q63_selection_metrics" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val sel = emb.filter(col("vec_id") < 40)
+      graft.operators.ClusterOps.selectionMetrics(emb, sel, "vec_id", "embedding")
+        .select(
+          floor(col("diversity") * 1000000).cast("long").as("diversity_u"),
+          floor(col("coverage") * 1000000).cast("long").as("coverage_u"))
+    },
+
     // W1+W2 memory recall: expiry filter, recency scoring, tag boost,
     // relevance ranking, take-while token budget. Pure-recency weight keeps
     // the oracle float-exact; the cosine path is covered in ScalaTest.
@@ -818,6 +832,21 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q63_selection_metrics" ->
+      """WITH sel AS (
+        |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS semb
+        |  FROM embeddings WHERE vec_id < 40),
+        |div AS (
+        |  SELECT coalesce(avg(1.0 - list_cosine_similarity(a.semb, b.semb)), 0.0) AS diversity
+        |  FROM sel a JOIN sel b ON a.sid < b.sid),
+        |cov AS (
+        |  SELECT avg(mind) AS coverage FROM (
+        |    SELECT o.vec_id,
+        |      min(1.0 - list_cosine_similarity(CAST(o.embedding AS DOUBLE[]), s.semb)) AS mind
+        |    FROM embeddings o CROSS JOIN sel s GROUP BY o.vec_id) t)
+        |SELECT CAST(floor(diversity * 1000000) AS BIGINT) AS diversity_u,
+        |  CAST(floor(coverage * 1000000) AS BIGINT) AS coverage_u
+        |FROM div, cov""".stripMargin,
     "q60_lru_cache_sim" ->
       """WITH a AS (
         |  SELECT user_id AS shard, event_type AS k,

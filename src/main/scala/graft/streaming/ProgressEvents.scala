@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S6 analog — the reference streams per-stage progress events over SSE
+  * (`pkg/sse/sse.go:51-140`, `/v1/dedupe/stream` handler at
+  * `cmd/api.go:590`). A Spark engine's equivalent signal is the
+  * StreamingQueryListener feed: one event per micro-batch with rows
+  * in/processed and timing. This listener buffers those events (bounded
+  * ring, oldest dropped) and exposes them as a DataFrame, so progress is
+  * queryable with the same engine that produces it — an events *table*
+  * rather than a push channel, which is the batch-native shape (a real
+  * deployment would forward the same rows to any push transport).
+  */
+object ProgressEvents {
+  final case class ProgressRow(queryId: String, runId: String, batchId: Long,
+                               timestamp: String, numInputRows: Long,
+                               processedRowsPerSecond: Double,
+                               sink: String, stage: String)
+}
+
+final class ProgressEvents(maxEvents: Int = 10000) extends StreamingQueryListener {
+  import ProgressEvents.ProgressRow
+
+  private val buf = new java.util.concurrent.ConcurrentLinkedDeque[ProgressRow]()
+
+  private def add(r: ProgressRow): Unit = {
+    buf.addLast(r)
+    while (buf.size() > maxEvents) buf.pollFirst()
+  }
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    add(ProgressRow(e.id.toString, e.runId.toString, -1L, e.timestamp, 0L, 0.0, "", "started"))
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    add(ProgressRow(p.id.toString, p.runId.toString, p.batchId, p.timestamp,
+      p.numInputRows, p.processedRowsPerSecond,
+      Option(p.sink).map(_.description).getOrElse(""), "progress"))
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    add(ProgressRow(e.id.toString, e.runId.toString, -1L, "", 0L, 0.0, "", "terminated"))
+
+  /** Snapshot the buffered events as a DataFrame. */
+  def toDF(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    buf.iterator().asScala.toSeq.toDF()
+  }
+
+  def clear(): Unit = buf.clear()
+}

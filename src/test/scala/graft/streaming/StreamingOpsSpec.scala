@@ -165,4 +165,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     val out = sessionPushPipeline(pushes).collect().sortBy(_.seq)
     assert(out.map(_.accepted).toSeq == Seq(true, true, false))
   }
+
+  test("ProgressEvents listener records start/progress/terminate as a queryable DF") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val listener = new graft.streaming.ProgressEvents(maxEvents = 100)
+    spark.streams.addListener(listener)
+    try {
+      val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = windowedEventCounts(stream.toDS().toDF("ts", "event_type", "value"),
+          "5 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("prog_out").outputMode("update").start()
+      stream.addData((java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      stream.addData((java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "view", 2.0))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(30000)
+      // listener callbacks are async — wait for the terminated event
+      val deadline = System.currentTimeMillis() + 30000
+      def stages() = listener.toDF(spark).select("stage").collect().map(_.getString(0))
+      while (!stages().contains("terminated") && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val df = listener.toDF(spark)
+      val byStage = df.groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStage.getOrElse("started", 0L) == 1L)
+      assert(byStage.getOrElse("progress", 0L) >= 2L)
+      assert(byStage.getOrElse("terminated", 0L) == 1L)
+      val prog = df.filter(col("stage") === "progress" && col("numInputRows") > 0)
+      assert(prog.count() >= 2L, "each data batch reports its input rows")
+    } finally spark.streams.removeListener(listener)
+  }
 }
