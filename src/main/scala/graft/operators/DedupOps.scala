@@ -492,16 +492,38 @@ object DedupOps {
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val M = 1000000007L
     val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
-    val grams = when(size(words) < k, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(words) - k),
-        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
-    df.select(col(idCol).as("doc_id"), grams.as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), size(col("grams")).as("ng"),
-        posexplode(col("grams")).as(Seq("pos", "gram")))
-      .withColumn("comb",
-        graft.functions.TextFunctions.rolling_hash(col("gram")) * 1048576L + col("pos"))
+    // One row per word, hashed ONCE (h = poly hash, p = 31^len mod M), then
+    // gram hashes combine k word hashes with window lead()s:
+    // H(a ++ b) = H(a)·31^len(b) + H(b), the joining space one more fold
+    // step (·31 + 32). Same value as hashing the space-joined gram string
+    // (which is what the oracle replays), but each character is hashed
+    // exactly once, no gram string is materialized, and the explicit
+    // doc_id repartition spreads the hashing across the cluster instead of
+    // leaving it in the (often single-file) scan stage. Everything
+    // downstream reuses that one doc-keyed exchange.
+    val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
+    val chars = transform(filter(split(col("word"), ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
+    val gramRows = df
+      .select(col(idCol).as("doc_id"), words.as("__words"))
+      .filter(size(col("__words")) > 0)
+      .select(col("doc_id"), size(col("__words")).as("nw"),
+        posexplode(col("__words")).as(Seq("widx", "word")))
+      .repartition(col("doc_id"))
+      .withColumn("h", aggregate(chars, lit(0L), (acc, c) => (acc * 31 + c) % M))
+      .withColumn("p", aggregate(chars, lit(1L), (acc, _) => (acc * 31) % M))
+      .withColumn("ghash",
+        (1 until k).foldLeft(col("h")) { (acc, j) =>
+          (((acc * 31 + 32) % M) * lead(col("p"), j).over(wKey) +
+            lead(col("h"), j).over(wKey)) % M
+        })
+      .filter(col("widx") <= col("nw") - k) // complete grams only
+      .select(col("doc_id"), (col("nw") - (k - 1)).as("ng"),
+        col("widx").as("pos"), col("ghash"))
+    gramRows
+      .withColumn("comb", col("ghash") * 1048576L + col("pos"))
       .withColumn("wmin", min(col("comb")).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(0, w - 1)))
