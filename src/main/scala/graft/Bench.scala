@@ -27,7 +27,7 @@ object Bench {
           try fn(spark, d.getPath).count() catch {
             case e: Throwable =>
               System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
-          }
+          } finally GraftEngine.releaseCaches()
         }
       case None =>
         System.err.println(s"[bench] no sf0.001 sibling of $sfDir; timings are cold-JVM")
@@ -38,7 +38,12 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release operator-internal caches so query N+1 isn't timed against
+      // query N's leftover cached blocks (and memory stays flat across 63
+      // queries)
+      GraftEngine.releaseCaches()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -117,6 +117,29 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q55: winnowing runs one doc-keyed exchange, no joins") {
+    val plan = physicalPlan("q55_winnow_fingerprints")
+    assert(!plan.contains("Join"), "winnowing needs no join at all")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    // repartition(doc_id) + the final distinct's exchange — nothing else
+    assert(plan.contains("hashpartitioning(doc_id"), "gram hashing must run post-repartition")
+    assert(exchanges <= 3, s"too many exchanges:\n$plan")
+  }
+
+  test("q57: LSH candidate join is keyed on the band bucket") {
+    val plan = physicalPlan("q57_lsh_knn")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("band"), "banded join key missing")
+  }
+
+  test("q60: stack-distance join stays keyed on the cache shard") {
+    val plan = physicalPlan("q60_lru_cache_sim")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "no unpartitioned windows")
+  }
+
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
