@@ -179,6 +179,29 @@ object KnnOps {
     bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
   }
 
+  /** Recall@k of an approximate KNN result against the exact one. Both
+    * inputs use the (query_id, neighbor_id, rank) contract this object's
+    * operators emit; rows with rank > k are ignored. Returns one row:
+    * (queries, avg_recall, min_recall) — the measurement an ANN deployment
+    * tunes nprobe/bandBits against, computed as a keyed join + aggregate so
+    * it runs at corpus scale alongside the search itself.
+    */
+  def recallAt(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val truth = e.groupBy("query_id").agg(count(lit(1)).as("truth"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("truth")).as("recall"))
+      .agg(count(lit(1)).as("queries"),
+        avg(col("recall")).as("avg_recall"),
+        min(col("recall")).as("min_recall"))
+  }
+
   /** Pairwise self-similarity above a threshold for one small group —
     * the J1/J2 distance-matrix analog, as a relational theta join.
     */

@@ -249,6 +249,27 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     assert(stats.getAs[Long]("max_wait_us") == 8L)
   }
 
+  test("recallAt measures IVF and LSH against brute force on harness embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10, "vec_id", "embedding", "qid", "embedding")
+    val ivf = KnnOps.ivfKnn(emb, queries, 10, "vec_id", "embedding", "qid", "embedding",
+      ncells = 8, nprobe = 4)
+    val ivfR = KnnOps.recallAt(exact, ivf, 10).collect().head
+    assert(ivfR.getAs[Long]("queries") == 20L)
+    assert(ivfR.getAs[Double]("avg_recall") >= 0.5,
+      s"IVF nprobe=4/8 recall ${ivfR.getAs[Double]("avg_recall")}")
+    val lsh = KnnOps.lshKnn(emb, queries, 10, "vec_id", "embedding", "qid", "embedding",
+      planes = 16, bandBits = 4)
+    val lshR = KnnOps.recallAt(exact, lsh, 10).collect().head
+    // self-queries: rank-1 self hit guaranteed -> min_recall at least 1/10
+    assert(lshR.getAs[Double]("min_recall") >= 0.1)
+    assert(lshR.getAs[Double]("avg_recall") >= 0.1)
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
