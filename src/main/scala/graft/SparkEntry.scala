@@ -350,6 +350,24 @@ object SparkEntry {
           floor(col("coverage") * 1000000).cast("long").as("coverage_u"))
     },
 
+    // C1 scale path — LSH-blocked agglomerative clustering over the corpus
+    // plus 50 planted exact copies: identical vectors share every sign bit
+    // (same block) and merge at distance 0, while max pairwise cosine 0.51
+    // keeps every other row a singleton at threshold 0.15 — so cluster
+    // memberships are closed-form even though block keys aren't replayable.
+    "q64_lsh_blocked_cluster" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      graft.operators.ClusterOps.lshBlockedCluster(
+        emb.unionByName(planted), "vec_id", "embedding",
+        graft.operators.ClusterAlgs.ClusterConfig(threshold = 0.15), blockBits = 8)
+        .groupBy(col("block"), col("cluster_id"))
+        .agg(min(col("id")).as("member_min"), max(col("id")).as("member_max"),
+          count(lit(1)).as("members"))
+        .select(col("member_min"), col("member_max"), col("members"))
+    },
+
     // W1+W2 memory recall: expiry filter, recency scoring, tag boost,
     // relevance ranking, take-while token budget. Pure-recency weight keeps
     // the oracle float-exact; the cosine path is covered in ScalaTest.
@@ -832,6 +850,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q64_lsh_blocked_cluster" ->
+      """SELECT CAST(vec_id AS BIGINT) AS member_min,
+        |  CAST(vec_id + 1000000 AS BIGINT) AS member_max, CAST(2 AS BIGINT) AS members
+        |FROM embeddings WHERE vec_id < 50
+        |UNION ALL
+        |SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT), CAST(1 AS BIGINT)
+        |FROM embeddings WHERE vec_id >= 50""".stripMargin,
     "q63_selection_metrics" ->
       """WITH sel AS (
         |  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS semb

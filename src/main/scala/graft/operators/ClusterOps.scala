@@ -50,6 +50,33 @@ object ClusterOps {
       .toDF("group", "id", "cluster_id")
   }
 
+  /** Corpus-scale agglomerative clustering: LSH pre-blocking + exact
+    * per-block agglomeration — the SURVEY C1 scale mapping ("LSH
+    * pre-blocking + agglomerate within blocks"). Each vector gets exactly
+    * one block: its `blockBits`-bit hyperplane sign signature. Blocks
+    * cluster independently with the same per-group O(N²)–O(N³) algorithm
+    * the request-scale path uses (bounded by `maxGroupSize`), so the
+    * whole-corpus cost is one keyed shuffle plus per-block work. Output:
+    * (id, block, cluster_id) — (block, cluster_id) is the global cluster
+    * key. Pairs split across blocks are never merged (the recall/blockBits
+    * trade of every LSH method): raise recall with fewer bits (bigger
+    * blocks) or run [[DedupOps.dedupSweep]] over
+    * [[DedupOps.embeddingNearDupPairs]] when exact connected components
+    * matter more than hierarchy.
+    */
+  def lshBlockedCluster(df: DataFrame, idCol: String, embCol: String,
+                        cfg: ClusterAlgs.ClusterConfig = ClusterAlgs.ClusterConfig(),
+                        blockBits: Int = 12, seed: Long = 42L,
+                        maxGroupSize: Int = 10000): DataFrame = {
+    require(blockBits >= 1 && blockBits <= 62, "need 1 <= blockBits <= 62")
+    val blocked = DedupOps.hyperplaneBandKeys(
+        df.select(col(idCol).as("__id"), col(embCol).as("__emb")),
+        "__emb", Seq("__id", "__emb"), planes = blockBits, bandBits = blockBits, seed = seed)
+      .select(col("__id"), col("__emb"), col("bkey").as("__block"))
+    agglomerativeCluster(blocked, "__block", "__id", "__emb", cfg, maxGroupSize)
+      .select(col("id"), col("group").as("block"), col("cluster_id"))
+  }
+
   /** MMR re-rank per group: keeps K rows balancing relevance and diversity.
     * Returns (group, id, mmr_rank) in selection order.
     */

@@ -270,6 +270,34 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("lshBlockedCluster groups near-dups within blocks at corpus shape") {
+    val rng = new scala.util.Random(11)
+    // 10 exact-duplicate pairs (identical vectors share every sign bit ->
+    // same block by construction; perturbed near-dups can straddle a
+    // hyperplane — that recall trade is exercised in the lshKnn spec) + 20
+    // singles
+    val rows = (0L until 10L).flatMap { i =>
+      val base = Array.tabulate(16)(_ => rng.nextFloat() * 2f - 1f).toSeq
+      Seq(i * 2 -> base, i * 2 + 1 -> base)
+    } ++ (100L until 120L).map { i =>
+      i -> Array.tabulate(16)(_ => rng.nextFloat() * 2f - 1f).toSeq
+    }
+    val df = rows.toDF("vid", "emb")
+    val out = ClusterOps.lshBlockedCluster(df, "vid", "emb",
+      ClusterAlgs.ClusterConfig(threshold = 0.1), blockBits = 4)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("block"), r.getAs[Int]("cluster_id"))).toMap
+    assert(byId.size == rows.size, "every row gets exactly one block")
+    // near-identical vectors share every sign bit -> same block; at
+    // distance threshold 0.1 each planted pair must merge
+    val merged = (0L until 10L).count(i => byId(i * 2) == byId(i * 2 + 1))
+    assert(merged == 10, s"only $merged/10 planted pairs merged")
+    // blocks partition the corpus: far more clusters than blocks is fine,
+    // but two random singles merging would mean the threshold leaked
+    val clusters = byId.values.toSet.size
+    assert(clusters == rows.size - 10, "exactly the planted pairs merge")
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
