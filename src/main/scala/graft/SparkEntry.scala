@@ -493,6 +493,28 @@ object SparkEntry {
         size(filter(col("features"), f => f > 0f)).as("buckets_hit"))
     },
 
+    // Multimodal frame-sample plan: video rows fan out to one row per
+    // sampled frame at 2 fps — the engine-side half of video decode. The
+    // synthetic duration is closed-form in media_id, so the fan-out and
+    // timestamps oracle exactly.
+    "q65_frame_sample" -> { (s, dir) =>
+      val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
+      val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
+      graft.operators.MultimodalOps.frameSamplePlan(decoded, fps = 2.0)
+        .select(col("media_id"), col("frame_idx"), col("frame_ts_ms"))
+    },
+
+    // Multimodal resize plan: aspect-preserving target dimensions for image
+    // rows (the metadata half of a resize), closed-form oracled.
+    "q66_resize_plan" -> { (s, dir) =>
+      val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
+      val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
+      graft.operators.MultimodalOps.resizePlan(
+          decoded.filter(col("modality") === "image"), maxDim = 128)
+        .select(col("media_id"), col("width"), col("height"),
+          col("target_width"), col("target_height"))
+    },
+
     // Corpus-scale flagship throughput: every lineitem row becomes a text
     // chunk (~600K at sf0.1), hash-embedded, then the full dedup pipeline
     // (cluster -> representative -> MMR -> compress) runs over ~6000
@@ -850,6 +872,33 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q65_frame_sample" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
+        |v AS (
+        |  SELECT i, 1000 + (128 + (i * 37) % 512) * 40 AS dur
+        |  FROM ids WHERE i % 3 = 2),
+        |f AS (
+        |  SELECT i, dur, greatest(1, CAST(floor(dur / 1000.0 * 2.0) AS BIGINT)) AS nf
+        |  FROM v)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |  CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+        |  CAST(floor(CAST(unnest(generate_series(0, nf - 1)) AS DOUBLE) / 2.0 * 1000.0) AS BIGINT) AS frame_ts_ms
+        |FROM f""".stripMargin,
+    "q66_resize_plan" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
+        |img AS (
+        |  SELECT i, 64 + ((i * 131) % 256) % 192 AS w,
+        |    64 + ((i * 131 + 17) % 256) % 192 AS h
+        |  FROM ids WHERE i % 3 = 0),
+        |s AS (
+        |  SELECT i, w, h,
+        |    least(128.0 / w, 128.0 / h, 1.0) AS scale
+        |  FROM img)
+        |SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(floor(w * scale) AS INT) AS target_width,
+        |  CAST(floor(h * scale) AS INT) AS target_height
+        |FROM s""".stripMargin,
     "q64_lsh_blocked_cluster" ->
       """SELECT CAST(vec_id AS BIGINT) AS member_min,
         |  CAST(vec_id + 1000000 AS BIGINT) AS member_max, CAST(2 AS BIGINT) AS members
