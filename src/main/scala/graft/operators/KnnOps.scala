@@ -120,6 +120,24 @@ object KnnOps {
     bruteForceKnnOnPairs(pruned, k, idCol, embCol)
   }
 
+  /** Persist a built IVF index as parquet, `assigned` partitioned BY CELL:
+    * an ivfQuery against the loaded index broadcasts its (tiny) probed-cell
+    * list, so Spark's dynamic partition pruning skips every unprobed
+    * cell's files — the index-once/query-many serving shape where a query
+    * reads nprobe/ncells of the corpus bytes from disk, not just from the
+    * shuffle.
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted IVF index (see [[saveIvfIndex]]). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
   /** IVF (inverted-file) approximate KNN: one-shot build + query. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String, embCol: String, qidCol: String, qembCol: String,

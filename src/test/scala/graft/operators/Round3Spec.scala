@@ -298,6 +298,27 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     assert(clusters == rows.size - 10, "exactly the planted pairs merge")
   }
 
+  test("IVF index save/load: identical results and partition-pruned scans") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val built = KnnOps.ivfIndex(emb, "vec_id", "embedding", ncells = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf").toFile.getAbsolutePath
+    KnnOps.saveIvfIndex(built, tmp)
+    val loaded = KnnOps.loadIvfIndex(spark, tmp)
+    val direct = KnnOps.ivfQuery(built, queries, 5, "vec_id", "embedding", "qid", "embedding", nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet
+    val persisted = KnnOps.ivfQuery(loaded, queries, 5, "vec_id", "embedding", "qid", "embedding", nprobe = 2)
+    assert(persisted.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"))).toSet == direct)
+    // the probed-cell broadcast must reach the partitioned scan as a
+    // partition filter (dynamic partition pruning), not a post-scan filter
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n${plan.take(2000)}")
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
