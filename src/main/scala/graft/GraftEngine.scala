@@ -104,6 +104,36 @@ object GraftEngine {
   /** delete_session: drop a session's rows (create_session is just adding a
     * row to the sessions table — no engine work).
     */
+  // ── training-pipeline verbs (engine additions beyond the reference's
+  //    MCP surface; see COVERAGE.md "Training-pipeline additions") ──
+
+  /** fingerprint_documents: winnowing fingerprints per document. */
+  def fingerprintDocuments(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, w: Int = 4): DataFrame =
+    operators.DedupOps.winnowFingerprints(docs, textCol, idCol, k, w)
+
+  /** near_dup_candidates: fingerprint-overlap candidate pairs. */
+  def nearDupCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        minShared: Int = 2, maxHashFreq: Long = 0L): DataFrame =
+    operators.DedupOps.fingerprintNearDupPairs(docs, textCol, idCol,
+      minShared = minShared, maxHashFreq = maxHashFreq)
+
+  /** cluster_corpus: LSH-blocked agglomerative clustering at corpus scale. */
+  def clusterCorpus(df: DataFrame, idCol: String, embCol: String,
+                    threshold: Double = 0.15, blockBits: Int = 12): DataFrame =
+    operators.ClusterOps.lshBlockedCluster(df, idCol, embCol,
+      operators.ClusterAlgs.ClusterConfig(threshold = threshold), blockBits)
+
+  /** search_vectors: approximate KNN — "brute" | "ivf" | "lsh". */
+  def searchVectors(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String, embCol: String, qidCol: String, qembCol: String,
+                    method: String = "brute"): DataFrame = method match {
+    case "brute" => operators.KnnOps.bruteForceKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
+    case "ivf"   => operators.KnnOps.ivfKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
+    case "lsh"   => operators.KnnOps.lshKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
+    case other   => throw new IllegalArgumentException(s"unknown search method $other")
+  }
+
   def deleteSession(entries: DataFrame, sessionId: String): DataFrame =
     // null-safe: a plain =!= would silently drop rows with a NULL session_id
     entries.filter(!(col("session_id") <=> lit(sessionId)))

@@ -672,6 +672,19 @@ object SparkEntry {
         col("sensitivity"))
     },
 
+    // P4+W2 batch context read across every session: role filter, seq
+    // order, per-session take-while token budget — one keyed window.
+    "q67_context_read" -> { (s, dir) =>
+      val entries = sessionEntriesAnalog(s, dir)
+        .withColumn("role",
+          when(col("id").cast("long") % 4 === 0, "user")
+            .when(col("id").cast("long") % 4 === 1, "assistant")
+            .when(col("id").cast("long") % 4 === 2, "tool")
+            .otherwise("system"))
+      graft.operators.SessionOps.contextReadAll(entries, Some("assistant"), maxTokens = 2000)
+        .select(col("session_id"), col("id"), col("tokens"))
+    },
+
     // A10 high-churn detection over an array column (explode + groupBy +
     // threshold), the reference's FilesChanged aggregation.
     "q49_high_churn" -> { (s, dir) =>
@@ -872,6 +885,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q67_context_read" ->
+      """WITH e AS (
+        |  SELECT CAST(doc_id % 20 AS VARCHAR) AS session_id,
+        |    CAST(doc_id AS VARCHAR) AS id,
+        |    CASE doc_id % 4 WHEN 1 THEN 'assistant' ELSE 'other' END AS role,
+        |    CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END AS tokens,
+        |    CAST(doc_id AS INT) AS seq
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, sum(tokens) OVER (PARTITION BY session_id ORDER BY seq) AS cum
+        |  FROM e WHERE role = 'assistant')
+        |SELECT session_id, id, CAST(tokens AS INT) AS tokens FROM f WHERE cum <= 2000""".stripMargin,
     "q65_frame_sample" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |v AS (

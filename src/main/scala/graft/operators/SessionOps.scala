@@ -125,6 +125,22 @@ object SessionOps {
       ranked.filter(col("cum_tokens") <= maxTokens).drop("cum_tokens")
   }
 
+  /** Batch form of [[contextRead]] over EVERY session at once: role filter,
+    * per-session seq order, take-while token budget — the engine-shaped
+    * variant (one keyed window, no per-session dispatch), for bulk context
+    * assembly across a whole corpus of sessions.
+    */
+  def contextReadAll(entries: DataFrame, role: Option[String],
+                     maxTokens: Int): DataFrame = {
+    var df = entries
+    role.foreach(r => df = df.filter(col("role") === r))
+    val w = Window.partitionBy(col("session_id")).orderBy(col("seq").asc)
+    val ranked = df.withColumn("cum_tokens",
+      sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    if (maxTokens <= 0) ranked.drop("cum_tokens")
+    else ranked.filter(col("cum_tokens") <= maxTokens).drop("cum_tokens")
+  }
+
   final case class BoundaryConfig(
       minStableTurns: Int = 2,
       minPrefixTokens: Int = 1024,
