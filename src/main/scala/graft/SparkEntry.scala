@@ -999,7 +999,7 @@ object SparkEntry {
         |o AS (
         |  SELECT shard,
         |    CASE WHEN prev_ts IS NULL THEN 'cold_miss'
-        |         WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) <= 300 THEN 'hit'
+        |         WHEN epoch_us(ts) - epoch_us(prev_ts) <= 300 * 1000000 THEN 'hit'
         |         ELSE 'expired_miss' END AS outcome
         |  FROM a)
         |SELECT shard, count(*) AS accesses,

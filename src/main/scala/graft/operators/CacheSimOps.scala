@@ -84,7 +84,9 @@ object CacheSimOps {
       .withColumn("prev_ts", lag(col("ts"), 1).over(wKey))
       .withColumn("outcome",
         when(col("prev_ts").isNull, "cold_miss")
-          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) <= ttlSeconds, "hit")
+          // compare at microsecond grain: truncating to whole seconds first
+          // would classify accesses up to ~1s past the TTL as hits
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= ttlSeconds * 1000000L, "hit")
           .otherwise("expired_miss"))
     acc.groupBy(col("shard"))
       .agg(count(lit(1)).as("accesses"),

@@ -453,11 +453,14 @@ object DedupOps {
       converged = changed == 0
       i += 1
     }
-    // The converged labels are two longs per row — checkpoint them locally
-    // (truncating the lineage that references the cached edge list) so both
-    // loop caches can be released instead of living as long as the session.
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist(blocking = false)
+    // The converged labels stay as a tracked CACHE, not a localCheckpoint:
+    // checkpoint blocks are unrecoverable after executor loss (lineage
+    // truncated), which would fail the caller's downstream action on a real
+    // cluster, while a cache recomputes from lineage. The convergence check
+    // already materialized the final iteration, so the edge cache can be
+    // released now; the labels cache is handed to OpCaches for release once
+    // the caller is done.
+    val finalLabels = graft.util.OpCaches.track(labels)
     edges.unpersist(blocking = false)
     // internal columns renamed so input columns literally named "id" or
     // "label" can't collide with the propagation state; the component label
@@ -512,7 +515,7 @@ object DedupOps {
       .select(col("doc_id"), size(col("__words")).as("nw"),
         posexplode(col("__words")).as(Seq("widx", "word")))
       .repartition(col("doc_id"))
-      .withColumn("h", aggregate(chars, lit(0L), (acc, c) => (acc * 31 + c) % M))
+      .withColumn("h", graft.functions.TextFunctions.rolling_hash(col("word")))
       .withColumn("p", aggregate(chars, lit(1L), (acc, _) => (acc * 31) % M))
       .withColumn("ghash",
         (1 until k).foldLeft(col("h")) { (acc, j) =>

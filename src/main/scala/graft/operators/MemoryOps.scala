@@ -265,14 +265,51 @@ object MemoryOps {
     val sens =
       if (autoClassify) greatest(declared, TextFunctions.sensitivity_level(col("text")))
       else declared
-    val report = flagged
+    val rawReport = flagged
       .withColumn("action", when(col("dup_of").isNotNull, "deduplicated").otherwise("stored"))
       .withColumn("sensitivity", sens)
 
-    // touch-on-dup: each match target gains one access per duplicate that
-    // hit it. Targets split by provenance — store ids only touch the store,
-    // batch ids only seed inserted rows — so an id shared across the two
-    // namespaces never bumps an unrelated row.
+    // Resolve dup CHAINS: a batch row can dedup onto an earlier batch row
+    // that was itself deduplicated (b2 → b1 → store). The reference's
+    // sequential store never inserts the intermediate, so both the reported
+    // target and the touch must land on the chain's ROOT — a store row or a
+    // batch row that actually gets inserted. Edges point to strictly
+    // smaller batch ids, so the graph is a forest; pointer-jumping through
+    // the resolved set doubles path length per round (log₂ depth rounds).
+    val edges0 = rawReport.filter(col("action") === "deduplicated")
+      .select(col("id").as("src"), col("dup_of").as("dst"),
+        col("dup_from_store").as("dst_store"))
+    val dupBatchTargets = edges0.filter(!col("dst_store"))
+      .select(col("dst").as("d")).distinct()
+      .join(edges0.select(col("src").as("d")).distinct(), Seq("d"), "left_semi")
+    var resolved = edges0
+    var unresolved = dupBatchTargets.limit(1).count()
+    var hops = 0
+    while (unresolved > 0 && hops < 64) {
+      val r = resolved.as("r")
+      val next = r.join(resolved.select(col("src").as("j_src"),
+            col("dst").as("j_dst"), col("dst_store").as("j_store")).as("j"),
+          !col("r.dst_store") && col("r.dst") === col("j_src"), "left")
+        .select(col("r.src").as("src"),
+          coalesce(col("j_dst"), col("r.dst")).as("dst"),
+          coalesce(col("j_store"), col("r.dst_store")).as("dst_store"))
+      resolved = next
+      unresolved = next.filter(!col("dst_store"))
+        .join(edges0.select(col("src").as("d")), col("dst") === col("d"), "left_semi")
+        .limit(1).count()
+      hops += 1
+    }
+    val report = rawReport
+      .join(resolved.select(col("src"), col("dst").as("__root"),
+        col("dst_store").as("__root_store")), rawReport("id") === col("src"), "left")
+      .withColumn("dup_of", coalesce(col("__root"), col("dup_of")))
+      .withColumn("dup_from_store", coalesce(col("__root_store"), col("dup_from_store")))
+      .drop("src", "__root", "__root_store")
+
+    // touch-on-dup: each resolved root gains one access per duplicate in
+    // its chain. Targets split by provenance — store ids only touch the
+    // store, batch ids only seed inserted rows — so an id shared across the
+    // two namespaces never bumps an unrelated row.
     val touches = report.filter(col("action") === "deduplicated")
       .groupBy(col("dup_of").as("t_id"), col("dup_from_store").as("t_store"))
       .agg(count(lit(1)).as("t_hits"))

@@ -24,10 +24,15 @@ final class ProgressEvents(maxEvents: Int = 10000) extends StreamingQueryListene
   import ProgressEvents.ProgressRow
 
   private val buf = new java.util.concurrent.ConcurrentLinkedDeque[ProgressRow]()
+  // ConcurrentLinkedDeque.size() is O(n); track the count separately so the
+  // listener-bus thread never traverses the whole ring per event
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def add(r: ProgressRow): Unit = {
     buf.addLast(r)
-    while (buf.size() > maxEvents) buf.pollFirst()
+    if (count.incrementAndGet() > maxEvents) {
+      if (buf.pollFirst() != null) count.decrementAndGet()
+    }
   }
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
@@ -50,5 +55,5 @@ final class ProgressEvents(maxEvents: Int = 10000) extends StreamingQueryListene
     buf.iterator().asScala.toSeq.toDF()
   }
 
-  def clear(): Unit = buf.clear()
+  def clear(): Unit = { buf.clear(); count.set(0) }
 }

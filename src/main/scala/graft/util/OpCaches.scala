@@ -12,6 +12,12 @@ import org.apache.spark.sql.DataFrame
   * tracked here; callers release them all with `GraftEngine.releaseCaches()`
   * once downstream results are materialized. Releasing early is safe —
   * un-materialized results recompute from lineage.
+  *
+  * The registry is process-global and release() drops EVERY tracked frame:
+  * it assumes one pipeline per SparkSession at a time (the driver/bench
+  * shape). Concurrent pipelines sharing a session should release only at
+  * joint quiesce points — a mid-flight release never breaks correctness,
+  * but it forces the other pipeline's cached intermediates to recompute.
   */
 object OpCaches {
   private val registry =
@@ -25,6 +31,11 @@ object OpCaches {
     registry.add(p)
     p
   }
+
+  /** Register an ALREADY-persisted frame for release without touching its
+    * storage level (persisting twice at a different level throws).
+    */
+  def track(df: DataFrame): DataFrame = { registry.add(df); df }
 
   /** Unpersist (non-blocking) every tracked frame and clear the registry. */
   def release(): Unit = {

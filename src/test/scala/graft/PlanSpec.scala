@@ -136,8 +136,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
   test("q60: stack-distance join stays keyed on the cache shard") {
     val plan = physicalPlan("q60_lru_cache_sim")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
-      "no unpartitioned windows")
+    // a window spec prints partition columns before any ordered column; an
+    // UNPARTITIONED spec's first argument carries the sort direction
+    // (windowspecdefinition(x#1 ASC ...)) — none may appear here
+    val specs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val unpartitioned = "windowspecdefinition\\([^,)]*(ASC|DESC)".r.findAllIn(plan).size
+    assert(specs > 0 && unpartitioned == 0,
+      s"$unpartitioned of $specs window specs are unpartitioned")
   }
 
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {

@@ -83,6 +83,31 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     assert(rows((42L, false)) == 0L, "inserted id-42 row must not inherit the store touch")
   }
 
+  test("mergeWrite resolves dup chains to the root and loses no touches") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    // store id 5000 > batch ids, so b2's min-mid tie-break picks b1 (a
+    // deduplicated row) as its immediate target: b2 -> b1 -> store 5000.
+    // The sequential reference never inserts b1, so both rows must resolve
+    // to the store row and it must gain BOTH touches.
+    val st = Seq((5000L, vec(0), false, 7L, "store root"))
+      .toDF("id", "embedding", "expired", "access_count", "text")
+      .withColumn("last_referenced", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("decay_level", lit(0))
+    val batch = Seq((1L, vec(0), "copy one"), (2L, vec(0), "copy two"))
+      .toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(st, batch, now)
+    val rep = report.select(col("id"), col("action"), col("dup_of"), col("dup_from_store"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rep(1L) == (("deduplicated", Some(5000L), Some(true))))
+    assert(rep(2L) == (("deduplicated", Some(5000L), Some(true))),
+      "chained dup must resolve to the store root, not the phantom batch row")
+    val rows = newStore.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("access_count")).toMap
+    assert(rows.keySet == Set(5000L), "no intermediate batch row is inserted")
+    assert(rows(5000L) == 9L, "store root gains both chain touches")
+  }
+
   test("OpCaches tracks operator persists and releaseCaches frees them") {
     graft.GraftEngine.releaseCaches() // start clean
     val corpus = (0L until 40L).map(i => i -> vec((i % 8).toInt)).toDF("vid", "emb")
@@ -326,8 +351,8 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     val out = DedupOps.dedupSweep(df, pairs, "vec_id")
     val kept = out.filter(col("keep")).count()
     assert(kept == 18) // 20 rows, two merged pairs
-    // edges + labels loop caches were unpersisted inside the operator; the
-    // only survivors are the localCheckpoint blocks and tracked handles
+    // the edge cache was unpersisted inside the operator; the converged
+    // labels survive as a tracked cache released here
     graft.GraftEngine.releaseCaches()
     assert(out.filter(col("keep")).count() == kept)
   }
