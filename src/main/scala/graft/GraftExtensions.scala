@@ -3,9 +3,11 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GreaterThan, LessThan, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BitwiseAnd, BitwiseXor, CaseWhen, CreateArray, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, LessThan, Literal, PosExplode, ShiftRight}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 /** Cluster-wide registration entry point:
   *
@@ -36,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("content_hash"), info("content_hash"),
       (es: Seq[Expression]) => ContentHash(es.head)))
     e.injectOptimizerRule(_ => VectorExprSimplification)
+    e.injectOptimizerRule(_ => LshJoinRewrite)
   }
 }
 
@@ -67,5 +70,135 @@ object VectorExprSimplification extends Rule[LogicalPlan] {
       GreaterThan(CosineSimilarity(a, b), Literal(1.0 - t, dt))
     case GreaterThan(CosineDistance(a, b), Literal(t: Double, dt)) =>
       LessThan(CosineSimilarity(a, b), Literal(1.0 - t, dt))
+  }
+}
+
+/** SURVEY §4 item 3 — the 100 TB rewrite: a cosine-similarity theta join
+  * with no equi keys plans as a broadcast-nested-loop / cartesian product
+  * (O(|L|·|R|) comparisons). When this rule is enabled it rewrites
+  *
+  * {{{ L ⋈_{cosine_similarity(l.emb, r.emb) > τ [∧ p]} R }}}
+  *
+  * into hyperplane-LSH banding: both sides explode to (band, bandKey)
+  * bucket keys, join on the bucket (a keyed hash join), keep each matching
+  * pair once via the FIRST colliding band (a predicate on the two
+  * signatures — no Distinct, so duplicate input rows keep exact join
+  * multiplicity), and re-verify the original condition on the candidates.
+  *
+  * The rewrite is APPROXIMATE: pairs whose signatures collide in no band
+  * are lost (recall rises as τ → 1 and with fewer bits per band). It is
+  * therefore OFF by default and explicitly opt-in:
+  *
+  *   - `spark.graft.lshJoinRewrite.enabled`  (default false)
+  *   - `spark.graft.lshJoinRewrite.planes`   (default 32)
+  *   - `spark.graft.lshJoinRewrite.bandBits` (default 8)
+  *   - `spark.graft.lshJoinRewrite.minSim`   (default 0.7; joins with a
+  *     lower threshold are left alone — banding recall would be poor)
+  *
+  * Joins that already carry an equi predicate are never touched (Catalyst
+  * plans those as hash joins on its own).
+  */
+object LshJoinRewrite extends Rule[LogicalPlan] {
+  private val seed = 42L
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.lshJoinRewrite.enabled", "false").toBoolean
+  private def planes: Int =
+    conf.getConfString("spark.graft.lshJoinRewrite.planes", "32").toInt
+  private def bandBits: Int =
+    conf.getConfString("spark.graft.lshJoinRewrite.bandBits", "8").toInt
+  private def minSim: Double =
+    conf.getConfString("spark.graft.lshJoinRewrite.minSim", "0.7").toDouble
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  /** The sim conjunct (lEmb, rEmb, threshold) if `c` is one, oriented so
+    * lEmb comes from `left`.
+    */
+  private def simConjunct(c: Expression, left: LogicalPlan, right: LogicalPlan)
+  : Option[(Expression, Expression)] = {
+    def orient(a: Expression, b: Expression): Option[(Expression, Expression)] =
+      if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
+        Some((a, b))
+      else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+        Some((b, a))
+      else None
+    c match {
+      case GreaterThan(CosineSimilarity(a, b), Literal(t: Double, _))
+          if t >= minSim && isFloatArray(a) && isFloatArray(b) => orient(a, b)
+      case GreaterThanOrEqual(CosineSimilarity(a, b), Literal(t: Double, _))
+          if t >= minSim && isFloatArray(a) && isFloatArray(b) => orient(a, b)
+      case LessThan(Literal(t: Double, _), CosineSimilarity(a, b))
+          if t >= minSim && isFloatArray(a) && isFloatArray(b) => orient(a, b)
+      case _ => None
+    }
+  }
+
+  private def hasEquiKey(conjuncts: Seq[Expression], left: LogicalPlan,
+                         right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+
+  /** Project the side with its signature, then explode to (band, bkey). */
+  private def banded(side: LogicalPlan, emb: Expression, tag: String)
+  : (LogicalPlan, Attribute, Attribute, Attribute) = {
+    val bands = planes / bandBits
+    val mask = (1L << bandBits) - 1
+    val sigAlias = Alias(HyperplaneSig(emb, planes, seed), s"__hsig_$tag")()
+    val projected = Project(side.output :+ sigAlias, side)
+    val sig = sigAlias.toAttribute
+    val bandArray = CreateArray((0 until bands).map(i =>
+      BitwiseAnd(ShiftRight(sig, Literal(i * bandBits)), Literal(mask))))
+    val bandAttr = AttributeReference(s"__band_$tag", IntegerType, nullable = false)()
+    val keyAttr = AttributeReference(s"__bkey_$tag", LongType, nullable = true)()
+    val gen = Generate(PosExplode(bandArray), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None,
+      generatorOutput = Seq(bandAttr, keyAttr), child = projected)
+    (gen, sig, bandAttr, keyAttr)
+  }
+
+  /** band == first band where the two signatures agree — keeps each
+    * candidate pair exactly once without a Distinct.
+    */
+  private def firstCollidingBand(sigL: Expression, sigR: Expression): Expression = {
+    val bands = planes / bandBits
+    val xor = BitwiseXor(sigL, sigR)
+    val branches = (0 until bands).map { i =>
+      val bandMask = Literal(((1L << bandBits) - 1) << (i * bandBits))
+      (EqualTo(BitwiseAnd(xor, bandMask), Literal(0L)), Literal(i): Expression)
+    }
+    CaseWhen(branches, None)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled || planes % bandBits != 0) return plan
+    plan.transform {
+      case Join(left, right, Inner, Some(cond), _)
+          if {
+            val conjuncts = splitConj(cond)
+            !hasEquiKey(conjuncts, left, right) &&
+              conjuncts.exists(c => simConjunct(c, left, right).isDefined)
+          } =>
+        val conjuncts = splitConj(cond)
+        val (lEmb, rEmb) = conjuncts.flatMap(c => simConjunct(c, left, right)).head
+        val (bl, sigL, bandL, keyL) = banded(left, lEmb, "l")
+        val (br, sigR, bandR, keyR) = banded(right, rEmb, "r")
+        val joinCond = And(And(EqualTo(bandL, bandR), EqualTo(keyL, keyR)),
+          EqualTo(bandL, firstCollidingBand(sigL, sigR)))
+        val joined = Join(bl, br, Inner, Some(joinCond), JoinHint.NONE)
+        Filter(cond, Project(left.output ++ right.output, joined))
+    }
+  }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConj(a) ++ splitConj(b)
+    case other     => Seq(other)
   }
 }

@@ -91,6 +91,26 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 64-bit random-hyperplane LSH signature (bit b = sign of ⟨emb, plane_b⟩);
+  * planes derive deterministically from (seed, bit, dim) via a per-JVM
+  * cache, so every executor agrees without a broadcast. Native expression —
+  * the banding step of every LSH path runs inside whole-stage codegen.
+  */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExpressions.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float> input")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneSig(a.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = graft.functions.VectorKernels.hyperplaneSig($a, $planes, ${seed}L);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class L2Normalize(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (VectorExpressions.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess

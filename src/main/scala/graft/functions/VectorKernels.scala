@@ -75,6 +75,43 @@ object VectorKernels {
     math.sqrt(acc)
   }
 
+  /** Per-JVM hyperplane cache: plane values derive deterministically from
+    * (seed, bit, dim), so every executor materializes identical planes once
+    * instead of drawing planes×dim gaussians per row — and no broadcast is
+    * needed.
+    */
+  private object PlaneCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
+    def get(seed: Long, planes: Int, dim: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((seed, planes, dim), { _ =>
+        Array.tabulate(planes) { b =>
+          val rng = new java.util.Random(seed * 1000003L + b)
+          Array.fill(dim)(rng.nextGaussian())
+        }
+      })
+  }
+
+  /** Random-hyperplane LSH signature: bit b = sign of ⟨emb, plane_b⟩. */
+  def hyperplaneSig(a: ArrayData, planes: Int, seed: Long): Long = {
+    val n = a.numElements()
+    val pl = PlaneCache.get(seed, planes, n)
+    var bits = 0L
+    var b = 0
+    while (b < planes) {
+      val plane = pl(b)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += a.getFloat(d) * plane(d)
+        d += 1
+      }
+      if (dot >= 0) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
   /** L2-normalize; zero vectors pass through unchanged
     * (reference NormalizeInPlace, simd.go:131-146).
     */

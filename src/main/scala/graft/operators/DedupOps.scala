@@ -354,11 +354,15 @@ object DedupOps {
   }
 
   /** Deterministic random-hyperplane signature (bit b = sign of dot with a
-    * seeded Gaussian plane). Planes derive from (seed, bit, dim) so every
-    * executor builds identical planes without broadcast.
+    * seeded Gaussian plane) as the native [[graft.functions.HyperplaneSig]]
+    * expression — the banding step runs inside whole-stage codegen instead
+    * of a ScalaUDF encode/decode per row.
     */
-  private def hyperplaneSig(emb: Column, planes: Int, seed: Long): Column =
-    hyperplaneSigUdf(emb, lit(planes), lit(seed))
+  private def hyperplaneSig(emb: Column, planes: Int, seed: Long): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.functions.HyperplaneSig(ColumnShim.expression(emb), planes, seed))
+  }
 
   /** Explode a row into its (band, bkey) LSH bucket keys — the blocking
     * primitive behind `embeddingNearDupPairs`, exposed so other operators
@@ -381,43 +385,6 @@ object DedupOps {
               shiftright(col("hsig"), i * bandBits).bitwiseAND(lit(mask))): _*)
           ).as(Seq("band", "bkey")): _*
       )
-  }
-
-  /** Per-executor plane cache: plane values derive deterministically from
-    * (seed, bit, dim) so every executor materializes identical planes once
-    * instead of drawing planes*dim gaussians per row.
-    */
-  private object PlaneCache {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]()
-    def get(seed: Long, planes: Int, dim: Int): Array[Array[Double]] =
-      cache.computeIfAbsent((seed, planes, dim), { _ =>
-        Array.tabulate(planes) { b =>
-          val rng = new java.util.Random(seed * 1000003L + b)
-          Array.fill(dim)(rng.nextGaussian())
-        }
-      })
-  }
-
-  private val hyperplaneSigUdf = udf { (emb: Seq[Float], planes: Int, seed: Long) =>
-    if (emb == null) null
-    else {
-      val pl = PlaneCache.get(seed, planes, emb.length)
-      var sigBits = 0L
-      var b = 0
-      while (b < planes) {
-        val plane = pl(b)
-        var dot = 0.0
-        var d = 0
-        while (d < emb.length) {
-          dot += emb(d) * plane(d)
-          d += 1
-        }
-        if (dot >= 0) sigBits |= (1L << b)
-        b += 1
-      }
-      Long.box(sigBits)
-    }
   }
 
   /** Semantic dedup sweep: keep one representative per near-dup group.

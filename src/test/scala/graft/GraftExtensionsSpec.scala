@@ -82,4 +82,63 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count()
     assert(q.count() == expected && expected > 0)
   }
+
+  test("LshJoinRewrite turns a cosine theta join into a banded keyed join when enabled") {
+    import spark.implicits._
+    val sim = graft.functions.GraftFunctions.cosine_similarity _
+    // 30 distinct base vectors + exact copies with shifted ids: copy pairs
+    // collide in every band, so even the approximate plan must find them all
+    val rng = new scala.util.Random(3)
+    val base = (0L until 30L).map(i => i -> Array.fill(16)(rng.nextFloat() * 2f - 1f).toSeq)
+    val l = base.toDF("lid", "lemb")
+    val r = base.map { case (i, v) => (i + 1000L) -> v }.toDF("rid", "remb")
+    def thetaJoin() = l.join(r, sim(col("lemb"), col("remb")) > lit(0.95))
+      .select(col("lid"), col("rid"))
+
+    // disabled (default): the theta join stays a nested-loop plan
+    val off = thetaJoin().queryExecution.executedPlan.toString
+    assert(off.contains("BroadcastNestedLoopJoin") || off.contains("CartesianProduct"))
+
+    spark.conf.set("spark.graft.lshJoinRewrite.enabled", "true")
+    try {
+      val q = thetaJoin()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n${plan.take(1500)}")
+      assert(plan.contains("hyperplane_sig") || plan.contains("__bkey"),
+        "banded join artifacts missing from plan")
+      val got = q.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      // exact copies share every band -> all 30 planted pairs survive; at
+      // sim > 0.95 random 16-dim pairs essentially never qualify, and any
+      // that did must also appear in the exact join
+      val exact = (0L until 30L).map(i => (i, i + 1000L)).toSet
+      assert(exact.subsetOf(got), s"missing planted pairs: ${(exact -- got).take(5)}")
+      assert(got.forall { case (a, b) => thetaJoinExactCheck(base, a, b) })
+    } finally spark.conf.set("spark.graft.lshJoinRewrite.enabled", "false")
+  }
+
+  private def thetaJoinExactCheck(base: Seq[(Long, Seq[Float])], a: Long, b: Long): Boolean = {
+    val va = base.find(_._1 == a).get._2
+    val vb = base.find(_._1 == b - 1000L).get._2
+    val dot = va.zip(vb).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(va.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+    dot / (na * nb) > 0.95
+  }
+
+  test("LshJoinRewrite leaves equi-key joins and low thresholds alone") {
+    import spark.implicits._
+    val sim = graft.functions.GraftFunctions.cosine_similarity _
+    val df = Seq((1L, 1L, Seq(1f, 0f)), (2L, 1L, Seq(0f, 1f))).toDF("id", "k", "emb")
+    spark.conf.set("spark.graft.lshJoinRewrite.enabled", "true")
+    try {
+      // equi key present: untouched (no banding artifacts)
+      val equi = df.as("a").join(df.as("b"),
+        col("a.k") === col("b.k") && sim(col("a.emb"), col("b.emb")) > lit(0.9))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__bkey"))
+      // threshold below minSim: untouched
+      val low = df.as("a").join(df.as("b"), sim(col("a.emb"), col("b.emb")) > lit(0.3))
+      assert(!low.queryExecution.optimizedPlan.toString.contains("__bkey"))
+    } finally spark.conf.set("spark.graft.lshJoinRewrite.enabled", "false")
+  }
 }
