@@ -126,6 +126,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     dot / (na * nb) > 0.95
   }
 
+  test("LshJoinRewrite composes with distance canonicalization") {
+    import spark.implicits._
+    val dist = graft.functions.GraftFunctions.cosine_distance _
+    val rng = new scala.util.Random(5)
+    val base = (0L until 10L).map(i => i -> Array.fill(16)(rng.nextFloat() * 2f - 1f).toSeq)
+    val l = base.toDF("lid", "lemb")
+    val r = base.map { case (i, v) => (i + 500L) -> v }.toDF("rid", "remb")
+    spark.conf.set("spark.graft.lshJoinRewrite.enabled", "true")
+    try {
+      // written as cosine_distance < t: VectorExprSimplification rewrites it
+      // to cosine_similarity > 1-t, which the LSH rule then picks up
+      val q = l.join(r, dist(col("lemb"), col("remb")) < lit(0.05))
+        .select(col("lid"), col("rid"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"distance-form join not rewritten:\n${plan.take(1200)}")
+      val got = q.collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert((0L until 10L).map(i => (i, i + 500L)).toSet.subsetOf(got))
+    } finally spark.conf.set("spark.graft.lshJoinRewrite.enabled", "false")
+  }
+
   test("LshJoinRewrite leaves equi-key joins and low thresholds alone") {
     import spark.implicits._
     val sim = graft.functions.GraftFunctions.cosine_similarity _
