@@ -344,6 +344,27 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("lruHitStats isolates shards: same key stream per shard, independent state") {
+    // two shards with the identical A B A stream: each must count its own
+    // cold miss + hit, proving no cross-shard stack-distance leakage
+    val df = (for (sh <- Seq(1L, 2L); (k, i) <- Seq("A", "B", "A").zipWithIndex)
+      yield (sh, k, i.toLong)).toDF("shard_id", "k", "seq")
+    val out = CacheSimOps.lruHitStats(df, "shard_id", "k", Seq("seq"), capacity = 2)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("cold_misses"), r.getAs[Long]("hits"))).toMap
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L))))
+  }
+
+  test("saltedJoin drops null keys exactly like the plain join") {
+    val fact = Seq((1L, Some(1L)), (2L, None), (3L, Some(2L)))
+      .toDF("row_id", "k")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("k", "payload")
+    val plain = fact.join(dim, "k").select("row_id", "payload").collect().toSet
+    val salted = JoinOps.saltedJoin(fact, dim, Seq("k"), col("row_id"), 4)
+      .select("row_id", "payload").collect().toSet
+    assert(salted == plain && plain.size == 2)
+  }
+
   test("dedupSweep releases its loop caches after convergence") {
     graft.GraftEngine.releaseCaches()
     val df = (0L until 20L).map(i => i -> vec((i % 10).toInt)).toDF("vec_id", "emb")
