@@ -685,6 +685,19 @@ object SparkEntry {
         .select(col("session_id"), col("id"), col("tokens"))
     },
 
+    // Incremental dedup: a MinHash-LSH index built over the corpus (even
+    // doc_ids) probed by a new batch (odd doc_ids). Band collisions find
+    // the candidates, exact Jaccard verifies — every surviving pair sits at
+    // ~0.98 Jaccard where 16-band recall is 1-8e-18, so the approximate
+    // path provably matches the exact cross-parity oracle.
+    "q68_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val idx = graft.operators.DedupOps.buildMinhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      graft.operators.DedupOps.probeMinhashIndex(
+        idx, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", threshold = 0.8)
+    },
+
     // A10 high-churn detection over an array column (explode + groupBy +
     // threshold), the reference's FilesChanged aggregation.
     "q49_high_churn" -> { (s, dir) =>
@@ -897,6 +910,25 @@ object SparkEntry {
         |  SELECT *, sum(tokens) OVER (PARTITION BY session_id ORDER BY seq) AS cum
         |  FROM e WHERE role = 'assistant')
         |SELECT session_id, id, CAST(tokens AS INT) AS tokens FROM f WHERE cum <= 2000""".stripMargin,
+    "q68_incremental_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
+        |), sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id, count(*) AS ninter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = corpus_id
+        |JOIN sz sb ON sb.doc_id = batch_id
+        |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
     "q65_frame_sample" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |v AS (

@@ -210,6 +210,29 @@ object DedupOps {
     f(shingleHashes)
   }
 
+  /** (doc_id, sh) distinct-shingle-hash table — the shared first stage of
+    * every MinHash path (map-only, one UDF pass per document).
+    */
+  private def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), wordShingleHashes(col(textCol), n).as("sh"))
+
+  /** Explode a shingle table into its (band, bhash) LSH bucket keys: the
+    * signature derives map-side, each band's rows hash to one 64-bit key.
+    */
+  private def minhashBandKeys(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)))
+          )
+        ).as(Seq("band", "bhash"))
+      )
+  }
+
   /** MinHash + LSH banding near-dup pairs.
     *
     * Plan shape (the 100 TB path): shingle → signature (map-only) → explode
@@ -222,19 +245,8 @@ object DedupOps {
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("doc_id"), wordShingleHashes(col(textCol), n).as("sh"))
-      .persistTracked
-    val sig = sh.withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes))
-    val banded = sig.select(
-      col("doc_id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows)))
-        )
-      ).as(Seq("band", "bhash"))
-    )
+    val sh = shingleTable(df, textCol, idCol, n).persistTracked
+    val banded = minhashBandKeys(sh, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -250,6 +262,89 @@ object DedupOps {
       .withColumn("jaccard", col("ninter").cast("double") / (col("na") + col("nb") - col("ninter")))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  // --- incremental dedup against a persisted corpus index ----------------
+
+  /** A MinHash-LSH dedup index over a corpus, built ONCE and probed by every
+    * incoming batch — the shape a 100 TB training pipeline actually runs
+    * (re-shingling the historical corpus per batch would be quadratic in
+    * ingest volume). `bands` is the banded bucket table
+    * (band, bhash, doc_id); `docs` keeps each document's distinct
+    * shingle-hash set + size for exact verification of candidates. The
+    * reference dedups only within one request (its store-probe analog is the
+    * memory write path, /root/reference/pkg/memory/sqlite.go:117-226); the
+    * persisted index is this engine's corpus-scale extension of that idea.
+    */
+  case class MinhashIndex(bands: DataFrame, docs: DataFrame,
+                          n: Int, numHashes: Int, numBands: Int)
+
+  /** Build the index: one map-only pass over the corpus (shingle → signature
+    * → band keys), no shuffle at all until a probe joins against it.
+    */
+  def buildMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, numHashes: Int = 64, bands: Int = 16): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingleTable(df, textCol, idCol, n).persistTracked
+    MinhashIndex(
+      minhashBandKeys(sh, numHashes, bands),
+      sh.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh")),
+      n, numHashes, bands)
+  }
+
+  /** Persist the index as parquet. At real scale, write `bands` bucketed by
+    * bhash (`Sources.writeBucketed`) so every probe joins against it with
+    * zero corpus-side shuffle; plain parquet still never reshuffles the
+    * corpus because the probe broadcasts the batch side.
+    */
+  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.docs.write.mode("overwrite").parquet(s"$path/docs")
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    Seq((index.n, index.numHashes, index.numBands))
+      .toDF("n", "num_hashes", "num_bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted index (see [[saveMinhashIndex]]). */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    MinhashIndex(spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/docs"),
+      m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("num_bands"))
+  }
+
+  /** Probe the index with a new batch: (batch_id, corpus_id, jaccard) for
+    * every batch document within `threshold` Jaccard of an indexed corpus
+    * document (candidates from band collisions, exact verify after).
+    *
+    * Plan shape: the batch's band keys compute map-side and BROADCAST
+    * against the corpus band table, so the corpus is never reshuffled; the
+    * (small) candidate set then broadcast-prunes the `docs` table before the
+    * exact verify — corpus bytes moved scale with the candidate count, not
+    * the corpus size. Within-batch duplicates are [[minhashLshPairs]]'s job;
+    * run it on the batch first if the batch itself may contain dups.
+    */
+  def probeMinhashIndex(index: MinhashIndex, batch: DataFrame,
+                        textCol: String, idCol: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val bsh = shingleTable(batch, textCol, idCol, index.n).persistTracked
+    val bKeys = minhashBandKeys(bsh, index.numHashes, index.numBands)
+      .withColumnRenamed("doc_id", "batch_id")
+    val cand = index.bands.join(broadcast(bKeys), Seq("band", "bhash"))
+      .select(col("doc_id").as("corpus_id"), col("batch_id"))
+      .distinct()
+    val corpus = index.docs.select(col("doc_id").as("corpus_id"),
+      col("sh").as("csh"), col("nsh").as("cn"))
+    broadcast(cand).join(corpus, "corpus_id")
+      .join(broadcast(bsh.select(col("doc_id").as("batch_id"), col("sh").as("bsh"),
+        size(col("sh")).as("bn"))), "batch_id")
+      .withColumn("ninter", size(array_intersect(col("csh"), col("bsh"))))
+      .withColumn("jaccard",
+        col("ninter").cast("double") / (col("cn") + col("bn") - col("ninter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word multiset. Deterministic FNV-1a word hashes,

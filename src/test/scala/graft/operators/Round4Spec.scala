@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 surface: the persisted incremental MinHash dedup index and the
+  * corpus/training-mix operators.
+  */
+class Round4Spec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // A tiny corpus with one batch near-dup of a corpus doc (ids 1 and 101
+  // share 19 of 20 words), one exact copy (2/102), and unrelated docs.
+  private def corpusAndBatch = {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text about spark catalyst optimizer rules"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base.replace("upsilon", "omega")), // near-dup of 1
+      (102L, "the quick brown fox jumps over the lazy dog again and again"), // copy of 2
+      (103L, "nothing in common with anything stored previously at all"))
+      .toDF("doc_id", "text")
+    (corpus, batch)
+  }
+
+  test("probeMinhashIndex finds batch near-dups of indexed corpus docs") {
+    val (corpus, batch) = corpusAndBatch
+    val idx = DedupOps.buildMinhashIndex(corpus, "text", "doc_id")
+    val hits = DedupOps.probeMinhashIndex(idx, batch, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.GraftEngine.releaseCaches()
+    val byPair = hits.map(h => (h._1, h._2) -> h._3).toMap
+    assert(byPair.contains((101L, 1L)), s"near-dup pair missing from $hits")
+    assert(byPair((102L, 2L)) == 1.0, "exact copy must verify at jaccard 1.0")
+    assert(!hits.exists(_._1 == 103L), "unrelated batch doc must not match")
+  }
+
+  test("minhash index save/load roundtrip probes identically") {
+    val (corpus, batch) = corpusAndBatch
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val idx = DedupOps.buildMinhashIndex(corpus, "text", "doc_id")
+    val direct = DedupOps.probeMinhashIndex(idx, batch, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    DedupOps.saveMinhashIndex(idx, dir)
+    graft.GraftEngine.releaseCaches()
+    val loaded = DedupOps.loadMinhashIndex(spark, dir)
+    assert(loaded.n == 3 && loaded.numHashes == 64 && loaded.numBands == 16)
+    val replayed = DedupOps.probeMinhashIndex(loaded, batch, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(replayed == direct)
+  }
+
+  test("probe agrees with minhashLshPairs on the cross pairs") {
+    val (corpus, batch) = corpusAndBatch
+    val idx = DedupOps.buildMinhashIndex(corpus, "text", "doc_id")
+    val probed = DedupOps.probeMinhashIndex(idx, batch, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+    val all = DedupOps.minhashLshPairs(corpus.union(batch), "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 <= 100L && p._2 > 100L).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(probed == all)
+  }
+}

@@ -53,8 +53,12 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # Verify was run with a query filter; dev-only path
+            continue
         try:
             ds = pads.dataset(f"{out_dir}/{name}")
             spark_tbl = ds.to_table()
@@ -88,7 +92,8 @@ def main(sf_dir, out_dir):
         else:
             n_pass += 1
             print(f"PASS {name} ({len(sr)} rows)")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} skipped (no result dir)" if n_skip else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     return 1 if n_fail else 0
 
 
