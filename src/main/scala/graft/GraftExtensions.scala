@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => L2Normalize(es.head)))
     e.injectFunction((FunctionIdentifier("content_hash"), info("content_hash"),
       (es: Seq[Expression]) => ContentHash(es.head)))
+    e.injectFunction((FunctionIdentifier("splitmix64"), info("splitmix64"),
+      (es: Seq[Expression]) => SplitMix64(es.head)))
     e.injectOptimizerRule(_ => VectorExprSimplification)
     e.injectOptimizerRule(_ => LshJoinRewrite)
   }

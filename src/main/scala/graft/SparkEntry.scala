@@ -698,6 +698,46 @@ object SparkEntry {
         idx, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", threshold = 0.8)
     },
 
+    // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
+    // in real corpora) occurring in >= 2 distinct documents are stripped
+    // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
+    // keys; exact SQL replay.
+    "q69_boilerplate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.stripBoilerplate(
+        docs, "doc_id", TextFunctions.chunk_words(col("text"), 10, 0), minDf = 2)
+    },
+
+    // TF-IDF top-5 terms per document. The score is floor-scaled to integer
+    // micro-units so ranking (score desc, term asc) is a deterministic
+    // integer sort in both engines.
+    "q70_tfidf" -> { (s, dir) =>
+      graft.operators.CorpusOps.tfidfTopTerms(Tables.documents(s, dir), "text", "doc_id", k = 5)
+    },
+
+    // Deterministic stratified sampling on a splitmix64 ticket: 50% of
+    // src0, 25% of src1, all of src2, everything else dropped. No RNG —
+    // identical keep decisions on any engine/partitioning.
+    "q71_stratified_sample" -> { (s, dir) =>
+      graft.operators.CorpusOps.stratifiedSample(
+        Tables.documents(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0))
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Token-budgeted training mix: per-source token budgets consumed in
+    // deterministic hash-shuffled order (ticket asc). The reference has no
+    // corpus mixing; this is the "N tokens of web, M of code" composition
+    // step of a training pipeline.
+    "q72_training_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("tokens", floor((col("n_chars") + lit(3)) / lit(4)).cast("long"))
+      graft.operators.CorpusOps.trainingMix(
+        docs, col("doc_id"), "source", "tokens",
+        Map("src0" -> 1000L, "src1" -> 500L, "src2" -> 1500L))
+        .select(col("doc_id"), col("source"), col("tokens"), col("ticket"), col("cum_tokens"))
+    },
+
     // A10 high-churn detection over an array column (explode + groupBy +
     // threshold), the reference's FilesChanged aggregation.
     "q49_high_churn" -> { (s, dir) =>
@@ -929,6 +969,70 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = corpus_id
         |JOIN sz sb ON sb.doc_id = batch_id
         |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
+    "q69_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, words, unnest(range(0, greatest(len(words), 1), 10)) AS s
+        |  FROM w WHERE len(words) > 0),
+        |seg AS (
+        |  SELECT doc_id, s // 10 AS seg_idx, array_to_string(words[s+1 : s+10], ' ') AS seg FROM st),
+        |fr AS (
+        |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg) f
+        |  WHERE seg_df >= 2),
+        |kept AS (
+        |  SELECT g.doc_id, g.seg_idx, g.seg FROM seg g LEFT JOIN fr f ON g.seg = f.seg
+        |  WHERE f.seg IS NULL),
+        |reb AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean, count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM seg GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(t.n_total, 0) - coalesce(r.n_kept, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN reb r ON r.doc_id = d.doc_id
+        |LEFT JOIN tot t ON t.doc_id = d.doc_id""".stripMargin,
+    "q70_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(floor(1e6 * tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN dfreq USING (term), n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS INT) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf_micro, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "q71_stratified_sample" ->
+      """WITH ids AS (
+        |  SELECT doc_id, source FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |z0 AS (SELECT doc_id, source, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM ids),
+        |x1 AS (SELECT doc_id, source, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, source, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, source, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, source, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, source, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2)
+        |SELECT doc_id, source FROM tk
+        |WHERE ticket < CASE source WHEN 'src0' THEN 4503599627370496
+        |  WHEN 'src1' THEN 2251799813685248 ELSE 9007199254740992 END""".stripMargin,
+    "q72_training_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, (n_chars + 3) // 4 AS tokens FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |z0 AS (SELECT doc_id, source, tokens, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, source, tokens, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, source, tokens, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, source, tokens, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, source, tokens, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, source, tokens, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |c AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY source ORDER BY ticket, doc_id) AS BIGINT) AS cum_tokens FROM tk)
+        |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
+        |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
     "q65_frame_sample" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |v AS (

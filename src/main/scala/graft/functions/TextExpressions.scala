@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, NullType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-level text kernels callable from generated code (static forwarders,
@@ -36,11 +36,45 @@ object HashKernels {
     }
     UTF8String.fromBytes(hex)
   }
+
+  /** SplitMix64 finalizer (Steele/Lea/Flood, "Fast Splittable Pseudorandom
+    * Number Generators", OOPSLA'14) — the standard 64-bit mixing function.
+    * Wrapping two's-complement arithmetic, so the exact sequence is
+    * replayable in any engine with mod-2^64 integer math (the DuckDB oracle
+    * replays it in HUGEINT). Used as the deterministic sampling hash: high
+    * bits are equidistributed even on sequential ids.
+    */
+  def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 }
 
 /** content_hash(text): 16-hex FNV-1a 64 of the UTF-8 bytes. Whole-stage
   * codegen (calls the static kernel directly), null-propagating.
   */
+/** splitmix64(key): deterministic 64-bit mix of a BIGINT key, codegen'd.
+  * The sampling primitive — `splitmix64(id) >>> 11` is uniform on [0, 2^53),
+  * so `... < p * 2^53` keeps an exact, reproducible p-fraction with no RNG
+  * state, no seed plumbing, and identical decisions on any engine (ANSI-safe:
+  * wrapping arithmetic lives inside the kernel, not in Column math).
+  */
+case class SplitMix64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+  override protected def nullSafeEval(a: Any): Any =
+    HashKernels.splitmix64(a.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.HashKernels.splitmix64($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ContentHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType | NullType => TypeCheckResult.TypeCheckSuccess

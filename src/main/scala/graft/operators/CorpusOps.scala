@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-level operators for training-data pipelines: boilerplate removal,
+  * TF-IDF term scoring, deterministic sampling, and token-budgeted corpus
+  * mixing. None of these exist in the reference engine (whose unit of work
+  * is one request, /root/reference/pkg/pipeline/pipeline.go:73-177); they
+  * are the corpus-scale operations a 100 TB ingest actually runs, built as
+  * keyed shuffles + windows only — no driver actions, no cross joins.
+  */
+object CorpusOps {
+
+  /** Remove corpus-frequent segments ("boilerplate") from every document.
+    *
+    * The caller supplies the segmentation as an array column (lines,
+    * paragraphs, or fixed word blocks — e.g. `TextFunctions.chunk_words`
+    * with zero overlap); a segment whose text occurs in at least `minDf`
+    * DISTINCT documents is dropped from all of them, and survivors re-join
+    * in original order. This is the classic C4-style pipeline step that
+    * whole-document near-dup removal cannot express: license headers, nav
+    * chrome, and footer templates repeat across documents that are
+    * otherwise unique.
+    *
+    * Plan shape: explode → distinct(doc, seg_hash) → count per 64-bit
+    * seg-hash (the shuffle key is 8 bytes, never the segment text) →
+    * left-anti join back → per-doc rebuild via sort_array(collect_list).
+    * Two keyed shuffles over the exploded segments; scales linearly.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, segs: Column,
+                       minDf: Long, joiner: String = " "): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every segment")
+    val base = df
+      .select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_hash", xxhash64(col("seg")))
+    val frequent = base.select(col("doc_id"), col("seg_hash")).distinct()
+      .groupBy("seg_hash").agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= minDf)
+      .select("seg_hash")
+    val kept = base.join(frequent, Seq("seg_hash"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s("seg")),
+          joiner).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val totals = base.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    df.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_total"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Top-k TF-IDF terms per document.
+    *
+    * Terms are lowercased whitespace tokens; idf = ln((N+1)/(df+1)) with
+    * df = number of distinct documents containing the term. The score is
+    * emitted as `tfidf_micro` = floor(1e6 · tf · idf) — an integer, so the
+    * per-doc ranking (score desc, term asc) is a deterministic integer sort
+    * and the whole operator replays exactly in any engine with the same
+    * double `ln`. N comes from a 1-row aggregate broadcast into the plan,
+    * not a driver `.count()`.
+    *
+    * Plan shape: explode → (doc, term) count → term df count → two keyed
+    * shuffles + one per-doc rank window. At corpus scale the df table is
+    * vocabulary-sized and broadcasts.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame = {
+    val words = df.select(
+      col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "[ \\t\\n\\r\\f]+"),
+        w => length(w) > 0)).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf_micro",
+        floor(lit(1e6) * col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf_micro").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf_micro"), col("rnk"))
+  }
+
+  /** splitmix64(key) >>> 11 — uniform on [0, 2^53), the sampling ticket. */
+  def sampleTicket(key: Column): Column =
+    shiftrightunsigned(GraftFunctions.splitmix64(key), 11)
+
+  private val Ticket1 = 1L << 53
+
+  /** Deterministic `fraction`-sample keyed on a bigint column: a row is kept
+    * iff its splitmix64 ticket falls under fraction·2^53. Reproducible
+    * across runs, engines, and partitionings (no RNG, no seed plumbing,
+    * unlike `df.sample` whose output depends on partition layout), map-only,
+    * and consistent: the kept set for fraction p is a subset of the kept set
+    * for any p' > p, so growing a training mix never churns prior samples.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(sampleTicket(key) < lit((fraction * Ticket1).toLong))
+  }
+
+  /** Per-stratum deterministic sampling: `fractions` maps stratum values to
+    * keep-fractions; strata not listed are dropped. Map-only (the fraction
+    * lookup folds into a CASE chain — no join).
+    */
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (s, f)) =>
+      when(strata === s, lit((f * Ticket1).toLong)).otherwise(acc)
+    }
+    df.filter(sampleTicket(key) < threshold)
+  }
+
+  /** Token-budgeted corpus mix: for each source (stratum), take documents in
+    * deterministic splitmix64-shuffled order until that source's token
+    * budget is exhausted (first document crossing the budget is excluded).
+    * This is how training mixes are actually specified — "20 B tokens of
+    * web, 5 B of code" — made reproducible by the hash order.
+    *
+    * One window per source (shuffle on the source key, skew = largest
+    * source; salt upstream if one source dominates). Returns the kept rows
+    * with their ticket and running token total.
+    */
+  def trainingMix(df: DataFrame, key: Column, strataCol: String,
+                  tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("ticket").asc, col("__mix_key").asc)
+    df.withColumn("__mix_key", key)
+      .withColumn("ticket", sampleTicket(col("__mix_key")))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__mix_key")
+  }
+}

@@ -68,4 +68,78 @@ class Round4Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
     assert(probed == all)
   }
+
+  test("splitmix64 matches the published sequence (mod-2^64 reference)") {
+    // reference values computed independently with arbitrary-precision
+    // mod-2^64 arithmetic (same algebra the DuckDB oracle replays)
+    assert(graft.functions.HashKernels.splitmix64(0L) == -2152535657050944081L)
+    assert(graft.functions.HashKernels.splitmix64(1L) == -7995527694508729151L)
+    assert(graft.functions.HashKernels.splitmix64(42L) == -4767286540954276203L)
+    val viaSql = spark.sql("SELECT splitmix64(42L)").head().getLong(0)
+    assert(viaSql == -4767286540954276203L)
+  }
+
+  test("stripBoilerplate drops only corpus-frequent segments, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER COMMON | unique alpha text | FOOTER COMMON"),
+      (2L, "HEADER COMMON | different beta words | FOOTER COMMON"),
+      (3L, "totally original document body")).toDF("doc_id", "text")
+    val out = CorpusOps.stripBoilerplate(
+      docs, "doc_id", split(col("text"), " \\| "), minDf = 2, joiner = " | ")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique alpha text", 1L, 2L)))
+    assert(out(2L) == (("different beta words", 1L, 2L)))
+    assert(out(3L) == (("totally original document body", 1L, 0L)))
+  }
+
+  test("stripBoilerplate keeps a fully-boilerplate doc with empty text") {
+    val docs = Seq(
+      (1L, "SAME"), (2L, "SAME"), (3L, "SAME othertext")).toDF("doc_id", "text")
+    val out = CorpusOps.stripBoilerplate(
+      docs, "doc_id", split(col("text"), " "), minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("", 0L, 1L)))
+    assert(out(3L) == (("othertext", 1L, 1L)))
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rareword common"),
+      (2L, "common other terms"),
+      (3L, "common more words")).toDF("doc_id", "text")
+    val top = CorpusOps.tfidfTopTerms(docs, "text", "doc_id", k = 1)
+      .filter(col("doc_id") === 1).head()
+    assert(top.getAs[String]("term") == "rareword")
+    // 'common' is in every doc: idf = ln(4/4) = 0
+    val all = CorpusOps.tfidfTopTerms(docs, "text", "doc_id", k = 10)
+      .filter(col("term") === "common").collect()
+    assert(all.forall(_.getAs[Long]("tfidf_micro") == 0L))
+  }
+
+  test("hashSample is deterministic, nested across fractions, ~uniform") {
+    val df = spark.range(10000).toDF("id")
+    val k25 = CorpusOps.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    val k50 = CorpusOps.hashSample(df, col("id"), 0.50).collect().map(_.getLong(0)).toSet
+    assert(k25.subsetOf(k50), "sample at p must nest inside sample at p' > p")
+    assert(math.abs(k25.size - 2500) < 200, s"got ${k25.size}")
+    assert(math.abs(k50.size - 5000) < 250, s"got ${k50.size}")
+    val again = CorpusOps.hashSample(df.repartition(7), col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == k25, "keep decisions must not depend on partitioning")
+  }
+
+  test("trainingMix respects per-source budgets and hash order") {
+    val docs = (0L until 100L).map(i => (i, if (i % 2 == 0) "web" else "code", 10L))
+      .toDF("doc_id", "source", "tokens")
+    val mix = CorpusOps.trainingMix(docs, col("doc_id"), "source", "tokens",
+      Map("web" -> 100L, "code" -> 30L)).collect()
+    val bySrc = mix.groupBy(_.getAs[String]("source"))
+    assert(bySrc("web").map(_.getAs[Long]("tokens")).sum == 100L)
+    assert(bySrc("code").map(_.getAs[Long]("tokens")).sum == 30L)
+    // kept docs are exactly the lowest-ticket prefix per source
+    val webKept = bySrc("web").map(_.getAs[Long]("doc_id")).toSet
+    val webTickets = (0L until 100L).filter(_ % 2 == 0)
+      .map(i => i -> (graft.functions.HashKernels.splitmix64(i) >>> 11)).sortBy(_._2)
+    assert(webKept == webTickets.take(10).map(_._1).toSet)
+  }
 }
