@@ -738,6 +738,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"), col("ticket"), col("cum_tokens"))
     },
 
+    // Int8 scalar quantization of the embedding column (4x storage/IO cut,
+    // the FAISS-SQ8 serving trade). Codes and dequant params are closed-form
+    // per vector — exact SQL replay, codes compared as a joined string.
+    "q73_quantize_int8" -> { (s, dir) =>
+      graft.operators.KnnOps.quantizeInt8(Tables.embeddings(s, dir), "embedding")
+        .select(col("vec_id"), col("qmin"), col("qscale"),
+          concat_ws(",", col("qcodes")).as("qcodes"))
+    },
+
+    // KNN over the quantized corpus: dequantize inline, same top-k
+    // Aggregator plan. The oracle replays quantize -> dequantize -> cosine
+    // in DuckDB, so ranking parity proves the whole quantized path.
+    "q74_quantized_knn" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = graft.operators.KnnOps.quantizeInt8(emb, "embedding")
+      graft.operators.KnnOps.quantizedKnn(
+        q, emb.filter(col("vec_id") < 10), k = 5,
+        idCol = "vec_id", qidCol = "vec_id", qembCol = "embedding")
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    },
+
     // A10 high-churn detection over an array column (explode + groupBy +
     // threshold), the reference's FilesChanged aggregation.
     "q49_high_churn" -> { (s, dir) =>
@@ -1033,6 +1054,32 @@ object SparkEntry {
         |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
+    "q73_quantize_int8" ->
+      """SELECT vec_id,
+        |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |  (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qscale,
+        |  array_to_string(list_transform(embedding, v ->
+        |    CAST(floor((CAST(v AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+        |      / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS BIGINT)), ',') AS qcodes
+        |FROM embeddings""".stripMargin,
+    "q74_quantized_knn" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+        |    CAST(list_max(embedding) AS DOUBLE) AS qmax,
+        |    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qscale
+        |  FROM embeddings),
+        |dq AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(qmin +
+        |      floor((CAST(v AS DOUBLE) - qmin) * 255.0 / (qmax - qmin) + 0.5) * qscale AS FLOAT)) AS deq
+        |  FROM p)
+        |SELECT query_id, neighbor_id, rnk AS rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.deq) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN dq c ON q.vec_id < 10) t
+        |WHERE rnk <= 5""".stripMargin,
     "q65_frame_sample" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |v AS (

@@ -142,4 +142,33 @@ class Round4Spec extends AnyFunSuite with SparkTest {
       .map(i => i -> (graft.functions.HashKernels.splitmix64(i) >>> 11)).sortBy(_._2)
     assert(webKept == webTickets.take(10).map(_._1).toSet)
   }
+
+  test("int8 quantization reconstructs within half a step everywhere") {
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 50L).map(i => (i, Seq.fill(32)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = KnnOps.quantizeInt8(docs, "embedding")
+      .withColumn("deq", KnnOps.dequantizeInt8(col("qcodes"), col("qmin"), col("qscale")))
+    val rows = q.select(col("embedding"), col("deq"), col("qscale"), col("qcodes")).collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0); val deq = r.getSeq[Float](1)
+      val halfStep = r.getDouble(2) / 2 + 1e-6
+      val codes = r.getSeq[Int](3)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= halfStep, s"|$o - $d| > $halfStep")
+      }
+    }
+  }
+
+  test("quantized KNN keeps high recall vs exact KNN") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10, "vec_id", "embedding", "vec_id", "embedding")
+    val quant = KnnOps.quantizedKnn(KnnOps.quantizeInt8(emb, "embedding"), queries, 10,
+      "vec_id", "vec_id", "embedding")
+    val rec = KnnOps.recallAt(exact, quant, 10).head().getAs[Double]("avg_recall")
+    graft.GraftEngine.releaseCaches()
+    assert(rec >= 0.9, s"int8 recall@10 was $rec")
+  }
 }
