@@ -137,4 +137,44 @@ object GraftEngine {
   def deleteSession(entries: DataFrame, sessionId: String): DataFrame =
     // null-safe: a plain =!= would silently drop rows with a NULL session_id
     entries.filter(!(col("session_id") <=> lit(sessionId)))
+
+  /** build_dedup_index / probe_dedup_index: incremental near-dup detection
+    * of new batches against a persisted corpus signature index.
+    */
+  def buildDedupIndex(docs: DataFrame, textCol: String, idCol: String,
+                      path: Option[String] = None): operators.DedupOps.MinhashIndex = {
+    val idx = operators.DedupOps.buildMinhashIndex(docs, textCol, idCol)
+    path.foreach(p => operators.DedupOps.saveMinhashIndex(idx, p))
+    idx
+  }
+
+  def probeDedupIndex(index: operators.DedupOps.MinhashIndex, batch: DataFrame,
+                      textCol: String, idCol: String,
+                      threshold: Double = 0.8): DataFrame =
+    operators.DedupOps.probeMinhashIndex(index, batch, textCol, idCol, threshold)
+
+  /** strip_boilerplate: remove corpus-frequent segments from every doc. */
+  def stripBoilerplate(docs: DataFrame, idCol: String,
+                       segs: org.apache.spark.sql.Column, minDf: Long,
+                       joiner: String = " "): DataFrame =
+    operators.CorpusOps.stripBoilerplate(docs, idCol, segs, minDf, joiner)
+
+  /** tfidf_terms: top-k TF-IDF terms per document. */
+  def tfidfTerms(docs: DataFrame, textCol: String, idCol: String, k: Int = 5): DataFrame =
+    operators.CorpusOps.tfidfTopTerms(docs, textCol, idCol, k)
+
+  /** sample_corpus: deterministic (optionally stratified) hash sampling. */
+  def sampleCorpus(docs: DataFrame, key: org.apache.spark.sql.Column,
+                   fraction: Double): DataFrame =
+    operators.CorpusOps.hashSample(docs, key, fraction)
+
+  /** mix_corpus: token-budgeted per-source training mix. */
+  def mixCorpus(docs: DataFrame, key: org.apache.spark.sql.Column,
+                strataCol: String, tokensCol: String,
+                budgets: Map[String, Long]): DataFrame =
+    operators.CorpusOps.trainingMix(docs, key, strataCol, tokensCol, budgets)
+
+  /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
+  def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
+    operators.KnnOps.quantizeInt8(df, embCol)
 }

@@ -747,6 +747,18 @@ object SparkEntry {
           concat_ws(",", col("qcodes")).as("qcodes"))
     },
 
+    // The composed C4-style corpus clean: language -> length band ->
+    // quality threshold -> exact dedup -> deterministic 90% sample, every
+    // row audited with its first-matching drop reason. All stages are
+    // integer-deterministic (micro-unit quality, splitmix ticket).
+    "q75_corpus_clean" -> { (s, dir) =>
+      graft.operators.CorpusOps.cleanCorpus(
+        Tables.documents(s, dir), "text", "doc_id",
+        graft.operators.CorpusOps.CleanConfig(
+          allowedLangs = Set("en"), minWords = 15, maxWords = 10000,
+          minQualityMicro = 300000L, dedup = true, sampleFraction = 0.9))
+    },
+
     // KNN over the quantized corpus: dequantize inline, same top-k
     // Aggregator plan. The oracle replays quantize -> dequantize -> cosine
     // in DuckDB, so ranking parity proves the whole quantized path.
@@ -1054,6 +1066,35 @@ object SparkEntry {
         |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
+    "q75_corpus_clean" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+        |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
+        |  FROM documents),
+        |f AS (
+        |  SELECT *, (lang = 'en' AND n_words >= 15 AND n_words <= 10000
+        |    AND quality_micro >= 300000) AS filter_ok FROM b),
+        |w AS (
+        |  SELECT *, min(CASE WHEN filter_ok THEN doc_id END) OVER (PARTITION BY text) AS winner FROM f),
+        |z0 AS (SELECT *, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM w),
+        |x1 AS (SELECT * EXCLUDE (z), xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT * EXCLUDE (x), (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT * EXCLUDE (z), xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT * EXCLUDE (x), (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT * EXCLUDE (z), CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |r AS (
+        |  SELECT doc_id, lang, n_words, quality_micro,
+        |    CASE WHEN NOT (lang = 'en') THEN 'lang'
+        |      WHEN n_words < 15 THEN 'too_short'
+        |      WHEN n_words > 10000 THEN 'too_long'
+        |      WHEN quality_micro < 300000 THEN 'low_quality'
+        |      WHEN doc_id <> winner THEN 'duplicate'
+        |      WHEN ticket >= 8106479329266893 THEN 'sampled_out'
+        |    END AS drop_reason
+        |  FROM tk)
+        |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
+        |FROM r""".stripMargin,
     "q73_quantize_int8" ->
       """SELECT vec_id,
         |  CAST(list_min(embedding) AS DOUBLE) AS qmin,

@@ -128,6 +128,63 @@ object CorpusOps {
     df.filter(sampleTicket(key) < threshold)
   }
 
+  /** Configuration for [[cleanCorpus]]. Quality threshold is specified in
+    * floor(score·1e6) micro-units so the comparison is an integer test that
+    * replays identically in any engine.
+    */
+  case class CleanConfig(
+      allowedLangs: Set[String] = Set("en"),
+      minWords: Int = 20,
+      maxWords: Int = 100000,
+      minQualityMicro: Long = 300000L,
+      dedup: Boolean = true,
+      sampleFraction: Double = 1.0)
+
+  /** The composed C4-style corpus cleaning pass: language filter → length
+    * band → quality threshold → exact dedup (min-id winner among
+    * filter-survivors) → deterministic sampling. Emits EVERY input row with
+    * a `keep` flag and the first-matching `drop_reason`
+    * (lang / too_short / too_long / low_quality / duplicate / sampled_out),
+    * so the pipeline is auditable — a real ingest wants drop accounting per
+    * reason, not silent shrinkage.
+    *
+    * One window keyed on the text (at scale: on its 64-bit hash) for the
+    * dedup winner; everything else is map-only column math. Every stage is
+    * exact SQL (q75 replays the whole composition in DuckDB).
+    */
+  def cleanCorpus(df: DataFrame, textCol: String, idCol: String,
+                  cfg: CleanConfig = CleanConfig()): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      TextFunctions.lang_id(col(textCol)).as("lang"),
+      regexp_count(col(textCol), lit("\\S+")).as("n_words"),
+      floor(TextFunctions.quality_score(col(textCol)) * lit(1e6)).cast("long")
+        .as("quality_micro"))
+    val langOk = col("lang").isin(cfg.allowedLangs.toSeq: _*)
+    val filterOk = langOk && col("n_words") >= cfg.minWords &&
+      col("n_words") <= cfg.maxWords && col("quality_micro") >= cfg.minQualityMicro
+    // dedup winner among filter-survivors only (min ignores nulls)
+    val winner = min(when(filterOk, col("doc_id")))
+      .over(Window.partitionBy(col("__text")))
+    val withDup = base.withColumn("__winner", winner)
+    val isDup = col("doc_id") =!= col("__winner")
+    val sampledOut =
+      sampleTicket(col("doc_id")) >= lit((cfg.sampleFraction * Ticket1).toLong)
+    val reason = when(!langOk, "lang")
+      .when(col("n_words") < cfg.minWords, "too_short")
+      .when(col("n_words") > cfg.maxWords, "too_long")
+      .when(col("quality_micro") < cfg.minQualityMicro, "low_quality")
+      .when(lit(cfg.dedup) && isDup, "duplicate")
+      .when(sampledOut, "sampled_out")
+    withDup
+      .withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col("doc_id"), col("keep"), col("drop_reason"),
+        col("lang"), col("n_words"), col("quality_micro"))
+  }
+
   /** Token-budgeted corpus mix: for each source (stratum), take documents in
     * deterministic splitmix64-shuffled order until that source's token
     * budget is exhausted (first document crossing the budget is excluded).

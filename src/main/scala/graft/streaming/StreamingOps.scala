@@ -196,4 +196,30 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming arm of the incremental dedup index: a `foreachBatch` body
+    * that probes each arriving micro-batch of documents against the
+    * persisted corpus index and hands (batch_id, corpus_id, jaccard) hits
+    * to `sink`. The probe's distinct/joins run as a plain batch plan per
+    * micro-batch (the index side is static), which is why this lives in
+    * foreachBatch rather than as a stream-stream join — the standard shape
+    * for "new data vs. historical corpus" enrichment.
+    *
+    * {{{
+    *   docsStream.writeStream
+    *     .foreachBatch(StreamingOps.dedupProbeBatch(index, "text", "doc_id",
+    *       0.8, hits => hits.write.mode("append").parquet(out)))
+    *     .start()
+    * }}}
+    */
+  def dedupProbeBatch(index: graft.operators.DedupOps.MinhashIndex,
+                      textCol: String, idCol: String, threshold: Double,
+                      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      if (!batch.isEmpty) {
+        sink(graft.operators.DedupOps.probeMinhashIndex(
+          index, batch, textCol, idCol, threshold))
+      }
+      graft.util.OpCaches.release()
+    }
 }

@@ -171,4 +171,59 @@ class Round4Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
     assert(rec >= 0.9, s"int8 recall@10 was $rec")
   }
+
+  test("cleanCorpus audits every row with the first-matching drop reason") {
+    val en = "the cat and the dog walk to the park and it is that good " +
+      "for all of them to be in the sun with the friends of the family"
+    val de = "der hund und die katze sind nicht mit dem ball und das ist ein spiel " +
+      "und der tag ist nicht gut mit dem wetter und die sonne ist nicht da heute"
+    val docs = Seq(
+      (1L, en),                       // kept
+      (2L, en),                       // duplicate of 1 (both survive filters)
+      (3L, de),                       // lang
+      (4L, "too few words here"),     // too_short
+      (5L, en + " extra tail words")) // kept (distinct text)
+      .toDF("doc_id", "text")
+    val out = CorpusOps.cleanCorpus(docs, "text", "doc_id",
+      CorpusOps.CleanConfig(minWords = 5, minQualityMicro = 0L))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(out(1L) == ((true, None)))
+    assert(out(2L) == ((false, Some("duplicate"))))
+    assert(out(3L) == ((false, Some("lang"))))
+    assert(out(4L) == ((false, Some("too_short"))))
+    assert(out(5L) == ((true, None)))
+  }
+
+  test("cleanCorpus: a duplicate of a filtered-out doc is not 'duplicate'") {
+    // both copies fail the quality gate -> both report low_quality, and the
+    // dedup winner min() over survivors is NULL without error
+    // note: all-zero stopword scores tie-break to 'en', so pure nonsense
+    // words stay in-language and hit the quality gate
+    val docs = Seq((1L, "qq ww rr"), (2L, "qq ww rr")).toDF("doc_id", "text")
+    val out = CorpusOps.cleanCorpus(docs, "text", "doc_id",
+      CorpusOps.CleanConfig(minWords = 1, minQualityMicro = 900000L))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out(1L) == Some("low_quality") && out(2L) == Some("low_quality"))
+  }
+
+  test("streaming dedup probe finds corpus near-dups per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (corpus, batch) = corpusAndBatch
+    val idx = DedupOps.buildMinhashIndex(corpus, "text", "doc_id")
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.dedupProbeBatch(
+        idx, "text", "doc_id", 0.6,
+        h => hits.synchronized {
+          hits ++= h.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }))
+      .start()
+    val rows = batch.collect().map(r => (r.getLong(0), r.getString(1)))
+    stream.addData(rows(0)); q.processAllAvailable() // near-dup of corpus 1
+    stream.addData(rows(2)); q.processAllAvailable() // unrelated
+    q.stop()
+    assert(hits.toSet == Set((101L, 1L)))
+  }
 }
