@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
+import graft.util.OpCaches.TrackedPersist
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -33,9 +34,12 @@ object CorpusOps {
   def stripBoilerplate(df: DataFrame, idCol: String, segs: Column,
                        minDf: Long, joiner: String = " "): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every segment")
+    // base re-enters the plan three times (df-count, anti-join probe,
+    // totals); persist the exploded form once
     val base = df
       .select(col(idCol).as("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
       .withColumn("seg_hash", xxhash64(col("seg")))
+      .persistTracked
     val frequent = base.select(col("doc_id"), col("seg_hash")).distinct()
       .groupBy("seg_hash").agg(count(lit(1)).as("seg_df"))
       .filter(col("seg_df") >= minDf)
@@ -80,6 +84,7 @@ object CorpusOps {
       explode(filter(split(lower(col(textCol)), "[ \\t\\n\\r\\f]+"),
         w => length(w) > 0)).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persistTracked // feeds both the df count and the scored join
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val ndocs = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf
@@ -155,9 +160,15 @@ object CorpusOps {
   def cleanCorpus(df: DataFrame, textCol: String, idCol: String,
                   cfg: CleanConfig = CleanConfig()): DataFrame = {
     import graft.functions.TextFunctions
+    // the dedup window partitions on a 64-bit text hash, NOT the text: the
+    // only post-scan consumer of the document bytes is the grouping key, so
+    // hashing it map-side keeps full documents out of the shuffle entirely
+    // (the one shuffle of this operator then moves ~40 bytes/row at any
+    // corpus size; 64-bit collisions are ~|corpus|²/2⁶⁴, the same trade as
+    // exactDedupByFingerprint)
     val base = df.select(
       col(idCol).as("doc_id"),
-      col(textCol).as("__text"),
+      xxhash64(col(textCol)).as("__thash"),
       TextFunctions.lang_id(col(textCol)).as("lang"),
       regexp_count(col(textCol), lit("\\S+")).as("n_words"),
       floor(TextFunctions.quality_score(col(textCol)) * lit(1e6)).cast("long")
@@ -167,7 +178,7 @@ object CorpusOps {
       col("n_words") <= cfg.maxWords && col("quality_micro") >= cfg.minQualityMicro
     // dedup winner among filter-survivors only (min ignores nulls)
     val winner = min(when(filterOk, col("doc_id")))
-      .over(Window.partitionBy(col("__text")))
+      .over(Window.partitionBy(col("__thash")))
     val withDup = base.withColumn("__winner", winner)
     val isDup = col("doc_id") =!= col("__winner")
     val sampledOut =
