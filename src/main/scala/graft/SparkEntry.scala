@@ -747,6 +747,22 @@ object SparkEntry {
           concat_ws(",", col("qcodes")).as("qcodes"))
     },
 
+    // Train/eval contamination audit: corpus docs sharing word 5-grams with
+    // a held-out probe set (doc_ids < 10 as the stand-in benchmark). The
+    // probe side broadcasts; the corpus is only touched map-side.
+    "q76_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.contaminationCheck(
+        docs.filter(col("doc_id") >= 10), "text", "doc_id",
+        docs.filter(col("doc_id") < 10), "text", "doc_id",
+        n = 5, minShared = 1L)
+    },
+
+    // Per-source ingest dashboard: integer-exact corpus statistics.
+    "q77_corpus_stats" -> { (s, dir) =>
+      graft.operators.CorpusOps.corpusStats(Tables.documents(s, dir), "text", "doc_id", "source")
+    },
+
     // The composed C4-style corpus clean: language -> length band ->
     // quality threshold -> exact dedup -> deterministic 90% sample, every
     // row audited with its first-matching drop reason. All stages are
@@ -1066,6 +1082,33 @@ object SparkEntry {
         |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
+    "q76_contamination" ->
+      """WITH cs AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id >= 10)),
+        |ps AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id < 10)),
+        |cg AS (SELECT doc_id, unnest(sh) AS g FROM cs),
+        |pg AS (SELECT doc_id AS probe_id, len(sh) AS probe_grams, unnest(sh) AS g FROM ps)
+        |SELECT probe_id, doc_id, count(*) AS n_shared, probe_grams,
+        |  CAST(count(*) AS DOUBLE) / probe_grams AS contamination
+        |FROM cg JOIN pg USING (g)
+        |GROUP BY probe_id, doc_id, probe_grams
+        |HAVING count(*) >= 1""".stripMargin,
+    "q77_corpus_stats" ->
+      s"""SELECT source AS stratum, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_words,
+        |  CAST(min(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS min_words,
+        |  CAST(max(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS max_words,
+        |  CAST(sum(CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_micro,
+        |  CAST(count(DISTINCT ${langOracleExpr("text")}) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
     "q75_corpus_clean" ->
       s"""WITH b AS (
         |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,

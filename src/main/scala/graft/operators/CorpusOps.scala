@@ -133,6 +133,61 @@ object CorpusOps {
     df.filter(sampleTicket(key) < threshold)
   }
 
+  /** Train/eval contamination check: which corpus documents contain word
+    * n-grams from a benchmark/eval set — the leakage audit every training
+    * pipeline must run before shipping a mix. Inverted-index join on 64-bit
+    * gram hashes: both sides explode their DISTINCT gram hashes, the (small)
+    * probe side broadcasts, matches aggregate per (probe, doc). The corpus
+    * is touched map-side only — no corpus shuffle, like
+    * [[DedupOps.probeMinhashIndex]].
+    *
+    * Output: (probe_id, doc_id, n_shared, probe_grams, contamination) with
+    * contamination = n_shared / probe_grams.
+    */
+  def contaminationCheck(corpus: DataFrame, textCol: String, idCol: String,
+                         probes: DataFrame, probeTextCol: String, probeIdCol: String,
+                         n: Int = 8, minShared: Long = 1L): DataFrame = {
+    val cGrams = corpus.select(
+      col(idCol).as("doc_id"),
+      explode(DedupOps.wordShingleHashes(col(textCol), n)).as("g"))
+    val pGrams = probes.select(
+      col(probeIdCol).as("probe_id"),
+      DedupOps.wordShingleHashes(col(probeTextCol), n).as("pg"))
+      .select(col("probe_id"), size(col("pg")).as("probe_grams"),
+        explode(col("pg")).as("g"))
+    cGrams.join(broadcast(pGrams), "g")
+      .groupBy(col("probe_id"), col("doc_id"), col("probe_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("probe_id"), col("doc_id"), col("n_shared"), col("probe_grams"),
+        (col("n_shared").cast("double") / col("probe_grams")).as("contamination"))
+  }
+
+  /** Per-stratum corpus statistics — the ingest dashboard numbers. All
+    * aggregates are integer-exact (micro-unit quality sums), so the whole
+    * report hash-replays in SQL.
+    */
+  def corpusStats(df: DataFrame, textCol: String, idCol: String,
+                  strataCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    df.select(
+      col(strataCol).as("stratum"),
+      TextFunctions.tokens_raw(col(textCol)).cast("long").as("tokens"),
+      regexp_count(col(textCol), lit("\\S+")).cast("long").as("n_words"),
+      TextFunctions.lang_id(col(textCol)).as("lang"),
+      floor(TextFunctions.quality_score(col(textCol)) * lit(1e6)).cast("long")
+        .as("quality_micro"))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"),
+        sum(col("n_words")).as("total_words"),
+        min(col("n_words")).as("min_words"),
+        max(col("n_words")).as("max_words"),
+        sum(col("quality_micro")).as("sum_quality_micro"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Configuration for [[cleanCorpus]]. Quality threshold is specified in
     * floor(score·1e6) micro-units so the comparison is an integer test that
     * replays identically in any engine.

@@ -206,6 +206,34 @@ class Round4Spec extends AnyFunSuite with SparkTest {
     assert(out(1L) == Some("low_quality") && out(2L) == Some("low_quality"))
   }
 
+  test("contaminationCheck flags corpus docs containing probe n-grams") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // contains probe 1's grams
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "beta gamma delta epsilon zeta"), // one 5-gram, present in doc 10
+      (2L, "nothing matching here at all"))
+      .toDF("doc_id", "text")
+    val hits = CorpusOps.contaminationCheck(corpus, "text", "doc_id",
+      probes, "text", "doc_id", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(hits.toSeq == Seq((1L, 10L, 1L, 1.0)))
+  }
+
+  test("corpusStats aggregates are integer-exact per stratum") {
+    val docs = Seq(
+      (1L, "web", "the cat sat"), (2L, "web", "a dog ran far"),
+      (3L, "code", "x = 1")).toDF("doc_id", "source", "text")
+    val out = CorpusOps.corpusStats(docs, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("web").getAs[Long]("n_docs") == 2)
+    assert(out("web").getAs[Long]("total_words") == 7)
+    assert(out("code").getAs[Long]("total_tokens") == 2) // ceil(5/4)
+    assert(out("web").getAs[Long]("min_words") == 3)
+    assert(out("web").getAs[Long]("max_words") == 4)
+  }
+
   test("streaming dedup probe finds corpus near-dups per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val (corpus, batch) = corpusAndBatch
