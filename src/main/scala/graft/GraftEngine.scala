@@ -177,4 +177,10 @@ object GraftEngine {
   /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
   def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
     operators.KnnOps.quantizeInt8(df, embCol)
+
+  /** summarize_session: the hierarchical age-based summarize pass. */
+  def summarizeSession(turns: DataFrame, now: org.apache.spark.sql.Column,
+                       cfg: operators.SummarizeOps.SummarizeConfig =
+                         operators.SummarizeOps.SummarizeConfig()): DataFrame =
+    operators.SummarizeOps.summarizeTurns(turns, now, cfg)
 }

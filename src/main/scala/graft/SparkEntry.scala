@@ -747,6 +747,26 @@ object SparkEntry {
           concat_ws(",", col("qcodes")).as("qcodes"))
     },
 
+    // Hierarchical age-based turn summarization (the reference's summarize
+    // pass): ages derive arithmetically from doc_id, the 10 newest turns
+    // per session are preserved, importance >= 0.7 resists beyond
+    // paragraph level. maxTokens=0 keeps the budget pass off, so the whole
+    // first pass is relational and exactly oracled (keyword summaries
+    // replay as an order-preserving distinct + cap-12 aggregation).
+    "q78_summarize_turns" -> { (s, dir) =>
+      val nowTs = to_timestamp(lit(1717200000L)) // 2024-06-01T00:00:00Z
+      val turns = Tables.documents(s, dir).select(
+        (col("doc_id") % 20).cast("string").as("session_id"),
+        col("doc_id").cast("string").as("id"),
+        when(col("doc_id") % 2 === 0, "user").otherwise("assistant").as("role"),
+        col("text").as("content"),
+        to_timestamp(lit(1717200000L) - (col("doc_id") * 97) % 172800).as("ts"),
+        lit(0).as("level"),
+        ((col("doc_id") % 9 + 1) / 10.0).as("importance"),
+        col("doc_id").as("seq"))
+      graft.operators.SummarizeOps.summarizeTurns(turns, nowTs)
+    },
+
     // Train/eval contamination audit: corpus docs sharing word 5-grams with
     // a held-out probe set (doc_ids < 10 as the stand-in benchmark). The
     // probe side broadcasts; the corpus is only touched map-side.
@@ -1082,6 +1102,36 @@ object SparkEntry {
         |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
+    "q78_summarize_turns" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS session_id, CAST(doc_id AS VARCHAR) AS id,
+        |    (doc_id * 97) % 172800 AS age, (doc_id % 9 + 1) / 10.0 AS importance, text,
+        |    row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id DESC) AS rev_rn
+        |  FROM documents),
+        |ww AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words FROM documents),
+        |wi AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM ww WHERE len(words) > 0),
+        |wr AS (SELECT doc_id, i, words[i] AS w FROM wi
+        |  WHERE len(words[i]) >= 4 AND lower(words[i]) NOT IN ('the','and','for','that','this','with','from','have','will','been','were','they','their','there','when','what','which','would','could','should','about','into','more','also','some','than','then','just','like')),
+        |fs AS (SELECT doc_id, i, w, row_number() OVER (PARTITION BY doc_id, lower(w) ORDER BY i) AS dup_rn FROM wr),
+        |rk AS (SELECT doc_id, i, w, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn FROM fs WHERE dup_rn = 1),
+        |kw AS (SELECT doc_id, string_agg(w, ', ' ORDER BY i) AS kws FROM rk WHERE rn <= 12 GROUP BY doc_id),
+        |lv AS (
+        |  SELECT t.*, CASE WHEN rev_rn <= 10 THEN 0
+        |    WHEN age >= 86400 THEN (CASE WHEN importance >= 0.7 THEN 1 ELSE 3 END)
+        |    WHEN age >= 7200 THEN (CASE WHEN importance >= 0.7 THEN 1 ELSE 2 END)
+        |    WHEN age >= 1800 THEN 1 ELSE 0 END AS new_level
+        |  FROM t),
+        |res AS (
+        |  SELECT session_id, id, doc_id AS seq, new_level,
+        |    CASE WHEN new_level = 0 THEN text
+        |         WHEN new_level = 3 THEN coalesce(kws, '')
+        |         ELSE trim(text) END AS new_content,
+        |    CASE WHEN rev_rn <= 10 OR new_level = 0 THEN 'preserved' ELSE 'compressed' END AS action
+        |  FROM lv LEFT JOIN kw USING (doc_id))
+        |SELECT session_id, id, seq, CAST(new_level AS INT) AS new_level, new_content,
+        |  CAST((len(regexp_replace(new_content, '[ \t\n\r\f]+', '', 'g')) + 3) // 4 AS INT) AS new_tokens,
+        |  action
+        |FROM res""".stripMargin,
     "q76_contamination" ->
       """WITH cs AS (
         |  SELECT doc_id, CASE WHEN len(w) >= 5

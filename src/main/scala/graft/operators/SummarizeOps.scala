@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.text.TextAlgs
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Hierarchical age-based conversation summarization — the reference's
+  * summarize pass (/root/reference/pkg/summarize/hierarchy.go:27-175,
+  * summarize.go:38-74): turns compress progressively as they age
+  * (full → paragraph → sentence → keywords → evicted), the most recent N
+  * turns and high-importance turns resist, and an optional token budget
+  * triggers a second oldest-first pass through the levels with eviction as
+  * the last resort.
+  *
+  * The age/importance level assignment of the first pass is pure row math,
+  * but the budget pass mutates a running total sequentially — so, like
+  * [[SessionOps.enforceBudget]], the whole pass runs per session inside
+  * `flatMapGroups` (request-sized groups, the reference's own operating
+  * point; rows sort by seq so results are deterministic under shuffle).
+  */
+object SummarizeOps {
+
+  /** Age → max compression level step (ref summarize.go:56-59). */
+  case class AgeLevel(afterSecs: Long, maxLevel: Int)
+
+  /** Defaults mirror ref summarize.go:63-74. */
+  case class SummarizeConfig(
+      maxTokens: Int = 0,
+      preserveRecent: Int = 10,
+      importanceThreshold: Double = 0.7,
+      ageLevels: Seq[AgeLevel] = Seq(
+        AgeLevel(30 * 60L, 1), AgeLevel(2 * 3600L, 2), AgeLevel(24 * 3600L, 3)))
+
+  private val LevelEvicted = 4
+
+  private def maxLevelForAge(ageSecs: Long, levels: Seq[AgeLevel]): Int =
+    levels.foldLeft(0) { (m, al) =>
+      if (ageSecs >= al.afterSecs && al.maxLevel > m) al.maxLevel else m
+    }
+
+  private def compressTo(original: String, target: Int): String = target match {
+    case 1 => TextAlgs.paragraphSummary(original)
+    case 2 => TextAlgs.sentenceSummary(original)
+    case 3 => TextAlgs.keywordSummary(original)
+    case _ => original
+  }
+
+  /** Run the summarization pass. Input columns: session_id, id, role,
+    * content, ts (timestamp), level (int), importance (double; rows at
+    * exactly 0 get the F12 role+content importance score first, ref
+    * importance.go:68-74), seq.
+    * Output: one row per input turn with (new_level, new_content,
+    * new_tokens, action preserved|compressed|evicted). Evicted rows are
+    * kept in the output for drop accounting — filter `action != 'evicted'`
+    * for the reference's surviving-turns result.
+    */
+  def summarizeTurns(turns: DataFrame, now: Column,
+                     cfg: SummarizeConfig = SummarizeConfig()): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val cfgB = spark.sparkContext.broadcast(cfg)
+    turns.select(
+      col("session_id").cast("string"),
+      col("id").cast("string"),
+      col("content").cast("string"),
+      (unix_timestamp(now) - unix_timestamp(col("ts"))).cast("long").as("age_secs"),
+      col("level").cast("int"),
+      when(col("importance") === 0d,
+        graft.functions.TextFunctions.importance(col("role"), col("content")))
+        .otherwise(col("importance")).cast("double").as("importance"),
+      col("seq").cast("long"))
+      .as[(String, String, String, Long, Int, Double, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (sid, it) =>
+        val c = cfgB.value
+        val rows = it.toIndexedSeq.sortBy(_._7) // seq asc = oldest first
+        val n = rows.length
+        val recentCutoff = math.max(n - math.max(c.preserveRecent, 0), 0)
+        // working state per turn: (level, content, original, tokens, action)
+        val st = Array.tabulate(n) { i =>
+          val r = rows(i)
+          (r._5, r._3, r._3, TextAlgs.estimateTokensNoWs(r._3), "preserved")
+        }
+        // pass 1: age/importance level assignment (hierarchy.go:69-97)
+        var i = 0
+        while (i < n) {
+          val recent = c.preserveRecent > 0 && i >= recentCutoff
+          if (!recent) {
+            val r = rows(i)
+            var maxLevel = maxLevelForAge(r._4, c.ageLevels)
+            if (r._6 >= c.importanceThreshold && maxLevel > 1) maxLevel = 1
+            if (maxLevel > st(i)._1) {
+              val content = compressTo(st(i)._3, maxLevel)
+              st(i) = (maxLevel, content, st(i)._3,
+                TextAlgs.estimateTokensNoWs(content), "compressed")
+            }
+          }
+          i += 1
+        }
+        // pass 2: token budget, oldest-first through the levels with
+        // eviction last (hierarchy.go:117-175)
+        if (c.maxTokens > 0) {
+          var total = st.map(_._4).sum
+          var level = 1
+          while (level <= LevelEvicted && total > c.maxTokens) {
+            var j = 0
+            var stop = false
+            while (!stop && j < n && total > c.maxTokens) {
+              if (c.preserveRecent > 0 && j >= recentCutoff) stop = true
+              else {
+                val r = rows(j)
+                val cur = st(j)
+                val skip = cur._1 >= level ||
+                  (r._6 >= c.importanceThreshold && level > 1)
+                if (!skip) {
+                  val before = cur._4
+                  if (level == LevelEvicted) {
+                    st(j) = (LevelEvicted, "", cur._3, 0, "evicted")
+                  } else {
+                    val content = compressTo(cur._3, level)
+                    st(j) = (level, content, cur._3,
+                      TextAlgs.estimateTokensNoWs(content), "compressed")
+                  }
+                  total -= before - st(j)._4
+                }
+              }
+              j += 1
+            }
+            level += 1
+          }
+        }
+        (0 until n).map { k =>
+          (sid, rows(k)._2, rows(k)._7, st(k)._1, st(k)._2, st(k)._4, st(k)._5)
+        }
+      }
+      .toDF("session_id", "id", "seq", "new_level", "new_content", "new_tokens", "action")
+  }
+}

@@ -234,6 +234,35 @@ class Round4Spec extends AnyFunSuite with SparkTest {
     assert(out("web").getAs[Long]("max_words") == 4)
   }
 
+  test("summarizeTurns budget pass: oldest-first, importance resists, eviction last") {
+    val now = to_timestamp(lit(1717200000L))
+    val mkText = "Alpha sentence with several words inside. Beta sentence follows here. " +
+      "Gamma closes the paragraph with more words to pad the token count out."
+    val turns = Seq(
+      ("s1", "t0", "user", mkText, 1717200000L - 90000L, 0, 0.1, 0L),
+      ("s1", "t1", "user", mkText, 1717200000L - 90000L, 0, 0.9, 1L), // important
+      ("s1", "t2", "user", mkText, 1717200000L - 90000L, 0, 0.1, 2L),
+      ("s1", "t3", "user", mkText, 1717200000L, 0, 0.1, 3L)) // recent
+      .toDF("session_id", "id", "role", "content", "epoch", "level", "importance", "seq")
+      .withColumn("ts", to_timestamp(col("epoch")))
+    val out = SummarizeOps.summarizeTurns(turns, now,
+      SummarizeOps.SummarizeConfig(maxTokens = 40, preserveRecent = 1))
+      .collect().map(r => r.getString(1) ->
+        ((r.getInt(3), r.getString(4), r.getInt(5), r.getString(6)))).toMap
+    // recent turn untouched at full fidelity
+    assert(out("t3")._1 == 0 && out("t3")._4 == "preserved")
+    // important turn never compressed beyond paragraph level
+    assert(out("t1")._1 <= 1)
+    // both low-importance old turns evicted under hard budget pressure
+    assert(out("t0") == ((4, "", 0, "evicted")))
+    assert(out("t2") == ((4, "", 0, "evicted")))
+    // budget is best-effort (ref hierarchy.go:117-175): once only the
+    // important and the recent turn remain, no further reduction happens
+    val total = out.values.map(_._3).sum
+    assert(total == out("t1")._3 + out("t3")._3)
+    assert(total > 40, "fixture should leave the session over budget")
+  }
+
   test("streaming dedup probe finds corpus near-dups per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val (corpus, batch) = corpusAndBatch
