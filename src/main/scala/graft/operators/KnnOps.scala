@@ -177,6 +177,32 @@ object KnnOps {
     IvfIndex(spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Build an IVF index whose cell-assigned corpus stores int8 codes
+    * instead of float32 embeddings — the FAISS IVF+SQ8 serving layout:
+    * cell routing prunes the scan to nprobe/ncells of the corpus AND every
+    * scanned embedding byte is a quarter of the float width, compounding
+    * to ~4·ncells/nprobe less embedding IO per query than a flat float
+    * scan. Centroids stay exact floats (they're tiny and drive routing).
+    * Persist with [[saveIvfIndex]] unchanged — the layout is just columns.
+    */
+  def ivfIndexQuantized(corpus: DataFrame, idCol: String, embCol: String,
+                        ncells: Int = 16, seed: Long = 42L): IvfIndex = {
+    val idx = ivfIndex(corpus, idCol, embCol, ncells, seed)
+    IvfIndex(quantizeInt8(idx.assigned, embCol).drop(embCol), idx.centroids)
+  }
+
+  /** Query a quantized IVF index: same cell routing as [[ivfQuery]], with
+    * the probed cells' codes dequantized inline (fused into the scan).
+    */
+  def ivfQueryQuantized(index: IvfIndex, queries: DataFrame, k: Int,
+                        idCol: String, qidCol: String, qembCol: String,
+                        nprobe: Int = 4): DataFrame = {
+    val deq = index.assigned.withColumn("__deq",
+      dequantizeInt8(col("qcodes"), col("qmin"), col("qscale")))
+    ivfQuery(IvfIndex(deq, index.centroids), queries, k,
+      idCol, "__deq", qidCol, qembCol, nprobe)
+  }
+
   /** IVF (inverted-file) approximate KNN: one-shot build + query. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String, embCol: String, qidCol: String, qembCol: String,

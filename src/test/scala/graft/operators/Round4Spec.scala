@@ -172,6 +172,19 @@ class Round4Spec extends AnyFunSuite with SparkTest {
     assert(rec >= 0.9, s"int8 recall@10 was $rec")
   }
 
+  test("quantized IVF keeps high recall with all cells probed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10, "vec_id", "embedding", "vec_id", "embedding")
+    val idx = KnnOps.ivfIndexQuantized(emb, "vec_id", "embedding", ncells = 8)
+    assert(!idx.assigned.columns.contains("embedding"), "codes must replace floats")
+    val approx = KnnOps.ivfQueryQuantized(idx, queries, 10, "vec_id", "vec_id", "embedding", nprobe = 8)
+    val rec = KnnOps.recallAt(exact, approx, 10).head().getAs[Double]("avg_recall")
+    graft.GraftEngine.releaseCaches()
+    // nprobe == ncells -> routing is lossless, only quantization error remains
+    assert(rec >= 0.85, s"IVF+SQ8 recall@10 was $rec")
+  }
+
   test("cleanCorpus audits every row with the first-matching drop reason") {
     val en = "the cat and the dog walk to the park and it is that good " +
       "for all of them to be in the sun with the friends of the family"
