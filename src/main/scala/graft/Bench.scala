@@ -49,7 +49,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val jvm = if (warmDir.isDefined) "warm" else "cold"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the JSON to a file: a truncated/contended console tail
+    // once destroyed a round's perf evidence (r04), so stdout is no longer
+    // the only copy.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

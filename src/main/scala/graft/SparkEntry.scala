@@ -522,15 +522,18 @@ object SparkEntry {
     // comparison point; rows-only (sequential per-group algorithms).
     "q38_corpus_pipeline" -> { (s, dir) =>
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
-      // derive a collision-free chunk id from a deterministic within-order
-      // row number.
-      val wOrder = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          col("l_extendedprice"))
+      // derive a collision-free chunk id map-side: xxhash64 over the full
+      // natural row. No window — the old row_number() over l_orderkey cost a
+      // full 600K-row shuffle+sort before the pipeline's own keyed shuffle.
+      // (Fully identical rows share an id, which is harmless: their text,
+      // embedding, and score are identical too, so every downstream decision
+      // is the same row repeated.)
       val chunks = Tables.lineitem(s, dir)
-        .withColumn("line_rn", row_number().over(wOrder))
         .select(
-          (col("l_orderkey") * 100 + col("line_rn")).as("chunk_id"),
+          xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
+            col("l_discount"), col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate")).as("chunk_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             col("l_shipdate").cast("string"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"), col("l_partkey"),
@@ -1188,13 +1191,17 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
         |FROM r""".stripMargin,
+    // The CASE mirrors quantizeInt8's qscale == 0 branch (constant vectors →
+    // all-zero codes) so the pair stays equivalent by construction, not by
+    // fixture luck.
     "q73_quantize_int8" ->
       """SELECT vec_id,
         |  CAST(list_min(embedding) AS DOUBLE) AS qmin,
         |  (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qscale,
         |  array_to_string(list_transform(embedding, v ->
-        |    CAST(floor((CAST(v AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
-        |      / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS BIGINT)), ',') AS qcodes
+        |    CASE WHEN list_max(embedding) = list_min(embedding) THEN 0
+        |    ELSE CAST(floor((CAST(v AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) * 255.0
+        |      / (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) + 0.5) AS BIGINT) END), ',') AS qcodes
         |FROM embeddings""".stripMargin,
     "q74_quantized_knn" ->
       """WITH p AS (
@@ -1206,7 +1213,8 @@ object SparkEntry {
         |dq AS (
         |  SELECT vec_id,
         |    list_transform(embedding, v -> CAST(qmin +
-        |      floor((CAST(v AS DOUBLE) - qmin) * 255.0 / (qmax - qmin) + 0.5) * qscale AS FLOAT)) AS deq
+        |      (CASE WHEN qmax = qmin THEN 0
+        |       ELSE floor((CAST(v AS DOUBLE) - qmin) * 255.0 / (qmax - qmin) + 0.5) END) * qscale AS FLOAT)) AS deq
         |  FROM p)
         |SELECT query_id, neighbor_id, rnk AS rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -263,6 +263,12 @@ object CorpusOps {
     */
   def trainingMix(df: DataFrame, key: Column, strataCol: String,
                   tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    // withColumn silently REPLACES same-named inputs; better to fail loudly
+    // than clobber a caller's ticket/cum_tokens column with ours.
+    val clash = df.columns.toSet.intersect(Set("ticket", "cum_tokens", "__mix_key"))
+    require(clash.isEmpty,
+      s"trainingMix writes columns ${clash.mkString(", ")} that already exist in the input; " +
+        "rename them before calling")
     val budget = budgets.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
       when(col(strataCol) === s, lit(b)).otherwise(acc)
     }

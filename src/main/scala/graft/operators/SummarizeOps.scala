@@ -73,7 +73,10 @@ object SummarizeOps {
       .groupByKey(_._1)
       .flatMapGroups { (sid, it) =>
         val c = cfgB.value
-        val rows = it.toIndexedSeq.sortBy(_._7) // seq asc = oldest first
+        // seq asc = oldest first; id breaks seq ties — duplicate seq values
+        // would otherwise make the preserveRecent cutoff and budget-sweep
+        // order depend on shuffle arrival order
+        val rows = it.toIndexedSeq.sortBy(r => (r._7, r._2))
         val n = rows.length
         val recentCutoff = math.max(n - math.max(c.preserveRecent, 0), 0)
         // working state per turn: (level, content, original, tokens, action)

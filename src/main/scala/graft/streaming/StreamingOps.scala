@@ -216,10 +216,15 @@ object StreamingOps {
                       textCol: String, idCol: String, threshold: Double,
                       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
-      if (!batch.isEmpty) {
-        sink(graft.operators.DedupOps.probeMinhashIndex(
-          index, batch, textCol, idCol, threshold))
+      // scoped release: only the probe's own persisted frames (the batch
+      // shingle table) drop per micro-batch — a global release here would
+      // also unpersist the long-lived index's corpus shingle cache and force
+      // a full re-shingle on every subsequent batch.
+      graft.util.OpCaches.scoped {
+        if (!batch.isEmpty) {
+          sink(graft.operators.DedupOps.probeMinhashIndex(
+            index, batch, textCol, idCol, threshold))
+        }
       }
-      graft.util.OpCaches.release()
     }
 }

@@ -23,28 +23,63 @@ object OpCaches {
   private val registry =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  // Innermost active scope for the current thread (see `scoped`); persists
+  // land in the scope instead of the global registry, so a recurring caller
+  // (e.g. a foreachBatch body) can release its own frames without nuking a
+  // long-lived index's caches.
+  private val scopeStack =
+    new ThreadLocal[List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]] {
+      override def initialValue: List[java.util.concurrent.ConcurrentLinkedQueue[DataFrame]] = Nil
+    }
+
+  private def target: java.util.concurrent.ConcurrentLinkedQueue[DataFrame] =
+    scopeStack.get() match {
+      case h :: _ => h
+      case Nil    => registry
+    }
+
   /** Persist `df` at the given level and track the handle. */
   def trackPersist(df: DataFrame,
                    level: org.apache.spark.storage.StorageLevel =
                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    registry.add(p)
+    target.add(p)
     p
   }
 
   /** Register an ALREADY-persisted frame for release without touching its
     * storage level (persisting twice at a different level throws).
     */
-  def track(df: DataFrame): DataFrame = { registry.add(df); df }
+  def track(df: DataFrame): DataFrame = { target.add(df); df }
 
-  /** Unpersist (non-blocking) every tracked frame and clear the registry. */
-  def release(): Unit = {
-    var d = registry.poll()
-    while (d != null) {
-      d.unpersist(blocking = false)
-      d = registry.poll()
+  /** Run `body` with a private tracking scope: frames persisted inside are
+    * released when the block exits (after `body`'s results are materialized —
+    * callers must not return un-materialized frames that depend on them),
+    * and frames tracked OUTSIDE the scope are left untouched. Scopes nest.
+    */
+  def scoped[T](body: => T): T = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    scopeStack.set(q :: scopeStack.get())
+    try body
+    finally {
+      scopeStack.set(scopeStack.get().tail)
+      drain(q)
     }
   }
+
+  private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var d = q.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = q.poll()
+    }
+  }
+
+  /** Unpersist (non-blocking) every globally tracked frame and clear the
+    * registry. Frames inside an active `scoped` block are that scope's to
+    * release.
+    */
+  def release(): Unit = drain(registry)
 
   /** Number of currently tracked cached frames (for tests). */
   def trackedCount: Int = registry.size()

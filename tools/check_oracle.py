@@ -2,7 +2,8 @@
 """Dev-only pre-validation of SparkEntry oracles (mimics the driver's gate).
 
 NOT part of the shipped library — the engine itself is pure Scala/Spark.
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [onlyCsv]
+(onlyCsv = the same comma-separated query filter passed to Verify, if any)
 
 Reads each <verifyOutDir>/<name>/ parquet result, runs the matching SQL from
 oracle_sql.json in DuckDB against <sfDir>/*.parquet tables, and compares
@@ -47,7 +48,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -56,8 +57,15 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         import os
+        if only is not None and name not in only:
+            n_skip += 1  # explicitly filtered out by the caller
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            n_skip += 1  # Verify was run with a query filter; dev-only path
+            # A missing result dir with no filter means Verify CRASHED on
+            # this query (it catches per-query Throwables and writes
+            # nothing) — that must fail the gate, not silently skip.
+            print(f"FAIL {name}: no result dir (Verify crashed or never ran)")
+            n_fail += 1
             continue
         try:
             ds = pads.dataset(f"{out_dir}/{name}")
@@ -98,4 +106,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # Optional 3rd arg: comma-separated query filter — MUST match the filter
+    # passed to Verify, otherwise unattempted queries count as failures.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
