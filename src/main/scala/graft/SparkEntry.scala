@@ -450,17 +450,22 @@ object SparkEntry {
 
     // SQL-first path: the same engine through spark.sql with the
     // registry-injected vector functions (nearest neighbor per query vector).
+    // Shaped for scale: the (tiny) query side broadcasts and the argmax is a
+    // max_by AGGREGATE — partial aggregation keeps the top candidate per
+    // partition map-side, so the shuffle carries nQueries rows per partition
+    // instead of the old rank-window's full nQueries × corpus row set.
     "q40_sql_knn" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
       s.sql(
-        """SELECT query_id, neighbor_id FROM (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
-          |  FROM embeddings_v q JOIN embeddings_v c
+        """SELECT query_id,
+          |  max_by(neighbor_id, named_struct('s', sim, 'tb', -neighbor_id)) AS neighbor_id
+          |FROM (
+          |  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    cosine_similarity(q.embedding, c.embedding) AS sim
+          |  FROM embeddings_v c JOIN embeddings_v q
           |    ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
-          |WHERE rnk = 1""".stripMargin)
+          |GROUP BY query_id""".stripMargin)
     },
 
     // A9/A10 commit pattern summary: counts by type and risk level.
@@ -916,6 +921,266 @@ object SparkEntry {
         embedded, embedded.filter(col("doc_id") < 5), k = 3,
         idCol = "doc_id", embCol = "embedding", qidCol = "doc_id", qembCol = "embedding")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
+    // J4 session push-dedup with planted duplicates: exact copies (seq
+    // 1e6+vid) hit their store row at distance 0; half-zeroed copies (seq
+    // 2e6+vid) sit at cos ≈ 0.71 from their source — outside the 0.15 band.
+    // The oracle replays the same candidate join + cosine math in SQL, so
+    // whichever side of the band each pair lands on, both engines agree
+    // (the q43 recipe).
+    "q79_push_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val existing = emb.select((col("vec_id") % 10).cast("string").as("session_id"),
+        col("embedding"))
+      val dups = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") % 10).cast("string").as("session_id"),
+          col("embedding"), (col("vec_id") + 1000000L).as("seq"))
+      val halves = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .select((col("vec_id") % 10).cast("string").as("session_id"),
+          transform(col("embedding"), (x, i) => when(i < 32, x).otherwise(lit(0f))).as("embedding"),
+          (col("vec_id") + 2000000L).as("seq"))
+      graft.operators.SessionOps.pushDedup(dups.unionByName(halves), existing)
+        .select(col("session_id"), col("seq"), col("is_duplicate"))
+    },
+
+    // J5 commit similarity search: fixed query vector, similarity floor,
+    // top-10 via TakeOrderedAndProject (ref commits.go:216-250). Ranks
+    // compare per the q18/q46 float-determinism recipe.
+    "q80_find_similar" -> { (s, dir) =>
+      graft.operators.CommitOps.findSimilar(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        q46QueryVec, "vec_id", "embedding", minSimilarity = 0.2, k = 10)
+        .select(col("vec_id"), col("rnk"))
+    },
+
+    // P5 min-relevance recall floor: pure-recency scoring with the
+    // reference's relevance cutoff actually engaged (q29 leaves it at 0).
+    // Ages wrap mod 100 hours around a 48-hour now, so the 0.5 floor splits
+    // the store into kept/dropped at EVERY scale factor (the shared analog's
+    // linear ages all decay below the floor).
+    "q81_recall_min_relevance" -> { (s, dir) =>
+      val mem = memoriesAnalog(s, dir).withColumn("last_referenced",
+        timestamp_seconds(unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")) +
+          (col("id") % 100) * 3600L))
+      graft.operators.MemoryOps.recall(
+        mem, None,
+        graft.operators.MemoryOps.RecallParams(
+          recencyWeight = 1.0, maxResults = 25, maxTokens = 0, minRelevance = 0.5),
+        lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(col("id"), col("relevance"), col("rank"))
+    },
+
+    // A4 max-length representative per request group (window argmax on
+    // character length, id tie-break).
+    "q82_rep_length" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      graft.operators.ClusterOps.selectRepresentatives(
+        chunks, Seq("request_group"), "doc_id", "embedding", "score", "text", "length")
+        .select(col("request_group"), col("doc_id"))
+    },
+
+    // A5 hybrid representative: 0.4·normScore + 0.4·normCentroidCloseness +
+    // 0.2·normLength, min-max normalized per group (ref selector.go:142-238).
+    // The oracle replays the centroid (float-rounded per-dim mean), the
+    // cosine distances, and the min-max window math in SQL.
+    "q83_rep_hybrid" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      graft.operators.ClusterOps.selectRepresentatives(
+        chunks, Seq("request_group"), "doc_id", "embedding", "score", "text", "hybrid")
+        .select(col("request_group"), col("doc_id"))
+    },
+
+    // A6 pipeline stats row: counts, token totals, reduction percent
+    // (ref pipeline.go:16-32) over the F8 pruner as the transform.
+    "q84_pipeline_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val out = docs.select(TextFunctions.prune(col("text")).as("pruned"))
+      graft.operators.PipelineOps.pipelineStats(docs, out, "text", "pruned")
+    },
+
+    // A7 memory store stats: per-decay-level counts, expired counts,
+    // created_at range.
+    "q85_memory_stats" -> { (s, dir) =>
+      graft.operators.MemoryOps.stats(memoriesAnalog(s, dir))
+    },
+
+    // A11 graph degree stats + hub ranking over the q34 dependency edges
+    // (ref graph.go:239-270); k exceeds the node count so the full degree
+    // table is oracled through the topHubs composition.
+    "q86_graph_hubs" -> { (s, dir) =>
+      val supNation = Tables.supplier(s, dir).select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nationRegion = Tables.nation(s, dir).select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      graft.operators.GraphOps.topHubs(supNation.union(nationRegion), k = 2000)
+    },
+
+    // A13/T4 TTL tracker run in BATCH mode (flatMapGroupsWithState over a
+    // bounded Dataset): per-prefix hit/miss counters and deadlines. Event
+    // time is synthetic (event_id ms ticks) so TTL aliveness is exact
+    // integer math in both engines.
+    "q87_ttl_events" -> { (s, dir) =>
+      import s.implicits._
+      val touches = Tables.events(s, dir).select(
+        col("user_id").cast("string").as("prefixHash"),
+        (col("event_id") * 1000L).as("tsMillis"))
+        .as[graft.streaming.StreamingOps.PrefixTouch]
+      graft.streaming.StreamingOps.ttlTracker(touches, ttlMillis = 300000L).toDF()
+        .select(col("prefixHash").as("prefix_hash"), col("tsMillis").as("ts_millis"),
+          col("wasAlive").as("was_alive"), col("hitCount").as("hit_count"),
+          col("missCount").as("miss_count"), col("nextDeadline").as("next_deadline"))
+    },
+
+    // W5 stable-entry promotion after a push (cache_boundary.go:228-269):
+    // zero-stability entries inserted at or before pushCount − minStableTurns
+    // get promoted to their insertion turn. Pure CASE math.
+    "q88_record_push" -> { (s, dir) =>
+      val entries = sessionEntriesAnalog(s, dir)
+        .withColumn("inserted_at_push", (col("id").cast("long") % 50).cast("int"))
+        .withColumn("stable_since_turn",
+          when(col("id").cast("long") % 3 === 0, lit(0))
+            .otherwise((col("id").cast("long") % 5).cast("int")))
+      graft.operators.SessionOps.recordPush(entries, pushCount = 30, minStableTurns = 2)
+        .select(col("id"), col("inserted_at_push"), col("stable_since_turn"))
+    },
+
+    // F5/F6/F7 placeholder compression over a literal fixture covering every
+    // dispatch branch (JSON object w/ preserved keys, opaque object, long
+    // array, XML census, delimited table, plain text, malformed JSON, depth
+    // cap). The walk is deterministic, so the oracle is the expected literal
+    // strings (ref placeholder.go:93-271).
+    "q89_placeholders" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Seq(
+        (1L, """{"name":"Alice","age":30,"notes":"hi"}"""),
+        (2L, """{"a":1,"b":2}"""),
+        (3L, """[1,2,3,4,5]"""),
+        (4L, "<a><b>x</b><b>y</b></a>"),
+        (5L, "name,score,rank\nalice,1,2\nbob,3,4"),
+        (6L, "just plain text"),
+        (7L, "{not valid json"),
+        (8L, """{"name":{"id":{"title":"deep"}}}"""))
+      rows.toDF("fid", "payload")
+        .select(col("fid"), TextFunctions.placeholder_compress(col("payload")).as("compressed"))
+    },
+
+    // F19 dynamic-pattern pre-flight detector (stability.go:100-114):
+    // which volatile substrings a prompt prefix contains.
+    "q90_dynamic_patterns" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        array_join(graft.streaming.StreamingOps.dynamicPatternHits(col("text")), ",").as("hits"))
+    },
+
+    // T5 stability validator run in BATCH mode: per-call-site prefix-hash
+    // history, issues where the stability rate dips under 0.8 after 3
+    // checks. Rate compares floor-scaled to micro-units.
+    "q91_stability_issues" -> { (s, dir) =>
+      import s.implicits._
+      val checks = Tables.documents(s, dir).select(
+        col("source").as("callSite"),
+        concat(lit("h"), (col("doc_id") % 3).cast("string")).as("prefixHash"),
+        col("doc_id").cast("long").as("tsMillis"))
+        .as[graft.streaming.StreamingOps.StabilityCheck]
+      graft.streaming.StreamingOps.stabilityValidator(checks).toDF()
+        .select(col("callSite").as("call_site"), col("tsMillis").as("ts_millis"),
+          floor(col("stabilityRate") * 1e6).cast("long").as("rate_micro"),
+          col("totalChecks").as("total_checks"), col("changes"),
+          col("previousHash").as("previous_hash"), col("currentHash").as("current_hash"))
+    },
+
+    // S1 JSONL vector scan: fixed-schema schema-on-read with malformed lines
+    // and null-id/empty-values rows dropped (ref ingest/pipeline.go:256-304).
+    // The fixture is written by the query itself; the oracle is the
+    // surviving rows as literals.
+    "q92_jsonl_vectors" -> { (s, dir) =>
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixtures", "vectors.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val lines = Seq(
+        """{"id":"v1","values":[1.0,2.0,3.0],"metadata":{"src":"a"}}""",
+        """{"id":"v2","values":[0.5,0.25],"metadata":{"src":"b"}}""",
+        "this line is not json",
+        """{"id":null,"values":[1.0]}""",
+        """{"id":"v3","values":[]}""",
+        """{"id":"v4","values":[4.0],"metadata":null}""")
+      java.nio.file.Files.write(p,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.Sources.readVectorJsonl(s, p.toString)
+        .select(col("id"), size(col("values")).as("n_values"),
+          concat_ws(",", transform(col("values"), v => v.cast("string"))).as("values_s"),
+          coalesce(element_at(col("metadata"), "src"), lit("")).as("src"))
+    },
+
+    // S2 JSONL chunk scan: same contract over the chunk-record schema
+    // (id/text/embedding/score/metadata), only null ids dropped.
+    "q93_jsonl_chunks" -> { (s, dir) =>
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixtures", "chunks.jsonl")
+      java.nio.file.Files.createDirectories(p.getParent)
+      val lines = Seq(
+        """{"id":"c1","text":"hello world","embedding":[0.5],"score":0.25,"metadata":{"k":"v"}}""",
+        """{"id":"c2"}""",
+        "garbage{",
+        """{"id":null,"text":"x"}""",
+        """{"id":"c3","embedding":null,"text":"t3","score":1.5}""")
+      java.nio.file.Files.write(p,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.sources.Sources.readChunkJsonl(s, p.toString)
+        .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+          coalesce(size(col("embedding")), lit(-1)).as("n_emb"),
+          coalesce(col("score").cast("double"), lit(-1.0)).as("score"))
+    },
+
+    // S3 batched retrying sink: rows stream through writeBatched (batch
+    // size 100) into per-batch files, with an injected transient failure on
+    // every batch's FIRST attempt — the retry path must replay the batch
+    // (idempotent writer contract, ref pinecone/client.go:104-155). The
+    // read-back proves batching and retry; batch composition is
+    // deterministic (sorted single partition).
+    "q94_batched_sink" -> { (s, dir) =>
+      val baseDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_sink_" + new java.io.File(dir).getName)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete(); ()
+      }
+      if (baseDir.exists()) rm(baseDir)
+      new java.io.File(baseDir, "out").mkdirs()
+      new java.io.File(baseDir, "markers").mkdirs()
+      val base = baseDir.getAbsolutePath
+      val rows = Tables.documents(s, dir).select(col("doc_id"))
+        .orderBy(col("doc_id")).coalesce(1)
+      graft.sources.Sources.writeBatched(rows, batchSize = 100, initialBackoffMs = 1) { batch =>
+        val minId = batch.iterator.map(_.getLong(0)).min
+        val marker = java.nio.file.Paths.get(base, "markers", s"attempt_$minId")
+        if (!java.nio.file.Files.exists(marker)) {
+          java.nio.file.Files.createFile(marker)
+          throw new RuntimeException(s"injected transient failure for batch $minId")
+        }
+        val content = batch.map(r => s"${r.getLong(0)},$minId").mkString("", "\n", "\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(base, "out", s"batch_$minId.csv"),
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      s.read.schema("doc_id LONG, batch_min LONG").csv(s"$base/out")
+    },
+
+    // C2 K-Means dedup with PLANTED separable clusters: 8 exact one-hot
+    // locations, k = 8 — every cluster converges to one point, so the
+    // medoid (min id per residue class) is the only kept row and the keep
+    // set is closed-form: vec_id < 8.
+    "q95_kmeans_planted" -> { (s, dir) =>
+      val oneHot = Tables.embeddings(s, dir).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          d => when(d.cast("long") === col("vec_id") % 8, lit(1f)).otherwise(lit(0f)))
+          .as("embedding"))
+      graft.operators.ClusterOps.kmeansDedup(oneHot, "vec_id", "embedding", k0 = 8)
+        .select(col("vec_id"), col("kept"))
     }
   )
 
@@ -2287,7 +2552,195 @@ object SparkEntry {
         |SELECT commit_type,
         |  CASE WHEN risk_score >= 3 THEN 'high' WHEN risk_score >= 1 THEN 'medium' ELSE 'low' END AS risk,
         |  count(*) AS n, CAST(sum(CAST(insertions AS BIGINT)) AS BIGINT) AS sum_insertions
-        |FROM risked GROUP BY 1, 2""".stripMargin
+        |FROM risked GROUP BY 1, 2""".stripMargin,
+    // q79: full replay of the push-dedup candidate join (store rows + lower-
+    // seq batch rows in the same session) with the same cosine band math.
+    "q79_push_dedup" ->
+      """WITH ex AS (
+        |  SELECT CAST(vec_id % 10 AS VARCHAR) AS sid, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |b AS (
+        |  SELECT CAST(vec_id % 10 AS VARCHAR) AS sid, CAST(vec_id + 1000000 AS BIGINT) AS seq,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 40
+        |  UNION ALL
+        |  SELECT CAST(vec_id % 10 AS VARCHAR), CAST(vec_id + 2000000 AS BIGINT),
+        |    list_transform(generate_series(1, 64), i -> CASE WHEN i <= 32 THEN CAST(embedding[i] AS DOUBLE) ELSE 0.0 END)
+        |  FROM embeddings WHERE vec_id >= 40 AND vec_id < 80),
+        |hits AS (
+        |  SELECT n.sid, n.seq FROM b n JOIN ex x
+        |    ON n.sid = x.sid AND 1.0 - list_cosine_similarity(n.emb, x.emb) < 0.15
+        |  UNION
+        |  SELECT n.sid, n.seq FROM b n JOIN b p
+        |    ON n.sid = p.sid AND p.seq < n.seq AND 1.0 - list_cosine_similarity(n.emb, p.emb) < 0.15)
+        |SELECT n.sid AS session_id, n.seq, (h.seq IS NOT NULL) AS is_duplicate
+        |FROM b n LEFT JOIN hits h ON h.sid = n.sid AND h.seq = n.seq""".stripMargin,
+    "q80_find_similar" ->
+      s"""SELECT vec_id, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rnk FROM (
+        |    SELECT vec_id,
+        |      list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST($q46QueryVecSql AS DOUBLE[])) AS sim
+        |    FROM embeddings) s
+        |  WHERE sim >= 0.2) t
+        |WHERE rnk <= 10""".stripMargin,
+    "q81_recall_min_relevance" ->
+      """WITH mem AS (
+        |  SELECT doc_id AS id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + CAST(doc_id % 100 AS INT) * INTERVAL 1 HOUR AS last_referenced,
+        |    (doc_id % 13 = 0) AS expired
+        |  FROM documents),
+        |scored AS (
+        |  SELECT id, least(CASE WHEN age > 0 THEN 1.0 / (1.0 + age / 24.0) ELSE 1.0 END, 1.0) AS relevance
+        |  FROM (SELECT *, CAST(epoch(TIMESTAMP '2024-01-03 00:00:00') - epoch(last_referenced) AS DOUBLE) / 3600.0 AS age
+        |        FROM mem WHERE NOT expired) a)
+        |SELECT id, relevance, CAST(rank AS INT) AS rank FROM (
+        |  SELECT id, relevance, row_number() OVER (ORDER BY relevance DESC, id ASC) AS rank
+        |  FROM scored WHERE relevance >= 0.5) t
+        |WHERE rank <= 25""".stripMargin,
+    "q82_rep_length" ->
+      """SELECT request_group, doc_id FROM (
+        |  SELECT CAST(e.label AS BIGINT) AS request_group, d.doc_id,
+        |    row_number() OVER (PARTITION BY e.label ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id) t
+        |WHERE rn = 1""".stripMargin,
+    // q83: centroid = float-rounded per-dim mean (mirrors VectorMeanAgg's
+    // float32 output), then cosine distance + per-group min-max windows.
+    "q83_rep_hybrid" ->
+      s"""WITH ch AS (
+        |  SELECT CAST(e.label AS BIGINT) AS g, d.doc_id AS id, CAST(e.embedding AS DOUBLE[]) AS emb,
+        |    ${qualityOracleExpr("d.text")} AS score, CAST(length(d.text) AS DOUBLE) AS tlen
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |cent AS (
+        |  SELECT g, i, CAST(CAST(avg(emb[i]) AS FLOAT) AS DOUBLE) AS c
+        |  FROM ch, unnest(generate_series(1, 64)) AS t(i) GROUP BY g, i),
+        |cd AS (
+        |  SELECT ch.g, ch.id,
+        |    1.0 - (sum(ch.emb[ce.i] * ce.c) /
+        |      (sqrt(sum(ch.emb[ce.i] * ch.emb[ce.i])) * sqrt(sum(ce.c * ce.c)))) AS cdist
+        |  FROM ch JOIN cent ce ON ce.g = ch.g GROUP BY ch.g, ch.id),
+        |j AS (SELECT ch.g, ch.id, ch.score, ch.tlen, cd.cdist
+        |      FROM ch JOIN cd ON cd.g = ch.g AND cd.id = ch.id),
+        |n AS (
+        |  SELECT *,
+        |    CASE WHEN mxs - mns > 0 THEN (score - mns) / (mxs - mns) ELSE 1.0 END AS ns,
+        |    CASE WHEN mxd - mnd > 0 THEN 1.0 - (cdist - mnd) / (mxd - mnd) ELSE 1.0 END AS nd,
+        |    CASE WHEN mxl - mnl > 0 THEN (tlen - mnl) / (mxl - mnl) ELSE 1.0 END AS nl
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mns, max(score) OVER (PARTITION BY g) AS mxs,
+        |               min(cdist) OVER (PARTITION BY g) AS mnd, max(cdist) OVER (PARTITION BY g) AS mxd,
+        |               min(tlen) OVER (PARTITION BY g) AS mnl, max(tlen) OVER (PARTITION BY g) AS mxl
+        |        FROM j) w)
+        |SELECT request_group, doc_id FROM (
+        |  SELECT g AS request_group, id AS doc_id,
+        |    row_number() OVER (PARTITION BY g ORDER BY ns * 0.4 + nd * 0.4 + nl * 0.2 DESC, id ASC) AS rn
+        |  FROM n) t WHERE rn = 1""".stripMargin,
+    "q84_pipeline_stats" ->
+      s"""WITH i AS (
+        |  SELECT count(*) AS input_count,
+        |    CAST(sum(CASE WHEN strlen(text) = 0 THEN 0 ELSE (strlen(text) + 3) // 4 END) AS BIGINT) AS input_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT count(*) AS output_count,
+        |    CAST(sum(CASE WHEN strlen(p) = 0 THEN 0 ELSE (strlen(p) + 3) // 4 END) AS BIGINT) AS output_tokens
+        |  FROM (SELECT ${pruneOracleExpr("text")} AS p FROM documents) q)
+        |SELECT input_count, input_tokens, output_count, output_tokens,
+        |  CASE WHEN input_tokens > 0
+        |    THEN CAST(input_tokens - output_tokens AS DOUBLE) / input_tokens * 100
+        |    ELSE 0.0 END AS reduction_percent
+        |FROM i, o""".stripMargin,
+    "q85_memory_stats" ->
+      """SELECT CAST(doc_id % 3 AS INT) AS decay_level, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS oldest,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS newest
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q86_graph_hubs" ->
+      """WITH edges AS (
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS src, 'n' || CAST(s_nationkey AS VARCHAR) AS dst FROM supplier
+        |  UNION ALL
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |od AS (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY 1),
+        |idg AS (SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY 1),
+        |f AS (
+        |  SELECT COALESCE(od.id, idg.id) AS id, COALESCE(out_degree, 0) AS out_degree,
+        |    COALESCE(in_degree, 0) AS in_degree
+        |  FROM od FULL OUTER JOIN idg ON od.id = idg.id)
+        |SELECT id, out_degree, in_degree FROM f
+        |ORDER BY in_degree DESC, id LIMIT 2000""".stripMargin,
+    "q87_ttl_events" ->
+      """WITH a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS prefix_hash, event_id * 1000 AS ts_millis,
+        |    lag(event_id * 1000) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT prefix_hash, ts_millis,
+        |    (prev_ts IS NOT NULL AND ts_millis < prev_ts + 300000) AS was_alive
+        |  FROM a)
+        |SELECT prefix_hash, ts_millis, was_alive,
+        |  CAST(sum(CASE WHEN was_alive THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY prefix_hash ORDER BY ts_millis) AS INT) AS hit_count,
+        |  CAST(sum(CASE WHEN was_alive THEN 0 ELSE 1 END) OVER (
+        |    PARTITION BY prefix_hash ORDER BY ts_millis) AS INT) AS miss_count,
+        |  ts_millis + 300000 AS next_deadline
+        |FROM b""".stripMargin,
+    "q88_record_push" ->
+      """WITH e AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(doc_id % 50 AS INT) AS iap,
+        |    CASE WHEN doc_id % 3 = 0 THEN 0 ELSE CAST(doc_id % 5 AS INT) END AS stable0
+        |  FROM documents)
+        |SELECT id, iap AS inserted_at_push,
+        |  CAST(CASE WHEN stable0 = 0 AND iap <= 28 THEN iap ELSE stable0 END AS INT) AS stable_since_turn
+        |FROM e""".stripMargin,
+    // q89: the walk is deterministic → expected literals per fixture branch.
+    "q89_placeholders" ->
+      """SELECT CAST(v.f AS BIGINT) AS fid, v.c AS compressed FROM (VALUES
+        |  (1, '{"name":"Alice"}'),
+        |  (2, '"{...2 keys}"'),
+        |  (3, '[1,2,3,"...+2 more"]'),
+        |  (4, '[XML with elements: a, b(×2)]'),
+        |  (5, '[Table with 2 rows, columns: name, score, rank]'),
+        |  (6, 'just plain text'),
+        |  (7, '{not valid json'),
+        |  (8, '{"name":{"id":"[...]"}}')) v(f, c)""".stripMargin,
+    "q90_dynamic_patterns" ->
+      """SELECT doc_id, COALESCE(array_to_string(list_filter(
+        |  ['request_id','requestid','request-id','request id','timestamp','datetime',
+        |   'time.now','date.now','uuid','random','rand.','user_id','userid','user-id',
+        |   'session_id','sessionid','nonce','token:'],
+        |  p -> contains(lower(text), p)), ','), '') AS hits
+        |FROM documents""".stripMargin,
+    "q91_stability_issues" ->
+      """WITH c AS (
+        |  SELECT source AS call_site, 'h' || CAST(doc_id % 3 AS VARCHAR) AS ph, doc_id AS ts_millis,
+        |    lag('h' || CAST(doc_id % 3 AS VARCHAR)) OVER (PARTITION BY source ORDER BY doc_id) AS prev,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS total
+        |  FROM documents),
+        |d AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> ph THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY call_site ORDER BY ts_millis) AS INT) AS changes
+        |  FROM c)
+        |SELECT call_site, ts_millis,
+        |  CAST(floor((1.0 - CAST(changes AS DOUBLE) / total) * 1e6) AS BIGINT) AS rate_micro,
+        |  CAST(total AS INT) AS total_checks, changes,
+        |  COALESCE(prev, '') AS previous_hash, ph AS current_hash
+        |FROM d
+        |WHERE total >= 3 AND 1.0 - CAST(changes AS DOUBLE) / total < 0.8""".stripMargin,
+    "q92_jsonl_vectors" ->
+      """SELECT v.id, CAST(v.n AS INT) AS n_values, v.vs AS values_s, v.src FROM (VALUES
+        |  ('v1', 3, '1.0,2.0,3.0', 'a'),
+        |  ('v2', 2, '0.5,0.25', 'b'),
+        |  ('v4', 1, '4.0', '')) v(id, n, vs, src)""".stripMargin,
+    "q93_jsonl_chunks" ->
+      """SELECT v.id, v.t AS text, CAST(v.n AS INT) AS n_emb, CAST(v.s AS DOUBLE) AS score
+        |FROM (VALUES
+        |  ('c1', 'hello world', 1, 0.25),
+        |  ('c2', '', -1, -1.0),
+        |  ('c3', 't3', -1, 1.5)) v(id, t, n, s)""".stripMargin,
+    "q94_batched_sink" ->
+      """WITH s AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY rn // 100) AS batch_min FROM s""".stripMargin,
+    "q95_kmeans_planted" ->
+      "SELECT CAST(vec_id AS BIGINT) AS vec_id, vec_id < 8 AS kept FROM embeddings"
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

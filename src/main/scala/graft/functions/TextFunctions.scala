@@ -231,4 +231,14 @@ object TextFunctions {
     val punctScore = least(nPunct.cast("double") * 20.0 / greatest(nWords.cast("double"), lit(1.0)), lit(1.0))
     wordScore * 0.5 + stopScore * 0.3 + punctScore * 0.2
   }
+
+  // --- F5/F6/F7 placeholder compression: structured payloads (JSON / XML /
+  //     delimited tables) collapse to compact summaries. The walk is a
+  //     sequential recursive descent (TextAlgs.placeholderCompress), so a UDF
+  //     — map-only and off every hot join path.
+
+  private val placeholderUdf =
+    udf((t: String) => if (t == null) null else graft.text.TextAlgs.placeholderCompress(t))
+
+  def placeholder_compress(text: Column): Column = placeholderUdf(text)
 }
