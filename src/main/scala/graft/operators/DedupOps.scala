@@ -613,16 +613,24 @@ object DedupOps {
                               maxHashFreq: Long = 0L): DataFrame = {
     val d = winnowFingerprints(df, textCol, idCol, k, w)
       .select(col("doc_id"), col("fp_hash")).distinct()
-      .persistTracked
-    val posting =
-      if (maxHashFreq > 0) {
-        val keep = d.groupBy("fp_hash").agg(count(lit(1)).as("hdf"))
-          .filter(col("hdf") <= maxHashFreq).select("fp_hash")
-        d.join(keep, "fp_hash")
-      } else d
-    posting.as("a").join(posting.as("b"),
-        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    // Invert with ONE aggregation keyed on the hash: each posting list
+    // arrives sorted and frequency-capped in the same pass (the old
+    // count+join-back plus posting⋈posting self-join cost three exchanges
+    // of the posting table and an SMJ sort; this is one exchange), then
+    // pairs generate in-memory per list — bounded at maxHashFreq²/2 per
+    // hash. With no cap a boilerplate hash makes the list (and its pair
+    // blowup) corpus-sized, exactly as the self-join form did — always set
+    // the cap on real corpora.
+    val lists = d.groupBy(col("fp_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 &&
+        (if (maxHashFreq > 0) size(col("docs")) <= maxHashFreq else lit(true)))
+    lists.select(explode(
+        flatten(transform(col("docs"), (a, i) =>
+          transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+            b => struct(a.as("ida"), b.as("idb"))))))
+        .as("pair"))
+      .groupBy(col("pair.ida").as("ida"), col("pair.idb").as("idb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

@@ -276,9 +276,13 @@ object MemoryOps {
     // batch row that actually gets inserted. Edges point to strictly
     // smaller batch ids, so the graph is a forest; pointer-jumping through
     // the resolved set doubles path length per round (log₂ depth rounds).
+    // Each round localCheckpoints (eager): lineage stays one join deep
+    // instead of re-planning the whole accumulated join tree per hop, and
+    // the checkpoint doubles as the round's materializing action.
     val edges0 = rawReport.filter(col("action") === "deduplicated")
       .select(col("id").as("src"), col("dup_of").as("dst"),
         col("dup_from_store").as("dst_store"))
+      .localCheckpoint()
     val dupBatchTargets = edges0.filter(!col("dst_store"))
       .select(col("dst").as("d")).distinct()
       .join(edges0.select(col("src").as("d")).distinct(), Seq("d"), "left_semi")
@@ -293,6 +297,7 @@ object MemoryOps {
         .select(col("r.src").as("src"),
           coalesce(col("j_dst"), col("r.dst")).as("dst"),
           coalesce(col("j_store"), col("r.dst_store")).as("dst_store"))
+        .localCheckpoint()
       resolved = next
       unresolved = next.filter(!col("dst_store"))
         .join(edges0.select(col("src").as("d")), col("dst") === col("d"), "left_semi")

@@ -22,25 +22,39 @@ object StreamingOps {
     * touches within `ttlMillis` of the previous one are hits; later ones are
     * cold-start misses. `nextDeadline` = ts + ttl (the latest safe send time
     * before the cache dies; subtract a safety margin for scheduling).
+    *
+    * State is BOUNDED: prefixHash cardinality grows without limit on a real
+    * stream, so each key arms a processing-time timeout of `ttlMillis` and is
+    * evicted once the TTL passes with no touches — the reference's cleanup
+    * loop (pkg/cache/ttl.go:104-125). An evicted prefix's next touch restarts
+    * as a cold miss with fresh counters, exactly what a dead cache entry
+    * means. (Batch runs never fire timeouts — q87's batch replay is
+    * unaffected.)
     */
   def ttlTracker(touches: Dataset[PrefixTouch], ttlMillis: Long = 5 * 60 * 1000L)
   : Dataset[TtlEvent] = {
     import touches.sparkSession.implicits._
     touches.groupByKey(_.prefixHash)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (hash: String, rows: Iterator[PrefixTouch], state: GroupState[TtlState]) => {
-          var st = state.getOption.getOrElse(TtlState(0L, 0L, 0, 0))
-          val out = rows.toSeq.sortBy(_.tsMillis).map { t =>
-            val known = st.expiresAt > 0
-            val alive = known && t.tsMillis < st.expiresAt
-            st =
-              if (!known) TtlState(t.tsMillis, t.tsMillis + ttlMillis, 0, 1)
-              else if (alive) st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, hits = st.hits + 1)
-              else st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, misses = st.misses + 1)
-            TtlEvent(hash, t.tsMillis, alive, st.hits, st.misses, t.tsMillis + ttlMillis)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(TtlState(0L, 0L, 0, 0))
+            val out = rows.toSeq.sortBy(_.tsMillis).map { t =>
+              val known = st.expiresAt > 0
+              val alive = known && t.tsMillis < st.expiresAt
+              st =
+                if (!known) TtlState(t.tsMillis, t.tsMillis + ttlMillis, 0, 1)
+                else if (alive) st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, hits = st.hits + 1)
+                else st.copy(lastSeen = t.tsMillis, expiresAt = t.tsMillis + ttlMillis, misses = st.misses + 1)
+              TtlEvent(hash, t.tsMillis, alive, st.hits, st.misses, t.tsMillis + ttlMillis)
+            }
+            state.update(st)
+            state.setTimeoutDuration(ttlMillis)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 
@@ -54,29 +68,38 @@ object StreamingOps {
 
   /** Per-call-site prefix-hash history: after `warmupChecks` observations,
     * emit an issue whenever the stability rate (1 − changes/checks) drops
-    * below `unstableThreshold`.
+    * below `unstableThreshold`. Call sites that go quiet for
+    * `idleTimeoutMillis` are evicted (processing-time timeout) so dead call
+    * sites never accumulate state; a site seen again starts a fresh history.
     */
   def stabilityValidator(checks: Dataset[StabilityCheck],
                          warmupChecks: Int = 3,
-                         unstableThreshold: Double = 0.8): Dataset[StabilityIssue] = {
+                         unstableThreshold: Double = 0.8,
+                         idleTimeoutMillis: Long = 24 * 3600 * 1000L): Dataset[StabilityIssue] = {
     import checks.sparkSession.implicits._
     checks.groupByKey(_.callSite)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (site: String, rows: Iterator[StabilityCheck], state: GroupState[StabilityState]) => {
-          var st = state.getOption.getOrElse(StabilityState("", 0, 0))
-          val out = rows.toSeq.sortBy(_.tsMillis).flatMap { c =>
-            val changed = st.lastHash.nonEmpty && st.lastHash != c.prefixHash
-            val prev = st.lastHash
-            st = StabilityState(c.prefixHash, st.totalChecks + 1,
-              st.changes + (if (changed) 1 else 0))
-            val rate = 1.0 - st.changes.toDouble / st.totalChecks
-            if (st.totalChecks >= warmupChecks && rate < unstableThreshold)
-              Some(StabilityIssue(site, c.tsMillis, rate, st.totalChecks, st.changes,
-                prev, c.prefixHash))
-            else None
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(StabilityState("", 0, 0))
+            val out = rows.toSeq.sortBy(_.tsMillis).flatMap { c =>
+              val changed = st.lastHash.nonEmpty && st.lastHash != c.prefixHash
+              val prev = st.lastHash
+              st = StabilityState(c.prefixHash, st.totalChecks + 1,
+                st.changes + (if (changed) 1 else 0))
+              val rate = 1.0 - st.changes.toDouble / st.totalChecks
+              if (st.totalChecks >= warmupChecks && rate < unstableThreshold)
+                Some(StabilityIssue(site, c.tsMillis, rate, st.totalChecks, st.changes,
+                  prev, c.prefixHash))
+              else None
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeoutMillis)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 
@@ -107,21 +130,31 @@ object StreamingOps {
 
   /** Push stream → boundary advance/retreat events with a per-session push
     * counter (cache_boundary.go:228-269 + the stored-boundary comparison).
+    * Sessions idle past `idleTimeoutMillis` are evicted — session cardinality
+    * is unbounded on a real stream, and an expired session's prompt cache is
+    * cold anyway, so its boundary restarts from zero like a new session.
     */
-  def boundaryManager(pushes: Dataset[BoundaryPush]): Dataset[BoundaryUpdate] = {
+  def boundaryManager(pushes: Dataset[BoundaryPush],
+                      idleTimeoutMillis: Long = 24 * 3600 * 1000L): Dataset[BoundaryUpdate] = {
     import pushes.sparkSession.implicits._
     pushes.groupByKey(_.sessionId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (sid: String, rows: Iterator[BoundaryPush], state: GroupState[BoundaryState]) => {
-          var st = state.getOption.getOrElse(BoundaryState(0, 0L))
-          val out = rows.toSeq.sortBy(_.tsMillis).map { p =>
-            val advanced = p.totalStableTokens > st.boundaryTokens
-            val retreated = p.totalStableTokens < st.boundaryTokens && st.boundaryTokens > 0
-            st = BoundaryState(st.pushCount + 1, p.totalStableTokens)
-            BoundaryUpdate(sid, p.tsMillis, st.pushCount, p.totalStableTokens, advanced, retreated)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BoundaryState(0, 0L))
+            val out = rows.toSeq.sortBy(_.tsMillis).map { p =>
+              val advanced = p.totalStableTokens > st.boundaryTokens
+              val retreated = p.totalStableTokens < st.boundaryTokens && st.boundaryTokens > 0
+              st = BoundaryState(st.pushCount + 1, p.totalStableTokens)
+              BoundaryUpdate(sid, p.tsMillis, st.pushCount, p.totalStableTokens, advanced, retreated)
+            }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeoutMillis)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 
@@ -149,7 +182,8 @@ object StreamingOps {
   def sessionPushPipeline(pushes: Dataset[SessionPush],
                           dedupThreshold: Double = 0.15,
                           recentWindow: Int = 32,
-                          maxTokens: Long = Long.MaxValue): Dataset[PushDecision] = {
+                          maxTokens: Long = Long.MaxValue,
+                          idleTimeoutMillis: Long = 24 * 3600 * 1000L): Dataset[PushDecision] = {
     import pushes.sparkSession.implicits._
     def cosineDist(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -160,30 +194,40 @@ object StreamingOps {
       if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
     }
     pushes.groupByKey(_.sessionId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      // ProcessingTimeTimeout bounds state over unbounded session ids:
+      // an idle session's embeddings/token totals evict after the horizon
+      // (its entries would be budget-evicted server-side too); per-session
+      // state is already conversation-sized (recentWindow cap).
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (sid: String, rows: Iterator[SessionPush], state: GroupState[SessionPushState]) => {
-          var st = state.getOption.getOrElse(SessionPushState(Nil, 0L, 0))
-          val out = rows.toSeq.sortBy(_.seq).map { p =>
-            val isDup = p.embedding != null && p.embedding.nonEmpty &&
-              st.recentEmbeddings.exists(e => cosineDist(e, p.embedding) < dedupThreshold)
-            if (isDup) {
-              st = st.copy(pushCount = st.pushCount + 1)
-              PushDecision(sid, p.id, p.seq, accepted = false, "duplicate",
-                st.totalTokens, st.pushCount)
-            } else {
-              val total = st.totalTokens + p.tokens
-              // embedding-less pushes are accepted but never enter the dedup
-              // state (a stored null would NPE the next distance check)
-              val newRecent =
-                if (p.embedding == null || p.embedding.isEmpty) st.recentEmbeddings
-                else (p.embedding :: st.recentEmbeddings).take(recentWindow)
-              st = SessionPushState(newRecent, total, st.pushCount + 1)
-              val reason = if (total > maxTokens) "over_budget" else "ok"
-              PushDecision(sid, p.id, p.seq, accepted = true, reason, total, st.pushCount)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionPushState(Nil, 0L, 0))
+            val out = rows.toSeq.sortBy(_.seq).map { p =>
+              val isDup = p.embedding != null && p.embedding.nonEmpty &&
+                st.recentEmbeddings.exists(e => cosineDist(e, p.embedding) < dedupThreshold)
+              if (isDup) {
+                st = st.copy(pushCount = st.pushCount + 1)
+                PushDecision(sid, p.id, p.seq, accepted = false, "duplicate",
+                  st.totalTokens, st.pushCount)
+              } else {
+                val total = st.totalTokens + p.tokens
+                // embedding-less pushes are accepted but never enter the dedup
+                // state (a stored null would NPE the next distance check)
+                val newRecent =
+                  if (p.embedding == null || p.embedding.isEmpty) st.recentEmbeddings
+                  else (p.embedding :: st.recentEmbeddings).take(recentWindow)
+                st = SessionPushState(newRecent, total, st.pushCount + 1)
+                val reason = if (total > maxTokens) "over_budget" else "ok"
+                PushDecision(sid, p.id, p.seq, accepted = true, reason, total, st.pushCount)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(idleTimeoutMillis)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 

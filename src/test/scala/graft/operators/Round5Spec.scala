@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkTest
+import graft.util.OpCaches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 additions: deep dup-chain resolution, scoped cache release,
+  * trainingMix input protection.
+  */
+class Round5Spec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  /** Unit vector at angle `theta` in the (0,1) plane: adjacent 0.2-rad steps
+    * sit at cosine distance ≈ 0.0199 (inside the 0.15 dedup band), so each
+    * batch row's closest candidate is its angular neighbor.
+    */
+  private def circleVec(theta: Double, dims: Int = 8): Seq[Float] = {
+    val a = Array.fill(dims)(0f)
+    a(0) = math.cos(theta).toFloat
+    a(1) = math.sin(theta).toFloat
+    a.toSeq
+  }
+
+  test("mergeWrite resolves deep dup chains to the store root (b5→b4→…→b1→store)") {
+    val now = lit("2024-06-01 00:00:00").cast("timestamp")
+    val st = Seq((0L, circleVec(0.0), false, 0L, "base"))
+      .toDF("id", "embedding", "expired", "access_count", "text")
+      .withColumn("last_referenced", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("decay_level", lit(0))
+    // b_k at θ = 0.2k: closest candidate is always b_{k-1} (θ gap 0.2), and
+    // b1's only lower candidate is the store row — a 5-deep chain whose
+    // every link is a within-band dup.
+    val batch = (1 to 5).map(k => (100L + k, circleVec(0.2 * k), s"chain $k"))
+      .toDF("id", "embedding", "text")
+    val (newStore, report) = MemoryOps.mergeWrite(st, batch, now)
+    val rep = report.select(col("id"), col("action"), col("dup_of"),
+      col("dup_from_store")).collect()
+    assert(rep.length == 5)
+    rep.foreach { r =>
+      assert(r.getString(1) == "deduplicated", r.toString)
+      assert(r.getLong(2) == 0L, s"chain must root at the store row, got: $r")
+      assert(r.getBoolean(3), r.toString)
+    }
+    // no batch row survives to insert; the store root absorbs all 5 touches
+    val storeRows = newStore.collect()
+    assert(storeRows.length == 1)
+    assert(storeRows.head.getAs[Long]("access_count") == 5L)
+  }
+
+  test("OpCaches.scoped: inner frames released on exit, outer frames untouched") {
+    OpCaches.release()
+    val outer = OpCaches.trackPersist(spark.range(5).toDF())
+    outer.count()
+    var inner: org.apache.spark.sql.DataFrame = null
+    OpCaches.scoped {
+      inner = OpCaches.trackPersist(spark.range(7).toDF())
+      inner.count()
+      assert(inner.storageLevel.useMemory, "inner frame must be cached inside the scope")
+      assert(OpCaches.trackedCount == 1, "scope-tracked frames must not land in the global registry")
+    }
+    assert(inner.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "scope exit must release the scope's frames")
+    assert(outer.storageLevel.useMemory, "outer frame must survive the scope")
+    OpCaches.release()
+    assert(OpCaches.trackedCount == 0)
+  }
+
+  test("trainingMix refuses input columns it would silently clobber") {
+    val df = Seq(("a", 10L, 1L)).toDF("source", "tokens", "ticket")
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.trainingMix(df, col("tokens"), "source", "tokens", Map("a" -> 100L))
+    }
+    assert(e.getMessage.contains("ticket"))
+  }
+}

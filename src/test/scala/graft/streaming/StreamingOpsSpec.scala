@@ -8,6 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingOpsSpec extends AnyFunSuite with SparkTest {
   import StreamingOps._
 
+  /** With ProcessingTimeTimeout the engine legitimately keeps running
+    * no-data batches to evaluate timeouts, so `processAllAvailable` can
+    * block past the point where all INPUT rows are committed — poll the
+    * memory sink for the expected row count instead.
+    */
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(table).count() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(spark.table(table).count() >= n,
+      s"sink $table did not reach $n rows within ${timeoutMs}ms")
+  }
+
   test("ttlTracker: first touch cold, fast re-touch warm, late re-touch cold") {
     import spark.implicits._
     val m = 60 * 1000L
@@ -32,12 +45,58 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     val q = ttlTracker(stream.toDS()).writeStream
       .format("memory").queryName("ttl_out").outputMode("append").start()
     stream.addData(PrefixTouch("p1", 0L))
-    q.processAllAvailable()
+    awaitRows("ttl_out", 1)
     stream.addData(PrefixTouch("p1", 2 * m)) // different micro-batch; state must persist
-    q.processAllAvailable()
+    awaitRows("ttl_out", 2)
     val rows = spark.table("ttl_out").as[TtlEvent].collect().sortBy(_.tsMillis)
     q.stop()
     assert(rows.map(_.wasAlive).toSeq == Seq(false, true))
+  }
+
+  test("stateful operators bound their state: processing-time timeout configured everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def timeoutOf(ds: org.apache.spark.sql.Dataset[_]) =
+      ds.queryExecution.logical.collect { case f: FlatMapGroupsWithState => f.timeout }
+    val touches = Seq(PrefixTouch("p1", 0L)).toDS()
+    val checks = Seq(StabilityCheck("s", "h", 0L)).toDS()
+    val pushes = Seq(BoundaryPush("s1", 0L, 10L)).toDS()
+    val spushes = Seq(SessionPush("s1", "a", 1, 5, Array(1f))).toDS()
+    val all = Seq(
+      timeoutOf(ttlTracker(touches)),
+      timeoutOf(stabilityValidator(checks)),
+      timeoutOf(boundaryManager(pushes)),
+      timeoutOf(sessionPushPipeline(spushes)))
+    all.foreach { ts =>
+      assert(ts.nonEmpty && ts.forall(_ == GroupStateTimeout.ProcessingTimeTimeout),
+        s"expected ProcessingTimeTimeout, got $ts — unbounded keyed state at scale")
+    }
+  }
+
+  test("ttlTracker evicts idle prefixes on timeout: re-touch restarts cold with fresh counters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60 * 1000L
+    val stream = MemoryStream[PrefixTouch]
+    // 50 ms TTL so the processing-time timeout fires between micro-batches
+    val q = ttlTracker(stream.toDS(), ttlMillis = 50L).writeStream
+      .format("memory").queryName("ttl_evict_out").outputMode("append").start()
+    stream.addData(PrefixTouch("p1", 0L), PrefixTouch("p1", 10L))
+    awaitRows("ttl_evict_out", 2)
+    Thread.sleep(300) // let the 50 ms timeout horizon pass (no-data batches fire it)
+    stream.addData(PrefixTouch("p2", 0L))
+    awaitRows("ttl_evict_out", 3)
+    stream.addData(PrefixTouch("p1", 20L))
+    awaitRows("ttl_evict_out", 4)
+    val rows = spark.table("ttl_evict_out").as[TtlEvent].collect()
+      .filter(_.prefixHash == "p1").sortBy(_.tsMillis)
+    q.stop()
+    // before eviction: miss, hit (counters 1/1); after eviction the state is
+    // gone, so the re-touch is a cold miss with RESET counters (1 miss, 0
+    // hits) — not miss=2/hit=1 as un-evicted state would produce
+    assert(rows.map(_.wasAlive).toSeq == Seq(false, true, false))
+    assert(rows.last.missCount == 1 && rows.last.hitCount == 0)
   }
 
   test("stabilityValidator: stable prefixes silent, flapping prefixes flagged after warmup") {
@@ -137,12 +196,12 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
       SessionPush("s1", "e1", 1, 40, v(0)),
       SessionPush("s1", "e2", 2, 40, v(1)),
       SessionPush("s1", "e3", 3, 10, v(0))) // dup of e1 within the batch
-    q.processAllAvailable()
+    awaitRows("push_out", 3)
     stream.addData(
       SessionPush("s1", "e4", 4, 40, v(1)), // dup of e2 ACROSS micro-batches
       SessionPush("s1", "e5", 5, 40, v(2)), // pushes total to 120 -> over budget
       SessionPush("s2", "e1", 1, 10, v(0))) // other session unaffected
-    q.processAllAvailable()
+    awaitRows("push_out", 6)
     val rows = spark.table("push_out").as[PushDecision].collect()
       .sortBy(d => (d.sessionId, d.seq))
     q.stop()
