@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Minimal transactional table layer: versioned parquet directories behind an
+  * atomically swapped pointer file — the "small copy-on-write table layer"
+  * SURVEY §7.4 risk 3 calls for where Delta/Iceberg isn't available. The
+  * reference's stores are durable and mutable (pkg/memory/sqlite.go:28-114
+  * WAL); here mutation is rewrite-on-MERGE: transforms produce a new table
+  * state, `commit` lands it as `v_<n+1>/`, and readers always resolve through
+  * `_CURRENT`, so they see either the old version or the new one, never a
+  * half-written directory.
+  *
+  * Layout: `<root>/v_<n>/` (parquet), `<root>/_CURRENT` (contains `v_<n>`).
+  * The pointer swap is a same-directory ATOMIC_MOVE — atomic on POSIX
+  * filesystems and on HDFS-style object stores with a rename primitive.
+  *
+  * Concurrency model: single writer, many readers (the reference's SQLite
+  * WAL posture). `commit` takes an optional `expectedVersion` for optimistic
+  * concurrency: a stale writer fails instead of clobbering. Old versions
+  * stay readable until `vacuum`.
+  *
+  * Scale: versions are plain parquet directories — partition/bucket the
+  * DataFrame before committing and the layout carries through; the swap
+  * itself is O(1) metadata regardless of table size.
+  */
+object TableStore {
+
+  private def currentPtr(root: String): Path = Paths.get(root, "_CURRENT")
+
+  /** The committed version number, if the table exists. */
+  def currentVersion(root: String): Option[Long] = {
+    val p = currentPtr(root)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      .stripPrefix("v_").toLong)
+  }
+
+  /** Read the current table state (parquet under the committed version). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    spark.read.parquet(s"$root/v_$v")
+  }
+
+  /** Write `df` as the next version and atomically swap the pointer.
+    * Returns the new version number. With `expectedVersion` set, fails if
+    * another writer committed in between (optimistic concurrency).
+    */
+  def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None): Long = {
+    Files.createDirectories(Paths.get(root))
+    val cur = currentVersion(root)
+    expectedVersion.foreach { exp =>
+      require(cur.contains(exp),
+        s"stale write: expected version $exp but table is at ${cur.getOrElse("none")}")
+    }
+    val next = cur.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(s"$root/v_$next")
+    // land the pointer content in a temp file first, then same-dir atomic
+    // rename — readers never observe a partial pointer
+    val tmp = Paths.get(root, s"_CURRENT.tmp_$next")
+    Files.write(tmp, s"v_$next".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPtr(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Rewrite-on-MERGE: read current state, apply `transform`, commit the
+    * result as the next version — with the read version pinned as the
+    * expected version, so a concurrent commit fails this merge instead of
+    * being silently overwritten.
+    */
+  def merge(spark: SparkSession, root: String)(transform: DataFrame => DataFrame): Long = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val next = transform(spark.read.parquet(s"$root/v_$base"))
+    commit(next, root, expectedVersion = Some(base))
+  }
+
+  /** Drop all but the newest `keep` versions (readers of dropped versions
+    * must be drained first — same contract as Delta's VACUUM).
+    */
+  def vacuum(root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least the current version")
+    val cur = currentVersion(root).getOrElse(return)
+    val dir = new java.io.File(root)
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(f => f.getName.stripPrefix("v_").toLong)
+      .sorted
+    versions.filter(v => v <= cur - keep).foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir, s"v_$v"))
+    }
+  }
+}

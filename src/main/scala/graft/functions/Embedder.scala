@@ -53,3 +53,138 @@ final class CachedEmbedder(inner: Embedder) extends Embedder {
     df.join(embedded, Seq(textCol), "left")
   }
 }
+
+/** One remote embedding call: a batch of texts in, one vector per text out
+  * (same order). Implementations must be serializable (they ship to
+  * executors) and are allowed to throw on transient failures — the provider
+  * retries with backoff. The reference's OpenAI-style client batches 100
+  * texts per call (pkg/embedding/openai/client.go, ingest/pipeline.go:307-354).
+  */
+trait EmbeddingTransport extends Serializable {
+  def send(batch: Seq[String]): Seq[Array[Float]]
+}
+
+/** Batched remote embedding provider: the distributed form of the
+  * reference's provider loop. Each PARTITION groups its rows into
+  * `batchSize`-text calls (so call parallelism = partition count — size
+  * partitions to the provider's rate limit), retries each call with
+  * exponential backoff up to `maxRetries`, and zips vectors back onto the
+  * rows positionally. Null/empty texts embed to the zero vector locally and
+  * never hit the transport (mirrors the reference's empty-input skip).
+  *
+  * The transport is pluggable: production wires an HTTP client; this
+  * repo ships [[HttpJsonTransport]] (the request/response plumbing, built on
+  * the JDK client) and tests inject fakes — zero egress either way until a
+  * caller explicitly provides an endpoint.
+  */
+final class BatchedProvider(val dim: Int,
+                            transport: EmbeddingTransport,
+                            batchSize: Int = 100,
+                            maxRetries: Int = 3,
+                            initialBackoffMs: Long = 100) extends Embedder {
+  require(batchSize > 0, "batchSize must be positive")
+
+  private def sendWithRetry(texts: Seq[String]): Seq[Array[Float]] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val out = transport.send(texts)
+        require(out.length == texts.length,
+          s"transport returned ${out.length} vectors for ${texts.length} texts")
+        return out
+      } catch {
+        case e: Exception if attempt < maxRetries =>
+          Thread.sleep(initialBackoffMs * (1L << attempt))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val textIdx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val d = dim
+    val bs = batchSize
+    df.mapPartitions { it =>
+      it.grouped(bs).flatMap { rows =>
+        // only non-empty texts travel to the transport; results re-align by
+        // position within the batch
+        val idxed = rows.zipWithIndex
+        val toSend = idxed.filter { case (r, _) =>
+          !r.isNullAt(textIdx) && r.getString(textIdx).nonEmpty
+        }
+        val vecs: Map[Int, Array[Float]] =
+          if (toSend.isEmpty) Map.empty
+          else toSend.map(_._2).zip(sendWithRetry(toSend.map(_._1.getString(textIdx)))).toMap
+        idxed.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ vecs.getOrElse(i, new Array[Float](d)).toSeq)
+        }
+      }
+    }(enc)
+  }
+}
+
+/** The HTTP half of a real provider: OpenAI-style JSON in/out over the JDK
+  * http client — `{"model": ..., "input": [texts]}` →
+  * `{"data": [{"embedding": [floats]}, ...]}` (response parsed with the
+  * engine's own JSON walk, no extra dependencies). Network access is up to
+  * the runtime; in a zero-egress environment construction is fine and
+  * `send` fails → [[BatchedProvider]] retries then surfaces the error, so
+  * callers fall back to [[HashingEmbedder]] explicitly. The client is
+  * per-executor (transient lazy), never serialized.
+  */
+final class HttpJsonTransport(endpoint: String, model: String,
+                              apiKeyEnv: String = "EMBEDDING_API_KEY",
+                              timeoutMs: Long = 30000) extends EmbeddingTransport {
+  @transient private lazy val client =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def send(batch: Seq[String]): Seq[Array[Float]] = {
+    val body = batch.map(t => "\"" + esc(t) + "\"")
+      .mkString(s"""{"model":"${esc(model)}","input":[""", ",", "]}")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .header("Authorization", "Bearer " + sys.env.getOrElse(apiKeyEnv, ""))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"embedding endpoint returned ${resp.statusCode()}")
+    parseEmbeddings(resp.body())
+  }
+
+  /** Parse `{"data":[{"embedding":[...]},...]}` via the engine's JSON walk. */
+  private[functions] def parseEmbeddings(json: String): Seq[Array[Float]] = {
+    import graft.text.TextAlgs._
+    parseJson(json) match {
+      case Some(JObj(fields)) =>
+        fields.collectFirst { case ("data", JArr(items)) => items } match {
+          case Some(items) => items.map {
+            case JObj(f) => f.collectFirst {
+              case ("embedding", JArr(nums)) =>
+                nums.map { case JNum(raw) => raw.toFloat; case _ => 0f }.toArray
+            }.getOrElse(throw new java.io.IOException("data item without embedding"))
+            case _ => throw new java.io.IOException("non-object data item")
+          }
+          case None => throw new java.io.IOException("response without data array")
+        }
+      case _ => throw new java.io.IOException("unparseable embedding response")
+    }
+  }
+}

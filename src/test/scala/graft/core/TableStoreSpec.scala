@@ -1,0 +1,59 @@
+package graft.core
+
+import graft.SparkTest
+import graft.operators.MemoryOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TableStoreSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def memFixture = {
+    Seq(
+      ("m1", "alpha text fresh", "srcA", Seq("t1"), 0, false, "2024-06-01 23:00:00"),
+      ("m2", "beta text. old enough to summarize. second sentence here.", "srcB", Seq("t2"), 0, false, "2024-05-01 00:00:00"),
+      ("m3", "gamma stale evicted", "srcC", Seq("t3"), 2, true, "2024-01-01 00:00:00"))
+      .toDF("id", "text", "source", "tags", "decay_level", "expired", "lr")
+      .withColumn("last_referenced", col("lr").cast("timestamp")).drop("lr")
+      .withColumn("expires_at", lit(null).cast("timestamp"))
+      .withColumn("expired_at", lit(null).cast("timestamp"))
+      .withColumn("created_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("access_count", lit(0L))
+  }
+
+  test("store → decay → recall round-trip through disk with atomic version swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val now = lit("2024-06-02 00:00:00").cast("timestamp")
+    assert(TableStore.currentVersion(root).isEmpty)
+    val v0 = TableStore.commit(memFixture, root)
+    assert(v0 == 0 && TableStore.currentVersion(root).contains(0L))
+
+    // MERGE: run the decay pass against the stored state, land v1
+    val v1 = TableStore.merge(spark, root)(m => MemoryOps.decayOnce(m, now)._1)
+    assert(v1 == 1)
+
+    // read-back: m3 (level 2, >30d stale) was evicted on disk; m2 decayed
+    val state = TableStore.read(spark, root)
+    assert(state.count() == 2)
+    val m2 = state.filter(col("id") === "m2").head()
+    assert(m2.getAs[Int]("decay_level") == 1, "24h-old level-0 row must summarize to level 1")
+
+    // recall runs against the durable state
+    val recalled = MemoryOps.recall(state, None,
+      MemoryOps.RecallParams(recencyWeight = 1.0, maxResults = 10), now)
+    val ids = recalled.select(col("id")).collect().map(_.getString(0)).toSet
+    assert(ids == Set("m1", "m2"))
+
+    // optimistic concurrency: a writer that read v0 must fail now
+    val e = intercept[IllegalArgumentException] {
+      TableStore.commit(memFixture, root, expectedVersion = Some(0L))
+    }
+    assert(e.getMessage.contains("stale write"))
+
+    // vacuum keeps the current version readable, drops the old one
+    TableStore.vacuum(root, keep = 1)
+    assert(!new java.io.File(root, "v_0").exists())
+    assert(new java.io.File(root, "v_1").exists())
+    assert(TableStore.read(spark, root).count() == 2)
+  }
+}

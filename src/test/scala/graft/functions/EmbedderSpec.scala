@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-executor probe for the batched provider: local-mode executors share
+  * the JVM, so static counters observe transport traffic.
+  */
+object TransportProbe {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val failedOnce = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def reset(): Unit = { calls.set(0); failedOnce.clear() }
+}
+
+/** Deterministic fake: embeds each text as [len, len, ...]; every batch's
+  * FIRST attempt throws (keyed by the batch's first text), so success proves
+  * the retry path replays the batch.
+  */
+class FlakyFakeTransport(dim: Int) extends EmbeddingTransport {
+  def send(batch: Seq[String]): Seq[Array[Float]] = {
+    TransportProbe.calls.incrementAndGet()
+    if (TransportProbe.failedOnce.putIfAbsent(batch.head, true) == null)
+      throw new RuntimeException("injected transient failure")
+    batch.map(t => Array.fill(dim)(t.length.toFloat))
+  }
+}
+
+class EmbedderSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("BatchedProvider: batches per partition, retries transient failures, aligns rows") {
+    TransportProbe.reset()
+    val texts = (0 until 250).map(i => (i.toLong, "t" * (i % 7 + 1)))
+    val df = texts.toDF("id", "text").repartition(1)
+    val provider = new BatchedProvider(dim = 4, new FlakyFakeTransport(4),
+      batchSize = 100, maxRetries = 2, initialBackoffMs = 1)
+    val out = provider.embed(df, "text", "emb").collect()
+    assert(out.length == 250)
+    out.foreach { r =>
+      val len = r.getAs[String]("text").length.toFloat
+      assert(r.getAs[scala.collection.Seq[Float]]("emb") == Seq.fill(4)(len))
+    }
+    // 250 rows / batch 100 = 3 batches; each fails once then succeeds = 6 calls
+    assert(TransportProbe.calls.get() == 6,
+      s"expected 3 batches x 2 attempts, saw ${TransportProbe.calls.get()} calls")
+  }
+
+  test("BatchedProvider: null/empty texts embed to zero vectors without hitting the transport") {
+    TransportProbe.reset()
+    val df = Seq((1L, "hello"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").repartition(1)
+    val provider = new BatchedProvider(dim = 3, new FlakyFakeTransport(3),
+      batchSize = 10, maxRetries = 2, initialBackoffMs = 1)
+    val rows = provider.embed(df, "text", "emb").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("emb")).toMap
+    assert(rows(1L) == Seq(5f, 5f, 5f))
+    assert(rows(2L) == Seq(0f, 0f, 0f))
+    assert(rows(3L) == Seq(0f, 0f, 0f))
+    // one batch (the non-empty text), failed once then retried
+    assert(TransportProbe.calls.get() == 2)
+  }
+
+  test("BatchedProvider surfaces a persistent failure after maxRetries") {
+    val alwaysFail = new EmbeddingTransport {
+      def send(batch: Seq[String]): Seq[Array[Float]] =
+        throw new RuntimeException("down")
+    }
+    val provider = new BatchedProvider(dim = 2, alwaysFail,
+      batchSize = 10, maxRetries = 1, initialBackoffMs = 1)
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      provider.embed(df, "text", "emb").collect()
+    }
+    assert(e.getMessage.contains("down") || e.getCause != null)
+  }
+
+  test("HttpJsonTransport parses the OpenAI-style response shape") {
+    val t = new HttpJsonTransport("http://localhost:0/none", "m")
+    val vecs = t.parseEmbeddings(
+      """{"object":"list","data":[
+        |  {"object":"embedding","index":0,"embedding":[0.25,-1.5]},
+        |  {"object":"embedding","index":1,"embedding":[2,3]}
+        |],"model":"m"}""".stripMargin)
+    assert(vecs.length == 2)
+    assert(vecs(0).toSeq == Seq(0.25f, -1.5f))
+    assert(vecs(1).toSeq == Seq(2f, 3f))
+    intercept[java.io.IOException] { t.parseEmbeddings("""{"no":"data"}""") }
+  }
+}
