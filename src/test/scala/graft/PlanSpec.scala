@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!executed.contains("ScalaUDF"))
   }
 
+  test("q40: SQL KNN aggregates map-side (partial max_by), query side broadcast") {
+    val plan = physicalPlan("q40_sql_knn")
+    // BNLJ against the broadcast 20-row query side is the scalable shape
+    // (corpus scanned once); the kill-at-scale shape would be a rank window
+    // over the full nQueries x corpus join output
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("Window"), "rank-window over the joined set shuffles nQ x corpus rows")
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      "argmax must partial-aggregate before the exchange")
+  }
+
+  test("q56: fingerprint pairs plan has one posting exchange and no joins") {
+    val plan = physicalPlan("q56_fingerprint_neardup")
+    assert(!plan.contains("Join"), "posting self-join replaced by list aggregation")
+  }
+
   test("q17: jaccard join has no cartesian product") {
     val plan = physicalPlan("q17_neardup_jaccard")
     assert(!plan.contains("CartesianProduct"))
