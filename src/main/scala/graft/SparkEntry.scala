@@ -1181,6 +1181,28 @@ object SparkEntry {
           .as("embedding"))
       graft.operators.ClusterOps.kmeansDedup(oneHot, "vec_id", "embedding", k0 = 8)
         .select(col("vec_id"), col("kept"))
+    },
+
+    // PII/credential redaction over text with planted PII (email, phone,
+    // SSN, credential assignment) — the corpus scrub step; the oracle
+    // replays the identical regexp_replace chain.
+    "q96_redact" -> { (s, dir) =>
+      val payload = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com call 555-123-4567"),
+        lit(" ssn 123-45-6789 password: hunter"), col("doc_id"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.redact(payload).as("redacted"))
+    },
+
+    // Decontamination pass: drop corpus docs sharing word 5-grams with the
+    // held-out probe set (the removal half of q76's audit).
+    "q97_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.decontaminate(
+        docs.filter(col("doc_id") >= 10), "text", "doc_id",
+        docs.filter(col("doc_id") < 10), "text", "doc_id",
+        n = 5, minShared = 1L)
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -2740,7 +2762,29 @@ object SparkEntry {
         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM documents)
         |SELECT doc_id, min(doc_id) OVER (PARTITION BY rn // 100) AS batch_min FROM s""".stripMargin,
     "q95_kmeans_planted" ->
-      "SELECT CAST(vec_id AS BIGINT) AS vec_id, vec_id < 8 AS kept FROM embeddings"
+      "SELECT CAST(vec_id AS BIGINT) AS vec_id, vec_id < 8 AS kept FROM embeddings",
+    "q96_redact" ->
+      s"""SELECT doc_id, ${redactOracleExpr(
+        "(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com call 555-123-4567'" +
+          " || ' ssn 123-45-6789 password: hunter' || CAST(doc_id AS VARCHAR))")} AS redacted
+        |FROM documents""".stripMargin,
+    "q97_decontaminate" ->
+      """WITH cs AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id >= 10) a),
+        |ps AS (
+        |  SELECT CASE WHEN len(w) >= 5
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id < 10) b),
+        |cg AS (SELECT doc_id, unnest(sh) AS g FROM cs),
+        |pg AS (SELECT DISTINCT unnest(sh) AS g FROM ps),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN pg USING (g))
+        |SELECT d.doc_id, d.source FROM documents d
+        |LEFT JOIN bad ON bad.doc_id = d.doc_id
+        |WHERE d.doc_id >= 10 AND bad.doc_id IS NULL""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as
@@ -2820,6 +2864,20 @@ object SparkEntry {
     e = s"regexp_replace($e, '\\s{2,}', ' ', 'g')"
     e = s"regexp_replace($e, '\\s+([.,;:!?])', '\\1', 'g')"
     s"trim($e)"
+  }
+
+  /** DuckDB equivalent of TextFunctions.redact (same chain, same order;
+    * backslashes pass through DuckDB literals verbatim, only quotes escape).
+    */
+  private def redactOracleExpr(c: String): String = {
+    var e = c
+    TextFunctions.credentialPatterns.foreach { p =>
+      e = s"regexp_replace($e, '${p.replace("'", "''")}', '[CREDENTIAL]', 'g')"
+    }
+    TextFunctions.piiPatterns.zip(TextFunctions.piiLabels).foreach { case (p, l) =>
+      e = s"regexp_replace($e, '${p.replace("'", "''")}', '$l', 'g')"
+    }
+    e
   }
 
   /** DuckDB equivalent of TextFunctions.importance with role='user'

@@ -151,6 +151,21 @@ object TextFunctions {
     )
   }
 
+  /** Typed replacement labels for [[piiPatterns]], same order. */
+  val piiLabels: Seq[String] = Seq("[EMAIL]", "[PHONE]", "[CARD]", "[SSN]")
+
+  /** PII/credential redaction — the scrub step a training corpus runs after
+    * [[sensitivity_level]] flags rows: credentials first (so an embedded
+    * token's digits can't half-match the card pattern), then each PII
+    * pattern with its typed label. Pure regexp_replace chain, map-only.
+    */
+  def redact(text: Column): Column = {
+    var c = text
+    credentialPatterns.foreach { p => c = regexp_replace(c, p, "[CREDENTIAL]") }
+    piiPatterns.zip(piiLabels).foreach { case (p, l) => c = regexp_replace(c, p, l) }
+    c
+  }
+
   // --- keywords (F11): lowercased, punctuation-trimmed, stopword-filtered,
   //     first-occurrence dedup, capped. Fully native higher-order functions.
 

@@ -51,6 +51,15 @@ object ClusterAlgs {
     * node order (stable). Inputs with empty embeddings become singletons when
     * no embeddings exist at all; otherwise they sit at max distance (2.0)
     * from everything and stay unmerged below any threshold < 2.
+    *
+    * Cluster distances are maintained with Lance–Williams updates on a flat
+    * matrix (average linkage: the size-weighted pooled mean — algebraically
+    * the same all-point-pairs mean the reference computes, cluster.go:67-313;
+    * single/complete: exact min/max), so a merge costs O(N) instead of
+    * re-averaging member pairs — the naive form went O(N³·|members|²) on
+    * merge-heavy groups and dominated the q38 flame graph. Per-round argmin
+    * scans pairs in index order with strict `<`, preserving the reference's
+    * first-minimal-pair-wins tie-break.
     */
   def agglomerate(embeddings: IndexedSeq[Array[Float]], cfg: ClusterConfig = ClusterConfig()): Array[Int] = {
     val n = embeddings.length
@@ -62,39 +71,45 @@ object ClusterAlgs {
       return if (n == 1) Array(0) else out
     }
 
-    // distance matrix, empty embeddings at max distance
-    val dist = Array.ofDim[Double](n, n)
+    // flat cluster-distance matrix; norms precomputed so the build does one
+    // dot product per pair instead of three
+    val norms = new Array[Double](n)
     var i = 0
     while (i < n) {
+      val e = embeddings(i)
+      var s = 0.0
+      var d = 0
+      while (d < e.length) { val x = e(d).toDouble; s += x * x; d += 1 }
+      norms(i) = math.sqrt(s)
+      i += 1
+    }
+    val dist = new Array[Double](n * n)
+    i = 0
+    while (i < n) {
+      val ei = embeddings(i)
       var j = i + 1
       while (j < n) {
+        val ej = embeddings(j)
         val d =
-          if (embeddings(i).isEmpty || embeddings(j).isEmpty) 2.0
-          else cosineDist(embeddings(i), embeddings(j))
-        dist(i)(j) = d; dist(j)(i) = d
+          if (ei.isEmpty || ej.isEmpty || norms(i) == 0.0 || norms(j) == 0.0) 2.0
+          else {
+            val m = math.min(ei.length, ej.length)
+            var dot = 0.0
+            var k = 0
+            while (k < m) { dot += ei(k).toDouble * ej(k); k += 1 }
+            val s = dot / (norms(i) * norms(j))
+            1.0 - (if (s > 1.0) 1.0 else if (s < -1.0) -1.0 else s)
+          }
+        dist(i * n + j) = d; dist(j * n + i) = d
         j += 1
       }
       i += 1
     }
 
     val members = Array.tabulate(n)(i => mutable.ArrayBuffer(i))
+    val size = Array.fill(n)(1)
     val active = Array.fill(n)(true)
     var activeCount = n
-
-    def linkageDist(a: Int, b: Int): Double = cfg.linkage match {
-      case Single =>
-        var m = 2.0
-        members(a).foreach(i => members(b).foreach(j => if (dist(i)(j) < m) m = dist(i)(j)))
-        m
-      case Complete =>
-        var m = 0.0
-        members(a).foreach(i => members(b).foreach(j => if (dist(i)(j) > m) m = dist(i)(j)))
-        m
-      case Average =>
-        var s = 0.0; var c = 0
-        members(a).foreach(i => members(b).foreach { j => s += dist(i)(j); c += 1 })
-        if (c == 0) 2.0 else s / c
-    }
 
     var done = false
     while (activeCount > 1 && !done) {
@@ -105,10 +120,11 @@ object ClusterAlgs {
         var a = 0
         while (a < n) {
           if (active(a)) {
+            val row = a * n
             var b = a + 1
             while (b < n) {
               if (active(b)) {
-                val d = linkageDist(a, b)
+                val d = dist(row + b)
                 if (d < minDist) { minDist = d; minI = a; minJ = b }
               }
               b += 1
@@ -118,6 +134,23 @@ object ClusterAlgs {
         }
         if (minDist > cfg.threshold || minI < 0) done = true
         else {
+          // Lance–Williams: fold cluster minJ into minI
+          val si = size(minI); val sj = size(minJ)
+          var k = 0
+          while (k < n) {
+            if (active(k) && k != minI && k != minJ) {
+              val dik = dist(minI * n + k)
+              val djk = dist(minJ * n + k)
+              val d = cfg.linkage match {
+                case Average  => (si * dik + sj * djk) / (si + sj)
+                case Single   => if (dik < djk) dik else djk
+                case Complete => if (dik > djk) dik else djk
+              }
+              dist(minI * n + k) = d; dist(k * n + minI) = d
+            }
+            k += 1
+          }
+          size(minI) = si + sj
           members(minI) ++= members(minJ)
           active(minJ) = false
           activeCount -= 1

@@ -163,6 +163,21 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("probe_grams")).as("contamination"))
   }
 
+  /** Drop corpus documents that share n-grams with a held-out probe set —
+    * the removal half of the contamination audit (run [[contaminationCheck]]
+    * first to REPORT, this to actually decontaminate a training mix). Same
+    * plan shape: probe grams broadcast, corpus touched map-side, then one
+    * anti-join on the (small) contaminated id set.
+    */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+                    probes: DataFrame, probeTextCol: String, probeIdCol: String,
+                    n: Int = 8, minShared: Long = 1L): DataFrame = {
+    val hits = contaminationCheck(corpus, textCol, idCol,
+      probes, probeTextCol, probeIdCol, n, minShared)
+      .select(col("doc_id").as("__contaminated_id")).distinct()
+    corpus.join(broadcast(hits), corpus(idCol) === col("__contaminated_id"), "left_anti")
+  }
+
   /** Per-stratum corpus statistics — the ingest dashboard numbers. All
     * aggregates are integer-exact (micro-unit quality sums), so the whole
     * report hash-replays in SQL.

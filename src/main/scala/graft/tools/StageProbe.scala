@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage breakdown of the q38 corpus pipeline:
+  * `runMain graft.tools.StageProbe [sfDir] [reps]`.
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = graft.core.GraftSession.get(cores = 32)
+
+    def chunks = Tables.lineitem(spark, dir)
+      .select(
+        xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate")).as("chunk_id"),
+        concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+          col("l_shipdate").cast("string"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_partkey"),
+          col("l_suppkey")).as("text"),
+        (col("l_orderkey") % 6000).as("request_group"),
+        col("l_quantity").as("score"))
+
+    def embedded = new graft.functions.HashingEmbedder(32)
+      .embed(chunks, "text", "embedding")
+
+    def t(label: String)(body: => Long): Unit = {
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[probe] $label%-28s rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s ($n rows)")
+        graft.GraftEngine.releaseCaches()
+      }
+    }
+
+    t("chunks only")(chunks.count())
+    t("chunks+embed")(embedded.count())
+    t("embed+shuffle only") {
+      // the pipeline's shuffle without the per-group algorithms: group-count
+      embedded.groupBy("request_group").count().count()
+    }
+    t("full fused (no compress)") {
+      graft.operators.PipelineOps.dedupPipelineFused(
+        embedded, "request_group", "chunk_id", "text", "embedding", "score",
+        graft.operators.PipelineOps.PipelineConfig(
+          targetK = 8, minChunkLength = 0, compressEnabled = false)).count()
+    }
+    t("full fused (with compress)") {
+      graft.operators.PipelineOps.dedupPipelineFused(
+        embedded, "request_group", "chunk_id", "text", "embedding", "score",
+        graft.operators.PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0)).count()
+    }
+    t("fused no-text + join-back compress") {
+      val slim = embedded.withColumn("__t", lit(""))
+      val sel = graft.operators.PipelineOps.dedupPipelineFused(
+        slim, "request_group", "chunk_id", "__t", "embedding", "score",
+        graft.operators.PipelineOps.PipelineConfig(
+          targetK = 8, minChunkLength = 0, compressEnabled = false))
+        .drop("compressed")
+      sel.join(embedded.select(col("chunk_id"), col("text")), "chunk_id")
+        .withColumn("compressed",
+          graft.functions.CompressFunctions.extract_salient(col("text"), 0.5, 0))
+        .count()
+    }
+    spark.stop()
+  }
+}
