@@ -1203,6 +1203,33 @@ object SparkEntry {
         docs.filter(col("doc_id") < 10), "text", "doc_id",
         n = 5, minShared = 1L)
         .select(col("doc_id"), col("source"))
+    },
+
+    // S6 progress sink: a live streaming query (events table through the
+    // watermarked window agg) observed by the ProgressEvents listener. Total
+    // numInputRows across progress events must equal the table count
+    // (zero-input batches add zero), and exactly one started/terminated
+    // event carries zero rows — all deterministic, hence oracled.
+    "q98_progress_events" -> { (s, dir) =>
+      val listener = new graft.streaming.ProgressEvents(maxEvents = 1000)
+      s.streams.addListener(listener)
+      try {
+        val batchEvents = Tables.events(s, dir)
+        val staged = java.nio.file.Files.createTempDirectory("q98_events").toString
+        batchEvents.write.mode("overwrite").parquet(staged)
+        val stream = s.readStream.schema(batchEvents.schema).parquet(staged)
+        val q = graft.streaming.StreamingOps.windowedEventCounts(stream, "1 hour", "2 hours")
+          .writeStream.format("memory").queryName("q98_sink").outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30000)
+        // listener callbacks are async — wait for the terminated event
+        val deadline = System.currentTimeMillis() + 30000
+        def snap() = listener.toDF(s).filter(col("runId") === q.runId.toString)
+        while (snap().filter(col("stage") === "terminated").isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        snap().groupBy(col("stage")).agg(sum(col("numInputRows")).as("rows_seen"))
+      } finally s.streams.removeListener(listener)
     }
   )
 
@@ -2784,7 +2811,13 @@ object SparkEntry {
         |bad AS (SELECT DISTINCT doc_id FROM cg JOIN pg USING (g))
         |SELECT d.doc_id, d.source FROM documents d
         |LEFT JOIN bad ON bad.doc_id = d.doc_id
-        |WHERE d.doc_id >= 10 AND bad.doc_id IS NULL""".stripMargin
+        |WHERE d.doc_id >= 10 AND bad.doc_id IS NULL""".stripMargin,
+    "q98_progress_events" ->
+      """SELECT 'started' AS stage, CAST(0 AS BIGINT) AS rows_seen
+        |UNION ALL
+        |SELECT 'progress', (SELECT count(*) FROM events)
+        |UNION ALL
+        |SELECT 'terminated', CAST(0 AS BIGINT)""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as
