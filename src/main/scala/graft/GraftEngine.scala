@@ -183,4 +183,31 @@ object GraftEngine {
                        cfg: operators.SummarizeOps.SummarizeConfig =
                          operators.SummarizeOps.SummarizeConfig()): DataFrame =
     operators.SummarizeOps.summarizeTurns(turns, now, cfg)
+
+  /** redact_corpus: typed-label credential/PII scrub of a text column. */
+  def redactCorpus(docs: DataFrame, textCol: String,
+                   outCol: String = "redacted"): DataFrame =
+    docs.withColumn(outCol, graft.functions.TextFunctions.redact(col(textCol)))
+
+  /** decontaminate_corpus: drop docs sharing n-grams with a held-out set. */
+  def decontaminateCorpus(corpus: DataFrame, textCol: String, idCol: String,
+                          probes: DataFrame, probeTextCol: String, probeIdCol: String,
+                          n: Int = 8, minShared: Long = 1L): DataFrame =
+    operators.CorpusOps.decontaminate(corpus, textCol, idCol,
+      probes, probeTextCol, probeIdCol, n, minShared)
+
+  /** Durable store verbs: commit/read/merge table states transactionally
+    * (versioned parquet + atomic pointer swap — [[graft.core.TableStore]]).
+    * `mergeStore(root)(m => MemoryOps.decayOnce(m, now)._1)` is the durable
+    * decay pass; recall then runs against `readStore`.
+    */
+  def commitStore(df: DataFrame, root: String): Long =
+    graft.core.TableStore.commit(df, root)
+
+  def readStore(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    graft.core.TableStore.read(spark, root)
+
+  def mergeStore(spark: org.apache.spark.sql.SparkSession, root: String)(
+      transform: DataFrame => DataFrame): Long =
+    graft.core.TableStore.merge(spark, root)(transform)
 }

@@ -134,9 +134,19 @@ object DedupOps {
       .join(withSize.select(col("doc_id"), col("nsh")), "doc_id")
       .filter(col("rn") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
       .select(col("doc_id"), col("g"))
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    // candidate generation inverts the prefix postings with ONE aggregation
+    // (sorted doc list per shingle, pairs generated in-memory per list) —
+    // the prefix⋈prefix self-join form exchanged the posting table twice
+    // and sorted it for the SMJ. Per-key pair counts are quadratic in the
+    // posting size either way; the prefix filter (and maxShingleFreq on
+    // boilerplate-heavy corpora) is what bounds them.
+    val candidates = prefix.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+          b => struct(a.as("ida"), b.as("idb")))))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .distinct()
     candidates
       .join(withSize.select(col("doc_id").as("ida"), col("sh").as("sha"), col("nsh").as("na")), "ida")
