@@ -91,12 +91,16 @@ object ClusterAlgs {
       while (j < n) {
         val ej = embeddings(j)
         val d =
-          if (ei.isEmpty || ej.isEmpty || norms(i) == 0.0 || norms(j) == 0.0) 2.0
+          if (ei.isEmpty || ej.isEmpty) 2.0
+          // ragged dims: cosineSim truncates BOTH vectors (incl. their
+          // norms) to the shorter length — precomputed full-length norms
+          // would change the value, so fall back to the scalar form
+          else if (ei.length != ej.length) cosineDist(ei, ej)
+          else if (norms(i) == 0.0 || norms(j) == 0.0) 2.0
           else {
-            val m = math.min(ei.length, ej.length)
             var dot = 0.0
             var k = 0
-            while (k < m) { dot += ei(k).toDouble * ej(k); k += 1 }
+            while (k < ei.length) { dot += ei(k).toDouble * ej(k); k += 1 }
             val s = dot / (norms(i) * norms(j))
             1.0 - (if (s > 1.0) 1.0 else if (s < -1.0) -1.0 else s)
           }

@@ -41,6 +41,62 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  /** Reference re-implementation of the naive all-member-pairs linkage the
+    * Lance–Williams production path must reproduce: recompute cluster
+    * distances from the point matrix on every round.
+    */
+  private def naiveAgglomerate(embeddings: IndexedSeq[Array[Float]],
+                               cfg: ClusterAlgs.ClusterConfig): Array[Int] = {
+    val n = embeddings.length
+    val out = new Array[Int](n)
+    if (n == 0) return out
+    if (n == 1 || !embeddings.exists(_.nonEmpty)) return Array.tabulate(n)(identity)
+    val dist = Array.tabulate(n, n) { (i, j) =>
+      if (i == j) 0.0
+      else if (embeddings(i).isEmpty || embeddings(j).isEmpty) 2.0
+      else ClusterAlgs.cosineDist(embeddings(i), embeddings(j))
+    }
+    val members = Array.tabulate(n)(i => scala.collection.mutable.ArrayBuffer(i))
+    val active = Array.fill(n)(true)
+    var activeCount = n
+    def linkage(a: Int, b: Int): Double = cfg.linkage match {
+      case ClusterAlgs.Single =>
+        members(a).iterator.flatMap(i => members(b).iterator.map(j => dist(i)(j))).min
+      case ClusterAlgs.Complete =>
+        members(a).iterator.flatMap(i => members(b).iterator.map(j => dist(i)(j))).max
+      case ClusterAlgs.Average =>
+        val ds = members(a).iterator.flatMap(i => members(b).iterator.map(j => dist(i)(j))).toSeq
+        ds.sum / ds.length
+    }
+    var done = false
+    while (activeCount > 1 && !done) {
+      var minDist = 2.0; var minI = -1; var minJ = -1
+      for (a <- 0 until n if active(a); b <- a + 1 until n if active(b)) {
+        val d = linkage(a, b)
+        if (d < minDist) { minDist = d; minI = a; minJ = b }
+      }
+      if (minDist > cfg.threshold || minI < 0) done = true
+      else {
+        members(minI) ++= members(minJ); active(minJ) = false; activeCount -= 1
+      }
+    }
+    var cid = 0
+    for (k <- 0 until n if active(k)) { members(k).foreach(out(_) = cid); cid += 1 }
+    out
+  }
+
+  test("agglomerate: Lance-Williams updates match naive all-pairs linkage on random inputs") {
+    // margins between candidate pairs on random floats dwarf the fp-order
+    // differences between pooled-mean and re-summed average linkage, so the
+    // merge sequences (and hence labelings) must be identical
+    val linkGen = Gen.oneOf[ClusterAlgs.Linkage](
+      ClusterAlgs.Single, ClusterAlgs.Complete, ClusterAlgs.Average)
+    check(Prop.forAll(vecsGen, Gen.choose(0.05, 0.6), linkGen) { (vecs, t, link) =>
+      val cfg = ClusterAlgs.ClusterConfig(threshold = t, linkage = link)
+      ClusterAlgs.agglomerate(vecs, cfg).toSeq == naiveAgglomerate(vecs, cfg).toSeq
+    })
+  }
+
   test("mmrSelect: selection is a subset of candidates with size min(k, n), no repeats") {
     val scoresFor = (n: Int) => Gen.listOfN(n, Gen.choose(0.0, 1.0)).map(_.toIndexedSeq)
     check(Prop.forAll(vecsGen, Gen.choose(1, 6)) { (vecs, k) =>

@@ -67,6 +67,23 @@ class Round5Spec extends AnyFunSuite with SparkTest {
     assert(OpCaches.trackedCount == 0)
   }
 
+  test("Cli.loadChunks: hash-embeds rows without embeddings, quality-scores missing scores") {
+    val p = java.nio.file.Files.createTempFile("cli_chunks", ".jsonl")
+    java.nio.file.Files.write(p, Seq(
+      """{"id":"a","text":"alpha beta gamma","embedding":[1.0,0.0],"score":0.5}""",
+      """{"id":"b","text":"delta epsilon zeta"}""",
+      "not json").mkString("\n").getBytes("UTF-8"))
+    val rows = graft.tools.Cli.loadChunks(spark, p.toString, dim = 4).collect()
+      .map(r => r.getAs[String]("orig_id") ->
+        (r.getAs[scala.collection.Seq[Float]]("embedding"), r.getAs[Double]("score"))).toMap
+    assert(rows.keySet == Set("a", "b"))
+    assert(rows("a")._1 == Seq(1f, 0f), "provided embeddings pass through")
+    assert(rows("a")._2 == 0.5)
+    assert(rows("b")._1.length == 4 && rows("b")._1.exists(_ != 0f),
+      "missing embeddings come from the hashing embedder")
+    assert(rows("b")._2 > 0.0, "missing scores fall back to the quality score")
+  }
+
   test("trainingMix refuses input columns it would silently clobber") {
     val df = Seq(("a", 10L, 1L)).toDF("source", "tokens", "ticket")
     val e = intercept[IllegalArgumentException] {
