@@ -128,8 +128,9 @@ object Analyze {
       .join(chunks.select(col("ck").as("rep_ck"), col("orig_id")),
         col("member_ids")(0) === col("rep_ck"))
       .orderBy(col("size").desc, col("cluster_id"))
-    val rows = report.collect()
-    rows.take(20).foreach { r =>
+    // only the top-k report rows ever reach the driver (TakeOrderedAndProject)
+    val rows = report.limit(20).collect()
+    rows.foreach { r =>
       println(s"""{"cluster":${r.getAs[Long]("cluster_id")},"size":${r.getAs[Long]("size")},""" +
         s""""first_member":"${r.getAs[String]("orig_id")}","redundant":${r.getAs[Boolean]("is_redundant")}}""")
     }
