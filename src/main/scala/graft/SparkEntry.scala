@@ -1230,6 +1230,21 @@ object SparkEntry {
           System.currentTimeMillis() < deadline) Thread.sleep(50)
         snap().groupBy(col("stage")).agg(sum(col("numInputRows")).as("rows_seen"))
       } finally s.streams.removeListener(listener)
+    },
+
+    // Gopher-style repetition signals (duplicate-segment and top-bigram
+    // counts) — integer-exact, the published quality-rule inputs.
+    "q99_repetition_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.repetitionStats(
+        docs, "text", "doc_id", TextFunctions.chunk_words(col("text"), 10, 0))
+    },
+
+    // Unigram-LM negative log-likelihood (perplexity-proxy quality filter):
+    // per-token terms floor to micro-units BEFORE summing, so the per-doc
+    // sum is order-independent (q70's ln-of-exact-rational recipe).
+    "q100_unigram_nll" -> { (s, dir) =>
+      graft.operators.CorpusOps.unigramNll(Tables.documents(s, dir), "text", "doc_id")
     }
   )
 
@@ -2817,7 +2832,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'progress', (SELECT count(*) FROM events)
         |UNION ALL
-        |SELECT 'terminated', CAST(0 AS BIGINT)""".stripMargin
+        |SELECT 'terminated', CAST(0 AS BIGINT)""".stripMargin,
+    "q99_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |st AS (SELECT doc_id, words, unnest(range(0, greatest(len(words), 1), 10)) AS s0
+        |       FROM w WHERE len(words) > 0),
+        |seg AS (SELECT doc_id, array_to_string(words[s0+1 : s0+10], ' ') AS seg FROM st),
+        |sc AS (SELECT doc_id, seg, count(*) AS c FROM seg GROUP BY 1, 2),
+        |sstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segs,
+        |                  CAST(sum(c - 1) AS BIGINT) AS n_dup_segs FROM sc GROUP BY doc_id),
+        |lw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS words
+        |       FROM documents),
+        |bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+        |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+        |             FROM lw WHERE len(words) >= 2) t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |                  CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_segs, CAST(0 AS BIGINT)) AS n_segs,
+        |  COALESCE(n_dup_segs, CAST(0 AS BIGINT)) AS n_dup_segs,
+        |  COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  COALESCE(top_bigram_count, CAST(0 AS BIGINT)) AS top_bigram_count
+        |FROM documents d
+        |LEFT JOIN sstats USING (doc_id)
+        |LEFT JOIN bstats USING (doc_id)""".stripMargin,
+    "q100_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus, count(*) AS vocab FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT)) AS BIGINT) AS nll_micro
+        |FROM tok JOIN c USING (w), t
+        |GROUP BY doc_id""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -163,6 +163,76 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("probe_grams")).as("contamination"))
   }
 
+  /** Gopher-style repetition signals per document (the published quality
+    * rules filter on them: fraction of duplicate lines/paragraphs and the
+    * share of tokens inside the most frequent n-gram). Segmentation is
+    * caller-supplied like [[stripBoilerplate]] (lines, paragraphs, or fixed
+    * word blocks); the bigram signal derives from whitespace words. All
+    * outputs are INTEGER counts, so the whole report hash-replays in SQL —
+    * thresholding into keep/drop is the caller's one-line filter.
+    *
+    * Output: (doc_id, n_segs, n_dup_segs, n_bigrams, top_bigram_count).
+    * Plan: two explodes aggregated per doc — keyed shuffles only; segment
+    * identity travels as a 64-bit hash.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String,
+                      segs: Column): DataFrame = {
+    val segCounts = df
+      .select(col(idCol).as("doc_id"), explode(segs).as("seg"))
+      .select(col("doc_id"), xxhash64(col("seg")).as("seg_hash"))
+      .groupBy(col("doc_id"), col("seg_hash"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segs"),
+        sum(col("c") - 1).as("n_dup_segs"))
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    // bigrams map-side via zip_with(words, words[2:]) — no per-doc window
+    val bigramCounts = df
+      .select(col(idCol).as("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(filter(
+        zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(1))),
+          (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+        x => x.isNotNull)).as("bg"))
+      .select(col("doc_id"), xxhash64(col("bg")).as("bgh"))
+      .groupBy(col("doc_id"), col("bgh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_count"))
+    df.select(col(idCol).as("doc_id"))
+      .join(segCounts, Seq("doc_id"), "left")
+      .join(bigramCounts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_segs", "n_dup_segs", "n_bigrams", "top_bigram_count"))
+  }
+
+  /** Unigram-LM negative log-likelihood per document — the perplexity-proxy
+    * quality filter (CCNet-style: documents scoring far from the corpus
+    * distribution are boilerplate or noise). Add-one smoothed:
+    * nll(doc) = Σ_tokens −ln((c(w)+1)/(N+V)) over the corpus counts. Each
+    * term floors to integer micro-units BEFORE summing, so the per-doc sum
+    * is order-independent and hash-replays (the q70 ln-of-exact-rational
+    * precedent). Output: (doc_id, n_tokens, nll_micro).
+    *
+    * Plan: one explode, one count-by-word shuffle, one word-keyed join back,
+    * one per-doc aggregate; the corpus-wide totals broadcast as a 1-row
+    * aggregate.
+    */
+  def unigramNll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("doc_id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
+      .persistTracked
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_corpus"),
+      count(lit(1)).as("vocab"))
+    words.join(counts, "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro",
+        floor(lit(-1e6) * log((col("c") + 1).cast("double") /
+          (col("n_corpus") + col("vocab")).cast("double"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("nll_micro"))
+  }
+
   /** Drop corpus documents that share n-grams with a held-out probe set —
     * the removal half of the contamination audit (run [[contaminationCheck]]
     * first to REPORT, this to actually decontaminate a training mix). Same
