@@ -1245,6 +1245,27 @@ object SparkEntry {
     // sum is order-independent (q70's ln-of-exact-rational recipe).
     "q100_unigram_nll" -> { (s, dir) =>
       graft.operators.CorpusOps.unigramNll(Tables.documents(s, dir), "text", "doc_id")
+    },
+
+    // The FULL published clean recipe: lang → length → quality → repetition
+    // (dup segments / top bigram) → LM naturalness → dedup → sample, audited
+    // per row. 20 planted copies of a 10-word phrase repeated 20× pass every
+    // classic filter but are 95% duplicate segments — the repetition rule
+    // must catch them (closed-form: every planted row drops as
+    // repetitive_segments).
+    "q101_clean_extended" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val phrase = "the and of to in is that it for repeat"
+      val planted = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(array_repeat(lit(phrase), 20), " ").as("text"))
+      graft.operators.CorpusOps.cleanCorpus(
+        docs.unionByName(planted), "text", "doc_id",
+        graft.operators.CorpusOps.CleanConfig(
+          allowedLangs = Set("en"), minWords = 15, maxWords = 10000,
+          minQualityMicro = 300000L, dedup = true, sampleFraction = 0.9,
+          maxDupSegPermille = 500, maxTopBigramPermille = 900,
+          maxNllMicroPerToken = 20000000L))
     }
   )
 
@@ -2868,7 +2889,70 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT)) AS BIGINT) AS nll_micro
         |FROM tok JOIN c USING (w), t
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    "q101_clean_extended" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    trim(repeat('the and of to in is that it for repeat ', 20)) AS text
+        |  FROM documents WHERE doc_id < 20),
+        |b AS (
+        |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+        |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
+        |  FROM corpus),
+        |wd AS (SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words FROM corpus),
+        |st AS (SELECT doc_id, words, unnest(range(0, greatest(len(words), 1), 10)) AS s0 FROM wd WHERE len(words) > 0),
+        |seg AS (SELECT doc_id, array_to_string(words[s0+1 : s0+10], ' ') AS seg FROM st),
+        |sc AS (SELECT doc_id, seg, count(*) AS c FROM seg GROUP BY 1, 2),
+        |sstats AS (SELECT doc_id, sum(c) AS n_segs, sum(c - 1) AS n_dup_segs FROM sc GROUP BY doc_id),
+        |lw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS words FROM corpus),
+        |bgr AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg
+        |        FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+        |              FROM lw WHERE len(words) >= 2) t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+        |bstats AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count FROM bc GROUP BY doc_id),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS wtk FROM corpus),
+        |cnt AS (SELECT wtk, count(*) AS c FROM tok GROUP BY wtk),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus, count(*) AS vocab FROM cnt),
+        |nll AS (SELECT doc_id, count(*) AS n_tokens,
+        |  sum(CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT)) AS nll_micro
+        |  FROM tok JOIN cnt USING (wtk), tt GROUP BY doc_id),
+        |f AS (
+        |  SELECT b.*,
+        |    COALESCE(n_dup_segs * 1000 > 500 * n_segs, false) AS rep_bad,
+        |    COALESCE(top_bigram_count * 1000 > 900 * n_bigrams, false) AS bigram_bad,
+        |    COALESCE(nll_micro > 20000000 * n_tokens, false) AS nll_bad
+        |  FROM b LEFT JOIN sstats USING (doc_id) LEFT JOIN bstats USING (doc_id)
+        |  LEFT JOIN nll USING (doc_id)),
+        |g AS (
+        |  SELECT *, (lang = 'en' AND n_words >= 15 AND n_words <= 10000
+        |    AND quality_micro >= 300000 AND NOT rep_bad AND NOT bigram_bad AND NOT nll_bad) AS filter_ok
+        |  FROM f),
+        |wn AS (
+        |  SELECT *, min(CASE WHEN filter_ok THEN doc_id END) OVER (PARTITION BY text) AS winner FROM g),
+        |z0 AS (SELECT *, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM wn),
+        |x1 AS (SELECT * EXCLUDE (z), xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT * EXCLUDE (x), (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT * EXCLUDE (z), xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT * EXCLUDE (x), (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT * EXCLUDE (z), CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |r AS (
+        |  SELECT doc_id, lang, n_words, quality_micro,
+        |    CASE WHEN NOT (lang = 'en') THEN 'lang'
+        |      WHEN n_words < 15 THEN 'too_short'
+        |      WHEN n_words > 10000 THEN 'too_long'
+        |      WHEN quality_micro < 300000 THEN 'low_quality'
+        |      WHEN rep_bad THEN 'repetitive_segments'
+        |      WHEN bigram_bad THEN 'repetitive_bigrams'
+        |      WHEN nll_bad THEN 'unnatural'
+        |      WHEN doc_id <> winner THEN 'duplicate'
+        |      WHEN ticket >= 8106479329266893 THEN 'sampled_out'
+        |    END AS drop_reason
+        |  FROM tk)
+        |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
+        |FROM r""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

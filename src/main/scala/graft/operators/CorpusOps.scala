@@ -283,7 +283,18 @@ object CorpusOps {
       maxWords: Int = 100000,
       minQualityMicro: Long = 300000L,
       dedup: Boolean = true,
-      sampleFraction: Double = 1.0)
+      sampleFraction: Double = 1.0,
+      /** Repetition rules ([[repetitionStats]], Gopher-style), integer
+        * cross-multiplied so the comparison is exact: drop when
+        * n_dup_segs·1000 > permille·n_segs (resp. top bigram share).
+        * −1 disables (the signal aggregations are then never computed).
+        */
+      maxDupSegPermille: Long = -1L,
+      maxTopBigramPermille: Long = -1L,
+      /** Perplexity-proxy rule ([[unigramNll]]): drop when
+        * nll_micro > threshold·n_tokens. −1 disables.
+        */
+      maxNllMicroPerToken: Long = -1L)
 
   /** The composed C4-style corpus cleaning pass: language filter → length
     * band → quality threshold → exact dedup (min-id winner among
@@ -306,16 +317,38 @@ object CorpusOps {
     // (the one shuffle of this operator then moves ~40 bytes/row at any
     // corpus size; 64-bit collisions are ~|corpus|²/2⁶⁴, the same trade as
     // exactDedupByFingerprint)
-    val base = df.select(
+    var base = df.select(
       col(idCol).as("doc_id"),
       xxhash64(col(textCol)).as("__thash"),
       TextFunctions.lang_id(col(textCol)).as("lang"),
       regexp_count(col(textCol), lit("\\S+")).as("n_words"),
       floor(TextFunctions.quality_score(col(textCol)) * lit(1e6)).cast("long")
         .as("quality_micro"))
+    // optional repetition / perplexity-proxy signals join in only when a
+    // rule is enabled — the default config pays nothing for them
+    val repEnabled = cfg.maxDupSegPermille >= 0 || cfg.maxTopBigramPermille >= 0
+    val nllEnabled = cfg.maxNllMicroPerToken >= 0
+    if (repEnabled)
+      base = base.join(repetitionStats(df, textCol, idCol,
+        TextFunctions.chunk_words(col(textCol), 10, 0)), Seq("doc_id"), "left")
+    if (nllEnabled)
+      base = base.join(unigramNll(df, textCol, idCol), Seq("doc_id"), "left")
+    val repBad =
+      if (cfg.maxDupSegPermille >= 0)
+        coalesce(col("n_dup_segs") * 1000 > lit(cfg.maxDupSegPermille) * col("n_segs"), lit(false))
+      else lit(false)
+    val bigramBad =
+      if (cfg.maxTopBigramPermille >= 0)
+        coalesce(col("top_bigram_count") * 1000 > lit(cfg.maxTopBigramPermille) * col("n_bigrams"), lit(false))
+      else lit(false)
+    val nllBad =
+      if (nllEnabled)
+        coalesce(col("nll_micro") > lit(cfg.maxNllMicroPerToken) * col("n_tokens"), lit(false))
+      else lit(false)
     val langOk = col("lang").isin(cfg.allowedLangs.toSeq: _*)
     val filterOk = langOk && col("n_words") >= cfg.minWords &&
-      col("n_words") <= cfg.maxWords && col("quality_micro") >= cfg.minQualityMicro
+      col("n_words") <= cfg.maxWords && col("quality_micro") >= cfg.minQualityMicro &&
+      !repBad && !bigramBad && !nllBad
     // dedup winner among filter-survivors only (min ignores nulls)
     val winner = min(when(filterOk, col("doc_id")))
       .over(Window.partitionBy(col("__thash")))
@@ -327,6 +360,9 @@ object CorpusOps {
       .when(col("n_words") < cfg.minWords, "too_short")
       .when(col("n_words") > cfg.maxWords, "too_long")
       .when(col("quality_micro") < cfg.minQualityMicro, "low_quality")
+      .when(repBad, "repetitive_segments")
+      .when(bigramBad, "repetitive_bigrams")
+      .when(nllBad, "unnatural")
       .when(lit(cfg.dedup) && isDup, "duplicate")
       .when(sampledOut, "sampled_out")
     withDup
