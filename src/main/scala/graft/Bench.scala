@@ -41,26 +41,33 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release operator-internal caches so query N+1 isn't timed against
         // query N's leftover cached blocks (and memory stays flat across
-        // ~96 queries x 2 passes)
+        // ~100 queries x 2 passes)
         GraftEngine.releaseCaches()
-        name -> dt
+        // a failed run's elapsed time is not evidence — min() over it would
+        // record a bogus fast "steady state" for a query that crashed
+        name -> (if (ok) Some(dt) else None)
       }
     }
-    val results = passes.last.map { case (name, _) =>
-      name -> passes.map(_(name)).min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = passes.last.keys
+    val results = names.map { name =>
+      name -> passes.flatMap(_(name)).minOption
+    }.toMap
+    val failed = results.collect { case (k, None) => k }.toSeq.sorted
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.flatten.sum
     val jvm = if (warmDir.isDefined) "warm" else "cold"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the JSON to a file: a truncated/contended console tail
     // once destroyed a round's perf evidence (r04), so stdout is no longer

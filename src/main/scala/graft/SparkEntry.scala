@@ -1098,9 +1098,10 @@ object SparkEntry {
     // The fixture is written by the query itself; the oracle is the
     // surviving rows as literals.
     "q92_jsonl_vectors" -> { (s, dir) =>
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_fixtures", "vectors.jsonl")
-      java.nio.file.Files.createDirectories(p.getParent)
+      // per-invocation temp dir: a fixed shared path raced across concurrent
+      // harness JVMs (one truncating while the other's scan reads)
+      val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
+        .resolve("vectors.jsonl")
       val lines = Seq(
         """{"id":"v1","values":[1.0,2.0,3.0],"metadata":{"src":"a"}}""",
         """{"id":"v2","values":[0.5,0.25],"metadata":{"src":"b"}}""",
@@ -1119,9 +1120,8 @@ object SparkEntry {
     // S2 JSONL chunk scan: same contract over the chunk-record schema
     // (id/text/embedding/score/metadata), only null ids dropped.
     "q93_jsonl_chunks" -> { (s, dir) =>
-      val p = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_fixtures", "chunks.jsonl")
-      java.nio.file.Files.createDirectories(p.getParent)
+      val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
+        .resolve("chunks.jsonl")
       val lines = Seq(
         """{"id":"c1","text":"hello world","embedding":[0.5],"score":0.25,"metadata":{"k":"v"}}""",
         """{"id":"c2"}""",
@@ -1143,13 +1143,10 @@ object SparkEntry {
     // read-back proves batching and retry; batch composition is
     // deterministic (sorted single partition).
     "q94_batched_sink" -> { (s, dir) =>
-      val baseDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_sink_" + new java.io.File(dir).getName)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-        f.delete(); ()
-      }
-      if (baseDir.exists()) rm(baseDir)
+      // fresh temp dir per invocation: no cross-JVM collisions, and the
+      // retry markers start empty so the injected first-attempt failure
+      // always exercises the retry path
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
       new java.io.File(baseDir, "out").mkdirs()
       new java.io.File(baseDir, "markers").mkdirs()
       val base = baseDir.getAbsolutePath
@@ -3042,7 +3039,7 @@ object SparkEntry {
     TextFunctions.credentialPatterns.foreach { p =>
       e = s"regexp_replace($e, '${p.replace("'", "''")}', '[CREDENTIAL]', 'g')"
     }
-    TextFunctions.piiPatterns.zip(TextFunctions.piiLabels).foreach { case (p, l) =>
+    TextFunctions.redactionOrder.foreach { case (p, l) =>
       e = s"regexp_replace($e, '${p.replace("'", "''")}', '$l', 'g')"
     }
     e

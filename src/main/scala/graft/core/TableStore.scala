@@ -49,6 +49,13 @@ object TableStore {
   /** Write `df` as the next version and atomically swap the pointer.
     * Returns the new version number. With `expectedVersion` set, fails if
     * another writer committed in between (optimistic concurrency).
+    *
+    * Race-safety: the version is written to a writer-private staging
+    * directory and then ATOMIC_MOVEd to `v_<n+1>` — of two concurrent
+    * writers that both passed the version check, exactly one wins the
+    * rename; the loser fails BEFORE the pointer swap and its staging dir is
+    * swept by `vacuum`. The early `expectedVersion` check is a cheap
+    * fast-fail, the rename is the arbiter.
     */
   def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None): Long = {
     Files.createDirectories(Paths.get(root))
@@ -58,7 +65,14 @@ object TableStore {
         s"stale write: expected version $exp but table is at ${cur.getOrElse("none")}")
     }
     val next = cur.getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(s"$root/v_$next")
+    val staging = Paths.get(root, s"_staging_${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    try Files.move(staging, Paths.get(root, s"v_$next"), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        throw new IllegalStateException(
+          s"concurrent commit won v_$next under $root; re-read and retry", e)
+    }
     // land the pointer content in a temp file first, then same-dir atomic
     // rename — readers never observe a partial pointer
     val tmp = Paths.get(root, s"_CURRENT.tmp_$next")
@@ -80,23 +94,24 @@ object TableStore {
     commit(next, root, expectedVersion = Some(base))
   }
 
-  /** Drop all but the newest `keep` versions (readers of dropped versions
+  /** Drop all but the newest `keep` versions plus any abandoned staging
+    * directories from crashed/lost commits (readers of dropped versions
     * must be drained first — same contract as Delta's VACUUM).
     */
   def vacuum(root: String, keep: Int = 2): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val cur = currentVersion(root).getOrElse(return)
     val dir = new java.io.File(root)
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(f => f.getName.stripPrefix("v_").toLong)
-      .sorted
-    versions.filter(v => v <= cur - keep).foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir, s"v_$v"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete(); ()
     }
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    entries.filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(f => f.getName.stripPrefix("v_").toLong)
+      .filter(v => v <= cur - keep)
+      .foreach(v => rm(new java.io.File(dir, s"v_$v")))
+    entries.filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
+      .foreach(rm)
   }
 }

@@ -91,8 +91,15 @@ final class BatchedProvider(val dim: Int,
         val out = transport.send(texts)
         require(out.length == texts.length,
           s"transport returned ${out.length} vectors for ${texts.length} texts")
+        // a model/dim misconfiguration must fail at the first call, not
+        // silently mix dimensions with the zero vectors of empty texts
+        require(out.forall(_.length == dim),
+          s"transport returned a ${out.find(_.length != dim).get.length}-dim vector, expected $dim")
         return out
       } catch {
+        // task cancellation (speculation, stage abort) must NOT be absorbed
+        // into the retry loop — propagate immediately
+        case e: InterruptedException => throw e
         case e: Exception if attempt < maxRetries =>
           Thread.sleep(initialBackoffMs * (1L << attempt))
           attempt += 1

@@ -154,15 +154,27 @@ object TextFunctions {
   /** Typed replacement labels for [[piiPatterns]], same order. */
   val piiLabels: Seq[String] = Seq("[EMAIL]", "[PHONE]", "[CARD]", "[SSN]")
 
+  /** Redaction ORDER differs from the [[piiPatterns]] list order: the card
+    * pattern must run before the phone pattern — the phone regex matches any
+    * 10 contiguous digits, so phone-first would rewrite the head of a 16-
+    * digit card number and leak its tail unredacted. (A real phone number is
+    * only 10 digits, so card-first can never half-match one.)
+    */
+  val redactionOrder: Seq[(String, String)] = {
+    val byLabel = piiPatterns.zip(piiLabels).map { case (p, l) => l -> p }.toMap
+    Seq("[EMAIL]", "[CARD]", "[PHONE]", "[SSN]").map(l => byLabel(l) -> l)
+  }
+
   /** PII/credential redaction — the scrub step a training corpus runs after
     * [[sensitivity_level]] flags rows: credentials first (so an embedded
     * token's digits can't half-match the card pattern), then each PII
-    * pattern with its typed label. Pure regexp_replace chain, map-only.
+    * pattern with its typed label in [[redactionOrder]]. Pure regexp_replace
+    * chain, map-only.
     */
   def redact(text: Column): Column = {
     var c = text
     credentialPatterns.foreach { p => c = regexp_replace(c, p, "[CREDENTIAL]") }
-    piiPatterns.zip(piiLabels).foreach { case (p, l) => c = regexp_replace(c, p, l) }
+    redactionOrder.foreach { case (p, l) => c = regexp_replace(c, p, l) }
     c
   }
 

@@ -19,18 +19,13 @@ import org.apache.spark.sql.functions._
   * }}}
   */
 object Cli {
-  def session(name: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(name)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  /** Delegates to [[graft.core.GraftSession]] — the one place that knows the
+    * engine's session defaults (AQE, UTC, nanosAsLong, function registry);
+    * a parallel builder here once drifted from it.
+    */
+  def session(name: String): SparkSession =
+    graft.core.GraftSession.get(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
 
   def opt(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
@@ -62,7 +57,8 @@ object Pipeline {
     val in = Cli.opt(args, "--in").getOrElse {
       System.err.println(
         "usage: Pipeline --in <chunks.jsonl> [--out <dir>] [--no-dedup] " +
-          "[--no-compress] [--summarize] [--target-k N] [--dim N]")
+          "[--no-compress] [--summarize] [--target-k N] [--dim N] " +
+          "[--max-group-size N]")
       sys.exit(2)
     }
     val spark = Cli.session("graft-pipeline")
@@ -72,6 +68,10 @@ object Pipeline {
       summarizeEnabled = Cli.flag(args, "--summarize"),
       targetK = Cli.opt(args, "--target-k").map(_.toInt).getOrElse(8))
     val dim = Cli.opt(args, "--dim").map(_.toInt).getOrElse(64)
+    // the whole file is one request group (the reference CLI's shape); the
+    // per-group algorithms are O(N^2)+, so refuse huge inputs with a usable
+    // message instead of dying on the operator's internal invariant
+    val maxGroupSize = Cli.opt(args, "--max-group-size").map(_.toInt).getOrElse(10000)
 
     // per-stage timing report (the reference returns stage timings with
     // every pipeline response, contextlab/broker.go:165-190 — here each
@@ -87,11 +87,20 @@ object Pipeline {
 
     val chunks = timed("read+embed") {
       val c = graft.util.OpCaches.trackPersist(Cli.loadChunks(spark, in, dim))
-      (c.count(), c)
+      val n = c.count()
+      if (n > maxGroupSize) {
+        System.err.println(
+          s"input has $n chunks but the pipeline's per-group algorithms are " +
+            s"quadratic; cap is $maxGroupSize. Raise --max-group-size if you " +
+            "accept the cost, or split the input into request groups.")
+        sys.exit(2)
+      }
+      (n, c)
     }
     val result = timed("dedup+compress") {
       val r = graft.util.OpCaches.trackPersist(
-        PipelineOps.dedupPipelineFused(chunks, "g", "ck", "text", "embedding", "score", cfg)
+        PipelineOps.dedupPipelineFused(chunks, "g", "ck", "text", "embedding", "score", cfg,
+          maxGroupSize = maxGroupSize)
           .join(chunks.select(col("ck"), col("orig_id")), "ck")
           .select(col("orig_id").as("id"), col("cluster_id"), col("mmr_rank"),
             col("score"), col("compressed")))

@@ -84,6 +84,16 @@ class Round5Spec extends AnyFunSuite with SparkTest {
     assert(rows("b")._2 > 0.0, "missing scores fall back to the quality score")
   }
 
+  test("redact: card numbers redact whole — the phone pattern must not eat their prefix") {
+    val out = Seq(Tuple1("pay 4111 1111 1111 1111 or call 555-123-4567 or mail a@b.co"))
+      .toDF("t").select(graft.functions.TextFunctions.redact(col("t")).as("r"))
+      .head().getString(0)
+    assert(out.contains("[CARD]"), out)
+    assert(out.contains("[PHONE]"), out)
+    assert(out.contains("[EMAIL]"), out)
+    assert(!out.exists(_.isDigit), s"digits leaked through redaction: $out")
+  }
+
   test("trainingMix refuses input columns it would silently clobber") {
     val df = Seq(("a", 10L, 1L)).toDF("source", "tokens", "ticket")
     val e = intercept[IllegalArgumentException] {

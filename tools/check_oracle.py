@@ -55,6 +55,12 @@ def main(sf_dir, out_dir, only=None):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    if only is not None:
+        # a typo'd filter name would otherwise be silently ignored and the
+        # gate would pass while validating nothing
+        for unknown in sorted(only - set(oracle)):
+            print(f"FAIL {unknown}: filter name not in oracle_sql.json")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         import os
         if only is not None and name not in only:
