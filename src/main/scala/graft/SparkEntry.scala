@@ -1098,10 +1098,10 @@ object SparkEntry {
     // The fixture is written by the query itself; the oracle is the
     // surviving rows as literals.
     "q92_jsonl_vectors" -> { (s, dir) =>
-      // per-invocation temp dir: a fixed shared path raced across concurrent
-      // harness JVMs (one truncating while the other's scan reads)
-      val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
-        .resolve("vectors.jsonl")
+      // per-JVM temp dir: unique across harness JVMs (a fixed shared path
+      // raced — one process truncating while another's scan reads) but
+      // reused within one, so repeated bench passes don't leak /tmp dirs
+      val p = fixtureDir.resolve("vectors.jsonl")
       val lines = Seq(
         """{"id":"v1","values":[1.0,2.0,3.0],"metadata":{"src":"a"}}""",
         """{"id":"v2","values":[0.5,0.25],"metadata":{"src":"b"}}""",
@@ -1120,8 +1120,7 @@ object SparkEntry {
     // S2 JSONL chunk scan: same contract over the chunk-record schema
     // (id/text/embedding/score/metadata), only null ids dropped.
     "q93_jsonl_chunks" -> { (s, dir) =>
-      val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
-        .resolve("chunks.jsonl")
+      val p = fixtureDir.resolve("chunks.jsonl")
       val lines = Seq(
         """{"id":"c1","text":"hello world","embedding":[0.5],"score":0.25,"metadata":{"k":"v"}}""",
         """{"id":"c2"}""",
@@ -1143,10 +1142,15 @@ object SparkEntry {
     // read-back proves batching and retry; batch composition is
     // deterministic (sorted single partition).
     "q94_batched_sink" -> { (s, dir) =>
-      // fresh temp dir per invocation: no cross-JVM collisions, and the
-      // retry markers start empty so the injected first-attempt failure
-      // always exercises the retry path
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+      // per-JVM base dir (no cross-JVM collisions, no unbounded /tmp leak),
+      // emptied per invocation so the retry markers start fresh and the
+      // injected first-attempt failure always exercises the retry path
+      val baseDir = sinkBaseDir
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete(); ()
+      }
+      Option(baseDir.listFiles()).getOrElse(Array.empty).foreach(rm)
       new java.io.File(baseDir, "out").mkdirs()
       new java.io.File(baseDir, "markers").mkdirs()
       val base = baseDir.getAbsolutePath
@@ -1265,6 +1269,16 @@ object SparkEntry {
           maxNllMicroPerToken = 20000000L))
     }
   )
+
+  /** Per-JVM scratch dirs for the self-written fixtures (q92-q94): unique
+    * per process so concurrent harness JVMs never race on a shared path,
+    * reused within a process so repeated bench/verify passes don't leak
+    * temp directories.
+    */
+  private lazy val fixtureDir: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_fixtures")
+  private lazy val sinkBaseDir: java.io.File =
+    java.nio.file.Files.createTempDirectory("graft_sink").toFile
 
   /** Deterministic memories-table analog over documents: timestamps derive
     * from doc_id so decay/recency tests are reproducible (time is data).

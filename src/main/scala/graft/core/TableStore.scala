@@ -46,16 +46,26 @@ object TableStore {
     spark.read.parquet(s"$root/v_$v")
   }
 
+  private def listVersionDirs(root: String): Seq[Long] = {
+    val dir = new java.io.File(root)
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .map(_.getName.stripPrefix("v_").toLong)
+  }
+
   /** Write `df` as the next version and atomically swap the pointer.
     * Returns the new version number. With `expectedVersion` set, fails if
     * another writer committed in between (optimistic concurrency).
     *
-    * Race-safety: the version is written to a writer-private staging
-    * directory and then ATOMIC_MOVEd to `v_<n+1>` — of two concurrent
-    * writers that both passed the version check, exactly one wins the
-    * rename; the loser fails BEFORE the pointer swap and its staging dir is
-    * swept by `vacuum`. The early `expectedVersion` check is a cheap
-    * fast-fail, the rename is the arbiter.
+    * Race/crash safety: the version is written to a writer-private staging
+    * directory and then ATOMIC_MOVEd into a version slot above BOTH the
+    * committed version and any existing version directory — so an orphan
+    * slot from a writer that crashed between rename and pointer swap never
+    * wedges later commits (they allocate past it; `vacuum` sweeps it after
+    * a grace period). Of two writers racing for the same slot, exactly one
+    * wins the rename; the loser fails BEFORE the pointer swap. The early
+    * `expectedVersion` check is a cheap fast-fail, the rename is the
+    * arbiter.
     */
   def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None): Long = {
     Files.createDirectories(Paths.get(root))
@@ -64,7 +74,8 @@ object TableStore {
       require(cur.contains(exp),
         s"stale write: expected version $exp but table is at ${cur.getOrElse("none")}")
     }
-    val next = cur.getOrElse(-1L) + 1
+    val next = math.max(cur.getOrElse(-1L),
+      listVersionDirs(root).foldLeft(-1L)(math.max)) + 1
     val staging = Paths.get(root, s"_staging_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
     try Files.move(staging, Paths.get(root, s"v_$next"), StandardCopyOption.ATOMIC_MOVE)
@@ -94,11 +105,14 @@ object TableStore {
     commit(next, root, expectedVersion = Some(base))
   }
 
-  /** Drop all but the newest `keep` versions plus any abandoned staging
-    * directories from crashed/lost commits (readers of dropped versions
-    * must be drained first — same contract as Delta's VACUUM).
+  /** Drop all but the newest `keep` versions, plus abandoned staging dirs
+    * and orphan version slots (a writer that crashed between rename and
+    * pointer swap) — but ONLY once they are older than `graceMs`, so vacuum
+    * never deletes an in-flight commit's files out from under it (readers
+    * of dropped versions must be drained first — same contract as Delta's
+    * VACUUM and its retention window).
     */
-  def vacuum(root: String, keep: Int = 2): Unit = {
+  def vacuum(root: String, keep: Int = 2, graceMs: Long = 60 * 60 * 1000L): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val cur = currentVersion(root).getOrElse(return)
     val dir = new java.io.File(root)
@@ -106,12 +120,17 @@ object TableStore {
       if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
       f.delete(); ()
     }
+    val now = System.currentTimeMillis()
+    def oldEnough(f: java.io.File): Boolean = now - f.lastModified() > graceMs
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
-    entries.filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .map(f => f.getName.stripPrefix("v_").toLong)
-      .filter(v => v <= cur - keep)
-      .foreach(v => rm(new java.io.File(dir, s"v_$v")))
-    entries.filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
+    val versioned = entries.filter(f => f.isDirectory && f.getName.startsWith("v_"))
+    // superseded history: always reclaimable
+    versioned.filter(f => f.getName.stripPrefix("v_").toLong <= cur - keep)
       .foreach(rm)
+    // orphans above the pointer and loser/crashed staging: age-gated
+    versioned.filter(f => f.getName.stripPrefix("v_").toLong > cur)
+      .filter(oldEnough).foreach(rm)
+    entries.filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
+      .filter(oldEnough).foreach(rm)
   }
 }

@@ -86,17 +86,14 @@ final class BatchedProvider(val dim: Int,
 
   private def sendWithRetry(texts: Seq[String]): Seq[Array[Float]] = {
     var attempt = 0
-    while (true) {
-      try {
-        val out = transport.send(texts)
-        require(out.length == texts.length,
-          s"transport returned ${out.length} vectors for ${texts.length} texts")
-        // a model/dim misconfiguration must fail at the first call, not
-        // silently mix dimensions with the zero vectors of empty texts
-        require(out.forall(_.length == dim),
-          s"transport returned a ${out.find(_.length != dim).get.length}-dim vector, expected $dim")
-        return out
-      } catch {
+    var out: Seq[Array[Float]] = null
+    while (out == null) {
+      // ONLY the transport call is retried — response-shape validation runs
+      // outside the catch, so a deterministic model/dim misconfiguration
+      // fails at the first call instead of burning maxRetries doomed
+      // network round-trips per batch
+      try out = transport.send(texts)
+      catch {
         // task cancellation (speculation, stage abort) must NOT be absorbed
         // into the retry loop — propagate immediately
         case e: InterruptedException => throw e
@@ -105,7 +102,11 @@ final class BatchedProvider(val dim: Int,
           attempt += 1
       }
     }
-    throw new IllegalStateException("unreachable")
+    require(out.length == texts.length,
+      s"transport returned ${out.length} vectors for ${texts.length} texts")
+    require(out.forall(_.length == dim),
+      s"transport returned a ${out.find(_.length != dim).get.length}-dim vector, expected $dim")
+    out
   }
 
   def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {

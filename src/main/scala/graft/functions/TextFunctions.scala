@@ -162,7 +162,12 @@ object TextFunctions {
     */
   val redactionOrder: Seq[(String, String)] = {
     val byLabel = piiPatterns.zip(piiLabels).map { case (p, l) => l -> p }.toMap
-    Seq("[EMAIL]", "[CARD]", "[PHONE]", "[SSN]").map(l => byLabel(l) -> l)
+    val ordered = Seq("[EMAIL]", "[CARD]", "[PHONE]", "[SSN]").map(l => byLabel(l) -> l)
+    // a pattern added to piiPatterns without a slot here would be flagged by
+    // sensitivity_level but silently skipped by redact — fail construction
+    require(ordered.length == piiPatterns.length,
+      "redactionOrder must cover every piiPatterns entry")
+    ordered
   }
 
   /** PII/credential redaction — the scrub step a training corpus runs after

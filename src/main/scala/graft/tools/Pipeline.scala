@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
   /** Delegates to [[graft.core.GraftSession]] — the one place that knows the
-    * engine's session defaults (AQE, UTC, nanosAsLong, function registry);
-    * a parallel builder here once drifted from it.
+    * engine's session defaults (AQE, UTC, nanosAsLong); a parallel builder
+    * here once drifted from it. Only the app name is CLI-specific.
     */
-  def session(name: String): SparkSession =
-    graft.core.GraftSession.get(
-      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+  def session(name: String): SparkSession = {
+    val s = graft.core.GraftSession
+      .builder(cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+      .appName(name)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
 
   def opt(args: Array[String], name: String): Option[String] = {
     val i = args.indexOf(name)
@@ -88,11 +94,14 @@ object Pipeline {
     val chunks = timed("read+embed") {
       val c = graft.util.OpCaches.trackPersist(Cli.loadChunks(spark, in, dim))
       val n = c.count()
-      if (n > maxGroupSize) {
+      // the quadratic per-group algorithms only run when dedup is on; the
+      // --no-dedup path is linear and takes any size
+      if (cfg.dedupEnabled && n > maxGroupSize) {
         System.err.println(
-          s"input has $n chunks but the pipeline's per-group algorithms are " +
-            s"quadratic; cap is $maxGroupSize. Raise --max-group-size if you " +
-            "accept the cost, or split the input into request groups.")
+          s"input has $n chunks but the dedup stage's per-group algorithms " +
+            s"are quadratic; cap is $maxGroupSize. Raise --max-group-size if " +
+            "you accept the cost, split the input into request groups, or " +
+            "pass --no-dedup.")
         sys.exit(2)
       }
       (n, c)
