@@ -56,4 +56,33 @@ class TableStoreSpec extends AnyFunSuite with SparkTest {
     assert(new java.io.File(root, "v_1").exists())
     assert(TableStore.read(spark, root).count() == 2)
   }
+
+  test("an orphan version slot (crash between rename and pointer swap) never wedges commits") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_orphan").toString
+    TableStore.commit(memFixture, root) // v0 committed
+    // simulate a writer that renamed its staging dir to v_1 and died before
+    // swapping the pointer
+    assert(new java.io.File(root, "v_1").mkdirs())
+    // next commit must allocate PAST the orphan instead of failing forever
+    val v = TableStore.commit(memFixture, root)
+    assert(v == 2, s"expected the orphan slot to be skipped, got v$v")
+    assert(TableStore.currentVersion(root).contains(2L))
+    assert(TableStore.read(spark, root).count() == 3)
+    // once the table moved past it, the under-pointer orphan is superseded
+    // history — plain retention sweeps it
+    TableStore.vacuum(root, keep = 1)
+    assert(!new java.io.File(root, "v_1").exists())
+
+    // ABOVE-pointer orphans and staging dirs are age-gated: fresh ones could
+    // be an in-flight commit, aged ones are crash debris
+    assert(new java.io.File(root, "v_9").mkdirs())
+    assert(new java.io.File(root, "_staging_deadbeef").mkdirs())
+    TableStore.vacuum(root, keep = 1)
+    assert(new java.io.File(root, "v_9").exists(), "fresh above-pointer slot must survive the grace window")
+    assert(new java.io.File(root, "_staging_deadbeef").exists(), "fresh staging must survive the grace window")
+    TableStore.vacuum(root, keep = 1, graceMs = 0L)
+    assert(!new java.io.File(root, "v_9").exists(), "aged orphan slot must be swept")
+    assert(!new java.io.File(root, "_staging_deadbeef").exists(), "aged staging must be swept")
+    assert(TableStore.read(spark, root).count() == 3)
+  }
 }
