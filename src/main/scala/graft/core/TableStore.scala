@@ -58,14 +58,19 @@ object TableStore {
     * another writer committed in between (optimistic concurrency).
     *
     * Race/crash safety: the version is written to a writer-private staging
-    * directory and then ATOMIC_MOVEd into a version slot above BOTH the
-    * committed version and any existing version directory — so an orphan
-    * slot from a writer that crashed between rename and pointer swap never
-    * wedges later commits (they allocate past it; `vacuum` sweeps it after
-    * a grace period). Of two writers racing for the same slot, exactly one
-    * wins the rename; the loser fails BEFORE the pointer swap. The early
-    * `expectedVersion` check is a cheap fast-fail, the rename is the
-    * arbiter.
+    * directory and then ATOMIC_MOVEd into a version slot. With
+    * `expectedVersion` set, the slot is FORCED to `expected + 1`, so the
+    * rename itself arbitrates optimistic concurrency: any concurrent commit
+    * based on the same snapshot targets the same slot, exactly one rename
+    * wins, and the loser fails BEFORE the pointer swap. Without
+    * `expectedVersion`, the slot is allocated above both the committed
+    * version and any existing directory (orphans from crashed writers never
+    * wedge later commits — they allocate past them; `vacuum` sweeps the
+    * debris after a grace period). In both modes the pointer is re-read
+    * after the rename and the swap is refused if it would regress `_CURRENT`
+    * or no longer matches `expectedVersion` — a paused writer waking after a
+    * later commit cannot roll the table back; its slot becomes vacuumable
+    * debris and the commit fails loudly.
     */
   def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None): Long = {
     Files.createDirectories(Paths.get(root))
@@ -74,15 +79,45 @@ object TableStore {
       require(cur.contains(exp),
         s"stale write: expected version $exp but table is at ${cur.getOrElse("none")}")
     }
-    val next = math.max(cur.getOrElse(-1L),
-      listVersionDirs(root).foldLeft(-1L)(math.max)) + 1
+    val next = expectedVersion match {
+      // forced slot: the rename is the one true arbiter for this snapshot.
+      // An orphan already squatting above `exp` fails the commit — the safe
+      // outcome, since that orphan means another writer got past `exp`.
+      case Some(exp) => exp + 1
+      case None => math.max(cur.getOrElse(-1L),
+        listVersionDirs(root).foldLeft(-1L)(math.max)) + 1
+    }
+    val slot = Paths.get(root, s"v_$next")
     val staging = Paths.get(root, s"_staging_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
-    try Files.move(staging, Paths.get(root, s"v_$next"), StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    // claim the slot with an atomic createDirectory — rename(2) would
+    // silently REPLACE an empty squatting directory, so the create is the
+    // arbiter and the move then lands onto our own empty claim
+    try {
+      Files.createDirectory(slot)
+      // rename(2) atomically replaces the (empty) claim we just created
+      Files.move(staging, slot, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
       case e: java.nio.file.FileSystemException =>
         throw new IllegalStateException(
           s"concurrent commit won v_$next under $root; re-read and retry", e)
+    }
+    // refresh the slot's mtime so vacuum's grace window covers the
+    // rename→swap gap even if the staging write took longer than graceMs
+    slot.toFile.setLastModified(System.currentTimeMillis())
+    // Guard the swap: re-read the pointer and refuse to regress it. The
+    // rename already arbitrated same-slot races; this closes the cross-slot
+    // hole (another writer committed a DIFFERENT slot since we read `cur`).
+    val nowCur = currentVersion(root)
+    val superseded = expectedVersion match {
+      case Some(exp) => !nowCur.contains(exp)
+      case None      => nowCur.exists(_ >= next)
+    }
+    if (superseded) {
+      rmTree(slot.toFile) // never referenced by the pointer; safe to drop
+      throw new IllegalStateException(
+        s"stale write: table moved to ${nowCur.map("v_" + _).getOrElse("none")} " +
+          s"while committing v_$next under $root; re-read and retry")
     }
     // land the pointer content in a temp file first, then same-dir atomic
     // rename — readers never observe a partial pointer
@@ -91,6 +126,11 @@ object TableStore {
     Files.move(tmp, currentPtr(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     next
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree) }
+    f.delete(); ()
   }
 
   /** Rewrite-on-MERGE: read current state, apply `transform`, commit the
@@ -111,26 +151,35 @@ object TableStore {
     * never deletes an in-flight commit's files out from under it (readers
     * of dropped versions must be drained first — same contract as Delta's
     * VACUUM and its retention window).
+    *
+    * Concurrency contract: `commit` refreshes its slot's mtime right after
+    * the rename, so a live writer inside the rename→swap gap is protected
+    * for a further `graceMs`; the pointer is also re-read immediately before
+    * each orphan delete, so a writer that completed its swap mid-vacuum is
+    * never deleted. A writer PAUSED longer than `graceMs` inside that gap is
+    * still exposed — run vacuum from the same process as commits (or hold an
+    * external lock) when pauses that long are possible.
     */
   def vacuum(root: String, keep: Int = 2, graceMs: Long = 60 * 60 * 1000L): Unit = {
     require(keep >= 1, "must keep at least the current version")
     val cur = currentVersion(root).getOrElse(return)
     val dir = new java.io.File(root)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-      f.delete(); ()
-    }
     val now = System.currentTimeMillis()
     def oldEnough(f: java.io.File): Boolean = now - f.lastModified() > graceMs
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
     val versioned = entries.filter(f => f.isDirectory && f.getName.startsWith("v_"))
     // superseded history: always reclaimable
     versioned.filter(f => f.getName.stripPrefix("v_").toLong <= cur - keep)
-      .foreach(rm)
-    // orphans above the pointer and loser/crashed staging: age-gated
+      .foreach(rmTree)
+    // orphans above the pointer and loser/crashed staging: age-gated, and
+    // re-checked against a fresh pointer read right before each delete
     versioned.filter(f => f.getName.stripPrefix("v_").toLong > cur)
-      .filter(oldEnough).foreach(rm)
+      .filter(oldEnough)
+      .foreach { f =>
+        val v = f.getName.stripPrefix("v_").toLong
+        if (!currentVersion(root).exists(_ >= v)) rmTree(f)
+      }
     entries.filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
-      .filter(oldEnough).foreach(rm)
+      .filter(oldEnough).foreach(rmTree)
   }
 }

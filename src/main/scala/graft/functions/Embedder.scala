@@ -92,7 +92,10 @@ final class BatchedProvider(val dim: Int,
       // outside the catch, so a deterministic model/dim misconfiguration
       // fails at the first call instead of burning maxRetries doomed
       // network round-trips per batch
-      try out = transport.send(texts)
+      // a null return is a transport failure like any other — it must burn
+      // an attempt and back off, not spin the loop forever
+      try out = Option(transport.send(texts)).getOrElse(
+        throw new java.io.IOException("transport returned null"))
       catch {
         // task cancellation (speculation, stage abort) must NOT be absorbed
         // into the retry loop — propagate immediately
@@ -186,7 +189,14 @@ final class HttpJsonTransport(endpoint: String, model: String,
           case Some(items) => items.map {
             case JObj(f) => f.collectFirst {
               case ("embedding", JArr(nums)) =>
-                nums.map { case JNum(raw) => raw.toFloat; case _ => 0f }.toArray
+                nums.map {
+                  case JNum(raw) => raw.toFloat
+                  // a null/string element means a malformed response — fail
+                  // loudly rather than smuggle zero components past the
+                  // provider's dim check
+                  case other => throw new java.io.IOException(
+                    s"non-numeric embedding element: $other")
+                }.toArray
             }.getOrElse(throw new java.io.IOException("data item without embedding"))
             case _ => throw new java.io.IOException("non-object data item")
           }

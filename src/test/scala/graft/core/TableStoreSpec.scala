@@ -85,4 +85,55 @@ class TableStoreSpec extends AnyFunSuite with SparkTest {
     assert(!new java.io.File(root, "_staging_deadbeef").exists(), "aged staging must be swept")
     assert(TableStore.read(spark, root).count() == 3)
   }
+
+  test("expectedVersion forces the slot: an orphan above the base version fails the commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_forced").toString
+    TableStore.commit(memFixture, root) // v0
+    // another writer got past v0 (renamed v_1, not yet swapped — or crashed).
+    // A commit based on v0 must fail at the rename, NOT allocate v_2 and
+    // silently supersede it.
+    assert(new java.io.File(root, "v_1").mkdirs())
+    val e = intercept[IllegalStateException] {
+      TableStore.commit(memFixture, root, expectedVersion = Some(0L))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(TableStore.currentVersion(root).contains(0L), "pointer must be untouched")
+    // an UNCONDITIONAL commit still allocates past the orphan as before
+    assert(TableStore.commit(memFixture, root) == 2)
+  }
+
+  test("two concurrent writers on the same snapshot: exactly one commit wins") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_race").toString
+    TableStore.commit(memFixture, root) // v0
+    val base = TableStore.currentVersion(root).get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt(tag: String) = scala.concurrent.Future {
+      gate.await()
+      try Right(TableStore.commit(
+        memFixture.withColumn("writer", lit(tag)), root, expectedVersion = Some(base)))
+      catch { case e: IllegalStateException => Left(e) }
+    }
+    val fa = attempt("A"); val fb = attempt("B")
+    gate.countDown()
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(fa, fb)), scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    val (losers, winners) = results.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner, got $results")
+    assert(winners.head.toOption.contains(base + 1))
+    assert(TableStore.currentVersion(root).contains(base + 1))
+    // the winner's state is the one on disk, readable and complete
+    assert(TableStore.read(spark, root).count() == 3)
+    // the loser left no version slot behind (its rename lost, or its slot was
+    // removed by the superseded-swap guard); any staging debris is vacuumable
+    TableStore.vacuum(root, keep = 1, graceMs = 0L)
+    val leftover = new java.io.File(root).listFiles()
+      .filter(f => f.getName.startsWith("_staging_") || f.getName == s"v_${base + 2}")
+    assert(leftover.isEmpty, s"loser debris must be vacuumable: ${leftover.mkString(",")}")
+    assert(TableStore.read(spark, root).count() == 3)
+  }
 }

@@ -75,6 +75,32 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("down") || e.getCause != null)
   }
 
+  test("BatchedProvider treats a null transport return as a retryable failure, not an infinite loop") {
+    TransportProbe.reset()
+    val nullOnce = new EmbeddingTransport {
+      def send(batch: Seq[String]): Seq[Array[Float]] = {
+        // first attempt returns null (misbehaving transport); retry succeeds
+        if (TransportProbe.calls.incrementAndGet() == 1) null
+        else batch.map(t => Array.fill(2)(t.length.toFloat))
+      }
+    }
+    val provider = new BatchedProvider(dim = 2, nullOnce,
+      batchSize = 10, maxRetries = 2, initialBackoffMs = 1)
+    val out = provider.embed(Seq((1L, "abc")).toDF("id", "text"), "text", "emb").collect()
+    assert(out.head.getAs[scala.collection.Seq[Float]]("emb") == Seq(3f, 3f))
+    assert(TransportProbe.calls.get() == 2, "null return must burn exactly one attempt")
+
+    val alwaysNull = new EmbeddingTransport {
+      def send(batch: Seq[String]): Seq[Array[Float]] = null
+    }
+    val capped = new BatchedProvider(dim = 2, alwaysNull,
+      batchSize = 10, maxRetries = 1, initialBackoffMs = 1)
+    // must terminate under the retry cap instead of spinning forever
+    intercept[org.apache.spark.SparkException] {
+      capped.embed(Seq((1L, "x")).toDF("id", "text"), "text", "emb").collect()
+    }
+  }
+
   test("HttpJsonTransport parses the OpenAI-style response shape") {
     val t = new HttpJsonTransport("http://localhost:0/none", "m")
     val vecs = t.parseEmbeddings(
@@ -86,5 +112,12 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
     assert(vecs(0).toSeq == Seq(0.25f, -1.5f))
     assert(vecs(1).toSeq == Seq(2f, 3f))
     intercept[java.io.IOException] { t.parseEmbeddings("""{"no":"data"}""") }
+    // malformed elements must throw, never coerce to 0f and corrupt vectors
+    intercept[java.io.IOException] {
+      t.parseEmbeddings("""{"data":[{"embedding":[0.25,null,1.0]}]}""")
+    }
+    intercept[java.io.IOException] {
+      t.parseEmbeddings("""{"data":[{"embedding":["oops"]}]}""")
+    }
   }
 }
