@@ -1267,6 +1267,23 @@ object SparkEntry {
           minQualityMicro = 300000L, dedup = true, sampleFraction = 0.9,
           maxDupSegPermille = 500, maxTopBigramPermille = 900,
           maxNllMicroPerToken = 20000000L))
+    },
+
+    // Boilerplate-heavy planted fixture for the similarity-join scale guard:
+    // EVERY document gets the same footer appended, so the footer's 3-gram
+    // shingles occur in the entire corpus (df = N >> 100) — the shape where
+    // an uncapped inverted index funnels candidate generation through
+    // corpus-sized posting lists (the executor-OOM single key at 100 TB).
+    // With maxShingleFreq = 100 the footer shingles drop from the universe,
+    // every posting list is provably <= 100 docs, and the result is the
+    // exact jaccard over the surviving shingle sets — replayed verbatim by
+    // the oracle.
+    "q102_capped_jaccard" -> { (s, dir) =>
+      val footer = " subscribe to our newsletter today and follow all our updates online"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
+      graft.operators.DedupOps.jaccardPairs(
+        docs, "text", "doc_id", n = 3, threshold = 0.6, maxShingleFreq = 100L)
     }
   )
 
@@ -1766,6 +1783,8 @@ object SparkEntry {
       s"SELECT doc_id, length(${pruneOracleExpr("text")}) AS pruned_len FROM documents",
     "q16_importance" ->
       s"SELECT doc_id, ${importanceOracleExpr("text")} AS imp FROM documents",
+    // Replays the default-on stop-shingle cap: jaccard over each doc's
+    // shingles that occur in <= 1000 documents (the capped universe).
     "q17_neardup_jaccard" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -1773,8 +1792,39 @@ object SparkEntry {
         |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
         |      ELSE [trim(text)] END AS sh
         |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
-        |), sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |), e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |freq AS (SELECT g, count(*) AS gdf FROM e0 GROUP BY g),
+        |e AS (SELECT doc_id, g FROM e0 JOIN freq USING (g) WHERE gdf <= 1000),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ida, idb, CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = ida
+        |JOIN sz sb ON sb.doc_id = idb
+        |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.6""".stripMargin,
+    // Boilerplate-heavy planted fixture: every document carries the same
+    // appended footer, so its shingles hit the whole corpus (df = N >> cap)
+    // and an uncapped run would funnel all candidate generation through
+    // corpus-sized posting lists. With the cap the footer shingles drop from
+    // the universe and the plan stays bounded at <= 100 docs per posting.
+    "q102_capped_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' subscribe to our newsletter today and follow all our updates online' AS text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM d)
+        |), e0 AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |freq AS (SELECT g, count(*) AS gdf FROM e0 GROUP BY g),
+        |e AS (SELECT doc_id, g FROM e0 JOIN freq USING (g) WHERE gdf <= 100),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM e GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ninter
         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id

@@ -102,45 +102,65 @@ object DedupOps {
     * Σ_g (docs containing g choose 2), the classic "similarity join by key"
     * plan that survives corpus-scale data.
     *
-    * `maxShingleFreq` (optional) drops shingles occurring in more than that
-    * many documents before pairing — the standard stop-shingle guard against
-    * quadratic blowup on boilerplate at scale (0 = off, exact result).
+    * `maxShingleFreq` is the stop-shingle guard, ON by default: shingles
+    * occurring in more than that many documents are boilerplate — they carry
+    * no dedup signal, and their posting lists are the one unbounded memory
+    * shape in this join (a shingle shared by half a 100 TB corpus is a
+    * corpus-sized single key). With the cap engaged the result is the EXACT
+    * Jaccard over each document's surviving shingle set (stop-word-removal
+    * semantics, deterministic and oracle-replayable); every per-key posting
+    * list — and therefore every aggregation buffer and per-key pair fan-out —
+    * is bounded by the cap. Pass 0 to opt out (exact full-universe result;
+    * only safe when the corpus is known boilerplate-free).
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String, n: Int,
-                   threshold: Double, maxShingleFreq: Long = 0L): DataFrame = {
-    // Materialize shingle arrays once: the shingling expression feeds four
-    // plan branches (frequency count, prefix window, both verify joins) and
-    // would otherwise be recomputed per branch.
-    val sh = df.select(col(idCol).as("doc_id"), wordShingleHashes(col(textCol), n).as("sh"))
-      .persistTracked
-    val withSize = sh.withColumn("nsh", size(col("sh")))
-    var ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    if (maxShingleFreq > 0) {
-      val keep = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
-        .filter(col("gdf") <= maxShingleFreq)
-        .select("g")
-      ex = ex.join(keep, "g")
-    }
-    // Prefix filtering (PPJoin family): order each doc's shingles by global
-    // rarity (doc frequency asc, shingle asc — one consistent total order)
-    // and index only the first |sh| - ceil(t*|sh|) + 1. Any pair with J >= t
-    // must collide on a prefix shingle, so the candidate set stays exact
-    // while the inverted index drops ~t of its postings — the piece that
-    // keeps this join subquadratic on boilerplate-heavy corpora.
-    val freq = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("gdf").asc, col("g").asc)
-    val prefix = ex.join(freq, "g")
-      .withColumn("rn", row_number().over(wDoc))
-      .join(withSize.select(col("doc_id"), col("nsh")), "doc_id")
-      .filter(col("rn") <= col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
-      .select(col("doc_id"), col("g"))
-    // candidate generation inverts the prefix postings with ONE aggregation
-    // (sorted doc list per shingle, pairs generated in-memory per list) —
-    // the prefix⋈prefix self-join form exchanged the posting table twice
-    // and sorted it for the SMJ. Per-key pair counts are quadratic in the
-    // posting size either way; the prefix filter (and maxShingleFreq on
-    // boilerplate-heavy corpora) is what bounds them.
-    val candidates = prefix.groupBy(col("g"))
+                   threshold: Double, maxShingleFreq: Long = 1000L): DataFrame = {
+    // Per-doc distinct shingle arrays, map-only — these arrays ARE the
+    // similarity sets, so the cap is applied to them in place rather than
+    // exploding and re-grouping the corpus (which would round-trip every
+    // posting row through a doc-keyed exchange). Deliberately NOT
+    // persisted: re-running the cheap map-only shingling UDF for the
+    // frequency branch measures faster than a corpus-wide array cache.
+    val shTab = df.select(col(idCol).as("doc_id"),
+      wordShingleHashes(col(textCol), n).as("sh0"))
+    val cappedTab =
+      if (maxShingleFreq > 0) {
+        // Applying the cap needs only the OVER-cap shingles: the frequency
+        // aggregation partial-aggregates map-side and keeps just the
+        // (tiny, Zipf-tail) hot set, folded to a one-row array that
+        // broadcast-crossJoins the corpus — each doc's array drops its
+        // boilerplate members map-side, no posting-table shuffle at all.
+        // (A corpus whose hot set outgrows a broadcast has a vocabulary
+        // problem a similarity join can't fix; the cap exists precisely
+        // because that tail is short.)
+        val hot = shTab.select(explode(col("sh0")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") > maxShingleFreq)
+          .agg(collect_list(col("g")).as("hot"))
+        shTab.crossJoin(broadcast(hot))
+          .select(col("doc_id"),
+            sort_array(array_except(col("sh0"), col("hot"))).as("sh"))
+      } else shTab.select(col("doc_id"), sort_array(col("sh0")).as("sh"))
+    val docs = cappedTab
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+      // Prefix filtering (PPJoin family): index only the first
+      // |sh| - ceil(t*|sh|) + 1 shingles under a consistent global total
+      // order. The theorem needs ANY total order, not rarity order: hash
+      // order costs a few extra candidates on mid-frequency shingles
+      // (bounded by the cap) but removes the rarity join over the full
+      // posting table. Any pair with J >= t must collide on a prefix
+      // shingle, so the candidate set stays exact (over the capped
+      // universe) while the inverted index drops ~t of its postings.
+      .withColumn("prefix", slice(col("sh"), lit(1),
+        (col("nsh") - ceil(lit(threshold) * col("nsh")) + 1).cast("int")))
+      .persistTracked // feeds candidate generation and both verify joins
+    // candidate generation inverts the prefix postings with one aggregation
+    // (sorted doc list per shingle, pairs generated in-memory per list);
+    // with the cap engaged each list — and its pair fan-out — is bounded by
+    // maxShingleFreq (prefix postings are a subset of full postings).
+    val candidates = docs.select(col("doc_id"), explode(col("prefix")).as("g"))
+      .groupBy(col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) >= 2)
       .select(explode(flatten(transform(col("docs"), (a, i) =>
@@ -149,8 +169,8 @@ object DedupOps {
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .distinct()
     candidates
-      .join(withSize.select(col("doc_id").as("ida"), col("sh").as("sha"), col("nsh").as("na")), "ida")
-      .join(withSize.select(col("doc_id").as("idb"), col("sh").as("shb"), col("nsh").as("nb")), "idb")
+      .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha"), col("nsh").as("na")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("sh").as("shb"), col("nsh").as("nb")), "idb")
       // length filter: J >= t forces t*|B| <= |A| (and vice versa) — prunes
       // candidates before the O(|A|*|B|) intersection, still exact.
       .filter(col("na") >= lit(threshold) * col("nb") && col("nb") >= lit(threshold) * col("na"))
@@ -614,27 +634,40 @@ object DedupOps {
   /** Near-dup candidate pairs by shared winnowing fingerprints: docs that
     * share >= `minShared` distinct selected gram hashes. The join is keyed
     * on fp_hash (an inverted index shuffle, never all-pairs); hashes hitting
-    * more than `maxHashFreq` docs are dropped first — the boilerplate guard
-    * that keeps posting lists bounded on 100 TB corpora (same role as
-    * `maxShingleFreq` in [[jaccardPairs]]).
+    * more than `maxHashFreq` docs are dropped first (ON by default) — the
+    * boilerplate guard that keeps posting lists bounded on 100 TB corpora
+    * (same role as `maxShingleFreq` in [[jaccardPairs]]; 0 = explicit
+    * opt-out).
     */
   def fingerprintNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                               k: Int = 3, w: Int = 4, minShared: Int = 2,
-                              maxHashFreq: Long = 0L): DataFrame = {
+                              maxHashFreq: Long = 1000L): DataFrame = {
     val d = winnowFingerprints(df, textCol, idCol, k, w)
       .select(col("doc_id"), col("fp_hash")).distinct()
-    // Invert with ONE aggregation keyed on the hash: each posting list
-    // arrives sorted and frequency-capped in the same pass (the old
-    // count+join-back plus posting⋈posting self-join cost three exchanges
-    // of the posting table and an SMJ sort; this is one exchange), then
-    // pairs generate in-memory per list — bounded at maxHashFreq²/2 per
-    // hash. With no cap a boilerplate hash makes the list (and its pair
-    // blowup) corpus-sized, exactly as the self-join form did — always set
-    // the cap on real corpora.
-    val lists = d.groupBy(col("fp_hash"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) >= 2 &&
-        (if (maxHashFreq > 0) size(col("docs")) <= maxHashFreq else lit(true)))
+    // With the cap engaged (the default), hash document-frequencies are
+    // counted FIRST — a pure count aggregation that partial-aggregates
+    // map-side, so no posting list ever materializes for an over-cap key —
+    // and only surviving keys reach the posting-list aggregation, whose
+    // per-key buffers are then bounded by maxHashFreq (and the per-key pair
+    // fan-out by maxHashFreq²/2). The earlier single-pass form filtered
+    // AFTER collect_list, which still buffered a corpus-sized array for a
+    // boilerplate hash before dropping it.
+    val lists =
+      if (maxHashFreq > 0) {
+        val dp = d.persistTracked // feeds the count pass and the keyed join
+        val keep = dp.groupBy(col("fp_hash")).agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") >= 2 && col("hdf") <= maxHashFreq)
+          .select("fp_hash")
+        dp.join(keep, "fp_hash")
+          .groupBy(col("fp_hash"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      } else {
+        // explicit opt-out: exact over all hashes, single aggregation —
+        // only safe when the corpus is known boilerplate-free
+        d.groupBy(col("fp_hash"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) >= 2)
+      }
     lists.select(explode(
         flatten(transform(col("docs"), (a, i) =>
           transform(slice(col("docs"), i + lit(2), size(col("docs"))),

@@ -81,6 +81,76 @@ class DedupOpsSpec extends AnyFunSuite with SparkTest {
     assert(out.size == 2)
   }
 
+  test("stop-shingle cap drops boilerplate postings; opt-out keeps the full universe") {
+    import spark.implicits._
+    // every doc carries the same 12-word footer; unique leading content.
+    // Footer shingles have df = 8 — the corpus-sized posting key.
+    val footer = "subscribe to our newsletter today and follow all our updates online now"
+    val uniq = Seq("alpha bravo charlie", "delta echo foxtrot", "golf hotel india",
+      "juliet kilo lima", "mike november oscar", "papa quebec romeo")
+      .zipWithIndex.map { case (t, i) => (i.toLong, s"$t $footer") }
+    val near = Seq(
+      (100L, s"planted near duplicate content with many shared words in this long body $footer"),
+      (101L, s"planted near duplicate content with many shared words in this long text $footer"))
+    val df = (uniq ++ near).toDF("doc_id", "text")
+    // capped: footer shingles (df 8 > 4) leave the universe; only the
+    // planted near-dup pair survives, scored on its own content
+    val capped = DedupOps.jaccardPairs(df, "text", "doc_id", n = 3,
+      threshold = 0.5, maxShingleFreq = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // opt-out: the shared footer dominates every pair — the quadratic
+    // blowup shape the cap exists to prevent
+    val uncapped = DedupOps.jaccardPairs(df, "text", "doc_id", n = 3,
+      threshold = 0.5, maxShingleFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 10, s"footer must pair (nearly) everyone, got ${uncapped.size}")
+  }
+
+  test("jaccardPairs prefix machinery is exact vs naive all-pairs (cap disengaged)") {
+    import spark.implicits._
+    val vocab = "aa bb cc dd ee ff gg hh".split(" ")
+    for (seed <- 0 until 3) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      val naive = {
+        val sets = rows.map { case (id, t) => id -> DedupOps.shingleHashes(t, 2).toSet }
+        (for {
+          (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+          inter = (sa & sb).size.toDouble
+          j = inter / (sa.size + sb.size - inter) if j >= 0.6
+        } yield (ia, ib, math.round(j * 1e9))).toSet
+      }
+      val got = DedupOps.jaccardPairs(rows.toDF("doc_id", "text"), "text", "doc_id",
+          n = 2, threshold = 0.6, maxShingleFreq = 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      assert(got == naive, s"seed $seed: spark ${got.size} vs naive ${naive.size}")
+    }
+  }
+
+  test("fingerprint near-dup cap pre-filters keys before any posting list is collected") {
+    import spark.implicits._
+    // 10 docs, all containing one shared boilerplate phrase (long enough to
+    // survive winnowing) plus unique content; 2 docs are near-identical.
+    val boiler = "all rights reserved see terms of service for more details here"
+    val rows = (0 until 8).map(i =>
+      (i.toLong, s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e $boiler")) ++
+      Seq((100L, s"planted doc same words one two three four five six seven $boiler"),
+          (101L, s"planted doc same words one two three four five six eight $boiler"))
+    val df = rows.toDF("doc_id", "text")
+    val capped = DedupOps.fingerprintNearDupPairs(df, "text", "doc_id",
+      k = 3, w = 4, minShared = 2, maxHashFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"got $capped")
+    // with the cap off, boilerplate fingerprints pair every doc combination
+    val uncapped = DedupOps.fingerprintNearDupPairs(df, "text", "doc_id",
+      k = 3, w = 4, minShared = 2, maxHashFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 20, s"expected boilerplate pair blowup, got ${uncapped.size}")
+  }
+
   test("dedup sweep keeps one representative per connected dup group") {
     val pairs = DedupOps.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
     val out = DedupOps.dedupSweep(docs, pairs, "doc_id")
