@@ -284,12 +284,23 @@ object SparkEntry {
         .select(col("ida"), col("idb"))
     },
 
-    // C1 agglomerative clustering per request group (flatMapGroups);
-    // deterministic but not SQL-expressible -> rows-only.
+    // C1 request-scale agglomerative clustering with PLANTED exact
+    // duplicates (the q64 recipe through the per-group path): 50 copies at
+    // vec_id+1000000 merge with their originals at distance 0, while max
+    // pairwise cosine 0.51 keeps every other pair at distance >= 0.49 >
+    // threshold 0.15 — so the merge sequence is closed-form. Merges always
+    // fold the higher index into the lower and copies sort after all
+    // originals, so surviving nodes are exactly the originals in id order:
+    // cluster_id = the original's 0-based rank within its label group, and
+    // each planted copy inherits its original's id. Merge-heavy generic
+    // thresholds stay property-tested in ClusterAlgsSpec.
     "q23_agglomerative" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
       graft.operators.ClusterOps.agglomerativeCluster(
-        Tables.embeddings(s, dir), "label", "vec_id", "embedding",
-        graft.operators.ClusterAlgs.ClusterConfig(threshold = 0.95))
+        emb.unionByName(planted), "label", "vec_id", "embedding",
+        graft.operators.ClusterAlgs.ClusterConfig(threshold = 0.15))
     },
 
     // A2/C4 representative-by-score selection — windows, oracle-checked.
@@ -311,11 +322,25 @@ object SparkEntry {
         chunks, "request_group", "doc_id", "embedding", "score", lambda = 0.5, k = 8)
     },
 
-    // C2 K-Means dedup with medoid pruning (Spark ML); rows-only.
+    // C2 K-Means dedup with PLANTED separable clusters at k = 15 (the q95
+    // recipe, wider geometry): every row sits exactly on one of 15 one-hot
+    // locations (vec_id % 15). k-means++ never re-picks a zero-cost
+    // duplicate while distinct locations remain, so each centroid converges
+    // onto one location; all members are then identical, the medoid (min id
+    // per residue class) is the only kept row, and pruning drops the rest.
+    // Spark ML's cluster indices aren't replayable, so the output
+    // canonicalizes each cluster to its min member id — closed-form:
+    // vec_id % 15. The generic K = sqrt(N/2) path stays spec-tested.
     "q26_kmeans_dedup" -> { (s, dir) =>
-      graft.operators.ClusterOps.kmeansDedup(
-        Tables.embeddings(s, dir), "vec_id", "embedding")
-        .select(col("vec_id"), col("cluster"), col("kept"))
+      val oneHot = Tables.embeddings(s, dir).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(sequence(lit(0), lit(14)),
+          d => when(d.cast("long") === col("vec_id") % 15, lit(1f)).otherwise(lit(0f)))
+          .as("embedding"))
+      graft.operators.ClusterOps.kmeansDedup(oneHot, "vec_id", "embedding", k0 = 15)
+        .select(col("vec_id"),
+          min(col("vec_id")).over(Window.partitionBy(col("cluster"))).as("cluster_c"),
+          col("kept"))
     },
 
     // §3.1 flagship pipeline: cluster → select → MMR → compress; rows-only.
@@ -326,7 +351,12 @@ object SparkEntry {
         chunks, "request_group", "doc_id", "text", "embedding", "score")
     },
 
-    // A12 diversity/coverage metrics of the MMR selection; rows-only.
+    // A12 diversity/coverage metrics of the MMR selection. The selection is
+    // replayed by the q25 recursive-CTE MMR oracle and the metric math is
+    // relational, so the whole composition is oracle-checked; outputs
+    // floor-scale to micro-units (the q63 convention — floor is
+    // mode-identical across engines and cross-engine double drift ~1e-13
+    // sits far below the 1e-6 grid).
     "q28_selection_metrics" -> { (s, dir) =>
       val chunks = graft.operators.PipelineOps.chunkTable(
         Tables.documents(s, dir), Tables.embeddings(s, dir))
@@ -334,6 +364,9 @@ object SparkEntry {
         chunks, "request_group", "doc_id", "embedding", "score", lambda = 0.5, k = 8)
       val selected = chunks.join(mmr, chunks("doc_id") === mmr("id")).drop("group", "id")
       graft.operators.ClusterOps.selectionMetrics(chunks, selected, "doc_id", "embedding")
+        .select(
+          floor(col("diversity") * 1000000).cast("long").as("diversity_u"),
+          floor(col("coverage") * 1000000).cast("long").as("coverage_u"))
     },
 
     // A12 diversity/coverage metrics on a FIXED selection (vec_id < 40), so
@@ -521,36 +554,44 @@ object SparkEntry {
     },
 
     // Corpus-scale flagship throughput: every lineitem row becomes a text
-    // chunk (~600K at sf0.1), hash-embedded, then the full dedup pipeline
-    // (cluster -> representative -> MMR -> compress) runs over ~6000
-    // request groups in parallel. This is the BASELINE.md throughput
-    // comparison point; rows-only (sequential per-group algorithms).
+    // chunk (~600K at sf0.1), then the full dedup pipeline (cluster ->
+    // representative -> MMR -> compress) runs over ~6000 request groups in
+    // parallel. This is the BASELINE.md throughput comparison point — AND,
+    // since round 6, fully oracle-checked via PLANTED structure that keeps
+    // the computational shape at full volume:
+    //   - chunk_id packs the natural key (orderkey/linenumber/partkey/
+    //     suppkey/quantity) into 62 bits map-side — unique at every test SF
+    //     (verified; quantity disambiguates the one sf0.001 collision),
+    //     replayable in SQL, and window-free like the xxhash64 id it
+    //     replaces. Bounds hold through ~sf1; beyond that widen the packing.
+    //   - the embedding is a planted 64-dim one-hot of (partkey+suppkey)%64,
+    //     so per group the agglomerate still builds the full O(N^2) distance
+    //     matrix and runs its merge loop, but merges are exactly the
+    //     same-dim classes (distance 0; cross-dim pairs sit at 1.0):
+    //     cluster_id = rank of class min-id, representative = max score tie
+    //     min id, and MMR over the now-orthogonal representatives = top-8 by
+    //     (score desc, id asc) (or id order when a group holds <= 8 reps —
+    //     the reference short-circuit). Compression replays via the q27
+    //     sentence CTEs. HashingEmbedder stays exercised by q37/q90.
     "q38_corpus_pipeline" -> { (s, dir) =>
-      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
-      // derive a collision-free chunk id map-side: xxhash64 over the full
-      // natural row. No window — the old row_number() over l_orderkey cost a
-      // full 600K-row shuffle+sort before the pipeline's own keyed shuffle.
-      // (Fully identical rows share an id, which is harmless: their text,
-      // embedding, and score are identical too, so every downstream decision
-      // is the same row repeated.)
       val chunks = Tables.lineitem(s, dir)
         .select(
-          xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-            col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
-            col("l_discount"), col("l_returnflag"), col("l_linestatus"),
-            col("l_shipdate")).as("chunk_id"),
+          ((((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L + col("l_partkey"))
+            * 16384L + col("l_suppkey")) * 64L + col("l_quantity").cast("long"))
+            .as("chunk_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             col("l_shipdate").cast("string"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"), col("l_partkey"),
             col("l_suppkey")).as("text"),
           (col("l_orderkey") % 6000).as("request_group"),
-          col("l_quantity").as("score"))
-      val embedded = new graft.functions.HashingEmbedder(32)
-        .embed(chunks, "text", "embedding")
+          col("l_quantity").as("score"),
+          transform(sequence(lit(0), lit(63)),
+            d => when(d.cast("long") === (col("l_partkey") + col("l_suppkey")) % 64,
+              lit(1f)).otherwise(lit(0f))).as("embedding"))
       // fused path: one keyed shuffle for cluster+select+MMR (the composed
       // form is exercised by q27; results are identical — see Round2Spec)
       graft.operators.PipelineOps.dedupPipelineFused(
-        embedded, "request_group", "chunk_id", "text", "embedding", "score",
+        chunks, "request_group", "chunk_id", "text", "embedding", "score",
         graft.operators.PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0))
     },
 
@@ -2249,7 +2290,7 @@ object SparkEntry {
         |  FROM sent),
         |sscore AS (
         |  SELECT doc_id, text, sentence, idx, total, stok,
-        |    CAST(dtok * 0.5 AS BIGINT) AS target,
+        |    CAST(floor(dtok * 0.5) AS BIGINT) AS target,
         |    (CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END) +
         |    (CASE WHEN len(list_filter(string_split_regex(sentence, '\\s+'), w -> len(w) > 0)) BETWEEN 5 AND 25 THEN 1.0 ELSE 0.0 END) +
         |    (CASE WHEN contains(lower(sentence), 'important') OR contains(lower(sentence), 'key')
@@ -2319,6 +2360,154 @@ object SparkEntry {
         |  SELECT g AS "group", id, CAST(row_number() OVER (PARTITION BY g ORDER BY id) AS INT) AS mmr_rank
         |  FROM norm WHERE n <= 8)
         |SELECT * FROM big UNION ALL SELECT * FROM small""".stripMargin,
+    // Planted agglomerative replay (q23 body comment): merges are exactly
+    // the 50 (original, +1000000 copy) pairs; survivors keep id order, so
+    // cluster_id = 0-based rank of the original within its label group.
+    "q23_agglomerative" ->
+      """WITH orig AS (
+        |  SELECT CAST(label AS BIGINT) AS grp, CAST(vec_id AS BIGINT) AS id,
+        |    CAST(row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS INT) AS cid
+        |  FROM embeddings)
+        |SELECT grp AS "group", id, cid AS cluster_id FROM orig
+        |UNION ALL
+        |SELECT grp AS "group", id + 1000000 AS id, cid AS cluster_id
+        |FROM orig WHERE id < 50""".stripMargin,
+    // Planted one-hot k-means replay (q26 body comment): each residue class
+    // collapses onto its own centroid; canonical cluster = min member id =
+    // vec_id % 15, kept = medoid only.
+    "q26_kmeans_dedup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(vec_id % 15 AS BIGINT) AS cluster_c,
+        |  vec_id % 15 = vec_id AS kept
+        |FROM embeddings""".stripMargin,
+    // q25's recursive-CTE MMR replay computes the selected set; diversity/
+    // coverage are then plain relational aggregates over it (the q63 metric
+    // SQL), floor-scaled to micro-units.
+    "q28_selection_metrics" ->
+      s"""WITH RECURSIVE ch AS (
+        |  SELECT CAST(e.label AS BIGINT) AS g, CAST(d.doc_id AS BIGINT) AS id,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb, ${qualityOracleExpr("text")} AS score
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |norm AS (
+        |  SELECT g, id, emb,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS rel, n
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mn, max(score) OVER (PARTITION BY g) AS mx,
+        |               count(*) OVER (PARTITION BY g) AS n
+        |        FROM ch)),
+        |sims AS (
+        |  SELECT a.g, a.id AS ia, b.id AS ib, list_cosine_similarity(a.emb, b.emb) AS s
+        |  FROM norm a JOIN norm b ON a.g = b.g AND a.id <> b.id),
+        |sel AS (
+        |  SELECT g, [min({'m': -0.5 * rel, 'i': id}).i] AS picked, 1 AS k
+        |  FROM norm WHERE n > 8 GROUP BY g
+        |  UNION ALL
+        |  SELECT u.g, list_append(u.picked, u.nxt), u.k + 1
+        |  FROM (
+        |    SELECT t.g, t.picked, t.k,
+        |      min({'m': -(0.5 * t.rel - 0.5 * greatest(0.0, t.ms)), 'i': t.id}).i AS nxt
+        |    FROM (
+        |      SELECT s.g, s.picked, s.k, nr.id, nr.rel, max(sm.s) AS ms
+        |      FROM sel s
+        |      JOIN norm nr ON nr.g = s.g AND NOT list_contains(s.picked, nr.id)
+        |      JOIN sims sm ON sm.g = s.g AND sm.ia = nr.id AND list_contains(s.picked, sm.ib)
+        |      WHERE s.k < 8
+        |      GROUP BY s.g, s.picked, s.k, nr.id, nr.rel
+        |    ) t
+        |    GROUP BY t.g, t.picked, t.k
+        |  ) u),
+        |final AS (
+        |  SELECT g, picked FROM (
+        |    SELECT g, picked, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn FROM sel) WHERE rn = 1),
+        |selids AS (
+        |  SELECT f.picked[CAST(i AS INT)] AS sid
+        |  FROM final f, unnest(generate_series(1, len(f.picked))) AS t(i)
+        |  UNION ALL
+        |  SELECT id FROM norm WHERE n <= 8),
+        |selemb AS (
+        |  SELECT s.sid, nr.emb AS semb FROM selids s JOIN norm nr ON nr.id = s.sid),
+        |div AS (
+        |  SELECT coalesce(avg(1.0 - list_cosine_similarity(a.semb, b.semb)), 0.0) AS diversity
+        |  FROM selemb a JOIN selemb b ON a.sid < b.sid),
+        |cov AS (
+        |  SELECT avg(mind) AS coverage FROM (
+        |    SELECT o.id, min(1.0 - list_cosine_similarity(o.emb, s.semb)) AS mind
+        |    FROM norm o CROSS JOIN selemb s GROUP BY o.id) t)
+        |SELECT CAST(floor(diversity * 1000000) AS BIGINT) AS diversity_u,
+        |  CAST(floor(coverage * 1000000) AS BIGINT) AS coverage_u
+        |FROM div, cov""".stripMargin,
+    // Planted corpus-pipeline replay (q38 body comment): clusters = same-dim
+    // classes ranked by min id, representative = (score desc, id asc),
+    // MMR over orthogonal reps = top-8 by (score desc, id asc) with the
+    // <=8-reps id-order short-circuit, compression = the q27 sentence CTEs
+    // (floor for the Scala .toInt target truncation).
+    "q38_corpus_pipeline" ->
+      """WITH ch AS (
+        |  SELECT ((((l_orderkey * 8 + l_linenumber) * 262144 + l_partkey) * 16384
+        |      + l_suppkey) * 64 + CAST(l_quantity AS BIGINT)) AS id,
+        |    l_orderkey % 6000 AS g,
+        |    (l_partkey + l_suppkey) % 64 AS dim,
+        |    CAST(l_quantity AS DOUBLE) AS score,
+        |    concat_ws(' ', l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
+        |      CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR),
+        |      CAST(l_discount AS VARCHAR), CAST(l_partkey AS VARCHAR),
+        |      CAST(l_suppkey AS VARCHAR)) AS text
+        |  FROM lineitem),
+        |cid AS (
+        |  SELECT g, dim,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY mid) - 1 AS BIGINT) AS cluster_id
+        |  FROM (SELECT g, dim, min(id) AS mid FROM ch GROUP BY g, dim)),
+        |rep AS (
+        |  SELECT g, dim, id, score, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY g, dim ORDER BY score DESC, id ASC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |sel AS (
+        |  SELECT g, dim, id, score,
+        |    CAST(CASE WHEN n <= 8 THEN rn_id ELSE rn_sc END AS INT) AS mmr_rank, text
+        |  FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY g) AS n,
+        |      row_number() OVER (PARTITION BY g ORDER BY id) AS rn_id,
+        |      row_number() OVER (PARTITION BY g ORDER BY score DESC, id ASC) AS rn_sc
+        |    FROM rep)
+        |  WHERE n <= 8 OR rn_sc <= 8),
+        |sent AS (
+        |  SELECT s.id AS sid, s.text, t.sentence, t.idx
+        |  FROM sel s,
+        |  LATERAL (
+        |    SELECT trim(u.x) AS sentence, row_number() OVER (ORDER BY u.i) AS idx
+        |    FROM (SELECT unnest(regexp_extract_all(s.text, '[^.!?]*[.!?]|[^.!?]+$')) AS x,
+        |                 generate_subscripts(regexp_extract_all(s.text, '[^.!?]*[.!?]|[^.!?]+$'), 1) AS i) u
+        |    WHERE len(trim(u.x)) > 0
+        |  ) t),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY sid) AS total,
+        |    CAST((strlen(sentence) + 3) // 4 AS BIGINT) AS stok,
+        |    (strlen(text) + 3) // 4 AS dtok
+        |  FROM sent),
+        |sscore AS (
+        |  SELECT sid, text, sentence, idx, total, stok,
+        |    CAST(floor(dtok * 0.5) AS BIGINT) AS target,
+        |    (CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN len(list_filter(string_split_regex(sentence, '\s+'), w -> len(w) > 0)) BETWEEN 5 AND 25 THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN contains(lower(sentence), 'important') OR contains(lower(sentence), 'key')
+        |       OR contains(lower(sentence), 'must') OR contains(lower(sentence), 'should') THEN 1.5 ELSE 0.0 END) +
+        |    (CASE WHEN regexp_matches(sentence, '[0-9]') THEN 0.5 ELSE 0.0 END) AS sc
+        |  FROM counted),
+        |sranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sid ORDER BY sc DESC, idx ASC) AS srn,
+        |    sum(stok) OVER (PARTITION BY sid ORDER BY sc DESC, idx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sscore),
+        |comp AS (
+        |  SELECT sid,
+        |    CASE WHEN max(total) = 1 THEN min(text)
+        |         ELSE string_agg(sentence, ' ' ORDER BY idx) FILTER (srn = 1 OR cum <= target)
+        |    END AS compressed
+        |  FROM sranked GROUP BY sid)
+        |SELECT s.g AS request_group, s.id AS chunk_id, c.cluster_id, s.mmr_rank,
+        |  s.score, p.compressed
+        |FROM sel s
+        |JOIN cid c ON c.g = s.g AND c.dim = s.dim
+        |JOIN comp p ON p.sid = s.id""".stripMargin,
     // Full default broker path (over-fetch -> cluster [no merges on this
     // table] -> select -> MMR), with the MMR recursion seeded by the KNN
     // top-50 and relevance = normalized query similarity.
@@ -2462,6 +2651,12 @@ object SparkEntry {
     // MultimodalOps: payload byte j of media i is (i*131 + j*17) % 256 and
     // the payload length is 128 + (i*37) % 512, so decode metadata and the
     // non-zero-bucket count are closed-form
+    // Image rows now decode for REAL (javax.imageio): width/height replay the
+    // planted PNG dimensions, format is the sniffed container, and buckets_hit
+    // histograms the decoded PIXELS pixel(j) = (i*131 + j*17) % (1 + i%255) —
+    // that sequence has period <= 255 and every raster holds >= 4096 pixels,
+    // so j < 255 covers the full residue coset. Audio/video stay the
+    // stubbed-payload replay.
     "q36_multimodal_decode" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |base AS (
@@ -2469,11 +2664,17 @@ object SparkEntry {
         |    (i * 131) % 256 AS a, (i * 131 + 17) % 256 AS b,
         |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         |  FROM ids),
-        |feat AS (
+        |featav AS (
         |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % 256) * 16) // 256) AS bh
         |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 638)) AS j) js
-        |  WHERE j < 128 + (i * 37) % 512
-        |  GROUP BY i)
+        |  WHERE i % 3 <> 0 AND j < 128 + (i * 37) % 512
+        |  GROUP BY i),
+        |featimg AS (
+        |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % (1 + i % 255)) * 16) // 256) AS bh
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 254)) AS j) js
+        |  WHERE i % 3 = 0
+        |  GROUP BY i),
+        |feat AS (SELECT * FROM featav UNION ALL SELECT * FROM featimg)
         |SELECT CAST(base.i AS BIGINT) AS media_id, modality,
         |  CAST(CASE modality WHEN 'image' THEN 64 + a % 192
         |       WHEN 'audio' THEN 0 ELSE 320 + a % 64 END AS INT) AS width,
@@ -2481,7 +2682,7 @@ object SparkEntry {
         |       WHEN 'audio' THEN 0 ELSE 240 + b % 48 END AS INT) AS height,
         |  CAST(CASE modality WHEN 'image' THEN 0
         |       WHEN 'audio' THEN 1000 + n * 20 ELSE 1000 + n * 40 END AS BIGINT) AS duration_ms,
-        |  CASE modality WHEN 'image' THEN 'fake/png'
+        |  CASE modality WHEN 'image' THEN 'image/png'
         |       WHEN 'audio' THEN 'fake/wav' ELSE 'fake/mp4' END AS format,
         |  CAST(bh AS INT) AS buckets_hit
         |FROM base JOIN feat ON base.i = feat.i""".stripMargin,

@@ -192,16 +192,22 @@ object ClusterOps {
     */
   def kmeansDedup(df: DataFrame, idCol: String, embCol: String,
                   k0: Int = 0, pruneThreshold: Double = 0.05,
-                  maxIter: Int = 10, seed: Long = 42L): DataFrame = {
+                  maxIter: Int = 10, seed: Long = 42L, nHint: Long = 0L): DataFrame = {
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     // Persist the UDF-built features once: KMeans.fit iterates maxIter times
     // and transform scans again — without the cache each pass would re-read
     // the source and re-run the UDF.
     val withFeatures = df.withColumn("features", toVec(col(embCol)))
       .persistTracked
-    // K = sqrt(N/2): when K isn't given the count doubles as the cache
-    // materialization, so it costs no extra scan.
-    val k = if (k0 > 0) k0 else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
+    // K = sqrt(N/2) needs N: callers that already know the corpus size pass
+    // `nHint` (a persisted table count, an incremental-ingest ledger) and no
+    // extra job runs; only the hintless derived path counts — and that count
+    // doubles as the cache materialization, so it stays a single scan of the
+    // source either way.
+    val k =
+      if (k0 > 0) k0
+      else if (nHint > 0L) math.max(1, math.sqrt(nHint / 2.0).toInt)
+      else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("features").fit(withFeatures)
     val assigned = model.transform(withFeatures)

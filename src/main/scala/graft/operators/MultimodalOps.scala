@@ -10,12 +10,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * run batched inside `mapPartitions` so a real decoder library amortizes
   * model/codec initialization per partition, not per row.
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * environment ships no image/audio codecs): `fakeDecode` derives
-  * width/height/duration from the payload bytes, and the "features" are a
-  * real byte-histogram computation over the binary payload. The Spark-side
-  * contract — schema, batching, partitioning, null handling — is real and
-  * tested; swapping in an actual codec means replacing ONLY `fakeDecode`.
+  * IMAGE decode is REAL: `decodeImage` uses `javax.imageio` (JDK-native
+  * PNG/JPEG/GIF/BMP readers, zero external dependencies) — width/height come
+  * from the decoded raster, `format` from the container magic bytes, and the
+  * feature histogram runs over decoded 8-bit-gray PIXELS, not encoded bytes.
+  * Undecodable image payloads yield null metadata/features rather than
+  * failing the job (a corrupt row must not kill a 100 TB scan).
+  *
+  * AUDIO/VIDEO decode stays a documented deterministic stub (`fakeDecode`:
+  * this environment ships no audio/video codecs); the Spark-side contract —
+  * schema, batching, partitioning, null handling — is identical, so swapping
+  * in JavaCV/ffmpeg means replacing ONLY `fakeDecode`.
   */
 object MultimodalOps {
 
@@ -30,18 +35,56 @@ object MultimodalOps {
 
   final case class DecodedMeta(width: Int, height: Int, durationMs: Long, format: String)
 
-  /** STUB — deterministic fake decoder. A real implementation would call an
-    * image/audio codec here (e.g. TwelveMonkeys/JavaCV); everything around
-    * it stays unchanged.
+  /** STUB — deterministic fake decoder for AUDIO/VIDEO only (images decode
+    * for real via [[decodeImage]]). A real implementation would call an
+    * audio/video codec here (e.g. JavaCV/ffmpeg); everything around it stays
+    * unchanged.
     */
   private[operators] def fakeDecode(modality: String, data: Array[Byte]): DecodedMeta = {
     val n = if (data == null) 0 else data.length
     val a = if (n > 0) (data(0) & 0xff) else 0
     val b = if (n > 1) (data(1) & 0xff) else 0
     modality match {
-      case "image" => DecodedMeta(64 + a % 192, 64 + b % 192, 0L, "fake/png")
       case "audio" => DecodedMeta(0, 0, 1000L + (n.toLong * 20), "fake/wav")
       case _       => DecodedMeta(320 + a % 64, 240 + b % 48, 1000L + (n.toLong * 40), "fake/mp4")
+    }
+  }
+
+  /** Container sniff from magic bytes — the `format` metadata for decoded
+    * images (ImageIO hides the source reader behind the BufferedImage).
+    */
+  private[operators] def sniffImageFormat(data: Array[Byte]): String =
+    if (data.length >= 8 && (data(0) & 0xff) == 0x89 && data(1) == 'P'.toByte) "image/png"
+    else if (data.length >= 2 && (data(0) & 0xff) == 0xff && (data(1) & 0xff) == 0xd8) "image/jpeg"
+    else if (data.length >= 3 && data(0) == 'G'.toByte && data(1) == 'I'.toByte && data(2) == 'F'.toByte) "image/gif"
+    else if (data.length >= 2 && data(0) == 'B'.toByte && data(1) == 'M'.toByte) "image/bmp"
+    else "image/unknown"
+
+  /** REAL image decode via `javax.imageio`: returns (metadata, 8-bit-gray
+    * raster) or None when the payload is not a decodable image. An
+    * already-8-bit-gray image exposes its raster bytes exactly (no color
+    * conversion — features stay bit-deterministic); anything else is
+    * normalized through a TYPE_BYTE_GRAY redraw.
+    */
+  private[operators] def decodeImage(data: Array[Byte]): Option[(DecodedMeta, Array[Byte])] = {
+    import java.awt.image.{BufferedImage, DataBufferByte}
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val meta = DecodedMeta(img.getWidth, img.getHeight, 0L, sniffImageFormat(data))
+      val gray =
+        if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g2 = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+          val g = g2.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          g2
+        }
+      val px = gray.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+      Some((meta, px))
     }
   }
 
@@ -64,7 +107,10 @@ object MultimodalOps {
   /** Decode + feature-extract over a media table. Runs in mapPartitions with
     * explicit batch grouping (`batchSize` rows per decoder call) — the shape
     * a vectorized decoder needs. Output adds width/height/duration_ms/format
-    * and a `features` float array; null payloads produce null features.
+    * and a `features` float array; null payloads — and image payloads no
+    * reader can decode — produce null metadata/features. Image features are
+    * the histogram of decoded gray PIXELS; audio/video features histogram
+    * the raw payload (the stubbed modalities).
     */
   def decodeAndFeaturize(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -85,6 +131,14 @@ object MultimodalOps {
           val data = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
           if (data == null) {
             Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          } else if (r.getString(modalityIdx) == "image") {
+            decodeImage(data) match {
+              case Some((meta, px)) =>
+                Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
+                  meta.format, byteHistogram(px).toSeq))
+              case None =>
+                Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+            }
           } else {
             val meta = fakeDecode(r.getString(modalityIdx), data)
             Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
@@ -116,14 +170,34 @@ object MultimodalOps {
       .withColumn("frame_ts_ms", (col("frame_idx") / fps * 1000.0).cast("long"))
   }
 
-  /** Synthetic deterministic media table for tests/benches: payload bytes
-    * derive from the id, so every run sees identical data.
+  /** Synthetic deterministic media table for tests/benches: image rows carry
+    * REAL PNG payloads (8-bit gray, pixel(j) = (i*131 + j*17) % (1 + i%255),
+    * dimensions 64 + ((i*131)%256)%192 × 64 + ((i*131+17)%256)%192 — the
+    * same closed forms the oracles replay), so the decode path exercises a
+    * genuine codec; audio/video payload bytes derive from the id by the same
+    * arithmetic as before.
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     (0 until n).map { i =>
       val modality = Seq("image", "audio", "video")(i % 3)
-      val data = Array.tabulate[Byte](128 + (i * 37) % 512)(j => ((i * 131 + j * 17) % 256).toByte)
+      val data = modality match {
+        case "image" =>
+          val w = 64 + ((i * 131) % 256) % 192
+          val h = 64 + ((i * 131 + 17) % 256) % 192
+          val m = 1 + (i % 255)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var j = 0
+          while (j < px.length) { px(j) = ((i * 131 + j * 17) % m).toByte; j += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        case _ =>
+          Array.tabulate[Byte](128 + (i * 37) % 512)(j => ((i * 131 + j * 17) % 256).toByte)
+      }
       (i.toLong, modality, data, s"synthetic://$i", Map("seed" -> i.toString))
     }.toDF("media_id", "modality", "data", "source_uri", "metadata")
   }

@@ -69,15 +69,25 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       "argmax must partial-aggregate before the exchange")
   }
 
-  test("q56: fingerprint pairs plan has one posting exchange and no joins") {
+  test("q56: fingerprint pairs plan has no shuffle joins") {
     val plan = physicalPlan("q56_fingerprint_neardup")
-    assert(!plan.contains("Join"), "posting self-join replaced by list aggregation")
+    // the posting self-join is replaced by list aggregation; the only join
+    // left is the broadcast cap filter (keepers <= maxHashFreq), which is
+    // map-side — a shuffle join would mean the self-join came back
+    assert(!plan.contains("SortMergeJoin"), "posting self-join came back")
+    assert(!plan.contains("ShuffledHashJoin"), "posting self-join came back")
+    assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q17: jaccard join has no cartesian product") {
+  test("q17: jaccard join has no cartesian product or corpus-sized BNLJ") {
     val plan = physicalPlan("q17_neardup_jaccard")
     assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the only nested-loop joins allowed are the broadcast 1-row hot-set
+    // crossJoins (array_except against the over-cap shingle array); a BNLJ
+    // without that shape would be an all-pairs comparison
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("array_except"), s"unexpected BNLJ shape: $l")
+    }
   }
 
   test("text function queries stay UDF-free") {

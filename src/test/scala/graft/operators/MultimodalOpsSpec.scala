@@ -16,10 +16,39 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
       val feats = r.getSeq[Float](r.fieldIndex("features"))
       assert(feats.length == 16)
       assert(math.abs(feats.sum - 1.0f) < 1e-4) // L1-normalized histogram
-      assert(r.getAs[String]("format").startsWith("fake/"))
+      if (r.getAs[String]("modality") == "image")
+        assert(r.getAs[String]("format") == "image/png") // real decode + sniff
+      else
+        assert(r.getAs[String]("format").startsWith("fake/"))
     }
     val img = rows.find(_.getAs[String]("modality") == "image").get
     assert(img.getAs[Int]("width") >= 64 && img.getAs[Int]("height") >= 64)
+  }
+
+  test("decodeImage really decodes: planted PNG dims and exact gray pixels") {
+    // media_id 3 is an image row: w/h/pixels follow the planted closed forms
+    val i = 3
+    val data = media.filter(col("media_id") === i.toLong)
+      .head().getAs[Array[Byte]]("data")
+    assert(MultimodalOps.sniffImageFormat(data) == "image/png")
+    val Some((meta, px)) = MultimodalOps.decodeImage(data)
+    assert(meta.width == 64 + ((i * 131) % 256) % 192)
+    assert(meta.height == 64 + ((i * 131 + 17) % 256) % 192)
+    assert(meta.format == "image/png")
+    assert(px.length == meta.width * meta.height)
+    val m = 1 + (i % 255)
+    px.zipWithIndex.take(5000).foreach { case (p, j) =>
+      assert((p & 0xff) == (i * 131 + j * 17) % m)
+    }
+    // garbage bytes are not an image: null metadata, not an exception
+    assert(MultimodalOps.decodeImage(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    val junk = Seq((7L, "image", Array.tabulate[Byte](64)(_.toByte), "u",
+      Map.empty[String, String]))
+    import spark.implicits._
+    val out = MultimodalOps.decodeAndFeaturize(
+      junk.toDF("media_id", "modality", "data", "source_uri", "metadata"))
+    val r = out.head()
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
   }
 
   test("decodeAndFeaturize is deterministic and null-safe") {
