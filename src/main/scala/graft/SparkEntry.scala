@@ -1325,6 +1325,57 @@ object SparkEntry {
         .select(col("doc_id"), concat(col("text"), lit(footer)).as("text"))
       graft.operators.DedupOps.jaccardPairs(
         docs, "text", "doc_id", n = 3, threshold = 0.6, maxShingleFreq = 100L)
+    },
+
+    // Event-time session push through a LIVE MemoryStream query, with
+    // arrival order deliberately scrambled ACROSS micro-batches (all even
+    // seqs land a batch before all odd seqs): the watermark buffers and
+    // seals out-of-order arrivals, so decisions replay the seq-ordered
+    // batch semantics exactly — accepted = first occurrence of a session's
+    // one-hot dim, totals = 10 per accepted row — all closed-form. The
+    // 30-minute delay exceeds the 25-minute event span, so nothing is ever
+    // dropped as late; a far-future flush event (excluded from output)
+    // advances the watermark past every real event.
+    "q103_event_time_push" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted // fixture feed, like q94/q98
+      val events = ids.map { d =>
+        val emb = Array.fill(8)(0f); emb((d % 7).toInt) = 1f
+        graft.streaming.StreamingOps.SessionPushEvent(
+          s"s${d % 20}", s"d$d", (d / 20).toInt + 1, 10, emb,
+          new java.sql.Timestamp(1000L * ((d / 20) * 60 + 30)))
+      }
+      val (evenSeq, oddSeq) = events.partition(_.seq % 2 == 0)
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.streaming.StreamingOps.SessionPushEvent]
+      val q = graft.streaming.StreamingOps.eventTimeSessionPush(
+          stream.toDS(), watermarkDelay = "30 minutes")
+        .writeStream.format("memory").queryName("q103_sink")
+        .outputMode("append").start()
+      try {
+        stream.addData(evenSeq.toSeq)
+        q.processAllAvailable()
+        stream.addData(oddSeq.toSeq)
+        q.processAllAvailable()
+        val flushEmb = Array.fill(8)(0f); flushEmb(0) = 1f
+        stream.addData(graft.streaming.StreamingOps.SessionPushEvent(
+          "flush", "f", 1, 1, flushEmb,
+          new java.sql.Timestamp(1000L * 3600 * 24)))
+        q.processAllAvailable()
+        // the sealing timeout fires on a follow-up no-data batch — poll
+        val deadline = System.currentTimeMillis() + 60000
+        def sink() = s.table("q103_sink").filter(col("sessionId") =!= "flush")
+        while (sink().count() < ids.length && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        sink().select(col("sessionId"), col("id"), col("seq"), col("accepted"),
+          col("reason"), col("totalTokens"), col("pushCount"))
+          .localCheckpoint(true)
+      } finally {
+        q.stop()
+        s.catalog.dropTempView("q103_sink")
+      }
     }
   )
 
@@ -1875,6 +1926,28 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = ida
         |JOIN sz sb ON sb.doc_id = idb
         |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.6""".stripMargin,
+    // Event-time push replay: decisions equal the seq-ordered batch
+    // semantics (the operator's parity guarantee) — accepted = first
+    // occurrence of the session's one-hot dim, running totals count 10 per
+    // accepted row, pushCount ranks by seq.
+    "q103_event_time_push" ->
+      """WITH p AS (
+        |  SELECT doc_id % 20 AS sess, CAST(doc_id // 20 + 1 AS INT) AS seq,
+        |         doc_id % 7 AS dim, doc_id AS d
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY sess, dim ORDER BY seq) AS dimrn,
+        |    CAST(row_number() OVER (PARTITION BY sess ORDER BY seq) AS INT) AS pushcnt
+        |  FROM p),
+        |t AS (SELECT *, CASE WHEN dimrn = 1 THEN 1 ELSE 0 END AS acc FROM r),
+        |u AS (
+        |  SELECT *, sum(acc * 10) OVER (PARTITION BY sess ORDER BY seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total FROM t)
+        |SELECT 's' || CAST(sess AS VARCHAR) AS "sessionId", 'd' || CAST(d AS VARCHAR) AS id,
+        |  seq, acc = 1 AS accepted,
+        |  CASE WHEN acc = 1 THEN 'ok' ELSE 'duplicate' END AS reason,
+        |  CAST(total AS BIGINT) AS "totalTokens", pushcnt AS "pushCount"
+        |FROM u""".stripMargin,
     "q18_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

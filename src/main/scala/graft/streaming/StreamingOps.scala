@@ -179,20 +179,47 @@ object StreamingOps {
     * from seq, never wall clock, so the operator replays identically in
     * batch tests.
     */
+  private def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** One push through the dedup/budget decision core — shared verbatim by the
+    * seq-ordered and event-time variants so their decisions can't drift.
+    */
+  private def applyPush(sid: String, st0: SessionPushState,
+                        id: String, seq: Int, tokens: Int, embedding: Array[Float],
+                        dedupThreshold: Double, recentWindow: Int,
+                        maxTokens: Long): (SessionPushState, PushDecision) = {
+    val isDup = embedding != null && embedding.nonEmpty &&
+      st0.recentEmbeddings.exists(e => cosineDist(e, embedding) < dedupThreshold)
+    if (isDup) {
+      val st = st0.copy(pushCount = st0.pushCount + 1)
+      (st, PushDecision(sid, id, seq, accepted = false, "duplicate",
+        st.totalTokens, st.pushCount))
+    } else {
+      val total = st0.totalTokens + tokens
+      // embedding-less pushes are accepted but never enter the dedup
+      // state (a stored null would NPE the next distance check)
+      val newRecent =
+        if (embedding == null || embedding.isEmpty) st0.recentEmbeddings
+        else (embedding :: st0.recentEmbeddings).take(recentWindow)
+      val st = SessionPushState(newRecent, total, st0.pushCount + 1)
+      val reason = if (total > maxTokens) "over_budget" else "ok"
+      (st, PushDecision(sid, id, seq, accepted = true, reason, total, st.pushCount))
+    }
+  }
+
   def sessionPushPipeline(pushes: Dataset[SessionPush],
                           dedupThreshold: Double = 0.15,
                           recentWindow: Int = 32,
                           maxTokens: Long = Long.MaxValue,
                           idleTimeoutMillis: Long = 24 * 3600 * 1000L): Dataset[PushDecision] = {
     import pushes.sparkSession.implicits._
-    def cosineDist(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length && i < b.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-        i += 1
-      }
-      if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     pushes.groupByKey(_.sessionId)
       // ProcessingTimeTimeout bounds state over unbounded session ids:
       // an idle session's embeddings/token totals evict after the horizon
@@ -206,27 +233,80 @@ object StreamingOps {
           } else {
             var st = state.getOption.getOrElse(SessionPushState(Nil, 0L, 0))
             val out = rows.toSeq.sortBy(_.seq).map { p =>
-              val isDup = p.embedding != null && p.embedding.nonEmpty &&
-                st.recentEmbeddings.exists(e => cosineDist(e, p.embedding) < dedupThreshold)
-              if (isDup) {
-                st = st.copy(pushCount = st.pushCount + 1)
-                PushDecision(sid, p.id, p.seq, accepted = false, "duplicate",
-                  st.totalTokens, st.pushCount)
-              } else {
-                val total = st.totalTokens + p.tokens
-                // embedding-less pushes are accepted but never enter the dedup
-                // state (a stored null would NPE the next distance check)
-                val newRecent =
-                  if (p.embedding == null || p.embedding.isEmpty) st.recentEmbeddings
-                  else (p.embedding :: st.recentEmbeddings).take(recentWindow)
-                st = SessionPushState(newRecent, total, st.pushCount + 1)
-                val reason = if (total > maxTokens) "over_budget" else "ok"
-                PushDecision(sid, p.id, p.seq, accepted = true, reason, total, st.pushCount)
-              }
+              val (next, d) = applyPush(sid, st, p.id, p.seq, p.tokens, p.embedding,
+                dedupThreshold, recentWindow, maxTokens)
+              st = next
+              d
             }
             state.update(st)
             state.setTimeoutDuration(idleTimeoutMillis)
             out.iterator
+          }
+        })
+  }
+
+  // --- Event-time session push: cross-batch disorder sealed by watermark.
+
+  case class SessionPushEvent(sessionId: String, id: String, seq: Int, tokens: Int,
+                              embedding: Array[Float], eventTime: java.sql.Timestamp)
+  case class BufferedPush(id: String, seq: Int, tokens: Int,
+                          embedding: Array[Float], eventMillis: Long)
+  case class SessionPushEventState(pending: List[BufferedPush], core: SessionPushState)
+
+  /** Event-time variant of [[sessionPushPipeline]] (SURVEY §2.10's
+    * watermarking prescription): `seq` ordering within a micro-batch isn't
+    * enough when arrivals cross batches out of order — a decision made on
+    * seq 5 in batch N is wrong if seq 4 arrives in batch N+1. Here arrivals
+    * buffer in keyed state and are released only once the watermark passes
+    * their event time — at that point nothing earlier can arrive (Spark
+    * drops pre-watermark rows), and since a session's event time is monotone
+    * in its own `seq` counter, replaying the released prefix in seq order is
+    * final. Decisions therefore match the batch replay
+    * ([[sessionPushPipeline]] over the same rows) for every event inside the
+    * watermark delay, regardless of arrival interleaving.
+    *
+    * State bound: the pending buffer holds at most one watermark-delay's
+    * worth of a session's pushes; sessions idle past `idleEvictMillis` of
+    * EVENT time are evicted on their next timeout wake-up.
+    */
+  def eventTimeSessionPush(pushes: Dataset[SessionPushEvent],
+                           watermarkDelay: String = "10 minutes",
+                           dedupThreshold: Double = 0.15,
+                           recentWindow: Int = 32,
+                           maxTokens: Long = Long.MaxValue,
+                           idleEvictMillis: Long = 24 * 3600 * 1000L): Dataset[PushDecision] = {
+    import pushes.sparkSession.implicits._
+    pushes.withWatermark("eventTime", watermarkDelay)
+      .groupByKey(_.sessionId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (sid: String, rows: Iterator[SessionPushEvent], state: GroupState[SessionPushEventState]) => {
+          val wm = math.max(state.getCurrentWatermarkMs(), 0L)
+          var st = state.getOption.getOrElse(
+            SessionPushEventState(Nil, SessionPushState(Nil, 0L, 0)))
+          val incoming = rows.map(p =>
+            BufferedPush(p.id, p.seq, p.tokens, p.embedding, p.eventTime.getTime)).toList
+          val (ready, pending) =
+            (st.pending ++ incoming).partition(_.eventMillis <= wm)
+          val decisions = ready.sortBy(b => (b.seq, b.eventMillis, b.id)).map { b =>
+            val (next, d) = applyPush(sid, st.core, b.id, b.seq, b.tokens, b.embedding,
+              dedupThreshold, recentWindow, maxTokens)
+            st = st.copy(core = next)
+            d
+          }
+          if (state.hasTimedOut && incoming.isEmpty && pending.isEmpty && decisions.isEmpty) {
+            // pure idle wake-up: the session went quiet for a full horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(st.copy(pending = pending))
+            // wake when the watermark seals the earliest pending event, or —
+            // with an empty buffer — after the idle horizon for eviction
+            // (both strictly above the current watermark, as Spark requires)
+            val nextWake =
+              if (pending.nonEmpty) pending.map(_.eventMillis).min + 1
+              else wm + idleEvictMillis
+            state.setTimeoutTimestamp(math.max(nextWake, wm + 1))
+            decisions.iterator
           }
         })
   }

@@ -213,6 +213,57 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(rows.count(_.sessionId == "s2") == 1 && rows.filter(_.sessionId == "s2").head.accepted)
   }
 
+  test("eventTimeSessionPush: cross-batch out-of-order arrivals match the batch replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int): Array[Float] = { val a = Array.fill(8)(0f); a(axis) = 1f; a }
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // seq 1 and seq 2 share an embedding: whichever is processed FIRST is
+    // accepted and the other is the duplicate — decision order matters.
+    val e1 = SessionPushEvent("s1", "a", 1, 10, v(0), ts(10))
+    val e2 = SessionPushEvent("s1", "b", 2, 10, v(0), ts(20))
+
+    // the event-time variant: e2 arrives a batch BEFORE e1, both inside the
+    // 30 s watermark delay; a far-future row advances the watermark past
+    // both, sealing them for replay in seq order
+    val stream = MemoryStream[SessionPushEvent]
+    val q = eventTimeSessionPush(stream.toDS(), watermarkDelay = "30 seconds")
+      .writeStream.format("memory").queryName("et_push_out").outputMode("append").start()
+    stream.addData(e2)
+    q.processAllAvailable()
+    stream.addData(e1)
+    q.processAllAvailable()
+    stream.addData(SessionPushEvent("zz", "w", 1, 1, v(3), ts(120)))
+    awaitRows("et_push_out", 2)
+    val et = spark.table("et_push_out").as[PushDecision].collect()
+      .filter(_.sessionId == "s1").sortBy(_.seq)
+    q.stop()
+
+    // batch replay over the same rows (the correctness reference)
+    val replay = sessionPushPipeline(Seq(
+      SessionPush("s1", "a", 1, 10, v(0)),
+      SessionPush("s1", "b", 2, 10, v(0))).toDS())
+      .collect().sortBy(_.seq)
+    assert(et.length == 2)
+    assert(et.map(d => (d.id, d.accepted, d.reason, d.totalTokens, d.pushCount)).toSeq ==
+      replay.map(d => (d.id, d.accepted, d.reason, d.totalTokens, d.pushCount)).toSeq)
+    assert(et.head.accepted && !et(1).accepted) // "a" wins despite arriving later
+
+    // contrast: the seq-ordered variant decides within each micro-batch, so
+    // the same arrival interleaving flips the duplicate — the divergence the
+    // event-time variant exists to fix
+    val naive = MemoryStream[SessionPush]
+    val qn = sessionPushPipeline(naive.toDS()).writeStream
+      .format("memory").queryName("naive_push_out").outputMode("append").start()
+    naive.addData(SessionPush("s1", "b", 2, 10, v(0)))
+    awaitRows("naive_push_out", 1)
+    naive.addData(SessionPush("s1", "a", 1, 10, v(0)))
+    awaitRows("naive_push_out", 2)
+    val nv = spark.table("naive_push_out").as[PushDecision].collect().sortBy(_.seq)
+    qn.stop()
+    assert(!nv.head.accepted && nv(1).accepted) // "b" won on arrival order
+  }
+
   test("sessionPushPipeline: embedding-less pushes are accepted and never poison state") {
     import spark.implicits._
     def v(axis: Int): Array[Float] = { val a = Array.fill(8)(0f); a(axis) = 1f; a }
