@@ -51,6 +51,28 @@ object GraftEngine {
                            cfg: PipelineOps.BrokerConfig = PipelineOps.BrokerConfig()): DataFrame =
     PipelineOps.retrieveBroker(corpus, queries, idCol, embCol, qidCol, qembCol, cfg)
 
+  /** deduplicate_chunks with the reference's per-stage report (every broker
+    * response carries Stats — pipeline.go:16-32): returns (result, stats),
+    * stats = one row per stage (dedup/compress/summarize/total) with rows,
+    * token totals, reduction percent, and wall millis.
+    */
+  def deduplicateChunksWithStats(chunks: DataFrame, groupCol: String, idCol: String,
+                                 textCol: String, embCol: String, scoreCol: String,
+                                 cfg: PipelineOps.PipelineConfig = PipelineOps.PipelineConfig())
+  : (DataFrame, DataFrame) =
+    PipelineOps.dedupPipelineWithStats(chunks, groupCol, idCol, textCol, embCol, scoreCol, cfg)
+
+  /** retrieve_deduplicated with broker.go:165-190's stage stats
+    * (retrieval/clustering/selection latencies + Retrieved/Clustered/
+    * Returned counters): returns (result, stats).
+    */
+  def retrieveDeduplicatedWithStats(corpus: DataFrame, queries: DataFrame,
+                                    idCol: String, embCol: String,
+                                    qidCol: String, qembCol: String,
+                                    cfg: PipelineOps.BrokerConfig = PipelineOps.BrokerConfig())
+  : (DataFrame, DataFrame) =
+    PipelineOps.retrieveBrokerWithStats(corpus, queries, idCol, embCol, qidCol, qembCol, cfg)
+
   /** analyze_redundancy: cluster without selecting; per-cluster members +
     * group redundancy ratio.
     */

@@ -1327,6 +1327,19 @@ object SparkEntry {
         docs, "text", "doc_id", n = 3, threshold = 0.6, maxShingleFreq = 100L)
     },
 
+    // The per-stage pipeline report (reference pipeline.go Stats): rows,
+    // token totals, and reduction per stage over the q27 composition. Wall
+    // millis are dropped from the declared output (non-deterministic);
+    // everything else is exact and replays via the q27 CTEs + token sums.
+    "q104_stage_report" -> { (s, dir) =>
+      val chunks = graft.operators.PipelineOps.chunkTable(
+        Tables.documents(s, dir), Tables.embeddings(s, dir))
+      val (_, stats) = graft.operators.PipelineOps.dedupPipelineWithStats(
+        chunks, "request_group", "doc_id", "text", "embedding", "score")
+      stats.select(col("stage"), col("enabled"), col("rows_in"), col("rows_out"),
+        col("tokens_in"), col("tokens_out"), col("reduction_percent"))
+    },
+
     // Event-time session push through a LIVE MemoryStream query, with
     // arrival order deliberately scrambled ACROSS micro-batches (all even
     // seqs land a batch before all odd seqs): the watermark buffers and
@@ -1948,6 +1961,111 @@ object SparkEntry {
         |  CASE WHEN acc = 1 THEN 'ok' ELSE 'duplicate' END AS reason,
         |  CAST(total AS BIGINT) AS "totalTokens", pushcnt AS "pushCount"
         |FROM u""".stripMargin,
+    // Stage report replay: the q27 selection/compression CTEs give the
+    // dedup-stage output rows and the compressed text; token totals are the
+    // (strlen+3)//4 estimator summed per boundary.
+    "q104_stage_report" ->
+      s"""WITH RECURSIVE ch AS (
+        |  SELECT CAST(e.label AS BIGINT) AS g, CAST(d.doc_id AS BIGINT) AS id,
+        |         CAST(e.embedding AS DOUBLE[]) AS emb, ${qualityOracleExpr("text")} AS score
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |norm AS (
+        |  SELECT g, id, emb,
+        |    CASE WHEN mx - mn = 0 THEN 1.0 ELSE (score - mn) / (mx - mn) END AS rel, n
+        |  FROM (SELECT *, min(score) OVER (PARTITION BY g) AS mn, max(score) OVER (PARTITION BY g) AS mx,
+        |               count(*) OVER (PARTITION BY g) AS n
+        |        FROM ch)),
+        |sims AS (
+        |  SELECT a.g, a.id AS ia, b.id AS ib, list_cosine_similarity(a.emb, b.emb) AS s
+        |  FROM norm a JOIN norm b ON a.g = b.g AND a.id <> b.id),
+        |sel AS (
+        |  SELECT g, [min({'m': -0.5 * rel, 'i': id}).i] AS picked, 1 AS k
+        |  FROM norm WHERE n > 8 GROUP BY g
+        |  UNION ALL
+        |  SELECT u.g, list_append(u.picked, u.nxt), u.k + 1
+        |  FROM (
+        |    SELECT t.g, t.picked, t.k,
+        |      min({'m': -(0.5 * t.rel - 0.5 * greatest(0.0, t.ms)), 'i': t.id}).i AS nxt
+        |    FROM (
+        |      SELECT s.g, s.picked, s.k, nr.id, nr.rel, max(sm.s) AS ms
+        |      FROM sel s
+        |      JOIN norm nr ON nr.g = s.g AND NOT list_contains(s.picked, nr.id)
+        |      JOIN sims sm ON sm.g = s.g AND sm.ia = nr.id AND list_contains(s.picked, sm.ib)
+        |      WHERE s.k < 8
+        |      GROUP BY s.g, s.picked, s.k, nr.id, nr.rel
+        |    ) t
+        |    GROUP BY t.g, t.picked, t.k
+        |  ) u),
+        |final AS (
+        |  SELECT g, picked FROM (
+        |    SELECT g, picked, row_number() OVER (PARTITION BY g ORDER BY k DESC) AS rn FROM sel) WHERE rn = 1),
+        |selids AS (
+        |  SELECT f.picked[CAST(i AS INT)] AS id
+        |  FROM final f, unnest(generate_series(1, len(f.picked))) AS t(i)
+        |  UNION ALL
+        |  SELECT id FROM norm WHERE n <= 8),
+        |sent AS (
+        |  SELECT doc_id, text, s.sentence, s.idx
+        |  FROM documents,
+        |  LATERAL (
+        |    SELECT trim(u.x) AS sentence, row_number() OVER (ORDER BY u.i) AS idx
+        |    FROM (SELECT unnest(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$$')) AS x,
+        |                 generate_subscripts(regexp_extract_all(text, '[^.!?]*[.!?]|[^.!?]+$$'), 1) AS i) u
+        |    WHERE len(trim(u.x)) > 0
+        |  ) s),
+        |counted AS (
+        |  SELECT *, count(*) OVER (PARTITION BY doc_id) AS total,
+        |    CAST((strlen(sentence) + 3) // 4 AS BIGINT) AS stok,
+        |    (strlen(text) + 3) // 4 AS dtok
+        |  FROM sent),
+        |sscore AS (
+        |  SELECT doc_id, text, sentence, idx, total, stok,
+        |    CAST(floor(dtok * 0.5) AS BIGINT) AS target,
+        |    (CASE WHEN idx = 1 THEN 2.0 WHEN idx = total THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN len(list_filter(string_split_regex(sentence, '\\s+'), w -> len(w) > 0)) BETWEEN 5 AND 25 THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN contains(lower(sentence), 'important') OR contains(lower(sentence), 'key')
+        |       OR contains(lower(sentence), 'must') OR contains(lower(sentence), 'should') THEN 1.5 ELSE 0.0 END) +
+        |    (CASE WHEN regexp_matches(sentence, '[0-9]') THEN 0.5 ELSE 0.0 END) AS sc
+        |  FROM counted),
+        |sranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, idx ASC) AS srn,
+        |    sum(stok) OVER (PARTITION BY doc_id ORDER BY sc DESC, idx ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sscore),
+        |comp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN max(total) = 1 THEN min(text)
+        |         WHEN length(min(text)) < 50 THEN min(text)
+        |         ELSE string_agg(sentence, ' ' ORDER BY idx) FILTER (srn = 1 OR cum <= target)
+        |    END AS compressed
+        |  FROM sranked GROUP BY doc_id),
+        |ins AS (
+        |  SELECT count(*) AS rin,
+        |    CAST(sum((strlen(d.text) + 3) // 4) AS BIGINT) AS tin
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |seltok AS (
+        |  SELECT count(*) AS rsel,
+        |    CAST(sum((strlen(d.text) + 3) // 4) AS BIGINT) AS tsel
+        |  FROM selids s JOIN documents d ON d.doc_id = s.id),
+        |comptok AS (
+        |  SELECT CAST(sum(CASE WHEN strlen(c.compressed) = 0 THEN 0
+        |                       ELSE (strlen(c.compressed) + 3) // 4 END) AS BIGINT) AS tcomp
+        |  FROM selids s JOIN comp c ON c.doc_id = s.id)
+        |SELECT 'dedup' AS stage, TRUE AS enabled, rin AS rows_in, rsel AS rows_out,
+        |  tin AS tokens_in, tsel AS tokens_out,
+        |  CASE WHEN tin > 0 THEN CAST(tin - tsel AS DOUBLE) / tin * 100 ELSE 0.0 END AS reduction_percent
+        |FROM ins, seltok
+        |UNION ALL
+        |SELECT 'compress', TRUE, rsel, rsel, tsel, tcomp,
+        |  CASE WHEN tsel > 0 THEN CAST(tsel - tcomp AS DOUBLE) / tsel * 100 ELSE 0.0 END
+        |FROM seltok, comptok
+        |UNION ALL
+        |SELECT 'summarize', FALSE, rsel, rsel, tcomp, tcomp, 0.0
+        |FROM seltok, comptok
+        |UNION ALL
+        |SELECT 'total', TRUE, rin, rsel, tin, tcomp,
+        |  CASE WHEN tin > 0 THEN CAST(tin - tcomp AS DOUBLE) / tin * 100 ELSE 0.0 END
+        |FROM ins, seltok, comptok""".stripMargin,
     "q18_knn_bruteforce" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

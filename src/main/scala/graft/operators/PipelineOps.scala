@@ -247,6 +247,154 @@ object PipelineOps {
     }
   }
 
+  // ── Per-stage observability (reference pkg/pipeline/pipeline.go:16-32
+  //    StageStats{InputTokens,OutputTokens,Reduction,Latency} and
+  //    pkg/contextlab/broker.go:165-190 BrokerStats{RetrievalLatency,
+  //    ClusteringLatency,Retrieved,Clustered,Returned,TotalLatency}) ──
+
+  /** One stage's report: rows/tokens in and out, reduction, wall millis. */
+  final case class StageStat(stage: String, enabled: Boolean,
+                             rows_in: Long, rows_out: Long,
+                             tokens_in: Long, tokens_out: Long,
+                             reduction_percent: Double, millis: Long)
+
+  private def countAndTokens(df: DataFrame, textCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(TextFunctions.tokens_raw(col(textCol))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def pct(tin: Long, tout: Long): Double =
+    if (tin > 0) (tin - tout).toDouble / tin * 100 else 0.0
+
+  /** [[dedupPipeline]] plus the reference's per-stage latency/token report:
+    * returns (result, stats) where stats has one row per stage
+    * (dedup → compress → summarize) and a `total` row. Each stage boundary
+    * is materialized (persist + one count/token-sum job) so its wall time
+    * and row/token deltas are real — this is the observability wrapper; the
+    * plain [[dedupPipeline]]/[[dedupPipelineFused]] stay the zero-overhead
+    * paths. Results are identical to [[dedupPipeline]] (spec-asserted).
+    */
+  def dedupPipelineWithStats(df0: DataFrame, groupCol: String, idCol: String,
+                             textCol: String, embCol: String, scoreCol: String,
+                             cfg: PipelineConfig = PipelineConfig()): (DataFrame, DataFrame) = {
+    val spark = df0.sparkSession
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    val df = df0.persistTracked
+    val (rowsIn, tokensIn) = countAndTokens(df, textCol)
+    val totalStart = System.nanoTime()
+
+    def timed(body: => DataFrame): (DataFrame, Long, Long, Long) = {
+      val t0 = System.nanoTime()
+      val out = body.persistTracked
+      val (r, t) = countAndTokens(out, "compressed")
+      (out, r, t, (System.nanoTime() - t0) / 1000000L)
+    }
+
+    // stage 1: dedup (cluster → representative → MMR); compressed == text here
+    val (sel, selRows, selTokens, selMs) = timed {
+      dedupPipeline(df, groupCol, idCol, textCol, embCol, scoreCol,
+        cfg.copy(compressEnabled = false, summarizeEnabled = false))
+    }
+    stats += StageStat("dedup", cfg.dedupEnabled, rowsIn, selRows,
+      tokensIn, selTokens, pct(tokensIn, selTokens), selMs)
+
+    // stage 2: compress (same expression the pipeline applies)
+    val (comp, compRows, compTokens, compMs) =
+      if (cfg.compressEnabled) timed {
+        sel.withColumn("compressed",
+          CompressFunctions.extract_salient(col("compressed"),
+            cfg.compressRatio, cfg.minChunkLength))
+      } else (sel, selRows, selTokens, 0L)
+    stats += StageStat("compress", cfg.compressEnabled, selRows, compRows,
+      selTokens, compTokens, pct(selTokens, compTokens), compMs)
+
+    // stage 3: summarize
+    val (fin, finRows, finTokens, finMs) =
+      if (cfg.summarizeEnabled) timed {
+        comp.withColumn("compressed",
+          CompressFunctions.paragraph_summary(col("compressed")))
+      } else (comp, compRows, compTokens, 0L)
+    stats += StageStat("summarize", cfg.summarizeEnabled, compRows, finRows,
+      compTokens, finTokens, pct(compTokens, finTokens), finMs)
+
+    stats += StageStat("total", enabled = true, rowsIn, finRows,
+      tokensIn, finTokens, pct(tokensIn, finTokens),
+      (System.nanoTime() - totalStart) / 1000000L)
+    (fin, spark.createDataFrame(stats.toSeq))
+  }
+
+  /** [[retrieveBroker]] plus broker.go's stage stats: one row per broker
+    * stage (retrieval / clustering / selection) with rows_out = the
+    * reference's Retrieved / Clustered / Returned counters, plus `total`.
+    * Token columns are zero (the broker stages carry no text). Results are
+    * identical to [[retrieveBroker]] (spec-asserted).
+    */
+  def retrieveBrokerWithStats(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, embCol: String,
+                              qidCol: String, qembCol: String,
+                              cfg: BrokerConfig = BrokerConfig()): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    val totalStart = System.nanoTime()
+
+    // stage 1: over-fetch (KNN) + embedding join-back — broker.go "retrieval"
+    var t0 = System.nanoTime()
+    val fetched = KnnOps.bruteForceKnn(
+      corpus, queries, cfg.overFetchK, idCol, embCol, qidCol, qembCol)
+    val chunks = corpus
+      .select(col(idCol).cast("long").as("neighbor_id"), col(embCol).as("emb"))
+      .join(broadcast(fetched), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("emb"), col("sim"))
+      .persistTracked
+    val retrieved = chunks.count()
+    stats += StageStat("retrieval", enabled = true, retrieved, retrieved, 0L, 0L,
+      0.0, (System.nanoTime() - t0) / 1000000L)
+
+    // stage 2: per-query clustering — broker.go "clustering"
+    t0 = System.nanoTime()
+    val clustered = ClusterOps.agglomerativeCluster(
+      chunks, "query_id", "neighbor_id", "emb",
+      ClusterAlgs.ClusterConfig(threshold = cfg.clusterThreshold, linkage = cfg.linkage))
+      .persistTracked
+    val nClusters = clustered.select(col("group"), col("cluster_id")).distinct().count()
+    stats += StageStat("clustering", enabled = true, retrieved, nClusters, 0L, 0L,
+      0.0, (System.nanoTime() - t0) / 1000000L)
+
+    // stage 3: representative + MMR/top-K — broker.go selection + rerank
+    t0 = System.nanoTime()
+    val withCluster = chunks.join(
+      clustered,
+      chunks("query_id") === clustered("group") && chunks("neighbor_id") === clustered("id"))
+      .select(chunks("query_id"), chunks("neighbor_id"), chunks("emb"), chunks("sim"),
+        clustered("cluster_id"))
+    val reps = ClusterOps.selectRepresentatives(
+      withCluster, Seq("query_id", "cluster_id"), "neighbor_id", "emb", "sim", "sim",
+      "score")
+    val result =
+      (if (cfg.enableMMR) {
+        val mmr = ClusterOps.mmrRerank(
+          reps, "query_id", "neighbor_id", "emb", "sim", cfg.mmrLambda, cfg.targetK)
+        reps.join(mmr,
+          reps("query_id") === mmr("group") && reps("neighbor_id") === mmr("id"))
+          .select(reps("query_id"), reps("neighbor_id"), reps("sim"),
+            mmr("mmr_rank").as("final_rank"))
+      } else {
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)
+        reps.withColumn("final_rank", row_number().over(w))
+          .filter(col("final_rank") <= cfg.targetK)
+          .select(col("query_id"), col("neighbor_id"), col("sim"), col("final_rank"))
+      }).persistTracked
+    val returned = result.count()
+    stats += StageStat("selection", enabled = true, nClusters, returned, 0L, 0L,
+      0.0, (System.nanoTime() - t0) / 1000000L)
+
+    stats += StageStat("total", enabled = true, retrieved, returned, 0L, 0L,
+      0.0, (System.nanoTime() - totalStart) / 1000000L)
+    (result, spark.createDataFrame(stats.toSeq))
+  }
+
   /** Per-stage stats row mirroring pkg/pipeline/pipeline.go:16-32 /
     * types/chunk.go:122-146: counts, token totals, reduction percent.
     */

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 additions: per-stage pipeline/broker observability (the
+  * reference's Stats surface) and the kmeansDedup count hint.
+  */
+class Round6Spec extends AnyFunSuite with SparkTest {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def chunks = PipelineOps.chunkTable(
+    graft.core.Tables.documents(spark, dir),
+    graft.core.Tables.embeddings(spark, dir))
+
+  test("dedupPipelineWithStats: same result as dedupPipeline, real stage report") {
+    val cfg = PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0)
+    val plain = PipelineOps.dedupPipeline(
+      chunks, "request_group", "doc_id", "text", "embedding", "score", cfg)
+    val (staged, stats) = graft.GraftEngine.deduplicateChunksWithStats(
+      chunks, "request_group", "doc_id", "text", "embedding", "score", cfg)
+    // identical decisions and text
+    val key = Seq("request_group", "doc_id", "cluster_id", "mmr_rank", "compressed")
+    assert(staged.select(key.map(col): _*).except(plain.select(key.map(col): _*)).isEmpty)
+    assert(plain.select(key.map(col): _*).except(staged.select(key.map(col): _*)).isEmpty)
+
+    val s = stats.collect().map(r => r.getAs[String]("stage") -> r).toMap
+    assert(s.keySet == Set("dedup", "compress", "summarize", "total"))
+    val dedup = s("dedup"); val comp = s("compress"); val tot = s("total")
+    assert(dedup.getAs[Long]("rows_in") == chunks.count())
+    assert(dedup.getAs[Long]("rows_out") == plain.count())
+    // compression only removes tokens, never rows
+    assert(comp.getAs[Long]("rows_out") == dedup.getAs[Long]("rows_out"))
+    assert(comp.getAs[Long]("tokens_out") <= comp.getAs[Long]("tokens_in"))
+    assert(comp.getAs[Double]("reduction_percent") >= 0.0)
+    // wall time is measured, and the disabled stage reports zero
+    assert(dedup.getAs[Long]("millis") > 0)
+    assert(!s("summarize").getAs[Boolean]("enabled") &&
+      s("summarize").getAs[Long]("millis") == 0)
+    assert(tot.getAs[Long]("tokens_out") == comp.getAs[Long]("tokens_out"))
+    graft.GraftEngine.releaseCaches()
+  }
+
+  test("retrieveBrokerWithStats: parity with retrieveBroker, reference counters") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    for (mmr <- Seq(true, false)) {
+      val cfg = PipelineOps.BrokerConfig(enableMMR = mmr)
+      val plain = PipelineOps.retrieveBroker(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", cfg)
+      val (staged, stats) = graft.GraftEngine.retrieveDeduplicatedWithStats(
+        emb, queries, "vec_id", "embedding", "vec_id", "embedding", cfg)
+      val key = Seq("query_id", "neighbor_id", "final_rank")
+      assert(staged.select(key.map(col): _*).except(plain.select(key.map(col): _*)).isEmpty)
+      assert(plain.select(key.map(col): _*).except(staged.select(key.map(col): _*)).isEmpty)
+
+      val s = stats.collect().map(r => r.getAs[String]("stage") -> r).toMap
+      assert(s.keySet == Set("retrieval", "clustering", "selection", "total"))
+      // Retrieved = nQueries x overFetchK (5 x 50), Returned bounded by K
+      assert(s("retrieval").getAs[Long]("rows_out") == 5L * cfg.overFetchK)
+      assert(s("clustering").getAs[Long]("rows_out") <= 5L * cfg.overFetchK)
+      assert(s("selection").getAs[Long]("rows_out") <= 5L * cfg.targetK)
+      assert(s("total").getAs[Long]("rows_out") == plain.count())
+      graft.GraftEngine.releaseCaches()
+    }
+  }
+
+  test("kmeansDedup nHint derives the same K without a count job") {
+    import spark.implicits._
+    val df = (0 until 32).map { i =>
+      val a = Array.fill(8)(0f); a(i % 4) = 1f; (i.toLong, a.toSeq)
+    }.toDF("id", "embedding")
+    val viaCount = ClusterOps.kmeansDedup(df, "id", "embedding")
+      .select("id", "kept").collect().sortBy(_.getLong(0))
+    val viaHint = ClusterOps.kmeansDedup(df, "id", "embedding", nHint = 32L)
+      .select("id", "kept").collect().sortBy(_.getLong(0))
+    assert(viaCount.map(_.getBoolean(1)).toSeq == viaHint.map(_.getBoolean(1)).toSeq)
+    graft.GraftEngine.releaseCaches()
+  }
+}
