@@ -232,4 +232,15 @@ object GraftEngine {
   def mergeStore(spark: org.apache.spark.sql.SparkSession, root: String)(
       transform: DataFrame => DataFrame): Long =
     graft.core.TableStore.merge(spark, root)(transform)
+
+  /** mergeStore + the row-level change feed the merge produced (insert /
+    * delete / update_preimage / update_postimage) — lifecycle events from
+    * the durable path: `mergeStoreWithFeed(spark, root, Seq("id"))(m =>
+    * MemoryOps.decayOnce(m, now)._1)` surfaces the decay pass's evictions
+    * as deletes and its compressions as update pairs, straight off disk.
+    */
+  def mergeStoreWithFeed(spark: org.apache.spark.sql.SparkSession, root: String,
+                         idCols: Seq[String])(
+      transform: DataFrame => DataFrame): (Long, DataFrame) =
+    graft.core.TableStore.mergeWithFeed(spark, root, idCols)(transform)
 }

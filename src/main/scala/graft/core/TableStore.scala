@@ -145,6 +145,68 @@ object TableStore {
     commit(next, root, expectedVersion = Some(base))
   }
 
+  /** Row-level change feed between two committed versions (Delta CDF shape,
+    * feeding the reference's lifecycle-event consumers —
+    * pkg/memory/cache_events.go — from the DURABLE path): one row per
+    * changed row, `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage, plus `_base_version`/`_version` and the table
+    * columns (pre-image for delete/update_preimage, post-image otherwise).
+    *
+    * Rows are keyed by `idCols`; both versions must still be on disk
+    * (vacuum's `keep` window — the default keeps current + previous, i.e.
+    * exactly one merge's feed). Cost: ONE keyed full-outer join between the
+    * two versions plus a null-safe struct compare — commit versions with
+    * the same partitioning/bucketing and the join co-locates at any scale.
+    * Limitation: map-typed columns are not comparable row-wise (Spark
+    * cannot EqualNullSafe maps) — stringify maps before committing.
+    */
+  def changeFeed(spark: SparkSession, root: String, idCols: Seq[String],
+                 baseVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(idCols.nonEmpty, "changeFeed needs at least one id column")
+    val base = spark.read.parquet(s"$root/v_$baseVersion")
+    val next = spark.read.parquet(s"$root/v_$toVersion")
+    require(base.columns.sorted.sameElements(next.columns.sorted),
+      s"schema changed between v_$baseVersion and v_$toVersion: " +
+        s"${base.columns.mkString(",")} vs ${next.columns.mkString(",")} — " +
+        "diff the versions manually on the shared columns")
+    val dataCols = next.columns.filterNot(idCols.contains).toSeq
+    // zero-data-column tables still diff on existence alone
+    val packCols = if (dataCols.isEmpty) Seq(lit(1).as("__present")) else dataCols.map(col)
+    def pack(df: DataFrame, side: String) =
+      df.select(idCols.map(col) :+ struct(packCols: _*).as(s"__row_$side"): _*)
+    val joined = pack(base, "b").join(pack(next, "n"), idCols, "full_outer")
+    def unpacked(tpe: String, rowCol: String) = {
+      val rows = dataCols.map(c => col(rowCol).getField(c).as(c))
+      lit(tpe).as("_change_type") +: lit(baseVersion).as("_base_version") +:
+        lit(toVersion).as("_version") +: (idCols.map(col) ++ rows)
+    }
+    val inserted = joined.filter(col("__row_b").isNull)
+      .select(unpacked("insert", "__row_n"): _*)
+    val deleted = joined.filter(col("__row_n").isNull)
+      .select(unpacked("delete", "__row_b"): _*)
+    val changed = joined.filter(col("__row_b").isNotNull && col("__row_n").isNotNull &&
+      !(col("__row_b") <=> col("__row_n")))
+    inserted
+      .unionByName(deleted)
+      .unionByName(changed.select(unpacked("update_preimage", "__row_b"): _*))
+      .unionByName(changed.select(unpacked("update_postimage", "__row_n"): _*))
+  }
+
+  /** [[merge]] plus the row-level diff it produced: returns (newVersion,
+    * changeFeed(base → newVersion)). The durable analog of operators that
+    * return (newState, events) in memory — e.g.
+    * `MemoryOps.decayOnce`'s evictions surface as `delete` rows and its
+    * compressions as `update_preimage`/`update_postimage` pairs.
+    */
+  def mergeWithFeed(spark: SparkSession, root: String, idCols: Seq[String])(
+      transform: DataFrame => DataFrame): (Long, DataFrame) = {
+    val base = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val next = merge(spark, root)(transform)
+    (next, changeFeed(spark, root, idCols, base, next))
+  }
+
   /** Drop all but the newest `keep` versions, plus abandoned staging dirs
     * and orphan version slots (a writer that crashed between rename and
     * pointer swap) — but ONLY once they are older than `graceMs`, so vacuum

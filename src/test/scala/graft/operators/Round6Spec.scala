@@ -67,6 +67,78 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("changeFeed: insert/delete/update pre+post images between versions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    graft.core.TableStore.commit(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "v"), root)
+    graft.core.TableStore.commit(
+      Seq((2L, "b", 20), (3L, "c2", 30), (4L, "d", 40)).toDF("id", "s", "v"), root)
+    val feed = graft.core.TableStore.changeFeed(spark, root, Seq("id"), 0L, 1L)
+      .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[String]("s"))).toSet
+    assert(feed == Set(
+      ("delete", 1L, "a"),
+      ("update_preimage", 3L, "c"),
+      ("update_postimage", 3L, "c2"),
+      ("insert", 4L, "d")))
+    // unchanged row 2 emits nothing; versions are stamped
+    val v = graft.core.TableStore.changeFeed(spark, root, Seq("id"), 0L, 1L)
+      .select("_base_version", "_version").distinct().head()
+    assert(v.getLong(0) == 0L && v.getLong(1) == 1L)
+  }
+
+  test("durable decay: mergeStoreWithFeed yields the same events as decayOnce in memory") {
+    import spark.implicits._
+    val now = lit("2024-01-02 00:00:00").cast("timestamp")
+    val aged = Seq(
+      ("full_old", 0, "2023-12-30 00:00:00"), // summary -> update pair
+      ("full_new", 0, "2024-01-01 12:00:00"), // none -> absent from feed
+      ("sum_old", 1, "2023-12-20 00:00:00"),  // keywords -> update pair
+      ("kw_ancient", 2, "2023-11-01 00:00:00"), // evict -> delete
+      ("kw_recent", 2, "2023-12-31 00:00:00")   // none -> absent
+    ).toDF("id", "decay_level", "lr")
+      .withColumn("last_referenced", col("lr").cast("timestamp")).drop("lr")
+      .withColumn("text",
+        lit("First important sentence here. Second filler sentence follows. Third one."))
+
+    // in-memory reference pair
+    val (_, events) = MemoryOps.decayOnce(aged, now)
+    val ev = events.collect().map(r => r.getAs[String]("entry_id") ->
+      (r.getAs[String]("event_type"), r.getAs[Int]("tokens_before"),
+        r.getAs[Int]("tokens_after"), r.getAs[Int]("compression_level"))).toMap
+
+    // durable round-trip: commit -> merge(decay) -> change feed off disk
+    val root = java.nio.file.Files.createTempDirectory("graft_decay_store").toString
+    graft.GraftEngine.commitStore(aged, root)
+    val (v1, feed0) = graft.GraftEngine.mergeStoreWithFeed(spark, root, Seq("id"))(
+      m => MemoryOps.decayOnce(m, now)._1)
+    assert(v1 == 1L)
+    val feed = feed0.withColumn("tokens",
+      graft.functions.TextFunctions.tokens_raw(col("text"))).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[String]("id"),
+        r.getAs[Int]("tokens"), r.getAs[Int]("decay_level"))).toList
+
+    // evictions surface as deletes
+    val deletes = feed.filter(_._1 == "delete").map(_._2).toSet
+    assert(deletes == ev.filter(_._2._1 == "evicted").keySet)
+    // compressions surface as update pairs whose pre/post tokens and level
+    // match the in-memory events exactly
+    val pre = feed.filter(_._1 == "update_preimage").map(t => t._2 -> t._3).toMap
+    val post = feed.filter(_._1 == "update_postimage").map(t => t._2 -> (t._3, t._4)).toMap
+    val compressed = ev.filter(_._2._1 == "compressed")
+    assert(pre.keySet == compressed.keySet && post.keySet == compressed.keySet)
+    compressed.foreach { case (id, (_, tb, ta, lvl)) =>
+      assert(pre(id) == tb, s"$id tokens_before")
+      assert(post(id) == ((ta, lvl)), s"$id tokens_after/level")
+    }
+    // untouched rows emit nothing
+    val touched = feed.map(_._2).toSet
+    assert(!touched.contains("full_new") && !touched.contains("kw_recent"))
+    // the durable state equals the merged version the feed described
+    assert(graft.GraftEngine.readStore(spark, root).count() == 4)
+  }
+
   test("kmeansDedup nHint derives the same K without a count job") {
     import spark.implicits._
     val df = (0 until 32).map { i =>
