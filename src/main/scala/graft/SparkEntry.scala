@@ -564,9 +564,11 @@ object SparkEntry {
     //     (verified; quantity disambiguates the one sf0.001 collision),
     //     replayable in SQL, and window-free like the xxhash64 id it
     //     replaces. Bounds hold through ~sf1; beyond that widen the packing.
-    //   - the embedding is a planted 64-dim one-hot of (partkey+suppkey)%64,
-    //     so per group the agglomerate still builds the full O(N^2) distance
-    //     matrix and runs its merge loop, but merges are exactly the
+    //   - the embedding is a planted 32-dim one-hot of (partkey+suppkey)%32
+    //     (32 dims like the hash embedding it replaced, so the per-group
+    //     distance-matrix flops are comparable): per group the agglomerate
+    //     still builds the full O(N^2) distance matrix and runs its merge
+    //     loop, but merges are exactly the
     //     same-dim classes (distance 0; cross-dim pairs sit at 1.0):
     //     cluster_id = rank of class min-id, representative = max score tie
     //     min id, and MMR over the now-orthogonal representatives = top-8 by
@@ -585,8 +587,8 @@ object SparkEntry {
             col("l_suppkey")).as("text"),
           (col("l_orderkey") % 6000).as("request_group"),
           col("l_quantity").as("score"),
-          transform(sequence(lit(0), lit(63)),
-            d => when(d.cast("long") === (col("l_partkey") + col("l_suppkey")) % 64,
+          transform(sequence(lit(0), lit(31)),
+            d => when(d.cast("long") === (col("l_partkey") + col("l_suppkey")) % 32,
               lit(1f)).otherwise(lit(0f))).as("embedding"))
       // fused path: one keyed shuffle for cluster+select+MMR (the composed
       // form is exercised by q27; results are identical — see Round2Spec)
@@ -1346,9 +1348,12 @@ object SparkEntry {
     // seals out-of-order arrivals, so decisions replay the seq-ordered
     // batch semantics exactly — accepted = first occurrence of a session's
     // one-hot dim, totals = 10 per accepted row — all closed-form. The
-    // 30-minute delay exceeds the 25-minute event span, so nothing is ever
-    // dropped as late; a far-future flush event (excluded from output)
-    // advances the watermark past every real event.
+    // watermark delay is COMPUTED from the data to exceed the full event
+    // span at any SF — a fixed delay shorter than the span turns the
+    // deliberate disorder into late-row drops (at sf0.1 a "30 minutes"
+    // delay silently dropped the odd seqs below the advanced watermark and
+    // the sink never filled); a far-future flush event (excluded from
+    // output) then advances the watermark past every real event.
     "q103_event_time_push" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -1360,11 +1365,12 @@ object SparkEntry {
           s"s${d % 20}", s"d$d", (d / 20).toInt + 1, 10, emb,
           new java.sql.Timestamp(1000L * ((d / 20) * 60 + 30)))
       }
+      val spanSec = ids.map(d => (d / 20) * 60 + 30).max
       val (evenSeq, oddSeq) = events.partition(_.seq % 2 == 0)
       val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
         graft.streaming.StreamingOps.SessionPushEvent]
       val q = graft.streaming.StreamingOps.eventTimeSessionPush(
-          stream.toDS(), watermarkDelay = "30 minutes")
+          stream.toDS(), watermarkDelay = s"${spanSec + 60} seconds")
         .writeStream.format("memory").queryName("q103_sink")
         .outputMode("append").start()
       try {
@@ -1373,9 +1379,11 @@ object SparkEntry {
         stream.addData(oddSeq.toSeq)
         q.processAllAvailable()
         val flushEmb = Array.fill(8)(0f); flushEmb(0) = 1f
+        // flush time must clear span + delay so the advanced watermark
+        // seals every real event — computed, like the delay itself
         stream.addData(graft.streaming.StreamingOps.SessionPushEvent(
           "flush", "f", 1, 1, flushEmb,
-          new java.sql.Timestamp(1000L * 3600 * 24)))
+          new java.sql.Timestamp(1000L * (2L * spanSec + 3600))))
         q.processAllAvailable()
         // the sealing timeout fires on a follow-up no-data batch — poll
         val deadline = System.currentTimeMillis() + 60000
@@ -2636,7 +2644,7 @@ object SparkEntry {
         |  SELECT ((((l_orderkey * 8 + l_linenumber) * 262144 + l_partkey) * 16384
         |      + l_suppkey) * 64 + CAST(l_quantity AS BIGINT)) AS id,
         |    l_orderkey % 6000 AS g,
-        |    (l_partkey + l_suppkey) % 64 AS dim,
+        |    (l_partkey + l_suppkey) % 32 AS dim,
         |    CAST(l_quantity AS DOUBLE) AS score,
         |    concat_ws(' ', l_returnflag, l_linestatus, CAST(l_shipdate AS VARCHAR),
         |      CAST(l_quantity AS VARCHAR), CAST(l_extendedprice AS VARCHAR),

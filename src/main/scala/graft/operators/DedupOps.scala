@@ -646,21 +646,24 @@ object DedupOps {
       .select(col("doc_id"), col("fp_hash")).distinct()
     // With the cap engaged (the default), hash document-frequencies are
     // counted FIRST — a pure count aggregation that partial-aggregates
-    // map-side, so no posting list ever materializes for an over-cap key —
-    // and only surviving keys reach the posting-list aggregation, whose
-    // per-key buffers are then bounded by maxHashFreq (and the per-key pair
-    // fan-out by maxHashFreq²/2). The earlier single-pass form filtered
-    // AFTER collect_list, which still buffered a corpus-sized array for a
-    // boilerplate hash before dropping it.
+    // map-side, so no posting list ever materializes for an over-cap key.
+    // The over-cap HOT SET is tiny (boilerplate hashes), so it folds into a
+    // one-row array broadcast and drops map-side (the jaccardPairs cap
+    // shape) — the posting table is shuffled exactly once, with every
+    // per-key aggregation buffer provably <= maxHashFreq (and the per-key
+    // pair fan-out <= maxHashFreq²/2). The earlier keyed-join form shuffled
+    // the postings twice and cost q56 2x at sf0.1.
     val lists =
       if (maxHashFreq > 0) {
-        val dp = d.persistTracked // feeds the count pass and the keyed join
-        val keep = dp.groupBy(col("fp_hash")).agg(count(lit(1)).as("hdf"))
-          .filter(col("hdf") >= 2 && col("hdf") <= maxHashFreq)
-          .select("fp_hash")
-        dp.join(keep, "fp_hash")
+        val dp = d.persistTracked // feeds the count pass and the posting agg
+        val hot = dp.groupBy(col("fp_hash")).agg(count(lit(1)).as("hdf"))
+          .filter(col("hdf") > maxHashFreq)
+          .agg(collect_list(col("fp_hash")).as("hot"))
+        dp.crossJoin(broadcast(hot))
+          .filter(!array_contains(col("hot"), col("fp_hash")))
           .groupBy(col("fp_hash"))
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) >= 2)
       } else {
         // explicit opt-out: exact over all hashes, single aggregation —
         // only safe when the corpus is known boilerplate-free
