@@ -175,6 +175,18 @@ object GraftEngine {
                       threshold: Double = 0.8): DataFrame =
     operators.DedupOps.probeMinhashIndex(index, batch, textCol, idCol, threshold)
 
+  /** repeated_spans / strip_repeated_spans: the published repeated-substring
+    * dedup pass — word n-grams occurring >= minCount times corpus-wide merge
+    * into maximal per-doc spans; strip cuts them out of the text.
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 8, minCount: Long = 2L): DataFrame =
+    operators.DedupOps.repeatedSpans(docs, textCol, idCol, n, minCount)
+
+  def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
+                         textCol: String, idCol: String): DataFrame =
+    operators.DedupOps.stripRepeatedSpans(docs, spans, textCol, idCol)
+
   /** strip_boilerplate: remove corpus-frequent segments from every doc. */
   def stripBoilerplate(docs: DataFrame, idCol: String,
                        segs: org.apache.spark.sql.Column, minDf: Long,

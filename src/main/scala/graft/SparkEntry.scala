@@ -1342,6 +1342,21 @@ object SparkEntry {
         col("tokens_in"), col("tokens_out"), col("reduction_percent"))
     },
 
+    // Repeated-substring dedup (the published ExactSubstr-style pass):
+    // every 10th document gets the same 30-word passage appended, so its
+    // aligned 8-grams repeat across ~50 docs and merge into exactly the
+    // planted [nw, nw+30) span — while any ORGANIC repeated 8-grams in the
+    // real text are caught too; the oracle replays the full computation
+    // (polynomial gram hash, occurrence count, interval merge), not just
+    // the plant.
+    "q105_repeated_spans" -> { (s, dir) =>
+      val passage = (0 until 30).map(i => s"plantedword$i").mkString(" ")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.DedupOps.repeatedSpans(docs, "text", "doc_id", n = 8)
+    },
+
     // Event-time session push through a LIVE MemoryStream query, with
     // arrival order deliberately scrambled ACROSS micro-batches (all even
     // seqs land a batch before all odd seqs): the watermark buffers and
@@ -1969,6 +1984,44 @@ object SparkEntry {
         |  CASE WHEN acc = 1 THEN 'ok' ELSE 'duplicate' END AS reason,
         |  CAST(total AS BIGINT) AS "totalTokens", pushcnt AS "pushCount"
         |FROM u""".stripMargin,
+    // Full replay of the repeated-substring pass: the winnow polynomial
+    // gram hash (so hash-space effects replicate exactly), occurrence
+    // count, marked positions, and the window interval merge.
+    "q105_repeated_spans" -> {
+      val passage = (0 until 30).map(i => s"plantedword$i").mkString(" ")
+      s"""WITH d0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' $passage' ELSE text END AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS words
+        |  FROM d0),
+        |g AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(words) - 8)) AS pos, words
+        |  FROM w WHERE len(words) >= 8),
+        |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
+        |  FROM gr),
+        |rep AS (SELECT hash FROM h GROUP BY hash HAVING count(*) >= 2),
+        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (hash)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |      THEN 1 ELSE 0 END AS gap
+        |  FROM mk),
+        |sp2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM sp)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+        |  CAST(max(pos) + 8 AS BIGINT) AS end_word
+        |FROM sp2 GROUP BY doc_id, span_id""".stripMargin
+    },
     // Stage report replay: the q27 selection/compression CTEs give the
     // dedup-stage output rows and the compressed text; token totals are the
     // (strlen+3)//4 estimator summed per boundary.

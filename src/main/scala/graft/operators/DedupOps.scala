@@ -584,24 +584,24 @@ object DedupOps {
     * plan and the DuckDB oracle reduce to a plain integer window-min; docs
     * are assumed < 2^20 grams (a 4 MB+ text — split first if bigger).
     */
-  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+  /** One row per complete word `k`-gram: (doc_id, ng, pos, ghash), where
+    * ghash is the polynomial hash of the space-joined gram (mod 1e9+7) —
+    * each character hashed exactly once via window lead() combination
+    * (H(a ++ b) = H(a)·31^len(b) + H(b), the joining space one more fold
+    * step ·31 + 32), identical to hashing the gram string, which is what
+    * the oracles replay. The explicit doc_id repartition spreads the
+    * hashing across the cluster instead of leaving it in the (often
+    * single-file) scan stage; everything downstream reuses that one
+    * doc-keyed exchange.
+    */
+  private def gramHashRows(df: DataFrame, textCol: String, idCol: String,
+                           k: Int): DataFrame = {
     val M = 1000000007L
     val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
-    // One row per word, hashed ONCE (h = poly hash, p = 31^len mod M), then
-    // gram hashes combine k word hashes with window lead()s:
-    // H(a ++ b) = H(a)·31^len(b) + H(b), the joining space one more fold
-    // step (·31 + 32). Same value as hashing the space-joined gram string
-    // (which is what the oracle replays), but each character is hashed
-    // exactly once, no gram string is materialized, and the explicit
-    // doc_id repartition spreads the hashing across the cluster instead of
-    // leaving it in the (often single-file) scan stage. Everything
-    // downstream reuses that one doc-keyed exchange.
     val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
     val chars = transform(filter(split(col("word"), ""), c => length(c) > 0),
       c => ascii(c).cast("long"))
-    val gramRows = df
+    df
       .select(col(idCol).as("doc_id"), words.as("__words"))
       .filter(size(col("__words")) > 0)
       .select(col("doc_id"), size(col("__words")).as("nw"),
@@ -617,6 +617,12 @@ object DedupOps {
       .filter(col("widx") <= col("nw") - k) // complete grams only
       .select(col("doc_id"), (col("nw") - (k - 1)).as("ng"),
         col("widx").as("pos"), col("ghash"))
+  }
+
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val gramRows = gramHashRows(df, textCol, idCol, k)
     gramRows
       .withColumn("comb", col("ghash") * 1048576L + col("pos"))
       .withColumn("wmin", min(col("comb")).over(
@@ -679,5 +685,73 @@ object DedupOps {
       .groupBy(col("pair.ida").as("ida"), col("pair.idb").as("idb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Cross-document repeated-substring detection at word granularity — the
+    * published "deduplicate training data on repeated substrings" pass
+    * (ExactSubstr-style), re-expressed relationally: every word `n`-gram
+    * occurring at least `minCount` times corpus-wide (within- and
+    * cross-document occurrences both count) marks its positions, and each
+    * document's marked positions merge into maximal `[start_word,
+    * end_word)` spans (adjacent/overlapping n-gram windows coalesce).
+    * Returns one row per span. Feed to [[stripRepeatedSpans]] to cut the
+    * spans out of the text.
+    *
+    * Scale shape: gram hashing is map-side after one doc-keyed exchange
+    * (shared with [[winnowFingerprints]]); the occurrence count is a pure
+    * count aggregation on 8-byte hashes (partial-aggregates map-side — no
+    * per-key lists, so no cap is needed); marked positions route back
+    * through one keyed join; the span merge is a per-doc window. Hash
+    * space is the oracle-replayable polynomial mod 1e9+7 — ~(distinct
+    * grams)²/2e9 false-merge probability, fine to ~10^4-doc corpora; swap
+    * the gram hash for a 128-bit one on petabyte corpora (the plan shape
+    * is unchanged).
+    */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(n >= 2, "need n >= 2 (unigram spans would mark every stopword)")
+    require(minCount >= 2, "minCount < 2 marks every position")
+    val grams = gramHashRows(docs, textCol, idCol, n).persistTracked
+    val repeated = grams.groupBy(col("ghash")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("ghash")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(repeated, "ghash")
+      .select(col("doc_id"), col("pos"))
+      // a gram at pos covers words [pos, pos+n): a gap > n between marked
+      // positions means the windows neither overlap nor touch — new span
+      .withColumn("gap",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > n, 1).otherwise(0))
+      .withColumn("span_id", sum(col("gap")).over(wDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("start_word"),
+        (max(col("pos")) + n).cast("long").as("end_word"))
+      .select(col("doc_id"), col("start_word"), col("end_word"))
+  }
+
+  /** Cut [[repeatedSpans]] spans out of each document's text: words whose
+    * position falls inside any of the doc's spans are dropped and the
+    * remainder re-joins with single spaces. Every input document comes back
+    * (fully-covered docs as the empty string). One keyed join (doc_id) plus
+    * a per-doc aggregation — no all-pairs, no driver work.
+    */
+  def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
+                         textCol: String, idCol: String,
+                         outCol: String = "cleaned"): DataFrame = {
+    val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
+    val spanAgg = spans.groupBy(col("doc_id").as("__sid"))
+      .agg(collect_list(struct(col("start_word"), col("end_word"))).as("__spans"))
+    docs.join(spanAgg, col(idCol) === col("__sid"), "left")
+      .withColumn(outCol,
+        when(col("__spans").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(
+              transform(words, (w, i) =>
+                when(!exists(col("__spans"), s =>
+                  i.cast("long") >= s.getField("start_word") &&
+                    i.cast("long") < s.getField("end_word")), w)),
+              w => w.isNotNull),
+            " ")))
+      .drop("__sid", "__spans")
   }
 }

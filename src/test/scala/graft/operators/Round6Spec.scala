@@ -139,6 +139,48 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     assert(graft.GraftEngine.readStore(spark, root).count() == 4)
   }
 
+  test("repeatedSpans + stripRepeatedSpans: planted passages marked and cut") {
+    import spark.implicits._
+    // 30 distinct filler words per doc (no organic 4-gram repeats), with the
+    // same 10-word passage planted mid-document in two of three docs
+    def filler(tag: String) = (0 until 15).map(i => s"${tag}w$i").mkString(" ")
+    val passage = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a")} $passage ${filler("b")}"),
+      (2L, s"${filler("c")} $passage ${filler("d")}"),
+      (3L, filler("e") + " " + filler("f"))
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(docs, "text", "doc_id", n = 4)
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // passage occupies words [15, 25) in docs 1 and 2; doc 3 is clean
+    assert(got == Set((1L, 15L, 25L), (2L, 15L, 25L)))
+
+    val cleaned = DedupOps.stripRepeatedSpans(docs, spans, "text", "doc_id")
+      .select(col("doc_id"), col("cleaned")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == s"${filler("a")} ${filler("b")}")
+    assert(cleaned(2L) == s"${filler("c")} ${filler("d")}")
+    assert(cleaned(3L) == filler("e") + " " + filler("f")) // untouched doc passes through
+    graft.GraftEngine.releaseCaches()
+  }
+
+  test("repeatedSpans merges overlapping and adjacent windows, counts within-doc repeats") {
+    import spark.implicits._
+    // one doc where the same 4-gram appears twice WITHIN the doc, plus a
+    // doc whose marked windows are adjacent — spans must coalesce
+    val rep = (0 until 4).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x0 x1 $rep y0 y1 y2 y3 $rep z0"),
+      (2L, "only unique words here nothing repeats at all")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(docs, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // occurrences at words [2,6) and [10,14): gap of 4 positions > n? the
+    // marked positions are 2 and 10; 10 - 2 = 8 > 4 -> two separate spans
+    assert(spans == Set((1L, 2L, 6L), (1L, 10L, 14L)))
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("kmeansDedup nHint derives the same K without a count job") {
     import spark.implicits._
     val df = (0 until 32).map { i =>
