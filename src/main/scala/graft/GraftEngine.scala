@@ -153,6 +153,8 @@ object GraftEngine {
     case "brute" => operators.KnnOps.bruteForceKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
     case "ivf"   => operators.KnnOps.ivfKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
     case "lsh"   => operators.KnnOps.lshKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol)
+    case "lsh-multiprobe" =>
+      operators.KnnOps.lshKnnMultiProbe(corpus, queries, k, idCol, embCol, qidCol, qembCol)
     case other   => throw new IllegalArgumentException(s"unknown search method $other")
   }
 

@@ -262,6 +262,34 @@ object KnnOps {
     bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
   }
 
+  /** Multi-probe variant of [[lshKnn]]: each query probes its own band key
+    * PLUS every 1-bit perturbation of it (the classic multi-probe LSH
+    * recall lever — LV multi-probe with Hamming-1 probes). The corpus side
+    * and the index shape are untouched; only the query band rows fan out
+    * map-side by (1 + bandBits)x, so recall rises without re-banding or
+    * widening the corpus shuffle — the right trade when queries are few and
+    * the corpus is 100 TB. Candidates are a strict superset of
+    * [[lshKnn]]'s, so recall can only improve (spec-asserted; measured
+    * numbers in COVERAGE.md).
+    */
+  def lshKnnMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                       idCol: String, embCol: String, qidCol: String, qembCol: String,
+                       planes: Int = 32, bandBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("cid"), col(embCol).as("cemb"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"), col(qembCol).as("qemb"))
+    val cBand = DedupOps.hyperplaneBandKeys(c, "cemb", Seq("cid"), planes, bandBits, seed)
+      .select(col("cid"), col("band"), col("bkey"))
+    val qBand = DedupOps.hyperplaneBandKeys(q, "qemb", Seq("query_id"), planes, bandBits, seed)
+      .select(col("query_id"), col("band"),
+        explode(array(col("bkey") +: (0 until bandBits).map(j =>
+          col("bkey").bitwiseXOR(lit(1L << j))): _*)).as("bkey"))
+    val cand = qBand.join(cBand, Seq("band", "bkey"))
+      .select(col("query_id"), col("cid"))
+      .distinct()
+    val pairs = cand.join(q, "query_id").join(c, "cid")
+    bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
+  }
+
   /** Recall@k of an approximate KNN result against the exact one. Both
     * inputs use the (query_id, neighbor_id, rank) contract this object's
     * operators emit; rows with rank > k are ignored. Returns one row:

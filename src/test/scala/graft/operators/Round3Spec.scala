@@ -160,8 +160,13 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
     val plan = pairs.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "fingerprint join must stay hash-keyed")
+    assert(!plan.contains("CartesianProduct"), "fingerprint join must stay hash-keyed")
+    // the only nested-loop join allowed is the broadcast 1-row hot-set cap
+    // filter (array_contains against the over-cap hash array); any other
+    // BNLJ would be an all-pairs comparison
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("array_contains"), s"unexpected BNLJ shape: $l")
+    }
     graft.GraftEngine.releaseCaches()
   }
 

@@ -181,6 +181,26 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("lshKnnMultiProbe: recall never below single-probe, measurably higher here") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10,
+      "vec_id", "embedding", "vec_id", "embedding")
+    val single = KnnOps.lshKnn(emb, queries, 10,
+      "vec_id", "embedding", "vec_id", "embedding", planes = 16, bandBits = 4)
+    val multi = KnnOps.lshKnnMultiProbe(emb, queries, 10,
+      "vec_id", "embedding", "vec_id", "embedding", planes = 16, bandBits = 4)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      KnnOps.recallAt(exact, approx, 10).head().getAs[Double]("avg_recall")
+    val (rs, rm) = (recall(single), recall(multi))
+    info(f"lsh single-probe recall@10 = $rs%.3f, multi-probe = $rm%.3f")
+    // Hamming-1 probes generate a strict candidate superset -> recall can
+    // only improve; on this near-uniform table the lift must be real
+    assert(rm >= rs)
+    assert(rm >= rs + 0.1, f"expected a real multi-probe lift, got $rs%.3f -> $rm%.3f")
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("kmeansDedup nHint derives the same K without a count job") {
     import spark.implicits._
     val df = (0 until 32).map { i =>
