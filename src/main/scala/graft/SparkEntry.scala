@@ -1342,6 +1342,25 @@ object SparkEntry {
         col("tokens_in"), col("tokens_out"), col("reduction_percent"))
     },
 
+    // The clean recipe extended with the Gopher-style duplicate-n-gram-
+    // coverage rule (powered by repeatedSpans): every 10th doc carries the
+    // shared 30-word passage, so its span coverage (30 words) exceeds the
+    // 10% permille gate and the doc drops as duplicated_ngrams unless an
+    // earlier rule (quality, length) already claimed it — the oracle
+    // replays the whole cascade including organic repeated 8-grams.
+    // sampleFraction = 1.0 so the ticket stage provably never fires.
+    "q106_clean_substr" -> { (s, dir) =>
+      val passage = (0 until 30).map(i => s"plantedword$i").mkString(" ")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).as("text"))
+      graft.operators.CorpusOps.cleanCorpus(docs, "text", "doc_id",
+        graft.operators.CorpusOps.CleanConfig(
+          allowedLangs = Set("en"), minWords = 15, maxWords = 10000,
+          minQualityMicro = 300000L, dedup = true, sampleFraction = 1.0,
+          maxRepeatedSpanPermille = 100))
+    },
+
     // Repeated-substring dedup (the published ExactSubstr-style pass):
     // every 10th document gets the same 30-word passage appended, so its
     // aligned 8-grams repeat across ~50 docs and merge into exactly the
@@ -1984,6 +2003,71 @@ object SparkEntry {
         |  CASE WHEN acc = 1 THEN 'ok' ELSE 'duplicate' END AS reason,
         |  CAST(total AS BIGINT) AS "totalTokens", pushcnt AS "pushCount"
         |FROM u""".stripMargin,
+    // Clean cascade + span-coverage rule replay: q105's span CTEs feed a
+    // per-doc covered-word sum; the reason CASE mirrors cleanCorpus's
+    // first-match order (sampling provably off at fraction 1.0).
+    "q106_clean_substr" -> {
+      val passage = (0 until 30).map(i => s"plantedword$i").mkString(" ")
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' $passage' ELSE text END AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,
+        |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+        |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
+        |  FROM corpus),
+        |w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS words
+        |  FROM corpus),
+        |g AS (
+        |  SELECT doc_id, unnest(generate_series(0, len(words) - 8)) AS pos, words
+        |  FROM w WHERE len(words) >= 8),
+        |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
+        |h AS (
+        |  SELECT doc_id, pos,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
+        |  FROM gr),
+        |rep AS (SELECT hash FROM h GROUP BY hash HAVING count(*) >= 2),
+        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (hash)),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |      THEN 1 ELSE 0 END AS gap
+        |  FROM mk),
+        |sp2 AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+        |  FROM sp),
+        |spans AS (
+        |  SELECT doc_id, sum(mx + 8 - mn) AS span_words FROM (
+        |    SELECT doc_id, span_id, min(pos) AS mn, max(pos) AS mx
+        |    FROM sp2 GROUP BY doc_id, span_id) GROUP BY doc_id),
+        |f AS (
+        |  SELECT b.*, COALESCE(span_words * 1000 > 100 * n_words, false) AS span_bad
+        |  FROM b LEFT JOIN spans USING (doc_id)),
+        |fo AS (
+        |  SELECT *, (lang = 'en' AND n_words >= 15 AND n_words <= 10000
+        |    AND quality_micro >= 300000 AND NOT span_bad) AS filter_ok
+        |  FROM f),
+        |wn AS (
+        |  SELECT *, min(CASE WHEN filter_ok THEN doc_id END) OVER (PARTITION BY text) AS winner FROM fo),
+        |r AS (
+        |  SELECT doc_id, lang, n_words, quality_micro,
+        |    CASE WHEN NOT (lang = 'en') THEN 'lang'
+        |      WHEN n_words < 15 THEN 'too_short'
+        |      WHEN n_words > 10000 THEN 'too_long'
+        |      WHEN quality_micro < 300000 THEN 'low_quality'
+        |      WHEN span_bad THEN 'duplicated_ngrams'
+        |      WHEN doc_id <> winner THEN 'duplicate'
+        |    END AS drop_reason
+        |  FROM wn)
+        |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
+        |FROM r""".stripMargin
+    },
     // Full replay of the repeated-substring pass: the winnow polynomial
     // gram hash (so hash-space effects replicate exactly), occurrence
     // count, marked positions, and the window interval merge.

@@ -294,7 +294,14 @@ object CorpusOps {
       /** Perplexity-proxy rule ([[unigramNll]]): drop when
         * nll_micro > threshold·n_tokens. −1 disables.
         */
-      maxNllMicroPerToken: Long = -1L)
+      maxNllMicroPerToken: Long = -1L,
+      /** Duplicate-n-gram-coverage rule (Gopher-style, powered by
+        * [[DedupOps.repeatedSpans]]): drop when the words covered by
+        * corpus-repeated `repeatedSpanN`-gram spans exceed
+        * permille·n_words. −1 disables (the span pass is then never run).
+        */
+      maxRepeatedSpanPermille: Long = -1L,
+      repeatedSpanN: Int = 8)
 
   /** The composed C4-style corpus cleaning pass: language filter → length
     * band → quality threshold → exact dedup (min-id winner among
@@ -333,6 +340,13 @@ object CorpusOps {
         TextFunctions.chunk_words(col(textCol), 10, 0)), Seq("doc_id"), "left")
     if (nllEnabled)
       base = base.join(unigramNll(df, textCol, idCol), Seq("doc_id"), "left")
+    val spanEnabled = cfg.maxRepeatedSpanPermille >= 0
+    if (spanEnabled)
+      base = base.join(
+        DedupOps.repeatedSpans(df, textCol, idCol, cfg.repeatedSpanN)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("end_word") - col("start_word")).as("span_words")),
+        Seq("doc_id"), "left")
     val repBad =
       if (cfg.maxDupSegPermille >= 0)
         coalesce(col("n_dup_segs") * 1000 > lit(cfg.maxDupSegPermille) * col("n_segs"), lit(false))
@@ -345,10 +359,15 @@ object CorpusOps {
       if (nllEnabled)
         coalesce(col("nll_micro") > lit(cfg.maxNllMicroPerToken) * col("n_tokens"), lit(false))
       else lit(false)
+    val spanBad =
+      if (spanEnabled)
+        coalesce(col("span_words") * 1000 > lit(cfg.maxRepeatedSpanPermille) * col("n_words"),
+          lit(false))
+      else lit(false)
     val langOk = col("lang").isin(cfg.allowedLangs.toSeq: _*)
     val filterOk = langOk && col("n_words") >= cfg.minWords &&
       col("n_words") <= cfg.maxWords && col("quality_micro") >= cfg.minQualityMicro &&
-      !repBad && !bigramBad && !nllBad
+      !repBad && !bigramBad && !nllBad && !spanBad
     // dedup winner among filter-survivors only (min ignores nulls)
     val winner = min(when(filterOk, col("doc_id")))
       .over(Window.partitionBy(col("__thash")))
@@ -363,6 +382,7 @@ object CorpusOps {
       .when(repBad, "repetitive_segments")
       .when(bigramBad, "repetitive_bigrams")
       .when(nllBad, "unnatural")
+      .when(spanBad, "duplicated_ngrams")
       .when(lit(cfg.dedup) && isDup, "duplicate")
       .when(sampledOut, "sampled_out")
     withDup

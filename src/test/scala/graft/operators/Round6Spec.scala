@@ -181,6 +181,28 @@ class Round6Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("cleanCorpus duplicate-n-gram-coverage rule drops span-covered docs") {
+    import spark.implicits._
+    def filler(tag: String) = (0 until 40).map(i => s"the quality ${tag}word$i text").mkString(" ")
+    val passage = (0 until 30).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a")} $passage"),  // 30/230 words covered ~13% > 10%
+      (2L, s"${filler("b")} $passage"),
+      (3L, filler("c"))                  // clean
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.cleanCorpus(docs, "text", "doc_id",
+      CorpusOps.CleanConfig(minQualityMicro = 0L, maxRepeatedSpanPermille = 100))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason")).toMap
+    assert(out(1L) == "duplicated_ngrams" && out(2L) == "duplicated_ngrams")
+    assert(out(3L) == null)
+    // rule disabled -> span pass never runs, docs keep
+    val off = CorpusOps.cleanCorpus(docs, "text", "doc_id",
+      CorpusOps.CleanConfig(minQualityMicro = 0L))
+      .filter(col("keep")).count()
+    assert(off == 3)
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("lshKnnMultiProbe: recall never below single-probe, measurably higher here") {
     val emb = graft.core.Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 20)
