@@ -1493,31 +1493,46 @@ object SparkEntry {
   private[graft] val q46QueryVec: Array[Float] =
     Array.tabulate(64)(i => (((i * 37) % 19) - 9) / 16.0f)
 
-  /** Winnowing replay in DuckDB: word 3-grams, polynomial rolling hash
-    * (acc*31 + ascii(ch) mod 1e9+7 — the exact `TextFunctions.rolling_hash`
-    * fold, all within BIGINT range), hash·2^20+pos packing, and a
-    * 4-gram-hash window min. `m` exposes (doc_id, ng, pos, wmin).
+  /** The four (base, modulus) gram sub-hash folds as a DuckDB select-list
+    * fragment over a `cs` char-code list column — the exact
+    * `DedupOps.GramHashParams` polynomials, all within BIGINT range.
+    */
+  private def gramHashFoldsSql: String =
+    Seq((31L, 1000000007L), (131L, 2147483629L), (257L, 2147483587L),
+      (37L, 1999999973L)).zipWithIndex.map { case ((b, m), i) =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), cs), (acc, c) -> (acc * $b + c) % $m) AS h$i"
+    }.mkString(",\n    ")
+
+  /** Winnowing replay in DuckDB: word 3-grams, four polynomial sub-hashes
+    * packed into the two-column ~124-bit key (ghash = h0·2^31 + h1,
+    * ghash2 = h2·2^31 + h3), selection order h0·2^20+pos, and a 4-gram
+    * struct-min window carrying the wide key alongside the packed
+    * selection value. `m` exposes (doc_id, ng, pos, wmin{c,h,h2}).
     */
   private def winnowOracleCte: String =
-    """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words
+    s"""WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS words
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, len(words) - 2 AS ng, unnest(generate_series(0, len(words) - 3)) AS pos, words
       |  FROM w WHERE len(words) >= 3),
       |gr AS (
       |  SELECT doc_id, ng, pos, array_to_string(words[pos+1 : pos+3], ' ') AS gram FROM g),
+      |cl AS (
+      |  SELECT doc_id, ng, pos,
+      |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+      |  FROM gr),
       |h AS (
       |  SELECT doc_id, ng, pos,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
-      |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
-      |  FROM gr),
-      |c AS (SELECT doc_id, ng, pos, hash * 1048576 + pos AS comb FROM h),
+      |    $gramHashFoldsSql
+      |  FROM cl),
+      |c AS (
+      |  SELECT doc_id, ng, pos, h0 * 2147483648 + h1 AS ghash,
+      |    h2 * 2147483648 + h3 AS ghash2, h0 * 1048576 + pos AS comb
+      |  FROM h),
       |m AS (
       |  SELECT doc_id, ng, pos,
-      |    min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+      |    min({'c': comb, 'h': ghash, 'h2': ghash2}) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
       |  FROM c)""".stripMargin
 
@@ -2018,21 +2033,24 @@ object SparkEntry {
         |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
         |  FROM corpus),
         |w AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS words
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS words
         |  FROM corpus),
         |g AS (
         |  SELECT doc_id, unnest(generate_series(0, len(words) - 8)) AS pos, words
         |  FROM w WHERE len(words) >= 8),
         |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
+        |cl AS (
+        |  SELECT doc_id, pos,
+        |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+        |  FROM gr),
         |h AS (
         |  SELECT doc_id, pos,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
-        |  FROM gr),
-        |rep AS (SELECT hash FROM h GROUP BY hash HAVING count(*) >= 2),
-        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (hash)),
+        |    h0 * 2147483648 + h1 AS ghash, h2 * 2147483648 + h3 AS ghash2
+        |  FROM (SELECT doc_id, pos,
+        |    $gramHashFoldsSql
+        |  FROM cl)),
+        |rep AS (SELECT ghash, ghash2 FROM h GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (ghash, ghash2)),
         |sp AS (
         |  SELECT doc_id, pos,
         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
@@ -2078,21 +2096,24 @@ object SparkEntry {
         |    CASE WHEN doc_id % 10 = 0 THEN text || ' $passage' ELSE text END AS text
         |  FROM documents),
         |w AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS words
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS words
         |  FROM d0),
         |g AS (
         |  SELECT doc_id, unnest(generate_series(0, len(words) - 8)) AS pos, words
         |  FROM w WHERE len(words) >= 8),
         |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
+        |cl AS (
+        |  SELECT doc_id, pos,
+        |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+        |  FROM gr),
         |h AS (
         |  SELECT doc_id, pos,
-        |    list_reduce(
-        |      list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT))),
-        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS hash
-        |  FROM gr),
-        |rep AS (SELECT hash FROM h GROUP BY hash HAVING count(*) >= 2),
-        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (hash)),
+        |    h0 * 2147483648 + h1 AS ghash, h2 * 2147483648 + h3 AS ghash2
+        |  FROM (SELECT doc_id, pos,
+        |    $gramHashFoldsSql
+        |  FROM cl)),
+        |rep AS (SELECT ghash, ghash2 FROM h GROUP BY 1, 2 HAVING count(*) >= 2),
+        |mk AS (SELECT h.doc_id, h.pos FROM h JOIN rep USING (ghash, ghash2)),
         |sp AS (
         |  SELECT doc_id, pos,
         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
@@ -3024,20 +3045,23 @@ object SparkEntry {
         |FROM base JOIN feat ON base.i = feat.i""".stripMargin,
     "q55_winnow_fingerprints" ->
       s"""$winnowOracleCte
-        |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash,
-        |  CAST(wmin % 1048576 AS BIGINT) AS fp_pos
+        |SELECT DISTINCT doc_id, struct_extract(wmin, 'h') AS fp_hash,
+        |  struct_extract(wmin, 'h2') AS fp_hash2,
+        |  CAST(struct_extract(wmin, 'c') % 1048576 AS BIGINT) AS fp_pos
         |FROM m WHERE pos <= greatest(ng - 4, 0)""".stripMargin,
     "q56_fingerprint_neardup" ->
       s"""$winnowOracleCte,
         |fp AS (
-        |  SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash
+        |  SELECT DISTINCT doc_id, struct_extract(wmin, 'h') AS fp_hash,
+        |    struct_extract(wmin, 'h2') AS fp_hash2
         |  FROM m WHERE pos <= greatest(ng - 4, 0)),
         |keepers AS (
-        |  SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 100),
-        |posting AS (SELECT doc_id, fp_hash FROM fp JOIN keepers USING (fp_hash))
+        |  SELECT fp_hash, fp_hash2 FROM fp GROUP BY 1, 2 HAVING count(*) <= 100),
+        |posting AS (
+        |  SELECT doc_id, fp_hash, fp_hash2 FROM fp JOIN keepers USING (fp_hash, fp_hash2))
         |SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS shared
         |FROM posting a JOIN posting b
-        |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |  ON a.fp_hash = b.fp_hash AND a.fp_hash2 = b.fp_hash2 AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     "q24_representatives" ->
       """SELECT request_group, doc_id FROM (

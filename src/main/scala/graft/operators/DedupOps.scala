@@ -576,19 +576,37 @@ object DedupOps {
   //     fingerprint for any shared run of k+w-1 words — the standard
   //     copy-detection primitive for near-dup candidate generation.
 
-  /** Selected fingerprints per document: (doc_id, fp_hash, fp_pos), one row
-    * per distinct window-minimum. Fully native expressions + one keyed
-    * window (partitioned by doc — no global shuffle, scales with the
-    * corpus). Hash and position pack into one BIGINT (hash·2^20 + pos, min
-    * tie-break = lowest hash then leftmost position), so both the Spark
-    * plan and the DuckDB oracle reduce to a plain integer window-min; docs
-    * are assumed < 2^20 grams (a 4 MB+ text — split first if bigger).
+  /** The word-split class for gram positions — identical to Java `\s` (the
+    * `\x0B` vertical tab included), so word coordinates and any `\S+`-based
+    * word COUNT (e.g. [[CorpusOps.cleanCorpus]]'s `n_words` gate) live in
+    * one coordinate system.
     */
-  /** One row per complete word `k`-gram: (doc_id, ng, pos, ghash), where
-    * ghash is the polynomial hash of the space-joined gram (mod 1e9+7) —
-    * each character hashed exactly once via window lead() combination
-    * (H(a ++ b) = H(a)·31^len(b) + H(b), the joining space one more fold
-    * step ·31 + 32), identical to hashing the gram string, which is what
+  private[operators] val WordSplit = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Four independent (base, modulus) polynomial sub-hashes for the gram
+    * key; each modulus is a prime just under 2^31 so every fold step stays
+    * inside signed-64 arithmetic (max intermediate (M−1)·base + c < 2^40,
+    * and the lead-combination product (M−1)² < 2^62). Packed pairwise into
+    * two BIGINT columns — `ghash` = h0·2^31 + h1 (< 2^61 since
+    * h0 < 1e9+7 < 2^30), `ghash2` = h2·2^31 + h3 (< 2^62) — the combined
+    * key space is ~124 bits: at 10^13 distinct grams (the 100 TB design
+    * point) the expected number of colliding PAIRS is ~10^26/2^125 ≈ 10^-12,
+    * i.e. zero. This retires the old single mod-1e9+7 key whose ~30-bit
+    * space collided ~10^4× per bucket at that scale. All four folds are
+    * plain BIGINT arithmetic, so the DuckDB oracles replay them exactly.
+    */
+  private[operators] val GramHashParams: Seq[(Long, Long)] = Seq(
+    (31L, 1000000007L),   // h0 — kept bit-identical to the pre-widening hash
+    (131L, 2147483629L),  // h1
+    (257L, 2147483587L),  // h2
+    (37L, 1999999973L))   // h3
+
+  /** One row per complete word `k`-gram: (doc_id, ng, pos, ghash, ghash2),
+    * where ghash/ghash2 pack the four polynomial sub-hashes of the
+    * space-joined gram ([[GramHashParams]]) — each character hashed exactly
+    * once per sub-hash via window lead() combination
+    * (H(a ++ b) = H(a)·b^len(b) + H(b), the joining space one more fold
+    * step ·base + 32), identical to hashing the gram string, which is what
     * the oracles replay. The explicit doc_id repartition spreads the
     * hashing across the cluster instead of leaving it in the (often
     * single-file) scan stage; everything downstream reuses that one
@@ -596,44 +614,62 @@ object DedupOps {
     */
   private def gramHashRows(df: DataFrame, textCol: String, idCol: String,
                            k: Int): DataFrame = {
-    val M = 1000000007L
-    val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
+    val words = filter(split(col(textCol), WordSplit), x => length(x) > 0)
     val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
     val chars = transform(filter(split(col("word"), ""), c => length(c) > 0),
       c => ascii(c).cast("long"))
-    df
-      .select(col(idCol).as("doc_id"), words.as("__words"))
-      .filter(size(col("__words")) > 0)
-      .select(col("doc_id"), size(col("__words")).as("nw"),
-        posexplode(col("__words")).as(Seq("widx", "word")))
-      .repartition(col("doc_id"))
-      .withColumn("h", graft.functions.TextFunctions.rolling_hash(col("word")))
-      .withColumn("p", aggregate(chars, lit(1L), (acc, _) => (acc * 31) % M))
-      .withColumn("ghash",
-        (1 until k).foldLeft(col("h")) { (acc, j) =>
-          (((acc * 31 + 32) % M) * lead(col("p"), j).over(wKey) +
-            lead(col("h"), j).over(wKey)) % M
-        })
+    val perWord = GramHashParams.zipWithIndex.foldLeft(
+      df.select(col(idCol).as("doc_id"), words.as("__words"))
+        .filter(size(col("__words")) > 0)
+        .select(col("doc_id"), size(col("__words")).as("nw"),
+          posexplode(col("__words")).as(Seq("widx", "word")))
+        .repartition(col("doc_id"))) { case (d, ((b, m), i)) =>
+      d.withColumn(s"h$i", aggregate(chars, lit(0L), (acc, c) => (acc * b + c) % m))
+        .withColumn(s"p$i", aggregate(chars, lit(1L), (acc, _) => (acc * b) % m))
+    }
+    val folded = GramHashParams.zipWithIndex.foldLeft(perWord) {
+      case (d, ((b, m), i)) =>
+        d.withColumn(s"g$i",
+          (1 until k).foldLeft(col(s"h$i")) { (acc, j) =>
+            (((acc * b + 32) % m) * lead(col(s"p$i"), j).over(wKey) +
+              lead(col(s"h$i"), j).over(wKey)) % m
+          })
+    }
+    folded
       .filter(col("widx") <= col("nw") - k) // complete grams only
       .select(col("doc_id"), (col("nw") - (k - 1)).as("ng"),
-        col("widx").as("pos"), col("ghash"))
+        col("widx").as("pos"),
+        (col("g0") * 2147483648L + col("g1")).as("ghash"),
+        (col("g2") * 2147483648L + col("g3")).as("ghash2"))
   }
 
+  /** Selected fingerprints per document: (doc_id, fp_hash, fp_hash2,
+    * fp_pos), one row per distinct window-minimum. Fully native expressions
+    * + one keyed window (partitioned by doc — no global shuffle, scales
+    * with the corpus). SELECTION order is the first 31-bit sub-hash packed
+    * with the position (h0·2^20 + pos — min tie-break = lowest h0 then
+    * leftmost position, bit-identical to the pre-widening selection), while
+    * fingerprint IDENTITY is the full ~124-bit (fp_hash, fp_hash2) pair —
+    * a struct-min window carries the wide key alongside the packed
+    * selection value in the same single pass. Docs are assumed < 2^20
+    * grams (a 4 MB+ text — split first if bigger).
+    */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    val gramRows = gramHashRows(df, textCol, idCol, k)
-    gramRows
-      .withColumn("comb", col("ghash") * 1048576L + col("pos"))
-      .withColumn("wmin", min(col("comb")).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(0, w - 1)))
+    gramHashRows(df, textCol, idCol, k)
+      .withColumn("comb", shiftright(col("ghash"), 31) * 1048576L + col("pos"))
+      .withColumn("wmin",
+        min(struct(col("comb"), col("ghash"), col("ghash2"))).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+            .rowsBetween(0, w - 1)))
       // winnowing uses full windows only: starts 0 .. ng-w (or the single
       // truncated window when a doc has fewer than w grams)
       .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
       .select(col("doc_id"),
-        shiftright(col("wmin"), 20).as("fp_hash"),
-        col("wmin").bitwiseAND(lit(1048575L)).as("fp_pos"))
+        col("wmin.ghash").as("fp_hash"),
+        col("wmin.ghash2").as("fp_hash2"),
+        col("wmin.comb").bitwiseAND(lit(1048575L)).as("fp_pos"))
       .distinct()
   }
 
@@ -648,32 +684,37 @@ object DedupOps {
   def fingerprintNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                               k: Int = 3, w: Int = 4, minShared: Int = 2,
                               maxHashFreq: Long = 1000L): DataFrame = {
+    val fpKey = Seq("fp_hash", "fp_hash2")
     val d = winnowFingerprints(df, textCol, idCol, k, w)
-      .select(col("doc_id"), col("fp_hash")).distinct()
+      .select(col("doc_id"), col("fp_hash"), col("fp_hash2")).distinct()
     // With the cap engaged (the default), hash document-frequencies are
     // counted FIRST — a pure count aggregation that partial-aggregates
     // map-side, so no posting list ever materializes for an over-cap key.
-    // The over-cap HOT SET is tiny (boilerplate hashes), so it folds into a
-    // one-row array broadcast and drops map-side (the jaccardPairs cap
-    // shape) — the posting table is shuffled exactly once, with every
-    // per-key aggregation buffer provably <= maxHashFreq (and the per-key
-    // pair fan-out <= maxHashFreq²/2). The earlier keyed-join form shuffled
-    // the postings twice and cost q56 2x at sf0.1.
+    // The over-cap HOT SET (boilerplate hashes) drops via a broadcast LEFT
+    // ANTI hash join — map-side, O(1) hash probe per posting row, and the
+    // posting table is still shuffled exactly once (for the aggregation),
+    // with every per-key buffer provably <= maxHashFreq and the per-key
+    // pair fan-out <= maxHashFreq²/2. Unlike the earlier one-row
+    // collect_list array (driver-built, O(|hot|) scan per row), an
+    // adversarial corpus with a huge hot set now fails LOUDLY at the
+    // 8 GB broadcast-exchange limit instead of silently OOMing the driver;
+    // corpora past that point should pre-strip boilerplate
+    // ([[CorpusOps.boilerplateStrip]]) rather than raise the cap.
     val lists =
       if (maxHashFreq > 0) {
         val dp = d.persistTracked // feeds the count pass and the posting agg
-        val hot = dp.groupBy(col("fp_hash")).agg(count(lit(1)).as("hdf"))
+        val hot = dp.groupBy(fpKey.map(col): _*)
+          .agg(count(lit(1)).as("hdf"))
           .filter(col("hdf") > maxHashFreq)
-          .agg(collect_list(col("fp_hash")).as("hot"))
-        dp.crossJoin(broadcast(hot))
-          .filter(!array_contains(col("hot"), col("fp_hash")))
-          .groupBy(col("fp_hash"))
+          .select(fpKey.map(col): _*)
+        dp.join(broadcast(hot), fpKey, "left_anti")
+          .groupBy(fpKey.map(col): _*)
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) >= 2)
       } else {
         // explicit opt-out: exact over all hashes, single aggregation —
         // only safe when the corpus is known boilerplate-free
-        d.groupBy(col("fp_hash"))
+        d.groupBy(fpKey.map(col): _*)
           .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) >= 2)
       }
@@ -699,24 +740,25 @@ object DedupOps {
     *
     * Scale shape: gram hashing is map-side after one doc-keyed exchange
     * (shared with [[winnowFingerprints]]); the occurrence count is a pure
-    * count aggregation on 8-byte hashes (partial-aggregates map-side — no
-    * per-key lists, so no cap is needed); marked positions route back
-    * through one keyed join; the span merge is a per-doc window. Hash
-    * space is the oracle-replayable polynomial mod 1e9+7 — ~(distinct
-    * grams)²/2e9 false-merge probability, fine to ~10^4-doc corpora; swap
-    * the gram hash for a 128-bit one on petabyte corpora (the plan shape
-    * is unchanged).
+    * count aggregation on 16-byte two-column keys (partial-aggregates
+    * map-side — no per-key lists, so no cap is needed); marked positions
+    * route back through one keyed join; the span merge is a per-doc window.
+    * The gram key is the ~124-bit [[GramHashParams]] pack — expected
+    * colliding pairs at 10^13 distinct grams (the 100 TB design point) is
+    * ~10^-12, so false merges are gone; the old single mod-1e9+7 hash and
+    * its ~10^4-doc caveat are retired.
     */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
                     n: Int = 8, minCount: Long = 2L): DataFrame = {
     require(n >= 2, "need n >= 2 (unigram spans would mark every stopword)")
     require(minCount >= 2, "minCount < 2 marks every position")
     val grams = gramHashRows(docs, textCol, idCol, n).persistTracked
-    val repeated = grams.groupBy(col("ghash")).agg(count(lit(1)).as("c"))
+    val repeated = grams.groupBy(col("ghash"), col("ghash2"))
+      .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-      .select("ghash")
+      .select("ghash", "ghash2")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(repeated, "ghash")
+    grams.join(repeated, Seq("ghash", "ghash2"))
       .select(col("doc_id"), col("pos"))
       // a gram at pos covers words [pos, pos+n): a gap > n between marked
       // positions means the windows neither overlap nor touch — new span
@@ -738,7 +780,7 @@ object DedupOps {
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
                          textCol: String, idCol: String,
                          outCol: String = "cleaned"): DataFrame = {
-    val words = filter(split(col(textCol), "[ \\t\\n\\r\\f]+"), x => length(x) > 0)
+    val words = filter(split(col(textCol), WordSplit), x => length(x) > 0)
     val spanAgg = spans.groupBy(col("doc_id").as("__sid"))
       .agg(collect_list(struct(col("start_word"), col("end_word"))).as("__spans"))
     docs.join(spanAgg, col(idCol) === col("__sid"), "left")

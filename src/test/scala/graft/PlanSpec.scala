@@ -72,11 +72,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
   test("q56: fingerprint pairs plan has no shuffle joins") {
     val plan = physicalPlan("q56_fingerprint_neardup")
     // the posting self-join is replaced by list aggregation; the only join
-    // left is the broadcast cap filter (keepers <= maxHashFreq), which is
-    // map-side — a shuffle join would mean the self-join came back
+    // left is the broadcast LEFT ANTI hot-set filter (over-cap keys), which
+    // is map-side — a shuffle join would mean the self-join came back
     assert(!plan.contains("SortMergeJoin"), "posting self-join came back")
     assert(!plan.contains("ShuffledHashJoin"), "posting self-join came back")
     assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "hot-set cap must drop map-side via a broadcast anti join")
   }
 
   test("q17: jaccard join has no cartesian product or corpus-sized BNLJ") {

@@ -161,12 +161,9 @@ class Round3Spec extends AnyFunSuite with SparkTest {
     assert(got == Set((1L, 2L)))
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "fingerprint join must stay hash-keyed")
-    // the only nested-loop join allowed is the broadcast 1-row hot-set cap
-    // filter (array_contains against the over-cap hash array); any other
-    // BNLJ would be an all-pairs comparison
-    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
-      assert(l.contains("array_contains"), s"unexpected BNLJ shape: $l")
-    }
+    // the hot-set cap is a broadcast LEFT ANTI hash join now — any
+    // nested-loop join here would be an all-pairs comparison
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "unexpected BNLJ in fingerprint plan")
     graft.GraftEngine.releaseCaches()
   }
 
