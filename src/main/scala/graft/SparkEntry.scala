@@ -563,7 +563,11 @@ object SparkEntry {
     //     suppkey/quantity) into 62 bits map-side — unique at every test SF
     //     (verified; quantity disambiguates the one sf0.001 collision),
     //     replayable in SQL, and window-free like the xxhash64 id it
-    //     replaces. Bounds hold through ~sf1; beyond that widen the packing.
+    //     replaces. The non-orderkey factors total 2^41, so l_orderkey must
+    //     stay < 2^22 (~4.19M) — TPC-H's sparse orderkey reaches that near
+    //     sf0.65 (sf1 hits 6M). A per-row raise_error guard makes scaling
+    //     past the bound fail LOUDLY instead of wrapping the Long silently
+    //     in non-ANSI mode; past sf0.6, widen to a two-column key.
     //   - the embedding is a planted 32-dim one-hot of (partkey+suppkey)%32
     //     (32 dims like the hash embedding it replaced, so the per-group
     //     distance-matrix flops are comparable): per group the agglomerate
@@ -576,11 +580,21 @@ object SparkEntry {
     //     the reference short-circuit). Compression replays via the q27
     //     sentence CTEs. HashingEmbedder stays exercised by q37/q90.
     "q38_corpus_pipeline" -> { (s, dir) =>
+      val packedId =
+        (((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L + col("l_partkey"))
+          * 16384L + col("l_suppkey")) * 64L + col("l_quantity").cast("long")
+      val inBounds = col("l_orderkey").between(0L, 4194303L) &&
+        col("l_linenumber").between(0L, 7L) &&
+        col("l_partkey").between(0L, 262143L) &&
+        col("l_suppkey").between(0L, 16383L) &&
+        col("l_quantity").cast("long").between(0L, 63L)
       val chunks = Tables.lineitem(s, dir)
         .select(
-          ((((col("l_orderkey") * 8 + col("l_linenumber")) * 262144L + col("l_partkey"))
-            * 16384L + col("l_suppkey")) * 64L + col("l_quantity").cast("long"))
-            .as("chunk_id"),
+          when(inBounds, packedId).otherwise(raise_error(concat(
+            lit("q38 chunk_id packing overflow (orderkey must be < 2^22; ~sf0.65): "),
+            col("l_orderkey"), lit("/"), col("l_linenumber"), lit("/"),
+            col("l_partkey"), lit("/"), col("l_suppkey"), lit("/"),
+            col("l_quantity").cast("string")))).as("chunk_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             col("l_shipdate").cast("string"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"), col("l_partkey"),
