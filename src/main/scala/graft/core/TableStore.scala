@@ -141,6 +141,17 @@ object TableStore {
   def merge(spark: SparkSession, root: String)(transform: DataFrame => DataFrame): Long = {
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
+    mergeFrom(spark, root, base)(transform)
+  }
+
+  /** [[merge]] from an explicitly pinned base version: the transform reads
+    * `v_<base>` and the commit carries `expectedVersion = base`, so a
+    * foreign commit landing after the caller observed `base` fails this
+    * merge instead of being absorbed. [[mergeWithFeed]] pins through here —
+    * its feed can never span another writer's commit.
+    */
+  def mergeFrom(spark: SparkSession, root: String, base: Long)(
+      transform: DataFrame => DataFrame): Long = {
     val next = transform(spark.read.parquet(s"$root/v_$base"))
     commit(next, root, expectedVersion = Some(base))
   }
@@ -157,8 +168,11 @@ object TableStore {
     * exactly one merge's feed). Cost: ONE keyed full-outer join between the
     * two versions plus a null-safe struct compare — commit versions with
     * the same partitioning/bucketing and the join co-locates at any scale.
-    * Limitation: map-typed columns are not comparable row-wise (Spark
-    * cannot EqualNullSafe maps) — stringify maps before committing.
+    * Top-level MAP columns (e.g. the memories table's metadata) are
+    * compared via sorted `map_entries` — entry order never fakes a change,
+    * and the emitted rows carry the original map values. Limitation: maps
+    * NESTED inside structs/arrays are still not comparable — stringify
+    * those before committing.
     */
   def changeFeed(spark: SparkSession, root: String, idCols: Seq[String],
                  baseVersion: Long, toVersion: Long): DataFrame = {
@@ -171,10 +185,24 @@ object TableStore {
         s"${base.columns.mkString(",")} vs ${next.columns.mkString(",")} — " +
         "diff the versions manually on the shared columns")
     val dataCols = next.columns.filterNot(idCols.contains).toSeq
+    val mapCols = next.schema.fields.collect {
+      case f if dataCols.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }.toSet
     // zero-data-column tables still diff on existence alone
     val packCols = if (dataCols.isEmpty) Seq(lit(1).as("__present")) else dataCols.map(col)
+    // comparison key: identical to the row struct except map columns are
+    // canonicalized to key-sorted entry arrays (arrays of structs ARE
+    // null-safe-comparable; Spark cannot EqualNullSafe a raw map)
+    val cmpCols =
+      if (dataCols.isEmpty) Seq(lit(1).as("__present"))
+      else dataCols.map { c =>
+        if (mapCols.contains(c)) array_sort(map_entries(col(c))).as(c) else col(c)
+      }
     def pack(df: DataFrame, side: String) =
-      df.select(idCols.map(col) :+ struct(packCols: _*).as(s"__row_$side"): _*)
+      df.select(idCols.map(col) ++ Seq(
+        struct(packCols: _*).as(s"__row_$side"),
+        struct(cmpCols: _*).as(s"__cmp_$side")): _*)
     val joined = pack(base, "b").join(pack(next, "n"), idCols, "full_outer")
     def unpacked(tpe: String, rowCol: String) = {
       val rows = dataCols.map(c => col(rowCol).getField(c).as(c))
@@ -186,7 +214,7 @@ object TableStore {
     val deleted = joined.filter(col("__row_n").isNull)
       .select(unpacked("delete", "__row_b"): _*)
     val changed = joined.filter(col("__row_b").isNotNull && col("__row_n").isNotNull &&
-      !(col("__row_b") <=> col("__row_n")))
+      !(col("__cmp_b") <=> col("__cmp_n")))
     inserted
       .unionByName(deleted)
       .unionByName(changed.select(unpacked("update_preimage", "__row_b"): _*))
@@ -203,7 +231,10 @@ object TableStore {
       transform: DataFrame => DataFrame): (Long, DataFrame) = {
     val base = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    val next = merge(spark, root)(transform)
+    // pin the observed base all the way into the commit's CAS — merge()'s
+    // own re-read would let a foreign commit slip between the two reads and
+    // the feed would then attribute that writer's rows to this merge
+    val next = mergeFrom(spark, root, base)(transform)
     (next, changeFeed(spark, root, idCols, base, next))
   }
 

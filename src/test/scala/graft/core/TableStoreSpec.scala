@@ -2,6 +2,7 @@ package graft.core
 
 import graft.SparkTest
 import graft.operators.MemoryOps
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -100,6 +101,50 @@ class TableStoreSpec extends AnyFunSuite with SparkTest {
     assert(TableStore.currentVersion(root).contains(0L), "pointer must be untouched")
     // an UNCONDITIONAL commit still allocates past the orphan as before
     assert(TableStore.commit(memFixture, root) == 2)
+  }
+
+  test("mergeWithFeed pins its base: a foreign commit mid-merge fails the merge, never widens the feed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_pin").toString
+    TableStore.commit(memFixture, root) // v0
+    // the foreign commit lands INSIDE the transform — i.e. between
+    // mergeWithFeed's base read and its own commit. The pinned
+    // expectedVersion must fail the whole merge; the old re-reading form
+    // would have succeeded from the newer base and attributed the foreign
+    // writer's rows to this merge's feed.
+    val e = intercept[IllegalArgumentException] {
+      TableStore.mergeWithFeed(spark, root, Seq("id")) { df =>
+        TableStore.commit(memFixture.filter(col("id") =!= "m3"), root) // foreign v1
+        df.withColumn("decay_level", col("decay_level") + 1)
+      }
+    }
+    assert(e.getMessage.contains("stale write"))
+    // the foreign commit is the surviving state
+    assert(TableStore.currentVersion(root).contains(1L))
+    assert(TableStore.read(spark, root).count() == 2)
+  }
+
+  test("changeFeed compares map columns canonically and emits the original maps") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_map").toString
+    def state(metaFor2: Column) = Seq(("m1", 1L), ("m2", 2L)).toDF("id", "n")
+      .withColumn("metadata",
+        when(col("id") === "m1", map(lit("k"), lit("v"), lit("k2"), lit("v2")))
+          .otherwise(metaFor2))
+    TableStore.commit(state(map(lit("a"), lit("1"))), root) // v0
+    // v1: m1's map is EQUAL but would stringify in a different entry order
+    // if built naively; m2's map genuinely changes
+    val v1 = TableStore.commit(
+      Seq(("m1", 1L), ("m2", 2L)).toDF("id", "n")
+        .withColumn("metadata",
+          when(col("id") === "m1", map(lit("k2"), lit("v2"), lit("k"), lit("v")))
+            .otherwise(map(lit("a"), lit("2")))), root)
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), 0L, v1)
+    val byType = feed.collect().groupBy(_.getAs[String]("_change_type"))
+    assert(!byType.contains("insert") && !byType.contains("delete"))
+    val pre = byType("update_preimage").map(_.getAs[String]("id")).toSet
+    assert(pre == Set("m2"), s"entry order must not fake a change: $pre")
+    val post = byType("update_postimage").head
+    assert(post.getAs[Map[String, String]]("metadata") == Map("a" -> "2"),
+      "feed rows must carry the original map values")
   }
 
   test("two concurrent writers on the same snapshot: exactly one commit wins") {
