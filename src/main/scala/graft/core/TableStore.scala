@@ -31,6 +31,51 @@ object TableStore {
 
   private def currentPtr(root: String): Path = Paths.get(root, "_CURRENT")
 
+  private def lockDir(root: String): Path = Paths.get(root, "_commit.lock")
+
+  /** Acquire the commit/vacuum exclusion lock: an atomically-created
+    * directory holding an `owner` token file. The lock brackets only the
+    * rename→pointer-swap critical section (metadata-only, ~ms) — the slow
+    * parquet staging write happens before acquisition, so writer
+    * concurrency is unaffected. A lock whose mtime is older than `staleMs`
+    * is presumed crashed and broken; the previous owner's pre-swap token
+    * check ([[holdsLock]]) then turns its eventual wake-up into a loud
+    * failure instead of a pointer swap onto vacuumed files.
+    */
+  private def acquireLock(root: String, staleMs: Long, waitMs: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val dir = lockDir(root)
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try {
+        Files.createDirectory(dir)
+        Files.write(dir.resolve("owner"), token.getBytes(StandardCharsets.UTF_8))
+        return token
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val f = dir.toFile
+          if (f.exists() && System.currentTimeMillis() - f.lastModified() > staleMs)
+            rmTree(f) // crashed (or over-paused) holder — break and retake
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"timed out after ${waitMs}ms acquiring commit lock under $root " +
+                "(another writer mid-commit, or a stale lock younger than lockStaleMs)")
+          else Thread.sleep(20L)
+      }
+    }
+    token // unreachable
+  }
+
+  private[core] def holdsLock(root: String, token: String): Boolean = {
+    val owner = lockDir(root).resolve("owner")
+    try Files.exists(owner) &&
+      new String(Files.readAllBytes(owner), StandardCharsets.UTF_8) == token
+    catch { case _: java.io.IOException => false }
+  }
+
+  private def releaseLock(root: String, token: String): Unit =
+    if (holdsLock(root, token)) rmTree(lockDir(root).toFile)
+
   /** The committed version number, if the table exists. */
   def currentVersion(root: String): Option[Long] = {
     val p = currentPtr(root)
@@ -71,8 +116,18 @@ object TableStore {
     * or no longer matches `expectedVersion` — a paused writer waking after a
     * later commit cannot roll the table back; its slot becomes vacuumable
     * debris and the commit fails loudly.
+    *
+    * The rename→swap critical section runs under the `_commit.lock`
+    * exclusion directory shared with [[vacuum]]: a live writer inside the
+    * gap holds the lock, so vacuum skips orphan deletion instead of
+    * trusting slot mtimes; a writer paused past `lockStaleMs` loses the
+    * lock to a breaker and then FAILS its pre-swap ownership check —
+    * loudly, instead of swapping the pointer onto files vacuum deleted.
+    * The lock never covers the parquet staging write, so commit
+    * concurrency is unchanged.
     */
-  def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None): Long = {
+  def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None,
+             lockStaleMs: Long = 60 * 60 * 1000L, lockWaitMs: Long = 60 * 1000L): Long = {
     Files.createDirectories(Paths.get(root))
     val cur = currentVersion(root)
     expectedVersion.foreach { exp =>
@@ -90,42 +145,54 @@ object TableStore {
     val slot = Paths.get(root, s"v_$next")
     val staging = Paths.get(root, s"_staging_${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
-    // claim the slot with an atomic createDirectory — rename(2) would
-    // silently REPLACE an empty squatting directory, so the create is the
-    // arbiter and the move then lands onto our own empty claim
+    val token = acquireLock(root, lockStaleMs, lockWaitMs)
     try {
-      Files.createDirectory(slot)
-      // rename(2) atomically replaces the (empty) claim we just created
-      Files.move(staging, slot, StandardCopyOption.ATOMIC_MOVE)
-    } catch {
-      case e: java.nio.file.FileSystemException =>
+      // claim the slot with an atomic createDirectory — rename(2) would
+      // silently REPLACE an empty squatting directory, so the create is the
+      // arbiter and the move then lands onto our own empty claim
+      try {
+        Files.createDirectory(slot)
+        // rename(2) atomically replaces the (empty) claim we just created
+        Files.move(staging, slot, StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case e: java.nio.file.FileSystemException =>
+          throw new IllegalStateException(
+            s"concurrent commit won v_$next under $root; re-read and retry", e)
+      }
+      // refresh the slot's mtime so vacuum's grace window covers the
+      // rename→swap gap even if the staging write took longer than graceMs
+      slot.toFile.setLastModified(System.currentTimeMillis())
+      // Guard the swap: re-read the pointer and refuse to regress it. The
+      // rename already arbitrated same-slot races; this closes the cross-slot
+      // hole (another writer committed a DIFFERENT slot since we read `cur`).
+      val nowCur = currentVersion(root)
+      val superseded = expectedVersion match {
+        case Some(exp) => !nowCur.contains(exp)
+        case None      => nowCur.exists(_ >= next)
+      }
+      if (superseded) {
+        rmTree(slot.toFile) // never referenced by the pointer; safe to drop
         throw new IllegalStateException(
-          s"concurrent commit won v_$next under $root; re-read and retry", e)
-    }
-    // refresh the slot's mtime so vacuum's grace window covers the
-    // rename→swap gap even if the staging write took longer than graceMs
-    slot.toFile.setLastModified(System.currentTimeMillis())
-    // Guard the swap: re-read the pointer and refuse to regress it. The
-    // rename already arbitrated same-slot races; this closes the cross-slot
-    // hole (another writer committed a DIFFERENT slot since we read `cur`).
-    val nowCur = currentVersion(root)
-    val superseded = expectedVersion match {
-      case Some(exp) => !nowCur.contains(exp)
-      case None      => nowCur.exists(_ >= next)
-    }
-    if (superseded) {
-      rmTree(slot.toFile) // never referenced by the pointer; safe to drop
-      throw new IllegalStateException(
-        s"stale write: table moved to ${nowCur.map("v_" + _).getOrElse("none")} " +
-          s"while committing v_$next under $root; re-read and retry")
-    }
-    // land the pointer content in a temp file first, then same-dir atomic
-    // rename — readers never observe a partial pointer
-    val tmp = Paths.get(root, s"_CURRENT.tmp_$next")
-    Files.write(tmp, s"v_$next".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPtr(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    next
+          s"stale write: table moved to ${nowCur.map("v_" + _).getOrElse("none")} " +
+            s"while committing v_$next under $root; re-read and retry")
+      }
+      // ownership check: if a breaker took the lock (this writer was paused
+      // past lockStaleMs), the slot may already be vacuumed — refuse the
+      // swap rather than land a dangling pointer
+      if (!holdsLock(root, token)) {
+        rmTree(slot.toFile)
+        throw new IllegalStateException(
+          s"commit lock was broken while committing v_$next under $root " +
+            "(writer paused past lockStaleMs?); slot abandoned, re-read and retry")
+      }
+      // land the pointer content in a temp file first, then same-dir atomic
+      // rename — readers never observe a partial pointer
+      val tmp = Paths.get(root, s"_CURRENT.tmp_$next")
+      Files.write(tmp, s"v_$next".getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, currentPtr(root),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      next
+    } finally releaseLock(root, token)
   }
 
   private def rmTree(f: java.io.File): Unit = {
@@ -245,13 +312,16 @@ object TableStore {
     * of dropped versions must be drained first — same contract as Delta's
     * VACUUM and its retention window).
     *
-    * Concurrency contract: `commit` refreshes its slot's mtime right after
-    * the rename, so a live writer inside the rename→swap gap is protected
-    * for a further `graceMs`; the pointer is also re-read immediately before
-    * each orphan delete, so a writer that completed its swap mid-vacuum is
-    * never deleted. A writer PAUSED longer than `graceMs` inside that gap is
-    * still exposed — run vacuum from the same process as commits (or hold an
-    * external lock) when pauses that long are possible.
+    * Concurrency contract (ENFORCED via `_commit.lock`, shared with
+    * [[commit]]'s rename→swap critical section): orphan slots above the
+    * pointer are only swept when no fresh lock is held — a live writer
+    * inside the gap holds the lock, so its renamed-but-unswapped slot
+    * survives regardless of how long its staging write took. A lock older
+    * than `graceMs` is presumed crashed and broken before the sweep; if its
+    * owner was merely paused, the owner's pre-swap ownership check fails
+    * its commit loudly instead of swapping the pointer onto swept files.
+    * Readers of dropped versions must still be drained first — same
+    * contract as Delta's VACUUM and its retention window.
     */
   def vacuum(root: String, keep: Int = 2, graceMs: Long = 60 * 60 * 1000L): Unit = {
     require(keep >= 1, "must keep at least the current version")
@@ -264,14 +334,23 @@ object TableStore {
     // superseded history: always reclaimable
     versioned.filter(f => f.getName.stripPrefix("v_").toLong <= cur - keep)
       .foreach(rmTree)
-    // orphans above the pointer and loser/crashed staging: age-gated, and
-    // re-checked against a fresh pointer read right before each delete
-    versioned.filter(f => f.getName.stripPrefix("v_").toLong > cur)
-      .filter(oldEnough)
-      .foreach { f =>
-        val v = f.getName.stripPrefix("v_").toLong
-        if (!currentVersion(root).exists(_ >= v)) rmTree(f)
-      }
+    // orphans above the pointer: only touchable when no live commit holds
+    // the exclusion lock; stale locks (crashed writers) are broken first
+    val lock = lockDir(root).toFile
+    val lockHeld = lock.exists() && {
+      if (now - lock.lastModified() > graceMs) { rmTree(lock); false }
+      else true
+    }
+    if (!lockHeld) {
+      // age-gated, and re-checked against a fresh pointer read right before
+      // each delete (a writer that completed its swap mid-vacuum is safe)
+      versioned.filter(f => f.getName.stripPrefix("v_").toLong > cur)
+        .filter(oldEnough)
+        .foreach { f =>
+          val v = f.getName.stripPrefix("v_").toLong
+          if (!currentVersion(root).exists(_ >= v)) rmTree(f)
+        }
+    }
     entries.filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
       .filter(oldEnough).foreach(rmTree)
   }

@@ -103,6 +103,44 @@ class TableStoreSpec extends AnyFunSuite with SparkTest {
     assert(TableStore.commit(memFixture, root) == 2)
   }
 
+  test("vacuum honors the commit lock: live writer's slot survives, stale lock broken + owner fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store_lock").toString
+    TableStore.commit(memFixture, root) // v0
+    val twoHoursAgo = System.currentTimeMillis() - 2 * 3600 * 1000L
+    // a writer renamed v_1 (slow staging write, mtime refresh notwithstanding
+    // — simulate the worst case of an OLD slot) and is still inside the
+    // rename→swap gap, holding the exclusion lock
+    val orphan = new java.io.File(root, "v_1"); assert(orphan.mkdirs())
+    assert(orphan.setLastModified(twoHoursAgo))
+    val lock = new java.io.File(root, "_commit.lock"); assert(lock.mkdirs())
+    java.nio.file.Files.write(lock.toPath.resolve("owner"), "w1".getBytes)
+    TableStore.vacuum(root, keep = 1) // graceMs 1h: slot is old, lock is FRESH
+    assert(orphan.exists(), "slot protected by a live commit lock must survive vacuum")
+    assert(TableStore.holdsLock(root, "w1"), "vacuum must not break a fresh lock")
+
+    // the writer pauses past graceMs: the lock goes stale, vacuum breaks it
+    // and sweeps the slot — and the owner has verifiably LOST the lock, so
+    // its pre-swap ownership check fails its commit instead of landing a
+    // pointer onto the swept slot
+    assert(lock.setLastModified(twoHoursAgo))
+    TableStore.vacuum(root, keep = 1)
+    assert(!orphan.exists(), "stale-locked orphan must be swept")
+    assert(!TableStore.holdsLock(root, "w1"),
+      "paused writer must have lost lock ownership")
+
+    // a commit while another writer holds a fresh lock times out loudly...
+    assert(lock.mkdirs())
+    java.nio.file.Files.write(lock.toPath.resolve("owner"), "w2".getBytes)
+    val e = intercept[IllegalStateException] {
+      TableStore.commit(memFixture, root, lockWaitMs = 250L)
+    }
+    assert(e.getMessage.contains("timed out"))
+    // ...and once that lock goes stale, the next commit breaks it and proceeds
+    assert(lock.setLastModified(twoHoursAgo))
+    assert(TableStore.commit(memFixture, root) == 1L)
+    assert(TableStore.currentVersion(root).contains(1L))
+  }
+
   test("mergeWithFeed pins its base: a foreign commit mid-merge fails the merge, never widens the feed") {
     val root = java.nio.file.Files.createTempDirectory("graft_store_pin").toString
     TableStore.commit(memFixture, root) // v0
