@@ -515,19 +515,22 @@ object SparkEntry {
           sum(col("insertions").cast("long")).as("sum_insertions"))
     },
 
-    // Multimodal plumbing: binary payloads -> batched decode (stubbed
-    // deterministic codec) + feature extraction + frame sampling; rows-only.
+    // Multimodal plumbing: binary payloads -> batched decode (REAL for
+    // image via javax.imageio and for WAV audio via the RIFF header walk;
+    // video stays the documented stub) + feature extraction + frame
+    // sampling.
     "q36_multimodal_decode" -> { (s, dir) =>
       val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
       val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
       // buckets_hit: the count of non-zero byte-histogram buckets — an
       // integer-exact projection of the (float) feature vector, so the
       // mapPartitions feature path is oracle-checkable too. The synthetic
-      // payload derives from media_id by pure arithmetic, so the DuckDB
-      // oracle replays decode metadata AND this feature summary without
-      // ever seeing the bytes.
+      // payload derives from media_id by pure arithmetic (planted PNG
+      // pixels / planted PCM WAV samples), so the DuckDB oracle replays
+      // decode metadata AND this feature summary without ever seeing the
+      // bytes.
       decoded.select(col("media_id"), col("modality"), col("width"), col("height"),
-        col("duration_ms"), col("format"),
+        col("duration_ms"), col("format"), col("sample_rate"), col("channels"),
         size(filter(col("features"), f => f > 0f)).as("buckets_hit"))
     },
 
@@ -3033,28 +3036,39 @@ object SparkEntry {
         |base AS (
         |  SELECT i, 128 + (i * 37) % 512 AS n,
         |    (i * 131) % 256 AS a, (i * 131 + 17) % 256 AS b,
+        |    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |         WHEN 2 THEN 16000 ELSE 22050 END AS sr,
+        |    1 + i % 2 AS ch, 200 + (i * 37) % 1600 AS frames,
         |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         |  FROM ids),
-        |featav AS (
+        |featau AS (
+        |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % 256) * 16) // 256) AS bh
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 7195)) AS j) js
+        |  WHERE i % 3 = 1 AND j < (200 + (i * 37) % 1600) * (1 + i % 2) * 2
+        |  GROUP BY i),
+        |featv AS (
         |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % 256) * 16) // 256) AS bh
         |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 638)) AS j) js
-        |  WHERE i % 3 <> 0 AND j < 128 + (i * 37) % 512
+        |  WHERE i % 3 = 2 AND j < 128 + (i * 37) % 512
         |  GROUP BY i),
         |featimg AS (
         |  SELECT i, count(DISTINCT (((i * 131 + j * 17) % (1 + i % 255)) * 16) // 256) AS bh
         |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 254)) AS j) js
         |  WHERE i % 3 = 0
         |  GROUP BY i),
-        |feat AS (SELECT * FROM featav UNION ALL SELECT * FROM featimg)
+        |feat AS (SELECT * FROM featau UNION ALL SELECT * FROM featv
+        |         UNION ALL SELECT * FROM featimg)
         |SELECT CAST(base.i AS BIGINT) AS media_id, modality,
         |  CAST(CASE modality WHEN 'image' THEN 64 + a % 192
         |       WHEN 'audio' THEN 0 ELSE 320 + a % 64 END AS INT) AS width,
         |  CAST(CASE modality WHEN 'image' THEN 64 + b % 192
         |       WHEN 'audio' THEN 0 ELSE 240 + b % 48 END AS INT) AS height,
         |  CAST(CASE modality WHEN 'image' THEN 0
-        |       WHEN 'audio' THEN 1000 + n * 20 ELSE 1000 + n * 40 END AS BIGINT) AS duration_ms,
+        |       WHEN 'audio' THEN frames * 1000 // sr ELSE 1000 + n * 40 END AS BIGINT) AS duration_ms,
         |  CASE modality WHEN 'image' THEN 'image/png'
-        |       WHEN 'audio' THEN 'fake/wav' ELSE 'fake/mp4' END AS format,
+        |       WHEN 'audio' THEN 'audio/wav' ELSE 'fake/mp4' END AS format,
+        |  CAST(CASE WHEN modality = 'audio' THEN sr END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN modality = 'audio' THEN ch END AS INT) AS channels,
         |  CAST(bh AS INT) AS buckets_hit
         |FROM base JOIN feat ON base.i = feat.i""".stripMargin,
     "q55_winnow_fingerprints" ->

@@ -17,10 +17,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Undecodable image payloads yield null metadata/features rather than
   * failing the job (a corrupt row must not kill a 100 TB scan).
   *
-  * AUDIO/VIDEO decode stays a documented deterministic stub (`fakeDecode`:
-  * this environment ships no audio/video codecs); the Spark-side contract —
-  * schema, batching, partitioning, null handling — is identical, so swapping
-  * in JavaCV/ffmpeg means replacing ONLY `fakeDecode`.
+  * AUDIO metadata decode is REAL for WAV: `decodeWav` walks RIFF chunks in
+  * pure JVM byte arithmetic — sample_rate/channels/bits from the `fmt `
+  * chunk, duration_ms from the `data` chunk length, features over the PCM
+  * sample bytes (not the header). Non-WAV audio payloads yield null
+  * metadata, same as undecodable images (compressed codecs — mp3/aac —
+  * would need a real decoder library).
+  *
+  * VIDEO decode stays a documented deterministic stub (`fakeDecode`: this
+  * environment ships no video codecs); the Spark-side contract — schema,
+  * batching, partitioning, null handling — is identical, so swapping in
+  * JavaCV/ffmpeg means replacing ONLY `fakeDecode`.
   */
 object MultimodalOps {
 
@@ -35,19 +42,81 @@ object MultimodalOps {
 
   final case class DecodedMeta(width: Int, height: Int, durationMs: Long, format: String)
 
-  /** STUB — deterministic fake decoder for AUDIO/VIDEO only (images decode
-    * for real via [[decodeImage]]). A real implementation would call an
-    * audio/video codec here (e.g. JavaCV/ffmpeg); everything around it stays
-    * unchanged.
+  /** STUB — deterministic fake decoder for VIDEO only (images decode for
+    * real via [[decodeImage]], WAV audio via [[decodeWav]]). A real
+    * implementation would call a video codec here (e.g. JavaCV/ffmpeg);
+    * everything around it stays unchanged.
     */
   private[operators] def fakeDecode(modality: String, data: Array[Byte]): DecodedMeta = {
     val n = if (data == null) 0 else data.length
     val a = if (n > 0) (data(0) & 0xff) else 0
     val b = if (n > 1) (data(1) & 0xff) else 0
-    modality match {
-      case "audio" => DecodedMeta(0, 0, 1000L + (n.toLong * 20), "fake/wav")
-      case _       => DecodedMeta(320 + a % 64, 240 + b % 48, 1000L + (n.toLong * 40), "fake/mp4")
+    DecodedMeta(320 + a % 64, 240 + b % 48, 1000L + (n.toLong * 40), "fake/mp4")
+  }
+
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           dataOffset: Int, dataBytes: Int, durationMs: Long)
+
+  /** REAL WAV metadata decode: a RIFF chunk walk in pure byte arithmetic —
+    * no codec library needed for the header. `sample_rate`/`channels`/
+    * `bitsPerSample` come from the `fmt ` chunk, `durationMs` from the
+    * `data` chunk byte length over the byte rate (a truncated `data` chunk
+    * reports the duration of the bytes actually present — a 100 TB scan
+    * must survive truncated payloads). Returns None for anything that is
+    * not a structurally valid PCM WAV.
+    */
+  private[operators] def decodeWav(data: Array[Byte]): Option[WavMeta] = {
+    if (data == null || data.length < 44) return None
+    def tag(off: Int) = new String(data, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sr = 0; var ch = 0; var bits = 0; var dOff = -1; var dLen = 0
+    while (off + 8 <= data.length) {
+      val id = tag(off)
+      val sz = bb.getInt(off + 4)
+      if (sz < 0) return None // corrupt chunk length
+      if (id == "fmt " && sz >= 16 && off + 24 <= data.length) {
+        ch = bb.getShort(off + 10)
+        sr = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22)
+      } else if (id == "data" && dOff < 0) {
+        dOff = off + 8
+        dLen = math.min(sz.toLong, (data.length - dOff).toLong).toInt
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
     }
+    if (sr <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 || dOff < 0) None
+    else {
+      val bytesPerSec = sr.toLong * ch * (bits / 8)
+      Some(WavMeta(sr, ch, bits, dOff, dLen, dLen.toLong * 1000L / bytesPerSec))
+    }
+  }
+
+  /** Minimal canonical PCM WAV writer (44-byte header + samples) — the
+    * inverse of [[decodeWav]], used to plant real WAV payloads in
+    * [[syntheticMedia]] so the decode path exercises genuine bytes.
+    */
+  private[operators] def wavBytes(sampleRate: Int, channels: Int,
+                                  bitsPerSample: Int, pcm: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(36 + pcm.length)
+      .put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(pcm.length)
+      .put(pcm)
+    out.array()
   }
 
   /** Container sniff from magic bytes — the `format` metadata for decoded
@@ -91,26 +160,31 @@ object MultimodalOps {
   /** Byte-histogram feature vector (16 buckets, L1-normalized float32) —
     * a real distributed computation standing in for an embedding model.
     */
-  private[operators] def byteHistogram(data: Array[Byte], buckets: Int = 16): Array[Float] = {
+  private[operators] def byteHistogram(data: Array[Byte], buckets: Int = 16,
+                                       off: Int = 0, len: Int = -1): Array[Float] = {
     val hist = new Array[Float](buckets)
     if (data == null || data.isEmpty) return hist
-    var i = 0
-    while (i < data.length) {
+    val n = if (len < 0) data.length - off else math.min(len, data.length - off)
+    if (n <= 0) return hist
+    var i = off
+    while (i < off + n) {
       hist((data(i) & 0xff) * buckets / 256) += 1f
       i += 1
     }
     var j = 0
-    while (j < buckets) { hist(j) /= data.length; j += 1 }
+    while (j < buckets) { hist(j) /= n; j += 1 }
     hist
   }
 
   /** Decode + feature-extract over a media table. Runs in mapPartitions with
     * explicit batch grouping (`batchSize` rows per decoder call) — the shape
-    * a vectorized decoder needs. Output adds width/height/duration_ms/format
-    * and a `features` float array; null payloads — and image payloads no
-    * reader can decode — produce null metadata/features. Image features are
-    * the histogram of decoded gray PIXELS; audio/video features histogram
-    * the raw payload (the stubbed modalities).
+    * a vectorized decoder needs. Output adds width/height/duration_ms/
+    * format/sample_rate/channels and a `features` float array; null
+    * payloads — and image/audio payloads no decoder accepts — produce null
+    * metadata/features. Image features are the histogram of decoded gray
+    * PIXELS; WAV audio features histogram the PCM data-chunk bytes (not the
+    * header); video features histogram the raw payload (the stubbed
+    * modality). sample_rate/channels are audio-only (null elsewhere).
     */
   def decodeAndFeaturize(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -119,30 +193,39 @@ object MultimodalOps {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType),
       StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
       StructField("features", ArrayType(FloatType))
     ))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     val modalityIdx = df.schema.fieldIndex("modality")
     val dataIdx = df.schema.fieldIndex("data")
+    val nulls = Seq(null, null, null, null, null, null, null)
     df.mapPartitions { rows =>
       // batch boundary = where a real codec would process a vector of inputs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val data = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
           if (data == null) {
-            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
-          } else if (r.getString(modalityIdx) == "image") {
-            decodeImage(data) match {
+            Row.fromSeq(r.toSeq ++ nulls)
+          } else r.getString(modalityIdx) match {
+            case "image" => decodeImage(data) match {
               case Some((meta, px)) =>
                 Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
-                  meta.format, byteHistogram(px).toSeq))
-              case None =>
-                Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+                  meta.format, null, null, byteHistogram(px).toSeq))
+              case None => Row.fromSeq(r.toSeq ++ nulls)
             }
-          } else {
-            val meta = fakeDecode(r.getString(modalityIdx), data)
-            Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
-              meta.format, byteHistogram(data).toSeq))
+            case "audio" => decodeWav(data) match {
+              case Some(w) =>
+                Row.fromSeq(r.toSeq ++ Seq(0, 0, w.durationMs, "audio/wav",
+                  w.sampleRate, w.channels,
+                  byteHistogram(data, off = w.dataOffset, len = w.dataBytes).toSeq))
+              case None => Row.fromSeq(r.toSeq ++ nulls)
+            }
+            case other =>
+              val meta = fakeDecode(other, data)
+              Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
+                meta.format, null, null, byteHistogram(data).toSeq))
           }
         }
       }
@@ -172,10 +255,12 @@ object MultimodalOps {
 
   /** Synthetic deterministic media table for tests/benches: image rows carry
     * REAL PNG payloads (8-bit gray, pixel(j) = (i*131 + j*17) % (1 + i%255),
-    * dimensions 64 + ((i*131)%256)%192 × 64 + ((i*131+17)%256)%192 — the
-    * same closed forms the oracles replay), so the decode path exercises a
-    * genuine codec; audio/video payload bytes derive from the id by the same
-    * arithmetic as before.
+    * dimensions 64 + ((i*131)%256)%192 × 64 + ((i*131+17)%256)%192), audio
+    * rows carry REAL 16-bit PCM WAV payloads (sample_rate ∈
+    * {8000,11025,16000,22050} by i%4, channels 1 + i%2, frames
+    * 200 + (i·37)%1600, PCM byte(j) = (i·131 + j·17) % 256) — all closed
+    * forms the oracles replay, so both decode paths exercise genuine bytes;
+    * video payload bytes derive from the id by the original arithmetic.
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -195,6 +280,13 @@ object MultimodalOps {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           bos.toByteArray
+        case "audio" =>
+          val sr = Seq(8000, 11025, 16000, 22050)(i % 4)
+          val ch = 1 + (i % 2)
+          val frames = 200 + (i * 37) % 1600
+          val pcm = Array.tabulate[Byte](frames * ch * 2)(
+            j => ((i * 131 + j * 17) % 256).toByte)
+          wavBytes(sr, ch, 16, pcm)
         case _ =>
           Array.tabulate[Byte](128 + (i * 37) % 512)(j => ((i * 131 + j * 17) % 256).toByte)
       }

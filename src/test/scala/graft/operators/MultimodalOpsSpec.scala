@@ -16,13 +16,43 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
       val feats = r.getSeq[Float](r.fieldIndex("features"))
       assert(feats.length == 16)
       assert(math.abs(feats.sum - 1.0f) < 1e-4) // L1-normalized histogram
-      if (r.getAs[String]("modality") == "image")
-        assert(r.getAs[String]("format") == "image/png") // real decode + sniff
-      else
-        assert(r.getAs[String]("format").startsWith("fake/"))
+      r.getAs[String]("modality") match {
+        case "image" => assert(r.getAs[String]("format") == "image/png") // real decode + sniff
+        case "audio" => assert(r.getAs[String]("format") == "audio/wav") // real RIFF walk
+        case _       => assert(r.getAs[String]("format").startsWith("fake/"))
+      }
     }
     val img = rows.find(_.getAs[String]("modality") == "image").get
     assert(img.getAs[Int]("width") >= 64 && img.getAs[Int]("height") >= 64)
+  }
+
+  test("decodeWav really parses: planted RIFF headers, closed-form duration, PCM-only features") {
+    // media_id 1 is an audio row: sr 11025 (1%4=1), stereo (1+1%2=2),
+    // 237 frames (200+37%1600) → 948 PCM bytes, 21 ms (237*1000/11025)
+    val i = 1
+    val data = media.filter(col("media_id") === i.toLong)
+      .head().getAs[Array[Byte]]("data")
+    val Some(w) = MultimodalOps.decodeWav(data)
+    assert(w.sampleRate == 11025 && w.channels == 2 && w.bitsPerSample == 16)
+    assert(w.dataOffset == 44 && w.dataBytes == 237 * 2 * 2)
+    assert(w.durationMs == 237L * 1000 / 11025)
+    // features run over the PCM chunk only, never the 44-byte header
+    val feats = MultimodalOps.byteHistogram(data, off = w.dataOffset, len = w.dataBytes)
+    val refPcm = java.util.Arrays.copyOfRange(data, 44, 44 + w.dataBytes)
+    assert(feats.toSeq == MultimodalOps.byteHistogram(refPcm).toSeq)
+    // non-WAV audio payloads are null metadata, not an exception (the old
+    // fakeDecode path would have invented numbers for them)
+    assert(MultimodalOps.decodeWav(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    import spark.implicits._
+    val junk = Seq((7L, "audio", Array.tabulate[Byte](64)(_.toByte), "u",
+      Map.empty[String, String]))
+      .toDF("media_id", "modality", "data", "source_uri", "metadata")
+    val r = MultimodalOps.decodeAndFeaturize(junk).head()
+    assert(r.isNullAt(r.fieldIndex("duration_ms")) && r.isNullAt(r.fieldIndex("features")))
+    // a TRUNCATED data chunk reports the duration of the bytes present
+    val trunc = java.util.Arrays.copyOfRange(data, 0, 44 + 100)
+    val Some(tw) = MultimodalOps.decodeWav(trunc)
+    assert(tw.dataBytes == 100 && tw.durationMs == 100L * 1000 / (11025L * 2 * 2))
   }
 
   test("decodeImage really decodes: planted PNG dims and exact gray pixels") {
