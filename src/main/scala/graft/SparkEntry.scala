@@ -766,6 +766,25 @@ object SparkEntry {
         idx, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", threshold = 0.8)
     },
 
+    // Incremental index APPEND — the full probe→accept→append ingest loop:
+    // build the persisted index over corpus batch 0 (doc_id%3==0), append
+    // accepted batch 1 (doc_id%3==1) as new parquet files WITHOUT re-reading
+    // the corpus, reload, and probe with batch 2 (doc_id%3==2). Batch-2
+    // matches against batch-1 docs prove the append is visible; the oracle
+    // replays the exact Jaccard join over the unioned index side.
+    "q107_index_append" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("q107_idx").toString
+      val idx0 = graft.operators.DedupOps.buildMinhashIndex(
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      graft.operators.DedupOps.saveMinhashIndex(idx0, path)
+      graft.operators.DedupOps.appendMinhashIndex(
+        s, path, docs.filter(col("doc_id") % 3 === 1), "text", "doc_id")
+      val idx = graft.operators.DedupOps.loadMinhashIndex(s, path)
+      graft.operators.DedupOps.probeMinhashIndex(
+        idx, docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", threshold = 0.8)
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1591,6 +1610,25 @@ object SparkEntry {
         |inter AS (
         |  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id, count(*) AS ninter
         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id,
+        |  CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = corpus_id
+        |JOIN sz sb ON sb.doc_id = batch_id
+        |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
+    "q107_index_append" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM documents)
+        |), sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT b.doc_id AS batch_id, a.doc_id AS corpus_id, count(*) AS ninter
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id % 3 IN (0, 1) AND b.doc_id % 3 = 2
         |  GROUP BY 1, 2)
         |SELECT batch_id, corpus_id,
         |  CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) AS jaccard

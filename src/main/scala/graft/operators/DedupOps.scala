@@ -345,6 +345,29 @@ object DedupOps {
       m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("num_bands"))
   }
 
+  /** Append an ACCEPTED batch to a persisted index in place: the batch is
+    * shingled once (map-only) and its band/doc rows land as NEW parquet
+    * files alongside the existing ones — the ingest loop is
+    * probe → accept → append, and the historical corpus is never re-read,
+    * let alone re-shingled or re-shuffled (appending to a 100 TB corpus
+    * index must cost O(batch), not O(corpus)). Band parameters come from
+    * the index's own meta, so a drifting caller cannot append incompatible
+    * band keys. Append is not transactional (parquet file drop-in) — wrap
+    * the index directory in [[graft.core.TableStore]] when concurrent
+    * appenders need commit semantics.
+    */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, textCol: String, idCol: String): Unit = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (n, numHashes, numBands) =
+      (m.getAs[Int]("n"), m.getAs[Int]("num_hashes"), m.getAs[Int]("num_bands"))
+    val sh = shingleTable(batch, textCol, idCol, n).persistTracked
+    minhashBandKeys(sh, numHashes, numBands)
+      .write.mode("append").parquet(s"$path/bands")
+    sh.select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      .write.mode("append").parquet(s"$path/docs")
+  }
+
   /** Probe the index with a new batch: (batch_id, corpus_id, jaccard) for
     * every batch document within `threshold` Jaccard of an indexed corpus
     * document (candidates from band collisions, exact verify after).

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: incremental MinHash index append (the
+  * probe → accept → append ingest loop over a persisted index).
+  */
+class Round7Spec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("appendMinhashIndex: accepted batch docs become visible to later probes, corpus untouched") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("idx_append").toString
+    DedupOps.saveMinhashIndex(DedupOps.buildMinhashIndex(corpus, "text", "doc_id"), path)
+    val corpusBandFiles = new java.io.File(s"$path/bands")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+
+    // batch 1: a brand-new doc — probe finds nothing, so it is ACCEPTED
+    // and appended to the index
+    val batch1 = Seq(
+      (10L, "completely different planted passage alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.probeMinhashIndex(
+      DedupOps.loadMinhashIndex(spark, path), batch1, "text", "doc_id").count() == 0)
+    DedupOps.appendMinhashIndex(spark, path, batch1, "text", "doc_id")
+
+    // batch 2: near-dup of the batch-1 doc (one word changed → 11/13
+    // shared 3-shingles ≈ 0.846 Jaccard) — the probe must now see it
+    val batch2 = Seq(
+      (20L, "completely different planted passage alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    val hits = DedupOps.probeMinhashIndex(
+      DedupOps.loadMinhashIndex(spark, path), batch2, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(hits.map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+      == Set((20L, 10L)))
+    hits.foreach(r => assert(math.abs(r.getAs[Double]("jaccard") - 11.0 / 13) < 1e-9))
+
+    // O(batch) append: the corpus's original band files were not rewritten,
+    // batch rows landed as new files beside them
+    val afterFiles = new java.io.File(s"$path/bands")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(corpusBandFiles.subsetOf(afterFiles), "append must not rewrite corpus files")
+    assert(afterFiles.size > corpusBandFiles.size, "append must add new files")
+    assert(spark.read.parquet(s"$path/docs").count() == 2)
+    graft.GraftEngine.releaseCaches()
+  }
+}
