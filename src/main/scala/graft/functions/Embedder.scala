@@ -139,6 +139,57 @@ final class BatchedProvider(val dim: Int,
   }
 }
 
+/** Config for name-driven provider construction — the Scala analog of the
+  * reference's ProviderConfig (pkg/embedding/registry.go:19-38): one config
+  * type whose fields are interpreted by the chosen provider's factory.
+  * `apiKeyEnv` NAMES an environment variable (the key itself never lives in
+  * config); `cached` is the batch analog of the reference's CacheSize
+  * (distinct-text memoization instead of an in-memory LRU).
+  */
+final case class EmbedderConfig(providerType: String,
+                                dim: Int = 64,
+                                model: String = "",
+                                baseUrl: String = "",
+                                apiKeyEnv: String = "EMBEDDING_API_KEY",
+                                batchSize: Int = 100,
+                                cached: Boolean = true)
+
+/** Name → [[Embedder]] factory registry (reference
+  * pkg/embedding/registry.go:44-60 RegisterFactory/NewProvider): built-ins
+  * `hashing` (deterministic zero-egress) and `http` (OpenAI-style batched
+  * JSON) are always available; `register` adds or OVERRIDES a factory by
+  * name, matching the reference's check-custom-registry-first behavior.
+  * Unknown names fail loudly, listing what is registered.
+  */
+object EmbedderRegistry {
+  type Factory = EmbedderConfig => Embedder
+
+  private val factories = scala.collection.concurrent.TrieMap[String, Factory](
+    "hashing" -> (cfg => new HashingEmbedder(cfg.dim)),
+    "http" -> { cfg =>
+      require(cfg.baseUrl.nonEmpty, "http provider requires baseUrl")
+      new BatchedProvider(cfg.dim,
+        new HttpJsonTransport(cfg.baseUrl, cfg.model, cfg.apiKeyEnv),
+        cfg.batchSize)
+    })
+
+  def register(name: String, factory: Factory): Unit = {
+    factories.put(name.toLowerCase, factory); ()
+  }
+
+  def registered: Seq[String] = factories.keys.toSeq.sorted
+
+  def create(cfg: EmbedderConfig): Embedder = {
+    require(cfg.providerType.nonEmpty, "embedding provider type is required")
+    val factory = factories.getOrElse(cfg.providerType.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown embedding provider '${cfg.providerType}' " +
+          s"(registered: ${registered.mkString(", ")})"))
+    val p = factory(cfg)
+    if (cfg.cached) new CachedEmbedder(p) else p
+  }
+}
+
 /** The HTTP half of a real provider: OpenAI-style JSON in/out over the JDK
   * http client — `{"model": ..., "input": [texts]}` →
   * `{"data": [{"embedding": [floats]}, ...]}` (response parsed with the

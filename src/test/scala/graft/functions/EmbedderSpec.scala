@@ -120,4 +120,35 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
       t.parseEmbeddings("""{"data":[{"embedding":["oops"]}]}""")
     }
   }
+
+  test("EmbedderRegistry: config-driven construction, override-first, unknown name fails loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")).toDF("id", "text")
+    // built-in hashing, cached by default: distinct texts embed once
+    val cached = EmbedderRegistry.create(EmbedderConfig("hashing", dim = 32))
+    assert(cached.isInstanceOf[CachedEmbedder] && cached.dim == 32)
+    assert(cached.embed(docs, "text", "emb").select("emb").distinct().count() == 2)
+    // cached=false returns the bare provider
+    assert(EmbedderRegistry.create(EmbedderConfig("hashing", cached = false))
+      .isInstanceOf[HashingEmbedder])
+    // built-in http: constructs without egress (send would fail, not new)
+    val http = EmbedderRegistry.create(EmbedderConfig(
+      "HTTP", dim = 8, model = "m", baseUrl = "http://localhost:9/v1/embeddings",
+      cached = false))
+    assert(http.isInstanceOf[BatchedProvider] && http.dim == 8)
+    // http without a baseUrl is a config error
+    intercept[IllegalArgumentException] {
+      EmbedderRegistry.create(EmbedderConfig("http", cached = false))
+    }
+    // unknown name: loud failure listing the registry
+    val e = intercept[IllegalArgumentException] {
+      EmbedderRegistry.create(EmbedderConfig("pinecone"))
+    }
+    assert(e.getMessage.contains("pinecone") && e.getMessage.contains("hashing"))
+    // registration OVERRIDES a built-in (the reference's custom-first check)
+    EmbedderRegistry.register("hashing", cfg => new HashingEmbedder(cfg.dim * 2))
+    try
+      assert(EmbedderRegistry.create(EmbedderConfig("hashing", dim = 16, cached = false)).dim == 32)
+    finally EmbedderRegistry.register("hashing", cfg => new HashingEmbedder(cfg.dim))
+  }
 }
