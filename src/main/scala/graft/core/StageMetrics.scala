@@ -1,0 +1,103 @@
+package graft.core
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Zero-overhead per-stage observability: run any action over an UNMODIFIED
+  * plan under a job group and collect each Spark stage's wall time, task
+  * time, and record/byte counters from the scheduler's own metrics via a
+  * `SparkListener` — nothing is persisted, counted, or re-planned, so the
+  * measured plan is exactly the production plan. This closes the gap left
+  * by [[graft.operators.PipelineOps.dedupPipelineWithStats]], which times
+  * PIPELINE stages honestly but only by materializing each boundary
+  * (persist + count job); here the report is free and the attribution is
+  * per SPARK stage (scan / shuffle map / result) of the fused plan.
+  *
+  * The reference's per-stage latency report is pkg/pipeline/pipeline.go's
+  * StageStats; this is its cluster-native analog: at 100 TB the thing you
+  * need attributed is shuffle/scan stages, not logical wrapper boundaries.
+  */
+object StageMetrics {
+
+  /** One Spark stage of the measured jobs. `wall_ms` is
+    * submission→completion of the stage (stages of one job overlap only
+    * across independent branches); `executor_run_ms` is summed task run
+    * time (the scale-out denominator); records/bytes split input (source
+    * scan), shuffle read, output (sink write), and shuffle write.
+    */
+  final case class StageRow(stage_id: Int, stage_name: String, num_tasks: Int,
+                            wall_ms: Long, executor_run_ms: Long,
+                            records_read: Long, shuffle_records_read: Long,
+                            records_written: Long, shuffle_records_written: Long,
+                            shuffle_bytes_read: Long, shuffle_bytes_written: Long)
+
+  private final class Listener(group: String) extends SparkListener {
+    private val jobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    @volatile private[StageMetrics] var started = 0
+    @volatile private[StageMetrics] var ended = 0
+    private[StageMetrics] val rows =
+      new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      if (Option(e.properties).exists(_.getProperty("spark.jobGroup.id") == group)) {
+        jobs.add(e.jobId)
+        e.stageIds.foreach(stages.add(_))
+        started += 1 // scheduler delivers listener events single-threaded
+      }
+
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      if (jobs.contains(e.jobId)) ended += 1
+
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      if (stages.contains(si.stageId)) {
+        val tm = si.taskMetrics
+        rows.add(StageRow(si.stageId, si.name, si.numTasks,
+          (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
+            .getOrElse(0L),
+          tm.executorRunTime,
+          tm.inputMetrics.recordsRead,
+          tm.shuffleReadMetrics.recordsRead,
+          tm.outputMetrics.recordsWritten,
+          tm.shuffleWriteMetrics.recordsWritten,
+          tm.shuffleReadMetrics.totalBytesRead,
+          tm.shuffleWriteMetrics.bytesWritten))
+      }
+    }
+  }
+
+  /** Run `body` (which must trigger at least one Spark action) under a job
+    * group and return (result, per-stage report). Skipped stages (reused
+    * exchanges) do not appear — they did no work. Listener delivery is
+    * asynchronous; this waits until every started job's end event has been
+    * processed (stage events are bus-ordered before their job's end), up to
+    * `settleTimeoutMs`.
+    */
+  def withStageReport[T](spark: SparkSession,
+                         group: String = "graft-stage-report",
+                         settleTimeoutMs: Long = 10000L)(body: => T): (T, DataFrame) = {
+    val sc = spark.sparkContext
+    val listener = new Listener(group)
+    sc.addSparkListener(listener)
+    sc.setJobGroup(group, "graft stage metrics", interruptOnCancel = false)
+    try {
+      val result = body
+      val deadline = System.currentTimeMillis() + settleTimeoutMs
+      // first wait for any job to register (a job-free body settles fast)...
+      while (listener.started == 0 && System.currentTimeMillis() < deadline &&
+        System.currentTimeMillis() < deadline - settleTimeoutMs + 2000L)
+        Thread.sleep(20L)
+      // ...then for every started job's end event
+      while (listener.ended < listener.started && System.currentTimeMillis() < deadline)
+        Thread.sleep(20L)
+      import scala.jdk.CollectionConverters._
+      val report = spark.createDataFrame(
+        listener.rows.asScala.toSeq.sortBy(_.stage_id))
+      (result, report)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+}

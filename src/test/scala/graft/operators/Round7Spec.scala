@@ -4,10 +4,48 @@ import graft.SparkTest
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-7 additions: incremental MinHash index append (the
-  * probe → accept → append ingest loop over a persisted index).
+  * probe → accept → append ingest loop over a persisted index) and the
+  * zero-overhead SparkListener stage report.
   */
 class Round7Spec extends AnyFunSuite with SparkTest {
   import spark.implicits._
+
+  test("StageMetrics.withStageReport: free per-stage attribution of the UNMODIFIED fused plan") {
+    val dir = "/root/testdata/sf0.001"
+    val path = java.nio.file.Files.createTempDirectory("stage_chunks").toString
+    PipelineOps.chunkTable(
+      graft.core.Tables.documents(spark, dir),
+      graft.core.Tables.embeddings(spark, dir))
+      .write.mode("overwrite").parquet(path)
+    val chunks = spark.read.parquet(path)
+    val rowsIn = chunks.count()
+    val cfg = PipelineOps.PipelineConfig(targetK = 8, minChunkLength = 0)
+
+    val (result, report) = graft.core.StageMetrics.withStageReport(spark) {
+      PipelineOps.dedupPipelineFused(
+        chunks, "request_group", "doc_id", "text", "embedding", "score", cfg).collect()
+    }
+    val rows = report.collect()
+    assert(rows.nonEmpty, "listener must capture the fused plan's stages")
+    // scheduler-metrics attribution of the untouched plan: the scan reads
+    // every chunk row, and the fused pipeline shuffles each row EXACTLY
+    // once (the one-keyed-shuffle claim PlanSpec pins, here as measured
+    // record counts rather than plan shape)
+    assert(rows.map(_.getAs[Long]("records_read")).sum == rowsIn)
+    assert(rows.map(_.getAs[Long]("shuffle_records_written")).sum == rowsIn,
+      "fused plan must shuffle each input row exactly once")
+    assert(rows.map(_.getAs[Long]("shuffle_records_read")).sum == rowsIn)
+    assert(rows.map(_.getAs[Long]("executor_run_ms")).sum > 0)
+    assert(rows.map(_.getAs[Long]("wall_ms")).forall(_ >= 0))
+
+    // agreement with the materializing wrapper it supersedes
+    val (_, stats) = PipelineOps.dedupPipelineWithStats(
+      chunks, "request_group", "doc_id", "text", "embedding", "score", cfg)
+    val tot = stats.collect().find(_.getAs[String]("stage") == "total").get
+    assert(tot.getAs[Long]("rows_in") == rowsIn)
+    assert(result.length.toLong == tot.getAs[Long]("rows_out"))
+    graft.GraftEngine.releaseCaches()
+  }
 
   test("appendMinhashIndex: accepted batch docs become visible to later probes, corpus untouched") {
     val corpus = Seq(
