@@ -243,45 +243,35 @@ object KnnOps {
     * carries bare ids (embeddings re-join after the candidate distinct).
     * Identical vectors share every bucket, so exact-duplicate lookup has
     * recall 1; near-neighbor recall rises with coarser buckets (lower
-    * `bandBits`) or more bands. Unlike IVF there is no training pass, so
-    * this path also serves streaming/incremental corpora.
+    * `bandBits`), more bands, or — the cheapest lever — more `probes`.
+    * Unlike IVF there is no training pass, so this path also serves
+    * streaming/incremental corpora.
+    *
+    * `probes` is the multi-probe dial (classic LV multi-probe, Hamming-1
+    * perturbations): each query additionally probes `probes` 1-bit
+    * perturbations of its band key. The corpus side and the index shape are
+    * UNTOUCHED — only the query band rows fan out map-side by (1+probes)x,
+    * so recall rises without re-banding or widening the corpus shuffle —
+    * the right trade when queries are few and the corpus is 100 TB.
+    * Candidates grow monotonically with `probes` (each probe set is a
+    * strict superset of the previous), so recall can only improve
+    * (spec-asserted); the measured recall/cost curve is in COVERAGE.md.
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String, embCol: String, qidCol: String, qembCol: String,
-             planes: Int = 32, bandBits: Int = 8, seed: Long = 42L): DataFrame = {
+             planes: Int = 32, bandBits: Int = 8, seed: Long = 42L,
+             probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bandBits,
+      s"probes must be in [0, bandBits=$bandBits], got $probes")
     val c = corpus.select(col(idCol).cast("long").as("cid"), col(embCol).as("cemb"))
     val q = queries.select(col(qidCol).cast("long").as("query_id"), col(qembCol).as("qemb"))
     val cBand = DedupOps.hyperplaneBandKeys(c, "cemb", Seq("cid"), planes, bandBits, seed)
       .select(col("cid"), col("band"), col("bkey"))
-    val qBand = DedupOps.hyperplaneBandKeys(q, "qemb", Seq("query_id"), planes, bandBits, seed)
-      .select(col("query_id"), col("band"), col("bkey"))
-    val cand = qBand.join(cBand, Seq("band", "bkey"))
-      .select(col("query_id"), col("cid"))
-      .distinct()
-    val pairs = cand.join(q, "query_id").join(c, "cid")
-    bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
-  }
-
-  /** Multi-probe variant of [[lshKnn]]: each query probes its own band key
-    * PLUS every 1-bit perturbation of it (the classic multi-probe LSH
-    * recall lever — LV multi-probe with Hamming-1 probes). The corpus side
-    * and the index shape are untouched; only the query band rows fan out
-    * map-side by (1 + bandBits)x, so recall rises without re-banding or
-    * widening the corpus shuffle — the right trade when queries are few and
-    * the corpus is 100 TB. Candidates are a strict superset of
-    * [[lshKnn]]'s, so recall can only improve (spec-asserted; measured
-    * numbers in COVERAGE.md).
-    */
-  def lshKnnMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
-                       idCol: String, embCol: String, qidCol: String, qembCol: String,
-                       planes: Int = 32, bandBits: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("cid"), col(embCol).as("cemb"))
-    val q = queries.select(col(qidCol).cast("long").as("query_id"), col(qembCol).as("qemb"))
-    val cBand = DedupOps.hyperplaneBandKeys(c, "cemb", Seq("cid"), planes, bandBits, seed)
-      .select(col("cid"), col("band"), col("bkey"))
-    val qBand = DedupOps.hyperplaneBandKeys(q, "qemb", Seq("query_id"), planes, bandBits, seed)
-      .select(col("query_id"), col("band"),
-        explode(array(col("bkey") +: (0 until bandBits).map(j =>
+    val qBand0 = DedupOps.hyperplaneBandKeys(q, "qemb", Seq("query_id"), planes, bandBits, seed)
+    val qBand =
+      if (probes == 0) qBand0.select(col("query_id"), col("band"), col("bkey"))
+      else qBand0.select(col("query_id"), col("band"),
+        explode(array(col("bkey") +: (0 until probes).map(j =>
           col("bkey").bitwiseXOR(lit(1L << j))): _*)).as("bkey"))
     val cand = qBand.join(cBand, Seq("band", "bkey"))
       .select(col("query_id"), col("cid"))
@@ -289,6 +279,15 @@ object KnnOps {
     val pairs = cand.join(q, "query_id").join(c, "cid")
     bruteForceKnnOnPairs(pairs, k, "cid", "cemb")
   }
+
+  /** [[lshKnn]] at full probe fan-out (`probes = bandBits`) — kept as the
+    * named convenience for the maximum-recall point of the curve.
+    */
+  def lshKnnMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                       idCol: String, embCol: String, qidCol: String, qembCol: String,
+                       planes: Int = 32, bandBits: Int = 8, seed: Long = 42L): DataFrame =
+    lshKnn(corpus, queries, k, idCol, embCol, qidCol, qembCol,
+      planes, bandBits, seed, probes = bandBits)
 
   /** Recall@k of an approximate KNN result against the exact one. Both
     * inputs use the (query_id, neighbor_id, rank) contract this object's

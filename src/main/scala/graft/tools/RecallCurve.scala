@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Measure the LSH multi-probe recall/cost curve:
+  * `runMain graft.tools.RecallCurve <sfDir> [planes] [bandBits] [k]`.
+  * Prints recall@k and wall time per `probes` setting against the exact
+  * brute-force top-k — the numbers COVERAGE.md records.
+  */
+object RecallCurve {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val planes = if (args.length > 1) args(1).toInt else 16
+    val bandBits = if (args.length > 2) args(2).toInt else 4
+    val k = if (args.length > 3) args(3).toInt else 10
+    val spark = graft.core.GraftSession.get(cores = 32)
+    val emb = graft.core.Tables.embeddings(spark, dir).persist()
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = graft.operators.KnnOps.bruteForceKnn(
+      emb, queries, k, "vec_id", "embedding", "vec_id", "embedding").persist()
+    exact.count()
+    println(s"[recallcurve] corpus=${emb.count()} planes=$planes bandBits=$bandBits k=$k")
+    (0 to bandBits).foreach { probes =>
+      val t0 = System.nanoTime()
+      val approx = graft.operators.KnnOps.lshKnn(
+        emb, queries, k, "vec_id", "embedding", "vec_id", "embedding",
+        planes, bandBits, 42L, probes)
+      val r = graft.operators.KnnOps.recallAt(exact, approx, k).head()
+      println(f"[recallcurve] probes=$probes%2d  avg_recall=${r.getAs[Double]("avg_recall")}%.3f" +
+        f"  min_recall=${r.getAs[Double]("min_recall")}%.3f" +
+        f"  wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
