@@ -38,6 +38,12 @@ object Bench {
     // 4.5 s steady-state on the same plan), so pass 1 measures the JIT and
     // pass 2 the plan. The min is the steady-state number a long-lived
     // cluster actually sees.
+    // Environment evidence: per-pass totals + system load average around
+    // the run make a uniformly-slow rerun (machine contention) self-
+    // diagnosing — the r6 driver rerun was 1.57x the builder run across ALL
+    // queries including trivial map-only ones, which only load can explain.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -57,6 +63,7 @@ object Bench {
         name -> (if (ok) Some(dt) else None)
       }
     }
+    val loadEnd = osBean.getSystemLoadAverage
     val names = passes.last.keys
     val results = names.map { name =>
       name -> passes.flatMap(_(name)).minOption
@@ -67,7 +74,14 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
     val jvm = if (warmDir.isDefined) "warm" else "cold"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    val passTotals = passes.map(_.values.flatten.sum)
+      .mkString("[", ",", "]")
+    val byPass = passes.map(p =>
+      p.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")).mkString("[", ",", "]")
+    val env = s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+      s""""cores":${Runtime.getRuntime.availableProcessors}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","pass_totals":$passTotals,"env":$env,"failed":$failedJson,"queries":$qs,"queries_by_pass":$byPass,"sf":"$sfDir"}"""
     println(line)
     // Also persist the JSON to a file: a truncated/contended console tail
     // once destroyed a round's perf evidence (r04), so stdout is no longer

@@ -30,6 +30,12 @@ object GraftFunctions {
   /** SplitMix64 mix of a bigint key — the deterministic sampling hash. */
   def splitmix64(a: Column): Column = ColumnShim.column(SplitMix64(ColumnShim.expression(a)))
 
+  /** All eight gram sub-hash accumulators in one codegen'd pass
+    * ([h0,p0,...,h3,p3] — the winnowing/repeated-span gram-key kernel).
+    */
+  def poly_hash_pairs(a: Column): Column =
+    ColumnShim.column(PolyHashPairs(ColumnShim.expression(a)))
+
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -41,5 +47,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("content_hash", es => ContentHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("splitmix64", es => SplitMix64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash_pairs", es => PolyHashPairs(es.head), "scala_udf")
   }
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar text-hash kernels shared by the interpreted and codegen'd paths of
+  * [[PolyHashPairs]]. Static forwarders, same layout rationale as
+  * [[VectorKernels]].
+  */
+object TextKernels {
+
+  // The four (base, modulus) polynomial families — MUST stay identical to
+  // DedupOps.GramHashParams (the oracles replay these closed forms).
+  private final val B0 = 31L;  private final val M0 = 1000000007L
+  private final val B1 = 131L; private final val M1 = 2147483629L
+  private final val B2 = 257L; private final val M2 = 2147483587L
+  private final val B3 = 37L;  private final val M3 = 1999999973L
+
+  /** One pass over the string's code points computing, for each of the four
+    * (base, mod) families, the polynomial hash `h = fold((acc·b + cp) mod m)`
+    * and the length power `p = b^len mod m` — the pair the window
+    * lead-combination needs (H(a ++ b) = H(a)·p(b) + H(b)). Returns
+    * [h0,p0,h1,p1,h2,p2,h3,p3]. Code-POINT iteration matches DuckDB's
+    * per-character `ascii(gram[i:i])` exactly (including astral chars,
+    * where the old per-char `split('')`+`ascii` pipeline saw surrogate
+    * halves); every accumulator stays under 2^40, far inside signed-64.
+    */
+  def polyHashPairs(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var h0 = 0L; var p0 = 1L; var h1 = 0L; var p1 = 1L
+    var h2 = 0L; var p2 = 1L; var h3 = 0L; var p3 = 1L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val c = cp.toLong
+      h0 = (h0 * B0 + c) % M0; p0 = (p0 * B0) % M0
+      h1 = (h1 * B1 + c) % M1; p1 = (p1 * B1) % M1
+      h2 = (h2 * B2 + c) % M2; p2 = (p2 * B2) % M2
+      h3 = (h3 * B3 + c) % M3; p3 = (p3 * B3) % M3
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(h0, p0, h1, p1, h2, p2, h3, p3))
+  }
+}

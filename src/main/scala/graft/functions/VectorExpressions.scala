@@ -42,6 +42,27 @@ trait BinaryVectorExpression extends BinaryExpression {
     )
 }
 
+/** All eight gram sub-hash accumulators ([[TextKernels.polyHashPairs]]) in
+  * ONE codegen'd pass over the word — replaces eight `aggregate()`
+  * higher-order folds that each re-split the word into per-character
+  * strings (measured ~2.5x on the winnowing family at sf0.1).
+  */
+case class PolyHashPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.polyHashPairs(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TextKernels.polyHashPairs($c);")
+  override def prettyName: String = "poly_hash_pairs"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
   override protected def kernelName: String = "cosineSimilarity"
   override protected def evalKernel(a: ArrayData, b: ArrayData): Double =

@@ -630,32 +630,31 @@ object DedupOps {
     * once per sub-hash via window lead() combination
     * (H(a ++ b) = H(a)·b^len(b) + H(b), the joining space one more fold
     * step ·base + 32), identical to hashing the gram string, which is what
-    * the oracles replay. The explicit doc_id repartition spreads the
-    * hashing across the cluster instead of leaving it in the (often
-    * single-file) scan stage; everything downstream reuses that one
-    * doc-keyed exchange.
+    * the oracles replay. All eight per-word accumulators (h_i, b_i^len)
+    * come from ONE codegen'd pass over the word
+    * ([[graft.functions.GraftFunctions.poly_hash_pairs]]) — the eight
+    * `aggregate()` folds this replaces re-split the word into per-char
+    * strings per fold and cost the winnowing family ~2.5x at sf0.1. The
+    * explicit doc_id repartition spreads the hashing across the cluster
+    * instead of leaving it in the (often single-file) scan stage;
+    * everything downstream reuses that one doc-keyed exchange.
     */
   private def gramHashRows(df: DataFrame, textCol: String, idCol: String,
                            k: Int): DataFrame = {
     val words = filter(split(col(textCol), WordSplit), x => length(x) > 0)
     val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
-    val chars = transform(filter(split(col("word"), ""), c => length(c) > 0),
-      c => ascii(c).cast("long"))
-    val perWord = GramHashParams.zipWithIndex.foldLeft(
-      df.select(col(idCol).as("doc_id"), words.as("__words"))
-        .filter(size(col("__words")) > 0)
-        .select(col("doc_id"), size(col("__words")).as("nw"),
-          posexplode(col("__words")).as(Seq("widx", "word")))
-        .repartition(col("doc_id"))) { case (d, ((b, m), i)) =>
-      d.withColumn(s"h$i", aggregate(chars, lit(0L), (acc, c) => (acc * b + c) % m))
-        .withColumn(s"p$i", aggregate(chars, lit(1L), (acc, _) => (acc * b) % m))
-    }
+    val perWord = df.select(col(idCol).as("doc_id"), words.as("__words"))
+      .filter(size(col("__words")) > 0)
+      .select(col("doc_id"), size(col("__words")).as("nw"),
+        posexplode(col("__words")).as(Seq("widx", "word")))
+      .repartition(col("doc_id"))
+      .withColumn("hp", graft.functions.GraftFunctions.poly_hash_pairs(col("word")))
     val folded = GramHashParams.zipWithIndex.foldLeft(perWord) {
       case (d, ((b, m), i)) =>
         d.withColumn(s"g$i",
-          (1 until k).foldLeft(col(s"h$i")) { (acc, j) =>
-            (((acc * b + 32) % m) * lead(col(s"p$i"), j).over(wKey) +
-              lead(col(s"h$i"), j).over(wKey)) % m
+          (1 until k).foldLeft(col("hp")(i * 2)) { (acc, j) =>
+            (((acc * b + 32) % m) * lead(col("hp")(i * 2 + 1), j).over(wKey) +
+              lead(col("hp")(i * 2), j).over(wKey)) % m
           })
     }
     folded

@@ -47,6 +47,34 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("poly_hash_pairs kernel is bit-identical to the GramHashParams closed-form folds") {
+    import org.apache.spark.sql.functions._
+    val words = Seq("alpha", "x", "plantedword7", "αβγ", "a b", "").toDF("word")
+    val withKernel = words.withColumn("hp",
+      graft.functions.GraftFunctions.poly_hash_pairs(col("word")))
+    // replay each (base, mod) fold as plain closed-form SQL over code points
+    val chars = transform(filter(split(col("word"), ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
+    val checked = DedupOps.GramHashParams.zipWithIndex.foldLeft(withKernel) {
+      case (d, ((b, m), i)) =>
+        d.withColumn(s"eh$i", aggregate(chars, lit(0L), (acc, c) => (acc * b + c) % m))
+          .withColumn(s"ep$i", aggregate(chars, lit(1L), (acc, _) => (acc * b) % m))
+    }
+    checked.collect().foreach { r =>
+      val hp = r.getSeq[Long](r.fieldIndex("hp"))
+      (0 until 4).foreach { i =>
+        assert(hp(i * 2) == r.getAs[Long](s"eh$i"), s"h$i mismatch for '${r.getString(0)}'")
+        assert(hp(i * 2 + 1) == r.getAs[Long](s"ep$i"), s"p$i mismatch for '${r.getString(0)}'")
+      }
+    }
+    // SQL registration works and stays codegen'd (no ScalaUDF in the plan)
+    graft.functions.GraftFunctions.register(spark)
+    words.createOrReplaceTempView("__phw")
+    val viaSql = spark.sql("SELECT poly_hash_pairs(word) AS hp FROM __phw")
+    assert(!viaSql.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+    assert(viaSql.count() == 6)
+  }
+
   test("appendMinhashIndex: accepted batch docs become visible to later probes, corpus untouched") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"))
