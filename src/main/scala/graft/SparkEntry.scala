@@ -785,6 +785,27 @@ object SparkEntry {
         idx, docs.filter(col("doc_id") % 3 === 2), "text", "doc_id", threshold = 0.8)
     },
 
+    // Bloom-prefiltered EXACT batch dedup: corpus = even docs, batch = odd
+    // docs with every doc_id%10==1 row's text replaced by its even
+    // neighbor's (planted exact dups, the q105 recipe). The broadcast Bloom
+    // probe resolves novel rows map-side; its positives exact-verify
+    // against the corpus, so the result — the accept list — is exact and
+    // the oracle is a plain NOT EXISTS.
+    "q108_bloom_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 2 === 0).select(col("text"))
+      val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("prev_text"))
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, col("prev_text"))
+            .otherwise(col("text")).as("text"))
+      val bf = graft.operators.DedupOps.buildBloomIndex(corpus, "text")
+      graft.operators.DedupOps.bloomNovelRows(corpus, bf, batch, "text")
+        .select(col("doc_id"))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1636,6 +1657,15 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = corpus_id
         |JOIN sz sb ON sb.doc_id = batch_id
         |WHERE CAST(ninter AS DOUBLE) / (sa.nsh + sb.nsh - ninter) >= 0.8""".stripMargin,
+    "q108_bloom_dedup" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |b0 AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 10 = 1 THEN p.text ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN documents p ON p.doc_id = b.doc_id - 1
+        |  WHERE b.doc_id % 2 = 1)
+        |SELECT doc_id FROM b0
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b0.text)""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

@@ -818,4 +818,70 @@ object DedupOps {
             " ")))
       .drop("__sid", "__spans")
   }
+
+  // --- Bloom-prefiltered exact batch dedup -------------------------------
+  //     The ingest-time complement of the MinHash index: EXACT membership
+  //     of incoming batch keys against a huge corpus, with the overwhelming
+  //     majority of (novel) batch rows resolved map-side by a broadcast
+  //     Bloom filter and only the filter's positives paying the exact
+  //     verify join. Results are EXACT — the Bloom only prunes the join's
+  //     probe side; its false positives are caught by the verify join — so
+  //     the oracle is a plain anti-join.
+
+  /** Build the corpus membership filter (one corpus pass; reusable across
+    * every subsequent batch). `expectedItems < 0` counts the corpus first
+    * (one job) — pass the known corpus size to skip it. Size guidance: the
+    * sketch is ~1.2 bytes/key at fpp 0.01, so ~1e9 corpus keys broadcast
+    * as ~1.2 GB — beyond that raise `fpp` (false positives only cost
+    * verify-join traffic, never correctness) or fall back to the
+    * partitioned [[exactDedup]]/[[probeMinhashIndex]] paths.
+    */
+  def buildBloomIndex(corpusKeys: DataFrame, keyCol: String,
+                      fpp: Double = 0.01, expectedItems: Long = -1L)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val n = if (expectedItems >= 0) expectedItems else corpusKeys.count()
+    corpusKeys.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+  }
+
+  /** Persist / load the filter (its parameters travel in the stream). */
+  def saveBloomIndex(bf: org.apache.spark.util.sketch.BloomFilter, path: String): Unit = {
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try bf.writeTo(out) finally out.close()
+  }
+
+  def loadBloomIndex(path: String): org.apache.spark.util.sketch.BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** The batch rows whose key is NOT in the corpus (the accept list of an
+    * exact-dedup ingest). Plan shape: the broadcast Bloom probe drops
+    * definite-novel rows map-side (no join at all for them); the positives'
+    * keys broadcast against the corpus key table (corpus stays map-side,
+    * never reshuffled — partition/bucket it by key and the scan prunes);
+    * confirmed-present keys broadcast back against the batch as a LEFT
+    * ANTI. Null keys are novel by SQL semantics (null joins nothing) on
+    * both paths. Exactness does not depend on `fpp`.
+    */
+  def bloomNovelRows(corpusKeys: DataFrame,
+                     bf: org.apache.spark.util.sketch.BloomFilter,
+                     batch: DataFrame, keyCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bc = spark.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.types._
+    val probe = batch.schema(keyCol).dataType match {
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+      case LongType | IntegerType | ShortType | ByteType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+      case dt => throw new IllegalArgumentException(
+        s"bloom key must be a string or integral column, got $dt")
+    }
+    val candKeys = batch.filter(probe(col(keyCol)))
+      .select(col(keyCol)).distinct()
+    val present = corpusKeys.select(col(keyCol))
+      .join(broadcast(candKeys), Seq(keyCol))
+      .distinct()
+    batch.join(broadcast(present), Seq(keyCol), "left_anti")
+  }
 }

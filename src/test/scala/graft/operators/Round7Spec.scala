@@ -75,6 +75,30 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(viaSql.count() == 6)
   }
 
+  test("bloomNovelRows is exact even at absurd fpp: false positives are rescued by the verify join") {
+    val corpus = (0L until 200L).map(i => s"corpusdoc$i").toDF("text")
+    // fpp 0.5 forces real false positives among novel keys; exactness must
+    // not depend on the filter quality, only the candidate count does
+    val bf = DedupOps.buildBloomIndex(corpus, "text", fpp = 0.5, expectedItems = 200)
+    val batch = ((0L until 100L).map(i => (i, s"novel$i")) ++
+      Seq((1000L, "corpusdoc7"), (1001L, "corpusdoc199"))).toDF("id", "text")
+    val novel = DedupOps.bloomNovelRows(corpus, bf, batch, "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(novel == (0L until 100L).toSet, "dups dropped, ALL novels kept despite FPs")
+    val fps = (0L until 100L).count(i => bf.mightContainString(s"novel$i"))
+    assert(fps > 0, "fpp=0.5 must actually produce false positives for this test to bite")
+    // save/load round-trip preserves the filter verbatim
+    val p = java.nio.file.Files.createTempDirectory("bloom").resolve("bf.bin").toString
+    DedupOps.saveBloomIndex(bf, p)
+    val re = DedupOps.loadBloomIndex(p)
+    assert((0L until 100L).forall(i =>
+      re.mightContainString(s"novel$i") == bf.mightContainString(s"novel$i")))
+    // null keys are novel on both paths (null joins nothing)
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "corpusdoc7")).toDF("id", "text")
+    assert(DedupOps.bloomNovelRows(corpus, bf, withNull, "text")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("appendMinhashIndex: accepted batch docs become visible to later probes, corpus untouched") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"))
