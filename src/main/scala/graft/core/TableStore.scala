@@ -91,6 +91,26 @@ object TableStore {
     spark.read.parquet(s"$root/v_$v")
   }
 
+  /** Time-travel read of a specific COMMITTED version (must be within
+    * vacuum's keep window and at or below the pointer — an above-pointer
+    * slot is an in-flight or crashed writer's, never committed state).
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    require(version <= cur,
+      s"v_$version was never committed under $root (pointer is at v_$cur)")
+    require(Files.exists(Paths.get(root, s"v_$version")),
+      s"v_$version under $root was vacuumed; only ${versions(root).mkString(", ")} remain")
+    spark.read.parquet(s"$root/v_$version")
+  }
+
+  /** Committed versions still readable on disk, oldest first. */
+  def versions(root: String): Seq[Long] = {
+    val cur = currentVersion(root).getOrElse(return Seq.empty)
+    listVersionDirs(root).filter(_ <= cur).sorted
+  }
+
   private def listVersionDirs(root: String): Seq[Long] = {
     val dir = new java.io.File(root)
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq

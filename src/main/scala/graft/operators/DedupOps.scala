@@ -854,6 +854,34 @@ object DedupOps {
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** Consolidate an appended-to persisted index into `targetFiles` files
+    * per table: every [[appendMinhashIndex]] drops one file set, and after
+    * thousands of batches the tiny-file count dominates each probe's
+    * planning time. One shuffle per table (bands keyed on the probe key, so
+    * a bucketing-aware future layout keeps working; docs keyed on doc_id).
+    * NOT concurrent-safe — run from the single maintainer that also runs
+    * appends (the [[appendMinhashIndex]] contract); readers planned before
+    * the swap must re-plan.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          targetFiles: Int = 32): Unit = {
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree) }
+      f.delete(); ()
+    }
+    Seq("bands" -> Seq("band", "bhash"), "docs" -> Seq("doc_id")).foreach {
+      case (t, keys) =>
+        val src = s"$path/$t"
+        val tmp = s"$path/${t}_compact_tmp"
+        spark.read.parquet(src)
+          .repartition(targetFiles, keys.map(col): _*)
+          .write.mode("overwrite").parquet(tmp)
+        rmTree(new java.io.File(src))
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(src))
+    }
+  }
+
   /** The batch rows whose key is NOT in the corpus (the accept list of an
     * exact-dedup ingest). Plan shape: the broadcast Bloom probe drops
     * definite-novel rows map-side (no join at all for them); the positives'

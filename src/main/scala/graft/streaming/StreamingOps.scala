@@ -1,8 +1,9 @@
 package graft.streaming
 
+import graft.util.OpCaches.TrackedPersist
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Stateful incremental operators (SURVEY §2.10 T3-T5) as Structured
   * Streaming `flatMapGroupsWithState` / `mapGroupsWithState` functions. Time
@@ -348,6 +349,39 @@ object StreamingOps {
         if (!batch.isEmpty) {
           sink(graft.operators.DedupOps.probeMinhashIndex(
             index, batch, textCol, idCol, threshold))
+        }
+      }
+    }
+
+  /** The FULL streaming ingest loop over a PERSISTED index at `path`
+    * (closing [[dedupProbeBatch]]'s read-only probe): per micro-batch,
+    * probe the on-disk index, emit the duplicate hits to `sink`, and
+    * APPEND the accepted (non-matching) docs to the index via
+    * [[graft.operators.DedupOps.appendMinhashIndex]] — O(batch) parquet
+    * drop-in, the historical corpus is never rewritten — so every LATER
+    * micro-batch dedups against everything accepted before it. The index
+    * is re-planned from `path` each batch (metadata-only; no corpus
+    * shuffle), which is what makes prior appends visible. Within-batch
+    * duplicates are [[graft.operators.DedupOps.minhashLshPairs]]'s job,
+    * as with the plain probe. Crash note: the append lands AFTER the
+    * sink call, so a failure between them re-probes the batch on restart —
+    * idempotent for stable doc ids (the probe result is recomputed, and a
+    * re-appended doc only duplicates index rows against itself).
+    */
+  def dedupIngestBatch(spark: SparkSession, path: String,
+                       textCol: String, idCol: String, threshold: Double,
+                       sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      graft.util.OpCaches.scoped {
+        if (!batch.isEmpty) {
+          val b = batch.persistTracked
+          val idx = graft.operators.DedupOps.loadMinhashIndex(spark, path)
+          val hits = graft.operators.DedupOps.probeMinhashIndex(
+            idx, b, textCol, idCol, threshold).persistTracked
+          sink(hits)
+          val dupIds = hits.select(col("batch_id").as(idCol)).distinct()
+          graft.operators.DedupOps.appendMinhashIndex(
+            spark, path, b.join(dupIds, Seq(idCol), "left_anti"), textCol, idCol)
         }
       }
     }

@@ -51,11 +51,19 @@ class TableStoreSpec extends AnyFunSuite with SparkTest {
     }
     assert(e.getMessage.contains("stale write"))
 
+    // time travel: v0 still readable pre-vacuum; above-pointer reads refuse
+    assert(TableStore.versions(root) == Seq(0L, 1L))
+    assert(TableStore.readVersion(spark, root, 0L).count() == 3)
+    intercept[IllegalArgumentException] { TableStore.readVersion(spark, root, 9L) }
+
     // vacuum keeps the current version readable, drops the old one
     TableStore.vacuum(root, keep = 1)
     assert(!new java.io.File(root, "v_0").exists())
     assert(new java.io.File(root, "v_1").exists())
     assert(TableStore.read(spark, root).count() == 2)
+    // ...and the vacuumed version is a loud failure, not a partial read
+    intercept[IllegalArgumentException] { TableStore.readVersion(spark, root, 0L) }
+    assert(TableStore.versions(root) == Seq(1L))
   }
 
   test("an orphan version slot (crash between rename and pointer swap) never wedges commits") {

@@ -75,6 +75,38 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(viaSql.count() == 6)
   }
 
+  test("dedupIngestBatch: accepted docs join the persisted index, rejected dups do not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    DedupOps.saveMinhashIndex(DedupOps.buildMinhashIndex(corpus, "text", "doc_id"), path)
+    val A = "completely different planted passage alpha beta gamma delta epsilon zeta eta theta iota"
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingOps.dedupIngestBatch(
+        spark, path, "text", "doc_id", 0.8,
+        h => hits.synchronized {
+          hits ++= h.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }))
+      .start()
+    stream.addData((10L, s"$A kappa")); q.processAllAvailable() // novel -> accepted
+    assert(hits.isEmpty)
+    stream.addData((20L, s"$A lambda")); q.processAllAvailable() // dup of 10 -> rejected
+    assert(hits.toSet == Set((20L, 10L)), "batch 2 must see batch 1's accepted doc")
+    stream.addData((30L, s"$A mu")); q.processAllAvailable()
+    q.stop()
+    // 30 matches 10 (accepted earlier) but NOT 20 — 20 was a dup, so it
+    // must never have joined the index ((30,20) would pass 0.8 if it had)
+    assert(hits.toSet == Set((20L, 10L), (30L, 10L)))
+    assert(spark.read.parquet(s"$path/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 10L))
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("bloomNovelRows is exact even at absurd fpp: false positives are rescued by the verify join") {
     val corpus = (0L until 200L).map(i => s"corpusdoc$i").toDF("text")
     // fpp 0.5 forces real false positives among novel keys; exactness must
@@ -136,6 +168,18 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(corpusBandFiles.subsetOf(afterFiles), "append must not rewrite corpus files")
     assert(afterFiles.size > corpusBandFiles.size, "append must add new files")
     assert(spark.read.parquet(s"$path/docs").count() == 2)
+
+    // compaction consolidates the accumulated file sets; probes see
+    // identical results afterwards
+    DedupOps.compactMinhashIndex(spark, path, targetFiles = 2)
+    val compacted = new java.io.File(s"$path/bands")
+      .listFiles().map(_.getName).count(_.endsWith(".parquet"))
+    assert(compacted <= 2, s"expected <= 2 band files after compaction, got $compacted")
+    val hits2 = DedupOps.probeMinhashIndex(
+      DedupOps.loadMinhashIndex(spark, path), batch2, "text", "doc_id", threshold = 0.8)
+      .collect()
+    assert(hits2.map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+      == Set((20L, 10L)), "compaction must not change probe results")
     graft.GraftEngine.releaseCaches()
   }
 }
