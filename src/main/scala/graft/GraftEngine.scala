@@ -177,6 +177,27 @@ object GraftEngine {
                       threshold: Double = 0.8): DataFrame =
     operators.DedupOps.probeMinhashIndex(index, batch, textCol, idCol, threshold)
 
+  /** append_dedup_index / compact_dedup_index: the persisted-index ingest
+    * lifecycle (probe → accept → append at O(batch); compact when append
+    * file sets accumulate).
+    */
+  def appendDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, textCol: String, idCol: String): Unit =
+    operators.DedupOps.appendMinhashIndex(spark, path, batch, textCol, idCol)
+
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        targetFiles: Int = 32): Unit =
+    operators.DedupOps.compactMinhashIndex(spark, path, targetFiles)
+
+  /** exact_novel_rows: Bloom-prefiltered exact batch dedup — the accept
+    * list of batch rows whose key is not in the corpus.
+    */
+  def exactNovelRows(corpusKeys: DataFrame, batch: DataFrame, keyCol: String,
+                     fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val bf = operators.DedupOps.buildBloomIndex(corpusKeys, keyCol, fpp, expectedItems)
+    operators.DedupOps.bloomNovelRows(corpusKeys, bf, batch, keyCol)
+  }
+
   /** repeated_spans / strip_repeated_spans: the published repeated-substring
     * dedup pass — word n-grams occurring >= minCount times corpus-wide merge
     * into maximal per-doc spans; strip cuts them out of the text.

@@ -81,6 +81,27 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       "hot-set cap must drop map-side via a broadcast anti join")
   }
 
+  test("q107: index probe never reshuffles the corpus (broadcast joins only)") {
+    val plan = physicalPlan("q107_index_append")
+    // the batch band keys, candidate set, and batch shingles all broadcast
+    // against the persisted corpus tables — any shuffle join here means the
+    // corpus is being repartitioned per probe, the O(corpus)-per-batch
+    // anti-shape at 100 TB
+    assert(!plan.contains("SortMergeJoin"), "corpus must not reshuffle for a probe")
+    assert(!plan.contains("ShuffledHashJoin"), "corpus must not reshuffle for a probe")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q108: bloom dedup resolves via broadcast joins, never a corpus shuffle") {
+    val plan = physicalPlan("q108_bloom_dedup")
+    assert(!plan.contains("SortMergeJoin"), "corpus keys must stay map-side")
+    assert(!plan.contains("ShuffledHashJoin"), "corpus keys must stay map-side")
+    assert(!plan.contains("CartesianProduct"))
+    // the accept list is a broadcast LEFT ANTI against confirmed-present keys
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+
   test("q17: jaccard join has no cartesian product or corpus-sized BNLJ") {
     val plan = physicalPlan("q17_neardup_jaccard")
     assert(!plan.contains("CartesianProduct"))
