@@ -806,6 +806,26 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // Sub-document containment dedup: every doc_id%10==3 doc gets the FULL
+    // text of doc_id-3 appended — a contained passage that symmetric
+    // Jaccard scores low but containment scores ~1. Candidates from shared
+    // winnowing fingerprints, exact shingle-containment verify; the oracle
+    // replays the whole definition (winnow CTEs + capped posting pairs +
+    // exact containment) — organic candidate pairs flow through the same
+    // gate, not just the plant.
+    "q109_containment_pairs" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val prev = docs.select((col("doc_id") + 3).as("doc_id"),
+        col("text").as("prev_text"))
+      val planted = docs.join(prev, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 3 && col("prev_text").isNotNull,
+            concat(col("text"), lit(" "), col("prev_text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.DedupOps.containmentPairs(
+        planted, "text", "doc_id", minShared = 2, tau = 0.5)
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1566,10 +1586,15 @@ object SparkEntry {
     * struct-min window carrying the wide key alongside the packed
     * selection value. `m` exposes (doc_id, ng, pos, wmin{c,h,h2}).
     */
-  private def winnowOracleCte: String =
-    s"""WITH w AS (
+  private def winnowOracleCte: String = "WITH " + winnowCtes("documents")
+
+  /** The winnow CTE chain over an arbitrary (doc_id, text) source CTE —
+    * without the leading WITH, so callers can prepend their own CTEs.
+    */
+  private def winnowCtes(src: String): String =
+    s"""w AS (
       |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS words
-      |  FROM documents),
+      |  FROM $src),
       |g AS (
       |  SELECT doc_id, len(words) - 2 AS ng, unnest(generate_series(0, len(words) - 3)) AS pos, words
       |  FROM w WHERE len(words) >= 3),
@@ -1666,6 +1691,43 @@ object SparkEntry {
         |  WHERE b.doc_id % 2 = 1)
         |SELECT doc_id FROM b0
         |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b0.text)""".stripMargin,
+    "q109_containment_pairs" ->
+      s"""WITH d0 AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.doc_id % 10 = 3 AND p.text IS NOT NULL
+        |         THEN b.text || ' ' || p.text ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN documents p ON p.doc_id = b.doc_id - 3),
+        |${winnowCtes("d0")},
+        |fp AS (
+        |  SELECT DISTINCT doc_id, struct_extract(wmin, 'h') AS fp_hash,
+        |    struct_extract(wmin, 'h2') AS fp_hash2
+        |  FROM m WHERE pos <= greatest(ng - 4, 0)),
+        |keepers AS (
+        |  SELECT fp_hash, fp_hash2 FROM fp GROUP BY 1, 2 HAVING count(*) <= 1000),
+        |posting AS (
+        |  SELECT doc_id, fp_hash, fp_hash2 FROM fp JOIN keepers USING (fp_hash, fp_hash2)),
+        |cand AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM posting a JOIN posting b
+        |    ON a.fp_hash = b.fp_hash AND a.fp_hash2 = b.fp_hash2 AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w2) >= 3
+        |      THEN list_distinct([w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2] for i in range(1, len(w2) - 1)])
+        |      ELSE [trim(text)] END AS sh
+        |  FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w2 FROM d0)),
+        |sz AS (SELECT doc_id, len(sh) AS nsh FROM s),
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |inter AS (
+        |  SELECT c.ida, c.idb, count(*) AS ninter
+        |  FROM cand c JOIN e a ON a.doc_id = c.ida
+        |  JOIN e b ON b.doc_id = c.idb AND b.g = a.g
+        |  GROUP BY 1, 2)
+        |SELECT i.ida, i.idb,
+        |  CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh) AS containment
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.ida JOIN sz sb ON sb.doc_id = i.idb
+        |WHERE CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh) >= 0.5""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

@@ -819,6 +819,35 @@ object DedupOps {
       .drop("__sid", "__spans")
   }
 
+  /** Sub-document (containment) near-dup pairs — the quote/contained-passage
+    * duplication that symmetric Jaccard structurally misses: a 30-word
+    * passage inside a 10x larger document scores Jaccard ~0.1 but
+    * containment ~1. Candidates come from shared winnowing fingerprints
+    * (>= `minShared` — winnowing guarantees a shared fingerprint for every
+    * shared run of k+w-1 words, so a contained passage of at least that
+    * length cannot be missed); the verify is EXACT shingle containment
+    * |A∩B| / min(|A|,|B|). Output semantics (what the oracle replays):
+    * pairs with >= minShared shared fingerprints AND containment >= `tau`.
+    * Plan shape: [[fingerprintNearDupPairs]]'s capped candidate generation
+    * plus two keyed joins back to per-doc shingle sets — no all-pairs.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, w: Int = 4, minShared: Int = 2,
+                       tau: Double = 0.5, maxHashFreq: Long = 1000L): DataFrame = {
+    val cand = fingerprintNearDupPairs(docs, textCol, idCol, k, w, minShared, maxHashFreq)
+      .select(col("ida"), col("idb"))
+    val sh = shingleTable(docs, textCol, idCol, k)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+    cand
+      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha"), col("nsh").as("na")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb"), col("nsh").as("nb")), "idb")
+      .withColumn("ninter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        col("ninter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= tau)
+      .select(col("ida"), col("idb"), col("containment"))
+  }
+
   // --- Bloom-prefiltered exact batch dedup -------------------------------
   //     The ingest-time complement of the MinHash index: EXACT membership
   //     of incoming batch keys against a huge corpus, with the overwhelming
