@@ -826,6 +826,29 @@ object SparkEntry {
         planted, "text", "doc_id", minShared = 2, tau = 0.5)
     },
 
+    // URL canonicalization + URL-level dedup (the pass that precedes
+    // content dedup in web-corpus pipelines): planted URLs exercise mixed
+    // case, default ports, tracking params (leading, adjacent, and
+    // query-only), fragments, and bare-host trailing slashes; dedup
+    // groups by the canonical form.
+    "q110_url_canonical" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTP://Example"), (id % 50).cast("string"), lit(".COM"),
+        when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+        when(id % 7 === 0, lit("/"))
+          .otherwise(concat(lit("/path/"), (id % 7).cast("string"))),
+        when(id % 3 === 0, concat(lit("?utm_source=x&id="), (id % 5).cast("string")))
+          .when(id % 3 === 1, concat(lit("?id="), (id % 5).cast("string"),
+            lit("&utm_medium=m&gclid=g")))
+          .otherwise(lit("?utm_campaign=c")),
+        when(id % 2 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, dir).select(id, url.as("url"))
+        .withColumn("curl", TextFunctions.canonical_url(col("url")))
+        .groupBy(col("curl"))
+        .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n"))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1728,6 +1751,39 @@ object SparkEntry {
         |  CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh) AS containment
         |FROM inter i JOIN sz sa ON sa.doc_id = i.ida JOIN sz sb ON sb.doc_id = i.idb
         |WHERE CAST(ninter AS DOUBLE) / least(sa.nsh, sb.nsh) >= 0.5""".stripMargin,
+    "q110_url_canonical" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'HTTP://Example' || (doc_id % 50) || '.COM' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/path/' || (doc_id % 7) END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 5)
+        |         WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 5) || '&utm_medium=m&gclid=g'
+        |         ELSE '?utm_campaign=c' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS u FROM u0),
+        |lw AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1)) ||
+        |  substring(u, length(regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1)) + 1) AS u
+        |  FROM nf),
+        |np AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(u, '^(http://[^/?#:]*):80([/?#]|$)', '\1\2', 'g'),
+        |                 '^(https://[^/?#:]*):443([/?#]|$)', '\1\2', 'g') AS u FROM lw),
+        |qp AS (SELECT doc_id, split_part(u, '?', 1) AS base,
+        |  CASE WHEN strpos(u, '?') > 0
+        |       THEN substring(u, length(split_part(u, '?', 1)) + 2) ELSE '' END AS q
+        |  FROM np),
+        |kp AS (SELECT doc_id, base,
+        |  list_filter(string_split(q, '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)') AND len(p) > 0) AS ps
+        |  FROM qp),
+        |rb AS (SELECT doc_id,
+        |  CASE WHEN len(ps) > 0 THEN base || '?' || array_to_string(ps, '&') ELSE base END AS u
+        |  FROM kp),
+        |cn AS (SELECT doc_id,
+        |  regexp_replace(u, '^(https?://[^/?#]+)/$', '\1', 'g') AS curl FROM rb)
+        |SELECT curl, min(doc_id) AS first_id, count(*) AS n FROM cn GROUP BY 1""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

@@ -79,6 +79,34 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
 
+  /** Canonicalize a URL for web-corpus URL-level dedup (the pass that
+    * precedes content dedup in CommonCrawl-style pipelines). Fixed
+    * normalization order, every step a native expression replayable as
+    * plain SQL: trim → strip fragment → lowercase the scheme://host[:port]
+    * prefix (path/query case is significant, host case is not) → drop
+    * default ports (http:80, https:443) → drop tracking query params
+    * (utm_*, fbclid, gclid, ref; split/filter/rejoin, so adjacent tracking
+    * params and a fully-tracking query normalize correctly) → strip the
+    * trailing slash of a bare-host path.
+    */
+  def canonical_url(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*", "")
+    val prefix = regexp_extract(noFrag, "^([^/?#]*://[^/?#]*)", 1)
+    val low = concat(lower(prefix),
+      noFrag.substr(length(prefix) + 1, length(noFrag)))
+    val noPort = regexp_replace(
+      regexp_replace(low, "^(http://[^/?#:]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    val base = substring_index(noPort, "?", 1)
+    val query = when(instr(noPort, "?") > 0,
+      noPort.substr(length(base) + 2, length(noPort))).otherwise(lit(""))
+    val kept = filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)") && length(p) > 0)
+    val rejoined = when(size(kept) > 0,
+      concat(base, lit("?"), array_join(kept, "&"))).otherwise(base)
+    regexp_replace(rejoined, "^(https?://[^/?#]+)/$", "$1")
+  }
+
   // --- age formatting (F20, reference pkg/session/sqlite.go:744-755):
   //     humanized durations, truncating like Go's int() casts.
 

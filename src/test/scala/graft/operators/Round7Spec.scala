@@ -75,6 +75,26 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(viaSql.count() == 6)
   }
 
+  test("canonical_url: case, ports, tracking params, fragments, trailing slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path?a=1#x", "https://www.example.com/Path?a=1"),
+      ("http://a.com:80/", "http://a.com"),
+      ("http://a.com/?utm_source=s&utm_medium=m", "http://a.com"),
+      ("http://a.com/p?utm_a=1&id=2&ref=r&b=3", "http://a.com/p?id=2&b=3"),
+      ("http://a.com/p?ref", "http://a.com/p"), // bare tracking param
+      ("http://a.com/p?href=x", "http://a.com/p?href=x"), // not a tracking param
+      ("  http://A.com/p  ", "http://a.com/p"),
+      ("no-scheme/path?utm_x=1", "no-scheme/path"), // schemeless: no lowering, params still cleaned
+      ("http://a.com:8080/p", "http://a.com:8080/p")) // non-default port kept
+    val out = cases.map(_._1).toDF("u")
+      .withColumn("c", graft.functions.TextFunctions.canonical_url(col("u")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"canonical_url('$in') = '${out(in)}', want '$want'")
+    }
+  }
+
   test("dedupIngestBatch: accepted docs join the persisted index, rejected dups do not") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val path = java.nio.file.Files.createTempDirectory("ingest_idx").toString
