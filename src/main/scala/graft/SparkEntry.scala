@@ -849,6 +849,15 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n"))
     },
 
+    // Deterministic train/val/test split assignment on the splitmix64
+    // ticket: per-row assignment oracled exactly (exact-binary fractions,
+    // so the truncated thresholds are bit-identical in both engines).
+    "q111_split_assign" -> { (s, dir) =>
+      graft.operators.CorpusOps.assignSplits(
+        Tables.documents(s, dir).select(col("doc_id")), col("doc_id"),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1784,6 +1793,19 @@ object SparkEntry {
         |cn AS (SELECT doc_id,
         |  regexp_replace(u, '^(https?://[^/?#]+)/$', '\1', 'g') AS curl FROM rb)
         |SELECT curl, min(doc_id) AS first_id, count(*) AS n FROM cn GROUP BY 1""".stripMargin,
+    "q111_split_assign" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |z0 AS (SELECT doc_id, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM ids),
+        |x1 AS (SELECT doc_id, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2)
+        |SELECT doc_id,
+        |  CASE WHEN ticket < 6755399441055744 THEN 'train'
+        |       WHEN ticket < 7881299347898368 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM tk""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

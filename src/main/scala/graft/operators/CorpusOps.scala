@@ -120,6 +120,31 @@ object CorpusOps {
     df.filter(sampleTicket(key) < lit((fraction * Ticket1).toLong))
   }
 
+  /** Deterministic train/val/test split assignment: the id's splitmix64
+    * ticket lands in cumulative fraction bands of the 53-bit ticket space.
+    * Map-only CASE chain — no shuffle, no RNG, stable under repartitioning
+    * and engine-independent like [[hashSample]] (rows keep their split when
+    * the corpus regenerates or re-partitions, the property `randomSplit`
+    * lacks). Fractions must sum to 1; thresholds truncate like
+    * [[hashSample]]'s, so exact-binary fractions (0.75, 0.125, ...)
+    * replay bit-exactly in any engine.
+    */
+  def assignSplits(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+                   outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val t = sampleTicket(key)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assigned = splits.zip(cum).init.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = t < lit((c * Ticket1).toLong)
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
+    df.withColumn(outCol, assigned)
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum values to
     * keep-fractions; strata not listed are dropped. Map-only (the fraction
     * lookup folds into a CASE chain — no join).
