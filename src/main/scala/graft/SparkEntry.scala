@@ -858,6 +858,16 @@ object SparkEntry {
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     },
 
+    // Content-defined chunking: boundaries where the 4-gram hash ≡ 0 mod 8,
+    // so chunk edges depend only on local content and survive upstream
+    // insertions (fixed windows shift forever). The oracle replays the full
+    // computation — gram hashes, end-anchored boundary lag, running
+    // boundary count, ordered re-join.
+    "q112_cdc_chunks" -> { (s, dir) =>
+      graft.operators.DedupOps.cdcChunks(
+        Tables.documents(s, dir), "text", "doc_id", k = 4, divisor = 8L)
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1806,6 +1816,43 @@ object SparkEntry {
         |       WHEN ticket < 7881299347898368 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM tk""".stripMargin,
+    "q112_cdc_chunks" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> len(x) > 0) AS words
+        |  FROM documents),
+        |wr AS (
+        |  SELECT doc_id, len(words) AS nw, unnest(generate_series(1, len(words))) AS wi, words
+        |  FROM w WHERE len(words) > 0),
+        |ww AS (
+        |  SELECT doc_id, wi - 1 AS widx, words[wi] AS word, (wi - 1 <= nw - 4) AS isfull,
+        |    CASE WHEN wi - 1 <= nw - 4 THEN array_to_string(words[wi : wi+3], ' ') END AS gram
+        |  FROM wr),
+        |cl AS (
+        |  SELECT doc_id, widx, word, isfull,
+        |    CASE WHEN gram IS NOT NULL
+        |      THEN list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) END AS cs
+        |  FROM ww),
+        |h AS (
+        |  SELECT doc_id, widx, word, isfull,
+        |    $gramHashFoldsSql
+        |  FROM cl),
+        |b AS (
+        |  SELECT doc_id, widx, word,
+        |    CASE WHEN isfull AND (h0 * 2147483648 + h1) % 8 = 0 THEN 1 ELSE 0 END AS isb
+        |  FROM h),
+        |a AS (
+        |  SELECT doc_id, widx, word,
+        |    coalesce(lag(isb, 3) OVER (PARTITION BY doc_id ORDER BY widx), 0) AS bnd
+        |  FROM b),
+        |cum AS (
+        |  SELECT doc_id, widx, word,
+        |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY widx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM a)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  string_agg(word, ' ' ORDER BY widx) AS chunk_text
+        |FROM cum GROUP BY 1, 2""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

@@ -639,17 +639,27 @@ object DedupOps {
     * instead of leaving it in the (often single-file) scan stage;
     * everything downstream reuses that one doc-keyed exchange.
     */
-  private def gramHashRows(df: DataFrame, textCol: String, idCol: String,
-                           k: Int): DataFrame = {
+  /** Per-word rows (doc_id, nw, widx, word, hp) with the one-pass 8-hash
+    * kernel applied — the shared front half of [[gramHashRows]] and
+    * [[cdcChunks]].
+    */
+  private def wordHashRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val words = filter(split(col(textCol), WordSplit), x => length(x) > 0)
-    val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
-    val perWord = df.select(col(idCol).as("doc_id"), words.as("__words"))
+    df.select(col(idCol).as("doc_id"), words.as("__words"))
       .filter(size(col("__words")) > 0)
       .select(col("doc_id"), size(col("__words")).as("nw"),
         posexplode(col("__words")).as(Seq("widx", "word")))
       .repartition(col("doc_id"))
       .withColumn("hp", graft.functions.GraftFunctions.poly_hash_pairs(col("word")))
-    val folded = GramHashParams.zipWithIndex.foldLeft(perWord) {
+  }
+
+  /** Fold the per-word hashes into k-gram sub-hashes g0..g3 over the
+    * doc-keyed window (gram-START positions; only rows with
+    * widx <= nw - k carry a complete gram).
+    */
+  private def gramFold(perWord: DataFrame, k: Int): DataFrame = {
+    val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
+    GramHashParams.zipWithIndex.foldLeft(perWord) {
       case (d, ((b, m), i)) =>
         d.withColumn(s"g$i",
           (1 until k).foldLeft(col("hp")(i * 2)) { (acc, j) =>
@@ -657,12 +667,52 @@ object DedupOps {
               lead(col("hp")(i * 2), j).over(wKey)) % m
           })
     }
-    folded
+  }
+
+  private def gramHashRows(df: DataFrame, textCol: String, idCol: String,
+                           k: Int): DataFrame =
+    gramFold(wordHashRows(df, textCol, idCol), k)
       .filter(col("widx") <= col("nw") - k) // complete grams only
       .select(col("doc_id"), (col("nw") - (k - 1)).as("ng"),
         col("widx").as("pos"),
         (col("g0") * 2147483648L + col("g1")).as("ghash"),
         (col("g2") * 2147483648L + col("g3")).as("ghash2"))
+
+  /** Content-defined chunking (the FastCDC/rsync boundary idea at word
+    * level): a chunk boundary falls AFTER word `v` exactly when the k-gram
+    * ENDING at `v` has gram hash ≡ 0 (mod `divisor`) — so boundaries
+    * depend only on local content, and an insertion or deletion upstream
+    * changes ONLY the chunk it touches while every later chunk re-aligns
+    * (fixed windows shift forever). Exact chunk-hash dedup over CDC chunks
+    * therefore catches block-level duplication across shifted/edited
+    * documents. Expected chunk length ≈ `divisor` words (geometric).
+    * One doc-keyed exchange: the gram fold, two windows (boundary lag +
+    * running boundary count), and the per-chunk aggregation all share it.
+    * Output: (doc_id, chunk_idx, n_words, chunk_text).
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 4, divisor: Long = 8L): DataFrame = {
+    require(k >= 2, "need k >= 2 (unigram boundaries chunk on single words)")
+    require(divisor >= 2, "divisor < 2 makes every gram a boundary")
+    val wKey = Window.partitionBy(col("doc_id")).orderBy(col("widx"))
+    gramFold(wordHashRows(docs, textCol, idCol), k)
+      // boundary flag at the gram's START row (only complete grams count)...
+      .withColumn("isb",
+        when(col("widx") <= col("nw") - k &&
+          pmod(col("g0") * 2147483648L + col("g1"), lit(divisor)) === 0, 1)
+          .otherwise(0))
+      // ...re-anchored to the gram's END word: a boundary after word v
+      // comes from the gram starting at v-(k-1)
+      .withColumn("bnd", coalesce(lag(col("isb"), k - 1).over(wKey), lit(0)))
+      // chunk index of word w = boundaries strictly before w
+      .withColumn("chunk_idx", coalesce(
+        sum(col("bnd")).over(wKey.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("widx"), col("word")))),
+          s => s.getField("word")), " ").as("chunk_text"))
   }
 
   /** Selected fingerprints per document: (doc_id, fp_hash, fp_hash2,

@@ -75,6 +75,28 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(viaSql.count() == 6)
   }
 
+  test("cdcChunks: boundaries are content-defined — chunks re-align after an upstream insertion") {
+    val text = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .orderBy("doc_id").limit(1).head().getAs[String]("text")
+    val pair = Seq((1L, text), (2L, s"inserted words upfront $text"))
+      .toDF("doc_id", "text")
+    val chunks = DedupOps.cdcChunks(pair, "text", "doc_id")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("chunk_text")).toSet }
+    val shared = chunks(1L).intersect(chunks(2L))
+    // only the head chunk(s) around the edit may differ; everything after
+    // the first boundary re-aligns exactly (a fixed-window chunker shares 0)
+    assert(shared.size >= chunks(1L).size - 2,
+      s"expected near-total chunk re-alignment, shared ${shared.size}/${chunks(1L).size}")
+    assert(chunks(1L).size >= 3, "fixture doc must produce several chunks")
+    // words round-trip: no word lost or duplicated by the chunking
+    val words = DedupOps.cdcChunks(pair, "text", "doc_id")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).orderBy("chunk_idx")
+      .collect().map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(words == text.trim.split("\\s+").mkString(" "))
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("canonical_url: case, ports, tracking params, fragments, trailing slash") {
     import org.apache.spark.sql.functions.col
     val cases = Seq(
