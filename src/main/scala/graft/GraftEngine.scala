@@ -198,6 +198,26 @@ object GraftEngine {
     operators.DedupOps.bloomNovelRows(corpusKeys, bf, batch, keyCol)
   }
 
+  /** containment_pairs: sub-document (quote/contained-passage) near-dup. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       minShared: Int = 2, tau: Double = 0.5): DataFrame =
+    operators.DedupOps.containmentPairs(docs, textCol, idCol,
+      minShared = minShared, tau = tau)
+
+  /** cdc_chunks: content-defined chunking (edit-stable chunk boundaries). */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 4, divisor: Long = 8L): DataFrame =
+    operators.DedupOps.cdcChunks(docs, textCol, idCol, k, divisor)
+
+  /** assign_splits: deterministic train/val/test split labels. */
+  def assignSplits(df: DataFrame, key: org.apache.spark.sql.Column,
+                   splits: Seq[(String, Double)]): DataFrame =
+    operators.CorpusOps.assignSplits(df, key, splits)
+
+  /** canonical_url: web-corpus URL normalization for URL-level dedup. */
+  def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    functions.TextFunctions.canonical_url(u)
+
   /** repeated_spans / strip_repeated_spans: the published repeated-substring
     * dedup pass — word n-grams occurring >= minCount times corpus-wide merge
     * into maximal per-doc spans; strip cuts them out of the text.
