@@ -774,7 +774,10 @@ object SparkEntry {
     // replays the exact Jaccard join over the unioned index side.
     "q107_index_append" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("q107_idx").toString
+      // per-JVM reused scratch (see fixtureDir): saveMinhashIndex overwrites,
+      // so repeated bench/verify passes neither leak a dir per run nor see
+      // the previous run's appended files
+      val path = q107IndexDir.toString
       val idx0 = graft.operators.DedupOps.buildMinhashIndex(
         docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
       graft.operators.DedupOps.saveMinhashIndex(idx0, path)
@@ -1560,6 +1563,8 @@ object SparkEntry {
     */
   private lazy val fixtureDir: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_fixtures")
+  private lazy val q107IndexDir: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("q107_idx")
   private lazy val sinkBaseDir: java.io.File =
     java.nio.file.Files.createTempDirectory("graft_sink").toFile
 
@@ -1644,7 +1649,7 @@ object SparkEntry {
       |  SELECT doc_id, ng, pos, array_to_string(words[pos+1 : pos+3], ' ') AS gram FROM g),
       |cl AS (
       |  SELECT doc_id, ng, pos,
-      |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+      |    list_transform(generate_series(1, length(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
       |  FROM gr),
       |h AS (
       |  SELECT doc_id, ng, pos,
@@ -1830,7 +1835,7 @@ object SparkEntry {
         |cl AS (
         |  SELECT doc_id, widx, word, isfull,
         |    CASE WHEN gram IS NOT NULL
-        |      THEN list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) END AS cs
+        |      THEN list_transform(generate_series(1, length(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) END AS cs
         |  FROM ww),
         |h AS (
         |  SELECT doc_id, widx, word, isfull,
@@ -2313,7 +2318,7 @@ object SparkEntry {
         |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
         |cl AS (
         |  SELECT doc_id, pos,
-        |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+        |    list_transform(generate_series(1, length(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
         |  FROM gr),
         |h AS (
         |  SELECT doc_id, pos,
@@ -2376,7 +2381,7 @@ object SparkEntry {
         |gr AS (SELECT doc_id, pos, array_to_string(words[pos+1 : pos+8], ' ') AS gram FROM g),
         |cl AS (
         |  SELECT doc_id, pos,
-        |    list_transform(generate_series(1, strlen(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
+        |    list_transform(generate_series(1, length(gram)), i -> CAST(ascii(gram[i:i]) AS BIGINT)) AS cs
         |  FROM gr),
         |h AS (
         |  SELECT doc_id, pos,

@@ -70,33 +70,43 @@ object StageMetrics {
   /** Run `body` (which must trigger at least one Spark action) under a job
     * group and return (result, per-stage report). Skipped stages (reused
     * exchanges) do not appear — they did no work. Listener delivery is
-    * asynchronous; this waits until every started job's end event has been
-    * processed (stage events are bus-ordered before their job's end), up to
-    * `settleTimeoutMs`.
+    * asynchronous; after `body` returns (its actions are blocking, so every
+    * event is already POSTED) a tiny sentinel job provides a deterministic
+    * drain barrier: the listener bus queue is FIFO, so once the sentinel's
+    * job-end event has been PROCESSED every body event has been too —
+    * sampling `ended == started` mid-drain can't truncate the report.
+    * The caller's own job group/description (if any) are restored on exit.
     */
   def withStageReport[T](spark: SparkSession,
                          group: String = "graft-stage-report",
                          settleTimeoutMs: Long = 10000L)(body: => T): (T, DataFrame) = {
     val sc = spark.sparkContext
     val listener = new Listener(group)
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.addSparkListener(listener)
     sc.setJobGroup(group, "graft stage metrics", interruptOnCancel = false)
     try {
       val result = body
-      val deadline = System.currentTimeMillis() + settleTimeoutMs
-      // first wait for any job to register (a job-free body settles fast)...
-      while (listener.started == 0 && System.currentTimeMillis() < deadline &&
-        System.currentTimeMillis() < deadline - settleTimeoutMs + 2000L)
-        Thread.sleep(20L)
-      // ...then for every started job's end event
-      while (listener.ended < listener.started && System.currentTimeMillis() < deadline)
-        Thread.sleep(20L)
+      val sentinel = new Listener(group + "-sentinel")
+      sc.addSparkListener(sentinel)
+      try {
+        sc.setJobGroup(group + "-sentinel", "graft stage metrics drain barrier",
+          interruptOnCancel = false)
+        sc.parallelize(Seq(0), 1).count()
+        val deadline = System.currentTimeMillis() + settleTimeoutMs
+        while ((sentinel.ended < 1 || listener.ended < listener.started) &&
+          System.currentTimeMillis() < deadline)
+          Thread.sleep(10L)
+      } finally sc.removeSparkListener(sentinel)
       import scala.jdk.CollectionConverters._
       val report = spark.createDataFrame(
         listener.rows.asScala.toSeq.sortBy(_.stage_id))
       (result, report)
     } finally {
-      sc.clearJobGroup()
+      // restore, not clear: a caller running inside its own job group keeps it
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
       sc.removeSparkListener(listener)
     }
   }

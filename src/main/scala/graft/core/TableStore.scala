@@ -53,17 +53,50 @@ object TableStore {
         return token
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val f = dir.toFile
-          if (f.exists() && System.currentTimeMillis() - f.lastModified() > staleMs)
-            rmTree(f) // crashed (or over-paused) holder — break and retake
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"timed out after ${waitMs}ms acquiring commit lock under $root " +
-                "(another writer mid-commit, or a stale lock younger than lockStaleMs)")
-          else Thread.sleep(20L)
+          if (!breakStaleLock(root, staleMs)) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"timed out after ${waitMs}ms acquiring commit lock under $root " +
+                  "(another writer mid-commit, or a stale lock younger than lockStaleMs)")
+            else Thread.sleep(20L)
+          }
       }
     }
     token // unreachable
+  }
+
+  /** Break a presumed-stale lock ATOMICALLY: the stale directory is renamed
+    * to a unique tombstone — only one breaker's rename can succeed, where a
+    * plain check-then-delete lets two concurrent breakers race and the
+    * second delete a FIRST breaker's freshly re-acquired lock. The
+    * tombstone's owner token is then verified against the token read when
+    * staleness was judged: a mismatch means the rename swept a newer
+    * writer's fresh lock (broken and retaken inside our check→rename
+    * window), which is moved straight back. Returns true when a stale lock
+    * was actually cleared.
+    */
+  private def breakStaleLock(root: String, staleMs: Long): Boolean = {
+    val dir = lockDir(root)
+    val ownerSnap =
+      try new String(Files.readAllBytes(dir.resolve("owner")), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => return false } // gone, or holder mid-create
+    val f = dir.toFile
+    if (!f.exists() || System.currentTimeMillis() - f.lastModified() <= staleMs)
+      return false
+    val tomb = Paths.get(root, s"_lockbreak_${java.util.UUID.randomUUID()}")
+    try Files.move(dir, tomb)
+    catch { case _: java.io.IOException => return false } // another breaker won the rename
+    val ownerNow =
+      try new String(Files.readAllBytes(tomb.resolve("owner")), StandardCharsets.UTF_8)
+      catch { case _: java.io.IOException => "" }
+    if (ownerNow == ownerSnap) { rmTree(tomb.toFile); true }
+    else {
+      // Swept a fresh lock re-acquired inside our window — restore it. If the
+      // path was retaken in the meantime the restore fails and the tombstone
+      // is dropped (that third writer's pre-swap holdsLock check still holds).
+      try { Files.move(tomb, dir); false }
+      catch { case _: java.io.IOException => rmTree(tomb.toFile); false }
+    }
   }
 
   private[core] def holdsLock(root: String, token: String): Boolean = {
@@ -358,9 +391,12 @@ object TableStore {
     // the exclusion lock; stale locks (crashed writers) are broken first
     val lock = lockDir(root).toFile
     val lockHeld = lock.exists() && {
-      if (now - lock.lastModified() > graceMs) { rmTree(lock); false }
-      else true
+      if (breakStaleLock(root, graceMs)) false
+      else lock.exists() // fresh holder, or another breaker mid-break
     }
+    // tombstones from a breaker that crashed between rename and delete
+    entries.filter(f => f.isDirectory && f.getName.startsWith("_lockbreak_"))
+      .filter(oldEnough).foreach(rmTree)
     if (!lockHeld) {
       // age-gated, and re-checked against a fresh pointer read right before
       // each delete (a writer that completed its swap mid-vacuum is safe)

@@ -888,6 +888,7 @@ object DedupOps {
       .select(col("ida"), col("idb"))
     val sh = shingleTable(docs, textCol, idCol, k)
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      .persistTracked // feeds both verify-join sides; don't re-shingle the corpus
     cand
       .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha"), col("nsh").as("na")), "ida")
       .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb"), col("nsh").as("nb")), "idb")
@@ -952,12 +953,21 @@ object DedupOps {
       case (t, keys) =>
         val src = s"$path/$t"
         val tmp = s"$path/${t}_compact_tmp"
+        val old = s"$path/${t}_compact_old"
         spark.read.parquet(src)
           .repartition(targetFiles, keys.map(col): _*)
           .write.mode("overwrite").parquet(tmp)
-        rmTree(new java.io.File(src))
+        // Crash-safe swap: the live table is moved ASIDE (not deleted), the
+        // compacted copy moved in, and only then is the old data destroyed —
+        // a crash at any point leaves a loadable index (live, or live-aside
+        // recoverable by renaming back). Delete-then-move would make the
+        // crash window destroy the only copy.
+        rmTree(new java.io.File(old)) // leftover from a prior crash
+        java.nio.file.Files.move(java.nio.file.Paths.get(src),
+          java.nio.file.Paths.get(old))
         java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(src))
+        rmTree(new java.io.File(old))
     }
   }
 

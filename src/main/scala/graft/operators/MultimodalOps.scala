@@ -70,23 +70,30 @@ object MultimodalOps {
     def tag(off: Int) = new String(data, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var sr = 0; var ch = 0; var bits = 0; var dOff = -1; var dLen = 0
+    // The cursor is a Long: a crafted chunk size near Int.MaxValue would wrap
+    // an Int cursor negative and turn the bounds check into an out-of-range
+    // read — a corrupt row must return None, never throw.
+    var off = 12L
+    var sr = 0; var ch = 0; var bits = 0; var fmtTag = -1; var dOff = -1; var dLen = 0
     while (off + 8 <= data.length) {
-      val id = tag(off)
-      val sz = bb.getInt(off + 4)
+      val o = off.toInt // safe: off + 8 <= data.length <= Int.MaxValue
+      val id = tag(o)
+      val sz = bb.getInt(o + 4)
       if (sz < 0) return None // corrupt chunk length
       if (id == "fmt " && sz >= 16 && off + 24 <= data.length) {
-        ch = bb.getShort(off + 10)
-        sr = bb.getInt(off + 12)
-        bits = bb.getShort(off + 22)
+        fmtTag = bb.getShort(o + 8) & 0xffff
+        ch = bb.getShort(o + 10)
+        sr = bb.getInt(o + 12)
+        bits = bb.getShort(o + 22)
       } else if (id == "data" && dOff < 0) {
-        dOff = off + 8
+        dOff = o + 8
         dLen = math.min(sz.toLong, (data.length - dOff).toLong).toInt
       }
-      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      off += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
     }
-    if (sr <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 || dOff < 0) None
+    // fmtTag 1 = integer PCM; anything else (float, a-law, extensible…)
+    // stores samples the bits/byte-rate arithmetic below doesn't describe.
+    if (fmtTag != 1 || sr <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 || dOff < 0) None
     else {
       val bytesPerSec = sr.toLong * ch * (bits / 8)
       Some(WavMeta(sr, ch, bits, dOff, dLen, dLen.toLong * 1000L / bytesPerSec))

@@ -53,6 +53,18 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
     val trunc = java.util.Arrays.copyOfRange(data, 0, 44 + 100)
     val Some(tw) = MultimodalOps.decodeWav(trunc)
     assert(tw.dataBytes == 100 && tw.durationMs == 100L * 1000 / (11025L * 2 * 2))
+    // a crafted chunk size near Int.MaxValue must return None, not wrap the
+    // cursor negative and throw out of the byte-range checks
+    val bomb = java.util.Arrays.copyOf(data, data.length)
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0x7ffffff0) // fmt chunk claims ~2^31 bytes
+    assert(MultimodalOps.decodeWav(bomb).isEmpty)
+    // non-PCM format tags (IEEE float = 3) are rejected per the PCM contract:
+    // their bits field does not describe the stored sample width
+    val float32 = java.util.Arrays.copyOf(data, data.length)
+    java.nio.ByteBuffer.wrap(float32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3)
+    assert(MultimodalOps.decodeWav(float32).isEmpty)
   }
 
   test("decodeImage really decodes: planted PNG dims and exact gray pixels") {
