@@ -145,6 +145,50 @@ object CorpusOps {
     df.withColumn(outCol, assigned)
   }
 
+  /** GPT-style concat-then-chunk sequence packing: documents are laid out in
+    * a deterministic shuffled order, conceptually concatenated, and cut into
+    * fixed windows of `windowTokens` tokens — the standard pretraining
+    * layout. Each row gains the coordinates of its first token,
+    * `(shard, seq_id, begin_offset)`, plus `n_splits` — how many window
+    * boundaries fall strictly inside the document (how many times it is
+    * split across training sequences). Oversized documents are fine: unlike
+    * bin packing they simply span `n_splits + 1` windows, so there is no
+    * capacity precondition.
+    *
+    * The running token total is a prefix sum — inherently sequential — so a
+    * single global cumulative sum would drag the whole corpus through ONE
+    * window partition. Packing therefore happens per shard
+    * (`shard = ticket mod shards`), exactly how sharded pretraining corpora
+    * pack per output file: one exchange on shard, then a bounded
+    * within-shard window; size `shards` so a shard's rows fit an executor.
+    * Order within a shard is `(ticket, key)` — the splitmix64 ticket of
+    * [[sampleTicket]] gives a deterministic global shuffle of documents,
+    * reproducible across runs, engines, and partitionings (no RNG), and the
+    * unique key breaks ticket ties.
+    */
+  def packSequences(df: DataFrame, key: Column, tokens: Column,
+                    windowTokens: Long, shards: Int = 1024): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("graft_pack_ticket"), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("graft_pack_ticket", sampleTicket(key))
+      .withColumn("shard", pmod(col("graft_pack_ticket"), lit(shards.toLong)))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("graft_pack_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"graft_pack_before div $windowTokens"))
+      .withColumn("begin_offset", pmod(col("graft_pack_before"), lit(windowTokens)))
+      // last token of the doc sits at before + max(n,1) - 1; boundaries
+      // strictly inside = its window index minus the first token's (0-token
+      // rows straddle nothing — greatest(,1) keeps the formula total)
+      .withColumn("n_splits",
+        expr(s"(graft_pack_before + greatest(n_tokens, 1L) - 1L) div $windowTokens") -
+          col("seq_id"))
+      .drop("graft_pack_ticket", "graft_pack_before")
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum values to
     * keep-fractions; strata not listed are dropped. Map-only (the fraction
     * lookup folds into a CASE chain — no join).

@@ -176,6 +176,18 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(exchanges <= 3, s"too many exchanges:\n$plan")
   }
 
+  test("q113: sequence packing is one shard exchange — no join, no global window") {
+    // the window's exchange comes from EnsureRequirements, so inspect the
+    // executed plan (sparkPlan predates exchange insertion)
+    val plan = SparkEntry.queries("q113_pack_sequences")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "packing needs no join")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"packing must shuffle exactly once (on shard):\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      "prefix sum must be shard-partitioned, never a single global window")
+  }
+
   test("q57: LSH candidate join is keyed on the band bucket") {
     val plan = physicalPlan("q57_lsh_knn")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))

@@ -224,4 +224,43 @@ class Round7Spec extends AnyFunSuite with SparkTest {
       == Set((20L, 10L)), "compaction must not change probe results")
     graft.GraftEngine.releaseCaches()
   }
+
+  test("packSequences: concat-then-chunk coordinates match a sequential replay; layout-stable") {
+    import org.apache.spark.sql.functions.col
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_tokens", "shard", "seq_id", "begin_offset", "n_splits")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+
+    val docs = (1L to 400L).map(i => (i, i % 37 + 1)).toDF("id", "nt")
+    val packed = tuples(
+      CorpusOps.packSequences(docs, col("id"), col("nt"), windowTokens = 64L, shards = 4))
+
+    // sequential replay: shuffle by ticket, concatenate per shard, cut at 64
+    val ticket = (i: Long) => graft.functions.HashKernels.splitmix64(i) >>> 11
+    val expected = (1L to 400L).groupBy(i => ticket(i) % 4).flatMap { case (sh, ids) =>
+      var run = 0L
+      ids.sortBy(i => (ticket(i), i)).map { i =>
+        val nt = i % 37 + 1
+        val e = (i, nt, sh, run / 64, run % 64, (run + nt - 1) / 64 - run / 64)
+        run += nt
+        e
+      }
+    }.toSeq.sortBy(_._1)
+    assert(packed == expected)
+
+    // a doc longer than the window straddles floor-count boundaries;
+    // zero-token rows straddle nothing
+    val edge = tuples(CorpusOps.packSequences(
+      Seq((1L, 200L), (2L, 0L)).toDF("id", "nt"),
+      col("id"), col("nt"), windowTokens = 64L, shards = 1))
+    val big = edge.find(_._1 == 1L).get
+    assert(big._6 == (big._5 + 200 - 1) / 64 - big._5 / 64 && big._6 >= 2)
+    assert(edge.find(_._1 == 2L).get._6 == 0L)
+
+    // partition-layout independence: identical coordinates after repartition
+    assert(tuples(CorpusOps.packSequences(
+      docs.repartition(7), col("id"), col("nt"), windowTokens = 64L, shards = 4)) == packed)
+  }
 }
