@@ -214,6 +214,14 @@ object GraftEngine {
                    splits: Seq[(String, Double)]): DataFrame =
     operators.CorpusOps.assignSplits(df, key, splits)
 
+  /** GPT-style concat-then-chunk sequence packing: per-shard deterministic
+    * shuffle + fixed token windows; see [[operators.CorpusOps.packSequences]].
+    */
+  def packSequences(df: DataFrame, key: org.apache.spark.sql.Column,
+                    tokens: org.apache.spark.sql.Column,
+                    windowTokens: Long, shards: Int = 1024): DataFrame =
+    operators.CorpusOps.packSequences(df, key, tokens, windowTokens, shards)
+
   /** canonical_url: web-corpus URL normalization for URL-level dedup. */
   def canonicalUrl(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     functions.TextFunctions.canonical_url(u)

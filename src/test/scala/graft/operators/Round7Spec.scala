@@ -234,8 +234,8 @@ class Round7Spec extends AnyFunSuite with SparkTest {
       .sortBy(_._1).toSeq
 
     val docs = (1L to 400L).map(i => (i, i % 37 + 1)).toDF("id", "nt")
-    val packed = tuples(
-      CorpusOps.packSequences(docs, col("id"), col("nt"), windowTokens = 64L, shards = 4))
+    val packed = tuples(  // via the engine facade — proves the verb delegates
+      graft.GraftEngine.packSequences(docs, col("id"), col("nt"), windowTokens = 64L, shards = 4))
 
     // sequential replay: shuffle by ticket, concatenate per shard, cut at 64
     val ticket = (i: Long) => graft.functions.HashKernels.splitmix64(i) >>> 11
