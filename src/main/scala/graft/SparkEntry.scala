@@ -884,6 +884,21 @@ object SparkEntry {
           col("begin_offset"), col("n_splits"))
     },
 
+    // The data-loader manifest over q113's packing: one row per (doc,
+    // window) slice — map-only explode, oracled by extending the q113
+    // replay with generate_series over the straddle count and the same
+    // slice arithmetic.
+    "q114_window_manifest" -> { (s, dir) =>
+      graft.operators.CorpusOps.packedWindowManifest(
+        graft.operators.CorpusOps.packSequences(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          col("doc_id"), regexp_count(col("text"), lit("\\S+")),
+          windowTokens = 512L, shards = 8),
+        windowTokens = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("part"),
+          col("window_id"), col("slice_start"), col("slice_len"))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1889,6 +1904,29 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, tokb // 512 AS seq_id, tokb % 512 AS begin_offset,
         |  (tokb + greatest(n_tokens, 1) - 1) // 512 - tokb // 512 AS n_splits
         |FROM b""".stripMargin,
+    "q114_window_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+        |z0 AS (SELECT doc_id, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |j AS (SELECT d.doc_id, d.n_tokens, tk.ticket, tk.ticket % 8 AS shard
+        |  FROM d JOIN tk ON d.doc_id = tk.doc_id),
+        |b AS (SELECT doc_id, n_tokens, shard, ticket,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ticket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokb
+        |  FROM j),
+        |c AS (SELECT doc_id, n_tokens, shard, tokb // 512 AS seq_id, tokb % 512 AS b0,
+        |  (tokb + greatest(n_tokens, 1) - 1) // 512 - tokb // 512 AS n_splits FROM b),
+        |e AS (SELECT doc_id, n_tokens, shard, seq_id, b0,
+        |  unnest(generate_series(0, n_splits)) AS part FROM c)
+        |SELECT doc_id, n_tokens, shard, part, seq_id + part AS window_id,
+        |  greatest(0, part * 512 - b0) AS slice_start,
+        |  least(n_tokens, (part + 1) * 512 - b0) - greatest(0, part * 512 - b0) AS slice_len
+        |FROM e""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

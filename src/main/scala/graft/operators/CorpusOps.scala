@@ -189,6 +189,36 @@ object CorpusOps {
       .drop("graft_pack_ticket", "graft_pack_before")
   }
 
+  /** The data-loader view of [[packSequences]]: one row per (document,
+    * window) slice — which contiguous token span of which document fills
+    * each training window. A doc straddling `n_splits` boundaries explodes
+    * into `n_splits + 1` parts; part `w` of a doc at (seq_id, begin_offset,
+    * n_tokens) covers doc tokens `[max(0, w·W − begin_offset),
+    * min(n_tokens, (w+1)·W − begin_offset))` of absolute window
+    * `seq_id + w`. Zero-token docs yield one zero-length slice (loaders
+    * skip them; keeping the row preserves the doc↔manifest bijection on
+    * part 0).
+    *
+    * Map-only over the packed output — a narrow explode bounded by
+    * `n_splits + 1`, no shuffle beyond the one [[packSequences]] already
+    * did. Within every window the slices concatenate in `(doc order)` =
+    * ascending `begin_offset`, and each interior window's `slice_len`s sum
+    * to exactly `windowTokens` (Round7Spec proves both).
+    */
+  def packedWindowManifest(packed: DataFrame, windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val W = windowTokens
+    packed
+      .withColumn("part", explode(sequence(lit(0L), col("n_splits"))))
+      .withColumn("window_id", col("seq_id") + col("part"))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("part") * W - col("begin_offset")))
+      .withColumn("slice_len",
+        least(col("n_tokens"), (col("part") + 1) * W - col("begin_offset")) -
+          col("slice_start"))
+      .drop("seq_id", "begin_offset", "n_splits")
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum values to
     * keep-fractions; strata not listed are dropped. Map-only (the fraction
     * lookup folds into a CASE chain — no join).

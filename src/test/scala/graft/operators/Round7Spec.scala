@@ -262,5 +262,30 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     // partition-layout independence: identical coordinates after repartition
     assert(tuples(CorpusOps.packSequences(
       docs.repartition(7), col("id"), col("nt"), windowTokens = 64L, shards = 4)) == packed)
+
+    // the loader manifest tiles every window exactly: per doc the slices
+    // are contiguous from 0 and total n_tokens; per window the lengths sum
+    // to 64 except each shard's final window
+    val manifest = CorpusOps.packedWindowManifest(
+      CorpusOps.packSequences(docs, col("id"), col("nt"), windowTokens = 64L, shards = 4),
+      windowTokens = 64L)
+      .select("id", "n_tokens", "shard", "part", "window_id", "slice_start", "slice_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    manifest.groupBy(_._1).foreach { case (_, parts) =>
+      val ordered = parts.sortBy(_._4)
+      assert(ordered.map(_._4) sameElements Array.tabulate(ordered.length)(_.toLong))
+      var pos = 0L
+      ordered.foreach { p => assert(p._6 == pos); pos += p._7 }
+      assert(pos == ordered.head._2, "slices must cover the doc exactly")
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b._5 == a._5 + 1 },
+        "parts must land in consecutive windows")
+    }
+    manifest.groupBy(m => (m._3, m._5)).foreach { case ((sh, win), slices) =>
+      val lastWin = manifest.filter(_._3 == sh).map(_._5).max
+      if (win < lastWin)
+        assert(slices.map(_._7).sum == 64L,
+          s"interior window ($sh,$win) must hold exactly 64 tokens")
+    }
   }
 }
