@@ -899,6 +899,31 @@ object SparkEntry {
           col("window_id"), col("slice_start"), col("slice_len"))
     },
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram bucket
+    // models, target = the English slice, raw = the full multilingual
+    // corpus; Gumbel top-k draws 150 docs with prob ∝ the target/raw
+    // likelihood ratio. The oracle replays the poly-31 bucket fold, both
+    // bucket models, the micro-floored log ratio, and the splitmix Gumbel
+    // in closed form.
+    "q115_dsir_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.dsirResample(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id",
+        docs.filter(col("lang") === "en").select(col("text")), "text",
+        k = 150, buckets = 1 << 16)
+        .select(col("doc_id"), col("n_tokens"), col("logratio_micro"),
+          col("gumbel_micro"), col("score_micro"))
+    },
+
+    // CCNet-style quality bands: per-language unigram LM, per-token NLL,
+    // ntile(3) head/middle/tail inside each language.
+    "q116_nll_buckets" -> { (s, dir) =>
+      graft.operators.CorpusOps.nllBuckets(
+        Tables.documents(s, dir), "text", "doc_id", "lang", nBuckets = 3)
+        .select(col("doc_id"), col("stratum"), col("n_tokens"),
+          col("nll_micro"), col("ppt_micro"), col("bucket"))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1927,6 +1952,69 @@ object SparkEntry {
         |  greatest(0, part * 512 - b0) AS slice_start,
         |  least(n_tokens, (part + 1) * 512 - b0) - greatest(0, part * 512 - b0) AS slice_len
         |FROM e""".stripMargin,
+    "q115_dsir_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |hb AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(w)), i -> CAST(ascii(w[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 65536 AS b
+        |  FROM tok),
+        |ttok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents WHERE lang = 'en'),
+        |thb AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(w)), i -> CAST(ascii(w[i:i]) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) % 65536 AS b
+        |  FROM ttok),
+        |rc AS (SELECT b, count(*) AS c_raw FROM hb GROUP BY b),
+        |tc AS (SELECT b, count(*) AS c_tgt FROM thb GROUP BY b),
+        |rt AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw FROM rc),
+        |tt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS n_tgt FROM tc),
+        |md AS (
+        |  SELECT rc.b,
+        |    CAST(floor(-1e6 * ln(CAST(rc.c_raw + 1 AS DOUBLE) / (rt.n_raw + 65536))) AS BIGINT) -
+        |    CAST(floor(-1e6 * ln(CAST(coalesce(tc.c_tgt, 0) + 1 AS DOUBLE) / (tt.n_tgt + 65536))) AS BIGINT) AS delta_micro
+        |  FROM rc LEFT JOIN tc USING (b), rt, tt),
+        |ft AS (SELECT doc_id, b, count(*) AS cnt FROM hb GROUP BY doc_id, b),
+        |wt AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cnt * delta_micro) AS BIGINT) AS logratio_micro
+        |  FROM ft JOIN md USING (b) GROUP BY doc_id),
+        |z0 AS (SELECT doc_id, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM wt),
+        |x1 AS (SELECT doc_id, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |gm AS (SELECT doc_id,
+        |  CAST(floor(-1e6 * ln(-ln((ticket + 0.5) / 9007199254740992.0))) AS BIGINT) AS gumbel_micro
+        |  FROM tk)
+        |SELECT wt.doc_id, n_tokens, logratio_micro, gumbel_micro,
+        |  logratio_micro + gumbel_micro AS score_micro
+        |FROM wt JOIN gm ON wt.doc_id = gm.doc_id
+        |ORDER BY score_micro DESC, wt.doc_id
+        |LIMIT 150""".stripMargin,
+    "q116_nll_buckets" ->
+      """WITH wds AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |cnt AS (SELECT stratum, w, count(*) AS c FROM wds GROUP BY stratum, w),
+        |tot AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n_corpus, count(*) AS vocab
+        |  FROM cnt GROUP BY stratum),
+        |pd AS (
+        |  SELECT doc_id, stratum, count(*) AS n_tokens,
+        |    CAST(sum(CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT)) AS BIGINT) AS nll_micro
+        |  FROM wds JOIN cnt USING (stratum, w) JOIN tot USING (stratum)
+        |  GROUP BY doc_id, stratum)
+        |SELECT doc_id, stratum, n_tokens, nll_micro,
+        |  nll_micro // n_tokens AS ppt_micro,
+        |  ntile(3) OVER (PARTITION BY stratum ORDER BY nll_micro // n_tokens, doc_id) AS bucket
+        |FROM pd""".stripMargin,
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

@@ -332,6 +332,131 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("nll_micro"))
   }
 
+  /** CCNet-style perplexity bucketing: fit an add-one unigram LM PER STRATUM
+    * (CCNet fits one KenLM per language), score every document by per-token
+    * NLL against its own stratum's model, and split each stratum into
+    * `nBuckets` equal-count quality bands by `ntile` — bucket 1 is the
+    * "head" (most natural), the last the "tail". The published recipe keeps
+    * head+middle and drops or down-samples the tail. Per-token NLL is
+    * `nll_micro div n_tokens` — integer division of already-integer
+    * micro-terms, so ordering and bucket boundaries replay exactly
+    * (ties broken by doc_id; `ntile` is SQL-standard in Spark and DuckDB:
+    * the first n_mod_b buckets get the extra row).
+    *
+    * Plan: one explode, one (stratum, word) count shuffle, one keyed join
+    * back, one per-doc aggregate, then ONE window sort per stratum — the
+    * same shape CCNet runs per language shard. The stratum totals broadcast
+    * (one row per stratum). Skew bound = the largest stratum must sort
+    * within one task chain; at 100 TB with one dominant language, swap the
+    * exact ntile for sampled percentile cutoffs + a map-only CASE — the
+    * operator keeps the exact form because bucket edges are then
+    * reproducible to the row, which the sampled variant gives up.
+    *
+    * Output: (doc_id, stratum, n_tokens, nll_micro, ppt_micro, bucket).
+    */
+  def nllBuckets(df: DataFrame, textCol: String, idCol: String,
+                 strataCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, "need >= 2 buckets")
+    val words = df.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
+      .persistTracked
+    val counts = words.groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("stratum"))
+      .agg(sum(col("c")).as("n_corpus"), count(lit(1)).as("vocab"))
+    val perDoc = words.join(counts, Seq("stratum", "w"))
+      .join(broadcast(totals), Seq("stratum"))
+      .withColumn("term_micro",
+        floor(lit(-1e6) * log((col("c") + 1).cast("double") /
+          (col("n_corpus") + col("vocab")).cast("double"))).cast("long"))
+      .groupBy(col("doc_id"), col("stratum"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("nll_micro"))
+      .withColumn("ppt_micro", expr("nll_micro div n_tokens"))
+    val byQuality = Window.partitionBy(col("stratum"))
+      .orderBy(col("ppt_micro"), col("doc_id"))
+    perDoc.withColumn("bucket", ntile(nBuckets).over(byQuality))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how much more likely its hashed-unigram bag is under a TARGET
+    * corpus's bucket model than under the raw corpus's own —
+    * `log w(x) = Σ_b cnt_b(x)·(ln p_tgt[b] − ln p_raw[b])` over `buckets`
+    * hash buckets with add-one smoothing. Buckets come from the poly-31
+    * word hash (the [[DedupOps.GramHashParams]] h0 fold), NOT xxhash64, so
+    * the whole weight replays as closed-form SQL. Each bucket's two log
+    * probs floor to integer micro-units first; the per-doc sum is then
+    * order-independent integer arithmetic.
+    *
+    * Plan: the raw corpus explodes once and is counted twice ((bucket) for
+    * the model, (doc, bucket) for features — one persisted explode); the
+    * target corpus only ever aggregates to ≤ `buckets` rows. The model
+    * table (≤ `buckets` rows, ~tens of KB) broadcasts into the feature
+    * join, so the only large shuffles are keyed on (doc, bucket). Docs with
+    * zero tokens carry no mass and are omitted.
+    *
+    * Output: (doc_id, n_tokens, logratio_micro); positive = target-like.
+    */
+  def dsirWeights(raw: DataFrame, textCol: String, idCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2, "need >= 2 hash buckets")
+    val B = buckets.toLong
+    def bucketed(d: DataFrame, t: String, keep: Column*): DataFrame =
+      d.select(keep :+ explode(filter(split(lower(col(t)), "\\s+"),
+        w => length(w) > 0)).as("w"): _*)
+        .withColumn("b", pmod(
+          graft.functions.GraftFunctions.poly_hash_pairs(col("w")).getItem(0), lit(B)))
+        .drop("w")
+    val rawWords = bucketed(raw, textCol, col(idCol).as("doc_id")).persistTracked
+    val rawCounts = rawWords.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgtCounts = bucketed(target, targetTextCol)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val rawTotal = rawCounts.agg(sum(col("c_raw")).as("n_raw"))
+    val tgtTotal = tgtCounts.agg(coalesce(sum(col("c_tgt")), lit(0L)).as("n_tgt"))
+    def nlpMicro(c: Column, n: Column): Column =
+      floor(lit(-1e6) * log((c + 1).cast("double") / (n + lit(B)).cast("double")))
+        .cast("long")
+    // buckets never seen in the raw corpus can't occur in raw docs either,
+    // so a left join from the raw side loses nothing; absent target mass
+    // smooths to c_tgt = 0
+    val model = rawCounts.join(tgtCounts, Seq("b"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .select(col("b"),
+        (nlpMicro(col("c_raw"), col("n_raw")) -
+          nlpMicro(col("c_tgt"), col("n_tgt"))).as("delta_micro"))
+    rawWords.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("delta_micro")).as("logratio_micro"))
+  }
+
+  /** The resampling half of DSIR: draw `k` documents WITHOUT replacement
+    * with probability ∝ exp(log w) via the Gumbel top-k trick — score =
+    * log-weight + Gumbel(doc) and keep the k largest, which is exactly
+    * weighted sampling without replacement (Efraimidis–Spirakis). The
+    * Gumbel is deterministic: u = (splitmix64-ticket + ½)/2⁵³ ∈ (0,1),
+    * g = −ln(−ln u), floored to micro-units, so the draw is reproducible
+    * row-for-row and replays in SQL. The top-k runs as
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    *
+    * Output: the k selected (doc_id, n_tokens, logratio_micro,
+    * gumbel_micro, score_micro) rows.
+    */
+  def dsirResample(raw: DataFrame, textCol: String, idCol: String,
+                   target: DataFrame, targetTextCol: String, k: Int,
+                   buckets: Int = 1 << 16): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val u = (sampleTicket(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(Ticket1.toDouble)
+    dsirWeights(raw, textCol, idCol, target, targetTextCol, buckets)
+      .withColumn("gumbel_micro", floor(lit(-1e6) * log(-log(u))).cast("long"))
+      .withColumn("score_micro", col("logratio_micro") + col("gumbel_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Drop corpus documents that share n-grams with a held-out probe set —
     * the removal half of the contamination audit (run [[contaminationCheck]]
     * first to REPORT, this to actually decontaminate a training mix). Same

@@ -288,4 +288,61 @@ class Round7Spec extends AnyFunSuite with SparkTest {
           s"interior window ($sh,$win) must hold exactly 64 tokens")
     }
   }
+
+  test("dsirWeights/dsirResample: likelihood ratio separates target-like docs; Gumbel top-k picks them") {
+    import org.apache.spark.sql.functions.col
+    // enough tokens that add-one smoothing over 256 buckets cannot swamp
+    // the unsmoothed ratio (the failure mode of a 10-token toy fixture)
+    def rep(s: String) = (s + " ") * 40
+    val raw = Seq(
+      (1L, rep("alpha beta gamma alpha beta gamma alpha beta")),
+      (2L, rep("alpha gamma beta beta alpha gamma gamma beta")),
+      (3L, rep("zork quux blarg zork quux blarg zork quux")),
+      (4L, rep("quux blarg zork blarg zork quux blarg zork"))
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      rep("alpha beta gamma beta alpha"),
+      rep("gamma alpha beta gamma beta")).toDF("text")
+    val w = CorpusOps.dsirWeights(raw, "text", "doc_id", target, "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    assert(w(1L) > 0 && w(2L) > 0, s"target-vocabulary docs must score positive: $w")
+    assert(w(3L) < 0 && w(4L) < 0, s"off-target docs must score negative: $w")
+    val picked = CorpusOps.dsirResample(raw, "text", "doc_id", target, "text",
+      k = 2, buckets = 256).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 2L),
+      "Gumbel top-2 must select the target-like docs (score gap >> Gumbel scale)")
+  }
+
+  test("nllBuckets: per-stratum LM, balanced ntile bands, gibberish lands in the tail") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      // 'en': two common-word docs, two mixed, two all-unique
+      (1L, "en", "aa bb cc aa bb cc aa bb"),
+      (2L, "en", "aa bb cc aa bb cc aa bb"),
+      (3L, "en", "aa bb dd ee aa bb ff gg"),
+      (4L, "en", "aa bb hh ii aa bb jj kk"),
+      (5L, "en", "qq ww rr tt yy uu oo pp"),
+      (6L, "en", "zz xx vv nn mm ll ss hh2"),
+      // 'fr': three docs — per-stratum ntile must band them 1/1/1
+      (7L, "fr", "un deux trois un deux trois"),
+      (8L, "fr", "un deux quatre cinq un six"),
+      (9L, "fr", "sept huit neuf dix onze douze")
+    ).toDF("doc_id", "lang", "text")
+    val rows = CorpusOps.nllBuckets(docs, "text", "doc_id", "lang", nBuckets = 3)
+      .select("doc_id", "stratum", "ppt_micro", "bucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val en = rows.filter(_._2 == "en")
+    assert(en.groupBy(_._4).view.mapValues(_.size).toMap == Map(1 -> 2, 2 -> 2, 3 -> 2),
+      "ntile(3) over 6 docs must band 2/2/2")
+    assert(en.filter(_._4 == 1).map(_._1).toSet == Set(1L, 2L),
+      "the common-word docs are the head band")
+    assert(en.filter(_._4 == 3).map(_._1).toSet == Set(5L, 6L),
+      "the all-unique-word docs are the tail band")
+    // band edges are ordered: every head ppt <= every middle ppt <= every tail ppt
+    for (b <- 1 to 2)
+      assert(en.filter(_._4 == b).map(_._3).max <= en.filter(_._4 == b + 1).map(_._3).min)
+    assert(rows.filter(_._2 == "fr").groupBy(_._4).view.mapValues(_.size).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1), "strata band independently")
+  }
 }
