@@ -924,6 +924,26 @@ object SparkEntry {
           col("nll_micro"), col("ppt_micro"), col("bucket"))
     },
 
+    // Corpus text normalization (the ftfy/C4 first pass): NFC + line
+    // endings + control/zero-width strip + whitespace collapse + paragraph
+    // squeeze + trim, fixed-order native expressions with a codegen'd NFC
+    // Catalyst expression at the head. The fixture wraps every document in
+    // deterministic mess — decomposed accents, tabs, ZWSP, CRLF/CR, a bell
+    // control, a 4-newline run, pad spaces — reproduced char-for-char in
+    // the oracle via chr().
+    "q117_normalize_text" -> { (s, dir) =>
+      val messy = concat(
+        lit("  école\t\tdu  temps​ "),
+        substring(col("text"), 1, 120),
+        lit("\r\nline2\rline3"),
+        lit("\n\n\n\n  tail é  "))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.normalize_text(messy).as("text_norm"),
+        TextFunctions.normalize_text(col("text")).as("text_norm_raw"),
+        length(TextFunctions.normalize_text(messy)).as("n_chars_norm"))
+    },
+
     // Boilerplate removal: segments (10-word blocks here; lines/paragraphs
     // in real corpora) occurring in >= 2 distinct documents are stripped
     // from all of them, survivors rejoin in order. 8-byte seg-hash shuffle
@@ -1688,6 +1708,17 @@ object SparkEntry {
     */
   private def winnowOracleCte: String = "WITH " + winnowCtes("documents")
 
+  /** The [[graft.functions.TextFunctions.normalize_text]] chain as DuckDB
+    * SQL over expression `x` — same fixed order, same explicit character
+    * classes (Java regex and RE2 parse these escapes identically).
+    */
+  private def normalizeOracleSql(x: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "nfc_normalize(" + x + "), '\\r\\n?', chr(10), 'g'), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'), " +
+      "'[ \\t]+', ' ', 'g'), ' *\\n *', chr(10), 'g'), " +
+      "'\\n{3,}', chr(10) || chr(10), 'g'), '^[ \\n]+|[ \\n]+$', '', 'g')"
+
   /** The winnow CTE chain over an arbitrary (doc_id, text) source CTE —
     * without the leading WITH, so callers can prepend their own CTEs.
     */
@@ -2015,6 +2046,20 @@ object SparkEntry {
         |  nll_micro // n_tokens AS ppt_micro,
         |  ntile(3) OVER (PARTITION BY stratum ORDER BY nll_micro // n_tokens, doc_id) AS bucket
         |FROM pd""".stripMargin,
+    "q117_normalize_text" -> {
+      val cm = normalizeOracleSql("messy")
+      val cr = normalizeOracleSql("text")
+      s"""WITH m AS (
+        |  SELECT doc_id, text,
+        |    '  e' || chr(769) || 'cole' || chr(9) || chr(9) || 'du  temps' || chr(8203) || ' ' ||
+        |    substr(text, 1, 120) ||
+        |    chr(13) || chr(10) || 'line2' || chr(13) || 'line3' || chr(7) ||
+        |    repeat(chr(10), 4) || '  tail e' || chr(769) || '  ' AS messy
+        |  FROM documents)
+        |SELECT doc_id, $cm AS text_norm, $cr AS text_norm_raw,
+        |  length($cm) AS n_chars_norm
+        |FROM m""".stripMargin
+    },
     "q69_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> len(x) > 0) AS words

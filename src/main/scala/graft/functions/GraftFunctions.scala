@@ -36,6 +36,12 @@ object GraftFunctions {
   def poly_hash_pairs(a: Column): Column =
     ColumnShim.column(PolyHashPairs(ColumnShim.expression(a)))
 
+  /** Unicode NFC canonical composition (codegen'd; DuckDB `nfc_normalize`
+    * analog).
+    */
+  def nfc_normalize(a: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(a)))
+
   /** Idempotent per-session SQL registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -48,5 +54,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("content_hash", es => ContentHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("splitmix64", es => SplitMix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash_pairs", es => PolyHashPairs(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
   }
 }

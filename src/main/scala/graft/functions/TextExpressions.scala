@@ -88,3 +88,22 @@ case class ContentHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.HashKernels.fnv1a64Hex($a);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Unicode NFC canonical composition ([[TextKernels.nfcNormalize]]) as a
+  * codegen'd expression — Spark has no built-in normalizer, and a Scala UDF
+  * here would break the whole-stage-codegen span of the normalization chain
+  * it anchors.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.nfcNormalize(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.TextKernels.nfcNormalize($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

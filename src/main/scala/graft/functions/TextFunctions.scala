@@ -19,6 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Corpus text normalization — the first pass of every training-data
+    * pipeline (the ftfy/C4 cleanup step), fixed-order so it replays
+    * byte-identically in any engine:
+    *
+    *   1. Unicode NFC (codegen'd [[GraftFunctions.nfc_normalize]]) — one
+    *      spelling per grapheme before anything downstream hashes text;
+    *   2. line endings: CRLF / lone CR → LF;
+    *   3. strip control chars (keeping tab + LF) and the zero-width family
+    *      (ZWSP/ZWNJ/ZWJ/BOM) that breaks tokenizers invisibly;
+    *   4. collapse horizontal whitespace runs to one space;
+    *   5. trim spaces around newlines;
+    *   6. collapse 3+ blank-line runs to one blank line (paragraph breaks
+    *      survive, vertical noise doesn't);
+    *   7. trim leading/trailing whitespace (after 4–6 only space/LF remain,
+    *      so the trim class is explicit — no engine-specific `\s`).
+    *
+    * Map-only, whole-stage codegen throughout (the NFC step is a native
+    * expression, not a UDF). Character classes are spelled with explicit
+    * ranges/`\x{...}` escapes, which Java regex and RE2 parse identically —
+    * the DuckDB oracle replays the chain verbatim.
+    */
+  def normalize_text(text: Column): Column = {
+    val nfc = GraftFunctions.nfc_normalize(text)
+    val lf = regexp_replace(nfc, "\\r\\n?", "\n")
+    val ctrl = regexp_replace(lf,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}]", "")
+    val hsp = regexp_replace(ctrl, "[ \\t]+", " ")
+    val nlsp = regexp_replace(hsp, " *\\n *", "\n")
+    val para = regexp_replace(nlsp, "\\n{3,}", "\n\n")
+    regexp_replace(para, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** ceil(bytes/4) token heuristic (Go len() counts bytes). */
   def tokens_raw(text: Column): Column =
     when(octet_length(text) === 0, 0)

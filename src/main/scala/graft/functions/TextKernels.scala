@@ -42,4 +42,21 @@ object TextKernels {
     }
     new GenericArrayData(Array(h0, p0, h1, p1, h2, p2, h3, p3))
   }
+
+  /** Unicode NFC (canonical composition) via `java.text.Normalizer` — the
+    * first step of corpus text normalization (decomposed "e<combining ́>"
+    * becomes "é", so downstream hashing/dedup/tokenization see one spelling
+    * per grapheme). Fast path: `Normalizer.isNormalized` is O(n) with no
+    * allocation, and real-world corpus text is overwhelmingly already NFC,
+    * so the common case never materializes a new string. The DuckDB oracle
+    * replays this as `nfc_normalize` (utf8proc); both implement the same
+    * Unicode canonical-composition algorithm, identical on all
+    * assigned-codepoint input.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

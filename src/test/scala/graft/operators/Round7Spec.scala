@@ -345,4 +345,31 @@ class Round7Spec extends AnyFunSuite with SparkTest {
     assert(rows.filter(_._2 == "fr").groupBy(_._4).view.mapValues(_.size).toMap ==
       Map(1 -> 1, 2 -> 1, 3 -> 1), "strata band independently")
   }
+
+  test("normalize_text: NFC, control/zero-width strip, whitespace discipline, idempotence") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      "école" -> "école",            // NFC composes e + combining acute
+      "école" -> "école",             // already-NFC text unchanged
+      "a​b﻿c‍d" -> "abcd",       // zero-width family stripped
+      "x\r\ny\rz" -> "x\ny\nz",                 // CRLF and lone CR to LF
+      "a \t b\tc" -> "a b c",                   // horizontal runs collapse
+      "a \n b" -> "a\nb",                       // spaces around newlines trim
+      "p\n\n\n\n\nq" -> "p\n\nq",               // paragraph squeeze
+      "  hi  " -> "hi",                         // outer trim
+      "ctlz" -> "ctlz")             // control chars stripped
+    val out = cases.map(_._1).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.normalize_text(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) == want, s"case $i: <$in> normalized to <${out(i.toLong)}>, want <$want>")
+    }
+    // idempotence over organic corpus text: a second pass is a no-op
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n1 = docs.select(TextFunctions.normalize_text(col("text")).as("n1"))
+    assert(n1.filter(TextFunctions.normalize_text(col("n1")) =!= col("n1")).count() == 0,
+      "normalize_text must be idempotent")
+  }
 }
