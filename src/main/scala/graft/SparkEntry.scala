@@ -924,6 +924,24 @@ object SparkEntry {
           col("nll_micro"), col("ppt_micro"), col("bucket"))
     },
 
+    // RefinedWeb/FineWeb-style per-domain governance: blocklist two hosts,
+    // cap every remaining host at 5 docs, survivors picked in deterministic
+    // splitmix-ticket order (the same synthesized URL population as q110).
+    "q118_domain_cap" -> { (s, dir) =>
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTP://Example"), (id % 50).cast("string"), lit(".COM"),
+        when(id % 4 === 0, lit(":80")).otherwise(lit("")),
+        when(id % 7 === 0, lit("/"))
+          .otherwise(concat(lit("/path/"), (id % 7).cast("string"))),
+        when(id % 2 === 0, lit("#frag")).otherwise(lit("")))
+      graft.operators.CorpusOps.capPerDomain(
+        Tables.documents(s, dir).select(id, url.as("url")),
+        col("url"), col("doc_id"), maxPerDomain = 5,
+        blockedHosts = Seq("example0.com", "example7.com"))
+        .select(col("doc_id"), col("host"), col("host_rank"))
+    },
+
     // Corpus text normalization (the ftfy/C4 first pass): NFC + line
     // endings + control/zero-width strip + whitespace collapse + paragraph
     // squeeze + trim, fixed-order native expressions with a codegen'd NFC
@@ -2046,6 +2064,28 @@ object SparkEntry {
         |  nll_micro // n_tokens AS ppt_micro,
         |  ntile(3) OVER (PARTITION BY stratum ORDER BY nll_micro // n_tokens, doc_id) AS bucket
         |FROM pd""".stripMargin,
+    "q118_domain_cap" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    'HTTP://Example' || (doc_id % 50) || '.COM' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/path/' || (doc_id % 7) END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  lower(regexp_extract(trim(url), '^[^/?#]*://([^/?#:]*)', 1)) AS host FROM u0),
+        |f AS (SELECT * FROM h WHERE host NOT IN ('example0.com', 'example7.com')),
+        |z0 AS (SELECT doc_id, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM f),
+        |x1 AS (SELECT doc_id, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |r AS (
+        |  SELECT f.doc_id, f.host,
+        |    row_number() OVER (PARTITION BY f.host ORDER BY tk.ticket, f.doc_id) AS host_rank
+        |  FROM f JOIN tk ON f.doc_id = tk.doc_id)
+        |SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 5""".stripMargin,
     "q117_normalize_text" -> {
       val cm = normalizeOracleSql("messy")
       val cr = normalizeOracleSql("text")

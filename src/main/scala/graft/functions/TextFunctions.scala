@@ -139,6 +139,13 @@ object TextFunctions {
     regexp_replace(rejoined, "^(https?://[^/?#]+)/$", "$1")
   }
 
+  /** Lowercased host of a URL, port stripped — the grouping key for
+    * domain-level corpus governance (per-domain caps, blocklists, domain
+    * stats). One regexp_extract + lower, replayable verbatim in RE2.
+    */
+  def url_host(u: Column): Column =
+    lower(regexp_extract(trim(u), "^[^/?#]*://([^/?#:]*)", 1))
+
   // --- age formatting (F20, reference pkg/session/sqlite.go:744-755):
   //     humanized durations, truncating like Go's int() casts.
 

@@ -219,6 +219,38 @@ object CorpusOps {
       .drop("seq_id", "begin_offset", "n_splits")
   }
 
+  /** RefinedWeb/FineWeb-style per-domain cap with a host blocklist: drop
+    * blocked hosts outright, then keep at most `maxPerDomain` documents per
+    * host — the web-corpus governance pass that stops a single crawl-happy
+    * domain from dominating the training mix. Survivors are a DETERMINISTIC
+    * "random" subset: rank within host is splitmix64-ticket order (doc_id
+    * tiebreak), so the kept set is reproducible across runs, engines, and
+    * partitionings, and growing the corpus never evicts a previously kept
+    * doc of an unchanged host population prefix.
+    *
+    * Plan: one keyed exchange on host + a per-host rank window; the
+    * blocklist folds into a map-side NOT IN. Skew caveat: a pathological
+    * host with billions of rows sorts in one task chain — at that shape,
+    * pre-count hosts and route only over-cap hosts through the window (the
+    * similarity-join cap trick); kept exact here because the survivor set
+    * is then reproducible row-for-row.
+    *
+    * Output: the input columns + (host, host_rank), host_rank ∈ [1, cap].
+    */
+  def capPerDomain(df: DataFrame, url: Column, key: Column, maxPerDomain: Int,
+                   blockedHosts: Seq[String] = Nil): DataFrame = {
+    require(maxPerDomain >= 1, "need maxPerDomain >= 1")
+    import graft.functions.TextFunctions
+    val withHost = df.withColumn("host", TextFunctions.url_host(url))
+    val allowed =
+      if (blockedHosts.isEmpty) withHost
+      else withHost.filter(!col("host").isin(blockedHosts: _*))
+    val perHost = Window.partitionBy(col("host"))
+      .orderBy(sampleTicket(key), key)
+    allowed.withColumn("host_rank", row_number().over(perHost))
+      .filter(col("host_rank") <= maxPerDomain)
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum values to
     * keep-fractions; strata not listed are dropped. Map-only (the fraction
     * lookup folds into a CASE chain — no join).

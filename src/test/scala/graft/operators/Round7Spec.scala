@@ -346,6 +346,29 @@ class Round7Spec extends AnyFunSuite with SparkTest {
       Map(1 -> 1, 2 -> 1, 3 -> 1), "strata band independently")
   }
 
+  test("capPerDomain: blocklist drops hosts; cap keeps the ticket-smallest subset, layout-independent") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 60L).map(i => (i, s"https://HOST${i % 3}.com:443/p/$i")).toDF("id", "url")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.capPerDomain(d, col("url"), col("id"), maxPerDomain = 4,
+        blockedHosts = Seq("host2.com"))
+        .select("id", "host", "host_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val out = run(docs)
+    assert(out.map(_._2).toSet == Set("host0.com", "host1.com"),
+      "host lowercases, port strips, blocklisted host vanishes")
+    assert(out.groupBy(_._2).forall(_._2.length == 4))
+    // survivors are exactly the 4 ticket-smallest ids per host, in rank order
+    val ticket = (i: Long) => graft.functions.HashKernels.splitmix64(i) >>> 11
+    for (h <- Seq(0L, 1L)) {
+      val want = (1L to 60L).filter(_ % 3 == h).sortBy(i => (ticket(i), i)).take(4)
+      val got = out.filter(_._2 == s"host$h.com").sortBy(_._3).map(_._1).toSeq
+      assert(got == want, s"host$h survivors must be the ticket-smallest 4 in order")
+    }
+    assert(run(docs.repartition(7)).sortBy(x => (x._2, x._3)).toSeq ==
+      out.sortBy(x => (x._2, x._3)).toSeq, "survivor set is partition-layout independent")
+  }
+
   test("normalize_text: NFC, control/zero-width strip, whitespace discipline, idempotence") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFunctions
