@@ -924,6 +924,14 @@ object SparkEntry {
           col("nll_micro"), col("ppt_micro"), col("bucket"))
     },
 
+    // Interpolated-bigram LM NLL: the perplexity proxy one model-order up
+    // from q100's unigram (Jelinek–Mercer λ=0.7), first token backing off
+    // to the unigram term.
+    "q119_bigram_nll" -> { (s, dir) =>
+      graft.operators.CorpusOps.bigramNll(
+        Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
+    },
+
     // RefinedWeb/FineWeb-style per-domain governance: blocklist two hosts,
     // cap every remaining host at 5 docs, survivors picked in deterministic
     // splitmix-ticket order (the same synthesized URL population as q110).
@@ -2064,6 +2072,29 @@ object SparkEntry {
         |  nll_micro // n_tokens AS ppt_micro,
         |  ntile(3) OVER (PARTITION BY stratum ORDER BY nll_micro // n_tokens, doc_id) AS bucket
         |FROM pd""".stripMargin,
+    "q119_bigram_nll" ->
+      """WITH b AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, ws FROM b WHERE len(ws) > 0),
+        |wi AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM b2),
+        |w2 AS (SELECT doc_id, ws[i] AS cur,
+        |  CASE WHEN i > 1 THEN ws[i-1] ELSE NULL END AS prev FROM wi),
+        |u AS (SELECT cur AS wd, count(*) AS c1 FROM w2 GROUP BY cur),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n_corpus, count(*) AS vocab FROM u),
+        |bg AS (SELECT prev, cur, count(*) AS c2 FROM w2 WHERE prev IS NOT NULL GROUP BY prev, cur),
+        |j AS (
+        |  SELECT w2.doc_id, w2.prev,
+        |    CAST(uc.c1 + 1 AS DOUBLE) / (t.n_corpus + t.vocab) AS pu,
+        |    CAST(bg.c2 + 1 AS DOUBLE) / (up.c1 + t.vocab) AS pb
+        |  FROM w2
+        |  JOIN u uc ON w2.cur = uc.wd
+        |  LEFT JOIN u up ON w2.prev = up.wd
+        |  LEFT JOIN bg ON w2.prev = bg.prev AND w2.cur = bg.cur, t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(floor(-1e6 * ln(
+        |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q118_domain_cap" ->
       """WITH u0 AS (
         |  SELECT doc_id,

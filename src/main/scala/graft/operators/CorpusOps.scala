@@ -408,6 +408,60 @@ object CorpusOps {
     perDoc.withColumn("bucket", ntile(nBuckets).over(byQuality))
   }
 
+  /** Interpolated-bigram LM negative log-likelihood per document — the
+    * stronger perplexity proxy one step up from [[unigramNll]] (CCNet's
+    * KenLM is an n-gram model; a Jelinek–Mercer-interpolated bigram is the
+    * smallest member of that family):
+    * `p(w_i | w_{i-1}) = λ·(c2(w_{i-1},w_i)+1)/(c1(w_{i-1})+V) +
+    * (1−λ)·(c1(w_i)+1)/(N+V)`; the first token backs off to the unigram
+    * term alone. Each term floors to micro-units before the per-doc sum, so
+    * the result replays exactly — including `1−λ` evaluated as the same
+    * IEEE expression on both sides (the oracle spells it `(1 - 0.7)`, NOT
+    * `0.3`, because those are different doubles).
+    *
+    * Plan: the prev/cur pairing is a map-side `zip_with` against the
+    * shifted word array (no per-doc window), then three keyed shuffles of
+    * the token stream (unigram join on cur, unigram join on prev, bigram
+    * join on the pair) and one per-doc aggregate; corpus totals broadcast.
+    * Linear in corpus size; the bigram count table shuffles rather than
+    * broadcasts (vocabulary² keys).
+    */
+  def bigramNll(df: DataFrame, textCol: String, idCol: String,
+                lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
+    val ws = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val base = df.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+    val words = base.select(col("doc_id"),
+      posexplode(zip_with(col("ws"),
+        concat(array(lit(null).cast("string")), slice(col("ws"), lit(1), size(col("ws")) - 1)),
+        (c, p) => struct(c.as("cur"), p.as("prev")))).as(Seq("pos", "cp")))
+      .select(col("doc_id"), col("cp.cur").as("cur"), col("cp.prev").as("prev"))
+      .persistTracked
+    val uni = words.groupBy(col("cur").as("wd")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("n_corpus"), count(lit(1)).as("vocab"))
+    val bi = words.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val pu = (col("c1_cur") + 1).cast("double") /
+      (col("n_corpus") + col("vocab")).cast("double")
+    val pb = (col("c2") + 1).cast("double") /
+      (col("c1_prev") + col("vocab")).cast("double")
+    words
+      .join(uni.select(col("wd"), col("c1").as("c1_cur")), col("cur") === col("wd"))
+      .drop("wd")
+      .join(uni.select(col("wd").as("wdp"), col("c1").as("c1_prev")),
+        col("prev") === col("wdp"), "left")
+      .drop("wdp")
+      .join(bi, Seq("prev", "cur"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("term_micro",
+        floor(lit(-1e6) * log(
+          when(col("prev").isNull, pu)
+            .otherwise(lit(lambda) * pb + lit(1 - lambda) * pu))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("nll2_micro"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
     * by how much more likely its hashed-unigram bag is under a TARGET

@@ -346,6 +346,32 @@ class Round7Spec extends AnyFunSuite with SparkTest {
       Map(1 -> 1, 2 -> 1, 3 -> 1), "strata band independently")
   }
 
+  test("bigramNll: matches a sequential interpolated-bigram replay") {
+    val texts = Map(1L -> "a b a b c", 2L -> "a b", 3L -> "c c a b c a")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val words = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val all = words.values.flatten.toSeq
+    val c1 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    val v = c1.size.toLong
+    val c2 = words.values.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def term(prev: Option[String], cur: String): Long = {
+      val pu = (c1(cur) + 1).toDouble / (n + v)
+      val p = prev.fold(pu)(pw =>
+        0.7 * ((c2((pw, cur)) + 1).toDouble / (c1(pw) + v)) + (1 - 0.7) * pu)
+      math.floor(-1e6 * math.log(p)).toLong
+    }
+    val want = words.view.mapValues(ws => ws.zipWithIndex.map { case (w, i) =>
+      term(if (i == 0) None else Some(ws(i - 1)), w)
+    }.sum).toMap.toMap
+    val got = CorpusOps.bigramNll(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(x => x._1 -> x._3).toMap == want)
+    assert(got.map(x => x._1 -> x._2).toMap ==
+      words.view.mapValues(_.size.toLong).toMap.toMap, "n_tokens per doc")
+  }
+
   test("capPerDomain: blocklist drops hosts; cap keeps the ticket-smallest subset, layout-independent") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 60L).map(i => (i, s"https://HOST${i % 3}.com:443/p/$i")).toDF("id", "url")
