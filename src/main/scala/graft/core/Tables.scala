@@ -36,6 +36,15 @@ object Tables {
         // land one microsecond above DuckDB's truncation
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Some parquet writers mark the column isAdjustedToUTC=false, which
+        // Spark reads as TIMESTAMP_NTZ. unix_micros() and event-time
+        // watermarks require TimestampType; with the session timezone
+        // pinned to UTC (GraftSession/Verify/Bench all set it) the cast
+        // reinterprets the same wall-clock as the same instant, so every
+        // downstream value — and the DuckDB oracle compare — is unchanged.
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
