@@ -259,6 +259,20 @@ object GraftEngine {
                 budgets: Map[String, Long]): DataFrame =
     operators.CorpusOps.trainingMix(docs, key, strataCol, tokensCol, budgets)
 
+  /** train_quality_model: closed-form multinomial-NB sufficient statistics
+    * from a labeled corpus (GPT-3-style learned quality filter; see
+    * [[operators.QualityOps.nbTrain]]).
+    */
+  def trainQualityModel(labeled: DataFrame, textCol: String, labelCol: String): DataFrame =
+    operators.QualityOps.nbTrain(labeled, textCol, labelCol)
+
+  /** score_quality: per-document NB quality score + keep/drop prediction
+    * against a trained model ([[operators.QualityOps.nbScore]]).
+    */
+  def scoreQuality(docs: DataFrame, model: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    operators.QualityOps.nbScore(docs, model, textCol, idCol)
+
   /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
   def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
     operators.KnnOps.quantizeInt8(df, embCol)

@@ -932,6 +932,30 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
     },
 
+    // GPT-3-style learned quality classifier (multinomial NB, closed-form
+    // training): positives = 200 real documents, negatives = 40 planted
+    // spam docs (one boilerplate phrase repeated 15x). Score the corpus
+    // plus 20 fresh spam plants — every plant must come out pred = false
+    // (its vocabulary is pure negative evidence) while ordinary documents
+    // ride the positive prior. Counts, micro-nat logs, and long sums
+    // replay exactly in SQL.
+    "q120_nb_quality" -> { (s, dir) =>
+      val spamPhrase = "buy cheap now click here free offer win prize act"
+      val docs = Tables.documents(s, dir)
+      val trainPos = docs.filter(col("doc_id") < 200)
+        .select(col("text"), lit(1).as("label"))
+      val trainNeg = docs.filter(col("doc_id") < 40)
+        .select(array_join(array_repeat(lit(spamPhrase), 15), " ").as("text"),
+          lit(0).as("label"))
+      val model = graft.operators.QualityOps.nbTrain(
+        trainPos.unionByName(trainNeg), "text", "label")
+      val scoreSet = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(array_repeat(lit(spamPhrase), 12), " ").as("text")))
+      graft.operators.QualityOps.nbScore(scoreSet, model, "text", "doc_id")
+    },
+
     // RefinedWeb/FineWeb-style per-domain governance: blocklist two hosts,
     // cap every remaining host at 5 docs, survivors picked in deterministic
     // splitmix-ticket order (the same synthesized URL population as q110).
@@ -2095,6 +2119,53 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q120_nb_quality" ->
+      """WITH spamtext AS (
+        |  SELECT trim(repeat('buy cheap now click here free offer win prize act ', 15)) AS t15,
+        |         trim(repeat('buy cheap now click here free offer win prize act ', 12)) AS t12),
+        |train AS (
+        |  SELECT text, 1 AS label FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT t15 AS text, 0 AS label FROM documents, spamtext WHERE doc_id < 40),
+        |dc AS (SELECT
+        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0 FROM train),
+        |tok AS (
+        |  SELECT label, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM train),
+        |cnt AS (SELECT w,
+        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        |  FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+        |  count(*) AS vocab FROM cnt),
+        |g AS (SELECT
+        |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
+        |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt_unseen,
+        |  CAST(floor(1e6 * ln(CAST(d1 AS DOUBLE) / d0)) AS BIGINT) AS prior_micro
+        |  FROM tot, dc),
+        |wts AS (SELECT w,
+        |  CAST(floor(1e6 * ln(CAST(c1 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
+        |  CAST(floor(1e6 * ln(CAST(c0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt
+        |  FROM cnt, tot),
+        |score_set AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, t12 AS text
+        |  FROM documents, spamtext WHERE doc_id < 20),
+        |stok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM score_set),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(COALESCE(wt, wt_unseen)) AS BIGINT) AS ev
+        |  FROM stok s LEFT JOIN wts USING (w), g GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(ev, CAST(0 AS BIGINT)) + prior_micro AS score_micro,
+        |  (COALESCE(ev, CAST(0 AS BIGINT)) + prior_micro) > 0 AS pred
+        |FROM (SELECT DISTINCT doc_id FROM score_set) d
+        |LEFT JOIN per USING (doc_id), g""".stripMargin,
     "q118_domain_cap" ->
       """WITH u0 AS (
         |  SELECT doc_id,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classification for corpus filtering (training-pipeline
+  * addition; the reference's quality signals are heuristic-only —
+  * pkg/compress/extractive.go's length/punctuation scoring). This is the
+  * published "quality classifier" recipe family: GPT-3 (Brown et al. 2020,
+  * Appendix A) filters CommonCrawl with a linear classifier over tokens
+  * trained on curated-vs-crawl labels, and fastText (Joulin et al. 2016)
+  * shows linear bag-of-words models are the scalable choice at corpus size.
+  *
+  * We use multinomial Naive Bayes with add-one smoothing — the one linear
+  * classifier whose TRAINING is a closed-form relational aggregate (token
+  * counts per class), so both training and scoring replay exactly in SQL
+  * and hold the repo's oracle gate. At 100 TB: training is one explode +
+  * one token-keyed groupBy (map-side partial aggregation does the heavy
+  * lifting); scoring is one explode + one token-keyed join against the
+  * model (broadcast when the vocabulary fits, shuffle otherwise) + one
+  * per-doc sum. No iteration, no driver state.
+  *
+  * Fixed-point discipline (the q100 micro-nat recipe): every log-likelihood
+  * floors to integer micro-nats BEFORE summing, so per-doc sums are
+  * order-independent longs and Java-vs-DuckDB `ln` last-ulp differences
+  * cannot flip a hash compare.
+  */
+object QualityOps {
+
+  private val Tokenize: Column => Column = c =>
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Train: sufficient statistics of multinomial NB from a labeled corpus
+    * (`labelCol` ∈ {0, 1}; 1 = keep-quality). Output one row per vocabulary
+    * token — (w, c1, c0) occurrence counts per class — with the model
+    * globals (n1, n0 total tokens per class; vocab size; d1, d0 labeled doc
+    * counts) denormalized onto every row so the model is one self-contained
+    * DataFrame a caller can persist as parquet and reuse across batches.
+    * One explode + one token groupBy + a broadcast 1-row aggregate.
+    */
+  def nbTrain(labeled: DataFrame, textCol: String, labelCol: String): DataFrame = {
+    val docCounts = labeled.agg(
+      sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("d1"),
+      sum(when(col(labelCol) === 0, 1L).otherwise(0L)).as("d0"))
+    val tok = labeled.select(col(labelCol).as("label"),
+      explode(Tokenize(col(textCol))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"),
+      count(lit(1)).as("vocab"))
+    counts.crossJoin(broadcast(totals)).crossJoin(broadcast(docCounts))
+  }
+
+  /** Add-one-smoothed log-likelihood in integer micro-nats:
+    * floor(1e6 · ln((c+1)/(n+vocab))). The double division is IEEE-exact in
+    * both Spark and DuckDB; the floor freezes the one implementation-defined
+    * step (ln) at a granularity where both engines agree.
+    */
+  private def llMicro(c: Column, n: Column, vocab: Column): Column =
+    floor(lit(1e6) * log((c + 1).cast("double") / (n + vocab).cast("double")))
+      .cast("long")
+
+  /** Score every document against a trained model: per-token evidence
+    * weight = ll(c1) − ll(c0) (micro-nats, long), unseen tokens get the
+    * smoothed-zero weight, plus the class-prior term ln(d1/d0). Output:
+    * (doc_id, n_tokens, score_micro, pred) — `pred` is score > 0, i.e.
+    * "more likely drawn from the quality class". Token-less documents score
+    * the bare prior. The model side is reduced to (w, weight) before the
+    * join, so the join payload is 8 bytes per vocab row however wide the
+    * stats are.
+    */
+  def nbScore(docs: DataFrame, model: DataFrame, textCol: String,
+              idCol: String): DataFrame = {
+    val weights = model.select(col("w"),
+      (llMicro(col("c1"), col("n1"), col("vocab")) -
+        llMicro(col("c0"), col("n0"), col("vocab"))).as("wt"))
+    // one row of globals: smoothed-zero weight for unseen tokens + prior
+    val globals = model.groupBy().agg(
+      max(llMicro(lit(0L), col("n1"), col("vocab")) -
+        llMicro(lit(0L), col("n0"), col("vocab"))).as("wt_unseen"),
+      max(floor(lit(1e6) * log(col("d1").cast("double") / col("d0").cast("double")))
+        .cast("long")).as("prior_micro"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(Tokenize(col(textCol))).as("w"))
+    val perDoc = tok.join(weights, Seq("w"), "left")
+      .crossJoin(broadcast(globals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wt"), col("wt_unseen"))).as("evidence_micro"))
+    // token-less docs fall out of the explode — restore them at bare prior
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(globals))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("evidence_micro"), lit(0L)) + col("prior_micro"))
+          .as("score_micro"))
+      .withColumn("pred", col("score_micro") > 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def ll(c: Long, n: Long, v: Long): Long =
+    math.floor(1e6 * math.log((c + 1).toDouble / (n + v).toDouble)).toLong
+
+  test("nbTrain counts match hand computation") {
+    import spark.implicits._
+    val labeled = Seq(
+      ("good nice good", 1), ("nice fine", 1),
+      ("bad spam bad", 0)
+    ).toDF("text", "label")
+    val m = QualityOps.nbTrain(labeled, "text", "label")
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("c1"), r.getAs[Long]("c0"))).toMap
+    assert(m("good") == (2L, 0L))
+    assert(m("nice") == (2L, 0L))
+    assert(m("fine") == (1L, 0L))
+    assert(m("bad") == (0L, 2L))
+    assert(m("spam") == (0L, 1L))
+    assert(m.size == 5) // vocab spans both classes
+  }
+
+  test("nbScore reproduces the closed-form micro-nat arithmetic") {
+    import spark.implicits._
+    val labeled = Seq(
+      ("good nice good", 1), ("nice fine", 1),
+      ("bad spam bad", 0)
+    ).toDF("text", "label")
+    val model = QualityOps.nbTrain(labeled, "text", "label")
+    // n1 = 5 tokens, n0 = 3 tokens, vocab = 5, d1 = 2, d0 = 1
+    val docs = Seq(
+      (1L, "good unknownword"), // one positive token, one unseen
+      (2L, "bad spam"),         // pure negative evidence
+      (3L, "")                  // token-less: bare prior
+    ).toDF("doc_id", "text")
+    val out = QualityOps.nbScore(docs, model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_micro"),
+          r.getAs[Boolean]("pred"))).toMap
+    val prior = math.floor(1e6 * math.log(2.0 / 1.0)).toLong
+    val wGood = ll(2, 5, 5) - ll(0, 3, 5)
+    val wUnseen = ll(0, 5, 5) - ll(0, 3, 5)
+    val wBad = ll(0, 5, 5) - ll(2, 3, 5)
+    val wSpam = ll(0, 5, 5) - ll(1, 3, 5)
+    assert(out(1L) == ((2L, prior + wGood + wUnseen, true)))
+    assert(out(2L) == ((2L, prior + wBad + wSpam, false)))
+    assert(out(3L) == ((0L, prior, true)))
+  }
+
+  test("spam-trained model separates planted spam from ordinary text") {
+    import spark.implicits._
+    val spam = "buy cheap now click here free offer"
+    val labeled = (0 until 20).map(i => (s"the quick brown fox $i jumps over lazy dogs", 1)) ++
+      (0 until 5).map(_ => (Seq.fill(10)(spam).mkString(" "), 0))
+    val model = QualityOps.nbTrain(labeled.toDF("text", "label"), "text", "label")
+    val docs = Seq((1L, "the quick brown fox runs"), (2L, Seq.fill(8)(spam).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = QualityOps.nbScore(docs, model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pred")).toMap
+    assert(out(1L) && !out(2L))
+  }
+}
