@@ -259,6 +259,15 @@ object GraftEngine {
                 budgets: Map[String, Long]): DataFrame =
     operators.CorpusOps.trainingMix(docs, key, strataCol, tokensCol, budgets)
 
+  /** search_text: BM25 lexical top-k retrieval — the sparse leg beside
+    * [[searchVectors]]' dense one ([[operators.Bm25Ops.bm25TopK]]).
+    */
+  def searchText(docs: DataFrame, textCol: String, idCol: String,
+                 queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                 k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame =
+    operators.Bm25Ops.bm25TopK(docs, textCol, idCol, queries, queryIdCol,
+      queryTextCol, k, k1, b)
+
   /** train_quality_model: closed-form multinomial-NB sufficient statistics
     * from a labeled corpus (GPT-3-style learned quality filter; see
     * [[operators.QualityOps.nbTrain]]).

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.util.OpCaches.TrackedPersist
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical top-k retrieval with BM25 ranking (training-pipeline addition:
+  * the sparse complement to [[KnnOps]]' dense retrieval — corpus search,
+  * contamination triage, and hybrid-retrieval pipelines all want a lexical
+  * leg; the reference's only lexical scoring is TF keyword overlap at
+  * pkg/compress/extractive.go:84-120).
+  *
+  * Robertson/Spärck Jones BM25 in the Lucene parameterization:
+  * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), per-term score
+  * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+  *
+  * Scale shape (the inverted-index plan, no index structure needed): one
+  * explode + one (doc, term) groupBy builds term frequencies; the query
+  * term set broadcasts and prunes the posting rows map-side, so only
+  * postings of query terms ever shuffle; document frequencies for those
+  * few terms broadcast back. Per-query ranking is a window over the
+  * candidate set — bounded by the pruned postings, not the corpus.
+  *
+  * Determinism for the oracle gate: idf floors to integer micro-nats
+  * (the q100 recipe — ln is the only implementation-defined step), the
+  * per-term product floors to a long, and per-doc scores are SUMS OF
+  * LONGS. Defaults k1 = 1.5, b = 0.75 are exact binary fractions, so
+  * every constant subexpression is IEEE-exact in both engines.
+  */
+object Bm25Ops {
+
+  private val Tokenize: Column => Column = c =>
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
+  /** Top-`k` documents per query by BM25. `queries` carries
+    * (`queryIdCol`, `queryTextCol`); output (query_id, doc_id, score_micro,
+    * rank), rank 1-based by (score desc, doc_id asc).
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // one row per (doc, term): the posting list with term frequency
+    val tf = docs.select(col(idCol).as("doc_id"),
+      explode(Tokenize(col(textCol))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persistTracked
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // distinct query terms (BM25 scores the term SET; duplicate terms in a
+    // query add nothing but double-counted idf)
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(Tokenize(col(queryTextCol))).as("w")).distinct()
+    val qw = qt.select(col("w")).distinct()
+    // document frequency of query terms only — postings prune map-side
+    // against the broadcast term set before any shuffle
+    val dfreq = tf.join(broadcast(qw), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("w"), floor(lit(1e6) * log(
+        (col("n_docs") - col("dfreq") + lit(0.5)).cast("double") /
+          (col("dfreq") + lit(0.5)).cast("double") + lit(1.0)))
+        .cast("long").as("idf_micro"))
+    val cand = tf.join(broadcast(qt), "w")
+      .join(broadcast(idf), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      // mirrored exactly by the SQL oracle: every step is an IEEE-exact
+      // multiply/divide over already-fixed operands, then one floor
+      .withColumn("term_micro", floor(
+        col("idf_micro").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("sum_dl").cast("double"))))
+        .cast("long"))
+    val scored = cand.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("n_terms_hit"), col("rank"))
+  }
+}

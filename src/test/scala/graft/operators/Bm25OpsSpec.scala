@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class Bm25OpsSpec extends AnyFunSuite with SparkTest {
+
+  test("bm25TopK reproduces the closed-form score on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), // dl=3, tf(apple)=2
+      (2L, "apple cherry"),       // dl=2, tf(apple)=1
+      (3L, "durian elderberry fig grape") // dl=4, no query terms
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple")).toDF("query_id", "query_text")
+    val out = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score_micro"), r.getAs[Int]("rank"))).toMap
+    // n_docs=3, sum_dl=9, df(apple)=2
+    val idf = math.floor(1e6 * math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)).toLong
+    def score(tf: Long, dl: Long): Long =
+      math.floor(idf.toDouble * (tf.toDouble * 2.5) /
+        (tf.toDouble + 1.5 * (0.25 + 0.75 * dl.toDouble * 3.0 / 9.0))).toLong
+    assert(out.keySet == Set(1L, 2L)) // doc 3 shares no term: absent
+    assert(out(1L)._1 == score(2, 3))
+    assert(out(2L)._1 == score(1, 2))
+    // doc 1 has higher tf but longer dl; verify the ranking the formula gives
+    val expectedFirst = if (score(2, 3) >= score(1, 2)) 1L else 2L
+    assert(out(expectedFirst)._2 == 1)
+  }
+
+  test("rare terms outrank common terms via idf") {
+    import spark.implicits._
+    // "common" is in every doc, "rare" in one — a doc matching "rare"
+    // must beat docs matching only "common"
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common gamma delta epsilon"),
+      (3L, "common zeta eta theta")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "common rare")).toDF("query_id", "query_text")
+    val top = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 3)
+      .filter("rank = 1").collect().head
+    assert(top.getAs[Long]("doc_id") == 1L)
+    assert(top.getAs[Long]("n_terms_hit") == 2L)
+  }
+
+  test("duplicate query terms do not double-count") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val q1 = Seq((1L, "apple")).toDF("query_id", "query_text")
+    val q2 = Seq((1L, "apple apple apple")).toDF("query_id", "query_text")
+    val s1 = Bm25Ops.bm25TopK(docs, "text", "doc_id", q1, "query_id", "query_text", 5)
+      .collect().head.getAs[Long]("score_micro")
+    val s2 = Bm25Ops.bm25TopK(docs, "text", "doc_id", q2, "query_id", "query_text", 5)
+      .collect().head.getAs[Long]("score_micro")
+    assert(s1 == s2)
+  }
+}
