@@ -259,6 +259,16 @@ object GraftEngine {
                 budgets: Map[String, Long]): DataFrame =
     operators.CorpusOps.trainingMix(docs, key, strataCol, tokensCol, budgets)
 
+  /** semantic_dedup: SemDeDup over k-means cells — cosine-threshold
+    * duplicate groups within each cell, one survivor per group
+    * ([[operators.ClusterOps.semDedup]]; use
+    * [[operators.ClusterOps.semDedupAssigned]] with a precomputed
+    * clustering).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String, eps: Double,
+                    k0: Int = 0, nHint: Long = 0L): DataFrame =
+    operators.ClusterOps.semDedup(df, idCol, embCol, eps, k0 = k0, nHint = nHint)
+
   /** search_text: BM25 lexical top-k retrieval — the sparse leg beside
     * [[searchVectors]]' dense one ([[operators.Bm25Ops.bm25TopK]]).
     */

@@ -932,6 +932,33 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
     },
 
+    // SemDeDup (semantic dedup within cluster cells) on planted geometry:
+    // 16-dim embeddings with a one-hot cluster axis (vec_id % 8) plus a
+    // perturbation axis {8,9} at magnitude {0.25, 0.375, 0.5} — exact
+    // binary fractions. Same-axis cosine >= 0.976, cross-axis <= 0.942,
+    // so eps = 0.96 splits every cluster into exactly its two axis groups
+    // with ~0.02 margins (float ulp can't flip a decision). The keep rule
+    // uses a planted integer score, so the whole output is int/bool and
+    // the oracle replays the component structure in closed form.
+    "q122_semdedup" -> { (s, dir) =>
+      val planted = Tables.embeddings(s, dir).select(
+        col("vec_id").cast("long").as("vec_id"),
+        expr("cast(vec_id as bigint) % 8").as("cluster"),
+        expr("8 + ((cast(vec_id as bigint) div 8) % 2)").as("axis"),
+        expr("cast(0.25 + 0.125 * ((cast(vec_id as bigint) div 16) % 3) as float)").as("p"),
+        expr("cast(vec_id as bigint) % 7").as("score"))
+      val emb = planted.withColumn("embedding",
+        transform(sequence(lit(0), lit(15)), d =>
+          when(d.cast("long") === col("cluster"), lit(1f))
+            .when(d.cast("long") === col("axis"), col("p"))
+            .otherwise(lit(0f))))
+        .drop("p")
+      graft.operators.ClusterOps.semDedupAssigned(
+        emb, "vec_id", "embedding", "cluster", eps = 0.96,
+        keepScoreCol = Some("score"))
+        .select(col("vec_id"), col("cluster"), col("label"), col("kept"))
+    },
+
     // BM25 lexical top-k retrieval (the sparse leg of hybrid search): three
     // multi-term queries against the documents table via the inverted-
     // posting plan — query terms broadcast, postings prune map-side, idf
@@ -2134,6 +2161,17 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q122_semdedup" ->
+      """WITH e AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(vec_id AS BIGINT) % 8 AS cluster,
+        |    8 + ((CAST(vec_id AS BIGINT) // 8) % 2) AS a
+        |  FROM embeddings)
+        |SELECT vec_id, cluster,
+        |  min(vec_id) OVER (PARTITION BY cluster, a) AS label,
+        |  (row_number() OVER (PARTITION BY cluster, a
+        |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
+        |FROM e""".stripMargin,
     "q121_bm25_topk" ->
       """WITH q(query_id, query_text) AS (
         |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),

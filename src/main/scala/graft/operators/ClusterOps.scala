@@ -231,6 +231,73 @@ object ClusterOps {
       .drop("centroid", "cdist", "rn", "medoid_emb", "medoid_dist")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") over a PRECOMPUTED cluster
+    * assignment: within each cluster, documents with pairwise cosine
+    * similarity above `eps` form semantic-duplicate groups (connected
+    * components — [[DedupOps.dedupSweep]]'s bounded label propagation), and
+    * exactly one member of each group is kept. The published keep rule —
+    * the member LEAST similar to its cluster centroid, i.e. the one adding
+    * the most diversity — is the default; `keepScoreCol` overrides it with
+    * a caller score (keep max, ties to min id).
+    *
+    * Scale shape: the pair generation is a cluster-keyed self-join — the
+    * paper's own trick, O(Σ sᵢ²) work but never a corpus-wide cartesian —
+    * and with k ≈ √(N/2) clusters the expected total pair work is O(N^1.5)
+    * compute, shuffled only by cluster key. Everything downstream (labels,
+    * centroid aggregate, keep ranking) is one keyed shuffle each.
+    *
+    * Output: input columns + `label` (duplicate-group id = min member id)
+    * + `kept`.
+    */
+  def semDedupAssigned(df: DataFrame, idCol: String, embCol: String,
+                       clusterCol: String, eps: Double,
+                       keepScoreCol: Option[String] = None,
+                       maxIters: Int = 5): DataFrame = {
+    val a = df.select(col(clusterCol).as("__c"), col(idCol).as("ida"),
+      col(embCol).as("__ea"))
+    val b = df.select(col(clusterCol).as("__c"), col(idCol).as("idb"),
+      col(embCol).as("__eb"))
+    val pairs = a.join(b, "__c").filter(col("ida") < col("idb"))
+      .filter(GraftFunctions.cosine_similarity(col("__ea"), col("__eb")) > eps)
+      .select(col("ida"), col("idb"))
+    val labeled = DedupOps.dedupSweep(df, pairs, idCol, maxIters).drop("keep")
+    val scored = keepScoreCol match {
+      case Some(s) => labeled.withColumn("__score", col(s).cast("double"))
+      case None =>
+        val cents = df.groupBy(col(clusterCol))
+          .agg(graft.functions.VectorMeanAgg.column(col(embCol)).as("__cent"))
+        labeled.join(cents, clusterCol)
+          .withColumn("__score",
+            GraftFunctions.cosine_distance(col(embCol), col("__cent")))
+          .drop("__cent")
+    }
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    scored.withColumn("kept", row_number().over(w) === 1).drop("__score")
+  }
+
+  /** [[semDedupAssigned]] with the paper's k-means front end: fit k ≈
+    * √(N/2) clusters (or `k0`) on the embeddings, then semantic-dedup
+    * within each cell. `nHint` skips the sizing count like [[kmeansDedup]].
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, eps: Double,
+               k0: Int = 0, nHint: Long = 0L, maxIter: Int = 10,
+               seed: Long = 42L,
+               keepScoreCol: Option[String] = None): DataFrame = {
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withFeatures = df.withColumn("features", toVec(col(embCol))).persistTracked
+    val k =
+      if (k0 > 0) k0
+      else if (nHint > 0L) math.max(1, math.sqrt(nHint / 2.0).toInt)
+      else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features").fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .withColumnRenamed("prediction", "cluster").drop("features")
+    semDedupAssigned(assigned, idCol, embCol, "cluster", eps, keepScoreCol)
+  }
+
   /** A12 diversity/coverage metrics of a selection vs the original set, as
     * relational aggregates (self-join + avg; join + groupBy-min + avg).
     */

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite with SparkTest {
+
+  private def emb(xs: Float*): Array[Float] = xs.toArray
+
+  test("semDedupAssigned groups by cosine threshold and keeps one per group") {
+    import spark.implicits._
+    // cluster 0: ids 1,2 nearly identical (cos ~ 0.9997), id 3 orthogonal-ish
+    // cluster 1: id 4 alone
+    val df = Seq(
+      (1L, 0, emb(1f, 0.02f, 0f)),
+      (2L, 0, emb(1f, 0f, 0.02f)),
+      (3L, 0, emb(0f, 1f, 0f)),
+      (4L, 1, emb(0f, 0f, 1f))
+    ).toDF("id", "cluster", "embedding")
+    val out = ClusterOps.semDedupAssigned(df, "id", "embedding", "cluster", eps = 0.99)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("label"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L) // one dup group
+    assert(out(3L) == ((3L, true)) && out(4L) == ((4L, true))) // singletons kept
+    // exactly one of the dup pair survives
+    assert(Seq(out(1L)._2, out(2L)._2).count(identity) == 1)
+  }
+
+  test("default keep rule keeps the member least similar to the cluster centroid") {
+    import spark.implicits._
+    // three mutual near-dups; id 3 is tilted furthest from the group mean
+    val df = Seq(
+      (1L, 0, emb(1f, 0f)),
+      (2L, 0, emb(1f, 0.01f)),
+      (3L, 0, emb(1f, 0.09f))
+    ).toDF("id", "cluster", "embedding")
+    val out = ClusterOps.semDedupAssigned(df, "id", "embedding", "cluster", eps = 0.99)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    // centroid ~ (1, 0.0333); id 3 (and id 1) sit furthest; the paper rule
+    // keeps the max-distance member — id 3's angle to centroid exceeds id 1's
+    assert(out.count(_._2) == 1)
+    assert(out(3L), "the outlier member should be the survivor")
+  }
+
+  test("keepScoreCol overrides the centroid rule") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, emb(1f, 0f), 5L),
+      (2L, 0, emb(1f, 0.001f), 9L)
+    ).toDF("id", "cluster", "embedding", "w8")
+    val out = ClusterOps.semDedupAssigned(df, "id", "embedding", "cluster",
+      eps = 0.99, keepScoreCol = Some("w8"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(!out(1L) && out(2L))
+  }
+
+  test("semDedup k-means front end dedups planted one-hot duplicates") {
+    import spark.implicits._
+    // 4 well-separated one-hot directions, 3 copies each (tiny jitter on a
+    // spare axis so copies are distinct rows but cos > 0.999)
+    val rows = for (c <- 0 until 4; j <- 0 until 3) yield {
+      val v = Array.fill(8)(0f); v(c) = 1f; v(4 + c) = 0.001f * j
+      (c * 10L + j, v)
+    }
+    val df = rows.toDF("id", "embedding")
+    val out = ClusterOps.semDedup(df, "id", "embedding", eps = 0.999, k0 = 4)
+    assert(out.count() == 12)
+    assert(out.filter("kept").count() == 4) // one survivor per direction
+  }
+}
