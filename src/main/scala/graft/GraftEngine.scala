@@ -278,6 +278,14 @@ object GraftEngine {
     operators.Bm25Ops.bm25TopK(docs, textCol, idCol, queries, queryIdCol,
       queryTextCol, k, k1, b)
 
+  /** fuse_rankings: reciprocal-rank fusion of lexical/dense retrieval legs
+    * in exact integer arithmetic ([[operators.Bm25Ops.rrfFuse]]).
+    */
+  def fuseRankings(rankings: Seq[DataFrame], queryIdCol: String,
+                   docIdCol: String, rankCol: String, k: Int,
+                   c: Long = 60L): DataFrame =
+    operators.Bm25Ops.rrfFuse(rankings, queryIdCol, docIdCol, rankCol, k, c)
+
   /** train_quality_model: closed-form multinomial-NB sufficient statistics
     * from a labeled corpus (GPT-3-style learned quality filter; see
     * [[operators.QualityOps.nbTrain]]).

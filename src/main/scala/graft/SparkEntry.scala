@@ -932,6 +932,32 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
     },
 
+    // Hybrid retrieval via reciprocal-rank fusion: the q121 BM25 leg fused
+    // with a second deterministic ranking (a closed-form hash ordering
+    // standing in for the dense leg, which is oracled separately at
+    // q18/q37). RRF runs in exact integer arithmetic (1e9 div (60+rank)),
+    // so the fusion replays bit-for-bit.
+    "q123_hybrid_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"),
+        (2L, "stream window batch"),
+        (3L, "vector scan filter")).toDF("query_id", "query_text")
+      val legA = graft.operators.Bm25Ops.bm25TopK(
+        Tables.documents(s, dir), "text", "doc_id",
+        queries, "query_id", "query_text", k = 20)
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("h"), col("doc_id"))
+      val legB = Tables.documents(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(queries.select(col("query_id"))))
+        .withColumn("h", expr("(doc_id * 2654435761L + query_id) % 997"))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.operators.Bm25Ops.rrfFuse(
+        Seq(legA, legB), "query_id", "doc_id", "rank", k = 10)
+    },
+
     // SemDeDup (semantic dedup within cluster cells) on planted geometry:
     // 16-dim embeddings with a one-hot cluster axis (vec_id % 8) plus a
     // perturbation axis {8,9} at magnitude {0.25, 0.375, 0.5} — exact
@@ -2161,6 +2187,49 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q123_hybrid_rrf" ->
+      """WITH q(query_id, query_text) AS (
+        |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
+        |         (CAST(2 AS BIGINT), 'stream window batch'),
+        |         (CAST(3 AS BIGINT), 'vector scan filter')),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |qt AS (SELECT DISTINCT query_id, w FROM (
+        |  SELECT query_id, unnest(list_filter(string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM q)),
+        |dfq AS (SELECT w, count(*) AS dfreq FROM tf WHERE w IN (SELECT w FROM qt) GROUP BY w),
+        |idf AS (SELECT w,
+        |  CAST(floor(1e6 * ln((CAST(n_docs - dfreq AS DOUBLE) + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_micro
+        |  FROM dfq, st),
+        |cand AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(CAST(idf_micro AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS term_micro
+        |  FROM tf JOIN qt USING (w) JOIN idf USING (w) JOIN dl USING (doc_id), st),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+        |  FROM cand GROUP BY query_id, doc_id),
+        |r1 AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
+        |  WHERE rank <= 20),
+        |r2 AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY (doc_id * 2654435761 + query_id) % 997, doc_id) AS INT) AS rank
+        |  FROM (SELECT d.doc_id, qq.query_id FROM documents d, (SELECT DISTINCT query_id FROM q) qq))
+        |  WHERE rank <= 20),
+        |u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS t
+        |  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)),
+        |s2 AS (SELECT query_id, doc_id, CAST(sum(t) AS BIGINT) AS rrf_nano,
+        |  count(*) AS n_lists FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, rrf_nano, n_lists, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank FROM s2)
+        |WHERE rank <= 10""".stripMargin,
     "q122_semdedup" ->
       """WITH e AS (
         |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -85,4 +85,35 @@ object Bm25Ops {
       .select(col("query_id"), col("doc_id"), col("score_micro"),
         col("n_terms_hit"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of any
+    * number of per-query rankings — the standard glue between the lexical
+    * ([[bm25TopK]]) and dense ([[KnnOps.bruteForceKnn]]) retrieval legs.
+    * Each input needs (`queryIdCol`, `docIdCol`, `rankCol`); a document's
+    * fused score is Σ 1/(c + rank) over the lists that ranked it.
+    *
+    * Scored in exact integer arithmetic — 10⁹ div (c + rank) — so fusion
+    * is bit-deterministic with no floating point anywhere, and the
+    * per-doc sum is order-independent. One union + one (query, doc)
+    * groupBy + one per-query window; inputs are already top-k-sized, so
+    * every stage is bounded by Σ list sizes, not the corpus.
+    *
+    * Output: (query_id, doc_id, rrf_nano, n_lists, rank), top `k` per
+    * query by (rrf_nano desc, doc_id asc).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryIdCol: String, docIdCol: String,
+              rankCol: String, k: Int, c: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1 && c >= 0, "k must be >= 1 and c >= 0")
+    val norm = rankings.map(_.select(col(queryIdCol).as("query_id"),
+      col(docIdCol).cast("long").as("doc_id"),
+      col(rankCol).cast("long").as("__r")))
+    val fused = norm.reduce(_ unionByName _)
+      .withColumn("__t", expr(s"1000000000L div ($c + __r)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__t")).as("rrf_nano"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class RrfFuseSpec extends AnyFunSuite with SparkTest {
+
+  test("rrfFuse sums exact reciprocal ranks across lists") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Bm25Ops.rrfFuse(Seq(a, b), "query_id", "doc_id", "rank", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rrf_nano"), r.getAs[Long]("n_lists"), r.getAs[Int]("rank"))).toMap
+    val r1 = 1000000000L / 61  // rank 1
+    val r2 = 1000000000L / 62  // rank 2
+    assert(out(20L) == ((r1 + r2, 2L, 1)))  // on both lists: wins
+    assert(out(10L) == ((r1, 1L, 2)))       // rank-1 on one list
+    assert(out(30L) == ((r2, 1L, 3)))
+  }
+
+  test("top-k cut and per-query isolation") {
+    import spark.implicits._
+    val a = (1 to 5).map(i => (1L, i.toLong, i)) ++ Seq((2L, 100L, 1))
+    val out = Bm25Ops.rrfFuse(Seq(a.toDF("query_id", "doc_id", "rank")),
+      "query_id", "doc_id", "rank", k = 3)
+    assert(out.filter("query_id = 1").count() == 3)
+    assert(out.filter("query_id = 2").count() == 1)
+  }
+}
