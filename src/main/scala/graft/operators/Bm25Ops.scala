@@ -36,11 +36,22 @@ object Bm25Ops {
   /** Top-`k` documents per query by BM25. `queries` carries
     * (`queryIdCol`, `queryTextCol`); output (query_id, doc_id, score_micro,
     * rank), rank 1-based by (score desc, doc_id asc).
+    *
+    * `maxDfFraction` < 1 drops query terms whose document frequency
+    * exceeds that fraction of the corpus BEFORE their postings join — the
+    * 100 TB stopword guard: a term like "the" carries near-zero idf but a
+    * corpus-sized posting list, so scoring it shuffles everything to add
+    * nothing. The df computation itself stays safe either way (postings
+    * only feed a count), so the cap trims the candidate join, not a
+    * correctness corner. Default 1.0 = off, matching the textbook formula.
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
-               k: Int, k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.5, b: Double = 0.75,
+               maxDfFraction: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
     // one row per (doc, term): the posting list with term frequency
     val tf = docs.select(col(idCol).as("doc_id"),
       explode(Tokenize(col(textCol))).as("w"))
@@ -57,7 +68,12 @@ object Bm25Ops {
     // against the broadcast term set before any shuffle
     val dfreq = tf.join(broadcast(qw), "w")
       .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
-    val idf = dfreq.crossJoin(broadcast(stats))
+    val kept =
+      if (maxDfFraction >= 1.0) dfreq.crossJoin(broadcast(stats))
+      else dfreq.crossJoin(broadcast(stats))
+        .filter(col("dfreq").cast("double") <=
+          lit(maxDfFraction) * col("n_docs").cast("double"))
+    val idf = kept
       .select(col("w"), floor(lit(1e6) * log(
         (col("n_docs") - col("dfreq") + lit(0.5)).cast("double") /
           (col("dfreq") + lit(0.5)).cast("double") + lit(1.0)))

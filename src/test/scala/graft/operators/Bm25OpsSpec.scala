@@ -47,6 +47,26 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
     assert(top.getAs[Long]("n_terms_hit") == 2L)
   }
 
+  test("maxDfFraction drops stopword-grade terms from scoring") {
+    import spark.implicits._
+    // "the" is in all 4 docs (df fraction 1.0); "zebra" only in doc 1
+    val docs = Seq(
+      (1L, "the zebra"), (2L, "the cat"), (3L, "the dog"), (4L, "the bird")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "the zebra")).toDF("query_id", "query_text")
+    val capped = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 10, maxDfFraction = 0.5)
+    val rows = capped.collect()
+    // only the "zebra" posting survives: one candidate doc, one term hit
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == 1L)
+    assert(rows.head.getAs[Long]("n_terms_hit") == 1L)
+    // uncapped: every doc is a candidate through "the"
+    val full = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 10)
+    assert(full.count() == 4)
+  }
+
   test("duplicate query terms do not double-count") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
