@@ -206,6 +206,37 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"$unpartitioned of $specs window specs are unpartitioned")
   }
 
+  test("q121: BM25 postings prune via broadcast; top-k group-limits before the final window") {
+    val plan = physicalPlan("q121_bm25_topk")
+    assert(!plan.contains("CartesianProduct"))
+    // posting/tf joins against query terms, idf, and dl must be broadcast
+    // at this scale; the only BNLJ allowed is the 1-row stats crossJoin
+    assert(plan.contains("BroadcastHashJoin"))
+    // Spark's rank-limit pushdown must engage: without WindowGroupLimit the
+    // final top-k sorts every candidate row per query on one partition
+    assert(plan.contains("WindowGroupLimit"), "top-k not group-limited")
+  }
+
+  test("q120: NB training and scoring aggregate map-side, no cartesian") {
+    val plan = physicalPlan("q120_nb_quality")
+    assert(!plan.contains("CartesianProduct"))
+    // token counts and per-doc sums must both be two-phase
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "aggregation is not map-side partial")
+    // the model/globals attach as broadcast 1-row joins, never a shuffle of
+    // the scored corpus against them
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q122: SemDeDup pair join is keyed on the cluster, components stay keyed") {
+    val plan = physicalPlan("q122_semdedup")
+    assert(!plan.contains("CartesianProduct"))
+    // the within-cell self-join must be an equi-join on the cluster key —
+    // a BNLJ here means the corpus-wide all-pairs came back
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "within-cluster self-join lost its equi key")
+  }
+
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
