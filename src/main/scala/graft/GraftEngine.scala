@@ -300,6 +300,17 @@ object GraftEngine {
                    idCol: String): DataFrame =
     operators.QualityOps.nbScore(docs, model, textCol, idCol)
 
+  /** prepare_training_corpus: the documents-in, training-layout-out
+    * composition — learned quality filter → exact dedup → sequence packing
+    * as one Catalyst plan ([[operators.CorpusOps.prepareTrainingCorpus]]).
+    */
+  def prepareTrainingCorpus(docs: DataFrame, textCol: String, idCol: String,
+                            labeled: DataFrame, labelCol: String,
+                            windowTokens: Long = 512L,
+                            shards: Int = 1024): DataFrame =
+    operators.CorpusOps.prepareTrainingCorpus(docs, textCol, idCol, labeled,
+      labelCol, windowTokens, shards)
+
   /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
   def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
     operators.KnnOps.quantizeInt8(df, embCol)

@@ -932,6 +932,31 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
     },
 
+    // The corpus-prep flagship: documents (plus 20 spam plants) through
+    // learned-quality filtering (q120's NB machinery) -> exact dedup ->
+    // GPT-style sequence packing (q113's layout), as ONE composed plan.
+    // The oracle chains the three proven CTE blocks: every spam plant must
+    // vanish before packing and every survivor's layout must match the
+    // splitmix-ticket replay.
+    "q124_prepare_corpus" -> { (s, dir) =>
+      val spamPhrase = "buy cheap now click here free offer win prize act"
+      val docs0 = Tables.documents(s, dir)
+      val corpus = docs0.select(col("doc_id"), col("text"))
+        .unionByName(docs0.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(array_repeat(lit(spamPhrase), 12), " ").as("text")))
+      val labeled = docs0.filter(col("doc_id") < 200)
+        .select(col("text"), lit(1).as("label"))
+        .unionByName(docs0.filter(col("doc_id") < 40)
+          .select(array_join(array_repeat(lit(spamPhrase), 15), " ").as("text"),
+            lit(0).as("label")))
+      graft.operators.CorpusOps.prepareTrainingCorpus(
+        corpus, "text", "doc_id", labeled, "label",
+        windowTokens = 512L, shards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"), col("seq_id"),
+          col("begin_offset"), col("n_splits"))
+    },
+
     // Hybrid retrieval via reciprocal-rank fusion: the q121 BM25 leg fused
     // with a second deterministic ranking (a closed-form hash ordering
     // standing in for the dense leg, which is oracled separately at
@@ -2187,6 +2212,71 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q124_prepare_corpus" ->
+      """WITH spamtext AS (
+        |  SELECT trim(repeat('buy cheap now click here free offer win prize act ', 15)) AS t15,
+        |         trim(repeat('buy cheap now click here free offer win prize act ', 12)) AS t12),
+        |train AS (
+        |  SELECT text, 1 AS label FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT t15 AS text, 0 AS label FROM documents, spamtext WHERE doc_id < 40),
+        |dc AS (SELECT
+        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0 FROM train),
+        |ttok AS (
+        |  SELECT label, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM train),
+        |cnt AS (SELECT w,
+        |  CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+        |  FROM ttok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+        |  count(*) AS vocab FROM cnt),
+        |g AS (SELECT
+        |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
+        |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt_unseen,
+        |  CAST(floor(1e6 * ln(CAST(d1 AS DOUBLE) / d0)) AS BIGINT) AS prior_micro
+        |  FROM tot, dc),
+        |wts AS (SELECT w,
+        |  CAST(floor(1e6 * ln(CAST(c1 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
+        |  CAST(floor(1e6 * ln(CAST(c0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt
+        |  FROM cnt, tot),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, t12 AS text
+        |  FROM documents, spamtext WHERE doc_id < 20),
+        |stok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM corpus),
+        |per AS (
+        |  SELECT s.doc_id, CAST(sum(COALESCE(wt, wt_unseen)) AS BIGINT) AS ev
+        |  FROM stok s LEFT JOIN wts USING (w), g GROUP BY s.doc_id),
+        |pred AS (
+        |  SELECT c.doc_id,
+        |    (COALESCE(ev, CAST(0 AS BIGINT)) + prior_micro) > 0 AS pred
+        |  FROM (SELECT DISTINCT doc_id FROM corpus) c
+        |  LEFT JOIN per USING (doc_id), g),
+        |keptd AS (SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN pred p ON c.doc_id = p.doc_id AND p.pred),
+        |uniq AS (SELECT min(doc_id) AS doc_id, text FROM keptd GROUP BY text),
+        |d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM uniq),
+        |z0 AS (SELECT doc_id, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |j AS (SELECT d.doc_id, d.n_tokens, tk.ticket, tk.ticket % 8 AS shard
+        |  FROM d JOIN tk ON d.doc_id = tk.doc_id),
+        |b AS (SELECT doc_id, n_tokens, shard, ticket,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ticket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokb
+        |  FROM j)
+        |SELECT doc_id, n_tokens, shard, tokb // 512 AS seq_id, tokb % 512 AS begin_offset,
+        |  (tokb + greatest(n_tokens, 1) - 1) // 512 - tokb // 512 AS n_splits
+        |FROM b""".stripMargin,
     "q123_hybrid_rrf" ->
       """WITH q(query_id, query_text) AS (
         |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),

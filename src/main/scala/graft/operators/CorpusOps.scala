@@ -731,4 +731,37 @@ object CorpusOps {
       .filter(col("cum_tokens") <= budget)
       .drop("__mix_key")
   }
+
+  /** End-to-end pretraining-corpus preparation — the "documents in,
+    * training layout out" composition of individually-oracled stages:
+    *
+    *   1. learned quality filter: train [[QualityOps.nbTrain]] on `labeled`
+    *      and keep only docs the model predicts quality (q120's machinery),
+    *   2. exact dedup: one survivor (min id) per identical text (q09's),
+    *   3. GPT-style sequence packing of the survivors ([[packSequences]],
+    *      q113's).
+    *
+    * Each stage is one shuffle-bounded relational pass, so the composition
+    * inherits every scale property of its parts; nothing re-materializes
+    * between stages — Catalyst sees one plan. For the heavier published
+    * recipes slot [[cleanCorpus]] before the quality filter and
+    * [[DedupOps]]' MinHash/semantic passes after the exact one; this verb
+    * keeps the spine linear and fully SQL-replayable.
+    *
+    * Output: [[packSequences]] layout rows (key, n_tokens, shard, seq_id,
+    * begin_offset, n_splits) for every surviving document.
+    */
+  def prepareTrainingCorpus(docs: DataFrame, textCol: String, idCol: String,
+                            labeled: DataFrame, labelCol: String,
+                            windowTokens: Long = 512L,
+                            shards: Int = 1024): DataFrame = {
+    val model = QualityOps.nbTrain(labeled, textCol, labelCol)
+    val scored = QualityOps.nbScore(docs, model, textCol, idCol)
+    val kept = docs.join(
+      scored.filter(col("pred")).select(col("doc_id").as("__keep_id")),
+      docs(idCol) === col("__keep_id")).drop("__keep_id")
+    val unique = kept.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    packSequences(unique, col(idCol),
+      regexp_count(col(textCol), lit("\\S+")), windowTokens, shards)
+  }
 }

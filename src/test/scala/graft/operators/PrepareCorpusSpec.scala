@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class PrepareCorpusSpec extends AnyFunSuite with SparkTest {
+
+  test("prepareTrainingCorpus filters spam, dedups, and packs the survivors") {
+    import spark.implicits._
+    val spam = Seq.fill(10)("buy cheap now win").mkString(" ")
+    val labeled = (0 until 10).map(i => (s"plain useful prose number $i here", 1)) ++
+      (0 until 4).map(_ => (spam, 0))
+    // docs: two identical quality docs (dedup to one), one distinct quality
+    // doc, one spam doc (filtered)
+    val docs = Seq(
+      (1L, "plain useful prose about spark jobs"),
+      (2L, "plain useful prose about spark jobs"),
+      (3L, "another quality document entirely here"),
+      (9L, spam)
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.prepareTrainingCorpus(
+      docs, "text", "doc_id", labeled.toDF("text", "label"), "label",
+      windowTokens = 4L, shards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_splits"))).toMap
+    // survivors: min-id of the dup pair (1) and doc 3; spam and doc 2 gone
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 6L) // "plain useful prose about spark jobs"
+    assert(out(3L)._1 == 5L)
+    // one shard, 6+5 tokens in 4-token windows: whoever packs first
+    // straddles at least one boundary
+    assert(out.values.map(_._1).sum == 11L)
+  }
+
+  test("an empty negative class still trains (degenerate prior) without crashing") {
+    import spark.implicits._
+    val labeled = Seq(("good text", 1), ("more good", 1), ("bad stuff", 0))
+      .toDF("text", "label")
+    val docs = Seq((1L, "good text")).toDF("doc_id", "text")
+    val out = CorpusOps.prepareTrainingCorpus(
+      docs, "text", "doc_id", labeled, "label", windowTokens = 8L, shards = 1)
+    assert(out.count() == 1)
+  }
+}
