@@ -2235,7 +2235,7 @@ object SparkEntry {
         |g AS (SELECT
         |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
         |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt_unseen,
-        |  CAST(floor(1e6 * ln(CAST(d1 AS DOUBLE) / d0)) AS BIGINT) AS prior_micro
+        |  CAST(floor(1e6 * ln(CAST(d1 + 1 AS DOUBLE) / (d0 + 1))) AS BIGINT) AS prior_micro
         |  FROM tot, dc),
         |wts AS (SELECT w,
         |  CAST(floor(1e6 * ln(CAST(c1 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
@@ -2385,7 +2385,7 @@ object SparkEntry {
         |g AS (SELECT
         |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -
         |  CAST(floor(1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n0 + vocab))) AS BIGINT) AS wt_unseen,
-        |  CAST(floor(1e6 * ln(CAST(d1 AS DOUBLE) / d0)) AS BIGINT) AS prior_micro
+        |  CAST(floor(1e6 * ln(CAST(d1 + 1 AS DOUBLE) / (d0 + 1))) AS BIGINT) AS prior_micro
         |  FROM tot, dc),
         |wts AS (SELECT w,
         |  CAST(floor(1e6 * ln(CAST(c1 + 1 AS DOUBLE) / (n1 + vocab))) AS BIGINT) -

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** THE whitespace tokenizer: lowercase, split on `\s+`, drop empties.
+    * Every token-statistics operator (unigram/bigram LM, NB quality, BM25,
+    * TF-IDF) and every one of their DuckDB oracles
+    * (`string_split_regex(lower(text), '\s+')`) assumes exactly this
+    * identity — use this function rather than re-inlining the expression,
+    * so tokenization cannot drift per operator.
+    */
+  def ws_tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+
   /** Corpus text normalization — the first pass of every training-data
     * pipeline (the ftfy/C4 cleanup step), fixed-order so it replays
     * byte-identically in any engine:

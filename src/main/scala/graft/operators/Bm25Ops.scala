@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object Bm25Ops {
 
-  private val Tokenize: Column => Column = c =>
-    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+  private val Tokenize: Column => Column =
+    graft.functions.TextFunctions.ws_tokens
 
   /** Top-`k` documents per query by BM25. `queries` carries
     * (`queryIdCol`, `queryTextCol`); output (query_id, doc_id, score_micro,
@@ -68,11 +68,11 @@ object Bm25Ops {
     // against the broadcast term set before any shuffle
     val dfreq = tf.join(broadcast(qw), "w")
       .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
+    val withStats = dfreq.crossJoin(broadcast(stats))
     val kept =
-      if (maxDfFraction >= 1.0) dfreq.crossJoin(broadcast(stats))
-      else dfreq.crossJoin(broadcast(stats))
-        .filter(col("dfreq").cast("double") <=
-          lit(maxDfFraction) * col("n_docs").cast("double"))
+      if (maxDfFraction >= 1.0) withStats
+      else withStats.filter(col("dfreq").cast("double") <=
+        lit(maxDfFraction) * col("n_docs").cast("double"))
     val idf = kept
       .select(col("w"), floor(lit(1e6) * log(
         (col("n_docs") - col("dfreq") + lit(0.5)).cast("double") /
@@ -120,7 +120,10 @@ object Bm25Ops {
   def rrfFuse(rankings: Seq[DataFrame], queryIdCol: String, docIdCol: String,
               rankCol: String, k: Int, c: Long = 60L): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
-    require(k >= 1 && c >= 0, "k must be >= 1 and c >= 0")
+    // c >= 1 (not 0): with c = 0 a 0-based rank input would divide by zero,
+    // which Spark nulls and sum() then silently drops — the best hit of a
+    // list would contribute nothing. The canonical RRF c is 60 anyway.
+    require(k >= 1 && c >= 1, "k must be >= 1 and c >= 1")
     val norm = rankings.map(_.select(col(queryIdCol).as("query_id"),
       col(docIdCol).cast("long").as("doc_id"),
       col(rankCol).cast("long").as("__r")))

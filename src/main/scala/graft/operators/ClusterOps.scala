@@ -254,6 +254,15 @@ object ClusterOps {
                        clusterCol: String, eps: Double,
                        keepScoreCol: Option[String] = None,
                        maxIters: Int = 5): DataFrame = {
+    // the output owns "label"/"kept", and dedupSweep would silently keep
+    // the component label under "__sweep_label" if the input already had a
+    // "label" column — the keep window would then partition by the
+    // CALLER's label (one survivor per class tag: massive silent data
+    // loss). Fail loudly instead.
+    val clash = Seq("label", "kept").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"semDedupAssigned writes columns ${clash.mkString(", ")} that already " +
+        "exist in the input; rename them before calling")
     val a = df.select(col(clusterCol).as("__c"), col(idCol).as("ida"),
       col(embCol).as("__ea"))
     val b = df.select(col(clusterCol).as("__c"), col(idCol).as("idb"),
@@ -280,22 +289,36 @@ object ClusterOps {
   /** [[semDedupAssigned]] with the paper's k-means front end: fit k ≈
     * √(N/2) clusters (or `k0`) on the embeddings, then semantic-dedup
     * within each cell. `nHint` skips the sizing count like [[kmeansDedup]].
+    * `propagationIters` bounds the duplicate-group label propagation —
+    * raise it if duplicate CHAINS (A~B~C~… with graph diameter above the
+    * bound) are expected within one cell; dup groups are usually dense
+    * (diameter 1-2), so the default converges with room to spare. The
+    * fitted cell id is exposed as `cluster` (the input must not already
+    * own that name; internal feature vectors use a private column, so a
+    * caller's `features` column survives untouched).
     */
   def semDedup(df: DataFrame, idCol: String, embCol: String, eps: Double,
                k0: Int = 0, nHint: Long = 0L, maxIter: Int = 10,
                seed: Long = 42L,
-               keepScoreCol: Option[String] = None): DataFrame = {
+               keepScoreCol: Option[String] = None,
+               propagationIters: Int = 5): DataFrame = {
+    require(!df.columns.contains("cluster"),
+      "semDedup writes a 'cluster' column that already exists in the input; " +
+        "rename it or call semDedupAssigned with your own assignment")
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val withFeatures = df.withColumn("features", toVec(col(embCol))).persistTracked
+    val withFeatures = df.withColumn("__sem_features", toVec(col(embCol)))
+      .persistTracked
     val k =
       if (k0 > 0) k0
       else if (nHint > 0L) math.max(1, math.sqrt(nHint / 2.0).toInt)
       else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
-      .setFeaturesCol("features").fit(withFeatures)
+      .setFeaturesCol("__sem_features").setPredictionCol("__sem_cell")
+      .fit(withFeatures)
     val assigned = model.transform(withFeatures)
-      .withColumnRenamed("prediction", "cluster").drop("features")
-    semDedupAssigned(assigned, idCol, embCol, "cluster", eps, keepScoreCol)
+      .withColumnRenamed("__sem_cell", "cluster").drop("__sem_features")
+    semDedupAssigned(assigned, idCol, embCol, "cluster", eps, keepScoreCol,
+      propagationIters)
   }
 
   /** A12 diversity/coverage metrics of a selection vs the original set, as

@@ -316,7 +316,7 @@ object CorpusOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_segs"),
         sum(col("c") - 1).as("n_dup_segs"))
-    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val words = graft.functions.TextFunctions.ws_tokens(col(textCol))
     // bigrams map-side via zip_with(words, words[2:]) — no per-doc window
     val bigramCounts = df
       .select(col(idCol).as("doc_id"), words.as("w"))
@@ -350,7 +350,7 @@ object CorpusOps {
     */
   def unigramNll(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val words = df.select(col(idCol).as("doc_id"),
-      explode(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
       .persistTracked
     val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("n_corpus"),
@@ -390,7 +390,7 @@ object CorpusOps {
                  strataCol: String, nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, "need >= 2 buckets")
     val words = df.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"),
-      explode(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)).as("w"))
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
       .persistTracked
     val counts = words.groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
     val totals = counts.groupBy(col("stratum"))
@@ -429,7 +429,7 @@ object CorpusOps {
   def bigramNll(df: DataFrame, textCol: String, idCol: String,
                 lambda: Double = 0.7): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0,1)")
-    val ws = filter(split(lower(col(textCol)), "\\s+"), x => length(x) > 0)
+    val ws = graft.functions.TextFunctions.ws_tokens(col(textCol))
     val base = df.select(col(idCol).as("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) > 0)
     val words = base.select(col("doc_id"),
@@ -488,8 +488,7 @@ object CorpusOps {
     require(buckets >= 2, "need >= 2 hash buckets")
     val B = buckets.toLong
     def bucketed(d: DataFrame, t: String, keep: Column*): DataFrame =
-      d.select(keep :+ explode(filter(split(lower(col(t)), "\\s+"),
-        w => length(w) > 0)).as("w"): _*)
+      d.select(keep :+ explode(graft.functions.TextFunctions.ws_tokens(col(t))).as("w"): _*)
         .withColumn("b", pmod(
           graft.functions.GraftFunctions.poly_hash_pairs(col("w")).getItem(0), lit(B)))
         .drop("w")

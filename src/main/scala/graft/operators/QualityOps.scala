@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
   */
 object QualityOps {
 
-  private val Tokenize: Column => Column = c =>
-    filter(split(lower(c), "\\s+"), w => length(w) > 0)
+  private val Tokenize: Column => Column =
+    graft.functions.TextFunctions.ws_tokens
 
   /** Train: sufficient statistics of multinomial NB from a labeled corpus
     * (`labelCol` ∈ {0, 1}; 1 = keep-quality). Output one row per vocabulary
@@ -63,12 +63,16 @@ object QualityOps {
 
   /** Score every document against a trained model: per-token evidence
     * weight = ll(c1) − ll(c0) (micro-nats, long), unseen tokens get the
-    * smoothed-zero weight, plus the class-prior term ln(d1/d0). Output:
-    * (doc_id, n_tokens, score_micro, pred) — `pred` is score > 0, i.e.
-    * "more likely drawn from the quality class". Token-less documents score
-    * the bare prior. The model side is reduced to (w, weight) before the
-    * join, so the join payload is 8 bytes per vocab row however wide the
-    * stats are.
+    * smoothed-zero weight, plus the add-one-smoothed class-prior term
+    * ln((d1+1)/(d0+1)) — smoothing the prior keeps a single-class labeled
+    * corpus finite (an unsmoothed ln(d1/0) would overflow the long cast
+    * and silently invert every prediction). Output: (doc_id, n_tokens,
+    * score_micro, pred) — `pred` is score > 0, i.e. "more likely drawn
+    * from the quality class". Token-less documents score the bare prior;
+    * an EMPTY model (no tokens in the labeled corpus at all) yields null
+    * scores — a caller bug surfaced as nulls rather than guessed at. The
+    * model side is reduced to (w, weight) before the join, so the join
+    * payload is 8 bytes per vocab row however wide the stats are.
     */
   def nbScore(docs: DataFrame, model: DataFrame, textCol: String,
               idCol: String): DataFrame = {
@@ -79,8 +83,8 @@ object QualityOps {
     val globals = model.groupBy().agg(
       max(llMicro(lit(0L), col("n1"), col("vocab")) -
         llMicro(lit(0L), col("n0"), col("vocab"))).as("wt_unseen"),
-      max(floor(lit(1e6) * log(col("d1").cast("double") / col("d0").cast("double")))
-        .cast("long")).as("prior_micro"))
+      max(floor(lit(1e6) * log((col("d1") + 1).cast("double") /
+        (col("d0") + 1).cast("double"))).cast("long")).as("prior_micro"))
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(Tokenize(col(textCol))).as("w"))
     val perDoc = tok.join(weights, Seq("w"), "left")

@@ -32,10 +32,12 @@ class PrepareCorpusSpec extends AnyFunSuite with SparkTest {
     assert(out.values.map(_._1).sum == 11L)
   }
 
-  test("an empty negative class still trains (degenerate prior) without crashing") {
+  test("an empty negative class stays finite (smoothed prior) and keeps quality docs") {
     import spark.implicits._
-    val labeled = Seq(("good text", 1), ("more good", 1), ("bad stuff", 0))
-      .toDF("text", "label")
+    // NO negative examples at all: the unsmoothed prior ln(d1/0) would
+    // overflow the long cast and silently flip every prediction; the
+    // add-one-smoothed prior ln((d1+1)/1) stays finite and positive
+    val labeled = Seq(("good text", 1), ("more good", 1)).toDF("text", "label")
     val docs = Seq((1L, "good text")).toDF("doc_id", "text")
     val out = CorpusOps.prepareTrainingCorpus(
       docs, "text", "doc_id", labeled, "label", windowTokens = 8L, shards = 1)

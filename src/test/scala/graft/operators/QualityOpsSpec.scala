@@ -42,7 +42,8 @@ class QualityOpsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("score_micro"),
           r.getAs[Boolean]("pred"))).toMap
-    val prior = math.floor(1e6 * math.log(2.0 / 1.0)).toLong
+    // add-one-smoothed prior: ln((d1+1)/(d0+1)) with d1 = 2, d0 = 1
+    val prior = math.floor(1e6 * math.log(3.0 / 2.0)).toLong
     val wGood = ll(2, 5, 5) - ll(0, 3, 5)
     val wUnseen = ll(0, 5, 5) - ll(0, 3, 5)
     val wBad = ll(0, 5, 5) - ll(2, 3, 5)
