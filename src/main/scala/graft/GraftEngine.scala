@@ -300,6 +300,17 @@ object GraftEngine {
                    idCol: String): DataFrame =
     operators.QualityOps.nbScore(docs, model, textCol, idCol)
 
+  /** fit_language_model / lm_score: frozen add-one unigram LM — fit once on
+    * a curated reference, score every ingest batch against the same model
+    * ([[operators.CorpusOps.fitUnigramLm]]/[[operators.CorpusOps.lmScore]]).
+    */
+  def fitLanguageModel(ref: DataFrame, textCol: String): DataFrame =
+    operators.CorpusOps.fitUnigramLm(ref, textCol)
+
+  def lmScore(docs: DataFrame, model: DataFrame, textCol: String,
+              idCol: String): DataFrame =
+    operators.CorpusOps.lmScore(docs, model, textCol, idCol)
+
   /** prepare_training_corpus: the documents-in, training-layout-out
     * composition — learned quality filter → exact dedup → sequence packing
     * as one Catalyst plan ([[operators.CorpusOps.prepareTrainingCorpus]]).

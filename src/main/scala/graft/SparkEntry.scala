@@ -932,6 +932,18 @@ object SparkEntry {
         Tables.documents(s, dir), "text", "doc_id", lambda = 0.7)
     },
 
+    // Frozen-LM scoring (the CCNet operating shape): fit the unigram LM
+    // once on the curated half (doc_id < 250), score the WHOLE corpus
+    // against that frozen model — including docs the model never saw,
+    // whose unseen tokens take the smoothed-zero term. Scores stay
+    // comparable across batches because the model never moves.
+    "q125_frozen_lm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.CorpusOps.fitUnigramLm(
+        docs.filter(col("doc_id") < 250), "text")
+      graft.operators.CorpusOps.lmScore(docs, model, "text", "doc_id")
+    },
+
     // The corpus-prep flagship: documents (plus 20 spam plants) through
     // learned-quality filtering (q120's NB machinery) -> exact dedup ->
     // GPT-style sequence packing (q113's layout), as ONE composed plan.
@@ -2212,6 +2224,31 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q125_frozen_lm" ->
+      """WITH ref AS (SELECT text FROM documents WHERE doc_id < 250),
+        |cnt AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM ref) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_corpus, count(*) AS vocab FROM cnt),
+        |terms AS (SELECT w,
+        |  CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT) AS t
+        |  FROM cnt, tot),
+        |g AS (SELECT
+        |  CAST(floor(-1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT) AS t_unseen
+        |  FROM tot),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(COALESCE(t, t_unseen)) AS BIGINT) AS nll_micro
+        |  FROM tok LEFT JOIN terms USING (w), g GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  COALESCE(nll_micro, CAST(0 AS BIGINT)) AS nll_micro
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
     "q124_prepare_corpus" ->
       """WITH spamtext AS (
         |  SELECT trim(repeat('buy cheap now click here free offer win prize act ', 15)) AS t15,

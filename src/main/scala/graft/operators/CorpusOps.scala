@@ -364,6 +364,54 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_tokens"), sum(col("term_micro")).as("nll_micro"))
   }
 
+  /** Fit an add-one unigram LM on a REFERENCE corpus and return it as one
+    * self-contained model table: (w, c) counts with (n_corpus, vocab)
+    * denormalized onto every row. This is the published operating shape —
+    * CCNet fits KenLM once on curated Wikipedia and FREEZES it; every
+    * crawl batch then scores against the same model — where
+    * [[unigramNll]]'s self-fit re-derives the model from whatever it
+    * scores. A frozen model persists as parquet, broadcasts at score time
+    * (vocabulary-sized), and makes scores comparable across ingest batches
+    * — at 100 TB you fit once on the curated reference, never per batch.
+    */
+  def fitUnigramLm(ref: DataFrame, textCol: String): DataFrame = {
+    val counts = ref.select(
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    counts.crossJoin(broadcast(counts.agg(
+      sum(col("c")).as("n_corpus"), count(lit(1)).as("vocab"))))
+  }
+
+  /** Score documents against a FROZEN [[fitUnigramLm]] model: per-token
+    * NLL terms floor to micro-nats (the q100 recipe), unseen tokens take
+    * the smoothed-zero term −ln(1/(N+V)), token-less documents score 0
+    * over 0 tokens. One explode + one token-keyed left join (broadcast
+    * when the vocabulary fits) + one per-doc long sum.
+    * Output: (doc_id, n_tokens, nll_micro).
+    */
+  def lmScore(docs: DataFrame, model: DataFrame, textCol: String,
+              idCol: String): DataFrame = {
+    val terms = model.select(col("w"),
+      floor(lit(-1e6) * log((col("c") + 1).cast("double") /
+        (col("n_corpus") + col("vocab")).cast("double"))).cast("long").as("t"))
+    val globals = model.groupBy().agg(
+      max(floor(lit(-1e6) * log((lit(0) + 1).cast("double") /
+        (col("n_corpus") + col("vocab")).cast("double"))).cast("long"))
+        .as("t_unseen"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
+    val perDoc = tok.join(terms, Seq("w"), "left")
+      .crossJoin(broadcast(globals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("t"), col("t_unseen"))).as("nll_micro"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+
   /** CCNet-style perplexity bucketing: fit an add-one unigram LM PER STRATUM
     * (CCNet fits one KenLM per language), score every document by per-token
     * NLL against its own stratum's model, and split each stratum into

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+class FrozenLmSpec extends AnyFunSuite with SparkTest {
+
+  test("lmScore against a frozen model reproduces closed-form terms") {
+    import spark.implicits._
+    val ref = Seq("aa aa bb", "bb cc").toDF("text") // counts: aa=2 bb=2 cc=1
+    val model = CorpusOps.fitUnigramLm(ref, "text") // n=5, vocab=3
+    def t(c: Long): Long =
+      math.floor(-1e6 * math.log((c + 1).toDouble / 8.0)).toLong
+    val docs = Seq(
+      (1L, "aa cc"),     // t(2) + t(1)
+      (2L, "zz"),        // unseen: t(0)
+      (3L, "")           // token-less: 0 over 0
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.lmScore(docs, model, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nll_micro"))).toMap
+    assert(out(1L) == ((2L, t(2) + t(1))))
+    assert(out(2L) == ((1L, t(0))))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("frozen scores do not move when the scored batch changes") {
+    import spark.implicits._
+    val model = CorpusOps.fitUnigramLm(
+      Seq("stable reference corpus text here").toDF("text"), "text")
+    val d1 = Seq((1L, "stable text")).toDF("doc_id", "text")
+    val d2 = Seq((1L, "stable text"), (2L, "noise noise noise")).toDF("doc_id", "text")
+    val s1 = CorpusOps.lmScore(d1, model, "text", "doc_id")
+      .filter("doc_id = 1").collect().head.getAs[Long]("nll_micro")
+    val s2 = CorpusOps.lmScore(d2, model, "text", "doc_id")
+      .filter("doc_id = 1").collect().head.getAs[Long]("nll_micro")
+    // the self-fit unigramNll would shift doc 1's score when the batch
+    // gains the noise doc; the frozen model must not
+    assert(s1 == s2)
+  }
+}
