@@ -944,12 +944,13 @@ object SparkEntry {
       graft.operators.CorpusOps.lmScore(docs, model, "text", "doc_id")
     },
 
-    // The corpus-prep flagship: documents (plus 20 spam plants) through
-    // learned-quality filtering (q120's NB machinery) -> exact dedup ->
-    // GPT-style sequence packing (q113's layout), as ONE composed plan.
-    // The oracle chains the three proven CTE blocks: every spam plant must
-    // vanish before packing and every survivor's layout must match the
-    // splitmix-ticket replay.
+    // The corpus-prep flagship: documents (plus 20 spam plants and 10
+    // exact-copy plants) through learned-quality filtering (q120's NB
+    // machinery) -> exact dedup -> GPT-style sequence packing (q113's
+    // layout), as ONE composed plan. Each filter stage is observable:
+    // spam dies at the quality stage, the exact copies pass quality but
+    // die at dedup (their min-id originals survive), and every survivor's
+    // layout must match the splitmix-ticket replay.
     "q124_prepare_corpus" -> { (s, dir) =>
       val spamPhrase = "buy cheap now click here free offer win prize act"
       val docs0 = Tables.documents(s, dir)
@@ -957,6 +958,8 @@ object SparkEntry {
         .unionByName(docs0.filter(col("doc_id") < 20)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             array_join(array_repeat(lit(spamPhrase), 12), " ").as("text")))
+        .unionByName(docs0.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val labeled = docs0.filter(col("doc_id") < 200)
         .select(col("text"), lit(1).as("label"))
         .unionByName(docs0.filter(col("doc_id") < 40)
@@ -2282,7 +2285,9 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, t12 AS text
-        |  FROM documents, spamtext WHERE doc_id < 20),
+        |  FROM documents, spamtext WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 10),
         |stok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
         |  FROM corpus),
