@@ -266,8 +266,10 @@ object GraftEngine {
     * clustering).
     */
   def semanticDedup(df: DataFrame, idCol: String, embCol: String, eps: Double,
-                    k0: Int = 0, nHint: Long = 0L): DataFrame =
-    operators.ClusterOps.semDedup(df, idCol, embCol, eps, k0 = k0, nHint = nHint)
+                    k0: Int = 0, nHint: Long = 0L,
+                    fitFraction: Double = 1.0): DataFrame =
+    operators.ClusterOps.semDedup(df, idCol, embCol, eps, k0 = k0,
+      nHint = nHint, fitFraction = fitFraction)
 
   /** search_text: BM25 lexical top-k retrieval — the sparse leg beside
     * [[searchVectors]]' dense one ([[operators.Bm25Ops.bm25TopK]]).

@@ -301,10 +301,13 @@ object ClusterOps {
                k0: Int = 0, nHint: Long = 0L, maxIter: Int = 10,
                seed: Long = 42L,
                keepScoreCol: Option[String] = None,
-               propagationIters: Int = 5): DataFrame = {
+               propagationIters: Int = 5,
+               fitFraction: Double = 1.0): DataFrame = {
     require(!df.columns.contains("cluster"),
       "semDedup writes a 'cluster' column that already exists in the input; " +
         "rename it or call semDedupAssigned with your own assignment")
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val withFeatures = df.withColumn("__sem_features", toVec(col(embCol)))
       .persistTracked
@@ -312,9 +315,18 @@ object ClusterOps {
       if (k0 > 0) k0
       else if (nHint > 0L) math.max(1, math.sqrt(nHint / 2.0).toInt)
       else math.max(1, math.sqrt(withFeatures.count() / 2.0).toInt)
+    // fitFraction < 1 is the corpus-scale lever (the paper fits centroids
+    // on a sample too): k-means ITERATES maxIter full scans, but cell
+    // centroids stabilize long before the sample covers the corpus — fit
+    // on a deterministic splitmix-sampled slice, then assign EVERYONE with
+    // the one map-side transform. The sample is keyed on the id column, so
+    // the fitted model is reproducible across runs and partitionings.
+    val fitSet =
+      if (fitFraction >= 1.0) withFeatures
+      else CorpusOps.hashSample(withFeatures, col(idCol), fitFraction)
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("__sem_features").setPredictionCol("__sem_cell")
-      .fit(withFeatures)
+      .fit(fitSet)
     val assigned = model.transform(withFeatures)
       .withColumnRenamed("__sem_cell", "cluster").drop("__sem_features")
     semDedupAssigned(assigned, idCol, embCol, "cluster", eps, keepScoreCol,

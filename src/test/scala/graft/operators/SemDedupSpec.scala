@@ -54,6 +54,22 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
     assert(!out(1L) && out(2L))
   }
 
+  test("sampled fit assigns the full corpus identically on separable clusters") {
+    import spark.implicits._
+    val rows = for (c <- 0 until 4; j <- 0 until 20) yield {
+      val v = Array.fill(8)(0f); v(c) = 1f; v(4 + (j % 4)) = 0.001f * (j % 3)
+      (c * 100L + j, v)
+    }
+    val df = rows.toDF("id", "embedding")
+    val full = ClusterOps.semDedup(df, "id", "embedding", eps = 0.999, k0 = 4)
+    val sampled = ClusterOps.semDedup(df, "id", "embedding", eps = 0.999, k0 = 4,
+      fitFraction = 0.5)
+    // centroids fitted on half the corpus still separate the 4 one-hot
+    // directions, so keep decisions agree with the full fit
+    assert(full.filter("kept").count() == sampled.filter("kept").count())
+    assert(sampled.count() == 80)
+  }
+
   test("semDedup k-means front end dedups planted one-hot duplicates") {
     import spark.implicits._
     // 4 well-separated one-hot directions, 3 copies each (tiny jitter on a
