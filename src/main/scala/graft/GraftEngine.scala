@@ -288,6 +288,26 @@ object GraftEngine {
                    c: Long = 60L): DataFrame =
     operators.Bm25Ops.rrfFuse(rankings, queryIdCol, docIdCol, rankCol, k, c)
 
+  /** build_text_index / save / load / query: the persisted BM25 serving
+    * shape — build the inverted index once, query every batch after
+    * ([[operators.Bm25Ops.buildBm25Index]] and friends).
+    */
+  def buildTextIndex(docs: DataFrame, textCol: String, idCol: String): operators.Bm25Ops.Bm25Index =
+    operators.Bm25Ops.buildBm25Index(docs, textCol, idCol)
+
+  def saveTextIndex(index: operators.Bm25Ops.Bm25Index, path: String): Unit =
+    operators.Bm25Ops.saveBm25Index(index, path)
+
+  def loadTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): operators.Bm25Ops.Bm25Index =
+    operators.Bm25Ops.loadBm25Index(spark, path)
+
+  def queryTextIndex(index: operators.Bm25Ops.Bm25Index, queries: DataFrame,
+                     queryIdCol: String, queryTextCol: String, k: Int,
+                     k1: Double = 1.5, b: Double = 0.75,
+                     maxDfFraction: Double = 1.0): DataFrame =
+    operators.Bm25Ops.bm25Query(index, queries, queryIdCol, queryTextCol, k,
+      k1, b, maxDfFraction)
+
   /** train_quality_model: closed-form multinomial-NB sufficient statistics
     * from a labeled corpus (GPT-3-style learned quality filter; see
     * [[operators.QualityOps.nbTrain]]).

@@ -48,16 +48,56 @@ object Bm25Ops {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.5, b: Double = 0.75,
-               maxDfFraction: Double = 1.0): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
-      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
-    // one row per (doc, term): the posting list with term frequency
+               maxDfFraction: Double = 1.0): DataFrame =
+    bm25Query(buildBm25Index(docs, textCol, idCol), queries, queryIdCol,
+      queryTextCol, k, k1, b, maxDfFraction)
+
+  /** The inverted index as two tables: postings (w, doc_id, tf) and doc
+    * lengths (doc_id, dl). Built once, persisted with [[saveBm25Index]],
+    * and queried many times — at corpus scale the index build is the one
+    * expensive pass, and every query batch afterwards touches only the
+    * postings of its own terms.
+    */
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+
+  def buildBm25Index(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
     val tf = docs.select(col(idCol).as("doc_id"),
       explode(Tokenize(col(textCol))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       .persistTracked
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    Bm25Index(tf, dl)
+  }
+
+  /** Persist the index as parquet: `<path>/postings` REPARTITIONED BY TERM
+    * (a query batch's posting reads then prune to its terms' files via
+    * partition-pruned scans once postings are bucketed/sorted downstream)
+    * and `<path>/doclens`.
+    */
+  def saveBm25Index(index: Bm25Index, path: String): Unit = {
+    index.postings.repartition(col("w"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/doclens"))
+
+  /** Score a query batch against a (built or loaded) [[Bm25Index]] — the
+    * scoring tail of [[bm25TopK]], shared verbatim so the direct and
+    * persisted paths cannot drift. Corpus statistics (n_docs, avgdl)
+    * derive from the doc-length table with one 1-row aggregate.
+    */
+  def bm25Query(index: Bm25Index, queries: DataFrame, queryIdCol: String,
+                queryTextCol: String, k: Int, k1: Double = 1.5,
+                b: Double = 0.75, maxDfFraction: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxDfFraction > 0.0 && maxDfFraction <= 1.0,
+      s"maxDfFraction must be in (0, 1], got $maxDfFraction")
+    val tf = index.postings
+    val dl = index.docLens
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // distinct query terms (BM25 scores the term SET; duplicate terms in a
     // query add nothing but double-counted idf)

@@ -67,6 +67,23 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
     assert(full.count() == 4)
   }
 
+  test("persisted index round-trips: loaded-index query equals the direct path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"), (3L, "durian fig")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry")).toDF("query_id", "query_text")
+    val direct = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 5)
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Bm25Ops.saveBm25Index(Bm25Ops.buildBm25Index(docs, "text", "doc_id"), path)
+    val viaIndex = Bm25Ops.bm25Query(Bm25Ops.loadBm25Index(spark, path),
+      queries, "query_id", "query_text", k = 5)
+    val a = direct.collect().map(_.toSeq).toSet
+    val b = viaIndex.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("duplicate query terms do not double-count") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
