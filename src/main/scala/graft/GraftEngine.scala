@@ -333,6 +333,17 @@ object GraftEngine {
               idCol: String): DataFrame =
     operators.CorpusOps.lmScore(docs, model, textCol, idCol)
 
+  /** Per-language form: one frozen model per stratum (CCNet's per-language
+    * KenLMs); docs score against their own language's model only.
+    */
+  def fitLanguageModelStrata(ref: DataFrame, textCol: String,
+                             strataCol: String): DataFrame =
+    operators.CorpusOps.fitUnigramLmStrata(ref, textCol, strataCol)
+
+  def lmScoreStrata(docs: DataFrame, model: DataFrame, textCol: String,
+                    idCol: String, strataCol: String): DataFrame =
+    operators.CorpusOps.lmScoreStrata(docs, model, textCol, idCol, strataCol)
+
   /** prepare_training_corpus: the documents-in, training-layout-out
     * composition — learned quality filter → exact dedup → sequence packing
     * as one Catalyst plan ([[operators.CorpusOps.prepareTrainingCorpus]]).

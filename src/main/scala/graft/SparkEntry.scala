@@ -951,6 +951,17 @@ object SparkEntry {
         loaded, queries, "query_id", "query_text", k = 10)
     },
 
+    // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
+    // the curated half per stratum, score every doc against its OWN
+    // language's frozen model; docs of a language with no model score
+    // null — the explicit no-model marker.
+    "q127_frozen_lm_strata" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.CorpusOps.fitUnigramLmStrata(
+        docs.filter(col("doc_id") < 250), "text", "lang")
+      graft.operators.CorpusOps.lmScoreStrata(docs, model, "text", "doc_id", "lang")
+    },
+
     // Frozen-LM scoring (the CCNet operating shape): fit the unigram LM
     // once on the curated half (doc_id < 250), score the WHOLE corpus
     // against that frozen model — including docs the model never saw,
@@ -2246,6 +2257,33 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(-1e6 * ln(
         |    CASE WHEN prev IS NULL THEN pu ELSE 0.7 * pb + (1 - 0.7) * pu END)) AS BIGINT)) AS BIGINT) AS nll2_micro
         |FROM j GROUP BY doc_id""".stripMargin,
+    "q127_frozen_lm_strata" ->
+      """WITH ref AS (SELECT lang, text FROM documents WHERE doc_id < 250),
+        |cnt AS (
+        |  SELECT lang, w, count(*) AS c FROM (
+        |    SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |    FROM ref) GROUP BY lang, w),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_corpus, count(*) AS vocab
+        |  FROM cnt GROUP BY lang),
+        |terms AS (SELECT lang, w,
+        |  CAST(floor(-1e6 * ln(CAST(c + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT) AS t
+        |  FROM cnt JOIN tot USING (lang)),
+        |g AS (SELECT lang,
+        |  CAST(floor(-1e6 * ln(CAST(0 + 1 AS DOUBLE) / (n_corpus + vocab))) AS BIGINT) AS t_unseen
+        |  FROM tot),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(COALESCE(t, t_unseen)) AS BIGINT) AS nll_micro
+        |  FROM tok LEFT JOIN terms USING (lang, w) LEFT JOIN g USING (lang)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang AS stratum,
+        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  nll_micro
+        |FROM (SELECT DISTINCT doc_id, lang FROM documents) d
+        |LEFT JOIN per USING (doc_id)""".stripMargin,
     "q125_frozen_lm" ->
       """WITH ref AS (SELECT text FROM documents WHERE doc_id < 250),
         |cnt AS (

@@ -412,6 +412,48 @@ object CorpusOps {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
 
+  /** Per-stratum frozen LMs — CCNet's defining shape is ONE model PER
+    * LANGUAGE, fitted on curated text and frozen. Model table:
+    * (stratum, w, c) with per-stratum (n_corpus, vocab) denormalized.
+    */
+  def fitUnigramLmStrata(ref: DataFrame, textCol: String,
+                         strataCol: String): DataFrame = {
+    val counts = ref.select(col(strataCol).as("stratum"),
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
+    counts.join(counts.groupBy(col("stratum")).agg(
+      sum(col("c")).as("n_corpus"), count(lit(1)).as("vocab")), "stratum")
+  }
+
+  /** Score documents against their OWN stratum's frozen model (join on
+    * (stratum, token)); unseen tokens take the stratum's smoothed-zero
+    * term, and documents whose stratum has NO model score null — the
+    * explicit "no model for this language" marker, not a guessed number.
+    * Output: (doc_id, stratum, n_tokens, nll_micro).
+    */
+  def lmScoreStrata(docs: DataFrame, model: DataFrame, textCol: String,
+                    idCol: String, strataCol: String): DataFrame = {
+    val terms = model.select(col("stratum"), col("w"),
+      floor(lit(-1e6) * log((col("c") + 1).cast("double") /
+        (col("n_corpus") + col("vocab")).cast("double"))).cast("long").as("t"))
+    val globals = model.groupBy(col("stratum")).agg(
+      max(floor(lit(-1e6) * log((lit(0) + 1).cast("double") /
+        (col("n_corpus") + col("vocab")).cast("double"))).cast("long"))
+        .as("t_unseen"))
+    val tok = docs.select(col(idCol).as("doc_id"), col(strataCol).as("stratum"),
+      explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
+    val perDoc = tok.join(terms, Seq("stratum", "w"), "left")
+      .join(broadcast(globals), Seq("stratum"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("t"), col("t_unseen"))).as("nll_micro"))
+    docs.select(col(idCol).as("doc_id"), col(strataCol).as("stratum")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("stratum"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll_micro"))
+  }
+
   /** CCNet-style perplexity bucketing: fit an add-one unigram LM PER STRATUM
     * (CCNet fits one KenLM per language), score every document by per-token
     * NLL against its own stratum's model, and split each stratum into

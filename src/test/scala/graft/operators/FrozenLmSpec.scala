@@ -24,6 +24,26 @@ class FrozenLmSpec extends AnyFunSuite with SparkTest {
     assert(out(3L) == ((0L, 0L)))
   }
 
+  test("per-stratum models score each doc against its own language only") {
+    import spark.implicits._
+    val ref = Seq(("en", "aa aa bb"), ("fr", "xx yy")).toDF("lang", "text")
+    val model = CorpusOps.fitUnigramLmStrata(ref, "text", "lang")
+    // en: n=3 vocab=2; fr: n=2 vocab=2
+    def t(c: Long, n: Long, v: Long): Long =
+      math.floor(-1e6 * math.log((c + 1).toDouble / (n + v))).toLong
+    val docs = Seq(
+      (1L, "en", "aa xx"),  // aa seen in en (c=2); xx is fr-only -> unseen in en
+      (2L, "fr", "xx"),     // seen in fr (c=1)
+      (3L, "de", "aa")      // no de model -> null
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.lmScoreStrata(docs, model, "text", "doc_id", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), Option(r.get(r.fieldIndex("nll_micro"))))).toMap
+    assert(out(1L) == ((2L, Some(t(2, 3, 2) + t(0, 3, 2)))))
+    assert(out(2L) == ((1L, Some(t(1, 2, 2)))))
+    assert(out(3L) == ((1L, None)), "a stratum without a model must score null")
+  }
+
   test("frozen scores do not move when the scored batch changes") {
     import spark.implicits._
     val model = CorpusOps.fitUnigramLm(
