@@ -2280,8 +2280,8 @@ object SparkEntry {
         |  FROM tok LEFT JOIN terms USING (lang, w) LEFT JOIN g USING (lang)
         |  GROUP BY doc_id)
         |SELECT d.doc_id, d.lang AS stratum,
-        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-        |  nll_micro
+        |  COALESCE(per.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  CASE WHEN per.n_tokens IS NULL THEN CAST(0 AS BIGINT) ELSE per.nll_micro END AS nll_micro
         |FROM (SELECT DISTINCT doc_id, lang FROM documents) d
         |LEFT JOIN per USING (doc_id)""".stripMargin,
     "q125_frozen_lm" ->
@@ -2305,8 +2305,8 @@ object SparkEntry {
         |    CAST(sum(COALESCE(t, t_unseen)) AS BIGINT) AS nll_micro
         |  FROM tok LEFT JOIN terms USING (w), g GROUP BY doc_id)
         |SELECT d.doc_id,
-        |  COALESCE(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
-        |  COALESCE(nll_micro, CAST(0 AS BIGINT)) AS nll_micro
+        |  COALESCE(per.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  CASE WHEN per.n_tokens IS NULL THEN CAST(0 AS BIGINT) ELSE per.nll_micro END AS nll_micro
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN per USING (doc_id)""".stripMargin,
     "q124_prepare_corpus" ->

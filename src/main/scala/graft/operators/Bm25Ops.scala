@@ -69,14 +69,17 @@ object Bm25Ops {
     Bm25Index(tf, dl)
   }
 
-  /** Persist the index as parquet: `<path>/postings` REPARTITIONED BY TERM
-    * (a query batch's posting reads then prune to its terms' files via
-    * partition-pruned scans once postings are bucketed/sorted downstream)
-    * and `<path>/doclens`.
+  /** Persist the index as plain parquet (`<path>/postings`,
+    * `<path>/doclens`). Query-time term pruning happens via the broadcast
+    * hash joins in [[bm25Query]] (map-side, no posting ever shuffles) —
+    * NOT via file skipping: plain parquet has no term partitioning, so a
+    * query scans the posting files and drops non-matching rows in the
+    * scan stage. A metastore deployment would `bucketBy`/`sortBy` the
+    * postings on `w` to add real file-level pruning; `partitionBy("w")`
+    * is a non-option (one directory per vocabulary term).
     */
   def saveBm25Index(index: Bm25Index, path: String): Unit = {
-    index.postings.repartition(col("w"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+    index.postings.write.mode("overwrite").parquet(s"$path/postings")
     index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
   }
 

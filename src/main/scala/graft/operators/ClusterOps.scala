@@ -259,7 +259,9 @@ object ClusterOps {
     // "label" column — the keep window would then partition by the
     // CALLER's label (one survivor per class tag: massive silent data
     // loss). Fail loudly instead.
-    val clash = Seq("label", "kept").filter(df.columns.contains)
+    // "keep" is in the list because dedupSweep overwrites it internally and
+    // this method then drops it — a caller's "keep" column would vanish
+    val clash = Seq("label", "kept", "keep").filter(df.columns.contains)
     require(clash.isEmpty,
       s"semDedupAssigned writes columns ${clash.mkString(", ")} that already " +
         "exist in the input; rename them before calling")
@@ -323,7 +325,16 @@ object ClusterOps {
     // the fitted model is reproducible across runs and partitionings.
     val fitSet =
       if (fitFraction >= 1.0) withFeatures
-      else CorpusOps.hashSample(withFeatures, col(idCol), fitFraction)
+      else {
+        // the sample must hold at least k points or KMeans.fit dies with an
+        // opaque internal error (k was sized from the FULL corpus count);
+        // the count costs one scan of the sampled slice — cheap next to the
+        // maxIter fit scans it gates — and falls back to the full set when
+        // the caller's fraction under-samples a small corpus
+        val s = CorpusOps.hashSample(withFeatures, col(idCol), fitFraction)
+          .persistTracked
+        if (s.count() >= k) s else withFeatures
+      }
     val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed)
       .setFeaturesCol("__sem_features").setPredictionCol("__sem_cell")
       .fit(fitSet)

@@ -375,9 +375,13 @@ object CorpusOps {
     * — at 100 TB you fit once on the curated reference, never per batch.
     */
   def fitUnigramLm(ref: DataFrame, textCol: String): DataFrame = {
+    // persisted: the counts lineage re-enters the plan via the totals
+    // crossJoin here and again as terms + globals at score time — without
+    // the cache one lmScore call re-tokenizes the reference ~4x
     val counts = ref.select(
       explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persistTracked
     counts.crossJoin(broadcast(counts.agg(
       sum(col("c")).as("n_corpus"), count(lit(1)).as("vocab"))))
   }
@@ -407,9 +411,13 @@ object CorpusOps {
         sum(coalesce(col("t"), col("t_unseen"))).as("nll_micro"))
     docs.select(col(idCol).as("doc_id")).distinct()
       .join(perDoc, Seq("doc_id"), "left")
+      // zero-fill ONLY the token-less left-join miss: a doc WITH tokens
+      // whose sum came back null means the model itself is empty (a caller
+      // bug) — surface that as null rather than scoring it maximally fluent
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+        when(col("n_tokens").isNull, lit(0L)).otherwise(col("nll_micro"))
+          .as("nll_micro"))
   }
 
   /** Per-stratum frozen LMs — CCNet's defining shape is ONE model PER
@@ -418,17 +426,21 @@ object CorpusOps {
     */
   def fitUnigramLmStrata(ref: DataFrame, textCol: String,
                          strataCol: String): DataFrame = {
+    // persisted for the same reason as [[fitUnigramLm]]'s counts
     val counts = ref.select(col(strataCol).as("stratum"),
       explode(graft.functions.TextFunctions.ws_tokens(col(textCol))).as("w"))
       .groupBy(col("stratum"), col("w")).agg(count(lit(1)).as("c"))
+      .persistTracked
     counts.join(counts.groupBy(col("stratum")).agg(
       sum(col("c")).as("n_corpus"), count(lit(1)).as("vocab")), "stratum")
   }
 
   /** Score documents against their OWN stratum's frozen model (join on
     * (stratum, token)); unseen tokens take the stratum's smoothed-zero
-    * term, and documents whose stratum has NO model score null — the
-    * explicit "no model for this language" marker, not a guessed number.
+    * term. Null semantics match [[lmScore]]: a TOKEN-LESS document scores
+    * (0, 0) whatever its stratum, while a document WITH tokens in a
+    * stratum that has NO model scores null — the explicit "no model for
+    * this language" marker, never conflated with the empty-text case.
     * Output: (doc_id, stratum, n_tokens, nll_micro).
     */
   def lmScoreStrata(docs: DataFrame, model: DataFrame, textCol: String,
@@ -451,7 +463,8 @@ object CorpusOps {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("stratum"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        col("nll_micro"))
+        when(col("n_tokens").isNull, lit(0L)).otherwise(col("nll_micro"))
+          .as("nll_micro"))
   }
 
   /** CCNet-style perplexity bucketing: fit an add-one unigram LM PER STRATUM

