@@ -515,10 +515,10 @@ object SparkEntry {
           sum(col("insertions").cast("long")).as("sum_insertions"))
     },
 
-    // Multimodal plumbing: binary payloads -> batched decode (REAL for
-    // image via javax.imageio and for WAV audio via the RIFF header walk;
-    // video stays the documented stub) + feature extraction + frame
-    // sampling.
+    // Multimodal plumbing: binary payloads -> batched decode (REAL for all
+    // three modalities: image via javax.imageio, WAV audio via the RIFF
+    // chunk walk, MP4 video via the ISO-BMFF box walk) + feature
+    // extraction + frame sampling.
     "q36_multimodal_decode" -> { (s, dir) =>
       val media = graft.operators.MultimodalOps.syntheticMedia(s, 500)
       val decoded = graft.operators.MultimodalOps.decodeAndFeaturize(media)
@@ -526,9 +526,9 @@ object SparkEntry {
       // integer-exact projection of the (float) feature vector, so the
       // mapPartitions feature path is oracle-checkable too. The synthetic
       // payload derives from media_id by pure arithmetic (planted PNG
-      // pixels / planted PCM WAV samples), so the DuckDB oracle replays
-      // decode metadata AND this feature summary without ever seeing the
-      // bytes.
+      // pixels / planted PCM WAV samples / planted MP4 boxes), so the
+      // DuckDB oracle replays decode metadata AND this feature summary
+      // without ever seeing the bytes.
       decoded.select(col("media_id"), col("modality"), col("width"), col("height"),
         col("duration_ms"), col("format"), col("sample_rate"), col("channels"),
         size(filter(col("features"), f => f > 0f)).as("buckets_hit"))
@@ -2759,8 +2759,11 @@ object SparkEntry {
     "q65_frame_sample" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |v AS (
-        |  SELECT i, 1000 + (128 + (i * 37) % 512) * 40 AS dur
-        |  FROM ids WHERE i % 3 = 2),
+        |  SELECT i,
+        |    (ts * (1 + (i * 37) % 28) + (i * 997) % ts) * 1000 // ts AS dur
+        |  FROM (SELECT i, CASE i % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |               WHEN 2 THEN 90000 ELSE 24000 END AS ts
+        |        FROM ids WHERE i % 3 = 2)),
         |f AS (
         |  SELECT i, dur, greatest(1, CAST(floor(dur / 1000.0 * 2.0) AS BIGINT)) AS nf
         |  FROM v)
@@ -3998,16 +4001,18 @@ object SparkEntry {
       """SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id,
         |  CAST(vec_id AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 25""".stripMargin,
-    // replays syntheticMedia + fakeDecode + byteHistogram arithmetic from
-    // MultimodalOps: payload byte j of media i is (i*131 + j*17) % 256 and
-    // the payload length is 128 + (i*37) % 512, so decode metadata and the
-    // non-zero-bucket count are closed-form
-    // Image rows now decode for REAL (javax.imageio): width/height replay the
+    // replays syntheticMedia + byteHistogram arithmetic from MultimodalOps —
+    // ALL THREE decode paths are now real over planted genuine bytes:
+    // Image rows decode for REAL (javax.imageio): width/height replay the
     // planted PNG dimensions, format is the sniffed container, and buckets_hit
     // histograms the decoded PIXELS pixel(j) = (i*131 + j*17) % (1 + i%255) —
     // that sequence has period <= 255 and every raster holds >= 4096 pixels,
-    // so j < 255 covers the full residue coset. Audio/video stay the
-    // stubbed-payload replay.
+    // so j < 255 covers the full residue coset. Audio rows replay the RIFF
+    // walk over planted PCM WAVs. Video rows replay the ISO-BMFF box walk
+    // over planted minimal MP4s: duration_ms = durTicks*1000 // timescale
+    // with durTicks = ts*(1 + (i*37)%28) + (i*997)%ts, width/height from the
+    // planted tkhd, and buckets_hit histograms the mdat payload byte(j) =
+    // (i*131 + j*17) % 256 over 128 + (i*37)%512 bytes.
     "q36_multimodal_decode" ->
       """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS i),
         |base AS (
@@ -4016,6 +4021,8 @@ object SparkEntry {
         |    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
         |         WHEN 2 THEN 16000 ELSE 22050 END AS sr,
         |    1 + i % 2 AS ch, 200 + (i * 37) % 1600 AS frames,
+        |    CASE i % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |         WHEN 2 THEN 90000 ELSE 24000 END AS ts,
         |    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         |  FROM ids),
         |featau AS (
@@ -4037,13 +4044,15 @@ object SparkEntry {
         |         UNION ALL SELECT * FROM featimg)
         |SELECT CAST(base.i AS BIGINT) AS media_id, modality,
         |  CAST(CASE modality WHEN 'image' THEN 64 + a % 192
-        |       WHEN 'audio' THEN 0 ELSE 320 + a % 64 END AS INT) AS width,
+        |       WHEN 'audio' THEN 0 ELSE 128 + (base.i * 7) % 1024 END AS INT) AS width,
         |  CAST(CASE modality WHEN 'image' THEN 64 + b % 192
-        |       WHEN 'audio' THEN 0 ELSE 240 + b % 48 END AS INT) AS height,
+        |       WHEN 'audio' THEN 0 ELSE 96 + (base.i * 11) % 576 END AS INT) AS height,
         |  CAST(CASE modality WHEN 'image' THEN 0
-        |       WHEN 'audio' THEN frames * 1000 // sr ELSE 1000 + n * 40 END AS BIGINT) AS duration_ms,
+        |       WHEN 'audio' THEN frames * 1000 // sr
+        |       ELSE (ts * (1 + (base.i * 37) % 28) + (base.i * 997) % ts) * 1000 // ts
+        |       END AS BIGINT) AS duration_ms,
         |  CASE modality WHEN 'image' THEN 'image/png'
-        |       WHEN 'audio' THEN 'audio/wav' ELSE 'fake/mp4' END AS format,
+        |       WHEN 'audio' THEN 'audio/wav' ELSE 'video/mp4' END AS format,
         |  CAST(CASE WHEN modality = 'audio' THEN sr END AS INT) AS sample_rate,
         |  CAST(CASE WHEN modality = 'audio' THEN ch END AS INT) AS channels,
         |  CAST(bh AS INT) AS buckets_hit

@@ -24,10 +24,14 @@ import org.apache.spark.sql.{DataFrame, Row}
   * metadata, same as undecodable images (compressed codecs — mp3/aac —
   * would need a real decoder library).
   *
-  * VIDEO decode stays a documented deterministic stub (`fakeDecode`: this
-  * environment ships no video codecs); the Spark-side contract — schema,
-  * batching, partitioning, null handling — is identical, so swapping in
-  * JavaCV/ffmpeg means replacing ONLY `fakeDecode`.
+  * VIDEO metadata decode is REAL for MP4/ISO-BMFF containers: `decodeMp4`
+  * walks the box tree in pure JVM byte arithmetic — `mvhd` gives
+  * timescale+duration (duration_ms), the first `tkhd` with non-zero
+  * dimensions gives width/height (16.16 fixed point), features run over the
+  * `mdat` payload bytes. Frame-pixel decode would need a real codec library
+  * (none ships in this environment); everything metadata-level is genuine
+  * bytes. Non-BMFF video payloads yield null metadata like undecodable
+  * images.
   */
 object MultimodalOps {
 
@@ -42,16 +46,143 @@ object MultimodalOps {
 
   final case class DecodedMeta(width: Int, height: Int, durationMs: Long, format: String)
 
-  /** STUB — deterministic fake decoder for VIDEO only (images decode for
-    * real via [[decodeImage]], WAV audio via [[decodeWav]]). A real
-    * implementation would call a video codec here (e.g. JavaCV/ffmpeg);
-    * everything around it stays unchanged.
+  final case class Mp4Meta(width: Int, height: Int, timescale: Int,
+                           durationTicks: Long, durationMs: Long, brand: String,
+                           mdatOffset: Int, mdatBytes: Int)
+
+  /** REAL MP4/ISO-BMFF metadata decode: a box-tree walk in pure byte
+    * arithmetic (big-endian, the mirror of [[decodeWav]]'s little-endian
+    * RIFF walk). `ftyp` gives the brand, `moov`→`mvhd` gives
+    * timescale+duration (v0 and v1 layouts both handled), the first
+    * `moov`→`trak`→`tkhd` with non-zero dimensions gives width/height
+    * (stored 16.16 fixed point), and the first `mdat` locates the payload
+    * bytes for feature extraction. A truncated trailing `mdat` (common when
+    * a faststart file is cut mid-transfer) reports the bytes actually
+    * present; any other structural corruption — including crafted 64-bit
+    * box sizes — returns None, never throws (a corrupt row must not kill a
+    * 100 TB scan). Frame-PIXEL decode would need a codec library; this is
+    * everything the container itself encodes.
     */
-  private[operators] def fakeDecode(modality: String, data: Array[Byte]): DecodedMeta = {
-    val n = if (data == null) 0 else data.length
-    val a = if (n > 0) (data(0) & 0xff) else 0
-    val b = if (n > 1) (data(1) & 0xff) else 0
-    DecodedMeta(320 + a % 64, 240 + b % 48, 1000L + (n.toLong * 40), "fake/mp4")
+  private[operators] def decodeMp4(data: Array[Byte]): Option[Mp4Meta] = {
+    if (data == null || data.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u32(o: Int): Long = bb.getInt(o) & 0xffffffffL
+    def tag(o: Int): String =
+      new String(data, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var brand: String = null
+    var timescale = 0; var durTicks = -1L
+    var w = 0; var h = 0
+    var mdOff = -1; var mdLen = 0
+    // Walk boxes in [from, to); Long cursors so a crafted uint32/uint64 size
+    // can't wrap an Int and defeat the bounds checks. Returns false on
+    // structural corruption.
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val o = off.toInt // safe: off + 8 <= to <= data.length <= Int.MaxValue
+        val id = tag(o + 4)
+        var size = u32(o)
+        var hdr = 8L
+        if (size == 1L) { // 64-bit largesize
+          if (off + 16 > to) return false
+          size = bb.getLong(o + 8); hdr = 16L
+          if (size < 0) return false
+        } else if (size == 0L) size = to - off // box extends to container end
+        if (size < hdr) return false
+        if (off + size > to) {
+          // tolerate ONLY a truncated trailing mdat: report bytes present
+          if (id == "mdat") { f("mdat", off + hdr, to); return true }
+          return false
+        }
+        f(id, off + hdr, off + size)
+        off += size
+      }
+      true
+    }
+    val ok = walk(0L, data.length.toLong) { (t, p, e) =>
+      t match {
+        case "ftyp" if e - p >= 4 => brand = tag(p.toInt).trim
+        case "mdat" if mdOff < 0 => mdOff = p.toInt; mdLen = (e - p).toInt
+        case "moov" =>
+          walk(p, e) { (t2, p2, e2) =>
+            t2 match {
+              case "mvhd" if e2 - p2 >= 20 =>
+                val v = data(p2.toInt) & 0xff
+                if (v == 1 && e2 - p2 >= 32) { // v1: 8-byte times/duration
+                  timescale = bb.getInt(p2.toInt + 20)
+                  durTicks = bb.getLong(p2.toInt + 24)
+                } else if (v == 0) {
+                  timescale = bb.getInt(p2.toInt + 12)
+                  durTicks = u32(p2.toInt + 16)
+                }
+              case "trak" =>
+                walk(p2, e2) { (t3, p3, e3) =>
+                  if (t3 == "tkhd" && w == 0) {
+                    val v = data(p3.toInt) & 0xff
+                    val wOff = if (v == 1) 88 else 76 // v1 widens 3 fields
+                    if (e3 - p3 >= wOff + 8) {
+                      val tw = bb.getInt(p3.toInt + wOff) >>> 16 // 16.16 fixed
+                      val th = bb.getInt(p3.toInt + wOff + 4) >>> 16
+                      if (tw > 0 && th > 0) { w = tw; h = th }
+                    }
+                  }
+                }
+                ()
+              case _ =>
+            }
+          }
+          ()
+        case _ =>
+      }
+    }
+    if (!ok || brand == null || timescale <= 0 || durTicks < 0 || mdOff < 0) None
+    else Some(Mp4Meta(w, h, timescale, durTicks,
+      durTicks * 1000L / timescale, brand, mdOff, mdLen))
+  }
+
+  /** Minimal canonical ISO-BMFF writer (ftyp + moov(mvhd, trak(tkhd)) +
+    * mdat) — the inverse of [[decodeMp4]], used to plant real MP4 payloads
+    * in [[syntheticMedia]] so the video decode path exercises genuine bytes.
+    */
+  private[operators] def mp4Bytes(timescale: Int, durationTicks: Long,
+                                  width: Int, height: Int,
+                                  payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + 216 + 8 + payload.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(s: String): java.nio.ByteBuffer =
+      bb.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def unityMatrix(): Unit = {
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    bb.putInt(20); fourcc("ftyp"); fourcc("isom"); bb.putInt(0x200); fourcc("isom")
+    bb.putInt(216); fourcc("moov")
+    bb.putInt(108); fourcc("mvhd")
+    bb.putInt(0)                   // version 0 + flags
+    bb.putInt(0).putInt(0)         // creation, modification
+    bb.putInt(timescale)
+    bb.putInt(durationTicks.toInt)
+    bb.putInt(0x00010000)          // rate 1.0
+    bb.putShort(0x0100.toShort)    // volume 1.0
+    bb.putShort(0); bb.putLong(0)  // reserved (10 bytes)
+    unityMatrix()
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined (24 bytes)
+    bb.putInt(2)                   // next_track_ID
+    bb.putInt(100); fourcc("trak")
+    bb.putInt(92); fourcc("tkhd")
+    bb.putInt(7)                   // version 0, flags: enabled|in-movie|in-preview
+    bb.putInt(0).putInt(0)         // creation, modification
+    bb.putInt(1)                   // track_ID
+    bb.putInt(0)                   // reserved
+    bb.putInt(durationTicks.toInt)
+    bb.putLong(0)                  // reserved
+    bb.putShort(0); bb.putShort(0) // layer, alternate_group
+    bb.putShort(0); bb.putShort(0) // volume (non-audio), reserved
+    unityMatrix()
+    bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+    bb.putInt(8 + payload.length); fourcc("mdat"); bb.put(payload)
+    bb.array()
   }
 
   final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
@@ -187,11 +318,11 @@ object MultimodalOps {
     * explicit batch grouping (`batchSize` rows per decoder call) — the shape
     * a vectorized decoder needs. Output adds width/height/duration_ms/
     * format/sample_rate/channels and a `features` float array; null
-    * payloads — and image/audio payloads no decoder accepts — produce null
+    * payloads — and payloads no decoder accepts — produce null
     * metadata/features. Image features are the histogram of decoded gray
     * PIXELS; WAV audio features histogram the PCM data-chunk bytes (not the
-    * header); video features histogram the raw payload (the stubbed
-    * modality). sample_rate/channels are audio-only (null elsewhere).
+    * header); MP4 video features histogram the mdat payload bytes (not the
+    * box headers). sample_rate/channels are audio-only (null elsewhere).
     */
   def decodeAndFeaturize(df: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -229,10 +360,15 @@ object MultimodalOps {
                   byteHistogram(data, off = w.dataOffset, len = w.dataBytes).toSeq))
               case None => Row.fromSeq(r.toSeq ++ nulls)
             }
-            case other =>
-              val meta = fakeDecode(other, data)
-              Row.fromSeq(r.toSeq ++ Seq(meta.width, meta.height, meta.durationMs,
-                meta.format, null, null, byteHistogram(data).toSeq))
+            case "video" => decodeMp4(data) match {
+              case Some(m) =>
+                Row.fromSeq(r.toSeq ++ Seq(m.width, m.height, m.durationMs,
+                  "video/mp4", null, null,
+                  byteHistogram(data, off = m.mdatOffset, len = m.mdatBytes).toSeq))
+              case None => Row.fromSeq(r.toSeq ++ nulls)
+            }
+            // a modality no decoder claims: null metadata, same as corrupt
+            case _ => Row.fromSeq(r.toSeq ++ nulls)
           }
         }
       }
@@ -266,8 +402,11 @@ object MultimodalOps {
     * rows carry REAL 16-bit PCM WAV payloads (sample_rate ∈
     * {8000,11025,16000,22050} by i%4, channels 1 + i%2, frames
     * 200 + (i·37)%1600, PCM byte(j) = (i·131 + j·17) % 256) — all closed
-    * forms the oracles replay, so both decode paths exercise genuine bytes;
-    * video payload bytes derive from the id by the original arithmetic.
+    * forms the oracles replay), and video rows carry REAL minimal MP4
+    * payloads (timescale ∈ {600,1000,90000,24000} by i%4, durationTicks =
+    * ts·(1 + (i·37)%28) + (i·997)%ts, width 128 + (i·7)%1024, height
+    * 96 + (i·11)%576, mdat byte(j) = (i·131 + j·17) % 256 over
+    * 128 + (i·37)%512 bytes) — so every decode path exercises genuine bytes.
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame = {
     import spark.implicits._
@@ -295,7 +434,11 @@ object MultimodalOps {
             j => ((i * 131 + j * 17) % 256).toByte)
           wavBytes(sr, ch, 16, pcm)
         case _ =>
-          Array.tabulate[Byte](128 + (i * 37) % 512)(j => ((i * 131 + j * 17) % 256).toByte)
+          val ts = Seq(600, 1000, 90000, 24000)(i % 4)
+          val durTicks = ts.toLong * (1 + (i * 37) % 28) + (i * 997) % ts
+          val payload = Array.tabulate[Byte](128 + (i * 37) % 512)(
+            j => ((i * 131 + j * 17) % 256).toByte)
+          mp4Bytes(ts, durTicks, 128 + (i * 7) % 1024, 96 + (i * 11) % 576, payload)
       }
       (i.toLong, modality, data, s"synthetic://$i", Map("seed" -> i.toString))
     }.toDF("media_id", "modality", "data", "source_uri", "metadata")

@@ -19,7 +19,7 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
       r.getAs[String]("modality") match {
         case "image" => assert(r.getAs[String]("format") == "image/png") // real decode + sniff
         case "audio" => assert(r.getAs[String]("format") == "audio/wav") // real RIFF walk
-        case _       => assert(r.getAs[String]("format").startsWith("fake/"))
+        case _       => assert(r.getAs[String]("format") == "video/mp4") // real BMFF walk
       }
     }
     val img = rows.find(_.getAs[String]("modality") == "image").get
@@ -65,6 +65,52 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
     java.nio.ByteBuffer.wrap(float32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(20, 3)
     assert(MultimodalOps.decodeWav(float32).isEmpty)
+  }
+
+  test("decodeMp4 really parses: planted BMFF boxes, closed-form duration, mdat-only features") {
+    // media_id 2 is a video row: timescale 90000 (2%4=2), durTicks =
+    // 90000*(1 + 74%28) + (2*997)%90000 = 90000*19 + 1994, width
+    // 128 + 14%1024 = 142, height 96 + 22%576 = 118, mdat 128 + 74%512 = 202 bytes
+    val i = 2
+    val data = media.filter(col("media_id") === i.toLong)
+      .head().getAs[Array[Byte]]("data")
+    val Some(m) = MultimodalOps.decodeMp4(data)
+    assert(m.brand == "isom" && m.timescale == 90000)
+    assert(m.durationTicks == 90000L * 19 + 1994)
+    assert(m.durationMs == (90000L * 19 + 1994) * 1000 / 90000)
+    assert(m.width == 142 && m.height == 118)
+    assert(m.mdatBytes == 202 && m.mdatOffset == data.length - 202)
+    // features run over the mdat payload only, never the box headers
+    val feats = MultimodalOps.byteHistogram(data, off = m.mdatOffset, len = m.mdatBytes)
+    val refMdat = java.util.Arrays.copyOfRange(data, m.mdatOffset, m.mdatOffset + m.mdatBytes)
+    assert(feats.toSeq == MultimodalOps.byteHistogram(refMdat).toSeq)
+    refMdat.zipWithIndex.foreach { case (bte, j) =>
+      assert((bte & 0xff) == (i * 131 + j * 17) % 256)
+    }
+    // non-BMFF video payloads are null metadata, not an exception
+    assert(MultimodalOps.decodeMp4(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    import spark.implicits._
+    val junk = Seq((7L, "video", Array.tabulate[Byte](64)(_.toByte), "u",
+      Map.empty[String, String]))
+      .toDF("media_id", "modality", "data", "source_uri", "metadata")
+    val r = MultimodalOps.decodeAndFeaturize(junk).head()
+    assert(r.isNullAt(r.fieldIndex("duration_ms")) && r.isNullAt(r.fieldIndex("features")))
+    // a TRUNCATED trailing mdat reports the bytes actually present
+    val trunc = java.util.Arrays.copyOfRange(data, 0, data.length - 100)
+    val Some(tm) = MultimodalOps.decodeMp4(trunc)
+    assert(tm.mdatBytes == 102 && tm.durationMs == m.durationMs)
+    // a crafted 64-bit largesize must return None, not wrap a cursor and
+    // throw out of the byte-range checks
+    val bomb = java.util.Arrays.copyOf(data, data.length)
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(20, 1) // moov claims a largesize header...
+    assert(MultimodalOps.decodeMp4(bomb).isEmpty) // ...it does not have room for
+    // a size-0 final box (extends-to-end semantics) parses, not loops
+    val openEnd = java.util.Arrays.copyOf(data, data.length)
+    java.nio.ByteBuffer.wrap(openEnd).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(data.length - 202 - 8, 0) // mdat: "rest of file"
+    val Some(om) = MultimodalOps.decodeMp4(openEnd)
+    assert(om.mdatBytes == 202)
   }
 
   test("decodeImage really decodes: planted PNG dims and exact gray pixels") {
