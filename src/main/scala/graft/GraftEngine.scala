@@ -259,6 +259,21 @@ object GraftEngine {
                 budgets: Map[String, Long]): DataFrame =
     operators.CorpusOps.trainingMix(docs, key, strataCol, tokensCol, budgets)
 
+  /** temperature_mix: mT5/XLM-R alpha-sampling rebalancing — per-stratum
+    * keep rates derived from the corpus token distribution (∝ n^alpha),
+    * then a deterministic ticket keep. */
+  def temperatureMixCorpus(docs: DataFrame, key: org.apache.spark.sql.Column,
+                           strataCol: String, tokensCol: String,
+                           targetTokens: Long, alpha: Double = 0.5): DataFrame =
+    operators.CorpusOps.temperatureMix(docs, key, strataCol, tokensCol,
+      targetTokens, alpha)
+
+  /** retain_best: near-dup components keep their best-scoring member
+    * (quality/length/recency) instead of the min-id one. */
+  def retainBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+                 score: org.apache.spark.sql.Column): DataFrame =
+    operators.DedupOps.retainBestPerCluster(docs, pairs, idCol, score)
+
   /** semantic_dedup: SemDeDup over k-means cells — cosine-threshold
     * duplicate groups within each cell, one survivor per group
     * ([[operators.ClusterOps.semDedup]]; use

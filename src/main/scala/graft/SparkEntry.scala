@@ -1172,6 +1172,38 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("tokens"), col("ticket"), col("cum_tokens"))
     },
 
+    // Temperature-based (alpha-sampling) multilingual rebalancing: derive
+    // per-language keep rates from the corpus token distribution with
+    // alpha = 0.5 (weights floor(sqrt(n_l)) — IEEE sqrt is correctly
+    // rounded, so the whole rate computation replays bit-exactly in the
+    // oracle), then a deterministic splitmix-ticket keep. One tiny
+    // aggregate + a broadcast join + a map-only filter.
+    "q128_temperature_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("tokens", floor((col("n_chars") + lit(3)) / lit(4)).cast("long"))
+      graft.operators.CorpusOps.temperatureMix(
+          docs, col("doc_id"), "lang", "tokens", targetTokens = 100000L)
+        .select(col("doc_id"), col("lang"), col("tokens"))
+    },
+
+    // Near-dup retention policy: resolve near-dup components (the q50
+    // sweep), then keep the BEST-scoring member per component instead of
+    // the min-id one — the "keep the highest-quality copy" rule. Planted
+    // exact copies (vec_id + 1e6) pair with their originals; the planted
+    // score vec_id % 3 decides each pair closed-form: 1e6 % 3 = 1, so the
+    // copy's score is (v+1) % 3 and the original wins iff v % 3 = 2.
+    "q129_retain_best" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(planted)
+      val pairs = graft.operators.DedupOps.embeddingNearDupPairs(
+        all, "embedding", "vec_id", threshold = 0.9)
+      graft.operators.DedupOps.retainBestPerCluster(
+          all, pairs, "vec_id", col("vec_id") % 3)
+        .select(col("vec_id"), col("label"), col("keep"))
+    },
+
     // Int8 scalar quantization of the embedding column (4x storage/IO cut,
     // the FAISS-SQ8 serving trade). Codes and dequant params are closed-form
     // per vector — exact SQL replay, codes compared as a joined string.
@@ -2639,6 +2671,41 @@ object SparkEntry {
         |SELECT doc_id, source, tokens, ticket, cum_tokens FROM c
         |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 1000
         |  WHEN 'src1' THEN 500 ELSE 1500 END""".stripMargin,
+    // alpha = 0.5 temperature mix: every arithmetic step (integer sums,
+    // floor(sqrt), the fixed double op order T*w/n/W*2^53) is IEEE-exact
+    // and replayed literally; the ticket chain is the shared splitmix64 CTE
+    "q128_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, (n_chars + 3) // 4 AS tokens FROM documents),
+        |n AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS nl FROM d
+        |      GROUP BY lang HAVING sum(tokens) > 0),
+        |wgt AS (SELECT lang, nl,
+        |        CAST(floor(sqrt(CAST(nl AS DOUBLE))) AS BIGINT) AS wl FROM n),
+        |thr AS (
+        |  SELECT lang, least(9007199254740992,
+        |    CAST(floor(CAST(100000 AS DOUBLE) * CAST(wl AS DOUBLE)
+        |      / CAST(nl AS DOUBLE) / CAST(W AS DOUBLE)
+        |      * 9007199254740992.0) AS BIGINT)) AS t
+        |  FROM wgt CROSS JOIN (SELECT CAST(sum(wl) AS BIGINT) AS W FROM wgt)),
+        |z0 AS (SELECT doc_id, lang, tokens, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, lang, tokens, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, lang, tokens, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, lang, tokens, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, lang, tokens, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, lang, tokens, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2)
+        |SELECT tk.doc_id, tk.lang, tk.tokens FROM tk JOIN thr USING (lang)
+        |WHERE ticket < t""".stripMargin,
+    // planted exact copies pair with their originals (the q50 sweep
+    // construction); score vec_id % 3 decides closed-form: the copy scores
+    // (v+1) % 3, so the original wins its pair iff v % 3 = 2
+    "q129_retain_best" ->
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(vec_id AS BIGINT) AS label,
+        |  (vec_id % 3 = 2 OR vec_id >= 50) AS keep
+        |FROM embeddings
+        |UNION ALL
+        |SELECT CAST(vec_id + 1000000 AS BIGINT), CAST(vec_id AS BIGINT),
+        |  (vec_id % 3 <> 2)
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
     "q78_summarize_turns" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS session_id, CAST(doc_id AS VARCHAR) AS id,

@@ -834,6 +834,68 @@ object CorpusOps {
       .drop("__mix_key")
   }
 
+  /** Temperature-based multilingual rebalancing — the mT5/XLM-R
+    * "alpha-sampling" recipe (T5 arXiv:1910.10683 §sampling, XLM-R
+    * arXiv:1911.02116 §3: sample language l with probability ∝ p_l^alpha so
+    * low-resource languages are up-weighted without an explicit budget per
+    * language). Where [[trainingMix]] takes hand-set per-stratum budgets,
+    * this derives them from the corpus itself: one tiny per-stratum
+    * aggregate, then a map-only deterministic keep, so the plan is one
+    * partial-aggregated shuffle of ~16 B/stratum rows plus a broadcast join
+    * back — the 100 TB shape.
+    *
+    * Exact semantics (what the oracle replays, bit-for-bit):
+    *   n_l    = sum(tokensCol) per stratum            (exact integer)
+    *   w_l    = floor(n_l^alpha)                      (integer weight)
+    *   W      = sum(w_l)                              (exact integer)
+    *   rate_l = targetTokens·w_l/n_l/W                (double, that op order)
+    *   thr_l  = min(2^53, floor(rate_l·2^53))         (BIGINT)
+    *   keep row ⇔ sampleTicket(key) < thr_l
+    * The expected token yield is targetTokens distributed ∝ w_l (i.e.
+    * ∝ n_l^alpha up to integer truncation); strata whose fair share exceeds
+    * their size clamp to keep-everything (the standard behavior — tiny
+    * languages are repeated by the training loop, not oversampled here).
+    * At the default alpha = 0.5 the weight is floor(sqrt(n_l)): IEEE-754
+    * sqrt is correctly rounded, so every step above is bit-identical across
+    * engines and the whole operator replays exactly in SQL. Other alphas go
+    * through pow(), whose last-ulp rounding is libm-dependent — fine for
+    * production, but only alpha = 0.5 carries the exact-oracle guarantee.
+    * Rows with a null stratum are dropped (no rate exists for them).
+    */
+  def temperatureMix(df: DataFrame, key: Column, strataCol: String,
+                     tokensCol: String, targetTokens: Long,
+                     alpha: Double = 0.5): DataFrame = {
+    require(targetTokens >= 0, "targetTokens must be >= 0")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    // NOTE "__W" would collide with "__w" under Spark's default
+    // case-INsensitive resolution — hence "__wtot"
+    val clash = df.columns.toSet.intersect(Set("__n", "__w", "__wtot", "__thr"))
+    require(clash.isEmpty,
+      s"temperatureMix writes columns ${clash.mkString(", ")} that already exist in the " +
+        "input; rename them before calling")
+    val counts = df.groupBy(col(strataCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+    val weight =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double"))).cast("long")
+      else floor(pow(col("__n").cast("double"), lit(alpha))).cast("long")
+    val weighted = counts.withColumn("__w", weight)
+    // W = sum of weights: a single-partition window over the per-stratum
+    // aggregate — that table holds one row PER STRATUM (a handful), so the
+    // all-to-one window is on a trivially small frame, never the corpus
+    val thresholds = weighted
+      .withColumn("__wtot", sum(col("__w")).over(Window.partitionBy(lit(1))))
+      .withColumn("__thr", least(
+        lit(Ticket1),
+        floor(lit(targetTokens.toDouble) * col("__w").cast("double")
+          / col("__n").cast("double") / col("__wtot").cast("double")
+          * lit(Ticket1.toDouble)).cast("long")))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(sampleTicket(key) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** End-to-end pretraining-corpus preparation — the "documents in,
     * training layout out" composition of individually-oracled stages:
     *

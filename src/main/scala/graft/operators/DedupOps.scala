@@ -869,6 +869,30 @@ object DedupOps {
       .drop("__sid", "__spans")
   }
 
+  /** Near-dup retention policy: resolve near-dup connected components
+    * ([[dedupSweep]]) and keep the BEST-scoring member of each component
+    * instead of the min-id one — the "keep the highest-quality copy" rule a
+    * curation pipeline wants when duplicates differ in extraction quality
+    * (e.g. the same article from a clean feed vs a boilerplate-ridden
+    * scrape). `score` is any column expression over the input (quality
+    * score, length, recency…); ties break to the smallest id so the result
+    * is deterministic. Output = input columns + `label` (component root) +
+    * `keep`. Plan shape: the sweep's bounded label propagation plus one
+    * keyed component aggregate (`max_by` — partial map-side) and one keyed
+    * join back on the component label; nothing corpus-cross-joins.
+    */
+  def retainBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                           score: org.apache.spark.sql.Column,
+                           maxIters: Int = 5): DataFrame = {
+    val swept = dedupSweep(df, pairs, idCol, maxIters).drop("keep")
+    // max_by on struct(score, -id): best score wins, ties to the smallest id
+    val best = swept.groupBy(col("label"))
+      .agg(max_by(col(idCol), struct(score, col(idCol) * lit(-1L))).as("__keep_id"))
+    swept.join(best, Seq("label"))
+      .withColumn("keep", col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
   /** Sub-document (containment) near-dup pairs — the quote/contained-passage
     * duplication that symmetric Jaccard structurally misses: a 30-word
     * passage inside a 10x larger document scores Jaccard ~0.1 but

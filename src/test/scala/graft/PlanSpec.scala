@@ -176,6 +176,19 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(exchanges <= 3, s"too many exchanges:\n$plan")
   }
 
+  test("q128: temperature mix joins rates via broadcast; corpus never sort-merges") {
+    val plan = SparkEntry.queries("q128_temperature_mix")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum thresholds must broadcast back to the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the rate join:\n$plan")
+    // the only window runs over the per-stratum aggregate (a handful of
+    // rows), partitioned by the literal — never over doc rows
+    val windows = plan.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"exactly one tiny window expected:\n$plan")
+  }
+
   test("q113: sequence packing is one shard exchange — no join, no global window") {
     // the window's exchange comes from EnsureRequirements, so inspect the
     // executed plan (sparkPlan predates exchange insertion)

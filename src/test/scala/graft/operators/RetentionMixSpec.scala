@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temperature rebalancing (mT5/XLM-R alpha-sampling) + best-copy near-dup
+  * retention — the two policy operators a curation pipeline puts between
+  * dedup and the training mix.
+  */
+class RetentionMixSpec extends AnyFunSuite with SparkTest {
+
+  private def ticket(id: Long): Long = {
+    // splitmix64 >>> 11, the documented sampling ticket
+    var z = id + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) >>> 11
+  }
+
+  test("temperatureMix keeps exactly the documented closed-form set and up-weights low-resource strata") {
+    import spark.implicits._
+    // two strata, 64x token imbalance: hi = 1000 docs x 64 tok, lo = 250 x 4
+    val docs = ((0 until 1000).map(i => (i.toLong, "hi", 64L)) ++
+      (0 until 250).map(i => ((10000 + i).toLong, "lo", 4L)))
+      .toDF("id", "lang", "tokens")
+    val target = 10000L
+    val out = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", target)
+    val kept = out.select("id").as[Long].collect().toSet
+
+    // replay the documented arithmetic exactly
+    val nHi = 64000.0; val nLo = 1000.0
+    val wHi = math.floor(math.sqrt(nHi)); val wLo = math.floor(math.sqrt(nLo))
+    val w = wHi + wLo
+    def thr(wl: Double, nl: Double): Long =
+      math.min(1L << 53,
+        math.floor(target.toDouble * wl / nl / w * (1L << 53).toDouble).toLong)
+    val expect = ((0 until 1000).map(_.toLong).filter(id => ticket(id) < thr(wHi, nHi)) ++
+      (0 until 250).map(i => (10000 + i).toLong).filter(id => ticket(id) < thr(wLo, nLo))).toSet
+    assert(kept == expect)
+
+    // alpha < 1 up-weights the low-resource stratum: its keep RATE exceeds
+    // the high-resource one (sqrt compresses the 64x gap to 8x)
+    assert(thr(wLo, nLo) > thr(wHi, nHi))
+    // and the temperature rates preserve relative order of expected yield:
+    // hi still yields more total tokens than lo
+    val yieldBy = out.groupBy("lang").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(yieldBy("hi") > yieldBy.getOrElse("lo", 0L))
+  }
+
+  test("temperatureMix clamps tiny strata to keep-everything and is monotone in the target") {
+    import spark.implicits._
+    val docs = ((0 until 2000).map(i => (i.toLong, "big", 100L)) ++
+      (0 until 5).map(i => ((90000 + i).toLong, "tiny", 2L)))
+      .toDF("id", "lang", "tokens")
+    val out = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", 50000L)
+    // tiny's fair share (∝ sqrt) exceeds its 10 tokens -> rate clamps to 1
+    assert(out.filter(col("lang") === "tiny").count() == 5)
+    // growing the target never evicts a previously kept row (thresholds are
+    // monotone in T, tickets are fixed)
+    val small = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", 20000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val large = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", 80000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large))
+    // null strata carry no rate and are dropped, not crashed on
+    val withNull = docs.union(Seq((99999L, null.asInstanceOf[String], 7L))
+      .toDF("id", "lang", "tokens"))
+    assert(CorpusOps.temperatureMix(withNull, col("id"), "lang", "tokens", 50000L)
+      .filter(col("id") === 99999L).count() == 0)
+  }
+
+  test("retainBestPerCluster keeps the best-scoring member per component, ties to min id") {
+    import spark.implicits._
+    // components: {1,2,3} (scores 5,9,9 -> keep 2: best score, tie min id),
+    // {4,5} (scores 1,0 -> keep 4), singleton {6}
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 0L), (6L, 3L))
+      .toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("ida", "idb")
+    val out = DedupOps.retainBestPerCluster(docs, pairs, "id", col("score"))
+      .select("id", "label", "keep")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1) == ((1L, false)) && out(2) == ((1L, true)) && out(3) == ((1L, false)))
+    assert(out(4) == ((4L, true)) && out(5) == ((4L, false)))
+    assert(out(6) == ((6L, true)))
+    // exactly one keeper per component, always
+    val keepers = DedupOps.retainBestPerCluster(docs, pairs, "id", col("score"))
+      .groupBy("label").agg(sum(when(col("keep"), 1).otherwise(0)).as("k"))
+      .select("k").collect().map(_.getLong(0))
+    assert(keepers.forall(_ == 1L))
+  }
+}
