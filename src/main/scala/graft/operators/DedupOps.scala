@@ -880,14 +880,28 @@ object DedupOps {
     * `keep`. Plan shape: the sweep's bounded label propagation plus one
     * keyed component aggregate (`max_by` — partial map-side) and one keyed
     * join back on the component label; nothing corpus-cross-joins.
+    *
+    * A null score loses to any non-null one (the ordering leads with
+    * `isNotNull`, because struct comparison would otherwise rank a null
+    * field HIGHEST); a component whose scores are all null keeps its min
+    * id, so exactly one keeper per component always holds.
     */
   def retainBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
                            score: org.apache.spark.sql.Column,
                            maxIters: Int = 5): DataFrame = {
+    // dedupSweep renames its component column when the input already owns
+    // "label" — the groupBy below would then aggregate the caller's column.
+    // Fail loudly instead of silently mis-clustering.
+    val clash = df.columns.toSet.intersect(Set("label", "keep", "__keep_id"))
+    require(clash.isEmpty,
+      s"retainBestPerCluster writes columns ${clash.mkString(", ")} that already exist " +
+        "in the input; rename them before calling")
     val swept = dedupSweep(df, pairs, idCol, maxIters).drop("keep")
-    // max_by on struct(score, -id): best score wins, ties to the smallest id
+    // max_by on struct(notNull, score, -id): non-null beats null, best
+    // score wins, ties to the smallest id
     val best = swept.groupBy(col("label"))
-      .agg(max_by(col(idCol), struct(score, col(idCol) * lit(-1L))).as("__keep_id"))
+      .agg(max_by(col(idCol),
+        struct(score.isNotNull, score, col(idCol) * lit(-1L))).as("__keep_id"))
     swept.join(best, Seq("label"))
       .withColumn("keep", col(idCol) === col("__keep_id"))
       .drop("__keep_id")

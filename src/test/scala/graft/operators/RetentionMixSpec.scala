@@ -90,4 +90,26 @@ class RetentionMixSpec extends AnyFunSuite with SparkTest {
       .select("k").collect().map(_.getLong(0))
     assert(keepers.forall(_ == 1L))
   }
+
+  test("retainBestPerCluster fails loudly on label/keep collisions; null scores lose") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("ida", "idb")
+    // an input owning "label" would make the sweep rename its component
+    // column and the retention groupBy silently aggregate the wrong thing
+    val clashing = Seq((1L, 5L, "x"), (2L, 9L, "y")).toDF("id", "score", "label")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.retainBestPerCluster(clashing, pairs, "id", col("score"))
+    }
+    assert(e.getMessage.contains("label"))
+    // a null score loses to any non-null score; an all-null component
+    // still keeps exactly one member (its min id)
+    val docs = Seq((1L, Some(1L)), (2L, None: Option[Long]),
+      (4L, None: Option[Long]), (5L, None: Option[Long])).toDF("id", "score")
+    val allPairs = Seq((1L, 2L), (4L, 5L)).toDF("ida", "idb")
+    val out = DedupOps.retainBestPerCluster(docs, allPairs, "id", col("score"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(out(1) && !out(2))
+    assert(out(4) && !out(5))
+  }
 }
