@@ -2678,6 +2678,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, lang, (n_chars + 3) // 4 AS tokens FROM documents),
         |n AS (SELECT lang, CAST(sum(tokens) AS BIGINT) AS nl FROM d
+        |      WHERE lang IS NOT NULL
         |      GROUP BY lang HAVING sum(tokens) > 0),
         |wgt AS (SELECT lang, nl,
         |        CAST(floor(sqrt(CAST(nl AS DOUBLE))) AS BIGINT) AS wl FROM n),

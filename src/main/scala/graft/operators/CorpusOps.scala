@@ -873,7 +873,11 @@ object CorpusOps {
     require(clash.isEmpty,
       s"temperatureMix writes columns ${clash.mkString(", ")} that already exist in the " +
         "input; rename them before calling")
-    val counts = df.groupBy(col(strataCol))
+    // null strata are excluded BEFORE the aggregate: their rows can't join
+    // a rate anyway, and letting their tokens into the weight normalizer W
+    // would silently shrink every real stratum's share of the target
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
       .agg(sum(col(tokensCol)).cast("long").as("__n"))
       .filter(col("__n") > 0L)
     val weight =

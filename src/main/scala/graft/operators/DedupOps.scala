@@ -896,7 +896,9 @@ object DedupOps {
     require(clash.isEmpty,
       s"retainBestPerCluster writes columns ${clash.mkString(", ")} that already exist " +
         "in the input; rename them before calling")
-    val swept = dedupSweep(df, pairs, idCol, maxIters).drop("keep")
+    // swept feeds BOTH the component aggregate and the final join — persist
+    // it, or df's whole upstream lineage (scoring, unions, LSH) runs twice
+    val swept = dedupSweep(df, pairs, idCol, maxIters).drop("keep").persistTracked
     // max_by on struct(notNull, score, -id): non-null beats null, best
     // score wins, ties to the smallest id
     val best = swept.groupBy(col("label"))

@@ -99,12 +99,15 @@ object MultimodalOps {
       }
       true
     }
+    // corruption inside a nested container must poison the whole decode —
+    // a walk's false return is propagated, never discarded
+    var corrupt = false
     val ok = walk(0L, data.length.toLong) { (t, p, e) =>
       t match {
         case "ftyp" if e - p >= 4 => brand = tag(p.toInt).trim
         case "mdat" if mdOff < 0 => mdOff = p.toInt; mdLen = (e - p).toInt
         case "moov" =>
-          walk(p, e) { (t2, p2, e2) =>
+          val moovOk = walk(p, e) { (t2, p2, e2) =>
             t2 match {
               case "mvhd" if e2 - p2 >= 20 =>
                 val v = data(p2.toInt) & 0xff
@@ -116,7 +119,7 @@ object MultimodalOps {
                   durTicks = u32(p2.toInt + 16)
                 }
               case "trak" =>
-                walk(p2, e2) { (t3, p3, e3) =>
+                if (!walk(p2, e2) { (t3, p3, e3) =>
                   if (t3 == "tkhd" && w == 0) {
                     val v = data(p3.toInt) & 0xff
                     val wOff = if (v == 1) 88 else 76 // v1 widens 3 fields
@@ -126,16 +129,17 @@ object MultimodalOps {
                       if (tw > 0 && th > 0) { w = tw; h = th }
                     }
                   }
-                }
-                ()
+                }) corrupt = true
               case _ =>
             }
           }
-          ()
+          if (!moovOk) corrupt = true
         case _ =>
       }
     }
-    if (!ok || brand == null || timescale <= 0 || durTicks < 0 || mdOff < 0) None
+    // a v1 duration near 2^63 would wrap durTicks * 1000 negative: corrupt
+    if (!ok || corrupt || brand == null || timescale <= 0 || durTicks < 0 ||
+        durTicks > Long.MaxValue / 1000 || mdOff < 0) None
     else Some(Mp4Meta(w, h, timescale, durTicks,
       durTicks * 1000L / timescale, brand, mdOff, mdLen))
   }

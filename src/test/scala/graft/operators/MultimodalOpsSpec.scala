@@ -111,6 +111,22 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
       .putInt(data.length - 202 - 8, 0) // mdat: "rest of file"
     val Some(om) = MultimodalOps.decodeMp4(openEnd)
     assert(om.mdatBytes == 202)
+    // corruption NESTED inside moov (a trak whose size overruns the moov
+    // extent) poisons the whole decode — the contract is None, not a
+    // half-parsed Some. trak box header sits at moov payload + mvhd box:
+    // 20 (ftyp) + 8 (moov hdr) + 108 (mvhd) = 136
+    val nested = java.util.Arrays.copyOf(data, data.length)
+    java.nio.ByteBuffer.wrap(nested).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(136, 0x7fffff00) // trak claims ~2 GB
+    assert(MultimodalOps.decodeMp4(nested).isEmpty)
+    // a v1 mvhd whose 64-bit duration would wrap durTicks*1000 negative is
+    // corrupt, not a garbage duration_ms. Flipping the version byte (mvhd
+    // payload starts at 36) makes the v0 bytes re-read as v1: timescale
+    // lands on the rate field (65536, valid) and duration on the volume/
+    // reserved bytes = 0x0100000000000000 ≈ 7.2e16 > Long.MaxValue/1000.
+    val v1bomb = java.util.Arrays.copyOf(data, data.length)
+    v1bomb(36) = 1
+    assert(MultimodalOps.decodeMp4(v1bomb).isEmpty)
   }
 
   test("decodeImage really decodes: planted PNG dims and exact gray pixels") {

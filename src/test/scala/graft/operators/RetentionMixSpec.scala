@@ -64,11 +64,18 @@ class RetentionMixSpec extends AnyFunSuite with SparkTest {
     val large = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", 80000L)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(large))
-    // null strata carry no rate and are dropped, not crashed on
-    val withNull = docs.union(Seq((99999L, null.asInstanceOf[String], 7L))
-      .toDF("id", "lang", "tokens"))
-    assert(CorpusOps.temperatureMix(withNull, col("id"), "lang", "tokens", 50000L)
-      .filter(col("id") === 99999L).count() == 0)
+    // null strata carry no rate and are dropped, not crashed on — and their
+    // tokens must NOT enter the weight normalizer: the kept set over the
+    // non-null strata is identical with and without a huge null-lang block
+    val withNull = docs.union(
+      (0 until 500).map(i => ((99000 + i).toLong, null.asInstanceOf[String], 1000L))
+        .toDF("id", "lang", "tokens"))
+    val keptWithNull = CorpusOps.temperatureMix(withNull, col("id"), "lang", "tokens", 50000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!keptWithNull.exists(_ >= 99000L))
+    val keptPlain = CorpusOps.temperatureMix(docs, col("id"), "lang", "tokens", 50000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptWithNull == keptPlain)
   }
 
   test("retainBestPerCluster keeps the best-scoring member per component, ties to min id") {
