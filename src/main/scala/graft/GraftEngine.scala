@@ -189,6 +189,13 @@ object GraftEngine {
                         targetFiles: Int = 32): Unit =
     operators.DedupOps.compactMinhashIndex(spark, path, targetFiles)
 
+  /** append_vector_index: O(batch) vector ingest into a persisted IVF
+    * index against its frozen centroids (refit periodically as the
+    * distribution drifts). */
+  def appendVectorIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, embCol: String): Unit =
+    operators.KnnOps.appendIvfIndex(spark, path, batch, idCol, embCol)
+
   /** exact_novel_rows: Bloom-prefiltered exact batch dedup — the accept
     * list of batch rows whose key is not in the corpus.
     */

@@ -1186,6 +1186,29 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("tokens"))
     },
 
+    // IVF index INGEST: build on half the corpus, append the other half
+    // against the frozen centroids (no refit, O(batch) write into the
+    // cell-partitioned layout), then query the loaded index with
+    // nprobe = ncells — full probing makes IVF exactly brute force, so the
+    // oracle is exact KNN over the WHOLE corpus and any appended vector
+    // the index lost would hash-mismatch.
+    "q130_ivf_append" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val path = q130IndexDir.toString
+      // saveIvfIndex overwrites, so repeated verify/bench passes in one JVM
+      // neither leak dirs nor double-append (the q107 scratch pattern)
+      val idx0 = graft.operators.KnnOps.ivfIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", ncells = 8)
+      graft.operators.KnnOps.saveIvfIndex(idx0, path)
+      graft.operators.KnnOps.appendIvfIndex(
+        s, path, emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val idx = graft.operators.KnnOps.loadIvfIndex(s, path)
+      graft.operators.KnnOps.ivfQuery(
+          idx, emb.filter(col("vec_id") < 5), k = 5,
+          "vec_id", "embedding", "vec_id", "embedding", nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
     // Near-dup retention policy: resolve near-dup components (the q50
     // sweep), then keep the BEST-scoring member per component instead of
     // the min-id one — the "keep the highest-quality copy" rule. Planted
@@ -1858,6 +1881,8 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft_fixtures")
   private lazy val q107IndexDir: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("q107_idx")
+  private lazy val q130IndexDir: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("q130_idx")
   private lazy val sinkBaseDir: java.io.File =
     java.nio.file.Files.createTempDirectory("graft_sink").toFile
 
@@ -2696,6 +2721,17 @@ object SparkEntry {
         |tk AS (SELECT doc_id, lang, tokens, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2)
         |SELECT tk.doc_id, tk.lang, tk.tokens FROM tk JOIN thr USING (lang)
         |WHERE ticket < t""".stripMargin,
+    // nprobe = ncells makes IVF exactly brute force regardless of the
+    // (data-dependent) clustering OR how rows were routed at append time —
+    // the q51 identity, now also proving appended vectors are searchable
+    "q130_ivf_append" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+        |        c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin,
     // planted exact copies pair with their originals (the q50 sweep
     // construction); score vec_id % 3 decides closed-form: the copy scores
     // (v+1) % 3, so the original wins its pair iff v % 3 = 2

@@ -177,6 +177,37 @@ object KnnOps {
     IvfIndex(spark.read.parquet(s"$path/assigned"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Append a batch of vectors to a persisted IVF index WITHOUT refitting —
+    * the vector-ingest analog of
+    * [[graft.operators.DedupOps.appendMinhashIndex]]. The saved centroids
+    * load (tiny) and stay FROZEN: each batch vector routes map-side to its
+    * nearest cell (cosine, the same metric [[ivfQuery]] routes queries by —
+    * identical to the builder's euclidean assignment on unit-norm
+    * embeddings) and the rows append into the cell-partitioned parquet
+    * layout. Ingest cost is O(batch); the existing corpus is never read or
+    * rewritten; readers planned after the append probe the new vectors in
+    * exactly the cells a query targets.
+    *
+    * The frozen-centroid trade (same as any serving IVF deployment): as the
+    * ingested distribution drifts the cells imbalance and recall decays —
+    * refit periodically with [[ivfIndex]] + [[saveIvfIndex]]. Not
+    * concurrent-safe: run appends from the single maintainer process that
+    * also owns compaction, like the MinHash index contract.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, idCol: String, embCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    batch.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", GraftFunctions.cosine_distance(col(embCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"),
+        first(col(embCol)).as(embCol))
+      .select(col(idCol), col(embCol), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Build an IVF index whose cell-assigned corpus stores int8 codes
     * instead of float32 embeddings — the FAISS IVF+SQ8 serving layout:
     * cell routing prunes the scan to nprobe/ncells of the corpus AND every

@@ -66,6 +66,35 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.7, s"IVF recall $recall too low")
   }
 
+  test("appendIvfIndex: appended vectors are searchable; cells come from the frozen centroids") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ivf_append_test").toString
+    val half0 = corpus.filter(col("id") % 2 === 0)
+    val half1 = corpus.filter(col("id") % 2 === 1)
+    val idx0 = KnnOps.ivfIndex(half0, "id", "embedding", ncells = 4)
+    KnnOps.saveIvfIndex(idx0, path)
+    KnnOps.appendIvfIndex(spark, path, half1, "id", "embedding")
+    val idx = KnnOps.loadIvfIndex(spark, path)
+    // every vector present exactly once, and appended rows only use cells
+    // the frozen centroid table defines
+    assert(idx.assigned.count() == 100)
+    assert(idx.assigned.select("id").distinct().count() == 100)
+    val cells = idx.centroids.select("cell").as[Int].collect().toSet
+    assert(idx.assigned.select("cell").as[Int].collect().forall(cells.contains))
+    // full probing (nprobe = ncells) equals brute force over the FULL
+    // corpus — a lost appended vector would break this identity
+    val queries = corpus.filter(col("id") < 3)
+    val viaIndex = KnnOps.ivfQuery(idx, queries, k = 5,
+        "id", "embedding", "id", "embedding", nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = KnnOps.bruteForceKnn(corpus, queries, k = 5,
+        "id", "embedding", "id", "embedding")
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == exact)
+  }
+
   test("similarPairs finds the planted near-identical pair") {
     import spark.implicits._
     val df = ((0 until 10).map(i => (i.toLong, vec(i))) :+
