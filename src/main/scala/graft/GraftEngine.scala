@@ -196,6 +196,12 @@ object GraftEngine {
                         batch: DataFrame, idCol: String, embCol: String): Unit =
     operators.KnnOps.appendIvfIndex(spark, path, batch, idCol, embCol)
 
+  /** append_lexical_index: O(batch) BM25 posting append — statistics
+    * derive at query time, so no stats merge is needed. */
+  def appendLexicalIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, textCol: String, idCol: String): Unit =
+    operators.Bm25Ops.appendBm25Index(spark, path, batch, textCol, idCol)
+
   /** exact_novel_rows: Bloom-prefiltered exact batch dedup — the accept
     * list of batch rows whose key is not in the corpus.
     */

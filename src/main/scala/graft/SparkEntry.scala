@@ -951,6 +951,30 @@ object SparkEntry {
         loaded, queries, "query_id", "query_text", k = 10)
     },
 
+    // BM25 index INGEST: build on half the corpus, append the other half
+    // (O(batch) — the layout stores no global stats, so n_docs/avgdl/df
+    // derive post-append inside bm25Query and idf shifts from the new
+    // docs automatically). The oracle scores the FULL corpus in one pass:
+    // any appended posting the index lost, or any stale statistic, would
+    // hash-mismatch.
+    "q131_bm25_append" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"),
+        (2L, "stream window batch"),
+        (3L, "vector scan filter")).toDF("query_id", "query_text")
+      val docs = Tables.documents(s, dir)
+      val idx0 = graft.operators.Bm25Ops.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+      val path = java.nio.file.Files.createTempDirectory("q131_bm25").toString
+      graft.operators.Bm25Ops.saveBm25Index(idx0, path)
+      graft.operators.Bm25Ops.appendBm25Index(
+        s, path, docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      val loaded = graft.operators.Bm25Ops.loadBm25Index(s, path)
+      graft.operators.Bm25Ops.bm25Query(
+        loaded, queries, "query_id", "query_text", k = 10)
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -1877,6 +1901,43 @@ object SparkEntry {
     * reused within a process so repeated bench/verify passes don't leak
     * temp directories.
     */
+  /** The persisted-BM25 oracle: full-corpus BM25 scoring in one SQL pass —
+    * shared by q126 (build+save+load) and q131 (build half, append half):
+    * the append lifecycle must be hash-indistinguishable from a one-shot
+    * build over the union corpus.
+    */
+  private def bm25PersistedOracle: String =
+      """WITH q(query_id, query_text) AS (
+        |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
+        |         (CAST(2 AS BIGINT), 'stream window batch'),
+        |         (CAST(3 AS BIGINT), 'vector scan filter')),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+        |qt AS (SELECT DISTINCT query_id, w FROM (
+        |  SELECT query_id, unnest(list_filter(string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM q)),
+        |dfq AS (SELECT w, count(*) AS dfreq FROM tf WHERE w IN (SELECT w FROM qt) GROUP BY w),
+        |idf AS (SELECT w,
+        |  CAST(floor(1e6 * ln((CAST(n_docs - dfreq AS DOUBLE) + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_micro
+        |  FROM dfq, st),
+        |cand AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(CAST(idf_micro AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.5) /
+        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS term_micro
+        |  FROM tf JOIN qt USING (w) JOIN idf USING (w) JOIN dl USING (doc_id), st),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+        |    count(*) AS n_terms_hit
+        |  FROM cand GROUP BY query_id, doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
+        |FROM r WHERE rank <= 10""".stripMargin
+
   private lazy val fixtureDir: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_fixtures")
   private lazy val q107IndexDir: java.nio.file.Path =
@@ -2487,37 +2548,10 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY cluster, a
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
-    "q126_bm25_persisted" ->
-      """WITH q(query_id, query_text) AS (
-        |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
-        |         (CAST(2 AS BIGINT), 'stream window batch'),
-        |         (CAST(3 AS BIGINT), 'vector scan filter')),
-        |tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
-        |  FROM documents),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-        |qt AS (SELECT DISTINCT query_id, w FROM (
-        |  SELECT query_id, unnest(list_filter(string_split_regex(lower(query_text), '\s+'), x -> len(x) > 0)) AS w
-        |  FROM q)),
-        |dfq AS (SELECT w, count(*) AS dfreq FROM tf WHERE w IN (SELECT w FROM qt) GROUP BY w),
-        |idf AS (SELECT w,
-        |  CAST(floor(1e6 * ln((CAST(n_docs - dfreq AS DOUBLE) + 0.5) / (CAST(dfreq AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_micro
-        |  FROM dfq, st),
-        |cand AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(floor(CAST(idf_micro AS DOUBLE) * (CAST(tf AS DOUBLE) * 2.5) /
-        |      (CAST(tf AS DOUBLE) + 1.5 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS term_micro
-        |  FROM tf JOIN qt USING (w) JOIN idf USING (w) JOIN dl USING (doc_id), st),
-        |sc AS (
-        |  SELECT query_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
-        |    count(*) AS n_terms_hit
-        |  FROM cand GROUP BY query_id, doc_id),
-        |r AS (SELECT *, CAST(row_number() OVER (
-        |  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
-        |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "q126_bm25_persisted" -> bm25PersistedOracle,
+    // the append path must be indistinguishable from a one-shot build over
+    // the union corpus — same oracle, same hash
+    "q131_bm25_append" -> bm25PersistedOracle,
     "q121_bm25_topk" ->
       """WITH q(query_id, query_text) AS (
         |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),

@@ -88,6 +88,27 @@ object Bm25Ops {
     Bm25Index(spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/doclens"))
 
+  /** Append a document batch to a persisted BM25 index at O(batch) — the
+    * lexical analog of the MinHash/IVF index appends: tokenize and count
+    * ONLY the batch, then `mode("append")` its postings and doc lengths
+    * alongside the existing files. The layout stores no global statistics
+    * (n_docs/avgdl/df all derive from the tables inside [[bm25Query]]'s
+    * one-row aggregate), so an append needs no stats merge and the next
+    * query batch scores against the union corpus exactly as if it had been
+    * indexed in one build — idf shifts from the new documents included.
+    *
+    * Batch doc_ids must be NEW: re-appending an indexed document would
+    * double its postings (dedup the batch against the index first — that
+    * is what the probe step of the ingest loop is for). Same
+    * single-maintainer contract as the other persisted indexes.
+    */
+  def appendBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                      docs: DataFrame, textCol: String, idCol: String): Unit = {
+    val batch = buildBm25Index(docs, textCol, idCol)
+    batch.postings.write.mode("append").parquet(s"$path/postings")
+    batch.docLens.write.mode("append").parquet(s"$path/doclens")
+  }
+
   /** Score a query batch against a (built or loaded) [[Bm25Index]] — the
     * scoring tail of [[bm25TopK]], shared verbatim so the direct and
     * persisted paths cannot drift. Corpus statistics (n_docs, avgdl)

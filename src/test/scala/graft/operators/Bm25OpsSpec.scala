@@ -84,6 +84,28 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
     assert(a == b && a.nonEmpty)
   }
 
+  test("appendBm25Index: post-append query equals a one-shot build over the union corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"), (3L, "durian fig"),
+      (4L, "cherry cherry banana"), (5L, "apple durian"), (6L, "fig banana")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple cherry"), (2L, "fig")).toDF("query_id", "query_text")
+    val path = java.nio.file.Files.createTempDirectory("bm25append").toString
+    Bm25Ops.saveBm25Index(
+      Bm25Ops.buildBm25Index(docs.filter($"doc_id" <= 3), "text", "doc_id"), path)
+    Bm25Ops.appendBm25Index(spark, path, docs.filter($"doc_id" > 3), "text", "doc_id")
+    val viaAppend = Bm25Ops.bm25Query(Bm25Ops.loadBm25Index(spark, path),
+      queries, "query_id", "query_text", k = 5)
+    // idf/avgdl must reflect the union corpus, not the initial build —
+    // compare against the direct one-shot path over all six docs
+    val oneShot = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 5)
+    val a = viaAppend.collect().map(_.toSeq).toSet
+    val b = oneShot.collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("duplicate query terms do not double-count") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
