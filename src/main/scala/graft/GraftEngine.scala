@@ -202,6 +202,17 @@ object GraftEngine {
                          batch: DataFrame, textCol: String, idCol: String): Unit =
     operators.Bm25Ops.appendBm25Index(spark, path, batch, textCol, idCol)
 
+  /** compact_vector_index / compact_lexical_index: periodic tiny-file
+    * rewrite for the appended-to persisted indexes (crash-safe swap,
+    * [[graft.util.IndexMaint.compactTable]]). */
+  def compactVectorIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         targetFiles: Int = 32): Unit =
+    operators.KnnOps.compactIvfIndex(spark, path, targetFiles)
+
+  def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          targetFiles: Int = 32): Unit =
+    operators.Bm25Ops.compactBm25Index(spark, path, targetFiles)
+
   /** exact_novel_rows: Bloom-prefiltered exact batch dedup — the accept
     * list of batch rows whose key is not in the corpus.
     */

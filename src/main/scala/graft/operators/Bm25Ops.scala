@@ -109,6 +109,17 @@ object Bm25Ops {
     batch.docLens.write.mode("append").parquet(s"$path/doclens")
   }
 
+  /** Rewrite an appended-to persisted BM25 index into `targetFiles` files
+    * per table (postings clustered on the term, doc lengths on doc_id) —
+    * run periodically from the append maintainer; see
+    * [[graft.util.IndexMaint.compactTable]] for the crash-safe swap.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+                       targetFiles: Int = 32): Unit = {
+    graft.util.IndexMaint.compactTable(spark, s"$path/postings", Seq("w"), targetFiles)
+    graft.util.IndexMaint.compactTable(spark, s"$path/doclens", Seq("doc_id"), targetFiles)
+  }
+
   /** Score a query batch against a (built or loaded) [[Bm25Index]] — the
     * scoring tail of [[bm25TopK]], shared verbatim so the direct and
     * persisted paths cannot drift. Corpus statistics (n_docs, avgdl)

@@ -984,32 +984,11 @@ object DedupOps {
     * the swap must re-plan.
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                          targetFiles: Int = 32): Unit = {
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree) }
-      f.delete(); ()
-    }
+                          targetFiles: Int = 32): Unit =
     Seq("bands" -> Seq("band", "bhash"), "docs" -> Seq("doc_id")).foreach {
       case (t, keys) =>
-        val src = s"$path/$t"
-        val tmp = s"$path/${t}_compact_tmp"
-        val old = s"$path/${t}_compact_old"
-        spark.read.parquet(src)
-          .repartition(targetFiles, keys.map(col): _*)
-          .write.mode("overwrite").parquet(tmp)
-        // Crash-safe swap: the live table is moved ASIDE (not deleted), the
-        // compacted copy moved in, and only then is the old data destroyed —
-        // a crash at any point leaves a loadable index (live, or live-aside
-        // recoverable by renaming back). Delete-then-move would make the
-        // crash window destroy the only copy.
-        rmTree(new java.io.File(old)) // leftover from a prior crash
-        java.nio.file.Files.move(java.nio.file.Paths.get(src),
-          java.nio.file.Paths.get(old))
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(src))
-        rmTree(new java.io.File(old))
+        graft.util.IndexMaint.compactTable(spark, s"$path/$t", keys, targetFiles)
     }
-  }
 
   /** The batch rows whose key is NOT in the corpus (the accept list of an
     * exact-dedup ingest). Plan shape: the broadcast Bloom probe drops

@@ -208,6 +208,17 @@ object KnnOps {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Rewrite an appended-to persisted IVF index into ~`targetFiles` files,
+    * PRESERVING the cell-partitioned hive layout (dynamic partition pruning
+    * on probed cells depends on it). Centroids are a single tiny file and
+    * need no compaction. Run from the append maintainer; see
+    * [[graft.util.IndexMaint.compactTable]] for the crash-safe swap.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      targetFiles: Int = 32): Unit =
+    graft.util.IndexMaint.compactTable(spark, s"$path/assigned", Seq("cell"),
+      targetFiles, partitionCols = Seq("cell"))
+
   /** Build an IVF index whose cell-assigned corpus stores int8 codes
     * instead of float32 embeddings — the FAISS IVF+SQ8 serving layout:
     * cell routing prunes the scan to nprobe/ncells of the corpus AND every

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Maintenance shared by every persisted index (MinHash bands, BM25
+  * postings, IVF cells): O(batch) appends drop one parquet file set per
+  * batch, and after thousands of batches the tiny-file count dominates each
+  * reader's planning time. Compaction rewrites a table into `targetFiles`
+  * key-clustered files behind a crash-safe directory swap.
+  *
+  * NOT concurrent-safe — run from the single maintainer process that also
+  * runs the appends; readers planned before the swap must re-plan.
+  */
+object IndexMaint {
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree) }
+    f.delete(); ()
+  }
+
+  /** Rewrite the parquet table at `dir` into `targetFiles` files clustered
+    * on `keys` (so a bucketing-aware future layout keeps working), with an
+    * optional hive-style `partitionCols` layout preserved (IVF's
+    * cell-partitioned table must stay partitioned or dynamic partition
+    * pruning dies). Crash-safe swap: the live table is moved ASIDE (not
+    * deleted), the compacted copy moved in, and only then is the old data
+    * destroyed — a crash at any point leaves a loadable table (live, or
+    * live-aside recoverable by renaming back). Delete-then-move would make
+    * the crash window destroy the only copy.
+    */
+  def compactTable(spark: SparkSession, dir: String, keys: Seq[String],
+                   targetFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
+    val tmp = dir + "_compact_tmp"
+    val old = dir + "_compact_old"
+    val repart = spark.read.parquet(dir)
+      .repartition(targetFiles, keys.map(col): _*)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) repart.partitionBy(partitionCols: _*) else repart)
+      .parquet(tmp)
+    rmTree(new java.io.File(old)) // leftover from a prior crash
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+    rmTree(new java.io.File(old))
+  }
+}

@@ -104,6 +104,16 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
     val a = viaAppend.collect().map(_.toSeq).toSet
     val b = oneShot.collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
+    // compaction rewrites the appended file sets into fewer files and must
+    // not change a single result row
+    def files(t: String) = new java.io.File(s"$path/$t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files("postings")
+    Bm25Ops.compactBm25Index(spark, path, targetFiles = 1)
+    assert(files("postings") < before && files("postings") == 1)
+    val viaCompacted = Bm25Ops.bm25Query(Bm25Ops.loadBm25Index(spark, path),
+      queries, "query_id", "query_text", k = 5)
+    assert(viaCompacted.collect().map(_.toSeq).toSet == b)
   }
 
   test("duplicate query terms do not double-count") {

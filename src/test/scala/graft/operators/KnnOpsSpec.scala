@@ -93,6 +93,19 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(viaIndex == exact)
+    // compaction preserves the cell-partitioned hive layout (DPP depends
+    // on it) and every result row
+    KnnOps.compactIvfIndex(spark, path, targetFiles = 4)
+    val dirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+    val compacted = KnnOps.loadIvfIndex(spark, path)
+    assert(compacted.assigned.count() == 100)
+    val viaCompacted = KnnOps.ivfQuery(compacted, queries, k = 5,
+        "id", "embedding", "id", "embedding", nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaCompacted == exact)
   }
 
   test("similarPairs finds the planted near-identical pair") {
