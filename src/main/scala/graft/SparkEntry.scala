@@ -975,6 +975,36 @@ object SparkEntry {
         loaded, queries, "query_id", "query_text", k = 10)
     },
 
+    // Semantic (embedding-space) decontamination — the paraphrase-robust
+    // complement of the n-gram audit (q76/q97). The "eval set" is the first
+    // 40 embeddings; the corpus is the rest PLUS planted copies of the eval
+    // vectors at vec_id+1000000 (the q22 recipe). Identical vectors hit
+    // cosine 1.0 while natural pairs in this corpus stay below 0.52, so at
+    // threshold 0.9 the flagged set is exactly the 40 plants — and each
+    // plant's nearest eval id is its source. Integer-only output.
+    "q132_semantic_decon" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val evalSet = emb.filter(col("vec_id") < 40)
+      val corpus = emb.filter(col("vec_id") >= 40).unionByName(
+        evalSet.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"), col("label")))
+      graft.operators.CorpusOps.semanticContamination(
+          corpus, "vec_id", "embedding", evalSet, "vec_id", "embedding",
+          minCosine = 0.9)
+        .select(col("vec_id"), col("n_eval_hits"), col("nearest_eval_id"))
+    },
+
+    // Snapshot drift monitor: token-distribution shift between the first
+    // and second half of the documents corpus — top 100 tokens by absolute
+    // ppm shift with their micro-floored JS-divergence contributions.
+    "q133_token_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusOps.tokenDrift(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "text", topK = 100)
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2552,6 +2582,66 @@ object SparkEntry {
     // the append path must be indistinguishable from a one-shot build over
     // the union corpus — same oracle, same hash
     "q131_bm25_append" -> bm25PersistedOracle,
+    // eval = first 40 embeddings; corpus = the rest + planted copies at
+    // +1e6. Threshold 0.9 admits only the identical plants (natural max
+    // cosine < 0.52), so membership is margin-safe; nearest breaks cosine
+    // ties to the smallest eval id, replayed via the same ordering.
+    // token counts per half, full-outer joined; ppm = exact integer
+    // count*1e6 // total; js term replays the same double arithmetic
+    // (0.5*(p*ln(p/m))) before the micro floor; top-100 by |delta_ppm|
+    // with token tiebreak is deterministic on both engines.
+    "q133_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id < 250),
+        |tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents WHERE doc_id >= 250),
+        |ca AS (SELECT token, count(*) AS count_a FROM ta GROUP BY token),
+        |cb AS (SELECT token, count(*) AS count_b FROM tb GROUP BY token),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |    coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |t AS (SELECT CAST(sum(count_a) AS BIGINT) AS n_a,
+        |             CAST(sum(count_b) AS BIGINT) AS n_b FROM j),
+        |scored AS (
+        |  SELECT token, count_a, count_b,
+        |    count_a * 1000000 // n_a AS ppm_a,
+        |    count_b * 1000000 // n_b AS ppm_b,
+        |    count_b * 1000000 // n_b - count_a * 1000000 // n_a AS delta_ppm,
+        |    CAST(floor(1e6 * (
+        |      (CASE WHEN count_a > 0 THEN 0.5 * (pa * ln(pa / m)) ELSE 0.0 END) +
+        |      (CASE WHEN count_b > 0 THEN 0.5 * (pb * ln(pb / m)) ELSE 0.0 END)))
+        |      AS BIGINT) AS js_micro
+        |  FROM (SELECT *,
+        |      CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |      CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |      (CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |       CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0 AS m
+        |    FROM j, t) x)
+        |SELECT * FROM scored
+        |ORDER BY abs(delta_ppm) DESC, token LIMIT 100""".stripMargin,
+    "q132_semantic_decon" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+        |            FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 40
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 40),
+        |pairs AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(ev.e AS DOUBLE[])) AS cos
+        |  FROM corpus c CROSS JOIN ev
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(ev.e AS DOUBLE[])) >= 0.9)
+        |SELECT vec_id, n_eval_hits, eval_id AS nearest_eval_id FROM (
+        |  SELECT vec_id, eval_id,
+        |    count(*) OVER (PARTITION BY vec_id) AS n_eval_hits,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, eval_id) AS rn
+        |  FROM pairs) t WHERE rn = 1""".stripMargin,
     "q121_bm25_topk" ->
       """WITH q(query_id, query_text) AS (
         |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),

@@ -660,6 +660,108 @@ object CorpusOps {
     corpus.join(broadcast(hits), corpus(idCol) === col("__contaminated_id"), "left_anti")
   }
 
+  /** Semantic (embedding-space) train–eval contamination check — the
+    * paraphrase-robust complement of the n-gram [[contaminationCheck]]: a
+    * reworded benchmark question shares no 8-grams with its source but still
+    * sits next to it in embedding space, so decontamination recipes
+    * (GPT-4/Llama technical reports run both passes) flag any corpus
+    * document whose max cosine against the eval set clears `minCosine`.
+    *
+    * Output: one row per contaminated corpus document —
+    * (`idCol`, n_eval_hits, nearest_eval_id): how many eval embeddings it
+    * matched and the single closest one (ties on cosine break to the
+    * smallest eval id).
+    *
+    * Plan: eval sets are small (10²–10⁵ rows — a benchmark, not a corpus),
+    * so the eval side broadcasts and the cosine predicate runs as a
+    * broadcast nested-loop join — each corpus partition scans the in-memory
+    * eval matrix map-side, the honest brute-force O(N·E) dot products with
+    * ZERO corpus shuffle of embeddings. The partial aggregate collapses a
+    * document's hits back to one ~24-byte row before the only exchange (on
+    * the contaminated ids, a set bounded by the corpus). For eval sets too
+    * large to broadcast, prefilter candidates with
+    * [[DedupOps.embeddingNearDupPairs]] (hyperplane LSH) and verify exactly.
+    */
+  def semanticContamination(corpus: DataFrame, idCol: String, embCol: String,
+                            evalSet: DataFrame, evalIdCol: String, evalEmbCol: String,
+                            minCosine: Double): DataFrame = {
+    require(minCosine > -1.0 && minCosine <= 1.0, "minCosine must be in (-1, 1]")
+    val ev = broadcast(evalSet.select(
+      col(evalIdCol).cast("long").as("graft_eval_id"),
+      col(evalEmbCol).as("graft_eval_emb")))
+    val cos = GraftFunctions.cosine_similarity(col(embCol), col("graft_eval_emb"))
+    corpus.join(ev, cos >= lit(minCosine))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        // argmax by (cosine, then smallest eval id): struct max compares
+        // fields in order, so negate the id to make "smaller id" win ties
+        max(struct(cos.as("c"), negate(col("graft_eval_id")).as("nid"))).as("graft_best"))
+      .select(col(idCol), col("n_eval_hits"),
+        negate(col("graft_best").getField("nid")).as("nearest_eval_id"))
+  }
+
+  /** Removal half of [[semanticContamination]]: anti-join the flagged ids
+    * out of the corpus. Same shape as [[decontaminate]] — the contaminated
+    * id set is small and broadcasts.
+    */
+  def decontaminateSemantic(corpus: DataFrame, idCol: String, embCol: String,
+                            evalSet: DataFrame, evalIdCol: String, evalEmbCol: String,
+                            minCosine: Double): DataFrame = {
+    val hits = semanticContamination(corpus, idCol, embCol,
+      evalSet, evalIdCol, evalEmbCol, minCosine)
+      .select(col(idCol).as("__sem_contaminated_id"))
+    corpus.join(broadcast(hits), corpus(idCol) === col("__sem_contaminated_id"), "left_anti")
+  }
+
+  /** Snapshot-to-snapshot token-distribution drift — the monitoring number
+    * a continuously-ingested corpus needs: when a new crawl batch shifts the
+    * token distribution (a spam burst, a language mix change, a scraper
+    * regression), the per-token frequency deltas and their Jensen–Shannon
+    * contributions surface it before the mix trains. Output: the `topK`
+    * tokens by absolute parts-per-million shift —
+    * (token, count_a, count_b, ppm_a, ppm_b, delta_ppm, js_micro), where
+    * ppm is the exact integer `count·10⁶ div total` and js_micro is the
+    * token's micro-floored contribution to JS(A‖B) in nats (one-sided
+    * tokens contribute their full 0.5·p·ln 2 mass). Total divergence =
+    * sum(js_micro) over the UNLIMITED report — re-aggregate before the
+    * top-k cut if the scalar is wanted.
+    *
+    * Plan: two token-keyed count aggregations (map-side partials make the
+    * shuffle vocabulary-sized, not corpus-sized), one full-outer join on
+    * token, a broadcast 1-row totals join, then the top-k runs as
+    * TakeOrderedAndProject — never a global sort. Vocabulary is bounded
+    * (~10⁷ surface forms at web scale), so every post-explode stage is
+    * small no matter how large the snapshots are.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, "need topK >= 1")
+    import graft.functions.TextFunctions
+    def tokCounts(df: DataFrame, cName: String) =
+      df.select(explode(TextFunctions.ws_tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(cName))
+    val joined = tokCounts(a, "count_a")
+      .join(tokCounts(b, "count_b"), Seq("token"), "full_outer")
+      .na.fill(0L, Seq("count_a", "count_b"))
+    val totals = joined.agg(sum(col("count_a")).as("n_a"),
+      sum(col("count_b")).as("n_b"))
+    val pa = col("count_a").cast("double") / col("n_a").cast("double")
+    val pb = col("count_b").cast("double") / col("n_b").cast("double")
+    val m = (pa + pb) / lit(2.0)
+    val js = when(col("count_a") > 0, lit(0.5) * (pa * log(pa / m))).otherwise(lit(0.0)) +
+      when(col("count_b") > 0, lit(0.5) * (pb * log(pb / m))).otherwise(lit(0.0))
+    joined.crossJoin(broadcast(totals))
+      .select(col("token"), col("count_a"), col("count_b"),
+        expr("count_a * 1000000 div n_a").as("ppm_a"),
+        expr("count_b * 1000000 div n_b").as("ppm_b"),
+        (expr("count_b * 1000000 div n_b") - expr("count_a * 1000000 div n_a"))
+          .as("delta_ppm"),
+        floor(lit(1e6) * js).cast("long").as("js_micro"))
+      .orderBy(abs(col("delta_ppm")).desc, col("token"))
+      .limit(topK)
+  }
+
   /** Per-stratum corpus statistics — the ingest dashboard numbers. All
     * aggregates are integer-exact (micro-unit quality sums), so the whole
     * report hash-replays in SQL.

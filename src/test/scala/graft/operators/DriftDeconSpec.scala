@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic decontamination + token-drift monitor. */
+class DriftDeconSpec extends AnyFunSuite with SparkTest {
+
+  /** 8 near-orthogonal 8-dim docs; ids 0-7. */
+  private def vecs() = {
+    import spark.implicits._
+    (0 until 8).map { i =>
+      val v = Array.fill(8)(0.01f * i)
+      v(i) = 1f
+      (i.toLong, v)
+    }.toDF("id", "emb")
+  }
+
+  test("semanticContamination flags exactly the planted eval copies; nearest ties to the smallest eval id") {
+    val base = vecs()
+    val evalSet = base.filter(col("id") < 3)
+    // corpus: the other 5 docs + planted copies of eval 0 and 2 at +100
+    val corpus = base.filter(col("id") >= 3).unionByName(
+      evalSet.filter(col("id") =!= 1)
+        .select((col("id") + 100L).as("id"), col("emb")))
+    val hits = CorpusOps.semanticContamination(
+      corpus, "id", "emb", evalSet, "id", "emb", minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(hits.toSeq == Seq((100L, 1L, 0L), (102L, 1L, 2L)))
+
+    val clean = CorpusOps.decontaminateSemantic(
+      corpus, "id", "emb", evalSet, "id", "emb", minCosine = 0.9)
+    assert(clean.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("semanticContamination nearest_eval_id is the argmax eval, ties broken to the smallest id") {
+    import spark.implicits._
+    // one corpus doc identical to BOTH eval vectors (planted tie)
+    val v = Array(1f, 0f)
+    val evalSet = Seq((10L, v), (20L, v)).toDF("id", "emb")
+    val corpus = Seq((1L, v)).toDF("id", "emb")
+    val out = CorpusOps.semanticContamination(
+      corpus, "id", "emb", evalSet, "id", "emb", minCosine = 0.5).head()
+    assert(out.getLong(1) == 2L)  // both eval rows hit
+    assert(out.getLong(2) == 10L) // tie -> smallest eval id
+  }
+
+  test("tokenDrift: ppm deltas and JS contributions match a hand-computed closed form") {
+    import spark.implicits._
+    // A: 4 tokens total — "a" x3, "b" x1. B: 4 tokens total — "a" x1, "c" x3.
+    val a = Seq("a a a b").toDF("text")
+    val b = Seq("a c c c").toDF("text")
+    val out = CorpusOps.tokenDrift(a, b, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    val byTok = out.map(t => t._1 -> t).toMap
+    // ppm: a 750000 -> 250000 (delta -500000); b 250000 -> 0; c 0 -> 750000
+    assert(byTok("a")._4 == 750000L && byTok("a")._5 == 250000L && byTok("a")._6 == -500000L)
+    assert(byTok("b")._6 == -250000L && byTok("c")._6 == 750000L)
+    // one-sided token: full 0.5*p*ln2 mass, micro-floored
+    val bJs = math.floor(1e6 * (0.5 * 0.25 * math.log(2.0))).toLong
+    assert(byTok("b")._7 == bJs && byTok("c")._7 == math.floor(1e6 * (0.5 * 0.75 * math.log(2.0))).toLong)
+    // shared token: 0.5*pa*ln(pa/m) + 0.5*pb*ln(pb/m)
+    val (pa, pb) = (0.75, 0.25); val m = (pa + pb) / 2.0
+    val aJs = math.floor(1e6 * (0.5 * (pa * math.log(pa / m)) + 0.5 * (pb * math.log(pb / m)))).toLong
+    assert(byTok("a")._7 == aJs)
+    // ordering: topK cut ranks by |delta_ppm| desc, token asc
+    assert(out.length == 3)
+    val ranked = CorpusOps.tokenDrift(a, b, "text", topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(ranked == Seq("c", "a")) // |750000| > |-500000| > |-250000|
+  }
+
+  test("tokenDrift topK order is |delta_ppm| desc with token tiebreak") {
+    import spark.implicits._
+    val a = Seq("x y").toDF("text")
+    val b = Seq("y x").toDF("text")
+    // identical distributions: every delta 0, js 0; tiebreak is token asc
+    val out = CorpusOps.tokenDrift(a, b, "text", topK = 1).head()
+    assert(out.getString(0) == "x" && out.getLong(5) == 0L && out.getLong(6) == 0L)
+  }
+}
