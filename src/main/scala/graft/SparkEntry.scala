@@ -1005,6 +1005,36 @@ object SparkEntry {
         "text", topK = 100)
     },
 
+    // WARC ingestion (the Common Crawl container): build genuine WARC bytes
+    // relationally from the documents table (10 archive "files", records
+    // concatenated in doc_id order with real Content-Length headers), then
+    // parse them back through the byte walker. Every header field, the
+    // length-driven payload slice, and the per-file record order replay
+    // closed-form from documents.
+    "q134_warc_ingest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val rec = docs.select(
+        (col("doc_id") % 10).as("file_id"), col("doc_id"),
+        concat(
+          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:doc:"),
+          col("doc_id"),
+          lit(">\r\nWARC-Target-URI: http://example.com/doc/"), col("doc_id"),
+          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\nContent-Length: "),
+          expr("octet_length(text)"),
+          lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).as("rec"))
+      val files = rec.groupBy(col("file_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+            x => x.getField("rec")), "").as("content_str"))
+        .select(concat(lit("file_"), col("file_id")).as("path"),
+          encode(col("content_str"), "UTF-8").as("content"))
+      graft.sources.Sources.parseWarcRecords(files, "path", "content")
+        .select(col("warc_file"), col("record_idx"), col("warc_type"),
+          col("record_id"), col("target_uri"), col("warc_date"),
+          col("content_type"), col("content_length"),
+          decode(col("payload"), "UTF-8").as("text"), col("truncated"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2586,6 +2616,20 @@ object SparkEntry {
     // +1e6. Threshold 0.9 admits only the identical plants (natural max
     // cosine < 0.52), so membership is margin-safe; nearest breaks cosine
     // ties to the smallest eval id, replayed via the same ordering.
+    // the parser's output is a pure function of the planted headers: every
+    // field replays from documents; record_idx = the doc's 0-based rank
+    // within its file (records were concatenated in doc_id order).
+    "q134_warc_ingest" ->
+      """SELECT 'file_' || (doc_id % 10) AS warc_file,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) - 1 AS INT) AS record_idx,
+        |  'conversion' AS warc_type,
+        |  '<urn:doc:' || doc_id || '>' AS record_id,
+        |  'http://example.com/doc/' || doc_id AS target_uri,
+        |  '2024-01-01T00:00:00Z' AS warc_date,
+        |  'text/plain' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |  text, false AS truncated
+        |FROM documents""".stripMargin,
     // token counts per half, full-outer joined; ppm = exact integer
     // count*1e6 // total; js term replays the same double arithmetic
     // (0.5*(p*ln(p/m))) before the micro floor; top-100 by |delta_ppm|

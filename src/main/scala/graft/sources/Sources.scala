@@ -85,4 +85,186 @@ object Sources {
         }
       }
     }
+
+  /** One WARC record: (warc_file, record_idx, warc_type, record_id,
+    * target_uri, warc_date, content_type, content_length, payload,
+    * truncated).
+    */
+  val warcRecordSchema: StructType = StructType(Seq(
+    StructField("warc_file", StringType),
+    StructField("record_idx", IntegerType),
+    StructField("warc_type", StringType),
+    StructField("record_id", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("content_length", LongType),
+    StructField("payload", BinaryType),
+    StructField("truncated", BooleanType)))
+
+  /** Split per-file WARC bytes into records (ISO 28500 — the Common Crawl
+    * container, the raw-ingest format of every web-scale training corpus).
+    * Input: one row per archive file with a path column and a binary
+    * content column; output: one row per record, [[warcRecordSchema]].
+    *
+    * Parsing per ISO 28500: a `WARC/x.y` version line, `Name: value`
+    * header lines (case-insensitive names, folded continuations joined),
+    * a blank line, then exactly `Content-Length` payload bytes. The walk
+    * is length-driven — payload bytes are NEVER scanned for markers, so
+    * record bodies may contain anything, including "WARC/" text. Gzipped
+    * members (`.warc.gz` stores one gzip member per record, back to back)
+    * are detected by magic and inflated as one concatenated stream.
+    * Robustness: junk between records skips to the next line-initial
+    * "WARC/" magic; a header block without a parseable Content-Length is
+    * skipped with the same resync; a payload cut off by EOF yields the
+    * remaining bytes with `truncated = true`.
+    *
+    * Scale shape: one archive file = one input row = one task (the
+    * binaryFile source), the Common Crawl processing layout — 100 TB is
+    * ~10⁵ gzipped 1 GB archives, so parallelism is the file count and the
+    * parse is map-only with zero shuffle. Whole-file inflation bounds
+    * per-task memory at the unpacked archive size (~4 GB for CC wet.gz);
+    * size executors for it, or store archives uncompressed/zstd-seekable
+    * and let `maxPartitionBytes` split them.
+    */
+  def parseWarcRecords(files: DataFrame, pathCol: String, bytesCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(warcRecordSchema)
+    val pIdx = files.schema.fieldIndex(pathCol)
+    val bIdx = files.schema.fieldIndex(bytesCol)
+    files.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val path = if (r.isNullAt(pIdx)) null else String.valueOf(r.get(pIdx))
+        if (r.isNullAt(bIdx)) Iterator.empty
+        else {
+          val recs = WarcKernel.parse(r.getAs[Array[Byte]](bIdx))
+          recs.iterator.zipWithIndex.map { case (rec, idx) =>
+            Row(path, idx, rec.warcType, rec.recordId, rec.targetUri,
+              rec.warcDate, rec.contentType, rec.contentLength, rec.payload,
+              rec.truncated)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Read WARC archives under `path` (uncompressed or `.warc.gz`) as one
+    * record per row. Driver-side listing only; bytes stay executor-side.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(
+      spark.read.format("binaryFile").load(path).select("path", "content"),
+      "path", "content")
+
+  /** Read WET (extracted-text) archives: the `conversion` records of a WARC
+    * file with their payload decoded as UTF-8 — (warc_file, record_idx,
+    * target_uri, warc_date, text, truncated). This is the row shape the
+    * corpus pipeline starts from: feed `text` straight into
+    * [[graft.operators.CorpusOps.cleanCorpus]].
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    wetRecords(readWarc(spark, path))
+
+  /** The WET projection of already-parsed WARC records (see [[readWet]]). */
+  def wetRecords(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    records
+      .filter(col("warc_type") === "conversion")
+      .select(col("warc_file"), col("record_idx"), col("target_uri"),
+        col("warc_date"), decode(col("payload"), "UTF-8").as("text"),
+        col("truncated"))
+  }
+}
+
+/** Pure-JVM WARC byte walker — see [[Sources.parseWarcRecords]] for the
+  * format contract. Kept free of Spark types so it unit-tests directly.
+  */
+private[graft] object WarcKernel {
+  final case class Rec(warcType: String, recordId: String, targetUri: String,
+                       warcDate: String, contentType: String,
+                       contentLength: Long, payload: Array[Byte],
+                       truncated: Boolean)
+
+  private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Inflate iff the gzip magic leads; GZIPInputStream consumes
+    * back-to-back members, the `.warc.gz` layout.
+    */
+  private[sources] def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Next line-initial "WARC/" at or after `from`, or -1. */
+  private def findMagic(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + Magic.length <= b.length) {
+      if ((i == 0 || b(i - 1) == '\n') && b(i) == 'W' && b(i + 1) == 'A' &&
+          b(i + 2) == 'R' && b(i + 3) == 'C' && b(i + 4) == '/') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the next '\n' at or after `from`, or `b.length`. */
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var j = from
+    while (j < b.length && b(j) != '\n') j += 1
+    j
+  }
+
+  def parse(raw: Array[Byte]): List[Rec] = {
+    val b = maybeGunzip(raw)
+    val out = scala.collection.mutable.ListBuffer.empty[Rec]
+    var i = findMagic(b, 0)
+    while (i >= 0) {
+      var p = lineEnd(b, i) + 1 // past the WARC/x.y version line
+      val h = scala.collection.mutable.HashMap.empty[String, String]
+      var lastKey: String = null
+      var headerDone = false
+      while (!headerDone && p < b.length) {
+        val e = lineEnd(b, p)
+        val len = (if (e > p && b(e - 1) == '\r') e - 1 else e) - p
+        if (len == 0) headerDone = true
+        else {
+          val line = new String(b, p, len, java.nio.charset.StandardCharsets.UTF_8)
+          if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') && lastKey != null) {
+            h(lastKey) = h(lastKey) + " " + line.trim // folded continuation
+          } else {
+            val c = line.indexOf(':')
+            if (c > 0) {
+              val k = line.substring(0, c).trim.toLowerCase
+              h(k) = line.substring(c + 1).trim
+              lastKey = k
+            }
+          }
+        }
+        p = e + 1
+      }
+      val clen = h.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
+      if (!headerDone || clen < 0) {
+        // unterminated header block or no usable length: resync forward
+        i = findMagic(b, math.max(p, i + Magic.length))
+      } else {
+        val end = math.min(p.toLong + clen, b.length.toLong).toInt
+        out += Rec(
+          h.getOrElse("warc-type", null),
+          h.getOrElse("warc-record-id", null),
+          h.getOrElse("warc-target-uri", null),
+          h.getOrElse("warc-date", null),
+          h.getOrElse("content-type", null),
+          clen,
+          java.util.Arrays.copyOfRange(b, p, end),
+          p.toLong + clen > b.length.toLong)
+        i = findMagic(b, end)
+      }
+    }
+    out.toList
+  }
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** WARC/WET ingestion: byte-walker contract + the DataFrame wrapper. */
+class WarcSpec extends AnyFunSuite with SparkTest {
+
+  private def record(uri: String, body: String, wtype: String = "conversion",
+                     ctype: String = "text/plain"): String =
+    s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Type: $ctype\r\nContent-Length: ${body.getBytes(UTF_8).length}\r\n\r\n" +
+      body + "\r\n\r\n"
+
+  test("parse: length-driven payloads may contain WARC/ text and binary") {
+    // body contains the magic at a line start — a marker-scanning parser
+    // would split here; the Content-Length walk must not
+    val tricky = "line one\nWARC/1.0\nnot a record"
+    val bytes = (record("http://a", tricky) + record("http://b", "plain")).getBytes(UTF_8)
+    val recs = WarcKernel.parse(bytes)
+    assert(recs.map(_.targetUri) == List("http://a", "http://b"))
+    assert(new String(recs.head.payload, UTF_8) == tricky)
+    assert(recs.forall(!_.truncated))
+  }
+
+  test("parse: junk between records resyncs; missing Content-Length skips the block") {
+    val noLen = "WARC/1.0\r\nWARC-Type: metadata\r\n\r\n" // no length -> skipped
+    val bytes = ("garbage prefix\n" + noLen + "mid-junk\n" +
+      record("http://ok", "body")).getBytes(UTF_8)
+    val recs = WarcKernel.parse(bytes)
+    assert(recs.map(_.targetUri) == List("http://ok"))
+  }
+
+  test("parse: EOF-truncated payload keeps remaining bytes and flags it") {
+    val full = record("http://t", "0123456789")
+    val cut = full.getBytes(UTF_8).dropRight(14) // lose trailing CRLFCRLF + 10-byte tail
+    val recs = WarcKernel.parse(cut)
+    assert(recs.size == 1 && recs.head.truncated)
+    assert(recs.head.contentLength == 10L)
+    assert(new String(recs.head.payload, UTF_8) == "")
+  }
+
+  test("parse: folded header continuations join; names are case-insensitive") {
+    val body = "x"
+    val raw = "WARC/1.0\r\nwarc-target-uri: http://folded\r\n  /path\r\n" +
+      s"CONTENT-LENGTH: 1\r\n\r\n$body\r\n\r\n"
+    val recs = WarcKernel.parse(raw.getBytes(UTF_8))
+    assert(recs.head.targetUri == "http://folded /path")
+    assert(new String(recs.head.payload, UTF_8) == body)
+  }
+
+  test("parse: concatenated gzip members inflate as one stream (.warc.gz layout)") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close()
+      bo.toByteArray
+    }
+    val bytes = gz(record("http://a", "aaa")) ++ gz(record("http://b", "bbb"))
+    val recs = WarcKernel.parse(bytes)
+    assert(recs.map(r => new String(r.payload, UTF_8)) == List("aaa", "bbb"))
+  }
+
+  test("parseWarcRecords + wetRecords: per-file record order, WET text projection") {
+    import spark.implicits._
+    val content = (record("http://a", "doc a") +
+      record("http://req", "GET /", wtype = "request", ctype = "application/http") +
+      record("http://b", "doc b")).getBytes(UTF_8)
+    val files = Seq(("f1", content)).toDF("path", "content")
+    val parsed = Sources.parseWarcRecords(files, "path", "content")
+    assert(parsed.count() == 3)
+    assert(parsed.orderBy("record_idx").select("record_idx", "warc_type")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "conversion"), (1, "request"), (2, "conversion")))
+    val wet = Sources.wetRecords(parsed).orderBy("record_idx")
+      .select("target_uri", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(wet == Seq(("http://a", "doc a"), ("http://b", "doc b")))
+  }
+
+  test("readWarc round-trips files written to disk, including .gz") {
+    val dir = java.nio.file.Files.createTempDirectory("warcsrc")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      record("http://plain", "plain body").getBytes(UTF_8))
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(record("http://zipped", "zipped body").getBytes(UTF_8)); g.close()
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), bo.toByteArray)
+    val out = Sources.readWarc(spark, dir.toString)
+      .select("target_uri").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq
+    assert(out == Seq("http://plain", "http://zipped"))
+  }
+}
