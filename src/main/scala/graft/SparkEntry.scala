@@ -1035,6 +1035,33 @@ object SparkEntry {
           decode(col("payload"), "UTF-8").as("text"), col("truncated"))
     },
 
+    // Product quantization with a PLANTED codebook (m=4 subspaces × 8
+    // codes × 16 dims, centroid[j] = (code·(j+sub+1)) mod 7 − 3 — exact
+    // small ints in float32): the squared-L2 argmin assignment replays
+    // closed-form, like the q26 planted-k-means recipe. Output = one row
+    // per (vector, subspace) with its code.
+    "q135_pq_encode" -> { (s, dir) =>
+      val model = plantedPqModel(s)
+      graft.operators.KnnOps.pqEncode(
+          Tables.embeddings(s, dir), "vec_id", "embedding", model)
+        .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+    },
+
+    // Top-k over the PQ-encoded corpus (decode fused into the scan): the
+    // reconstruction is exact-integer centroid concatenation, so the
+    // cosine ranking replays in SQL; reconstruction collisions tie-break
+    // by neighbor id on both engines.
+    "q136_pq_knn" -> { (s, dir) =>
+      val model = plantedPqModel(s)
+      val emb = Tables.embeddings(s, dir)
+      val enc = graft.operators.KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+      graft.operators.KnnOps.pqKnn(
+          enc, emb.filter(col("vec_id") < 5), k = 5,
+          idCol = "vec_id", qidCol = "vec_id", qembCol = "embedding",
+          model = model)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -1998,6 +2025,47 @@ object SparkEntry {
         |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
         |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Planted PQ codebook for q135/q136: m=4 subspaces over the 64-dim
+    * embeddings, 8 codes each, centroid[j] = (code·(j+sub+1)) mod 7 − 3 —
+    * small exact integers, so distances and reconstructions replay
+    * engine-independently.
+    */
+  private def plantedPqModel(s: SparkSession): graft.operators.KnnOps.PqModel = {
+    val cb = s.range(4).select(col("id").cast("int").as("sub"))
+      .crossJoin(s.range(8).select(col("id").cast("int").as("code")))
+      .select(col("sub"), col("code"),
+        transform(sequence(lit(0), lit(15)),
+          j => ((col("code") * (j + col("sub") + 1)) % 7 - lit(3)).cast("float"))
+          .as("centroid"))
+    graft.operators.KnnOps.PqModel(cb, m = 4, dsub = 16)
+  }
+
+  /** Shared q135/q136 oracle CTEs: the planted codebook, sequential-fold
+    * squared-L2 distances (ordered list_sum matches the Scala fold), and
+    * the per-(vector, subspace) argmin with code tiebreak.
+    */
+  private def pqOracleCtes: String =
+    """cbj AS (
+      |  SELECT s.sub, c.code, j.j,
+      |    CAST((c.code * (j.j + s.sub + 1)) % 7 - 3 AS DOUBLE) AS v
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS sub) s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS code) c
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j),
+      |dist AS (
+      |  SELECT e.vec_id, c.sub, c.code,
+      |    list_sum(list(
+      |      (CAST(e.embedding[c.sub * 16 + c.j + 1] AS DOUBLE) - c.v) *
+      |      (CAST(e.embedding[c.sub * 16 + c.j + 1] AS DOUBLE) - c.v)
+      |      ORDER BY c.j)) AS d2
+      |  FROM embeddings e CROSS JOIN cbj c
+      |  GROUP BY e.vec_id, c.sub, c.code),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM dist) t
+      |  WHERE rn = 1)""".stripMargin
+
   private lazy val fixtureDir: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_fixtures")
   private lazy val q107IndexDir: java.nio.file.Path =
@@ -2616,6 +2684,28 @@ object SparkEntry {
     // +1e6. Threshold 0.9 admits only the identical plants (natural max
     // cosine < 0.52), so membership is margin-safe; nearest breaks cosine
     // ties to the smallest eval id, replayed via the same ordering.
+    "q135_pq_encode" ->
+      s"""WITH $pqOracleCtes
+        |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+        |FROM enc""".stripMargin,
+    // reconstruction = centroid concatenation in subspace order (exact
+    // ints); cosine vs the float queries is the same sequential kernel on
+    // both engines, ties break to the smaller neighbor id.
+    "q136_pq_knn" ->
+      s"""WITH $pqOracleCtes,
+        |cb AS (SELECT sub, code, list(v ORDER BY j) AS cent
+        |       FROM cbj GROUP BY sub, code),
+        |recon AS (
+        |  SELECT enc.vec_id, flatten(list(cb.cent ORDER BY enc.sub)) AS remb
+        |  FROM enc JOIN cb USING (sub, code)
+        |  GROUP BY enc.vec_id)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), r.remb) DESC,
+        |      r.vec_id) AS rnk
+        |  FROM embeddings q JOIN recon r ON q.vec_id < 5) t
+        |WHERE rnk <= 5""".stripMargin,
     // the parser's output is a pure function of the planted headers: every
     // field replays from documents; record_idx = the doc's 0-based rank
     // within its file (records were concatenated in doc_id order).

@@ -252,6 +252,186 @@ object KnnOps {
     ivfQuery(ivfIndex(corpus, idCol, embCol, ncells, seed),
       queries, k, idCol, embCol, qidCol, qembCol, nprobe)
 
+  // ---------------------------------------------------------------- PQ ---
+
+  /** A product-quantization codebook (Jégou et al. 2011, the FAISS PQ
+    * layout): the d-dim space splits into `m` contiguous subspaces of
+    * `dsub = d/m` dims, each with its own `ksub`-entry centroid table.
+    * `codebook` columns: (sub: int, code: int, centroid: array<float>).
+    * The whole model is m·ksub·dsub floats (≤ 256·d for ksub=256) — it
+    * broadcasts trivially no matter the corpus size.
+    */
+  final case class PqModel(codebook: DataFrame, m: Int, dsub: Int)
+
+  /** Fit a PQ codebook: one KMeans per subspace over the (sampled) corpus
+    * slices — m small driver-sequenced fits, the classic train-once cost.
+    * `fitFraction` < 1 trains on a deterministic splitmix-style hash sample
+    * (the SemDeDup `fitFraction` recipe): at corpus scale you fit on 10⁵–10⁶
+    * sampled rows and encode everything map-side afterwards.
+    */
+  def pqFit(corpus: DataFrame, idCol: String, embCol: String,
+            m: Int, ksub: Int = 256, seed: Long = 42L,
+            fitFraction: Double = 1.0): PqModel = {
+    require(m >= 1 && ksub >= 2, "need m >= 1, ksub >= 2")
+    require(fitFraction > 0 && fitFraction <= 1, "fitFraction in (0, 1]")
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(embCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide by m=$m")
+    val dsub = dim / m
+    val sample =
+      if (fitFraction >= 1.0) corpus
+      else corpus.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) < lit((fitFraction * 1e6).toLong))
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val slices = sample.select(
+      (0 until m).map(s =>
+        slice(col(embCol), s * dsub + 1, dsub).as(s"__sub_$s")): _*)
+      .persistTracked
+    val rows = (0 until m).flatMap { s =>
+      val fitted = new KMeans().setK(ksub).setSeed(seed + s)
+        .setFeaturesCol("features")
+        .fit(slices.select(toVec(col(s"__sub_$s")).as("features")))
+      fitted.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (s, code, c.toArray.map(_.toFloat).toSeq)
+      }
+    }
+    PqModel(spark.createDataFrame(rows).toDF("sub", "code", "centroid"), m, dsub)
+  }
+
+  /** Encode a corpus against a PQ codebook: each vector becomes `m` small
+    * codes — at ksub=256, m bytes instead of 4d float bytes, a 4·dsub×
+    * storage/scan-IO cut (32× at dsub=8). Output: (`idCol`, pq_codes).
+    *
+    * Plan: the vector explodes into its m sub-slices map-side, the (tiny)
+    * codebook broadcast-joins, squared-L2 argmin per (id, sub) collapses in
+    * partial aggregation, and the codes re-assemble with one id-keyed
+    * exchange. Distances compare as SEQUENTIAL-fold squared L2 in doubles
+    * (ties break to the smaller code), so the assignment replays exactly in
+    * any engine with ordered list arithmetic.
+    */
+  def pqEncode(df: DataFrame, idCol: String, embCol: String,
+               model: PqModel): DataFrame = {
+    val subs = df.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(model.m - 1)),
+        s => slice(col(embCol), s * lit(model.dsub) + 1, lit(model.dsub))))
+        .as(Seq("sub", "subvec")))
+    val d2 = aggregate(
+      zip_with(col("subvec"), col("centroid"), (x, y) => {
+        val dx = x.cast("double") - y.cast("double")
+        dx * dx
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    subs.join(broadcast(model.codebook), "sub")
+      .select(col(idCol), col("sub"), col("code"), d2.as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("pq_codes"))
+  }
+
+  /** Reconstruct approximate embeddings from PQ codes — map-only: the
+    * codebook collapses to a driver-side array (m·ksub·dsub floats) that
+    * ships once per task in the kernel closure; NO join, NO shuffle. The
+    * reconstruction is each code's centroid concatenated in subspace
+    * order — the decoder half of the FAISS ADC scan, here materialized so
+    * the existing exact top-k plans run unchanged on it.
+    */
+  def pqDecode(encoded: DataFrame, model: PqModel, outCol: String): DataFrame = {
+    val m = model.m
+    val dsub = model.dsub
+    val ksub = collectKsub(model)
+    val table: Array[Array[Float]] = {
+      val t = Array.ofDim[Array[Float]](m * ksub)
+      model.codebook.collect().foreach { r =>
+        val sub = r.getInt(0); val code = r.getInt(1)
+        t(sub * ksub + code) = r.getSeq[Float](2).toArray
+      }
+      t
+    }
+    val decode = udf((codes: Seq[Int]) => {
+      if (codes == null) null
+      else {
+        val out = new Array[Float](m * dsub)
+        var s = 0
+        while (s < m) {
+          val c = table(s * ksub + codes(s))
+          System.arraycopy(c, 0, out, s * dsub, dsub)
+          s += 1
+        }
+        out.toSeq
+      }
+    })
+    encoded.withColumn(outCol, decode(col("pq_codes")))
+  }
+
+  private def collectKsub(model: PqModel): Int =
+    model.codebook.agg(max(col("code"))).head().getInt(0) + 1
+
+  /** Top-k over a PQ-encoded corpus: decode inline (fused into the scan —
+    * the scan reads m code bytes per row, not 4d float bytes) and run the
+    * same map-side top-k Aggregator as [[bruteForceKnn]]. Recall loss vs
+    * exact is the quantization error only; PqSpec measures it. The classic
+    * per-partition ADC lookup-table walk saves the decode multiplies too —
+    * at 100 TB the scan IO this path already cuts 4·dsub× is the bound,
+    * not the multiplies.
+    */
+  def pqKnn(encoded: DataFrame, queries: DataFrame, k: Int,
+            idCol: String, qidCol: String, qembCol: String,
+            model: PqModel): DataFrame = {
+    val deq = pqDecode(encoded, model, "__deq")
+    bruteForceKnn(deq, queries, k, idCol, "__deq", qidCol, qembCol)
+  }
+
+  /** Persist a PQ index: the codebook plus the encoded corpus. The encoded
+    * table is the 4·dsub×-smaller serving artifact; the codebook rides
+    * along so a reader needs only the path.
+    */
+  def savePqIndex(model: PqModel, encoded: DataFrame, path: String): Unit = {
+    model.codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    encoded.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted PQ index (see [[savePqIndex]]); m/dsub re-derive
+    * from the codebook itself.
+    */
+  def loadPqIndex(spark: SparkSession, path: String): (PqModel, DataFrame) = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val shape = cb.agg(max(col("sub")).as("m1"),
+      first(size(col("centroid"))).as("dsub")).head()
+    (PqModel(cb, shape.getInt(0) + 1, shape.getInt(1)),
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** IVF-PQ: cell routing × PQ codes — the FAISS serving combination. The
+    * assigned corpus keeps only (id, cell, pq_codes): a query scans
+    * nprobe/ncells of the corpus AND reads 4·dsub× fewer embedding bytes in
+    * the cells it does scan. (Codes quantize raw vectors, not residuals —
+    * the residual refinement is a further FAISS trade that needs the same
+    * plan shape with a centroid subtraction before encode.)
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                 ncells: Int = 16, m: Int = 8, ksub: Int = 256,
+                 seed: Long = 42L, fitFraction: Double = 1.0): (IvfIndex, PqModel) = {
+    val idx = ivfIndex(corpus, idCol, embCol, ncells, seed)
+    val model = pqFit(corpus, idCol, embCol, m, ksub, seed, fitFraction)
+    val codes = pqEncode(idx.assigned, idCol, embCol, model)
+    (IvfIndex(idx.assigned.select(col(idCol), col("cell")).join(codes, idCol),
+      idx.centroids), model)
+  }
+
+  /** Query an IVF-PQ index: same cell routing as [[ivfQuery]], decode fused
+    * into the probed-cell scan.
+    */
+  def ivfPqQuery(index: IvfIndex, model: PqModel, queries: DataFrame, k: Int,
+                 idCol: String, qidCol: String, qembCol: String,
+                 nprobe: Int = 4): DataFrame = {
+    val deq = pqDecode(index.assigned, model, "__deq")
+    ivfQuery(IvfIndex(deq, index.centroids), queries, k,
+      idCol, "__deq", qidCol, qembCol, nprobe)
+  }
+
   private def bruteForceKnnOnPairs(pairs: DataFrame, k: Int,
                                    idCol: String, embCol: String): DataFrame = {
     val spark = pairs.sparkSession

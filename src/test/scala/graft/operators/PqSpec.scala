@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: fit/encode/decode round trip, measured recall, the
+  * persisted index, and the IVF-PQ composition.
+  */
+class PqSpec extends AnyFunSuite with SparkTest {
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pqEncode emits one code per subspace within [0, ksub)") {
+    val model = KnnOps.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val enc = KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+    val rows = enc.select(col("pq_codes")).collect().map(_.getSeq[Int](0))
+    graft.GraftEngine.releaseCaches()
+    assert(rows.nonEmpty && rows.forall(_.length == 8))
+    assert(rows.forall(_.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("pqKnn keeps usable recall vs exact KNN at a 32x storage cut") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10, "vec_id", "embedding", "vec_id", "embedding")
+    val model = KnnOps.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 64)
+    val enc = KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+    val approx = KnnOps.pqKnn(enc, queries, 10, "vec_id", "vec_id", "embedding", model)
+    val rec = KnnOps.recallAt(exact, approx, 10).head().getAs[Double]("avg_recall")
+    graft.GraftEngine.releaseCaches()
+    // near-uniform embeddings are PQ's worst case; the planted-geometry
+    // correctness is oracled by q135/q136 — this pins a floor and records
+    // the measured number (COVERAGE.md)
+    assert(rec >= 0.35, s"PQ(8x64) recall@10 was $rec")
+  }
+
+  test("decode reconstructs each subspace as its codeword centroid") {
+    val model = KnnOps.pqFit(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val cb = model.codebook.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    val enc = KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+    val dec = KnnOps.pqDecode(enc, model, "recon")
+      .select(col("pq_codes"), col("recon")).head()
+    graft.GraftEngine.releaseCaches()
+    val codes = dec.getSeq[Int](0)
+    val recon = dec.getSeq[Float](1)
+    val expected = (0 until 4).flatMap(s => cb((s, codes(s))))
+    assert(recon == expected)
+  }
+
+  test("save/load round-trips the index; loaded query results are identical") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = KnnOps.pqFit(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val enc = KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    KnnOps.savePqIndex(model, enc, dir)
+    val (loadedModel, loadedEnc) = KnnOps.loadPqIndex(spark, dir)
+    assert(loadedModel.m == 8 && loadedModel.dsub == 8)
+    val direct = KnnOps.pqKnn(enc, queries, 10, "vec_id", "vec_id", "embedding", model)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val viaDisk = KnnOps.pqKnn(loadedEnc, queries, 10, "vec_id", "vec_id", "embedding", loadedModel)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(direct == viaDisk)
+  }
+
+  test("ivfPq composes cell pruning with codes; full probing leaves only PQ error") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = KnnOps.bruteForceKnn(emb, queries, 10, "vec_id", "embedding", "vec_id", "embedding")
+    val (idx, model) = KnnOps.ivfPqIndex(emb, "vec_id", "embedding",
+      ncells = 8, m = 8, ksub = 64)
+    assert(!idx.assigned.columns.contains("embedding"), "codes must replace floats")
+    val full = KnnOps.ivfPqQuery(idx, model, queries, 10, "vec_id", "vec_id", "embedding", nprobe = 8)
+    val recFull = KnnOps.recallAt(exact, full, 10).head().getAs[Double]("avg_recall")
+    // pruning to 2/8 cells can only lower recall vs full probing
+    val pruned = KnnOps.ivfPqQuery(idx, model, queries, 10, "vec_id", "vec_id", "embedding", nprobe = 2)
+    val recPruned = KnnOps.recallAt(exact, pruned, 10).head().getAs[Double]("avg_recall")
+    graft.GraftEngine.releaseCaches()
+    assert(recFull >= 0.35, s"IVF-PQ full-probe recall@10 was $recFull")
+    assert(recPruned <= recFull + 1e-9)
+  }
+
+  test("sample-fit (fitFraction) trains on a subset but encodes everything") {
+    val model = KnnOps.pqFit(emb, "vec_id", "embedding", m = 4, ksub = 8,
+      fitFraction = 0.3)
+    val enc = KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+    graft.GraftEngine.releaseCaches()
+    assert(enc.count() == emb.count())
+  }
+}
