@@ -1062,6 +1062,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"))
     },
 
+    // Learned-BPE encode against a PLANTED merge table (rank = priority):
+    // the planted words exercise rank precedence over textual order
+    // (cdab), leftmost non-overlapping merging (eeee/eee/aabbc), chained
+    // merges (abcd -> abc d), and untouched symbols (xyz). Segmentations
+    // are hand-derivable, so the oracle states them closed-form; the
+    // trained path (bpeTrain on real corpora) is property-tested in
+    // BpeSpec.
+    "q137_bpe_encode" -> { (s, dir) =>
+      import s.implicits._
+      val merges = Seq((0, "a", "b"), (1, "ab", "c"), (2, "c", "d"), (3, "e", "e"))
+        .toDF("rank", "left", "right")
+      val words = Seq("abcd", "cdab", "eeee", "eee", "xyz", "ababc", "aabbc",
+        "ababab").toDF("word")
+      graft.text.Bpe.bpeEncode(words, "word", merges, "tokens")
+        .select(col("word"), array_join(col("tokens"), " ").as("toks"),
+          size(col("tokens")).as("n"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2684,6 +2702,19 @@ object SparkEntry {
     // +1e6. Threshold 0.9 admits only the identical plants (natural max
     // cosine < 0.52), so membership is margin-safe; nearest breaks cosine
     // ties to the smallest eval id, replayed via the same ordering.
+    // hand-derived segmentations of the planted words under the planted
+    // rank table (see the query comment for the derivations)
+    "q137_bpe_encode" ->
+      """SELECT * FROM (VALUES
+        |  ('abcd',   'abc d',    2),
+        |  ('cdab',   'cd ab',    2),
+        |  ('eeee',   'ee ee',    2),
+        |  ('eee',    'ee e',     2),
+        |  ('xyz',    'x y z',    3),
+        |  ('ababc',  'ab abc',   2),
+        |  ('aabbc',  'a ab b c', 4),
+        |  ('ababab', 'ab ab ab', 3)
+        |) AS t(word, toks, n)""".stripMargin,
     "q135_pq_encode" ->
       s"""WITH $pqOracleCtes
         |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code

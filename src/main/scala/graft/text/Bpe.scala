@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016) — the REAL learned
+  * subword tokenizer, complementing the regex estimators in
+  * [[graft.functions.TextFunctions]] (`tokens_bpe` approximates counts;
+  * this one trains merges and produces the actual token stream a training
+  * pipeline packs into sequences).
+  *
+  * Corpus-scale shape (how HuggingFace/SentencePiece train too):
+  *   1. ONE distributed pass — whitespace-word counts, map-side partial
+  *      aggregation, vocabulary-sized shuffle (bounded: ~10⁷ surface forms
+  *      at web scale, further capped by `maxWords` via a deterministic
+  *      top-k). The corpus text is never collected.
+  *   2. The merge loop runs DRIVER-SIDE on the word-frequency table —
+  *      O(maxWords) per merge, independent of corpus bytes. This is the
+  *      published algorithm's own shape: BPE training only ever needs word
+  *      counts, so 100 TB of text trains from the same 10⁵–10⁷-row table
+  *      as 100 MB.
+  *   3. Encoding is MAP-ONLY: the learned merge ranks ship in the kernel
+  *      closure (≤ numMerges entries) and each word segments greedily by
+  *      rank; a per-task memo exploits the Zipf distribution (most word
+  *      occurrences are repeats — segment once, reuse).
+  *
+  * Semantics: symbols start as single characters (no end-of-word marker —
+  * a merge never crosses a whitespace boundary because words segment
+  * independently); each step merges all non-overlapping occurrences of the
+  * lowest-rank applicable pair, leftmost first. Merging a pair can only
+  * CREATE pairs of higher rank (a rule writing symbol xy must be learned
+  * after the rule that builds xy), so this greedy order reproduces
+  * training exactly.
+  */
+object Bpe {
+
+  /** Train `numMerges` merges from a corpus. Returns the merge table
+    * (rank, left, right) — persist it as parquet like any model table.
+    * Ties in pair frequency break to the lexicographically smaller pair,
+    * so training is deterministic across runs, partitionings, and engines.
+    * `maxWords` caps the driver-side word table by frequency (ties to the
+    * lexicographically smaller word).
+    */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 100000): DataFrame = {
+    require(numMerges >= 1, "need numMerges >= 1")
+    require(maxWords >= 1, "need maxWords >= 1")
+    val spark = corpus.sparkSession
+    import graft.functions.TextFunctions
+    val wordCounts = corpus
+      .select(explode(TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    // driver-side merge loop over the word table
+    val words: Array[Array[String]] =
+      wordCounts.map(_._1.toCharArray.map(_.toString))
+    val freqs: Array[Long] = wordCounts.map(_._2)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var j = 0
+        while (j + 1 < w.length) {
+          val p = (w(j), w(j + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += ((rank, best._1, best._2))
+        i = 0
+        while (i < words.length) {
+          words(i) = mergeAll(words(i), best._1, best._2)
+          i += 1
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** Merge all non-overlapping (l, r) occurrences, leftmost first. */
+  private def mergeAll(w: Array[String], l: String, r: String): Array[String] = {
+    if (w.length < 2) return w
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < w.length) {
+      if (j + 1 < w.length && w(j) == l && w(j + 1) == r) {
+        out += (l + r); j += 2
+      } else {
+        out += w(j); j += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Segment one word with a rank map: repeatedly apply the lowest-rank
+    * pair present (all occurrences, leftmost first) until none applies.
+    */
+  private def segment(word: String,
+                      ranks: Map[(String, String), Int]): Array[String] = {
+    var w: Array[String] = word.toCharArray.map(_.toString)
+    var done = false
+    while (!done && w.length >= 2) {
+      var bestRank = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var j = 0
+      while (j + 1 < w.length) {
+        val rk = ranks.getOrElse((w(j), w(j + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bl = w(j); br = w(j + 1) }
+        j += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else w = mergeAll(w, bl, br)
+    }
+    w
+  }
+
+  /** Encode `textCol` with a trained merge table: whitespace words segment
+    * independently (matching training), token arrays concatenate in word
+    * order. Map-only — the merge table collapses to a rank map in the
+    * kernel closure; a per-task memo caches segmentations (Zipf reuse).
+    * Adds `outCol` (array<string>).
+    */
+  def bpeEncode(df: DataFrame, textCol: String, merges: DataFrame,
+                outCol: String): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank").cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    // captured empty and deserialized per task: each task gets its own memo,
+    // so distinct models never share entries and no synchronization is needed
+    val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+    val enc = udf((text: String) => {
+      if (text == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        val n = text.length
+        while (i < n) {
+          while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+          val start = i
+          while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+          if (i > start) {
+            val word = text.substring(start, i).toLowerCase
+            val toks = memo.getOrElseUpdate(word, {
+              if (memo.size > 100000) memo.clear() // bound task memory
+              segment(word, ranks)
+            })
+            out ++= toks
+          }
+        }
+        out.toSeq
+      }
+    })
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  /** Exact learned-BPE token count — the budget/packing input
+    * ([[graft.operators.CorpusOps.packSequences]] and the token-budget
+    * mixes can run on real subword counts instead of estimates).
+    */
+  def bpeTokenCount(df: DataFrame, textCol: String, merges: DataFrame,
+                    outCol: String): DataFrame =
+    bpeEncode(df, textCol, merges, "__bpe_toks")
+      .withColumn(outCol, size(col("__bpe_toks")).cast("long"))
+      .drop("__bpe_toks")
+}

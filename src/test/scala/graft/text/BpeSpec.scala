@@ -1,0 +1,70 @@
+package graft.text
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Learned BPE: training determinism, encode semantics, round-trip. */
+class BpeSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("bpeTrain learns the most frequent pair first, ties lexicographic") {
+    // "ab" appears 6x (3 docs x 2), "cd" 3x -> first merge must be (a,b)
+    val corpus = Seq("abab cd", "abab cd", "abab cd").toDF("text")
+    val merges = Bpe.bpeTrain(corpus, "text", numMerges = 2)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(merges(0)._2 == "a" && merges(0)._3 == "b")
+    assert(merges.length == 2)
+  }
+
+  test("bpeTrain is deterministic across repartitionings") {
+    val docs = (0 until 50).map(i => s"alpha beta gamma doc$i alpha beta")
+    val a = Bpe.bpeTrain(docs.toDF("text"), "text", 10)
+      .orderBy("rank").collect().toSeq
+    val b = Bpe.bpeTrain(docs.toDF("text").repartition(7), "text", 10)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
+  test("encode round-trips: concatenated tokens rebuild each lowercased word") {
+    val corpus = Seq("The quick Brown fox", "jumps over the lazy dog",
+      "the quick dog").toDF("text")
+    val merges = Bpe.bpeTrain(corpus, "text", numMerges = 20)
+    val out = Bpe.bpeEncode(corpus, "text", merges, "toks")
+      .select(col("text"), array_join(col("toks"), "").as("glued")).collect()
+    out.foreach { r =>
+      val expected = r.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty).mkString
+      assert(r.getString(1) == expected)
+    }
+  }
+
+  test("more merges can only shrink or keep the token count") {
+    val corpus = Seq.fill(20)("the cat sat on the mat with the hat").toDF("text")
+    def count(n: Int): Long = {
+      val m = Bpe.bpeTrain(corpus, "text", numMerges = n)
+      Bpe.bpeTokenCount(corpus.limit(1), "text", m, "n")
+        .select("n").head().getLong(0)
+    }
+    val c2 = count(2); val c8 = count(8); val c20 = count(20)
+    assert(c2 >= c8 && c8 >= c20)
+    assert(c20 < c2, "20 merges on a tiny repetitive corpus must compress")
+  }
+
+  test("training exhausts gracefully when every pair is merged") {
+    val corpus = Seq("aa aa aa").toDF("text")
+    // only ever one word "aa" -> one pair (a,a), then (aa has length 1)
+    val merges = Bpe.bpeTrain(corpus, "text", numMerges = 50)
+    assert(merges.count() == 1)
+    val toks = Bpe.bpeEncode(Seq("aa aaa").toDF("text"), "text", merges, "t")
+      .select(array_join(col("t"), " ")).head().getString(0)
+    assert(toks == "aa aa a")
+  }
+
+  test("unknown characters pass through as single-char tokens") {
+    val merges = Seq((0, "a", "b")).toDF("rank", "left", "right")
+    val toks = Bpe.bpeEncode(Seq("ab 日本").toDF("text"), "text", merges, "t")
+      .select(array_join(col("t"), " ")).head().getString(0)
+    assert(toks == "ab 日 本")
+  }
+}
