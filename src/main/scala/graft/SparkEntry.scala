@@ -1012,27 +1012,28 @@ object SparkEntry {
     // length-driven payload slice, and the per-file record order replay
     // closed-form from documents.
     "q134_warc_ingest" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val rec = docs.select(
-        (col("doc_id") % 10).as("file_id"), col("doc_id"),
-        concat(
-          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:doc:"),
-          col("doc_id"),
-          lit(">\r\nWARC-Target-URI: http://example.com/doc/"), col("doc_id"),
-          lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\nContent-Length: "),
-          expr("octet_length(text)"),
-          lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).as("rec"))
-      val files = rec.groupBy(col("file_id"))
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
-            x => x.getField("rec")), "").as("content_str"))
-        .select(concat(lit("file_"), col("file_id")).as("path"),
-          encode(col("content_str"), "UTF-8").as("content"))
-      graft.sources.Sources.parseWarcRecords(files, "path", "content")
+      graft.sources.Sources.parseWarcRecords(warcFixtureFiles(s, dir), "path", "content")
         .select(col("warc_file"), col("record_idx"), col("warc_type"),
           col("record_id"), col("target_uri"), col("warc_date"),
           col("content_type"), col("content_length"),
           decode(col("payload"), "UTF-8").as("text"), col("truncated"))
+    },
+
+    // End-to-end web-ingest story: the SAME planted archives parse to WET
+    // text, doc ids recover from the target URI, and the full audited C4
+    // clean pass runs on the result — which must be indistinguishable from
+    // cleaning the documents table directly (q75's oracle verbatim).
+    "q138_warc_clean" -> { (s, dir) =>
+      val wet = graft.sources.Sources.wetRecords(
+        graft.sources.Sources.parseWarcRecords(
+          warcFixtureFiles(s, dir), "path", "content"))
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text"))
+      graft.operators.CorpusOps.cleanCorpus(
+        wet, "text", "doc_id",
+        graft.operators.CorpusOps.CleanConfig(
+          allowedLangs = Set("en"), minWords = 15, maxWords = 10000,
+          minQualityMicro = 300000L, dedup = true, sampleFraction = 0.9))
     },
 
     // Product quantization with a PLANTED codebook (m=4 subspaces × 8
@@ -2042,6 +2043,64 @@ object SparkEntry {
         |  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
         |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
         |FROM r WHERE rank <= 10""".stripMargin
+
+  /** q75/q138 audited-clean oracle: the full C4-recipe replay (lang, length,
+    * quality, text-winner dedup, splitmix ticket sampling) over documents —
+    * shared because the WARC ingest composition (q138) must be
+    * hash-indistinguishable from cleaning the table directly.
+    */
+  private def corpusCleanOracle: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,
+      |    len(regexp_extract_all(text, '\\S+')) AS n_words,
+      |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
+      |  FROM documents),
+      |f AS (
+      |  SELECT *, (lang = 'en' AND n_words >= 15 AND n_words <= 10000
+      |    AND quality_micro >= 300000) AS filter_ok FROM b),
+      |w AS (
+      |  SELECT *, min(CASE WHEN filter_ok THEN doc_id END) OVER (PARTITION BY text) AS winner FROM f),
+      |z0 AS (SELECT *, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM w),
+      |x1 AS (SELECT * EXCLUDE (z), xor(z, z // 1073741824) AS x FROM z0),
+      |z1 AS (SELECT * EXCLUDE (x), (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+      |x2 AS (SELECT * EXCLUDE (z), xor(z, z // 134217728) AS x FROM z1),
+      |z2 AS (SELECT * EXCLUDE (x), (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+      |tk AS (SELECT * EXCLUDE (z), CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+      |r AS (
+      |  SELECT doc_id, lang, n_words, quality_micro,
+      |    CASE WHEN NOT (lang = 'en') THEN 'lang'
+      |      WHEN n_words < 15 THEN 'too_short'
+      |      WHEN n_words > 10000 THEN 'too_long'
+      |      WHEN quality_micro < 300000 THEN 'low_quality'
+      |      WHEN doc_id <> winner THEN 'duplicate'
+      |      WHEN ticket >= 8106479329266893 THEN 'sampled_out'
+      |    END AS drop_reason
+      |  FROM tk)
+      |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
+      |FROM r""".stripMargin
+
+  /** q134/q138 WARC fixture: 10 archive "files" built relationally from the
+    * documents table — each doc becomes a conversion record with a real
+    * Content-Length header, concatenated in doc_id order per file.
+    */
+  private def warcFixtureFiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rec = docs.select(
+      (col("doc_id") % 10).as("file_id"), col("doc_id"),
+      concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:doc:"),
+        col("doc_id"),
+        lit(">\r\nWARC-Target-URI: http://example.com/doc/"), col("doc_id"),
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\nContent-Length: "),
+        expr("octet_length(text)"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).as("rec"))
+    rec.groupBy(col("file_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+          x => x.getField("rec")), "").as("content_str"))
+      .select(concat(lit("file_"), col("file_id")).as("path"),
+        encode(col("content_str"), "UTF-8").as("content"))
+  }
 
   /** Planted PQ codebook for q135/q136: m=4 subspaces over the 64-dim
     * embeddings, 8 codes each, centroid[j] = (code·(j+sub+1)) mod 7 − 3 —
@@ -3089,35 +3148,11 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_micro,
         |  CAST(count(DISTINCT ${langOracleExpr("text")}) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
-    "q75_corpus_clean" ->
-      s"""WITH b AS (
-        |  SELECT doc_id, text, ${langOracleExpr("text")} AS lang,
-        |    len(regexp_extract_all(text, '\\S+')) AS n_words,
-        |    CAST(floor(${qualityOracleExpr("text")} * 1e6) AS BIGINT) AS quality_micro
-        |  FROM documents),
-        |f AS (
-        |  SELECT *, (lang = 'en' AND n_words >= 15 AND n_words <= 10000
-        |    AND quality_micro >= 300000) AS filter_ok FROM b),
-        |w AS (
-        |  SELECT *, min(CASE WHEN filter_ok THEN doc_id END) OVER (PARTITION BY text) AS winner FROM f),
-        |z0 AS (SELECT *, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM w),
-        |x1 AS (SELECT * EXCLUDE (z), xor(z, z // 1073741824) AS x FROM z0),
-        |z1 AS (SELECT * EXCLUDE (x), (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
-        |x2 AS (SELECT * EXCLUDE (z), xor(z, z // 134217728) AS x FROM z1),
-        |z2 AS (SELECT * EXCLUDE (x), (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
-        |tk AS (SELECT * EXCLUDE (z), CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
-        |r AS (
-        |  SELECT doc_id, lang, n_words, quality_micro,
-        |    CASE WHEN NOT (lang = 'en') THEN 'lang'
-        |      WHEN n_words < 15 THEN 'too_short'
-        |      WHEN n_words > 10000 THEN 'too_long'
-        |      WHEN quality_micro < 300000 THEN 'low_quality'
-        |      WHEN doc_id <> winner THEN 'duplicate'
-        |      WHEN ticket >= 8106479329266893 THEN 'sampled_out'
-        |    END AS drop_reason
-        |  FROM tk)
-        |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
-        |FROM r""".stripMargin,
+    "q75_corpus_clean" -> corpusCleanOracle,
+    // the ingest composition must be INDISTINGUISHABLE from cleaning the
+    // documents table directly: the WARC fixture round-trips text and ids
+    // exactly, so q75's oracle applies verbatim
+    "q138_warc_clean" -> corpusCleanOracle,
     // The CASE mirrors quantizeInt8's qscale == 0 branch (constant vectors →
     // all-zero codes) so the pair stays equivalent by construction, not by
     // fixture luck.
