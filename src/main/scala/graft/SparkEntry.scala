@@ -1081,6 +1081,24 @@ object SparkEntry {
           size(col("tokens")).as("n"))
     },
 
+    // HTML → text extraction over planted HTML wrapping every document:
+    // script/style content drops, comments drop, block tags become
+    // paragraph breaks, entities decode single-pass (&amp; last), then
+    // whitespace settles. The whole chain is engine-neutral regex/replace,
+    // so the oracle replays it verbatim on the same constructed HTML.
+    "q139_html_text" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"), lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"),
+        lit("<style>p { color: red }</style></head><body>"),
+        lit("<h1 class=\"t\">Title &amp; &lt;tag&gt; "), col("doc_id"), lit("</h1>"),
+        lit("<!-- hidden --><p>"), col("text"),
+        lit("</p><br><div>footer&nbsp;line</div></body></html>"))
+      docs.select(col("doc_id"),
+        graft.functions.TextFunctions.html_text(html).as("text"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2761,6 +2779,32 @@ object SparkEntry {
     // +1e6. Threshold 0.9 admits only the identical plants (natural max
     // cosine < 0.52), so membership is margin-safe; nearest breaks cosine
     // ties to the smallest eval id, replayed via the same ordering.
+    // identical fixed-order chain over identically-constructed HTML; 'g'
+    // makes DuckDB's regexp_replace global like Spark's, e'\n' is a real
+    // newline, and replace() is plain substring replace on both engines
+    "q139_html_text" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |    '<script type="text/javascript">var x = 1 < 2;</script>' ||
+        |    '<style>p { color: red }</style></head><body>' ||
+        |    '<h1 class="t">Title &amp; &lt;tag&gt; ' || doc_id || '</h1>' ||
+        |    '<!-- hidden --><p>' || text ||
+        |    '</p><br><div>footer&nbsp;line</div></body></html>' AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(t, '(?is)<(script|style)[^>]*>.*?</(script|style)[ \t]*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|blockquote|section|article|aside|nav|header|footer|pre|title|figure|figcaption|form|hr)[^>]*>', e'\n', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |    t, '&lt;', '<'), '&#60;', '<'), '&gt;', '>'), '&#62;', '>'),
+        |    '&quot;', '"'), '&#34;', '"'), '&apos;', ''''), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&#160;', ' '), '&amp;', '&') AS t FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '[ \t\r\f]+', ' ', 'g') AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, ' *\n *', e'\n', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, '\n{3,}', e'\n\n', 'g') AS t FROM s7)
+        |SELECT doc_id, regexp_replace(t, '^[ \n]+|[ \n]+$', '', 'g') AS text FROM s8""".stripMargin,
     // hand-derived segmentations of the planted words under the planted
     // rank table (see the query comment for the derivations)
     "q137_bpe_encode" ->

@@ -61,6 +61,51 @@ object TextFunctions {
     regexp_replace(para, "^[ \\n]+|[ \\n]+$", "")
   }
 
+  /** HTML → text extraction — the step between a raw WARC `response`
+    * record and the corpus pipeline when no WET sidecar exists (jusText/
+    * trafilatura's job, reduced to the deterministic core). Fixed-order
+    * chain so it replays byte-identically in any regex engine (patterns
+    * avoid Java-vs-RE2 divergent classes, lazy quantifiers are RE2-safe):
+    *
+    *   1. `<script>`/`<style>` elements drop with their CONTENT;
+    *   2. comments drop;
+    *   3. block-level tags become newlines (paragraph structure survives
+    *      for the segment-based cleaners);
+    *   4. every remaining tag becomes a space;
+    *   5. the common entities decode in fixed order — `&amp;` LAST, which
+    *      is exactly single-pass HTML unescape (`&amp;lt;` → `&lt;`, not
+    *      `<`);
+    *   6. whitespace settles: horizontal runs → one space, spaces trimmed
+    *      around newlines, 3+ blank lines → one blank line, outer trim.
+    *
+    * Known limits (documented, not silent): a literal `>` inside an
+    * attribute value ends the tag early, and numeric entities outside the
+    * common set pass through — full spec parsing needs an HTML tokenizer
+    * kernel, which no published corpus pipeline uses either.
+    * Map-only; compose with [[normalize_text]] for the full first pass.
+    */
+  def html_text(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)[ \\t]*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+        "blockquote|section|article|aside|nav|header|footer|pre|title|" +
+        "figure|figcaption|form|hr)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val ents = Seq(
+      "&lt;" -> "<", "&#60;" -> "<", "&gt;" -> ">", "&#62;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"", "&apos;" -> "'", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&#160;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) =>
+        replace(acc, lit(e), lit(r)) // plain substring replace — engine-neutral
+      }
+    val hsp = regexp_replace(ents, "[ \\t\\r\\f]+", " ")
+    val nlsp = regexp_replace(hsp, " *\\n *", "\n")
+    val para = regexp_replace(nlsp, "\\n{3,}", "\n\n")
+    regexp_replace(para, "^[ \\n]+|[ \\n]+$", "")
+  }
+
   /** ceil(bytes/4) token heuristic (Go len() counts bytes). */
   def tokens_raw(text: Column): Column =
     when(octet_length(text) === 0, 0)

@@ -187,17 +187,25 @@ private[graft] object WarcKernel {
   private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Inflate iff the gzip magic leads; GZIPInputStream consumes
-    * back-to-back members, the `.warc.gz` layout.
+    * back-to-back members, the `.warc.gz` layout. A truncated or corrupt
+    * member yields the bytes inflated so far (the following records are
+    * unrecoverable anyway) instead of failing the task — one bad archive
+    * out of 10⁵ must not kill an ingest job; the tail record, if cut,
+    * surfaces through the `truncated` flag like any EOF-cut payload.
     */
   private[sources] def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return bytes
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    val out = new java.io.ByteArrayOutputStream(math.max(bytes.length * 4, 1024))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch {
+      case _: java.io.IOException => // keep whatever inflated before the corruption
+    }
     out.toByteArray
   }
 

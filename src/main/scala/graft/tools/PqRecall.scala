@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Measure PQ recall at several operating points:
+  * `runMain graft.tools.PqRecall <sfDir> [k]`.
+  * Prints recall@k vs exact brute force for flat PQ at (m, ksub) points and
+  * for IVF-PQ at nprobe ∈ {2, 4, 8} — the numbers COVERAGE.md records,
+  * alongside each point's bytes-per-vector compression factor.
+  */
+object PqRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val k = if (args.length > 1) args(1).toInt else 10
+    val spark = graft.core.GraftSession.get(cores = 32)
+    val emb = graft.core.Tables.embeddings(spark, dir).persist()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = graft.operators.KnnOps.bruteForceKnn(
+      emb, queries, k, "vec_id", "embedding", "vec_id", "embedding").persist()
+    exact.count()
+    println(s"[pqrecall] corpus=${emb.count()} dim=$dim k=$k")
+    for ((m, ksub) <- Seq((4, 256), (8, 64), (8, 256), (16, 256))) {
+      val t0 = System.nanoTime()
+      val model = graft.operators.KnnOps.pqFit(emb, "vec_id", "embedding", m, ksub)
+      val enc = graft.operators.KnnOps.pqEncode(emb, "vec_id", "embedding", model)
+      val approx = graft.operators.KnnOps.pqKnn(
+        enc, queries, k, "vec_id", "vec_id", "embedding", model)
+      val r = graft.operators.KnnOps.recallAt(exact, approx, k).head()
+      val bytes = m * (if (ksub <= 256) 1 else 2)
+      println(f"[pqrecall] PQ m=$m%2d ksub=$ksub%3d (${4 * dim / bytes}%2dx compress)" +
+        f"  avg_recall=${r.getAs[Double]("avg_recall")}%.3f" +
+        f"  min_recall=${r.getAs[Double]("min_recall")}%.3f" +
+        f"  wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    val (idx, model) = graft.operators.KnnOps.ivfPqIndex(
+      emb, "vec_id", "embedding", ncells = 8, m = 8, ksub = 256)
+    for (nprobe <- Seq(2, 4, 8)) {
+      val approx = graft.operators.KnnOps.ivfPqQuery(
+        idx, model, queries, k, "vec_id", "vec_id", "embedding", nprobe)
+      val r = graft.operators.KnnOps.recallAt(exact, approx, k).head()
+      println(f"[pqrecall] IVF-PQ ncells=8 nprobe=$nprobe%d m=8 ksub=256" +
+        f"  avg_recall=${r.getAs[Double]("avg_recall")}%.3f" +
+        f"  min_recall=${r.getAs[Double]("min_recall")}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -87,4 +87,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     val s = one(quality_score(col("t")), soup).asInstanceOf[Double]
     assert(p > s && p <= 1.0 && s >= 0.0)
   }
+
+  test("html_text: script/style content drops, blocks break paragraphs, single-pass entities") {
+    val html = "<html><head><style>p{}</style><script>if (1 < 2) alert('&amp;')</script>" +
+      "</head><body><h1>A &amp; B</h1><p>x &amp;lt; y</p><span>in line</span>" +
+      "<!-- gone --><div>tail&nbsp;end</div></body></html>"
+    val out = one(html_text(col("t")), html).asInstanceOf[String]
+    // script body (with its < and entity) is gone entirely
+    assert(!out.contains("alert") && !out.contains("1 <"))
+    assert(!out.contains("gone"))
+    // &amp;lt; decodes ONE level: to the literal text "&lt;", never to "<"
+    assert(out.contains("x &lt; y"))
+    assert(out.contains("A & B"))
+    assert(out.contains("tail end"))
+    // block tags produced line structure; inline span did not
+    assert(out.linesIterator.toSeq.exists(_ == "A & B"))
+    assert(out.contains("in line"))
+  }
+
+  test("html_text leaves decoded angle brackets un-stripped (order of strip vs decode)") {
+    val out = one(html_text(col("t")), "<p>&lt;b&gt;not a tag&lt;/b&gt;</p>").asInstanceOf[String]
+    assert(out == "<b>not a tag</b>")
+  }
 }

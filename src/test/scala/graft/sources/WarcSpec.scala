@@ -64,6 +64,20 @@ class WarcSpec extends AnyFunSuite with SparkTest {
     assert(recs.map(r => new String(r.payload, UTF_8)) == List("aaa", "bbb"))
   }
 
+  test("corrupt gzip tail keeps the records inflated before the damage") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close()
+      bo.toByteArray
+    }
+    val good = gz(record("http://ok", "intact"))
+    val bad = gz(record("http://lost", "gone")).dropRight(6) // cut CRC/len trailer
+    val recs = WarcKernel.parse(good ++ bad)
+    assert(recs.map(_.targetUri).contains("http://ok"))
+    // the damaged member may surface partially or not at all, but must not throw
+  }
+
   test("parseWarcRecords + wetRecords: per-file record order, WET text projection") {
     import spark.implicits._
     val content = (record("http://a", "doc a") +
