@@ -1099,6 +1099,27 @@ object SparkEntry {
         graft.functions.TextFunctions.html_text(html).as("text"))
     },
 
+    // DPR-style hard-negative mining over the BM25 leg: top-20 candidates
+    // per query, minus the known positives (every doc_id % 5 == 0 for
+    // every query — a deterministic positive set), re-ranked, top 8. The
+    // oracle replays the shared BM25 ranking CTE + the anti-filter.
+    "q140_hard_negatives" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"),
+        (2L, "stream window batch"),
+        (3L, "vector scan filter")).toDF("query_id", "query_text")
+      val docs = Tables.documents(s, dir)
+      val ranked = graft.operators.Bm25Ops.bm25TopK(
+        docs, "text", "doc_id", queries, "query_id", "query_text", k = 20)
+      val positives = queries.select(col("query_id")).crossJoin(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      graft.operators.Bm25Ops.mineHardNegatives(
+          ranked, "query_id", "doc_id", "rank",
+          positives, "query_id", "doc_id", n = 8)
+        .select(col("query_id"), col("doc_id"), col("neg_rank"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2031,6 +2052,15 @@ object SparkEntry {
     * build over the union corpus.
     */
   private def bm25PersistedOracle: String =
+    s"""$bm25RankedCte
+      |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** The BM25 candidate-ranking CTE chain (through `r`), shared by the
+    * persisted/append oracles (k=10 cut) and the hard-negative oracle
+    * (k=20 cut + positives anti-filter).
+    */
+  private def bm25RankedCte: String =
       """WITH q(query_id, query_text) AS (
         |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
         |         (CAST(2 AS BIGINT), 'stream window batch'),
@@ -2058,9 +2088,7 @@ object SparkEntry {
         |    count(*) AS n_terms_hit
         |  FROM cand GROUP BY query_id, doc_id),
         |r AS (SELECT *, CAST(row_number() OVER (
-        |  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
-        |SELECT query_id, doc_id, score_micro, n_terms_hit, rank
-        |FROM r WHERE rank <= 10""".stripMargin
+        |  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)""".stripMargin
 
   /** q75/q138 audited-clean oracle: the full C4-recipe replay (lang, length,
     * quality, text-winner dedup, splitmix ticket sampling) over documents —
@@ -2772,6 +2800,15 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // shared BM25 ranking CTE at the k=20 cut, positives (doc_id % 5 == 0)
+    // filtered out, survivors re-ranked in original order, top 8
+    "q140_hard_negatives" ->
+      s"""$bm25RankedCte,
+        |neg AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS INT) AS neg_rank
+        |  FROM r WHERE rank <= 20 AND doc_id % 5 <> 0)
+        |SELECT query_id, doc_id, neg_rank FROM neg WHERE neg_rank <= 8""".stripMargin,
     // the append path must be indistinguishable from a one-shot build over
     // the union corpus — same oracle, same hash
     "q131_bm25_append" -> bm25PersistedOracle,

@@ -210,4 +210,31 @@ object Bm25Ops {
       .orderBy(col("rrf_nano").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** DPR-style hard-negative mining — the retrieval-training data op: for
+    * each query, the top-ranked candidates that are NOT known positives are
+    * exactly the "hard" negatives a dual-encoder trains against. Works over
+    * ANY ranking leg with (query, doc, rank) columns — [[bm25TopK]],
+    * [[bm25Query]], [[rrfFuse]], or a dense [[KnnOps.bruteForceKnn]] leg —
+    * so lexical and semantic negatives mine through one code path.
+    * Emits the surviving candidates with `neg_rank` (1-based, original
+    * ranking order preserved), capped at `n` per query.
+    *
+    * Plan: the candidate table is already tiny (k rows per query); the
+    * positives anti-join keys on (query, doc) and the re-rank window runs
+    * per query over ≤ k rows — nothing here touches the corpus.
+    */
+  def mineHardNegatives(ranked: DataFrame, qidCol: String, didCol: String,
+                        rankCol: String,
+                        positives: DataFrame, posQidCol: String,
+                        posDidCol: String, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val pos = positives.select(col(posQidCol).as("__pq"), col(posDidCol).as("__pd"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col(rankCol).asc)
+    ranked
+      .join(pos, ranked(qidCol) === col("__pq") && ranked(didCol) === col("__pd"),
+        "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= n)
+  }
 }

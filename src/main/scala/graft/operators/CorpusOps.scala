@@ -732,7 +732,8 @@ object CorpusOps {
     * token, a broadcast 1-row totals join, then the top-k runs as
     * TakeOrderedAndProject — never a global sort. Vocabulary is bounded
     * (~10⁷ surface forms at web scale), so every post-explode stage is
-    * small no matter how large the snapshots are.
+    * small no matter how large the snapshots are. Both snapshots must be
+    * non-empty (an empty side has total 0 and its ppm columns go null).
     */
   def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
                  topK: Int): DataFrame = {

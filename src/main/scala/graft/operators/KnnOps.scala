@@ -307,7 +307,9 @@ object KnnOps {
     * partial aggregation, and the codes re-assemble with one id-keyed
     * exchange. Distances compare as SEQUENTIAL-fold squared L2 in doubles
     * (ties break to the smaller code), so the assignment replays exactly in
-    * any engine with ordered list arithmetic.
+    * any engine with ordered list arithmetic. Embeddings must have the
+    * model's m·dsub dims (enforced at fit time; shorter vectors here would
+    * null their distances and corrupt the argmin).
     */
   def pqEncode(df: DataFrame, idCol: String, embCol: String,
                model: PqModel): DataFrame = {

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hard-negative mining over an arbitrary ranking leg. */
+class HardNegativesSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("positives drop, survivors re-rank in original order, capped at n") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "doc_id", "rank")
+    val positives = Seq((1L, 11L), (2L, 20L), (1L, 99L)).toDF("query_id", "doc_id")
+    val out = Bm25Ops.mineHardNegatives(ranked, "query_id", "doc_id", "rank",
+      positives, "query_id", "doc_id", n = 2)
+      .select("query_id", "doc_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // q1: 11 is positive -> negatives are 10, 12 (13 cut by n=2)
+    // q2: 20 is positive -> only 21 survives; a positive never mined (99 unseen is a no-op)
+    assert(out == Seq((1L, 10L, 1), (1L, 12L, 2), (2L, 21L, 1)))
+  }
+
+  test("a query whose candidates are all positives yields no negatives") {
+    val ranked = Seq((7L, 1L, 1), (7L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val positives = Seq((7L, 1L), (7L, 2L)).toDF("query_id", "doc_id")
+    assert(Bm25Ops.mineHardNegatives(ranked, "query_id", "doc_id", "rank",
+      positives, "query_id", "doc_id", n = 5).count() == 0)
+  }
+
+  test("dense leg plugs in unchanged (bruteForceKnn output shape)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter("vec_id < 3")
+    val ranked = KnnOps.bruteForceKnn(emb, queries, 10,
+      "vec_id", "embedding", "vec_id", "embedding")
+    // each query's rank-1 neighbor is itself (cosine 1.0) — the canonical
+    // "known positive"; mining must drop it and promote rank 2 to neg_rank 1
+    val positives = queries.select($"vec_id".as("query_id"), $"vec_id".as("doc_id"))
+    val out = Bm25Ops.mineHardNegatives(ranked, "query_id", "neighbor_id", "rank",
+      positives, "query_id", "doc_id", n = 3)
+    graft.GraftEngine.releaseCaches()
+    val rows = out.select("query_id", "neighbor_id", "neg_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 9)
+    assert(rows.forall { case (q, nid, _) => q != nid })
+  }
+}
