@@ -1120,6 +1120,43 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("neg_rank"))
     },
 
+    // Backward as-of join (union-window plan, one keyed shuffle — never a
+    // nested loop): every event picks up the latest planted per-user rate
+    // snapshot at or before its timestamp, nulls before the first
+    // snapshot. DuckDB replays with its native ASOF LEFT JOIN — two
+    // independent implementations of the same semantics must hash-agree.
+    "q141_asof_join" -> { (s, dir) =>
+      val events = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      val base = unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val rates = s.range(25).select(col("id").as("user_id"))
+        .crossJoin(s.range(40).select(col("id").as("k")))
+        .select(col("user_id"),
+          timestamp_seconds(base + (col("k") * 97 + col("user_id")) * 60).as("rts"),
+          (col("user_id") * 100 + col("k")).as("rate"))
+      graft.operators.JoinOps.asofJoin(events, rates, Seq("user_id"), "ts", "rts")
+        .select(col("event_id"), col("user_id"), col("rate"), col("rts"))
+    },
+
+    // Interval-overlap join via bucketing (keyed shuffle, no cartesian):
+    // event intervals [ts, ts + 1..5 min] against planted 15-minute
+    // windows every 37 minutes, all in exact integer micros. The oracle is
+    // the plain theta join — the bucketed plan must produce the identical
+    // pair set.
+    "q142_range_join" -> { (s, dir) =>
+      val baseUs = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val left = Tables.events(s, dir).select(
+        col("event_id").as("lid"),
+        unix_micros(col("ts")).as("ls"),
+        (unix_micros(col("ts")) + (col("event_id") % 5 + 1) * 60000000L).as("le"))
+      val right = s.range(200).select(
+        col("id").as("rid"),
+        (baseUs + col("id") * 37L * 60000000L).as("rs"),
+        (baseUs + col("id") * 37L * 60000000L + 15L * 60000000L).as("re"))
+      graft.operators.JoinOps.rangeJoin(left, right,
+        "lid", "ls", "le", "rid", "rs", "re",
+        bucketWidth = 600000000L) // 10-minute buckets ≈ interval scale
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2800,6 +2837,31 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // DuckDB's native ASOF LEFT JOIN vs our union-window plan: same keys,
+    // same inclusive ≤, same LEFT null semantics
+    "q141_asof_join" ->
+      """WITH rates AS (
+        |  SELECT u.user_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + (k.k * 97 + u.user_id) * INTERVAL 1 MINUTE AS rts,
+        |    u.user_id * 100 + k.k AS rate
+        |  FROM (SELECT unnest(generate_series(0, 24)) AS user_id) u
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS k) k)
+        |SELECT e.event_id, e.user_id, r.rate, r.rts
+        |FROM events e ASOF LEFT JOIN rates r
+        |  ON e.user_id = r.user_id AND e.ts >= r.rts""".stripMargin,
+    // the bucketed candidate plan must equal the plain theta join
+    "q142_range_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS lid, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS le
+        |  FROM events),
+        |r AS (
+        |  SELECT rid,
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00') + rid * 37 * 60000000 AS rs,
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00') + rid * 37 * 60000000 + 15 * 60000000 AS re
+        |  FROM (SELECT unnest(generate_series(0, 199)) AS rid) g)
+        |SELECT lid, ls, le, rid, rs, re
+        |FROM l JOIN r ON ls <= re AND rs <= le""".stripMargin,
     // shared BM25 ranking CTE at the k=20 cut, positives (doc_id % 5 == 0)
     // filtered out, survivors re-ranked in original order, top 8
     "q140_hard_negatives" ->

@@ -63,4 +63,92 @@ object JoinOps {
     val salted = saltedJoin(leftHot, rightHot, keys, saltFrom, buckets)
     salted.unionByName(leftCold.join(right, keys))
   }
+
+  /** Backward as-of join — the operator Spark lacks natively: each left row
+    * gains the LATEST right row with the same keys and right ts ≤ left ts
+    * (inclusive), or nulls when none precedes it (LEFT semantics). The
+    * time-series workhorse: price-at-trade, config-at-event,
+    * rate-at-request.
+    *
+    * Plan — the scalable union-window form, NOT a range-condition join
+    * (which Spark plans as a broadcast-nested-loop or a per-key cartesian):
+    * both sides union tagged, ONE shuffle on the keys, one in-partition
+    * sort by (ts, side), and a running `last(right_payload, ignoreNulls)`
+    * carries each right row forward to every later left row. Cost is the
+    * cost of sorting the union — no row ever fans out. Right rows sort
+    * BEFORE left rows at equal timestamps, which is exactly the ≤ contract.
+    *
+    * Output: every left column plus the right side's non-key columns
+    * (null-filled when unmatched). Right column names must not clash with
+    * left ones (rename before calling); duplicate right timestamps within
+    * a key match one arbitrary row — keep (keys, ts) unique on the right,
+    * as any as-of engine expects.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTsCol: String, rightTsCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one as-of key")
+    val rPayCols = right.columns.filterNot(keys.contains)
+    val lCols = left.columns
+    require(rPayCols.intersect(lCols).isEmpty,
+      s"right columns ${rPayCols.intersect(lCols).mkString(", ")} clash with left; rename first")
+    val keyCols = keys.map(col)
+    val r = right.select(keyCols ++ Seq(
+      col(rightTsCol).as("__asof_ts"), lit(0).as("__asof_side"),
+      struct(rPayCols.map(col): _*).as("__asof_rpay")): _*)
+    val l = left.select(keyCols ++ Seq(
+      col(leftTsCol).as("__asof_ts"), lit(1).as("__asof_side"),
+      struct(lCols.filterNot(keys.contains).map(col): _*).as("__asof_lpay")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = u.withColumn("__asof_match",
+      last(col("__asof_rpay"), ignoreNulls = true).over(w))
+    carried.filter(col("__asof_side") === 1)
+      .select(keyCols ++
+        lCols.filterNot(keys.contains).map(c => col(s"__asof_lpay.$c").as(c)) ++
+        rPayCols.map(c => col(s"__asof_match.$c").as(c)): _*)
+  }
+
+  /** Interval-overlap (range) join via bucketing — the other operator Spark
+    * only plans as a nested loop. Joins rows whose [start, end] intervals
+    * overlap (closed bounds, micro/integer units), optionally also matching
+    * on equi `keys`.
+    *
+    * Plan: each interval explodes to the coarse buckets it covers
+    * (`bucketWidth` units each), the join runs KEYED on (keys…, bucket),
+    * duplicate bucket co-occurrences collapse with a distinct on the pair
+    * ids, and the exact overlap predicate verifies. Fan-out per row is
+    * `len/bucketWidth + 1` — size `bucketWidth` near the typical interval
+    * length and the cartesian disappears into a keyed shuffle whose
+    * candidate count ≈ the true result size.
+    *
+    * `left`/`right` must each carry a unique id column (`lIdCol`/`rIdCol`)
+    * for the candidate dedup. Output: one row per overlapping (lId, rId)
+    * pair with both intervals.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                lIdCol: String, lStartCol: String, lEndCol: String,
+                rIdCol: String, rStartCol: String, rEndCol: String,
+                bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Set(lIdCol, lStartCol, lEndCol)
+      .intersect(Set(rIdCol, rStartCol, rEndCol)).isEmpty,
+      "left and right id/start/end column names must be distinct")
+    val keyCols = keys.map(col)
+    def bucketed(df: DataFrame, idC: String, sC: String, eC: String) =
+      df.select(keyCols ++ Seq(col(idC), col(sC), col(eC)): _*)
+        .filter(col(sC) <= col(eC))
+        .withColumn("__bucket", explode(sequence(
+          floor(col(sC) / bucketWidth).cast("long"),
+          floor(col(eC) / bucketWidth).cast("long"))))
+    val lb = bucketed(left, lIdCol, lStartCol, lEndCol)
+    val rb = bucketed(right, rIdCol, rStartCol, rEndCol)
+    lb.join(rb, keys :+ "__bucket")
+      .filter(col(lStartCol) <= col(rEndCol) && col(rStartCol) <= col(lEndCol))
+      .select(keyCols ++ Seq(col(lIdCol), col(lStartCol), col(lEndCol),
+        col(rIdCol), col(rStartCol), col(rEndCol)): _*)
+      .distinct()
+  }
 }

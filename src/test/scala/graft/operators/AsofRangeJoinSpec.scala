@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** As-of and range joins: semantics at the edges the oracle queries can't
+  * isolate (exact-tie inclusivity, bucket boundaries, fan-out dedup).
+  */
+class AsofRangeJoinSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive on equal timestamps, latest-preceding wins, null before first") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before any snapshot -> null
+      (2L, 10L, ts("2024-01-01 01:00:00")), // exactly at snapshot A -> A
+      (3L, 10L, ts("2024-01-01 02:30:00")), // between A and B -> B? no: after B(02:00) -> B
+      (4L, 11L, ts("2024-01-01 05:00:00"))  // other key, no snapshots -> null
+    ).toDF("event_id", "uid", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), "A"),
+      (10L, ts("2024-01-01 02:00:00"), "B")
+    ).toDF("uid", "rts", "tag")
+    val out = JoinOps.asofJoin(left, right, Seq("uid"), "ts", "rts")
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out == Map(1L -> null, 2L -> "A", 3L -> "B", 4L -> null))
+  }
+
+  test("asofJoin result is partitioning-independent") {
+    val left = (0 until 200).map(i => (i.toLong, (i % 7).toLong,
+      ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00"))).toDF("event_id", "uid", "ts")
+    val right = (0 until 30).map(j => ((j % 7).toLong,
+      ts(f"2024-01-01 ${(j * 3) % 24}%02d:00:00"), j.toLong)).toDF("uid", "rts", "v")
+      // keep (uid, rts) unique
+      .groupBy("uid", "rts").agg(min("v").as("v"))
+    val a = JoinOps.asofJoin(left, right, Seq("uid"), "ts", "rts")
+      .collect().map(_.toSeq).toSet
+    val b = JoinOps.asofJoin(left.repartition(13), right.repartition(3), Seq("uid"), "ts", "rts")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 200)
+  }
+
+  test("rangeJoin: bucket-straddling intervals pair exactly once; closed bounds") {
+    val left = Seq(
+      (1L, 95L, 105L),  // straddles the 100 boundary (buckets 9 and 10)
+      (2L, 0L, 9L),
+      (3L, 200L, 201L)
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 100L, 100L), // point interval at the boundary
+      (11L, 9L, 10L),    // touches lid=2 at exactly 9 (closed bounds)
+      (12L, 150L, 160L)  // overlaps nothing
+    ).toDF("rid", "rs", "re")
+    val out = JoinOps.rangeJoin(left, right, "lid", "ls", "le", "rid", "rs", "re",
+      bucketWidth = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // (1,10): 95..105 covers 100; appears ONCE despite sharing two buckets
+    // (2,11): closed-bound touch at 9
+    assert(out == Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("rangeJoin with equi keys restricts pairs to the same key") {
+    val left = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L)).toDF("k", "lid", "ls", "le")
+    val right = Seq(("a", 10L, 50L, 60L), ("b", 20L, 50L, 60L)).toDF("k", "rid", "rs", "re")
+    val out = JoinOps.rangeJoin(left, right, "lid", "ls", "le", "rid", "rs", "re",
+      bucketWidth = 25L, keys = Seq("k"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out == Seq((1L, 10L), (2L, 20L)))
+  }
+}
