@@ -1157,6 +1157,21 @@ object SparkEntry {
         bucketWidth = 600000000L) // 10-minute buckets ≈ interval scale
     },
 
+    // Gap-based sessionization (lag-diff boundary + running sum, one keyed
+    // shuffle): the chat-log → training-session split, replayed with the
+    // same window arithmetic.
+    "q143_sessionize" -> { (s, dir) =>
+      graft.operators.EventOps.sessionize(
+          Tables.events(s, dir), "user_id", "ts", gapSeconds = 1800)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+    },
+
+    // Cohort retention: first-activity-day cohorts × day offsets.
+    "q144_cohort_retention" -> { (s, dir) =>
+      graft.operators.EventOps.cohortRetention(
+        Tables.events(s, dir), "user_id", "ts")
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2837,6 +2852,25 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // same lag-diff boundary + running sum; equal timestamps share a
+    // session so tie order cannot change the assignment
+    "q143_sessionize" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM b""".stripMargin,
+    "q144_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id AS "user", CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT "user", min(day) AS cohort FROM days GROUP BY 1)
+        |SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN cohorts USING ("user")
+        |GROUP BY 1, 2""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN vs our union-window plan: same keys,
     // same inclusive ≤, same LEFT null semantics
     "q141_asof_join" ->

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over timestamped logs — the batch counterparts of
+  * the streaming ops, and the session-splitting step a conversational
+  * training corpus needs (chat logs arrive as flat event streams; models
+  * train on SESSIONS, so the gap-based split is the first transform).
+  */
+object EventOps {
+
+  /** Gap-based sessionization: events of a key belong to one session until
+    * a silence longer than `gapSeconds` starts the next. Adds
+    * `session_seq` (0-based per-key session index) — a stable session key
+    * is then (key, session_seq).
+    *
+    * Plan: one keyed shuffle + in-partition sort; the boundary flag is a
+    * lag diff and the session index its running sum — no self-join, no
+    * iteration. Equal timestamps always share a session (their gap is 0),
+    * so the assignment is deterministic even when the sort order among
+    * ties is not.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val gapUs = gapSeconds * 1000000L
+    // two projections: a window function may not nest inside another
+    df.withColumn("__boundary", when(
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) > gapUs,
+        1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__boundary")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__boundary")
+  }
+
+  /** Classic cohort retention: users cohort by their FIRST activity day;
+    * each (cohort day, day offset) cell counts the distinct users active
+    * that many days later. Two keyed aggregations and one join on user —
+    * the daily-activity table is bounded by users × active days.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("user"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = days.groupBy(col("user")).agg(min(col("day")).as("cohort"))
+    days.join(cohorts, "user")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sessionization + cohort retention closed-form checks. */
+class EventOpsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("sessionize: gap starts a new session, equal timestamps share one") {
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:10:00")), // 10 min < gap -> session 0
+      (3L, 1L, ts("2024-01-01 01:00:00")), // 50 min > gap -> session 1
+      (4L, 1L, ts("2024-01-01 01:00:00")), // tie with 3 -> same session
+      (5L, 2L, ts("2024-01-01 05:00:00"))  // other user -> its own session 0
+    ).toDF("event_id", "user_id", "ts")
+    val out = EventOps.sessionize(df, "user_id", "ts", gapSeconds = 1800)
+      .select("event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("cohortRetention counts distinct users per (cohort, offset)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-01 23:30:00")),
+      (3L, ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.cohortRetention(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), // users 1 and 2 on their cohort day
+      ("2024-01-01", 2, 1L), // user 1 back two days later
+      ("2024-01-02", 0, 1L)  // user 3's cohort
+    ))
+  }
+}
