@@ -1172,6 +1172,24 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "ts")
     },
 
+    // Z-address (Morton code) computation — the layout key behind
+    // Delta/Iceberg Z-ordering: pure integer bit interleave, replayed with
+    // the same shift/mask arithmetic. (The write path — range partition on
+    // z + local sort — is exercised in LayoutOpsSpec.)
+    "q145_zorder" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        graft.operators.LayoutOps.zValue(
+          Seq(col("l_orderkey"), col("l_partkey")), bits = 16).as("zval"))
+    },
+
+    // One-pass table profiler (ingest QA): nulls, exact cardinality,
+    // min/max per column, single scan + stack unpivot.
+    "q146_profile" -> { (s, dir) =>
+      graft.operators.ProfileOps.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2852,6 +2870,29 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // identical shift/mask interleave, expanded to a per-row 32-term sum
+    // (no GROUP BY — the synthetic lineitem has a few duplicate key
+    // triples, and a profiler op must emit one row per input row)
+    "q145_zorder" -> {
+      val terms = (0 until 16).flatMap(b => Seq(
+        s"(((l_orderkey & 65535) >> $b) & 1) * ${1L << (b * 2)}",
+        s"(((l_partkey & 65535) >> $b) & 1) * ${1L << (b * 2 + 1)}"))
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+         |FROM lineitem""".stripMargin
+    },
+    // per-column aggregates unioned; n_nulls via count(*) - count(col)
+    // (BIGINT on both engines), min/max stringified
+    "q146_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus")
+        .map(c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_value,
+             |  CAST(max($c) AS VARCHAR) AS max_value
+             |FROM lineitem""".stripMargin)
+        .mkString("\nUNION ALL\n"),
     // same lag-diff boundary + running sum; equal timestamps share a
     // session so tie order cannot change the assignment
     "q143_sessionize" ->

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — how a 100 TB table is ARRANGED decides what a
+  * query must read. Parquet scans skip files (and row groups) whose
+  * min/max column stats exclude the predicate; that only helps when rows
+  * with similar values sit together. A single-column sort clusters one
+  * dimension and scatters the rest — Z-ordering interleaves the bits of
+  * several columns so every interleaved dimension stays locally clustered,
+  * which is why the lakehouse engines (Delta OPTIMIZE ZORDER BY, Iceberg
+  * sort orders) ship exactly this primitive.
+  */
+object LayoutOps {
+
+  /** The Z-address (Morton code) of 1–8 long columns: each value clamps to
+    * its low `bits` bits, then bit b of column i lands at position
+    * b·n + i. Pure integer column arithmetic — codegen'd, engine-neutral,
+    * no UDF. `n·bits` must fit a signed long (≤ 62).
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1 && n <= 8, "zValue interleaves 1-8 columns")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be <= 62, got ${n * bits}")
+    val mask = (1L << bits) - 1
+    val clamped = cols.map(c => c.cast("long").bitwiseAND(lit(mask)))
+    var acc: Column = lit(0L)
+    for (b <- 0 until bits; i <- 0 until n) {
+      acc = acc + shiftleft(
+        shiftright(clamped(i), b).bitwiseAND(lit(1L)), b * n + i)
+    }
+    acc
+  }
+
+  /** Write `df` Z-ordered on `zCols` into ~`targetFiles` parquet files:
+    * range-partition on the Z-address (so files tile the Z-curve without
+    * overlap), sort within each partition, write. Every interleaved
+    * column's per-file min/max stays tight, so predicates on ANY of them
+    * skip most files — the multi-dimension clustering a plain sort can't
+    * give. One exchange + local sorts; no global sort.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 16, targetFiles: Int = 64): Unit = {
+    require(zCols.nonEmpty, "need at least one z-order column")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val withZ = df.withColumn("__z", zValue(zCols.map(col), bits))
+    withZ
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

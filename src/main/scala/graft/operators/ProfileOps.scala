@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the ingest-QA report run before a new snapshot joins a
+  * training mix: null rates, cardinalities, and value ranges per column,
+  * computed in ONE pass over the data (a per-column loop of aggregates
+  * would scan the table once per column — at 100 TB that difference is the
+  * whole job).
+  */
+object ProfileOps {
+
+  /** Profile `cols` of `df`: one output row per column with
+    * (column, n_rows, n_nulls, n_distinct, min_value, max_value) —
+    * min/max cast to string so mixed-type columns share one schema.
+    * n_distinct is exact (nulls excluded, like COUNT(DISTINCT)).
+    *
+    * Plan: a single wide aggregate computes every column's statistics in
+    * one scan; the 1×(4·k) result row then unpivots driver-free with
+    * `stack`. Exact distinct counts over several columns expand the
+    * aggregate (Spark's multi-distinct rewrite); swap in
+    * `approx_count_distinct` via `exact = false` when profiling very-high-
+    * cardinality columns at full scale.
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    one.select(col("__rows"), expr(
+      s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_value, max_value)"))
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        col("n_nulls"), col("n_distinct"), col("min_value"), col("max_value"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout + one-pass profiler. */
+class LayoutProfileSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("zValue interleaves bits: hand-computed Morton codes") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("x", "y")
+    val out = df.select(col("x"), col("y"),
+      LayoutOps.zValue(Seq(col("x"), col("y")), bits = 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // interleave: bit b of x -> 2b, bit b of y -> 2b+1
+    assert(out((0L, 0L)) == 0L)
+    assert(out((1L, 0L)) == 1L)  // x bit0 -> pos0
+    assert(out((0L, 1L)) == 2L)  // y bit0 -> pos1
+    // x=3 (011), y=5 (101): pos0=1 pos1=1 pos2=1 pos3=0 pos4=0 pos5=1 -> 100111b = 39
+    assert(out((3L, 5L)) == 39L)
+  }
+
+  test("zValue clamps to the low bits and preserves locality blocks") {
+    val df = Seq((16L, 0L)).toDF("x", "y") // 16 = 10000b, clamped at 4 bits -> 0
+    val z = df.select(LayoutOps.zValue(Seq(col("x"), col("y")), bits = 4))
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
+  test("writeZOrdered: files tile the z-range without overlap, sorted inside") {
+    val df = (0 until 1024).map(i => (i.toLong % 32, (i.toLong * 7) % 32))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    LayoutOps.writeZOrdered(df, dir, Seq("x", "y"), bits = 5, targetFiles = 8)
+    val back = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .withColumn("z", LayoutOps.zValue(Seq(col("x"), col("y")), bits = 5))
+    assert(back.count() == 1024)
+    // per-file z ranges must not overlap (range partitioning on z)
+    val ranges = back.groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("profile: nulls, distinct, min/max per column in one pass") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "a"), (Some(2L), "c")
+    ).toDF("num", "s")
+    val out = ProfileOps.profile(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(out("num") == ((4L, 1L, 2L, "1", "2")))
+    assert(out("s") == ((4L, 0L, 3L, "a", "c")))
+  }
+}
