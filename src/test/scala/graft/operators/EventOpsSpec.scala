@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTest
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Sessionization + cohort retention closed-form checks. */
@@ -22,6 +23,27 @@ class EventOpsSpec extends AnyFunSuite with SparkTest {
       .select("event_id", "session_seq").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("sessionize agrees with Spark's native session_window away from exact-gap ties") {
+    // controlled gaps strictly above/below 30 min (session_window splits at
+    // diff >= gap, sessionize at diff > gap — equal-gap events are the one
+    // divergence, excluded here and measure-zero on real micro timestamps)
+    val df = (for (u <- 0 until 3; j <- 0 until 20) yield {
+      val minutes = (0 until j).map(x => if (x % 2 == 0) 14 else 45).sum
+      ((u * 100 + j).toLong, u.toLong,
+        ts(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:01"))
+    }).toDF("event_id", "user_id", "ts")
+    val viaSessionize = EventOps.sessionize(df, "user_id", "ts", gapSeconds = 1800)
+      .groupBy("user_id", "session_seq").count()
+      .select("user_id", "count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaNative = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .select("user_id", "count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaSessionize == viaNative)
   }
 
   test("cohortRetention counts distinct users per (cohort, offset)") {
