@@ -1190,6 +1190,28 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"))
     },
 
+    // Tokenizer-vocabulary coverage: vocab = the token set of the first 100
+    // documents (a "tokenizer training half"); OOV ppm over the whole
+    // corpus, exact integer arithmetic.
+    "q147_vocab_coverage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.filter(col("doc_id") < 100)
+        .select(explode(graft.functions.TextFunctions.ws_tokens(col("text"))).as("w"))
+      graft.operators.CorpusOps.vocabCoverage(docs, "text", "doc_id", vocab, "w")
+    },
+
+    // Length-bucketed micro-batching (inference feeder): bucket by
+    // tokens div 32, deterministic in-bucket order, batches of 16, padding
+    // ceiling per batch — all window arithmetic, replayed verbatim.
+    "q148_length_batches" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("n_tokens"))
+      graft.operators.CorpusOps.lengthBucketedBatches(
+          docs, "doc_id", "n_tokens", batchSize = 16, bucketWidth = 32L)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          col("batch_idx"), col("batch_max_tokens"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2870,6 +2892,28 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    "q147_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |v AS (SELECT DISTINCT w FROM tok WHERE doc_id < 100),
+        |j AS (SELECT t.doc_id, v.w AS vw FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS oov_ppm
+        |FROM j GROUP BY doc_id""".stripMargin,
+    "q148_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |    ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT *, n_tokens // 32 AS bucket FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) AS rn FROM b),
+        |bb AS (SELECT doc_id, n_tokens, bucket,
+        |  CAST((rn - 1) // 16 AS BIGINT) AS batch_idx FROM r)
+        |SELECT doc_id, n_tokens, bucket, batch_idx,
+        |  max(n_tokens) OVER (PARTITION BY bucket, batch_idx) AS batch_max_tokens
+        |FROM bb""".stripMargin,
     // identical shift/mask interleave, expanded to a per-row 32-term sum
     // (no GROUP BY — the synthetic lineitem has a few duplicate key
     // triples, and a profiler op must emit one row per input row)

@@ -763,6 +763,60 @@ object CorpusOps {
       .limit(topK)
   }
 
+  /** Tokenizer-vocabulary coverage — the tokenizer-QA number: what fraction
+    * of each document's whitespace tokens fall outside a vocabulary table
+    * (a trained [[graft.text.Bpe]] vocab, a word list, a frozen tokenizer
+    * export). High OOV ppm flags corpora the tokenizer will shred into
+    * bytes/unknowns. Output: (doc_id, n_tokens, n_oov, oov_ppm) with
+    * oov_ppm the exact integer `n_oov·10⁶ div n_tokens`.
+    *
+    * Plan: vocabularies are bounded (≤10⁷ entries) so the vocab side
+    * broadcasts; the token stream joins map-side and collapses per doc in
+    * partial aggregation — one id-keyed exchange, corpus never reshuffled.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, idCol: String,
+                    vocab: DataFrame, vocabCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val v = broadcast(vocab.select(col(vocabCol).as("__vw")).distinct())
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .join(v, col("w") === col("__vw"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
+
+  /** Length-bucketed micro-batch assignment — the inference-serving prep
+    * step (vLLM/continuous-batching feeders group similar-length inputs so
+    * a batch pads to its LONGEST member, not the corpus maximum): docs
+    * bucket by `tokens div bucketWidth`, order deterministically by
+    * (tokens, id) inside each bucket, and cut into `batchSize`-row
+    * micro-batches. Output adds (bucket, batch_idx, batch_max_tokens) —
+    * padding waste per row = batch_max_tokens − tokens, and both sides of
+    * that subtraction are in the output so the trade is auditable.
+    *
+    * Plan: one exchange on bucket + an in-bucket sort; batch stats are a
+    * second window over the same sort — no shuffle is corpus-wide and no
+    * global sort exists.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, tokensCol: String,
+                            batchSize: Int, bucketWidth: Long): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val bucketed = df.withColumn("bucket",
+      expr(s"$tokensCol div $bucketWidth"))
+    val order = Window.partitionBy(col("bucket"))
+      .orderBy(col(tokensCol).asc, col(idCol).asc)
+    val withBatch = bucketed
+      .withColumn("__rn", row_number().over(order))
+      .withColumn("batch_idx", expr(s"(__rn - 1) div $batchSize").cast("long"))
+      .drop("__rn")
+    val perBatch = Window.partitionBy(col("bucket"), col("batch_idx"))
+    withBatch.withColumn("batch_max_tokens",
+      max(col(tokensCol)).over(perBatch))
+  }
+
   /** Per-stratum corpus statistics — the ingest dashboard numbers. All
     * aggregates are integer-exact (micro-unit quality sums), so the whole
     * report hash-replays in SQL.

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vocabulary coverage + length-bucketed batching closed forms. */
+class VocabBatchSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("vocabCoverage: exact OOV counts and ppm") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "aa aa"), (3L, "zz")).toDF("id", "text")
+    val vocab = Seq("aa", "bb").toDF("w")
+    val out = CorpusOps.vocabCoverage(docs, "text", "id", vocab, "w")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((4L, 2L, 500000L)))
+    assert(out(2L) == ((2L, 0L, 0L)))
+    assert(out(3L) == ((1L, 1L, 1000000L)))
+  }
+
+  test("lengthBucketedBatches: buckets, deterministic batch cuts, padding ceiling") {
+    // 5 docs in bucket 0 (tokens < 8), batchSize 2 -> batches of 2,2,1
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 7L), (5L, 3L), (6L, 20L))
+      .toDF("id", "toks")
+    val out = CorpusOps.lengthBucketedBatches(docs, "id", "toks",
+      batchSize = 2, bucketWidth = 8L)
+      .select("id", "bucket", "batch_idx", "batch_max_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // order in bucket 0 by (toks, id): (1,3) (5,3) (3,4) (2,5) (4,7)
+    assert(out(1L) == ((0L, 0L, 3L)) && out(5L) == ((0L, 0L, 3L)))
+    assert(out(3L) == ((0L, 1L, 5L)) && out(2L) == ((0L, 1L, 5L)))
+    assert(out(4L) == ((0L, 2L, 7L)))
+    assert(out(6L) == ((2L, 0L, 20L))) // 20 div 8 = bucket 2
+  }
+}
