@@ -1212,6 +1212,23 @@ object SparkEntry {
           col("batch_idx"), col("batch_max_tokens"))
     },
 
+    // ROLLUP drill-down: (source, lang) cells + per-source subtotals +
+    // grand total in ONE aggregation pass, grouping() flags marking the
+    // subtotal rows.
+    "q149_stats_rollup" -> { (s, dir) =>
+      graft.operators.CorpusOps.corpusStatsRollup(
+        Tables.documents(s, dir), "text", "source", "lang")
+    },
+
+    // Exact per-stratum quantiles via rank arithmetic (values FROM the
+    // data, no float interpolation): p25/p50/p90 of byte lengths.
+    "q150_length_quantiles" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("source"),
+        expr("octet_length(text)").as("len"))
+      graft.operators.CorpusOps.lengthQuantiles(docs, "len", "source",
+        Seq((1, 4), (1, 2), (9, 10)))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2892,6 +2909,28 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    "q149_stats_rollup" ->
+      """SELECT source, lang,
+        |  GROUPING(source) = 1 AS is_grand_total,
+        |  GROUPING(source) = 0 AND GROUPING(lang) = 1 AS is_source_total,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN strlen(text) = 0 THEN 0
+        |    ELSE (strlen(text) + 3) // 4 END) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+    // rank-arithmetic quantiles: the value at 1-based rank
+    // (n-1)*num//den + 1 per stratum — deterministic even under rank ties
+    // (the value at a rank is fixed by the sorted multiset)
+    "q150_length_quantiles" ->
+      """WITH d AS (SELECT source AS stratum,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS v FROM documents),
+        |r AS (SELECT stratum, v,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS n FROM d)
+        |SELECT stratum,
+        |  max(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN v END) AS q1_4,
+        |  max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN v END) AS q1_2,
+        |  max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN v END) AS q9_10
+        |FROM r GROUP BY stratum""".stripMargin,
     "q147_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS w

@@ -817,6 +817,54 @@ object CorpusOps {
       max(col(tokensCol)).over(perBatch))
   }
 
+  /** [[corpusStats]] with ROLLUP totals: every (source, lang) cell PLUS
+    * per-source subtotals PLUS the grand total in one aggregation pass —
+    * the dashboard drill-down shape without re-scanning per level (Spark
+    * expands grouping sets inside the same partial-aggregated plan).
+    * Null grouping columns mark subtotal rows, exposed as is_total flags
+    * so downstream code never confuses a subtotal with a real null value.
+    */
+  def corpusStatsRollup(df: DataFrame, textCol: String,
+                        sourceCol: String, langCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    df.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        TextFunctions.tokens_raw(col(textCol)).cast("long").as("tokens"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+        grouping(col("source")).cast("int").as("g_source"),
+        grouping(col("lang")).cast("int").as("g_lang"))
+      .select(col("source"), col("lang"),
+        (col("g_source") === 1).as("is_grand_total"),
+        (col("g_source") === 0 && col("g_lang") === 1).as("is_source_total"),
+        col("n_docs"), col("total_tokens"))
+  }
+
+  /** Exact length quantiles per stratum WITHOUT floating-point
+    * interpolation: the q-quantile is the value at 1-based sorted rank
+    * `floor((n-1)·num/den) + 1` (the lower/"disc" convention) — pure rank
+    * arithmetic, so the result is a value FROM the data and replays
+    * bit-exactly in any engine; interpolating quantiles (percentile_cont)
+    * average adjacent values in engine-specific float order and do not.
+    * One window sort per stratum — the CCNet-bucket shape; same
+    * sampled-cutoff escape hatch applies if one stratum dominates.
+    */
+  def lengthQuantiles(df: DataFrame, valueCol: String, strataCol: String,
+                      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one (num, den) quantile")
+    quantiles.foreach { case (num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den") }
+    val w = Window.partitionBy(col("stratum")).orderBy(col("v").asc)
+    val ranked = df.select(col(strataCol).as("stratum"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+    val picks = quantiles.map { case (num, den) =>
+      max(when(col("rn") === expr(s"(n - 1) * $num div $den") + 1, col("v")))
+        .as(s"q${num}_$den")
+    }
+    ranked.groupBy(col("stratum")).agg(picks.head, picks.tail: _*)
+  }
+
   /** Per-stratum corpus statistics — the ingest dashboard numbers. All
     * aggregates are integer-exact (micro-unit quality sums), so the whole
     * report hash-replays in SQL.

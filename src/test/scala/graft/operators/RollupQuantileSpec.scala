@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rollup stats + rank-arithmetic quantiles. */
+class RollupQuantileSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("corpusStatsRollup: cells, source subtotals, grand total in one pass") {
+    val docs = Seq(
+      ("web", "en", "four token text here"), ("web", "en", "x"),
+      ("web", "de", "zwei wort"), ("book", "en", "one")).toDF("source", "lang", "text")
+    val out = CorpusOps.corpusStatsRollup(docs, "text", "source", "lang")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getBoolean(2), r.getBoolean(3), r.getLong(4))).toSet
+    assert(out.contains((Some("web"), Some("en"), false, false, 2L)))
+    assert(out.contains((Some("web"), None, false, true, 3L)))   // source subtotal
+    assert(out.contains((None, None, true, false, 4L)))          // grand total
+    assert(out.size == 6) // 3 distinct cells + 2 source subtotals + 1 grand total
+  }
+
+  test("lengthQuantiles: exact rank picks, values from the data") {
+    // stratum a: values 1..10 -> p25 rank (9*1 div 4)+1 = 3 -> 3
+    //                          p50 rank (9 div 2)+1 = 5 -> 5
+    //                          p90 rank (81 div 10)+1 = 9 -> 9
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++ Seq(("b", 42L)))
+      .toDF("s", "v")
+    val out = CorpusOps.lengthQuantiles(df, "v", "s", Seq((1, 4), (1, 2), (9, 10)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((3L, 5L, 9L)))
+    assert(out("b") == ((42L, 42L, 42L))) // singleton stratum: every quantile is the value
+  }
+}
