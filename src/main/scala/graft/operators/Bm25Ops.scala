@@ -230,7 +230,9 @@ object Bm25Ops {
                         posDidCol: String, n: Int): DataFrame = {
     require(n >= 1, "need n >= 1")
     val pos = positives.select(col(posQidCol).as("__pq"), col(posDidCol).as("__pd"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col(rankCol).asc)
+    // doc-id tiebreak: a merged/unioned leg may carry duplicate ranks, and
+    // an n-boundary cut must not depend on execution order
+    val w = Window.partitionBy(col(qidCol)).orderBy(col(rankCol).asc, col(didCol).asc)
     ranked
       .join(pos, ranked(qidCol) === col("__pq") && ranked(didCol) === col("__pd"),
         "left_anti")

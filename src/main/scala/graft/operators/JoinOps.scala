@@ -82,7 +82,9 @@ object JoinOps {
     * (null-filled when unmatched). Right column names must not clash with
     * left ones (rename before calling); duplicate right timestamps within
     * a key match one arbitrary row — keep (keys, ts) unique on the right,
-    * as any as-of engine expects.
+    * as any as-of engine expects. Null timestamps never match: null-ts
+    * right rows are dropped, null-ts left rows come back with null payload
+    * (they sort before every real snapshot).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTsCol: String, rightTsCol: String): DataFrame = {
@@ -92,7 +94,9 @@ object JoinOps {
     require(rPayCols.intersect(lCols).isEmpty,
       s"right columns ${rPayCols.intersect(lCols).mkString(", ")} clash with left; rename first")
     val keyCols = keys.map(col)
-    val r = right.select(keyCols ++ Seq(
+    // a null right timestamp precedes nothing (DuckDB ASOF agrees) — and it
+    // would sort nulls-first into the carry, matching rows it must not
+    val r = right.filter(col(rightTsCol).isNotNull).select(keyCols ++ Seq(
       col(rightTsCol).as("__asof_ts"), lit(0).as("__asof_side"),
       struct(rPayCols.map(col): _*).as("__asof_rpay")): _*)
     val l = left.select(keyCols ++ Seq(
@@ -137,12 +141,17 @@ object JoinOps {
       .intersect(Set(rIdCol, rStartCol, rEndCol)).isEmpty,
       "left and right id/start/end column names must be distinct")
     val keyCols = keys.map(col)
+    // integer `div` (truncating): any monotone non-decreasing bucket map is
+    // correct here — an overlap point x has bucket(x) ∈ [bucket(s),
+    // bucket(e)] on BOTH sides, so overlapping intervals always co-bucket —
+    // and staying in integer arithmetic avoids the double round-trip that
+    // would otherwise kick in above 2^53
     def bucketed(df: DataFrame, idC: String, sC: String, eC: String) =
       df.select(keyCols ++ Seq(col(idC), col(sC), col(eC)): _*)
         .filter(col(sC) <= col(eC))
         .withColumn("__bucket", explode(sequence(
-          floor(col(sC) / bucketWidth).cast("long"),
-          floor(col(eC) / bucketWidth).cast("long"))))
+          expr(s"`$sC` div ${bucketWidth}L"),
+          expr(s"`$eC` div ${bucketWidth}L"))))
     val lb = bucketed(left, lIdCol, lStartCol, lEndCol)
     val rb = bucketed(right, rIdCol, rStartCol, rEndCol)
     lb.join(rb, keys :+ "__bucket")

@@ -22,13 +22,19 @@ object ProfileOps {
     * cardinalities by exploding to (column, stringified value) pairs and
     * running distinct + count — every stage map-combines, unlike Spark's
     * multi-countDistinct Expand rewrite, which funnels all the expanded
-    * distinct pairs through one final aggregate (measured ~4x slower on a
-    * 600 K-row 5-column profile). The string cast is injective per
+    * distinct pairs through one final aggregate (measured ~6x slower —
+    * 6.6 s vs ~1 s steady on a 600 K-row 5-column profile). The string
+    * cast is injective per
     * column, so cardinalities are exact; `exact = false` swaps stage 2 for
     * one approx_count_distinct pass when values are huge.
     */
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    // names are interpolated into stack()/aliases below — fail fast on
+    // anything that would mis-parse (dots resolve as nested fields, quotes
+    // break the literal) instead of silently profiling the wrong thing
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profile requires plain identifier column names, got: ${cols.mkString(", ")}")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),

@@ -122,10 +122,14 @@ object Sources {
     * Scale shape: one archive file = one input row = one task (the
     * binaryFile source), the Common Crawl processing layout — 100 TB is
     * ~10⁵ gzipped 1 GB archives, so parallelism is the file count and the
-    * parse is map-only with zero shuffle. Whole-file inflation bounds
-    * per-task memory at the unpacked archive size (~4 GB for CC wet.gz);
-    * size executors for it, or store archives uncompressed/zstd-seekable
-    * and let `maxPartitionBytes` split them.
+    * parse is map-only with zero shuffle. HARD LIMIT: whole-file inflation
+    * lands in one JVM byte array, so an archive may unpack to at most
+    * 2 GB (Int-indexed arrays) — split larger archives at write time
+    * (CC's own ~1 GB-compressed convention stays under it for WET text;
+    * raw response archives can exceed it), or store them
+    * uncompressed/zstd-seekable and let `maxPartitionBytes` split the
+    * scan. A member inflating past the limit fails its task with
+    * OutOfMemoryError rather than truncating silently.
     */
   def parseWarcRecords(files: DataFrame, pathCol: String, bytesCol: String): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(warcRecordSchema)

@@ -44,6 +44,20 @@ class AsofRangeJoinSpec extends AnyFunSuite with SparkTest {
     assert(a == b && a.size == 200)
   }
 
+  test("asofJoin: null timestamps never match on either side") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 02:00:00")),
+      (2L, 10L, null.asInstanceOf[java.sql.Timestamp])).toDF("event_id", "uid", "ts")
+    val right = Seq(
+      (10L, null.asInstanceOf[java.sql.Timestamp], "NULLSNAP"),
+      (10L, ts("2024-01-01 01:00:00"), "A")).toDF("uid", "rts", "tag")
+    val out = JoinOps.asofJoin(left, right, Seq("uid"), "ts", "rts")
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // a null-ts snapshot is dropped (never carried); a null-ts event matches nothing
+    assert(out == Map(1L -> "A", 2L -> null))
+  }
+
   test("rangeJoin: bucket-straddling intervals pair exactly once; closed bounds") {
     val left = Seq(
       (1L, 95L, 105L),  // straddles the 100 boundary (buckets 9 and 10)

@@ -22,6 +22,17 @@ class HardNegativesSpec extends AnyFunSuite with SparkTest {
     assert(out == Seq((1L, 10L, 1), (1L, 12L, 2), (2L, 21L, 1)))
   }
 
+  test("tied ranks break by doc id — the n-cut is deterministic") {
+    val ranked = Seq(
+      (1L, 30L, 1), (1L, 10L, 1), (1L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val positives = Seq((1L, 999L)).toDF("query_id", "doc_id")
+    val out = Bm25Ops.mineHardNegatives(ranked, "query_id", "doc_id", "rank",
+      positives, "query_id", "doc_id", n = 2)
+      .select("doc_id", "neg_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(out == Seq((10L, 1), (20L, 2))) // 30 loses the tie on doc id
+  }
+
   test("a query whose candidates are all positives yields no negatives") {
     val ranked = Seq((7L, 1L, 1), (7L, 2L, 2)).toDF("query_id", "doc_id", "rank")
     val positives = Seq((7L, 1L), (7L, 2L)).toDF("query_id", "doc_id")
