@@ -1229,6 +1229,15 @@ object SparkEntry {
         Seq((1, 4), (1, 2), (9, 10)))
     },
 
+    // Spark's NATIVE session_window, oracled from first principles: the
+    // lag/cumsum session derivation must reproduce every span Spark's
+    // dedicated operator emits (start = first event, end = last + gap,
+    // split at gap >= 30 min — the operator's exclusive-end contract).
+    "q151_session_spans" -> { (s, dir) =>
+      graft.operators.EventOps.sessionSpans(
+        Tables.events(s, dir), "user_id", "ts", "30 minutes")
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2909,6 +2918,24 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // first-principles replay of the native operator: lag boundary at
+    // diff >= gap (session_window's exclusive end), cumsum session ids,
+    // then span aggregation
+    "q151_session_spans" ->
+      """WITH b AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts,
+        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM b)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM r GROUP BY user_id, sess""".stripMargin,
     "q149_stats_rollup" ->
       """SELECT source, lang,
         |  GROUPING(source) = 1 AS is_grand_total,

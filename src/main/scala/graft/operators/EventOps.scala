@@ -36,6 +36,23 @@ object EventOps {
       .drop("__boundary")
   }
 
+  /** Session spans via Spark's NATIVE `session_window` — the same operator
+    * runs batch and streaming (add `withWatermark` upstream for the stream
+    * arm; EventOpsSpec runs it through a MemoryStream). Emits one row per
+    * (key, session): start = first event, end = last event + gap,
+    * n_events. Boundary semantics: session_window starts a NEW session
+    * when the gap is ≥ the duration (exclusive end) — one notch stricter
+    * than [[sessionize]]'s >, which is why both exist: `sessionize` labels
+    * EVENTS with a stable per-key index, this aggregates SPANS.
+    */
+  def sessionSpans(df: DataFrame, keyCol: String, tsCol: String,
+                   gap: String): DataFrame =
+    df.groupBy(col(keyCol),
+        session_window(col(tsCol), gap).as("__sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("__sw.start").as("session_start"),
+        col("__sw.end").as("session_end"), col("n_events"))
+
   /** Classic cohort retention: users cohort by their FIRST activity day;
     * each (cohort day, day offset) cell counts the distinct users active
     * that many days later. Two keyed aggregations and one join on user —

@@ -46,6 +46,46 @@ class EventOpsSpec extends AnyFunSuite with SparkTest {
     assert(viaSessionize == viaNative)
   }
 
+  test("sessionSpans: native session_window spans match the first-principles derivation") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:30:00")), (2L, ts("2024-01-01 05:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.sessionSpans(df, "user_id", "ts", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:40:00.0", 2L),
+      (1L, "2024-01-01 01:30:00.0", "2024-01-01 02:00:00.0", 1L),
+      (2L, "2024-01-01 05:00:00.0", "2024-01-01 05:30:00.0", 1L)))
+  }
+
+  test("sessionSpans is the SAME operator on a stream (watermark + update mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:30:00")), (2L, ts("2024-01-01 05:00:00")))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sdf = stream.toDS().toDF("user_id", "ts").withWatermark("ts", "1 hour")
+    // session aggregations stream in APPEND mode: a session is emitted only
+    // once the watermark passes its end — the far-future sentinel (user 99)
+    // seals every real session; its own stays pending and is excluded
+    val q = EventOps.sessionSpans(sdf, "user_id", "ts", "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    stream.addData((99L, ts("2024-02-01 00:00:00")))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filter(_._1 != 99L).toSet
+    q.stop()
+    val batch = EventOps.sessionSpans(data.toDF("user_id", "ts"), "user_id", "ts", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("cohortRetention counts distinct users per (cohort, offset)") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
