@@ -1238,6 +1238,26 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "ts", "30 minutes")
     },
 
+    // Generic connected components over a planted 10-chain graph: the
+    // min-label propagation must converge every chain to its smallest
+    // node — component assignments are closed-form.
+    "q152_connected_components" -> { (s, dir) =>
+      val edges = s.range(100).filter(col("id") % 10 =!= 9)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      graft.operators.GraphOps.connectedComponents(edges, "src", "dst",
+        maxIters = 12)
+    },
+
+    // Integer-exact PageRank over a planted 2-out-regular graph: 5
+    // iterations of pure integer arithmetic replay term-for-term (the
+    // oracle unrolls the same recurrence as 5 SQL stages).
+    "q153_pagerank" -> { (s, dir) =>
+      val ids = s.range(50)
+      val edges = ids.select(col("id").as("src"), ((col("id") * 7 + 3) % 50).as("dst"))
+        .union(ids.select(col("id").as("src"), ((col("id") * 3 + 1) % 50).as("dst")))
+      graft.operators.GraphOps.pageRankMicro(edges, "src", "dst", iters = 5)
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2918,6 +2938,37 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    "q152_connected_components" ->
+      """SELECT i AS node, (i // 10) * 10 AS component
+        |FROM (SELECT unnest(generate_series(0, 99)) AS i) t""".stripMargin,
+    // the same integer recurrence unrolled: rank' = 150000 +
+    // sum(rank div outdeg over in-edges) * 850000 div 1e6, 5 stages
+    "q153_pagerank" -> {
+      val base =
+        """WITH e AS (
+          |  SELECT i AS src, (i * 7 + 3) % 50 AS dst
+          |  FROM (SELECT unnest(generate_series(0, 49)) AS i) a
+          |  UNION ALL
+          |  SELECT i, (i * 3 + 1) % 50
+          |  FROM (SELECT unnest(generate_series(0, 49)) AS i) b),
+          |nodes AS (SELECT DISTINCT node FROM
+          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+          |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+      val its = (1 to 5).map { k =>
+        val prev = if (k == 1) "r0" else s"it${k - 1}"
+        s""",
+          |it$k AS (
+          |  SELECT n.node,
+          |    CAST(150000 + CAST(coalesce(s.c, 0) AS BIGINT) * 850000 // 1000000 AS BIGINT) AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst AS node, CAST(sum(r.r // od.outdeg) AS BIGINT) AS c
+          |    FROM e JOIN $prev r ON e.src = r.node
+          |    JOIN od ON od.src = e.src
+          |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString
+      base + its + "\nSELECT node, r AS rank_micro FROM it5"
+    },
     // first-principles replay of the native operator: lag boundary at
     // diff >= gap (session_window's exclusive end), cumsum session ids,
     // then span aggregation

@@ -71,4 +71,95 @@ object GraphOps {
 
   def topHubs(edges: DataFrame, k: Int = 5): DataFrame =
     degreeStats(edges).orderBy(col("in_degree").desc, col("id").asc).limit(k)
+
+  /** Generic weakly-connected components over an undirected edge list:
+    * (node, component) with component = the smallest node id reachable.
+    * Bounded min-label propagation — one keyed join + aggregate per round,
+    * early exit on convergence. Labels move one hop per round, so
+    * `maxIters` must cover the component DIAMETER.
+    *
+    * Each round's labels are `localCheckpoint`-ed EAGERLY (the
+    * [[blastRadius]] recipe): the labels table re-enters the next round's
+    * plan TWICE (both join sides), so without truncation the logical plan
+    * doubles per round and Catalyst analysis goes exponential — a
+    * 12-round chain graph plans in milliseconds checkpointed and
+    * effectively never un-checkpointed. [[DedupOps.dedupSweep]] gets away
+    * with caching because near-dup components are shallow (≤5 rounds);
+    * a GENERIC graph op cannot assume that.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, "need maxIters >= 1")
+    import graft.util.OpCaches.TrackedPersist
+    val sym = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
+      .persistTracked
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = sym
+        .join(labels.select(col("node").as("b"), col("component").as("nc")), "b")
+        .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("x").join(labels.as("y"), "node")
+        .filter(col("x.component") =!= col("y.component")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** PageRank in exact integer micro-units — every arithmetic step is
+    * integer (`div`, `+`, `·`), so the ranks are bit-identical across
+    * engines, partitionings, and reruns (float PageRank sums in
+    * nondeterministic order and is not). Per iteration:
+    * `rank'(v) = (10⁶ − d) + (Σ_{u→v} rank(u) div outdeg(u)) · d div 10⁶`
+    * with damping d in micro-units (0.85 → 850000) and rank₀ = 10⁶.
+    * Parallel edges count once each; dangling nodes leak their mass (the
+    * standard simplification — redistribute explicitly if it matters).
+    *
+    * Plan: `iters` rounds of one edge⨝rank join + one dst-keyed partial
+    * aggregate — the textbook distributed shape; ranks persist per round
+    * so lineage stays flat. Overflow headroom: a node's in-sum times the
+    * damping factor must fit a long — safe to in-sums of ~10¹³ micro
+    * (10⁷ full-rank in-neighbors); scale the unit down for denser hubs.
+    */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int = 5, dampingMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    require(dampingMicro >= 0 && dampingMicro <= 1000000L,
+      "dampingMicro is a fraction in micro-units [0, 1000000]")
+    import graft.util.OpCaches.TrackedPersist
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persistTracked
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persistTracked
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val teleport = 1000000L - dampingMicro
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contribs = e.join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("rank_micro div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"coalesce(in_sum, 0L) * $dampingMicro div 1000000"))
+            .as("rank_micro"))
+        .persistTracked
+    }
+    ranks
+  }
 }

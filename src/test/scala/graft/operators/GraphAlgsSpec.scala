@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generic connected components + integer PageRank. */
+class GraphAlgsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("connectedComponents: chains collapse to min-id labels; deep diameter converges") {
+    // one 12-node chain (diameter 11) + one triangle + one pair
+    val edges = ((0L to 10L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 201L))).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(edges, "src", "dst", maxIters = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.GraftEngine.releaseCaches()
+    (0L to 11L).foreach(i => assert(out(i) == 0L))
+    Seq(100L, 101L, 102L).foreach(i => assert(out(i) == 100L))
+    assert(out(200L) == 200L && out(201L) == 200L)
+    assert(out.size == 17)
+  }
+
+  test("pageRankMicro: hand-computed integer recurrence, 2 iterations") {
+    // A(0) -> B(1), B -> C(2), C -> C (self-loop keeps C non-dangling)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 2L)).toDF("src", "dst")
+    val r = GraphOps.pageRankMicro(edges, "src", "dst", iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    graft.GraftEngine.releaseCaches()
+    // it1: A=150000; B=150000+850000=1000000; C=150000+(1e6+1e6)*0.85=1850000
+    // it2: A=150000; B=150000+150000*850000 div 1e6=277500;
+    //      C=150000+(1000000+1850000)*850000 div 1e6=2572500
+    assert(r == Map(0L -> 150000L, 1L -> 277500L, 2L -> 2572500L))
+  }
+
+  test("pageRankMicro is partitioning-independent (exact integers)") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)).toDF("src", "dst")
+    val a = GraphOps.pageRankMicro(edges, "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    graft.GraftEngine.releaseCaches()
+    val b = GraphOps.pageRankMicro(edges.repartition(7), "src", "dst", iters = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(a == b)
+  }
+}
