@@ -1258,6 +1258,20 @@ object SparkEntry {
       graft.operators.GraphOps.pageRankMicro(edges, "src", "dst", iters = 5)
     },
 
+    // ColBERT-style MaxSim late-interaction retrieval: 4-token documents
+    // carved out of the embeddings table, 2 multi-token queries; dots
+    // micro-floor BEFORE the max/sum so the whole score is integer.
+    "q154_maxsim" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val docToks = emb.select(expr("vec_id div 4").as("doc_id"), col("embedding"))
+      val qToks = emb.filter(col("vec_id") < 8)
+        .select(expr("vec_id div 4").as("qid"), col("vec_id").as("qtok"),
+          col("embedding").as("qemb"))
+      graft.operators.KnnOps.maxSimTopK(docToks, qToks, k = 10,
+        docIdCol = "doc_id", docEmbCol = "embedding",
+        qidCol = "qid", qtokCol = "qtok", qembCol = "qemb")
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2938,6 +2952,24 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // identical micro-floored dots -> integer max/sum -> rank; the dot
+    // kernel parity is the q18/q46 precedent
+    "q154_maxsim" ->
+      """WITH dt AS (SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+        |qt AS (SELECT vec_id // 4 AS query_id, vec_id AS qtok, embedding AS qemb
+        |       FROM embeddings WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT qt.query_id, dt.doc_id, qt.qtok,
+        |    CAST(floor(1e6 * list_dot_product(CAST(dt.embedding AS DOUBLE[]),
+        |      CAST(qt.qemb AS DOUBLE[]))) AS BIGINT) AS dm
+        |  FROM dt CROSS JOIN qt),
+        |best AS (SELECT query_id, doc_id, qtok, max(dm) AS bm
+        |         FROM dots GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(bm) AS BIGINT) AS score_micro
+        |       FROM best GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |  ORDER BY score_micro DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, doc_id, score_micro, rank FROM r WHERE rank <= 10""".stripMargin,
     "q152_connected_components" ->
       """SELECT i AS node, (i // 10) * 10 AS component
         |FROM (SELECT unnest(generate_series(0, 99)) AS i) t""".stripMargin,

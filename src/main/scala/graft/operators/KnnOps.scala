@@ -434,6 +434,52 @@ object KnnOps {
       idCol, "__deq", qidCol, qembCol, nprobe)
   }
 
+  /** ColBERT-style late-interaction retrieval (MaxSim): documents and
+    * queries are BAGS of token embeddings, and
+    * `score(q, d) = Σ_{i∈q} max_{j∈d} ⟨qᵢ, dⱼ⟩` — each query token finds
+    * its best-matching document token, so exact phrase fragments score
+    * high even when the pooled single-vector similarity is mediocre. The
+    * third retrieval leg beside BM25 (lexical) and pooled-vector KNN
+    * (semantic); fuse legs with [[Bm25Ops.rrfFuse]].
+    *
+    * Determinism: per-pair dot products floor to micro units BEFORE the
+    * per-query-token max and the per-document sum, so the whole score is
+    * integer arithmetic — order-independent, engine-exact, tie-broken by
+    * doc id.
+    *
+    * Plan: the query token bag broadcasts (queries are the small side);
+    * every corpus token row scores map-side against it, the two
+    * aggregations collapse with partial combine (corpus shuffle rows ≤ one
+    * per (doc, query) pair), and the top-k cut is a bounded window. Scan
+    * cost is |corpus tokens| · |query tokens| dot products — the honest
+    * late-interaction price; prune candidates first (BM25 or pooled-KNN
+    * top-N) when the corpus is 100 TB.
+    */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
+                 docIdCol: String, docEmbCol: String,
+                 qidCol: String, qtokCol: String, qembCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = broadcast(queryTokens.select(
+      col(qidCol).as("query_id"),
+      col(qtokCol).as("__qtok"), // caller-stable token key, not a generated id
+      col(qembCol).as("__qemb")))
+    val dotMicro = floor(lit(1e6) *
+      GraftFunctions.dot_product(col(docEmbCol), col("__qemb"))).cast("long")
+    val perTok = docTokens
+      .crossJoin(q)
+      .select(col(docIdCol).as("doc_id"), col("query_id"), col("__qtok"),
+        dotMicro.as("dot_micro"))
+      .groupBy(col("query_id"), col("doc_id"), col("__qtok"))
+      .agg(max(col("dot_micro")).as("best_micro"))
+    val scored = perTok
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("best_micro")).as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private def bruteForceKnnOnPairs(pairs: DataFrame, k: Int,
                                    idCol: String, embCol: String): DataFrame = {
     val spark = pairs.sparkSession

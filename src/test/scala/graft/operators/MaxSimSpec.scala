@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ColBERT-style MaxSim late interaction. */
+class MaxSimSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("maxSim: each query token takes its best doc token; phrase doc beats pooled-similar doc") {
+    // doc 1 contains both query tokens exactly (a phrase match);
+    // doc 2's tokens are each half-similar to both query tokens
+    val docToks = Seq(
+      (1L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.6f, 0.6f)), (2L, Array(0.6f, 0.6f))
+    ).toDF("doc_id", "emb")
+    val qToks = Seq(
+      (7L, 0L, Array(1f, 0f)), (7L, 1L, Array(0f, 1f))
+    ).toDF("qid", "qtok", "qemb")
+    val out = KnnOps.maxSimTopK(docToks, qToks, k = 2,
+      "doc_id", "emb", "qid", "qtok", "qemb")
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc1: each qtok finds its exact twin -> 1e6 + 1e6 = 2_000_000
+    // doc2: best dot per qtok = 0.6 -> 600_000 * 2 = 1_200_000
+    assert(out.toSeq == Seq((1L, 2000000L, 1), (2L, 1199999L, 2) ) ||
+      out.toSeq == Seq((1L, 2000000L, 1), (2L, 1200000L, 2)))
+    assert(out(0)._1 == 1L && out(0)._2 > out(1)._2)
+  }
+
+  test("maxSim ranks are deterministic under repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docToks = emb.select(expr("vec_id div 4").as("doc_id"), col("embedding"))
+    val qToks = emb.filter(col("vec_id") < 8)
+      .select(expr("vec_id div 4").as("qid"), col("vec_id").as("qtok"),
+        col("embedding").as("qemb"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      KnnOps.maxSimTopK(d, qToks, 10, "doc_id", "embedding", "qid", "qtok", "qemb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(run(docToks) == run(docToks.repartition(13)))
+  }
+}
