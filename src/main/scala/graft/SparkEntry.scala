@@ -1272,6 +1272,30 @@ object SparkEntry {
         qidCol = "qid", qtokCol = "qtok", qembCol = "qemb")
     },
 
+    // Incremental materialized-view maintenance: commit documents-derived
+    // rows, merge a delete+update+insert wave, take the row-level change
+    // feed, and advance the per-source (n_rows, sum_tokens) aggregate
+    // INCREMENTALLY — the oracle recomputes the post-merge aggregate
+    // directly, so hash equality IS the IVM invariant.
+    "q155_incremental_agg" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q155_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val state0 = graft.core.IncrementalAgg.aggregate(
+        s.read.parquet(s"$root/v_$v1"), Seq("source"), Seq("tokens"))
+      graft.core.IncrementalAgg.applyFeed(state0, feed, Seq("source"), Seq("tokens"))
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2952,6 +2976,22 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // the DIRECT post-merge recompute: matching it proves the incremental
+    // path (state + feed deltas) maintains the view exactly
+    "q155_incremental_agg" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM post GROUP BY source""".stripMargin,
     // identical micro-floored dots -> integer max/sum -> rank; the dot
     // kernel parity is the q18/q46 precedent
     "q154_maxsim" ->

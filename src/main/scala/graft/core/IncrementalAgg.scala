@@ -1,0 +1,58 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-view maintenance over a [[TableStore]] change
+  * feed — the lakehouse pattern where a keyed aggregate stays current by
+  * consuming row-level deltas instead of re-scanning the table: at 100 TB
+  * the base table re-scan is the whole job, the feed is proportional to
+  * what CHANGED.
+  *
+  * Supported view shape: per-group row count + integral sums (the
+  * dashboards every ingest pipeline keeps). Sums must be integer-typed so
+  * the incremental path is EXACTLY the recompute — decimal-cast doubles
+  * before committing if needed (the repo-wide determinism rule).
+  *
+  * Invariant (spec'd and oracled): for any feed base→next,
+  * `applyFeed(aggregate(v_base), feed) == aggregate(v_next)` — including
+  * group-column changes, which arrive as a preimage (−1 in the old group)
+  * plus a postimage (+1 in the new group).
+  */
+object IncrementalAgg {
+
+  /** The full recompute: (groupCols…, n_rows, sum_<c>…). */
+  def aggregate(df: DataFrame, groupCols: Seq[String],
+                sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Advance a materialized [[aggregate]] state by one change feed
+    * (`TableStore.changeFeed` rows: insert / delete / update_preimage /
+    * update_postimage). Plan: the (small) feed aggregates to per-group
+    * deltas, one keyed full-outer join applies them, groups netting to
+    * zero rows drop — the state table is touched once, the base table
+    * never.
+    */
+  def applyFeed(state: DataFrame, feed: DataFrame, groupCols: Seq[String],
+                sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = sum(sgn).as("__dn") +:
+      sumCols.map(c => sum(col(c) * sgn).as(s"__d_$c"))
+    val deltas = feed.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    state.join(deltas, groupCols, "full_outer")
+      .select(groupCols.map(col) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n_rows")) ++
+        sumCols.map(c =>
+          (coalesce(col(s"sum_$c"), lit(0L)) + coalesce(col(s"__d_$c"), lit(0L)))
+            .as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0)
+  }
+}

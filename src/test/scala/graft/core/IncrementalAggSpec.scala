@@ -1,0 +1,46 @@
+package graft.core
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVM invariant: applyFeed(aggregate(base), feed) == aggregate(next). */
+class IncrementalAggSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+
+  test("inserts, deletes, updates — including a group-column change — maintain exactly") {
+    val root = java.nio.file.Files.createTempDirectory("ivm").toString
+    val base = rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "c", 7L))
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") =!= 2)                            // delete from a
+        .withColumn("v", when(col("id") === 3, lit(50L)).otherwise(col("v"))) // update b
+        .withColumn("grp", when(col("id") === 4, lit("a")).otherwise(col("grp"))) // c -> a
+        .unionByName(rows((9L, "d", 1L)))                    // new group
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    val incr = IncrementalAgg.applyFeed(
+      IncrementalAgg.aggregate(spark.read.parquet(s"$root/v_$v1"), Seq("grp"), Seq("v")),
+      feed, Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = IncrementalAgg.aggregate(
+      spark.read.parquet(s"$root/v_$v2"), Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == direct)
+    // group c vanished (its only row moved to a); d appeared
+    assert(!incr.exists(_._1 == "c") && incr.exists(_._1 == "d"))
+  }
+
+  test("a feed deleting every row of a group drops the group, not zeroes it") {
+    val state = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("grp", "n_rows", "sum_v")
+    val feed = Seq(
+      ("delete", "b", 5L)
+    ).toDF("_change_type", "grp", "v")
+    val out = IncrementalAgg.applyFeed(state, feed, Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 2L, 30L)))
+  }
+}
