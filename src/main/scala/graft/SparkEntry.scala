@@ -1296,6 +1296,36 @@ object SparkEntry {
       graft.core.IncrementalAgg.applyFeed(state0, feed, Seq("source"), Seq("tokens"))
     },
 
+    // Skew diagnostics: log2 histogram of per-orderkey row counts plus the
+    // named heavy hitters — the report that decides plain vs salted joins.
+    "q156_skew_report" -> { (s, dir) =>
+      graft.operators.JoinOps.skewReport(Tables.lineitem(s, dir), Seq("l_orderkey"))
+    },
+
+    "q157_top_keys" -> { (s, dir) =>
+      graft.operators.JoinOps.topKeys(Tables.lineitem(s, dir), Seq("l_orderkey"), k = 25)
+    },
+
+    // Image perceptual hashing (aHash) over REAL decoded PNG pixels: the
+    // 8x8 planted fixture makes each block a single pixel, so the hash is
+    // closed-form; emitted as unsigned 32-bit halves to stay sign-safe.
+    "q158_image_ahash" -> { (s, dir) =>
+      val imgs = graft.operators.MultimodalOps.syntheticTinyImages(s, 500)
+      graft.operators.MultimodalOps.imageHashes(imgs)
+        .select(col("media_id"),
+          col("ahash64").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash64"), 32).as("ahash_hi"))
+    },
+
+    // The multimodal dedup arm: decode -> aHash -> chunk-banded hamming
+    // pairs. 30 planted exact copies land at hamming 0; every other pair
+    // the banding admits is verified by popcount — the oracle replays the
+    // full hash + all-pairs-hamming semantics closed-form.
+    "q159_image_neardup" -> { (s, dir) =>
+      val imgs = graft.operators.MultimodalOps.syntheticTinyImages(s, 300, dups = 30)
+      graft.operators.MultimodalOps.imageNearDupPairs(imgs, "media_id", maxHamming = 3)
+    },
+
     // Per-language frozen LMs (CCNet fits one KenLM per language): fit on
     // the curated half per stratum, score every doc against its OWN
     // language's frozen model; docs of a language with no model score
@@ -2976,6 +3006,49 @@ object SparkEntry {
         |    ORDER BY (vec_id % 7) DESC, vec_id) = 1) AS kept
         |FROM e""".stripMargin,
     "q126_bm25_persisted" -> bm25PersistedOracle,
+    // 8x8 images: block = pixel, mean = sum div 64, bit j = p >= mean;
+    // unsigned 32-bit halves dodge the bit-63 sign question on both engines
+    "q158_image_ahash" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 499)) AS id),
+        |px AS (SELECT id, j, (id * 131 + j * 17) % (1 + id % 255) AS p
+        |       FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+        |mn AS (SELECT id, CAST(sum(p) AS BIGINT) // 64 AS mean FROM px GROUP BY id),
+        |bits AS (SELECT px.id, j, CASE WHEN p >= mean THEN 1 ELSE 0 END AS b
+        |         FROM px JOIN mn ON px.id = mn.id)
+        |SELECT CAST(id AS BIGINT) AS media_id,
+        |  CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM bits GROUP BY id""".stripMargin,
+    // full hash + all-pairs hamming replay (halves keep every value
+    // positive); the banded plan must produce exactly this set
+    "q159_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(0, 299)) AS id
+        |  UNION ALL
+        |  SELECT 1000000 + unnest(generate_series(0, 29))),
+        |px AS (SELECT id, j,
+        |    ((id % 1000000) * 131 + j * 17) % (1 + (id % 1000000) % 255) AS p
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+        |mn AS (SELECT id, CAST(sum(p) AS BIGINT) // 64 AS mean FROM px GROUP BY id),
+        |bits AS (SELECT px.id, j, CASE WHEN p >= mean THEN 1 ELSE 0 END AS b
+        |         FROM px JOIN mn ON px.id = mn.id),
+        |h AS (SELECT id,
+        |    CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY id)
+        |SELECT a.id AS ida, b.id AS idb,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    // floor(log2 n) = binary digit count - 1, integer-exact on both sides
+    "q156_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(length(bin(n)) - 1 AS INT) AS log2_bucket,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
+    "q157_top_keys" ->
+      """SELECT l_orderkey, count(*) AS n FROM lineitem
+        |GROUP BY l_orderkey ORDER BY n DESC, l_orderkey LIMIT 25""".stripMargin,
     // the DIRECT post-merge recompute: matching it proves the incremental
     // path (state + feed deltas) maintains the view exactly
     "q155_incremental_agg" ->

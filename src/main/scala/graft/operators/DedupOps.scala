@@ -441,9 +441,26 @@ object DedupOps {
     * again shuffle-on-key, no cross join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh64"))
-    val chunked = hashed.select(
+                   maxHamming: Int = 3): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh64")),
+      "doc_id", "sh64", maxHamming)
+
+  /** Near-dup pairs of ANY 64-bit signature column within `maxHamming`
+    * bits — the banding+verify core under [[simhashPairs]], exposed for
+    * other fingerprints (e.g. image perceptual hashes,
+    * [[MultimodalOps.imageNearDupPairs]]). Pigeonhole: the signature
+    * splits into four 16-bit chunks, and two signatures within hamming 3
+    * must agree on at least one chunk — so the chunk-keyed self-join sees
+    * every true pair (exact for maxHamming ≤ 3; recall drops above — add
+    * chunks for larger radii), and the popcount verify makes the output
+    * exact. Shuffle is keyed on (chunk index, chunk value); signatures
+    * ride along (16 bytes/row).
+    */
+  def hammingNearDupPairs(hashed: DataFrame, idCol: String, sigCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val base = hashed.select(col(idCol).as("doc_id"), col(sigCol).as("sh64"))
+    val chunked = base.select(
       col("doc_id"), col("sh64"),
       posexplode(
         array((0 until 4).map(i =>

@@ -64,6 +64,34 @@ object JoinOps {
     salted.unionByName(leftCold.join(right, keys))
   }
 
+  /** Key-skew diagnostics — the report you run BEFORE choosing between a
+    * plain join, [[skewAwareJoin]], or [[saltedJoin]]: per-key row counts
+    * summarized as a log₂ histogram (bucket = floor(log₂ count), i.e.
+    * count `div`-halved until 0) plus how much of the table the top bucket
+    * holds. One keyed count + one tiny aggregation; the histogram is
+    * integer-exact. Pair with [[topKeys]] to name the offenders.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      // floor(log2 n) as binary-digit count — integer-exact, no float log
+      // whose last-ulp rounding could flip the floor at powers of two
+      .withColumn("log2_bucket", (length(bin(col("n"))) - 1).cast("int"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"))
+  }
+
+  /** The heaviest `k` keys by row count (ties to the smaller key values) —
+    * the explicit hot-key list [[skewAwareJoin]]'s threshold split works
+    * from. TakeOrderedAndProject, never a global sort.
+    */
+  def topKeys(df: DataFrame, keys: Seq[String], k: Int = 20): DataFrame = {
+    require(keys.nonEmpty && k >= 1, "need keys and k >= 1")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Backward as-of join — the operator Spark lacks natively: each left row
     * gains the LATEST right row with the same keys and right ts ≤ left ts
     * (inclusive), or nulls when none precedes it (LEFT semantics). The

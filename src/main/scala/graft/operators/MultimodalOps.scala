@@ -400,6 +400,107 @@ object MultimodalOps {
       .withColumn("frame_ts_ms", (col("frame_idx") / fps * 1000.0).cast("long"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of decoded gray pixels:
+    * block-average to an 8×8 grid (integer bounds `r·h div 8`, integer
+    * block means), then bit r·8+c = block ≥ the 64-block mean. All-integer
+    * arithmetic — the hash is deterministic and closed-form replayable for
+    * planted pixels. Near-identical images (recompression, small edits)
+    * land within a few bits; pair them with [[imageNearDupPairs]].
+    */
+  private[operators] def aHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    if (px == null || w <= 0 || h <= 0 || px.length < w * h) return 0L
+    val blocks = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8
+      val y1 = math.max((r + 1) * h / 8, y0 + 1)
+      var c = 0
+      while (c < 8) {
+        val x0 = c * w / 8
+        val x1 = math.max((c + 1) * w / 8, x0 + 1)
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) { sum += px(y * w + x) & 0xff; cnt += 1; x += 1 }
+          y += 1
+        }
+        blocks(r * 8 + c) = if (cnt == 0) 0L else sum / cnt
+        c += 1
+      }
+      r += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += blocks(i); i += 1 }
+    val mean = total / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (blocks(i) >= mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Decode image rows and add their 64-bit aHash (`ahash64`; null for
+    * non-image modalities and undecodable payloads). Same mapPartitions
+    * batch shape as [[decodeAndFeaturize]] — map-only, corpus never
+    * shuffled.
+    */
+  def imageHashes(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("ahash64", LongType))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val modalityIdx = df.schema.fieldIndex("modality")
+    val dataIdx = df.schema.fieldIndex("data")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val hash: Any =
+            if (r.isNullAt(dataIdx) || r.getString(modalityIdx) != "image") null
+            else decodeImage(r.getAs[Array[Byte]](dataIdx)) match {
+              case Some((meta, px)) => aHash64(px, meta.width, meta.height)
+              case None             => null
+            }
+          Row.fromSeq(r.toSeq :+ hash)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Image near-duplicates by perceptual hash: decode → aHash →
+    * [[DedupOps.hammingNearDupPairs]] (chunk banding + popcount verify).
+    * The multimodal arm of the dedup family — exact copies land at
+    * hamming 0, recompressed/lightly-edited copies within a few bits.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String,
+                        maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingNearDupPairs(
+      imageHashes(df).filter(col("ahash64").isNotNull),
+      idCol, "ahash64", maxHamming)
+
+  /** Tiny 8×8 planted-image table (+ `dups` exact copies at id+10⁶, pixels
+    * keyed on id mod 10⁶): with w = h = 8 each aHash block is a single
+    * pixel, so the hash replays closed-form — the q158/q159 fixture.
+    */
+  def syntheticTinyImages(spark: org.apache.spark.sql.SparkSession,
+                          n: Int, dups: Int = 0): DataFrame = {
+    import spark.implicits._
+    val ids = (0 until n).map(_.toLong) ++ (0 until dups).map(1000000L + _)
+    ids.map { id =>
+      val base = (id % 1000000L).toInt
+      val m = 1 + base % 255
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var j = 0
+      while (j < 64) { px(j) = ((base * 131 + j * 17) % m).toByte; j += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, "image", bos.toByteArray)
+    }.toDF("media_id", "modality", "data")
+  }
+
   /** Synthetic deterministic media table for tests/benches: image rows carry
     * REAL PNG payloads (8-bit gray, pixel(j) = (i*131 + j*17) % (1 + i%255),
     * dimensions 64 + ((i*131)%256)%192 × 64 + ((i*131+17)%256)%192), audio

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perceptual image hashing + the generic hamming pair core. */
+class ImageHashSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("aHash64: half-dark half-bright 8x8 sets exactly the bright bits") {
+    val px = Array.tabulate[Byte](64)(j => if (j < 32) 10 else 100)
+    val h = MultimodalOps.aHash64(px, 8, 8)
+    // mean = (32*10 + 32*100)/64 = 55 -> bits 32..63 set
+    assert(h == (0xffffffffL << 32))
+  }
+
+  test("aHash64 block-averages non-8x8 images; recompression-identical pixels collide") {
+    // 16x16: each 2x2 block averages; constant blocks -> same hash as 8x8
+    val small = Array.tabulate[Byte](64)(j => if ((j / 8 + j % 8) % 2 == 0) 20 else 90)
+    val big = Array.tabulate[Byte](256) { j =>
+      val r = j / 16 / 2; val c = j % 16 / 2
+      if ((r + c) % 2 == 0) 20 else 90
+    }
+    assert(MultimodalOps.aHash64(small, 8, 8) == MultimodalOps.aHash64(big, 16, 16))
+  }
+
+  test("imageNearDupPairs: planted copies pair at hamming 0 through decode") {
+    val imgs = MultimodalOps.syntheticTinyImages(spark, 40, dups = 5)
+    val pairs = MultimodalOps.imageNearDupPairs(imgs, "media_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i =>
+      assert(pairs.contains((i.toLong, 1000000L + i)),
+        s"copy pair $i missing from $pairs"))
+  }
+
+  test("skewReport buckets by floor(log2) exactly; topKeys names the hitters") {
+    val df = (Seq.fill(8)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val rep = JoinOps.skewReport(df, Seq("k"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep(3) == ((1L, 8L))) // 8 rows -> bucket 3
+    assert(rep(1) == ((1L, 3L))) // 3 rows -> bucket 1
+    assert(rep(0) == ((1L, 1L)))
+    val top = JoinOps.topKeys(df, Seq("k"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("hot", 8L), ("warm", 3L)))
+  }
+}
