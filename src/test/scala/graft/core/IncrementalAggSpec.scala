@@ -34,6 +34,31 @@ class IncrementalAggSpec extends AnyFunSuite with SparkTest {
     assert(!incr.exists(_._1 == "c") && incr.exists(_._1 == "d"))
   }
 
+  test("feeds compose across waves: N incremental steps equal the direct aggregate") {
+    val root = java.nio.file.Files.createTempDirectory("ivm_waves").toString
+    val v1 = TableStore.commit(rows((1L, "a", 1L), (2L, "b", 2L)), root)
+    var state = IncrementalAgg.aggregate(
+      spark.read.parquet(s"$root/v_$v1"), Seq("grp"), Seq("v"))
+    var base = v1
+    // wave 1: insert; wave 2: update; wave 3: delete + insert
+    val waves: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      cur => cur.unionByName(rows((3L, "a", 10L))),
+      cur => cur.withColumn("v", when(col("id") === 2, lit(20L)).otherwise(col("v"))),
+      cur => cur.filter(col("id") =!= 1).unionByName(rows((4L, "c", 7L))))
+    waves.foreach { w =>
+      val next = TableStore.merge(spark, root)(w)
+      val feed = TableStore.changeFeed(spark, root, Seq("id"), base, next)
+      state = IncrementalAgg.applyFeed(state, feed, Seq("grp"), Seq("v"))
+      base = next
+    }
+    val incr = state.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = IncrementalAgg.aggregate(
+      spark.read.parquet(s"$root/v_$base"), Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == direct)
+    assert(incr == Set(("a", 1L, 10L), ("b", 1L, 20L), ("c", 1L, 7L)))
+  }
+
   test("a feed deleting every row of a group drops the group, not zeroes it") {
     val state = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("grp", "n_rows", "sum_v")
     val feed = Seq(
