@@ -2244,6 +2244,36 @@ object SparkEntry {
         q.stop()
         s.catalog.dropTempView("q103_sink")
       }
+    },
+
+    // The hamming-pair scale guards, oracled end-to-end: a mega-duplicate
+    // signature class (80 docs share one sig — collapsed before the join,
+    // its 3160 hamming-0 pairs emitted closed-form), hot banding chunks
+    // (the all-zero high chunk ~320 distinct sigs share, and the mid chunk
+    // the quintet classes share, both exceed maxChunkFreq=100 and drop from
+    // candidate generation), a planted pair at +10^6 that agrees ONLY on a
+    // hot chunk (the cap must miss it), and per-quintet near pairs that
+    // survive via a cool chunk. The oracle re-implements the entire capped
+    // algorithm in SQL: same chunking, same hot set over distinct sigs,
+    // same pigeonhole join, same popcount verify.
+    "q160_hamming_capped" -> { (s, dir) =>
+      import s.implicits._
+      val k = floor(col("doc_id") / 5).cast("long")
+      val sigs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit(81985529216486895L))
+            .when(col("doc_id") % 5 === 1, col("doc_id") * lit(4294967296L) + lit(48879L))
+            .when(col("doc_id") % 5 === 2, k * lit(4294967296L) + lit(1048576L))
+            .when(col("doc_id") % 5 === 3, k * lit(4294967296L) + lit(1048577L))
+            .otherwise(col("doc_id") * lit(2097184L)).as("sh64"))
+      val planted = Seq(
+        (1000001L, 1074791424L),    // 2^30 + 2^20 + 2^10
+        (1000002L, 35185449016384L) // ^2^10 ^2^21 ^2^45: only the hot zero chunk agrees
+      ).toDF("doc_id", "sh64")
+      graft.operators.DedupOps.hammingNearDupPairs(
+        sigs.unionByName(planted), "doc_id", "sh64",
+        maxHamming = 3, maxChunkFreq = 100L)
     }
   )
 
@@ -5540,7 +5570,45 @@ object SparkEntry {
         |    END AS drop_reason
         |  FROM tk)
         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, lang, n_words, quality_micro
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // independent SQL re-implementation of the capped hamming-pair
+    // algorithm: collapse (within pairs from equal sigs), 4x16-bit chunks
+    // over DISTINCT sigs, hot set at freq > 100, pigeonhole candidate join
+    // over cool chunks only, popcount verify, member expansion
+    "q160_hamming_capped" ->
+      """WITH sigs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CASE WHEN doc_id % 5 = 0 THEN 81985529216486895
+        |      WHEN doc_id % 5 = 1 THEN doc_id * 4294967296 + 48879
+        |      WHEN doc_id % 5 = 2 THEN (doc_id // 5) * 4294967296 + 1048576
+        |      WHEN doc_id % 5 = 3 THEN (doc_id // 5) * 4294967296 + 1048577
+        |      ELSE doc_id * 2097184 END AS BIGINT) AS s
+        |  FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(1000001 AS BIGINT), CAST(1074791424 AS BIGINT)),
+        |    (CAST(1000002 AS BIGINT), CAST(35185449016384 AS BIGINT))) v(doc_id, s)),
+        |within_pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, 0 AS hamming
+        |  FROM sigs a JOIN sigs b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |ds AS (SELECT DISTINCT s FROM sigs),
+        |ch AS (
+        |  SELECT s, i, (s >> (i * 16)) & 65535 AS ckey
+        |  FROM ds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ii),
+        |hot AS (SELECT i, ckey FROM ch GROUP BY i, ckey HAVING count(*) > 100),
+        |cool AS (SELECT ch.* FROM ch ANTI JOIN hot ON ch.i = hot.i AND ch.ckey = hot.ckey),
+        |sp AS (
+        |  SELECT DISTINCT a.s AS sa, b.s AS sb
+        |  FROM cool a JOIN cool b ON a.i = b.i AND a.ckey = b.ckey AND a.s < b.s),
+        |sv AS (
+        |  SELECT sa, sb, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM sp
+        |  WHERE bit_count(xor(sa, sb)) <= 3),
+        |cross_pairs AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS ida,
+        |    greatest(x.doc_id, y.doc_id) AS idb, sv.hamming
+        |  FROM sv JOIN sigs x ON x.s = sv.sa JOIN sigs y ON y.s = sv.sb)
+        |SELECT ida, idb, hamming FROM within_pairs
+        |UNION ALL SELECT ida, idb, hamming FROM cross_pairs""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

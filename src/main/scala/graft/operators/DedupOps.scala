@@ -441,42 +441,116 @@ object DedupOps {
     * again shuffle-on-key, no cross join.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3, maxChunkFreq: Long = 100000L): DataFrame =
     hammingNearDupPairs(
       df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh64")),
-      "doc_id", "sh64", maxHamming)
+      "doc_id", "sh64", maxHamming, maxChunkFreq)
 
   /** Near-dup pairs of ANY 64-bit signature column within `maxHamming`
     * bits — the banding+verify core under [[simhashPairs]], exposed for
     * other fingerprints (e.g. image perceptual hashes,
-    * [[MultimodalOps.imageNearDupPairs]]). Pigeonhole: the signature
-    * splits into four 16-bit chunks, and two signatures within hamming 3
-    * must agree on at least one chunk — so the chunk-keyed self-join sees
-    * every true pair (exact for maxHamming ≤ 3; recall drops above — add
-    * chunks for larger radii), and the popcount verify makes the output
-    * exact. Shuffle is keyed on (chunk index, chunk value); signatures
-    * ride along (16 bytes/row).
+    * [[MultimodalOps.imageNearDupPairs]]). Pigeonhole: the signature is
+    * split into `maxHamming + 1` near-equal contiguous bit ranges, so two
+    * signatures within the radius must agree EXACTLY on at least one range
+    * — the chunk-keyed self-join sees every true pair at any radius, and
+    * the popcount verify makes the output exact.
+    *
+    * Two scale guards make this the same bounded shape as the rest of the
+    * dedup family:
+    *
+    *  1. **Identical signatures collapse first.** A web-scale corpus
+    *     carries mega-duplicate classes (millions of byte-identical spacer
+    *     GIFs / boilerplate pages share one signature), and every such
+    *     class previously landed whole inside one (chunk, value) bucket —
+    *     an N²-candidate hot key. Collapsing to one row per DISTINCT
+    *     signature before the banded self-join removes that class from the
+    *     join entirely: its hamming-0 pairs are generated closed-form from
+    *     the sorted member list (a per-group lateral i&lt;j expansion, no
+    *     shuffle join, no candidate `distinct()`), and the join cost now
+    *     depends on unique-signature density, not on duplication.
+    *  2. **`maxChunkFreq` hot-bucket cap, ON by default** (the
+    *     [[jaccardPairs]] stop-shingle recipe): a chunk value shared by
+    *     more than `maxChunkFreq` DISTINCT signatures (e.g. an all-zero
+    *     high word across a corpus of dark images) carries no blocking
+    *     signal and would still create a quadratic bucket; those
+    *     (chunk, value) buckets are dropped from candidate generation via
+    *     a broadcast hot-set anti-join. The result is exact over the
+    *     surviving banding — deterministic and oracle-replayable — and a
+    *     pair is missed only if EVERY chunk it agrees on is hot.
+    *     Identical-signature pairs are never affected (they bypass the
+    *     join). Pass 0 to opt out (exact full-banding result).
+    *
+    * Shuffle is keyed on (chunk index, chunk value) over distinct
+    * signatures; member lists re-join keyed on the signature.
     */
   def hammingNearDupPairs(hashed: DataFrame, idCol: String, sigCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxChunkFreq: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val base = hashed.select(col(idCol).as("doc_id"), col(sigCol).as("sh64"))
-    val chunked = base.select(
-      col("doc_id"), col("sh64"),
-      posexplode(
-        array((0 until 4).map(i =>
-          shiftright(col("sh64"), i * 16).bitwiseAND(lit(0xffffL))): _*)
-      ).as(Seq("chunk", "ckey"))
-    )
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.sh64").as("ha"), col("b.sh64").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("ida"), col("idb"), col("hamming"))
+      .filter(col("sh64").isNotNull)
+    // One row per distinct signature, members sorted so in-group pairs are
+    // emitted already id-ordered. Feeds the in-group expansion, the chunk
+    // banding, and both member re-joins.
+    val groups = base.groupBy("sh64")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .persistTracked
+    // Hamming-0 pairs inside each duplicate class, closed form: each member
+    // pairs with every later member via a lateral slice — streamed through
+    // two generates, never a join.
+    val within = groups
+      .filter(size(col("members")) > 1)
+      .select(col("members"), posexplode(col("members")).as(Seq("i", "ida")))
+      .select(col("ida"),
+        explode(slice(col("members"), col("i") + lit(2),
+          size(col("members")))).as("idb"))
+      .select(col("ida"), col("idb"), lit(0).cast("int").as("hamming"))
+    if (maxHamming == 0) within
+    else {
+      // Pigeonhole banding over distinct signatures: nChunks near-equal bit
+      // ranges (64 = sum of widths), logical shifts so the sign bit chunks
+      // like any other.
+      val nChunks = maxHamming + 1
+      val widths = Array.tabulate(nChunks)(i =>
+        64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+      val offsets = widths.scanLeft(0)(_ + _)
+      val chunkCols = (0 until nChunks).map { i =>
+        shiftrightunsigned(col("sh64"), offsets(i))
+          .bitwiseAND(lit((1L << widths(i)) - 1))
+      }
+      val chunked = groups.select(col("sh64"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+      val capped =
+        if (maxChunkFreq > 0) {
+          // The hot set is the Zipf tail of chunk values over DISTINCT
+          // signatures — tiny, so it broadcasts; the anti-join drops hot
+          // buckets map-side.
+          val hot = chunked.groupBy("chunk", "ckey")
+            .agg(count(lit(1)).as("cf"))
+            .filter(col("cf") > maxChunkFreq)
+            .select("chunk", "ckey")
+          chunked.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
+        } else chunked
+      val sigPairs = capped.as("a")
+        .join(capped.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.sh64") < col("b.sh64"))
+        .select(col("a.sh64").as("sa"), col("b.sh64").as("sb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= maxHamming)
+      // Expand surviving signature pairs to doc pairs (members × members),
+      // keyed joins on the signature; id order restored per pair.
+      val cross = sigPairs
+        .join(groups.select(col("sh64").as("sa"), col("members").as("ma")), "sa")
+        .join(groups.select(col("sh64").as("sb"), col("members").as("mb")), "sb")
+        .select(explode(col("ma")).as("da"), col("mb"), col("hamming"))
+        .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
+        .select(least(col("da"), col("db")).as("ida"),
+          greatest(col("da"), col("db")).as("idb"), col("hamming"))
+      within.unionByName(cross)
+    }
   }
 
   /** Embedding near-dup pairs above a cosine-similarity threshold, blocked by

@@ -473,10 +473,11 @@ object MultimodalOps {
     * hamming 0, recompressed/lightly-edited copies within a few bits.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String,
-                        maxHamming: Int = 3): DataFrame =
+                        maxHamming: Int = 3,
+                        maxChunkFreq: Long = 100000L): DataFrame =
     DedupOps.hammingNearDupPairs(
       imageHashes(df).filter(col("ahash64").isNotNull),
-      idCol, "ahash64", maxHamming)
+      idCol, "ahash64", maxHamming, maxChunkFreq)
 
   /** Tiny 8×8 planted-image table (+ `dups` exact copies at id+10⁶, pixels
     * keyed on id mod 10⁶): with w = h = 8 each aHash block is a single

@@ -63,6 +63,73 @@ class DedupOpsSpec extends AnyFunSuite with SparkTest {
     assert(!out.contains((1L, 4L)))
   }
 
+  test("hamming pairs: mega-duplicate class collapses; output matches brute force") {
+    import spark.implicits._
+    // 40 identical signatures (the spacer-GIF class) + two planted near
+    // pairs + a loner. Brute force is the ground truth; the collapsed plan
+    // must reproduce it exactly (within pairs closed-form, cross via join).
+    val rows: Seq[(Long, Long)] =
+      (0L until 40L).map(i => (i, 0x0123456789ABCDEFL)) ++
+        Seq((100L, 0xF0L), (101L, 0xF1L),                     // hamming 1
+          (102L, 0x7000000000000000L), (103L, 0x7000000000000003L), // hamming 2
+          (104L, 0x5555555555555555L))                        // loner
+    val out = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(out == brute)
+    assert(out.count(_._3 == 0) == 40 * 39 / 2) // the collapsed class
+  }
+
+  test("hamming pairs: maxHamming above 3 stays exact via radius-derived chunks") {
+    import spark.implicits._
+    // hamming 5 pair — lost by fixed 4×16-bit banding (no chunk agreement
+    // possible when flips hit 4 distinct chunks... here they hit 3 of 6+)
+    val rows = Seq((1L, 0x00000000000000FFL),
+      (2L, 0x00000000000000FFL ^ ((1L << 5) | (1L << 17) | (1L << 29) | (1L << 41) | (1L << 53))))
+    val out = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 5)))
+    assertThrows[IllegalArgumentException] {
+      DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"), "doc_id", "sh64",
+        maxHamming = 64)
+    }
+  }
+
+  test("hamming pairs: hot-chunk cap drops hot-only candidates, keeps the rest") {
+    import spark.implicits._
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    // 20 distinct sigs share low-chunk 0xBEEF (the boilerplate band); high
+    // bits are spread so none of them truly pair.
+    val hotClass = (0L until 20L).map(i => (i, (mix(i) & 0xFFFFFFFFFFFF0000L) | 0xBEEFL))
+    val a = (mix(100L) & 0xFFFFFFFFFFFF0000L) | 0xBEEFL
+    val b = a ^ (1L << 16) ^ (1L << 32) ^ (1L << 48) // agrees with a ONLY on hot chunk 0
+    val c = mix(200L)
+    val d = c ^ 1L                                   // agrees on chunks 1-3, none hot
+    val e = (mix(300L) & 0xFFFFFFFFFFFF0000L) | 0xBEEFL
+    val rows = hotClass ++ Seq((50L, a), (51L, b), (60L, c), (61L, d), (70L, e), (71L, e))
+    val capped = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((60L, 61L)))   // survives via non-hot chunks
+    assert(capped.contains((70L, 71L)))   // identical sigs bypass the join
+    assert(!capped.contains((50L, 51L)))  // hot-only candidate dropped
+    // opt-out restores the full-banding exact result
+    val full = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == capped + ((50L, 51L)))
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
