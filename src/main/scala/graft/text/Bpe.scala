@@ -54,8 +54,128 @@ object Bpe {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    trainMerges(wordCounts, numMerges).toDF("rank", "left", "right")
+  }
 
-    // driver-side merge loop over the word table
+  /** Driver-side merge loop, incremental formulation: pair counts are
+    * built once, then each merge touches ONLY the words that contain the
+    * merged pair (tracked in an inverted pair→words index) and re-derives
+    * just their adjacencies — O(Σ|affected word|) per merge instead of a
+    * full table recount, which at the published operating point
+    * (32k–64k merges over a ~10⁵-word table) is the difference between
+    * minutes and hours. Selection runs off a lazy-deletion max-heap: every
+    * count change pushes a fresh (pair, count) entry, and stale entries
+    * are discarded on pop when their count no longer matches — the
+    * newest value for any pair is always present, so the pop order equals
+    * the naive argmax scan's (ties break to the lexicographically smaller
+    * pair, same as before; [[trainMergesNaive]] keeps the reference loop
+    * and the spec pins merge-for-merge identity).
+    */
+  private[text] def trainMerges(wordCounts: Array[(String, Long)],
+                                numMerges: Int): Seq[(Int, String, String)] = {
+    val words: Array[Array[String]] =
+      wordCounts.map(_._1.toCharArray.map(_.toString))
+    val freqs: Array[Long] = wordCounts.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + freqs(i))
+        occurs.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    // max count first, then lexicographically smaller pair — the exact
+    // ordering of the naive minBy((-c, l, r))
+    val heap = new java.util.PriorityQueue[(String, String, Long)](
+      math.max(pairCounts.size, 16),
+      new java.util.Comparator[(String, String, Long)] {
+        def compare(a: (String, String, Long), b: (String, String, Long)): Int = {
+          val c = java.lang.Long.compare(b._3, a._3)
+          if (c != 0) c
+          else {
+            val l = a._1.compareTo(b._1)
+            if (l != 0) l else a._2.compareTo(b._2)
+          }
+        }
+      })
+    pairCounts.foreach { case ((l, r), c) => heap.add((l, r, c)) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCounts.getOrElse((e._1, e._2), 0L) == e._3) best = (e._1, e._2)
+      }
+      if (best == null) exhausted = true
+      else {
+        merges += ((rank, best._1, best._2))
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        val affected = occurs.getOrElse(best,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        var k = 0
+        while (k < affected.length) {
+          val wi = affected(k)
+          val oldW = words(wi)
+          val f = freqs(wi)
+          val oldSet = scala.collection.mutable.HashSet.empty[(String, String)]
+          var j = 0
+          while (j + 1 < oldW.length) {
+            val p = (oldW(j), oldW(j + 1))
+            val nc = pairCounts(p) - f
+            if (nc == 0L) pairCounts.remove(p) else pairCounts.update(p, nc)
+            oldSet += p
+            touched += p
+            j += 1
+          }
+          val newW = mergeAll(oldW, best._1, best._2)
+          words(wi) = newW
+          val newSet = scala.collection.mutable.HashSet.empty[(String, String)]
+          j = 0
+          while (j + 1 < newW.length) {
+            val p = (newW(j), newW(j + 1))
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + f)
+            newSet += p
+            touched += p
+            j += 1
+          }
+          // exact index maintenance: this word leaves the postings of pairs
+          // it no longer contains, joins those it now does
+          oldSet.foreach { p =>
+            if (!newSet.contains(p))
+              occurs.get(p).foreach { s => s -= wi; if (s.isEmpty) occurs.remove(p) }
+          }
+          newSet.foreach { p =>
+            occurs.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += wi
+          }
+          k += 1
+        }
+        occurs.remove(best)
+        touched.foreach { p =>
+          val c = pairCounts.getOrElse(p, 0L)
+          if (c > 0L) heap.add((p._1, p._2, c))
+        }
+        rank += 1
+      }
+    }
+    merges.toList
+  }
+
+  /** The textbook full-recount loop — O(merges × table) — kept as the
+    * reference implementation the incremental trainer is spec-pinned
+    * against, merge for merge.
+    */
+  private[text] def trainMergesNaive(wordCounts: Array[(String, Long)],
+                                     numMerges: Int): Seq[(Int, String, String)] = {
     val words: Array[Array[String]] =
       wordCounts.map(_._1.toCharArray.map(_.toString))
     val freqs: Array[Long] = wordCounts.map(_._2)
@@ -87,9 +207,14 @@ object Bpe {
         rank += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right")
+    merges.toList
   }
+
+  /** The Java-regex \s class — the whitespace definition of the training
+    * pass's `split(lower(text), "\\s+")`.
+    */
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Merge all non-overlapping (l, r) occurrences, leftmost first. */
   private def mergeAll(w: Array[String], l: String, r: String): Array[String] = {
@@ -152,11 +277,18 @@ object Bpe {
         var i = 0
         val n = text.length
         while (i < n) {
-          while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+          while (i < n && isAsciiWs(text.charAt(i))) i += 1
           val start = i
-          while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+          while (i < n && !isAsciiWs(text.charAt(i))) i += 1
           if (i > start) {
-            val word = text.substring(start, i).toLowerCase
+            // Locale.ROOT lowercase + the ASCII \s class: the SAME
+            // tokenization kernel the training pass's ws_tokens
+            // (lower() + split("\\s+")) applies, so encode never sees a
+            // word segmentation training never produced (a default-locale
+            // toLowerCase would diverge on e.g. a Turkish-locale JVM, and
+            // Character.isWhitespace splits on U+2028/U+2029 where the
+            // Java regex \s does not).
+            val word = text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
             val toks = memo.getOrElseUpdate(word, {
               if (memo.size > 100000) memo.clear() // bound task memory
               segment(word, ranks)

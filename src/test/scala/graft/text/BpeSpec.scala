@@ -27,6 +27,42 @@ class BpeSpec extends AnyFunSuite with SparkTest {
     assert(a == b)
   }
 
+  test("incremental trainer is merge-for-merge identical to the naive recount loop") {
+    // adversarial word table: shared prefixes/suffixes, repeats inside
+    // words ("aaa" overlap handling), frequency ties that must break
+    // lexicographically, and a word that fully collapses
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    val synth = Array.tabulate(300) { i =>
+      val len = 2 + rng.nextInt(9)
+      val w = Array.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString
+      (w, 1L + rng.nextInt(5).toLong)
+    }
+    val table = synth ++ Array(("aaa", 7L), ("aaaa", 7L), ("xy", 3L), ("yx", 3L))
+    for (n <- Seq(1, 5, 50, 400)) {
+      val inc = Bpe.trainMerges(table.clone().map(identity), n)
+      val naive = Bpe.trainMergesNaive(table.clone().map(identity), n)
+      assert(inc == naive, s"divergence at numMerges=$n")
+    }
+  }
+
+  test("incremental trainer handles 4096+ merges in seconds, exhaustion included") {
+    // ~3000 distinct words: enough pair diversity that thousands of merges
+    // exist; the naive loop at this size would be ~4096 full recounts.
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    val table = Array.tabulate(3000) { i =>
+      val len = 5 + rng.nextInt(8)
+      (Array.fill(len)(alphabet(rng.nextInt(26))).mkString, 1L + (i % 9).toLong)
+    }.distinctBy(_._1)
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainMerges(table, 4096)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 4096, s"expected 4096 merges, got ${merges.size}")
+    assert(merges.map(_._1) == (0 until 4096), "ranks must be dense and ordered")
+    assert(secs < 30.0, f"incremental training took $secs%.1f s") // naive: minutes
+  }
+
   test("encode round-trips: concatenated tokens rebuild each lowercased word") {
     val corpus = Seq("The quick Brown fox", "jumps over the lazy dog",
       "the quick dog").toDF("text")
