@@ -57,8 +57,22 @@ object Bm25Ops {
     * and queried many times — at corpus scale the index build is the one
     * expensive pass, and every query batch afterwards touches only the
     * postings of its own terms.
+    *
+    * `buckets` > 0 marks a loaded hash-bucketed layout (postings carry a
+    * `bucket = pmod(hash(w), buckets)` partition column): [[bm25Query]]
+    * then joins on (bucket, w) so dynamic partition pruning skips every
+    * posting FILE whose bucket no query term hashes into — the same
+    * serving recipe as the IVF cell layout ([[KnnOps.saveIvfIndex]]).
     */
-  final case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame,
+                             buckets: Int = 0)
+
+  /** The posting-file routing key: Murmur3 (Spark's `hash`, fixed seed) of
+    * the term, mod the bucket count — computable identically at save,
+    * append, and query time.
+    */
+  private def bucketOf(w: Column, buckets: Int): Column =
+    pmod(hash(w), lit(buckets))
 
   def buildBm25Index(docs: DataFrame, textCol: String, idCol: String): Bm25Index = {
     val tf = docs.select(col(idCol).as("doc_id"),
@@ -69,24 +83,45 @@ object Bm25Ops {
     Bm25Index(tf, dl)
   }
 
-  /** Persist the index as plain parquet (`<path>/postings`,
-    * `<path>/doclens`). Query-time term pruning happens via the broadcast
-    * hash joins in [[bm25Query]] (map-side, no posting ever shuffles) —
-    * NOT via file skipping: plain parquet has no term partitioning, so a
-    * query scans the posting files and drops non-matching rows in the
-    * scan stage. A metastore deployment would `bucketBy`/`sortBy` the
-    * postings on `w` to add real file-level pruning; `partitionBy("w")`
-    * is a non-option (one directory per vocabulary term).
+  /** Persist the index (`<path>/postings`, `<path>/doclens`), postings
+    * hash-bucketed: a `bucket = pmod(hash(w), buckets)` partition column
+    * groups each term's complete posting list under one of `buckets`
+    * directories (`partitionBy("w")` itself is a non-option — one
+    * directory per vocabulary term). A query batch's terms hash to a
+    * handful of buckets, so [[bm25Query]]'s (bucket, w) joins let dynamic
+    * partition pruning skip every other bucket's FILES — term-level file
+    * skipping with no metastore, the IVF cell-layout recipe. The bucket
+    * count persists in `<path>/meta` so append and query recompute the
+    * same routing. `buckets = 0` writes the legacy flat layout (every
+    * query scans all posting files, pruning rows in the scan stage only).
     */
-  def saveBm25Index(index: Bm25Index, path: String): Unit = {
-    index.postings.write.mode("overwrite").parquet(s"$path/postings")
+  def saveBm25Index(index: Bm25Index, path: String, buckets: Int = 64): Unit = {
+    if (buckets > 0) {
+      index.postings.withColumn("bucket", bucketOf(col("w"), buckets))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      val spark = index.postings.sparkSession
+      spark.range(1).select(lit(buckets).as("buckets"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } else
+      index.postings.write.mode("overwrite").parquet(s"$path/postings")
     index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Bucket count of a persisted layout; 0 for the legacy flat one. */
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      spark.read.parquet(s"$path/meta").head().getAs[Int]("buckets")
+    else 0
   }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index =
     Bm25Index(spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/doclens"))
+      spark.read.parquet(s"$path/doclens"),
+      buckets = readBuckets(spark, path))
 
   /** Append a document batch to a persisted BM25 index at O(batch) — the
     * lexical analog of the MinHash/IVF index appends: tokenize and count
@@ -105,7 +140,12 @@ object Bm25Ops {
   def appendBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                       docs: DataFrame, textCol: String, idCol: String): Unit = {
     val batch = buildBm25Index(docs, textCol, idCol)
-    batch.postings.write.mode("append").parquet(s"$path/postings")
+    val buckets = readBuckets(spark, path)
+    if (buckets > 0)
+      batch.postings.withColumn("bucket", bucketOf(col("w"), buckets))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    else
+      batch.postings.write.mode("append").parquet(s"$path/postings")
     batch.docLens.write.mode("append").parquet(s"$path/doclens")
   }
 
@@ -116,7 +156,9 @@ object Bm25Ops {
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
                        targetFiles: Int = 32): Unit = {
-    graft.util.IndexMaint.compactTable(spark, s"$path/postings", Seq("w"), targetFiles)
+    val partCols = if (readBuckets(spark, path) > 0) Seq("bucket") else Nil
+    graft.util.IndexMaint.compactTable(spark, s"$path/postings", Seq("w"),
+      targetFiles, partitionCols = partCols)
     graft.util.IndexMaint.compactTable(spark, s"$path/doclens", Seq("doc_id"), targetFiles)
   }
 
@@ -136,12 +178,27 @@ object Bm25Ops {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // distinct query terms (BM25 scores the term SET; duplicate terms in a
     // query add nothing but double-counted idf)
-    val qt = queries.select(col(queryIdCol).as("query_id"),
+    val qt0 = queries.select(col(queryIdCol).as("query_id"),
       explode(Tokenize(col(queryTextCol))).as("w")).distinct()
-    val qw = qt.select(col("w")).distinct()
+    // On a bucketed layout the (tiny, broadcast) query-term side also
+    // carries the term's bucket, and the posting joins key on (bucket, w):
+    // semantically redundant (bucket is a function of w) but it hands
+    // Spark's dynamic partition pruning a partition-column equi-key, so
+    // unprobed buckets' posting FILES are never read — the IVF probed-cell
+    // recipe applied to terms. The length filter is a no-op (ws_tokens
+    // already drops empties) that satisfies PartitionPruning's
+    // isLikelySelective gate — without a selective-looking predicate on
+    // the filtering side the optimizer declines to build the DPP subquery
+    // and every bucket's files would be scanned.
+    val qt = if (index.buckets > 0)
+      qt0.filter(length(col("w")) > 0)
+        .withColumn("bucket", bucketOf(col("w"), index.buckets))
+    else qt0
+    val qw = qt.drop("query_id").distinct()
+    val termKeys = if (index.buckets > 0) Seq("bucket", "w") else Seq("w")
     // document frequency of query terms only — postings prune map-side
     // against the broadcast term set before any shuffle
-    val dfreq = tf.join(broadcast(qw), "w")
+    val dfreq = tf.join(broadcast(qw), termKeys)
       .groupBy(col("w")).agg(count(lit(1)).as("dfreq"))
     val withStats = dfreq.crossJoin(broadcast(stats))
     val kept =
@@ -153,7 +210,7 @@ object Bm25Ops {
         (col("n_docs") - col("dfreq") + lit(0.5)).cast("double") /
           (col("dfreq") + lit(0.5)).cast("double") + lit(1.0)))
         .cast("long").as("idf_micro"))
-    val cand = tf.join(broadcast(qt), "w")
+    val cand = tf.join(broadcast(qt), termKeys)
       .join(broadcast(idf), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))

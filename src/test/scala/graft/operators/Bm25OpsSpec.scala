@@ -104,16 +104,66 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
     val a = viaAppend.collect().map(_.toSeq).toSet
     val b = oneShot.collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
-    // compaction rewrites the appended file sets into fewer files and must
-    // not change a single result row
-    def files(t: String) = new java.io.File(s"$path/$t").listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // compaction rewrites the appended file sets into fewer files per
+    // bucket directory and must not change a single result row
+    def files(t: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$path/$t"))
+    }
+    def maxPerBucket: Int = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
     val before = files("postings")
+    assert(maxPerBucket >= 2) // build + append each left a file somewhere
     Bm25Ops.compactBm25Index(spark, path, targetFiles = 1)
-    assert(files("postings") < before && files("postings") == 1)
+    assert(files("postings") < before && maxPerBucket == 1)
     val viaCompacted = Bm25Ops.bm25Query(Bm25Ops.loadBm25Index(spark, path),
       queries, "query_id", "query_text", k = 5)
     assert(viaCompacted.collect().map(_.toSeq).toSet == b)
+  }
+
+  test("bucketed posting layout: term-routed file pruning, identical results") {
+    import spark.implicits._
+    // enough vocabulary that the 16 bucket dirs all materialize
+    val docs = (1L to 200L).map(i =>
+      (i, s"term$i term${i % 37} shared${i % 5} filler${i % 91}"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "term3 shared2"), (2L, "filler17")).toDF("query_id", "query_text")
+    val direct = Bm25Ops.bm25TopK(docs, "text", "doc_id",
+      queries, "query_id", "query_text", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("bm25bucketed").toString
+    Bm25Ops.saveBm25Index(Bm25Ops.buildBm25Index(docs, "text", "doc_id"),
+      path, buckets = 16)
+    val loaded = Bm25Ops.loadBm25Index(spark, path)
+    assert(loaded.buckets == 16)
+    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).length
+    assert(bucketDirs == 16, s"expected 16 bucket dirs, got $bucketDirs")
+    val viaIndex = Bm25Ops.bm25Query(loaded, queries, "query_id", "query_text", k = 8)
+    assert(viaIndex.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    // the query-term broadcast must reach the bucket-partitioned scan as a
+    // partition filter (dynamic partition pruning), not a post-scan filter
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on bucket in:\n${plan.take(2000)}")
+    // 3 distinct query terms touch at most 3 of 16 buckets: a scan filtered
+    // to those buckets reads strictly fewer files than the full layout
+    val qBuckets = Seq("term3", "shared2", "filler17").toDF("w")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.col("w")),
+        org.apache.spark.sql.functions.lit(16)).as("b"))
+      .collect().map(_.getInt(0)).distinct
+    assert(qBuckets.length <= 3)
+    val fn = org.apache.spark.sql.functions.input_file_name()
+    val prunedFiles = loaded.postings
+      .filter(org.apache.spark.sql.functions.col("bucket").isin(qBuckets: _*))
+      .select(fn).distinct().count()
+    val totalFiles = loaded.postings.select(fn).distinct().count()
+    assert(prunedFiles < totalFiles,
+      s"pruned=$prunedFiles total=$totalFiles")
   }
 
   test("duplicate query terms do not double-count") {
