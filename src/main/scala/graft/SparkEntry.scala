@@ -2274,6 +2274,25 @@ object SparkEntry {
       graft.operators.DedupOps.hammingNearDupPairs(
         sigs.unionByName(planted), "doc_id", "sh64",
         maxHamming = 3, maxChunkFreq = 100L)
+    },
+
+    // q132's semantic decontamination through the BANDED arm (eval sets
+    // too big to broadcast): hyperplane-LSH band keys on both sides, keyed
+    // candidate join, exact cosine verify. Planted copies at +10^6 share
+    // every band with their eval source, and the fixture's natural pairs
+    // all sit far below 0.9 cosine — so the LSH arm must reproduce the
+    // exact arm's output bit-for-bit, and the oracle is the same full
+    // cross-product recompute as q132's.
+    "q161_semantic_decon_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val evalSet = emb.filter(col("vec_id") < 40)
+      val corpus = emb.filter(col("vec_id") >= 40).unionByName(
+        evalSet.select((col("vec_id") + 1000000L).as("vec_id"),
+          col("embedding"), col("label")))
+      graft.operators.CorpusOps.semanticContaminationLsh(
+          corpus, "vec_id", "embedding", evalSet, "vec_id", "embedding",
+          minCosine = 0.9)
+        .select(col("vec_id"), col("n_eval_hits"), col("nearest_eval_id"))
     }
   )
 
@@ -5608,7 +5627,29 @@ object SparkEntry {
         |    greatest(x.doc_id, y.doc_id) AS idb, sv.hamming
         |  FROM sv JOIN sigs x ON x.s = sv.sa JOIN sigs y ON y.s = sv.sb)
         |SELECT ida, idb, hamming FROM within_pairs
-        |UNION ALL SELECT ida, idb, hamming FROM cross_pairs""".stripMargin
+        |UNION ALL SELECT ida, idb, hamming FROM cross_pairs""".stripMargin,
+    // identical semantics to q132: the LSH arm must match the exact
+    // cross-product recompute bit-for-bit on this fixture
+    "q161_semantic_decon_lsh" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+        |            FROM embeddings WHERE vec_id < 40),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 40
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 40),
+        |pairs AS (
+        |  SELECT c.vec_id, ev.eval_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(ev.e AS DOUBLE[])) AS cos
+        |  FROM corpus c CROSS JOIN ev
+        |  WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                               CAST(ev.e AS DOUBLE[])) >= 0.9)
+        |SELECT vec_id, n_eval_hits, eval_id AS nearest_eval_id FROM (
+        |  SELECT vec_id, eval_id,
+        |    count(*) OVER (PARTITION BY vec_id) AS n_eval_hits,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, eval_id) AS rn
+        |  FROM pairs) t WHERE rn = 1""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

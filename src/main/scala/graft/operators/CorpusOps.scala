@@ -701,6 +701,54 @@ object CorpusOps {
         negate(col("graft_best").getField("nid")).as("nearest_eval_id"))
   }
 
+  /** The banded-join arm of [[semanticContamination]] for eval sets TOO
+    * LARGE TO BROADCAST (a merged benchmark union, a dedup-against-corpus
+    * pass): instead of shipping the eval matrix to every task, both sides
+    * explode into hyperplane-LSH band keys
+    * ([[DedupOps.hyperplaneBandKeys]], the recipe the memory write-dedup
+    * probe already runs) and candidates meet in a (band, bkey)-KEYED
+    * shuffle join; the exact codegen'd cosine then verifies every
+    * candidate pair, and the aggregate is the broadcast arm's verbatim.
+    *
+    * Id-only banding: the band join carries (id, band, bkey) rows only —
+    * embeddings re-join keyed on the surviving candidate ids, so no
+    * vector ever rides a fan-out shuffle.
+    *
+    * Precision is exact (every emitted pair passed the real cosine).
+    * Recall is the LSH band recall: a pair at cosine >= minCosine that
+    * agrees on NO band is missed. At the thresholds decontamination runs
+    * (>= 0.9) band agreement is near-certain — and exact/near-exact
+    * copies, the case that matters, collide on every band — but pairs
+    * close to the threshold can slip: when the eval set fits in a
+    * broadcast, prefer the exact arm.
+    */
+  def semanticContaminationLsh(corpus: DataFrame, idCol: String, embCol: String,
+                               evalSet: DataFrame, evalIdCol: String,
+                               evalEmbCol: String, minCosine: Double,
+                               planes: Int = 32, bandBits: Int = 8,
+                               seed: Long = 42L): DataFrame = {
+    require(minCosine > -1.0 && minCosine <= 1.0, "minCosine must be in (-1, 1]")
+    val c = corpus.select(col(idCol), col(embCol))
+    val ev = evalSet.select(col(evalIdCol).cast("long").as("graft_eval_id"),
+      col(evalEmbCol).as("graft_eval_emb"))
+    val cBand = DedupOps.hyperplaneBandKeys(c, embCol, Seq(idCol),
+      planes, bandBits, seed)
+    val eBand = DedupOps.hyperplaneBandKeys(ev, "graft_eval_emb",
+      Seq("graft_eval_id"), planes, bandBits, seed)
+    val cand = cBand.join(eBand, Seq("band", "bkey"))
+      .select(col(idCol), col("graft_eval_id")).distinct()
+    val cos = GraftFunctions.cosine_similarity(col(embCol), col("graft_eval_emb"))
+    cand.join(c, idCol)
+      .join(ev, "graft_eval_id")
+      .filter(cos >= lit(minCosine))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        max(struct(cos.as("c"), negate(col("graft_eval_id")).as("nid"))).as("graft_best"))
+      .select(col(idCol), col("n_eval_hits"),
+        negate(col("graft_best").getField("nid")).as("nearest_eval_id"))
+  }
+
   /** Removal half of [[semanticContamination]]: anti-join the flagged ids
     * out of the corpus. Same shape as [[decontaminate]] — the contaminated
     * id set is small and broadcasts.

@@ -35,6 +35,31 @@ class DriftDeconSpec extends AnyFunSuite with SparkTest {
       Seq(3L, 4L, 5L, 6L, 7L))
   }
 
+  test("LSH arm reproduces the broadcast arm exactly on planted copies") {
+    import spark.implicits._
+    // larger fixture: 60 pseudo-random 16-dim vectors, eval = first 20,
+    // corpus = rest + exact copies of every eval vector at +1000. Copies
+    // share every hyperplane band with their source (identical vectors),
+    // and random pairs sit far below 0.9 cosine, so the banded arm must
+    // equal the exact broadcast arm row for row.
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val base = (0 until 60).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val evalSet = base.filter(col("id") < 20)
+    val corpus = base.filter(col("id") >= 20).unionByName(
+      evalSet.select((col("id") + 1000L).as("id"), col("emb")))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = run(CorpusOps.semanticContamination(
+      corpus, "id", "emb", evalSet, "id", "emb", minCosine = 0.9))
+    val lsh = run(CorpusOps.semanticContaminationLsh(
+      corpus, "id", "emb", evalSet, "id", "emb", minCosine = 0.9))
+    assert(exact.size == 20) // every planted copy, nothing else
+    assert(lsh == exact)
+  }
+
   test("semanticContamination nearest_eval_id is the argmax eval, ties broken to the smallest id") {
     import spark.implicits._
     // one corpus doc identical to BOTH eval vectors (planted tie)
