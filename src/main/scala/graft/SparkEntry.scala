@@ -2293,6 +2293,20 @@ object SparkEntry {
           corpus, "vec_id", "embedding", evalSet, "vec_id", "embedding",
           minCosine = 0.9)
         .select(col("vec_id"), col("n_eval_hits"), col("nearest_eval_id"))
+    },
+
+    // REAL MP4 sample-table decode (stts/stsz/stsc/stco): planted videos
+    // carry genuine box trees with closed-form parameters, and every
+    // frame's ACTUAL byte range + media-time timestamp replays in SQL —
+    // the chunk layout is contiguous, so frame offsets are the header size
+    // (376 + 4n + 12e + 4c, e = stsc runs, c = chunks) plus the frame-size
+    // prefix sum, independent of how the chunks split.
+    "q162_mp4_sample_table" -> { (s, dir) =>
+      val media = graft.operators.MultimodalOps.syntheticSampledVideos(s, 50)
+      graft.operators.MultimodalOps.frameByteRanges(media)
+        .select(col("media_id"), col("frame_count"), col("avg_frame_bytes"),
+          col("frame_idx"), col("frame_offset"), col("frame_bytes"),
+          col("frame_ts_ms"))
     }
   )
 
@@ -5649,7 +5663,36 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY vec_id) AS n_eval_hits,
         |    row_number() OVER (PARTITION BY vec_id
         |      ORDER BY cos DESC, eval_id) AS rn
-        |  FROM pairs) t WHERE rn = 1""".stripMargin
+        |  FROM pairs) t WHERE rn = 1""".stripMargin,
+    // closed-form replay of the planted sample tables: header size
+    // 376 + 4n + 12e + 4c, then frame-size prefix sums; integer division
+    // for avg and media-time ms
+    "q162_mp4_sample_table" ->
+      """WITH ids AS (SELECT unnest(generate_series(0, 49)) AS i),
+        |par AS (
+        |  SELECT i, 600 + (i % 4) * 200 AS ts, 100 + (i % 50) AS delta,
+        |    6 + (i % 5) AS n, 1 + (i % 3) AS c
+        |  FROM ids),
+        |par2 AS (
+        |  SELECT *, CASE WHEN c = 1 OR n % c = 0 THEN 1 ELSE 2 END AS e FROM par),
+        |frames AS (
+        |  SELECT p.*, unnest(generate_series(0, n - 1)) AS k FROM par2 p),
+        |sized AS (
+        |  SELECT *, 50 + ((i * 31 + k * 7) % 100) AS fs FROM frames),
+        |acc AS (
+        |  SELECT *,
+        |    sum(fs) OVER (PARTITION BY i ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix,
+        |    sum(fs) OVER (PARTITION BY i) AS total
+        |  FROM sized)
+        |SELECT CAST(i AS BIGINT) AS media_id,
+        |  CAST(n AS INT) AS frame_count,
+        |  CAST(total // n AS BIGINT) AS avg_frame_bytes,
+        |  CAST(k AS INT) AS frame_idx,
+        |  CAST(376 + 4 * n + 12 * e + 4 * c + COALESCE(prefix, 0) AS BIGINT) AS frame_offset,
+        |  CAST(fs AS BIGINT) AS frame_bytes,
+        |  CAST((k * delta * 1000) // ts AS BIGINT) AS frame_ts_ms
+        |FROM acc""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -144,6 +144,170 @@ object MultimodalOps {
       durTicks * 1000L / timescale, brand, mdOff, mdLen))
   }
 
+  final case class Mp4SampleTable(mediaTimescale: Int, frameCount: Int,
+                                  totalBytes: Long, offsets: Array[Long],
+                                  sizes: Array[Long], dtsTicks: Array[Long])
+
+  /** REAL MP4 sample-table decode — the per-FRAME half of the container
+    * walk that [[decodeMp4]] leaves out: `stts` (decode timestamps),
+    * `stsz` (per-sample byte sizes, uniform or table), `stsc`
+    * (sample→chunk runs) and `stco`/`co64` (chunk offsets) from the first
+    * track that carries all four, plus the media timescale from `mdhd`.
+    * Chunk offsets + within-chunk size prefix sums yield every frame's
+    * actual (offset, bytes) range in the file — what a frame extractor
+    * seeks to — without any codec. Cross-table consistency is enforced
+    * (stts sample total == stsz count; stsc×stco must cover exactly the
+    * sample count; table lengths bounds-checked against the box), and any
+    * violation returns None, never throws. Frame-PIXEL decode still needs
+    * a codec; this is everything the container indexes about its frames.
+    */
+  private[operators] def decodeMp4Samples(data: Array[Byte]): Option[Mp4SampleTable] = {
+    if (data == null || data.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def u32(o: Int): Long = bb.getInt(o) & 0xffffffffL
+    def tag(o: Int): String =
+      new String(data, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val o = off.toInt
+        val id = tag(o + 4)
+        var size = u32(o)
+        var hdr = 8L
+        if (size == 1L) {
+          if (off + 16 > to) return false
+          size = bb.getLong(o + 8); hdr = 16L
+          if (size < 0) return false
+        } else if (size == 0L) size = to - off
+        if (size < hdr || off + size > to) return false
+        f(id, off + hdr, off + size)
+        off += size
+      }
+      true
+    }
+    // a crafted entry count must not allocate an unbounded table
+    val MaxEntries = 10000000L
+    def entryCount(p: Long, e: Long, width: Int, fixed: Int): Long = {
+      if (e - p < fixed) return -1L
+      val n = u32(p.toInt + 4)
+      if (n > MaxEntries || n * width > e - p - fixed) -1L else n
+    }
+    var mediaTs = 0
+    var sttsTab: Array[(Long, Long)] = null
+    var sizesTab: Array[Long] = null
+    var stscTab: Array[(Long, Long)] = null
+    var chunkOffs: Array[Long] = null
+    var corrupt = false
+    var found = false
+    walk(0L, data.length.toLong) { (t, p, e) =>
+      if (t == "moov") {
+        if (!walk(p, e) { (t2, p2, e2) =>
+          if (t2 == "trak" && !found) {
+            var ts0 = 0
+            var stts0: Array[(Long, Long)] = null
+            var sizes0: Array[Long] = null
+            var stsc0: Array[(Long, Long)] = null
+            var stco0: Array[Long] = null
+            if (!walk(p2, e2) { (t3, p3, e3) =>
+              if (t3 == "mdia") {
+                if (!walk(p3, e3) { (t4, p4, e4) =>
+                  t4 match {
+                    case "mdhd" if e4 - p4 >= 24 =>
+                      val v = data(p4.toInt) & 0xff
+                      ts0 = if (v == 1 && e4 - p4 >= 32) bb.getInt(p4.toInt + 20)
+                            else if (v == 0) bb.getInt(p4.toInt + 12)
+                            else 0
+                    case "minf" =>
+                      if (!walk(p4, e4) { (t5, p5, e5) =>
+                        if (t5 == "stbl") {
+                          if (!walk(p5, e5) { (t6, p6, e6) =>
+                            val o6 = p6.toInt
+                            t6 match {
+                              case "stts" =>
+                                val n = entryCount(p6, e6, 8, 8)
+                                if (n < 0) corrupt = true
+                                else stts0 = Array.tabulate(n.toInt)(i =>
+                                  (u32(o6 + 8 + i * 8), u32(o6 + 12 + i * 8)))
+                              case "stsz" if e6 - p6 >= 12 =>
+                                val uniform = u32(o6 + 4)
+                                val cnt = u32(o6 + 8)
+                                if (cnt > MaxEntries) corrupt = true
+                                else if (uniform != 0L)
+                                  sizes0 = Array.fill(cnt.toInt)(uniform)
+                                else if (cnt * 4 > e6 - p6 - 12) corrupt = true
+                                else sizes0 = Array.tabulate(cnt.toInt)(i =>
+                                  u32(o6 + 12 + i * 4))
+                              case "stsc" =>
+                                val n = entryCount(p6, e6, 12, 8)
+                                if (n < 0) corrupt = true
+                                else stsc0 = Array.tabulate(n.toInt)(i =>
+                                  (u32(o6 + 8 + i * 12), u32(o6 + 12 + i * 12)))
+                              case "stco" =>
+                                val n = entryCount(p6, e6, 4, 8)
+                                if (n < 0) corrupt = true
+                                else stco0 = Array.tabulate(n.toInt)(i =>
+                                  u32(o6 + 8 + i * 4))
+                              case "co64" =>
+                                val n = entryCount(p6, e6, 8, 8)
+                                if (n < 0) corrupt = true
+                                else stco0 = Array.tabulate(n.toInt)(i =>
+                                  bb.getLong(o6 + 8 + i * 8))
+                              case _ =>
+                            }
+                          }) corrupt = true
+                        }
+                      }) corrupt = true
+                    case _ =>
+                  }
+                }) corrupt = true
+              }
+            }) corrupt = true
+            if (ts0 > 0 && stts0 != null && sizes0 != null && stsc0 != null &&
+                stco0 != null) {
+              mediaTs = ts0; sttsTab = stts0; sizesTab = sizes0
+              stscTab = stsc0; chunkOffs = stco0; found = true
+            }
+          }
+        }) corrupt = true
+      }
+    }
+    if (corrupt || !found) return None
+    val n = sizesTab.length
+    if (n == 0) return None // a frameless track indexes nothing
+    // stts must describe exactly the stsz sample count
+    if (sttsTab.map(_._1).sum != n.toLong) return None
+    val dts = new Array[Long](n)
+    var si = 0; var t = 0L
+    sttsTab.foreach { case (cnt, delta) =>
+      var c = 0L
+      while (c < cnt) { dts(si) = t; t += delta; si += 1; c += 1 }
+    }
+    // stsc runs: entry r covers chunks [firstChunk_r, firstChunk_{r+1})
+    // 1-based; offsets advance by the per-sample sizes inside each chunk
+    if (stscTab.exists(e => e._1 < 1 || e._2 < 1) ||
+        stscTab.map(_._1).toSeq != stscTab.map(_._1).toSeq.sorted ||
+        stscTab.head._1 != 1L) return None
+    val offsets = new Array[Long](n)
+    var sample = 0
+    var chunk = 0
+    var run = 0
+    while (sample < n && chunk < chunkOffs.length) {
+      while (run + 1 < stscTab.length && stscTab(run + 1)._1 <= chunk + 1) run += 1
+      val spc = stscTab(run)._2
+      var cursor = chunkOffs(chunk)
+      var k = 0L
+      while (k < spc && sample < n) {
+        if (cursor < 0) return None
+        offsets(sample) = cursor
+        cursor += sizesTab(sample)
+        sample += 1; k += 1
+      }
+      chunk += 1
+    }
+    if (sample != n) return None // chunks don't cover the sample count
+    Some(Mp4SampleTable(mediaTs, n, sizesTab.sum, offsets, sizesTab, dts))
+  }
+
   /** Minimal canonical ISO-BMFF writer (ftyp + moov(mvhd, trak(tkhd)) +
     * mdat) — the inverse of [[decodeMp4]], used to plant real MP4 payloads
     * in [[syntheticMedia]] so the video decode path exercises genuine bytes.
@@ -187,6 +351,148 @@ object MultimodalOps {
     bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
     bb.putInt(8 + payload.length); fourcc("mdat"); bb.put(payload)
     bb.array()
+  }
+
+  /** ISO-BMFF writer WITH sample tables — ftyp + moov(mvhd, trak(tkhd,
+    * mdia(mdhd, minf(stbl(stts, stsz, stsc, stco))))) + mdat — the inverse
+    * of [[decodeMp4Samples]]: `frameSizes` lays the frames contiguously in
+    * mdat split across `nChunks` chunks (floor(n/c) per chunk, remainder
+    * in the last — 1 or 2 stsc runs), every frame lasting `frameDelta`
+    * media-timescale ticks (1 stts entry), sizes as an explicit stsz
+    * table. stco offsets are ABSOLUTE file offsets, resolved by a two-pass
+    * build (sizes don't depend on the offset values).
+    */
+  private[operators] def mp4BytesSampled(timescale: Int, width: Int, height: Int,
+                                         frameSizes: Array[Int], frameDelta: Int,
+                                         nChunks: Int,
+                                         payloadByte: Int => Int): Array[Byte] = {
+    require(frameSizes.nonEmpty && nChunks >= 1 && nChunks <= frameSizes.length)
+    val n = frameSizes.length
+    val durTicks = n.toLong * frameDelta
+    val totalBytes = frameSizes.map(_.toLong).sum
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+      val len = 8 + parts.map(_.length).sum
+      val out = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.putInt(len); out.put(tag.getBytes(ascii)); parts.foreach(out.put)
+      out.array()
+    }
+    def raw(size: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.BIG_ENDIAN)
+      f(b); b.array()
+    }
+    def matrix(b: java.nio.ByteBuffer): Unit = {
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+    }
+    val base = n / nChunks
+    val lastCount = n - base * (nChunks - 1)
+    def build(dataOff: Long): Array[Byte] = {
+      val ftyp = raw(20) { b =>
+        b.putInt(20); b.put("ftyp".getBytes(ascii)); b.put("isom".getBytes(ascii))
+        b.putInt(0x200); b.put("isom".getBytes(ascii))
+      }
+      val mvhd = box("mvhd", raw(100) { b =>
+        b.putInt(0); b.putInt(0).putInt(0); b.putInt(timescale)
+        b.putInt(durTicks.toInt); b.putInt(0x00010000); b.putShort(0x0100.toShort)
+        b.putShort(0); b.putLong(0); matrix(b)
+        (0 until 6).foreach(_ => b.putInt(0)); b.putInt(2)
+      })
+      val tkhd = box("tkhd", raw(84) { b =>
+        b.putInt(7); b.putInt(0).putInt(0); b.putInt(1); b.putInt(0)
+        b.putInt(durTicks.toInt); b.putLong(0)
+        b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0); matrix(b)
+        b.putInt(width << 16).putInt(height << 16)
+      })
+      val mdhd = box("mdhd", raw(24) { b =>
+        b.putInt(0); b.putInt(0).putInt(0); b.putInt(timescale)
+        b.putInt(durTicks.toInt); b.putInt(0)
+      })
+      val stts = box("stts", raw(16) { b =>
+        b.putInt(0); b.putInt(1); b.putInt(n); b.putInt(frameDelta)
+      })
+      val stsz = box("stsz", raw(12 + 4 * n) { b =>
+        b.putInt(0); b.putInt(0); b.putInt(n); frameSizes.foreach(b.putInt)
+      })
+      val stscEntries: Seq[(Int, Int)] =
+        if (nChunks == 1 || lastCount == base) Seq((1, base))
+        else Seq((1, base), (nChunks, lastCount))
+      val stsc = box("stsc", raw(8 + 12 * stscEntries.length) { b =>
+        b.putInt(0); b.putInt(stscEntries.length)
+        stscEntries.foreach { case (fc, spc) => b.putInt(fc); b.putInt(spc); b.putInt(1) }
+      })
+      val chunkStarts = {
+        var cursor = dataOff
+        var sample = 0
+        (0 until nChunks).map { c =>
+          val start = cursor
+          val cnt = if (c == nChunks - 1) lastCount else base
+          (0 until cnt).foreach { _ => cursor += frameSizes(sample); sample += 1 }
+          start
+        }
+      }
+      val stco = box("stco", raw(8 + 4 * nChunks) { b =>
+        b.putInt(0); b.putInt(nChunks); chunkStarts.foreach(o => b.putInt(o.toInt))
+      })
+      val stbl = box("stbl", stts, stsz, stsc, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, minf)
+      val trak = box("trak", tkhd, mdia)
+      val moov = box("moov", mvhd, trak)
+      val payload = Array.tabulate[Byte](totalBytes.toInt)(j => payloadByte(j).toByte)
+      val mdat = box("mdat", payload)
+      ftyp ++ moov ++ mdat
+    }
+    val probe = build(0L)
+    build(probe.length - totalBytes) // mdat data = the file's tail
+  }
+
+  /** Planted videos with REAL sample tables, every parameter closed-form in
+    * `media_id` (the q36 fixture recipe): timescale 600 + (i%4)·200, frame
+    * delta 100 + (i%50) ticks, 6 + (i%5) frames of 50 + ((i·31 + k·7)%100)
+    * bytes, 1 + (i%3) chunks, payload byte j = (i·131 + j·17) % 256.
+    */
+  def syntheticSampledVideos(spark: org.apache.spark.sql.SparkSession,
+                             n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val nf = 6 + (i % 5)
+      val sizes = Array.tabulate(nf)(k => 50 + ((i * 31 + k * 7) % 100))
+      val bytes = mp4BytesSampled(600 + (i % 4) * 200, 128, 96, sizes,
+        100 + (i % 50), 1 + (i % 3), j => (i * 131 + j * 17) % 256)
+      (i.toLong, "video", bytes, s"synthetic://video/$i",
+        Map("seed" -> i.toString))
+    }.toDF("media_id", "modality", "data", "source_uri", "metadata")
+  }
+
+  /** Per-frame byte ranges decoded from the REAL sample tables — the
+    * missing half of [[frameSamplePlan]]: instead of synthesizing
+    * timestamps from an fps target, each video row fans out to one row per
+    * frame carrying the frame's ACTUAL (offset, bytes) range inside the
+    * file (what a frame extractor seeks to) and its decode timestamp in
+    * media time. Adds frame_count, avg_frame_bytes (integer div), and per
+    * frame (frame_idx, frame_offset, frame_bytes, frame_ts_ms). Non-video
+    * rows and rows without consistent sample tables are dropped. Map-only:
+    * the UDF walks each row's bytes once; the fan-out is an explode.
+    */
+  def frameByteRanges(df: DataFrame): DataFrame = {
+    val samp = udf((data: Array[Byte]) =>
+      decodeMp4Samples(data).map { st =>
+        st.offsets.indices.map { k =>
+          (st.frameCount, st.totalBytes / st.frameCount, k,
+            st.offsets(k), st.sizes(k), st.dtsTicks(k) * 1000L / st.mediaTimescale)
+        }
+      }.orNull)
+    df.filter(col("modality") === "video")
+      .withColumn("__f", explode(samp(col("data"))))
+      .select(df.columns.map(col) ++ Seq(
+        col("__f._1").as("frame_count"),
+        col("__f._2").as("avg_frame_bytes"),
+        col("__f._3").as("frame_idx"),
+        col("__f._4").as("frame_offset"),
+        col("__f._5").as("frame_bytes"),
+        col("__f._6").as("frame_ts_ms")): _*)
   }
 
   final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,

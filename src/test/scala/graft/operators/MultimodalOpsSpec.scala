@@ -209,4 +209,79 @@ class MultimodalOpsSpec extends AnyFunSuite with SparkTest {
     assert(cached.count() == 3)
     assert(cached.select("emb").distinct().count() == 2)
   }
+
+  test("decodeMp4Samples: closed-form sample tables round-trip through real bytes") {
+    // 7 frames, 3 chunks (2+2+3 -> two stsc runs), explicit sizes; every
+    // expected offset is hand-derivable: header = 376 + 4n + 12e + 4c
+    val sizes = Array(10, 20, 30, 40, 50, 60, 70)
+    val bytes = MultimodalOps.mp4BytesSampled(1000, 64, 48, sizes,
+      frameDelta = 40, nChunks = 3, payloadByte = j => j % 256)
+    val st = MultimodalOps.decodeMp4Samples(bytes).get
+    assert(st.mediaTimescale == 1000)
+    assert(st.frameCount == 7)
+    assert(st.totalBytes == sizes.map(_.toLong).sum)
+    val dataOff = 376 + 4 * 7 + 12 * 2 + 4 * 3 // n=7, e=2 stsc runs, c=3
+    assert(bytes.length == dataOff + sizes.sum)
+    val expOffsets = sizes.scanLeft(dataOff.toLong)(_ + _).init.toSeq
+    assert(st.offsets.toSeq == expOffsets)
+    assert(st.sizes.toSeq == sizes.map(_.toLong).toSeq)
+    assert(st.dtsTicks.toSeq == (0 until 7).map(_ * 40L))
+    // frames must live inside the file and tile mdat exactly
+    assert(st.offsets.last + st.sizes.last == bytes.length)
+    // uniform-chunk variant uses a single stsc run (e=1)
+    val uni = MultimodalOps.mp4BytesSampled(600, 64, 48, Array(10, 10, 10, 10),
+      frameDelta = 25, nChunks = 2, payloadByte = _ => 0)
+    val stUni = MultimodalOps.decodeMp4Samples(uni).get
+    assert(stUni.offsets.head == 376 + 4 * 4 + 12 * 1 + 4 * 2)
+    assert(stUni.dtsTicks.toSeq == Seq(0L, 25L, 50L, 75L))
+  }
+
+  test("decodeMp4Samples rejects inconsistent tables, never throws") {
+    val good = MultimodalOps.mp4BytesSampled(1000, 64, 48,
+      Array(10, 20, 30), 40, 1, _ => 0)
+    assert(MultimodalOps.decodeMp4Samples(good).isDefined)
+    // corrupt one byte of the stts entry count field: tables disagree
+    def corruptAt(tag: String, delta: Int): Array[Byte] = {
+      val b = good.clone()
+      val idx = (0 until b.length - 4).find(i =>
+        new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII) == tag).get
+      b(idx + delta) = (b(idx + delta) + 1).toByte
+      b
+    }
+    // stts count 3 -> 4: stts total != stsz count
+    assert(MultimodalOps.decodeMp4Samples(corruptAt("stts", 11)).isEmpty)
+    // absurd stsz entry count: bounds check must refuse the allocation
+    val b2 = good.clone()
+    val szIdx = (0 until b2.length - 4).find(i =>
+      new String(b2, i, 4, java.nio.charset.StandardCharsets.US_ASCII) == "stsz").get
+    b2(szIdx + 12) = 0x7f.toByte // count high byte
+    assert(MultimodalOps.decodeMp4Samples(b2).isEmpty)
+    // a plain metadata-only MP4 (no stbl) has no sample tables
+    val plain = MultimodalOps.mp4Bytes(1000, 4000, 64, 48, Array[Byte](1, 2, 3))
+    assert(MultimodalOps.decodeMp4Samples(plain).isEmpty)
+    assert(MultimodalOps.decodeMp4Samples(null).isEmpty)
+    assert(MultimodalOps.decodeMp4Samples(Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("frameByteRanges fans out real per-frame ranges; sampled videos decode end-to-end") {
+    val media = MultimodalOps.syntheticSampledVideos(spark, 12)
+    val out = MultimodalOps.frameByteRanges(media)
+      .select("media_id", "frame_count", "avg_frame_bytes", "frame_idx",
+        "frame_offset", "frame_bytes", "frame_ts_ms")
+      .collect()
+    // every video fans out to its closed-form frame count
+    val byId = out.groupBy(_.getLong(0))
+    assert(byId.keySet == (0L until 12L).toSet)
+    byId.foreach { case (i, rows) =>
+      val nf = 6 + (i % 5).toInt
+      assert(rows.length == nf && rows.forall(_.getInt(1) == nf))
+      val sizes = (0 until nf).map(k => 50L + ((i * 31 + k * 7) % 100))
+      assert(rows.sortBy(_.getInt(3)).map(_.getLong(5)).toSeq == sizes)
+      // the metadata decode agrees with the sample walk on the same bytes
+      val ts = 600 + (i % 4) * 200
+      val delta = 100 + (i % 50)
+      assert(rows.sortBy(_.getInt(3)).map(_.getLong(6)).toSeq ==
+        (0 until nf).map(k => k.toLong * delta * 1000L / ts))
+    }
+  }
 }
