@@ -2307,6 +2307,18 @@ object SparkEntry {
         .select(col("media_id"), col("frame_count"), col("avg_frame_bytes"),
           col("frame_idx"), col("frame_offset"), col("frame_bytes"),
           col("frame_ts_ms"))
+    },
+
+    // Sum-preserving PageRank: dangling mass redistributes uniformly each
+    // round. Pure-walk damping (10^6) on a fixture where every integer
+    // division is exact makes the 3-round ranks closed-form (GraphAlgsSpec
+    // derives them by hand; total mass stays 4*10^6 every round), so the
+    // oracle is the literal expected table.
+    "q163_pagerank_dangling" -> { (s, dir) =>
+      import s.implicits._
+      val edges = Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+      graft.operators.GraphOps.pageRankMicro(edges, "src", "dst", iters = 3,
+        dampingMicro = 1000000L, redistributeDangling = true)
     }
   )
 
@@ -5692,7 +5704,15 @@ object SparkEntry {
         |  CAST(376 + 4 * n + 12 * e + 4 * c + COALESCE(prefix, 0) AS BIGINT) AS frame_offset,
         |  CAST(fs AS BIGINT) AS frame_bytes,
         |  CAST((k * delta * 1000) // ts AS BIGINT) AS frame_ts_ms
-        |FROM acc""".stripMargin
+        |FROM acc""".stripMargin,
+    // hand-derived closed form (see GraphAlgsSpec): the dangling node's
+    // mass re-enters uniformly each round and every division is exact
+    "q163_pagerank_dangling" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1140625 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(921875 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(1015625 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(921875 AS BIGINT))) v(node, rank_micro)""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

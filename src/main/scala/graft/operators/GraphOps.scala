@@ -126,8 +126,15 @@ object GraphOps {
     * nondeterministic order and is not). Per iteration:
     * `rank'(v) = (10⁶ − d) + (Σ_{u→v} rank(u) div outdeg(u)) · d div 10⁶`
     * with damping d in micro-units (0.85 → 850000) and rank₀ = 10⁶.
-    * Parallel edges count once each; dangling nodes leak their mass (the
-    * standard simplification — redistribute explicitly if it matters).
+    * Parallel edges count once each. Dangling nodes leak their mass by
+    * default (the standard simplification); `redistributeDangling = true`
+    * adds the classic correction — each round the dangling nodes' total
+    * rank D spreads uniformly, `rank'(v) = (10⁶ − d) + (in_sum(v) +
+    * D div N) · d div 10⁶` — at the cost of ONE extra 1-row aggregate per
+    * round (an anti-join sum over the dangling ranks, broadcast back), so
+    * total mass is conserved up to integer-division remainders (exactly,
+    * when every division is exact — see GraphAlgsSpec's closed-form
+    * fixture).
     *
     * Plan: `iters` rounds of one edge⨝rank join + one dst-keyed partial
     * aggregate — the textbook distributed shape; ranks persist per round
@@ -136,7 +143,8 @@ object GraphOps {
     * (10⁷ full-rank in-neighbors); scale the unit down for denser hubs.
     */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-                    iters: Int = 5, dampingMicro: Long = 850000L): DataFrame = {
+                    iters: Int = 5, dampingMicro: Long = 850000L,
+                    redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     require(dampingMicro >= 0 && dampingMicro <= 1000000L,
       "dampingMicro is a fraction in micro-units [0, 1000000]")
@@ -145,7 +153,9 @@ object GraphOps {
       col(dstCol).cast("long").as("dst")).persistTracked
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persistTracked
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.select(col("src")).groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).persistTracked
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
     val teleport = 1000000L - dampingMicro
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
     for (_ <- 0 until iters) {
@@ -153,12 +163,32 @@ object GraphOps {
         .join(outdeg, "src")
         .select(col("dst"), expr("rank_micro div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"coalesce(in_sum, 0L) * $dampingMicro div 1000000"))
-            .as("rank_micro"))
-        .persistTracked
+      ranks =
+        if (redistributeDangling) {
+          // mass parked on out-degree-0 nodes, one 1-row aggregate; its
+          // uniform share joins every node via a broadcast cross join
+          val dm = ranks
+            .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dmass"))
+            .crossJoin(nRow)
+          // this branch reads `ranks` TWICE per round (contribs + dmass):
+          // eager localCheckpoint, not cache, or Catalyst re-analysis goes
+          // exponential over rounds (the connectedComponents lesson)
+          nodes.join(contribs, col("node") === col("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"(coalesce(in_sum, 0L) + dmass div n_nodes)" +
+                  s" * $dampingMicro div 1000000"))
+                .as("rank_micro"))
+            .localCheckpoint(true)
+        } else
+          nodes.join(contribs, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"coalesce(in_sum, 0L) * $dampingMicro div 1000000"))
+                .as("rank_micro"))
+            .persistTracked
     }
     ranks
   }

@@ -43,4 +43,48 @@ class GraphAlgsSpec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
     assert(a == b)
   }
+
+  test("redistributeDangling conserves total mass; hand-computed 3 rounds") {
+    import spark.implicits._
+    // 1->2, 1->4, 2->3, 3->1; node 4 is dangling. With damping 10^6 (pure
+    // walk) every division in this fixture is exact, so the ranks must sum
+    // to N*10^6 after EVERY round — hand-derived:
+    //   r1: (1250000, 750000, 1250000, 750000)
+    //   r2: (1437500, 812500, 937500, 812500)
+    //   r3: (1140625, 921875, 1015625, 921875)
+    val edges = Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val expected = Map(
+      1 -> Map(1L -> 1250000L, 2L -> 750000L, 3L -> 1250000L, 4L -> 750000L),
+      2 -> Map(1L -> 1437500L, 2L -> 812500L, 3L -> 937500L, 4L -> 812500L),
+      3 -> Map(1L -> 1140625L, 2L -> 921875L, 3L -> 1015625L, 4L -> 921875L))
+    for (it <- 1 to 3) {
+      val out = GraphOps.pageRankMicro(edges, "src", "dst", iters = it,
+        dampingMicro = 1000000L, redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.GraftEngine.releaseCaches()
+      assert(out == expected(it), s"iter $it")
+      assert(out.values.sum == 4L * 1000000L, s"mass leaked at iter $it")
+    }
+    // flag off: node 4's mass leaks (sum drops below N*10^6) and the
+    // default results are untouched by the new parameter
+    val leaky = GraphOps.pageRankMicro(edges, "src", "dst", iters = 3,
+      dampingMicro = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.GraftEngine.releaseCaches()
+    assert(leaky.values.sum < 4L * 1000000L)
+  }
+
+  test("redistributeDangling with damping: a no-dangling graph is unaffected") {
+    import spark.implicits._
+    // every node has out-edges -> dmass = 0 every round -> both arms equal
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val off = GraphOps.pageRankMicro(edges, "src", "dst", iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.GraftEngine.releaseCaches()
+    val on = GraphOps.pageRankMicro(edges, "src", "dst", iters = 4,
+      redistributeDangling = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(on == off)
+  }
 }
