@@ -2319,6 +2319,42 @@ object SparkEntry {
       val edges = Seq((1L, 2L), (1L, 4L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
       graft.operators.GraphOps.pageRankMicro(edges, "src", "dst", iters = 3,
         dampingMicro = 1000000L, redistributeDangling = true)
+    },
+
+    // FORWARD as-of with a staleness bound, in exact integer micros: each
+    // event takes the EARLIEST rate snapshot at-or-after it, but only
+    // within 30 minutes — older matches null out while the row survives
+    // (LEFT semantics). The oracle is DuckDB's native ASOF (e.t <= r.rt)
+    // with the tolerance predicate applied on top.
+    "q164_asof_forward" -> { (s, dir) =>
+      val events = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("t"), col("user_id"))
+      val baseUs = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+      val rates = s.range(25).select(col("id").as("user_id"))
+        .crossJoin(s.range(40).select(col("id").as("k")))
+        .select(col("user_id"),
+          (baseUs + (col("k") * 97 + col("user_id")) * 60L * 1000000L).as("rt"),
+          (col("user_id") * 100 + col("k")).as("rate"))
+      graft.operators.JoinOps.asofJoin(events, rates, Seq("user_id"), "t", "rt",
+          direction = "forward", maxStaleness = 1800000000L)
+        .select(col("event_id"), col("user_id"), col("rate"), col("rt"))
+    },
+
+    // Skew-aware join in AUTO mode: the hot threshold derives from the key
+    // distribution itself (16x the mean key size), not a magic constant.
+    // Re-keying 40% of lineitem onto one value plants a Zipf head that the
+    // rule salts, while every natural orderkey (<= 7 rows) stays on the
+    // plain arm; the oracle is the plain relational join, which the
+    // split+union plan must reproduce exactly.
+    "q165_auto_skew_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 10 < 4, lit(1L)).otherwise(col("l_orderkey")).as("k"),
+        col("l_orderkey"), col("l_linenumber"))
+      val dim = li.groupBy(col("k")).agg(count(lit(1)).as("k_rows"))
+      graft.operators.JoinOps.skewAwareJoin(li, dim, Seq("k"),
+          saltFrom = col("l_orderkey") * lit(10) + col("l_linenumber"),
+          auto = true)
+        .select(col("k"), col("l_orderkey"), col("l_linenumber"), col("k_rows"))
     }
   )
 
@@ -5712,7 +5748,30 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), CAST(1140625 AS BIGINT)),
         |  (CAST(2 AS BIGINT), CAST(921875 AS BIGINT)),
         |  (CAST(3 AS BIGINT), CAST(1015625 AS BIGINT)),
-        |  (CAST(4 AS BIGINT), CAST(921875 AS BIGINT))) v(node, rank_micro)""".stripMargin
+        |  (CAST(4 AS BIGINT), CAST(921875 AS BIGINT))) v(node, rank_micro)""".stripMargin,
+    // native ASOF with the forward inequality, tolerance as a post-predicate
+    "q164_asof_forward" ->
+      """WITH rates AS (
+        |  SELECT u.user_id,
+        |    epoch_us(TIMESTAMP '2024-01-01 00:00:00') + (k.k * 97 + u.user_id) * 60 * 1000000 AS rt,
+        |    u.user_id * 100 + k.k AS rate
+        |  FROM (SELECT unnest(generate_series(0, 24)) AS user_id) u
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS k) k),
+        |ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.rt IS NOT NULL AND r.rt - e.t <= 1800000000 THEN r.rate END AS rate,
+        |  CASE WHEN r.rt IS NOT NULL AND r.rt - e.t <= 1800000000 THEN r.rt END AS rt
+        |FROM ev e ASOF LEFT JOIN rates r
+        |  ON e.user_id = r.user_id AND e.t <= r.rt""".stripMargin,
+    // the split+union salted plan must equal the plain join
+    "q165_auto_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 4 THEN 1 ELSE l_orderkey END AS k,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |dim AS (SELECT k, count(*) AS k_rows FROM li GROUP BY k)
+        |SELECT li.k, l_orderkey, l_linenumber, k_rows
+        |FROM li JOIN dim USING (k)""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -48,20 +48,54 @@ object JoinOps {
   def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                     saltFrom: org.apache.spark.sql.Column,
                     hotThreshold: Long = 100000L,
-                    buckets: Int = 16): DataFrame = {
+                    buckets: Int = 16,
+                    auto: Boolean = false): DataFrame = {
     import graft.util.OpCaches.TrackedPersist
     require(hotThreshold > 0, "hotThreshold must be positive")
     val keyCols = keys.map(col)
-    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotThreshold)
-      .select(keyCols: _*)
+    val counts = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .persistTracked
+    val hot =
+      (if (auto) {
+        // threshold derived from the table's own key distribution (the
+        // skewReport evidence) instead of a magic constant: a key is hot
+        // when it exceeds autoHotFactor × the mean key size. Uniform keys
+        // all sit at the mean, so nothing salts and the plan degenerates
+        // to the plain join; a Zipf head exceeds any fixed multiple of the
+        // mean and salts. The threshold rides as a broadcast 1-row cross
+        // join — no driver action decides the plan.
+        val thr = counts.agg(
+          greatest(lit(autoHotFloor),
+            lit(autoHotFactor) *
+              (sum(col("__n")) / count(lit(1))).cast("long")).as("__thr"))
+        counts.crossJoin(broadcast(thr)).filter(col("__n") > col("__thr"))
+      } else counts.filter(col("__n") > hotThreshold))
+        .select(keyCols: _*)
     val hotB = broadcast(hot)
     val leftHot = left.join(hotB, keys, "left_semi")
     val leftCold = left.join(hotB, keys, "left_anti")
     val rightHot = right.join(hotB, keys, "left_semi")
     val salted = saltedJoin(leftHot, rightHot, keys, saltFrom, buckets)
     salted.unionByName(leftCold.join(right, keys))
+  }
+
+  /** The `auto = true` hot-key rule of [[skewAwareJoin]], exposed so the
+    * decision is inspectable (and spec-pinned): a key is hot when its row
+    * count exceeds max(`autoHotFloor`, `autoHotFactor` · mean key count).
+    */
+  val autoHotFactor = 16L
+  val autoHotFloor = 16L
+
+  def autoHotKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val keyCols = keys.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val thr = counts.agg(
+      greatest(lit(autoHotFloor),
+        lit(autoHotFactor) * (sum(col("__n")) / count(lit(1))).cast("long"))
+        .as("__thr"))
+    counts.crossJoin(broadcast(thr)).filter(col("__n") > col("__thr"))
+      .select(keyCols :+ col("__n").as("n"): _*)
   }
 
   /** Key-skew diagnostics — the report you run BEFORE choosing between a
@@ -115,8 +149,12 @@ object JoinOps {
     * (they sort before every real snapshot).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTsCol: String, rightTsCol: String): DataFrame = {
+               leftTsCol: String, rightTsCol: String,
+               direction: String = "backward",
+               maxStaleness: Long = -1L): DataFrame = {
     require(keys.nonEmpty, "need at least one as-of key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val rPayCols = right.columns.filterNot(keys.contains)
     val lCols = left.columns
     require(rPayCols.intersect(lCols).isEmpty,
@@ -131,16 +169,43 @@ object JoinOps {
       col(leftTsCol).as("__asof_ts"), lit(1).as("__asof_side"),
       struct(lCols.filterNot(keys.contains).map(col): _*).as("__asof_lpay")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
+    // forward = the time-mirrored carry: descending sort, so the running
+    // last-right is the EARLIEST right row at-or-after each left row;
+    // right still sorts before left at equal timestamps (the inclusive
+    // contract in both directions). Left null timestamps sort last under
+    // desc and would meet a carry — the explicit null guard below keeps
+    // them unmatched, as in the backward arm where they sort first.
+    val ord =
+      if (direction == "backward") col("__asof_ts").asc
+      else col("__asof_ts").desc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols: _*)
-      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .orderBy(ord, col("__asof_side").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val carried = u.withColumn("__asof_match",
-      last(col("__asof_rpay"), ignoreNulls = true).over(w))
+    val carried = u
+      .withColumn("__asof_match",
+        last(col("__asof_rpay"), ignoreNulls = true).over(w))
+      .withColumn("__asof_mts",
+        last(when(col("__asof_side") === 0, col("__asof_ts")),
+          ignoreNulls = true).over(w))
+    // maxStaleness >= 0 bounds the match age in the timestamp column's own
+    // units (numeric timestamps — unix_micros/unix_seconds — required;
+    // pass -1 for unbounded): a match older (backward) / farther ahead
+    // (forward) than the bound nulls out, LEFT semantics preserved.
+    val age =
+      if (direction == "backward") col("__asof_ts") - col("__asof_mts")
+      else col("__asof_mts") - col("__asof_ts")
+    val valid =
+      if (maxStaleness >= 0L)
+        col("__asof_ts").isNotNull && col("__asof_mts").isNotNull &&
+          age <= lit(maxStaleness)
+      else col("__asof_ts").isNotNull
     carried.filter(col("__asof_side") === 1)
+      .withColumn("__asof_final",
+        when(valid, col("__asof_match")))
       .select(keyCols ++
         lCols.filterNot(keys.contains).map(c => col(s"__asof_lpay.$c").as(c)) ++
-        rPayCols.map(c => col(s"__asof_match.$c").as(c)): _*)
+        rPayCols.map(c => col(s"__asof_final.$c").as(c)): _*)
   }
 
   /** Interval-overlap (range) join via bucketing — the other operator Spark

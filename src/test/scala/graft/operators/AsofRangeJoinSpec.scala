@@ -58,6 +58,72 @@ class AsofRangeJoinSpec extends AnyFunSuite with SparkTest {
     assert(out == Map(1L -> "A", 2L -> null))
   }
 
+  test("asofJoin forward: earliest at-or-after wins, inclusive ties, none-after -> null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:30:00")), // before A -> A (earliest after)
+      (2L, 10L, ts("2024-01-01 01:00:00")), // exactly at A -> A (inclusive)
+      (3L, 10L, ts("2024-01-01 01:30:00")), // between A and B -> B
+      (4L, 10L, ts("2024-01-01 03:00:00")), // after the last snapshot -> null
+      (5L, 11L, ts("2024-01-01 00:00:00"))  // other key, no snapshots -> null
+    ).toDF("event_id", "uid", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), "A"),
+      (10L, ts("2024-01-01 02:00:00"), "B")
+    ).toDF("uid", "rts", "tag")
+    val out = JoinOps.asofJoin(left, right, Seq("uid"), "ts", "rts",
+        direction = "forward")
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out == Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> null, 5L -> null))
+  }
+
+  test("asofJoin maxStaleness: matches older than the bound null out, rows remain") {
+    // numeric (seconds) timestamps; snapshot at t=100 only
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 160L), (3L, 10L, 161L))
+      .toDF("event_id", "uid", "t")
+    val right = Seq((10L, 100L, "A")).toDF("uid", "rt", "tag")
+    val out = JoinOps.asofJoin(left, right, Seq("uid"), "t", "rt",
+        maxStaleness = 60L)
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // age 0 and 60 pass (inclusive bound); 61 is too stale but the left
+    // row survives with null payload
+    assert(out == Map(1L -> "A", 2L -> "A", 3L -> null))
+    // forward mirror: bound on how far AHEAD the match may be
+    val fwd = JoinOps.asofJoin(
+        Seq((1L, 10L, 40L), (2L, 10L, 39L)).toDF("event_id", "uid", "t"),
+        right, Seq("uid"), "t", "rt",
+        direction = "forward", maxStaleness = 60L)
+      .select("event_id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(fwd == Map(1L -> "A", 2L -> null))
+  }
+
+  test("autoHotKeys: Zipf head flagged on skewed keys, nothing on uniform") {
+    // skewed: key 1 has 5000 rows, keys 2..101 have 5 each -> mean ~54,
+    // threshold 16*54=864 -> only key 1 is hot
+    val skewed = ((0 until 5000).map(_ => 1L) ++
+      (2 to 101).flatMap(k => Seq.fill(5)(k.toLong)))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    val hotSkew = JoinOps.autoHotKeys(skewed, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hotSkew.toSeq == Seq((1L, 5000L)))
+    // uniform: 100 keys x 5 rows -> mean 5, threshold max(16, 80) -> none
+    val uniform = (1 to 100).flatMap(k => Seq.fill(5)(k.toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    assert(JoinOps.autoHotKeys(uniform, Seq("k")).count() == 0)
+    // the auto join equals the plain join on both shapes
+    val dim = (1 to 101).map(k => (k.toLong, s"d$k")).toDF("k", "payload")
+    val plain = skewed.join(dim, "k").collect().map(_.toSeq).toSet
+    val auto = JoinOps.skewAwareJoin(skewed, dim, Seq("k"), col("id"),
+      auto = true).collect().map(_.toSeq).toSet
+    assert(auto == plain)
+    val plainU = uniform.join(dim, "k").collect().map(_.toSeq).toSet
+    val autoU = JoinOps.skewAwareJoin(uniform, dim, Seq("k"), col("id"),
+      auto = true).collect().map(_.toSeq).toSet
+    assert(autoU == plainU)
+  }
+
   test("rangeJoin: bucket-straddling intervals pair exactly once; closed bounds") {
     val left = Seq(
       (1L, 95L, 105L),  // straddles the 100 boundary (buckets 9 and 10)
