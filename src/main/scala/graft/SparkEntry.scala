@@ -2355,6 +2355,35 @@ object SparkEntry {
           saltFrom = col("l_orderkey") * lit(10) + col("l_linenumber"),
           auto = true)
         .select(col("k"), col("l_orderkey"), col("l_linenumber"), col("k_rows"))
+    },
+
+    // IVM over GROUPING SETS (the q155 recipe lifted to the rollup shape):
+    // materialize rollup(source, lang) at v1, advance base rows, per-source
+    // subtotals, AND the grand total from the v1->v2 change feed alone —
+    // deletes, token updates, lang moves (preimage+postimage), inserts.
+    // grouping_id rides as gid so subtotal nulls stay distinct from data
+    // nulls; the oracle recomputes the v2 rollup from scratch.
+    "q166_incremental_rollup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q166_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .withColumn("lang",
+            when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val state0 = graft.core.IncrementalAgg.aggregateRollup(
+        s.read.parquet(s"$root/v_$v1"), Seq("source", "lang"), Seq("tokens"))
+      graft.core.IncrementalAgg.applyFeedRollup(
+        state0, feed, Seq("source", "lang"), Seq("tokens"))
     }
   )
 
@@ -5771,7 +5800,25 @@ object SparkEntry {
         |  FROM lineitem),
         |dim AS (SELECT k, count(*) AS k_rows FROM li GROUP BY k)
         |SELECT li.k, l_orderkey, l_linenumber, k_rows
-        |FROM li JOIN dim USING (k)""".stripMargin
+        |FROM li JOIN dim USING (k)""".stripMargin,
+    // direct v2 rollup recompute; GROUPING(source, lang) matches Spark's
+    // grouping_id() bit convention (first column = MSB)
+    "q166_incremental_rollup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

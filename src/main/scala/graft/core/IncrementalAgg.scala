@@ -36,18 +36,72 @@ object IncrementalAgg {
     * deltas, one keyed full-outer join applies them, groups netting to
     * zero rows drop — the state table is touched once, the base table
     * never.
+    *
+    * The join is NULL-SAFE on the group columns (`<=>`): `groupBy` treats
+    * null as one ordinary group, so a nullable group column (a missing
+    * `lang`, a rollup subtotal) must meet its delta in one row — a
+    * null-unsafe key would split it into a state row and a delta row and
+    * break the invariant.
     */
   def applyFeed(state: DataFrame, feed: DataFrame, groupCols: Seq[String],
                 sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
+    val dAggs = feedDeltaAggs(sumCols)
+    val deltas = feed.groupBy(groupCols.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    applyDeltas(state, deltas, groupCols, sumCols)
+  }
+
+  /** The rollup composition: materialize `df.rollup(groupCols)` — base
+    * groups, every subtotal level, and the grand total — and advance ALL
+    * of them from one change feed. Rollup is linear in rows, so each feed
+    * row's ±1/±value contribution applies at every level it participates
+    * in: the (small) feed itself rolls up with the signed aggregates and
+    * the same null-safe keyed join advances base and subtotal rows alike.
+    * `grouping_id()` rides as the `gid` column so a subtotal's null is
+    * never confused with a genuinely-null group value (the standard
+    * grouping-sets disambiguator), and levels whose rows net to zero drop
+    * — including subtotals.
+    *
+    * Invariant (spec'd and oracled, q166):
+    * `applyFeedRollup(aggregateRollup(v_base), feed) ==
+    * aggregateRollup(v_next)`.
+    */
+  def aggregateRollup(df: DataFrame, groupCols: Seq[String],
+                      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val aggs = grouping_id().as("gid") +: count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    df.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(groupCols.map(col) ++ Seq(col("gid")) ++
+        (col("n_rows") +: sumCols.map(c => col(s"sum_$c"))): _*)
+  }
+
+  def applyFeedRollup(state: DataFrame, feed: DataFrame, groupCols: Seq[String],
+                      sumCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val aggs = grouping_id().as("gid") +: feedDeltaAggs(sumCols)
+    val deltas = feed.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    applyDeltas(state, deltas, groupCols :+ "gid", sumCols)
+  }
+
+  /** Signed per-group delta aggregates of a change feed. */
+  private def feedDeltaAggs(sumCols: Seq[String]) = {
     val sgn = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
-    val deltaAggs = sum(sgn).as("__dn") +:
-      sumCols.map(c => sum(col(c) * sgn).as(s"__d_$c"))
-    val deltas = feed.groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-    state.join(deltas, groupCols, "full_outer")
-      .select(groupCols.map(col) ++
+    sum(sgn).as("__dn") +: sumCols.map(c => sum(col(c) * sgn).as(s"__d_$c"))
+  }
+
+  /** One null-safe full-outer keyed join applying `deltas` to `state`;
+    * groups netting to zero rows drop.
+    */
+  private def applyDeltas(state: DataFrame, deltas: DataFrame,
+                          keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val renamed = deltas.select(keyCols.map(c => col(c).as(s"__g_$c")) ++
+      (col("__dn") +: sumCols.map(c => col(s"__d_$c"))): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    state.join(renamed, cond, "full_outer")
+      .select(keyCols.map(c => coalesce(col(c), col(s"__g_$c")).as(c)) ++
         Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
           .as("n_rows")) ++
         sumCols.map(c =>

@@ -68,4 +68,62 @@ class IncrementalAggSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set(("a", 2L, 30L)))
   }
+
+  test("a NULL group value meets its delta in one row (null-safe join)") {
+    // groupBy treats null as one ordinary group; the state-delta join must
+    // too, or the invariant splits the null group into two rows
+    val base = Seq((1L, Some("a"), 10L), (2L, None, 20L), (3L, None, 5L))
+      .toDF("id", "grp", "v")
+    val root = java.nio.file.Files.createTempDirectory("ivm_null").toString
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") =!= 3) // delete one null-group row
+        .unionByName(Seq((9L, Option.empty[String], 7L)).toDF("id", "grp", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    val incr = IncrementalAgg.applyFeed(
+      IncrementalAgg.aggregate(spark.read.parquet(s"$root/v_$v1"), Seq("grp"), Seq("v")),
+      feed, Seq("grp"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2))).toSet
+    val direct = IncrementalAgg.aggregate(
+      spark.read.parquet(s"$root/v_$v2"), Seq("grp"), Seq("v"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(incr == direct)
+    assert(incr.count(_._1 == null) == 1) // ONE null-group row, not two
+    assert(incr.contains((null, 2L, 27L)))
+  }
+
+  test("rollup IVM: base, subtotal, and grand-total rows all advance from the feed") {
+    val base = Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 5L),
+      (4L, "c", "x", 7L)).toDF("id", "g1", "g2", "v")
+    val root = java.nio.file.Files.createTempDirectory("ivm_rollup").toString
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") =!= 2)
+        .withColumn("v", when(col("id") === 3, lit(50L)).otherwise(col("v")))
+        .withColumn("g1", when(col("id") === 4, lit("a")).otherwise(col("g1")))
+        .unionByName(Seq((9L, "d", "z", 1L)).toDF("id", "g1", "g2", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+    val incr = IncrementalAgg.applyFeedRollup(
+      IncrementalAgg.aggregateRollup(spark.read.parquet(s"$root/v_$v1"),
+        Seq("g1", "g2"), Seq("v")),
+      feed, Seq("g1", "g2"), Seq("v"))
+      .collect().map(key).toSet
+    val direct = IncrementalAgg.aggregateRollup(
+      spark.read.parquet(s"$root/v_$v2"), Seq("g1", "g2"), Seq("v"))
+      .collect().map(key).toSet
+    assert(incr == direct)
+    // grand total advanced: 4 rows, 10+50+7+1 = 68
+    assert(incr.contains((null, null, 3L, 4L, 68L)))
+    // subtotal for the vanished g1=c dropped; a's subtotal includes the mover
+    assert(!incr.exists(t => t._1 == "c"))
+    assert(incr.contains(("a", null, 1L, 2L, 17L)))
+  }
 }
