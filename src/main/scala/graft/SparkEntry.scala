@@ -2384,6 +2384,24 @@ object SparkEntry {
         s.read.parquet(s"$root/v_$v1"), Seq("source", "lang"), Seq("tokens"))
       graft.core.IncrementalAgg.applyFeedRollup(
         state0, feed, Seq("source", "lang"), Seq("tokens"))
+    },
+
+    // Materialized training windows — the actual .bin-shard content: docs
+    // carry closed-form token arrays (doc j's tokens are doc_id*100 + 0..n),
+    // pack into 4 shards of 6-token windows, and each window's token_ids
+    // must concatenate the right doc slices in deterministic ticket order.
+    // The oracle replays splitmix tickets (the q113 CTE), shard prefix
+    // sums, and token-level window assignment, assembling windows with an
+    // ordered string_agg.
+    "q167_packed_windows" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          sequence(col("doc_id") * 100,
+            col("doc_id") * 100 + (col("doc_id") % 7)).as("toks"))
+      graft.operators.CorpusOps.materializePackedWindows(
+          docs, col("doc_id"), "toks", windowTokens = 6L, shards = 4)
+        .select(col("shard"), col("window_id"), col("n_slices"),
+          col("window_len"), array_join(col("token_ids"), ",").as("toks_csv"))
     }
   )
 
@@ -5818,7 +5836,31 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
         |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
         |  count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens
-        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin
+        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin,
+    // splitmix ticket (q113 CTE) -> shard -> prefix sums -> token-level
+    // window positions -> ordered assembly
+    "q167_packed_windows" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 7 AS n FROM documents WHERE doc_id < 40),
+        |z0 AS (SELECT doc_id, n, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, n, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, n, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, n, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, n, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, n, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |b AS (SELECT doc_id, n, ticket, ticket % 4 AS shard,
+        |  CAST(coalesce(sum(n) OVER (PARTITION BY ticket % 4 ORDER BY ticket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokb
+        |  FROM tk),
+        |toks AS (SELECT b.*, unnest(generate_series(0, n - 1)) AS j FROM b),
+        |pos AS (SELECT shard, doc_id,
+        |    (tokb + j) // 6 AS window_id, (tokb + j) % 6 AS win_off,
+        |    doc_id * 100 + j AS tok
+        |  FROM toks)
+        |SELECT shard, window_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_slices,
+        |  count(*) AS window_len,
+        |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY win_off) AS toks_csv
+        |FROM pos GROUP BY shard, window_id""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

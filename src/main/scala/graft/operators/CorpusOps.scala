@@ -219,6 +219,58 @@ object CorpusOps {
       .drop("seq_id", "begin_offset", "n_splits")
   }
 
+  /** Materialize the ACTUAL training windows — the step that turns the
+    * [[packSequences]] layout into the fixed-length token arrays a
+    * pretraining loader memory-maps (the `.bin` shard content): each
+    * document's token array slices at the window boundaries its
+    * [[packedWindowManifest]] spans describe, and every window's slices
+    * concatenate in pack order into one `token_ids` array of exactly
+    * `windowTokens` entries (the final partial window of a shard is
+    * shorter). Works over any pre-tokenized array column — real subword
+    * ids from [[graft.text.Bpe.bpeEncodeIds]], or whatever the pipeline
+    * produced.
+    *
+    * Output: (shard, window_id, n_slices, window_len, token_ids), one row
+    * per training window, `window_id` dense per shard in pack order.
+    *
+    * Plan: the one shard-keyed exchange [[packSequences]] already does, a
+    * bounded slice explode (`n_splits + 1` parts per doc), then ONE
+    * (shard, window) aggregation whose buffers hold exactly `windowTokens`
+    * tokens — order restored by an in-memory `array_sort` on the slices'
+    * window offsets, so assembly is partitioning-independent. Zero-token
+    * docs contribute no slice (the manifest keeps them for the bijection;
+    * an artifact has nothing to store).
+    */
+  def materializePackedWindows(df: DataFrame, key: Column, toksCol: String,
+                               windowTokens: Long, shards: Int = 1024): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val W = windowTokens
+    val packed = packSequences(
+      df.withColumn("__graft_mw_n", size(col(toksCol)).cast("long")),
+      key, col("__graft_mw_n"), W, shards)
+    packed
+      .withColumn("part", explode(sequence(lit(0L), col("n_splits"))))
+      .withColumn("window_id", col("seq_id") + col("part"))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("part") * W - col("begin_offset")))
+      .withColumn("slice_len",
+        least(col("n_tokens"), (col("part") + 1) * W - col("begin_offset")) -
+          col("slice_start"))
+      // window-local position of this slice: global token position minus
+      // the window's base — the sort key that restores pack order
+      .withColumn("win_off",
+        col("begin_offset") + col("slice_start") - col("part") * lit(W))
+      .filter(col("slice_len") > 0)
+      .withColumn("piece", slice(col(toksCol),
+        (col("slice_start") + 1).cast("int"), col("slice_len").cast("int")))
+      .groupBy(col("shard"), col("window_id"))
+      .agg(
+        count(lit(1)).as("n_slices"),
+        sum(col("slice_len")).as("window_len"),
+        flatten(array_sort(collect_list(struct(col("win_off"), col("piece"))))
+          .getField("piece")).as("token_ids"))
+  }
+
   /** RefinedWeb/FineWeb-style per-domain cap with a host blocklist: drop
     * blocked hosts outright, then keep at most `maxPerDomain` documents per
     * host — the web-corpus governance pass that stops a single crawl-happy

@@ -302,6 +302,50 @@ object Bpe {
     df.withColumn(outCol, enc(col(textCol)))
   }
 
+  /** The vocabulary a merge table induces, with DETERMINISTIC integer ids:
+    * base single-character symbols (every character the ws-tokenized,
+    * lowercased corpus contains, sorted) take ids 0..C−1, and each merge's
+    * product symbol takes id C + rank — the standard BPE id assignment, so
+    * the same (corpus, merges) pair yields the same ids on any engine or
+    * partitioning. Output: (token, id). Vocabulary is bounded (charset +
+    * numMerges), so the single-partition ordering window is fine.
+    */
+  def bpeVocab(corpus: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val chars = corpus
+      .select(explode(TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .select(explode(split(col("w"), "")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+    val base = chars.withColumn("id",
+      (row_number().over(Window.orderBy(col("token"))) - 1).cast("int"))
+    val nb = chars.agg(count(lit(1)).as("__nb"))
+    val merged = merges
+      .select(concat(col("left"), col("right")).as("token"), col("rank"))
+      .crossJoin(broadcast(nb))
+      .select(col("token"), (col("rank") + col("__nb")).cast("int").as("id"))
+    base.unionByName(merged)
+  }
+
+  /** [[bpeEncode]] emitting integer token IDS against a [[bpeVocab]] table
+    * — the array a training artifact actually stores
+    * ([[graft.operators.CorpusOps.materializePackedWindows]] consumes it).
+    * Characters absent from the vocabulary (unseen at vocab-build time)
+    * encode as −1, the explicit OOV marker. Map-only: vocabulary and ranks
+    * both ride the kernel closure.
+    */
+  def bpeEncodeIds(df: DataFrame, textCol: String, merges: DataFrame,
+                   vocab: DataFrame, outCol: String): DataFrame = {
+    val vmap: Map[String, Int] = vocab.select(col("token"), col("id").cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val toIds = udf((toks: Seq[String]) =>
+      if (toks == null) null else toks.map(t => vmap.getOrElse(t, -1)))
+    bpeEncode(df, textCol, merges, "__bpe_idtoks")
+      .withColumn(outCol, toIds(col("__bpe_idtoks")))
+      .drop("__bpe_idtoks")
+  }
+
   /** Exact learned-BPE token count — the budget/packing input
     * ([[graft.operators.CorpusOps.packSequences]] and the token-budget
     * mixes can run on real subword counts instead of estimates).

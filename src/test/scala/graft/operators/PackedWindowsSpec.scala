@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized training windows + the BPE id path that feeds them. */
+class PackedWindowsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def fixture(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 to i % 5).map(j => i * 100 + j))
+    }.toDF("id", "toks")
+
+  test("windows tile the packed stream: interior length W, order = pack order") {
+    val docs = fixture(30)
+    val W = 7L
+    val out = CorpusOps.materializePackedWindows(docs, col("id"), "toks", W, shards = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4)))
+    // per shard: window ids dense from 0; all but the last hold exactly W
+    out.groupBy(_._1).foreach { case (shard, ws) =>
+      val sorted = ws.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.init.foreach { w => assert(w._4 == W && w._5.length == W.toInt) }
+      assert(sorted.last._4 <= W)
+    }
+    // stream reconstruction: concatenating a shard's windows in id order
+    // must equal concatenating its docs in (ticket, id) pack order
+    val packed = CorpusOps.packSequences(
+        docs.withColumn("n", size(col("toks")).cast("long")),
+        col("id"), col("n"), W, shards = 3)
+      .select(col("shard"), col("seq_id"), col("begin_offset"), col("id"), col("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Int](4)))
+    packed.groupBy(_._1).foreach { case (shard, ds) =>
+      val docStream = ds.sortBy(d => (d._2, d._3)).flatMap(_._5).toSeq
+      val winStream = out.filter(_._1 == shard).sortBy(_._2).flatMap(_._5).toSeq
+      assert(winStream == docStream, s"shard $shard stream mismatch")
+    }
+    // zero-token docs (i % 5 == 4 yields 5 tokens; none are empty here):
+    // plant one explicitly and check it vanishes from the artifact
+    val withEmpty = docs.unionByName(
+      Seq((999L, Seq.empty[Int])).toDF("id", "toks"))
+    val out2 = CorpusOps.materializePackedWindows(withEmpty, col("id"), "toks", W, 3)
+      .agg(sum(col("window_len"))).head().getLong(0)
+    assert(out2 == out.map(_._4).sum)
+  }
+
+  test("assembly is partitioning-independent") {
+    val docs = fixture(40)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.materializePackedWindows(df, col("id"), "toks", 6L, shards = 4)
+        .select(col("shard"), col("window_id"),
+          array_join(col("token_ids"), ",").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
+  test("BPE id path end-to-end: vocab ids deterministic, windows round-trip the ids") {
+    import graft.text.Bpe
+    val corpus = Seq.fill(6)("abab cd abab").zipWithIndex
+      .map { case (t, i) => (i.toLong, s"$t extra$i") }.toDF("id", "text")
+    val merges = Bpe.bpeTrain(corpus, "text", numMerges = 3)
+    val vocab = Bpe.bpeVocab(corpus, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // base chars sorted take 0..C-1; merge products take C + rank
+    val baseChars = vocab.keys.filter(_.length == 1).toSeq.sorted
+    baseChars.zipWithIndex.foreach { case (c, i) => assert(vocab(c) == i) }
+    val mergedToks = merges.orderBy("rank").collect()
+      .map(r => r.getString(1) + r.getString(2))
+    mergedToks.zipWithIndex.foreach { case (t, k) =>
+      assert(vocab(t) == baseChars.length + k)
+    }
+    val ids = Bpe.bpeEncodeIds(corpus, "text",
+      merges, Bpe.bpeVocab(corpus, "text", merges), "ids")
+    // every id resolves (no OOV in-corpus); unseen chars encode as -1
+    assert(ids.select(explode(col("ids"))).filter(col("col") < 0).count() == 0)
+    val oov = Bpe.bpeEncodeIds(Seq((1L, "ZZZ qqq")).toDF("id", "text"),
+      "text", merges, Bpe.bpeVocab(corpus, "text", merges), "ids")
+      .select(explode(col("ids"))).collect().map(_.getInt(0))
+    assert(oov.contains(-1))
+    // the materialized windows carry exactly the concatenated doc ids
+    val wins = CorpusOps.materializePackedWindows(ids, col("id"), "ids", 5L, 2)
+    val winTokens = wins.select(explode(col("token_ids"))).collect()
+      .map(_.getInt(0)).sorted.toSeq
+    val docTokens = ids.select(explode(col("ids"))).collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(winTokens == docTokens)
+  }
+}
