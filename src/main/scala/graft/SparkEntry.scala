@@ -2402,6 +2402,16 @@ object SparkEntry {
           docs, col("doc_id"), "toks", windowTokens = 6L, shards = 4)
         .select(col("shard"), col("window_id"), col("n_slices"),
           col("window_len"), array_join(col("token_ids"), ",").as("toks_csv"))
+    },
+
+    // RAG-style sliding-window chunker: 64-token windows advancing by 16
+    // (48-token overlap), tail window shorter, map-only. The oracle
+    // replays the window arithmetic and rebuilds every chunk's text with
+    // 1-based inclusive list slicing.
+    "q168_sliding_chunks" -> { (s, dir) =>
+      graft.operators.CorpusOps.slidingTokenChunks(
+        Tables.documents(s, dir), "text", "doc_id",
+        chunkTokens = 64, stride = 16)
     }
   )
 
@@ -5860,7 +5870,20 @@ object SparkEntry {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_slices,
         |  count(*) AS window_len,
         |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY win_off) AS toks_csv
-        |FROM pos GROUP BY shard, window_id""".stripMargin
+        |FROM pos GROUP BY shard, window_id""".stripMargin,
+    // same start-position arithmetic; DuckDB list_slice is 1-based with an
+    // inclusive stop
+    "q168_sliding_chunks" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n,
+        |    1 + greatest(0, CAST(ceil((n - 64) / 16.0) AS BIGINT)) AS nc FROM n),
+        |e AS (SELECT doc_id, ws, n, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id, chunk_id * 16 AS begin_token,
+        |  CAST(least(64, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(ws, chunk_id * 16 + 1,
+        |    chunk_id * 16 + least(64, n - chunk_id * 16)), ' ') AS chunk_text
+        |FROM e""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

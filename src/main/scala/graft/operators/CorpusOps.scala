@@ -271,6 +271,43 @@ object CorpusOps {
           .getField("piece")).as("token_ids"))
   }
 
+  /** Sliding-window token chunker — the RAG/embedding prep step the
+    * reference's ingestion runs upstream of its chunk tables: each document
+    * splits into windows of `chunkTokens` whitespace tokens advancing by
+    * `stride` (overlap = chunkTokens − stride preserves context across
+    * boundaries), the final window keeps the tail (shorter, never empty
+    * for a non-empty doc). Start positions are 0, stride, 2·stride, … and
+    * the last start is the first one whose window reaches the end — so a
+    * doc of n tokens yields 1 + max(0, ceil((n − chunkTokens) / stride))
+    * chunks and token-less docs yield none.
+    *
+    * Output: (`idCol`, chunk_id, begin_token, n_chunk_tokens, chunk_text).
+    * Map-only: one split + a bounded explode per document; no shuffle at
+    * all — the 100 TB shape for a pass that feeds every embedder.
+    */
+  def slidingTokenChunks(df: DataFrame, textCol: String, idCol: String,
+                         chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(stride >= 1 && stride <= chunkTokens,
+      "stride must be in [1, chunkTokens]")
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    df.select(col(idCol), words.as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .filter(col("__n") > 0)
+      .withColumn("__nc",
+        lit(1) + greatest(lit(0L),
+          ceil((col("__n") - lit(chunkTokens)).cast("double") / stride).cast("long")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("__nc") - 1)))
+      .withColumn("begin_token", col("chunk_id") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens.toLong), col("__n") - col("begin_token")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__w"), (col("begin_token") + 1).cast("int"),
+          col("n_chunk_tokens").cast("int"))))
+      .select(col(idCol), col("chunk_id"), col("begin_token"),
+        col("n_chunk_tokens"), col("chunk_text"))
+  }
+
   /** RefinedWeb/FineWeb-style per-domain cap with a host blocklist: drop
     * blocked hosts outright, then keep at most `maxPerDomain` documents per
     * host — the web-corpus governance pass that stops a single crawl-happy

@@ -61,6 +61,30 @@ class PackedWindowsSpec extends AnyFunSuite with SparkTest {
     assert(run(docs) == run(docs.repartition(11)))
   }
 
+  test("slidingTokenChunks: overlap windows, short tail, degenerate docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),      // 7 tokens, chunk 3 stride 2 -> 3 chunks
+      (2L, "x y"),                // shorter than a chunk -> 1 chunk
+      (3L, "   "),                // token-less -> no chunks
+      (4L, "p q r")               // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.slidingTokenChunks(docs, "text", "doc_id",
+        chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 3L, "a b c"),
+      (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 3L, "e f g"),
+      (2L, 0L, 0L, 2L, "x y"),
+      (4L, 0L, 0L, 3L, "p q r")))
+    // stride == chunkTokens: disjoint tiling, tail kept
+    val tiled = CorpusOps.slidingTokenChunks(docs.filter(col("doc_id") === 1),
+        "text", "doc_id", chunkTokens = 3, stride = 3)
+      .collect().map(r => r.getString(4)).toSet
+    assert(tiled == Set("a b c", "d e f", "g"))
+  }
+
   test("BPE id path end-to-end: vocab ids deterministic, windows round-trip the ids") {
     import graft.text.Bpe
     val corpus = Seq.fill(6)("abab cd abab").zipWithIndex
