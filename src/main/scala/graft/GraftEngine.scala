@@ -394,6 +394,24 @@ object GraftEngine {
     operators.CorpusOps.prepareTrainingCorpus(docs, textCol, idCol, labeled,
       labelCol, windowTokens, shards)
 
+  /** chunk_corpus: sliding-window token chunks (RAG/embedding prep) —
+    * overlapping fixed-token windows, map-only
+    * ([[operators.CorpusOps.slidingTokenChunks]]).
+    */
+  def chunkCorpus(docs: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, stride: Int): DataFrame =
+    operators.CorpusOps.slidingTokenChunks(docs, textCol, idCol, chunkTokens, stride)
+
+  /** materialize_training_windows: the actual fixed-length token arrays a
+    * pretraining loader memory-maps, assembled from any pre-tokenized
+    * array column in pack order
+    * ([[operators.CorpusOps.materializePackedWindows]]).
+    */
+  def materializeTrainingWindows(df: DataFrame, key: org.apache.spark.sql.Column,
+                                 toksCol: String, windowTokens: Long,
+                                 shards: Int = 1024): DataFrame =
+    operators.CorpusOps.materializePackedWindows(df, key, toksCol, windowTokens, shards)
+
   /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
   def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
     operators.KnnOps.quantizeInt8(df, embCol)
