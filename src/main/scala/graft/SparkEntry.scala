@@ -2412,6 +2412,24 @@ object SparkEntry {
       graft.operators.CorpusOps.slidingTokenChunks(
         Tables.documents(s, dir), "text", "doc_id",
         chunkTokens = 64, stride = 16)
+    },
+
+    // Margin-based bitext mining (the LASER/CCMatrix ratio margin): 30
+    // planted "translations" (identical vectors at +10^6) against 100
+    // unrelated targets. Cosines micro-floor first, the margin is a pure
+    // integer div, so the mined set and every score replay exactly; the
+    // oracle re-runs the whole pipeline (both-side top-4 neighborhoods,
+    // sums, margins, per-side argmax, mutuality).
+    "q169_bitext_margin" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+      val tgt = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("tid"), col("embedding").as("temb"))
+        .unionByName(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+          .select(col("vec_id").as("tid"), col("embedding").as("temb")))
+      graft.operators.KnnOps.marginBitextMine(src, "sid", "semb",
+        tgt, "tid", "temb", k = 4, minMarginMicro = 1100000L)
     }
   )
 
@@ -5883,7 +5901,44 @@ object SparkEntry {
         |  CAST(least(64, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(list_slice(ws, chunk_id * 16 + 1,
         |    chunk_id * 16 + least(64, n - chunk_id * 16)), ' ') AS chunk_text
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+    // full ratio-margin replay: micro-floored cosines, both-side top-4
+    // windows, integer-div margins, per-side argmax, mutual join
+    "q169_bitext_margin" ->
+      """WITH src AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS sid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 200),
+        |tgt AS (
+        |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS tid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 30
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS BIGINT), CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+        |pairs AS (
+        |  SELECT sid, tid,
+        |    CAST(floor(1e6 * list_cosine_similarity(s.e, t.e)) AS BIGINT) AS cm
+        |  FROM src s CROSS JOIN tgt t),
+        |nns AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rs FROM pairs),
+        |nnt AS (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY cm DESC, sid) AS rt FROM pairs),
+        |sums AS (SELECT sid, sum(cm) AS ss FROM nns WHERE rs <= 4 GROUP BY sid),
+        |sumt AS (SELECT tid, sum(cm) AS st FROM nnt WHERE rt <= 4 GROUP BY tid),
+        |scs AS (
+        |  SELECT n.sid, n.tid, n.cm,
+        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
+        |  FROM nns n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rs <= 4),
+        |bs AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY margin DESC NULLS LAST, tid) AS b FROM scs),
+        |sct AS (
+        |  SELECT n.sid, n.tid, n.cm,
+        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
+        |  FROM nnt n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rt <= 4),
+        |bt AS (
+        |  SELECT sid, tid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY margin DESC NULLS LAST, sid) AS b
+        |    FROM sct) x WHERE b = 1)
+        |SELECT s.sid AS src_id, s.tid AS tgt_id, s.cm AS cos_micro,
+        |  s.margin AS margin_micro, bt.sid IS NOT NULL AS mutual
+        |FROM bs s LEFT JOIN bt ON s.sid = bt.sid AND s.tid = bt.tid
+        |WHERE s.b = 1 AND s.margin IS NOT NULL AND s.margin >= 1100000""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -455,6 +455,82 @@ object KnnOps {
     * late-interaction price; prune candidates first (BM25 or pooled-KNN
     * top-N) when the corpus is 100 TB.
     */
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix parallel-corpus mining pass): a source/target sentence
+    * pair is parallel when its cosine stands OUT relative to each side's
+    * neighborhood, scored by the ratio margin
+    * `cos(x,y) / ((Σ_{z∈NNk(x)} cos(x,z) + Σ_{z∈NNk(y)} cos(z,y)) / 2k)`.
+    * Absolute-threshold mining drowns in hubness; the margin is the
+    * published fix.
+    *
+    * Integer-exact for the oracle gate (the q154 MaxSim recipe): cosines
+    * micro-floor FIRST, the margin is `cosM · 2k · 10⁶ div (sumNN(x) +
+    * sumNN(y))` — a pure integer div, so mining is bit-deterministic
+    * across engines and partitionings. A non-positive denominator (only
+    * possible when a side's whole neighborhood is anti-correlated) yields
+    * a null margin, never a sign-flipped score.
+    *
+    * Output: one row per source sentence whose best-margin candidate
+    * clears `minMarginMicro` (10⁶ = margin 1.0) —
+    * (src_id, tgt_id, cos_micro, margin_micro, mutual), `mutual` = the
+    * pair is also the target side's best (the published "max" strategy
+    * intersected both ways; filter on it for high precision).
+    *
+    * Plan: the brute-force arm — one broadcast theta join scores all
+    * pairs map-side, per-side top-k neighborhoods via rank windows, keyed
+    * sum joins, best-per-side argmax. |src|·|tgt| dot products like any
+    * exact mining pass; at corpus scale pre-block candidates (hyperplane
+    * bands / IVF cells) and feed the blocked pair table through the same
+    * margin arithmetic.
+    */
+  def marginBitextMine(src: DataFrame, srcIdCol: String, srcEmbCol: String,
+                       tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,
+                       k: Int = 4, minMarginMicro: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import graft.util.OpCaches.TrackedPersist
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"), col(srcEmbCol).as("__semb"))
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"), col(tgtEmbCol).as("__temb"))
+    val cm = floor(lit(1e6) *
+      GraftFunctions.cosine_similarity(col("__semb"), col("__temb"))).cast("long")
+    val pairs = s.join(broadcast(t)).select(col("src_id"), col("tgt_id"), cm.as("cm"))
+      .persistTracked
+    val W = org.apache.spark.sql.expressions.Window
+    val wS = W.partitionBy(col("src_id"))
+      .orderBy(col("cm").desc, col("tgt_id").asc)
+    val wT = W.partitionBy(col("tgt_id"))
+      .orderBy(col("cm").desc, col("src_id").asc)
+    val nnS = pairs.withColumn("__r", row_number().over(wS)).filter(col("__r") <= k)
+      .persistTracked
+    val nnT = pairs.withColumn("__r", row_number().over(wT)).filter(col("__r") <= k)
+      .persistTracked
+    val sumS = nnS.groupBy(col("src_id")).agg(sum(col("cm")).as("__sum_s"))
+    val sumT = nnT.groupBy(col("tgt_id")).agg(sum(col("cm")).as("__sum_t"))
+    // pure integer div; the cm >= 0 guard (a negative-cosine pair is never
+    // parallel) keeps numerator and denominator non-negative so truncating
+    // and flooring division agree — bit-identical in any engine
+    def scored(cands: DataFrame) = cands
+      .join(sumS, "src_id").join(sumT, "tgt_id")
+      .withColumn("margin_micro",
+        when(col("__sum_s") + col("__sum_t") > 0 && col("cm") >= 0,
+          expr(s"cm * ${2L * k} * 1000000 div (__sum_s + __sum_t)")))
+    // best-margin candidate per side (ties to the smaller partner id)
+    val bestS = scored(nnS)
+      .withColumn("__b", row_number().over(W.partitionBy(col("src_id"))
+        .orderBy(col("margin_micro").desc_nulls_last, col("tgt_id").asc)))
+      .filter(col("__b") === 1 && col("margin_micro").isNotNull &&
+        col("margin_micro") >= minMarginMicro)
+    val bestT = scored(nnT)
+      .withColumn("__b", row_number().over(W.partitionBy(col("tgt_id"))
+        .orderBy(col("margin_micro").desc_nulls_last, col("src_id").asc)))
+      .filter(col("__b") === 1)
+      .select(col("src_id").as("__bt_s"), col("tgt_id").as("__bt_t"))
+    bestS
+      .join(bestT, col("src_id") === col("__bt_s") && col("tgt_id") === col("__bt_t"),
+        "left")
+      .select(col("src_id"), col("tgt_id"), col("cm").as("cos_micro"),
+        col("margin_micro"), col("__bt_s").isNotNull.as("mutual"))
+  }
+
   def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
                  docIdCol: String, docEmbCol: String,
                  qidCol: String, qtokCol: String, qembCol: String): DataFrame = {

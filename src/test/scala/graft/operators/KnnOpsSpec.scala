@@ -117,6 +117,48 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     assert(out.toSeq == Seq((3L, 99L)))
   }
 
+  test("marginBitextMine: planted translations mine mutually; distractors do not") {
+    import spark.implicits._
+    // source = 30 random sentences; target = exact copies of the first 10
+    // at +1000 (the "translations") + 20 unrelated vectors. A copy's cosine
+    // is 1.0 while its neighborhood averages far less -> margin >> 1; the
+    // unmatched sources' best candidates sit at neighborhood level ->
+    // margin ~1, below the 1.2 threshold.
+    val src = (0 until 30).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
+    val tgt = ((0 until 10).map(i => (1000L + i, vec(i))) ++
+      (50 until 70).map(i => (1000L + i, vec(i)))).toDF("tid", "temb")
+    val out = KnnOps.marginBitextMine(src, "sid", "semb", tgt, "tid", "temb",
+        k = 4, minMarginMicro = 1200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4)))
+    val mined = out.map(p => (p._1, p._2)).toSet
+    (0 until 10).foreach { i =>
+      assert(mined.contains((i.toLong, 1000L + i)), s"missing pair $i")
+    }
+    // every planted pair is mutual (it is also the target's best)
+    out.filter(p => p._2 - 1000 == p._1).foreach(p => assert(p._4))
+    // the translations' margins dominate any chance distractor pair
+    val plantedMin = out.filter(p => p._2 - 1000 == p._1).map(_._3).min
+    out.filter(p => p._2 - 1000 != p._1).foreach { p =>
+      assert(p._3 < plantedMin, s"distractor $p outranks a translation")
+    }
+  }
+
+  test("marginBitextMine is partitioning-independent") {
+    import spark.implicits._
+    val src = (0 until 25).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
+    val tgt = (0 until 25).map(i => (2000L + i, vec(i + 7))).toDF("tid", "temb")
+    def run(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      KnnOps.marginBitextMine(a, "sid", "semb", b, "tid", "temb",
+        k = 3, minMarginMicro = 0L)
+        .collect().map(_.toSeq).toSet
+    val x = run(src, tgt)
+    graft.GraftEngine.releaseCaches()
+    val y = run(src.repartition(9), tgt.repartition(5))
+    graft.GraftEngine.releaseCaches()
+    assert(x == y && x.nonEmpty)
+  }
+
   test("vector mean aggregator computes per-group centroids") {
     import spark.implicits._
     val df = Seq(
