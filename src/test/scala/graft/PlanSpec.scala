@@ -250,6 +250,65 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       "within-cluster self-join lost its equi key")
   }
 
+  test("q160: capped hamming pairs — every join keyed or broadcast, no cartesian") {
+    val plan = physicalPlan("q160_hamming_capped")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the mega-dup class pairs via generates off the collapsed groups,
+    // never through a join
+    assert(plan.contains("posexplode(members"))
+    // hot-bucket drop is a broadcast anti join on (chunk, ckey)
+    assert(plan.contains("LeftAnti"))
+  }
+
+  test("q161: LSH decontamination joins stay keyed (no eval broadcast NLJ)") {
+    val plan = physicalPlan("q161_semantic_decon_lsh")
+    assert(!plan.contains("CartesianProduct"))
+    // the banded candidate join keys on (band, bkey); embeddings re-join
+    // keyed on ids — the only allowed BNLJ is none at all
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q165: auto skew join splits via broadcast hot set, unions two keyed arms") {
+    val plan = physicalPlan("q165_auto_skew_join")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Union"))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+    // the 1-row auto threshold rides a broadcast nested loop (fine); any
+    // OTHER BNLJ would be an unkeyed join of real tables
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"unexpected BNLJ shape: $l")
+    }
+  }
+
+  test("q164: forward as-of is the union-window plan — one sort, no range join") {
+    val plan = physicalPlan("q164_asof_forward")
+    assert(!plan.contains("CartesianProduct"))
+    // the only BNLJ allowed is the fixture's own 25x40 rate-grid cross
+    // join; the as-of itself must never appear as a range-condition join
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(l.contains("Cross"), s"unexpected BNLJ shape: $l")
+    }
+    assert(plan.contains("Union"))
+    assert(plan.contains("Window"))
+  }
+
+  test("q167: window materialization is one shard exchange + one final aggregation") {
+    val plan = SparkEntry.queries("q167_packed_windows")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin")) // no join anywhere in the pipeline
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("q168: sliding chunker is map-only — zero exchanges, zero joins") {
+    val plan = SparkEntry.queries("q168_sliding_chunks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunker shuffled:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"))
+    assert(plan.contains("Generate"))
+  }
+
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
