@@ -2430,6 +2430,19 @@ object SparkEntry {
           .select(col("vec_id").as("tid"), col("embedding").as("temb")))
       graft.operators.KnnOps.marginBitextMine(src, "sid", "semb",
         tgt, "tid", "temb", k = 4, minMarginMicro = 1100000L)
+    },
+
+    // Greedy NON-splitting packing (the SFT mode: examples never straddle
+    // windows, remainders are padding, oversize docs sit alone over-full).
+    // Same closed-form token counts as q167; the oracle replays the
+    // sequential greedy fold per shard with a recursive CTE.
+    "q170_greedy_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), (lit(1L) + col("doc_id") % 7).as("n"))
+      graft.operators.CorpusOps.packGreedyWindows(
+          docs, col("doc_id"), col("n"), windowTokens = 6L, shards = 4)
+        .select(col("shard"), col("doc_id"), col("n"), col("window_id"),
+          col("window_fill"))
     }
   )
 
@@ -5938,7 +5951,32 @@ object SparkEntry {
         |SELECT s.sid AS src_id, s.tid AS tgt_id, s.cm AS cos_micro,
         |  s.margin AS margin_micro, bt.sid IS NOT NULL AS mutual
         |FROM bs s LEFT JOIN bt ON s.sid = bt.sid AND s.tid = bt.tid
-        |WHERE s.b = 1 AND s.margin IS NOT NULL AND s.margin >= 1100000""".stripMargin
+        |WHERE s.b = 1 AND s.margin IS NOT NULL AND s.margin >= 1100000""".stripMargin,
+    // splitmix ticket order per shard (q113 CTE), then the greedy fold as
+    // a recursive CTE stepping one doc per shard per level
+    "q170_greedy_pack" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT doc_id, 1 + doc_id % 7 AS n FROM documents WHERE doc_id < 60),
+        |z0 AS (SELECT doc_id, n, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d0),
+        |x1 AS (SELECT doc_id, n, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, n, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, n, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, n, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, n, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |o AS (SELECT doc_id, n, ticket % 4 AS shard,
+        |  row_number() OVER (PARTITION BY ticket % 4 ORDER BY ticket, doc_id) AS rn
+        |  FROM tk),
+        |walk AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS window_id, n AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.n,
+        |    CASE WHEN w.fill + o.n > 6 THEN w.window_id + 1 ELSE w.window_id END,
+        |    CASE WHEN w.fill + o.n > 6 THEN o.n ELSE w.fill + o.n END
+        |  FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
+        |SELECT shard, doc_id, CAST(n AS BIGINT) AS n, window_id,
+        |  CAST(sum(n) OVER (PARTITION BY shard, window_id) AS BIGINT) AS window_fill
+        |FROM walk""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

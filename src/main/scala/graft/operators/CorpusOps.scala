@@ -189,6 +189,72 @@ object CorpusOps {
       .drop("graft_pack_ticket", "graft_pack_before")
   }
 
+  /** Greedy NON-SPLITTING sequence packing — the instruction-tuning/SFT
+    * mode, where an example must never straddle a window boundary (the
+    * loss mask needs whole examples): in deterministic ticket order per
+    * shard, each document joins the current window while the fill stays
+    * within `windowTokens`, otherwise a new window opens; the remainder of
+    * every window is padding. A document longer than `windowTokens` gets a
+    * window of its own (over-full, `window_fill > windowTokens` — the
+    * caller truncates or rejects; silently splitting would corrupt the
+    * loss mask). Compare [[packSequences]], the pretraining concat-split
+    * mode with zero padding.
+    *
+    * Output: the input columns plus (shard, window_id, window_fill) —
+    * `window_fill` is the packed token total of the document's window, so
+    * padding = `greatest(0, windowTokens - window_fill)` and the corpus
+    * padding fraction is one aggregation away.
+    *
+    * Plan: one shard exchange + an in-group SORTED iterator
+    * (`flatMapSortedGroups`) — greedy packing is inherently sequential
+    * within a shard, which is exactly why the shard bound exists: size
+    * `shards` so one shard's rows fit an executor, and the sequential
+    * scan is per-shard-bounded, never corpus-wide.
+    */
+  def packGreedyWindows(df: DataFrame, key: Column, tokens: Column,
+                        windowTokens: Long, shards: Int = 1024): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val prep = df
+      .withColumn("__gp_ticket", sampleTicket(key))
+      .withColumn("shard", pmod(col("__gp_ticket"), lit(shards.toLong)))
+      .withColumn("__gp_n", tokens.cast("long"))
+      .withColumn("__gp_k", key)
+    val outSchema = StructType(prep.schema.fields ++ Seq(
+      StructField("window_id", LongType, nullable = false),
+      StructField("window_fill", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val shardIdx = prep.schema.fieldIndex("shard")
+    val nIdx = prep.schema.fieldIndex("__gp_n")
+    prep
+      .groupByKey(r => r.getLong(shardIdx))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("__gp_ticket"), col("__gp_k")) { (_, rows) =>
+        // two-phase within the group: assign windows greedily, buffering
+        // one window's rows so its final fill can ride on every member
+        var wid = -1L
+        var fill = 0L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def flush(): Unit = {
+          buf.foreach(r => out += Row.fromSeq(r.toSeq ++ Seq(wid, fill)))
+          buf.clear()
+        }
+        rows.foreach { r =>
+          val n = r.getLong(nIdx)
+          if (wid < 0 || fill + n > windowTokens) {
+            flush(); wid += 1; fill = 0L
+          }
+          fill += n
+          buf += r
+        }
+        flush()
+        out.iterator
+      }(enc)
+      .drop("__gp_ticket", "__gp_n", "__gp_k")
+  }
+
   /** The data-loader view of [[packSequences]]: one row per (document,
     * window) slice — which contiguous token span of which document fills
     * each training window. A doc straddling `n_splits` boundaries explodes

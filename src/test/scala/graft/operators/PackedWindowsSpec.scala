@@ -61,6 +61,52 @@ class PackedWindowsSpec extends AnyFunSuite with SparkTest {
     assert(run(docs) == run(docs.repartition(11)))
   }
 
+  test("packGreedyWindows: greedy replay, no straddling, oversize doc alone") {
+    import graft.operators.CorpusOps
+    // tokens 1..9 cyclic + one oversize doc (n = 15 > W = 10)
+    val docs = ((0 until 40).map(i => (i.toLong, 1L + i % 9)) :+ (99L, 15L))
+      .toDF("id", "n")
+    val W = 10L
+    val out = CorpusOps.packGreedyWindows(docs, col("id"), col("n"), W, shards = 3)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("id"),
+        r.getAs[Long]("n"), r.getAs[Long]("window_id"), r.getAs[Long]("window_fill")))
+    // replay the greedy fold over the operator's own deterministic order
+    val order = docs
+      .withColumn("t", CorpusOps.sampleTicket(col("id")))
+      .withColumn("shard", pmod(col("t"), lit(3L)))
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("t"),
+        r.getAs[Long]("id"), r.getAs[Long]("n")))
+    val expected = order.groupBy(_._1).flatMap { case (shard, ds) =>
+      var wid = -1L; var fill = 0L
+      val assigned = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      ds.sortBy(d => (d._2, d._3)).foreach { case (_, _, id, n) =>
+        if (wid < 0 || fill + n > W) { wid += 1; fill = 0 }
+        fill += n
+        assigned += ((id, n, wid))
+      }
+      val fills = assigned.groupBy(_._3).map { case (w, xs) => w -> xs.map(_._2).sum }
+      assigned.map { case (id, n, w) => (shard, id, n, w, fills(w)) }
+    }.toSet
+    assert(out.toSet == expected)
+    // invariants: fills never exceed W except a lone oversize doc's window
+    out.groupBy(x => (x._1, x._4)).foreach { case (_, members) =>
+      val fill = members.head._5
+      assert(fill <= W || members.length == 1,
+        s"straddling/overfull window: $members")
+    }
+    assert(out.find(_._2 == 99L).get._5 == 15L) // oversize doc alone, over-full
+  }
+
+  test("packGreedyWindows is partitioning-independent") {
+    import graft.operators.CorpusOps
+    val docs = (0 until 50).map(i => (i.toLong, 1L + i % 7)).toDF("id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.packGreedyWindows(d, col("id"), col("n"), 9L, shards = 4)
+        .select("shard", "id", "window_id", "window_fill")
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
   test("slidingTokenChunks: overlap windows, short tail, degenerate docs") {
     val docs = Seq(
       (1L, "a b c d e f g"),      // 7 tokens, chunk 3 stride 2 -> 3 chunks
