@@ -486,13 +486,35 @@ object KnnOps {
   def marginBitextMine(src: DataFrame, srcIdCol: String, srcEmbCol: String,
                        tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,
                        k: Int = 4, minMarginMicro: Long = 1000000L): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    import graft.util.OpCaches.TrackedPersist
     val s = src.select(col(srcIdCol).cast("long").as("src_id"), col(srcEmbCol).as("__semb"))
     val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"), col(tgtEmbCol).as("__temb"))
     val cm = floor(lit(1e6) *
       GraftFunctions.cosine_similarity(col("__semb"), col("__temb"))).cast("long")
-    val pairs = s.join(broadcast(t)).select(col("src_id"), col("tgt_id"), cm.as("cm"))
+    marginFromPairs(
+      s.join(broadcast(t)).select(col("src_id"), col("tgt_id"), cm.as("cm")),
+      k, minMarginMicro)
+  }
+
+  /** The margin arithmetic of [[marginBitextMine]] over ANY scored
+    * candidate pair table (`src_id`, `tgt_id`, `cm` = micro-floored
+    * cosine) — the corpus-scale entry point: generate candidates with a
+    * blocked/ANN pass (hyperplane band join, IVF probes) instead of the
+    * cross join, micro-floor their cosines, and the neighborhoods, sums,
+    * margins, argmax, and mutuality all run over the candidate table. With
+    * blocked candidates each side's "top-k neighborhood" is the top-k of
+    * its CANDIDATES — exactly the published recipe's shape (CCMatrix
+    * margins run over FAISS ANN neighborhoods, not exact ones). Candidate
+    * DENSITY is the quality knob: the ratio needs enough candidates per
+    * side that the neighborhood sums resemble the true ones, or
+    * sparse-sided pairs score inflated margins — block with enough
+    * bands/probes that each side sees >= k candidates (KnnOpsSpec
+    * measures the failure at too-coarse banding).
+    */
+  def marginFromPairs(pairTable: DataFrame, k: Int = 4,
+                      minMarginMicro: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import graft.util.OpCaches.TrackedPersist
+    val pairs = pairTable.select(col("src_id"), col("tgt_id"), col("cm"))
       .persistTracked
     val W = org.apache.spark.sql.expressions.Window
     val wS = W.partitionBy(col("src_id"))

@@ -144,6 +144,38 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("marginFromPairs over BLOCKED candidates still mines the planted pairs") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // the corpus-scale arm: candidates from a hyperplane band join instead
+    // of the cross join; identical vectors share every band, so planted
+    // translations are certain candidates and mine mutually
+    val src = (0 until 30).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
+    val tgt = ((0 until 10).map(i => (1000L + i, vec(i))) ++
+      (50 until 70).map(i => (1000L + i, vec(i)))).toDF("tid", "temb")
+    // 4-bit bands: candidate density is the blocked arm's knob — the
+    // ratio's neighborhood sums need enough candidates per side to
+    // resemble the true neighborhoods, or sparse-sided pairs score
+    // inflated margins (measured: 8-bit bands here leave singleton
+    // neighborhoods and planted pairs lose argmax ties)
+    val sBand = DedupOps.hyperplaneBandKeys(src, "semb", Seq("sid"),
+      planes = 32, bandBits = 4)
+    val tBand = DedupOps.hyperplaneBandKeys(tgt, "temb", Seq("tid"),
+      planes = 32, bandBits = 4)
+    val cand = sBand.join(tBand, Seq("band", "bkey"))
+      .select(col("sid"), col("tid")).distinct()
+      .join(src, "sid").join(tgt, "tid")
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        floor(lit(1e6) * GraftFunctions.cosine_similarity(col("semb"), col("temb")))
+          .cast("long").as("cm"))
+    val mined = KnnOps.marginFromPairs(cand, k = 4, minMarginMicro = 1200000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    (0 until 10).foreach { i =>
+      assert(mined.exists(p => p._1 == i && p._2 == 1000L + i && p._3),
+        s"blocked arm missed planted pair $i")
+    }
+  }
+
   test("marginBitextMine is partitioning-independent") {
     import spark.implicits._
     val src = (0 until 25).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
