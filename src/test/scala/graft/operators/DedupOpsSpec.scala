@@ -130,6 +130,48 @@ class DedupOpsSpec extends AnyFunSuite with SparkTest {
     assert(full == capped + ((50L, 51L)))
   }
 
+  test("capped hamming pairs match an independent reference on random tables") {
+    import spark.implicits._
+    // small chunk alphabet forces duplicate sigs, hot chunks, and near
+    // pairs all at once; the Scala reference implements the same capped
+    // semantics with plain loops
+    for (seed <- Seq(11, 23, 47)) {
+      val rng = new scala.util.Random(seed)
+      val chunkVals = Array(0L, 1L, 2L, 0xBEEFL)
+      val rows: Seq[(Long, Long)] = (0 until 60).map { i =>
+        val sig = (0 until 4).map(c =>
+          chunkVals(rng.nextInt(chunkVals.length)) << (c * 16)).reduce(_ | _) |
+          (if (rng.nextBoolean()) 1L << rng.nextInt(64) else 0L)
+        (i.toLong, sig)
+      }
+      val cap = 10L
+      val out = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+          "doc_id", "sh64", maxHamming = 3, maxChunkFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // reference: collapse, chunk freq over distinct sigs, drop hot,
+      // pigeonhole candidates, verify, expand
+      def chunks(sig: Long): Seq[(Int, Long)] =
+        (0 until 4).map(c => (c, (sig >>> (c * 16)) & 0xffffL))
+      val groups = rows.groupBy(_._2).map { case (sig, ms) =>
+        sig -> ms.map(_._1).sorted }
+      val within = for {
+        (_, ms) <- groups.toSeq; i <- ms.indices; j <- (i + 1) until ms.length
+      } yield (ms(i), ms(j), 0)
+      val distinct = groups.keys.toSeq
+      val freq = distinct.flatMap(chunks).groupBy(identity).map { case (k, v) => k -> v.size }
+      val hot = freq.filter(_._2 > cap).keySet
+      val cross = for {
+        i <- distinct.indices; j <- (i + 1) until distinct.length
+        a = distinct(i); b = distinct(j)
+        if chunks(a).toSet.intersect(chunks(b).toSet).exists(!hot.contains(_))
+        h = java.lang.Long.bitCount(a ^ b) if h <= 3
+        da <- groups(a); db <- groups(b)
+      } yield (math.min(da, db), math.max(da, db), h)
+      assert(out == (within ++ cross).toSet, s"seed $seed")
+      graft.GraftEngine.releaseCaches()
+    }
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

@@ -144,6 +144,50 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("marginFromPairs matches an independent fold on random candidate tables") {
+    import spark.implicits._
+    for (seed <- Seq(5, 17)) {
+      val rng = new scala.util.Random(seed)
+      val cand = (for {
+        sid <- 0L until 8L; tid <- 100L until 110L
+        if rng.nextDouble() < 0.5
+      } yield (sid, tid, (rng.nextInt(2000001) - 1000000).toLong))
+      val k = 3
+      val out = KnnOps.marginFromPairs(cand.toDF("src_id", "tgt_id", "cm"),
+          k = k, minMarginMicro = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      // reference fold
+      def topk[A](xs: Seq[(Long, Long, Long)], byTgt: Boolean) =
+        xs.groupBy(x => if (byTgt) x._2 else x._1).map { case (key, ys) =>
+          key -> ys.sortBy(y => (-y._3, if (byTgt) y._1 else y._2)).take(k) }
+      val nnS = topk(cand, byTgt = false)
+      val nnT = topk(cand, byTgt = true)
+      val sumS = nnS.map { case (s0, ys) => s0 -> ys.map(_._3).sum }
+      val sumT = nnT.map { case (t0, ys) => t0 -> ys.map(_._3).sum }
+      def margin(s0: Long, t0: Long, cm: Long): Option[Long] = {
+        val den = sumS(s0) + sumT(t0)
+        if (den > 0 && cm >= 0) Some(cm * 2 * k * 1000000L / den) else None
+      }
+      def best(nn: Map[Long, Seq[(Long, Long, Long)]], byTgt: Boolean) =
+        nn.flatMap { case (key, ys) =>
+          val scoredYs = ys.map(y => (y, margin(y._1, y._2, y._3)))
+          val withM = scoredYs.filter(_._2.isDefined)
+          if (withM.isEmpty) None
+          else Some(key -> withM.minBy { case (y, m) =>
+            (-m.get, if (byTgt) y._1 else y._2) }._1)
+        }
+      val bestS = best(nnS, byTgt = false)
+      val bestT = best(nnT, byTgt = true).values.map(y => (y._1, y._2)).toSet
+      val expected = bestS.values.flatMap { y =>
+        margin(y._1, y._2, y._3).filter(_ >= 0L).map(m =>
+          (y._1, y._2, y._3, m, bestT.contains((y._1, y._2))))
+      }.toSet
+      assert(out == expected, s"seed $seed")
+      graft.GraftEngine.releaseCaches()
+    }
+  }
+
   test("marginFromPairs over BLOCKED candidates still mines the planted pairs") {
     import spark.implicits._
     import graft.functions.GraftFunctions
