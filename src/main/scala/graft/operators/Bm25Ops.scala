@@ -107,8 +107,16 @@ object Bm25Ops {
       val spark = index.postings.sparkSession
       spark.range(1).select(lit(buckets).as("buckets"))
         .write.mode("overwrite").parquet(s"$path/meta")
-    } else
+    } else {
       index.postings.write.mode("overwrite").parquet(s"$path/postings")
+      // a previously-bucketed path re-saved flat must not leave a stale
+      // meta table behind — a later load would expect a bucket column the
+      // postings no longer carry
+      val spark = index.postings.sparkSession
+      val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(meta)) fs.delete(meta, true)
+    }
     index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
   }
 

@@ -492,7 +492,11 @@ object DedupOps {
       .filter(col("sh64").isNotNull)
     // One row per distinct signature, members sorted so in-group pairs are
     // emitted already id-ordered. Feeds the in-group expansion, the chunk
-    // banding, and both member re-joins.
+    // banding, and both member re-joins. A duplicate class's member list
+    // lives on ONE row (a 10M-copy class is an ~80 MB array — and its
+    // pair OUTPUT is m²/2 rows regardless of plan); when classes that
+    // large are expected, exact-dedup to representatives first and pair
+    // those.
     val groups = base.groupBy("sh64")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .persistTracked

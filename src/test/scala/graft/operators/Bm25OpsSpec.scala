@@ -166,6 +166,23 @@ class Bm25OpsSpec extends AnyFunSuite with SparkTest {
       s"pruned=$prunedFiles total=$totalFiles")
   }
 
+  test("re-saving a bucketed path flat clears the stale meta; load adapts") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple banana"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val queries = Seq((1L, "banana")).toDF("query_id", "query_text")
+    val path = java.nio.file.Files.createTempDirectory("bm25meta").toString
+    val idx = Bm25Ops.buildBm25Index(docs, "text", "doc_id")
+    Bm25Ops.saveBm25Index(idx, path, buckets = 8)
+    assert(Bm25Ops.loadBm25Index(spark, path).buckets == 8)
+    Bm25Ops.saveBm25Index(idx, path, buckets = 0) // switch to the flat layout
+    val reloaded = Bm25Ops.loadBm25Index(spark, path)
+    assert(reloaded.buckets == 0)
+    // the flat reload must query cleanly (no phantom bucket column expected)
+    val rows = Bm25Ops.bm25Query(reloaded, queries, "query_id", "query_text", k = 5)
+      .collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("duplicate query terms do not double-count") {
     import spark.implicits._
     val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
