@@ -870,12 +870,19 @@ object CorpusOps {
     * vector ever rides a fan-out shuffle.
     *
     * Precision is exact (every emitted pair passed the real cosine).
-    * Recall is the LSH band recall: a pair at cosine >= minCosine that
-    * agrees on NO band is missed. At the thresholds decontamination runs
-    * (>= 0.9) band agreement is near-certain — and exact/near-exact
-    * copies, the case that matters, collide on every band — but pairs
-    * close to the threshold can slip: when the eval set fits in a
-    * broadcast, prefer the exact arm.
+    * Recall is the LSH band recall, MEASURED (sf0.01 embeddings, eval =
+    * 300 vectors, vs the exact arm): at the fixture's natural cosine
+    * range the default 32-plane/8-bit banding finds 0.07–0.25 of exact
+    * hits (t = 0.30–0.45) and planes = 128 (16 bands) finds 0.44–0.58 —
+    * the banded arm is NOT a low-threshold tool. At the >= 0.9 operating
+    * point decontamination actually runs, per-band collision is
+    * (1 − acos 0.9 ∕ π)⁸ ≈ 0.29, so 4 bands reach ~0.74 recall and 16
+    * bands (planes = 128) ~0.995 — and exact/near-exact copies, the case
+    * that matters most, collide on every band with certainty (q161).
+    * Raise `planes` (more bands of the same width) for near-threshold
+    * recall — fan-out grows linearly; widening bands instead collapses
+    * the bucket space and re-creates the quadratic join. When the eval
+    * set fits in a broadcast, prefer the exact arm.
     */
   def semanticContaminationLsh(corpus: DataFrame, idCol: String, embCol: String,
                                evalSet: DataFrame, evalIdCol: String,
