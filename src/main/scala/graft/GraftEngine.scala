@@ -412,6 +412,16 @@ object GraftEngine {
                                  shards: Int = 1024): DataFrame =
     operators.CorpusOps.materializePackedWindows(df, key, toksCol, windowTokens, shards)
 
+  /** evaluate_retrieval: recall@k / MRR@k / nDCG@k per query over any
+    * ranking leg and a binary qrels table, integer-exact
+    * ([[operators.EvalOps.retrievalMetrics]]).
+    */
+  def evaluateRetrieval(ranked: DataFrame, qidCol: String, didCol: String,
+                        rankCol: String, qrels: DataFrame, relQidCol: String,
+                        relDidCol: String, k: Int): DataFrame =
+    operators.EvalOps.retrievalMetrics(ranked, qidCol, didCol, rankCol,
+      qrels, relQidCol, relDidCol, k)
+
   /** quantize_embeddings: int8 scalar quantization (4x embedding IO cut). */
   def quantizeEmbeddings(df: DataFrame, embCol: String): DataFrame =
     operators.KnnOps.quantizeInt8(df, embCol)

@@ -2443,6 +2443,25 @@ object SparkEntry {
           docs, col("doc_id"), col("n"), windowTokens = 6L, shards = 4)
         .select(col("shard"), col("doc_id"), col("n"), col("window_id"),
           col("window_fill"))
+    },
+
+    // In-engine retrieval evaluation over the BM25 leg: binary qrels
+    // (doc_id % 5 == 0 relevant to every query, the q140 convention),
+    // recall@10 / MRR@10 / nDCG@10 in exact integer micro arithmetic —
+    // the DCG discounts floor FIRST, so every metric replays in SQL.
+    "q171_retrieval_metrics" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"),
+        (2L, "stream window batch"),
+        (3L, "vector scan filter")).toDF("query_id", "query_text")
+      val docs = Tables.documents(s, dir)
+      val ranked = graft.operators.Bm25Ops.bm25TopK(docs, "text", "doc_id",
+        queries, "query_id", "query_text", k = 20)
+      val qrels = queries.select(col("query_id"))
+        .crossJoin(docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0))
+      graft.operators.EvalOps.retrievalMetrics(ranked, "query_id", "doc_id",
+        "rank", qrels, "query_id", "doc_id", k = 10)
     }
   )
 
@@ -5976,7 +5995,34 @@ object SparkEntry {
         |  FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1)
         |SELECT shard, doc_id, CAST(n AS BIGINT) AS n, window_id,
         |  CAST(sum(n) OVER (PARTITION BY shard, window_id) AS BIGINT) AS window_fill
-        |FROM walk""".stripMargin
+        |FROM walk""".stripMargin,
+    // shared BM25 ranking CTE + the metric arithmetic: micro-floored
+    // discounts, integer divisions, min(n_rel, k)-term ideal
+    "q171_retrieval_metrics" ->
+      s"""$bm25RankedCte,
+        |rel AS (
+        |  SELECT q.query_id, d.doc_id
+        |  FROM q CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+        |hit AS (
+        |  SELECT r.query_id, count(*) AS hits, min(r.rank) AS fr,
+        |    CAST(sum(CAST(floor(1e6 * 0.6931471805599453 / ln(r.rank + 1)) AS BIGINT)) AS BIGINT) AS dcg
+        |  FROM r JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        |  WHERE r.rank <= 10 GROUP BY r.query_id),
+        |ideal AS (
+        |  SELECT query_id, n_rel,
+        |    CAST(list_sum(list_transform(generate_series(1, least(n_rel, 10)),
+        |      x -> CAST(floor(1e6 * 0.6931471805599453 / ln(x + 1)) AS BIGINT))) AS BIGINT) AS idcg
+        |  FROM nrel)
+        |SELECT n.query_id, n.n_rel,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_k,
+        |  CAST(COALESCE(h.hits, 0) * 1000000 // n.n_rel AS BIGINT) AS recall_at_k_micro,
+        |  CAST(COALESCE(1000000 // h.fr, 0) AS BIGINT) AS rr_micro,
+        |  CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+        |  i.idcg AS idcg_micro,
+        |  CAST(COALESCE(h.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_micro
+        |FROM nrel n JOIN ideal i USING (query_id)
+        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** In-engine retrieval evaluation — the measurement loop for the retrieval
+  * legs ([[Bm25Ops.bm25TopK]], [[KnnOps.bruteForceKnn]]/IVF,
+  * [[Bm25Ops.rrfFuse]], [[KnnOps.maxSimTopK]]): given a ranking and a
+  * binary relevance table (qrels), compute recall@k, MRR@k, and nDCG@k per
+  * query without leaving the engine — the numbers every retrieval change
+  * is judged by, over labeled sets far too large to collect.
+  *
+  * Integer-exact for the oracle gate: the rank-r DCG discount floors to
+  * micro units FIRST (`floor(10⁶ · ln2 ∕ ln(r+1))`, with ln 2 pinned to
+  * the literal 0.6931471805599453 so both engines divide the same
+  * constants), DCG/IDCG are sums of those longs (order-independent),
+  * nDCG is one integer division, and recall/MRR are integer divs — every
+  * metric replays bit-for-bit in SQL.
+  */
+object EvalOps {
+
+  private val Ln2 = 0.6931471805599453 // nearest double to ln 2, both engines
+
+  /** Per-query metrics at cut `k` over a ranking (`qidCol`, `didCol`,
+    * `rankCol` 1-based) and binary qrels (`relQidCol`, `relDidCol`;
+    * duplicates ignored). Output, one row per query WITH at least one
+    * qrel (metrics are undefined otherwise):
+    * (query_id, n_rel, hits_at_k, recall_at_k_micro, rr_micro, dcg_micro,
+    * idcg_micro, ndcg_micro) — rr is 10⁶ div the first relevant rank
+    * within the cut (0 when none), recall divides by n_rel (not
+    * min(n_rel, k): the standard definition penalizes under-retrieval),
+    * and queries absent from the ranking score zeros.
+    *
+    * Plan: qrels dedup + per-query count, one keyed join of the k-bounded
+    * ranking against the qrels (both sides tiny relative to the corpus —
+    * k rows per query and the labeled set), two partial-aggregated
+    * per-query folds. Nothing touches the corpus.
+    */
+  def retrievalMetrics(ranked: DataFrame, qidCol: String, didCol: String,
+                       rankCol: String,
+                       qrels: DataFrame, relQidCol: String, relDidCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import graft.util.OpCaches.TrackedPersist
+    val rels = qrels.select(col(relQidCol).as("query_id"),
+      col(relDidCol).as("__rel_doc")).distinct().persistTracked
+    val nRel = rels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val topk = ranked.select(col(qidCol).as("query_id"),
+        col(didCol).as("__rel_doc"), col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val disc = floor(lit(1e6) * lit(Ln2) / log(col("__rank") + lit(1L))).cast("long")
+    val hitAgg = topk.join(rels, Seq("query_id", "__rel_doc"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        min(col("__rank")).as("__first_rank"),
+        sum(disc).as("dcg_micro"))
+    // ideal DCG: the first min(n_rel, k) ranks' discounts, an ordered
+    // integer fold over a generated sequence — no data motion at all
+    val idcg = expr(s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
+      s"(acc, r) -> acc + CAST(floor(1e6 * ${Ln2}d / ln(r + 1)) AS LONG))")
+    nRel.join(hitAgg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        expr("coalesce(hits_at_k, 0L) * 1000000 div n_rel").as("recall_at_k_micro"),
+        coalesce(expr("1000000 div __first_rank"), lit(0L)).as("rr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        idcg.as("idcg_micro"),
+        expr("coalesce(dcg_micro, 0L) * 1000000 div " +
+          s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
+          s"(acc, r) -> acc + CAST(floor(1e6 * ${Ln2}d / ln(r + 1)) AS LONG))")
+          .as("ndcg_micro"))
+  }
+}

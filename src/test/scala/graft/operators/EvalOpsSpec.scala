@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retrieval metrics: hand-computed closed forms + edge queries. */
+class EvalOpsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def disc(r: Long): Long =
+    math.floor(1e6 * 0.6931471805599453 / math.log(r + 1.0)).toLong
+
+  test("recall/MRR/nDCG per query match hand-derived values") {
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      (2L, 20L, 1), (2L, 21L, 2)
+    ).toDF("qid", "did", "rank")
+    val qrels = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L), // doc 99 never retrieved
+      (2L, 77L),                       // query 2: no hits at all
+      (3L, 30L)                        // query 3: absent from the ranking
+    ).toDF("q", "d")
+    val out = EvalOps.retrievalMetrics(ranked, "qid", "did", "rank",
+        qrels, "q", "d", k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_rel") == 3L)
+    assert(q1.getAs[Long]("hits_at_k") == 2L)
+    assert(q1.getAs[Long]("recall_at_k_micro") == 2000000L / 3L)
+    assert(q1.getAs[Long]("rr_micro") == 500000L) // first hit at rank 2
+    val dcg = disc(2) + disc(4)
+    val idcg = disc(1) + disc(2) + disc(3)
+    assert(q1.getAs[Long]("dcg_micro") == dcg)
+    assert(q1.getAs[Long]("idcg_micro") == idcg)
+    assert(q1.getAs[Long]("ndcg_micro") == dcg * 1000000L / idcg)
+    // rank-1 discount is exactly 10^6 (ln2/ln2); rank-3 exactly 500000
+    assert(disc(1) == 1000000L && disc(3) == 500000L)
+    // no-hit and unranked queries score zeros but keep their n_rel
+    Seq(2L, 3L).foreach { q =>
+      val r = out(q)
+      assert(r.getAs[Long]("hits_at_k") == 0L &&
+        r.getAs[Long]("recall_at_k_micro") == 0L &&
+        r.getAs[Long]("rr_micro") == 0L &&
+        r.getAs[Long]("ndcg_micro") == 0L)
+      assert(r.getAs[Long]("idcg_micro") == disc(1)) // n_rel = 1
+    }
+  }
+
+  test("k bounds everything: hits beyond the cut are invisible; idcg caps at k") {
+    val ranked = (1 to 10).map(r => (1L, 100L + r, r)).toDF("qid", "did", "rank")
+    val qrels = ((1 to 10).map(r => (1L, 100L + r)) :+ (1L, 999L)).toDF("q", "d")
+    val out = EvalOps.retrievalMetrics(ranked, "qid", "did", "rank",
+        qrels, "q", "d", k = 3)
+      .collect().head
+    assert(out.getAs[Long]("hits_at_k") == 3L)      // ranks 4..10 invisible
+    assert(out.getAs[Long]("n_rel") == 11L)
+    assert(out.getAs[Long]("recall_at_k_micro") == 3000000L / 11L)
+    val ideal3 = disc(1) + disc(2) + disc(3)
+    assert(out.getAs[Long]("idcg_micro") == ideal3) // min(n_rel, k) = 3
+    assert(out.getAs[Long]("ndcg_micro") == 1000000L) // perfect top-3
+    // duplicate qrels rows must not inflate n_rel
+    val dup = EvalOps.retrievalMetrics(ranked, "qid", "did", "rank",
+        qrels.unionAll(qrels), "q", "d", k = 3)
+      .collect().head
+    assert(dup.getAs[Long]("n_rel") == 11L)
+  }
+}
