@@ -231,26 +231,36 @@ object CorpusOps {
     prep
       .groupByKey(r => r.getLong(shardIdx))(Encoders.scalaLong)
       .flatMapSortedGroups(col("__gp_ticket"), col("__gp_k")) { (_, rows) =>
-        // two-phase within the group: assign windows greedily, buffering
-        // one window's rows so its final fill can ride on every member
-        var wid = -1L
-        var fill = 0L
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        def flush(): Unit = {
-          buf.foreach(r => out += Row.fromSeq(r.toSeq ++ Seq(wid, fill)))
-          buf.clear()
-        }
-        rows.foreach { r =>
-          val n = r.getLong(nIdx)
-          if (wid < 0 || fill + n > windowTokens) {
-            flush(); wid += 1; fill = 0L
+        // streaming greedy fold: only the OPEN window buffers (its final
+        // fill must ride on every member), closed windows emit immediately
+        // — task memory is O(window), not O(shard)
+        new Iterator[Row] {
+          private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          private var fill = 0L
+          private var wid = -1L
+          private var out: Iterator[Row] = Iterator.empty
+          private def closeWindow(): Unit = {
+            val (w, f) = (wid, fill)
+            out = buf.map(r => Row.fromSeq(r.toSeq ++ Seq(w, f))).toList.iterator
+            buf.clear()
           }
-          fill += n
-          buf += r
+          private def refill(): Unit = {
+            while (!out.hasNext && rows.hasNext) {
+              val r = rows.next()
+              val n = r.getLong(nIdx)
+              if (wid >= 0 && fill + n > windowTokens) {
+                closeWindow()
+                wid += 1; fill = n; buf += r
+              } else {
+                if (wid < 0) wid = 0
+                fill += n; buf += r
+              }
+            }
+            if (!out.hasNext && !rows.hasNext && buf.nonEmpty) closeWindow()
+          }
+          def hasNext: Boolean = { refill(); out.hasNext }
+          def next(): Row = { refill(); out.next() }
         }
-        flush()
-        out.iterator
       }(enc)
       .drop("__gp_ticket", "__gp_n", "__gp_k")
   }
