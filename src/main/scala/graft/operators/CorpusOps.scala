@@ -360,6 +360,14 @@ object CorpusOps {
     * Output: (`idCol`, chunk_id, begin_token, n_chunk_tokens, chunk_text).
     * Map-only: one split + a bounded explode per document; no shuffle at
     * all — the 100 TB shape for a pass that feeds every embedder.
+    *
+    * Giant-document caveat: each exploded row carries the document's word
+    * array until its slice projects out, so a single enormous document
+    * (a book, a concatenated dump) churns O(n²∕stride) bytes through the
+    * generate — for typical web documents that is far cheaper than any
+    * shuffle, but split multi-megabyte outliers first (one
+    * `length(text)` filter) rather than feeding them through a
+    * fine-grained stride.
     */
   def slidingTokenChunks(df: DataFrame, textCol: String, idCol: String,
                          chunkTokens: Int, stride: Int): DataFrame = {
