@@ -26,6 +26,7 @@ object GraftFunctions {
 
   /** FNV-1a 64 content hash (16 hex chars) for change detection. */
   def content_hash(a: Column): Column = ColumnShim.column(ContentHash(ColumnShim.expression(a)))
+  def simhash64(a: Column): Column = ColumnShim.column(SimHash64(ColumnShim.expression(a)))
 
   /** SplitMix64 mix of a bigint key — the deterministic sampling hash. */
   def splitmix64(a: Column): Column = ColumnShim.column(SplitMix64(ColumnShim.expression(a)))
@@ -52,6 +53,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("content_hash", es => ContentHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("splitmix64", es => SplitMix64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("poly_hash_pairs", es => PolyHashPairs(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")

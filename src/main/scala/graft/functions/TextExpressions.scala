@@ -37,6 +37,41 @@ object HashKernels {
     UTF8String.fromBytes(hex)
   }
 
+  /** SimHash-64 over whitespace words (Charikar 2002): per word an FNV-1a 64
+    * hash votes each bit up or down, the sign of each bit's vote total is
+    * the signature bit. Iterates UTF-16 code units exactly like the
+    * original operator kernel — the q21 oracle replays this definition
+    * character for character, so the unit of iteration is part of the
+    * contract.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val text = s.toString
+    val votes = new Array[Int](64)
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64
+        var i = 0
+        while (i < w.length) {
+          h ^= w.charAt(i).toLong
+          h *= 0x100000001b3L
+          i += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** SplitMix64 finalizer (Steele/Lea/Flood, "Fast Splittable Pseudorandom
     * Number Generators", OOPSLA'14) — the standard 64-bit mixing function.
     * Wrapping two's-complement arithmetic, so the exact sequence is
@@ -86,6 +121,25 @@ case class ContentHash(child: Expression) extends UnaryExpression {
     HashKernels.fnv1a64Hex(a.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.HashKernels.fnv1a64Hex($a);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SimHash-64 signature ([[HashKernels.simhash64]]) as a codegen'd
+  * expression: the dedup family's text fingerprint runs inside the
+  * whole-stage span like the rest of the hash kernels instead of through
+  * a ScalaUDF's boxing round-trip.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(a: Any): Any =
+    HashKernels.simhash64(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.HashKernels.simhash64($a);")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -404,36 +404,16 @@ object DedupOps {
     * bit-vote accumulation — sequential per document, so a UDF, but map-only
     * and cheap.
     */
-  private[operators] def simhash64(text: String): Long = {
-    val votes = new Array[Int](64)
-    text.split("\\s+").foreach { w =>
-      if (w.nonEmpty) {
-        var h = 0xcbf29ce484222325L // FNV-1a 64
-        var i = 0
-        while (i < w.length) {
-          h ^= w.charAt(i).toLong
-          h *= 0x100000001b3L
-          i += 1
-        }
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
+  private[operators] def simhash64(text: String): Long =
+    graft.functions.HashKernels.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
 
-  private val simhashUdf = udf((t: String) => if (t == null) null else Long.box(simhash64(t)))
-
-  def simhash(text: Column): Column = simhashUdf(text)
+  /** SimHash-64 signature as the native codegen'd
+    * [[graft.functions.SimHash64]] expression — the kernel lives with the
+    * other hash kernels and runs inside the whole-stage span, not through
+    * a ScalaUDF boxing round-trip.
+    */
+  def simhash(text: Column): Column = GraftFunctions.simhash64(text)
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, via 16-bit
     * chunk banding (pigeonhole: any pair within Hamming 3 of a 64-bit hash
