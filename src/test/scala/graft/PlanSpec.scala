@@ -114,7 +114,8 @@ class PlanSpec extends AnyFunSuite with SparkTest {
   }
 
   test("text function queries stay UDF-free") {
-    for (q <- Seq("q11_sensitivity_histogram", "q12_keywords", "q15_prune_lengths", "q16_importance")) {
+    for (q <- Seq("q11_sensitivity_histogram", "q12_keywords", "q15_prune_lengths",
+        "q16_importance", "q21_simhash_pairs")) {
       val plan = physicalPlan(q)
       assert(!plan.contains("ScalaUDF"), s"$q contains a UDF")
     }
