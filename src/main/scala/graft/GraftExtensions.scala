@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ContentHash(es.head)))
     e.injectFunction((FunctionIdentifier("splitmix64"), info("splitmix64"),
       (es: Seq[Expression]) => SplitMix64(es.head)))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectOptimizerRule(_ => VectorExprSimplification)
     e.injectOptimizerRule(_ => LshJoinRewrite)
   }

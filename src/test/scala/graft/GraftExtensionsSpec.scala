@@ -42,6 +42,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b").createOrReplaceTempView("ext_v")
     val d = spark.sql("SELECT cosine_distance(a, b) AS d FROM ext_v").head().getDouble(0)
     assert(math.abs(d - 1.0) < 1e-12)
+    // the hash family too — simhash64 must equal the static kernel
+    val sh = spark.sql("SELECT simhash64('alpha beta') AS h").head().getLong(0)
+    assert(sh == graft.functions.HashKernels.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha beta")))
   }
 
   test("optimizer strips redundant normalization inside cosine") {
