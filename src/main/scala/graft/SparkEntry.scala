@@ -2462,6 +2462,28 @@ object SparkEntry {
         .crossJoin(docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0))
       graft.operators.EvalOps.retrievalMetrics(ranked, "query_id", "doc_id",
         "rank", qrels, "query_id", "doc_id", k = 10)
+    },
+
+    // The maxClassSize guard on the hamming core: a planted 10^4-copy
+    // duplicate class collapses to ONE (rep, rep, 0, 10000) row instead of
+    // 5*10^7 pairs, participates in the cross-signature banding via its
+    // representative only (the near-miss sig at hamming 1 pairs with the
+    // rep), and three under-cap 10-member classes keep their full within
+    // (3x45) and cross (3x100) expansions with class_size null. The banded
+    // arm is exact at maxChunkFreq=0, so the oracle brute-forces distinct
+    // signature pairs at bit_count <= 3 and replays the class-size gate.
+    "q172_hamming_classcap" -> { (s, dir) =>
+      import s.implicits._
+      val sigs = Tables.documents(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          (floor(col("doc_id") / 10).cast("long") * lit(4294967296L) + lit(7L))
+            .as("sh64"))
+      val mega = s.range(10000).select((col("id") + 2000000L).as("doc_id"),
+        lit(1229782938247303441L).as("sh64"))
+      val near = Seq((3000001L, 1229782938247303440L)).toDF("doc_id", "sh64")
+      graft.operators.DedupOps.hammingNearDupPairsCapped(
+        sigs.unionByName(mega).unionByName(near), "doc_id", "sh64",
+        maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 100L)
     }
   )
 
@@ -6022,7 +6044,49 @@ object SparkEntry {
         |  i.idcg AS idcg_micro,
         |  CAST(COALESCE(h.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_micro
         |FROM nrel n JOIN ideal i USING (query_id)
-        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
+        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin,
+    // pigeonhole banding is exact at maxChunkFreq=0, so the cross arm
+    // brute-forces distinct-sig pairs at bit_count <= 3; the class gate:
+    // classes over 100 members collapse to (rep, rep, 0, m) and join the
+    // cross expansion via their representative only
+    "q172_hamming_classcap" ->
+      """WITH sigs AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST((doc_id // 10) * 4294967296 + 7 AS BIGINT) AS s
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT CAST(2000000 + i AS BIGINT), CAST(1229782938247303441 AS BIGINT)
+        |  FROM generate_series(0, 9999) g(i)
+        |  UNION ALL
+        |  SELECT CAST(3000001 AS BIGINT), CAST(1229782938247303440 AS BIGINT)),
+        |cls AS (SELECT s, count(*) AS m, min(doc_id) AS rep FROM sigs GROUP BY s),
+        |collapsed AS (
+        |  SELECT rep AS ida, rep AS idb, CAST(0 AS INT) AS hamming,
+        |    CAST(m AS BIGINT) AS class_size
+        |  FROM cls WHERE m > 100),
+        |within_pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(0 AS INT) AS hamming,
+        |    CAST(NULL AS BIGINT) AS class_size
+        |  FROM sigs a JOIN sigs b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN cls ON cls.s = a.s AND cls.m <= 100),
+        |eff AS (
+        |  SELECT sg.doc_id, sg.s FROM sigs sg JOIN cls ON cls.s = sg.s AND cls.m <= 100
+        |  UNION ALL
+        |  SELECT rep AS doc_id, s FROM cls WHERE m > 100),
+        |ds AS (SELECT DISTINCT s FROM sigs),
+        |sp AS (
+        |  SELECT a.s AS sa, b.s AS sb,
+        |    CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        |  FROM ds a JOIN ds b
+        |  ON a.s < b.s AND bit_count(xor(a.s, b.s)) BETWEEN 1 AND 3),
+        |cross_pairs AS (
+        |  SELECT least(x.doc_id, y.doc_id) AS ida,
+        |    greatest(x.doc_id, y.doc_id) AS idb, sp.hamming,
+        |    CAST(NULL AS BIGINT) AS class_size
+        |  FROM sp JOIN eff x ON x.s = sp.sa JOIN eff y ON y.s = sp.sb)
+        |SELECT * FROM collapsed
+        |UNION ALL SELECT * FROM within_pairs
+        |UNION ALL SELECT * FROM cross_pairs""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

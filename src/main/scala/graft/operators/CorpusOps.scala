@@ -247,6 +247,11 @@ object CorpusOps {
           private def refill(): Unit = {
             while (!out.hasNext && rows.hasNext) {
               val r = rows.next()
+              // explicit null check: a null token count would otherwise
+              // surface as an opaque NPE from the getLong unboxing
+              if (r.isNullAt(nIdx)) throw new IllegalArgumentException(
+                "packGreedyWindows: null token count — filter or coalesce " +
+                  "the tokens column before packing")
               val n = r.getLong(nIdx)
               if (wid >= 0 && fill + n > windowTokens) {
                 closeWindow()

@@ -459,6 +459,11 @@ object DedupOps {
     *     pair is missed only if EVERY chunk it agrees on is hot.
     *     Identical-signature pairs are never affected (they bypass the
     *     join). Pass 0 to opt out (exact full-banding result).
+    *     BEHAVIOR NOTE (since the cap became default-on): recall is no
+    *     longer guaranteed exact by default on corpora where a chunk value
+    *     is shared by &gt;100k distinct signatures; [[hammingHotChunks]]
+    *     returns exactly the dropped buckets so callers can quantify the
+    *     exposure (empty result ⇒ the default run was exact).
     *
     * Shuffle is keyed on (chunk index, chunk value) over distinct
     * signatures; member lists re-join keyed on the signature.
@@ -480,61 +485,159 @@ object DedupOps {
     val groups = base.groupBy("sh64")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
       .persistTracked
-    // Hamming-0 pairs inside each duplicate class, closed form: each member
-    // pairs with every later member via a lateral slice — streamed through
-    // two generates, never a join.
-    val within = groups
-      .filter(size(col("members")) > 1)
-      .select(col("members"), posexplode(col("members")).as(Seq("i", "ida")))
-      .select(col("ida"),
-        explode(slice(col("members"), col("i") + lit(2),
-          size(col("members")))).as("idb"))
-      .select(col("ida"), col("idb"), lit(0).cast("int").as("hamming"))
+    val within = withinClassPairs(groups)
     if (maxHamming == 0) within
+    else within.unionByName(bandedCrossPairs(groups, maxHamming, maxChunkFreq))
+  }
+
+  /** Hamming-0 pairs inside each duplicate class, closed form: each member
+    * pairs with every later member via a lateral slice — streamed through
+    * two generates, never a join. `groups` = (sh64, members sorted asc).
+    */
+  private def withinClassPairs(groups: DataFrame): DataFrame = groups
+    .filter(size(col("members")) > 1)
+    .select(col("members"), posexplode(col("members")).as(Seq("i", "ida")))
+    .select(col("ida"),
+      explode(slice(col("members"), col("i") + lit(2),
+        size(col("members")))).as("idb"))
+    .select(col("ida"), col("idb"), lit(0).cast("int").as("hamming"))
+
+  /** The banded cross-signature arm shared by [[hammingNearDupPairs]] and
+    * [[hammingNearDupPairsCapped]]: pigeonhole chunk keys over one row per
+    * distinct signature, the optional hot-bucket anti-join, the popcount
+    * verify, then member expansion via keyed joins on the signature.
+    * `groups` = (sh64, members).
+    */
+  private def bandedCrossPairs(groups: DataFrame, maxHamming: Int,
+                               maxChunkFreq: Long): DataFrame = {
+    val chunkCols = hammingChunkCols(col("sh64"), maxHamming)
+    val chunked = groups.select(col("sh64"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+    val capped =
+      if (maxChunkFreq > 0) {
+        // The hot set is the Zipf tail of chunk values over DISTINCT
+        // signatures — tiny, so it broadcasts; the anti-join drops hot
+        // buckets map-side.
+        val hot = chunked.groupBy("chunk", "ckey")
+          .agg(count(lit(1)).as("cf"))
+          .filter(col("cf") > maxChunkFreq)
+          .select("chunk", "ckey")
+        chunked.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
+      } else chunked
+    val sigPairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.sh64") < col("b.sh64"))
+      .select(col("a.sh64").as("sa"), col("b.sh64").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+    // Expand surviving signature pairs to doc pairs (members × members),
+    // keyed joins on the signature; id order restored per pair.
+    sigPairs
+      .join(groups.select(col("sh64").as("sa"), col("members").as("ma")), "sa")
+      .join(groups.select(col("sh64").as("sb"), col("members").as("mb")), "sb")
+      .select(explode(col("ma")).as("da"), col("mb"), col("hamming"))
+      .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("ida"),
+        greatest(col("da"), col("db")).as("idb"), col("hamming"))
+  }
+
+  /** [[hammingNearDupPairs]] with a `maxClassSize` guard — the missing
+    * bound on the one cost no PLAN can fix there: a duplicate class of m
+    * identical signatures OUTPUTS m²∕2 hamming-0 rows (10M copies of one
+    * spacer GIF ⇒ 5·10¹³ pairs), and even its member list is an ~80 MB
+    * array on one row. Here a class larger than `maxClassSize` never
+    * materializes members or pairs at all: it emits ONE collapsed row —
+    * `ida = idb = representative` (min doc id), `hamming = 0`,
+    * `class_size = m` — and participates in the cross-signature banding
+    * through its representative only, so near-miss pairs against an
+    * over-cap class surface as (member, representative) rows. Under-cap
+    * classes behave exactly as [[hammingNearDupPairs]] (their rows carry
+    * `class_size` null — pair rows and collapsed rows share one schema:
+    * (ida, idb, hamming, class_size)).
+    *
+    * Plan keeps task memory bounded by the cap, not by duplication: one
+    * window rank over the signature (`row_number` ≤ cap marks the members
+    * worth keeping), then ONE aggregation reusing that partitioning builds
+    * (class_size, representative, capped member list) — `collect_list`
+    * buffers at most `maxClassSize` ids per class regardless of m.
+    */
+  def hammingNearDupPairsCapped(hashed: DataFrame, idCol: String, sigCol: String,
+                                maxHamming: Int = 3, maxChunkFreq: Long = 100000L,
+                                maxClassSize: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    require(maxClassSize >= 1, s"maxClassSize must be >= 1, got $maxClassSize")
+    val base = hashed.select(col(idCol).as("doc_id"), col(sigCol).as("sh64"))
+      .filter(col("sh64").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sh64")).orderBy(col("doc_id"))
+    // collect_list skips nulls, so the when() keeps only the first
+    // maxClassSize members (by id) in the buffer — over-cap classes carry
+    // a truncated list that is simply never read.
+    val groups = base.withColumn("__rn", row_number().over(w))
+      .groupBy("sh64")
+      .agg(count(lit(1)).as("class_size"), min(col("doc_id")).as("rep"),
+        sort_array(collect_list(when(col("__rn") <= maxClassSize,
+          col("doc_id")))).as("members"))
+      .persistTracked
+    val collapsed = groups.filter(col("class_size") > maxClassSize)
+      .select(col("rep").as("ida"), col("rep").as("idb"),
+        lit(0).cast("int").as("hamming"), col("class_size"))
+    val nullSize = lit(null).cast("long").as("class_size")
+    val within = withinClassPairs(groups.filter(col("class_size") <= maxClassSize))
+      .select(col("ida"), col("idb"), col("hamming"), nullSize)
+    if (maxHamming == 0) collapsed.unionByName(within)
     else {
-      // Pigeonhole banding over distinct signatures: nChunks near-equal bit
-      // ranges (64 = sum of widths), logical shifts so the sign bit chunks
-      // like any other.
-      val nChunks = maxHamming + 1
-      val widths = Array.tabulate(nChunks)(i =>
-        64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
-      val offsets = widths.scanLeft(0)(_ + _)
-      val chunkCols = (0 until nChunks).map { i =>
-        shiftrightunsigned(col("sh64"), offsets(i))
-          .bitwiseAND(lit((1L << widths(i)) - 1))
-      }
-      val chunked = groups.select(col("sh64"),
-        posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
-      val capped =
-        if (maxChunkFreq > 0) {
-          // The hot set is the Zipf tail of chunk values over DISTINCT
-          // signatures — tiny, so it broadcasts; the anti-join drops hot
-          // buckets map-side.
-          val hot = chunked.groupBy("chunk", "ckey")
-            .agg(count(lit(1)).as("cf"))
-            .filter(col("cf") > maxChunkFreq)
-            .select("chunk", "ckey")
-          chunked.join(broadcast(hot), Seq("chunk", "ckey"), "left_anti")
-        } else chunked
-      val sigPairs = capped.as("a")
-        .join(capped.as("b"),
-          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-            col("a.sh64") < col("b.sh64"))
-        .select(col("a.sh64").as("sa"), col("b.sh64").as("sb"))
-        .distinct()
-        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
-        .filter(col("hamming") <= maxHamming)
-      // Expand surviving signature pairs to doc pairs (members × members),
-      // keyed joins on the signature; id order restored per pair.
-      val cross = sigPairs
-        .join(groups.select(col("sh64").as("sa"), col("members").as("ma")), "sa")
-        .join(groups.select(col("sh64").as("sb"), col("members").as("mb")), "sb")
-        .select(explode(col("ma")).as("da"), col("mb"), col("hamming"))
-        .select(col("da"), explode(col("mb")).as("db"), col("hamming"))
-        .select(least(col("da"), col("db")).as("ida"),
-          greatest(col("da"), col("db")).as("idb"), col("hamming"))
-      within.unionByName(cross)
+      val eff = groups.select(col("sh64"),
+        when(col("class_size") > maxClassSize, array(col("rep")))
+          .otherwise(col("members")).as("members"))
+      val cross = bandedCrossPairs(eff, maxHamming, maxChunkFreq)
+        .select(col("ida"), col("idb"), col("hamming"), nullSize)
+      collapsed.unionByName(within).unionByName(cross)
     }
+  }
+
+  /** Pigeonhole banding of a 64-bit signature into `maxHamming + 1`
+    * near-equal contiguous bit ranges (64 = sum of widths), logical shifts
+    * so the sign bit chunks like any other.
+    */
+  private def hammingChunkCols(sig: Column, maxHamming: Int): Seq[Column] = {
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nChunks).map { i =>
+      shiftrightunsigned(sig, offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    }
+  }
+
+  /** The hot (chunk, value) buckets [[hammingNearDupPairs]]'s default
+    * `maxChunkFreq` cap WOULD drop at these settings — the recall-exposure
+    * audit for the default-on cap: each row is one dropped bucket with the
+    * number of DISTINCT signatures (`n_sigs`) that lose that blocking key.
+    * Empty ⇒ the capped run is exact. A pair is actually missed only if
+    * EVERY chunk it agrees on appears here, so `n_sigs` bounds, not counts,
+    * the loss. Same plan shape as the cap itself: one distinct-signature
+    * aggregation, one chunk explode, one count — run it beside any capped
+    * pass whose recall must be certified.
+    */
+  def hammingHotChunks(hashed: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int = 3,
+                       maxChunkFreq: Long = 100000L): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 63,
+      s"maxHamming must be in [1, 63], got $maxHamming")
+    require(maxChunkFreq > 0, "maxChunkFreq must be positive (the cap being audited)")
+    val sigs = hashed.select(col(sigCol).as("sh64"))
+      .filter(col("sh64").isNotNull).distinct()
+    sigs.select(col("sh64"),
+        posexplode(array(hammingChunkCols(col("sh64"), maxHamming): _*))
+          .as(Seq("chunk", "ckey")))
+      .groupBy("chunk", "ckey")
+      .agg(count(lit(1)).as("n_sigs"))
+      .filter(col("n_sigs") > maxChunkFreq)
   }
 
   /** Embedding near-dup pairs above a cosine-similarity threshold, blocked by

@@ -309,6 +309,12 @@ object Bpe {
     * the same (corpus, merges) pair yields the same ids on any engine or
     * partitioning. Output: (token, id). Vocabulary is bounded (charset +
     * numMerges), so the single-partition ordering window is fine.
+    *
+    * Two DIFFERENT merges can concatenate to the same surface string —
+    * (a, bc) and (ab, c) both write "abc" — so the union dedups by token,
+    * keeping the LOWEST id (the first producer). Without it the (token →
+    * id) map [[bpeEncodeIds]] builds would depend on collect order,
+    * breaking the determinism contract above.
     */
   def bpeVocab(corpus: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     import graft.functions.TextFunctions
@@ -326,6 +332,7 @@ object Bpe {
       .crossJoin(broadcast(nb))
       .select(col("token"), (col("rank") + col("__nb")).cast("int").as("id"))
     base.unionByName(merged)
+      .groupBy(col("token")).agg(min(col("id")).cast("int").as("id"))
   }
 
   /** [[bpeEncode]] emitting integer token IDS against a [[bpeVocab]] table

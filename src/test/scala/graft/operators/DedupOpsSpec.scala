@@ -130,6 +130,61 @@ class DedupOpsSpec extends AnyFunSuite with SparkTest {
     assert(full == capped + ((50L, 51L)))
   }
 
+  test("hamming class cap: over-cap class collapses to one row, rep still bands") {
+    import spark.implicits._
+    // 500-copy class (over cap 100) + a near-miss sig at hamming 1 + two
+    // 3-copy classes at hamming 1 of each other (under cap)
+    val mega = (0L until 500L).map(i => (1000L + i, 0x1111111111111111L))
+    val near = Seq((5000L, 0x1111111111111110L))
+    val small = (0L until 3L).map(i => (i, 0xAB00000000000000L)) ++
+      (3L until 6L).map(i => (i, 0xAB00000000000001L))
+    val rows = mega ++ near ++ small
+    val out = DedupOps.hammingNearDupPairsCapped(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // exactly one collapsed row for the mega class, rep = min id
+    assert(out.count(_._4 >= 0) == 1)
+    assert(out.contains((1000L, 1000L, 0, 500L)))
+    // no within pairs for the mega class
+    assert(!out.exists(p => p._1 >= 1000L && p._2 > p._1 && p._2 < 2000L))
+    // the near-miss pairs with the REPRESENTATIVE only
+    assert(out.contains((1000L, 5000L, 1, -1L)))
+    assert(out.count(_._2 == 5000L) == 1)
+    // under-cap classes keep full within + cross expansion
+    assert(out.contains((0L, 1L, 0, -1L)) && out.contains((1L, 2L, 0, -1L)))
+    assert(out.contains((0L, 3L, 1, -1L)) && out.contains((2L, 5L, 1, -1L)))
+    // under the cap the output equals the uncapped pairs (modulo the column)
+    val uncapped = DedupOps.hammingNearDupPairs(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val relaxed = DedupOps.hammingNearDupPairsCapped(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(relaxed == uncapped)
+  }
+
+  test("hammingHotChunks reports exactly the buckets the default cap drops") {
+    import spark.implicits._
+    // 12 distinct sigs share low chunk 0xBEEF; high bits spread
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0L until 12L).map(i => (i, (mix(i) & 0xFFFFFFFFFFFF0000L) | 0xBEEFL)) ++
+      Seq((100L, 0xBEEFL), (101L, 0xBEEFL)) // duplicate sig counts ONCE
+    val hot = DedupOps.hammingHotChunks(rows.toDF("doc_id", "sh64"),
+        "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hot == Set((0, 0xBEEFL, 13L))) // 12 spread + 1 distinct dup sig
+    val none = DedupOps.hammingHotChunks(rows.toDF("doc_id", "sh64"),
+      "doc_id", "sh64", maxHamming = 3, maxChunkFreq = 100L)
+    assert(none.count() == 0L)
+  }
+
   test("capped hamming pairs match an independent reference on random tables") {
     import spark.implicits._
     // small chunk alphabet forces duplicate sigs, hot chunks, and near

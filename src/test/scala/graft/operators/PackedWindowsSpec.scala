@@ -162,4 +162,30 @@ class PackedWindowsSpec extends AnyFunSuite with SparkTest {
       .map(_.getInt(0)).sorted.toSeq
     assert(winTokens == docTokens)
   }
+
+  test("bpeVocab dedups colliding merge products, keeping the lowest id") {
+    import graft.text.Bpe
+    // (a,b)->ab, (ab,c)->abc and (b,c)->bc, (a,bc)->abc: two merges write
+    // the same surface token "abc"
+    val corpus = Seq((1L, "abc")).toDF("id", "text")
+    val merges = Seq((0, "a", "b"), (1, "ab", "c"), (2, "b", "c"), (3, "a", "bc"))
+      .toDF("rank", "left", "right")
+    val vocab = Bpe.bpeVocab(corpus, "text", merges)
+    val rows = vocab.collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(rows.length == rows.map(_._1).distinct.length) // one row per token
+    val m = rows.toMap
+    // base chars 0..2; ab = 3+0; abc = first producer (rank 1) = 3+1; the
+    // rank-3 duplicate id 6 is dropped; bc keeps 3+2
+    assert(m == Map("a" -> 0, "b" -> 1, "c" -> 2, "ab" -> 3, "abc" -> 4, "bc" -> 5))
+  }
+
+  test("packGreedyWindows rejects null token counts with a clear error") {
+    val docs = Seq((1L, java.lang.Long.valueOf(3L)), (2L, null: java.lang.Long))
+      .toDF("doc_id", "n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      CorpusOps.packGreedyWindows(docs, col("doc_id"), col("n"), 6L, 2).count()
+    }
+    assert(ex.getMessage.contains("null token count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null token count")))
+  }
 }
