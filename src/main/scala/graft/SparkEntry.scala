@@ -2484,6 +2484,42 @@ object SparkEntry {
       graft.operators.DedupOps.hammingNearDupPairsCapped(
         sigs.unionByName(mega).unionByName(near), "doc_id", "sh64",
         maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 100L)
+    },
+
+    // Hybrid IVM for NON-invertible aggregates (the reference's own
+    // memory-stats view shape: MIN/MAX + distinct counts per group,
+    // /root/reference/pkg/memory/sqlite.go:653-722): the q166 fixture's
+    // v1->v2 feed carries deletes that remove group minima, lang moves
+    // (preimage+postimage group changes), token updates, and inserts;
+    // untouched groups keep their state rows via a broadcast anti-join and
+    // touched groups re-aggregate from the post-change base restricted to
+    // exactly the feed's keys. The oracle recomputes the v2 view from
+    // scratch — the hybrid advance must hash-match it.
+    "q173_incremental_hybrid" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"),
+        pmod(col("doc_id"), lit(10)).as("bucket"))
+      val root = java.nio.file.Files.createTempDirectory("q173_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .withColumn("lang",
+            when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), (col("tokens") * 2).as("tokens"), col("bucket")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val g = Seq("source", "lang")
+      val state0 = graft.core.IncrementalAgg.aggregateHybrid(
+        s.read.parquet(s"$root/v_$v1"), g,
+        Seq("tokens"), Seq("doc_id", "tokens"), Seq("bucket"))
+      graft.core.IncrementalAgg.applyFeedHybrid(state0, feed,
+        s.read.parquet(s"$root/v_$v2"), g,
+        Seq("tokens"), Seq("doc_id", "tokens"), Seq("bucket"))
     }
   )
 
@@ -6086,7 +6122,30 @@ object SparkEntry {
         |  FROM sp JOIN eff x ON x.s = sp.sa JOIN eff y ON y.s = sp.sb)
         |SELECT * FROM collapsed
         |UNION ALL SELECT * FROM within_pairs
-        |UNION ALL SELECT * FROM cross_pairs""".stripMargin
+        |UNION ALL SELECT * FROM cross_pairs""".stripMargin,
+    // the full v2 recompute of the hybrid view — count/sum/min/max/distinct
+    // per (source, lang) after the same v1->v2 transform as q166
+    "q173_incremental_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, lang, count(*) AS n_rows,
+        |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+        |  CAST(min(tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(tokens) AS BIGINT) AS max_tokens,
+        |  CAST(count(DISTINCT doc_id % 10) AS BIGINT) AS nd_bucket
+        |FROM post GROUP BY source, lang""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

@@ -85,6 +85,71 @@ object IncrementalAgg {
     applyDeltas(state, deltas, groupCols :+ "gid", sumCols)
   }
 
+  /** The full recompute for the HYBRID view shape: per-group row count,
+    * integral sums, min/max per `minMaxCols` column, and exact distinct
+    * counts per `distinctCols` column —
+    * (groupCols…, n_rows, sum_<c>…, min_<c>, max_<c>…, nd_<c>…). The
+    * reference's own memory-stats view (`MIN/MAX(created_at)` per store,
+    * /root/reference/pkg/memory/sqlite.go:653-722) is this shape.
+    */
+  def aggregateHybrid(df: DataFrame, groupCols: Seq[String],
+                      sumCols: Seq[String], minMaxCols: Seq[String],
+                      distinctCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))) ++
+        distinctCols.map(c => countDistinct(col(c)).as(s"nd_$c")))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Advance a materialized [[aggregateHybrid]] state by one change feed —
+    * the maintainer for views that mix invertible aggregates (count/sum,
+    * which COULD advance from deltas alone) with NON-invertible ones
+    * (min/max/countDistinct, which cannot: deleting the current minimum
+    * needs the runner-up, and that is not in the state). The hybrid rule:
+    *
+    *   - groups the feed never touches keep their state rows verbatim
+    *     (a broadcast anti-join on the feed's distinct group keys — the
+    *     feed is small, so the key set is too);
+    *   - groups the feed touches re-aggregate from the POST-CHANGE base
+    *     table restricted to exactly those keys (a broadcast semi-join:
+    *     map-side filter, and partition-pruned when the base table is
+    *     partitioned/bucketed by a group column). Group-column changes
+    *     arrive as preimage + postimage rows, so BOTH the old and the new
+    *     group re-aggregate.
+    *
+    * At 100 TB the anti-join side never rescans anything, and the
+    * re-aggregation reads only the touched groups' slice of the base —
+    * cost proportional to what changed, like [[applyFeed]], paying one
+    * extra read of the touched slice as the price of non-invertibility.
+    * Count/sum ride the same re-aggregation rather than the delta path:
+    * the touched-slice scan is already paid for min/max, so a separate
+    * delta join would add a shuffle to save nothing.
+    *
+    * Invariant (spec'd and oracled, q173): for any feed base→next,
+    * `applyFeedHybrid(aggregateHybrid(v_base), feed, v_next) ==
+    * aggregateHybrid(v_next)` — including deletes of a group minimum,
+    * distinct-count collapses, group moves, and groups netting to zero
+    * (absent from the touched re-aggregation, dropped by the anti-join).
+    */
+  def applyFeedHybrid(state: DataFrame, feed: DataFrame, base: DataFrame,
+                      groupCols: Seq[String], sumCols: Seq[String],
+                      minMaxCols: Seq[String], distinctCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val touched = feed.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(c => col(c).as(s"__t_$c")): _*)
+    // null-safe keys for the same reason applyFeed's join is null-safe: a
+    // nullable group column is one ordinary group to groupBy
+    val antiCond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val untouched = state.join(broadcast(touched), antiCond, "left_anti")
+    val recomputed = aggregateHybrid(
+      base.join(broadcast(touched), antiCond, "left_semi"),
+      groupCols, sumCols, minMaxCols, distinctCols)
+    untouched.unionByName(recomputed)
+  }
+
   /** Signed per-group delta aggregates of a change feed. */
   private def feedDeltaAggs(sumCols: Seq[String]) = {
     val sgn = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))

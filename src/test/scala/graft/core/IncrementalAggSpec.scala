@@ -126,4 +126,73 @@ class IncrementalAggSpec extends AnyFunSuite with SparkTest {
     assert(!incr.exists(t => t._1 == "c"))
     assert(incr.contains(("a", null, 1L, 2L, 17L)))
   }
+
+  test("hybrid IVM: min/max/countDistinct advance by touched-group re-aggregation") {
+    // the non-invertible cases delta arithmetic cannot cover: delete the
+    // current minimum, collapse a distinct value, move a row across groups
+    val base = Seq(
+      (1L, "a", 10L, "x"), (2L, "a", 20L, "y"), (3L, "a", 30L, "y"),
+      (4L, "b", 5L, "x"), (5L, "b", 9L, "y"),
+      (6L, "c", 7L, "x"),                 // untouched group
+      (7L, "d", 2L, "x"))                 // group that nets to zero
+      .toDF("id", "grp", "v", "tag")
+    val root = java.nio.file.Files.createTempDirectory("ivm_hybrid").toString
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") =!= 1)                                   // a loses its min v AND min id
+        .filter(col("id") =!= 7)                                    // d vanishes
+        .withColumn("tag", when(col("id") === 3, lit("x")).otherwise(col("tag"))) // a: nd(tag) stays 2 via y->x? no: 2,3 were y,y -> now y,x
+        .withColumn("grp", when(col("id") === 5, lit("e")).otherwise(col("grp"))) // b -> e
+        .unionByName(Seq((9L, "a", 1L, "y")).toDF("id", "grp", "v", "tag")) // new min v for a
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))
+    val cols = (Seq("grp"), Seq("v"), Seq("id", "v"), Seq("tag"))
+    val incr = IncrementalAgg.applyFeedHybrid(
+      IncrementalAgg.aggregateHybrid(spark.read.parquet(s"$root/v_$v1"),
+        cols._1, cols._2, cols._3, cols._4),
+      feed, spark.read.parquet(s"$root/v_$v2"), cols._1, cols._2, cols._3, cols._4)
+      .collect().map(key).toSet
+    val direct = IncrementalAgg.aggregateHybrid(
+      spark.read.parquet(s"$root/v_$v2"), cols._1, cols._2, cols._3, cols._4)
+      .collect().map(key).toSet
+    assert(incr == direct)
+    // (grp, n_rows, sum_v, min_id, max_id, min_v, max_v, nd_tag)
+    assert(incr.contains(("a", 3L, 51L, 2L, 9L, 1L, 30L, 2L))) // min moved 10->1, min_id 1->2
+    assert(incr.contains(("b", 1L, 5L, 4L, 4L, 5L, 5L, 1L)))   // mover left: nd collapsed 2->1
+    assert(incr.contains(("e", 1L, 9L, 5L, 5L, 9L, 9L, 1L)))   // new group from the move
+    assert(incr.contains(("c", 1L, 7L, 6L, 6L, 7L, 7L, 1L)))   // untouched, kept verbatim
+    assert(!incr.exists(_._1 == "d"))                          // netted to zero, dropped
+  }
+
+  test("hybrid IVM: null group keys and multi-wave composition") {
+    val base = Seq((1L, Some("a"), 10L, "x"), (2L, None, 20L, "x"), (3L, None, 5L, "y"))
+      .toDF("id", "grp", "v", "tag")
+    val root = java.nio.file.Files.createTempDirectory("ivm_hybrid_null").toString
+    val v1 = TableStore.commit(base, root)
+    var state = IncrementalAgg.aggregateHybrid(spark.read.parquet(s"$root/v_$v1"),
+      Seq("grp"), Seq("v"), Seq("v"), Seq("tag"))
+    var prev = v1
+    val waves: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      cur => cur.filter(col("id") =!= 3), // delete the null group's max v? no: v=5 is min; nd(tag) collapses
+      cur => cur.unionByName(Seq((9L, Option.empty[String], 1L, "z")).toDF("id", "grp", "v", "tag")))
+    waves.foreach { w =>
+      val next = TableStore.merge(spark, root)(w)
+      val feed = TableStore.changeFeed(spark, root, Seq("id"), prev, next)
+      state = IncrementalAgg.applyFeedHybrid(state, feed,
+        spark.read.parquet(s"$root/v_$next"), Seq("grp"), Seq("v"), Seq("v"), Seq("tag"))
+      prev = next
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val incr = state.collect().map(key).toSet
+    val direct = IncrementalAgg.aggregateHybrid(spark.read.parquet(s"$root/v_$prev"),
+      Seq("grp"), Seq("v"), Seq("v"), Seq("tag")).collect().map(key).toSet
+    assert(incr == direct)
+    assert(incr.count(_._1 == null) == 1) // ONE null-group row
+    assert(incr.contains((null, 2L, 21L, 1L, 20L, 2L))) // rows 2 and 9; nd(tag) = {x, z}
+  }
 }
