@@ -2520,6 +2520,28 @@ object SparkEntry {
       graft.core.IncrementalAgg.applyFeedHybrid(state0, feed,
         s.read.parquet(s"$root/v_$v2"), g,
         Seq("tokens"), Seq("doc_id", "tokens"), Seq("bucket"))
+    },
+
+    // Graded-relevance retrieval metrics over the same BM25 leg as q171:
+    // TREC-style qrels where every doc_id % 5 == 0 doc is relevant and the
+    // % 10 == 0 half is HIGHLY relevant (grade 2). Gains are 2^grade - 1
+    // against the same micro-floored rank discounts; IDCG packs the grade-2
+    // docs into the best ranks. recall/MRR stay grade-blind (grade > 0),
+    // so only dcg/idcg/ndcg move vs q171.
+    "q174_retrieval_graded" -> { (s, dir) =>
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash join merge"),
+        (2L, "stream window batch"),
+        (3L, "vector scan filter")).toDF("query_id", "query_text")
+      val docs = Tables.documents(s, dir)
+      val ranked = graft.operators.Bm25Ops.bm25TopK(docs, "text", "doc_id",
+        queries, "query_id", "query_text", k = 20)
+      val qrels = queries.select(col("query_id"))
+        .crossJoin(docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0))
+        .withColumn("grade", when(col("doc_id") % 10 === 0, lit(2)).otherwise(lit(1)))
+      graft.operators.EvalOps.retrievalMetricsGraded(ranked, "query_id", "doc_id",
+        "rank", qrels, "query_id", "doc_id", "grade", k = 10)
     }
   )
 
@@ -6145,7 +6167,39 @@ object SparkEntry {
         |  CAST(min(tokens) AS BIGINT) AS min_tokens,
         |  CAST(max(tokens) AS BIGINT) AS max_tokens,
         |  CAST(count(DISTINCT doc_id % 10) AS BIGINT) AS nd_bucket
-        |FROM post GROUP BY source, lang""".stripMargin
+        |FROM post GROUP BY source, lang""".stripMargin,
+    // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
+    // same micro-floored discount; the ideal list sorts grades descending
+    "q174_retrieval_graded" ->
+      s"""$bm25RankedCte,
+        |rel AS (
+        |  SELECT q.query_id, d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 THEN 2 ELSE 1 END AS g
+        |  FROM q CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d),
+        |nrel AS (SELECT query_id, count(*) AS n_rel,
+        |    list(g ORDER BY g DESC) AS gl
+        |  FROM rel GROUP BY query_id),
+        |hit AS (
+        |  SELECT r.query_id, count(*) AS hits, min(r.rank) AS fr,
+        |    CAST(sum(((1 << rel.g) - 1) *
+        |      CAST(floor(1e6 * 0.6931471805599453 / ln(r.rank + 1)) AS BIGINT)) AS BIGINT) AS dcg
+        |  FROM r JOIN rel ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+        |  WHERE r.rank <= 10 GROUP BY r.query_id),
+        |ideal AS (
+        |  SELECT query_id, n_rel,
+        |    CAST(list_sum(list_transform(generate_series(1, least(n_rel, 10)),
+        |      x -> ((1 << gl[x]) - 1) *
+        |        CAST(floor(1e6 * 0.6931471805599453 / ln(x + 1)) AS BIGINT))) AS BIGINT) AS idcg
+        |  FROM nrel)
+        |SELECT n.query_id, n.n_rel,
+        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_k,
+        |  CAST(COALESCE(h.hits, 0) * 1000000 // n.n_rel AS BIGINT) AS recall_at_k_micro,
+        |  CAST(COALESCE(1000000 // h.fr, 0) AS BIGINT) AS rr_micro,
+        |  CAST(COALESCE(h.dcg, 0) AS BIGINT) AS dcg_micro,
+        |  i.idcg AS idcg_micro,
+        |  CAST(COALESCE(h.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_micro
+        |FROM nrel n JOIN ideal i USING (query_id)
+        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
   )
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as

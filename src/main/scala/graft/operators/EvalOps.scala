@@ -39,12 +39,46 @@ object EvalOps {
   def retrievalMetrics(ranked: DataFrame, qidCol: String, didCol: String,
                        rankCol: String,
                        qrels: DataFrame, relQidCol: String, relDidCol: String,
-                       k: Int): DataFrame = {
+                       k: Int): DataFrame =
+    retrievalMetricsGraded(ranked, qidCol, didCol, rankCol,
+      qrels.withColumn("__graft_g1", lit(1)), relQidCol, relDidCol,
+      "__graft_g1", k)
+
+  /** [[retrievalMetrics]] with GRADED relevance (the TREC qrels shape:
+    * grade 0 = not relevant, higher = more relevant). Gains follow the
+    * standard exponential formulation: gain(rel) = 2^rel − 1, multiplied
+    * by the SAME micro-floored rank discount, so DCG/IDCG stay exact
+    * integer sums and every metric still replays bit-for-bit in SQL.
+    * Binary qrels (all grades 1) reduce gain to 1 and reproduce
+    * [[retrievalMetrics]] exactly — that method now delegates here.
+    *
+    * Grade semantics: rows with grade ≤ 0 are dropped (not relevant);
+    * duplicate (query, doc) rows keep the MAX grade; `n_rel`, recall, and
+    * MRR count grade > 0 docs exactly as the binary path (graded gain
+    * affects only DCG/IDCG/nDCG — the published convention). IDCG places
+    * the highest grades at the best ranks: the per-query grade list sorts
+    * descending once (qrels-sized, tiny) and an ordered integer fold pairs
+    * grade r with discount r. Integer-range contract: grades ≤ 15 and
+    * k ≤ ~10⁴ keep `dcg·10⁶` inside a long.
+    *
+    * Plan: same as the binary path — qrels dedup + per-query grade lists,
+    * one keyed join of the k-bounded ranking against the qrels, two
+    * partial-aggregated folds. Nothing touches the corpus.
+    */
+  def retrievalMetricsGraded(ranked: DataFrame, qidCol: String, didCol: String,
+                             rankCol: String,
+                             qrels: DataFrame, relQidCol: String, relDidCol: String,
+                             gradeCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     import graft.util.OpCaches.TrackedPersist
     val rels = qrels.select(col(relQidCol).as("query_id"),
-      col(relDidCol).as("__rel_doc")).distinct().persistTracked
-    val nRel = rels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+        col(relDidCol).as("__rel_doc"), col(gradeCol).cast("int").as("__grade"))
+      .filter(col("__grade") > 0)
+      .groupBy("query_id", "__rel_doc").agg(max(col("__grade")).as("__grade"))
+      .persistTracked
+    val nRel = rels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"),
+        sort_array(collect_list(col("__grade")), asc = false).as("__grades"))
     val topk = ranked.select(col(qidCol).as("query_id"),
         col(didCol).as("__rel_doc"), col(rankCol).cast("long").as("__rank"))
       .filter(col("__rank") <= k)
@@ -53,21 +87,20 @@ object EvalOps {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("hits_at_k"),
         min(col("__rank")).as("__first_rank"),
-        sum(disc).as("dcg_micro"))
-    // ideal DCG: the first min(n_rel, k) ranks' discounts, an ordered
-    // integer fold over a generated sequence — no data motion at all
+        sum(expr("shiftleft(1L, __grade) - 1L") * disc).as("dcg_micro"))
+    // ideal DCG: the r-th largest grade meets the rank-r discount, an
+    // ordered integer fold over a generated sequence — no data motion
     val idcg = expr(s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
-      s"(acc, r) -> acc + CAST(floor(1e6 * ${Ln2}d / ln(r + 1)) AS LONG))")
+      "(acc, r) -> acc + (shiftleft(1L, element_at(__grades, CAST(r AS INT))) - 1L)" +
+      s" * CAST(floor(1e6 * ${Ln2}d / ln(r + 1)) AS LONG))")
     nRel.join(hitAgg, Seq("query_id"), "left")
+      .withColumn("idcg_micro", idcg)
       .select(col("query_id"), col("n_rel"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
         expr("coalesce(hits_at_k, 0L) * 1000000 div n_rel").as("recall_at_k_micro"),
         coalesce(expr("1000000 div __first_rank"), lit(0L)).as("rr_micro"),
         coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
-        idcg.as("idcg_micro"),
-        expr("coalesce(dcg_micro, 0L) * 1000000 div " +
-          s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0L, " +
-          s"(acc, r) -> acc + CAST(floor(1e6 * ${Ln2}d / ln(r + 1)) AS LONG))")
-          .as("ndcg_micro"))
+        col("idcg_micro"),
+        expr("coalesce(dcg_micro, 0L) * 1000000 div idcg_micro").as("ndcg_micro"))
   }
 }

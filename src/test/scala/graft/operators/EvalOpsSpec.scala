@@ -66,4 +66,53 @@ class EvalOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head
     assert(dup.getAs[Long]("n_rel") == 11L)
   }
+
+  test("graded nDCG flips a ranking comparison binary qrels cannot see") {
+    // Both rankings retrieve the same two relevant docs in the top-2; doc
+    // 20 is HIGHLY relevant (grade 2), doc 10 marginal (grade 1). Ranking
+    // A puts the marginal doc first, B the highly-relevant one. Binary
+    // metrics are identical; graded nDCG must prefer B.
+    val rankedA = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "did", "rank")
+    val rankedB = Seq((1L, 20L, 1), (1L, 10L, 2)).toDF("qid", "did", "rank")
+    val graded = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q", "d", "g")
+    def ndcgBin(r: org.apache.spark.sql.DataFrame) =
+      EvalOps.retrievalMetrics(r, "qid", "did", "rank",
+        graded.select($"q", $"d"), "q", "d", k = 5)
+        .collect().head.getAs[Long]("ndcg_micro")
+    def ndcgGraded(r: org.apache.spark.sql.DataFrame) =
+      EvalOps.retrievalMetricsGraded(r, "qid", "did", "rank",
+        graded, "q", "d", "g", k = 5)
+        .collect().head.getAs[Long]("ndcg_micro")
+    assert(ndcgBin(rankedA) == ndcgBin(rankedB))       // binary is blind
+    assert(ndcgBin(rankedA) == 1000000L)
+    assert(ndcgGraded(rankedB) > ndcgGraded(rankedA))  // grading sees it
+    assert(ndcgGraded(rankedB) == 1000000L)            // B IS the ideal order
+    // closed form for A: gains 2^1-1=1 at rank 1, 2^2-1=3 at rank 2
+    val dcgA = 1L * disc(1) + 3L * disc(2)
+    val idcg = 3L * disc(1) + 1L * disc(2)
+    assert(ndcgGraded(rankedA) == dcgA * 1000000L / idcg)
+  }
+
+  test("graded semantics: grade<=0 dropped, duplicate grades keep max, all-1 equals binary") {
+    val ranked = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("qid", "did", "rank")
+    // doc 12 graded 0 => not relevant at all; doc 10 graded twice keeps 3
+    val qrels = Seq((1L, 10L, 1), (1L, 10L, 3), (1L, 11L, 1), (1L, 12L, 0))
+      .toDF("q", "d", "g")
+    val out = EvalOps.retrievalMetricsGraded(ranked, "qid", "did", "rank",
+        qrels, "q", "d", "g", k = 5)
+      .collect().head
+    assert(out.getAs[Long]("n_rel") == 2L)             // doc 12 not counted
+    assert(out.getAs[Long]("hits_at_k") == 2L)
+    val dcg = 7L * disc(1) + 1L * disc(2)              // 2^3-1=7, 2^1-1=1
+    assert(out.getAs[Long]("dcg_micro") == dcg)
+    assert(out.getAs[Long]("idcg_micro") == dcg)       // already ideal order
+    assert(out.getAs[Long]("ndcg_micro") == 1000000L)
+    // all-grade-1 qrels reproduce the binary path bit-for-bit
+    val bin = EvalOps.retrievalMetrics(ranked, "qid", "did", "rank",
+      qrels.filter($"g" > 0).select($"q", $"d"), "q", "d", k = 5)
+    val ones = EvalOps.retrievalMetricsGraded(ranked, "qid", "did", "rank",
+      qrels.filter($"g" > 0).select($"q", $"d",
+        org.apache.spark.sql.functions.lit(1).as("g")), "q", "d", "g", k = 5)
+    assert(bin.collect().toSeq == ones.collect().toSeq)
+  }
 }
