@@ -2542,6 +2542,26 @@ object SparkEntry {
         .withColumn("grade", when(col("doc_id") % 10 === 0, lit(2)).otherwise(lit(1)))
       graft.operators.EvalOps.retrievalMetricsGraded(ranked, "query_id", "doc_id",
         "rank", qrels, "query_id", "doc_id", "grade", k = 10)
+    },
+
+    // q169's mining pipeline through the BLOCKED arm as ONE operator:
+    // hyperplane band keys on both sides, keyed candidate join, exact
+    // cosine verify, margin arithmetic. At bandBits=1 a candidate is
+    // missed only when all 32 hyperplane bits differ (anti-correlated
+    // pairs that can never enter a top-4 neighborhood), so the blocked
+    // arm must reproduce the brute cross-join arm bit-for-bit — the
+    // oracle IS q169's full recompute.
+    "q175_bitext_blocked" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("sid"), col("embedding").as("semb"))
+      val tgt = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("tid"), col("embedding").as("temb"))
+        .unionByName(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+          .select(col("vec_id").as("tid"), col("embedding").as("temb")))
+      graft.operators.KnnOps.marginBitextMineBlocked(src, "sid", "semb",
+        tgt, "tid", "temb", k = 4, minMarginMicro = 1100000L,
+        planes = 32, bandBits = 1)
     }
   )
 
@@ -6016,41 +6036,10 @@ object SparkEntry {
         |FROM e""".stripMargin,
     // full ratio-margin replay: micro-floored cosines, both-side top-4
     // windows, integer-div margins, per-side argmax, mutual join
-    "q169_bitext_margin" ->
-      """WITH src AS (
-        |  SELECT CAST(vec_id AS BIGINT) AS sid, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 200),
-        |tgt AS (
-        |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS tid, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE vec_id < 30
-        |  UNION ALL
-        |  SELECT CAST(vec_id AS BIGINT), CAST(embedding AS DOUBLE[])
-        |  FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
-        |pairs AS (
-        |  SELECT sid, tid,
-        |    CAST(floor(1e6 * list_cosine_similarity(s.e, t.e)) AS BIGINT) AS cm
-        |  FROM src s CROSS JOIN tgt t),
-        |nns AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rs FROM pairs),
-        |nnt AS (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY cm DESC, sid) AS rt FROM pairs),
-        |sums AS (SELECT sid, sum(cm) AS ss FROM nns WHERE rs <= 4 GROUP BY sid),
-        |sumt AS (SELECT tid, sum(cm) AS st FROM nnt WHERE rt <= 4 GROUP BY tid),
-        |scs AS (
-        |  SELECT n.sid, n.tid, n.cm,
-        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
-        |  FROM nns n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rs <= 4),
-        |bs AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY margin DESC NULLS LAST, tid) AS b FROM scs),
-        |sct AS (
-        |  SELECT n.sid, n.tid, n.cm,
-        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
-        |  FROM nnt n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rt <= 4),
-        |bt AS (
-        |  SELECT sid, tid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY margin DESC NULLS LAST, sid) AS b
-        |    FROM sct) x WHERE b = 1)
-        |SELECT s.sid AS src_id, s.tid AS tgt_id, s.cm AS cos_micro,
-        |  s.margin AS margin_micro, bt.sid IS NOT NULL AS mutual
-        |FROM bs s LEFT JOIN bt ON s.sid = bt.sid AND s.tid = bt.tid
-        |WHERE s.b = 1 AND s.margin IS NOT NULL AND s.margin >= 1100000""".stripMargin,
+    "q169_bitext_margin" -> bitextMarginOracle,
+    // the blocked arm must be indistinguishable from the brute arm on this
+    // fixture (see the q175 query comment) — same full recompute
+    "q175_bitext_blocked" -> bitextMarginOracle,
     // splitmix ticket order per shard (q113 CTE), then the greedy fold as
     // a recursive CTE stepping one doc per shard per level
     "q170_greedy_pack" ->
@@ -6201,6 +6190,48 @@ object SparkEntry {
         |FROM nrel n JOIN ideal i USING (query_id)
         |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
   )
+
+  /** The full ratio-margin recompute (micro-floored cosines, both-side
+    * top-4 windows, integer-div margins, per-side argmax, mutual join) —
+    * shared by q169 (brute arm) and q175 (blocked arm: at bandBits=1 the
+    * banding must be lossless for every pair that can reach a top-4
+    * neighborhood, so both arms hash-match this one recompute).
+    */
+  private def bitextMarginOracle: String =
+      """WITH src AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS sid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 200),
+        |tgt AS (
+        |  SELECT CAST(vec_id + 1000000 AS BIGINT) AS tid, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 30
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS BIGINT), CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id >= 300 AND vec_id < 400),
+        |pairs AS (
+        |  SELECT sid, tid,
+        |    CAST(floor(1e6 * list_cosine_similarity(s.e, t.e)) AS BIGINT) AS cm
+        |  FROM src s CROSS JOIN tgt t),
+        |nns AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rs FROM pairs),
+        |nnt AS (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY cm DESC, sid) AS rt FROM pairs),
+        |sums AS (SELECT sid, sum(cm) AS ss FROM nns WHERE rs <= 4 GROUP BY sid),
+        |sumt AS (SELECT tid, sum(cm) AS st FROM nnt WHERE rt <= 4 GROUP BY tid),
+        |scs AS (
+        |  SELECT n.sid, n.tid, n.cm,
+        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
+        |  FROM nns n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rs <= 4),
+        |bs AS (SELECT *, row_number() OVER (PARTITION BY sid ORDER BY margin DESC NULLS LAST, tid) AS b FROM scs),
+        |sct AS (
+        |  SELECT n.sid, n.tid, n.cm,
+        |    CASE WHEN ss + st > 0 AND cm >= 0 THEN CAST((cm * 8 * 1000000) // (ss + st) AS BIGINT) END AS margin
+        |  FROM nnt n JOIN sums USING (sid) JOIN sumt USING (tid) WHERE rt <= 4),
+        |bt AS (
+        |  SELECT sid, tid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY tid ORDER BY margin DESC NULLS LAST, sid) AS b
+        |    FROM sct) x WHERE b = 1)
+        |SELECT s.sid AS src_id, s.tid AS tgt_id, s.cm AS cos_micro,
+        |  s.margin AS margin_micro, bt.sid IS NOT NULL AS mutual
+        |FROM bs s LEFT JOIN bt ON s.sid = bt.sid AND s.tid = bt.tid
+        |WHERE s.b = 1 AND s.margin IS NOT NULL AND s.margin >= 1100000""".stripMargin
 
   /** DuckDB fragments for the cache-pattern oracle (same lists as
     * CachePlanOps).

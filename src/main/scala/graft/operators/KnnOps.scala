@@ -553,6 +553,81 @@ object KnnOps {
         col("margin_micro"), col("__bt_s").isNotNull.as("mutual"))
   }
 
+  /** End-to-end BLOCKED bitext mining — [[marginBitextMine]]'s corpus-scale
+    * arm as one operator: hyperplane-LSH band keys on both sides
+    * ([[DedupOps.hyperplaneBandKeys]], same signatures as the q161
+    * decontamination arm), a keyed candidate join deduped on the id pair
+    * (no embeddings ride the shuffle), exact codegen'd cosines re-joined
+    * for the surviving candidates only, then the [[marginFromPairs]]
+    * arithmetic. No cross join anywhere — the |src|·|tgt| dot-product wall
+    * becomes a banded keyed shuffle, which is the published CCMatrix shape
+    * (FAISS ANN neighborhoods feeding the ratio margin).
+    *
+    * Candidate DENSITY is the quality knob: each side's "top-k
+    * neighborhood" is the top-k of its CANDIDATES, so the banding must
+    * yield ≥ k candidates per side for the neighborhood sums to resemble
+    * the true ones — [[marginBandingDensity]] measures exactly that before
+    * committing to a setting, and KnnOpsSpec measures the agreement decay
+    * at too-coarse banding. At `bandBits = 1` (every plane its own band) a
+    * candidate pair is missed only when ALL `planes` hyperplane bits
+    * differ — vanishing for any pair that could enter a top-k — so the
+    * blocked arm reproduces the brute arm (oracled, q175) while keeping
+    * the keyed-join plan that scales out.
+    */
+  def marginBitextMineBlocked(src: DataFrame, srcIdCol: String, srcEmbCol: String,
+                              tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,
+                              k: Int = 4, minMarginMicro: Long = 1000000L,
+                              planes: Int = 32, bandBits: Int = 1,
+                              seed: Long = 42L): DataFrame = {
+    import graft.util.OpCaches.TrackedPersist
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"),
+      col(srcEmbCol).as("__semb")).persistTracked
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      col(tgtEmbCol).as("__temb")).persistTracked
+    val sBand = DedupOps.hyperplaneBandKeys(s, "__semb", Seq("src_id"),
+      planes, bandBits, seed)
+    val tBand = DedupOps.hyperplaneBandKeys(t, "__temb", Seq("tgt_id"),
+      planes, bandBits, seed)
+    val cand = sBand.join(tBand, Seq("band", "bkey"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+    val cm = floor(lit(1e6) *
+      GraftFunctions.cosine_similarity(col("__semb"), col("__temb"))).cast("long")
+    marginFromPairs(
+      cand.join(s, "src_id").join(t, "tgt_id")
+        .select(col("src_id"), col("tgt_id"), cm.as("cm")),
+      k, minMarginMicro)
+  }
+
+  /** The candidate-density probe for [[marginBitextMineBlocked]]: at these
+    * banding settings, how many candidates does each side actually see?
+    * One row: (n_src, n_src_ge_k, n_tgt, n_tgt_ge_k) — sides with ≥ k
+    * candidates have honest neighborhood sums; a low `_ge_k` share means
+    * the banding is too coarse for the margin to be trusted (add bands /
+    * shrink bandBits). Same banded join as the miner, aggregation only —
+    * run it on a sample before committing a setting at full scale.
+    */
+  def marginBandingDensity(src: DataFrame, srcIdCol: String, srcEmbCol: String,
+                           tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,
+                           k: Int = 4, planes: Int = 32, bandBits: Int = 1,
+                           seed: Long = 42L): DataFrame = {
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"),
+      col(srcEmbCol).as("__semb"))
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      col(tgtEmbCol).as("__temb"))
+    val cand = DedupOps.hyperplaneBandKeys(s, "__semb", Seq("src_id"),
+        planes, bandBits, seed)
+      .join(DedupOps.hyperplaneBandKeys(t, "__temb", Seq("tgt_id"),
+        planes, bandBits, seed), Seq("band", "bkey"))
+      .select(col("src_id"), col("tgt_id")).distinct()
+    val bySrc = cand.groupBy("src_id").agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("n_src"),
+        sum(when(col("nc") >= k, 1L).otherwise(0L)).as("n_src_ge_k"))
+    val byTgt = cand.groupBy("tgt_id").agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("n_tgt"),
+        sum(when(col("nc") >= k, 1L).otherwise(0L)).as("n_tgt_ge_k"))
+    bySrc.crossJoin(byTgt)
+  }
+
   def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
                  docIdCol: String, docEmbCol: String,
                  qidCol: String, qtokCol: String, qembCol: String): DataFrame = {

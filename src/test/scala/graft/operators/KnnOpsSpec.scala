@@ -220,6 +220,37 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("marginBitextMineBlocked reproduces the brute arm at dense banding") {
+    import spark.implicits._
+    val src = (0 until 40).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
+    val tgt = ((0 until 12).map(i => (1000L + i, vec(i))) ++
+      (50 until 80).map(i => (1000L + i, vec(i)))).toDF("tid", "temb")
+    val brute = KnnOps.marginBitextMine(src, "sid", "semb", tgt, "tid", "temb",
+        k = 4, minMarginMicro = 0L)
+      .collect().map(_.toSeq).toSet
+    graft.GraftEngine.releaseCaches()
+    // bandBits=1: a pair is missed only when all 32 hyperplane bits differ
+    val blocked = KnnOps.marginBitextMineBlocked(src, "sid", "semb",
+        tgt, "tid", "temb", k = 4, minMarginMicro = 0L,
+        planes = 32, bandBits = 1)
+      .collect().map(_.toSeq).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(blocked == brute && brute.nonEmpty)
+    // the density probe certifies the setting: every side sees >= k cands
+    val dense = KnnOps.marginBandingDensity(src, "sid", "semb",
+      tgt, "tid", "temb", k = 4, planes = 32, bandBits = 1).collect().head
+    assert(dense.getAs[Long]("n_src") == dense.getAs[Long]("n_src_ge_k"))
+    assert(dense.getAs[Long]("n_tgt") == dense.getAs[Long]("n_tgt_ge_k"))
+    // too-coarse banding is VISIBLE in the probe before any mining runs:
+    // 8-bit bands leave some sides under k candidates on this fixture
+    val coarse = KnnOps.marginBandingDensity(src, "sid", "semb",
+      tgt, "tid", "temb", k = 4, planes = 32, bandBits = 8).collect().head
+    assert(coarse.getAs[Long]("n_src_ge_k") < dense.getAs[Long]("n_src_ge_k") ||
+      coarse.getAs[Long]("n_tgt_ge_k") < dense.getAs[Long]("n_tgt_ge_k") ||
+      coarse.getAs[Long]("n_src") < dense.getAs[Long]("n_src"))
+    graft.GraftEngine.releaseCaches()
+  }
+
   test("marginBitextMine is partitioning-independent") {
     import spark.implicits._
     val src = (0 until 25).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
