@@ -2562,6 +2562,27 @@ object SparkEntry {
       graft.operators.KnnOps.marginBitextMineBlocked(src, "sid", "semb",
         tgt, "tid", "temb", k = 4, minMarginMicro = 1100000L,
         planes = 32, bandBits = 1)
+    },
+
+    // Unigram-LM tokenizer training (Kudo 2018) beside BPE: seed with
+    // frequency-top substrings, forward-backward EM over each word's
+    // segmentation lattice (driver-side on the word-count table, like
+    // bpeTrain), prune to vocabSize with pinned ties, then map-only
+    // Viterbi segmentation. The planted two-pattern corpus trains the
+    // hand-derivable vocabulary {a,b,c,d,ab,cd} — p(ab)=p(cd) dominate —
+    // so every test doc's max-likelihood split is derivable by inspection
+    // and the oracle is a VALUES table (the q36/q137 convention).
+    "q176_unigram_segment" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq.fill(10)("ab ab abab cd cd cdcd").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("cid", "text")
+      val model = graft.text.Unigram.unigramTrain(corpus, "text",
+        vocabSize = 6, maxPieceLen = 4)
+      val docs = Seq(
+        (1L, "ababcd"), (2L, "cda b"), (3L, "abcd abcd"),
+        (4L, "dcba"), (5L, "ab zcd")).toDF("id", "text")
+      graft.text.Unigram.unigramSegment(docs, "text", model, "pieces")
+        .select(col("id"), array_join(col("pieces"), "|").as("pieces"))
     }
   )
 
@@ -6040,6 +6061,15 @@ object SparkEntry {
     // the blocked arm must be indistinguishable from the brute arm on this
     // fixture (see the q175 query comment) — same full recompute
     "q175_bitext_blocked" -> bitextMarginOracle,
+    // hand-derived max-likelihood splits under the trained {a,b,c,d,ab,cd}
+    // vocabulary (p_ab = p_cd >> char probs; 'z' is OOV, segments alone)
+    "q176_unigram_segment" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'ab|ab|cd'),
+        |  (CAST(2 AS BIGINT), 'cd|a|b'),
+        |  (CAST(3 AS BIGINT), 'ab|cd|ab|cd'),
+        |  (CAST(4 AS BIGINT), 'd|c|b|a'),
+        |  (CAST(5 AS BIGINT), 'ab|z|cd')) t(id, pieces)""".stripMargin,
     // splitmix ticket order per shard (q113 CTE), then the greedy fold as
     // a recursive CTE stepping one doc per shard per level
     "q170_greedy_pack" ->

@@ -1,0 +1,311 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization") —
+  * the SentencePiece-style alternative to [[Bpe]]: instead of learning
+  * merge rules, learn a PIECE VOCABULARY with probabilities and segment by
+  * maximum likelihood. Trains the same way at any corpus size as [[Bpe]]
+  * does, because the published algorithm only ever needs word counts:
+  *
+  *   1. ONE distributed pass — whitespace-word counts (map-side partial
+  *      aggregation, vocabulary-bounded shuffle, deterministic top-k cap).
+  *   2. Driver-side seed + EM + prune loop over the word-frequency table:
+  *      seed with the most frequent substrings, run full forward–backward
+  *      EM (soft counts over every segmentation lattice), prune the
+  *      lowest-expected-count pieces, repeat until the vocabulary fits.
+  *      O(Σ|word|·maxPieceLen) per EM pass — independent of corpus bytes.
+  *   3. Segmentation is MAP-ONLY Viterbi: the learned (piece, logprob)
+  *      table ships in the kernel closure and each word decodes its
+  *      max-likelihood split; a per-task memo exploits Zipf reuse.
+  *
+  * Simplifications vs the published trainer, chosen for determinism
+  * (documented, not hidden): the seed is frequency-top-k substrings (not
+  * suffix-array ESA candidates), pruning drops by expected count (not by
+  * exact likelihood-loss), and there is no subword-regularization
+  * sampling — segmentation is always the Viterbi argmax. Ties are pinned
+  * everywhere: seed and prune ties break to the lexicographically smaller
+  * piece kept first, EM accumulates in fixed word order, normalization
+  * folds in sorted piece order, and Viterbi ties prefer the longer
+  * trailing piece — so the same (corpus, params) trains the same model on
+  * any engine or partitioning.
+  */
+object Unigram {
+
+  /** Penalty log-prob for out-of-vocabulary single characters at segment
+    * time (training always keeps every seen char, so this only fires on
+    * chars the training corpus never contained).
+    */
+  private[text] val UnkLogp = -1e9
+
+  /** Floor for a kept single-character piece whose expected count reaches
+    * zero (chars must stay segmentable — Kudo keeps required chars at tiny
+    * probability rather than dropping them).
+    */
+  private val CharFloor = 1e-12
+
+  /** Train a unigram-LM vocabulary of (up to) `vocabSize` pieces from a
+    * corpus. Returns (piece, logprob) — persist as parquet like any model
+    * table. Single characters always survive (full coverage); multi-char
+    * pieces are capped at `maxPieceLen`. `maxWords` caps the driver-side
+    * word table by frequency exactly as [[Bpe.bpeTrain]] does.
+    */
+  def unigramTrain(corpus: DataFrame, textCol: String, vocabSize: Int,
+                   maxWords: Int = 100000, maxPieceLen: Int = 8,
+                   seedMultiplier: Int = 10, emIters: Int = 2,
+                   pruneFrac: Double = 0.25): DataFrame = {
+    require(vocabSize >= 1, "need vocabSize >= 1")
+    require(maxWords >= 1, "need maxWords >= 1")
+    require(maxPieceLen >= 1, "need maxPieceLen >= 1")
+    require(emIters >= 1, "need emIters >= 1")
+    require(pruneFrac > 0.0 && pruneFrac < 1.0, "pruneFrac must be in (0, 1)")
+    val spark = corpus.sparkSession
+    import graft.functions.TextFunctions
+    val wordCounts = corpus
+      .select(explode(TextFunctions.ws_tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    trainPieces(wordCounts, vocabSize, maxPieceLen, seedMultiplier,
+      emIters, pruneFrac).toDF("piece", "logprob")
+  }
+
+  /** Driver-side seed → EM → prune loop (see object doc for the published
+    * algorithm and the pinned tie-breaks).
+    */
+  private[text] def trainPieces(wordCounts: Array[(String, Long)], vocabSize: Int,
+                                maxPieceLen: Int, seedMultiplier: Int,
+                                emIters: Int, pruneFrac: Double): Seq[(String, Double)] = {
+    val words = wordCounts.map(_._1)
+    val freqs = wordCounts.map(_._2)
+    // seed counts: every substring up to maxPieceLen, weighted by word freq
+    val subCounts = scala.collection.mutable.HashMap.empty[String, Double]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val f = freqs(i).toDouble
+      var s = 0
+      while (s < w.length) {
+        var e = s + 1
+        while (e <= math.min(w.length, s + maxPieceLen)) {
+          val sub = w.substring(s, e)
+          subCounts.update(sub, subCounts.getOrElse(sub, 0.0) + f)
+          e += 1
+        }
+        s += 1
+      }
+      i += 1
+    }
+    val chars = subCounts.keysIterator.filter(_.length == 1).toArray.sorted
+    val seedCap = math.max(vocabSize.toLong * seedMultiplier, chars.length.toLong)
+    val multiSeed = subCounts.iterator.filter(_._1.length > 1).toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take((seedCap - chars.length).max(0L).toInt)
+      .map(_._1)
+    var pieces: Array[String] = (chars ++ multiSeed).sorted
+    // init probs proportional to seed counts, folded in sorted order
+    var probs = normalize(pieces, p => subCounts(p))
+    var done = false
+    while (!done) {
+      var counts: scala.collection.mutable.HashMap[String, Double] = null
+      var it = 0
+      while (it < emIters) {
+        counts = emStep(words, freqs, probs, maxPieceLen)
+        probs = normalize(pieces,
+          p => if (p.length == 1) math.max(counts.getOrElse(p, 0.0), CharFloor)
+               else counts.getOrElse(p, 0.0))
+        it += 1
+      }
+      if (pieces.length <= vocabSize) done = true
+      else {
+        // prune lowest-expected-count multi-char pieces (ties: the
+        // lexicographically SMALLER piece survives longer); chars immune
+        val keepMulti = math.max(vocabSize - chars.length,
+          (pieces.length * (1.0 - pruneFrac)).toInt - chars.length).max(0)
+        val rankedMulti = pieces.iterator.filter(_.length > 1).toArray
+          .sortBy(p => (-counts.getOrElse(p, 0.0), p))
+          .take(keepMulti)
+        pieces = (chars ++ rankedMulti).sorted
+        probs = normalize(pieces, p => probs(p)) // renormalize survivors
+      }
+    }
+    pieces.iterator.map(p => (p, math.log(probs(p)))).toSeq
+  }
+
+  /** Normalize `weight` over `pieces`, folding in sorted array order so
+    * the total (a double sum) is partition- and hash-order-independent.
+    */
+  private def normalize(pieces: Array[String],
+                        weight: String => Double): Map[String, Double] = {
+    var total = 0.0
+    var i = 0
+    while (i < pieces.length) { total += weight(pieces(i)); i += 1 }
+    pieces.iterator.map(p => p -> weight(p) / total).toMap
+  }
+
+  /** One full forward–backward E-step: expected piece counts over every
+    * word's segmentation lattice. alpha(j) sums path probabilities of
+    * prefixes ending at j, beta(i) of suffixes starting at i; the expected
+    * count of the piece spanning (i, j) is alpha(i)·p·beta(j)∕alpha(n),
+    * times the word frequency. Words whose lattice underflows to zero
+    * probability are skipped (cannot happen while every char is in the
+    * vocabulary and words are of sane length).
+    */
+  private[text] def emStep(words: Array[String], freqs: Array[Long],
+                           probs: collection.Map[String, Double],
+                           maxPieceLen: Int): scala.collection.mutable.HashMap[String, Double] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      val f = freqs(wi).toDouble
+      val n = w.length
+      val alpha = new Array[Double](n + 1)
+      val beta = new Array[Double](n + 1)
+      alpha(0) = 1.0
+      var j = 1
+      while (j <= n) {
+        var i = math.max(0, j - maxPieceLen)
+        var a = 0.0
+        while (i < j) {
+          if (alpha(i) > 0.0) {
+            val p = probs.getOrElse(w.substring(i, j), 0.0)
+            if (p > 0.0) a += alpha(i) * p
+          }
+          i += 1
+        }
+        alpha(j) = a
+        j += 1
+      }
+      val z = alpha(n)
+      if (z > 0.0) {
+        beta(n) = 1.0
+        var i = n - 1
+        while (i >= 0) {
+          var b = 0.0
+          var j2 = i + 1
+          while (j2 <= math.min(n, i + maxPieceLen)) {
+            if (beta(j2) > 0.0) {
+              val p = probs.getOrElse(w.substring(i, j2), 0.0)
+              if (p > 0.0) b += p * beta(j2)
+            }
+            j2 += 1
+          }
+          beta(i) = b
+          i -= 1
+        }
+        i = 0
+        while (i < n) {
+          var j3 = i + 1
+          while (j3 <= math.min(n, i + maxPieceLen)) {
+            val piece = w.substring(i, j3)
+            val p = probs.getOrElse(piece, 0.0)
+            if (p > 0.0 && alpha(i) > 0.0 && beta(j3) > 0.0) {
+              val e = alpha(i) * p * beta(j3) / z * f
+              acc.update(piece, acc.getOrElse(piece, 0.0) + e)
+            }
+            j3 += 1
+          }
+          i += 1
+        }
+      }
+      wi += 1
+    }
+    acc
+  }
+
+  /** Max-likelihood (Viterbi) split of one word. Ties prefer the LONGER
+    * trailing piece (the ascending-start scan keeps the first maximum).
+    * Characters absent from the vocabulary fall back to [[UnkLogp]], so
+    * every word segments.
+    */
+  private[text] def viterbi(word: String, logp: collection.Map[String, Double],
+                            maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) != Double.NegativeInfinity) {
+          val lp = logp.get(word.substring(i, j)) match {
+            case Some(x) => x
+            case None => if (j - i == 1) UnkLogp else Double.NegativeInfinity
+          }
+          if (lp != Double.NegativeInfinity && best(i) + lp > best(j)) {
+            best(j) = best(i) + lp
+            back(j) = i
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { out += word.substring(back(pos), pos); pos = back(pos) }
+    out.reverseIterator.toArray
+  }
+
+  /** The Java-regex \s class — identical to [[Bpe]]'s encode kernel so
+    * segmentation sees exactly the words training counted.
+    */
+  @inline private def isAsciiWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Segment `textCol` with a trained (piece, logprob) model: whitespace
+    * words split independently (matching training), piece arrays
+    * concatenate in word order. Map-only — the model collapses to a log
+    * map in the kernel closure (bounded by vocabSize); a per-task memo
+    * caches word segmentations (Zipf reuse). Adds `outCol`
+    * (array&lt;string&gt;).
+    */
+  def unigramSegment(df: DataFrame, textCol: String, model: DataFrame,
+                     outCol: String): DataFrame = {
+    val logp: Map[String, Double] = model
+      .select(col("piece"), col("logprob").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxLen = if (logp.isEmpty) 1 else logp.keysIterator.map(_.length).max
+    val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+    val seg = udf((text: String) => {
+      if (text == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        val n = text.length
+        while (i < n) {
+          while (i < n && isAsciiWs(text.charAt(i))) i += 1
+          val start = i
+          while (i < n && !isAsciiWs(text.charAt(i))) i += 1
+          if (i > start) {
+            // same Locale.ROOT lowercase + ASCII \s contract as training
+            val word = text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+            val toks = memo.getOrElseUpdate(word, {
+              if (memo.size > 100000) memo.clear() // bound task memory
+              viterbi(word, logp, maxLen)
+            })
+            out ++= toks
+          }
+        }
+        out.toSeq
+      }
+    })
+    df.withColumn(outCol, seg(col(textCol)))
+  }
+
+  /** Exact unigram token count — the packing/budget input, like
+    * [[Bpe.bpeTokenCount]].
+    */
+  def unigramTokenCount(df: DataFrame, textCol: String, model: DataFrame,
+                        outCol: String): DataFrame =
+    unigramSegment(df, textCol, model, "__uni_toks")
+      .withColumn(outCol, size(col("__uni_toks")).cast("long"))
+      .drop("__uni_toks")
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM trainer: closed-form EM expectations, Viterbi decoding,
+  * end-to-end planted training.
+  */
+class UnigramSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("emStep matches the closed-form lattice expectations") {
+    // vocab {a, b, ab} at uniform 1/3; word "ab" has two segmentations:
+    // [ab] with prob 1/3 and [a][b] with prob 1/9 => Z = 4/9, so
+    // E[ab] = (1/3)/(4/9) = 3/4 and E[a] = E[b] = (1/9)/(4/9) = 1/4.
+    val probs = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "ab" -> 1.0 / 3)
+    val counts = Unigram.emStep(Array("ab"), Array(1L), probs, maxPieceLen = 2)
+    assert(math.abs(counts("ab") - 0.75) < 1e-12)
+    assert(math.abs(counts("a") - 0.25) < 1e-12)
+    assert(math.abs(counts("b") - 0.25) < 1e-12)
+    // frequencies scale expectations linearly
+    val c10 = Unigram.emStep(Array("ab"), Array(10L), probs, maxPieceLen = 2)
+    assert(math.abs(c10("ab") - 7.5) < 1e-12)
+  }
+
+  test("viterbi decodes max likelihood, prefers longer pieces on ties, survives OOV") {
+    val lp = Map("a" -> math.log(0.2), "b" -> math.log(0.2), "ab" -> math.log(0.6))
+    assert(Unigram.viterbi("abab", lp, 2).toSeq == Seq("ab", "ab"))
+    assert(Unigram.viterbi("aab", lp, 2).toSeq == Seq("a", "ab"))
+    // exact tie: [ab] = log .25, [a][b] = log .5 + log .5 — longer wins
+    val tie = Map("a" -> math.log(0.5), "b" -> math.log(0.5), "ab" -> math.log(0.25))
+    assert(Unigram.viterbi("ab", tie, 2).toSeq == Seq("ab"))
+    // OOV chars fall back to the unk penalty, never fail
+    assert(Unigram.viterbi("axb", lp, 2).toSeq == Seq("a", "x", "b"))
+    assert(Unigram.viterbi("", lp, 2).isEmpty)
+  }
+
+  test("planted corpus trains the obvious vocabulary; segmentation is map-only exact") {
+    val corpus = Seq.fill(10)("ab ab abab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = Unigram.unigramTrain(corpus, "text", vocabSize = 3,
+      maxPieceLen = 4)
+    val pieces = model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // chars always survive; the single multi slot must go to "ab"
+    assert(pieces.keySet == Set("a", "b", "ab"))
+    assert(pieces("ab") > pieces("a") && pieces("ab") > pieces("b"))
+    val docs = Seq((1L, "abab"), (2L, "aab"), (3L, "bab a"), (4L, "ab x ab"))
+      .toDF("id", "text")
+    val segs = Unigram.unigramSegment(docs, "text", model, "pieces")
+      .select(col("id"), array_join(col("pieces"), "|").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(segs == Map(1L -> "ab|ab", 2L -> "a|ab", 3L -> "b|ab|a",
+      4L -> "ab|x|ab"))
+    // token counts ride the same kernel
+    val n = Unigram.unigramTokenCount(docs, "text", model, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("training is deterministic across partitionings") {
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "hello world" else "held helm word"))
+      .toDF("id", "text")
+    val m1 = Unigram.unigramTrain(corpus, "text", vocabSize = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val m2 = Unigram.unigramTrain(corpus.repartition(7), "text", vocabSize = 12)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(m1 == m2 && m1.nonEmpty)
+    assert(m1.count(_._1.length > 1) > 0) // learned at least one real piece
+  }
+}
