@@ -2583,6 +2583,41 @@ object SparkEntry {
         (4L, "dcba"), (5L, "ab zcd")).toDF("id", "text")
       graft.text.Unigram.unigramSegment(docs, "text", model, "pieces")
         .select(col("id"), array_join(col("pieces"), "|").as("pieces"))
+    },
+
+    // STREAMING IVM end-to-end: a live rate-metronome maintainer tails the
+    // TableStore change feed and advances the q166 rollup view while this
+    // query stages the v0->v1 transform underneath it; the query polls the
+    // _APPLIED freshness pointer until the view reflects v1, then returns
+    // the maintained state — which must hash-match the same from-scratch
+    // rollup recompute as q166 (shared oracle).
+    "q177_ivm_stream" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("q177_src").toString
+      val viewRoot = java.nio.file.Files.createTempDirectory("q177_view").toString
+      graft.core.TableStore.commit(docs, srcRoot)
+      val spec = graft.streaming.IvmStream.IvmViewSpec(
+        Seq("doc_id"), Seq("source", "lang"), Seq("tokens"), rollup = true)
+      val q = graft.streaming.IvmStream.maintainView(s, srcRoot, viewRoot, spec,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        val v1 = graft.core.TableStore.merge(s, srcRoot) { cur =>
+          cur.filter(col("doc_id") % 7 =!= 0)
+            .withColumn("tokens",
+              when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+            .withColumn("lang",
+              when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+            .unionByName(docs.filter(col("doc_id") < 20)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+                col("lang"), (col("tokens") * 2).as("tokens")))
+        }
+        val deadline = System.currentTimeMillis() + 60000
+        while (!graft.streaming.IvmStream.readApplied(viewRoot).exists(_._2 >= v1) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        graft.core.TableStore.read(s, viewRoot).localCheckpoint(true)
+      } finally q.stop()
     }
   )
 
@@ -6002,22 +6037,10 @@ object SparkEntry {
         |FROM li JOIN dim USING (k)""".stripMargin,
     // direct v2 rollup recompute; GROUPING(source, lang) matches Spark's
     // grouping_id() bit convention (first column = MSB)
-    "q166_incremental_rollup" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, lang,
-        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
-        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
-        |  FROM documents),
-        |post AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
-        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
-        |  FROM d WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
-        |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
-        |  count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens
-        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "q166_incremental_rollup" -> rollupIvmOracle,
+    // the live maintainer converges to the same state as the batch
+    // advance: one shared from-scratch recompute oracles both
+    "q177_ivm_stream" -> rollupIvmOracle,
     // splitmix ticket (q113 CTE) -> shard -> prefix sums -> token-level
     // window positions -> ordered assembly
     "q167_packed_windows" ->
@@ -6220,6 +6243,28 @@ object SparkEntry {
         |FROM nrel n JOIN ideal i USING (query_id)
         |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
   )
+
+  /** The from-scratch v1 rollup recompute after the shared q166/q177
+    * transform (delete %7, +5 tokens on %11, lang move on %13, doubled
+    * re-inserts of doc_id < 20) — the oracle for both the batch rollup
+    * advance (q166) and the live streaming maintainer (q177).
+    */
+  private def rollupIvmOracle: String =
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin
 
   /** The full ratio-margin recompute (micro-floored cosines, both-side
     * top-4 windows, integer-div margins, per-side argmax, mutual join) —

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.core.{IncrementalAgg, TableStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CONTINUOUS incremental view maintenance — the composition of the
+  * [[graft.core.TableStore]] change feed with [[graft.core.IncrementalAgg]]
+  * under a Structured Streaming driver loop: a materialized per-group
+  * aggregate (flat or rollup) that stays current as writers commit new
+  * versions to the source table, without anyone re-scanning it.
+  *
+  * Shape: the streaming side is a metronome (a `rate` tick stream into
+  * `foreachBatch` — the tick rows are ignored); each micro-batch runs ONE
+  * [[advanceView]] step, which compares the source's committed version
+  * against the view's applied watermark and, when behind, derives the
+  * version-range change feed and advances the view state through
+  * `applyFeed`/`applyFeedRollup` — work proportional to what changed,
+  * exactly like the batch path (q166/q173). At scale the same
+  * [[ivmBatch]] callback can hang off any notification stream instead of
+  * the metronome; the advance step itself is source-agnostic.
+  *
+  * Consistency protocol: the view lives in its own TableStore; a sidecar
+  * `_APPLIED` pointer (temp-write + atomic rename, the `_CURRENT`
+  * discipline) records `(view version, applied source version)` after
+  * every view commit. The view commit CASes on the expected view version,
+  * so two maintainers can never double-apply a feed. A crash BETWEEN the
+  * view commit and the pointer write leaves the pair inconsistent —
+  * detected on the next advance (pointer's view version ≠ committed view
+  * version) and healed by re-bootstrapping the view from a full aggregate
+  * of the current source version: correctness is never at risk, one
+  * recovery pass is the cost. The source's `vacuum` keep-window must cover
+  * the maintainer's maximum lag, or the feed's base version is gone and
+  * the same full-rebootstrap path heals that too (changeFeed fails →
+  * caller re-bootstraps via [[bootstrapView]]).
+  */
+object IvmStream {
+
+  /** What the maintained view computes: [[IncrementalAgg.aggregate]] over
+    * `groupCols`/`sumCols`, or the rollup composition when `rollup`.
+    * `idCols` key the source's change feed.
+    */
+  final case class IvmViewSpec(idCols: Seq[String], groupCols: Seq[String],
+                               sumCols: Seq[String], rollup: Boolean = false) {
+    require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
+    private[streaming] def aggregate(df: DataFrame): DataFrame =
+      if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
+      else IncrementalAgg.aggregate(df, groupCols, sumCols)
+    private[streaming] def apply(state: DataFrame, feed: DataFrame): DataFrame =
+      if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
+      else IncrementalAgg.applyFeed(state, feed, groupCols, sumCols)
+  }
+
+  private def appliedPtr(viewRoot: String) = Paths.get(viewRoot, "_APPLIED")
+
+  /** (view version, applied source version), if the pointer exists — the
+    * freshness probe: poll it to know which source version the readable
+    * view reflects.
+    */
+  def readApplied(viewRoot: String): Option[(Long, Long)] = {
+    val p = appliedPtr(viewRoot)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      .split(":") match {
+        case Array(vv, sv) => Some((vv.toLong, sv.toLong))
+        case _ => None
+      }
+  }
+
+  private def writeApplied(viewRoot: String, viewV: Long, srcV: Long): Unit = {
+    val tmp = Paths.get(viewRoot, s"_APPLIED.tmp_$viewV")
+    Files.write(tmp, s"$viewV:$srcV".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, appliedPtr(viewRoot),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Full (re)bootstrap: aggregate source version `srcV` from scratch and
+    * commit it as the next view version. The recovery path, and the first
+    * advance of a fresh view.
+    */
+  private def bootstrapView(spark: SparkSession, sourceRoot: String,
+                            viewRoot: String, spec: IvmViewSpec, srcV: Long): Long = {
+    val state = spec.aggregate(TableStore.readVersion(spark, sourceRoot, srcV))
+    val vv = TableStore.commit(state, viewRoot)
+    writeApplied(viewRoot, vv, srcV)
+    srcV
+  }
+
+  /** One maintenance step: bring the view up to the source's CURRENT
+    * committed version. Returns the applied source version after the step
+    * (None when the source has no committed version yet). Idempotent —
+    * a no-op when the view is already current — and safe to call from any
+    * single maintainer loop; concurrent maintainers are arbitrated by the
+    * view commit's optimistic CAS (the loser throws, its next tick
+    * re-reads and no-ops).
+    */
+  def advanceView(spark: SparkSession, sourceRoot: String, viewRoot: String,
+                  spec: IvmViewSpec): Option[Long] = {
+    TableStore.currentVersion(sourceRoot).map { srcV =>
+      val vvOpt = TableStore.currentVersion(viewRoot)
+      val applied = readApplied(viewRoot)
+      (vvOpt, applied) match {
+        case (Some(vv), Some((mv, sv))) if mv == vv =>
+          if (srcV <= sv) sv // already current
+          else {
+            val feed = TableStore.changeFeed(spark, sourceRoot, spec.idCols, sv, srcV)
+            val next = spec.apply(TableStore.readVersion(spark, viewRoot, vv), feed)
+            val vv2 = TableStore.commit(next, viewRoot, expectedVersion = Some(vv))
+            writeApplied(viewRoot, vv2, srcV)
+            srcV
+          }
+        case (None, None) => // fresh view
+          bootstrapView(spark, sourceRoot, viewRoot, spec, srcV)
+        case _ => // pointer/commit mismatch (crash in the gap): heal
+          bootstrapView(spark, sourceRoot, viewRoot, spec, srcV)
+      }
+    }
+  }
+
+  /** The `foreachBatch` callback: ignores the tick batch, runs one
+    * [[advanceView]] step under a scoped cache release (the feed and state
+    * frames are per-batch).
+    */
+  def ivmBatch(spark: SparkSession, sourceRoot: String, viewRoot: String,
+               spec: IvmViewSpec): (DataFrame, Long) => Unit =
+    (_: DataFrame, _: Long) =>
+      graft.util.OpCaches.scoped {
+        advanceView(spark, sourceRoot, viewRoot, spec)
+        ()
+      }
+
+  /** Start the maintainer: a rate metronome driving [[ivmBatch]] at
+    * `trigger`. Read the maintained state any time with
+    * `TableStore.read(spark, viewRoot)` — every committed view version is
+    * a consistent snapshot equal to the full recompute of its applied
+    * source version (spec-pinned). Stop with `.stop()` like any stream.
+    */
+  def maintainView(spark: SparkSession, sourceRoot: String, viewRoot: String,
+                   spec: IvmViewSpec,
+                   trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+      .writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch(ivmBatch(spark, sourceRoot, viewRoot, spec))
+      .start()
+}

@@ -307,4 +307,78 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
       assert(prog.count() >= 2L, "each data batch reports its input rows")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("streaming IVM: the maintained view tracks staged commits, matching the recompute") {
+    import graft.core.{IncrementalAgg, TableStore}
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"))
+    def viewSet() =
+      try TableStore.read(spark, viewRoot)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      catch { case _: Exception => Set.empty[(String, Long, Long)] }
+    def recompute() = IncrementalAgg.aggregate(
+      TableStore.read(spark, srcRoot), Seq("grp"), Seq("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val q = IvmStream.maintainView(spark, srcRoot, viewRoot, spec,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def waitFor(target: => Set[(String, Long, Long)]): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (viewSet() != target && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      }
+      waitFor(recompute())
+      assert(viewSet() == recompute() && viewSet().nonEmpty) // bootstrap applied v1
+      // stage a second commit: delete, update, group move, insert
+      TableStore.merge(spark, srcRoot) { cur =>
+        cur.filter(col("id") =!= 1)
+          .withColumn("v", when(col("id") === 3, lit(50L)).otherwise(col("v")))
+          .withColumn("grp", when(col("id") === 2, lit("c")).otherwise(col("grp")))
+          .unionByName(rows((9L, "d", 7L)))
+      }
+      waitFor(recompute())
+      assert(viewSet() == recompute())
+      assert(viewSet() == Set(("c", 1L, 20L), ("b", 1L, 50L), ("d", 1L, 7L)))
+      // and a third wave while the maintainer keeps running
+      TableStore.merge(spark, srcRoot)(cur => cur.filter(col("grp") =!= "b"))
+      waitFor(recompute())
+      assert(viewSet() == recompute())
+      assert(!viewSet().exists(_._1 == "b"))
+    } finally q.stop()
+  }
+
+  test("streaming IVM: advance is idempotent, CAS-protected, and heals a torn pointer") {
+    import graft.core.{IncrementalAgg, TableStore}
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src2").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view2").toString
+    def rows(xs: (Long, String, String, Long)*) = xs.toDF("id", "g1", "g2", "v")
+    TableStore.commit(rows((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 5L)),
+      srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("g1", "g2"), Seq("v"), rollup = true)
+    def recompute() = IncrementalAgg.aggregateRollup(
+      TableStore.read(spark, srcRoot), Seq("g1", "g2"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    // bootstrap + no-op idempotence (first committed version is v_0)
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    // advance through a staged commit (rollup rows included)
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("id") =!= 2).unionByName(rows((9L, "c", "z", 7L))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    // torn pointer (crash between view commit and pointer write): healing
+    // re-bootstrap must restore exactly the recompute
+    java.nio.file.Files.delete(java.nio.file.Paths.get(viewRoot, "_APPLIED"))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    assert(IvmStream.readApplied(viewRoot).exists(_._2 == 1L))
+  }
 }
