@@ -2618,6 +2618,42 @@ object SparkEntry {
           System.currentTimeMillis() < deadline) Thread.sleep(100)
         graft.core.TableStore.read(s, viewRoot).localCheckpoint(true)
       } finally q.stop()
+    },
+
+    // The round's two pieces composed: the LIVE maintainer driving the
+    // HYBRID (non-invertible) view — min/max/countDistinct re-aggregate
+    // feed-touched groups from the post-change source version the
+    // maintainer already has on hand. Same staged transform and polling
+    // shape as q177; the oracle is q173's from-scratch hybrid recompute.
+    "q178_ivm_stream_hybrid" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"),
+        pmod(col("doc_id"), lit(10)).as("bucket"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("q178_src").toString
+      val viewRoot = java.nio.file.Files.createTempDirectory("q178_view").toString
+      graft.core.TableStore.commit(docs, srcRoot)
+      val spec = graft.streaming.IvmStream.IvmViewSpec(
+        Seq("doc_id"), Seq("source", "lang"), Seq("tokens"),
+        minMaxCols = Seq("doc_id", "tokens"), distinctCols = Seq("bucket"))
+      val q = graft.streaming.IvmStream.maintainView(s, srcRoot, viewRoot, spec,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        val v1 = graft.core.TableStore.merge(s, srcRoot) { cur =>
+          cur.filter(col("doc_id") % 7 =!= 0)
+            .withColumn("tokens",
+              when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+            .withColumn("lang",
+              when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+            .unionByName(docs.filter(col("doc_id") < 20)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+                col("lang"), (col("tokens") * 2).as("tokens"), col("bucket")))
+        }
+        val deadline = System.currentTimeMillis() + 60000
+        while (!graft.streaming.IvmStream.readApplied(viewRoot).exists(_._2 >= v1) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        graft.core.TableStore.read(s, viewRoot).localCheckpoint(true)
+      } finally q.stop()
     }
   )
 
@@ -6189,27 +6225,10 @@ object SparkEntry {
         |UNION ALL SELECT * FROM cross_pairs""".stripMargin,
     // the full v2 recompute of the hybrid view — count/sum/min/max/distinct
     // per (source, lang) after the same v1->v2 transform as q166
-    "q173_incremental_hybrid" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, lang,
-        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
-        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
-        |  FROM documents),
-        |post AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
-        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
-        |  FROM d WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
-        |SELECT source, lang, count(*) AS n_rows,
-        |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
-        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
-        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
-        |  CAST(min(tokens) AS BIGINT) AS min_tokens,
-        |  CAST(max(tokens) AS BIGINT) AS max_tokens,
-        |  CAST(count(DISTINCT doc_id % 10) AS BIGINT) AS nd_bucket
-        |FROM post GROUP BY source, lang""".stripMargin,
+    "q173_incremental_hybrid" -> hybridIvmOracle,
+    // the live maintainer's hybrid view converges to the same state as
+    // the batch hybrid advance: one shared from-scratch recompute
+    "q178_ivm_stream_hybrid" -> hybridIvmOracle,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->
@@ -6243,6 +6262,32 @@ object SparkEntry {
         |FROM nrel n JOIN ideal i USING (query_id)
         |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
   )
+
+  /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct
+    * per (source, lang)) after the shared q173/q178 transform — oracles
+    * both the batch hybrid advance and the live streaming maintainer.
+    */
+  private def hybridIvmOracle: String =
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, lang, count(*) AS n_rows,
+        |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+        |  CAST(min(tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(tokens) AS BIGINT) AS max_tokens,
+        |  CAST(count(DISTINCT doc_id % 10) AS BIGINT) AS nd_bucket
+        |FROM post GROUP BY source, lang""".stripMargin
 
   /** The from-scratch v1 rollup recompute after the shared q166/q177
     * transform (delete %7, +5 tokens on %11, lang move on %13, doubled

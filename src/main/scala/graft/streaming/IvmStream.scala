@@ -40,17 +40,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IvmStream {
 
   /** What the maintained view computes: [[IncrementalAgg.aggregate]] over
-    * `groupCols`/`sumCols`, or the rollup composition when `rollup`.
-    * `idCols` key the source's change feed.
+    * `groupCols`/`sumCols`, the rollup composition when `rollup`, or the
+    * HYBRID maintainer when `minMaxCols`/`distinctCols` are non-empty
+    * (non-invertible aggregates re-aggregate feed-touched groups from the
+    * post-change source version — which the maintainer has on hand by
+    * construction). `idCols` key the source's change feed. Rollup and
+    * hybrid are mutually exclusive (as in the batch API).
     */
   final case class IvmViewSpec(idCols: Seq[String], groupCols: Seq[String],
-                               sumCols: Seq[String], rollup: Boolean = false) {
+                               sumCols: Seq[String], rollup: Boolean = false,
+                               minMaxCols: Seq[String] = Nil,
+                               distinctCols: Seq[String] = Nil) {
     require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
+    private[streaming] def hybrid: Boolean =
+      minMaxCols.nonEmpty || distinctCols.nonEmpty
+    require(!(rollup && hybrid), "rollup and hybrid views are mutually exclusive")
     private[streaming] def aggregate(df: DataFrame): DataFrame =
       if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
+      else if (hybrid) IncrementalAgg.aggregateHybrid(df, groupCols, sumCols,
+        minMaxCols, distinctCols)
       else IncrementalAgg.aggregate(df, groupCols, sumCols)
-    private[streaming] def apply(state: DataFrame, feed: DataFrame): DataFrame =
+    private[streaming] def apply(state: DataFrame, feed: DataFrame,
+                                 base: => DataFrame): DataFrame =
       if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
+      else if (hybrid) IncrementalAgg.applyFeedHybrid(state, feed, base,
+        groupCols, sumCols, minMaxCols, distinctCols)
       else IncrementalAgg.applyFeed(state, feed, groupCols, sumCols)
   }
 
@@ -107,7 +121,8 @@ object IvmStream {
           if (srcV <= sv) sv // already current
           else {
             val feed = TableStore.changeFeed(spark, sourceRoot, spec.idCols, sv, srcV)
-            val next = spec.apply(TableStore.readVersion(spark, viewRoot, vv), feed)
+            val next = spec.apply(TableStore.readVersion(spark, viewRoot, vv), feed,
+              TableStore.readVersion(spark, sourceRoot, srcV))
             val vv2 = TableStore.commit(next, viewRoot, expectedVersion = Some(vv))
             writeApplied(viewRoot, vv2, srcV)
             srcV

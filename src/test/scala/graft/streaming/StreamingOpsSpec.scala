@@ -381,4 +381,36 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
     assert(IvmStream.readApplied(viewRoot).exists(_._2 == 1L))
   }
+
+  test("streaming IVM: the hybrid view (min/max/countDistinct) rides the maintainer") {
+    import graft.core.{IncrementalAgg, TableStore}
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src3").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view3").toString
+    def rows(xs: (Long, String, Long, String)*) = xs.toDF("id", "grp", "v", "tag")
+    TableStore.commit(rows((1L, "a", 10L, "x"), (2L, "a", 20L, "y"), (3L, "b", 5L, "x")),
+      srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"),
+      minMaxCols = Seq("v"), distinctCols = Seq("tag"))
+    def recompute() = IncrementalAgg.aggregateHybrid(
+      TableStore.read(spark, srcRoot), Seq("grp"), Seq("v"), Seq("v"), Seq("tag"))
+      .collect().map(_.toSeq).toSet
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    // delete the current minimum of group a AND collapse a distinct tag:
+    // only a touched-group re-aggregation can get these right
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("id") =!= 1).unionByName(rows((9L, "a", 7L, "y"))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    val got = TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet
+    assert(got == recompute())
+    // (grp, n_rows, sum_v, min_v, max_v, nd_tag): a = rows 2, 9
+    assert(got.contains(Seq("a", 2L, 27L, 7L, 20L, 1L)))
+    // rollup + hybrid are mutually exclusive, loudly
+    assertThrows[IllegalArgumentException] {
+      IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"), rollup = true,
+        minMaxCols = Seq("v"))
+    }
+  }
 }
