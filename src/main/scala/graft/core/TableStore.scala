@@ -109,6 +109,23 @@ object TableStore {
   private def releaseLock(root: String, token: String): Unit =
     if (holdsLock(root, token)) rmTree(lockDir(root).toFile)
 
+  /** True when `t` is one of [[commit]]'s optimistic-concurrency / lock
+    * arbitration failures — "another writer interfered; re-read and
+    * retry". The messages are produced by this object, so the match is
+    * owned by the same module. Maintainer loops ([[graft.streaming
+    * .IvmStream.ivmBatch]]) treat these as benign: the loser's next tick
+    * re-reads the committed state and no-ops, which is exactly the CAS
+    * contract — correctness was never at risk, only this writer's turn.
+    */
+  def isCommitConflict(t: Throwable): Boolean = t match {
+    case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("stale write") || m.contains("concurrent commit") ||
+        m.contains("commit lock was broken") ||
+        (m.contains("timed out") && m.contains("commit lock"))
+    case _ => false
+  }
+
   /** The committed version number, if the table exists. */
   def currentVersion(root: String): Option[Long] = {
     val p = currentPtr(root)

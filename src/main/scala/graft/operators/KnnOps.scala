@@ -603,8 +603,13 @@ object KnnOps {
     * One row: (n_src, n_src_ge_k, n_tgt, n_tgt_ge_k) — sides with ≥ k
     * candidates have honest neighborhood sums; a low `_ge_k` share means
     * the banding is too coarse for the margin to be trusted (add bands /
-    * shrink bandBits). Same banded join as the miner, aggregation only —
-    * run it on a sample before committing a setting at full scale.
+    * shrink bandBits). `n_src`/`n_tgt` count the FULL input sides, not
+    * just ids that drew at least one candidate: a row the banding excludes
+    * entirely (zero candidates) is the worst failure this probe exists to
+    * catch, so it must weigh on the denominator and fail the ≥ k share —
+    * the candidate counts left-join back onto the input id sets and
+    * coalesce to 0. Same banded join as the miner, aggregation only — run
+    * it on a sample before committing a setting at full scale.
     */
   def marginBandingDensity(src: DataFrame, srcIdCol: String, srcEmbCol: String,
                            tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,
@@ -619,13 +624,14 @@ object KnnOps {
       .join(DedupOps.hyperplaneBandKeys(t, "__temb", Seq("tgt_id"),
         planes, bandBits, seed), Seq("band", "bkey"))
       .select(col("src_id"), col("tgt_id")).distinct()
-    val bySrc = cand.groupBy("src_id").agg(count(lit(1)).as("nc"))
-      .agg(count(lit(1)).as("n_src"),
-        sum(when(col("nc") >= k, 1L).otherwise(0L)).as("n_src_ge_k"))
-    val byTgt = cand.groupBy("tgt_id").agg(count(lit(1)).as("nc"))
-      .agg(count(lit(1)).as("n_tgt"),
-        sum(when(col("nc") >= k, 1L).otherwise(0L)).as("n_tgt_ge_k"))
-    bySrc.crossJoin(byTgt)
+    def sideDensity(ids: DataFrame, idCol: String, nCol: String,
+                    geCol: String): DataFrame =
+      ids.join(cand.groupBy(idCol).agg(count(lit(1)).as("__nc")), Seq(idCol), "left")
+        .select(coalesce(col("__nc"), lit(0L)).as("__nc"))
+        .agg(count(lit(1)).as(nCol),
+          sum(when(col("__nc") >= k, 1L).otherwise(0L)).as(geCol))
+    sideDensity(s.select("src_id"), "src_id", "n_src", "n_src_ge_k")
+      .crossJoin(sideDensity(t.select("tgt_id"), "tgt_id", "n_tgt", "n_tgt_ge_k"))
   }
 
   def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,

@@ -32,10 +32,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * detected on the next advance (pointer's view version ≠ committed view
   * version) and healed by re-bootstrapping the view from a full aggregate
   * of the current source version: correctness is never at risk, one
-  * recovery pass is the cost. The source's `vacuum` keep-window must cover
-  * the maintainer's maximum lag, or the feed's base version is gone and
-  * the same full-rebootstrap path heals that too (changeFeed fails →
-  * caller re-bootstraps via [[bootstrapView]]).
+  * recovery pass is the cost. The source's `vacuum` keep-window SHOULD
+  * cover the maintainer's maximum lag — but when it doesn't (a vacuum
+  * outpaced a stalled maintainer), [[advanceView]] detects the missing
+  * feed base version up front and falls back to the same full
+  * re-bootstrap, so the maintainer converges in one recovery pass instead
+  * of crash-looping on a dead feed. A vacuum racing the feed READ itself
+  * is excluded by vacuum's `graceMs` retention window (the standard
+  * drain-readers-first contract); the next tick's up-front check heals a
+  * lost race regardless.
   */
 object IvmStream {
 
@@ -93,12 +98,16 @@ object IvmStream {
 
   /** Full (re)bootstrap: aggregate source version `srcV` from scratch and
     * commit it as the next view version. The recovery path, and the first
-    * advance of a fresh view.
+    * advance of a fresh view. `expected` pins the view version the caller
+    * observed, so two maintainers healing concurrently CAS-arbitrate like
+    * any other advance (the loser surfaces a commit conflict, which
+    * [[ivmBatch]] absorbs).
     */
   private def bootstrapView(spark: SparkSession, sourceRoot: String,
-                            viewRoot: String, spec: IvmViewSpec, srcV: Long): Long = {
+                            viewRoot: String, spec: IvmViewSpec, srcV: Long,
+                            expected: Option[Long] = None): Long = {
     val state = spec.aggregate(TableStore.readVersion(spark, sourceRoot, srcV))
-    val vv = TableStore.commit(state, viewRoot)
+    val vv = TableStore.commit(state, viewRoot, expectedVersion = expected)
     writeApplied(viewRoot, vv, srcV)
     srcV
   }
@@ -108,8 +117,10 @@ object IvmStream {
     * (None when the source has no committed version yet). Idempotent —
     * a no-op when the view is already current — and safe to call from any
     * single maintainer loop; concurrent maintainers are arbitrated by the
-    * view commit's optimistic CAS (the loser throws, its next tick
-    * re-reads and no-ops).
+    * view commit's optimistic CAS — the loser THROWS a commit conflict
+    * from here ([[TableStore.isCommitConflict]] identifies it), and
+    * [[ivmBatch]] absorbs it so the losing stream survives to its next
+    * tick, which re-reads the winner's state and no-ops.
     */
   def advanceView(spark: SparkSession, sourceRoot: String, viewRoot: String,
                   spec: IvmViewSpec): Option[Long] = {
@@ -119,7 +130,14 @@ object IvmStream {
       (vvOpt, applied) match {
         case (Some(vv), Some((mv, sv))) if mv == vv =>
           if (srcV <= sv) sv // already current
-          else {
+          else if (!TableStore.versions(sourceRoot).contains(sv)) {
+            // vacuum outpaced this maintainer's lag: the feed's base
+            // version is gone, so no incremental path exists — heal with
+            // the full re-bootstrap instead of crash-looping on a read of
+            // a deleted directory. CAS-pinned on the observed view version
+            // so a concurrent healer cannot double-commit.
+            bootstrapView(spark, sourceRoot, viewRoot, spec, srcV, Some(vv))
+          } else {
             val feed = TableStore.changeFeed(spark, sourceRoot, spec.idCols, sv, srcV)
             val next = spec.apply(TableStore.readVersion(spark, viewRoot, vv), feed,
               TableStore.readVersion(spark, sourceRoot, srcV))
@@ -129,22 +147,30 @@ object IvmStream {
           }
         case (None, None) => // fresh view
           bootstrapView(spark, sourceRoot, viewRoot, spec, srcV)
-        case _ => // pointer/commit mismatch (crash in the gap): heal
-          bootstrapView(spark, sourceRoot, viewRoot, spec, srcV)
+        case _ => // pointer/commit mismatch (crash in the gap): heal,
+          // CAS-pinned on whatever view version is committed right now
+          bootstrapView(spark, sourceRoot, viewRoot, spec, srcV, vvOpt)
       }
     }
   }
 
   /** The `foreachBatch` callback: ignores the tick batch, runs one
     * [[advanceView]] step under a scoped cache release (the feed and state
-    * frames are per-batch).
+    * frames are per-batch). A commit CONFLICT (this maintainer lost the
+    * view-commit CAS to a concurrent one) is absorbed as a benign no-op —
+    * a throw inside `foreachBatch` would terminate the StreamingQuery
+    * permanently, turning a harmless lost race into a dead maintainer.
+    * The winner already advanced the view; this stream's next tick
+    * re-reads and no-ops or continues from the winner's state. Anything
+    * that is NOT a commit conflict (schema drift, storage failure) still
+    * surfaces and fails the stream loudly.
     */
   def ivmBatch(spark: SparkSession, sourceRoot: String, viewRoot: String,
                spec: IvmViewSpec): (DataFrame, Long) => Unit =
     (_: DataFrame, _: Long) =>
       graft.util.OpCaches.scoped {
-        advanceView(spark, sourceRoot, viewRoot, spec)
-        ()
+        try { advanceView(spark, sourceRoot, viewRoot, spec); () }
+        catch { case t: Throwable if TableStore.isCommitConflict(t) => () }
       }
 
   /** Start the maintainer: a rate metronome driving [[ivmBatch]] at

@@ -129,7 +129,14 @@ object Unigram {
         val rankedMulti = pieces.iterator.filter(_.length > 1).toArray
           .sortBy(p => (-counts.getOrElse(p, 0.0), p))
           .take(keepMulti)
+        val before = pieces.length
         pieces = (chars ++ rankedMulti).sorted
+        // A no-op prune means only single chars remain and there are more
+        // distinct chars than vocabSize: chars are immune to pruning (the
+        // full-coverage contract), so looping again would re-run EM on the
+        // same vocabulary forever. Return the char-only vocabulary — the
+        // smallest one that still segments every word.
+        if (pieces.length == before) done = true
         probs = normalize(pieces, p => probs(p)) // renormalize survivors
       }
     }

@@ -241,13 +241,36 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
       tgt, "tid", "temb", k = 4, planes = 32, bandBits = 1).collect().head
     assert(dense.getAs[Long]("n_src") == dense.getAs[Long]("n_src_ge_k"))
     assert(dense.getAs[Long]("n_tgt") == dense.getAs[Long]("n_tgt_ge_k"))
+    // n_src/n_tgt count the FULL sides — the denominators never shrink
+    // because the banding excluded ids
+    assert(dense.getAs[Long]("n_src") == 40L && dense.getAs[Long]("n_tgt") == 42L)
     // too-coarse banding is VISIBLE in the probe before any mining runs:
-    // 8-bit bands leave some sides under k candidates on this fixture
+    // 8-bit bands leave some sides under k candidates on this fixture —
+    // and the denominators stay the full side sizes
     val coarse = KnnOps.marginBandingDensity(src, "sid", "semb",
       tgt, "tid", "temb", k = 4, planes = 32, bandBits = 8).collect().head
+    assert(coarse.getAs[Long]("n_src") == 40L && coarse.getAs[Long]("n_tgt") == 42L)
     assert(coarse.getAs[Long]("n_src_ge_k") < dense.getAs[Long]("n_src_ge_k") ||
-      coarse.getAs[Long]("n_tgt_ge_k") < dense.getAs[Long]("n_tgt_ge_k") ||
-      coarse.getAs[Long]("n_src") < dense.getAs[Long]("n_src"))
+      coarse.getAs[Long]("n_tgt_ge_k") < dense.getAs[Long]("n_tgt_ge_k"))
+    graft.GraftEngine.releaseCaches()
+  }
+
+  test("marginBandingDensity counts zero-candidate ids against the >= k share") {
+    import spark.implicits._
+    // every tgt points along +e0; one src matches, one is its NEGATION —
+    // every hyperplane sign flips, so at one 8-bit band over 8 planes the
+    // negated src draws ZERO candidates. The probe must still count it in
+    // n_src (denominator) and fail it in n_src_ge_k — a side the banding
+    // excludes entirely is the failure the probe exists to expose.
+    val e0 = Seq(1f) ++ Seq.fill(7)(0f)
+    val neg = e0.map(x => -x)
+    val src = Seq((1L, e0), (2L, neg)).toDF("sid", "semb")
+    val tgt = (0 until 5).map(i => (100L + i, e0)).toDF("tid", "temb")
+    val d = KnnOps.marginBandingDensity(src, "sid", "semb", tgt, "tid", "temb",
+      k = 1, planes = 8, bandBits = 8).collect().head
+    assert(d.getAs[Long]("n_src") == 2L, "zero-candidate src must stay in the denominator")
+    assert(d.getAs[Long]("n_src_ge_k") == 1L, "zero-candidate src must fail the >= k share")
+    assert(d.getAs[Long]("n_tgt") == 5L)
     graft.GraftEngine.releaseCaches()
   }
 

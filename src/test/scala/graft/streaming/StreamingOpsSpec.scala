@@ -413,4 +413,67 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
         minMaxCols = Seq("v"))
     }
   }
+
+  test("streaming IVM: vacuum outpacing the maintainer heals via re-bootstrap, not a crash loop") {
+    import graft.core.{IncrementalAgg, TableStore}
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_vac").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_vac").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    // three commits land while the maintainer is stalled, then a vacuum
+    // with keep=1 deletes every version the maintainer could feed from —
+    // including its applied base v_0
+    TableStore.merge(spark, srcRoot)(_.unionByName(rows((4L, "b", 7L))))
+    TableStore.merge(spark, srcRoot)(cur => cur.filter(col("id") =!= 1))
+    TableStore.merge(spark, srcRoot)(_.unionByName(rows((9L, "c", 3L))))
+    TableStore.vacuum(srcRoot, keep = 1, graceMs = 0L)
+    assert(TableStore.versions(srcRoot) == Seq(3L), "only the head survives the vacuum")
+    // the next advance must fall back to the full re-bootstrap and
+    // converge — the round-10 behavior was an unrecoverable throw loop
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(3L))
+    def recompute() = IncrementalAgg.aggregate(
+      TableStore.read(spark, srcRoot), Seq("grp"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    assert(IvmStream.readApplied(viewRoot).exists(_._2 == 3L))
+    // healed state keeps advancing incrementally afterwards
+    TableStore.merge(spark, srcRoot)(cur => cur.filter(col("grp") =!= "b"))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(4L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+  }
+
+  test("streaming IVM: a lost view-commit CAS is a benign no-op for the losing maintainer") {
+    import graft.core.TableStore
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_cas").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_cas").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((1L, "a", 10L), (2L, "b", 5L)), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    TableStore.merge(spark, srcRoot)(_.unionByName(rows((9L, "c", 3L))))
+    // a concurrent maintainer renamed the next view slot first (v_1 exists
+    // above the pointer): this maintainer's CAS-forced commit loses the
+    // rename race — advanceView surfaces a commit conflict...
+    assert(new java.io.File(viewRoot, "v_1").mkdirs())
+    val e = intercept[IllegalStateException] {
+      IvmStream.advanceView(spark, srcRoot, viewRoot, spec)
+    }
+    assert(TableStore.isCommitConflict(e), "the CAS loss must be identifiable")
+    // ...and the streaming callback ABSORBS it instead of letting the
+    // throw terminate the StreamingQuery — the losing stream stays alive
+    IvmStream.ivmBatch(spark, srcRoot, viewRoot, spec)(rows(), 0L)
+    // once the contender's debris clears, the same maintainer advances
+    assert(new java.io.File(viewRoot, "v_1").delete())
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    // non-conflict failures are NOT absorbed-relevant: isCommitConflict
+    // stays false for arbitrary errors
+    assert(!TableStore.isCommitConflict(new RuntimeException("stale write")))
+    assert(!TableStore.isCommitConflict(new IllegalStateException("disk on fire")))
+  }
 }

@@ -59,6 +59,24 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(n == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("more distinct chars than vocabSize terminates with the char-only vocabulary") {
+    // single-char pieces are immune to pruning (full coverage), so once the
+    // vocabulary collapses to the char set the prune pass is a no-op — the
+    // trainer must RETURN the char-only vocabulary, not spin EM forever
+    // (the CJK-corpus-with-small-vocabSize shape)
+    val corpus = Seq((0L, "ab cd ef gh"), (1L, "ab cd ef gh")).toDF("id", "text")
+    val model = Unigram.unigramTrain(corpus, "text", vocabSize = 3,
+      maxPieceLen = 4)
+    val pieces = model.collect().map(_.getString(0)).toSet
+    assert(pieces == Set("a", "b", "c", "d", "e", "f", "g", "h"),
+      "8 distinct chars > vocabSize 3: the char set survives, nothing else")
+    // and the char-only model still segments every word
+    val docs = Seq((1L, "abcd")).toDF("id", "text")
+    val seg = Unigram.unigramSegment(docs, "text", model, "p")
+      .select(array_join(col("p"), "|")).collect().head.getString(0)
+    assert(seg == "a|b|c|d")
+  }
+
   test("training is deterministic across partitionings") {
     val corpus = (0 until 60).map(i =>
       (i.toLong, if (i % 3 == 0) "hello world" else "held helm word"))
