@@ -2654,6 +2654,71 @@ object SparkEntry {
           System.currentTimeMillis() < deadline) Thread.sleep(100)
         graft.core.TableStore.read(s, viewRoot).localCheckpoint(true)
       } finally q.stop()
+    },
+
+    // The maintainer's freshness/lag surface — the number an operator
+    // pages on: viewStatus reads only the _CURRENT/_APPLIED pointers
+    // (O(1), no table scan) and reports how many source commits the
+    // readable view is behind. The query walks the lifecycle — nothing
+    // committed, source only, bootstrapped, two staged commits (lag 2),
+    // caught up (lag 0) — and every snapshot is closed-form, so the
+    // oracle is a VALUES table.
+    "q179_ivm_status" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("q179_src").toString
+      val viewRoot = java.nio.file.Files.createTempDirectory("q179_view").toString
+      val spec = graft.streaming.IvmStream.IvmViewSpec(
+        Seq("doc_id"), Seq("source"), Seq("tokens"))
+      def snap(step: Long) = graft.streaming.IvmStream.viewStatus(s, srcRoot, viewRoot)
+        .withColumn("step", lit(step))
+      val s0 = snap(0) // nothing exists yet
+      graft.core.TableStore.commit(docs, srcRoot)
+      val s1 = snap(1) // source committed, view untouched
+      graft.streaming.IvmStream.advanceView(s, srcRoot, viewRoot, spec)
+      val s2 = snap(2) // bootstrapped: current
+      graft.core.TableStore.merge(s, srcRoot)(cur => cur.filter(col("doc_id") % 7 =!= 0))
+      graft.core.TableStore.merge(s, srcRoot)(cur =>
+        cur.withColumn("tokens", col("tokens") + 1))
+      val s3 = snap(3) // two staged commits the maintainer has not seen
+      graft.streaming.IvmStream.advanceView(s, srcRoot, viewRoot, spec)
+      val s4 = snap(4) // caught up
+      s0.unionByName(s1).unionByName(s2).unionByName(s3).unionByName(s4)
+        .select(col("step"), col("view_version"), col("applied_view_version"),
+          col("applied_src_version"), col("source_version"), col("lag"),
+          col("consistent"))
+    },
+
+    // ROLLUP x HYBRID IVM: per-level count/sum AND min/max advancing from
+    // one change feed — the q166 fixture (deletes that remove level minima
+    // incl. doc 0 = the grand-total min, lang moves, token updates,
+    // inserts) against the two-tier rule: base level re-aggregates only
+    // feed-touched groups from the post-change base; subtotal levels
+    // COMBINE from the maintained base level (min-of-mins), never
+    // rescanning the table. The oracle recomputes the v2 rollup+minmax
+    // from scratch.
+    "q180_ivm_rollup_hybrid" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q180_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .withColumn("lang",
+            when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val g = Seq("source", "lang")
+      val state0 = graft.core.IncrementalAgg.aggregateRollupHybrid(
+        s.read.parquet(s"$root/v_$v1"), g, Seq("tokens"), Seq("doc_id", "tokens"))
+      graft.core.IncrementalAgg.applyFeedRollupHybrid(state0, feed,
+        s.read.parquet(s"$root/v_$v2"), g, Seq("tokens"), Seq("doc_id", "tokens"))
     }
   )
 
@@ -6229,6 +6294,44 @@ object SparkEntry {
     // the live maintainer's hybrid view converges to the same state as
     // the batch hybrid advance: one shared from-scratch recompute
     "q178_ivm_stream_hybrid" -> hybridIvmOracle,
+
+    "q179_ivm_status" ->
+      """SELECT CAST(step AS BIGINT) AS step,
+        |  CAST(view_version AS BIGINT) AS view_version,
+        |  CAST(applied_view_version AS BIGINT) AS applied_view_version,
+        |  CAST(applied_src_version AS BIGINT) AS applied_src_version,
+        |  CAST(source_version AS BIGINT) AS source_version,
+        |  CAST(lag AS BIGINT) AS lag,
+        |  CAST(consistent AS BOOLEAN) AS consistent
+        |FROM (VALUES
+        |  (0, NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (1, NULL, NULL, NULL, 0, NULL, NULL),
+        |  (2, 0, 0, 0, 0, 0, TRUE),
+        |  (3, 0, 0, 0, 2, 2, TRUE),
+        |  (4, 1, 1, 2, 2, 0, TRUE))
+        |  AS t(step, view_version, applied_view_version, applied_src_version,
+        |       source_version, lag, consistent)""".stripMargin,
+
+    "q180_ivm_rollup_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20)
+        |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |  count(*) AS n_rows, CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+        |  CAST(min(tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(tokens) AS BIGINT) AS max_tokens
+        |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -150,6 +150,72 @@ object IncrementalAgg {
     untouched.unionByName(recomputed)
   }
 
+  /** The ROLLUP × HYBRID composition: materialize `df.rollup(groupCols)`
+    * with per-level count/sum AND min/max — the dashboard wanting subtotal
+    * rows and a per-level MAX(updated_at) in one view. Distinct counts are
+    * deliberately excluded: a subtotal's exact distinct count is not
+    * mergeable from its children's counts, so maintaining one would force
+    * a per-level base rescan — the one cost this composition exists to
+    * avoid (run a flat hybrid view per level if exact distincts at
+    * subtotals are truly needed). Output:
+    * (groupCols…, gid, n_rows, sum_<c>…, min_<c>, max_<c>…).
+    */
+  def aggregateRollupHybrid(df: DataFrame, groupCols: Seq[String],
+                            sumCols: Seq[String],
+                            minMaxCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(minMaxCols.nonEmpty, "need at least one min/max column (else use aggregateRollup)")
+    val aggs = grouping_id().as("gid") +: count(lit(1)).as("n_rows") +:
+      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))))
+    df.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(rollupHybridCols(groupCols, sumCols, minMaxCols): _*)
+  }
+
+  /** Advance a materialized [[aggregateRollupHybrid]] state by one change
+    * feed. The two-tier rule that keeps every level's cost right:
+    *
+    *   1. BASE level (gid 0): exactly [[applyFeedHybrid]] — untouched
+    *      groups keep their rows via the broadcast anti-join, touched
+    *      groups re-aggregate from the post-change base restricted to the
+    *      feed's keys. Cost proportional to what changed.
+    *   2. SUBTOTAL levels (gid &gt; 0, including the grand total): COMBINED
+    *      from the updated base-level rows — count/sum add, min/max take
+    *      min-of-mins / max-of-maxes across children — one rollup over the
+    *      base-level AGGREGATE, which is the view itself, never the base
+    *      table. Deleting a subtotal's minimum therefore never rescans
+    *      anything beyond tier 1's touched slice: the runner-up min is
+    *      already present in some child's base-level row.
+    *
+    * At 100 TB tier 2 is O(|view|) regardless of feed or base size — the
+    * reason distinct counts are excluded from this shape (they do not
+    * combine across levels). Invariant (spec'd and oracled, q180): for any
+    * feed base→next, `applyFeedRollupHybrid(aggregateRollupHybrid(v_base),
+    * feed, v_next) == aggregateRollupHybrid(v_next)`.
+    */
+  def applyFeedRollupHybrid(state: DataFrame, feed: DataFrame, base: DataFrame,
+                            groupCols: Seq[String], sumCols: Seq[String],
+                            minMaxCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(minMaxCols.nonEmpty, "need at least one min/max column (else use applyFeedRollup)")
+    val baseLevel = state.filter(col("gid") === 0).drop("gid")
+    val nextBase = applyFeedHybrid(baseLevel, feed, base, groupCols, sumCols,
+      minMaxCols, Nil)
+    val aggs = grouping_id().as("gid") +: sum(col("n_rows")).as("n_rows") +:
+      (sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))))
+    nextBase.rollup(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(rollupHybridCols(groupCols, sumCols, minMaxCols): _*)
+  }
+
+  private def rollupHybridCols(groupCols: Seq[String], sumCols: Seq[String],
+                               minMaxCols: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    groupCols.map(col) ++ Seq(col("gid"), col("n_rows")) ++
+      sumCols.map(c => col(s"sum_$c")) ++
+      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))
+
   /** Signed per-group delta aggregates of a change feed. */
   private def feedDeltaAggs(sumCols: Seq[String]) = {
     val sgn = when(col("_change_type").isin("insert", "update_postimage"), lit(1L))

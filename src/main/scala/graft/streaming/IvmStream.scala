@@ -45,12 +45,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IvmStream {
 
   /** What the maintained view computes: [[IncrementalAgg.aggregate]] over
-    * `groupCols`/`sumCols`, the rollup composition when `rollup`, or the
+    * `groupCols`/`sumCols`, the rollup composition when `rollup`, the
     * HYBRID maintainer when `minMaxCols`/`distinctCols` are non-empty
     * (non-invertible aggregates re-aggregate feed-touched groups from the
     * post-change source version — which the maintainer has on hand by
-    * construction). `idCols` key the source's change feed. Rollup and
-    * hybrid are mutually exclusive (as in the batch API).
+    * construction), or the ROLLUP × HYBRID composition when `rollup` and
+    * `minMaxCols` are both set (per-level count/sum/min/max; subtotal
+    * levels combine from the maintained base level —
+    * [[IncrementalAgg.applyFeedRollupHybrid]]). `idCols` key the source's
+    * change feed. The one excluded combination is rollup + `distinctCols`:
+    * exact distinct counts do not combine across rollup levels, so
+    * maintaining them would force per-level base rescans.
     */
   final case class IvmViewSpec(idCols: Seq[String], groupCols: Seq[String],
                                sumCols: Seq[String], rollup: Boolean = false,
@@ -59,15 +64,22 @@ object IvmStream {
     require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
     private[streaming] def hybrid: Boolean =
       minMaxCols.nonEmpty || distinctCols.nonEmpty
-    require(!(rollup && hybrid), "rollup and hybrid views are mutually exclusive")
+    require(!(rollup && distinctCols.nonEmpty),
+      "rollup views cannot maintain exact distinct counts (not mergeable " +
+        "across levels) — drop distinctCols, or run a flat hybrid view per level")
     private[streaming] def aggregate(df: DataFrame): DataFrame =
-      if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
+      if (rollup && minMaxCols.nonEmpty)
+        IncrementalAgg.aggregateRollupHybrid(df, groupCols, sumCols, minMaxCols)
+      else if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
       else if (hybrid) IncrementalAgg.aggregateHybrid(df, groupCols, sumCols,
         minMaxCols, distinctCols)
       else IncrementalAgg.aggregate(df, groupCols, sumCols)
     private[streaming] def apply(state: DataFrame, feed: DataFrame,
                                  base: => DataFrame): DataFrame =
-      if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
+      if (rollup && minMaxCols.nonEmpty)
+        IncrementalAgg.applyFeedRollupHybrid(state, feed, base, groupCols,
+          sumCols, minMaxCols)
+      else if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
       else if (hybrid) IncrementalAgg.applyFeedHybrid(state, feed, base,
         groupCols, sumCols, minMaxCols, distinctCols)
       else IncrementalAgg.applyFeed(state, feed, groupCols, sumCols)
@@ -87,6 +99,29 @@ object IvmStream {
         case Array(vv, sv) => Some((vv.toLong, sv.toLong))
         case _ => None
       }
+  }
+
+  /** Freshness/lag surface as a ONE-ROW DataFrame — the number an operator
+    * pages on: `(view_version, applied_view_version, applied_src_version,
+    * source_version, lag, consistent)`. `lag` = how many source commits
+    * the readable view is behind (0 = current); `consistent` = the
+    * committed view version matches the `_APPLIED` pointer (false means a
+    * crash landed between commit and pointer write — the next advance
+    * heals it). Columns are null for states that don't exist yet (fresh
+    * view, empty source). O(1): reads the two `_CURRENT` pointers and the
+    * `_APPLIED` sidecar, never a table.
+    */
+  def viewStatus(spark: SparkSession, sourceRoot: String,
+                 viewRoot: String): DataFrame = {
+    import spark.implicits._
+    val applied = readApplied(viewRoot)
+    val srcV = TableStore.currentVersion(sourceRoot)
+    val vv = TableStore.currentVersion(viewRoot)
+    val lag = for { s <- srcV; a <- applied.map(_._2) } yield math.max(0L, s - a)
+    val consistent = for { v <- vv; a <- applied.map(_._1) } yield v == a
+    Seq((vv, applied.map(_._1), applied.map(_._2), srcV, lag, consistent))
+      .toDF("view_version", "applied_view_version", "applied_src_version",
+        "source_version", "lag", "consistent")
   }
 
   private def writeApplied(viewRoot: String, viewV: Long, srcV: Long): Unit = {

@@ -195,4 +195,62 @@ class IncrementalAggSpec extends AnyFunSuite with SparkTest {
     assert(incr.count(_._1 == null) == 1) // ONE null-group row
     assert(incr.contains((null, 2L, 21L, 1L, 20L, 2L))) // rows 2 and 9; nd(tag) = {x, z}
   }
+
+  test("rollup x hybrid IVM: per-level min/max maintain exactly; subtotals combine from the base level") {
+    val base = Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 5L),
+      (4L, "c", "x", 7L)).toDF("id", "g1", "g2", "v")
+    val root = java.nio.file.Files.createTempDirectory("ivm_rh").toString
+    val v1 = TableStore.commit(base, root)
+    // delete id=3: v=5 is the MIN of (b,x), of subtotal b, AND of the grand
+    // total — every level re-derives its min without a full-table rescan
+    // (subtotals combine from the maintained base level). The mover (c->a)
+    // exercises preimage+postimage at every level it participates in.
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") =!= 3)
+        .withColumn("g1", when(col("id") === 4, lit("a")).otherwise(col("g1")))
+        .unionByName(Seq((9L, "d", "z", 50L)).toDF("id", "g1", "g2", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val incr = IncrementalAgg.applyFeedRollupHybrid(
+      IncrementalAgg.aggregateRollupHybrid(spark.read.parquet(s"$root/v_$v1"),
+        Seq("g1", "g2"), Seq("v"), Seq("v")),
+      feed, spark.read.parquet(s"$root/v_$v2"),
+      Seq("g1", "g2"), Seq("v"), Seq("v"))
+      .collect().map(key).toSet
+    val direct = IncrementalAgg.aggregateRollupHybrid(
+      spark.read.parquet(s"$root/v_$v2"), Seq("g1", "g2"), Seq("v"), Seq("v"))
+      .collect().map(key).toSet
+    assert(incr == direct)
+    // grand total: rows 1,2,4,9 -> min 7 (5 was deleted), max 50 (insert)
+    assert(incr.contains((null, null, 3L, 4L, 87L, 7L, 50L)))
+    // subtotal a now includes the mover: min 7, max 20
+    assert(incr.contains(("a", null, 1L, 3L, 37L, 7L, 20L)))
+    // subtotal b vanished with its only row
+    assert(!incr.exists(_._1 == "b"))
+    // waves compose: a second feed advancing the maintained state still
+    // matches the direct recompute
+    val v3 = TableStore.merge(spark, root)(cur =>
+      cur.filter(col("id") =!= 9).unionByName(
+        Seq((11L, "a", "x", 2L)).toDF("id", "g1", "g2", "v")))
+    val feed2 = TableStore.changeFeed(spark, root, Seq("id"), v2, v3)
+    val incr2 = IncrementalAgg.applyFeedRollupHybrid(
+      IncrementalAgg.applyFeedRollupHybrid(
+        IncrementalAgg.aggregateRollupHybrid(spark.read.parquet(s"$root/v_$v1"),
+          Seq("g1", "g2"), Seq("v"), Seq("v")),
+        feed, spark.read.parquet(s"$root/v_$v2"),
+        Seq("g1", "g2"), Seq("v"), Seq("v")),
+      feed2, spark.read.parquet(s"$root/v_$v3"),
+      Seq("g1", "g2"), Seq("v"), Seq("v"))
+      .collect().map(key).toSet
+    val direct2 = IncrementalAgg.aggregateRollupHybrid(
+      spark.read.parquet(s"$root/v_$v3"), Seq("g1", "g2"), Seq("v"), Seq("v"))
+      .collect().map(key).toSet
+    assert(incr2 == direct2)
+    // new grand min 2 arrived; deleted max 50 re-derives to 20
+    assert(incr2.contains((null, null, 3L, 4L, 39L, 2L, 20L)))
+  }
 }

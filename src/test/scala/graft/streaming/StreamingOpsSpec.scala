@@ -407,11 +407,73 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == recompute())
     // (grp, n_rows, sum_v, min_v, max_v, nd_tag): a = rows 2, 9
     assert(got.contains(Seq("a", 2L, 27L, 7L, 20L, 1L)))
-    // rollup + hybrid are mutually exclusive, loudly
+    // rollup + distinctCols stays excluded, loudly (distinct counts do not
+    // combine across rollup levels); rollup + minMaxCols is now a VALID
+    // composition — exercised in its own test below
     assertThrows[IllegalArgumentException] {
       IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"), rollup = true,
-        minMaxCols = Seq("v"))
+        distinctCols = Seq("tag"))
     }
+  }
+
+  test("streaming IVM: the rollup x hybrid view maintains per-level min/max through the feed") {
+    import graft.core.{IncrementalAgg, TableStore}
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_rh").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_rh").toString
+    def rows(xs: (Long, String, String, Long)*) = xs.toDF("id", "g1", "g2", "v")
+    TableStore.commit(rows((1L, "a", "x", 10L), (2L, "a", "y", 20L),
+      (3L, "b", "x", 5L), (4L, "b", "y", 40L)), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("g1", "g2"), Seq("v"),
+      rollup = true, minMaxCols = Seq("v"))
+    def recompute() = IncrementalAgg.aggregateRollupHybrid(
+      TableStore.read(spark, srcRoot), Seq("g1", "g2"), Seq("v"), Seq("v"))
+      .collect().map(_.toSeq).toSet
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet == recompute())
+    // delete id=1 (v=10): it is the MIN of group (a,x), of subtotal (a),
+    // AND of the grand total — every level's min must re-derive, and only
+    // the base level may touch the source (subtotals combine from it)
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("id") =!= 1).unionByName(rows((9L, "a", "x", 35L))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    val got = TableStore.read(spark, viewRoot).collect().map(_.toSeq).toSet
+    assert(got == recompute())
+    // subtotal (a, null, gid=1): rows 2, 9 -> min 20, max 35
+    assert(got.contains(Seq("a", null, 1L, 2L, 55L, 20L, 35L)))
+    // grand total (gid=3): rows 2,3,4,9 -> min 5, max 40
+    assert(got.contains(Seq(null, null, 3L, 4L, 100L, 5L, 40L)))
+  }
+
+  test("streaming IVM: viewStatus reports lag against staged commits and heals flags") {
+    import graft.core.TableStore
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_st").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_st").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    def status() = IvmStream.viewStatus(spark, srcRoot, viewRoot).collect().head
+    // nothing exists yet: all null
+    assert(status().isNullAt(0) && status().isNullAt(3) && status().isNullAt(4))
+    TableStore.commit(rows((1L, "a", 10L), (2L, "b", 5L)), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    val s0 = status()
+    assert(s0.getLong(0) == 0L && s0.getLong(2) == 0L && s0.getLong(3) == 0L &&
+      s0.getLong(4) == 0L && s0.getBoolean(5))
+    // two staged commits the maintainer has not seen: lag = 2
+    TableStore.merge(spark, srcRoot)(_.unionByName(rows((9L, "c", 3L))))
+    TableStore.merge(spark, srcRoot)(cur => cur.filter(col("id") =!= 1))
+    val s1 = status()
+    assert(s1.getLong(3) == 2L && s1.getLong(4) == 2L && s1.getBoolean(5))
+    // advance catches up: lag back to 0
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(2L))
+    val s2 = status()
+    assert(s2.getLong(1) == 1L && s2.getLong(2) == 2L && s2.getLong(4) == 0L)
+    // torn pointer surfaces as consistent = false
+    java.nio.file.Files.delete(java.nio.file.Paths.get(viewRoot, "_APPLIED"))
+    assert(status().isNullAt(5))
   }
 
   test("streaming IVM: vacuum outpacing the maintainer heals via re-bootstrap, not a crash loop") {
