@@ -2719,6 +2719,33 @@ object SparkEntry {
         s.read.parquet(s"$root/v_$v1"), g, Seq("tokens"), Seq("doc_id", "tokens"))
       graft.core.IncrementalAgg.applyFeedRollupHybrid(state0, feed,
         s.read.parquet(s"$root/v_$v2"), g, Seq("tokens"), Seq("doc_id", "tokens"))
+    },
+
+    // Unigram end-to-end parity with the BPE materialization path (the
+    // q167 shape on the OTHER tokenizer): train the q176 model, assign
+    // deterministic piece ids (lexicographic — a=0, ab=1, b=2, c=3, cd=4,
+    // d=5), encode docs of 1 + doc_id % 7 "abcd" words (each word's
+    // Viterbi split is [ab, cd] -> ids [1, 4]), and pack the id arrays
+    // into 4 shards of 6-token windows. The oracle replays splitmix
+    // tickets, shard prefix sums, and token-level window assignment with
+    // tok = 1 or 4 by position parity — proving the two tokenizers are
+    // interchangeable where it matters: the .bin-shard content.
+    "q181_unigram_packed" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq.fill(10)("ab ab abab cd cd cdcd").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("cid", "text")
+      val model = graft.text.Unigram.unigramTrain(corpus, "text",
+        vocabSize = 6, maxPieceLen = 4)
+      val vocab = graft.text.Unigram.unigramVocab(model)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(lit("abcd"),
+            (lit(1) + col("doc_id") % 7).cast("int"))).as("text"))
+      val ids = graft.text.Unigram.unigramEncodeIds(docs, "text", model, vocab, "toks")
+      graft.operators.CorpusOps.materializePackedWindows(
+          ids, col("doc_id"), "toks", windowTokens = 6L, shards = 4)
+        .select(col("shard"), col("window_id"), col("n_slices"),
+          col("window_len"), array_join(col("token_ids"), ",").as("toks_csv"))
     }
   )
 
@@ -6332,6 +6359,32 @@ object SparkEntry {
         |  CAST(min(tokens) AS BIGINT) AS min_tokens,
         |  CAST(max(tokens) AS BIGINT) AS max_tokens
         |FROM post GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q167's splitmix/prefix-sum/window CTE with n = 2 words' pieces per
+    // repetition and tok ids alternating 1 ("ab") and 4 ("cd") — the
+    // hand-derived unigram encoding of "abcd" under lexicographic ids
+    "q181_unigram_packed" ->
+      """WITH d AS (SELECT doc_id, 2 * (1 + doc_id % 7) AS n FROM documents WHERE doc_id < 40),
+        |z0 AS (SELECT doc_id, n, ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM d),
+        |x1 AS (SELECT doc_id, n, xor(z, z // 1073741824) AS x FROM z0),
+        |z1 AS (SELECT doc_id, n, (x * 484763065::HUGEINT + ((x * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, n, xor(z, z // 134217728) AS x FROM z1),
+        |z2 AS (SELECT doc_id, n, (x * 321982955::HUGEINT + ((x * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |tk AS (SELECT doc_id, n, CAST(xor(z, z // 2147483648) // 2048 AS BIGINT) AS ticket FROM z2),
+        |b AS (SELECT doc_id, n, ticket, ticket % 4 AS shard,
+        |  CAST(coalesce(sum(n) OVER (PARTITION BY ticket % 4 ORDER BY ticket, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokb
+        |  FROM tk),
+        |toks AS (SELECT b.*, unnest(generate_series(0, n - 1)) AS j FROM b),
+        |pos AS (SELECT shard, doc_id,
+        |    (tokb + j) // 6 AS window_id, (tokb + j) % 6 AS win_off,
+        |    CASE WHEN j % 2 = 0 THEN 1 ELSE 4 END AS tok
+        |  FROM toks)
+        |SELECT shard, window_id,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_slices,
+        |  count(*) AS window_len,
+        |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY win_off) AS toks_csv
+        |FROM pos GROUP BY shard, window_id""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -308,11 +308,48 @@ object Unigram {
   }
 
   /** Exact unigram token count — the packing/budget input, like
-    * [[Bpe.bpeTokenCount]].
+    * [[Bpe.bpeTokenCount]]. Identity (spec-pinned):
+    * `unigramTokenCount == size(unigramSegment)` for every row, so the
+    * count used to PLAN a packing always matches the id array the packing
+    * later MATERIALIZES.
     */
   def unigramTokenCount(df: DataFrame, textCol: String, model: DataFrame,
                         outCol: String): DataFrame =
     unigramSegment(df, textCol, model, "__uni_toks")
       .withColumn(outCol, size(col("__uni_toks")).cast("long"))
       .drop("__uni_toks")
+
+  /** The vocabulary a trained model induces, with DETERMINISTIC integer
+    * ids: pieces sorted lexicographically take ids 0..V−1 (the model's
+    * pieces are unique by construction, so the assignment is total and the
+    * same model yields the same ids on any engine or partitioning — the
+    * [[Bpe.bpeVocab]] contract with sort order as the rank). Output:
+    * (piece, id). Vocabulary is bounded by vocabSize, so the
+    * single-partition ordering window is fine.
+    */
+  def unigramVocab(model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    model.select(col("piece"))
+      .withColumn("id",
+        (row_number().over(Window.orderBy(col("piece"))) - 1).cast("int"))
+  }
+
+  /** [[unigramSegment]] emitting integer piece IDS against a
+    * [[unigramVocab]] table — the array a training artifact actually
+    * stores, interchangeable with [[Bpe.bpeEncodeIds]] as
+    * [[graft.operators.CorpusOps.materializePackedWindows]] input.
+    * Out-of-vocabulary single-character fallbacks encode as −1, the
+    * explicit OOV marker. Map-only: model and vocabulary both ride the
+    * kernel closure (bounded by vocabSize).
+    */
+  def unigramEncodeIds(df: DataFrame, textCol: String, model: DataFrame,
+                       vocab: DataFrame, outCol: String): DataFrame = {
+    val vmap: Map[String, Int] = vocab.select(col("piece"), col("id").cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val toIds = udf((toks: Seq[String]) =>
+      if (toks == null) null else toks.map(t => vmap.getOrElse(t, -1)))
+    unigramSegment(df, textCol, model, "__uni_idtoks")
+      .withColumn(outCol, toIds(col("__uni_idtoks")))
+      .drop("__uni_idtoks")
+  }
 }

@@ -77,6 +77,31 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(seg == "a|b|c|d")
   }
 
+  test("vocab ids are lexicographic; encode-ids matches segment and flags OOV as -1") {
+    val corpus = Seq.fill(10)("ab ab abab cd cd cdcd").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val model = Unigram.unigramTrain(corpus, "text", vocabSize = 6, maxPieceLen = 4)
+    val vocab = Unigram.unigramVocab(model)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vocab == Map("a" -> 0, "ab" -> 1, "b" -> 2, "c" -> 3, "cd" -> 4, "d" -> 5))
+    val docs = Seq((1L, "abcd"), (2L, "ab zcd"), (3L, "abcd abcd"))
+      .toDF("id", "text")
+    val ids = Unigram.unigramEncodeIds(docs, "text", model,
+      Unigram.unigramVocab(model), "toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    // "zcd" viterbi = [z, cd] (q176 recipe): z is OOV -> -1
+    assert(ids == Map(1L -> Seq(1, 4), 2L -> Seq(1, -1, 4),
+      3L -> Seq(1, 4, 1, 4)))
+    // segment-then-count equals unigramTokenCount for every row — the
+    // packing plan input always matches the materialized array length
+    val seg = Unigram.unigramSegment(docs, "text", model, "p")
+      .select(col("id"), size(col("p")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cnt = Unigram.unigramTokenCount(docs, "text", model, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg == cnt)
+  }
+
   test("training is deterministic across partitionings") {
     val corpus = (0 until 60).map(i =>
       (i.toLong, if (i % 3 == 0) "hello world" else "held helm word"))
