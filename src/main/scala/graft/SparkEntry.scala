@@ -2746,6 +2746,25 @@ object SparkEntry {
           ids, col("doc_id"), "toks", windowTokens = 6L, shards = 4)
         .select(col("shard"), col("window_id"), col("n_slices"),
           col("window_len"), array_join(col("token_ids"), ",").as("toks_csv"))
+    },
+
+    // The multimodal arm through the CAPPED hamming core: 201 byte-equal
+    // copies of image 7 (the planted tracking-pixel class) collapse to ONE
+    // (7, 7, 0, 201) row instead of ~20k pairs and band through their
+    // representative; the three under-cap {i, 10^6+i} dup classes keep
+    // their full pair expansion with class_size null. aHashes replay
+    // closed-form from the 8x8 fixture pixels, so the oracle rebuilds the
+    // hashes in SQL and re-applies the class-size gate (the q172 recipe
+    // over the q159 hash replay).
+    "q182_image_neardup_capped" -> { (s, dir) =>
+      val base = graft.operators.MultimodalOps.syntheticTinyImages(s, 30, dups = 3)
+      val seven = base.filter(col("media_id") === 7).select(col("data"))
+      val mega = s.range(200).crossJoin(broadcast(seven))
+        .select((col("id") + 2000000L).as("media_id"),
+          lit("image").as("modality"), col("data"))
+      graft.operators.MultimodalOps.imageNearDupPairsCapped(
+        base.unionByName(mega), "media_id",
+        maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 50L)
     }
   )
 
@@ -6385,6 +6404,58 @@ object SparkEntry {
         |  count(*) AS window_len,
         |  string_agg(CAST(tok AS VARCHAR), ',' ORDER BY win_off) AS toks_csv
         |FROM pos GROUP BY shard, window_id""".stripMargin,
+
+    // the q159 aHash replay (8x8 fixture pixels -> lo/hi hash halves) with
+    // the q172 class-size gate on top: mega ids carry image 7's bytes, so
+    // their pixel key is 7; classes over 50 members collapse to one row
+    "q182_image_neardup_capped" ->
+      """WITH ids AS (
+        |  SELECT unnest(generate_series(0, 29)) AS id
+        |  UNION ALL
+        |  SELECT 1000000 + unnest(generate_series(0, 2))
+        |  UNION ALL
+        |  SELECT 2000000 + unnest(generate_series(0, 199))),
+        |keyed AS (SELECT id,
+        |  CASE WHEN id >= 2000000 THEN 7 ELSE id % 1000000 END AS bk FROM ids),
+        |px AS (SELECT id, j, (bk * 131 + j * 17) % (1 + bk % 255) AS p
+        |  FROM keyed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js),
+        |mn AS (SELECT id, CAST(sum(p) AS BIGINT) // 64 AS mean FROM px GROUP BY id),
+        |bits AS (SELECT px.id, j, CASE WHEN p >= mean THEN 1 ELSE 0 END AS b
+        |         FROM px JOIN mn ON px.id = mn.id),
+        |h AS (SELECT id,
+        |    CAST(sum(CASE WHEN j < 32 THEN b * (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN j >= 32 THEN b * (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY id),
+        |cls AS (SELECT lo, hi, count(*) AS m, min(id) AS rep FROM h GROUP BY lo, hi),
+        |collapsed AS (
+        |  SELECT rep AS ida, rep AS idb, CAST(0 AS INT) AS hamming,
+        |    CAST(m AS BIGINT) AS class_size
+        |  FROM cls WHERE m > 50),
+        |within_pairs AS (
+        |  SELECT a.id AS ida, b.id AS idb, CAST(0 AS INT) AS hamming,
+        |    CAST(NULL AS BIGINT) AS class_size
+        |  FROM h a JOIN h b ON a.lo = b.lo AND a.hi = b.hi AND a.id < b.id
+        |  JOIN cls ON cls.lo = a.lo AND cls.hi = a.hi AND cls.m <= 50),
+        |eff AS (
+        |  SELECT h.id, h.lo, h.hi FROM h
+        |  JOIN cls ON cls.lo = h.lo AND cls.hi = h.hi AND cls.m <= 50
+        |  UNION ALL
+        |  SELECT rep AS id, lo, hi FROM cls WHERE m > 50),
+        |ds AS (SELECT DISTINCT lo, hi FROM h),
+        |sp AS (
+        |  SELECT a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb,
+        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        |  FROM ds a JOIN ds b
+        |  ON (a.lo < b.lo OR (a.lo = b.lo AND a.hi < b.hi))
+        |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) BETWEEN 1 AND 3),
+        |cross_pairs AS (
+        |  SELECT least(x.id, y.id) AS ida, greatest(x.id, y.id) AS idb,
+        |    sp.hamming, CAST(NULL AS BIGINT) AS class_size
+        |  FROM sp JOIN eff x ON x.lo = sp.la AND x.hi = sp.ha
+        |  JOIN eff y ON y.lo = sp.lb AND y.hi = sp.hb)
+        |SELECT * FROM collapsed
+        |UNION ALL SELECT * FROM within_pairs
+        |UNION ALL SELECT * FROM cross_pairs""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -785,6 +785,37 @@ object MultimodalOps {
       imageHashes(df).filter(col("ahash64").isNotNull),
       idCol, "ahash64", maxHamming, maxChunkFreq)
 
+  /** [[imageNearDupPairs]] through the CAPPED hamming core
+    * ([[DedupOps.hammingNearDupPairsCapped]]) — the multimodal path
+    * inherits the bounded-output guarantee the text path has: a duplicate
+    * class larger than `maxClassSize` (10M copies of one tracking pixel /
+    * spacer GIF — the web-crawl norm, not the exception) emits ONE
+    * collapsed `(rep, rep, 0, class_size)` row instead of m²∕2 pairs and
+    * participates in the cross-signature banding via its representative
+    * only. Under-cap classes behave exactly as [[imageNearDupPairs]]
+    * (`class_size` null). Same schema contract as the text core:
+    * (ida, idb, hamming, class_size).
+    */
+  def imageNearDupPairsCapped(df: DataFrame, idCol: String,
+                              maxHamming: Int = 3,
+                              maxChunkFreq: Long = 100000L,
+                              maxClassSize: Long = 100000L): DataFrame =
+    DedupOps.hammingNearDupPairsCapped(
+      imageHashes(df).filter(col("ahash64").isNotNull),
+      idCol, "ahash64", maxHamming, maxChunkFreq, maxClassSize)
+
+  /** The [[DedupOps.hammingHotChunks]] recall audit over image aHashes:
+    * the hot chunk-value buckets a `maxChunkFreq`-capped image near-dup
+    * pass would drop at these settings (empty ⇒ that pass is exact). Run
+    * beside any capped [[imageNearDupPairsCapped]] sweep whose recall
+    * must be certified — same contract as the text path.
+    */
+  def imageHotChunks(df: DataFrame, idCol: String, maxHamming: Int = 3,
+                     maxChunkFreq: Long = 100000L): DataFrame =
+    DedupOps.hammingHotChunks(
+      imageHashes(df).filter(col("ahash64").isNotNull),
+      idCol, "ahash64", maxHamming, maxChunkFreq)
+
   /** Tiny 8×8 planted-image table (+ `dups` exact copies at id+10⁶, pixels
     * keyed on id mod 10⁶): with w = h = 8 each aHash block is a single
     * pixel, so the hash replays closed-form — the q158/q159 fixture.

@@ -35,6 +35,33 @@ class ImageHashSpec extends AnyFunSuite with SparkTest {
         s"copy pair $i missing from $pairs"))
   }
 
+  test("imageNearDupPairsCapped: an over-cap identical-image class collapses to one row") {
+    val base = MultimodalOps.syntheticTinyImages(spark, 20, dups = 2)
+    // 80 byte-equal copies of image 7: with maxClassSize = 10 the class
+    // {7} ∪ {2M..2M+79} (81 members) must emit ONE collapsed row, not
+    // 81*80/2 pairs; the under-cap copy classes keep their pair rows
+    val seven = base.filter(col("media_id") === 7).select(col("data"))
+    val mega = spark.range(80).crossJoin(broadcast(seven))
+      .select((col("id") + 2000000L).as("media_id"),
+        lit("image").as("modality"), col("data"))
+    val out = MultimodalOps.imageNearDupPairsCapped(
+        base.unionByName(mega), "media_id",
+        maxHamming = 0, maxChunkFreq = 0L, maxClassSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val collapsed = out.filter(_._4 > 0)
+    assert(collapsed.toSeq == Seq((7L, 7L, 0, 81L)),
+      s"over-cap class must collapse to its representative, got ${collapsed.toSeq}")
+    // under-cap planted copies still pair normally, class_size null
+    (0 until 2).foreach(i =>
+      assert(out.contains((i.toLong, 1000000L + i, 0, -1L))))
+    // no member of the mega class appears outside the collapsed row
+    assert(!out.exists(p => (p._1 >= 2000000L || p._2 >= 2000000L)))
+    // the audit surface is wired through: at a sane cap nothing is hot
+    assert(MultimodalOps.imageHotChunks(base, "media_id",
+      maxHamming = 3, maxChunkFreq = 1000L).count() == 0L)
+  }
+
   test("skewReport buckets by floor(log2) exactly; topKeys names the hitters") {
     val df = (Seq.fill(8)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
     val rep = JoinOps.skewReport(df, Seq("k"))
