@@ -573,6 +573,19 @@ object KnnOps {
     * differ — vanishing for any pair that could enter a top-k — so the
     * blocked arm reproduces the brute arm (oracled, q175) while keeping
     * the keyed-join plan that scales out.
+    *
+    * CERTIFIED OPERATING GUIDANCE (measured, BASELINE.md round-11 table;
+    * `graft.tools.BitextAgreement` reproduces it at any setting): at
+    * planes=64, bandBits=2 — 32 true bands, a real banded keyed join —
+    * the blocked arm is bit-exact against brute on both test fixtures;
+    * bandBits=4 holds ~0.90–0.94 mined-pair recall; bandBits=8 drops to
+    * ~0.49 while the density probe still reports ≥ k for ~99% of sides.
+    * Two lessons baked into that table: coarse banding loses the
+    * LOW-MARGIN tail and inflates sparse-neighborhood margins — planted
+    * true translations survive every measured setting — and the density
+    * probe is necessary but NOT sufficient: certify a banding with a
+    * brute-vs-blocked sample run (the tool), use the probe as the cheap
+    * first gate.
     */
   def marginBitextMineBlocked(src: DataFrame, srcIdCol: String, srcEmbCol: String,
                               tgt: DataFrame, tgtIdCol: String, tgtEmbCol: String,

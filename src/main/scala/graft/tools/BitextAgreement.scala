@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Certify a blocked-bitext banding setting against the brute arm:
+  * `runMain graft.tools.BitextAgreement <sfDir> [k] [planes] [bandBits]`.
+  * Builds the q169/q175 mining fixture from the embeddings table (planted
+  * translations at +10⁶ against natural distractors), mines with both
+  * [[graft.operators.KnnOps.marginBitextMine]] (exact |src|·|tgt|) and
+  * [[graft.operators.KnnOps.marginBitextMineBlocked]] at the given
+  * banding, and prints the numbers BASELINE.md records: mined-pair recall
+  * vs brute, margin agreement on the shared pairs (max/mean |Δ| in
+  * micro), planted-pair recall, and the
+  * [[graft.operators.KnnOps.marginBandingDensity]] probe at the same
+  * setting — the measured link between the density probe's ≥ k share and
+  * actual mining quality.
+  */
+object BitextAgreement {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val k = if (args.length > 1) args(1).toInt else 4
+    val planes = if (args.length > 2) args(2).toInt else 64
+    val bandBits = if (args.length > 3) args(3).toInt else 8
+    val spark = graft.core.GraftSession.get(cores = 32)
+    val emb = graft.core.Tables.embeddings(spark, dir).persist()
+    val n = emb.count()
+    val nPlanted = (n / 10).min(100).toInt
+    val src = emb.filter(col("vec_id") < n / 2)
+      .select(col("vec_id").as("sid"), col("embedding").as("semb")).persist()
+    val tgt = emb.filter(col("vec_id") < nPlanted)
+      .select((col("vec_id") + 1000000L).as("tid"), col("embedding").as("temb"))
+      .unionByName(emb.filter(col("vec_id") >= n / 2)
+        .select(col("vec_id").as("tid"), col("embedding").as("temb")))
+      .persist()
+    println(s"[bitext] n=$n src=${src.count()} tgt=${tgt.count()} " +
+      s"planted=$nPlanted k=$k planes=$planes bandBits=$bandBits")
+    def mined(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("src_id"), col("tgt_id"), col("margin_micro"), col("mutual"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val t0 = System.nanoTime()
+    val brute = mined(graft.operators.KnnOps.marginBitextMine(
+      src, "sid", "semb", tgt, "tid", "temb", k, minMarginMicro = 1100000L))
+    val tBrute = (System.nanoTime() - t0) / 1e9
+    graft.GraftEngine.releaseCaches()
+    val t1 = System.nanoTime()
+    val blocked = mined(graft.operators.KnnOps.marginBitextMineBlocked(
+      src, "sid", "semb", tgt, "tid", "temb", k, minMarginMicro = 1100000L,
+      planes, bandBits))
+    val tBlocked = (System.nanoTime() - t1) / 1e9
+    graft.GraftEngine.releaseCaches()
+    val shared = brute.keySet.intersect(blocked.keySet)
+    val recall = if (brute.isEmpty) 1.0 else shared.size.toDouble / brute.size
+    val deltas = shared.toSeq.map(p => math.abs(brute(p)._1 - blocked(p)._1))
+    val planted = (0 until nPlanted).map(i => (i.toLong, 1000000L + i))
+    val plantedBrute = planted.count(brute.contains)
+    val plantedBlocked = planted.count(blocked.contains)
+    val exactMargins = shared.count(p => brute(p)._1 == blocked(p)._1)
+    val d = graft.operators.KnnOps.marginBandingDensity(src, "sid", "semb",
+      tgt, "tid", "temb", k, planes, bandBits).collect().head
+    println(f"[bitext] brute_pairs=${brute.size} blocked_pairs=${blocked.size} " +
+      f"shared=${shared.size} pair_recall=$recall%.4f")
+    println(f"[bitext] margin_delta_micro max=${if (deltas.isEmpty) 0L else deltas.max} " +
+      f"mean=${if (deltas.isEmpty) 0.0 else deltas.sum.toDouble / deltas.size}%.1f " +
+      f"exact_share=${if (shared.isEmpty) 1.0 else exactMargins.toDouble / shared.size}%.4f")
+    println(s"[bitext] planted_recall brute=$plantedBrute/$nPlanted " +
+      s"blocked=$plantedBlocked/$nPlanted")
+    println(s"[bitext] density n_src=${d.getAs[Long]("n_src")} " +
+      s"n_src_ge_k=${d.getAs[Long]("n_src_ge_k")} n_tgt=${d.getAs[Long]("n_tgt")} " +
+      s"n_tgt_ge_k=${d.getAs[Long]("n_tgt_ge_k")}")
+    println(f"[bitext] wall brute=$tBrute%.2f s blocked=$tBlocked%.2f s")
+    spark.stop()
+  }
+}

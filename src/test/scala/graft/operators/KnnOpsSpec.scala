@@ -255,6 +255,34 @@ class KnnOpsSpec extends AnyFunSuite with SparkTest {
     graft.GraftEngine.releaseCaches()
   }
 
+  test("certified banding: planes=64 bandBits=2 reproduces brute; strong pairs survive coarse bands") {
+    import spark.implicits._
+    val src = (0 until 40).map(i => (i.toLong, vec(i))).toDF("sid", "semb")
+    val tgt = ((0 until 12).map(i => (1000L + i, vec(i))) ++
+      (50 until 80).map(i => (1000L + i, vec(i)))).toDF("tid", "temb")
+    val brute = KnnOps.marginBitextMine(src, "sid", "semb", tgt, "tid", "temb",
+        k = 4, minMarginMicro = 0L)
+      .collect().map(_.toSeq).toSet
+    graft.GraftEngine.releaseCaches()
+    // the certified production shape (BASELINE.md round-11 measurement):
+    // 32 true 2-bit bands — bit-exact against the brute arm, pairs AND margins
+    val certified = KnnOps.marginBitextMineBlocked(src, "sid", "semb",
+        tgt, "tid", "temb", k = 4, minMarginMicro = 0L,
+        planes = 64, bandBits = 2)
+      .collect().map(_.toSeq).toSet
+    graft.GraftEngine.releaseCaches()
+    assert(certified == brute && brute.nonEmpty)
+    // coarse banding loses the low-margin tail, never the planted strong
+    // pairs: every identical-vector translation still mines at bandBits=8
+    val coarse = KnnOps.marginBitextMineBlocked(src, "sid", "semb",
+        tgt, "tid", "temb", k = 4, minMarginMicro = 0L,
+        planes = 64, bandBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.GraftEngine.releaseCaches()
+    (0 until 12).foreach(i => assert(coarse.contains((i.toLong, 1000L + i)),
+      s"planted pair $i must survive coarse banding"))
+  }
+
   test("marginBandingDensity counts zero-candidate ids against the >= k share") {
     import spark.implicits._
     // every tgt points along +e0; one src matches, one is its NEGATION —
