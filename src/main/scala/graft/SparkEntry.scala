@@ -2765,6 +2765,31 @@ object SparkEntry {
       graft.operators.MultimodalOps.imageNearDupPairsCapped(
         base.unionByName(mega), "media_id",
         maxHamming = 3, maxChunkFreq = 0L, maxClassSize = 50L)
+    },
+
+    // EXACT likelihood-loss pruning (the published Kudo criterion) beside
+    // the cheap expected-count default, on a corpus built to force them
+    // apart with one multi slot: 'ab' carries the higher expected count
+    // (20 "abab" words) but its words re-segment cheaply through the
+    // frequent singles a, b; 'cd' counts lower (15) yet c and d barely
+    // exist alone, so removing it costs the model far more likelihood.
+    // count keeps ab -> {a,b,c,d,ab}; loss keeps cd -> {a,b,c,d,cd}; the
+    // probe docs' Viterbi splits under each are hand-derivable (the
+    // q176 convention), so the oracle is a VALUES table.
+    "q183_unigram_loss_prune" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = (Seq.fill(20)("a") ++ Seq.fill(20)("b") ++
+        Seq.fill(20)("abab") ++ Seq.fill(15)("cd"))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("cid", "text")
+      val probe = Seq((1L, "abab"), (2L, "cd"), (3L, "abcd")).toDF("id", "text")
+      def seg(pruneBy: String) = {
+        val model = graft.text.Unigram.unigramTrain(corpus, "text",
+          vocabSize = 5, maxPieceLen = 2, pruneBy = pruneBy)
+        graft.text.Unigram.unigramSegment(probe, "text", model, "pieces")
+          .select(lit(pruneBy).as("mode"), col("id"),
+            array_join(col("pieces"), "|").as("pieces"))
+      }
+      seg("count").unionByName(seg("loss"))
     }
   )
 
@@ -6456,6 +6481,17 @@ object SparkEntry {
         |SELECT * FROM collapsed
         |UNION ALL SELECT * FROM within_pairs
         |UNION ALL SELECT * FROM cross_pairs""".stripMargin,
+
+    // hand-derived splits under the two trained vocabularies (see the
+    // query comment): count keeps ab, loss keeps cd
+    "q183_unigram_loss_prune" ->
+      """SELECT * FROM (VALUES
+        |  ('count', CAST(1 AS BIGINT), 'ab|ab'),
+        |  ('count', CAST(2 AS BIGINT), 'c|d'),
+        |  ('count', CAST(3 AS BIGINT), 'ab|c|d'),
+        |  ('loss', CAST(1 AS BIGINT), 'a|b|a|b'),
+        |  ('loss', CAST(2 AS BIGINT), 'cd'),
+        |  ('loss', CAST(3 AS BIGINT), 'a|b|cd')) t(mode, id, pieces)""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -51,15 +51,31 @@ object Unigram {
     * pieces are capped at `maxPieceLen`. `maxWords` caps the driver-side
     * word table by frequency exactly as [[Bpe.bpeTrain]] does.
     */
+  /** `pruneBy` selects the pruning criterion: `"count"` (default) drops
+    * the lowest-EXPECTED-COUNT multi-char pieces — cheap, the at-scale
+    * default; `"loss"` drops the lowest-LIKELIHOOD-LOSS pieces, the
+    * published criterion (Kudo 2018 §3.2) computed EXACTLY here: for each
+    * candidate piece x, loss(x) = Σ_w c_w·(log z_w − log z_w^{−x}) with
+    * z^{−x} from a full re-run of the word's lattice with x masked — no
+    * Viterbi approximation. A piece can carry a large expected count yet
+    * cost little to remove (its words re-segment through other frequent
+    * pieces) or a small count yet be near-irreplaceable (its chars are
+    * rare alone) — loss ranks by what the MODEL actually loses. Cost:
+    * O(Σ_w |multi pieces in w| · |lattice(w)|) per prune round, all
+    * driver-side on the word table — fine at the 100k-word cap, the
+    * reason count stays the default.
+    */
   def unigramTrain(corpus: DataFrame, textCol: String, vocabSize: Int,
                    maxWords: Int = 100000, maxPieceLen: Int = 8,
                    seedMultiplier: Int = 10, emIters: Int = 2,
-                   pruneFrac: Double = 0.25): DataFrame = {
+                   pruneFrac: Double = 0.25, pruneBy: String = "count"): DataFrame = {
     require(vocabSize >= 1, "need vocabSize >= 1")
     require(maxWords >= 1, "need maxWords >= 1")
     require(maxPieceLen >= 1, "need maxPieceLen >= 1")
     require(emIters >= 1, "need emIters >= 1")
     require(pruneFrac > 0.0 && pruneFrac < 1.0, "pruneFrac must be in (0, 1)")
+    require(pruneBy == "count" || pruneBy == "loss",
+      s"pruneBy must be 'count' or 'loss', got '$pruneBy'")
     val spark = corpus.sparkSession
     import graft.functions.TextFunctions
     val wordCounts = corpus
@@ -71,7 +87,7 @@ object Unigram {
       .map(r => (r.getString(0), r.getLong(1)))
     import spark.implicits._
     trainPieces(wordCounts, vocabSize, maxPieceLen, seedMultiplier,
-      emIters, pruneFrac).toDF("piece", "logprob")
+      emIters, pruneFrac, pruneBy).toDF("piece", "logprob")
   }
 
   /** Driver-side seed → EM → prune loop (see object doc for the published
@@ -79,7 +95,8 @@ object Unigram {
     */
   private[text] def trainPieces(wordCounts: Array[(String, Long)], vocabSize: Int,
                                 maxPieceLen: Int, seedMultiplier: Int,
-                                emIters: Int, pruneFrac: Double): Seq[(String, Double)] = {
+                                emIters: Int, pruneFrac: Double,
+                                pruneBy: String = "count"): Seq[(String, Double)] = {
     val words = wordCounts.map(_._1)
     val freqs = wordCounts.map(_._2)
     // seed counts: every substring up to maxPieceLen, weighted by word freq
@@ -122,12 +139,19 @@ object Unigram {
       }
       if (pieces.length <= vocabSize) done = true
       else {
-        // prune lowest-expected-count multi-char pieces (ties: the
-        // lexicographically SMALLER piece survives longer); chars immune
+        // prune the lowest-ranked multi-char pieces (ties: the
+        // lexicographically SMALLER piece survives longer); chars immune.
+        // Rank = expected count (cheap default) or exact likelihood loss
+        // (the published criterion) per `pruneBy`.
         val keepMulti = math.max(vocabSize - chars.length,
           (pieces.length * (1.0 - pruneFrac)).toInt - chars.length).max(0)
+        val rank: String => Double =
+          if (pruneBy == "loss") {
+            val losses = pruneLosses(words, freqs, probs, maxPieceLen)
+            p => losses.getOrElse(p, 0.0)
+          } else p => counts.getOrElse(p, 0.0)
         val rankedMulti = pieces.iterator.filter(_.length > 1).toArray
-          .sortBy(p => (-counts.getOrElse(p, 0.0), p))
+          .sortBy(p => (-rank(p), p))
           .take(keepMulti)
         val before = pieces.length
         pieces = (chars ++ rankedMulti).sorted
@@ -218,6 +242,75 @@ object Unigram {
             j3 += 1
           }
           i += 1
+        }
+      }
+      wi += 1
+    }
+    acc
+  }
+
+  /** Exact likelihood loss of removing each candidate multi-char piece,
+    * under the current probabilities: loss(x) = Σ_w c_w·(log z_w −
+    * log z_w^{−x}), where z_w is the word's full lattice marginal and
+    * z_w^{−x} the marginal with x masked (a fresh forward pass per (w, x)
+    * — exact, not the Viterbi-path approximation). Only words containing
+    * x contribute; single characters always survive pruning so they are
+    * never scored. z^{−x} is strictly positive while every char stays in
+    * the vocabulary (the [[CharFloor]] contract), so the loss is always
+    * finite; the defensive `1e9` branch would mark an irreplaceable piece
+    * as unprunable. Deterministic: each (word, piece) pair contributes
+    * exactly once and words accumulate in fixed array order.
+    */
+  private[text] def pruneLosses(words: Array[String], freqs: Array[Long],
+                                probs: collection.Map[String, Double],
+                                maxPieceLen: Int): scala.collection.mutable.HashMap[String, Double] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      val f = freqs(wi).toDouble
+      val n = w.length
+      def marginal(excl: String): Double = {
+        val alpha = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        var j = 1
+        while (j <= n) {
+          var i = math.max(0, j - maxPieceLen)
+          var a = 0.0
+          while (i < j) {
+            if (alpha(i) > 0.0) {
+              val piece = w.substring(i, j)
+              if (piece != excl) {
+                val p = probs.getOrElse(piece, 0.0)
+                if (p > 0.0) a += alpha(i) * p
+              }
+            }
+            i += 1
+          }
+          alpha(j) = a
+          j += 1
+        }
+        alpha(n)
+      }
+      val z = marginal(null)
+      if (z > 0.0) {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var i = 0
+        while (i < n) {
+          var j2 = i + 2
+          while (j2 <= math.min(n, i + maxPieceLen)) {
+            val piece = w.substring(i, j2)
+            if (probs.getOrElse(piece, 0.0) > 0.0) seen.add(piece)
+            j2 += 1
+          }
+          i += 1
+        }
+        seen.foreach { x =>
+          val zx = marginal(x)
+          val contrib =
+            if (zx > 0.0) f * (math.log(z) - math.log(zx))
+            else f * 1e9 // irreplaceable (unreachable while chars are kept)
+          acc.update(x, acc.getOrElse(x, 0.0) + contrib)
         }
       }
       wi += 1

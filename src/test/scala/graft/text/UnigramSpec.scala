@@ -102,6 +102,33 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(seg == cnt)
   }
 
+  test("pruneLosses matches the closed-form lattice loss") {
+    // word "ab", probs {a: 0.25, b: 0.25, ab: 0.5}:
+    // z = p(ab) + p(a)p(b) = 0.5625; z^{-ab} = 0.0625; loss = ln 9
+    val losses = Unigram.pruneLosses(Array("ab"), Array(1L),
+      Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), maxPieceLen = 2)
+    assert(losses.keySet == Set("ab"))
+    assert(math.abs(losses("ab") - math.log(9.0)) < 1e-12)
+    // frequency scales linearly
+    val l5 = Unigram.pruneLosses(Array("ab"), Array(5L),
+      Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), maxPieceLen = 2)
+    assert(math.abs(l5("ab") - 5 * math.log(9.0)) < 1e-12)
+  }
+
+  test("loss pruning keeps the near-irreplaceable piece where count pruning keeps the popular one") {
+    // 'ab' carries the higher EXPECTED COUNT (20 from abab x10) but its
+    // words re-segment cheaply through the very frequent singles a, b;
+    // 'cd' counts lower (7) but c and d barely exist alone, so removing
+    // it costs the model far more likelihood. One multi slot: the two
+    // criteria must disagree, and each keeps its champion.
+    val wc = Array(("a", 20L), ("abab", 20L), ("b", 20L), ("cd", 15L))
+    def multis(pruneBy: String) = Unigram.trainPieces(wc, vocabSize = 5,
+      maxPieceLen = 2, seedMultiplier = 10, emIters = 2, pruneFrac = 0.25,
+      pruneBy).map(_._1).filter(_.length > 1).toSet
+    assert(multis("count") == Set("ab"))
+    assert(multis("loss") == Set("cd"))
+  }
+
   test("training is deterministic across partitionings") {
     val corpus = (0 until 60).map(i =>
       (i.toLong, if (i % 3 == 0) "hello world" else "held helm word"))
