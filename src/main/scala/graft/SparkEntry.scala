@@ -2790,6 +2790,32 @@ object SparkEntry {
             array_join(col("pieces"), "|").as("pieces"))
       }
       seg("count").unionByName(seg("loss"))
+    },
+
+    // Surgical decontamination: instead of dropping contaminated docs
+    // (q97), REMOVE the contaminated 5-gram spans and keep the rest.
+    // Planted docs at +10^6 embed probe doc (hid-20)'s first 7 words after
+    // a clean host text: the probe run marks, merges, and scrubs while the
+    // host text survives; natural corpus docs pass through untouched
+    // unless they genuinely share a 5-gram (the oracle marks by gram
+    // membership, so accidental overlap is mirrored exactly). Counts make
+    // the scrub auditable.
+    "q184_scrub_spans" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val probes = docs.filter(col("doc_id") < 10)
+      val fw = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val hosts = docs.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+        .select(col("doc_id").as("hid"), col("text").as("htext"))
+      val tails = probes
+        .select((col("doc_id") + 20).as("hid"),
+          concat_ws(" ", slice(fw, 1, 7)).as("ptail"))
+      val planted = hosts.join(tails, "hid")
+        .select((col("hid") + 1000000L).as("doc_id"),
+          concat(col("htext"), lit(" "), col("ptail")).as("text"))
+      val corpus = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      graft.operators.CorpusOps.removeContaminatedSpans(
+        corpus, "text", "doc_id", probes, "text", n = 5, pad = 0)
     }
   )
 
@@ -6492,6 +6518,68 @@ object SparkEntry {
         |  ('loss', CAST(1 AS BIGINT), 'a|b|a|b'),
         |  ('loss', CAST(2 AS BIGINT), 'cd'),
         |  ('loss', CAST(3 AS BIGINT), 'a|b|cd')) t(mode, id, pieces)""".stripMargin,
+
+    // gram-membership marking replayed positionally: every i whose 5-gram
+    // is in the probe set covers [i, i+4]; covered positions drop, spans
+    // count via a lag gap, short docs match as one whole-text gram
+    "q184_scrub_spans" ->
+      """WITH fw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |pr AS (SELECT * FROM fw WHERE doc_id < 10),
+        |ps AS (
+        |  SELECT CASE WHEN len(w) >= 5
+        |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)]
+        |      ELSE [trim(text)] END AS sh
+        |  FROM pr),
+        |pg AS (SELECT DISTINCT unnest(sh) AS g FROM ps),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT h.doc_id + 1000000, h.text || ' ' || array_to_string(p.w[1:7], ' ')
+        |  FROM fw h JOIN fw p ON p.doc_id = h.doc_id - 20
+        |  WHERE h.doc_id >= 20 AND h.doc_id < 30),
+        |cw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM corpus),
+        |lng AS (SELECT doc_id, w, len(w) AS nw FROM cw WHERE len(w) >= 5),
+        |sht AS (SELECT doc_id, text, w, len(w) AS nw FROM cw WHERE len(w) < 5),
+        |marks AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM lng)
+        |  WHERE (w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |    IN (SELECT g FROM pg)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, i + d AS j
+        |  FROM marks CROSS JOIN (SELECT unnest(range(0, 5)) AS d) ds),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE prev IS NULL OR j - prev > 1) AS BIGINT) AS n_spans
+        |  FROM (SELECT doc_id, j, lag(j) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        |        FROM covered) GROUP BY doc_id),
+        |pos AS (SELECT doc_id, unnest(range(1, nw + 1)) AS j, w, nw FROM lng),
+        |posw AS (
+        |  SELECT p.doc_id, p.j, p.w[p.j] AS word, p.nw,
+        |    c.j IS NOT NULL AS cov
+        |  FROM pos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.j = p.j),
+        |agg_long AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(word, ' ' ORDER BY j) FILTER (WHERE NOT cov), '') AS text_clean,
+        |    CAST(max(nw) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE cov) AS BIGINT) AS n_removed
+        |  FROM posw GROUP BY doc_id)
+        |SELECT a.doc_id, a.text_clean, a.n_tokens, a.n_removed,
+        |  coalesce(s.n_spans, 0) AS n_spans
+        |FROM agg_long a LEFT JOIN spans s USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN trim(text) IN (SELECT g FROM pg) THEN '' ELSE array_to_string(w, ' ') END,
+        |  CAST(nw AS BIGINT),
+        |  CASE WHEN trim(text) IN (SELECT g FROM pg) THEN CAST(nw AS BIGINT) ELSE 0 END,
+        |  CASE WHEN trim(text) IN (SELECT g FROM pg) THEN 1 ELSE 0 END
+        |FROM sht""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

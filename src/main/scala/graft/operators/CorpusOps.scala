@@ -472,6 +472,83 @@ object CorpusOps {
         (col("n_shared").cast("double") / col("probe_grams")).as("contamination"))
   }
 
+  /** Surgical decontamination — remove the contaminated n-gram SPANS
+    * instead of dropping the document ([[decontaminate]] is the blunt
+    * tool; a high-value document that merely QUOTES one eval item keeps
+    * its other 99% here — the published treatment for benchmark leakage
+    * in curated corpora). Every token position whose word n-gram appears
+    * in the probe set marks its n tokens plus `pad` context tokens each
+    * side; overlapping marks merge into spans; surviving tokens reassemble
+    * with single spaces. Documents shorter than n words match as ONE
+    * whole-trimmed-text gram (the [[DedupOps.shingleHashes]] convention,
+    * so drop- and scrub-mode contamination always agree on what matches).
+    *
+    * Output: (`idCol`, text_clean, n_tokens, n_removed, n_spans) — the
+    * counts make the scrub auditable (Σ n_removed is the leakage volume a
+    * run report states).
+    *
+    * Plan: the probe grams collapse to a 64-bit hash set in the kernel
+    * closure (eval sets are model-table-sized — the frozen-LM broadcast
+    * convention); the corpus is touched MAP-ONLY, zero shuffles — the
+    * 100 TB shape. Matching uses the same FNV word-gram kernel as every
+    * other contamination pass ([[DedupOps.fnvWordGram]]), so a doc this
+    * pass leaves untouched is exactly a doc [[contaminationCheck]] scores
+    * zero.
+    */
+  def removeContaminatedSpans(corpus: DataFrame, textCol: String, idCol: String,
+                              probes: DataFrame, probeTextCol: String,
+                              n: Int = 8, pad: Int = 0): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(pad >= 0, "pad must be >= 0")
+    val probeGrams: Set[Long] = probes
+      .select(explode(DedupOps.wordShingleHashes(col(probeTextCol), n)).as("g"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val scrub = udf((text: String) => {
+      if (text == null) null
+      else {
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        val nw = words.length
+        if (nw < n) {
+          val whole = DedupOps.fnvWordGram(Array(text.trim), 0, 1)
+          if (probeGrams.contains(whole)) ("", nw, nw, 1)
+          else (words.mkString(" "), nw, 0, 0)
+        } else {
+          val covered = new Array[Boolean](nw)
+          var i = 0
+          while (i <= nw - n) {
+            if (probeGrams.contains(DedupOps.fnvWordGram(words, i, n))) {
+              var j = math.max(0, i - pad)
+              val end = math.min(nw - 1, i + n - 1 + pad)
+              while (j <= end) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val sb = new StringBuilder
+          var removed = 0
+          var spans = 0
+          var k = 0
+          while (k < nw) {
+            if (covered(k)) {
+              removed += 1
+              if (k == 0 || !covered(k - 1)) spans += 1
+            } else {
+              if (sb.nonEmpty) sb.append(' ')
+              sb.append(words(k))
+            }
+            k += 1
+          }
+          (sb.toString, nw, removed, spans)
+        }
+      }
+    })
+    corpus.withColumn("__scrub", scrub(col(textCol)))
+      .select(col(idCol),
+        col("__scrub._1").as("text_clean"),
+        col("__scrub._2").cast("long").as("n_tokens"),
+        col("__scrub._3").cast("long").as("n_removed"),
+        col("__scrub._4").cast("long").as("n_spans"))
+  }
+
   /** Gopher-style repetition signals per document (the published quality
     * rules filter on them: fraction of duplicate lines/paragraphs and the
     * share of tokens inside the most frequent n-gram). Segmentation is

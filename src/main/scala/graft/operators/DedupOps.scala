@@ -56,35 +56,40 @@ object DedupOps {
     * of magnitude cheaper than string shingles at identical results
     * (collision probability ~|G|²/2⁶⁴, negligible).
     */
+  /** FNV-1a fold over a word window (each word's chars then one space) —
+    * the single gram-hash kernel every contamination/similarity pass
+    * shares, so positional and distinct-set hashing always agree.
+    */
+  private[operators] def fnvWordGram(parts: Array[String], from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var k = from
+    while (k < from + len) {
+      val w = parts(k)
+      var i = 0
+      while (i < w.length) {
+        h ^= w.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h ^= ' '.toLong
+      h *= 0x100000001b3L
+      k += 1
+    }
+    h
+  }
+
   private[operators] def shingleHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return Array.empty
     val words = text.split("\\s+").filter(_.nonEmpty)
-    def fnv(parts: Array[String], from: Int, len: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      var k = from
-      while (k < from + len) {
-        val w = parts(k)
-        var i = 0
-        while (i < w.length) {
-          h ^= w.charAt(i).toLong
-          h *= 0x100000001b3L
-          i += 1
-        }
-        h ^= ' '.toLong
-        h *= 0x100000001b3L
-        k += 1
-      }
-      h
-    }
     if (words.length < n) {
       val t = Array(text.trim)
-      return Array(fnv(t, 0, 1))
+      return Array(fnvWordGram(t, 0, 1))
     }
     val seen = new java.util.HashSet[java.lang.Long](words.length * 2)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0
     while (i <= words.length - n) {
-      val h = fnv(words, i, n)
+      val h = fnvWordGram(words, i, n)
       if (seen.add(h)) out += h
       i += 1
     }

@@ -106,4 +106,47 @@ class DriftDeconSpec extends AnyFunSuite with SparkTest {
     val out = CorpusOps.tokenDrift(a, b, "text", topK = 1).head()
     assert(out.getString(0) == "x" && out.getLong(5) == 0L && out.getLong(6) == 0L)
   }
+
+  test("removeContaminatedSpans scrubs exactly the marked token ranges, merges overlaps, pads, and audits") {
+    import spark.implicits._
+    val probes = Seq((1L, "alpha beta gamma delta")).toDF("pid", "ptext")
+    // doc 1: one clean quote of the probe inside host text -> one 4-token span
+    // doc 2: two overlapping matches ("alpha beta gamma delta" twice offset
+    //        by two via repetition) -> marks merge into ONE span
+    // doc 3: untouched
+    // doc 4: shorter than n, whole-text gram equal to a probe gram? no ->
+    //        kept verbatim (whitespace-normalized)
+    val docs = Seq(
+      (1L, "the quick alpha beta gamma delta brown fox"),
+      (2L, "x alpha beta gamma delta alpha beta gamma delta y"),
+      (3L, "nothing shared with the eval set here"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val out = CorpusOps.removeContaminatedSpans(docs, "text", "doc_id",
+        probes, "ptext", n = 4, pad = 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("the quick brown fox", 8L, 4L, 1L)))
+    assert(out(2L) == (("x y", 10L, 8L, 1L)), "overlapping marks must merge into one span")
+    assert(out(3L) == (("nothing shared with the eval set here", 7L, 0L, 0L)))
+    assert(out(4L) == (("tiny doc", 2L, 0L, 0L)))
+    // pad widens each span with context tokens
+    val padded = CorpusOps.removeContaminatedSpans(docs, "text", "doc_id",
+        probes, "ptext", n = 4, pad = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(padded(1L) == (("the fox", 6L)))
+    // a short doc that IS an eval item (whole-text gram) scrubs entirely
+    val shortProbe = Seq((1L, "tiny doc")).toDF("pid", "ptext")
+    val scrubbed = CorpusOps.removeContaminatedSpans(docs, "text", "doc_id",
+        shortProbe, "ptext", n = 4, pad = 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(scrubbed(4L) == (("", 2L, 2L, 1L)))
+    assert(scrubbed(1L)._3 == 0L, "long docs unaffected by a short probe gram")
+    // agreement with the drop-mode audit: zero-removal docs are exactly the
+    // docs contaminationCheck scores zero
+    val flagged = CorpusOps.contaminationCheck(docs, "text", "doc_id",
+        probes, "ptext", "pid", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._3 > 0).keySet == flagged)
+  }
 }
