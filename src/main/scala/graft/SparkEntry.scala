@@ -2816,6 +2816,24 @@ object SparkEntry {
         .select(col("doc_id"), col("text")).unionByName(planted)
       graft.operators.CorpusOps.removeContaminatedSpans(
         corpus, "text", "doc_id", probes, "text", n = 5, pad = 0)
+    },
+
+    // Mergeable HLL cardinality sketch (bit-deterministic): distinct
+    // l_partkey per l_returnflag at p=9 (512 registers). splitmix64 hash,
+    // low-bit register index, trailing-zero rank via log2(x & -x) (exact —
+    // a power of two), estimate folded in ascending register order and
+    // micro-floored, with the published linear-counting small-range
+    // branch. The oracle rebuilds the registers in HUGEINT arithmetic and
+    // replays the same double fold; n_exact rides along to show the
+    // estimate's error is inside the published bound.
+    "q185_hll_distinct" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      graft.operators.SketchOps.hllCardinality(
+          li, Seq("l_returnflag"), "l_partkey", p = 9)
+        .join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"), col("est_micro"))
     }
   )
 
@@ -6580,6 +6598,43 @@ object SparkEntry {
         |  CASE WHEN trim(text) IN (SELECT g FROM pg) THEN CAST(nw AS BIGINT) ELSE 0 END,
         |  CASE WHEN trim(text) IN (SELECT g FROM pg) THEN 1 ELSE 0 END
         |FROM sht""".stripMargin,
+
+    // splitmix64 in HUGEINT (the q113 chain), low-9-bit index, rank from
+    // log2(x & -x) (exact), dense registers via a cross join against all
+    // 512 indexes, ordered double fold, micro-floored estimate with the
+    // linear-counting branch — the full sketch replayed
+    "q185_hll_distinct" ->
+      """WITH v AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS x FROM lineitem),
+        |z0 AS (SELECT g, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+        |x1 AS (SELECT g, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT g, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT g, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT g, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |h AS (SELECT g, xor(z, z // 2147483648) AS u FROM z2),
+        |rr AS (SELECT g, CAST(u % 512 AS INT) AS idx, CAST(u // 512 AS BIGINT) AS rem FROM h),
+        |rk AS (SELECT g, idx,
+        |  CASE WHEN rem = 0 THEN 56 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM rr),
+        |reg AS (SELECT g, idx, max(rank) AS r FROM rk GROUP BY g, idx),
+        |dense AS (
+        |  SELECT gs.g, i.idx, coalesce(reg.r, 0) AS r
+        |  FROM (SELECT DISTINCT g FROM v) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS idx) i
+        |  LEFT JOIN reg ON reg.g = gs.g AND reg.idx = i.idx),
+        |est AS (
+        |  SELECT g,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM dense GROUP BY g),
+        |fin AS (
+        |  SELECT g, zeros,
+        |    (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp AS raw
+        |  FROM est),
+        |ex AS (SELECT g, count(*) AS n_exact FROM v GROUP BY g)
+        |SELECT f.g AS l_returnflag, ex.n_exact,
+        |  CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 512.0 AND zeros > 0
+        |    THEN 512.0 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |FROM fin f JOIN ex ON ex.g = f.g""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (HyperLogLog, Flajolet et al. 2007) —
+  * the scale story exact `countDistinct` cannot tell: at 100 TB a
+  * per-group exact distinct shuffles every distinct value, while a
+  * sketch is a fixed 2^p-register vector that (a) builds with map-side
+  * partial aggregation, (b) MERGES by register-wise max — so per-shard /
+  * per-partition sketches persist beside the data and any slice's
+  * cardinality is a query-time merge, never a rescan (the lakehouse
+  * data-skipping-stats pattern), and (c) maintains incrementally under
+  * APPEND-ONLY feeds (max is monotone; deletes need the exact path — the
+  * same non-invertibility boundary [[graft.core.IncrementalAgg]] draws).
+  *
+  * DETERMINISM (the repo-wide oracle contract): the hash is the repo's
+  * codegen'd splitmix64 over a BIGINT value (hash non-integral values to
+  * a BIGINT first — e.g. `xxhash64`; the oracle then replays splitmix in
+  * HUGEINT arithmetic as q113 does). Register index = the LOW p hash
+  * bits; rank = trailing-zero count of the remaining 64−p bits + 1
+  * (capped at 64−p+1) — trailing zeros come from `log2(x & −x)`, exact
+  * in IEEE double because `x & −x` is a power of two, so both engines
+  * compute identical registers. The estimate folds `2^−reg` in ascending
+  * register order (the q133 ordered-double-fold precedent) and
+  * micro-floors, so the whole pipeline hash-replays.
+  */
+object SketchOps {
+
+  /** Bias-correction constant α_m per the published small-m table. */
+  private def alphaExpr(m: Int): Column = m match {
+    case 16 => lit(0.673)
+    case 32 => lit(0.697)
+    case 64 => lit(0.709)
+    case _  => lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+  }
+
+  /** The SPARSE mergeable form: one row per (group, register index) with
+    * the register maximum — what a 100 TB pipeline stores per shard and
+    * re-maxes to merge (`unionByName` + this again). One keyed shuffle
+    * with map-side partial max; nulls are ignored (the `countDistinct`
+    * convention). Output: (groupCols…, idx, reg).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 12): DataFrame = {
+    require(p >= 2 && p <= 26, s"p must be in [2, 26], got $p")
+    val m = 1 << p
+    val h = graft.functions.GraftFunctions.splitmix64(col(valueCol).cast("long"))
+    val idx = h.bitwiseAND(lit(m - 1L)).cast("int")
+    val rem = shiftrightunsigned(h, p) // top p bits zero -> non-negative
+    val rank = when(rem === 0, lit(64 - p + 1))
+      .otherwise(log2(rem.bitwiseAND(-rem)).cast("int") + 1)
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ idx.as("idx") :+ rank.as("rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("idx"): _*)
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** Dense per-group sketch: (groupCols…, hll array&lt;int&gt; of length
+    * 2^p, absent registers 0) — the persistable artifact
+    * [[hllMergeSketches]] and [[hllEstimate]] consume.
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int = 12): DataFrame = {
+    val m = 1 << p
+    hllRegisters(df, groupCols, valueCol, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("reg"))))
+        .as("__regs"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(m - 1)),
+          i => coalesce(element_at(col("__regs"), i), lit(0))).as("hll"): _*)
+  }
+
+  /** Merge dense sketches across rows per group — register-wise max, the
+    * operation that makes sketches composable across shards, partitions,
+    * and append batches. Order-independent (max is commutative), so the
+    * merged sketch is bit-identical to sketching the unioned data.
+    */
+  def hllMergeSketches(df: DataFrame, groupCols: Seq[String],
+                       sketchCol: String, p: Int): DataFrame = {
+    val m = 1 << p
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(sketchCol)),
+        array_repeat(lit(0), m),
+        (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as(sketchCol))
+  }
+
+  /** Micro-floored cardinality estimate from a dense sketch: the raw HLL
+    * estimate α_m·m²∕Σ2^−reg with the published small-range linear
+    * counting correction (zero registers present and estimate ≤ 2.5m ⇒
+    * m·ln(m∕V)). The Σ folds in ascending register order and every
+    * constant derives from the same primitive expression tree the oracle
+    * writes, so the double arithmetic is engine-identical.
+    */
+  def hllEstimate(sketch: Column, p: Int): Column = {
+    val m = 1 << p
+    val sumPow = aggregate(sketch, lit(0.0),
+      (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val zeros = size(filter(sketch, r => r === 0))
+    val raw = alphaExpr(m) * lit(m.toDouble) * lit(m.toDouble) / sumPow
+    val est = when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    floor(lit(1e6) * est).cast("long")
+  }
+
+  /** Sketch + estimate in one: (groupCols…, est_micro). The one-stop
+    * per-group approximate distinct — standard error ≈ 1.04∕√(2^p)
+    * (~1.6% at the default p = 12).
+    */
+  def hllCardinality(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     p: Int = 12): DataFrame =
+    hllSketch(df, groupCols, valueCol, p)
+      .select(groupCols.map(col) :+
+        hllEstimate(col("hll"), p).as("est_micro"): _*)
+}

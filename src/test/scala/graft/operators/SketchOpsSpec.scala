@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mergeable HLL cardinality sketches. */
+class SketchOpsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  test("estimate lands within the published error bound, both branches") {
+    // raw-estimate regime: 10k distinct at p=12 (SE ~1.6%) — assert 5%
+    val big = (0 until 30000).map(i => ("g", (i % 10000).toLong)).toDF("g", "v")
+    val est = SketchOps.hllCardinality(big, Seq("g"), "v", p = 12)
+      .collect().head.getLong(1) / 1e6
+    assert(math.abs(est - 10000) / 10000 < 0.05, s"raw estimate $est vs 10000")
+    // linear-counting regime: 50 distinct at p=8 (m=256, est <= 2.5m)
+    val small = (0 until 200).map(i => ("g", (i % 50).toLong)).toDF("g", "v")
+    val estS = SketchOps.hllCardinality(small, Seq("g"), "v", p = 8)
+      .collect().head.getLong(1) / 1e6
+    assert(math.abs(estS - 50) / 50 < 0.15, s"linear-counting estimate $estS vs 50")
+  }
+
+  test("merging per-shard sketches is bit-identical to sketching the union") {
+    val whole = (0 until 5000).map(i => ("g", (i * 7 % 1700).toLong)).toDF("g", "v")
+    val wholeSketch = SketchOps.hllSketch(whole, Seq("g"), "v", p = 10)
+      .collect().head.getSeq[Int](1)
+    // three disjoint-by-row (overlapping-by-value) shards
+    val parts = (0 until 3).map(s =>
+      (0 until 5000).filter(_ % 3 == s).map(i => ("g", (i * 7 % 1700).toLong))
+        .toDF("g", "v"))
+    val shardSketches = parts.map(SketchOps.hllSketch(_, Seq("g"), "v", p = 10))
+      .reduce(_ unionByName _)
+    val merged = SketchOps.hllMergeSketches(shardSketches, Seq("g"), "hll", p = 10)
+      .collect().head.getSeq[Int](1)
+    assert(merged == wholeSketch,
+      "register-wise max merge must equal the union sketch exactly")
+    // and appending a shard twice changes nothing (max is idempotent)
+    val doubled = SketchOps.hllMergeSketches(
+      shardSketches.unionByName(shardSketches), Seq("g"), "hll", p = 10)
+      .collect().head.getSeq[Int](1)
+    assert(doubled == wholeSketch)
+  }
+
+  test("sketches and estimates are partitioning-independent; nulls ignored") {
+    val df = ((0 until 4000).map(i => ("a", Some((i % 900).toLong))) ++
+      Seq(("a", Option.empty[Long]), ("b", Some(1L)))).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SketchOps.hllCardinality(d, Seq("g"), "v", p = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val one = run(df)
+    val other = run(df.repartition(7))
+    assert(one == other)
+    // group b holds exactly one non-null value; nulls never register
+    assert(math.abs(one("b") / 1e6 - 1.0) < 0.01)
+  }
+
+  test("sparse registers carry exactly the dense sketch's non-zero entries") {
+    val df = (0 until 500).map(i => ("g", i.toLong)).toDF("g", "v")
+    val sparse = SketchOps.hllRegisters(df, Seq("g"), "v", p = 8)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val dense = SketchOps.hllSketch(df, Seq("g"), "v", p = 8)
+      .collect().head.getSeq[Int](1)
+    dense.zipWithIndex.foreach { case (r, i) =>
+      assert(sparse.getOrElse(i, 0) == r, s"register $i")
+    }
+  }
+}
