@@ -2834,6 +2834,49 @@ object SparkEntry {
           li, Seq("l_returnflag"), "l_partkey", p = 9)
         .join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("n_exact"), col("est_micro"))
+    },
+
+    // Approximate distinct at EVERY rollup level from base-level sketches
+    // alone — registers max-merge up the hierarchy, so subtotal and
+    // grand-total cardinalities derive from the view, never the data: the
+    // capability exact distinct counts cannot give the rollup x hybrid
+    // IVM shape. The oracle computes the same registers with GROUP BY
+    // idx, ROLLUP(...) and replays the estimate per level.
+    "q186_hll_rollup" -> { (s, dir) =>
+      graft.operators.SketchOps.hllRollup(Tables.lineitem(s, dir),
+        Seq("l_returnflag", "l_linestatus"), "l_partkey", p = 9)
+    },
+
+    // Sketch IVM: the q173-shape change feed (deletes, token updates,
+    // lang moves, inserts) advances a maintained base-level sketch table
+    // via the hybrid rule — untouched groups keep sketch rows, touched
+    // groups REBUILD from the post-change base slice (how deletes stay
+    // exact despite max-merge being insert-only) — then every rollup
+    // level derives from the maintained sketches. Must be bit-identical
+    // to the from-scratch rollup of v2, which the oracle replays.
+    "q187_hll_ivm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q187_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .withColumn("lang",
+            when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val g = Seq("source", "lang")
+      val state0 = graft.operators.SketchOps.hllSketch(
+        s.read.parquet(s"$root/v_$v1"), g, "tokens", p = 9)
+      val advanced = graft.operators.SketchOps.applyFeedHllSketch(
+        state0, feed, s.read.parquet(s"$root/v_$v2"), g, "tokens", p = 9)
+      graft.operators.SketchOps.hllRollupFromSketches(advanced, g, p = 9)
     }
   )
 
@@ -6635,6 +6678,27 @@ object SparkEntry {
         |  CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 512.0 AND zeros > 0
         |    THEN 512.0 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
         |FROM fin f JOIN ex ON ex.g = f.g""".stripMargin,
+
+    "q186_hll_rollup" -> hllRollupOracleSql(
+      "SELECT DISTINCT l_returnflag AS g1, l_linestatus AS g2, l_partkey AS x FROM lineitem",
+      "l_returnflag", "l_linestatus"),
+
+    "q187_hll_ivm" -> hllRollupOracleSql(
+      """SELECT DISTINCT source AS g1, lang AS g2, tokens AS x FROM (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM (SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |    FROM documents) d0 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2
+        |  FROM (SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |    FROM documents) d1 WHERE doc_id < 20) post""".stripMargin,
+      "source", "lang"),
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->
@@ -6673,6 +6737,46 @@ object SparkEntry {
     * per (source, lang)) after the shared q173/q178 transform — oracles
     * both the batch hybrid advance and the live streaming maintainer.
     */
+  /** The HLL rollup replay shared by q186/q187: splitmix64 in HUGEINT over
+    * a distinct (g1, g2, x) table, registers via GROUP BY idx,
+    * ROLLUP(g1, g2), dense fill, the ordered double fold and the
+    * micro-floored estimate with the linear-counting branch — all at
+    * p = 9 (512 registers).
+    */
+  private def hllRollupOracleSql(vSelect: String, g1Out: String,
+                                 g2Out: String): String =
+    s"""WITH v AS ($vSelect),
+      |z0 AS (SELECT g1, g2, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+      |x1 AS (SELECT g1, g2, xor(z, z // 1073741824) AS xx FROM z0),
+      |z1 AS (SELECT g1, g2, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+      |x2 AS (SELECT g1, g2, xor(z, z // 134217728) AS xx FROM z1),
+      |z2 AS (SELECT g1, g2, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+      |h AS (SELECT g1, g2, xor(z, z // 2147483648) AS u FROM z2),
+      |rr AS (SELECT g1, g2, CAST(u % 512 AS INT) AS idx, CAST(u // 512 AS BIGINT) AS rem FROM h),
+      |rk AS (SELECT g1, g2, idx,
+      |  CASE WHEN rem = 0 THEN 56 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+      |  FROM rr),
+      |reg AS (SELECT g1, g2, CAST(GROUPING(g1, g2) AS BIGINT) AS gid, idx, max(rank) AS r
+      |        FROM rk GROUP BY idx, ROLLUP (g1, g2)),
+      |gs AS (SELECT DISTINCT g1, g2, gid FROM reg),
+      |dense AS (
+      |  SELECT gs.g1, gs.g2, gs.gid, i.idx, coalesce(reg.r, 0) AS r
+      |  FROM gs CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS idx) i
+      |  LEFT JOIN reg ON reg.gid = gs.gid AND reg.idx = i.idx
+      |    AND reg.g1 IS NOT DISTINCT FROM gs.g1
+      |    AND reg.g2 IS NOT DISTINCT FROM gs.g2),
+      |est AS (
+      |  SELECT g1, g2, gid,
+      |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+      |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+      |  FROM dense GROUP BY g1, g2, gid)
+      |SELECT g1 AS $g1Out, g2 AS $g2Out, gid,
+      |  CAST(floor(1e6 * CASE
+      |    WHEN (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp <= 2.5 * 512.0 AND zeros > 0
+      |    THEN 512.0 * ln(512.0 / zeros)
+      |    ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp END) AS BIGINT) AS est_micro
+      |FROM est""".stripMargin
+
   private def hybridIvmOracle: String =
       """WITH d AS (
         |  SELECT doc_id, source, lang,

@@ -114,4 +114,79 @@ object SketchOps {
     hllSketch(df, groupCols, valueCol, p)
       .select(groupCols.map(col) :+
         hllEstimate(col("hll"), p).as("est_micro"): _*)
+
+  /** Approximate distinct at EVERY rollup level from the base-level
+    * sketch table alone — the capability [[graft.core.IncrementalAgg]]'s
+    * rollup×hybrid shape excludes for EXACT counts (subtotal distincts
+    * don't combine) and sketches restore: registers max-merge up the
+    * hierarchy, so a subtotal's sketch derives from its children's, never
+    * from the data. Input: (groupCols…, hll) per base group (from
+    * [[hllSketch]], or a maintained state — see [[applyFeedHllSketch]]).
+    * Output: (groupCols…, gid, est_micro) with `grouping_id()`-convention
+    * gids (base 0, trailing columns masked, grand total 2^n−1).
+    *
+    * Plan: the base sketches posexplode to sparse (keys, idx, reg) rows
+    * once, each coarser level is one keyed max-aggregation of the level
+    * below — O(|view|·m) total, the base table is never touched.
+    */
+  def hllRollupFromSketches(sketches: DataFrame, groupCols: Seq[String],
+                            p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val keyTypes = groupCols.map(c => sketches.schema(c).dataType)
+    val sparse = sketches.select(groupCols.map(col) :+
+        posexplode(col("hll")).as(Seq("idx", "reg")): _*)
+      .filter(col("reg") > 0)
+    val levels = (0 to groupCols.length).map { masked =>
+      val keep = groupCols.dropRight(masked)
+      val gid = (1L << masked) - 1
+      val regs =
+        if (masked == 0) sparse
+        else sparse.groupBy((keep :+ "idx").map(col): _*)
+          .agg(max(col("reg")).as("reg"))
+      val grouped = regs
+        .groupBy(keep.map(col): _*)
+        .agg(map_from_entries(collect_list(struct(col("idx"), col("reg"))))
+          .as("__regs"))
+      val dense = transform(sequence(lit(0), lit(m - 1)),
+        i => coalesce(element_at(col("__regs"), i), lit(0)))
+      val maskedCols = groupCols.drop(groupCols.length - masked)
+        .zip(keyTypes.drop(groupCols.length - masked))
+        .map { case (c, t) => lit(null).cast(t).as(c) }
+      grouped.select(keep.map(col) ++ maskedCols ++
+        Seq(lit(gid).as("gid"), hllEstimate(dense, p).as("est_micro")): _*)
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** One-pass multi-level approximate distinct:
+    * `hllRollupFromSketches(hllSketch(df))`.
+    */
+  def hllRollup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                p: Int = 12): DataFrame =
+    hllRollupFromSketches(hllSketch(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Advance a maintained base-level sketch table by one
+    * [[graft.core.TableStore]] change feed — the hybrid-IVM rule
+    * ([[graft.core.IncrementalAgg.applyFeedHybrid]]) applied to sketches:
+    * groups the feed never touches keep their sketch rows verbatim
+    * (broadcast anti-join on the feed's distinct keys); touched groups
+    * REBUILD their sketches from the post-change base restricted to
+    * exactly those keys (broadcast semi-join) — which is how DELETES are
+    * handled exactly despite max-merge being insert-only: the touched
+    * group's sketch is reconstructed, not decremented. Invariant (spec'd
+    * and oracled, q187): `hllRollupFromSketches(applyFeedHllSketch(
+    * hllSketch(v_base), feed, v_next)) == hllRollup(v_next)` bit-for-bit.
+    */
+  def applyFeedHllSketch(state: DataFrame, feed: DataFrame, base: DataFrame,
+                         groupCols: Seq[String], valueCol: String,
+                         p: Int = 12): DataFrame = {
+    val touched = feed.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(c => col(c).as(s"__t_$c")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val recomputed = hllSketch(
+      base.join(broadcast(touched), cond, "left_semi"),
+      groupCols, valueCol, p)
+    untouched.unionByName(recomputed)
+  }
 }

@@ -66,4 +66,51 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       assert(sparse.getOrElse(i, 0) == r, s"register $i")
     }
   }
+
+  test("rollup levels equal direct sketching at each level, bit-for-bit") {
+    val df = (0 until 6000).map { i =>
+      (Seq("x", "y", "z")(i % 3), Seq("u", "v")(i % 2), (i % 700).toLong)
+    }.toDF("g1", "g2", "v")
+    val levels = SketchOps.hllRollup(df, Seq("g1", "g2"), "v", p = 9)
+      .collect().map(r => (Option(r.getString(0)).orNull,
+        Option(r.getString(1)).orNull, r.getLong(2)) -> r.getLong(3)).toMap
+    // gid 0 = hllCardinality by (g1, g2); gid 1 = by g1; gid 3 = grand
+    val base = SketchOps.hllCardinality(df, Seq("g1", "g2"), "v", p = 9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    base.foreach { case ((a, b), e) => assert(levels((a, b, 0L)) == e) }
+    val byG1 = SketchOps.hllCardinality(df, Seq("g1"), "v", p = 9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byG1.foreach { case (a, e) => assert(levels((a, null, 1L)) == e) }
+    val grand = SketchOps.hllCardinality(df.withColumn("c", lit(1)), Seq("c"), "v", p = 9)
+      .collect().head.getLong(1)
+    assert(levels((null, null, 3L)) == grand)
+  }
+
+  test("feed-advanced sketches equal the from-scratch rollup after deletes, moves, and inserts") {
+    import graft.core.TableStore
+    val root = java.nio.file.Files.createTempDirectory("hll_ivm").toString
+    val base = (0 until 2000).map { i =>
+      (i.toLong, Seq("x", "y", "z")(i % 3), Seq("u", "v")(i % 2), (i % 300).toLong)
+    }.toDF("id", "g1", "g2", "v")
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") % 7 =!= 0)                             // deletes
+        .withColumn("v", when(col("id") % 11 === 0, col("v") + 1000).otherwise(col("v")))
+        .withColumn("g2", when(col("id") % 13 === 0, lit("w")).otherwise(col("g2")))
+        .unionByName((0 until 50).map(i =>
+          (100000L + i, "x", "u", (5000 + i).toLong)).toDF("id", "g1", "g2", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    val state0 = SketchOps.hllSketch(
+      spark.read.parquet(s"$root/v_$v1"), Seq("g1", "g2"), "v", p = 9)
+    val advanced = SketchOps.applyFeedHllSketch(state0, feed,
+      spark.read.parquet(s"$root/v_$v2"), Seq("g1", "g2"), "v", p = 9)
+    val incr = SketchOps.hllRollupFromSketches(advanced, Seq("g1", "g2"), p = 9)
+      .collect().map(_.toSeq).toSet
+    val direct = SketchOps.hllRollup(
+      spark.read.parquet(s"$root/v_$v2"), Seq("g1", "g2"), "v", p = 9)
+      .collect().map(_.toSeq).toSet
+    assert(incr == direct && incr.nonEmpty,
+      "sketch IVM must be bit-identical to the from-scratch rollup")
+  }
 }
