@@ -2877,6 +2877,44 @@ object SparkEntry {
       val advanced = graft.operators.SketchOps.applyFeedHllSketch(
         state0, feed, s.read.parquet(s"$root/v_$v2"), g, "tokens", p = 9)
       graft.operators.SketchOps.hllRollupFromSketches(advanced, g, p = 9)
+    },
+
+    // The LIVE maintainer driving the SKETCH view: same staged transform
+    // and polling shape as q177/q178, but the maintained state is the
+    // base-level HLL sketch table, advanced per tick by the touched-group
+    // rule; the query then reads rollup estimates from the maintained
+    // sketches. Oracle shared with q187 — the maintained view must be
+    // bit-identical to the from-scratch recompute.
+    "q188_ivm_stream_hll" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val srcRoot = java.nio.file.Files.createTempDirectory("q188_src").toString
+      val viewRoot = java.nio.file.Files.createTempDirectory("q188_view").toString
+      graft.core.TableStore.commit(docs, srcRoot)
+      val spec = graft.streaming.IvmStream.IvmViewSpec(
+        Seq("doc_id"), Seq("source", "lang"), Nil,
+        hllValueCol = Some("tokens"), hllP = 9)
+      val q = graft.streaming.IvmStream.maintainView(s, srcRoot, viewRoot, spec,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        val v1 = graft.core.TableStore.merge(s, srcRoot) { cur =>
+          cur.filter(col("doc_id") % 7 =!= 0)
+            .withColumn("tokens",
+              when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+            .withColumn("lang",
+              when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+            .unionByName(docs.filter(col("doc_id") < 20)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+                col("lang"), (col("tokens") * 2).as("tokens")))
+        }
+        val deadline = System.currentTimeMillis() + 60000
+        while (!graft.streaming.IvmStream.readApplied(viewRoot).exists(_._2 >= v1) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        graft.operators.SketchOps.hllRollupFromSketches(
+          graft.core.TableStore.read(s, viewRoot), Seq("source", "lang"), p = 9)
+          .localCheckpoint(true)
+      } finally q.stop()
     }
   )
 
@@ -6683,22 +6721,11 @@ object SparkEntry {
       "SELECT DISTINCT l_returnflag AS g1, l_linestatus AS g2, l_partkey AS x FROM lineitem",
       "l_returnflag", "l_linestatus"),
 
-    "q187_hll_ivm" -> hllRollupOracleSql(
-      """SELECT DISTINCT source AS g1, lang AS g2, tokens AS x FROM (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
-        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
-        |  FROM (SELECT doc_id, source, lang,
-        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
-        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
-        |    FROM documents) d0 WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, lang, tokens * 2
-        |  FROM (SELECT doc_id, source, lang,
-        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
-        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
-        |    FROM documents) d1 WHERE doc_id < 20) post""".stripMargin,
-      "source", "lang"),
+    "q187_hll_ivm" -> hllIvmOracle,
+
+    // the live sketch maintainer converges to the same state as the batch
+    // sketch advance: one shared from-scratch replay
+    "q188_ivm_stream_hll" -> hllIvmOracle,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->
@@ -6776,6 +6803,24 @@ object SparkEntry {
       |    THEN 512.0 * ln(512.0 / zeros)
       |    ELSE (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp END) AS BIGINT) AS est_micro
       |FROM est""".stripMargin
+
+  /** q187/q188 shared oracle: the post-transform corpus's sketch rollup. */
+  private def hllIvmOracle: String = hllRollupOracleSql(
+    """SELECT DISTINCT source AS g1, lang AS g2, tokens AS x FROM (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+      |  FROM (SELECT doc_id, source, lang,
+      |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+      |    FROM documents) d0 WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, lang, tokens * 2
+      |  FROM (SELECT doc_id, source, lang,
+      |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+      |    FROM documents) d1 WHERE doc_id < 20) post""".stripMargin,
+    "source", "lang")
 
   private def hybridIvmOracle: String =
       """WITH d AS (

@@ -52,37 +52,62 @@ object IvmStream {
     * construction), or the ROLLUP × HYBRID composition when `rollup` and
     * `minMaxCols` are both set (per-level count/sum/min/max; subtotal
     * levels combine from the maintained base level —
-    * [[IncrementalAgg.applyFeedRollupHybrid]]). `idCols` key the source's
-    * change feed. The one excluded combination is rollup + `distinctCols`:
-    * exact distinct counts do not combine across rollup levels, so
-    * maintaining them would force per-level base rescans.
+    * [[IncrementalAgg.applyFeedRollupHybrid]]). With `hllValueCol` set the
+    * view is a SKETCH view: the maintained state is the base-level HLL
+    * sketch table ([[graft.operators.SketchOps.hllSketch]]), advanced by
+    * the same touched-group rule — read approximate distincts at any
+    * rollup level, any time, via
+    * [[graft.operators.SketchOps.hllRollupFromSketches]] without touching
+    * the source. `idCols` key the source's change feed. The one excluded
+    * combination is rollup + `distinctCols`: exact distinct counts do not
+    * combine across rollup levels, so maintaining them would force
+    * per-level base rescans — the sketch view is the scalable substitute.
     */
   final case class IvmViewSpec(idCols: Seq[String], groupCols: Seq[String],
                                sumCols: Seq[String], rollup: Boolean = false,
                                minMaxCols: Seq[String] = Nil,
-                               distinctCols: Seq[String] = Nil) {
+                               distinctCols: Seq[String] = Nil,
+                               hllValueCol: Option[String] = None,
+                               hllP: Int = 12) {
     require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
     private[streaming] def hybrid: Boolean =
       minMaxCols.nonEmpty || distinctCols.nonEmpty
     require(!(rollup && distinctCols.nonEmpty),
       "rollup views cannot maintain exact distinct counts (not mergeable " +
-        "across levels) — drop distinctCols, or run a flat hybrid view per level")
+        "across levels) — drop distinctCols, use a sketch view " +
+        "(hllValueCol), or run a flat hybrid view per level")
+    require(hllValueCol.isEmpty ||
+      (sumCols.isEmpty && !rollup && minMaxCols.isEmpty && distinctCols.isEmpty),
+      "a sketch view maintains ONLY the base-level sketch table (read " +
+        "rollup estimates any time via SketchOps.hllRollupFromSketches); " +
+        "run other aggregates as a second view over the same source")
     private[streaming] def aggregate(df: DataFrame): DataFrame =
-      if (rollup && minMaxCols.nonEmpty)
-        IncrementalAgg.aggregateRollupHybrid(df, groupCols, sumCols, minMaxCols)
-      else if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
-      else if (hybrid) IncrementalAgg.aggregateHybrid(df, groupCols, sumCols,
-        minMaxCols, distinctCols)
-      else IncrementalAgg.aggregate(df, groupCols, sumCols)
+      hllValueCol match {
+        case Some(v) =>
+          graft.operators.SketchOps.hllSketch(df, groupCols, v, hllP)
+        case None =>
+          if (rollup && minMaxCols.nonEmpty)
+            IncrementalAgg.aggregateRollupHybrid(df, groupCols, sumCols, minMaxCols)
+          else if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
+          else if (hybrid) IncrementalAgg.aggregateHybrid(df, groupCols, sumCols,
+            minMaxCols, distinctCols)
+          else IncrementalAgg.aggregate(df, groupCols, sumCols)
+      }
     private[streaming] def apply(state: DataFrame, feed: DataFrame,
                                  base: => DataFrame): DataFrame =
-      if (rollup && minMaxCols.nonEmpty)
-        IncrementalAgg.applyFeedRollupHybrid(state, feed, base, groupCols,
-          sumCols, minMaxCols)
-      else if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
-      else if (hybrid) IncrementalAgg.applyFeedHybrid(state, feed, base,
-        groupCols, sumCols, minMaxCols, distinctCols)
-      else IncrementalAgg.applyFeed(state, feed, groupCols, sumCols)
+      hllValueCol match {
+        case Some(v) =>
+          graft.operators.SketchOps.applyFeedHllSketch(state, feed, base,
+            groupCols, v, hllP)
+        case None =>
+          if (rollup && minMaxCols.nonEmpty)
+            IncrementalAgg.applyFeedRollupHybrid(state, feed, base, groupCols,
+              sumCols, minMaxCols)
+          else if (rollup) IncrementalAgg.applyFeedRollup(state, feed, groupCols, sumCols)
+          else if (hybrid) IncrementalAgg.applyFeedHybrid(state, feed, base,
+            groupCols, sumCols, minMaxCols, distinctCols)
+          else IncrementalAgg.applyFeed(state, feed, groupCols, sumCols)
+      }
   }
 
   private def appliedPtr(viewRoot: String) = Paths.get(viewRoot, "_APPLIED")

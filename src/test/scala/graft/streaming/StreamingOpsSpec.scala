@@ -538,4 +538,45 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     assert(!TableStore.isCommitConflict(new RuntimeException("stale write")))
     assert(!TableStore.isCommitConflict(new IllegalStateException("disk on fire")))
   }
+
+  test("streaming IVM: the sketch view maintains base-level HLL sketches through the feed") {
+    import graft.core.TableStore
+    import graft.operators.SketchOps
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_hll").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_hll").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((0 until 200).map(i =>
+      (i.toLong, Seq("a", "b")(i % 2), (i % 60).toLong)): _*), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
+      hllValueCol = Some("v"), hllP = 8)
+    def recompute() = SketchOps.hllSketch(
+      TableStore.read(spark, srcRoot), Seq("grp"), "v", p = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap == recompute())
+    // deletes (values vanish from group a) + inserts of brand-new values:
+    // the touched-group rebuild must shrink a's registers exactly
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("v") =!= 42).unionByName(rows((900L, "a", 5000L))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap == recompute())
+    // rollup estimates read straight off the maintained sketches
+    val levels = SketchOps.hllRollupFromSketches(
+      TableStore.read(spark, viewRoot), Seq("grp"), p = 8)
+      .collect().map(r => (Option(r.getString(0)).orNull, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val direct = SketchOps.hllRollup(
+      TableStore.read(spark, srcRoot), Seq("grp"), "v", p = 8)
+      .collect().map(r => (Option(r.getString(0)).orNull, r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(levels == direct && levels.contains((null, 1L)))
+    // sketch views reject exact-aggregate columns loudly
+    assertThrows[IllegalArgumentException] {
+      IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"), hllValueCol = Some("v"))
+    }
+  }
 }
