@@ -2915,6 +2915,23 @@ object SparkEntry {
           graft.core.TableStore.read(s, viewRoot), Seq("source", "lang"), p = 9)
           .localCheckpoint(true)
       } finally q.stop()
+    },
+
+    // Count-Min frequency sketch, all-integer: one global 4x1024 sketch
+    // over lineitem order keys (splitmix64(x + i) row hashes, low-bit
+    // cells), then point estimates for the 25 hottest keys (the q157
+    // fixture) ride the min-over-rows lookup. Estimates can only
+    // overcount; at this load they are exact, and the oracle replays the
+    // entire build + lookup in HUGEINT arithmetic.
+    "q189_cm_heavyhitters" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sk = graft.operators.SketchOps.cmSketch(li, Nil, "l_orderkey",
+        depth = 4, widthLog2 = 10)
+      val top = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_orderkey")).limit(25)
+      graft.operators.SketchOps.cmEstimate(sk, top, Nil, "l_orderkey",
+          depth = 4, widthLog2 = 10)
+        .select(col("l_orderkey"), col("n_exact"), col("est"))
     }
   )
 
@@ -6726,6 +6743,28 @@ object SparkEntry {
     // the live sketch maintainer converges to the same state as the batch
     // sketch advance: one shared from-scratch replay
     "q188_ivm_stream_hll" -> hllIvmOracle,
+
+    // the full CM build + min-over-rows lookup in HUGEINT: cells from
+    // splitmix64(x + i) low bits, per-cell weight sums, top-25 keys by
+    // exact count (ties to the smaller key), missing cells 0
+    "q189_cm_heavyhitters" ->
+      """WITH kc AS (SELECT l_orderkey AS x, count(*) AS n FROM lineitem GROUP BY 1),
+        |inp AS (SELECT x, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT x, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT x, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT x, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT x, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT x, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT x, n, i, CAST(xor(z, z // 2147483648) % 1024 AS INT) AS c FROM z2),
+        |reg AS (SELECT i, c, CAST(sum(n) AS BIGINT) AS v FROM cellh GROUP BY i, c),
+        |top AS (SELECT x, n FROM kc ORDER BY n DESC, x LIMIT 25),
+        |est AS (
+        |  SELECT t.x, t.n, min(coalesce(reg.v, 0)) AS est
+        |  FROM top t JOIN cellh ch ON ch.x = t.x
+        |  LEFT JOIN reg ON reg.i = ch.i AND reg.c = ch.c
+        |  GROUP BY t.x, t.n)
+        |SELECT x AS l_orderkey, n AS n_exact, est FROM est""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -165,6 +165,84 @@ object SketchOps {
                 p: Int = 12): DataFrame =
     hllRollupFromSketches(hllSketch(df, groupCols, valueCol, p), groupCols, p)
 
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    * mergeable FREQUENCY complement to the HLL cardinality sketch: a
+    * `depth × width` counter matrix where value x increments cell
+    * `(i, h_i(x))` per row i, and a point estimate is the MIN over rows —
+    * an overestimate by at most εN (ε ≈ e∕width) with probability
+    * 1−e^−depth. All-integer: counters are exact sums, so sketches are
+    * order-free deterministic, merge by element-wise ADDITION (exact),
+    * and replay in SQL verbatim. Row hashes are `splitmix64(x + i) mod
+    * width` with width a power of two (low-bit mod agrees between signed
+    * and unsigned arithmetic — the cross-engine contract).
+    *
+    * Dense sketch layout: one flat `array&lt;long&gt;` of length
+    * depth·width, row-major (`cm[i·width + c]`). Empty `groupCols` builds
+    * one global sketch row.
+    */
+  def cmSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+               depth: Int = 4, widthLog2: Int = 10,
+               weightCol: Option[String] = None): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(widthLog2 >= 2 && widthLog2 <= 24,
+      s"widthLog2 must be in [2, 24], got $widthLog2")
+    val w = 1 << widthLog2
+    val weight = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(valueCol).cast("long").as("__x"),
+        weight.as("__n")): _*)
+      .withColumn("__i", explode(sequence(lit(0), lit(depth - 1))))
+      .select(groupCols.map(col) ++ Seq(col("__i"),
+        graft.functions.GraftFunctions.splitmix64(col("__x") + col("__i"))
+          .bitwiseAND(lit(w - 1L)).cast("int").as("__c"),
+        col("__n")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("__i"), col("__c")): _*)
+      .agg(sum(col("__n")).as("__v"))
+    val grouped = rows
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(
+        struct(col("__i") * w + col("__c"), col("__v")))).as("__cells"))
+    grouped.select(groupCols.map(col) :+
+      transform(sequence(lit(0), lit(depth * w - 1)),
+        j => coalesce(element_at(col("__cells"), j), lit(0L))).as("cm"): _*)
+  }
+
+  /** Merge dense CM sketches across rows per group — element-wise sum,
+    * exact and order-free; bit-identical to sketching the unioned data.
+    */
+  def cmMergeSketches(df: DataFrame, groupCols: Seq[String],
+                      sketchCol: String, depth: Int, widthLog2: Int): DataFrame = {
+    val len = depth * (1 << widthLog2)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(sketchCol)),
+        array_repeat(lit(0L), len),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as(sketchCol))
+  }
+
+  /** Point-frequency estimates: each row of `queries` looks its value up
+    * in the matching group's sketch — min over the depth rows, the
+    * published overestimate-only bound. `sketches` is [[cmSketch]] output
+    * (one row per group; with empty `groupCols` the single global sketch
+    * broadcasts to every query). Output: queries' columns + `est`.
+    */
+  def cmEstimate(sketches: DataFrame, queries: DataFrame,
+                 groupCols: Seq[String], valueCol: String,
+                 depth: Int = 4, widthLog2: Int = 10): DataFrame = {
+    val w = 1 << widthLog2
+    val joined =
+      if (groupCols.isEmpty) queries.crossJoin(broadcast(sketches))
+      else queries.join(sketches, groupCols)
+    val cells = (0 until depth).map { i =>
+      element_at(col("cm"),
+        graft.functions.GraftFunctions.splitmix64(
+          col(valueCol).cast("long") + lit(i.toLong))
+          .bitwiseAND(lit(w - 1L)).cast("int") + lit(i * w) + 1)
+    }
+    joined
+      .withColumn("est", if (cells.length == 1) cells.head else least(cells: _*))
+      .drop("cm")
+  }
+
   /** Advance a maintained base-level sketch table by one
     * [[graft.core.TableStore]] change feed — the hybrid-IVM rule
     * ([[graft.core.IncrementalAgg.applyFeedHybrid]]) applied to sketches:

@@ -113,4 +113,55 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
     assert(incr == direct && incr.nonEmpty,
       "sketch IVM must be bit-identical to the from-scratch rollup")
   }
+
+  test("CM sketch: overestimate-only, exact at low load, weighted builds") {
+    val df = (0 until 3000).map(i => ("g", (i % 40).toLong)).toDF("g", "v")
+    val sk = SketchOps.cmSketch(df, Seq("g"), "v", depth = 4, widthLog2 = 10)
+    val q = (0 until 40).map(i => ("g", i.toLong)).toDF("g", "q")
+    val est = SketchOps.cmEstimate(sk, q, Seq("g"), "q", depth = 4, widthLog2 = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // 40 distinct keys in 1024 cells x 4 rows: collisions essentially
+    // impossible to survive the min — estimates are EXACT (75 each)
+    assert(est.values.toSet == Set(75L), s"got ${est.values.toSet}")
+    // a value never inserted estimates 0 (all its cells untouched at this load)
+    val miss = SketchOps.cmEstimate(sk, Seq(("g", 999999L)).toDF("g", "q"),
+      Seq("g"), "q", depth = 4, widthLog2 = 10).collect().head.getLong(2)
+    assert(miss == 0L)
+    // weighted build: weights sum instead of row counts
+    val wdf = (0 until 40).map(i => ("g", i.toLong, (i + 1).toLong)).toDF("g", "v", "n")
+    val wsk = SketchOps.cmSketch(wdf, Seq("g"), "v", depth = 4, widthLog2 = 10,
+      weightCol = Some("n"))
+    val west = SketchOps.cmEstimate(wsk, q, Seq("g"), "q", depth = 4, widthLog2 = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0 until 40).foreach(i => assert(west(i.toLong) == i + 1L))
+  }
+
+  test("CM sketch: merging per-shard sketches is bit-identical to the union; estimates never undercount") {
+    val whole = (0 until 9000).map(i => ("g", (i % 2500).toLong)).toDF("g", "v")
+    val wholeSk = SketchOps.cmSketch(whole, Seq("g"), "v", depth = 4, widthLog2 = 8)
+      .collect().head.getSeq[Long](1)
+    val parts = (0 until 3).map(sh =>
+      (0 until 9000).filter(_ % 3 == sh).map(i => ("g", (i % 2500).toLong))
+        .toDF("g", "v"))
+    val merged = SketchOps.cmMergeSketches(
+        parts.map(SketchOps.cmSketch(_, Seq("g"), "v", depth = 4, widthLog2 = 8))
+          .reduce(_ unionByName _), Seq("g"), "cm", depth = 4, widthLog2 = 8)
+      .collect().head.getSeq[Long](1)
+    assert(merged == wholeSk, "element-wise sum merge must equal the union sketch")
+    // 2500 keys in 256 cells: real collisions — estimates still bound below
+    val q = (0 until 100).map(i => ("g", i.toLong)).toDF("g", "q")
+    val est = SketchOps.cmEstimate(
+      SketchOps.cmSketch(whole, Seq("g"), "v", depth = 4, widthLog2 = 8),
+      q, Seq("g"), "q", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // every key 0..99 appears ceil(9000/2500)-ish: exact count is 4 for i<2000... compute exactly
+    val exact = (0 until 9000).map(_ % 2500).groupBy(identity).view.mapValues(_.size).toMap
+    (0 until 100).foreach { i =>
+      assert(est(i.toLong) >= exact(i), s"key $i undercounted")
+    }
+    // determinism across partitionings
+    val rep = SketchOps.cmSketch(whole.repartition(7), Seq("g"), "v",
+      depth = 4, widthLog2 = 8).collect().head.getSeq[Long](1)
+    assert(rep == wholeSk)
+  }
 }
