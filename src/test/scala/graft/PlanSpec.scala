@@ -310,6 +310,46 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("Generate"))
   }
 
+  test("q184: span scrub is map-only over the corpus — no join against the probe set") {
+    // the probe grams ride the kernel closure, so the corpus side must show
+    // no join at all (the planted-fixture construction joins are against
+    // the tiny probe table only, before the scrub)
+    val plan = graft.operators.CorpusOps.removeContaminatedSpans(
+      core.Tables.documents(spark, dir).filter(col("doc_id") >= 10),
+      "text", "doc_id",
+      core.Tables.documents(spark, dir).filter(col("doc_id") < 10),
+      "text", n = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scrub joined:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"), s"scrub shuffled:\n${plan.take(1500)}")
+  }
+
+  test("q185/q186: HLL sketches aggregate with map-side partials, no cartesian") {
+    val plan = graft.operators.SketchOps.hllSketch(
+      core.Tables.lineitem(spark, dir), Seq("l_returnflag"), "l_partkey", p = 9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // (group, idx) register max then group assembly: partial aggregation
+    // must appear before each exchange
+    assert("partial_max".r.findAllIn(plan).nonEmpty, s"no map-side max:\n${plan.take(2000)}")
+    val rollupPlan = graft.operators.SketchOps.hllRollup(
+      core.Tables.lineitem(spark, dir),
+      Seq("l_returnflag", "l_linestatus"), "l_partkey", p = 9)
+      .queryExecution.executedPlan.toString
+    assert(!rollupPlan.contains("CartesianProduct"))
+  }
+
+  test("q189: CM sketch build is explode + keyed aggregation; estimate joins broadcast only") {
+    val li = core.Tables.lineitem(spark, dir)
+    val sk = graft.operators.SketchOps.cmSketch(li, Nil, "l_orderkey",
+      depth = 4, widthLog2 = 10)
+    val q = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")).limit(5)
+    val plan = graft.operators.SketchOps.cmEstimate(sk, q, Nil, "l_orderkey",
+      depth = 4, widthLog2 = 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"CM estimate went cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the single global sketch row must broadcast to the query side")
+  }
+
   private def withSqlConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
