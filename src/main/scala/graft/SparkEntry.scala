@@ -2932,6 +2932,25 @@ object SparkEntry {
       graft.operators.SketchOps.cmEstimate(sk, top, Nil, "l_orderkey",
           depth = 4, widthLog2 = 10)
         .select(col("l_orderkey"), col("n_exact"), col("est"))
+    },
+
+    // Deterministic mergeable Bloom filter as the join-pruning artifact:
+    // one global 2^16-bit filter over orders.o_custkey, probed by every
+    // customer key — "which customers MIGHT have orders" before paying
+    // the real join. exists rides along, proving might_contain is a
+    // superset (false positives only, never false negatives). The oracle
+    // rebuilds the bitmap word-by-word in HUGEINT and replays the probes.
+    "q190_bloom_prefilter" -> { (s, dir) =>
+      val sk = graft.operators.SketchOps.bloomSketch(
+        Tables.orders(s, dir), Nil, "o_custkey", bitsLog2 = 16, k = 4)
+      val probes = Tables.customer(s, dir).select(col("c_custkey"))
+      val exists = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        .withColumn("exists", lit(true))
+      graft.operators.SketchOps.bloomMightContain(sk, probes, Nil, "c_custkey",
+          bitsLog2 = 16, k = 4)
+        .join(exists, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("might_contain"),
+          coalesce(col("exists"), lit(false)).as("exists"))
     }
   )
 
@@ -6765,6 +6784,40 @@ object SparkEntry {
         |  LEFT JOIN reg ON reg.i = ch.i AND reg.c = ch.c
         |  GROUP BY t.x, t.n)
         |SELECT x AS l_orderkey, n AS n_exact, est FROM est""".stripMargin,
+
+    // bitmap rebuild in HUGEINT: bit positions from splitmix64(x + i) low
+    // 16 bits, words bit_or'd per 64-bit slot, probes test all k bits;
+    // exists via a plain semi join
+    "q190_bloom_prefilter" ->
+      """WITH ok AS (SELECT DISTINCT o_custkey AS x FROM orders),
+        |inp AS (SELECT x, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM ok CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT x, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT x, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT x, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT x, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT x, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |pos AS (SELECT x, i, xor(z, z // 2147483648) % 65536 AS p FROM z2),
+        |words AS (SELECT CAST(p // 64 AS INT) AS w,
+        |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |pq AS (SELECT c_custkey AS q FROM customer),
+        |qinp AS (SELECT q, i, CAST(q + i AS HUGEINT) AS x0
+        |        FROM pq CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |qz0 AS (SELECT q, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM qinp),
+        |qx1 AS (SELECT q, i, xor(z, z // 1073741824) AS xx FROM qz0),
+        |qz1 AS (SELECT q, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM qx1),
+        |qx2 AS (SELECT q, i, xor(z, z // 134217728) AS xx FROM qz1),
+        |qz2 AS (SELECT q, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM qx2),
+        |qpos AS (SELECT q, i, xor(z, z // 2147483648) % 65536 AS p FROM qz2),
+        |hit AS (
+        |  SELECT qp.q,
+        |    bool_and(coalesce((w.bits >> CAST(qp.p % 64 AS INT)) % 2, 0::HUGEINT) = 1) AS might_contain
+        |  FROM qpos qp LEFT JOIN words w ON w.w = CAST(qp.p // 64 AS INT)
+        |  GROUP BY qp.q)
+        |SELECT h.q AS c_custkey, h.might_contain,
+        |  (ok.x IS NOT NULL) AS "exists"
+        |FROM hit h LEFT JOIN ok ON ok.x = h.q""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

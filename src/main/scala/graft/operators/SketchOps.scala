@@ -243,6 +243,79 @@ object SketchOps {
       .drop("cm")
   }
 
+  /** Deterministic mergeable Bloom filter — the MEMBERSHIP sketch beside
+    * HLL (cardinality) and CM (frequency): a 2^bitsLog2-bit bitmap as an
+    * `array&lt;long&gt;` of 64-bit words, value x setting bit
+    * `splitmix64(x + i) mod 2^bitsLog2` for i &lt; k. Merge = word-wise OR
+    * (exact, order-free), so per-shard filters persist beside the data
+    * and any slice's filter is a query-time merge — the join-pruning
+    * artifact ([[DedupOps.buildBloomIndex]] wraps Spark's driver-side
+    * filter; THIS one is a DataFrame row, engine-replayable bit-for-bit
+    * and composable). False positives only, rate ≈ (1 − e^(−kn∕m))^k;
+    * never false negatives (spec-pinned).
+    */
+  def bloomSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  bitsLog2: Int = 20, k: Int = 4): DataFrame = {
+    require(bitsLog2 >= 6 && bitsLog2 <= 30,
+      s"bitsLog2 must be in [6, 30], got $bitsLog2")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val mask = (1L << bitsLog2) - 1
+    val nWords = 1 << (bitsLog2 - 6)
+    val pos = graft.functions.GraftFunctions
+      .splitmix64(col("__x") + col("__i")).bitwiseAND(lit(mask))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("long").as("__x"): _*)
+      .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__p", pos)
+      .select(groupCols.map(col) ++ Seq(
+        shiftrightunsigned(col("__p"), 6).cast("int").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT))").as("__b")): _*)
+      .groupBy(groupCols.map(col) :+ col("__w"): _*)
+      .agg(expr("bit_or(__b)").as("__bits"))
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
+        .as("__words"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(nWords - 1)),
+          j => coalesce(element_at(col("__words"), j), lit(0L))).as("bloom"): _*)
+  }
+
+  /** Merge dense Bloom filters across rows per group — word-wise OR,
+    * bit-identical to filtering the unioned data.
+    */
+  def bloomMergeSketches(df: DataFrame, groupCols: Seq[String],
+                         sketchCol: String, bitsLog2: Int): DataFrame = {
+    val nWords = 1 << (bitsLog2 - 6)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(sketchCol)),
+        array_repeat(lit(0L), nWords),
+        (acc, x) => zip_with(acc, x, (a, b) => a.bitwiseOR(b))).as(sketchCol))
+  }
+
+  /** Membership probe: each `queries` row tests its value against the
+    * matching group's filter (empty `groupCols` ⇒ the global filter
+    * broadcasts). Adds `might_contain` — false ⇒ DEFINITELY absent (the
+    * join-pruning guarantee), true ⇒ verify exactly if exactness matters.
+    */
+  def bloomMightContain(sketches: DataFrame, queries: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        bitsLog2: Int = 20, k: Int = 4): DataFrame = {
+    val mask = (1L << bitsLog2) - 1
+    val joined =
+      if (groupCols.isEmpty) queries.crossJoin(broadcast(sketches))
+      else queries.join(sketches, groupCols)
+    val withPos = (0 until k).foldLeft(joined) { (d, i) =>
+      d.withColumn(s"__p$i", graft.functions.GraftFunctions
+        .splitmix64(col(valueCol).cast("long") + lit(i.toLong))
+        .bitwiseAND(lit(mask)))
+    }
+    val hits = (0 until k).map(i => expr(
+      s"(element_at(bloom, CAST(shiftright(__p$i, 6) AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 64 AS INT))) != 0"))
+    withPos.withColumn("might_contain", hits.reduce(_ && _))
+      .drop("bloom" +: (0 until k).map(i => s"__p$i"): _*)
+  }
+
   /** Advance a maintained base-level sketch table by one
     * [[graft.core.TableStore]] change feed — the hybrid-IVM rule
     * ([[graft.core.IncrementalAgg.applyFeedHybrid]]) applied to sketches:

@@ -164,4 +164,32 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       depth = 4, widthLog2 = 8).collect().head.getSeq[Long](1)
     assert(rep == wholeSk)
   }
+
+  test("Bloom sketch: no false negatives ever; false positives bounded; merge is bit-identical") {
+    val members = (0 until 2000).map(i => ("g", (i * 13 + 7).toLong)).toDF("g", "v")
+    val sk = SketchOps.bloomSketch(members, Seq("g"), "v", bitsLog2 = 15, k = 4)
+    // every inserted value MUST test positive — the Bloom contract
+    val memQ = (0 until 2000).map(i => ("g", (i * 13 + 7).toLong)).toDF("g", "q")
+    val memHits = SketchOps.bloomMightContain(sk, memQ, Seq("g"), "q",
+      bitsLog2 = 15, k = 4).filter(!col("might_contain")).count()
+    assert(memHits == 0L, "a false negative breaks the pruning guarantee")
+    // absent values: FP rate near the published (1 - e^{-kn/m})^k ~ 0.3%
+    val absQ = (0 until 10000).map(i => ("g", (1000000 + i).toLong)).toDF("g", "q")
+    val fp = SketchOps.bloomMightContain(sk, absQ, Seq("g"), "q",
+      bitsLog2 = 15, k = 4).filter(col("might_contain")).count()
+    assert(fp < 200, s"FP rate ${fp / 10000.0} far above the published bound")
+    // shard merge == union filter, bit for bit; idempotent re-merge
+    val parts = (0 until 3).map(sh => (0 until 2000).filter(_ % 3 == sh)
+      .map(i => ("g", (i * 13 + 7).toLong)).toDF("g", "v"))
+    val merged = SketchOps.bloomMergeSketches(
+        parts.map(SketchOps.bloomSketch(_, Seq("g"), "v", bitsLog2 = 15, k = 4))
+          .reduce(_ unionByName _), Seq("g"), "bloom", bitsLog2 = 15)
+      .collect().head.getSeq[Long](1)
+    val whole = sk.collect().head.getSeq[Long](1)
+    assert(merged == whole)
+    // partitioning independence
+    val rep = SketchOps.bloomSketch(members.repartition(7), Seq("g"), "v",
+      bitsLog2 = 15, k = 4).collect().head.getSeq[Long](1)
+    assert(rep == whole)
+  }
 }
