@@ -497,9 +497,21 @@ object CorpusOps {
     */
   def removeContaminatedSpans(corpus: DataFrame, textCol: String, idCol: String,
                               probes: DataFrame, probeTextCol: String,
-                              n: Int = 8, pad: Int = 0): DataFrame = {
+                              n: Int = 8, pad: Int = 0,
+                              maxProbeGrams: Long = 50000000L): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(pad >= 0, "pad must be >= 0")
+    // the probe set must fit the driver/kernel closure (~8 bytes a gram);
+    // fail LOUDLY before collect rather than OOM mid-job — eval sets are
+    // model-table-sized, a "probe" set that trips this is a corpus and
+    // needs the inverted-index join (contaminationCheck), not the scrub
+    val nGrams = probes
+      .select(explode(DedupOps.wordShingleHashes(col(probeTextCol), n)).as("g"))
+      .distinct().count()
+    require(nGrams <= maxProbeGrams,
+      s"$nGrams distinct probe grams exceed maxProbeGrams=$maxProbeGrams " +
+        "(~8B each in every task closure); raise the cap only with driver/executor " +
+        "memory to match, or use contaminationCheck + a drop/flag pass instead")
     val probeGrams: Set[Long] = probes
       .select(explode(DedupOps.wordShingleHashes(col(probeTextCol), n)).as("g"))
       .distinct().collect().map(_.getLong(0)).toSet
