@@ -469,4 +469,82 @@ object GraftEngine {
                          idCols: Seq[String])(
       transform: DataFrame => DataFrame): (Long, DataFrame) =
     graft.core.TableStore.mergeWithFeed(spark, root, idCols)(transform)
+
+  /** scrub_contamination: REMOVE contaminated n-gram spans, keep the
+    * document ([[decontaminateCorpus]] is the drop-mode sibling) — output
+    * carries (text_clean, n_tokens, n_removed, n_spans) so the scrub is
+    * auditable.
+    */
+  def scrubContamination(corpus: DataFrame, textCol: String, idCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         n: Int = 8, pad: Int = 0): DataFrame =
+    operators.CorpusOps.removeContaminatedSpans(corpus, textCol, idCol,
+      probes, probeTextCol, n, pad)
+
+  /** approx_distinct: mergeable HLL cardinality per group (est_micro,
+    * SE ≈ 1.04∕√2^p); [[approxDistinctRollup]] gives every rollup level
+    * from the same one pass.
+    */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     p: Int = 12): DataFrame =
+    operators.SketchOps.hllCardinality(df, groupCols, valueCol, p)
+
+  def approxDistinctRollup(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, p: Int = 12): DataFrame =
+    operators.SketchOps.hllRollup(df, groupCols, valueCol, p)
+
+  /** frequency_sketch / estimate_frequency: mergeable Count-Min counters
+    * and their min-over-rows point estimates (overcount-only).
+    */
+  def frequencySketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      depth: Int = 4, widthLog2: Int = 10): DataFrame =
+    operators.SketchOps.cmSketch(df, groupCols, valueCol, depth, widthLog2)
+
+  def estimateFrequency(sketches: DataFrame, queries: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        depth: Int = 4, widthLog2: Int = 10): DataFrame =
+    operators.SketchOps.cmEstimate(sketches, queries, groupCols, valueCol,
+      depth, widthLog2)
+
+  /** membership_filter / might_contain: deterministic mergeable Bloom
+    * filter build + probe (false positives only — the safe join
+    * pre-filter; [[exactNovelRows]] wraps the driver-side Spark filter
+    * when a DataFrame artifact isn't needed).
+    */
+  def membershipFilter(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       bitsLog2: Int = 20, k: Int = 4): DataFrame =
+    operators.SketchOps.bloomSketch(df, groupCols, valueCol, bitsLog2, k)
+
+  def mightContain(sketches: DataFrame, queries: DataFrame,
+                   groupCols: Seq[String], valueCol: String,
+                   bitsLog2: Int = 20, k: Int = 4): DataFrame =
+    operators.SketchOps.bloomMightContain(sketches, queries, groupCols,
+      valueCol, bitsLog2, k)
+
+  /** Unigram-LM tokenizer verbs beside the BPE set: train (expected-count
+    * or exact likelihood-loss pruning), segment to pieces, count tokens,
+    * or emit deterministic piece ids for the packing path.
+    */
+  def trainUnigram(corpus: DataFrame, textCol: String, vocabSize: Int,
+                   pruneBy: String = "count"): DataFrame =
+    text.Unigram.unigramTrain(corpus, textCol, vocabSize, pruneBy = pruneBy)
+
+  def segmentUnigram(df: DataFrame, textCol: String, model: DataFrame,
+                     outCol: String): DataFrame =
+    text.Unigram.unigramSegment(df, textCol, model, outCol)
+
+  /** Continuous materialized views: start a metronome maintainer over a
+    * TableStore source ([[graft.streaming.IvmStream]]), poll freshness via
+    * [[materializedViewStatus]], read the state any time with
+    * [[readStore]].
+    */
+  def maintainMaterializedView(spark: org.apache.spark.sql.SparkSession,
+                               sourceRoot: String, viewRoot: String,
+                               spec: graft.streaming.IvmStream.IvmViewSpec)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IvmStream.maintainView(spark, sourceRoot, viewRoot, spec)
+
+  def materializedViewStatus(spark: org.apache.spark.sql.SparkSession,
+                             sourceRoot: String, viewRoot: String): DataFrame =
+    graft.streaming.IvmStream.viewStatus(spark, sourceRoot, viewRoot)
 }

@@ -192,4 +192,26 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       bitsLog2 = 15, k = 4).collect().head.getSeq[Long](1)
     assert(rep == whole)
   }
+
+  test("GraftEngine facade verbs delegate to the sketch/scrub/view family") {
+    import graft.GraftEngine
+    val df = (0 until 500).map(i => ("g", (i % 120).toLong)).toDF("g", "v")
+    assert(GraftEngine.approxDistinct(df, Seq("g"), "v", p = 10).count() == 1)
+    assert(GraftEngine.approxDistinctRollup(df, Seq("g"), "v", p = 10).count() == 2)
+    val fs = GraftEngine.frequencySketch(df, Seq("g"), "v", widthLog2 = 8)
+    assert(GraftEngine.estimateFrequency(fs, Seq(("g", 5L)).toDF("g", "q"),
+      Seq("g"), "q", widthLog2 = 8).collect().head.getLong(2) >= 4L)
+    val bf = GraftEngine.membershipFilter(df, Seq("g"), "v", bitsLog2 = 12)
+    assert(GraftEngine.mightContain(bf, Seq(("g", 5L)).toDF("g", "q"),
+      Seq("g"), "q", bitsLog2 = 12).collect().head.getBoolean(2))
+    val scrub = GraftEngine.scrubContamination(
+      Seq((1L, "keep alpha beta gamma delta keep")).toDF("id", "text"), "text", "id",
+      Seq((1L, "alpha beta gamma delta")).toDF("pid", "ptext"), "ptext", n = 4)
+    assert(scrub.collect().head.getString(1) == "keep keep")
+    val uni = GraftEngine.trainUnigram(
+      Seq((0L, "ab ab abab")).toDF("id", "text"), "text", vocabSize = 3)
+    assert(GraftEngine.segmentUnigram(Seq((1L, "abab")).toDF("id", "text"),
+      "text", uni, "p").select(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.col("p"), "|")).collect().head.getString(0) == "ab|ab")
+  }
 }
