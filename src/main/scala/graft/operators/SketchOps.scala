@@ -62,6 +62,9 @@ object SketchOps {
     */
   def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 p: Int = 12): DataFrame = {
+    require(p <= 18,
+      s"p=$p makes a ${1 << p}-int dense array PER GROUP ROW — use the " +
+        "sparse hllRegisters form above p=18 (it merges the same way)")
     val m = 1 << p
     hllRegisters(df, groupCols, valueCol, p)
       .groupBy(groupCols.map(col): _*)
@@ -184,8 +187,12 @@ object SketchOps {
                depth: Int = 4, widthLog2: Int = 10,
                weightCol: Option[String] = None): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
-    require(widthLog2 >= 2 && widthLog2 <= 24,
-      s"widthLog2 must be in [2, 24], got $widthLog2")
+    require(widthLog2 >= 2 && widthLog2 <= 20,
+      s"widthLog2 must be in [2, 20], got $widthLog2")
+    require(depth.toLong * (1L << widthLog2) <= (1L << 22),
+      s"depth x width = ${depth.toLong * (1L << widthLog2)} longs per group " +
+        "row exceeds the 4M-entry dense bound — widen via depth, not width, " +
+        "or shard the sketch by key range")
     val w = 1 << widthLog2
     val weight = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val rows = df.filter(col(valueCol).isNotNull)
@@ -256,8 +263,10 @@ object SketchOps {
     */
   def bloomSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   bitsLog2: Int = 20, k: Int = 4): DataFrame = {
-    require(bitsLog2 >= 6 && bitsLog2 <= 30,
-      s"bitsLog2 must be in [6, 30], got $bitsLog2")
+    require(bitsLog2 >= 6 && bitsLog2 <= 27,
+      s"bitsLog2 must be in [6, 27], got $bitsLog2 — a 2^$bitsLog2-bit " +
+        "bitmap is one ROW; past 2^27 (16 MB of words) shard the filter " +
+        "by key range and merge per shard")
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
     val mask = (1L << bitsLog2) - 1
     val nWords = 1 << (bitsLog2 - 6)
