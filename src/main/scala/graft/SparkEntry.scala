@@ -2951,6 +2951,17 @@ object SparkEntry {
         .join(exists, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("might_contain"),
           coalesce(col("exists"), lit(false)).as("exists"))
+    },
+
+    // Sort-free quantiles via the deterministic-sample pattern: the
+    // 1/4 sample is a pure function of doc_id (splitmix low bits zero),
+    // so membership, the sampled rank picks, and therefore every output
+    // value replay exactly — the q150 exact quantiles at 1/4 the sort.
+    "q191_sampled_quantiles" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("octet_length(text)").as("len"))
+      graft.operators.CorpusOps.sampledQuantiles(docs, "doc_id", "len",
+        "source", Seq((1, 4), (1, 2), (9, 10)), sampleLog2 = 2)
     }
   )
 
@@ -6818,6 +6829,29 @@ object SparkEntry {
         |SELECT h.q AS c_custkey, h.might_contain,
         |  (ok.x IS NOT NULL) AS "exists"
         |FROM hit h LEFT JOIN ok ON ok.x = h.q""".stripMargin,
+
+    // q150's rank-pick quantiles over the splitmix-membership sample:
+    // keep doc_id iff the hash's low 2 bits are zero, then identical rank
+    // arithmetic
+    "q191_sampled_quantiles" ->
+      """WITH z0 AS (SELECT doc_id, source, text,
+        |    ((CAST(doc_id AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM documents),
+        |x1 AS (SELECT doc_id, source, text, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT doc_id, source, text, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT doc_id, source, text, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT doc_id, source, text, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |samp AS (SELECT doc_id, source, text FROM z2
+        |  WHERE xor(z, z // 2147483648) % 4 = 0),
+        |d AS (SELECT source AS stratum,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS v FROM samp),
+        |r AS (SELECT stratum, v,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS n FROM d)
+        |SELECT stratum,
+        |  max(CASE WHEN rn = (n - 1) * 1 // 4 + 1 THEN v END) AS q1_4,
+        |  max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN v END) AS q1_2,
+        |  max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN v END) AS q9_10
+        |FROM r GROUP BY stratum""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

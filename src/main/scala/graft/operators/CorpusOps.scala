@@ -1161,6 +1161,31 @@ object CorpusOps {
         col("n_docs"), col("total_tokens"))
   }
 
+  /** [[lengthQuantiles]] over a DETERMINISTIC 1∕2^sampleLog2 sample —
+    * quantiles without the full per-stratum sort, the standard pattern at
+    * corpus scale (the exact form sorts every row of the stratum; the
+    * sampled form sorts 1∕2^k of them for a √(q(1−q)·2^k∕N) rank error).
+    * Sample membership is a pure function of the row key
+    * (`splitmix64(key)` low bits all zero), so the sample is a
+    * deterministic SET: per-shard samples union to exactly the whole
+    * sample (mergeable — no reservoir state), reruns and repartitions
+    * change nothing, and the oracle replays membership + rank picks
+    * bit-for-bit. Output shape identical to [[lengthQuantiles]]; strata
+    * whose sample is empty are absent (sample a finer 2^k, or fall back
+    * to exact, for rare strata).
+    */
+  def sampledQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                       strataCol: String, quantiles: Seq[(Int, Int)],
+                       sampleLog2: Int = 4): DataFrame = {
+    require(sampleLog2 >= 1 && sampleLog2 <= 24,
+      s"sampleLog2 must be in [1, 24], got $sampleLog2")
+    val mask = (1L << sampleLog2) - 1
+    lengthQuantiles(
+      df.filter(graft.functions.GraftFunctions
+        .splitmix64(col(keyCol).cast("long")).bitwiseAND(lit(mask)) === 0),
+      valueCol, strataCol, quantiles)
+  }
+
   /** Exact length quantiles per stratum WITHOUT floating-point
     * interpolation: the q-quantile is the value at 1-based sorted rank
     * `floor((n-1)·num/den) + 1` (the lower/"disc" convention) — pure rank

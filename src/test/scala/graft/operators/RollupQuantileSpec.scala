@@ -32,4 +32,33 @@ class RollupQuantileSpec extends AnyFunSuite with SparkTest {
     assert(out("a") == ((3L, 5L, 9L)))
     assert(out("b") == ((42L, 42L, 42L))) // singleton stratum: every quantile is the value
   }
+
+  test("sampledQuantiles: deterministic membership, shard-mergeable, matches exact on the sample") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 4000).map(i => (i.toLong, Seq("a", "b")(i % 2), (i * 37 % 1000).toLong))
+      .toDF("id", "g", "v")
+    val sq = CorpusOps.sampledQuantiles(df, "id", "v", "g",
+      Seq((1, 2), (9, 10)), sampleLog2 = 3)
+    // the sample is an explicit deterministic set: running exact quantiles
+    // on the same membership filter must give identical output
+    val mask = (1L << 3) - 1
+    val sample = df.filter(graft.functions.GraftFunctions.splitmix64(col("id"))
+      .bitwiseAND(lit(mask)) === 0)
+    val exactOnSample = CorpusOps.lengthQuantiles(sample, "v", "g", Seq((1, 2), (9, 10)))
+    assert(sq.collect().map(_.toSeq).toSet == exactOnSample.collect().map(_.toSeq).toSet)
+    // repartitioning changes nothing (membership is per-row)
+    val rep = CorpusOps.sampledQuantiles(df.repartition(7), "id", "v", "g",
+      Seq((1, 2), (9, 10)), sampleLog2 = 3)
+    assert(rep.collect().map(_.toSeq).toSet == sq.collect().map(_.toSeq).toSet)
+    // shard-union of samples == whole sample (the mergeability contract)
+    val shards = (0 until 3).map(sh => df.filter(col("id") % 3 === sh))
+    val unioned = shards.map(d => d.filter(
+        graft.functions.GraftFunctions.splitmix64(col("id"))
+          .bitwiseAND(lit(mask)) === 0))
+      .reduce(_ unionByName _)
+    assert(unioned.count() == sample.count())
+    // and the sampled medians sit near the true ones (v uniform on [0,1000))
+    val med = sq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(med.values.forall(m => m > 350 && m < 650), s"medians off: $med")
+  }
 }
