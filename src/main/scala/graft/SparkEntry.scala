@@ -2962,6 +2962,26 @@ object SparkEntry {
         expr("octet_length(text)").as("len"))
       graft.operators.CorpusOps.sampledQuantiles(docs, "doc_id", "len",
         "source", Seq((1, 4), (1, 2), (9, 10)), sampleLog2 = 2)
+    },
+
+    // Join-size estimation from two CM sketches (the published
+    // inner-product estimator): |lineitem JOIN orders| predicted from the
+    // key-frequency sketches alone — the broadcast-vs-shuffle planning
+    // number at 100 TB, never touching either table. Overcounts only;
+    // n_exact rides along. The oracle rebuilds both sketches in HUGEINT
+    // and replays the min-over-rows inner product.
+    "q192_cm_joinsize" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val ords = Tables.orders(s, dir)
+      val sa = graft.operators.SketchOps.cmSketch(li, Nil, "l_orderkey",
+        depth = 4, widthLog2 = 14)
+      val sb = graft.operators.SketchOps.cmSketch(ords, Nil, "o_orderkey",
+        depth = 4, widthLog2 = 14)
+      val est = graft.operators.SketchOps.cmJoinSizeEstimate(sa, sb, Nil,
+        depth = 4, widthLog2 = 14)
+      val exact = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact).select(col("n_exact"), col("join_size_est"))
     }
   )
 
@@ -6852,6 +6872,34 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n - 1) * 1 // 2 + 1 THEN v END) AS q1_2,
         |  max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN v END) AS q9_10
         |FROM r GROUP BY stratum""".stripMargin,
+
+    // both sketches rebuilt in HUGEINT (w = 2^14), row-wise counter inner
+    // products joined on (row, cell), min over rows; exact via plain join
+    "q192_cm_joinsize" ->
+      """WITH ka AS (SELECT l_orderkey AS x, count(*) AS n FROM lineitem GROUP BY 1),
+        |kb AS (SELECT o_orderkey AS x, count(*) AS n FROM orders GROUP BY 1),
+        |allk AS (SELECT 'a' AS side, x, n FROM ka UNION ALL SELECT 'b', x, n FROM kb),
+        |inp AS (SELECT side, x, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM allk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT side, x, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT side, x, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT side, x, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT side, x, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT side, x, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT side, i, CAST(xor(z, z // 2147483648) % 16384 AS INT) AS c,
+        |          CAST(sum(n) AS BIGINT) AS v
+        |          FROM z2 GROUP BY side, i, 3),
+        |rowsum AS (
+        |  SELECT a.i, CAST(sum(a.v * b.v) AS BIGINT) AS s
+        |  FROM (SELECT i, c, v FROM cellh WHERE side = 'a') a
+        |  JOIN (SELECT i, c, v FROM cellh WHERE side = 'b') b
+        |    ON a.i = b.i AND a.c = b.c
+        |  GROUP BY a.i),
+        |est AS (
+        |  SELECT CAST(min(coalesce(s, 0)) AS BIGINT) AS join_size_est
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS i) r LEFT JOIN rowsum USING (i)),
+        |ex AS (SELECT count(*) AS n_exact FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT ex.n_exact, est.join_size_est FROM ex, est""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

@@ -325,6 +325,37 @@ object SketchOps {
       .drop("bloom" +: (0 until k).map(i => s"__p$i"): _*)
   }
 
+  /** Equi-join SIZE estimate from two Count-Min sketches over the join
+    * keys — the published CM inner-product estimator (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_x f_A(x)·f_B(x), estimated as
+    * the MIN over rows of the row-wise counter inner products. Overcounts
+    * only (collisions add non-negative cross terms), all-integer, and
+    * needs only the two sketches — the planning primitive that decides
+    * broadcast vs shuffle, or flags an exploding join, without touching
+    * either table. Both inputs are [[cmSketch]] outputs at the SAME
+    * (depth, widthLog2); `bCol` renames B's sketch column so the join can
+    * carry both. Output: the joined group columns + `join_size_est`.
+    */
+  def cmJoinSizeEstimate(sketchesA: DataFrame, sketchesB: DataFrame,
+                         groupCols: Seq[String], depth: Int = 4,
+                         widthLog2: Int = 10): DataFrame = {
+    val w = 1 << widthLog2
+    val b = sketchesB.withColumnRenamed("cm", "__cmb")
+    val joined =
+      if (groupCols.isEmpty) sketchesA.crossJoin(broadcast(b))
+      else sketchesA.join(b, groupCols)
+    val rowDots = (0 until depth).map { i =>
+      aggregate(
+        zip_with(slice(col("cm"), i * w + 1, w), slice(col("__cmb"), i * w + 1, w),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    joined
+      .withColumn("join_size_est",
+        if (rowDots.length == 1) rowDots.head else least(rowDots: _*))
+      .drop("cm", "__cmb")
+  }
+
   /** Advance a maintained base-level sketch table by one
     * [[graft.core.TableStore]] change feed — the hybrid-IVM rule
     * ([[graft.core.IncrementalAgg.applyFeedHybrid]]) applied to sketches:

@@ -214,4 +214,40 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       "text", uni, "p").select(org.apache.spark.sql.functions.array_join(
         org.apache.spark.sql.functions.col("p"), "|")).collect().head.getString(0) == "ab|ab")
   }
+
+  test("CM join-size estimate: exact at low load, overestimate-only, matches the true join size") {
+    // A: key i appears (i % 5 + 1) times for 10 keys; B: key i appears 2x
+    // for even keys only -> true join size = sum over even i of (i%5+1)*2.
+    // (10 keys in 1024 cells: the chance ALL 4 rows carry an A-B cell
+    // collision — the only way the min inflates — is ~1e-5; at 30 keys a
+    // deterministic unlucky seed DID inflate all four rows, hence the
+    // small fixture for the exactness claim and the big one below for the
+    // bound.)
+    val a = (0 until 10).flatMap(i => Seq.fill(i % 5 + 1)(("g", i.toLong))).toDF("g", "v")
+    val b = (0 until 10).filter(_ % 2 == 0).flatMap(i => Seq.fill(2)(("g", i.toLong))).toDF("g", "v")
+    val trueSize = (0 until 10).filter(_ % 2 == 0).map(i => (i % 5 + 1) * 2).sum
+    val sa = SketchOps.cmSketch(a, Seq("g"), "v", depth = 4, widthLog2 = 10)
+    val sb = SketchOps.cmSketch(b, Seq("g"), "v", depth = 4, widthLog2 = 10)
+    val est = SketchOps.cmJoinSizeEstimate(sa, sb, Seq("g"), depth = 4, widthLog2 = 10)
+      .collect().head.getLong(1)
+    // 30 keys in 1024 cells x 4 rows: collisions surviving the min are
+    // essentially impossible -> exact
+    assert(est == trueSize, s"est $est vs true $trueSize")
+    // under real collisions the estimate may only OVERcount
+    val bigA = (0 until 20000).map(i => ("g", (i % 3000).toLong)).toDF("g", "v")
+    val bigB = (0 until 10000).map(i => ("g", (i % 1500).toLong)).toDF("g", "v")
+    val bigTrue = 1500L * (20000 / 3000) * (10000 / 1500) // each shared key: 6x6... compute directly
+    val exact = bigA.as("x").join(bigB.as("y"),
+      org.apache.spark.sql.functions.expr("x.v = y.v")).count()
+    val bigEst = SketchOps.cmJoinSizeEstimate(
+      SketchOps.cmSketch(bigA, Seq("g"), "v", depth = 4, widthLog2 = 8),
+      SketchOps.cmSketch(bigB, Seq("g"), "v", depth = 4, widthLog2 = 8),
+      Seq("g"), depth = 4, widthLog2 = 8).collect().head.getLong(1)
+    assert(bigEst >= exact, s"join-size estimate undercounted: $bigEst < $exact")
+    // the published additive bound: error <= (e / w) * N_A * N_B with
+    // probability 1 - e^-depth (w = 256 here -> ~2.1M; observed ~0.8M)
+    val bound = math.ceil(math.E / 256 * 20000L * 10000L).toLong
+    assert(bigEst - exact <= bound,
+      s"estimate $bigEst exceeds exact $exact by more than the published bound $bound")
+  }
 }
