@@ -2982,6 +2982,41 @@ object SparkEntry {
       val exact = li.join(ords, col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n_exact"))
       est.crossJoin(exact).select(col("n_exact"), col("join_size_est"))
+    },
+
+    // CM sketch IVM on pure deltas: counters are LINEAR, so the q173
+    // fixture feed (deletes, token updates as preimage+postimage pairs,
+    // lang moves, inserts) advances the maintained per-group sketch by
+    // signed-weight addition alone — the base table is never re-read,
+    // the cheapest maintenance shape in the sketch family. Must be
+    // bit-identical to sketching v2 from scratch, which the oracle
+    // replays in HUGEINT (emitted as per-register rows via posexplode —
+    // zero registers skipped — so the compare stays row-shaped).
+    "q193_cm_ivm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q193_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .withColumn("lang",
+            when(col("doc_id") % 13 === 0, lit("zz")).otherwise(col("lang")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val g = Seq("source", "lang")
+      val state0 = graft.operators.SketchOps.cmSketch(
+        s.read.parquet(s"$root/v_$v1"), g, "tokens", depth = 4, widthLog2 = 8)
+      graft.operators.SketchOps.applyFeedCmSketch(state0, feed, g, "tokens",
+          depth = 4, widthLog2 = 8)
+        .select(col("source"), col("lang"),
+          posexplode(col("cm")).as(Seq("cell", "v")))
+        .filter(col("v") =!= 0)
     }
   )
 
@@ -6900,6 +6935,36 @@ object SparkEntry {
         |  FROM (SELECT unnest(generate_series(0, 3)) AS i) r LEFT JOIN rowsum USING (i)),
         |ex AS (SELECT count(*) AS n_exact FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
         |SELECT ex.n_exact, est.join_size_est FROM ex, est""".stripMargin,
+
+    // the from-scratch CM sketch of the post-transform corpus, emitted as
+    // non-zero (group, flat cell, count) register rows
+    "q193_cm_ivm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, lang, tokens * 2 FROM d WHERE doc_id < 20),
+        |kc AS (SELECT source, lang, tokens AS x, count(*) AS n
+        |       FROM post GROUP BY 1, 2, 3),
+        |inp AS (SELECT source, lang, x, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT source, lang, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT source, lang, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT source, lang, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT source, lang, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT source, lang, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT source, lang, i, CAST(xor(z, z // 2147483648) % 256 AS INT) AS c,
+        |          CAST(sum(n) AS BIGINT) AS v
+        |          FROM z2 GROUP BY source, lang, i, 4)
+        |SELECT source, lang, CAST(i * 256 + c AS INT) AS cell, v
+        |FROM cellh WHERE v <> 0""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

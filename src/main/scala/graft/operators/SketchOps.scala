@@ -325,6 +325,30 @@ object SketchOps {
       .drop("bloom" +: (0 until k).map(i => s"__p$i"): _*)
   }
 
+  /** Advance a maintained CM sketch table by one change feed using DELTAS
+    * ALONE — no base read ever: Count-Min counters are LINEAR (unlike HLL
+    * registers or Bloom bits), so deletes subtract exactly what inserts
+    * added. The feed sketches with signed weights (+1 insert/postimage,
+    * −1 delete/preimage) and element-wise ADDS onto the state — the
+    * cheapest IVM shape in the module, the one [[applyFeedHllSketch]]'s
+    * touched-group rebuild exists to approximate for non-invertible
+    * sketches. Groups whose counters net to all-zero drop (the
+    * [[graft.core.IncrementalAgg.applyFeed]] convention). Invariant
+    * (spec'd and oracled, q193): `applyFeedCmSketch(cmSketch(v_base),
+    * feed) == cmSketch(v_next)` bit-for-bit.
+    */
+  def applyFeedCmSketch(state: DataFrame, feed: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        depth: Int = 4, widthLog2: Int = 10): DataFrame = {
+    val signed = feed.withColumn("__sgn",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val delta = cmSketch(signed, groupCols, valueCol, depth, widthLog2,
+      weightCol = Some("__sgn"))
+    cmMergeSketches(state.unionByName(delta), groupCols, "cm", depth, widthLog2)
+      .filter(exists(col("cm"), c => c =!= 0L))
+  }
+
   /** Equi-join SIZE estimate from two Count-Min sketches over the join
     * keys — the published CM inner-product estimator (Cormode &
     * Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_x f_A(x)·f_B(x), estimated as

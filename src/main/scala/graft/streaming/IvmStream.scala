@@ -68,7 +68,9 @@ object IvmStream {
                                minMaxCols: Seq[String] = Nil,
                                distinctCols: Seq[String] = Nil,
                                hllValueCol: Option[String] = None,
-                               hllP: Int = 12) {
+                               hllP: Int = 12,
+                               cmValueCol: Option[String] = None,
+                               cmDepth: Int = 4, cmWidthLog2: Int = 10) {
     require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
     private[streaming] def hybrid: Boolean =
       minMaxCols.nonEmpty || distinctCols.nonEmpty
@@ -76,16 +78,22 @@ object IvmStream {
       "rollup views cannot maintain exact distinct counts (not mergeable " +
         "across levels) — drop distinctCols, use a sketch view " +
         "(hllValueCol), or run a flat hybrid view per level")
-    require(hllValueCol.isEmpty ||
+    private[streaming] def sketch: Boolean =
+      hllValueCol.nonEmpty || cmValueCol.nonEmpty
+    require(!(hllValueCol.nonEmpty && cmValueCol.nonEmpty),
+      "one sketch per view — run a second view for the other sketch")
+    require(!sketch ||
       (sumCols.isEmpty && !rollup && minMaxCols.isEmpty && distinctCols.isEmpty),
-      "a sketch view maintains ONLY the base-level sketch table (read " +
-        "rollup estimates any time via SketchOps.hllRollupFromSketches); " +
-        "run other aggregates as a second view over the same source")
+      "a sketch view maintains ONLY the sketch table (read estimates any " +
+        "time via SketchOps); run other aggregates as a second view over " +
+        "the same source")
     private[streaming] def aggregate(df: DataFrame): DataFrame =
-      hllValueCol match {
-        case Some(v) =>
+      (hllValueCol, cmValueCol) match {
+        case (Some(v), _) =>
           graft.operators.SketchOps.hllSketch(df, groupCols, v, hllP)
-        case None =>
+        case (_, Some(v)) =>
+          graft.operators.SketchOps.cmSketch(df, groupCols, v, cmDepth, cmWidthLog2)
+        case _ =>
           if (rollup && minMaxCols.nonEmpty)
             IncrementalAgg.aggregateRollupHybrid(df, groupCols, sumCols, minMaxCols)
           else if (rollup) IncrementalAgg.aggregateRollup(df, groupCols, sumCols)
@@ -95,11 +103,16 @@ object IvmStream {
       }
     private[streaming] def apply(state: DataFrame, feed: DataFrame,
                                  base: => DataFrame): DataFrame =
-      hllValueCol match {
-        case Some(v) =>
+      (hllValueCol, cmValueCol) match {
+        case (Some(v), _) =>
           graft.operators.SketchOps.applyFeedHllSketch(state, feed, base,
             groupCols, v, hllP)
-        case None =>
+        case (_, Some(v)) =>
+          // counters are linear: the CM view advances from the feed's
+          // signed deltas alone — the base table is never read
+          graft.operators.SketchOps.applyFeedCmSketch(state, feed,
+            groupCols, v, cmDepth, cmWidthLog2)
+        case _ =>
           if (rollup && minMaxCols.nonEmpty)
             IncrementalAgg.applyFeedRollupHybrid(state, feed, base, groupCols,
               sumCols, minMaxCols)

@@ -250,4 +250,40 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
     assert(bigEst - exact <= bound,
       s"estimate $bigEst exceeds exact $exact by more than the published bound $bound")
   }
+
+  test("CM sketch IVM: signed feed deltas equal the from-scratch sketch; netted groups drop") {
+    import graft.core.TableStore
+    val root = java.nio.file.Files.createTempDirectory("cm_ivm").toString
+    val base = (0 until 1500).map { i =>
+      (i.toLong, Seq("x", "y", "z")(i % 3), (i % 200).toLong)
+    }.toDF("id", "g", "v")
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") % 5 =!= 0)                              // deletes
+        .withColumn("v", when(col("id") % 7 === 0, col("v") + 31).otherwise(col("v")))
+        .withColumn("g", when(col("id") % 11 === 0, lit("w")).otherwise(col("g")))
+        .unionByName((0 until 40).map(i =>
+          (50000L + i, "x", (900 + i).toLong)).toDF("id", "g", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    val incr = SketchOps.applyFeedCmSketch(
+      SketchOps.cmSketch(spark.read.parquet(s"$root/v_$v1"), Seq("g"), "v",
+        depth = 4, widthLog2 = 8),
+      feed, Seq("g"), "v", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = SketchOps.cmSketch(spark.read.parquet(s"$root/v_$v2"),
+        Seq("g"), "v", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(incr == direct && incr.nonEmpty,
+      "delta-only CM maintenance must be bit-identical to the recompute")
+    // a group whose every row deletes nets to zero and DROPS
+    val v3 = TableStore.merge(spark, root)(cur => cur.filter(col("g") =!= "w"))
+    val feed2 = TableStore.changeFeed(spark, root, Seq("id"), v2, v3)
+    val incr2 = SketchOps.applyFeedCmSketch(
+      SketchOps.cmSketch(spark.read.parquet(s"$root/v_$v2"), Seq("g"), "v",
+        depth = 4, widthLog2 = 8),
+      feed2, Seq("g"), "v", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getString(0)).toSet
+    assert(!incr2.contains("w"), "netted-to-zero group must drop from the state")
+  }
 }

@@ -579,4 +579,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
       IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Seq("v"), hllValueCol = Some("v"))
     }
   }
+
+  test("streaming IVM: the CM sketch view advances on feed deltas alone") {
+    import graft.core.TableStore
+    import graft.operators.SketchOps
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_cm").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_cm").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((0 until 300).map(i =>
+      (i.toLong, Seq("a", "b")(i % 2), (i % 70).toLong)): _*), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
+      cmValueCol = Some("v"), cmDepth = 4, cmWidthLog2 = 8)
+    def recompute() = SketchOps.cmSketch(
+      TableStore.read(spark, srcRoot), Seq("grp"), "v", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap == recompute())
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("v") =!= 42).unionByName(rows((900L, "a", 7000L))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap == recompute())
+    // frequency reads come straight off the maintained sketches
+    val est = SketchOps.cmEstimate(TableStore.read(spark, viewRoot),
+      Seq(("a", 7000L)).toDF("grp", "q"), Seq("grp"), "q",
+      depth = 4, widthLog2 = 8).collect().head.getLong(2)
+    assert(est >= 1L)
+    // one sketch per view, loudly
+    assertThrows[IllegalArgumentException] {
+      IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
+        hllValueCol = Some("v"), cmValueCol = Some("v"))
+    }
+  }
 }
