@@ -338,6 +338,31 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!rollupPlan.contains("CartesianProduct"))
   }
 
+  test("q193: delta-only CM maintenance never re-reads the base table") {
+    import graft.core.TableStore
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan_cm_ivm").toString
+    val base = (0 until 50).map(i => (i.toLong, "g", (i % 10).toLong)).toDF("id", "g", "v")
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root)(_.filter(col("id") =!= 3))
+    // materialize feed AND state so the plan under test contains ONLY the
+    // operators applyFeedCmSketch itself introduces
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+      .localCheckpoint(true)
+    val state = graft.operators.SketchOps.cmSketch(
+      spark.read.parquet(s"$root/v_$v1"), Seq("g"), "v", depth = 2, widthLog2 = 6)
+      .localCheckpoint(true)
+    val plan = graft.operators.SketchOps.applyFeedCmSketch(state, feed,
+      Seq("g"), "v", depth = 2, widthLog2 = 6)
+      .queryExecution.executedPlan.toString
+    // the linear-counter advance is signed delta aggregation + one merge
+    // aggregation: NO join of any kind, and NO table scan — the base table
+    // is never re-read (the claim that makes this the cheapest IVM shape)
+    assert(!plan.contains("Join"), s"delta path joined:\n${plan.take(1500)}")
+    assert(!plan.contains("FileScan"),
+      s"delta path re-read a table:\n${plan.take(1500)}")
+  }
+
   test("q189: CM sketch build is explode + keyed aggregation; estimate joins broadcast only") {
     val li = core.Tables.lineitem(spark, dir)
     val sk = graft.operators.SketchOps.cmSketch(li, Nil, "l_orderkey",
