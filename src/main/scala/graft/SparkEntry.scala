@@ -3017,6 +3017,36 @@ object SparkEntry {
         .select(col("source"), col("lang"),
           posexplode(col("cm")).as(Seq("cell", "v")))
         .filter(col("v") =!= 0)
+    },
+
+    // Bloom IVM by touched-group rebuild (OR is insert-only, so deletes
+    // rebuild the group's filter from the post-change base slice — the
+    // same anti/semi rule as the HLL view; with CM's delta path and HLL's
+    // rebuild this completes the sketch-IVM triptych). The advanced
+    // per-source filter must be bit-identical to filtering v2 from
+    // scratch; the oracle rebuilds every bitmap word in HUGEINT.
+    "q194_bloom_ivm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q194_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val state0 = graft.operators.SketchOps.bloomSketch(
+        s.read.parquet(s"$root/v_$v1"), Seq("source"), "tokens",
+        bitsLog2 = 12, k = 4)
+      graft.operators.SketchOps.applyFeedBloomSketch(state0, feed,
+          s.read.parquet(s"$root/v_$v2"), Seq("source"), "tokens",
+          bitsLog2 = 12, k = 4)
+        .select(col("source"), posexplode(col("bloom")).as(Seq("word", "bits")))
+        .filter(col("bits") =!= 0)
     }
   )
 
@@ -6965,6 +6995,38 @@ object SparkEntry {
         |          FROM z2 GROUP BY source, lang, i, 4)
         |SELECT source, lang, CAST(i * 256 + c AS INT) AS cell, v
         |FROM cellh WHERE v <> 0""".stripMargin,
+
+    // the from-scratch per-source Bloom bitmap of the post-transform
+    // corpus, word-by-word in HUGEINT (bit positions from the low 12 hash
+    // bits), emitted as non-zero (source, word, signed bits) rows
+    "q194_bloom_ivm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, tokens * 2 FROM d WHERE doc_id < 20),
+        |kc AS (SELECT DISTINCT source, tokens AS x FROM post),
+        |inp AS (SELECT source, x, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT source, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT source, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT source, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT source, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT source, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |pos AS (SELECT source, xor(z, z // 2147483648) % 4096 AS p FROM z2),
+        |words AS (SELECT source, CAST(p // 64 AS INT) AS word,
+        |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INT)) AS bits_h
+        |  FROM pos GROUP BY source, 2)
+        |SELECT source, word,
+        |  CAST(CASE WHEN bits_h >= 9223372036854775808::HUGEINT
+        |    THEN bits_h - 18446744073709551616::HUGEINT ELSE bits_h END AS BIGINT) AS bits
+        |FROM words WHERE bits_h <> 0""".stripMargin,
     // q171's oracle with exponential gains: (1 << grade) - 1 multiplies the
     // same micro-floored discount; the ideal list sorts grades descending
     "q174_retrieval_graded" ->

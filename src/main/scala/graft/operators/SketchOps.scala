@@ -349,6 +349,30 @@ object SketchOps {
       .filter(exists(col("cm"), c => c =!= 0L))
   }
 
+  /** Advance a maintained per-group Bloom filter table by one change feed
+    * — the touched-group-rebuild rule ([[applyFeedHllSketch]]'s pattern):
+    * OR-merge is insert-only, so a delete cannot clear bits; groups the
+    * feed touches REBUILD their filter from the post-change base slice
+    * (broadcast semi-join), untouched groups keep their rows (broadcast
+    * anti-join). This completes the IVM triptych: CM counters advance on
+    * deltas alone (linear), HLL registers and Bloom bits rebuild touched
+    * groups (monotone merges). Invariant (spec'd):
+    * `applyFeedBloomSketch(bloomSketch(v_base), feed, v_next) ==
+    * bloomSketch(v_next)` bit-for-bit.
+    */
+  def applyFeedBloomSketch(state: DataFrame, feed: DataFrame, base: DataFrame,
+                           groupCols: Seq[String], valueCol: String,
+                           bitsLog2: Int = 20, k: Int = 4): DataFrame = {
+    val touched = feed.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(c => col(c).as(s"__t_$c")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val recomputed = bloomSketch(
+      base.join(broadcast(touched), cond, "left_semi"),
+      groupCols, valueCol, bitsLog2, k)
+    untouched.unionByName(recomputed)
+  }
+
   /** Equi-join SIZE estimate from two Count-Min sketches over the join
     * keys — the published CM inner-product estimator (Cormode &
     * Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_x f_A(x)·f_B(x), estimated as

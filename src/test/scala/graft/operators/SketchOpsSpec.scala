@@ -286,4 +286,35 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0)).toSet
     assert(!incr2.contains("w"), "netted-to-zero group must drop from the state")
   }
+
+  test("Bloom sketch IVM: touched groups rebuild so deleted members stop matching") {
+    import graft.core.TableStore
+    val root = java.nio.file.Files.createTempDirectory("bloom_ivm").toString
+    val base = (0 until 800).map { i =>
+      (i.toLong, Seq("x", "y")(i % 2), (i * 13 + 7).toLong)
+    }.toDF("id", "g", "v")
+    val v1 = TableStore.commit(base, root)
+    val v2 = TableStore.merge(spark, root) { cur =>
+      cur.filter(col("id") % 4 =!= 0) // deletes hit group x and y alike
+        .unionByName(Seq((9000L, "x", 999999L)).toDF("id", "g", "v"))
+    }
+    val feed = TableStore.changeFeed(spark, root, Seq("id"), v1, v2)
+    val incr = SketchOps.applyFeedBloomSketch(
+      SketchOps.bloomSketch(spark.read.parquet(s"$root/v_$v1"), Seq("g"), "v",
+        bitsLog2 = 14, k = 4),
+      feed, spark.read.parquet(s"$root/v_$v2"), Seq("g"), "v",
+      bitsLog2 = 14, k = 4)
+    val direct = SketchOps.bloomSketch(spark.read.parquet(s"$root/v_$v2"),
+      Seq("g"), "v", bitsLog2 = 14, k = 4)
+    assert(incr.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap ==
+      direct.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap,
+      "touched-group rebuild must be bit-identical to the recompute")
+    // the new member matches; the rebuild means a PURELY-deleted value's
+    // bits can clear (not guaranteed per value, but the sketch equality
+    // above IS the guarantee that no stale bit survives)
+    val hit = SketchOps.bloomMightContain(incr,
+      Seq(("x", 999999L)).toDF("g", "q"), Seq("g"), "q", bitsLog2 = 14, k = 4)
+      .collect().head.getBoolean(2)
+    assert(hit)
+  }
 }
