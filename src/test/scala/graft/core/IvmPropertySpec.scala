@@ -1,0 +1,111 @@
+package graft.core
+
+import graft.SparkTest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized (seeded — reruns identical) invariant checks for every IVM
+  * maintainer: random base tables walk random multi-wave edit scripts
+  * (deletes, value updates, group moves, inserts — each wave drawn from a
+  * seeded RNG), and after every wave the incrementally-advanced state must
+  * equal the from-scratch recompute. The fixed-fixture specs pin known
+  * hard cases (minimum deletion, nd collapse); these sweeps catch the
+  * interactions nobody thought to plant.
+  */
+class IvmPropertySpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def randomBase(rng: scala.util.Random, n: Int): Seq[(Long, String, String, Long)] =
+    (0 until n).map { i =>
+      (i.toLong, s"g${rng.nextInt(4)}", s"h${rng.nextInt(3)}", rng.nextInt(50).toLong)
+    }
+
+  /** One random edit wave over the current rows; ids are unique by
+    * construction (deletes drop, inserts use a fresh id range per wave).
+    */
+  private def wave(rng: scala.util.Random, rows: Seq[(Long, String, String, Long)],
+                   freshBase: Long): Seq[(Long, String, String, Long)] = {
+    val kept = rows.filterNot(_ => rng.nextInt(100) < 15) // ~15% deletes
+    val edited = kept.map { case r @ (id, g1, g2, v) =>
+      val roll = rng.nextInt(100)
+      if (roll < 10) (id, s"g${rng.nextInt(4)}", g2, v)            // group move
+      else if (roll < 25) (id, g1, g2, rng.nextInt(50).toLong)     // value update
+      else r
+    }
+    val inserts = (0 until rng.nextInt(20)).map { j =>
+      (freshBase + j, s"g${rng.nextInt(4)}", s"h${rng.nextInt(3)}",
+        rng.nextInt(50).toLong)
+    }
+    edited ++ inserts
+  }
+
+  private def df(rows: Seq[(Long, String, String, Long)]): DataFrame =
+    rows.toDF("id", "g1", "g2", "v")
+
+  private def runWaves(seed: Long, waves: Int)(
+      init: DataFrame => DataFrame)(
+      advance: (DataFrame, DataFrame, DataFrame) => DataFrame)(
+      recompute: DataFrame => DataFrame): Unit = {
+    val rng = new scala.util.Random(seed)
+    val root = java.nio.file.Files.createTempDirectory(s"ivm_prop_$seed").toString
+    var rows = randomBase(rng, 200)
+    var prev = TableStore.commit(df(rows), root)
+    var state = init(spark.read.parquet(s"$root/v_$prev"))
+    (1 to waves).foreach { w =>
+      rows = wave(rng, rows, 100000L * w)
+      val next = TableStore.merge(spark, root)(_ => df(rows))
+      val feed = TableStore.changeFeed(spark, root, Seq("id"), prev, next)
+      state = advance(state, feed, spark.read.parquet(s"$root/v_$next"))
+        .localCheckpoint(true)
+      val got = state.collect().map(_.toSeq).toSet
+      val want = recompute(spark.read.parquet(s"$root/v_$next"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"seed $seed wave $w diverged")
+      prev = next
+    }
+  }
+
+  test("random edit scripts: flat, rollup, hybrid, and rollup-hybrid maintainers all match recompute") {
+    val g = Seq("g1", "g2")
+    Seq(7L, 21L).foreach { seed =>
+      runWaves(seed, 3)(b => IncrementalAgg.aggregate(b, g, Seq("v")))(
+        (s, f, _) => IncrementalAgg.applyFeed(s, f, g, Seq("v")))(
+        b => IncrementalAgg.aggregate(b, g, Seq("v")))
+      runWaves(seed + 1, 3)(b => IncrementalAgg.aggregateRollup(b, g, Seq("v")))(
+        (s, f, _) => IncrementalAgg.applyFeedRollup(s, f, g, Seq("v")))(
+        b => IncrementalAgg.aggregateRollup(b, g, Seq("v")))
+      runWaves(seed + 2, 3)(
+        b => IncrementalAgg.aggregateHybrid(b, g, Seq("v"), Seq("v"), Seq("g2")))(
+        (s, f, base) => IncrementalAgg.applyFeedHybrid(s, f, base, g,
+          Seq("v"), Seq("v"), Seq("g2")))(
+        b => IncrementalAgg.aggregateHybrid(b, g, Seq("v"), Seq("v"), Seq("g2")))
+      runWaves(seed + 3, 3)(
+        b => IncrementalAgg.aggregateRollupHybrid(b, g, Seq("v"), Seq("v")))(
+        (s, f, base) => IncrementalAgg.applyFeedRollupHybrid(s, f, base, g,
+          Seq("v"), Seq("v")))(
+        b => IncrementalAgg.aggregateRollupHybrid(b, g, Seq("v"), Seq("v")))
+    }
+  }
+
+  test("random edit scripts: HLL, CM, and Bloom sketch maintainers all match recompute") {
+    import graft.operators.SketchOps
+    val g = Seq("g1")
+    Seq(33L, 55L).foreach { seed =>
+      runWaves(seed, 3)(b => SketchOps.hllSketch(b, g, "v", p = 8))(
+        (s, f, base) => SketchOps.applyFeedHllSketch(s, f, base, g, "v", p = 8))(
+        b => SketchOps.hllSketch(b, g, "v", p = 8))
+      runWaves(seed + 1, 3)(
+        b => SketchOps.cmSketch(b, g, "v", depth = 3, widthLog2 = 7))(
+        (s, f, _) => SketchOps.applyFeedCmSketch(s, f, g, "v",
+          depth = 3, widthLog2 = 7))(
+        b => SketchOps.cmSketch(b, g, "v", depth = 3, widthLog2 = 7))
+      runWaves(seed + 2, 3)(
+        b => SketchOps.bloomSketch(b, g, "v", bitsLog2 = 10, k = 3))(
+        (s, f, base) => SketchOps.applyFeedBloomSketch(s, f, base, g, "v",
+          bitsLog2 = 10, k = 3))(
+        b => SketchOps.bloomSketch(b, g, "v", bitsLog2 = 10, k = 3))
+    }
+  }
+}
