@@ -487,10 +487,14 @@ object CorpusOps {
     * counts make the scrub auditable (Σ n_removed is the leakage volume a
     * run report states).
     *
-    * Plan: the probe grams collapse to a 64-bit hash set in the kernel
-    * closure (eval sets are model-table-sized — the frozen-LM broadcast
-    * convention); the corpus is touched MAP-ONLY, zero shuffles — the
-    * 100 TB shape. Matching uses the same FNV word-gram kernel as every
+    * Plan: the probe grams collapse to a SORTED primitive `Array[Long]`
+    * (true 8 bytes a gram — no boxing, no hash-set overhead) shipped ONCE
+    * per executor via `SparkContext.broadcast`, probed with
+    * `Arrays.binarySearch` (eval sets are model-table-sized — the
+    * frozen-LM broadcast convention); the corpus is touched MAP-ONLY,
+    * zero shuffles — the 100 TB shape. At the default cap the broadcast
+    * is ≤ 400 MiB resident per executor (maxProbeGrams × 8 B), NOT per
+    * task. Matching uses the same FNV word-gram kernel as every
     * other contamination pass ([[DedupOps.fnvWordGram]]), so a doc this
     * pass leaves untouched is exactly a doc [[contaminationCheck]] scores
     * zero.
@@ -501,34 +505,41 @@ object CorpusOps {
                               maxProbeGrams: Long = 50000000L): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(pad >= 0, "pad must be >= 0")
-    // the probe set must fit the driver/kernel closure (~8 bytes a gram);
-    // fail LOUDLY before collect rather than OOM mid-job — eval sets are
-    // model-table-sized, a "probe" set that trips this is a corpus and
-    // needs the inverted-index join (contaminationCheck), not the scrub
-    val nGrams = probes
+    require(maxProbeGrams >= 1L && maxProbeGrams < Int.MaxValue.toLong,
+      "maxProbeGrams must be in [1, Int.MaxValue)")
+    // ONE probe-side job: collect at most cap+1 distinct grams, so an
+    // over-cap probe set fails LOUDLY after cap+1 rows instead of OOMing
+    // the driver — a "probe" set that trips this is a corpus and needs the
+    // inverted-index join (contaminationCheck), not the scrub
+    val collected = probes
       .select(explode(DedupOps.wordShingleHashes(col(probeTextCol), n)).as("g"))
-      .distinct().count()
-    require(nGrams <= maxProbeGrams,
-      s"$nGrams distinct probe grams exceed maxProbeGrams=$maxProbeGrams " +
-        "(~8B each in every task closure); raise the cap only with driver/executor " +
-        "memory to match, or use contaminationCheck + a drop/flag pass instead")
-    val probeGrams: Set[Long] = probes
-      .select(explode(DedupOps.wordShingleHashes(col(probeTextCol), n)).as("g"))
-      .distinct().collect().map(_.getLong(0)).toSet
+      .distinct().limit(maxProbeGrams.toInt + 1)
+      .collect().map(_.getLong(0))
+    require(collected.length <= maxProbeGrams,
+      s"distinct probe grams exceed maxProbeGrams=$maxProbeGrams (8 bytes " +
+        s"each as a broadcast sorted long array — ${maxProbeGrams * 8L / (1L << 20)} MiB " +
+        "resident once per executor at the cap); raise the cap only with " +
+        "executor memory to match, or use contaminationCheck + a drop/flag " +
+        "pass instead")
+    java.util.Arrays.sort(collected)
+    val probeBc = corpus.sparkSession.sparkContext.broadcast(collected)
+    def hit(grams: Array[Long], g: Long): Boolean =
+      java.util.Arrays.binarySearch(grams, g) >= 0
     val scrub = udf((text: String) => {
       if (text == null) null
       else {
+        val grams = probeBc.value
         val words = text.split("\\s+").filter(_.nonEmpty)
         val nw = words.length
         if (nw < n) {
           val whole = DedupOps.fnvWordGram(Array(text.trim), 0, 1)
-          if (probeGrams.contains(whole)) ("", nw, nw, 1)
+          if (hit(grams, whole)) ("", nw, nw, 1)
           else (words.mkString(" "), nw, 0, 0)
         } else {
           val covered = new Array[Boolean](nw)
           var i = 0
           while (i <= nw - n) {
-            if (probeGrams.contains(DedupOps.fnvWordGram(words, i, n))) {
+            if (hit(grams, DedupOps.fnvWordGram(words, i, n))) {
               var j = math.max(0, i - pad)
               val end = math.min(nw - 1, i + n - 1 + pad)
               while (j <= end) { covered(j) = true; j += 1 }

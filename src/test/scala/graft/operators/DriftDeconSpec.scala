@@ -149,4 +149,21 @@ class DriftDeconSpec extends AnyFunSuite with SparkTest {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out.filter(_._2._3 > 0).keySet == flagged)
   }
+
+  test("removeContaminatedSpans guard trips loudly at the documented gram budget") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    // probe yields 5 distinct 4-grams (8 words sliding) > cap of 3
+    val probes = Seq((1L, "p q r s t u v w")).toDF("pid", "ptext")
+    val err = intercept[IllegalArgumentException] {
+      CorpusOps.removeContaminatedSpans(docs, "text", "doc_id",
+        probes, "ptext", n = 4, maxProbeGrams = 3L)
+    }
+    assert(err.getMessage.contains("maxProbeGrams=3"), err.getMessage)
+    assert(err.getMessage.contains("8 bytes"), "guard must state the true per-gram cost")
+    // at the cap exactly, the scrub runs (5 grams, cap 5)
+    val ok = CorpusOps.removeContaminatedSpans(docs, "text", "doc_id",
+      probes, "ptext", n = 4, maxProbeGrams = 5L).collect()
+    assert(ok.length == 1 && ok.head.getLong(3) == 0L)
+  }
 }
