@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
+  /** Sketches hash a BIGINT value; a non-integral column would either
+    * throw an opaque ANSI cast error mid-job or (legacy mode) cast to
+    * null and break the map-building aggregation with a null map key.
+    * Fail at PLAN time with the fix in the message instead — the
+    * documented contract is "hash non-integral values to a BIGINT first"
+    * (e.g. `xxhash64`).
+    */
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    val integral = dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType
+    require(integral,
+      s"sketch value column '$valueCol' is ${dt.simpleString}, not an " +
+        "integral type — sketches hash BIGINT values; hash the column to " +
+        s"one first, e.g. xxhash64(col(\"$valueCol\"))")
+  }
+
   /** Bias-correction constant α_m per the published small-m table. */
   private def alphaExpr(m: Int): Column = m match {
     case 16 => lit(0.673)
@@ -44,6 +62,7 @@ object SketchOps {
   def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
                    p: Int = 12): DataFrame = {
     require(p >= 2 && p <= 26, s"p must be in [2, 26], got $p")
+    requireIntegral(df, valueCol)
     val m = 1 << p
     val h = graft.functions.GraftFunctions.splitmix64(col(valueCol).cast("long"))
     val idx = h.bitwiseAND(lit(m - 1L)).cast("int")
@@ -193,6 +212,7 @@ object SketchOps {
       s"depth x width = ${depth.toLong * (1L << widthLog2)} longs per group " +
         "row exceeds the 4M-entry dense bound — widen via depth, not width, " +
         "or shard the sketch by key range")
+    requireIntegral(df, valueCol)
     val w = 1 << widthLog2
     val weight = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val rows = df.filter(col(valueCol).isNotNull)
@@ -230,15 +250,20 @@ object SketchOps {
     * in the matching group's sketch — min over the depth rows, the
     * published overestimate-only bound. `sketches` is [[cmSketch]] output
     * (one row per group; with empty `groupCols` the single global sketch
-    * broadcasts to every query). Output: queries' columns + `est`.
+    * broadcasts to every query). Output: queries' columns + `est`. A
+    * query row whose group has NO sketch row (e.g. the group's counters
+    * netted to zero and [[applyFeedCmSketch]] dropped it) keeps its row
+    * with `est = 0` — the estimate a present-but-empty sketch would give
+    * — via a LEFT join, never silently vanishing.
     */
   def cmEstimate(sketches: DataFrame, queries: DataFrame,
                  groupCols: Seq[String], valueCol: String,
                  depth: Int = 4, widthLog2: Int = 10): DataFrame = {
+    requireIntegral(queries, valueCol)
     val w = 1 << widthLog2
     val joined =
-      if (groupCols.isEmpty) queries.crossJoin(broadcast(sketches))
-      else queries.join(sketches, groupCols)
+      if (groupCols.isEmpty) queries.join(broadcast(sketches), lit(true), "left")
+      else queries.join(sketches, groupCols, "left")
     val cells = (0 until depth).map { i =>
       element_at(col("cm"),
         graft.functions.GraftFunctions.splitmix64(
@@ -246,7 +271,8 @@ object SketchOps {
           .bitwiseAND(lit(w - 1L)).cast("int") + lit(i * w) + 1)
     }
     joined
-      .withColumn("est", if (cells.length == 1) cells.head else least(cells: _*))
+      .withColumn("est", coalesce(
+        if (cells.length == 1) cells.head else least(cells: _*), lit(0L)))
       .drop("cm")
   }
 
@@ -268,6 +294,7 @@ object SketchOps {
         "bitmap is one ROW; past 2^27 (16 MB of words) shard the filter " +
         "by key range and merge per shard")
     require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    requireIntegral(df, valueCol)
     val mask = (1L << bitsLog2) - 1
     val nWords = 1 << (bitsLog2 - 6)
     val pos = graft.functions.GraftFunctions
@@ -305,14 +332,18 @@ object SketchOps {
     * matching group's filter (empty `groupCols` ⇒ the global filter
     * broadcasts). Adds `might_contain` — false ⇒ DEFINITELY absent (the
     * join-pruning guarantee), true ⇒ verify exactly if exactness matters.
+    * A query row whose group has NO filter row keeps its row with
+    * `might_contain = false` (an absent filter holds nothing) via a LEFT
+    * join, never silently vanishing.
     */
   def bloomMightContain(sketches: DataFrame, queries: DataFrame,
                         groupCols: Seq[String], valueCol: String,
                         bitsLog2: Int = 20, k: Int = 4): DataFrame = {
+    requireIntegral(queries, valueCol)
     val mask = (1L << bitsLog2) - 1
     val joined =
-      if (groupCols.isEmpty) queries.crossJoin(broadcast(sketches))
-      else queries.join(sketches, groupCols)
+      if (groupCols.isEmpty) queries.join(broadcast(sketches), lit(true), "left")
+      else queries.join(sketches, groupCols, "left")
     val withPos = (0 until k).foldLeft(joined) { (d, i) =>
       d.withColumn(s"__p$i", graft.functions.GraftFunctions
         .splitmix64(col(valueCol).cast("long") + lit(i.toLong))
@@ -321,7 +352,7 @@ object SketchOps {
     val hits = (0 until k).map(i => expr(
       s"(element_at(bloom, CAST(shiftright(__p$i, 6) AS INT) + 1) & " +
         s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 64 AS INT))) != 0"))
-    withPos.withColumn("might_contain", hits.reduce(_ && _))
+    withPos.withColumn("might_contain", coalesce(hits.reduce(_ && _), lit(false)))
       .drop("bloom" +: (0 until k).map(i => s"__p$i"): _*)
   }
 
@@ -392,15 +423,23 @@ object SketchOps {
     val joined =
       if (groupCols.isEmpty) sketchesA.crossJoin(broadcast(b))
       else sketchesA.join(b, groupCols)
+    // counter products accumulate in DECIMAL(38,0): two longs' product
+    // tops out at ~8.5e37, inside decimal(38)'s 1e38−1, where a BIGINT
+    // x*y silently wraps past 9.2e18 — at 100 TB (per-cell counters
+    // ~N/width) a wrapped product would make least() pick garbage. The
+    // final MIN casts back to BIGINT: a join-size estimate above 9.2e18
+    // rows is not a plannable join, and ANSI mode faults the cast loudly
+    // rather than wrapping.
     val rowDots = (0 until depth).map { i =>
       aggregate(
         zip_with(slice(col("cm"), i * w + 1, w), slice(col("__cmb"), i * w + 1, w),
-          (x, y) => x * y),
-        lit(0L), (acc, v) => acc + v)
+          (x, y) => x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)"), (acc, v) => acc + v)
     }
     joined
       .withColumn("join_size_est",
-        if (rowDots.length == 1) rowDots.head else least(rowDots: _*))
+        (if (rowDots.length == 1) rowDots.head else least(rowDots: _*))
+          .cast("long"))
       .drop("cm", "__cmb")
   }
 

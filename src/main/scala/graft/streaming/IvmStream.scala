@@ -237,14 +237,35 @@ object IvmStream {
     * re-reads and no-ops or continues from the winner's state. Anything
     * that is NOT a commit conflict (schema drift, storage failure) still
     * surfaces and fails the stream loudly.
+    *
+    * Absorption is BOUNDED: a healthy CAS loser re-reads the winner's
+    * state and stops conflicting on its next tick, so
+    * `maxAbsorbedConflicts` CONSECUTIVE absorbed conflicts mean the
+    * conflict is not transient — a leaked/stale commit lock timing out
+    * every tick, or a livelocked writer pair — and the stream fails
+    * loudly (the cause chained) instead of idling forever with only a
+    * growing [[viewStatus]] lag as the symptom. Any successful advance
+    * resets the count.
     */
   def ivmBatch(spark: SparkSession, sourceRoot: String, viewRoot: String,
-               spec: IvmViewSpec): (DataFrame, Long) => Unit =
+               spec: IvmViewSpec,
+               maxAbsorbedConflicts: Int = 5): (DataFrame, Long) => Unit = {
+    require(maxAbsorbedConflicts >= 1, "maxAbsorbedConflicts must be >= 1")
+    val absorbed = new java.util.concurrent.atomic.AtomicInteger(0)
     (_: DataFrame, _: Long) =>
       graft.util.OpCaches.scoped {
-        try { advanceView(spark, sourceRoot, viewRoot, spec); () }
-        catch { case t: Throwable if TableStore.isCommitConflict(t) => () }
+        try { advanceView(spark, sourceRoot, viewRoot, spec); absorbed.set(0); () }
+        catch {
+          case t: Throwable if TableStore.isCommitConflict(t) =>
+            if (absorbed.incrementAndGet() >= maxAbsorbedConflicts)
+              throw new IllegalStateException(
+                s"$maxAbsorbedConflicts consecutive commit conflicts absorbed " +
+                  s"maintaining $viewRoot — a transient CAS loss no-ops on the " +
+                  "next tick, so persistent conflicts mean a leaked commit lock " +
+                  "or livelocked writers; failing the maintainer loudly", t)
+        }
       }
+  }
 
   /** Start the maintainer: a rate metronome driving [[ivmBatch]] at
     * `trigger`. Read the maintained state any time with

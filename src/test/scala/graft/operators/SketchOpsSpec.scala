@@ -317,4 +317,54 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head.getBoolean(2)
     assert(hit)
   }
+
+  test("probing a group with no sketch row keeps the query row: est=0 / might_contain=false") {
+    val data = Seq(("a", 1L), ("a", 1L), ("a", 2L)).toDF("g", "v")
+    val cm = SketchOps.cmSketch(data, Seq("g"), "v", depth = 4, widthLog2 = 8)
+    val bloom = SketchOps.bloomSketch(data, Seq("g"), "v", bitsLog2 = 10, k = 4)
+    // group "b" has no sketch row (the applyFeedCmSketch netted-to-zero shape)
+    val q = Seq(("a", 1L), ("b", 1L)).toDF("g", "q")
+    val ests = SketchOps.cmEstimate(cm, q, Seq("g"), "q", depth = 4, widthLog2 = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ests("a") == 2L && ests("b") == 0L,
+      s"absent group must estimate 0, not vanish: $ests")
+    val hits = SketchOps.bloomMightContain(bloom, q, Seq("g"), "q", bitsLog2 = 10, k = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(hits("a") && !hits("b"),
+      s"absent filter holds nothing -> might_contain=false, not a dropped row: $hits")
+    // and an EMPTY global sketch table behaves the same for groupCols = Nil
+    val g = Seq((1L, 5L)).toDF("id", "q")
+    val none = SketchOps.cmEstimate(cm.filter(lit(false)).drop("g"), g, Nil, "q",
+      depth = 4, widthLog2 = 8).collect()
+    assert(none.length == 1 && none.head.getLong(2) == 0L)
+  }
+
+  test("non-integral sketch value columns are rejected at plan time with the fix named") {
+    val strs = Seq(("a", "k1")).toDF("g", "v")
+    for (build <- Seq(
+      () => SketchOps.hllRegisters(strs, Seq("g"), "v", p = 8),
+      () => SketchOps.cmSketch(strs, Seq("g"), "v", depth = 2, widthLog2 = 4),
+      () => SketchOps.bloomSketch(strs, Seq("g"), "v", bitsLog2 = 8, k = 2))) {
+      val e = intercept[IllegalArgumentException](build())
+      assert(e.getMessage.contains("xxhash64"), e.getMessage)
+    }
+    // hashing first is the documented path and works end-to-end
+    val hashed = strs.withColumn("h", xxhash64(col("v")))
+    assert(SketchOps.hllCardinality(hashed, Seq("g"), "h", p = 8)
+      .collect().head.getLong(1) > 0L)
+  }
+
+  test("cmJoinSizeEstimate counter products cannot wrap: decimal inner products") {
+    // hand-built sketches (depth=2, w=4): row 0 carries counters whose
+    // BIGINT product wraps (4e9 * 4e9 = 1.6e19 > Long.MaxValue); row 1
+    // carries the honest small count. A wrapping implementation feeds
+    // least() a negative garbage row value; the decimal path keeps row 0
+    // at 1.6e19 so the min correctly picks row 1's 100.
+    val big = 4000000000L
+    val sa = Seq(("g", Seq(big, 0L, 0L, 0L, 10L, 0L, 0L, 0L))).toDF("g", "cm")
+    val sb = Seq(("g", Seq(big, 0L, 0L, 0L, 10L, 0L, 0L, 0L))).toDF("g", "cm")
+    val est = SketchOps.cmJoinSizeEstimate(sa, sb, Seq("g"), depth = 2, widthLog2 = 2)
+      .collect().head.getLong(1)
+    assert(est == 100L, s"wrapped inner product leaked into the min: $est")
+  }
 }

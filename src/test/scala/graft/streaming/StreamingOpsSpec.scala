@@ -530,9 +530,27 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
     // ...and the streaming callback ABSORBS it instead of letting the
     // throw terminate the StreamingQuery — the losing stream stays alive
     IvmStream.ivmBatch(spark, srcRoot, viewRoot, spec)(rows(), 0L)
-    // once the contender's debris clears, the same maintainer advances
+    // absorption is bounded: a PERSISTENT conflict (the contender debris
+    // never clears — the leaked-lock shape) fails the maintainer loudly
+    // on the Nth consecutive absorbed conflict, cause chained
+    val bounded = IvmStream.ivmBatch(spark, srcRoot, viewRoot, spec,
+      maxAbsorbedConflicts = 3)
+    bounded(rows(), 0L); bounded(rows(), 1L) // absorbed twice
+    val dead = intercept[IllegalStateException] { bounded(rows(), 2L) }
+    assert(dead.getMessage.contains("3 consecutive commit conflicts"))
+    assert(TableStore.isCommitConflict(dead.getCause))
+    // once the contender's debris clears, the same maintainer advances,
+    // and a successful advance RESETS the absorbed count
     assert(new java.io.File(viewRoot, "v_1").delete())
-    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    val healed = IvmStream.ivmBatch(spark, srcRoot, viewRoot, spec,
+      maxAbsorbedConflicts = 2)
+    healed(rows(), 0L) // debris cleared, so this tick ADVANCES (a success)
+    assert(IvmStream.readApplied(viewRoot).exists(_._2 == 1L))
+    TableStore.merge(spark, srcRoot)(_.unionByName(rows((10L, "d", 7L))))
+    assert(new java.io.File(viewRoot, "v_2").mkdirs()) // new contender
+    healed(rows(), 1L) // absorbed once; counter was reset by the success
+    assert(new java.io.File(viewRoot, "v_2").delete())
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(2L))
     // non-conflict failures are NOT absorbed-relevant: isCommitConflict
     // stays false for arbitrary errors
     assert(!TableStore.isCommitConflict(new RuntimeException("stale write")))
