@@ -521,6 +521,23 @@ object GraftEngine {
     operators.SketchOps.bloomMightContain(sketches, queries, groupCols,
       valueCol, bitsLog2, k)
 
+  /** plan_join / planned_join: sketch-driven equi-join planning — the
+    * dispatch (broadcast / salted / shuffle) reads only fixed-size CM +
+    * HLL sketches, and the planned execution is bit-identical to the
+    * plain join on every path.
+    */
+  def planJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               broadcastMaxRows: Long = 1000000L): operators.SketchOps.EquiJoinPlan =
+    operators.SketchOps.equiJoinPlan(left, right, keyCol,
+      broadcastMaxRows = broadcastMaxRows)
+
+  def plannedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  saltFromLeft: org.apache.spark.sql.Column,
+                  saltFromRight: org.apache.spark.sql.Column,
+                  broadcastMaxRows: Long = 1000000L): DataFrame =
+    operators.SketchOps.planEquiJoin(left, right, keyCol,
+      saltFromLeft, saltFromRight, broadcastMaxRows = broadcastMaxRows)
+
   /** Unigram-LM tokenizer verbs beside the BPE set: train (expected-count
     * or exact likelihood-loss pruning), segment to pieces, count tokens,
     * or emit deterministic piece ids for the packing path.

@@ -3047,6 +3047,58 @@ object SparkEntry {
           bitsLog2 = 12, k = 4)
         .select(col("source"), posexplode(col("bloom")).as(Seq("word", "bits")))
         .filter(col("bits") =!= 0)
+    },
+
+    // Sketch-driven join planning — the first CONSUMER of the CM/HLL
+    // artifacts (q189/q192): every dispatch input (side totals, heavy-key
+    // bounds, HLL key cardinalities, the inner-product join size) derives
+    // from fixed-size sketches, never the tables, and the whole decision
+    // is integer arithmetic the oracle replays bit-for-bit. Three planted
+    // scenarios: a uniform fact⋈dim stays a plain shuffle, a 30%-hot-key
+    // fact salts, a 25-row dimension broadcasts.
+    "q195_join_plan" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val uniL = li.select(col("l_partkey").as("k"))
+      val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"))
+      val dimR = Tables.part(s, dir).select(col("p_partkey").as("k"))
+      val smlL = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("k"))
+      val smlR = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("k"))
+      Seq(("uniform", uniL, dimR), ("skewed", skwL, dimR), ("small_dim", smlL, smlR))
+        .map { case (name, l, r) =>
+          val p = graft.operators.SketchOps.equiJoinPlan(l, r, "k",
+            depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L)
+          (name, p.nLeft, p.nRight, p.ndvLeftMicro, p.ndvRightMicro,
+            p.fmaxLeftEst, p.fmaxRightEst, p.joinSizeEst, p.strategy)
+        }
+        .toDF("scenario", "n_left", "n_right", "ndv_left_micro",
+          "ndv_right_micro", "fmax_left_est", "fmax_right_est",
+          "join_size_est", "strategy")
+    },
+
+    // The planned join EXECUTES bit-identically to the plain join on
+    // every dispatch path: the uniform fixture (shuffle) and the planted
+    // 30%-hot-key fixture (salted via auto hot-key detection) aggregate
+    // to the same per-key counts and sums the oracle's plain SQL join
+    // produces. The plan changes the shuffle shape, never the rows.
+    "q196_planned_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_size"))
+      val uniL = li.select(col("l_partkey").as("k"), col("l_orderkey"))
+      val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
+      def planned(l: org.apache.spark.sql.DataFrame) =
+        graft.operators.SketchOps.planEquiJoin(l, part, "k",
+          saltFromLeft = col("l_orderkey"), saltFromRight = col("p_size"),
+          depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L)
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("k")).agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("sum_ord"),
+            sum(col("p_size").cast("long")).as("sum_size"))
+          .select(lit(tag).as("scenario"), col("k"), col("n_rows"),
+            col("sum_ord"), col("sum_size"))
+      agg(planned(uniL), "uniform").unionByName(agg(planned(skwL), "skewed"))
     }
   )
 
@@ -7058,7 +7110,123 @@ object SparkEntry {
         |  i.idcg AS idcg_micro,
         |  CAST(COALESCE(h.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_micro
         |FROM nrel n JOIN ideal i USING (query_id)
-        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin
+        |LEFT JOIN hit h ON h.query_id = n.query_id""".stripMargin,
+
+    // the full sketch-driven join-plan replay: CM cells (splitmix64 over
+    // key+i, low 12 bits) give side totals, min-over-rows max-cell
+    // heavy-key bounds, and the min-over-rows inner-product join size;
+    // HLL p=12 registers over the distinct keys give the micro-floored
+    // ndv; the dispatch CASE reruns the same integer arithmetic
+    "q195_join_plan" ->
+      """WITH lkeys AS (
+        |  SELECT 'uniform' AS sc, l_partkey AS x FROM lineitem
+        |  UNION ALL
+        |  SELECT 'skewed', CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END FROM lineitem
+        |  UNION ALL
+        |  SELECT 'small_dim', CAST(c_nationkey AS BIGINT) FROM customer),
+        |rkeys AS (
+        |  SELECT 'uniform' AS sc, p_partkey AS x FROM part
+        |  UNION ALL
+        |  SELECT 'skewed', p_partkey FROM part
+        |  UNION ALL
+        |  SELECT 'small_dim', CAST(n_nationkey AS BIGINT) FROM nation),
+        |allk AS (SELECT sc, 'l' AS side, x FROM lkeys
+        |         UNION ALL SELECT sc, 'r', x FROM rkeys),
+        |kc AS (SELECT sc, side, x, count(*) AS n FROM allk GROUP BY 1, 2, 3),
+        |inp AS (SELECT sc, side, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT sc, side, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT sc, side, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT sc, side, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT sc, side, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT sc, side, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT sc, side, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c,
+        |          CAST(sum(n) AS BIGINT) AS v
+        |          FROM z2 GROUP BY 1, 2, 3, 4),
+        |fm AS (SELECT sc, side, CAST(min(rowmax) AS BIGINT) AS fmax
+        |       FROM (SELECT sc, side, i, max(v) AS rowmax FROM cellh GROUP BY 1, 2, 3)
+        |       GROUP BY 1, 2),
+        |ns AS (SELECT sc, side, count(*) AS n FROM allk GROUP BY 1, 2),
+        |rowsum AS (
+        |  SELECT a.sc, a.i, sum(CAST(a.v AS HUGEINT) * b.v) AS s
+        |  FROM (SELECT * FROM cellh WHERE side = 'l') a
+        |  JOIN (SELECT * FROM cellh WHERE side = 'r') b
+        |    ON a.sc = b.sc AND a.i = b.i AND a.c = b.c
+        |  GROUP BY 1, 2),
+        |jse AS (SELECT sc, CAST(min(coalesce(s, 0)) AS BIGINT) AS join_size_est
+        |        FROM (SELECT g.sc, r.i, rs.s
+        |              FROM (SELECT DISTINCT sc FROM allk) g
+        |              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r
+        |              LEFT JOIN rowsum rs ON rs.sc = g.sc AND rs.i = r.i)
+        |        GROUP BY 1),
+        |dk AS (SELECT DISTINCT sc, side, x FROM allk),
+        |hz0 AS (SELECT sc, side, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM dk),
+        |hx1 AS (SELECT sc, side, xor(z, z // 1073741824) AS xx FROM hz0),
+        |hz1 AS (SELECT sc, side, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx1),
+        |hx2 AS (SELECT sc, side, xor(z, z // 134217728) AS xx FROM hz1),
+        |hz2 AS (SELECT sc, side, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx2),
+        |hh AS (SELECT sc, side, xor(z, z // 2147483648) AS u FROM hz2),
+        |hrr AS (SELECT sc, side, CAST(u % 4096 AS INT) AS idx, CAST(u // 4096 AS BIGINT) AS rem FROM hh),
+        |hrk AS (SELECT sc, side, idx,
+        |  CASE WHEN rem = 0 THEN 53 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM hrr),
+        |hreg AS (SELECT sc, side, idx, max(rank) AS r FROM hrk GROUP BY 1, 2, 3),
+        |hdense AS (
+        |  SELECT gs.sc, gs.side, i.idx, coalesce(hreg.r, 0) AS r
+        |  FROM (SELECT DISTINCT sc, side FROM allk) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS idx) i
+        |  LEFT JOIN hreg ON hreg.sc = gs.sc AND hreg.side = gs.side AND hreg.idx = i.idx),
+        |hest AS (
+        |  SELECT sc, side,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM hdense GROUP BY 1, 2),
+        |hfin AS (
+        |  SELECT sc, side,
+        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+        |      THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |  FROM (SELECT sc, side, zeros,
+        |          (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / sp AS raw
+        |        FROM hest)),
+        |dec AS (
+        |  SELECT nl.sc AS scenario,
+        |    nl.n AS n_left, nr.n AS n_right,
+        |    hl.est_micro AS ndv_left_micro, hr.est_micro AS ndv_right_micro,
+        |    fl.fmax AS fmax_left_est, fr.fmax AS fmax_right_est,
+        |    jse.join_size_est
+        |  FROM (SELECT * FROM ns WHERE side = 'l') nl
+        |  JOIN (SELECT * FROM ns WHERE side = 'r') nr ON nr.sc = nl.sc
+        |  JOIN (SELECT * FROM fm WHERE side = 'l') fl ON fl.sc = nl.sc
+        |  JOIN (SELECT * FROM fm WHERE side = 'r') fr ON fr.sc = nl.sc
+        |  JOIN (SELECT * FROM hfin WHERE side = 'l') hl ON hl.sc = nl.sc
+        |  JOIN (SELECT * FROM hfin WHERE side = 'r') hr ON hr.sc = nl.sc
+        |  JOIN jse ON jse.sc = nl.sc)
+        |SELECT scenario, n_left, n_right, ndv_left_micro, ndv_right_micro,
+        |  fmax_left_est, fmax_right_est, join_size_est,
+        |  CASE
+        |    WHEN least(n_left, n_right) <= 100 THEN
+        |      CASE WHEN n_right <= n_left THEN 'broadcast_right' ELSE 'broadcast_left' END
+        |    WHEN fmax_left_est > greatest(16, 16 * CAST(n_left // greatest(1, CAST(ndv_left_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_left'
+        |    WHEN fmax_right_est > greatest(16, 16 * CAST(n_right // greatest(1, CAST(ndv_right_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_right'
+        |    ELSE 'shuffle'
+        |  END AS strategy
+        |FROM dec""".stripMargin,
+
+    // the plain-SQL join the planned execution must be bit-identical to,
+    // on both the uniform and the planted-skew fixture
+    "q196_planned_join" ->
+      """WITH p AS (SELECT p_partkey AS k, p_size FROM part),
+        |uni AS (SELECT l_partkey AS k, l_orderkey FROM lineitem),
+        |skw AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END AS k,
+        |               l_orderkey FROM lineitem)
+        |SELECT 'uniform' AS scenario, k, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ord,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM uni JOIN p USING (k) GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'skewed', k, count(*),
+        |  CAST(sum(l_orderkey) AS BIGINT), CAST(sum(p_size) AS BIGINT)
+        |FROM skw JOIN p USING (k) GROUP BY 1, 2""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

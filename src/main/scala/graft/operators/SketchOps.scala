@@ -443,6 +443,109 @@ object SketchOps {
       .drop("cm", "__cmb")
   }
 
+  /** Everything the sketch-driven join dispatch reads, in one record —
+    * every number derives from FIXED-SIZE mergeable sketches (CM for
+    * totals, heavy-key bounds, and the inner-product join size; HLL for
+    * key cardinality), so the decision costs the same whether the inputs
+    * are 60 K rows or 100 TB (at scale you'd merge persisted per-shard
+    * sketches instead of re-sketching — [[cmMergeSketches]] /
+    * [[hllMergeSketches]] make the two paths bit-identical).
+    *
+    * `fmax*Est` is the MIN over depth rows of the row's max counter — an
+    * upper bound on the most frequent key's count (the heavy key's cell
+    * contains it in every row), tight when collisions are rare.
+    * `ndv*Micro` is the micro-floored HLL estimate.
+    */
+  final case class EquiJoinPlan(nLeft: Long, nRight: Long,
+                                ndvLeftMicro: Long, ndvRightMicro: Long,
+                                fmaxLeftEst: Long, fmaxRightEst: Long,
+                                joinSizeEst: Long, strategy: String)
+
+  /** Decide HOW to run `left ⋈ right ON keyCol` from sketches alone —
+    * the first consumer of [[cmJoinSizeEstimate]], and this engine's own
+    * planning north star (the reference has no optimizer at all). The
+    * rule, evaluated on sketch-derived numbers only, never the tables:
+    *
+    *  1. the smaller side fits `broadcastMaxRows` ⇒ `broadcast_left` /
+    *     `broadcast_right` (a map-side join also neutralizes skew);
+    *  2. else a side's heavy-key bound exceeds
+    *     max(`hotFloor`, `hotFactor` × its mean key count) — the
+    *     [[JoinOps.autoHotKeys]] rule with the mean taken as
+    *     n ∕ HLL-ndv — ⇒ `salted_left` / `salted_right`;
+    *  3. else ⇒ `shuffle` (the plain exchange join).
+    *
+    * All arithmetic is integer (micro-floored ndv, floor division), so
+    * the decision replays bit-for-bit in SQL. The sketch collects are
+    * driver-side but FIXED-SIZE (depth·2^widthLog2 longs a side) —
+    * planning metadata, independent of table size.
+    */
+  def equiJoinPlan(left: DataFrame, right: DataFrame, keyCol: String,
+                   depth: Int = 4, widthLog2: Int = 12, p: Int = 12,
+                   broadcastMaxRows: Long = 1000000L,
+                   hotFactor: Long = JoinOps.autoHotFactor,
+                   hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan = {
+    val w = 1 << widthLog2
+    val cmL = cmSketch(left, Nil, keyCol, depth, widthLog2)
+    val cmR = cmSketch(right, Nil, keyCol, depth, widthLog2)
+    val joinSizeEst = cmJoinSizeEstimate(cmL, cmR, Nil, depth, widthLog2)
+      .collect().head.getAs[Long]("join_size_est")
+    def stats(cm: DataFrame): (Long, Long) = {
+      val arr = cm.collect().head.getSeq[Long](0)
+      val n = arr.iterator.take(w).sum // each depth row's cells sum to N
+      val fmax = (0 until depth)
+        .map(i => arr.iterator.slice(i * w, (i + 1) * w).max).min
+      (n, fmax)
+    }
+    val (nLeft, fmaxL) = stats(cmL)
+    val (nRight, fmaxR) = stats(cmR)
+    val ndvL = hllCardinality(left, Nil, keyCol, p).collect().head.getLong(0)
+    val ndvR = hllCardinality(right, Nil, keyCol, p).collect().head.getLong(0)
+    def hot(n: Long, fmax: Long, ndvMicro: Long): Boolean =
+      fmax > math.max(hotFloor,
+        hotFactor * (n / math.max(1L, ndvMicro / 1000000L)))
+    val strategy =
+      if (math.min(nLeft, nRight) <= broadcastMaxRows)
+        if (nRight <= nLeft) "broadcast_right" else "broadcast_left"
+      else if (hot(nLeft, fmaxL, ndvL)) "salted_left"
+      else if (hot(nRight, fmaxR, ndvR)) "salted_right"
+      else "shuffle"
+    EquiJoinPlan(nLeft, nRight, ndvL, ndvR, fmaxL, fmaxR, joinSizeEst, strategy)
+  }
+
+  /** Run `left ⋈ right ON keyCol` the way [[equiJoinPlan]] dispatches it:
+    * broadcast the small side, [[JoinOps.skewAwareJoin]] (auto hot-key
+    * detection, so only genuinely hot keys salt) when a side's sketch
+    * flags skew, plain shuffle join otherwise. Output is BIT-IDENTICAL
+    * to `left.join(right, Seq(keyCol))` on every path (spec- and
+    * oracle-pinned) — the plan changes the shuffle shape, never the
+    * rows. `saltFrom*` must vary WITHIN a key on its side (an id, not
+    * the key). Non-key column names must be disjoint across sides (the
+    * salted-right path restores plain-join column order by name). Pass a
+    * precomputed `plan` to skip re-sketching (e.g. from persisted
+    * per-shard sketches).
+    */
+  def planEquiJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   saltFromLeft: Column, saltFromRight: Column,
+                   depth: Int = 4, widthLog2: Int = 12, p: Int = 12,
+                   broadcastMaxRows: Long = 1000000L, buckets: Int = 16,
+                   plan: Option[EquiJoinPlan] = None): DataFrame = {
+    val chosen = plan.getOrElse(equiJoinPlan(left, right, keyCol,
+      depth, widthLog2, p, broadcastMaxRows))
+    chosen.strategy match {
+      case "broadcast_right" => left.join(broadcast(right), Seq(keyCol))
+      case "broadcast_left"  => broadcast(left).join(right, Seq(keyCol))
+      case "salted_left" =>
+        JoinOps.skewAwareJoin(left, right, Seq(keyCol), saltFromLeft,
+          buckets = buckets, auto = true)
+      case "salted_right" =>
+        val planOrder = (keyCol +: (left.columns.filterNot(_ == keyCol) ++
+          right.columns.filterNot(_ == keyCol))).map(col)
+        JoinOps.skewAwareJoin(right, left, Seq(keyCol), saltFromRight,
+          buckets = buckets, auto = true).select(planOrder.toSeq: _*)
+      case _ => left.join(right, Seq(keyCol))
+    }
+  }
+
   /** Advance a maintained base-level sketch table by one
     * [[graft.core.TableStore]] change feed — the hybrid-IVM rule
     * ([[graft.core.IncrementalAgg.applyFeedHybrid]]) applied to sketches:

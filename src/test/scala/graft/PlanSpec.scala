@@ -363,6 +363,41 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"delta path re-read a table:\n${plan.take(1500)}")
   }
 
+  test("q195/q196: planted skew takes the salted path, uniform stays plain, small dim broadcasts") {
+    import graft.operators.SketchOps
+    val li = core.Tables.lineitem(spark, dir)
+    val part = core.Tables.part(spark, dir).select(col("p_partkey").as("k"), col("p_size"))
+    val uniL = li.select(col("l_partkey").as("k"), col("l_orderkey"))
+    val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+      .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
+    assert(SketchOps.equiJoinPlan(uniL, part, "k", broadcastMaxRows = 100L)
+      .strategy == "shuffle")
+    assert(SketchOps.equiJoinPlan(skwL, part, "k", broadcastMaxRows = 100L)
+      .strategy == "salted_left")
+    // the skewed EXECUTION carries the hot/cold union and the salt
+    // replication explode; the uniform one is a single plain join
+    val skwPlan = SketchOps.planEquiJoin(skwL, part, "k",
+      col("l_orderkey"), col("p_size"), broadcastMaxRows = 100L)
+      .queryExecution.executedPlan.toString
+    assert(skwPlan.contains("Union"), s"hot/cold split missing:\n${skwPlan.take(1500)}")
+    assert(skwPlan.contains("Generate"), s"salt replication missing:\n${skwPlan.take(1500)}")
+    val uniPlan = SketchOps.planEquiJoin(uniL, part, "k",
+      col("l_orderkey"), col("p_size"), broadcastMaxRows = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!uniPlan.contains("Union"), s"uniform fixture salted:\n${uniPlan.take(1500)}")
+    // a 25-row dimension dispatches to a broadcast hash join
+    val smlL = core.Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("k"), col("c_custkey"))
+    val smlR = core.Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    assert(SketchOps.equiJoinPlan(smlL, smlR, "k", broadcastMaxRows = 100L)
+      .strategy == "broadcast_right")
+    val smlPlan = SketchOps.planEquiJoin(smlL, smlR, "k",
+      col("c_custkey"), col("n_name"), broadcastMaxRows = 100L)
+      .queryExecution.executedPlan.toString
+    assert(smlPlan.contains("BroadcastHashJoin"), s"dim not broadcast:\n${smlPlan.take(1500)}")
+  }
+
   test("q189: CM sketch build is explode + keyed aggregation; estimate joins broadcast only") {
     val li = core.Tables.lineitem(spark, dir)
     val sk = graft.operators.SketchOps.cmSketch(li, Nil, "l_orderkey",

@@ -354,6 +354,39 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head.getLong(1) > 0L)
   }
 
+  test("planEquiJoin is bit-identical to the plain join on every dispatch path") {
+    // left uniform over 50 keys; right plants key 7 hot (half its rows) —
+    // the salted_right path, which also exercises the column-order restore
+    val left = (0 until 5000).map(i => ((i % 50).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 5000)
+      .map(i => (if (i % 2 == 0) 7L else ((i / 2) % 50).toLong, i.toLong)).toDF("k", "rv")
+    val plan = SketchOps.equiJoinPlan(left, right, "k", broadcastMaxRows = 100L)
+    assert(plan.strategy == "salted_right", plan.toString)
+    assert(plan.nLeft == 5000L && plan.nRight == 5000L)
+    // the fmax bound is an OVERestimate of the true hot count (2500 + 50)
+    assert(plan.fmaxRightEst >= 2550L)
+    val planned = SketchOps.planEquiJoin(left, right, "k",
+      saltFromLeft = col("lv"), saltFromRight = col("rv"), broadcastMaxRows = 100L)
+    val plain = left.join(right, Seq("k"))
+    assert(planned.columns.toSeq == plain.columns.toSeq,
+      "salted_right must restore plain-join column order")
+    assert(planned.collect().map(_.toSeq).sortBy(_.toString()).toSeq ==
+      plain.collect().map(_.toSeq).sortBy(_.toString()).toSeq)
+    // broadcast path: tiny right side
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val bPlan = SketchOps.equiJoinPlan(left, dim, "k", broadcastMaxRows = 100L)
+    assert(bPlan.strategy == "broadcast_right")
+    assert(SketchOps.planEquiJoin(left, dim, "k", col("lv"), col("name"))
+      .count() == left.join(dim, Seq("k")).count())
+    // a precomputed plan overrides re-sketching (dispatch honors it)
+    val forced = SketchOps.planEquiJoin(left, right, "k", col("lv"), col("rv"),
+      plan = Some(bPlan.copy(strategy = "shuffle")))
+    assert(forced.count() == plain.count())
+    // join-size estimate only ever overcounts the true size
+    val exact = plain.count()
+    assert(plan.joinSizeEst >= exact, s"${plan.joinSizeEst} < $exact")
+  }
+
   test("cmJoinSizeEstimate counter products cannot wrap: decimal inner products") {
     // hand-built sketches (depth=2, w=4): row 0 carries counters whose
     // BIGINT product wraps (4e9 * 4e9 = 1.6e19 > Long.MaxValue); row 1
