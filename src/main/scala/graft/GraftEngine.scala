@@ -521,6 +521,21 @@ object GraftEngine {
     operators.SketchOps.bloomMightContain(sketches, queries, groupCols,
       valueCol, bitsLog2, k)
 
+  /** distribution_sketch / estimate_quantiles: mergeable log-linear bin
+    * histograms (exact below 2^s, relative error ≤ 2^−s above; linear
+    * counts ⇒ shards add and deltas maintain) and rank-picked quantiles
+    * straight off the sketch — the q150 dashboard with no sort at any
+    * scale.
+    */
+  def distributionSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                         subLog2: Int = 5): DataFrame =
+    operators.SketchOps.quantileSketch(df, groupCols, valueCol, subLog2)
+
+  def estimateQuantiles(sketches: DataFrame, groupCols: Seq[String],
+                        quantiles: Seq[(Int, Int)], subLog2: Int = 5): DataFrame =
+    operators.SketchOps.quantilesFromSketches(sketches, groupCols, quantiles,
+      subLog2)
+
   /** plan_join / planned_join: sketch-driven equi-join planning — the
     * dispatch (broadcast / salted / shuffle) reads only fixed-size CM +
     * HLL sketches, and the planned execution is bit-identical to the

@@ -3099,6 +3099,49 @@ object SparkEntry {
           .select(lit(tag).as("scenario"), col("k"), col("n_rows"),
             col("sum_ord"), col("sum_size"))
       agg(planned(uniL), "uniform").unionByName(agg(planned(skwL), "skewed"))
+    },
+
+    // Mergeable quantile sketch — the distribution complement completing
+    // the sketch family: log-linear bins (exact below 2^5, 32 sub-bins
+    // per octave above => relative error <= 2^-5), counts linear like CM
+    // so per-shard sketches add and the q150 dashboard needs NO sort at
+    // any scale. Rank convention identical to lengthQuantiles; the whole
+    // pipeline is integer arithmetic the oracle replays bit-for-bit.
+    "q197_quantile_sketch" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("source"),
+        expr("octet_length(text)").cast("long").as("len"))
+      graft.operators.SketchOps.quantilesFromSketches(
+        graft.operators.SketchOps.quantileSketch(docs, Seq("source"), "len",
+          subLog2 = 5),
+        Seq("source"), Seq((1, 4), (1, 2), (9, 10)), subLog2 = 5)
+    },
+
+    // Quantile-sketch IVM on pure deltas: bin counts are LINEAR, so the
+    // q193-shape feed (deletes, token updates as preimage+postimage
+    // pairs, inserts) advances the maintained sketch by signed addition
+    // alone — the base table is never re-read. Must be bit-identical to
+    // sketching v2 from scratch, which the oracle replays (emitted as
+    // non-zero bin rows so the compare stays row-shaped).
+    "q198_quantile_ivm" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q198_store").toString
+      val v1 = graft.core.TableStore.commit(docs, root)
+      val v2 = graft.core.TableStore.merge(s, root) { cur =>
+        cur.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("tokens",
+            when(col("doc_id") % 11 === 0, col("tokens") + 5).otherwise(col("tokens")))
+          .unionByName(docs.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              (col("tokens") * 2).as("tokens")))
+      }
+      val feed = graft.core.TableStore.changeFeed(s, root, Seq("doc_id"), v1, v2)
+      val state0 = graft.operators.SketchOps.quantileSketch(
+        s.read.parquet(s"$root/v_$v1"), Seq("source"), "tokens", subLog2 = 5)
+      graft.operators.SketchOps.applyFeedQuantileSketch(state0, feed,
+          Seq("source"), "tokens", subLog2 = 5)
+        .select(col("source"), posexplode(col("qsk")).as(Seq("b", "c")))
+        .filter(col("c") =!= 0)
     }
   )
 
@@ -7226,7 +7269,54 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'skewed', k, count(*),
         |  CAST(sum(l_orderkey) AS BIGINT), CAST(sum(p_size) AS BIGINT)
-        |FROM skw JOIN p USING (k) GROUP BY 1, 2""".stripMargin
+        |FROM skw JOIN p USING (k) GROUP BY 1, 2""".stripMargin,
+
+    // the full log-linear bin replay: exact bins below 32, 32 sub-bins
+    // per octave via binary-digit-count log2 and integer shifts, window
+    // cumulative counts, lengthQuantiles' rank convention, bin lower
+    // bounds reconstructed by shift
+    "q197_quantile_sketch" ->
+      """WITH d AS (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |bins AS (SELECT source,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM d),
+        |bc AS (SELECT source, b, count(*) AS c FROM bins GROUP BY 1, 2),
+        |cum AS (SELECT source, b, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS nt
+        |  FROM bc),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum)
+        |SELECT source, CAST(max(nt) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (nt - 1) * 1 // 4 + 1 THEN lo END) AS BIGINT) AS q1_4,
+        |  CAST(min(CASE WHEN cum >= (nt - 1) * 1 // 2 + 1 THEN lo END) AS BIGINT) AS q1_2,
+        |  CAST(min(CASE WHEN cum >= (nt - 1) * 9 // 10 + 1 THEN lo END) AS BIGINT) AS q9_10
+        |FROM lbv GROUP BY source""".stripMargin,
+
+    // the from-scratch quantile sketch of the post-transform corpus,
+    // emitted as non-zero (source, bin, count) rows
+    "q198_quantile_ivm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |      ELSE (strlen(text) + 3) // 4 END AS BIGINT) AS tokens
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 0 THEN tokens + 5 ELSE tokens END AS tokens
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, tokens * 2 FROM d WHERE doc_id < 20),
+        |bins AS (SELECT source,
+        |    CASE WHEN tokens < 32 THEN CAST(tokens AS INT)
+        |         ELSE 32 + (length(bin(tokens)) - 1 - 5) * 32 +
+        |              CAST((tokens >> (length(bin(tokens)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM post)
+        |SELECT source, b, CAST(count(*) AS BIGINT) AS c
+        |FROM bins GROUP BY 1, 2""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -443,6 +443,124 @@ object SketchOps {
       .drop("cm", "__cmb")
   }
 
+  /** Deterministic mergeable QUANTILE sketch — the distribution
+    * complement to HLL (cardinality), CM (frequency), and Bloom
+    * (membership), completing the dashboard story q150/q191 tell with
+    * sorts: one `array&lt;long&gt;` of log-linear bin counts per group
+    * (the HdrHistogram bucketing, public domain): values below 2^s bin
+    * EXACTLY (bin = value); a value with e = ⌊log₂ x⌋ ≥ s bins at
+    * `2^s + (e−s)·2^s + (⌊x∕2^(e−s)⌋ mod 2^s)` — 2^s sub-bins per octave,
+    * so a bin spans 2^(e−s) values and any rank-picked quantile is exact
+    * below 2^s and within RELATIVE error 2^−s above (the documented
+    * bound; s = `subLog2`, default 5 ⇒ ≤ 3.2%). Counts are LINEAR like
+    * CM: merge = element-wise addition (exact, order-free), deletes
+    * subtract, so the sketch maintains under change feeds on deltas
+    * alone ([[applyFeedQuantileSketch]]) and per-shard sketches compose
+    * bit-identically. All-integer and engine-replayable: the bin index
+    * uses binary-digit-count log2 (`length(bin(x)) − 1`, exact in both
+    * engines), never float log. Values must be NON-NEGATIVE (lengths,
+    * token counts, latencies — the dashboard domain); negatives fail
+    * loudly at run time. Array length = (64 − s)·2^s (1,888 longs at the
+    * default — a fixed-size artifact like the other three).
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     subLog2: Int = 5, weightCol: Option[String] = None): DataFrame = {
+    require(subLog2 >= 1 && subLog2 <= 8,
+      s"subLog2 must be in [1, 8], got $subLog2 — 2^8 sub-bins (0.4% " +
+        "relative error) is already past what a binned dashboard needs")
+    requireIntegral(df, valueCol)
+    val m = 1 << subLog2
+    val nBins = (64 - subLog2) * m
+    val weight = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(col(valueCol).cast("long").as("__x"),
+        weight.as("__n")): _*)
+      .withColumn("__x", when(assert_true(col("__x") >= 0,
+          lit(s"quantileSketch requires non-negative values in '$valueCol'"))
+          .isNull, col("__x")))
+      .withColumn("__e", (length(bin(col("__x"))) - 1).cast("int"))
+      .withColumn("__b", when(col("__x") < m, col("__x").cast("int"))
+        .otherwise(lit(m) + (col("__e") - subLog2) * m +
+          expr(s"CAST(shiftright(__x, __e - $subLog2) % $m AS INT)")))
+      .groupBy(groupCols.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__n")).as("__v"))
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__v"))))
+        .as("__cells"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0), lit(nBins - 1)),
+          j => coalesce(element_at(col("__cells"), j), lit(0L))).as("qsk"): _*)
+  }
+
+  /** Merge quantile sketches across rows per group — element-wise sum,
+    * exact and order-free; bit-identical to sketching the unioned data.
+    */
+  def quantileMergeSketches(df: DataFrame, groupCols: Seq[String],
+                            sketchCol: String, subLog2: Int): DataFrame = {
+    val len = (64 - subLog2) * (1 << subLog2)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(aggregate(collect_list(col(sketchCol)),
+        array_repeat(lit(0L), len),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as(sketchCol))
+  }
+
+  /** Rank-pick quantiles from sketches — [[graft.operators.CorpusOps
+    * .lengthQuantiles]]'s exact rank convention (1-based sorted rank
+    * ⌊(n−1)·num∕den⌋ + 1) applied to cumulative bin counts: the answer is
+    * the LOWER BOUND of the first bin whose cumulative count reaches the
+    * rank — exact below 2^s, within relative 2^−s above, and bit-exact
+    * replayable (pure integer arithmetic). Output: (groupCols…, n,
+    * q{num}_{den}…) like `lengthQuantiles`. One keyed window over
+    * |view|·bins rows — the data is never touched.
+    */
+  def quantilesFromSketches(sketches: DataFrame, groupCols: Seq[String],
+                            quantiles: Seq[(Int, Int)],
+                            subLog2: Int = 5): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one (num, den) quantile")
+    quantiles.foreach { case (num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den") }
+    val m = 1 << subLog2
+    val sparse = sketches.select(groupCols.map(col) :+
+        posexplode(col("qsk")).as(Seq("__b", "__c")): _*)
+      .filter(col("__c") > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val lb = when(col("__b") < m, col("__b").cast("long"))
+      .otherwise(expr(
+        s"shiftleft(CAST($m + (__b - $m) % $m AS BIGINT), (__b - $m) div $m)"))
+    val cum = sparse
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__nt", sum(col("__c")).over(wAll))
+      .withColumn("__lb", lb)
+    val picks = quantiles.map { case (num, den) =>
+      min(when(col("__cum") >= expr(s"(__nt - 1) * $num div $den") + 1,
+        col("__lb"))).as(s"q${num}_$den")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__nt")).as("n"), picks: _*)
+  }
+
+  /** Advance a maintained quantile-sketch table by one change feed using
+    * DELTAS ALONE — bin counts are LINEAR like CM counters, so deletes
+    * subtract exactly what inserts added and the base is never re-read
+    * (the cheapest IVM shape; contrast the HLL/Bloom touched-group
+    * rebuilds). Groups whose bins net to all-zero drop. Invariant (spec'd
+    * and oracled): `applyFeedQuantileSketch(quantileSketch(v_base), feed)
+    * == quantileSketch(v_next)` bit-for-bit.
+    */
+  def applyFeedQuantileSketch(state: DataFrame, feed: DataFrame,
+                              groupCols: Seq[String], valueCol: String,
+                              subLog2: Int = 5): DataFrame = {
+    val signed = feed.withColumn("__sgn",
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val delta = quantileSketch(signed, groupCols, valueCol, subLog2,
+      weightCol = Some("__sgn"))
+    quantileMergeSketches(state.unionByName(delta), groupCols, "qsk", subLog2)
+      .filter(exists(col("qsk"), c => c =!= 0L))
+  }
+
   /** Everything the sketch-driven join dispatch reads, in one record —
     * every number derives from FIXED-SIZE mergeable sketches (CM for
     * totals, heavy-key bounds, and the inner-product join size; HLL for

@@ -70,7 +70,9 @@ object IvmStream {
                                hllValueCol: Option[String] = None,
                                hllP: Int = 12,
                                cmValueCol: Option[String] = None,
-                               cmDepth: Int = 4, cmWidthLog2: Int = 10) {
+                               cmDepth: Int = 4, cmWidthLog2: Int = 10,
+                               qskValueCol: Option[String] = None,
+                               qskSubLog2: Int = 5) {
     require(idCols.nonEmpty && groupCols.nonEmpty, "need id and group columns")
     private[streaming] def hybrid: Boolean =
       minMaxCols.nonEmpty || distinctCols.nonEmpty
@@ -79,8 +81,8 @@ object IvmStream {
         "across levels) — drop distinctCols, use a sketch view " +
         "(hllValueCol), or run a flat hybrid view per level")
     private[streaming] def sketch: Boolean =
-      hllValueCol.nonEmpty || cmValueCol.nonEmpty
-    require(!(hllValueCol.nonEmpty && cmValueCol.nonEmpty),
+      hllValueCol.nonEmpty || cmValueCol.nonEmpty || qskValueCol.nonEmpty
+    require(Seq(hllValueCol, cmValueCol, qskValueCol).count(_.nonEmpty) <= 1,
       "one sketch per view — run a second view for the other sketch")
     require(!sketch ||
       (sumCols.isEmpty && !rollup && minMaxCols.isEmpty && distinctCols.isEmpty),
@@ -88,11 +90,13 @@ object IvmStream {
         "time via SketchOps); run other aggregates as a second view over " +
         "the same source")
     private[streaming] def aggregate(df: DataFrame): DataFrame =
-      (hllValueCol, cmValueCol) match {
-        case (Some(v), _) =>
+      (hllValueCol, cmValueCol, qskValueCol) match {
+        case (Some(v), _, _) =>
           graft.operators.SketchOps.hllSketch(df, groupCols, v, hllP)
-        case (_, Some(v)) =>
+        case (_, Some(v), _) =>
           graft.operators.SketchOps.cmSketch(df, groupCols, v, cmDepth, cmWidthLog2)
+        case (_, _, Some(v)) =>
+          graft.operators.SketchOps.quantileSketch(df, groupCols, v, qskSubLog2)
         case _ =>
           if (rollup && minMaxCols.nonEmpty)
             IncrementalAgg.aggregateRollupHybrid(df, groupCols, sumCols, minMaxCols)
@@ -103,15 +107,19 @@ object IvmStream {
       }
     private[streaming] def apply(state: DataFrame, feed: DataFrame,
                                  base: => DataFrame): DataFrame =
-      (hllValueCol, cmValueCol) match {
-        case (Some(v), _) =>
+      (hllValueCol, cmValueCol, qskValueCol) match {
+        case (Some(v), _, _) =>
           graft.operators.SketchOps.applyFeedHllSketch(state, feed, base,
             groupCols, v, hllP)
-        case (_, Some(v)) =>
+        case (_, Some(v), _) =>
           // counters are linear: the CM view advances from the feed's
           // signed deltas alone — the base table is never read
           graft.operators.SketchOps.applyFeedCmSketch(state, feed,
             groupCols, v, cmDepth, cmWidthLog2)
+        case (_, _, Some(v)) =>
+          // bin counts are linear like CM: deltas alone, base never read
+          graft.operators.SketchOps.applyFeedQuantileSketch(state, feed,
+            groupCols, v, qskSubLog2)
         case _ =>
           if (rollup && minMaxCols.nonEmpty)
             IncrementalAgg.applyFeedRollupHybrid(state, feed, base, groupCols,

@@ -354,6 +354,87 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head.getLong(1) > 0L)
   }
 
+  test("quantile sketch: exact below 2^s, within one bin width above, vs exact lengthQuantiles") {
+    // values spanning both regimes: exact small values and spread large ones
+    val data = (0 until 2000).map(i => ("g", (i * i % 30000).toLong)).toDF("s", "v")
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    val sk = SketchOps.quantilesFromSketches(
+      SketchOps.quantileSketch(data, Seq("s"), "v", subLog2 = 5),
+      Seq("s"), qs, subLog2 = 5).collect().head
+    val exact = graft.operators.CorpusOps.lengthQuantiles(data, "v", "s", qs)
+      .collect().head
+    assert(sk.getLong(1) == 2000L)
+    qs.indices.foreach { i =>
+      val est = sk.getLong(2 + i)
+      val ex = exact.getLong(1 + i)
+      // the bin containing ex has lower bound est: est <= ex < est + width,
+      // width <= est / 32 + 1 (exact below 32)
+      assert(est <= ex && ex <= est + math.max(1L, est / 32),
+        s"q${qs(i)}: est $est vs exact $ex")
+    }
+    // small-value regime is EXACT: all values below 2^5
+    val small = (0 until 500).map(i => ("g", (i % 30).toLong)).toDF("s", "v")
+    val skS = SketchOps.quantilesFromSketches(
+      SketchOps.quantileSketch(small, Seq("s"), "v", subLog2 = 5),
+      Seq("s"), qs, subLog2 = 5).collect().head
+    val exS = graft.operators.CorpusOps.lengthQuantiles(small, "v", "s", qs)
+      .collect().head
+    qs.indices.foreach(i => assert(skS.getLong(2 + i) == exS.getLong(1 + i)))
+  }
+
+  test("quantile sketch merges by addition: shards == union, repartition-invariant, weighted") {
+    val whole = (0 until 3000).map(i => ("g", (i * 7 % 5000).toLong)).toDF("s", "v")
+    val wholeSk = SketchOps.quantileSketch(whole, Seq("s"), "v", subLog2 = 5)
+      .collect().head.getSeq[Long](1)
+    val shards = (0 until 3).map(r =>
+      (0 until 3000).filter(_ % 3 == r).map(i => ("g", (i * 7 % 5000).toLong))
+        .toDF("s", "v"))
+      .map(SketchOps.quantileSketch(_, Seq("s"), "v", subLog2 = 5))
+      .reduce(_ unionByName _)
+    assert(SketchOps.quantileMergeSketches(shards, Seq("s"), "qsk", subLog2 = 5)
+      .collect().head.getSeq[Long](1) == wholeSk)
+    assert(SketchOps.quantileSketch(whole.repartition(7), Seq("s"), "v", subLog2 = 5)
+      .collect().head.getSeq[Long](1) == wholeSk)
+    // weight w == the row repeated w times
+    val weighted = Seq(("g", 100L, 3L), ("g", 40L, 1L)).toDF("s", "v", "w")
+    val repeated = Seq(("g", 100L), ("g", 100L), ("g", 100L), ("g", 40L)).toDF("s", "v")
+    assert(SketchOps.quantileSketch(weighted, Seq("s"), "v", 5, weightCol = Some("w"))
+      .collect().head.getSeq[Long](1) ==
+      SketchOps.quantileSketch(repeated, Seq("s"), "v", 5).collect().head.getSeq[Long](1))
+  }
+
+  test("quantile sketch IVM: signed feed deltas equal the from-scratch sketch; negatives fail loudly") {
+    import spark.implicits._
+    val base = (0 until 400).map(i =>
+      (i.toLong, Seq("x", "y")(i % 2), (i * 11 % 900).toLong)).toDF("id", "g", "v")
+    // feed: delete v=44 rows, move one value (pre+post pair), insert new
+    val deletes = base.filter(col("v") === 44)
+      .withColumn("_change_type", lit("delete"))
+    val pre = base.filter(col("id") === 3)
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = base.filter(col("id") === 3).withColumn("v", lit(123456L))
+      .withColumn("_change_type", lit("update_postimage"))
+    val ins = Seq((9001L, "x", 31L), (9002L, "y", 0L)).toDF("id", "g", "v")
+      .withColumn("_change_type", lit("insert"))
+    val feed = deletes.unionByName(pre).unionByName(post).unionByName(ins)
+    val next = base.filter(col("v") =!= 44)
+      .withColumn("v", when(col("id") === 3, lit(123456L)).otherwise(col("v")))
+      .unionByName(Seq((9001L, "x", 31L), (9002L, "y", 0L)).toDF("id", "g", "v"))
+    val advanced = SketchOps.applyFeedQuantileSketch(
+      SketchOps.quantileSketch(base, Seq("g"), "v", 5), feed, Seq("g"), "v", 5)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val scratch = SketchOps.quantileSketch(next, Seq("g"), "v", 5)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(advanced == scratch)
+    // negative values fail at run time with the contract named
+    val neg = Seq(("g", -5L)).toDF("s", "v")
+    val e = intercept[Exception] {
+      SketchOps.quantileSketch(neg, Seq("s"), "v", 5).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-negative"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("planEquiJoin is bit-identical to the plain join on every dispatch path") {
     // left uniform over 50 keys; right plants key 7 hot (half its rows) —
     // the salted_right path, which also exercises the column-order restore

@@ -631,5 +631,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTest {
       IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
         hllValueCol = Some("v"), cmValueCol = Some("v"))
     }
+    assertThrows[IllegalArgumentException] {
+      IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
+        cmValueCol = Some("v"), qskValueCol = Some("v"))
+    }
+  }
+
+  test("streaming IVM: the quantile sketch view advances on feed deltas alone") {
+    import graft.core.TableStore
+    import graft.operators.SketchOps
+    import graft.streaming.IvmStream
+    import spark.implicits._
+    val srcRoot = java.nio.file.Files.createTempDirectory("ivm_src_qsk").toString
+    val viewRoot = java.nio.file.Files.createTempDirectory("ivm_view_qsk").toString
+    def rows(xs: (Long, String, Long)*) = xs.toDF("id", "grp", "v")
+    TableStore.commit(rows((0 until 300).map(i =>
+      (i.toLong, Seq("a", "b")(i % 2), (i * 13 % 700).toLong)): _*), srcRoot)
+    val spec = IvmStream.IvmViewSpec(Seq("id"), Seq("grp"), Nil,
+      qskValueCol = Some("v"), qskSubLog2 = 5)
+    def recompute() = SketchOps.quantileSketch(
+      TableStore.read(spark, srcRoot), Seq("grp"), "v", subLog2 = 5)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(0L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap == recompute())
+    TableStore.merge(spark, srcRoot)(cur =>
+      cur.filter(col("v") < 650).unionByName(rows((900L, "a", 9999L))))
+    assert(IvmStream.advanceView(spark, srcRoot, viewRoot, spec).contains(1L))
+    assert(TableStore.read(spark, viewRoot)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap == recompute())
+    // quantile reads come straight off the maintained sketches
+    val q = SketchOps.quantilesFromSketches(TableStore.read(spark, viewRoot),
+      Seq("grp"), Seq((1, 2)), subLog2 = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q.keySet == Set("a", "b") && q.values.forall(_ >= 0L))
   }
 }
