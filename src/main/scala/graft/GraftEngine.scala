@@ -521,6 +521,15 @@ object GraftEngine {
     operators.SketchOps.bloomMightContain(sketches, queries, groupCols,
       valueCol, bitsLog2, k)
 
+  /** estimate_overlap: cross-corpus set-overlap triage from two HLL
+    * sketch tables — union native under register max,
+    * intersection by inclusion–exclusion; additive error, so a triage
+    * probe before `contaminationCheck`'s exact pass.
+    */
+  def estimateOverlap(sketchesA: DataFrame, sketchesB: DataFrame,
+                      groupCols: Seq[String], p: Int = 12): DataFrame =
+    operators.SketchOps.hllIntersectEstimate(sketchesA, sketchesB, groupCols, p)
+
   /** distribution_sketch / estimate_quantiles: mergeable log-linear bin
     * histograms (exact below 2^s, relative error ≤ 2^−s above; linear
     * counts ⇒ shards add and deltas maintain) and rank-picked quantiles

@@ -3142,6 +3142,25 @@ object SparkEntry {
           Seq("source"), "tokens", subLog2 = 5)
         .select(col("source"), posexplode(col("qsk")).as(Seq("b", "c")))
         .filter(col("c") =!= 0)
+    },
+
+    // Cross-corpus overlap triage from HLL sketches alone: union is
+    // native (register max IS the union sketch), intersection by
+    // inclusion-exclusion in the same micro-floored arithmetic — the
+    // dump-vs-dump contamination screen run BEFORE any exact n-gram
+    // pass. Exact intersect rides along to show the additive error.
+    "q199_hll_overlap" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      // planted partial overlap: A = 60% of the key space, B = 60%,
+      // true intersection = the 20% both keep — scale-independent
+      val a = li.filter(col("l_partkey") % 10 < 6).select(col("l_partkey").as("x"))
+      val b = li.filter(col("l_partkey") % 10 >= 4).select(col("l_partkey").as("x"))
+      val est = graft.operators.SketchOps.hllIntersectEstimate(
+        graft.operators.SketchOps.hllSketch(a, Nil, "x", p = 9),
+        graft.operators.SketchOps.hllSketch(b, Nil, "x", p = 9), Nil, p = 9)
+      val exact = a.distinct().intersect(b.distinct())
+        .agg(count(lit(1)).as("n_exact_intersect"))
+      est.crossJoin(exact)
     }
   )
 
@@ -7316,7 +7335,53 @@ object SparkEntry {
         |              CAST((tokens >> (length(bin(tokens)) - 1 - 5)) % 32 AS INT) END AS b
         |  FROM post)
         |SELECT source, b, CAST(count(*) AS BIGINT) AS c
-        |FROM bins GROUP BY 1, 2""".stripMargin
+        |FROM bins GROUP BY 1, 2""".stripMargin,
+
+    // three HLL register builds (A, B, and the distinct union) through
+    // the q185 replay, inclusion-exclusion in the same micro-floored
+    // arithmetic, exact INTERSECT count alongside
+    "q199_hll_overlap" ->
+      """WITH a AS (SELECT DISTINCT l_partkey AS x FROM lineitem WHERE l_partkey % 10 < 6),
+        |b AS (SELECT DISTINCT l_partkey AS x FROM lineitem WHERE l_partkey % 10 >= 4),
+        |v AS (SELECT 'a' AS g, x FROM a UNION ALL SELECT 'b', x FROM b
+        |      UNION ALL SELECT 'u', x FROM (SELECT x FROM a UNION SELECT x FROM b)),
+        |z0 AS (SELECT g, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+        |x1 AS (SELECT g, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT g, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT g, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT g, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |h AS (SELECT g, xor(z, z // 2147483648) AS u FROM z2),
+        |rr AS (SELECT g, CAST(u % 512 AS INT) AS idx, CAST(u // 512 AS BIGINT) AS rem FROM h),
+        |rk AS (SELECT g, idx,
+        |  CASE WHEN rem = 0 THEN 56 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM rr),
+        |reg AS (SELECT g, idx, max(rank) AS r FROM rk GROUP BY g, idx),
+        |dense AS (
+        |  SELECT gs.g, i.idx, coalesce(reg.r, 0) AS r
+        |  FROM (SELECT DISTINCT g FROM v) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS idx) i
+        |  LEFT JOIN reg ON reg.g = gs.g AND reg.idx = i.idx),
+        |est AS (
+        |  SELECT g,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM dense GROUP BY g),
+        |fin AS (
+        |  SELECT g,
+        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 512.0 AND zeros > 0
+        |      THEN 512.0 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |  FROM (SELECT g, zeros,
+        |          (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp AS raw
+        |        FROM est)),
+        |ex AS (SELECT count(*) AS n_exact_intersect
+        |       FROM (SELECT x FROM a INTERSECT SELECT x FROM b))
+        |SELECT fa.est_micro AS est_a_micro, fb.est_micro AS est_b_micro,
+        |  fu.est_micro AS est_union_micro,
+        |  CAST(greatest(0, fa.est_micro + fb.est_micro - fu.est_micro) AS BIGINT) AS est_intersect_micro,
+        |  CAST(ex.n_exact_intersect AS BIGINT) AS n_exact_intersect
+        |FROM (SELECT est_micro FROM fin WHERE g = 'a') fa,
+        |     (SELECT est_micro FROM fin WHERE g = 'b') fb,
+        |     (SELECT est_micro FROM fin WHERE g = 'u') fu, ex""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

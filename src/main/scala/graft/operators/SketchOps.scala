@@ -443,6 +443,41 @@ object SketchOps {
       .drop("cm", "__cmb")
   }
 
+  /** Set-overlap estimates from two HLL sketch tables — the cross-corpus
+    * overlap triage (dump-vs-dump contamination screening BEFORE the
+    * exact n-gram pass): the UNION estimate is native (register-wise max
+    * is exactly the sketch of the unioned data), and the INTERSECTION
+    * follows by inclusion–exclusion |A∩B| = |A|+|B|−|A∪B| in the same
+    * micro-floored arithmetic, clamped at 0 (raw inclusion–exclusion can
+    * go negative within estimation noise). Error is ADDITIVE —
+    * ~1.04∕√m on each of the three estimates, so ~3× that against
+    * |A|+|B| — which makes this a TRIAGE probe: a small true overlap
+    * can read as 0, a large one is unmistakable; anything flagged goes
+    * to [[graft.operators.CorpusOps.contaminationCheck]] for exactness.
+    * Inputs are [[hllSketch]] outputs at the same p; B's sketch column
+    * renames so the join carries both. Output: groupCols… +
+    * (est_a_micro, est_b_micro, est_union_micro, est_intersect_micro).
+    */
+  def hllIntersectEstimate(sketchesA: DataFrame, sketchesB: DataFrame,
+                           groupCols: Seq[String], p: Int = 12): DataFrame = {
+    val b = sketchesB.withColumnRenamed("hll", "__hllb")
+    val joined =
+      if (groupCols.isEmpty) sketchesA.crossJoin(broadcast(b))
+      else sketchesA.join(b, groupCols)
+    val estA = hllEstimate(col("hll"), p)
+    val estB = hllEstimate(col("__hllb"), p)
+    val estU = hllEstimate(
+      zip_with(col("hll"), col("__hllb"), (x, y) => greatest(x, y)), p)
+    joined
+      .withColumn("est_a_micro", estA)
+      .withColumn("est_b_micro", estB)
+      .withColumn("est_union_micro", estU)
+      .withColumn("est_intersect_micro",
+        greatest(lit(0L),
+          col("est_a_micro") + col("est_b_micro") - col("est_union_micro")))
+      .drop("hll", "__hllb")
+  }
+
   /** Deterministic mergeable QUANTILE sketch — the distribution
     * complement to HLL (cardinality), CM (frequency), and Bloom
     * (membership), completing the dashboard story q150/q191 tell with

@@ -354,6 +354,33 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head.getLong(1) > 0L)
   }
 
+  test("HLL intersection: inclusion-exclusion error characterized on a planted overlap") {
+    // |A| = 6000, |B| = 6000, |A∩B| = 2000, |A∪B| = 10000, p = 12 (SE ~1.6%)
+    val a = (0 until 6000).map(i => ("g", i.toLong)).toDF("g", "x")
+    val b = (4000 until 10000).map(i => ("g", i.toLong)).toDF("g", "x")
+    val skA = SketchOps.hllSketch(a, Seq("g"), "x", p = 12)
+    val skB = SketchOps.hllSketch(b, Seq("g"), "x", p = 12)
+    val r = SketchOps.hllIntersectEstimate(skA, skB, Seq("g"), p = 12)
+      .collect().head
+    val (ea, eb, eu, ei) = (r.getLong(1) / 1e6, r.getLong(2) / 1e6,
+      r.getLong(3) / 1e6, r.getLong(4) / 1e6)
+    assert(math.abs(ea - 6000) / 6000 < 0.05, s"A est $ea")
+    assert(math.abs(eb - 6000) / 6000 < 0.05, s"B est $eb")
+    assert(math.abs(eu - 10000) / 10000 < 0.05, s"union est $eu")
+    // intersection error is ADDITIVE across three estimates: bound it by
+    // 4x the per-estimate SE against |A|+|B| (documented triage-only use)
+    assert(math.abs(ei - 2000) < 4 * 1.04 / math.sqrt(4096) * 12000,
+      s"intersect est $ei vs 2000")
+    // the union estimate comes from register max == the sketch of the
+    // unioned data, bit-for-bit
+    val direct = SketchOps.hllSketch(a.unionByName(b), Seq("g"), "x", p = 12)
+    val directEst = direct.select(SketchOps.hllEstimate(col("hll"), 12))
+      .collect().head.getLong(0)
+    assert(r.getLong(3) == directEst)
+    // inclusion-exclusion is exactly est_a + est_b - est_union (clamped)
+    assert(r.getLong(4) == math.max(0L, r.getLong(1) + r.getLong(2) - r.getLong(3)))
+  }
+
   test("quantile sketch: exact below 2^s, within one bin width above, vs exact lengthQuantiles") {
     // values spanning both regimes: exact small values and spread large ones
     val data = (0 until 2000).map(i => ("g", (i * i % 30000).toLong)).toDF("s", "v")
