@@ -521,6 +521,19 @@ object GraftEngine {
     operators.SketchOps.bloomMightContain(sketches, queries, groupCols,
       valueCol, bitsLog2, k)
 
+  /** commit_with_sketches / lookup_with_sketches: the sketch-registry
+    * data-skipping layer — per-shard Bloom+HLL rows persisted inside the
+    * same atomic version commit; a keyed lookup consults the registry
+    * first and a Bloom miss opens zero data files.
+    */
+  def commitWithSketches(df: DataFrame, root: String, keyCol: String,
+                         shardsLog2: Int = 3, bitsLog2: Int = 14): Long =
+    core.SketchRegistry.commitWithSketches(df, root, keyCol, shardsLog2, bitsLog2)
+
+  def lookupWithSketches(spark: org.apache.spark.sql.SparkSession, root: String,
+                         key: Long): DataFrame =
+    core.SketchRegistry.lookupWithSketches(spark, root, key)
+
   /** estimate_overlap: cross-corpus set-overlap triage from two HLL
     * sketch tables — union native under register max,
     * intersection by inclusion–exclusion; additive error, so a triage

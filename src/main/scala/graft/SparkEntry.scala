@@ -3161,6 +3161,40 @@ object SparkEntry {
       val exact = a.distinct().intersect(b.distinct())
         .agg(count(lit(1)).as("n_exact_intersect"))
       est.crossJoin(exact)
+    },
+
+    // Sketch-registry data skipping: commitWithSketches lays the table
+    // out in splitmix-hash shards and persists per-shard Bloom+HLL rows
+    // INSIDE the same atomic version commit; a keyed lookup reads the
+    // registry first — a Bloom miss opens ZERO data files. Shard
+    // assignment and admission are pure splitmix arithmetic, so the
+    // oracle re-derives every probe's shard, its admission bit-for-bit
+    // (including any false positive), and the true row count.
+    "q200_sketch_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens_raw(col("text")).cast("long").as("tokens"))
+      val root = java.nio.file.Files.createTempDirectory("q200_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val probes = (0L until 10L) ++ (1000000L until 1000010L)
+      probes.map { key =>
+        val admitted = graft.core.SketchRegistry.prunedShards(s, root, key)
+        val found = graft.core.SketchRegistry.lookupWithSketches(s, root, key).count()
+        (key, (graft.functions.HashKernels.splitmix64(key) & 7L).toInt,
+          admitted.length, found)
+      }.toDF("probe", "shard", "n_shards_admitted", "n_rows_found")
+    },
+
+    // Per-shard planning statistics served off the registry alone — no
+    // data file is touched: row counts exact, ndv the micro-floored HLL
+    // estimate, both replayed from the shard assignment in SQL.
+    "q201_shard_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q201_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 9)
+      graft.core.SketchRegistry.shardStats(s, root)
     }
   )
 
@@ -7381,7 +7415,92 @@ object SparkEntry {
         |  CAST(ex.n_exact_intersect AS BIGINT) AS n_exact_intersect
         |FROM (SELECT est_micro FROM fin WHERE g = 'a') fa,
         |     (SELECT est_micro FROM fin WHERE g = 'b') fb,
-        |     (SELECT est_micro FROM fin WHERE g = 'u') fu, ex""".stripMargin
+        |     (SELECT est_micro FROM fin WHERE g = 'u') fu, ex""".stripMargin,
+
+    // the registry's data-skipping decision re-derived from scratch:
+    // every doc id's shard (splitmix low 3 bits), each shard's Bloom
+    // bitmap (q190 HUGEINT pattern, 12-bit positions), every probe's
+    // shard + 4-position admission test (false positives reproduce
+    // exactly), and the true row count per probe
+    "q200_sketch_lookup" ->
+      """WITH ids AS (SELECT doc_id AS x FROM documents),
+        |pr AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS x
+        |       UNION ALL
+        |       SELECT CAST(unnest(generate_series(1000000, 1000009)) AS BIGINT)),
+        |uni AS (SELECT 'd' AS side, x FROM ids UNION ALL SELECT 'p', x FROM pr),
+        |inp AS (SELECT side, x, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM uni CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT side, x, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT side, x, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT side, x, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT side, x, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT side, x, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |h AS (SELECT side, x, i, xor(z, z // 2147483648) AS u FROM z2),
+        |hs AS (SELECT side, x, i, CAST(u % 8 AS INT) AS sh, u % 4096 AS p FROM h),
+        |rowshard AS (SELECT side, x, CAST(max(CASE WHEN i = 0 THEN sh END) AS INT) AS shard
+        |             FROM hs GROUP BY 1, 2),
+        |dbits AS (SELECT rs.shard, CAST(hs.p // 64 AS INT) AS word,
+        |    bit_or(CAST(1 AS HUGEINT) << CAST(hs.p % 64 AS INT)) AS bits
+        |  FROM hs JOIN rowshard rs ON rs.side = hs.side AND rs.x = hs.x
+        |  WHERE hs.side = 'd' GROUP BY 1, 2),
+        |padm AS (SELECT rs.x AS probe, rs.shard,
+        |    CAST(count(*) AS INT) AS n_pos,
+        |    CAST(sum(CASE WHEN db.bits IS NOT NULL AND
+        |      (db.bits & (CAST(1 AS HUGEINT) << CAST(hs.p % 64 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS INT) AS n_hit
+        |  FROM hs JOIN rowshard rs ON rs.side = hs.side AND rs.x = hs.x
+        |  LEFT JOIN dbits db ON db.shard = rs.shard AND db.word = CAST(hs.p // 64 AS INT)
+        |  WHERE hs.side = 'p' GROUP BY 1, 2),
+        |found AS (SELECT p.x AS probe, count(ids.x) AS nf
+        |          FROM pr p LEFT JOIN ids ON ids.x = p.x GROUP BY 1)
+        |SELECT padm.probe, padm.shard,
+        |  CAST(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS INT) AS n_shards_admitted,
+        |  CAST(found.nf AS BIGINT) AS n_rows_found
+        |FROM padm JOIN found ON found.probe = padm.probe""".stripMargin,
+
+    // per-shard counts + the p=9 HLL estimate over each shard's ids,
+    // re-derived entirely from the splitmix shard assignment
+    "q201_shard_stats" ->
+      """WITH ids AS (SELECT doc_id AS x FROM documents),
+        |z0a AS (SELECT x, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM ids),
+        |x1a AS (SELECT x, xor(z, z // 1073741824) AS xx FROM z0a),
+        |z1a AS (SELECT x, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1a),
+        |x2a AS (SELECT x, xor(z, z // 134217728) AS xx FROM z1a),
+        |z2a AS (SELECT x, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2a),
+        |sh AS (SELECT x, CAST(xor(z, z // 2147483648) % 8 AS INT) AS shard FROM z2a),
+        |v AS (SELECT DISTINCT shard AS g, x FROM sh),
+        |z0 AS (SELECT g, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+        |x1 AS (SELECT g, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT g, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT g, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT g, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |h AS (SELECT g, xor(z, z // 2147483648) AS u FROM z2),
+        |rr AS (SELECT g, CAST(u % 512 AS INT) AS idx, CAST(u // 512 AS BIGINT) AS rem FROM h),
+        |rk AS (SELECT g, idx,
+        |  CASE WHEN rem = 0 THEN 56 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM rr),
+        |reg AS (SELECT g, idx, max(rank) AS r FROM rk GROUP BY g, idx),
+        |dense AS (
+        |  SELECT gs.g, i.idx, coalesce(reg.r, 0) AS r
+        |  FROM (SELECT DISTINCT g FROM v) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS idx) i
+        |  LEFT JOIN reg ON reg.g = gs.g AND reg.idx = i.idx),
+        |est AS (
+        |  SELECT g,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM dense GROUP BY g),
+        |fin AS (
+        |  SELECT g,
+        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 512.0 AND zeros > 0
+        |      THEN 512.0 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |  FROM (SELECT g, zeros,
+        |          (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp AS raw
+        |        FROM est)),
+        |cnt AS (SELECT shard, count(*) AS n_rows FROM sh GROUP BY 1)
+        |SELECT cnt.shard, CAST(cnt.n_rows AS BIGINT) AS n_rows,
+        |  fin.est_micro AS ndv_micro
+        |FROM cnt JOIN fin ON fin.g = cnt.shard""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

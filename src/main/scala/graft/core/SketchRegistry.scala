@@ -1,0 +1,162 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+
+/** Per-shard sketch registry on top of [[TableStore]] — the zone-map /
+  * data-skipping story built from the engine's own sketch artifacts
+  * (reference has nothing like it; the pattern is the lakehouse
+  * file-statistics one, done with replayable sketches instead of
+  * min/max stats).
+  *
+  * [[commitWithSketches]] lays the table out in `2^shardsLog2` key-hash
+  * shards (a visible `shard` layout column, `splitmix64(key)` low bits —
+  * deterministic and engine-replayable, so the oracle can re-derive every
+  * row's shard) and persists, INSIDE the same atomic version commit, a
+  * tiny `_sketches` registry: one row per shard with its Bloom filter,
+  * HLL sketch, and row count. Underscore-prefixed paths are invisible to
+  * data reads, and the registry rides the version's rename→swap, so it
+  * can never be torn from the data it describes — time travel and vacuum
+  * apply to both together.
+  *
+  * A keyed lookup then reads the REGISTRY first ([[prunedShards]]):
+  * the key's shard comes from the hash directly, and the shard's Bloom
+  * row decides whether the shard's files are opened at all — a planted
+  * miss reads ZERO data files (false positives possible at the published
+  * rate, false negatives never). [[shardStats]] serves per-shard
+  * row/ndv numbers off the registry alone — the planning statistics
+  * surface, no data scan.
+  */
+object SketchRegistry {
+
+  /** Registry parameters, persisted beside the data so lookups can never
+    * probe with mismatched hashing.
+    */
+  final case class Meta(keyCol: String, shardsLog2: Int, bitsLog2: Int,
+                        k: Int, hllP: Int)
+
+  /** Opt-in sketch-indexed commit: the data lands hash-sharded on
+    * `keyCol` (integral — the sketch contract) with the registry in the
+    * same atomic commit. Costs two extra aggregations over the input
+    * (Bloom + HLL builds, map-side partial) and one shuffle for the
+    * shard layout. Reads of the table see the extra `shard` column —
+    * the layout is part of the table's contract, like any partitioned
+    * table's.
+    */
+  def commitWithSketches(df: DataFrame, root: String, keyCol: String,
+                         shardsLog2: Int = 3, bitsLog2: Int = 14, k: Int = 4,
+                         hllP: Int = 12,
+                         expectedVersion: Option[Long] = None): Long = {
+    require(shardsLog2 >= 0 && shardsLog2 <= 12,
+      s"shardsLog2 must be in [0, 12], got $shardsLog2")
+    val n = 1 << shardsLog2
+    val sharded = df.withColumn("shard",
+      graft.functions.GraftFunctions.splitmix64(col(keyCol).cast("long"))
+        .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+    val registry = SketchOps.bloomSketch(sharded, Seq("shard"), keyCol, bitsLog2, k)
+      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyCol, hllP), Seq("shard"))
+      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+        Seq("shard"))
+    TableStore.commitStaged(root, expectedVersion) { staging =>
+      sharded.write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      registry.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_sketches").toString)
+      Files.write(staging.resolve("_sketches_meta"),
+        s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP"
+          .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The persisted parameters of `root`'s committed (or given) version.
+    * Fails loudly when the version was not committed via
+    * [[commitWithSketches]].
+    */
+  def meta(root: String, version: Option[Long] = None): Meta = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val p = Paths.get(root, s"v_$v", "_sketches_meta")
+    require(Files.exists(p),
+      s"v_$v under $root carries no sketch registry — commit it with " +
+        "commitWithSketches to enable sketch-pruned lookups")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
+      .split("\n") match {
+      case Array(key, s, b, kk, hp) => Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt)
+      case other => throw new IllegalStateException(
+        s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
+    }
+  }
+
+  /** The registry rows of the committed (or given) version: one row per
+    * non-empty shard — (shard, bloom, hll, n_rows).
+    */
+  def registry(spark: SparkSession, root: String,
+               version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    spark.read.parquet(s"$root/v_$v/_sketches")
+  }
+
+  /** Per-shard planning statistics served off the registry ALONE — zero
+    * data files touched: (shard, n_rows, ndv_micro).
+    */
+  def shardStats(spark: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    registry(spark, root, version).select(col("shard"), col("n_rows"),
+      SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"))
+  }
+
+  /** The shard directories a lookup of `key` must read: the key's hash
+    * shard IF its Bloom row admits the key — empty on a definite miss
+    * (the data-skipping decision; false positives at the published rate,
+    * never false negatives). Reads ONE registry row, no data files.
+    */
+  def prunedShards(spark: SparkSession, root: String, key: Long,
+                   version: Option[Long] = None): Seq[Int] = {
+    val m = meta(root, version)
+    val shard = (graft.functions.HashKernels.splitmix64(key)
+      & ((1L << m.shardsLog2) - 1)).toInt
+    registry(spark, root, version)
+      .filter(col("shard") === shard).select(col("bloom"))
+      .collect().headOption match {
+      case None => Nil // the shard holds no rows at all
+      case Some(r) =>
+        val words = r.getSeq[Long](0)
+        val mask = (1L << m.bitsLog2) - 1
+        val admitted = (0 until m.k).forall { i =>
+          val p = graft.functions.HashKernels.splitmix64(key + i) & mask
+          (words((p >>> 6).toInt) & (1L << (p & 63).toInt)) != 0L
+        }
+        if (admitted) Seq(shard) else Nil
+    }
+  }
+
+  /** Keyed point lookup through the registry: a Bloom miss returns the
+    * empty result WITHOUT opening any data file (the plan collapses to an
+    * empty LocalRelation); a hit reads exactly one shard directory of
+    * 2^shardsLog2. Result rows are exactly
+    * `TableStore.read(...).filter(keyCol === key)`'s (spec-pinned).
+    */
+  def lookupWithSketches(spark: SparkSession, root: String, key: Long,
+                         version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    prunedShards(spark, root, key, version) match {
+      case Nil =>
+        (version match {
+          case Some(x) => TableStore.readVersion(spark, root, x)
+          case None    => TableStore.read(spark, root)
+        }).filter(lit(false)) // schema only; optimizes to an empty relation
+      case shards =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(m.keyCol) === key)
+    }
+  }
+}

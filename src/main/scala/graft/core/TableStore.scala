@@ -197,7 +197,21 @@ object TableStore {
     * concurrency is unchanged.
     */
   def commit(df: DataFrame, root: String, expectedVersion: Option[Long] = None,
-             lockStaleMs: Long = 60 * 60 * 1000L, lockWaitMs: Long = 60 * 1000L): Long = {
+             lockStaleMs: Long = 60 * 60 * 1000L, lockWaitMs: Long = 60 * 1000L): Long =
+    commitStaged(root, expectedVersion, lockStaleMs, lockWaitMs)(staging =>
+      df.write.mode("overwrite").parquet(staging.toString))
+
+  /** [[commit]] with a caller-supplied staging writer — everything the
+    * writer puts under the staging directory (data files, underscore-
+    * prefixed sketch registries, metadata) rides the SAME atomic
+    * rename→swap, so auxiliary artifacts can never be torn from the
+    * version they describe. The concurrency protocol is [[commit]]'s,
+    * unchanged.
+    */
+  private[core] def commitStaged(root: String, expectedVersion: Option[Long] = None,
+                                 lockStaleMs: Long = 60 * 60 * 1000L,
+                                 lockWaitMs: Long = 60 * 1000L)
+                                (write: java.nio.file.Path => Unit): Long = {
     Files.createDirectories(Paths.get(root))
     val cur = currentVersion(root)
     expectedVersion.foreach { exp =>
@@ -214,7 +228,7 @@ object TableStore {
     }
     val slot = Paths.get(root, s"v_$next")
     val staging = Paths.get(root, s"_staging_${java.util.UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    write(staging)
     val token = acquireLock(root, lockStaleMs, lockWaitMs)
     try {
       // claim the slot with an atomic createDirectory — rename(2) would

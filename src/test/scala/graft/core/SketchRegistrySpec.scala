@@ -1,0 +1,102 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Per-shard sketch registry: commit-time layout + Bloom-pruned lookups. */
+class SketchRegistrySpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+    val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    fs.filter(_.isDirectory).flatMap(dataFiles) ++
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getPath.contains("_sketches"))
+  }
+
+  test("commitWithSketches: layout round-trips, registry rides the commit, lookups prune") {
+    val root = java.nio.file.Files.createTempDirectory("skreg").toString
+    val df = (0 until 800).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val v = SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    assert(v == 0L)
+    // the data round-trips with the shard layout column, shard = splitmix low bits
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 800L)
+    assert(back.columns.toSet == Set("id", "payload", "shard"))
+    val mism = back.filter(col("shard") =!=
+      graft.functions.GraftFunctions.splitmix64(col("id")).bitwiseAND(lit(7L)).cast("int"))
+    assert(mism.count() == 0L, "shard column must equal the documented hash")
+    // registry: one row per non-empty shard, counts sum to the table
+    val reg = SketchRegistry.registry(spark, root)
+    assert(reg.agg(sum(col("n_rows"))).collect().head.getLong(0) == 800L)
+    val stats = SketchRegistry.shardStats(spark, root).collect()
+    assert(stats.length == 8 && stats.forall(_.getLong(2) > 0L))
+    // a present key reads EXACTLY ONE shard directory's files
+    val hit = SketchRegistry.lookupWithSketches(spark, root, 123L)
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("p123"))
+    val shard = SketchRegistry.prunedShards(spark, root, 123L)
+    assert(shard.length == 1)
+    val versionDir = new java.io.File(s"$root/v_0")
+    val allFiles = dataFiles(versionDir)
+    val shardFiles = dataFiles(new java.io.File(s"$root/v_0/shard=${shard.head}"))
+    assert(shardFiles.nonEmpty && allFiles.size > shardFiles.size,
+      s"pruned read must touch a strict subset: ${shardFiles.size}/${allFiles.size}")
+    assert(hit.queryExecution.executedPlan.toString.contains(s"shard=${shard.head}"))
+    // lookup == the full-scan filter, for every probed key
+    (0L until 20L).foreach { k =>
+      assert(SketchRegistry.lookupWithSketches(spark, root, k)
+        .select("id", "payload").collect().toSeq ==
+        back.filter(col("id") === k).select("id", "payload").collect().toSeq)
+    }
+    // planted misses: find keys the Bloom rejects (deterministic) and pin
+    // that the lookup opens ZERO data files — the plan collapses to an
+    // empty local relation, no FileScan anywhere
+    val misses = (100000L until 100050L)
+      .filter(k => SketchRegistry.prunedShards(spark, root, k).isEmpty)
+    assert(misses.size >= 40, s"FP rate implausibly high: ${50 - misses.size}/50")
+    val missPlan = SketchRegistry.lookupWithSketches(spark, root, misses.head)
+    assert(missPlan.collect().isEmpty)
+    assert(!missPlan.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a Bloom miss must not open any data file")
+    // no false negatives across the whole table
+    val fns = (0 until 800).count(i =>
+      SketchRegistry.prunedShards(spark, root, i.toLong).isEmpty)
+    assert(fns == 0, s"$fns false negatives")
+  }
+
+  test("registry versions travel with the table: CAS, time travel, meta guard") {
+    val root = java.nio.file.Files.createTempDirectory("skreg2").toString
+    val v0 = SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (i.toLong, i)).toDF("id", "x"), root, "id",
+      shardsLog2 = 2, bitsLog2 = 10, k = 3)
+    // CAS pass-through: a stale expectedVersion fails like commit's
+    val e = intercept[IllegalArgumentException] {
+      SketchRegistry.commitWithSketches(
+        (0 until 10).map(i => (i.toLong, i)).toDF("id", "x"), root, "id",
+        expectedVersion = Some(5L))
+    }
+    assert(e.getMessage.contains("stale write"))
+    // a second sketch commit; v0's registry still serves time travel
+    val v1 = SketchRegistry.commitWithSketches(
+      (50 until 300).map(i => (i.toLong, i)).toDF("id", "x"), root, "id",
+      shardsLog2 = 2, bitsLog2 = 10, k = 3, expectedVersion = Some(v0))
+    assert(v1 == v0 + 1)
+    assert(SketchRegistry.lookupWithSketches(spark, root, 10L, Some(v0)).count() == 1L)
+    assert(SketchRegistry.lookupWithSketches(spark, root, 10L).count() == 0L ||
+      SketchRegistry.prunedShards(spark, root, 10L).nonEmpty) // FP allowed, rows never
+    assert(SketchRegistry.lookupWithSketches(spark, root, 10L)
+      .filter(col("id") === 10L).count() == 0L)
+    assert(SketchRegistry.lookupWithSketches(spark, root, 200L).count() == 1L)
+    // plain commits carry no registry: the probe fails loudly, named fix
+    val plain = java.nio.file.Files.createTempDirectory("skreg3").toString
+    TableStore.commit(Seq((1L, "a")).toDF("id", "v"), plain)
+    val g = intercept[IllegalArgumentException] {
+      SketchRegistry.lookupWithSketches(spark, plain, 1L)
+    }
+    assert(g.getMessage.contains("commitWithSketches"))
+  }
+}
