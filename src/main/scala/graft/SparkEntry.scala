@@ -3195,6 +3195,21 @@ object SparkEntry {
       graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
         shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 9)
       graft.core.SketchRegistry.shardStats(s, root)
+    },
+
+    // Batch Bloom-pruned semi-join through the registry: result rows are
+    // the plain IN-filter's (Bloom FPs die on the final exact equality,
+    // FNs cannot occur) — only the shard dirs some probe admits are ever
+    // opened. The oracle is the plain semi-join.
+    "q202_batch_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q202_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val probes = ((0L until 50L) ++ (2000000L until 2000050L)).toDF("key")
+      graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -7500,7 +7515,14 @@ object SparkEntry {
         |cnt AS (SELECT shard, count(*) AS n_rows FROM sh GROUP BY 1)
         |SELECT cnt.shard, CAST(cnt.n_rows AS BIGINT) AS n_rows,
         |  fin.est_micro AS ndv_micro
-        |FROM cnt JOIN fin ON fin.g = cnt.shard""".stripMargin
+        |FROM cnt JOIN fin ON fin.g = cnt.shard""".stripMargin,
+
+    // the registry's batch lookup IS the plain IN-filter — pruning only
+    // changes which files open, never the rows
+    "q202_batch_lookup" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id >= 0 AND doc_id < 50)
+        |   OR (doc_id >= 2000000 AND doc_id < 2000050)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -137,6 +137,46 @@ object SketchRegistry {
     }
   }
 
+  /** BATCH keyed lookup through the registry — the Bloom-pruned semi-join:
+    * result rows are exactly the committed rows whose key appears in
+    * `probes` (the plain `IN`-filter semantics, spec- and oracle-pinned —
+    * Bloom false positives are eliminated by the final exact equality,
+    * false negatives cannot occur), but only the shard directories some
+    * probe's Bloom test ADMITS are ever opened. Admission runs
+    * distributed ([[SketchOps.bloomMightContain]] against the broadcast
+    * registry); only the admitted SHARD IDS are collected (≤
+    * 2^shardsLog2 ints — planning metadata, independent of probe count).
+    * A probe set that concentrates in a few shards reads a few
+    * directories; an all-miss probe set opens zero data files.
+    */
+  def lookupManyWithSketches(spark: SparkSession, root: String,
+                             probes: DataFrame, probeKeyCol: String,
+                             version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    val n = 1 << m.shardsLog2
+    val p = probes.select(col(probeKeyCol).cast("long").as("__k")).distinct()
+      .withColumn("shard",
+        graft.functions.GraftFunctions.splitmix64(col("__k"))
+          .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+    val admitted = SketchOps.bloomMightContain(
+        broadcast(registry(spark, root, version).select(col("shard"), col("bloom"))),
+        p, Seq("shard"), "__k", m.bitsLog2, m.k)
+      .filter(col("might_contain")).select(col("__k"), col("shard"))
+    val shards = admitted.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (shards.isEmpty)
+      (version match {
+        case Some(x) => TableStore.readVersion(spark, root, x)
+        case None    => TableStore.read(spark, root)
+      }).filter(lit(false))
+    else
+      spark.read.option("basePath", s"$root/v_$v")
+        .parquet(shards.map(s => s"$root/v_$v/shard=$s").toIndexedSeq: _*)
+        .join(admitted.select(col("__k")),
+          col(m.keyCol) === col("__k"), "left_semi")
+  }
+
   /** Keyed point lookup through the registry: a Bloom miss returns the
     * empty result WITHOUT opening any data file (the plan collapses to an
     * empty LocalRelation); a hit reads exactly one shard directory of

@@ -68,6 +68,35 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(fns == 0, s"$fns false negatives")
   }
 
+  test("lookupManyWithSketches: IN-filter semantics, shard-subset reads, zero files on all-miss") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_batch").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val back = TableStore.read(spark, root)
+    // plain IN-filter semantics on a present/absent mix
+    val mix = ((0L until 40L) ++ (500000L until 500040L)).toDF("key")
+    val got = SketchRegistry.lookupManyWithSketches(spark, root, mix, "key")
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 40L).toSeq)
+    // a probe set concentrated in ONE shard reads only that shard's dir
+    val oneShard = back.filter(col("shard") === 5).select(col("id")).limit(20)
+    val pruned = SketchRegistry.lookupManyWithSketches(spark, root, oneShard, "id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("shard=5"))
+    (0 to 7).filter(_ != 5).foreach(sh =>
+      assert(!plan.contains(s"shard=$sh"), s"read an unneeded shard dir $sh:\n$plan"))
+    assert(pruned.count() == 20L)
+    // an all-miss probe set (Bloom-rejected keys) opens no data file
+    val misses = (700000L until 700200L)
+      .filter(k => SketchRegistry.prunedShards(spark, root, k).isEmpty).take(30)
+    val none = SketchRegistry.lookupManyWithSketches(spark, root,
+      misses.toDF("key"), "key")
+    assert(none.collect().isEmpty)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+      "an all-miss batch must not open any data file")
+  }
+
   test("registry versions travel with the table: CAS, time travel, meta guard") {
     val root = java.nio.file.Files.createTempDirectory("skreg2").toString
     val v0 = SketchRegistry.commitWithSketches(
