@@ -31,6 +31,13 @@ object GraftFunctions {
   /** SplitMix64 mix of a bigint key — the deterministic sampling hash. */
   def splitmix64(a: Column): Column = ColumnShim.column(SplitMix64(ColumnShim.expression(a)))
 
+  /** One-pass sparse→dense scatter for sketch cells (see [[DenseLongArray]]
+    * — the column-only `transform(sequence…)`+`element_at` form is O(len²)).
+    */
+  def dense_long_array(m: Column, len: Int): Column =
+    ColumnShim.column(DenseLongArray(ColumnShim.expression(m),
+      ColumnShim.expression(org.apache.spark.sql.functions.lit(len))))
+
   /** All eight gram sub-hash accumulators in one codegen'd pass
     * ([h0,p0,...,h3,p3] — the winnowing/repeated-span gram-key kernel).
     */

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+
+/** Static kernel for [[DenseLongArray]] — kept codegen-callable like
+  * [[VectorKernels]].
+  */
+object SketchKernels {
+  def denseLongArray(map: MapData, len: Int): ArrayData = {
+    val out = new Array[Long](len)
+    val keys = map.keyArray()
+    val vals = map.valueArray()
+    val n = map.numElements()
+    var i = 0
+    while (i < n) {
+      val k = keys.getInt(i)
+      if (k >= 0 && k < len) out(k) = vals.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `dense_long_array(map<int,long>, len)` — scatter sparse (index → count)
+  * cells into a dense zero-filled `array<long>` in ONE pass.
+  *
+  * The idiomatic column-only form,
+  * `transform(sequence(0, len−1), j → coalesce(map[j], 0))`, is O(len²):
+  * Catalyst's `element_at` on `MapData` is a linear key scan, so
+  * densifying a 2^16-cell Count-Min sketch costs ~4·10⁹ comparisons on a
+  * SINGLE group row (measured: 20+ s per sketch at sf0.1, hidden
+  * whenever downstream column pruning dropped the array). This native
+  * expression is O(len + entries) and stays inside whole-stage codegen.
+  * Out-of-range keys are ignored (the builders never produce them).
+  */
+case class DenseLongArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (MapType(IntegerType, LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (map<int,bigint>, int), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(m: Any, n: Any): Any =
+    SketchKernels.denseLongArray(m.asInstanceOf[MapData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (m, n) => s"${ev.value} = graft.functions.SketchKernels.denseLongArray($m, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

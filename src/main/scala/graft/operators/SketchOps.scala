@@ -87,11 +87,11 @@ object SketchOps {
     val m = 1 << p
     hllRegisters(df, groupCols, valueCol, p)
       .groupBy(groupCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("reg"))))
-        .as("__regs"))
+      .agg(map_from_entries(collect_list(
+        struct(col("idx"), col("reg").cast("long")))).as("__regs"))
       .select(groupCols.map(col) :+
-        transform(sequence(lit(0), lit(m - 1)),
-          i => coalesce(element_at(col("__regs"), i), lit(0))).as("hll"): _*)
+        graft.functions.GraftFunctions.dense_long_array(col("__regs"), m)
+          .cast("array<int>").as("hll"): _*)
   }
 
   /** Merge dense sketches across rows per group — register-wise max, the
@@ -167,10 +167,10 @@ object SketchOps {
           .agg(max(col("reg")).as("reg"))
       val grouped = regs
         .groupBy(keep.map(col): _*)
-        .agg(map_from_entries(collect_list(struct(col("idx"), col("reg"))))
-          .as("__regs"))
-      val dense = transform(sequence(lit(0), lit(m - 1)),
-        i => coalesce(element_at(col("__regs"), i), lit(0)))
+        .agg(map_from_entries(collect_list(
+          struct(col("idx"), col("reg").cast("long")))).as("__regs"))
+      val dense = graft.functions.GraftFunctions
+        .dense_long_array(col("__regs"), m).cast("array<int>")
       val maskedCols = groupCols.drop(groupCols.length - masked)
         .zip(keyTypes.drop(groupCols.length - masked))
         .map { case (c, t) => lit(null).cast(t).as(c) }
@@ -230,8 +230,8 @@ object SketchOps {
       .agg(map_from_entries(collect_list(
         struct(col("__i") * w + col("__c"), col("__v")))).as("__cells"))
     grouped.select(groupCols.map(col) :+
-      transform(sequence(lit(0), lit(depth * w - 1)),
-        j => coalesce(element_at(col("__cells"), j), lit(0L))).as("cm"): _*)
+      graft.functions.GraftFunctions.dense_long_array(col("__cells"), depth * w)
+        .as("cm"): _*)
   }
 
   /** Merge dense CM sketches across rows per group — element-wise sum,
@@ -312,8 +312,8 @@ object SketchOps {
       .agg(map_from_entries(collect_list(struct(col("__w"), col("__bits"))))
         .as("__words"))
       .select(groupCols.map(col) :+
-        transform(sequence(lit(0), lit(nWords - 1)),
-          j => coalesce(element_at(col("__words"), j), lit(0L))).as("bloom"): _*)
+        graft.functions.GraftFunctions.dense_long_array(col("__words"), nWords)
+          .as("bloom"): _*)
   }
 
   /** Merge dense Bloom filters across rows per group — word-wise OR,
@@ -523,8 +523,8 @@ object SketchOps {
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__v"))))
         .as("__cells"))
       .select(groupCols.map(col) :+
-        transform(sequence(lit(0), lit(nBins - 1)),
-          j => coalesce(element_at(col("__cells"), j), lit(0L))).as("qsk"): _*)
+        graft.functions.GraftFunctions.dense_long_array(col("__cells"), nBins)
+          .as("qsk"): _*)
   }
 
   /** Merge quantile sketches across rows per group — element-wise sum,
@@ -575,6 +575,65 @@ object SketchOps {
     cum.groupBy(groupCols.map(col): _*)
       .agg(max(col("__nt")).as("n"), picks: _*)
   }
+
+  /** Shared rollup machinery for the LINEAR sketches (CM counters,
+    * quantile bins): counts ADD, so every coarser level's sketch is the
+    * element-wise SUM of its children's — derived from the base-level
+    * sketch table alone, the data never rescanned. This is
+    * [[hllRollupFromSketches]]'s capability for the linear family, with
+    * addition in place of register max. Output: (groupCols…, gid,
+    * `sketchCol`) with `grouping_id()`-convention gids (base 0, trailing
+    * columns masked, grand total 2^n−1).
+    */
+  private def linearRollupFromSketches(sketches: DataFrame,
+                                       groupCols: Seq[String],
+                                       sketchCol: String, len: Int): DataFrame = {
+    val keyTypes = groupCols.map(c => sketches.schema(c).dataType)
+    val sparse = sketches.select(groupCols.map(col) :+
+        posexplode(col(sketchCol)).as(Seq("__idx", "__v")): _*)
+      .filter(col("__v") =!= 0L)
+    val levels = (0 to groupCols.length).map { masked =>
+      val keep = groupCols.dropRight(masked)
+      val gid = (1L << masked) - 1
+      val cells =
+        if (masked == 0) sparse
+        else sparse.groupBy((keep :+ "__idx").map(col): _*)
+          .agg(sum(col("__v")).as("__v"))
+      val grouped = cells
+        .groupBy(keep.map(col): _*)
+        .agg(map_from_entries(collect_list(struct(col("__idx"), col("__v"))))
+          .as("__cells"))
+      val dense = graft.functions.GraftFunctions
+        .dense_long_array(col("__cells"), len)
+      val maskedCols = groupCols.drop(groupCols.length - masked)
+        .zip(keyTypes.drop(groupCols.length - masked))
+        .map { case (c, t) => lit(null).cast(t).as(c) }
+      grouped.select(keep.map(col) ++ maskedCols ++
+        Seq(lit(gid).as("gid"), dense.as(sketchCol)): _*)
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** Quantile sketches at EVERY rollup level from the base-level sketch
+    * table alone — bins are linear, so subtotal distributions are sums of
+    * their children's bins, never a rescan. Feed the output (group cols
+    * plus `gid`) straight to [[quantilesFromSketches]] for per-level
+    * quantiles: length dashboards by (source, lang), by source, and
+    * corpus-wide from ONE maintained base sketch table.
+    */
+  def quantileRollupFromSketches(sketches: DataFrame, groupCols: Seq[String],
+                                 subLog2: Int = 5): DataFrame =
+    linearRollupFromSketches(sketches, groupCols, "qsk",
+      (64 - subLog2) * (1 << subLog2))
+
+  /** CM sketches at every rollup level from base sketches alone — same
+    * linear-addition rule; point/heavy-hitter estimates then come from
+    * [[cmEstimate]] at any level.
+    */
+  def cmRollupFromSketches(sketches: DataFrame, groupCols: Seq[String],
+                           depth: Int = 4, widthLog2: Int = 10): DataFrame =
+    linearRollupFromSketches(sketches, groupCols, "cm",
+      depth * (1 << widthLog2))
 
   /** Advance a maintained quantile-sketch table by one change feed using
     * DELTAS ALONE — bin counts are LINEAR like CM counters, so deletes

@@ -430,6 +430,38 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       SketchOps.quantileSketch(repeated, Seq("s"), "v", 5).collect().head.getSeq[Long](1))
   }
 
+  test("linear sketch rollup: every level equals the direct build, quantile bins and CM counters") {
+    val data = (0 until 2000).map(i => (Seq("a", "b")(i % 2),
+      Seq("x", "y", "z")(i % 3), (i * 17 % 3000).toLong)).toDF("g1", "g2", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame, keys: Seq[String], sk: String) =
+      df.collect().map(r => keys.map(k => r.getAs[Any](k)).mkString("|") ->
+        r.getSeq[Long](r.fieldIndex(sk)).toList).toMap
+    // quantile bins
+    val qBase = SketchOps.quantileSketch(data, Seq("g1", "g2"), "v", subLog2 = 5)
+    val qLv = SketchOps.quantileRollupFromSketches(qBase, Seq("g1", "g2"), subLog2 = 5)
+    assert(asMap(qLv.filter(col("gid") === 0), Seq("g1", "g2"), "qsk") ==
+      asMap(qBase, Seq("g1", "g2"), "qsk"))
+    assert(asMap(qLv.filter(col("gid") === 1), Seq("g1"), "qsk") ==
+      asMap(SketchOps.quantileSketch(data, Seq("g1"), "v", subLog2 = 5), Seq("g1"), "qsk"))
+    def arr(r: org.apache.spark.sql.Row, c: String) =
+      r.getSeq[Long](r.fieldIndex(c)).toList
+    assert(arr(qLv.filter(col("gid") === 3).collect().head, "qsk") ==
+      arr(SketchOps.quantileSketch(data, Nil, "v", subLog2 = 5).collect().head, "qsk"))
+    // CM counters through the same machinery
+    val cBase = SketchOps.cmSketch(data, Seq("g1", "g2"), "v", depth = 4, widthLog2 = 8)
+    val cLv = SketchOps.cmRollupFromSketches(cBase, Seq("g1", "g2"), depth = 4, widthLog2 = 8)
+    assert(asMap(cLv.filter(col("gid") === 1), Seq("g1"), "cm") ==
+      asMap(SketchOps.cmSketch(data, Seq("g1"), "v", depth = 4, widthLog2 = 8),
+        Seq("g1"), "cm"))
+    assert(arr(cLv.filter(col("gid") === 3).collect().head, "cm") ==
+      arr(SketchOps.cmSketch(data, Nil, "v", depth = 4, widthLog2 = 8)
+        .collect().head, "cm"))
+    // per-level quantiles read straight off the rolled-up sketches
+    val q = SketchOps.quantilesFromSketches(qLv, Seq("g1", "g2", "gid"),
+      Seq((1, 2)), subLog2 = 5)
+    assert(q.filter(col("gid") === 3).collect().head.getLong(3) == 2000L)
+  }
+
   test("quantile sketch IVM: signed feed deltas equal the from-scratch sketch; negatives fail loudly") {
     import spark.implicits._
     val base = (0 until 400).map(i =>
