@@ -3210,6 +3210,51 @@ object SparkEntry {
       val probes = ((0L until 50L) ++ (2000000L until 2000050L)).toDF("key")
       graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
         .select(col("doc_id"), col("source"))
+    },
+
+    // Quantile ROLLUP from base sketches alone: bins are linear, so the
+    // (source), and grand-total distributions are SUMS of the
+    // (source, lang) bins — length dashboards at every level from one
+    // maintained sketch table, the data never rescanned. The oracle
+    // replays bins + GROUP BY ROLLUP + rank picks per level.
+    "q203_quantile_rollup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("source"), col("lang"),
+        expr("octet_length(text)").cast("long").as("len"))
+      val base = graft.operators.SketchOps.quantileSketch(docs,
+        Seq("source", "lang"), "len", subLog2 = 5)
+      graft.operators.SketchOps.quantilesFromSketches(
+        graft.operators.SketchOps.quantileRollupFromSketches(base,
+          Seq("source", "lang"), subLog2 = 5),
+        Seq("source", "lang", "gid"), Seq((1, 2), (9, 10)), subLog2 = 5)
+    },
+
+    // Range-sharded zone maps: commitRangeSharded picks shard bounds from
+    // the DETERMINISTIC quantile sketch (rank picks at i/8, deduped), lays
+    // the table out by value range, and persists exact per-shard
+    // (min, max, count) rows inside the same atomic commit. The oracle
+    // replays the whole chain — bins, cumulative ranks, the 7 bound
+    // picks, dedupe, per-row shard = count(bounds <= x), exact stats.
+    "q204_range_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("octet_length(text)").cast("long").as("len"))
+      val root = java.nio.file.Files.createTempDirectory("q204_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(docs, root, "len",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchRegistry.zoneMap(s, root)
+    },
+
+    // Range-pruned read through the zone map: result rows are exactly the
+    // plain BETWEEN filter's (zone maps are exact — no false admits at
+    // shard granularity), while only intersecting shard directories are
+    // opened (plan-pinned in SketchRegistrySpec).
+    "q205_range_lookup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("octet_length(text)").cast("long").as("len"))
+      val root = java.nio.file.Files.createTempDirectory("q205_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(docs, root, "len",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchRegistry.rangeLookup(s, root, 200L, 1500L)
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -7522,7 +7567,62 @@ object SparkEntry {
     "q202_batch_lookup" ->
       """SELECT doc_id, source FROM documents
         |WHERE (doc_id >= 0 AND doc_id < 50)
-        |   OR (doc_id >= 2000000 AND doc_id < 2000050)""".stripMargin
+        |   OR (doc_id >= 2000000 AND doc_id < 2000050)""".stripMargin,
+
+    // bins as in q197, summed per ROLLUP level (GROUPING() = Spark
+    // grouping_id), then cumulative rank picks per (source, lang, gid)
+    "q203_quantile_rollup" ->
+      """WITH d AS (SELECT source, lang, CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |bins AS (SELECT source, lang,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM d),
+        |lv AS (SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+        |    b, count(*) AS c
+        |  FROM bins GROUP BY ROLLUP (source, lang), b),
+        |cum AS (SELECT source, lang, gid, b, c,
+        |    sum(c) OVER (PARTITION BY source, lang, gid ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY source, lang, gid) AS nt
+        |  FROM lv),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum)
+        |SELECT source, lang, gid, CAST(max(nt) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (nt - 1) * 1 // 2 + 1 THEN lo END) AS BIGINT) AS q1_2,
+        |  CAST(min(CASE WHEN cum >= (nt - 1) * 9 // 10 + 1 THEN lo END) AS BIGINT) AS q9_10
+        |FROM lbv GROUP BY source, lang, gid""".stripMargin,
+
+    // the full bound-derivation chain replayed: q197's bins, corpus-wide
+    // cumulative ranks, the 7 rank picks at i/8, dedupe, then shard =
+    // count(bounds <= x) and exact per-shard stats
+    "q204_range_stats" ->
+      """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |bins AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM d),
+        |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
+        |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bc),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum),
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
+        |bounds AS (SELECT DISTINCT bound FROM picks),
+        |sharded AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |assigned AS (SELECT x,
+        |    (SELECT count(*) FROM bounds WHERE bound <= x) AS shard FROM sharded)
+        |SELECT CAST(shard AS INT) AS shard, min(x) AS min_v, max(x) AS max_v,
+        |  count(*) AS n_rows
+        |FROM assigned GROUP BY shard""".stripMargin,
+
+    // zone maps are exact, so the pruned read IS the plain BETWEEN filter
+    "q205_range_lookup" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(octet_length(encode(text)) AS BIGINT) BETWEEN 200 AND 1500""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

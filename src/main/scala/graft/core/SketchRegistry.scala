@@ -177,6 +177,132 @@ object SketchRegistry {
           col(m.keyCol) === col("__k"), "left_semi")
   }
 
+  /** Range-layout parameters, persisted beside the data: the sort column,
+    * the shard count, the quantile-sketch resolution the bounds were
+    * picked at, and the deduped ascending bound values themselves.
+    */
+  final case class RangeMeta(sortCol: String, shardsLog2: Int, subLog2: Int,
+                             bounds: Seq[Long])
+
+  /** RANGE-sharded opt-in commit — the zone-map complement of
+    * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
+    * everywhere, so per-shard min/max is useless there; here the layout
+    * itself is by value range: shard BOUNDS come from the deterministic
+    * [[SketchOps.quantileSketch]] on `sortCol` (rank picks at i∕2^shardsLog2,
+    * deduped — engine- AND oracle-replayable, unlike a sampled
+    * rangepartitioner), a row's shard is the count of bounds ≤ its value,
+    * and the registry persists one EXACT (shard, min_v, max_v, n_rows)
+    * zone-map row per non-empty shard inside the same atomic version
+    * commit. A range predicate then opens only the shard directories
+    * whose [min_v, max_v] intersects it ([[rangeLookup]]) — the lakehouse
+    * file-statistics pattern, done at the engine's own layout layer.
+    * `sortCol` must be integral, non-negative, non-null (lengths, token
+    * counts, epoch times — the dashboard domain); violations fail loudly.
+    * Skew behavior: quantile bounds equalize ROW counts per shard (within
+    * sketch resolution), so a hot value range becomes a narrow shard
+    * instead of a fat file — the property a fixed-width split lacks.
+    */
+  def commitRangeSharded(df: DataFrame, root: String, sortCol: String,
+                         shardsLog2: Int = 3, subLog2: Int = 5,
+                         expectedVersion: Option[Long] = None): Long = {
+    require(shardsLog2 >= 0 && shardsLog2 <= 8,
+      s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
+        "is already directory-granularity; split WITHIN shards by file size")
+    val n = 1 << shardsLog2
+    val sk = SketchOps.quantileSketch(df, Nil, sortCol, subLog2)
+    val bounds: Seq[Long] =
+      if (n == 1) Nil
+      else {
+        val row = SketchOps.quantilesFromSketches(sk, Nil,
+          (1 until n).map(i => (i, n)), subLog2).collect().head
+        (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")))
+          .distinct.sorted
+      }
+    val v = col(sortCol).cast("long")
+    val guarded = when(assert_true(v.isNotNull && v >= 0,
+      lit(s"commitRangeSharded requires non-negative non-null '$sortCol'"))
+      .isNull, v)
+    val shardExpr =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.map(lit): _*), lit(0),
+        (acc, b) => acc + when(guarded >= b, 1).otherwise(0))
+    val sharded = df.withColumn("shard", shardExpr.cast("int"))
+    val registry = sharded.groupBy(col("shard"))
+      .agg(min(v).as("min_v"), max(v).as("max_v"), count(lit(1)).as("n_rows"))
+    TableStore.commitStaged(root, expectedVersion) { staging =>
+      sharded.write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      registry.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap").toString)
+      Files.write(staging.resolve("_zonemap_meta"),
+        s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}"
+          .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The persisted range-layout parameters of `root`'s committed (or
+    * given) version. Fails loudly when the version was not committed via
+    * [[commitRangeSharded]].
+    */
+  def rangeMeta(root: String, version: Option[Long] = None): RangeMeta = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val p = Paths.get(root, s"v_$v", "_zonemap_meta")
+    require(Files.exists(p),
+      s"v_$v under $root carries no zone map — commit it with " +
+        "commitRangeSharded to enable range-pruned reads")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1) match {
+      case Array(sc, s, sl, bs) => RangeMeta(sc, s.toInt, sl.toInt,
+        bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      case other => throw new IllegalStateException(
+        s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")
+    }
+  }
+
+  /** The exact per-shard zone-map rows of the committed (or given)
+    * version: (shard, min_v, max_v, n_rows), one row per non-empty shard —
+    * planning statistics AND pruning authority, zero data files touched.
+    */
+  def zoneMap(spark: SparkSession, root: String,
+              version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    rangeMeta(root, Some(v)) // loud guard: range layout required
+    spark.read.parquet(s"$root/v_$v/_zonemap")
+  }
+
+  /** The shard directories a `[lo, hi]` range read must open: those whose
+    * exact [min_v, max_v] intersects the window — zone maps are exact, so
+    * this prune has NO false positives or negatives at shard granularity.
+    * Reads the registry only.
+    */
+  def prunedRangeShards(spark: SparkSession, root: String, lo: Long, hi: Long,
+                        version: Option[Long] = None): Seq[Int] =
+    zoneMap(spark, root, version)
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+
+  /** Range read through the zone map: result rows are exactly
+    * `TableStore.read(...).filter(sortCol BETWEEN lo AND hi)`'s
+    * (spec- and oracle-pinned), but only intersecting shard directories
+    * are ever opened — an empty intersection opens ZERO data files.
+    */
+  def rangeLookup(spark: SparkSession, root: String, lo: Long, hi: Long,
+                  version: Option[Long] = None): DataFrame = {
+    val m = rangeMeta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    val between = col(m.sortCol).cast("long").between(lo, hi)
+    prunedRangeShards(spark, root, lo, hi, Some(v)) match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case shards =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(between)
+    }
+  }
+
   /** Keyed point lookup through the registry: a Bloom miss returns the
     * empty result WITHOUT opening any data file (the plan collapses to an
     * empty LocalRelation); a hit reads exactly one shard directory of

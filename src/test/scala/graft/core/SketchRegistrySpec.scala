@@ -97,6 +97,75 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
       "an all-miss batch must not open any data file")
   }
 
+  test("commitRangeSharded: quantile-bound layout, exact zone maps, range-pruned reads") {
+    val root = java.nio.file.Files.createTempDirectory("skrange").toString
+    // skewed values: dense low range plus a sparse heavy tail
+    val df = (0 until 2000).map(i => (i.toLong,
+      if (i % 100 == 0) 100000L + i else (i % 50).toLong * 3)).toDF("id", "v")
+    val ver = SketchRegistry.commitRangeSharded(df, root, "v",
+      shardsLog2 = 2, subLog2 = 5)
+    assert(ver == 0L)
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 2000L)
+    // zone-map rows are the EXACT per-shard min/max/count
+    val zm = SketchRegistry.zoneMap(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("v")), max(col("v")), count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(zm == direct)
+    assert(zm.values.map(_._3).sum == 2000L)
+    // range layout: shard zones are value-disjoint and ordered
+    val zones = zm.toSeq.sortBy(_._1).map(_._2)
+    zones.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) => assert(hi1 < lo2,
+        s"zones must be disjoint and ordered: $zones")
+      case _ =>
+    }
+    // range lookups equal the plain BETWEEN filter, boundaries included
+    for ((lo, hi) <- Seq((0L, 10L), (37L, 120L), (99999L, 200000L),
+      (0L, 500000L), (147L, 147L), (500L, 400L))) {
+      assert(SketchRegistry.rangeLookup(spark, root, lo, hi)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        back.filter(col("v").between(lo, hi))
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq,
+        s"window [$lo, $hi]")
+    }
+    // a window inside ONE shard's zone opens only that shard's directory
+    val (probeShard, (plo, phi, _)) = zm.toSeq.maxBy(_._2._3)
+    val pruned = SketchRegistry.rangeLookup(spark, root, plo, phi)
+    assert(SketchRegistry.prunedRangeShards(spark, root, plo, phi) ==
+      Seq(probeShard))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"shard=$probeShard"))
+    zm.keys.filter(_ != probeShard).foreach(sh =>
+      assert(!plan.contains(s"shard=$sh"), s"read an unneeded shard dir $sh"))
+    // an empty intersection opens ZERO data files
+    val none = SketchRegistry.rangeLookup(spark, root, 10000000L, 20000000L)
+    assert(none.collect().isEmpty)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a zone-map miss must not open any data file")
+    // constant column: bounds dedupe to one value, lookups still exact
+    val cRoot = java.nio.file.Files.createTempDirectory("skrange_c").toString
+    SketchRegistry.commitRangeSharded(
+      (0 until 100).map(i => (i.toLong, 7L)).toDF("id", "v"), cRoot, "v",
+      shardsLog2 = 2, subLog2 = 5)
+    assert(SketchRegistry.rangeLookup(spark, cRoot, 7L, 7L).count() == 100L)
+    assert(SketchRegistry.rangeLookup(spark, cRoot, 8L, 9L).count() == 0L)
+    // nulls and negatives fail loudly at commit
+    val bad = intercept[Exception] {
+      SketchRegistry.commitRangeSharded(
+        Seq((1L, 5L), (2L, -3L)).toDF("id", "v"),
+        java.nio.file.Files.createTempDirectory("skrange_b").toString, "v")
+    }
+    assert(exceptionChain(bad).exists(_.contains("non-negative")),
+      s"unexpected failure: $bad")
+  }
+
+  private def exceptionChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => Option(e.getMessage).getOrElse("")).toSeq
+
   test("registry versions travel with the table: CAS, time travel, meta guard") {
     val root = java.nio.file.Files.createTempDirectory("skreg2").toString
     val v0 = SketchRegistry.commitWithSketches(
