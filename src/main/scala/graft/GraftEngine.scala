@@ -534,6 +534,30 @@ object GraftEngine {
                          key: Long): DataFrame =
     core.SketchRegistry.lookupWithSketches(spark, root, key)
 
+  /** upsert_with_sketches: keyed upsert/delete against a sketch-indexed
+    * table that rewrites and re-sketches ONLY the touched hash shards —
+    * untouched shard files hard-link into the new version and their
+    * registry rows carry over bit-identically, so commit cost follows the
+    * change batch, never the table size.
+    */
+  def upsertWithSketches(spark: org.apache.spark.sql.SparkSession, root: String,
+                         upserts: DataFrame, deleteKeys: DataFrame): Long =
+    core.SketchRegistry.applyChangesWithSketches(spark, root, upserts, deleteKeys)
+
+  /** commit_range_sharded / range_lookup: the zone-map complement of the
+    * hash registry — layout by value range with bounds rank-picked off
+    * the deterministic quantile sketch, exact per-shard (min, max, count)
+    * rows in the same atomic commit, and range reads that open only
+    * intersecting shard directories.
+    */
+  def commitRangeSharded(df: DataFrame, root: String, sortCol: String,
+                         shardsLog2: Int = 3, subLog2: Int = 5): Long =
+    core.SketchRegistry.commitRangeSharded(df, root, sortCol, shardsLog2, subLog2)
+
+  def rangeLookup(spark: org.apache.spark.sql.SparkSession, root: String,
+                  lo: Long, hi: Long): DataFrame =
+    core.SketchRegistry.rangeLookup(spark, root, lo, hi)
+
   /** estimate_overlap: cross-corpus set-overlap triage from two HLL
     * sketch tables — union native under register max,
     * intersection by inclusion–exclusion; additive error, so a triage

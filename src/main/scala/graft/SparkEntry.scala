@@ -3255,6 +3255,31 @@ object SparkEntry {
         shardsLog2 = 3, subLog2 = 5)
       graft.core.SketchRegistry.rangeLookup(s, root, 200L, 1500L)
         .select(col("doc_id"), col("source"))
+    },
+
+    // Incremental registry maintenance: a keyed upsert/delete batch
+    // rewrites and re-sketches ONLY the touched hash shards (untouched
+    // shard files hard-link into the new version, registry rows carried
+    // bit-identically — commit cost is the touched slice, never the
+    // table). The probe then runs THROUGH the post-change registry:
+    // deleted keys vanish, edited rows surface, brand-new keys are
+    // admitted by the rebuilt Bloom rows. Oracle = the edit script
+    // replayed relationally, IN-filtered to the probe windows.
+    "q206_incremental_registry" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q206_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val upserts = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("source", concat(lit("edited_"), col("source")))
+        .unionByName((900000L until 900020L).map(i => (i, "new"))
+          .toDF("doc_id", "source"))
+      val deletes = (0L until 100L by 7L).toDF("key")
+      graft.core.SketchRegistry.applyChangesWithSketches(s, root, upserts, deletes)
+      val probes = ((90L to 160L) ++ (899990L to 900025L)).toDF("key")
+      graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
+        .select(col("doc_id"), col("source"))
     }
   )
 
@@ -7622,7 +7647,23 @@ object SparkEntry {
     // zone maps are exact, so the pruned read IS the plain BETWEEN filter
     "q205_range_lookup" ->
       """SELECT doc_id, source FROM documents
-        |WHERE CAST(octet_length(encode(text)) AS BIGINT) BETWEEN 200 AND 1500""".stripMargin
+        |WHERE CAST(octet_length(encode(text)) AS BIGINT) BETWEEN 200 AND 1500""".stripMargin,
+
+    // the upsert/delete script replayed relationally, then the probe's
+    // IN-filter — upserts REPLACE, deletes REMOVE, new keys INSERT
+    "q206_incremental_registry" ->
+      """WITH edited AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE NOT (doc_id % 7 = 0 AND doc_id < 100)
+        |    AND NOT (doc_id BETWEEN 100 AND 149)
+        |  UNION ALL
+        |  SELECT doc_id, 'edited_' || source FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 149
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 'new'
+        |  FROM (SELECT unnest(generate_series(900000, 900019)) AS i) g)
+        |SELECT doc_id, source FROM edited
+        |WHERE doc_id BETWEEN 90 AND 160 OR doc_id BETWEEN 899990 AND 900025""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

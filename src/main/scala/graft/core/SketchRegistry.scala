@@ -177,6 +177,95 @@ object SketchRegistry {
           col(m.keyCol) === col("__k"), "left_semi")
   }
 
+  /** Keyed UPSERT/DELETE against a sketch-indexed table that rewrites and
+    * re-sketches ONLY the touched shards — the incremental-maintenance
+    * path [[commitWithSketches]] needs at scale, where re-sketching a
+    * 100 TB table for a million-row change batch is a full scan for
+    * nothing. Touched shards are the hash shards of the changed keys
+    * (collected as shard IDS — ≤ 2^shardsLog2 ints, independent of batch
+    * size); each one is rebuilt as (old rows minus changed keys) ∪
+    * upserts and re-sketched from its new rows alone (deletes force the
+    * rebuild — Bloom bits and HLL registers don't subtract — but the
+    * shard is being rewritten anyway, so the sketch rides the same pass).
+    * Untouched shards are HARD-LINKED file-by-file into the new version
+    * (copy fallback), and their registry rows are carried over
+    * bit-identically — the commit's cost is proportional to the touched
+    * slice plus link metadata, never to table size, while every version
+    * remains a complete self-contained directory (time travel and vacuum
+    * unchanged; vacuum's deletes only drop link counts).
+    *
+    * Semantics (spec-pinned): rows whose key appears in `deleteKeys`
+    * vanish; rows whose key appears in `upserts` are REPLACED by the
+    * upsert rows (insert when absent); all other rows are untouched.
+    * `upserts` must carry exactly the table's data columns (everything
+    * but `shard`). The commit is CAS-pinned to the version the change
+    * was computed against, so a foreign commit fails this one loudly.
+    * Returns the new version.
+    */
+  def applyChangesWithSketches(spark: SparkSession, root: String,
+                               upserts: DataFrame, deleteKeys: DataFrame,
+                               expectedVersion: Option[Long] = None): Long = {
+    val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = meta(root, Some(v))
+    val dataCols = TableStore.readVersion(spark, root, v).columns
+      .filterNot(_ == "shard").toSeq
+    require(upserts.columns.sorted.sameElements(dataCols.sorted),
+      s"upserts must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
+        s"got ${upserts.columns.sorted.mkString(",")}")
+    val n = 1 << m.shardsLog2
+    def shardOf(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.splitmix64(c.cast("long"))
+        .bitwiseAND(lit((n - 1).toLong)).cast("int")
+    val changedKeys = upserts.select(col(m.keyCol).cast("long").as("__k"))
+      .union(deleteKeys.select(col(deleteKeys.columns.head).cast("long").as("__k")))
+      .distinct()
+    val touched = changedKeys.select(shardOf(col("__k")).as("shard"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return v // empty change batch: nothing to commit
+    val existingDirs = (0 until n).filter(s =>
+      Files.isDirectory(Paths.get(root, s"v_$v", s"shard=$s")))
+    val oldTouchedDirs = existingDirs.filter(touched.contains)
+    val oldTouched =
+      if (oldTouchedDirs.isEmpty)
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      else spark.read.option("basePath", s"$root/v_$v")
+        .parquet(oldTouchedDirs.map(s => s"$root/v_$v/shard=$s"): _*)
+    val newTouched = oldTouched
+      .join(broadcast(changedKeys), col(m.keyCol).cast("long") === col("__k"),
+        "left_anti")
+      .unionByName(upserts.withColumn("shard", shardOf(col(m.keyCol))))
+    val touchedRegistry = SketchOps
+      .bloomSketch(newTouched, Seq("shard"), m.keyCol, m.bitsLog2, m.k)
+      .join(SketchOps.hllSketch(newTouched, Seq("shard"), m.keyCol, m.hllP),
+        Seq("shard"))
+      .join(newTouched.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+        Seq("shard"))
+    val carried = registry(spark, root, Some(v))
+      .filter(!col("shard").isin(touched: _*))
+    TableStore.commitStaged(root, Some(v)) { staging =>
+      newTouched.write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      existingDirs.filterNot(touched.contains).foreach { s =>
+        val src = Paths.get(root, s"v_$v", s"shard=$s")
+        val dst = staging.resolve(s"shard=$s")
+        Files.createDirectories(dst)
+        val listing = Files.list(src)
+        try listing.filter(Files.isRegularFile(_)).forEach { f =>
+          val t = dst.resolve(f.getFileName.toString)
+          try Files.createLink(t, f)
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            Files.copy(f, t); () }
+        } finally listing.close()
+      }
+      carried.unionByName(touchedRegistry).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("_sketches").toString)
+      Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
+        staging.resolve("_sketches_meta"))
+    }
+  }
+
   /** Range-layout parameters, persisted beside the data: the sort column,
     * the shard count, the quantile-sketch resolution the bounds were
     * picked at, and the deduped ascending bound values themselves.

@@ -97,6 +97,81 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
       "an all-miss batch must not open any data file")
   }
 
+  test("applyChangesWithSketches: touched-shard rewrite, hard-linked carryover, registry equivalence") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_ivm").toString
+    val df = (0 until 1200).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val v0 = SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val upserts = Seq((3L, "edited3"), (5000L, "new5000")).toDF("id", "payload")
+    val deletes = Seq(10L, 999999L).toDF("id") // 999999 absent: no-op delete
+    val v1 = SketchRegistry.applyChangesWithSketches(spark, root, upserts, deletes)
+    assert(v1 == v0 + 1)
+    // row semantics == the full edit replay
+    val expected = ((0 until 1200).map(_.toLong).filterNot(Set(3L, 10L))
+      .map(i => (i, s"p$i")) ++ Seq((3L, "edited3"), (5000L, "new5000"))).sorted
+    val got = TableStore.read(spark, root).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == expected)
+    // registry rows are bit-identical to a FRESH full sketch commit of
+    // the same post-change data (the maintenance path loses nothing)
+    val fresh = java.nio.file.Files.createTempDirectory("skreg_ivm_f").toString
+    SketchRegistry.commitWithSketches(expected.toDF("id", "payload"), fresh,
+      "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    def regMap(r: String) = SketchRegistry.registry(spark, r).collect()
+      .map(row => row.getInt(row.fieldIndex("shard")) -> (
+        row.getSeq[Long](row.fieldIndex("bloom")).toList,
+        row.getSeq[Int](row.fieldIndex("hll")).toList,
+        row.getLong(row.fieldIndex("n_rows")))).toMap
+    assert(regMap(root) == regMap(fresh))
+    // untouched shard dirs carry the SAME file names as hard links (same
+    // inode — zero bytes rewritten); touched shards have fresh files
+    val touched = Seq(3L, 10L, 5000L, 999999L)
+      .map(k => (graft.functions.HashKernels.splitmix64(k) & 7L).toInt).distinct
+    def files(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    def ino(f: java.io.File) = java.nio.file.Files
+      .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]
+    val untouchedShards = (0 to 7).filterNot(touched.contains)
+      .filter(s => files(v0, s).nonEmpty)
+    assert(untouchedShards.nonEmpty)
+    untouchedShards.foreach { s =>
+      val (o, n) = (files(v0, s), files(v1, s))
+      assert(o.map(_.getName).sorted == n.map(_.getName).sorted,
+        s"untouched shard $s must carry the same files")
+      assert(o.map(ino).sorted == n.map(ino).sorted,
+        s"untouched shard $s must be hard-linked, not rewritten")
+    }
+    touched.filter(s => files(v1, s).nonEmpty).foreach { s =>
+      assert(files(v0, s).map(ino).toSet.intersect(files(v1, s).map(ino).toSet)
+        .isEmpty, s"touched shard $s must be rewritten")
+    }
+    // lookups through the post-change registry
+    assert(SketchRegistry.lookupWithSketches(spark, root, 3L)
+      .collect().map(_.getString(1)).toSeq == Seq("edited3"))
+    assert(SketchRegistry.lookupWithSketches(spark, root, 10L)
+      .filter(col("id") === 10L).count() == 0L)
+    assert(SketchRegistry.lookupWithSketches(spark, root, 5000L)
+      .collect().map(_.getString(1)).toSeq == Seq("new5000"))
+    // time travel still serves the pre-change version
+    assert(SketchRegistry.lookupWithSketches(spark, root, 10L, Some(v0))
+      .count() == 1L)
+    // CAS: a change computed against a superseded version fails loudly
+    val stale = intercept[IllegalArgumentException] {
+      SketchRegistry.applyChangesWithSketches(spark, root,
+        Seq((7L, "x")).toDF("id", "payload"),
+        Seq.empty[Long].toDF("id"), expectedVersion = Some(v0))
+    }
+    assert(stale.getMessage.contains("stale write"))
+    // an empty change batch is a no-op, no new version
+    assert(SketchRegistry.applyChangesWithSketches(spark, root,
+      Seq.empty[(Long, String)].toDF("id", "payload"),
+      Seq.empty[Long].toDF("id")) == v1)
+    assert(TableStore.currentVersion(root).contains(v1))
+  }
+
   test("commitRangeSharded: quantile-bound layout, exact zone maps, range-pruned reads") {
     val root = java.nio.file.Files.createTempDirectory("skrange").toString
     // skewed values: dense low range plus a sparse heavy tail
