@@ -3280,6 +3280,32 @@ object SparkEntry {
       val probes = ((90L to 160L) ++ (899990L to 900025L)).toDF("key")
       graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
         .select(col("doc_id"), col("source"))
+    },
+
+    // CM sketches at EVERY rollup level from the base sketch table alone
+    // (counters are linear — subtotal sketches are sums of their
+    // children's), then point estimates for the 10 hottest keys at each
+    // level. Null level keys coalesce to '<all>' so the estimate join
+    // stays a plain equi-join. The oracle replays the whole thing:
+    // per-group cell hashing, rollup summation, min-over-rows estimates.
+    "q207_cm_rollup" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val gs = Seq("l_returnflag", "l_linestatus")
+      val base = graft.operators.SketchOps.cmSketch(li, gs, "l_orderkey",
+        depth = 4, widthLog2 = 10)
+      val lv = graft.operators.SketchOps.cmRollupFromSketches(base, gs,
+          depth = 4, widthLog2 = 10)
+        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("<all>")))
+        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("<all>")))
+      val top = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_orderkey")).limit(10)
+        .select(col("l_orderkey"))
+      val probes = lv.select(col("l_returnflag"), col("l_linestatus"), col("gid"))
+        .distinct().crossJoin(top)
+      graft.operators.SketchOps.cmEstimate(lv, probes,
+          gs :+ "gid", "l_orderkey", depth = 4, widthLog2 = 10)
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("l_orderkey"), col("est"))
     }
   )
 
@@ -7663,7 +7689,37 @@ object SparkEntry {
         |  SELECT CAST(i AS BIGINT), 'new'
         |  FROM (SELECT unnest(generate_series(900000, 900019)) AS i) g)
         |SELECT doc_id, source FROM edited
-        |WHERE doc_id BETWEEN 90 AND 160 OR doc_id BETWEEN 899990 AND 900025""".stripMargin
+        |WHERE doc_id BETWEEN 90 AND 160 OR doc_id BETWEEN 899990 AND 900025""".stripMargin,
+
+    // q189's splitmix cell chain carried per (g1, g2), rollup-summed
+    // cells per level (counters are linear), '<all>' sentinels, then
+    // min-over-rows estimates for the top keys at every level
+    "q207_cm_rollup" ->
+      """WITH kc AS (SELECT l_returnflag AS g1, l_linestatus AS g2, l_orderkey AS x,
+        |    count(*) AS n FROM lineitem GROUP BY 1, 2, 3),
+        |inp AS (SELECT g1, g2, x, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT g1, g2, x, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT g1, g2, x, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT g1, g2, x, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT g1, g2, x, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT g1, g2, x, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT g1, g2, x, n, i, CAST(xor(z, z // 2147483648) % 1024 AS INT) AS c FROM z2),
+        |reg AS (SELECT g1, g2, i, c, CAST(sum(n) AS BIGINT) AS v FROM cellh GROUP BY 1, 2, 3, 4),
+        |lv AS (SELECT coalesce(g1, '<all>') AS g1, coalesce(g2, '<all>') AS g2,
+        |    CAST(GROUPING(g1, g2) AS BIGINT) AS gid, i, c, CAST(sum(v) AS BIGINT) AS v
+        |  FROM reg GROUP BY ROLLUP (g1, g2), i, c),
+        |top AS (SELECT x FROM (SELECT x, sum(n) AS nt FROM kc GROUP BY x) t
+        |        ORDER BY nt DESC, x LIMIT 10),
+        |qcell AS (SELECT DISTINCT x, i, c FROM cellh WHERE x IN (SELECT x FROM top)),
+        |levels AS (SELECT DISTINCT g1, g2, gid FROM lv),
+        |est AS (SELECT l.g1, l.g2, l.gid, q.x, min(coalesce(v.v, 0)) AS est
+        |  FROM levels l CROSS JOIN qcell q
+        |  LEFT JOIN lv v ON v.g1 = l.g1 AND v.g2 = l.g2 AND v.gid = l.gid
+        |    AND v.i = q.i AND v.c = q.c
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g1 AS l_returnflag, g2 AS l_linestatus, gid, x AS l_orderkey,
+        |  CAST(est AS BIGINT) AS est FROM est""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct
