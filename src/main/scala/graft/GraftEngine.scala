@@ -544,6 +544,33 @@ object GraftEngine {
                          upserts: DataFrame, deleteKeys: DataFrame): Long =
     core.SketchRegistry.applyChangesWithSketches(spark, root, upserts, deleteKeys)
 
+  /** append_with_sketches / append_range_sharded: link-only ingest — new
+    * rows' files land beside hard links of every existing file, and the
+    * registry/zone map updates by pure sketch/stat merge (bit-identical
+    * to a fresh build for Bloom/HLL; exact for min/max/count). Commit
+    * cost is the batch, never the table.
+    */
+  def appendWithSketches(spark: org.apache.spark.sql.SparkSession, root: String,
+                         rows: DataFrame): Long =
+    core.SketchRegistry.appendWithSketches(spark, root, rows)
+
+  def appendRangeSharded(spark: org.apache.spark.sql.SparkSession, root: String,
+                         rows: DataFrame): Long =
+    core.SketchRegistry.appendRangeSharded(spark, root, rows)
+
+  /** compact_with_sketches / registry_diff: the rest of the ingest
+    * lifecycle — fold append-accumulated small files back to one per
+    * shard (data and registry unchanged), and diff two versions at shard
+    * granularity off the registries alone (zero data files opened).
+    */
+  def compactWithSketches(spark: org.apache.spark.sql.SparkSession,
+                          root: String, maxFilesPerShard: Int = 1): Long =
+    core.SketchRegistry.compactWithSketches(spark, root, maxFilesPerShard)
+
+  def registryDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+                   fromVersion: Long, toVersion: Long): DataFrame =
+    core.SketchRegistry.registryDiff(spark, root, fromVersion, toVersion)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

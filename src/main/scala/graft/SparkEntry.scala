@@ -3306,6 +3306,64 @@ object SparkEntry {
           gs :+ "gid", "l_orderkey", depth = 4, widthLog2 = 10)
         .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
           col("l_orderkey"), col("est"))
+    },
+
+    // Append to a range-sharded table with NO rewrite: batch rows take
+    // their shards from the PERSISTED bounds (values past the last bound
+    // land in the top shard), existing files hard-link into the new
+    // version, and the zone map updates by exact min/max/count merge —
+    // no data rescan. The oracle derives the bounds from the ORIGINAL
+    // table only (bounds are fixed at commit), assigns the union, and
+    // recomputes the exact stats.
+    "q208_range_append" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("octet_length(text)").cast("long").as("len"))
+      val root = java.nio.file.Files.createTempDirectory("q208_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(docs, root, "len",
+        shardsLog2 = 3, subLog2 = 5)
+      val batch = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          (col("len") * 3).as("len"))
+      graft.core.SketchRegistry.appendRangeSharded(s, root, batch)
+      graft.core.SketchRegistry.zoneMap(s, root)
+    },
+
+    // Keyed append through the sketch registry — the steady-state ingest:
+    // Bloom bits OR, HLL registers max, counts add, so the post-append
+    // registry derives from the old registry plus a batch sketch alone
+    // (bit-identical to a fresh build, spec-pinned); nothing is
+    // rewritten. The probe mixes old keys, appended keys, and absences.
+    "q209_sketch_append" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q209_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val batch = (5000000L until 5000040L).map(i => (i, "appended"))
+        .toDF("doc_id", "source")
+      graft.core.SketchRegistry.appendWithSketches(s, root, batch)
+      val probes = ((0L until 30L) ++ (4999990L until 5000050L)).toDF("key")
+      graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Shard-level commit diff off the registries ALONE — O(shards) rows,
+    // zero data files opened: which shards a commit touched and their
+    // exact row deltas (the ops probe before paying changeFeed's keyed
+    // join). The oracle re-derives every appended key's shard from the
+    // splitmix chain and counts both versions relationally.
+    "q210_registry_diff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q210_store").toString
+      val v0 = graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val batch = (7000000L until 7000200L).map(i => (i, "appended"))
+        .toDF("doc_id", "source")
+      val v1 = graft.core.SketchRegistry.appendWithSketches(s, root, batch)
+      graft.core.SketchRegistry.registryDiff(s, root, v0, v1)
+        .select(col("shard"), col("n_rows_before"), col("n_rows_after"),
+          col("row_delta"))
     }
   )
 
@@ -7719,7 +7777,69 @@ object SparkEntry {
         |    AND v.i = q.i AND v.c = q.c
         |  GROUP BY 1, 2, 3, 4)
         |SELECT g1 AS l_returnflag, g2 AS l_linestatus, gid, x AS l_orderkey,
-        |  CAST(est AS BIGINT) AS est FROM est""".stripMargin
+        |  CAST(est AS BIGINT) AS est FROM est""".stripMargin,
+
+    // bounds from the ORIGINAL table only (q204's chain), then the union
+    // of original + batch assigned against those fixed bounds, exact stats
+    "q208_range_append" ->
+      """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |bins AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM d),
+        |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
+        |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bc),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum),
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
+        |bounds AS (SELECT DISTINCT bound FROM picks),
+        |allr AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents
+        |  UNION ALL
+        |  SELECT CAST(octet_length(encode(text)) AS BIGINT) * 3 FROM documents
+        |  WHERE doc_id < 100),
+        |assigned AS (SELECT x,
+        |    (SELECT count(*) FROM bounds WHERE bound <= x) AS shard FROM allr)
+        |SELECT CAST(shard AS INT) AS shard, min(x) AS min_v, max(x) AS max_v,
+        |  count(*) AS n_rows
+        |FROM assigned GROUP BY shard""".stripMargin,
+
+    // append semantics: the union, IN-filtered to the probe windows
+    "q209_sketch_append" ->
+      """WITH allr AS (SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 'appended'
+        |  FROM (SELECT unnest(generate_series(5000000, 5000039)) AS i) g)
+        |SELECT doc_id, source FROM allr
+        |WHERE (doc_id >= 0 AND doc_id < 30)
+        |   OR (doc_id >= 4999990 AND doc_id < 5000050)""".stripMargin,
+
+    // every key's shard from the splitmix chain (q200's HUGEINT replay,
+    // final low 3 bits), then per-shard counts of both versions; pure
+    // appends mean touched shards are exactly those with a positive delta
+    "q210_registry_diff" ->
+      """WITH allx AS (SELECT doc_id AS x, 0 AS is_new FROM documents
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 1
+        |  FROM (SELECT unnest(generate_series(7000000, 7000199)) AS i) g),
+        |inp AS (SELECT x, is_new, CAST(x AS HUGEINT) AS x0 FROM allx),
+        |z0 AS (SELECT x, is_new, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT x, is_new, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT x, is_new, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT x, is_new, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT x, is_new, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |sh AS (SELECT x, is_new, CAST(xor(z, z // 2147483648) % 8 AS INT) AS shard FROM z2),
+        |agg AS (SELECT shard,
+        |    sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS nb,
+        |    count(*) AS na
+        |  FROM sh GROUP BY shard)
+        |SELECT shard, CAST(nb AS BIGINT) AS n_rows_before,
+        |  CAST(na AS BIGINT) AS n_rows_after,
+        |  CAST(na - nb AS BIGINT) AS row_delta
+        |FROM agg WHERE na - nb <> 0""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -40,18 +40,41 @@ object SketchRegistry {
   final case class Meta(keyCol: String, shardsLog2: Int, bitsLog2: Int,
                         k: Int, hllP: Int)
 
+  /** Cluster a shard-columned DataFrame so each shard DIRECTORY receives
+    * exactly `filesPerShard` parquet files. Without this, `partitionBy`
+    * makes EVERY write task open a file in every shard it holds rows for —
+    * tasks × shards small files per commit, compounding under incremental
+    * maintenance. One keyed shuffle buys the layout: `filesPerShard = 1`
+    * (the default) clusters purely by shard; larger values sub-split each
+    * shard by a second decorrelated key hash (size files toward the
+    * ~128 MB–1 GB parquet sweet spot at scale). The sub-split shuffle
+    * pins an EXPLICIT partition count (`numShards × filesPerShard`) —
+    * repartition-by-expression alone lets AQE coalesce small shuffle
+    * partitions, which would silently fold the sub-splits back together.
+    */
+  private def clusterForWrite(df: DataFrame, keyCol: String,
+                              filesPerShard: Int, numShards: Int): DataFrame = {
+    require(filesPerShard >= 1, s"filesPerShard must be >= 1, got $filesPerShard")
+    if (filesPerShard == 1) df.repartition(col("shard"))
+    else df.repartition(numShards * filesPerShard, col("shard"),
+      pmod(graft.functions.GraftFunctions.splitmix64(
+        col(keyCol).cast("long") + lit(0x517cc1b7L)), lit(filesPerShard.toLong)))
+  }
+
   /** Opt-in sketch-indexed commit: the data lands hash-sharded on
     * `keyCol` (integral — the sketch contract) with the registry in the
     * same atomic commit. Costs two extra aggregations over the input
     * (Bloom + HLL builds, map-side partial) and one shuffle for the
-    * shard layout. Reads of the table see the extra `shard` column —
-    * the layout is part of the table's contract, like any partitioned
-    * table's.
+    * shard layout (which also bounds output files to `filesPerShard`
+    * per shard — see [[clusterForWrite]]). Reads of the table see the
+    * extra `shard` column — the layout is part of the table's contract,
+    * like any partitioned table's.
     */
   def commitWithSketches(df: DataFrame, root: String, keyCol: String,
                          shardsLog2: Int = 3, bitsLog2: Int = 14, k: Int = 4,
                          hllP: Int = 12,
-                         expectedVersion: Option[Long] = None): Long = {
+                         expectedVersion: Option[Long] = None,
+                         filesPerShard: Int = 1): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
     val n = 1 << shardsLog2
@@ -63,7 +86,8 @@ object SketchRegistry {
       .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
         Seq("shard"))
     TableStore.commitStaged(root, expectedVersion) { staging =>
-      sharded.write.mode("overwrite").partitionBy("shard")
+      clusterForWrite(sharded, keyCol, filesPerShard, n)
+        .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
@@ -204,7 +228,8 @@ object SketchRegistry {
     */
   def applyChangesWithSketches(spark: SparkSession, root: String,
                                upserts: DataFrame, deleteKeys: DataFrame,
-                               expectedVersion: Option[Long] = None): Long = {
+                               expectedVersion: Option[Long] = None,
+                               filesPerShard: Int = 1): Long = {
     val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = meta(root, Some(v))
@@ -244,26 +269,203 @@ object SketchRegistry {
     val carried = registry(spark, root, Some(v))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
-      newTouched.write.mode("overwrite").partitionBy("shard")
+      clusterForWrite(newTouched, m.keyCol, filesPerShard, 1 << m.shardsLog2)
+        .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       existingDirs.filterNot(touched.contains).foreach { s =>
         val src = Paths.get(root, s"v_$v", s"shard=$s")
         val dst = staging.resolve(s"shard=$s")
-        Files.createDirectories(dst)
-        val listing = Files.list(src)
-        try listing.filter(Files.isRegularFile(_)).forEach { f =>
-          val t = dst.resolve(f.getFileName.toString)
-          try Files.createLink(t, f)
-          catch { case _: UnsupportedOperationException |
-                       _: java.nio.file.FileSystemException =>
-            Files.copy(f, t); () }
-        } finally listing.close()
+        linkShardDir(src, dst)
       }
       carried.unionByName(touchedRegistry).coalesce(1)
         .write.mode("overwrite").parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
     }
+  }
+
+  /** Hard-link every regular file of `src` into `dst` (copy fallback on
+    * filesystems without links) — how untouched/pre-existing shard data
+    * carries into a new version for zero bytes rewritten. Spark part-file
+    * names embed a per-job UUID, so links never collide with a fresh
+    * write into the same directory.
+    */
+  private def linkShardDir(src: java.nio.file.Path,
+                           dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val listing = Files.list(src)
+    try listing.filter(Files.isRegularFile(_)).forEach { f =>
+      val t = dst.resolve(f.getFileName.toString)
+      try Files.createLink(t, f)
+      catch { case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+        Files.copy(f, t); () }
+    } finally listing.close()
+  }
+
+  /** Keyed APPEND to a sketch-indexed table with NO rewrite at all — the
+    * steady-state ingest shape: Bloom bits OR, HLL registers max, and
+    * counts add, so for pure inserts the new registry derives from the
+    * OLD REGISTRY plus a sketch of the batch alone (merge is bit-identical
+    * to a fresh full build — spec-pinned), every existing data file
+    * hard-links into the new version, and the batch's files land beside
+    * them. Commit cost is the batch plus link metadata; nothing about the
+    * table's size enters. Duplicate keys are NOT detected (append
+    * semantics — use [[applyChangesWithSketches]] for upserts).
+    */
+  def appendWithSketches(spark: SparkSession, root: String, rows: DataFrame,
+                         expectedVersion: Option[Long] = None,
+                         filesPerShard: Int = 1): Long = {
+    val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = meta(root, Some(v))
+    val dataCols = TableStore.readVersion(spark, root, v).columns
+      .filterNot(_ == "shard").toSeq
+    require(rows.columns.sorted.sameElements(dataCols.sorted),
+      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
+        s"got ${rows.columns.sorted.mkString(",")}")
+    val n = 1 << m.shardsLog2
+    val sharded = rows.withColumn("shard",
+      graft.functions.GraftFunctions.splitmix64(col(m.keyCol).cast("long"))
+        .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+    val batchRegistry = SketchOps
+      .bloomSketch(sharded, Seq("shard"), m.keyCol, m.bitsLog2, m.k)
+      .join(SketchOps.hllSketch(sharded, Seq("shard"), m.keyCol, m.hllP),
+        Seq("shard"))
+      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+        Seq("shard"))
+    val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
+    val mergedRegistry = SketchOps
+      .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
+      .join(SketchOps.hllMergeSketches(both, Seq("shard"), "hll", m.hllP),
+        Seq("shard"))
+      .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows")),
+        Seq("shard"))
+    TableStore.commitStaged(root, Some(v)) { staging =>
+      clusterForWrite(sharded, m.keyCol, filesPerShard, n)
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$v", d)))
+        .foreach(d => linkShardDir(Paths.get(root, s"v_$v", d),
+          staging.resolve(d)))
+      mergedRegistry.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_sketches").toString)
+      Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
+        staging.resolve("_sketches_meta"))
+    }
+  }
+
+  /** Compact a sketch-indexed table after a run of appends: shards whose
+    * parquet file count exceeds `maxFilesPerShard` are rewritten down to
+    * `filesPerShard` files; every other shard hard-links through. The
+    * DATA is unchanged, so the registry carries over bit-identically and
+    * no sketch is rebuilt — this is pure layout maintenance, the third
+    * verb of the ingest lifecycle (append → compact → vacuum). Returns
+    * the new version, or the current one untouched when nothing needs
+    * compacting.
+    */
+  def compactWithSketches(spark: SparkSession, root: String,
+                          maxFilesPerShard: Int = 1,
+                          filesPerShard: Int = 1): Long = {
+    val v = TableStore.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = meta(root, Some(v))
+    val n = 1 << m.shardsLog2
+    def parquetCount(s: Int): Int = {
+      val d = Paths.get(root, s"v_$v", s"shard=$s")
+      if (!Files.isDirectory(d)) 0
+      else {
+        val listing = Files.list(d)
+        try listing.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).count().toInt
+        finally listing.close()
+      }
+    }
+    val fat = (0 until n).filter(parquetCount(_) > maxFilesPerShard)
+    if (fat.isEmpty) return v
+    val fatData = spark.read.option("basePath", s"$root/v_$v")
+      .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
+    TableStore.commitStaged(root, Some(v)) { staging =>
+      clusterForWrite(fatData, m.keyCol, filesPerShard, n)
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).filterNot(fat.contains).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$v", d)))
+        .foreach(d => linkShardDir(Paths.get(root, s"v_$v", d),
+          staging.resolve(d)))
+      // data unchanged ⇒ registry unchanged: carry the rows verbatim
+      registry(spark, root, Some(v)).coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_sketches").toString)
+      Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
+        staging.resolve("_sketches_meta"))
+    }
+  }
+
+  /** [[compactWithSketches]] for range-sharded tables: fold
+    * append-accumulated files per shard, keep rows sorted within the
+    * rewritten files (row-group stats stay tight), carry the zone map
+    * verbatim — the data is unchanged.
+    */
+  def compactRangeSharded(spark: SparkSession, root: String,
+                          maxFilesPerShard: Int = 1,
+                          filesPerShard: Int = 1): Long = {
+    val v = TableStore.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = rangeMeta(root, Some(v))
+    val n = 1 << m.shardsLog2
+    def parquetCount(s: Int): Int = {
+      val d = Paths.get(root, s"v_$v", s"shard=$s")
+      if (!Files.isDirectory(d)) 0
+      else {
+        val listing = Files.list(d)
+        try listing.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).count().toInt
+        finally listing.close()
+      }
+    }
+    val fat = (0 until n).filter(parquetCount(_) > maxFilesPerShard)
+    if (fat.isEmpty) return v
+    val fatData = spark.read.option("basePath", s"$root/v_$v")
+      .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
+    TableStore.commitStaged(root, Some(v)) { staging =>
+      clusterForWrite(fatData, m.sortCol, filesPerShard, n)
+        .sortWithinPartitions(col("shard"), col(m.sortCol))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).filterNot(fat.contains).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$v", d)))
+        .foreach(d => linkShardDir(Paths.get(root, s"v_$v", d),
+          staging.resolve(d)))
+      zoneMap(spark, root, Some(v)).coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap").toString)
+      Files.copy(Paths.get(root, s"v_$v", "_zonemap_meta"),
+        staging.resolve("_zonemap_meta"))
+    }
+  }
+
+  /** Shard-level diff of two committed versions off their REGISTRIES
+    * alone — O(2^shardsLog2) rows, zero data files opened: which shards
+    * changed, their row-count deltas, and whether their Bloom membership
+    * bits moved (an insert-visible signal; pure deletes move counts but
+    * may leave bits). The ops probe for "what did that commit touch" —
+    * the row-level answer is [[TableStore.changeFeed]], which costs a
+    * keyed join over both versions.
+    */
+  def registryDiff(spark: SparkSession, root: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    val a = registry(spark, root, Some(fromVersion))
+      .select(col("shard"), col("bloom").as("__ba"), col("n_rows").as("__na"))
+    val b = registry(spark, root, Some(toVersion))
+      .select(col("shard"), col("bloom").as("__bb"), col("n_rows").as("__nb"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("__na"), lit(0L)).as("n_rows_before"),
+        coalesce(col("__nb"), lit(0L)).as("n_rows_after"),
+        (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
+          .as("row_delta"),
+        (!(col("__ba") <=> col("__bb"))).as("bloom_changed"))
+      .filter(col("row_delta") =!= 0L || col("bloom_changed"))
   }
 
   /** Range-layout parameters, persisted beside the data: the sort column,
@@ -293,7 +495,8 @@ object SketchRegistry {
     */
   def commitRangeSharded(df: DataFrame, root: String, sortCol: String,
                          shardsLog2: Int = 3, subLog2: Int = 5,
-                         expectedVersion: Option[Long] = None): Long = {
+                         expectedVersion: Option[Long] = None,
+                         filesPerShard: Int = 1): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 8,
       s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
         "is already directory-granularity; split WITHIN shards by file size")
@@ -308,24 +511,82 @@ object SketchRegistry {
           .distinct.sorted
       }
     val v = col(sortCol).cast("long")
-    val guarded = when(assert_true(v.isNotNull && v >= 0,
-      lit(s"commitRangeSharded requires non-negative non-null '$sortCol'"))
-      .isNull, v)
-    val shardExpr =
-      if (bounds.isEmpty) lit(0)
-      else aggregate(array(bounds.map(lit): _*), lit(0),
-        (acc, b) => acc + when(guarded >= b, 1).otherwise(0))
-    val sharded = df.withColumn("shard", shardExpr.cast("int"))
+    val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
     val registry = sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"), max(v).as("max_v"), count(lit(1)).as("n_rows"))
     TableStore.commitStaged(root, expectedVersion) { staging =>
-      sharded.write.mode("overwrite").partitionBy("shard")
+      // cluster to bound files per shard, then sort WITHIN files by the
+      // sort column so parquet row-group min/max stats are tight — engines
+      // skip row groups inside a shard on top of the shard-level zone map
+      clusterForWrite(sharded, sortCol, filesPerShard, 1 << shardsLog2)
+        .sortWithinPartitions(col("shard"), col(sortCol))
+        .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
       Files.write(staging.resolve("_zonemap_meta"),
         s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}"
           .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** shard = count of bounds ≤ value — the replayable range assignment,
+    * with the loud non-negative/non-null guard inline.
+    */
+  private def rangeShardCol(sortCol: String,
+                            bounds: Seq[Long]): org.apache.spark.sql.Column = {
+    val v = col(sortCol).cast("long")
+    val guarded = when(assert_true(v.isNotNull && v >= 0,
+      lit(s"range-sharded layout requires non-negative non-null '$sortCol'"))
+      .isNull, v)
+    (if (bounds.isEmpty) lit(0)
+     else aggregate(array(bounds.map(lit): _*), lit(0),
+       (acc, b) => acc + when(guarded >= b, 1).otherwise(0))).cast("int")
+  }
+
+  /** APPEND to a range-sharded table with NO rewrite: batch rows take
+    * their shards from the PERSISTED bounds (values past the last bound
+    * land in the top shard — bounds stay fixed on append; re-commit to
+    * re-balance after heavy skewed growth), every existing data file
+    * hard-links into the new version, the batch's files land beside them,
+    * and the zone map updates by pure min/max/count merge of the old
+    * registry with the batch's exact stats — still EXACT, no data
+    * rescan. Commit cost is the batch plus link metadata.
+    */
+  def appendRangeSharded(spark: SparkSession, root: String, rows: DataFrame,
+                         expectedVersion: Option[Long] = None,
+                         filesPerShard: Int = 1): Long = {
+    val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = rangeMeta(root, Some(ver))
+    val dataCols = TableStore.readVersion(spark, root, ver).columns
+      .filterNot(_ == "shard").toSeq
+    require(rows.columns.sorted.sameElements(dataCols.sorted),
+      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
+        s"got ${rows.columns.sorted.mkString(",")}")
+    val v = col(m.sortCol).cast("long")
+    val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
+    val batchStats = sharded.groupBy(col("shard"))
+      .agg(min(v).as("min_v"), max(v).as("max_v"), count(lit(1)).as("n_rows"))
+    val mergedZoneMap = zoneMap(spark, root, Some(ver))
+      .unionByName(batchStats)
+      .groupBy(col("shard"))
+      .agg(min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("n_rows")).as("n_rows"))
+    val n = 1 << m.shardsLog2
+    TableStore.commitStaged(root, Some(ver)) { staging =>
+      clusterForWrite(sharded, m.sortCol, filesPerShard, n)
+        .sortWithinPartitions(col("shard"), col(m.sortCol))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$ver", d)))
+        .foreach(d => linkShardDir(Paths.get(root, s"v_$ver", d),
+          staging.resolve(d)))
+      mergedZoneMap.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap").toString)
+      Files.copy(Paths.get(root, s"v_$ver", "_zonemap_meta"),
+        staging.resolve("_zonemap_meta"))
     }
   }
 

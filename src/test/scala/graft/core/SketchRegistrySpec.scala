@@ -35,6 +35,12 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(reg.agg(sum(col("n_rows"))).collect().head.getLong(0) == 800L)
     val stats = SketchRegistry.shardStats(spark, root).collect()
     assert(stats.length == 8 && stats.forall(_.getLong(2) > 0L))
+    // the write clusters by shard: exactly ONE parquet file per shard dir
+    // (not one per write task per shard)
+    (0 to 7).foreach { s =>
+      val fs = dataFiles(new java.io.File(s"$root/v_0/shard=$s"))
+      assert(fs.size == 1, s"shard $s must hold exactly one file, got ${fs.size}")
+    }
     // a present key reads EXACTLY ONE shard directory's files
     val hit = SketchRegistry.lookupWithSketches(spark, root, 123L)
     assert(hit.collect().map(_.getString(1)).toSeq == Seq("p123"))
@@ -172,6 +178,165 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(TableStore.currentVersion(root).contains(v1))
   }
 
+  test("appendWithSketches: link-only ingest, registry merge bit-identical to fresh build") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_app").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val v0 = SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val batch = (5000 until 5040).map(i => (i.toLong, s"new$i")).toDF("id", "payload")
+    val v1 = SketchRegistry.appendWithSketches(spark, root, batch)
+    assert(v1 == v0 + 1)
+    // row semantics: old rows plus the batch, nothing else
+    val got = TableStore.read(spark, root).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val expected = ((0 until 1000).map(i => (i.toLong, s"p$i")) ++
+      (5000 until 5040).map(i => (i.toLong, s"new$i"))).sorted
+    assert(got == expected)
+    // EVERY v0 file carries over as a hard link (zero bytes rewritten)
+    def files(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    def ino(f: java.io.File) = java.nio.file.Files
+      .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]
+    (0 to 7).foreach { s =>
+      val (o, n) = (files(v0, s), files(v1, s))
+      assert(o.map(_.getName).toSet.subsetOf(n.map(_.getName).toSet),
+        s"shard $s lost a v0 file")
+      val nByName = n.map(f => f.getName -> f).toMap
+      o.foreach(f => assert(ino(f) == ino(nByName(f.getName)),
+        s"v0 file ${f.getName} must be hard-linked, not copied"))
+    }
+    // the merged registry is BIT-IDENTICAL to a fresh full sketch commit
+    val fresh = java.nio.file.Files.createTempDirectory("skreg_app_f").toString
+    SketchRegistry.commitWithSketches(expected.toDF("id", "payload"), fresh,
+      "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    def regMap(r: String) = SketchRegistry.registry(spark, r).collect()
+      .map(row => row.getInt(row.fieldIndex("shard")) -> (
+        row.getSeq[Long](row.fieldIndex("bloom")).toList,
+        row.getSeq[Int](row.fieldIndex("hll")).toList,
+        row.getLong(row.fieldIndex("n_rows")))).toMap
+    assert(regMap(root) == regMap(fresh))
+    // appended keys resolve through the post-append registry
+    assert(SketchRegistry.lookupWithSketches(spark, root, 5007L)
+      .collect().map(_.getString(1)).toSeq == Seq("new5007"))
+    assert(SketchRegistry.lookupWithSketches(spark, root, 42L)
+      .collect().map(_.getString(1)).toSeq == Seq("p42"))
+    // CAS: an append computed against a superseded version fails loudly
+    val stale = intercept[IllegalArgumentException] {
+      SketchRegistry.appendWithSketches(spark, root,
+        Seq((9000L, "x")).toDF("id", "payload"), expectedVersion = Some(v0))
+    }
+    assert(stale.getMessage.contains("stale write"))
+  }
+
+  test("appendRangeSharded: fixed bounds, exact zone-map merge, link-only carryover") {
+    val root = java.nio.file.Files.createTempDirectory("skrange_app").toString
+    val df = (0 until 1500).map(i => (i.toLong, (i % 200).toLong * 5)).toDF("id", "v")
+    val v0 = SketchRegistry.commitRangeSharded(df, root, "v",
+      shardsLog2 = 2, subLog2 = 5)
+    val boundsBefore = SketchRegistry.rangeMeta(root).bounds
+    // batch: values inside existing zones AND far past the old max
+    val batch = ((2000 until 2050).map(i => (i.toLong, 250L)) ++
+      (3000 until 3010).map(i => (i.toLong, 50000L + i))).toDF("id", "v")
+    val v1 = SketchRegistry.appendRangeSharded(spark, root, batch)
+    assert(v1 == v0 + 1)
+    assert(SketchRegistry.rangeMeta(root).bounds == boundsBefore,
+      "append must not move the persisted bounds")
+    // zone map == the exact stats of the post-append table
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 1560L)
+    val zm = SketchRegistry.zoneMap(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("v")), max(col("v")), count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(zm == direct)
+    // every v0 file carried over as a hard link
+    def files(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    def ino(f: java.io.File) = java.nio.file.Files
+      .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]
+    (0 to 3).foreach { s =>
+      val nByName = files(v1, s).map(f => f.getName -> f).toMap
+      files(v0, s).foreach(f => assert(ino(f) == ino(nByName(f.getName)),
+        s"v0 file ${f.getName} in shard $s must be hard-linked"))
+    }
+    // range reads stay exact, including the extended top zone
+    for ((lo, hi) <- Seq((0L, 300L), (245L, 255L), (40000L, 99999L))) {
+      assert(SketchRegistry.rangeLookup(spark, root, lo, hi)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        back.filter(col("v").between(lo, hi))
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq,
+        s"window [$lo, $hi]")
+    }
+    // compact folds the appended files; rows and zone map unchanged
+    assert((0 to 3).exists(s => files(v1, s).size >= 2))
+    val v2 = SketchRegistry.compactRangeSharded(spark, root)
+    assert(v2 == v1 + 1)
+    (0 to 3).foreach(s => assert(files(v2, s).size <= 1, s"shard $s not compacted"))
+    assert(TableStore.read(spark, root).count() == 1560L)
+    assert(SketchRegistry.zoneMap(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      == zm)
+    assert(SketchRegistry.compactRangeSharded(spark, root) == v2)
+  }
+
+  test("ingest lifecycle: append builds files up, compact folds them, vacuum keeps links safe; registryDiff") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_life").toString
+    val v0 = SketchRegistry.commitWithSketches(
+      (0 until 600).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      root, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val v1 = SketchRegistry.appendWithSketches(spark, root,
+      (1000 until 1050).map(i => (i.toLong, s"a$i")).toDF("id", "payload"))
+    val v2 = SketchRegistry.appendWithSketches(spark, root,
+      (2000 until 2050).map(i => (i.toLong, s"b$i")).toDF("id", "payload"))
+    def parquetFiles(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    assert((0 to 7).exists(s => parquetFiles(v2, s).size >= 2),
+      "appends must accumulate files")
+    // registryDiff off the registries alone: exactly the appended shards,
+    // with exact row deltas (derived from the documented hash)
+    val appended = ((1000 until 1050) ++ (2000 until 2050)).map(_.toLong)
+    val expTouched = appended
+      .groupBy(k => (graft.functions.HashKernels.splitmix64(k) & 7L).toInt)
+      .map { case (s, ks) => s -> ks.size.toLong }
+    val diff = SketchRegistry.registryDiff(spark, root, v0, v2).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(diff == expTouched)
+    // compact: every shard folds back to one file, data and registry
+    // rows unchanged
+    val regBefore = SketchRegistry.registry(spark, root).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toList, r.getLong(3))).toMap
+    val rowsBefore = TableStore.read(spark, root).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val v3 = SketchRegistry.compactWithSketches(spark, root)
+    assert(v3 == v2 + 1)
+    (0 to 7).foreach(s => assert(parquetFiles(v3, s).size <= 1,
+      s"shard $s not compacted"))
+    assert(TableStore.read(spark, root).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == rowsBefore)
+    assert(SketchRegistry.registry(spark, root).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toList, r.getLong(3))).toMap
+      == regBefore)
+    // a second compact is a no-op: same version back
+    assert(SketchRegistry.compactWithSketches(spark, root) == v3)
+    // vacuum drops v0..v2; the compacted version stays fully readable —
+    // hard links keep shared inodes alive after their sources are deleted
+    TableStore.vacuum(root, keep = 1, graceMs = 0L)
+    assert(TableStore.versions(root) == Seq(v3))
+    assert(TableStore.read(spark, root).count() == 700L)
+    assert(SketchRegistry.lookupWithSketches(spark, root, 2025L)
+      .collect().map(_.getString(1)).toSeq == Seq("b2025"))
+  }
+
   test("commitRangeSharded: quantile-bound layout, exact zone maps, range-pruned reads") {
     val root = java.nio.file.Files.createTempDirectory("skrange").toString
     // skewed values: dense low range plus a sparse heavy tail
@@ -220,6 +385,15 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(none.collect().isEmpty)
     assert(!none.queryExecution.executedPlan.toString.contains("FileScan"),
       "a zone-map miss must not open any data file")
+    // filesPerShard sub-splits each shard by a decorrelated key hash
+    val fRoot = java.nio.file.Files.createTempDirectory("skrange_f").toString
+    SketchRegistry.commitRangeSharded(df, fRoot, "v",
+      shardsLog2 = 2, subLog2 = 5, filesPerShard = 2)
+    val perShard = (0 to 3).map(s => dataFiles(
+      new java.io.File(s"$fRoot/v_0/shard=$s")).size).filter(_ > 0)
+    assert(perShard.forall(c => c >= 1 && c <= 2) && perShard.exists(_ == 2),
+      s"filesPerShard=2 must bound files per shard to [1,2]: $perShard")
+    assert(TableStore.read(spark, fRoot).count() == 2000L)
     // constant column: bounds dedupe to one value, lookups still exact
     val cRoot = java.nio.file.Files.createTempDirectory("skrange_c").toString
     SketchRegistry.commitRangeSharded(
