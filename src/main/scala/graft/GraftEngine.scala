@@ -571,6 +571,16 @@ object GraftEngine {
                    fromVersion: Long, toVersion: Long): DataFrame =
     core.SketchRegistry.registryDiff(spark, root, fromVersion, toVersion)
 
+  /** ingest_stream: exactly-once streaming ingest into a sketch-indexed
+    * table — one atomic registry-maintained version per micro-batch, the
+    * batchId committed inside the version so failure replays can never
+    * double-append. Bootstrap the table with [[commitWithSketches]] first.
+    */
+  def ingestStream(spark: org.apache.spark.sql.SparkSession, root: String,
+                   source: DataFrame,
+                   checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.IngestStream.ingestStream(spark, root, source, checkpointDir)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

@@ -3364,6 +3364,41 @@ object SparkEntry {
       graft.core.SketchRegistry.registryDiff(s, root, v0, v1)
         .select(col("shard"), col("n_rows_before"), col("n_rows_after"),
           col("row_delta"))
+    },
+
+    // Exactly-once streaming ingest: a LIVE MemoryStream feeds two
+    // micro-batches through foreachBatch → appendWithSketches, each
+    // landing as one atomic registry-maintained version with its batchId
+    // committed INSIDE the version (the idempotent-writer marker). A
+    // failure replay of batch 0 is then offered by hand and must be a
+    // no-op — the probe windows would hash-mismatch on ANY duplicated
+    // row. Oracle: the union, IN-filtered (same shape as q209).
+    "q211_ingest_stream" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q211_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.IngestStream.ingestStream(s, root,
+        stream.toDF().toDF("doc_id", "source"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        stream.addData((6000000L until 6000020L).map(i => (i, "batch0")))
+        q.processAllAvailable()
+        stream.addData((6000020L until 6000040L).map(i => (i, "batch1")))
+        q.processAllAvailable()
+        // a replayed batch id must not double-append
+        val replayed = graft.streaming.IngestStream.ingestBatch(s, root,
+          (6000000L until 6000020L).map(i => (i, "batch0"))
+            .toDF("doc_id", "source"), batchId = 0L)
+        require(!replayed, "replayed batch 0 must be skipped")
+        val probes = ((0L until 25L) ++ (5999995L until 6000045L)).toDF("key")
+        graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
+          .select(col("doc_id"), col("source")).localCheckpoint(true)
+      } finally q.stop()
     }
   )
 
@@ -7839,7 +7874,20 @@ object SparkEntry {
         |SELECT shard, CAST(nb AS BIGINT) AS n_rows_before,
         |  CAST(na AS BIGINT) AS n_rows_after,
         |  CAST(na - nb AS BIGINT) AS row_delta
-        |FROM agg WHERE na - nb <> 0""".stripMargin
+        |FROM agg WHERE na - nb <> 0""".stripMargin,
+
+    // exactly-once: each streamed row appears ONCE despite the replay
+    "q211_ingest_stream" ->
+      """WITH allr AS (SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 'batch0'
+        |  FROM (SELECT unnest(generate_series(6000000, 6000019)) AS i) g0
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 'batch1'
+        |  FROM (SELECT unnest(generate_series(6000020, 6000039)) AS i) g1)
+        |SELECT doc_id, source FROM allr
+        |WHERE (doc_id >= 0 AND doc_id < 25)
+        |   OR (doc_id >= 5999995 AND doc_id < 6000045)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

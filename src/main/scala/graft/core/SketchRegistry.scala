@@ -281,6 +281,7 @@ object SketchRegistry {
         .write.mode("overwrite").parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
+      carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
     }
   }
 
@@ -315,7 +316,8 @@ object SketchRegistry {
     */
   def appendWithSketches(spark: SparkSession, root: String, rows: DataFrame,
                          expectedVersion: Option[Long] = None,
-                         filesPerShard: Int = 1): Long = {
+                         filesPerShard: Int = 1,
+                         stagingExtra: java.nio.file.Path => Unit = _ => ()): Long = {
     val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = meta(root, Some(v))
@@ -353,7 +355,24 @@ object SketchRegistry {
         .parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
+      carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
+      stagingExtra(staging)
     }
+  }
+
+  /** Carry an optional underscore-metadata file (e.g. the streaming
+    * ingest's `_ingest_progress` marker) from the previous version into
+    * the staged one, so maintenance commits never reset it. A later write
+    * into the staged copy (via `stagingExtra`) overrides the carried
+    * value.
+    */
+  private def carryIfPresent(prevDir: java.nio.file.Path,
+                             staging: java.nio.file.Path,
+                             name: String): Unit = {
+    val p = prevDir.resolve(name)
+    if (Files.exists(p))
+      Files.copy(p, staging.resolve(name),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Compact a sketch-indexed table after a run of appends: shards whose
@@ -399,6 +418,7 @@ object SketchRegistry {
         .parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
+      carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
     }
   }
 

@@ -1,0 +1,202 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchOps
+
+/** Two-dimensional zone-mapped layout on [[TableStore]] — the multi-column
+  * complement of [[SketchRegistry.commitRangeSharded]]'s one-column range
+  * shards. A single-column range layout clusters ONE dimension and
+  * scatters every other; a dashboard/selection predicate over two columns
+  * (length × quality score, timestamp × source bucket) then reads
+  * everything. Z-ordering interleaves the two dimensions so BOTH stay
+  * locally clustered — the Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order
+  * idea, done at the engine's own layout layer with replayable arithmetic.
+  *
+  * The layout: each column is bucketed into `2^(shardsLog2/2)` rank
+  * buckets whose BOUNDS are rank picks off the deterministic
+  * [[SketchOps.quantileSketch]] (the [[SketchRegistry.commitRangeSharded]]
+  * chain — engine- AND oracle-replayable, unlike a sampled range
+  * partitioner, and skew-equalizing: a hot value range becomes a narrow
+  * bucket); the shard is the Morton interleave of the two bucket indices
+  * ([[graft.operators.LayoutOps.zValue]] — pure integer column
+  * arithmetic). One EXACT zone-map row per non-empty shard — per-shard
+  * min/max of BOTH columns plus the row count — rides the same atomic
+  * version commit, so zone map and data can never tear apart.
+  *
+  * A 2-D box predicate then opens only the shard directories whose exact
+  * (min_a..max_a) × (min_b..max_b) rectangle intersects the box
+  * ([[boxLookup]]) — with rank-balanced buckets a box covering 1/k of
+  * each dimension's rank space reads ~1/k² of the table, where either
+  * single-column layout reads ~1/k of it.
+  */
+object ZOrderStore {
+
+  /** Persisted layout parameters: the two columns, bits per column, the
+    * sketch resolution the bounds were picked at, and both deduped
+    * ascending bound lists.
+    */
+  final case class ZMeta(colA: String, colB: String, bitsPerCol: Int,
+                         subLog2: Int, boundsA: Seq[Long], boundsB: Seq[Long])
+
+  /** Rank-pick `2^bits − 1` bucket bounds for `c` off the deterministic
+    * quantile sketch — the same derivation chain
+    * [[SketchRegistry.commitRangeSharded]] uses, so oracles replay it
+    * identically.
+    */
+  private def rankBounds(df: DataFrame, c: String, bits: Int,
+                         subLog2: Int): Seq[Long] = {
+    val n = 1 << bits
+    if (n == 1) Nil
+    else {
+      val sk = SketchOps.quantileSketch(df, Nil, c, subLog2)
+      val row = SketchOps.quantilesFromSketches(sk, Nil,
+        (1 until n).map(i => (i, n)), subLog2).collect().head
+      (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")))
+        .distinct.sorted
+    }
+  }
+
+  /** bucket = count of bounds ≤ value, with the loud non-negative/non-null
+    * guard the quantile sketch's domain requires.
+    */
+  private def bucketCol(c: String, bounds: Seq[Long]): Column = {
+    val v = col(c).cast("long")
+    val guarded = when(assert_true(v.isNotNull && v >= 0,
+      lit(s"z-order layout requires non-negative non-null '$c'"))
+      .isNull, v)
+    (if (bounds.isEmpty) lit(0L)
+     else aggregate(array(bounds.map(lit): _*), lit(0L),
+       (acc, b) => acc + when(guarded >= b, 1L).otherwise(0L)))
+  }
+
+  /** Morton interleave of two bucket indices, `bits` bits each: bit b of
+    * bucketA lands at position 2b, of bucketB at 2b+1 — shard ∈
+    * [0, 4^bits). Same arithmetic as
+    * [[graft.operators.LayoutOps.zValue]], inlined over the two bucket
+    * columns so the oracle replays it as plain integer sums.
+    */
+  private def zShard(bucketA: Column, bucketB: Column, bits: Int): Column = {
+    var acc: Column = lit(0L)
+    for (b <- 0 until bits) {
+      acc = acc + shiftleft(shiftright(bucketA, b).bitwiseAND(lit(1L)), 2 * b)
+      acc = acc + shiftleft(shiftright(bucketB, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }
+    acc.cast("int")
+  }
+
+  /** Commit `df` Z-order-sharded on (`colA`, `colB`) with the 2-D zone map
+    * in the same atomic version. `shardsLog2` must be even (bits split
+    * equally between the columns); both columns must be integral,
+    * non-negative, non-null. Costs one quantile-sketch aggregation per
+    * column, one clustering shuffle, and an exact per-shard stats
+    * aggregation.
+    */
+  def commitZOrdered(df: DataFrame, root: String, colA: String, colB: String,
+                     shardsLog2: Int = 4, subLog2: Int = 5,
+                     expectedVersion: Option[Long] = None): Long = {
+    require(shardsLog2 >= 2 && shardsLog2 <= 8 && shardsLog2 % 2 == 0,
+      s"shardsLog2 must be even in [2, 8], got $shardsLog2 — bits split " +
+        "equally across the two interleaved columns")
+    require(colA != colB, "z-order columns must differ")
+    val bits = shardsLog2 / 2
+    val boundsA = rankBounds(df, colA, bits, subLog2)
+    val boundsB = rankBounds(df, colB, bits, subLog2)
+    val sharded = df.withColumn("shard",
+      zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
+    val va = col(colA).cast("long")
+    val vb = col(colB).cast("long")
+    val zonemap = sharded.groupBy(col("shard")).agg(
+      min(va).as("min_a"), max(va).as("max_a"),
+      min(vb).as("min_b"), max(vb).as("max_b"),
+      count(lit(1)).as("n_rows"))
+    TableStore.commitStaged(root, expectedVersion) { staging =>
+      // one keyed shuffle clusters rows by shard (one file per shard dir),
+      // sorted within the file by (colA, colB) so parquet row-group stats
+      // stay tight inside each shard
+      sharded.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(colA), col(colB))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      zonemap.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
+      Files.write(staging.resolve("_zonemap2d_meta"),
+        s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n${boundsB.mkString(",")}"
+          .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The persisted layout parameters of `root`'s committed (or given)
+    * version. Fails loudly when the version was not committed via
+    * [[commitZOrdered]].
+    */
+  def zMeta(root: String, version: Option[Long] = None): ZMeta = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val p = Paths.get(root, s"v_$v", "_zonemap2d_meta")
+    require(Files.exists(p),
+      s"v_$v under $root carries no 2-D zone map — commit it with " +
+        "commitZOrdered to enable box-pruned reads")
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1) match {
+      case Array(a, b, bits, sl, ba, bb) => ZMeta(a, b, bits.toInt, sl.toInt,
+        ba.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        bb.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      case other => throw new IllegalStateException(
+        s"torn _zonemap2d_meta under $root/v_$v: ${other.mkString("|")}")
+    }
+  }
+
+  /** The exact 2-D zone-map rows of the committed (or given) version:
+    * (shard, min_a, max_a, min_b, max_b, n_rows), one row per non-empty
+    * shard — planning statistics AND pruning authority, zero data files
+    * touched.
+    */
+  def zoneMap2d(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    zMeta(root, Some(v)) // loud guard: z-order layout required
+    spark.read.parquet(s"$root/v_$v/_zonemap2d")
+  }
+
+  /** The shard directories a box read must open: those whose exact
+    * per-shard rectangle intersects `[aLo,aHi] × [bLo,bHi]` — zone maps
+    * are exact, so the prune has no false positives or negatives at shard
+    * granularity. Reads the zone map only.
+    */
+  def prunedBoxShards(spark: SparkSession, root: String,
+                      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+                      version: Option[Long] = None): Seq[Int] =
+    zoneMap2d(spark, root, version)
+      .filter(col("max_a") >= aLo && col("min_a") <= aHi &&
+        col("max_b") >= bLo && col("min_b") <= bHi)
+      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+
+  /** 2-D box read through the zone map: result rows are exactly
+    * `TableStore.read(...).filter(a BETWEEN … AND b BETWEEN …)`'s (spec-
+    * and oracle-pinned), but only rectangle-intersecting shard
+    * directories are ever opened — an empty intersection opens ZERO data
+    * files, and a tight box opens ~(box area ∕ rank space) of them.
+    */
+  def boxLookup(spark: SparkSession, root: String,
+                aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+                version: Option[Long] = None): DataFrame = {
+    val m = zMeta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    val inBox = col(m.colA).cast("long").between(aLo, aHi) &&
+      col(m.colB).cast("long").between(bLo, bHi)
+    prunedBoxShards(spark, root, aLo, aHi, bLo, bHi, Some(v)) match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case shards =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(inBox)
+    }
+  }
+}

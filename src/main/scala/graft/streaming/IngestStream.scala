@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.core.{SketchRegistry, TableStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** EXACTLY-ONCE streaming ingest into a sketch-indexed [[TableStore]] —
+  * the composition of Structured Streaming's replayable micro-batches
+  * with [[SketchRegistry.appendWithSketches]]'s link-only append: each
+  * micro-batch lands as one atomic table version whose data-skipping
+  * registry (Bloom + HLL + counts) is already current, so readers get
+  * pruned keyed lookups against data that arrived seconds ago, and the
+  * per-batch commit cost is the batch alone — never the table.
+  *
+  * The exactly-once protocol is the Delta/Iceberg idempotent-writer
+  * pattern: the micro-batch's `batchId` is written as an
+  * `_ingest_progress` marker INSIDE the same atomic version rename→swap
+  * as the data and registry. On failure-replay (Structured Streaming
+  * re-runs a batch whose commit outcome it never learned) the marker of
+  * the CURRENT version says the batch already landed and [[ingestBatch]]
+  * becomes a no-op — a batch can never append twice. Maintenance commits
+  * ([[SketchRegistry.compactWithSketches]],
+  * [[SketchRegistry.applyChangesWithSketches]], further appends) CARRY
+  * the marker forward, so compaction between restarts never resets the
+  * dedup watermark. Single-writer per table, like every file-layout
+  * store; concurrent writers are rejected by the commit CAS.
+  *
+  * At 100 TB this is the ingest front door: a Kafka/file stream feeds
+  * micro-batches, each lands link-only in O(batch), the registry stays
+  * exact per commit, and [[SketchRegistry.compactWithSketches]] +
+  * [[TableStore.vacuum]] run as periodic maintenance — the
+  * append → compact → vacuum lifecycle under a streaming driver.
+  */
+object IngestStream {
+
+  /** The highest micro-batch id already committed into `root`'s CURRENT
+    * version, read off the `_ingest_progress` marker — None before any
+    * streamed batch landed.
+    */
+  def lastIngestedBatch(root: String): Option[Long] =
+    TableStore.currentVersion(root).flatMap { v =>
+      val p = Paths.get(root, s"v_$v", "_ingest_progress")
+      if (!Files.exists(p)) None
+      else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.toLong)
+    }
+
+  /** Idempotently append one micro-batch: a `batchId` at or below the
+    * committed marker is a replay and returns false untouched; otherwise
+    * the batch lands via [[SketchRegistry.appendWithSketches]] with the
+    * marker in the same atomic commit and the call returns true. Empty
+    * batches advance the marker only when they must (they are skipped
+    * entirely — no empty version churn — because a replayed empty batch
+    * is indistinguishable from a skipped one).
+    */
+  def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, filesPerShard: Int = 1): Boolean = {
+    if (lastIngestedBatch(root).exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      SketchRegistry.appendWithSketches(spark, root, batch,
+        filesPerShard = filesPerShard,
+        stagingExtra = staging => Files.write(
+          staging.resolve("_ingest_progress"),
+          batchId.toString.getBytes(StandardCharsets.UTF_8)))
+      true
+    }
+  }
+
+  /** Run `source` (a streaming DataFrame carrying exactly the table's
+    * data columns) into the sketch-indexed table at `root`, one atomic
+    * registry-maintained version per micro-batch. The table must already
+    * exist (bootstrap with [[SketchRegistry.commitWithSketches]] — that
+    * commit pins the key column and sketch parameters every appended
+    * batch inherits). Pass `checkpointDir` for restartable exactly-once
+    * across driver failures; the in-commit marker dedups replays either
+    * way. Stop with `.stop()` like any stream.
+    */
+  def ingestStream(spark: SparkSession, root: String, source: DataFrame,
+                   checkpointDir: Option[String] = None,
+                   trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                   filesPerShard: Int = 1): StreamingQuery = {
+    SketchRegistry.meta(root) // loud guard: bootstrapped sketch table required
+    val writer = source.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => {
+        ingestBatch(spark, root, batch, batchId, filesPerShard); ()
+      })
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.core.{SketchRegistry, TableStore}
+
+/** Exactly-once streaming ingest into a sketch-indexed TableStore. */
+class IngestStreamSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def seedTable(n: Int): (String, Long) = {
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val v = SketchRegistry.commitWithSketches(
+      (0 until n).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      root, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    (root, v)
+  }
+
+  test("live stream: each micro-batch lands atomically, registry == fresh build") {
+    val (root, v0) = seedTable(300)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IngestStream.ingestStream(spark, root,
+      stream.toDF().toDF("id", "payload"),
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1000 until 1040).map(i => (i.toLong, s"a$i")))
+      q.processAllAvailable()
+      val midVersion = TableStore.currentVersion(root).get
+      assert(midVersion > v0)
+      // first batch is already queryable through the registry
+      assert(SketchRegistry.lookupWithSketches(spark, root, 1005L)
+        .collect().map(_.getString(1)).toSeq == Seq("a1005"))
+      stream.addData((2000 until 2030).map(i => (i.toLong, s"b$i")))
+      q.processAllAvailable()
+      assert(TableStore.currentVersion(root).get > midVersion)
+    } finally q.stop()
+    // rows: seed + both batches, nothing else, nothing doubled
+    val got = TableStore.read(spark, root).select("id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val expected = ((0 until 300).map(i => (i.toLong, s"p$i")) ++
+      (1000 until 1040).map(i => (i.toLong, s"a$i")) ++
+      (2000 until 2030).map(i => (i.toLong, s"b$i"))).sorted
+    assert(got == expected)
+    // the streamed registry is bit-identical to a one-shot fresh build
+    val fresh = java.nio.file.Files.createTempDirectory("ingest_f").toString
+    SketchRegistry.commitWithSketches(expected.toDF("id", "payload"), fresh,
+      "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    def regMap(r: String) = SketchRegistry.registry(spark, r).collect()
+      .map(row => row.getInt(row.fieldIndex("shard")) -> (
+        row.getSeq[Long](row.fieldIndex("bloom")).toList,
+        row.getSeq[Int](row.fieldIndex("hll")).toList,
+        row.getLong(row.fieldIndex("n_rows")))).toMap
+    assert(regMap(root) == regMap(fresh))
+    // the marker recorded the last applied batch
+    assert(IngestStream.lastIngestedBatch(root).nonEmpty)
+  }
+
+  test("ingestBatch: replayed and stale batch ids are no-ops") {
+    val (root, _) = seedTable(100)
+    val b0 = (500 until 520).map(i => (i.toLong, s"x$i")).toDF("id", "payload")
+    assert(IngestStream.ingestBatch(spark, root, b0, batchId = 0L))
+    val v1 = TableStore.currentVersion(root).get
+    assert(IngestStream.lastIngestedBatch(root).contains(0L))
+    // exact replay: skipped, version untouched
+    assert(!IngestStream.ingestBatch(spark, root, b0, batchId = 0L))
+    assert(TableStore.currentVersion(root).contains(v1))
+    // a later batch advances the marker
+    val b1 = (600 until 610).map(i => (i.toLong, s"y$i")).toDF("id", "payload")
+    assert(IngestStream.ingestBatch(spark, root, b1, batchId = 1L))
+    assert(IngestStream.lastIngestedBatch(root).contains(1L))
+    // a STALE id arriving after is also skipped (restart replay window)
+    assert(!IngestStream.ingestBatch(spark, root, b0, batchId = 0L))
+    assert(TableStore.read(spark, root).count() == 130L)
+    // empty batches commit nothing
+    assert(!IngestStream.ingestBatch(spark, root,
+      b0.filter(lit(false)), batchId = 2L))
+    assert(IngestStream.lastIngestedBatch(root).contains(1L))
+  }
+
+  test("maintenance commits carry the ingest marker forward") {
+    val (root, _) = seedTable(100)
+    val b0 = (500 until 540).map(i => (i.toLong, s"x$i")).toDF("id", "payload")
+    assert(IngestStream.ingestBatch(spark, root, b0, batchId = 7L))
+    // compaction between restarts must not reset the dedup watermark
+    SketchRegistry.compactWithSketches(spark, root)
+    assert(IngestStream.lastIngestedBatch(root).contains(7L))
+    assert(!IngestStream.ingestBatch(spark, root, b0, batchId = 7L))
+    // an upsert/delete maintenance commit carries it too
+    SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = Seq((500L, "upd")).toDF("id", "payload"),
+      deleteKeys = Seq(501L).toDF("id"))
+    assert(IngestStream.lastIngestedBatch(root).contains(7L))
+    assert(!IngestStream.ingestBatch(spark, root, b0, batchId = 7L))
+    // and so does a further plain append
+    SketchRegistry.appendWithSketches(spark, root,
+      Seq((900L, "z")).toDF("id", "payload"))
+    assert(IngestStream.lastIngestedBatch(root).contains(7L))
+  }
+
+  test("ingestStream requires a bootstrapped sketch table") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val bare = java.nio.file.Files.createTempDirectory("ingest_bare").toString
+    TableStore.commit(Seq((1L, "p")).toDF("id", "payload"), bare)
+    val ex = intercept[IllegalArgumentException] {
+      IngestStream.ingestStream(spark, bare, stream.toDF().toDF("id", "payload"))
+    }
+    assert(ex.getMessage.contains("no sketch registry"))
+  }
+}
