@@ -581,6 +581,21 @@ object GraftEngine {
                    checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.IngestStream.ingestStream(spark, root, source, checkpointDir)
 
+  /** commit_zordered / box_lookup: two-dimensional zone maps — each
+    * column buckets by rank (quantile-sketch bounds), the shard is the
+    * Morton interleave of the bucket indices, exact per-shard rectangles
+    * ride the atomic commit, and a 2-D box predicate opens only
+    * rectangle-intersecting shard directories — both dimensions prune,
+    * where a single-column layout prunes one.
+    */
+  def commitZOrdered(df: DataFrame, root: String, colA: String, colB: String,
+                     shardsLog2: Int = 4): Long =
+    core.ZOrderStore.commitZOrdered(df, root, colA, colB, shardsLog2)
+
+  def boxLookup(spark: org.apache.spark.sql.SparkSession, root: String,
+                aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
+    core.ZOrderStore.boxLookup(spark, root, aLo, aHi, bLo, bHi)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

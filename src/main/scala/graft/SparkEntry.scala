@@ -3399,6 +3399,37 @@ object SparkEntry {
         graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "key")
           .select(col("doc_id"), col("source")).localCheckpoint(true)
       } finally q.stop()
+    },
+
+    // Two-dimensional Z-order zone maps: each column buckets into 4 rank
+    // buckets (bounds = rank picks off the deterministic quantile sketch,
+    // the q204 chain), the shard is the Morton interleave of the two
+    // bucket indices, and one EXACT per-shard rectangle
+    // (min_a..max_a × min_b..max_b, n_rows) rides the atomic commit.
+    // The oracle replays the ENTIRE derivation twice — both columns'
+    // bound chains, bucket assignment, the 2-bit interleave — then the
+    // exact stats.
+    "q212_zorder_stats" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val root = java.nio.file.Files.createTempDirectory("q212_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "l_orderkey",
+        shardsLog2 = 4, subLog2 = 5)
+      graft.core.ZOrderStore.zoneMap2d(s, root)
+    },
+
+    // 2-D box read through the Z-order zone map: result rows are exactly
+    // the plain two-BETWEEN filter's (rectangles are exact — no false
+    // admits at shard granularity), while only box-intersecting shard
+    // directories are opened (dir-level pin in ZOrderStoreSpec).
+    "q213_zorder_box" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val root = java.nio.file.Files.createTempDirectory("q213_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "l_orderkey",
+        shardsLog2 = 4, subLog2 = 5)
+      graft.core.ZOrderStore.boxLookup(s, root, 10L, 20L, 1L, 3000L)
+        .select(col("l_orderkey"), col("l_partkey"), col("qty"))
     }
   )
 
@@ -7887,7 +7918,63 @@ object SparkEntry {
         |  FROM (SELECT unnest(generate_series(6000020, 6000039)) AS i) g1)
         |SELECT doc_id, source FROM allr
         |WHERE (doc_id >= 0 AND doc_id < 25)
-        |   OR (doc_id >= 5999995 AND doc_id < 6000045)""".stripMargin
+        |   OR (doc_id >= 5999995 AND doc_id < 6000045)""".stripMargin,
+
+    // both columns' bound chains (the q204 quantile-sketch replay, n=4 ->
+    // 3 rank picks each), bucket = count(bounds <= x), shard = the 2-bit
+    // Morton interleave (a bit k at position 2k, b bit k at 2k+1), then
+    // exact per-shard rectangles
+    "q212_zorder_stats" ->
+      """WITH dA AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |binsA AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM dA),
+        |bcA AS (SELECT b, count(*) AS c FROM binsA GROUP BY b),
+        |cumA AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bcA),
+        |lbvA AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cumA),
+        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |  FROM lbvA, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
+        |boundsA AS (SELECT DISTINCT bound FROM picksA),
+        |dB AS (SELECT l_orderkey AS x FROM lineitem),
+        |binsB AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM dB),
+        |bcB AS (SELECT b, count(*) AS c FROM binsB GROUP BY b),
+        |cumB AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bcB),
+        |lbvB AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cumB),
+        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |  FROM lbvB, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
+        |boundsB AS (SELECT DISTINCT bound FROM picksB),
+        |rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS a, l_orderkey AS bb
+        |  FROM lineitem),
+        |asg AS (SELECT a, bb,
+        |    (SELECT count(*) FROM boundsA WHERE bound <= a) AS ka,
+        |    (SELECT count(*) FROM boundsB WHERE bound <= bb) AS kb
+        |  FROM rows0),
+        |sh AS (SELECT a, bb,
+        |    CAST((ka % 2) + 2 * (kb % 2) + 4 * ((ka // 2) % 2)
+        |         + 8 * ((kb // 2) % 2) AS INT) AS shard
+        |  FROM asg)
+        |SELECT shard, min(a) AS min_a, max(a) AS max_a,
+        |  min(bb) AS min_b, max(bb) AS max_b, count(*) AS n_rows
+        |FROM sh GROUP BY shard""".stripMargin,
+
+    // rectangles are exact, so the box-pruned read IS the plain filter
+    "q213_zorder_box" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
+        |  AND l_orderkey BETWEEN 1 AND 3000""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -1,0 +1,141 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Two-dimensional Z-order zone maps: layout, exact rectangles, box-pruned
+  * reads.
+  */
+class ZOrderStoreSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  /** The shard directories a plan actually read, off the real file list —
+    * `plan.contains("shard=1")` would false-match shard=10..15.
+    */
+  private def shardsRead(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.inputFiles.flatMap(f =>
+      "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+
+  /** A 40×40 uniform grid: every (a, b) cell holds one row, so rank
+    * bounds land at 10/20/30 per dimension and the 16 shards tile the
+    * grid as exact 10×10 rectangles — every pruning count is closed-form.
+    */
+  private def grid(): org.apache.spark.sql.DataFrame =
+    (for (a <- 0 until 40; b <- 0 until 40)
+      yield (a.toLong * 40 + b, a.toLong, b.toLong))
+      .toDF("id", "a", "b")
+
+  test("commitZOrdered: exact rectangles, box reads == plain filter, meta round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("zord").toString
+    val v = ZOrderStore.commitZOrdered(grid(), root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5)
+    assert(v == 0L)
+    val m = ZOrderStore.zMeta(root)
+    assert(m.colA == "a" && m.colB == "b" && m.bitsPerCol == 2)
+    assert(m.boundsA.size == 3 && m.boundsB.size == 3)
+    // zone map == the exact per-shard stats of the data itself
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 1600L)
+    val zm = ZOrderStore.zoneMap2d(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+        count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(zm == direct && zm.size == 16)
+    // box reads are exactly the plain two-BETWEEN filter, on several boxes
+    for ((aLo, aHi, bLo, bHi) <- Seq((0L, 9L, 0L, 9L), (5L, 25L, 12L, 33L),
+      (0L, 39L, 0L, 39L), (38L, 39L, 0L, 39L))) {
+      val got = ZOrderStore.boxLookup(spark, root, aLo, aHi, bLo, bHi)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = back.filter(col("a").between(aLo, aHi) &&
+          col("b").between(bLo, bHi))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want, s"box [$aLo,$aHi]×[$bLo,$bHi]")
+    }
+  }
+
+  test("2-D pruning: a k×k box reads ~1/k² of the shards, misses read nothing") {
+    val root = java.nio.file.Files.createTempDirectory("zord_p").toString
+    ZOrderStore.commitZOrdered(grid(), root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5)
+    // rank bounds land at value 9/19/29 (value 9 is the 400th of 1600
+    // ranks), so bucket 0 is values 0..8 — one bucket cell in BOTH
+    // dimensions reads exactly 1 of 16 shard dirs
+    val cell = ZOrderStore.boxLookup(spark, root, 0L, 8L, 0L, 8L)
+    assert(cell.count() == 81L)
+    assert(shardsRead(cell).size == 1, s"read ${shardsRead(cell)}")
+    // one bucket in A, all of B: exactly the 4 shards of A-bucket 0 —
+    // where a single-column range layout on B would read everything
+    val strip = ZOrderStore.boxLookup(spark, root, 0L, 8L, 0L, 39L)
+    assert(strip.count() == 360L)
+    assert(shardsRead(strip).size == 4, s"read ${shardsRead(strip)}")
+    // ... and the same economy in the OTHER dimension (the property a
+    // one-column sort cannot give both ways)
+    val stripB = ZOrderStore.boxLookup(spark, root, 0L, 39L, 9L, 18L)
+    assert(stripB.count() == 400L)
+    assert(shardsRead(stripB).size == 4, s"read ${shardsRead(stripB)}")
+    // a box outside every rectangle opens ZERO data files
+    val none = ZOrderStore.boxLookup(spark, root, 100L, 200L, 0L, 39L)
+    assert(none.collect().isEmpty)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a zone-map miss must not open any data file")
+    // pruned shard ids agree with the files actually read
+    assert(ZOrderStore.prunedBoxShards(spark, root, 0L, 8L, 0L, 8L)
+      == shardsRead(cell).toSeq.sorted)
+  }
+
+  test("skewed values still balance: rank buckets equalize rows per shard") {
+    // dimension a: 90% of rows in [0, 3], heavy tail to 4000 — fixed-width
+    // splitting would put ~90% of the table in one shard
+    val skew = (0 until 2000).map { i =>
+      val a = if (i % 10 < 9) (i % 4).toLong else (i.toLong * 7) % 4000
+      (i.toLong, a, (i % 40).toLong)
+    }.toDF("id", "a", "b")
+    val root = java.nio.file.Files.createTempDirectory("zord_s").toString
+    ZOrderStore.commitZOrdered(skew, root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5)
+    val counts = ZOrderStore.zoneMap2d(spark, root)
+      .select("n_rows").collect().map(_.getLong(0))
+    // no shard exceeds 4× the even share (sketch-resolution slack +
+    // duplicate mass pinned to one bucket)
+    assert(counts.max <= 4 * 1600 / 16,
+      s"skewed dimension produced a fat shard: ${counts.mkString(",")}")
+    // reads stay exact under skew
+    val got = ZOrderStore.boxLookup(spark, root, 0L, 2L, 0L, 10L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = TableStore.read(spark, root)
+      .filter(col("a").between(0, 2) && col("b").between(0, 10))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("loud guards: odd shardsLog2, same column, negative values, plain commits") {
+    val df = Seq((1L, 2L, 3L)).toDF("id", "a", "b")
+    val root = java.nio.file.Files.createTempDirectory("zord_g").toString
+    intercept[IllegalArgumentException] {
+      ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 3)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrderStore.commitZOrdered(df, root, "a", "a", shardsLog2 = 4)
+    }
+    val neg = Seq((1L, -2L, 3L)).toDF("id", "a", "b")
+    val ex = intercept[Exception] {
+      ZOrderStore.commitZOrdered(neg, root, "a", "b", shardsLog2 = 4)
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-negative")))
+    // a plain TableStore commit carries no 2-D zone map
+    val bare = java.nio.file.Files.createTempDirectory("zord_b").toString
+    TableStore.commit(df, bare)
+    val g = intercept[IllegalArgumentException] {
+      ZOrderStore.zoneMap2d(spark, bare)
+    }
+    assert(g.getMessage.contains("no 2-D zone map"))
+  }
+}
