@@ -3430,6 +3430,41 @@ object SparkEntry {
         shardsLog2 = 4, subLog2 = 5)
       graft.core.ZOrderStore.boxLookup(s, root, 10L, 20L, 1L, 3000L)
         .select(col("l_orderkey"), col("l_partkey"), col("qty"))
+    },
+
+    // Secondary Bloom index: the table is hash-sharded on l_orderkey, so
+    // l_partkey values scatter across every shard and no min/max zone map
+    // can prune an equality probe on them — but one per-shard Bloom row
+    // per sketchCols entry can. lookupBySecondaryIn consults every
+    // shard's bloom_<c> (registry-only), opens only admitted dirs, and
+    // the exact IN filter kills false positives — rows are exactly the
+    // plain IN's.
+    "q214_secondary_bloom" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val root = java.nio.file.Files.createTempDirectory("q214_store").toString
+      graft.core.SketchRegistry.commitWithSketches(li, root, "l_orderkey",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4,
+        sketchCols = Seq("l_partkey"))
+      graft.core.SketchRegistry.lookupBySecondaryIn(s, root, "l_partkey",
+          Seq(1L, 2L, 3L, 98765432L, 87654321L))
+        .select(col("l_orderkey"), col("l_partkey"), col("qty"))
+    },
+
+    // Secondary zone-map stats on a range layout: events lay out by event
+    // TIME, and event_id correlates with time, so the per-shard exact
+    // [min_event_id, max_event_id] rectangles prune an id-window read the
+    // same way the time windows prune — the classic zone-map win on
+    // naturally co-sorted columns. Result rows are exactly the plain
+    // BETWEEN filter's.
+    "q215_stats_range" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q215_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, statsCols = Seq("event_id"))
+      graft.core.SketchRegistry.rangeLookupOn(s, root, "event_id", 100L, 500L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
     }
   )
 
@@ -7974,7 +8009,19 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
         |FROM lineitem
         |WHERE CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
-        |  AND l_orderkey BETWEEN 1 AND 3000""".stripMargin
+        |  AND l_orderkey BETWEEN 1 AND 3000""".stripMargin,
+
+    // Bloom false positives die at the exact filter, false negatives
+    // cannot occur, so the secondary-index read IS the plain IN
+    "q214_secondary_bloom" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_partkey IN (1, 2, 3, 98765432, 87654321)""".stripMargin,
+
+    // zone-map stats are exact, so the stats-pruned read IS the filter
+    "q215_stats_range" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id BETWEEN 100 AND 500""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -38,7 +38,7 @@ object SketchRegistry {
     * probe with mismatched hashing.
     */
   final case class Meta(keyCol: String, shardsLog2: Int, bitsLog2: Int,
-                        k: Int, hllP: Int)
+                        k: Int, hllP: Int, sketchCols: Seq[String] = Nil)
 
   /** Cluster a shard-columned DataFrame so each shard DIRECTORY receives
     * exactly `filesPerShard` parquet files. Without this, `partitionBy`
@@ -61,6 +61,30 @@ object SketchRegistry {
         col(keyCol).cast("long") + lit(0x517cc1b7L)), lit(filesPerShard.toLong)))
   }
 
+  /** One registry row per non-empty shard: the key column's Bloom + HLL
+    * + row count, plus one `bloom_<c>` secondary Bloom per `sketchCols`
+    * entry — equality data-skipping on NON-layout columns, the lakehouse
+    * Bloom-index story (a hash layout scatters every other column, so
+    * per-shard min/max is useless there; per-shard membership bits are
+    * not). A shard whose rows are all null in `c` carries an all-zero
+    * `bloom_<c>` (admits nothing).
+    */
+  private def buildRegistryRows(sharded: DataFrame, keyCol: String,
+                                bitsLog2: Int, k: Int, hllP: Int,
+                                sketchCols: Seq[String]): DataFrame = {
+    val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyCol, bitsLog2, k)
+      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyCol, hllP),
+        Seq("shard"))
+      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+        Seq("shard"))
+    val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
+    sketchCols.foldLeft(base) { (acc, c) =>
+      acc.join(SketchOps.bloomSketch(sharded, Seq("shard"), c, bitsLog2, k)
+          .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
+        .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
+    }
+  }
+
   /** Opt-in sketch-indexed commit: the data lands hash-sharded on
     * `keyCol` (integral — the sketch contract) with the registry in the
     * same atomic commit. Costs two extra aggregations over the input
@@ -74,17 +98,19 @@ object SketchRegistry {
                          shardsLog2: Int = 3, bitsLog2: Int = 14, k: Int = 4,
                          hllP: Int = 12,
                          expectedVersion: Option[Long] = None,
-                         filesPerShard: Int = 1): Long = {
+                         filesPerShard: Int = 1,
+                         sketchCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
+    require(sketchCols.forall(c => df.columns.contains(c) && c != keyCol),
+      s"sketchCols must be data columns other than the key, got " +
+        s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val n = 1 << shardsLog2
     val sharded = df.withColumn("shard",
       graft.functions.GraftFunctions.splitmix64(col(keyCol).cast("long"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val registry = SketchOps.bloomSketch(sharded, Seq("shard"), keyCol, bitsLog2, k)
-      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyCol, hllP), Seq("shard"))
-      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
-        Seq("shard"))
+    val registry = buildRegistryRows(sharded, keyCol, bitsLog2, k, hllP,
+      sketchCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, keyCol, filesPerShard, n)
         .write.mode("overwrite").partitionBy("shard")
@@ -92,7 +118,7 @@ object SketchRegistry {
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
-        s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP"
+        s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}"
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -108,9 +134,13 @@ object SketchRegistry {
     require(Files.exists(p),
       s"v_$v under $root carries no sketch registry — commit it with " +
         "commitWithSketches to enable sketch-pruned lookups")
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
-      .split("\n") match {
-      case Array(key, s, b, kk, hp) => Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt)
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1).map(_.trim) match {
+      case Array(key, s, b, kk, hp) =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt)
+      case Array(key, s, b, kk, hp, sc) =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
+          sc.split(",").filter(_.nonEmpty).toSeq)
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -201,6 +231,54 @@ object SketchRegistry {
           col(m.keyCol) === col("__k"), "left_semi")
   }
 
+  /** The shard directories an equality probe on SECONDARY column `c`
+    * must read: those whose `bloom_<c>` row admits ANY of `values`.
+    * Unlike the key path, the hash layout says nothing about where `c`'s
+    * values live, so every shard's filter is consulted — but only the
+    * REGISTRY is read (admission runs distributed against the broadcast
+    * registry; ≤ 2^shardsLog2 ids collect). False positives at the
+    * published rate, never false negatives.
+    */
+  def prunedShardsBy(spark: SparkSession, root: String, c: String,
+                     values: Seq[Long],
+                     version: Option[Long] = None): Seq[Int] = {
+    val m = meta(root, version)
+    require(m.sketchCols.contains(c),
+      s"'$c' carries no secondary Bloom — commit with sketchCols " +
+        s"including it (committed: ${m.sketchCols.mkString(",")})")
+    if (values.isEmpty) return Nil
+    import spark.implicits._
+    val reg = registry(spark, root, version)
+      .select(col("shard"), col(s"bloom_$c").as("bloom"))
+    SketchOps.bloomMightContain(broadcast(reg), values.toDF("__v"),
+        Nil, "__v", m.bitsLog2, m.k)
+      .filter(col("might_contain")).select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+  }
+
+  /** Equality `IN`-lookup on a SECONDARY column through its per-shard
+    * Bloom index: result rows are exactly
+    * `TableStore.read(...).filter(c IN values)`'s (false positives die at
+    * the final exact filter, false negatives cannot occur), but only
+    * Bloom-admitted shard directories are opened — the selective-probe
+    * answer for columns the hash layout scatters, where per-shard
+    * min/max zone maps carry no signal at all.
+    */
+  def lookupBySecondaryIn(spark: SparkSession, root: String, c: String,
+                          values: Seq[Long],
+                          version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    prunedShardsBy(spark, root, c, values, Some(v)) match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case shards =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(c).cast("long").isin(values: _*))
+    }
+  }
+
   /** Keyed UPSERT/DELETE against a sketch-indexed table that rewrites and
     * re-sketches ONLY the touched shards — the incremental-maintenance
     * path [[commitWithSketches]] needs at scale, where re-sketching a
@@ -260,12 +338,8 @@ object SketchRegistry {
       .join(broadcast(changedKeys), col(m.keyCol).cast("long") === col("__k"),
         "left_anti")
       .unionByName(upserts.withColumn("shard", shardOf(col(m.keyCol))))
-    val touchedRegistry = SketchOps
-      .bloomSketch(newTouched, Seq("shard"), m.keyCol, m.bitsLog2, m.k)
-      .join(SketchOps.hllSketch(newTouched, Seq("shard"), m.keyCol, m.hllP),
-        Seq("shard"))
-      .join(newTouched.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
-        Seq("shard"))
+    val touchedRegistry = buildRegistryRows(newTouched, m.keyCol,
+      m.bitsLog2, m.k, m.hllP, m.sketchCols)
     val carried = registry(spark, root, Some(v))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
@@ -330,19 +404,19 @@ object SketchRegistry {
     val sharded = rows.withColumn("shard",
       graft.functions.GraftFunctions.splitmix64(col(m.keyCol).cast("long"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val batchRegistry = SketchOps
-      .bloomSketch(sharded, Seq("shard"), m.keyCol, m.bitsLog2, m.k)
-      .join(SketchOps.hllSketch(sharded, Seq("shard"), m.keyCol, m.hllP),
-        Seq("shard"))
-      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
-        Seq("shard"))
+    val batchRegistry = buildRegistryRows(sharded, m.keyCol, m.bitsLog2,
+      m.k, m.hllP, m.sketchCols)
     val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
-    val mergedRegistry = SketchOps
+    val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
       .join(SketchOps.hllMergeSketches(both, Seq("shard"), "hll", m.hllP),
         Seq("shard"))
       .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows")),
         Seq("shard"))
+    val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
+        s"bloom_$c", m.bitsLog2), Seq("shard"))
+    }
     TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(sharded, m.keyCol, filesPerShard, n)
         .write.mode("overwrite").partitionBy("shard")
@@ -493,7 +567,7 @@ object SketchRegistry {
     * picked at, and the deduped ascending bound values themselves.
     */
   final case class RangeMeta(sortCol: String, shardsLog2: Int, subLog2: Int,
-                             bounds: Seq[Long])
+                             bounds: Seq[Long], statsCols: Seq[String] = Nil)
 
   /** RANGE-sharded opt-in commit — the zone-map complement of
     * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
@@ -516,10 +590,14 @@ object SketchRegistry {
   def commitRangeSharded(df: DataFrame, root: String, sortCol: String,
                          shardsLog2: Int = 3, subLog2: Int = 5,
                          expectedVersion: Option[Long] = None,
-                         filesPerShard: Int = 1): Long = {
+                         filesPerShard: Int = 1,
+                         statsCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 8,
       s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
         "is already directory-granularity; split WITHIN shards by file size")
+    require(statsCols.forall(c => df.columns.contains(c) && c != sortCol),
+      s"statsCols must be data columns other than the sort column, got " +
+        s"${statsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val n = 1 << shardsLog2
     val sk = SketchOps.quantileSketch(df, Nil, sortCol, subLog2)
     val bounds: Seq[Long] =
@@ -533,7 +611,11 @@ object SketchRegistry {
     val v = col(sortCol).cast("long")
     val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
     val registry = sharded.groupBy(col("shard"))
-      .agg(min(v).as("min_v"), max(v).as("max_v"), count(lit(1)).as("n_rows"))
+      .agg(min(v).as("min_v"),
+        (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+          statsCols.flatMap(c => Seq(
+            min(col(c).cast("long")).as(s"min_$c"),
+            max(col(c).cast("long")).as(s"max_$c")))): _*)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -545,7 +627,7 @@ object SketchRegistry {
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
       Files.write(staging.resolve("_zonemap_meta"),
-        s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}"
+        s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}"
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -587,12 +669,19 @@ object SketchRegistry {
     val v = col(m.sortCol).cast("long")
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
     val batchStats = sharded.groupBy(col("shard"))
-      .agg(min(v).as("min_v"), max(v).as("max_v"), count(lit(1)).as("n_rows"))
+      .agg(min(v).as("min_v"),
+        (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+          m.statsCols.flatMap(c => Seq(
+            min(col(c).cast("long")).as(s"min_$c"),
+            max(col(c).cast("long")).as(s"max_$c")))): _*)
     val mergedZoneMap = zoneMap(spark, root, Some(ver))
       .unionByName(batchStats)
       .groupBy(col("shard"))
-      .agg(min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-        sum(col("n_rows")).as("n_rows"))
+      .agg(min(col("min_v")).as("min_v"),
+        (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
+          m.statsCols.flatMap(c => Seq(
+            min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c")))): _*)
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
       clusterForWrite(sharded, m.sortCol, filesPerShard, n)
@@ -625,6 +714,9 @@ object SketchRegistry {
       .split("\n", -1) match {
       case Array(sc, s, sl, bs) => RangeMeta(sc, s.toInt, sl.toInt,
         bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      case Array(sc, s, sl, bs, stc) => RangeMeta(sc, s.toInt, sl.toInt,
+        bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        stc.split(",").filter(_.nonEmpty).toSeq)
       case other => throw new IllegalStateException(
         s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -670,6 +762,38 @@ object SketchRegistry {
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
           .filter(between)
+    }
+  }
+
+  /** Range read on a SECONDARY stats column `c`: only shards whose exact
+    * [min_c, max_c] intersects `[lo, hi]` are opened; result rows are
+    * exactly the plain BETWEEN filter's. This prunes when `c` correlates
+    * with the layout's sort column (event ids vs event time, version
+    * counters vs commit time — the classic zone-map win on naturally
+    * co-sorted columns); on an uncorrelated column every rectangle spans
+    * the window and the read degrades to a full scan, never to a wrong
+    * answer. Shards whose `c` values are all null carry null stats and
+    * are kept (no information ⇒ must read).
+    */
+  def rangeLookupOn(spark: SparkSession, root: String, c: String,
+                    lo: Long, hi: Long,
+                    version: Option[Long] = None): DataFrame = {
+    val m = rangeMeta(root, version)
+    require(m.statsCols.contains(c),
+      s"'$c' carries no zone-map stats — commit with statsCols " +
+        s"including it (committed: ${m.statsCols.mkString(",")})")
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    val shards = zoneMap(spark, root, Some(v))
+      .filter(col(s"min_$c").isNull ||
+        (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
+      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+    shards match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(c).cast("long").between(lo, hi))
     }
   }
 

@@ -446,4 +446,124 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     }
     assert(g.getMessage.contains("commitWithSketches"))
   }
+
+  test("secondary Bloom index: scattered-column probes prune, IN semantics exact, appends maintain it") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_sec").toString
+    // payload value is CONCENTRATED: value v lives only in rows with
+    // id % 50 == v, which the id-hash layout sprays over all shards —
+    // BUT value 999 is planted into exactly the rows of ONE hash shard,
+    // so its Bloom admits exactly that shard
+    val targetShard = 3
+    val df = (0 until 1000).map { i =>
+      val v = if ((graft.functions.HashKernels.splitmix64(i.toLong) & 7L)
+        == targetShard && i % 50 == 0) 999L else (i % 50).toLong
+      (i.toLong, v)
+    }.toDF("id", "pv")
+    val v0 = SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4, sketchCols = Seq("pv"))
+    assert(SketchRegistry.meta(root).sketchCols == Seq("pv"))
+    // exact IN semantics on present + absent values
+    val got = SketchRegistry.lookupBySecondaryIn(spark, root, "pv",
+        Seq(999L, 7L, 123456L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = TableStore.read(spark, root)
+      .filter(col("pv").isin(999L, 7L, 123456L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the planted single-shard value admits ONLY its shard
+    assert(SketchRegistry.prunedShardsBy(spark, root, "pv", Seq(999L))
+      == Seq(targetShard))
+    val one = SketchRegistry.lookupBySecondaryIn(spark, root, "pv", Seq(999L))
+    val dirs = one.inputFiles.flatMap(f =>
+      "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(dirs == Set(targetShard), s"read $dirs")
+    // a value absent everywhere opens no data file (find one the Bloom
+    // actually rejects — FPs are legal, so probe first)
+    val miss = (500000L until 500200L).find(v =>
+      SketchRegistry.prunedShardsBy(spark, root, "pv", Seq(v)).isEmpty).get
+    val none = SketchRegistry.lookupBySecondaryIn(spark, root, "pv", Seq(miss))
+    assert(none.collect().isEmpty)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"))
+    // append maintains the secondary Blooms: merged == fresh, bit-exact
+    val batch = (5000 until 5040).map(i => (i.toLong, 777L)).toDF("id", "pv")
+    SketchRegistry.appendWithSketches(spark, root, batch)
+    val fresh = java.nio.file.Files.createTempDirectory("skreg_sec_f").toString
+    SketchRegistry.commitWithSketches(
+      df.unionByName(batch), fresh, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4, sketchCols = Seq("pv"))
+    def regMap(r: String) = SketchRegistry.registry(spark, r).collect()
+      .map(row => row.getInt(row.fieldIndex("shard")) ->
+        row.getSeq[Long](row.fieldIndex("bloom_pv")).toList).toMap
+    assert(regMap(root) == regMap(fresh))
+    assert(SketchRegistry.lookupBySecondaryIn(spark, root, "pv", Seq(777L))
+      .count() == 40L)
+    // upsert/delete maintenance rebuilds touched secondary Blooms too:
+    // delete every 999-payload row, then the probe admits nothing real
+    val dels = TableStore.read(spark, root).filter(col("pv") === 999L)
+      .select(col("id"))
+    SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = spark.emptyDataFrame.select(lit(0L).as("id"), lit(0L).as("pv"))
+        .filter(lit(false)),
+      deleteKeys = dels)
+    assert(SketchRegistry.lookupBySecondaryIn(spark, root, "pv", Seq(999L))
+      .collect().isEmpty)
+    // probing an unindexed column fails loudly
+    val g2 = intercept[IllegalArgumentException] {
+      SketchRegistry.lookupBySecondaryIn(spark, root, "id", Seq(1L))
+    }
+    assert(g2.getMessage.contains("no secondary Bloom"))
+    // old 5-line metas (no sketchCols) still parse: time-travel read of v0
+    assert(SketchRegistry.meta(root, Some(v0)).sketchCols == Seq("pv"))
+  }
+
+  test("secondary zone-map stats: correlated column prunes, uncorrelated degrades to scan, appends merge exactly") {
+    // t ascending, id ascending with t (correlated), r decorrelated
+    val df = (0 until 1600).map(i =>
+      (i.toLong, i.toLong * 3, (i.toLong * 2654435761L) % 10000))
+      .toDF("id", "t", "r")
+    val root = java.nio.file.Files.createTempDirectory("skrange_sc").toString
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 3,
+      subLog2 = 5, statsCols = Seq("id", "r"))
+    assert(SketchRegistry.rangeMeta(root).statsCols == Seq("id", "r"))
+    val zm = SketchRegistry.zoneMap(spark, root)
+    assert(zm.columns.toSet == Set("shard", "min_v", "max_v", "n_rows",
+      "min_id", "max_id", "min_r", "max_r"))
+    // correlated column: a tight id window reads a strict shard subset
+    val byId = SketchRegistry.rangeLookupOn(spark, root, "id", 100L, 150L)
+    assert(byId.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (100L to 150L).toSeq)
+    val dirs = byId.inputFiles.flatMap(f =>
+      "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(dirs.size < 8, s"correlated stats failed to prune: $dirs")
+    // uncorrelated column: every rectangle spans the window — full scan,
+    // but the answer stays exact
+    val byR = SketchRegistry.rangeLookupOn(spark, root, "r", 0L, 100L)
+    assert(byR.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      TableStore.read(spark, root).filter(col("r").between(0L, 100L))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a window outside every rectangle opens nothing
+    val none = SketchRegistry.rangeLookupOn(spark, root, "id", 90000L, 99000L)
+    assert(none.collect().isEmpty)
+    assert(!none.queryExecution.executedPlan.toString.contains("FileScan"))
+    // append merges the secondary stats exactly (min/min, max/max)
+    SketchRegistry.appendRangeSharded(spark, root,
+      (5000 until 5050).map(i => (i.toLong, i.toLong * 3, 4L)).toDF("id", "t", "r"))
+    val direct = TableStore.read(spark, root).groupBy(col("shard"))
+      .agg(min(col("id")), max(col("id")), min(col("r")), max(col("r")))
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val zm2 = SketchRegistry.zoneMap(spark, root).collect()
+      .map(r => (r.getInt(r.fieldIndex("shard")),
+        (r.getLong(r.fieldIndex("min_id")), r.getLong(r.fieldIndex("max_id")),
+          r.getLong(r.fieldIndex("min_r")), r.getLong(r.fieldIndex("max_r")))))
+      .toMap
+    assert(zm2 == direct)
+    assert(SketchRegistry.rangeLookupOn(spark, root, "id", 5000L, 5009L)
+      .count() == 10L)
+    // unindexed column fails loudly
+    val g = intercept[IllegalArgumentException] {
+      SketchRegistry.rangeLookupOn(spark, root, "t", 0L, 1L)
+    }
+    assert(g.getMessage.contains("no zone-map stats"))
+  }
 }
