@@ -596,6 +596,24 @@ object GraftEngine {
                 aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
     core.ZOrderStore.boxLookup(spark, root, aLo, aHi, bLo, bHi)
 
+  /** colocated_join / lookup_by / range_lookup_on: registry-pruned reads
+    * beyond the primary key — the co-located equi-join of two same-layout
+    * sketch tables (shard pairs skipped when either side is empty or the
+    * Bloom bitmaps share no bit), equality probes on secondary
+    * Bloom-indexed columns, and range reads on secondary zone-map stats.
+    */
+  def colocatedJoin(spark: org.apache.spark.sql.SparkSession,
+                    rootA: String, rootB: String): DataFrame =
+    core.SketchRegistry.colocatedJoinWithSketches(spark, rootA, rootB)
+
+  def lookupBy(spark: org.apache.spark.sql.SparkSession, root: String,
+               column: String, values: Seq[Long]): DataFrame =
+    core.SketchRegistry.lookupBySecondaryIn(spark, root, column, values)
+
+  def rangeLookupOn(spark: org.apache.spark.sql.SparkSession, root: String,
+                    column: String, lo: Long, hi: Long): DataFrame =
+    core.SketchRegistry.rangeLookupOn(spark, root, column, lo, hi)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

@@ -3465,6 +3465,28 @@ object SparkEntry {
         shardsLog2 = 3, subLog2 = 5, statsCols = Seq("event_id"))
       graft.core.SketchRegistry.rangeLookupOn(s, root, "event_id", 100L, 500L)
         .select(col("event_id"), col("user_id"), col("event_type"))
+    },
+
+    // Co-located join of two SAME-LAYOUT sketch tables: key k lives in
+    // the same splitmix hash shard on both sides, so the join reads only
+    // shard pairs BOTH registries populate whose Bloom bitmaps share a
+    // bit (any common key sets the same k positions in both filters — an
+    // empty AND proves an empty key intersection). Disjoint tables open
+    // zero data files (spec-pinned); rows are exactly the plain inner
+    // join's.
+    "q216_colocated_join" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), col("source"))
+      val b = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val rootA = java.nio.file.Files.createTempDirectory("q216_a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q216_b").toString
+      graft.core.SketchRegistry.commitWithSketches(a, rootA, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      graft.core.SketchRegistry.commitWithSketches(b, rootB, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      graft.core.SketchRegistry.colocatedJoinWithSketches(s, rootA, rootB)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
     }
   )
 
@@ -8021,7 +8043,14 @@ object SparkEntry {
     // zone-map stats are exact, so the stats-pruned read IS the filter
     "q215_stats_range" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE event_id BETWEEN 100 AND 500""".stripMargin
+        |WHERE event_id BETWEEN 100 AND 500""".stripMargin,
+
+    // Bloom-AND pruning loses no row, so the co-located join IS the join
+    "q216_colocated_join" ->
+      """SELECT d.doc_id, d.source, b.lang, b.n_chars
+        |FROM documents d
+        |JOIN (SELECT doc_id, lang, n_chars FROM documents
+        |      WHERE doc_id % 3 = 0) b USING (doc_id)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

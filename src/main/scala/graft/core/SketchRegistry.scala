@@ -231,6 +231,72 @@ object SketchRegistry {
           col(m.keyCol) === col("__k"), "left_semi")
   }
 
+  /** The shard pairs an equi-join of two SAME-LAYOUT sketch tables must
+    * read: both tables committed with identical (keyCol hash, shardsLog2),
+    * so key k lives in shard `splitmix64(k) & mask` on BOTH sides and the
+    * join decomposes into per-shard joins. A shard is skipped when either
+    * side has no row in it, or when `bloomA & bloomB` has NO bit set —
+    * any key present on both sides sets the same `k` positions in both
+    * filters (same hash family), so an empty intersection of bitmaps
+    * proves an empty intersection of keys. Registry-only; ≤ 2^shardsLog2
+    * ids.
+    */
+  def joinPrunedShards(spark: SparkSession, rootA: String, rootB: String,
+                       versionA: Option[Long] = None,
+                       versionB: Option[Long] = None): Seq[Int] = {
+    val ma = meta(rootA, versionA)
+    val mb = meta(rootB, versionB)
+    require(ma.shardsLog2 == mb.shardsLog2 &&
+        ma.bitsLog2 == mb.bitsLog2 && ma.k == mb.k,
+      s"co-located join requires identical layouts: " +
+        s"(shardsLog2,bitsLog2,k) = (${ma.shardsLog2},${ma.bitsLog2},${ma.k}) " +
+        s"vs (${mb.shardsLog2},${mb.bitsLog2},${mb.k})")
+    val a = registry(spark, rootA, versionA)
+      .select(col("shard"), col("bloom").as("__ba"))
+    val b = registry(spark, rootB, versionB)
+      .select(col("shard"), col("bloom").as("__bb"))
+    a.join(b, Seq("shard")) // inner: both sides non-empty
+      .filter(exists(zip_with(col("__ba"), col("__bb"),
+        (x, y) => x.bitwiseAND(y)), w => w =!= 0L))
+      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+  }
+
+  /** Equi-join two sketch tables committed with the SAME key hash layout,
+    * reading only [[joinPrunedShards]]-admitted shard directories of
+    * EITHER side: result rows are exactly the plain inner join's on the
+    * key (Bloom-AND false positives cost a read, never a wrong row;
+    * false negatives cannot occur, so no row is lost). Columns: A's,
+    * then B's non-key data columns (suffixed `_b` on collision). The
+    * shard columns agree by construction and ride once. When the key
+    * spaces are disjoint this opens ZERO data files on both sides — the
+    * dump-vs-dump join triage; when they overlap partially, only
+    * co-populated shards are read.
+    */
+  def colocatedJoinWithSketches(spark: SparkSession,
+                                rootA: String, rootB: String,
+                                versionA: Option[Long] = None,
+                                versionB: Option[Long] = None): DataFrame = {
+    val ma = meta(rootA, versionA)
+    val mb = meta(rootB, versionB)
+    require(ma.keyCol == mb.keyCol,
+      s"co-located join requires the same key column, got " +
+        s"'${ma.keyCol}' vs '${mb.keyCol}'")
+    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
+    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val shards = joinPrunedShards(spark, rootA, rootB, Some(va), Some(vb))
+    def side(root: String, v: Long) = shards match {
+      case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss => spark.read.option("basePath", s"$root/v_$v")
+        .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+    }
+    val a = side(rootA, va)
+    val bRaw = side(rootB, vb).drop("shard")
+    val collide = bRaw.columns.filter(c => c != ma.keyCol &&
+      a.columns.contains(c))
+    val b = collide.foldLeft(bRaw)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
+    a.join(b, Seq(ma.keyCol))
+  }
+
   /** The shard directories an equality probe on SECONDARY column `c`
     * must read: those whose `bloom_<c>` row admits ANY of `values`.
     * Unlike the key path, the hash layout says nothing about where `c`'s

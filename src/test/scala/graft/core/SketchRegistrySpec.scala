@@ -566,4 +566,75 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     }
     assert(g.getMessage.contains("no zone-map stats"))
   }
+
+  test("colocatedJoinWithSketches: Bloom-AND shard pruning, exact join semantics") {
+    def shardsReadOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.flatMap(f =>
+        "(v_\\d+/shard=\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    val rootA = java.nio.file.Files.createTempDirectory("coloc_a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("coloc_b").toString
+    // overlap on ids 400..599 only; payload column name collides ("p")
+    SketchRegistry.commitWithSketches(
+      (0 until 600).map(i => (i.toLong, s"a$i")).toDF("id", "p"),
+      rootA, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    SketchRegistry.commitWithSketches(
+      (400 until 1000).map(i => (i.toLong, s"b$i")).toDF("id", "p"),
+      rootB, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val joined = SketchRegistry.colocatedJoinWithSketches(spark, rootA, rootB)
+    assert(joined.columns.toSeq == Seq("id", "p", "shard", "p_b"))
+    val got = joined.select("id", "p", "p_b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == (400 until 600).map(i => (i.toLong, s"a$i", s"b$i")).sorted)
+    // DISJOINT key spaces: the zero-AND prune fires in the SPARSE regime
+    // (set-bit product well under the filter size — the delta-vs-table
+    // triage shape); random low-bit collisions can light a stray AND bit,
+    // so this pair uses 2^16-bit filters and a 40-key side at base 102000,
+    // verified collision-free by replaying the documented splitmix
+    // positions (at 2^12 bits the same tables share AND bits in EVERY
+    // shard — density, not overlap)
+    val rootA16 = java.nio.file.Files.createTempDirectory("coloc_a16").toString
+    val rootC = java.nio.file.Files.createTempDirectory("coloc_c").toString
+    SketchRegistry.commitWithSketches(
+      (0 until 600).map(i => (i.toLong, s"a$i")).toDF("id", "p"),
+      rootA16, "id", shardsLog2 = 3, bitsLog2 = 16, k = 4)
+    SketchRegistry.commitWithSketches(
+      (102000 until 102040).map(i => (i.toLong, i)).toDF("id", "x"),
+      rootC, "id", shardsLog2 = 3, bitsLog2 = 16, k = 4)
+    val disjoint = SketchRegistry.colocatedJoinWithSketches(spark, rootA16, rootC)
+    assert(SketchRegistry.joinPrunedShards(spark, rootA16, rootC).isEmpty,
+      "disjoint 40-key table must Bloom-AND to empty on every shard")
+    assert(disjoint.collect().isEmpty)
+    assert(!disjoint.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a fully pruned join must not open any data file")
+    // CONCENTRATED overlap: B holds keys of ONE hash shard only — the
+    // join reads exactly that shard pair, both sides
+    val oneShard = (0 until 600).map(_.toLong)
+      .filter(k => (graft.functions.HashKernels.splitmix64(k) & 7L) == 5L)
+    val rootD = java.nio.file.Files.createTempDirectory("coloc_d").toString
+    SketchRegistry.commitWithSketches(
+      oneShard.map(k => (k, s"d$k")).toDF("id", "q"),
+      rootD, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val narrow = SketchRegistry.colocatedJoinWithSketches(spark, rootA, rootD)
+    assert(narrow.count() == oneShard.size.toLong)
+    assert(shardsReadOf(narrow).map(_.split("=")(1).toInt) == Set(5),
+      s"read ${shardsReadOf(narrow)}")
+    // mismatched layouts fail loudly
+    val rootE = java.nio.file.Files.createTempDirectory("coloc_e").toString
+    SketchRegistry.commitWithSketches(
+      Seq((1L, "x")).toDF("id", "p"), rootE, "id",
+      shardsLog2 = 2, bitsLog2 = 12, k = 4)
+    val g = intercept[IllegalArgumentException] {
+      SketchRegistry.colocatedJoinWithSketches(spark, rootA, rootE)
+    }
+    assert(g.getMessage.contains("identical layouts"))
+    // mismatched key columns fail loudly
+    val rootF = java.nio.file.Files.createTempDirectory("coloc_f").toString
+    SketchRegistry.commitWithSketches(
+      Seq((1L, "x")).toDF("k2", "p"), rootF, "k2",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val g2 = intercept[IllegalArgumentException] {
+      SketchRegistry.colocatedJoinWithSketches(spark, rootA, rootF)
+    }
+    assert(g2.getMessage.contains("same key column"))
+  }
 }
