@@ -3487,6 +3487,26 @@ object SparkEntry {
         shardsLog2 = 3, bitsLog2 = 12, k = 4)
       graft.core.SketchRegistry.colocatedJoinWithSketches(s, rootA, rootB)
         .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    },
+
+    // Subword-regularization sampling (Kudo 2018 §4): segmentations are
+    // DRAWN from the lattice, not argmaxed — deterministically, off the
+    // documented splitmix chain, so even the stochastic path replays.
+    // At α = 0 (the published uniform-over-segmentations limit) the
+    // piece weights are exactly 1, forward masses are exact integer path
+    // counts, and every draw comparison is IEEE-exact — the oracle is an
+    // INDEPENDENT replay of the chain + lattice arithmetic (derived
+    // outside the engine), pinned as VALUES.
+    "q217_subword_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Seq((1L, "abab aab ba"), (2L, "bbaa abba"),
+        (3L, "ab aaa bbb abab")).toDF("doc_id", "text")
+      val model = Seq(("a", math.log(0.3)), ("b", math.log(0.25)),
+        ("ab", math.log(0.2)), ("ba", math.log(0.15)), ("aa", math.log(0.1)))
+        .toDF("piece", "logprob")
+      graft.text.Unigram.unigramSampleSegment(docs, "text", model, "toks",
+          alpha = 0.0, seed = 7L)
+        .select(col("doc_id"), concat_ws("|", col("toks")).as("tokens"))
     }
   )
 
@@ -8050,7 +8070,18 @@ object SparkEntry {
       """SELECT d.doc_id, d.source, b.lang, b.n_chars
         |FROM documents d
         |JOIN (SELECT doc_id, lang, n_chars FROM documents
-        |      WHERE doc_id % 3 = 0) b USING (doc_id)""".stripMargin
+        |      WHERE doc_id % 3 = 0) b USING (doc_id)""".stripMargin,
+
+    // independently derived replay of the seeded FFBS draws at alpha = 0:
+    // splitmix64(splitmix64(7 + t) + r) unit draws, integer path-count
+    // forward masses, first-cumulative-share-exceeding-u backward picks —
+    // all IEEE-exact arithmetic, reproduced outside the engine
+    "q217_subword_sample" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'a|ba|b|a|ab|b|a'),
+        |  (CAST(2 AS BIGINT), 'b|ba|a|ab|ba'),
+        |  (CAST(3 AS BIGINT), 'a|b|a|aa|b|b|b|a|b|ab'))
+        |AS t(doc_id, tokens)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

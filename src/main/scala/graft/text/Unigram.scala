@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   *
   * Simplifications vs the published trainer, chosen for determinism
   * (documented, not hidden): the seed is frequency-top-k substrings (not
-  * suffix-array ESA candidates), pruning drops by expected count (not by
-  * exact likelihood-loss), and there is no subword-regularization
-  * sampling — segmentation is always the Viterbi argmax. Ties are pinned
-  * everywhere: seed and prune ties break to the lexicographically smaller
-  * piece kept first, EM accumulates in fixed word order, normalization
-  * folds in sorted piece order, and Viterbi ties prefer the longer
-  * trailing piece — so the same (corpus, params) trains the same model on
-  * any engine or partitioning.
+  * suffix-array ESA candidates); pruning drops by expected count by
+  * default (`pruneBy = "loss"` runs the published exact likelihood-loss
+  * criterion). Segmentation defaults to the Viterbi argmax
+  * ([[unigramSegment]]); the published subword-regularization SAMPLER is
+  * [[unigramSampleSegment]] — deterministic seeded FFBS draws, so even
+  * the stochastic path replays. Ties are pinned everywhere: seed and
+  * prune ties break to the lexicographically smaller piece kept first,
+  * EM accumulates in fixed word order, normalization folds in sorted
+  * piece order, and Viterbi ties prefer the longer trailing piece — so
+  * the same (corpus, params) trains the same model on any engine or
+  * partitioning.
   */
 object Unigram {
 
@@ -444,5 +447,117 @@ object Unigram {
     unigramSegment(df, textCol, model, "__uni_idtoks")
       .withColumn(outCol, toIds(col("__uni_idtoks")))
       .drop("__uni_idtoks")
+  }
+
+  /** The 53-bit dyadic unit draw of a splitmix64 value — exactly
+    * representable, so every engine compares it identically.
+    */
+  @inline private def unit(h: Long): Double = (h >>> 11).toDouble / (1L << 53)
+
+  /** One forward-filtering backward-sampling draw from the word's
+    * segmentation lattice under piece weights w(x) = exp(α·logprob(x)) —
+    * Kudo 2018 §4's subword-regularization distribution
+    * P(x|w) ∝ Π w(piece). Forward masses accumulate in ascending start
+    * order (the replayable fold); the backward step at position j draws
+    * u = `uAt(r)` (the r-th unit draw of this occurrence) and picks the
+    * FIRST start i, ascending, whose cumulative share exceeds u·fwd(j).
+    * A lattice whose total mass underflows to 0 (extreme α on long
+    * words) falls back to the deterministic Viterbi split rather than
+    * emitting garbage.
+    */
+  private[text] def ffbsSample(word: String, logp: collection.Map[String, Double],
+                               maxPieceLen: Int, alpha: Double,
+                               uAt: Int => Double): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    def weight(i: Int, j: Int): Double = {
+      val lp = logp.get(word.substring(i, j)) match {
+        case Some(x) => x
+        case None => if (j - i == 1) UnkLogp else Double.NegativeInfinity
+      }
+      if (lp == Double.NegativeInfinity) 0.0 else math.exp(alpha * lp)
+    }
+    val fwd = new Array[Double](n + 1)
+    fwd(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var acc = 0.0
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) { acc += fwd(i) * weight(i, j); i += 1 }
+      fwd(j) = acc
+      j += 1
+    }
+    if (fwd(n) == 0.0 || fwd(n).isInfinite || fwd(n).isNaN)
+      return viterbi(word, logp, maxPieceLen)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    var r = 0
+    while (pos > 0) {
+      val u = uAt(r) * fwd(pos)
+      r += 1
+      var i = math.max(0, pos - maxPieceLen)
+      var acc = 0.0
+      var picked = -1
+      while (i < pos && picked < 0) {
+        acc += fwd(i) * weight(i, pos)
+        if (acc > u) picked = i
+        i += 1
+      }
+      if (picked < 0) picked = pos - 1 // numerical guard: last candidate
+      out += word.substring(picked, pos)
+      pos = picked
+    }
+    out.reverseIterator.toArray
+  }
+
+  /** SUBWORD-REGULARIZATION segmentation (Kudo 2018 §4) — sample a split
+    * from P(x|w) ∝ Π exp(α·logprob(piece)) instead of taking the Viterbi
+    * argmax, the training-time augmentation that makes a model robust to
+    * segmentation ambiguity. Deterministic and engine-replayable: the
+    * t-th whitespace word of a document draws its decisions from the
+    * splitmix64 chain `splitmix64(splitmix64(seed + t) + r)` (r-th
+    * backward step), so the same (text, model, α, seed) samples the same
+    * split on any engine or partitioning, and epoch e can pass
+    * `seed = e` for fresh augmentation per epoch. α semantics: α = 1
+    * samples the model's own posterior, α → large sharpens toward
+    * Viterbi, and α = 0 is the published uniform-over-segmentations
+    * limit (every lattice path equally likely — weights are exactly 1,
+    * so the forward masses are exact integer path counts and the draw
+    * arithmetic is reproducible bit-for-bit in ANY engine, the oracle
+    * regime). Map-only, like [[unigramSegment]]; no memo — two
+    * occurrences of the same word intentionally sample independent
+    * splits.
+    */
+  def unigramSampleSegment(df: DataFrame, textCol: String, model: DataFrame,
+                           outCol: String, alpha: Double = 1.0,
+                           seed: Long = 0L): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    val logp: Map[String, Double] = model
+      .select(col("piece"), col("logprob").cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val maxLen = if (logp.isEmpty) 1 else logp.keysIterator.map(_.length).max
+    val seg = udf((text: String) => {
+      if (text == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        var t = 0L
+        val n = text.length
+        while (i < n) {
+          while (i < n && isAsciiWs(text.charAt(i))) i += 1
+          val start = i
+          while (i < n && !isAsciiWs(text.charAt(i))) i += 1
+          if (i > start) {
+            val word = text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+            val base = graft.functions.HashKernels.splitmix64(seed + t)
+            out ++= ffbsSample(word, logp, maxLen, alpha,
+              r => unit(graft.functions.HashKernels.splitmix64(base + r)))
+            t += 1L
+          }
+        }
+        out.toSeq
+      }
+    })
+    df.withColumn(outCol, seg(col(textCol)))
   }
 }

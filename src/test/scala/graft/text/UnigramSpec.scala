@@ -140,4 +140,78 @@ class UnigramSpec extends AnyFunSuite with SparkTest {
     assert(m1 == m2 && m1.nonEmpty)
     assert(m1.count(_._1.length > 1) > 0) // learned at least one real piece
   }
+
+  private val sampleModel = Seq(("a", math.log(0.3)), ("b", math.log(0.25)),
+    ("ab", math.log(0.2)), ("ba", math.log(0.15)), ("aa", math.log(0.1)))
+
+  test("subword sampling at alpha=0 is uniform over lattice paths") {
+    // "abab" has 5 segmentations under {a,b,ab,ba,aa}:
+    // a|b|a|b, ab|a|b, a|ba|b, a|b|ab, ab|ab — each should draw ~1/5
+    val model = sampleModel.toDF("piece", "logprob")
+    val n = 2000
+    val docs = (0 until n).map(i => (i.toLong, "abab")).toDF("id", "text")
+    val freq = (0 until n).map { s =>
+      Unigram.unigramSampleSegment(Seq((1L, "abab")).toDF("id", "text"),
+          "text", model, "toks", alpha = 0.0, seed = s.toLong)
+        .select(concat_ws("|", col("toks"))).collect().head.getString(0)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    assert(freq.keySet == Set("a|b|a|b", "ab|a|b", "a|ba|b", "a|b|ab", "ab|ab"))
+    freq.values.foreach(c => assert(c > n / 5 - 120 && c < n / 5 + 120,
+      s"path share off uniform: $freq"))
+  }
+
+  test("subword sampling sharpens to Viterbi as alpha grows; alpha=1 still varies") {
+    val model = sampleModel.toDF("piece", "logprob")
+    val docs = Seq((1L, "abab baab abba aabb")).toDF("id", "text")
+    val vit = Unigram.unigramSegment(docs, "text", model, "toks")
+      .select(concat_ws("|", col("toks"))).collect().head.getString(0)
+    // at alpha=50 every seed draws the argmax path
+    (0 until 20).foreach { s =>
+      val got = Unigram.unigramSampleSegment(docs, "text", model, "toks",
+          alpha = 50.0, seed = s.toLong)
+        .select(concat_ws("|", col("toks"))).collect().head.getString(0)
+      assert(got == vit, s"alpha=50 seed=$s drew a non-Viterbi path")
+    }
+    // at alpha=1 the posterior has real mass off the argmax: draws vary
+    // (the full-document argmax itself is a rare joint event — four words
+    // each with several competitive paths — so only variety is pinned)
+    val one = (0 until 20).map(s =>
+      Unigram.unigramSampleSegment(docs, "text", model, "toks",
+          alpha = 1.0, seed = s.toLong)
+        .select(concat_ws("|", col("toks"))).collect().head.getString(0)).toSet
+    assert(one.size > 1)
+  }
+
+  test("subword sampling is deterministic, partitioning-independent, and seed-sensitive") {
+    val model = sampleModel.toDF("piece", "logprob")
+    val docs = (0 until 200).map(i => (i.toLong, "abab aabb ba x_?b"))
+      .toDF("id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Unigram.unigramSampleSegment(df, "text", model, "toks", 0.0, seed)
+        .select(col("id"), concat_ws("|", col("toks")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val a = run(docs, 7L)
+    assert(a == run(docs.repartition(13), 7L))
+    assert(a == run(docs, 7L)) // rerun identical
+    assert(a != run(docs, 8L)) // a different epoch seed re-augments
+    // same text ⇒ same draws regardless of row: all 200 rows agree
+    assert(a.map(_._2).distinct.size == 1)
+    // OOV chars ('x', '_', '?') survive as single-char fallbacks
+    assert(a.head._2.contains("x") && a.head._2.contains("?"))
+  }
+
+  test("subword sampling underflow falls back to Viterbi; empty and null texts pass through") {
+    val model = sampleModel.toDF("piece", "logprob")
+    // alpha so large the lattice mass underflows to 0 → Viterbi fallback
+    val long = Seq((1L, "ab" * 120)).toDF("id", "text")
+    val vit = Unigram.unigramSegment(long, "text", model, "toks")
+      .select(concat_ws("|", col("toks"))).collect().head.getString(0)
+    val got = Unigram.unigramSampleSegment(long, "text", model, "toks",
+        alpha = 5000.0, seed = 3L)
+      .select(concat_ws("|", col("toks"))).collect().head.getString(0)
+    assert(got == vit)
+    val edge = Seq((1L, ""), (2L, "   ")).toDF("id", "text")
+    assert(Unigram.unigramSampleSegment(edge, "text", model, "toks", 0.0, 1L)
+      .select(size(col("toks"))).collect().map(_.getInt(0)).toSeq == Seq(0, 0))
+  }
 }
