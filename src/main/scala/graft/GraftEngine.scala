@@ -681,6 +681,28 @@ object GraftEngine {
                      outCol: String): DataFrame =
     text.Unigram.unigramSegment(df, textCol, model, outCol)
 
+  /** sample_segment: subword-regularization draws (Kudo 2018 §4) — the
+    * training-time augmentation; deterministic per (text, model, α,
+    * seed), pass the epoch as the seed for fresh splits each pass.
+    */
+  def sampleSegmentUnigram(df: DataFrame, textCol: String, model: DataFrame,
+                           outCol: String, alpha: Double = 1.0,
+                           seed: Long = 0L): DataFrame =
+    text.Unigram.unigramSampleSegment(df, textCol, model, outCol, alpha, seed)
+
+  /** distinct_sparse / estimate_sparse: the p > 18 high-precision HLL
+    * path — sparse register tables that merge by (group, idx) max,
+    * maintain under the hybrid-IVM rule, and estimate without ever
+    * densifying.
+    */
+  def sparseDistinctSketch(df: DataFrame, groupCols: Seq[String],
+                           valueCol: String, p: Int = 20): DataFrame =
+    operators.SketchOps.hllRegisters(df, groupCols, valueCol, p)
+
+  def estimateSparseDistinct(registers: DataFrame, groupCols: Seq[String],
+                             p: Int = 20): DataFrame =
+    operators.SketchOps.hllEstimateSparse(registers, groupCols, p)
+
   /** Continuous materialized views: start a metronome maintainer over a
     * TableStore source ([[graft.streaming.IvmStream]]), poll freshness via
     * [[materializedViewStatus]], read the state any time with

@@ -3507,6 +3507,34 @@ object SparkEntry {
       graft.text.Unigram.unigramSampleSegment(docs, "text", model, "toks",
           alpha = 0.0, seed = 7L)
         .select(col("doc_id"), concat_ws("|", col("toks")).as("tokens"))
+    },
+
+    // High-precision HLL without densification: at p = 20 a dense sketch
+    // is a 4 MB cell per group (the guard the dense path enforces); the
+    // SPARSE register form stays proportional to occupied registers,
+    // maintains under the hybrid-IVM rule row-for-row, and estimates by
+    // reducing to ≤ 64 (rank, count) pairs — every fold term an integer
+    // times a power of two, exact-dyadic, engine-replayable. The query
+    // advances a p=20 register table through a delete+insert feed and
+    // estimates per group; the oracle replays chain, registers, rank
+    // counts, and the sparse fold over the edited table.
+    "q218_hll_sparse_ivm" -> { (s, dir) =>
+      import s.implicits._
+      val v0 = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val st0 = graft.operators.SketchOps.hllRegisters(v0, Seq("source"),
+        "doc_id", p = 20)
+      val removed = v0.filter(col("doc_id") % 7 === 0)
+      val added = (8000000L until 8000100L).map(i => (i, "appended"))
+        .toDF("doc_id", "source")
+      val v1 = v0.filter(col("doc_id") % 7 =!= 0).unionByName(added)
+      val feed = removed.unionByName(added)
+      val st1 = graft.operators.SketchOps.applyFeedHllRegisters(st0, feed, v1,
+        Seq("source"), "doc_id", p = 20)
+      val ex = v1.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_exact"))
+      graft.operators.SketchOps.hllEstimateSparse(st1, Seq("source"), p = 20)
+        .join(ex, Seq("source"))
+        .select(col("source"), col("n_exact"), col("est_micro"))
     }
   )
 
@@ -8081,7 +8109,45 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), 'a|ba|b|a|ab|b|a'),
         |  (CAST(2 AS BIGINT), 'b|ba|a|ab|ba'),
         |  (CAST(3 AS BIGINT), 'a|b|a|aa|b|b|b|a|b|ab'))
-        |AS t(doc_id, tokens)""".stripMargin
+        |AS t(doc_id, tokens)""".stripMargin,
+
+    // the q185 splitmix/register replay at p = 20 over the EDITED table
+    // (IVM must equal from-scratch), estimated in the SPARSE form: per
+    // (group, rank) counts, fold of cnt·2^-rank ascending rank, plus the
+    // absent-register mass (m − nnz) added AFTER the fold — the same
+    // dyadic-exact order the engine folds in
+    "q218_hll_sparse_ivm" ->
+      """WITH edited AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), 'appended'
+        |  FROM (SELECT unnest(generate_series(8000000, 8000099)) AS i) gi),
+        |v AS (SELECT DISTINCT source AS g, doc_id AS x FROM edited),
+        |z0 AS (SELECT g, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+        |x1 AS (SELECT g, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT g, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT g, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT g, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |h AS (SELECT g, xor(z, z // 2147483648) AS u FROM z2),
+        |rr AS (SELECT g, CAST(u % 1048576 AS INT) AS idx, CAST(u // 1048576 AS BIGINT) AS rem FROM h),
+        |rk AS (SELECT g, idx,
+        |  CASE WHEN rem = 0 THEN 45 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM rr),
+        |reg AS (SELECT g, idx, max(rank) AS r FROM rk GROUP BY g, idx),
+        |rc AS (SELECT g, r, count(*) AS cnt FROM reg GROUP BY g, r),
+        |agg AS (SELECT g, sum(cnt) AS nnz,
+        |    list_sum(list(CAST(cnt AS DOUBLE) * 2.0 ** (-r) ORDER BY r)) AS s
+        |  FROM rc GROUP BY g),
+        |fin AS (SELECT g, (1048576 - nnz) AS zeros,
+        |    s + (1048576.0 - CAST(nnz AS DOUBLE)) AS sp FROM agg),
+        |est AS (SELECT g, zeros,
+        |    (0.7213 / (1 + 1.079 / 1048576.0)) * 1048576.0 * 1048576.0 / sp AS raw
+        |  FROM fin),
+        |ex AS (SELECT source AS g, count(DISTINCT doc_id) AS n_exact
+        |  FROM edited GROUP BY source)
+        |SELECT e.g AS source, ex.n_exact,
+        |  CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 1048576.0 AND zeros > 0
+        |    THEN 1048576.0 * ln(1048576.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |FROM est e JOIN ex ON ex.g = e.g""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

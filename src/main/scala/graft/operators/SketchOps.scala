@@ -782,4 +782,72 @@ object SketchOps {
       groupCols, valueCol, p)
     untouched.unionByName(recomputed)
   }
+
+  /** Merge SPARSE register tables ([[hllRegisters]] rows) per group —
+    * max per (group, idx), exactly how the dense merge maxes arrays.
+    * `unionByName` any number of per-shard register tables and call this
+    * once; bit-identical to sketching the unioned data.
+    */
+  def hllMergeRegisters(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("reg")).as("reg"))
+
+  /** Cardinality estimate straight off the SPARSE register form — the
+    * high-precision path [[hllSketch]]'s dense guard points to above
+    * p = 18, where a dense array would be a multi-megabyte cell per
+    * group. Never densifies: registers reduce to ≤ 64 (rank, count)
+    * pairs per group, Σ2^−reg folds those pairs in ascending-rank order
+    * on top of the absent-register mass (m − nnz) — every term is an
+    * integer times a power of two, so the fold is exact-dyadic and
+    * engine-replayable; the estimate then applies the same α_m and
+    * linear-counting branch as [[hllEstimate]]. NOTE: the dense fold
+    * interleaves absent registers positionally, so dense and sparse
+    * estimates of the same data may differ in the last ulps — each form
+    * is canonical for its own artifact. Output: (groupCols…, est_micro).
+    */
+  def hllEstimateSparse(registers: DataFrame, groupCols: Seq[String],
+                        p: Int): DataFrame = {
+    require(p >= 2 && p <= 26, s"p must be in [2, 26], got $p")
+    val m = 1 << p
+    val byRank = registers
+      .groupBy((groupCols.map(col) :+ col("reg")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val grouped = byRank.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("reg"), col("__cnt")))).as("__rc"),
+        sum(col("__cnt")).as("__nnz"))
+    val sumPow = aggregate(col("__rc"), lit(0.0),
+      (acc, s) => acc + s.getField("__cnt").cast("double") *
+        pow(lit(2.0), -s.getField("reg").cast("double"))) +
+      (lit(m.toDouble) - col("__nnz").cast("double"))
+    val zeros = lit(m.toLong) - col("__nnz")
+    val raw = alphaExpr(m) * lit(m.toDouble) * lit(m.toDouble) / sumPow
+    val est = when(raw <= lit(2.5) * lit(m.toDouble) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    grouped.select(groupCols.map(col) :+
+      floor(lit(1e6) * est).cast("long").as("est_micro"): _*)
+  }
+
+  /** The hybrid-IVM rule on the SPARSE register form — how a p > 18
+    * distinct-count view maintains without ever materializing a dense
+    * array: untouched groups keep their register ROWS (broadcast
+    * anti-join on the feed's groups), touched groups rebuild their rows
+    * from the post-change base slice (deletes exact despite max-merge
+    * being insert-only, same as the dense rule). State size follows
+    * occupied registers, not 2^p. Invariant (spec'd and oracled, q218):
+    * the advanced register table equals `hllRegisters(v_next)` row-for-
+    * row, so [[hllEstimateSparse]] over it is bit-identical.
+    */
+  def applyFeedHllRegisters(state: DataFrame, feed: DataFrame, base: DataFrame,
+                            groupCols: Seq[String], valueCol: String,
+                            p: Int): DataFrame = {
+    val touched = feed.select(groupCols.map(col): _*).distinct()
+      .select(groupCols.map(c => col(c).as(s"__t_$c")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val untouched = state.join(broadcast(touched), cond, "left_anti")
+    val recomputed = hllRegisters(
+      base.join(broadcast(touched), cond, "left_semi"),
+      groupCols, valueCol, p)
+    untouched.unionByName(recomputed)
+  }
 }

@@ -540,4 +540,54 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       .collect().head.getLong(1)
     assert(est == 100L, s"wrapped inner product leaked into the min: $est")
   }
+
+  test("sparse HLL: estimate within the bound at p=20, merge == union, IVM row-identical") {
+    val df = (0 until 5000).map(i => (i.toLong, s"g${i % 3}")).toDF("x", "g")
+    val p = 20
+    val regs = SketchOps.hllRegisters(df, Seq("g"), "x", p)
+    // estimate quality at the high-precision point: err <= 3 * 1.04/2^10
+    val est = SketchOps.hllEstimateSparse(regs, Seq("g"), p).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy(col("g")).agg(countDistinct(col("x"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      val rel = math.abs(est(g) / 1e6 - n) / n
+      assert(rel < 3 * 1.04 / math.sqrt((1 << p).toDouble) + 1e-3,
+        s"group $g: est=${est(g) / 1e6} exact=$n rel=$rel")
+    }
+    // per-shard register tables merge to exactly the union's registers
+    val shards = (0 until 4).map(s =>
+      SketchOps.hllRegisters(df.filter(col("x") % 4 === s), Seq("g"), "x", p))
+    val merged = SketchOps.hllMergeRegisters(
+      shards.reduce(_ unionByName _), Seq("g"))
+    def regSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(r.fieldIndex("g")), r.getInt(r.fieldIndex("idx")),
+        r.getInt(r.fieldIndex("reg")))).toSet
+    assert(regSet(merged) == regSet(regs))
+    // sparse estimate agrees with the dense path at a dense-legal p
+    val pd = 10
+    val sparseEst = SketchOps.hllEstimateSparse(
+      SketchOps.hllRegisters(df, Seq("g"), "x", pd), Seq("g"), pd)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val denseEst = SketchOps.hllSketch(df, Seq("g"), "x", pd)
+      .select(col("g"), SketchOps.hllEstimate(col("hll"), pd).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sparseEst.foreach { case (g, e) =>
+      assert(math.abs(e - denseEst(g)) <= 2L, // ulp-level fold-order slack
+        s"group $g: sparse=$e dense=${denseEst(g)}")
+    }
+    // IVM: the advanced register table is ROW-IDENTICAL to from-scratch
+    val removed = df.filter(col("x") % 7 === 0)
+    val added = (90000 until 90500).map(i => (i.toLong, "g9")).toDF("x", "g")
+    val v1 = df.filter(col("x") % 7 =!= 0).unionByName(added)
+    val st1 = SketchOps.applyFeedHllRegisters(regs,
+      removed.unionByName(added), v1, Seq("g"), "x", p)
+    assert(regSet(st1) == regSet(SketchOps.hllRegisters(v1, Seq("g"), "x", p)))
+    // the deleted mass is really gone: a group whose keys all left
+    val only7 = (0 until 700 by 7).map(i => (i.toLong, "solo")).toDF("x", "g")
+    val regs2 = SketchOps.hllRegisters(df.unionByName(only7), Seq("g"), "x", p)
+    val st2 = SketchOps.applyFeedHllRegisters(regs2, only7,
+      df, Seq("g"), "x", p)
+    assert(st2.filter(col("g") === "solo").count() == 0L)
+  }
 }
