@@ -596,6 +596,14 @@ object GraftEngine {
                 aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame =
     core.ZOrderStore.boxLookup(spark, root, aLo, aHi, bLo, bHi)
 
+  def appendZOrdered(spark: org.apache.spark.sql.SparkSession, root: String,
+                     rows: DataFrame): Long =
+    core.ZOrderStore.appendZOrdered(spark, root, rows)
+
+  def compactZOrdered(spark: org.apache.spark.sql.SparkSession,
+                      root: String): Long =
+    core.ZOrderStore.compactZOrdered(spark, root)
+
   /** colocated_join / lookup_by / range_lookup_on: registry-pruned reads
     * beyond the primary key — the co-located equi-join of two same-layout
     * sketch tables (shard pairs skipped when either side is empty or the

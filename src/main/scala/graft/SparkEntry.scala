@@ -3535,6 +3535,24 @@ object SparkEntry {
       graft.operators.SketchOps.hllEstimateSparse(st1, Seq("source"), p = 20)
         .join(ex, Seq("source"))
         .select(col("source"), col("n_exact"), col("est_micro"))
+    },
+
+    // Z-order append with NO rewrite: batch rows take shards from the
+    // PERSISTED bucket bounds (values past a dimension's last bound land
+    // in its top bucket), existing files hard-link, and the 2-D zone map
+    // updates by exact rectangle merge. Oracle: bounds from the ORIGINAL
+    // table only, the union assigned against them, exact stats.
+    "q219_zorder_append" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val root = java.nio.file.Files.createTempDirectory("q219_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "l_orderkey",
+        shardsLog2 = 4, subLog2 = 5)
+      val batch = li.filter(col("l_orderkey") < 100)
+        .select((col("l_orderkey") + 9000000L).as("l_orderkey"),
+          col("l_partkey"), (col("qty") * 2).as("qty"))
+      graft.core.ZOrderStore.appendZOrdered(s, root, batch)
+      graft.core.ZOrderStore.zoneMap2d(s, root)
     }
   )
 
@@ -8147,7 +8165,57 @@ object SparkEntry {
         |SELECT e.g AS source, ex.n_exact,
         |  CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 1048576.0 AND zeros > 0
         |    THEN 1048576.0 * ln(1048576.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
-        |FROM est e JOIN ex ON ex.g = e.g""".stripMargin
+        |FROM est e JOIN ex ON ex.g = e.g""".stripMargin,
+
+    // q212's two bound chains from the ORIGINAL table only (bounds are
+    // fixed at commit), the union assigned against them, exact rectangles
+    "q219_zorder_append" ->
+      """WITH dA AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |binsA AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM dA),
+        |bcA AS (SELECT b, count(*) AS c FROM binsA GROUP BY b),
+        |cumA AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bcA),
+        |lbvA AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cumA),
+        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |  FROM lbvA, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
+        |boundsA AS (SELECT DISTINCT bound FROM picksA),
+        |dB AS (SELECT l_orderkey AS x FROM lineitem),
+        |binsB AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM dB),
+        |bcB AS (SELECT b, count(*) AS c FROM binsB GROUP BY b),
+        |cumB AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bcB),
+        |lbvB AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cumB),
+        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |  FROM lbvB, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
+        |boundsB AS (SELECT DISTINCT bound FROM picksB),
+        |rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS a, l_orderkey AS bb
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(l_quantity AS BIGINT) * 2, l_orderkey + 9000000
+        |    FROM lineitem WHERE l_orderkey < 100),
+        |asg AS (SELECT a, bb,
+        |    (SELECT count(*) FROM boundsA WHERE bound <= a) AS ka,
+        |    (SELECT count(*) FROM boundsB WHERE bound <= bb) AS kb
+        |  FROM rows0),
+        |sh AS (SELECT a, bb,
+        |    CAST((ka % 2) + 2 * (kb % 2) + 4 * ((ka // 2) % 2)
+        |         + 8 * ((kb // 2) % 2) AS INT) AS shard
+        |  FROM asg)
+        |SELECT shard, min(a) AS min_a, max(a) AS max_a,
+        |  min(bb) AS min_b, max(bb) AS max_b, count(*) AS n_rows
+        |FROM sh GROUP BY shard""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -425,24 +425,10 @@ object SketchRegistry {
     }
   }
 
-  /** Hard-link every regular file of `src` into `dst` (copy fallback on
-    * filesystems without links) — how untouched/pre-existing shard data
-    * carries into a new version for zero bytes rewritten. Spark part-file
-    * names embed a per-job UUID, so links never collide with a fresh
-    * write into the same directory.
-    */
+  /** See [[TableStore.linkDirInto]] — the shared link-only carryover. */
   private def linkShardDir(src: java.nio.file.Path,
-                           dst: java.nio.file.Path): Unit = {
-    Files.createDirectories(dst)
-    val listing = Files.list(src)
-    try listing.filter(Files.isRegularFile(_)).forEach { f =>
-      val t = dst.resolve(f.getFileName.toString)
-      try Files.createLink(t, f)
-      catch { case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException =>
-        Files.copy(f, t); () }
-    } finally listing.close()
-  }
+                           dst: java.nio.file.Path): Unit =
+    TableStore.linkDirInto(src, dst)
 
   /** Keyed APPEND to a sketch-indexed table with NO rewrite at all — the
     * steady-state ingest shape: Bloom bits OR, HLL registers max, and

@@ -201,6 +201,25 @@ object TableStore {
     commitStaged(root, expectedVersion, lockStaleMs, lockWaitMs)(staging =>
       df.write.mode("overwrite").parquet(staging.toString))
 
+  /** Hard-link every regular file of `src` into `dst` (copy fallback on
+    * filesystems without links) — how untouched shard data carries into
+    * a new staged version for zero bytes rewritten. Spark part-file
+    * names embed a per-job UUID, so links never collide with a fresh
+    * write into the same directory.
+    */
+  private[core] def linkDirInto(src: java.nio.file.Path,
+                                dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val listing = Files.list(src)
+    try listing.filter(Files.isRegularFile(_)).forEach { f =>
+      val t = dst.resolve(f.getFileName.toString)
+      try Files.createLink(t, f)
+      catch { case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+        Files.copy(f, t); () }
+    } finally listing.close()
+  }
+
   /** [[commit]] with a caller-supplied staging writer — everything the
     * writer puts under the staging directory (data files, underscore-
     * prefixed sketch registries, metadata) rides the SAME atomic

@@ -130,6 +130,98 @@ object ZOrderStore {
     }
   }
 
+  /** APPEND to a Z-order-sharded table with NO rewrite: batch rows take
+    * their shards from the PERSISTED bucket bounds (values past a
+    * dimension's last bound land in its top bucket — bounds stay fixed on
+    * append, re-commit to re-balance), every existing data file
+    * hard-links into the new version, and the zone map updates by exact
+    * per-shard rectangle merge (min/min, max/max, count add) of the old
+    * map with the batch's stats — no data rescan. Commit cost is the
+    * batch plus link metadata.
+    */
+  def appendZOrdered(spark: SparkSession, root: String, rows: DataFrame,
+                     expectedVersion: Option[Long] = None): Long = {
+    val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = zMeta(root, Some(ver))
+    val dataCols = TableStore.readVersion(spark, root, ver).columns
+      .filterNot(_ == "shard").toSeq
+    require(rows.columns.sorted.sameElements(dataCols.sorted),
+      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
+        s"got ${rows.columns.sorted.mkString(",")}")
+    val sharded = rows.withColumn("shard",
+      zShard(bucketCol(m.colA, m.boundsA), bucketCol(m.colB, m.boundsB),
+        m.bitsPerCol))
+    val va = col(m.colA).cast("long")
+    val vb = col(m.colB).cast("long")
+    val batchStats = sharded.groupBy(col("shard")).agg(
+      min(va).as("min_a"), max(va).as("max_a"),
+      min(vb).as("min_b"), max(vb).as("max_b"),
+      count(lit(1)).as("n_rows"))
+    val mergedZoneMap = zoneMap2d(spark, root, Some(ver))
+      .unionByName(batchStats)
+      .groupBy(col("shard")).agg(
+        min(col("min_a")).as("min_a"), max(col("max_a")).as("max_a"),
+        min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
+        sum(col("n_rows")).as("n_rows"))
+    val n = 1 << (2 * m.bitsPerCol)
+    TableStore.commitStaged(root, Some(ver)) { staging =>
+      sharded.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$ver", d)))
+        .foreach(d => TableStore.linkDirInto(Paths.get(root, s"v_$ver", d),
+          staging.resolve(d)))
+      mergedZoneMap.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
+      Files.copy(Paths.get(root, s"v_$ver", "_zonemap2d_meta"),
+        staging.resolve("_zonemap2d_meta"))
+    }
+  }
+
+  /** Compact a Z-order-sharded table after a run of appends: shards with
+    * more than `maxFilesPerShard` parquet files rewrite to one sorted
+    * file, every other shard hard-links through; data unchanged ⇒ zone
+    * map carries verbatim. No-op returns the current version.
+    */
+  def compactZOrdered(spark: SparkSession, root: String,
+                      maxFilesPerShard: Int = 1): Long = {
+    val v = TableStore.currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = zMeta(root, Some(v))
+    val n = 1 << (2 * m.bitsPerCol)
+    def parquetCount(s: Int): Int = {
+      val d = Paths.get(root, s"v_$v", s"shard=$s")
+      if (!Files.isDirectory(d)) 0
+      else {
+        val listing = Files.list(d)
+        try listing.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).count().toInt
+        finally listing.close()
+      }
+    }
+    val fat = (0 until n).filter(parquetCount(_) > maxFilesPerShard)
+    if (fat.isEmpty) return v
+    val fatData = spark.read.option("basePath", s"$root/v_$v")
+      .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
+    TableStore.commitStaged(root, Some(v)) { staging =>
+      fatData.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      (0 until n).filterNot(fat.contains).map(s => s"shard=$s")
+        .filter(d => Files.isDirectory(Paths.get(root, s"v_$v", d)))
+        .foreach(d => TableStore.linkDirInto(Paths.get(root, s"v_$v", d),
+          staging.resolve(d)))
+      zoneMap2d(spark, root, Some(v)).coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
+      Files.copy(Paths.get(root, s"v_$v", "_zonemap2d_meta"),
+        staging.resolve("_zonemap2d_meta"))
+    }
+  }
+
   /** The persisted layout parameters of `root`'s committed (or given)
     * version. Fails loudly when the version was not committed via
     * [[commitZOrdered]].

@@ -138,4 +138,64 @@ class ZOrderStoreSpec extends AnyFunSuite with SparkTest {
     }
     assert(g.getMessage.contains("no 2-D zone map"))
   }
+
+  test("appendZOrdered: fixed bounds, link-only carryover, exact rectangle merge; compact folds") {
+    val root = java.nio.file.Files.createTempDirectory("zord_app").toString
+    val v0 = ZOrderStore.commitZOrdered(grid(), root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5)
+    val m0 = ZOrderStore.zMeta(root)
+    // batch: inside existing buckets AND past both dimensions' last bounds
+    val batch = ((2000 until 2050).map(i => (i.toLong, 5L, 35L)) ++
+      (3000 until 3010).map(i => (i.toLong, 500L, 900L))).toDF("id", "a", "b")
+    val v1 = ZOrderStore.appendZOrdered(spark, root, batch)
+    assert(v1 == v0 + 1)
+    assert(ZOrderStore.zMeta(root).boundsA == m0.boundsA &&
+      ZOrderStore.zMeta(root).boundsB == m0.boundsB,
+      "append must not move the persisted bounds")
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 1660L)
+    // zone map == direct post-append stats
+    val zm = ZOrderStore.zoneMap2d(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+        count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(zm == direct)
+    // every v0 file carried over as a hard link
+    def files(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    def ino(f: java.io.File) = java.nio.file.Files
+      .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]
+    (0 to 15).foreach { s =>
+      val nByName = files(v1, s).map(f => f.getName -> f).toMap
+      files(v0, s).foreach(f => assert(ino(f) == ino(nByName(f.getName)),
+        s"v0 file ${f.getName} in shard $s must be hard-linked"))
+    }
+    // box reads stay exact, including the extended top cell
+    for ((aLo, aHi, bLo, bHi) <- Seq((0L, 9L, 30L, 39L), (400L, 600L, 800L, 950L))) {
+      assert(ZOrderStore.boxLookup(spark, root, aLo, aHi, bLo, bHi)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        back.filter(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq,
+        s"box [$aLo,$aHi]×[$bLo,$bHi]")
+    }
+    // compact folds appended files; rows, zone map, bounds unchanged
+    assert((0 to 15).exists(s => files(v1, s).size >= 2),
+      "append must accumulate files somewhere")
+    val v2 = ZOrderStore.compactZOrdered(spark, root)
+    assert(v2 == v1 + 1)
+    (0 to 15).foreach(s => assert(files(v2, s).size <= 1, s"shard $s not compacted"))
+    assert(TableStore.read(spark, root).count() == 1660L)
+    assert(ZOrderStore.zoneMap2d(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap == zm)
+    // a second compact is a version-stable no-op
+    assert(ZOrderStore.compactZOrdered(spark, root) == v2)
+  }
 }
