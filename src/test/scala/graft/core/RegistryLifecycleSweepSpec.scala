@@ -1,0 +1,99 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Seeded random-walk property sweep over the sketch-registry ingest
+  * lifecycle: interleaved appends, upserts, deletes, compactions, and
+  * vacuums, checked after EVERY step against a driver-side reference
+  * fold — the same discipline the seven IVM maintainers get from their
+  * multi-wave sweeps. Failures print the seed and the op script.
+  */
+class RegistryLifecycleSweepSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def registryOf(root: String) =
+    SketchRegistry.registry(spark, root).collect()
+      .map(r => r.getInt(r.fieldIndex("shard")) -> (
+        r.getSeq[Long](r.fieldIndex("bloom")).toList,
+        r.getSeq[Int](r.fieldIndex("hll")).toList,
+        r.getLong(r.fieldIndex("n_rows")))).toMap
+
+  test("random op scripts keep rows, registry, and lookups exact at every step") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"sweep$seed").toString
+      // reference state: key -> payload (multiset not needed — appends use
+      // fresh keys, upserts replace, deletes remove)
+      val ref = scala.collection.mutable.Map.empty[Long, String]
+      var nextKey = 0L
+      def freshKeys(n: Int): Seq[Long] = {
+        val ks = (nextKey until nextKey + n); nextKey += n; ks
+      }
+      val init = freshKeys(200).map(k => (k, s"p$k"))
+      init.foreach { case (k, p) => ref(k) = p }
+      SketchRegistry.commitWithSketches(init.toDF("id", "payload"), root, "id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val script = scala.collection.mutable.ArrayBuffer.empty[String]
+      def check(step: String): Unit = {
+        val ctx = s"seed=$seed script=${script.mkString("→")} at $step"
+        val got = TableStore.read(spark, root).select("id", "payload")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        assert(got == ref.toSeq.sorted, ctx)
+        // registry must be bit-identical to a fresh full build of ref
+        val fresh = java.nio.file.Files.createTempDirectory("sweep_f").toString
+        SketchRegistry.commitWithSketches(ref.toSeq.toDF("id", "payload"),
+          fresh, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+        assert(registryOf(root) == registryOf(fresh), ctx)
+        // spot lookups: 3 present keys + 2 absent, exact rows
+        val present = rnd.shuffle(ref.keys.toSeq).take(3)
+        present.foreach { k =>
+          assert(SketchRegistry.lookupWithSketches(spark, root, k)
+            .collect().map(_.getString(1)).toSeq == Seq(ref(k)), s"$ctx key=$k")
+        }
+        Seq(nextKey + 500000L, nextKey + 600000L).foreach { k =>
+          assert(SketchRegistry.lookupWithSketches(spark, root, k)
+            .filter(col("id") === k).count() == 0L, s"$ctx miss=$k")
+        }
+      }
+      check("init")
+      for (step <- 0 until 8) {
+        rnd.nextInt(5) match {
+          case 0 => // append fresh keys
+            val batch = freshKeys(10 + rnd.nextInt(40)).map(k => (k, s"a$k"))
+            batch.foreach { case (k, p) => ref(k) = p }
+            SketchRegistry.appendWithSketches(spark, root,
+              batch.toDF("id", "payload"))
+            script += s"append(${batch.size})"
+          case 1 => // upsert: edit some existing + insert some fresh
+            val edits = rnd.shuffle(ref.keys.toSeq).take(1 + rnd.nextInt(20))
+              .map(k => (k, s"e$step-$k"))
+            val inserts = freshKeys(rnd.nextInt(10)).map(k => (k, s"i$k"))
+            (edits ++ inserts).foreach { case (k, p) => ref(k) = p }
+            SketchRegistry.applyChangesWithSketches(spark, root,
+              upserts = (edits ++ inserts).toDF("id", "payload"),
+              deleteKeys = Seq.empty[Long].toDF("key"))
+            script += s"upsert(${edits.size}+${inserts.size})"
+          case 2 => // delete existing keys (and some already-absent ones)
+            val dels = rnd.shuffle(ref.keys.toSeq).take(rnd.nextInt(15)) ++
+              Seq(nextKey + 700000L)
+            dels.foreach(ref.remove)
+            SketchRegistry.applyChangesWithSketches(spark, root,
+              upserts = Seq.empty[(Long, String)].toDF("id", "payload"),
+              deleteKeys = dels.toDF("key"))
+            script += s"delete(${dels.size - 1})"
+          case 3 =>
+            SketchRegistry.compactWithSketches(spark, root)
+            script += "compact"
+          case 4 =>
+            TableStore.vacuum(root, keep = 1, graceMs = 0L)
+            script += "vacuum"
+        }
+        check(s"step$step")
+      }
+    }
+  }
+}
