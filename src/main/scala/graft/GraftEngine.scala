@@ -622,6 +622,14 @@ object GraftEngine {
                     column: String, lo: Long, hi: Long): DataFrame =
     core.SketchRegistry.rangeLookupOn(spark, root, column, lo, hi)
 
+  /** change_feed_pruned: the IVM tick's feed at O(changed shards) —
+    * inode-identical (hard-linked) shard pairs are skipped, a lag-0 tick
+    * reads nothing, semantics exactly the full change feed's.
+    */
+  def changeFeedPruned(spark: org.apache.spark.sql.SparkSession, root: String,
+                       baseVersion: Long, toVersion: Long): DataFrame =
+    core.SketchRegistry.changeFeedPruned(spark, root, baseVersion, toVersion)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

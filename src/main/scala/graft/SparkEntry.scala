@@ -3553,6 +3553,30 @@ object SparkEntry {
           col("l_partkey"), (col("qty") * 2).as("qty"))
       graft.core.ZOrderStore.appendZOrdered(s, root, batch)
       graft.core.ZOrderStore.zoneMap2d(s, root)
+    },
+
+    // Shard-pruned change feed: the full feed keyed-joins two WHOLE
+    // versions; on a sketch-indexed table untouched shards carry as hard
+    // links, so inode-identical shard pairs are skipped and only the
+    // touched slice enters the join — the cost an IVM maintainer pays
+    // every tick drops from O(table) to O(changed shards). Semantics are
+    // exactly changeFeed's; the oracle derives the diff relationally
+    // from the edit script.
+    "q220_pruned_feed" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q220_store").toString
+      val v0 = graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val upserts = docs.filter(col("doc_id").between(100, 149))
+        .withColumn("source", concat(lit("edited_"), col("source")))
+        .unionByName((900000L until 900020L).map(i => (i, "new"))
+          .toDF("doc_id", "source"))
+      val deletes = (0L until 100L by 7L).toDF("key")
+      val v1 = graft.core.SketchRegistry.applyChangesWithSketches(s, root,
+        upserts, deletes)
+      graft.core.SketchRegistry.changeFeedPruned(s, root, v0, v1)
+        .select(col("_change_type"), col("doc_id"), col("source"))
     }
   )
 
@@ -8215,7 +8239,24 @@ object SparkEntry {
         |  FROM asg)
         |SELECT shard, min(a) AS min_a, max(a) AS max_a,
         |  min(bb) AS min_b, max(bb) AS max_b, count(*) AS n_rows
-        |FROM sh GROUP BY shard""".stripMargin
+        |FROM sh GROUP BY shard""".stripMargin,
+
+    // the edit script's diff derived relationally: inserts are the new
+    // keys, deletes the removed ones, updates emit pre- and post-image
+    // rows (every edited source changes, so all 50 edits surface)
+    "q220_pruned_feed" ->
+      """SELECT 'insert' AS _change_type, CAST(i AS BIGINT) AS doc_id,
+        |    'new' AS source
+        |  FROM (SELECT unnest(generate_series(900000, 900019)) AS i) g
+        |UNION ALL
+        |SELECT 'delete', doc_id, source FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id < 100
+        |UNION ALL
+        |SELECT 'update_preimage', doc_id, source FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 149
+        |UNION ALL
+        |SELECT 'update_postimage', doc_id, 'edited_' || source FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 149""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

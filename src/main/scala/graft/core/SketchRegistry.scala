@@ -231,6 +231,57 @@ object SketchRegistry {
           col(m.keyCol) === col("__k"), "left_semi")
   }
 
+  /** [[TableStore.changeFeed]] restricted to the shard directories that
+    * can possibly differ — the number an IVM maintainer pays EVERY tick.
+    * The full feed keyed-joins two whole versions; on a sketch-indexed
+    * table, maintenance commits carry untouched shards as HARD LINKS, so
+    * a shard pair whose parquet file inode sets are identical holds
+    * identical bytes and cannot contribute a feed row — and a key's hash
+    * pins it to one shard, so rows can never move between shards
+    * unnoticed. Only differing shard pairs enter the join; an
+    * all-identical pair of versions performs NO data read at all. On
+    * filesystems without inode identity a shard falls back to "differs"
+    * (a wasted read, never a missed row). Output and semantics are
+    * exactly [[TableStore.changeFeed]]'s (spec- and oracle-pinned).
+    */
+  def changeFeedPruned(spark: SparkSession, root: String,
+                       baseVersion: Long, toVersion: Long): DataFrame = {
+    val m = meta(root, Some(toVersion))
+    meta(root, Some(baseVersion)) // both versions must carry the layout
+    val n = 1 << m.shardsLog2
+    def fileIds(v: Long, s: Int): Option[Set[Long]] = {
+      val d = Paths.get(root, s"v_$v", s"shard=$s")
+      if (!Files.isDirectory(d)) Some(Set.empty)
+      else try {
+        val out = scala.collection.mutable.Set.empty[Long]
+        val listing = Files.list(d)
+        try listing.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).forEach { f =>
+          out += Files.getAttribute(f, "unix:ino").asInstanceOf[Long]
+        } finally listing.close()
+        Some(out.toSet)
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException |
+             _: IllegalArgumentException => None // can't prove identity
+      }
+    }
+    val differ = (0 until n).filter { s =>
+      (fileIds(baseVersion, s), fileIds(toVersion, s)) match {
+        case (Some(a), Some(b)) => a != b
+        case _ => true // unknown ⇒ diff it: a wasted read, never a missed row
+      }
+    }
+    def side(v: Long): DataFrame = {
+      val dirs = differ.filter(s =>
+        Files.isDirectory(Paths.get(root, s"v_$v", s"shard=$s")))
+      if (dirs.isEmpty) TableStore.readVersion(spark, root, v).filter(lit(false))
+      else spark.read.option("basePath", s"$root/v_$v")
+        .parquet(dirs.map(s => s"$root/v_$v/shard=$s"): _*)
+    }
+    TableStore.changeFeedFrames(side(baseVersion), side(toVersion),
+      Seq(m.keyCol), baseVersion, toVersion)
+  }
+
   /** The shard pairs an equi-join of two SAME-LAYOUT sketch tables must
     * read: both tables committed with identical (keyCol hash, shardsLog2),
     * so key k lives in shard `splitmix64(k) & mask` on BOTH sides and the

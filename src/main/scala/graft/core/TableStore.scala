@@ -345,11 +345,22 @@ object TableStore {
     * those before committing.
     */
   def changeFeed(spark: SparkSession, root: String, idCols: Seq[String],
-                 baseVersion: Long, toVersion: Long): DataFrame = {
+                 baseVersion: Long, toVersion: Long): DataFrame =
+    changeFeedFrames(spark.read.parquet(s"$root/v_$baseVersion"),
+      spark.read.parquet(s"$root/v_$toVersion"),
+      idCols, baseVersion, toVersion)
+
+  /** [[changeFeed]] over caller-supplied version frames — the shared diff
+    * core, so layout-aware callers (e.g.
+    * [[SketchRegistry.changeFeedPruned]]) can restrict both sides to the
+    * shard directories that can possibly differ before paying the keyed
+    * join.
+    */
+  private[core] def changeFeedFrames(base: DataFrame, next: DataFrame,
+                                     idCols: Seq[String],
+                                     baseVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     require(idCols.nonEmpty, "changeFeed needs at least one id column")
-    val base = spark.read.parquet(s"$root/v_$baseVersion")
-    val next = spark.read.parquet(s"$root/v_$toVersion")
     require(base.columns.sorted.sameElements(next.columns.sorted),
       s"schema changed between v_$baseVersion and v_$toVersion: " +
         s"${base.columns.mkString(",")} vs ${next.columns.mkString(",")} — " +

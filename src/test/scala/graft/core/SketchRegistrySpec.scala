@@ -637,4 +637,45 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     }
     assert(g2.getMessage.contains("same key column"))
   }
+
+  test("changeFeedPruned: row-identical to the full feed, reads only differing shard pairs") {
+    def shardsReadOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.flatMap(f =>
+        "(v_\\d+/shard=\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    def feedRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("_change_type", "id", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val root = java.nio.file.Files.createTempDirectory("cfp").toString
+    val v0 = SketchRegistry.commitWithSketches(
+      (0 until 600).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      root, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    // a mixed upsert/delete commit: pruned feed == full feed, exactly
+    val v1 = SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = ((100 until 140).map(i => (i.toLong, s"e$i")) ++
+        (9000 until 9020).map(i => (i.toLong, s"n$i"))).toDF("id", "payload"),
+      deleteKeys = (0 until 50 by 7).map(_.toLong).toDF("key"))
+    val pruned = SketchRegistry.changeFeedPruned(spark, root, v0, v1)
+    assert(feedRows(pruned) ==
+      feedRows(TableStore.changeFeed(spark, root, Seq("id"), v0, v1)))
+    // an append touching ONE shard: the feed reads exactly that shard pair
+    val oneShard = (20000 until 20600).map(_.toLong)
+      .filter(k => (graft.functions.HashKernels.splitmix64(k) & 7L) == 2L)
+      .take(25)
+    val v2 = SketchRegistry.appendWithSketches(spark, root,
+      oneShard.map(k => (k, s"a$k")).toDF("id", "payload"))
+    val narrow = SketchRegistry.changeFeedPruned(spark, root, v1, v2)
+    assert(feedRows(narrow) == oneShard.sorted.map(k => ("insert", k, s"a$k")))
+    assert(shardsReadOf(narrow) == Set(s"v_$v1/shard=2", s"v_$v2/shard=2"),
+      s"read ${shardsReadOf(narrow)}")
+    // the lag-0 tick: identical versions perform NO data read at all
+    val idle = SketchRegistry.changeFeedPruned(spark, root, v2, v2)
+    assert(idle.collect().isEmpty)
+    assert(!idle.queryExecution.executedPlan.toString.contains("FileScan"),
+      "identical versions must not open any data file")
+    // compaction rewrites files without changing rows: the feed is empty
+    // (the rewritten shards are diffed - a wasted read, never a phantom row)
+    val v3 = SketchRegistry.compactWithSketches(spark, root)
+    if (v3 != v2)
+      assert(SketchRegistry.changeFeedPruned(spark, root, v2, v3).collect().isEmpty)
+  }
 }
