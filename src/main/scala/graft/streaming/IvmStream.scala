@@ -193,6 +193,25 @@ object IvmStream {
     srcV
   }
 
+  /** The change feed for one advance: the SHARD-PRUNED variant
+    * ([[graft.core.SketchRegistry.changeFeedPruned]]) when both source
+    * versions carry a sketch registry keyed exactly by the view's single
+    * id column — the tick then costs O(changed shards), and a lag-0 tick
+    * reads no data at all — the full keyed version diff otherwise.
+    * Row-identical either way (spec-pinned), so which path runs is purely
+    * a cost decision.
+    */
+  private def feedFor(spark: SparkSession, sourceRoot: String,
+                      idCols: Seq[String], fromV: Long, toV: Long): DataFrame = {
+    def sketchKey(v: Long): Option[String] =
+      try Some(graft.core.SketchRegistry.meta(sourceRoot, Some(v)).keyCol)
+      catch { case _: IllegalArgumentException | _: IllegalStateException => None }
+    if (idCols.lengthCompare(1) == 0 && sketchKey(fromV).contains(idCols.head) &&
+        sketchKey(toV).contains(idCols.head))
+      graft.core.SketchRegistry.changeFeedPruned(spark, sourceRoot, fromV, toV)
+    else TableStore.changeFeed(spark, sourceRoot, idCols, fromV, toV)
+  }
+
   /** One maintenance step: bring the view up to the source's CURRENT
     * committed version. Returns the applied source version after the step
     * (None when the source has no committed version yet). Idempotent —
@@ -219,7 +238,7 @@ object IvmStream {
             // so a concurrent healer cannot double-commit.
             bootstrapView(spark, sourceRoot, viewRoot, spec, srcV, Some(vv))
           } else {
-            val feed = TableStore.changeFeed(spark, sourceRoot, spec.idCols, sv, srcV)
+            val feed = feedFor(spark, sourceRoot, spec.idCols, sv, srcV)
             val next = spec.apply(TableStore.readVersion(spark, viewRoot, vv), feed,
               TableStore.readVersion(spark, sourceRoot, srcV))
             val vv2 = TableStore.commit(next, viewRoot, expectedVersion = Some(vv))
