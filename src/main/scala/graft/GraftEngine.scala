@@ -630,6 +630,10 @@ object GraftEngine {
                        baseVersion: Long, toVersion: Long): DataFrame =
     core.SketchRegistry.changeFeedPruned(spark, root, baseVersion, toVersion)
 
+  def rangeLookupBy(spark: org.apache.spark.sql.SparkSession, root: String,
+                    column: String, values: Seq[Long]): DataFrame =
+    core.SketchRegistry.rangeLookupBy(spark, root, column, values)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

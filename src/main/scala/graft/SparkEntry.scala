@@ -3577,6 +3577,25 @@ object SparkEntry {
         upserts, deletes)
       graft.core.SketchRegistry.changeFeedPruned(s, root, v0, v1)
         .select(col("_change_type"), col("doc_id"), col("source"))
+    },
+
+    // Bloom-indexed equality probes on a RANGE layout: events lay out by
+    // TIME, which scatters user ids across every shard — min/max stats
+    // carry no signal there, but per-shard user-id Blooms in the zone map
+    // do. rangeLookupBy admits shards off the zone map alone, opens only
+    // admitted dirs, and the exact IN filter kills false positives —
+    // rows are exactly the plain IN's (the canonical "this user's events
+    // in a time-laid-out table" probe).
+    "q221_range_bloom" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q221_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, sketchCols = Seq("user_id"),
+        bloomBitsLog2 = 12)
+      graft.core.SketchRegistry.rangeLookupBy(s, root, "user_id",
+          Seq(3L, 7L, 999999L))
+        .select(col("event_id"), col("user_id"), col("event_type"))
     }
   )
 
@@ -8256,7 +8275,12 @@ object SparkEntry {
         |  WHERE doc_id BETWEEN 100 AND 149
         |UNION ALL
         |SELECT 'update_postimage', doc_id, 'edited_' || source FROM documents
-        |  WHERE doc_id BETWEEN 100 AND 149""".stripMargin
+        |  WHERE doc_id BETWEEN 100 AND 149""".stripMargin,
+
+    // Bloom false positives die at the exact filter: the probe IS the IN
+    "q221_range_bloom" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (3, 7, 999999)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

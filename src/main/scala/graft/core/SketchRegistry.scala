@@ -670,7 +670,9 @@ object SketchRegistry {
     * picked at, and the deduped ascending bound values themselves.
     */
   final case class RangeMeta(sortCol: String, shardsLog2: Int, subLog2: Int,
-                             bounds: Seq[Long], statsCols: Seq[String] = Nil)
+                             bounds: Seq[Long], statsCols: Seq[String] = Nil,
+                             sketchCols: Seq[String] = Nil,
+                             bloomBitsLog2: Int = 14, bloomK: Int = 4)
 
   /** RANGE-sharded opt-in commit — the zone-map complement of
     * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
@@ -694,13 +696,18 @@ object SketchRegistry {
                          shardsLog2: Int = 3, subLog2: Int = 5,
                          expectedVersion: Option[Long] = None,
                          filesPerShard: Int = 1,
-                         statsCols: Seq[String] = Nil): Long = {
+                         statsCols: Seq[String] = Nil,
+                         sketchCols: Seq[String] = Nil,
+                         bloomBitsLog2: Int = 14, bloomK: Int = 4): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 8,
       s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
         "is already directory-granularity; split WITHIN shards by file size")
     require(statsCols.forall(c => df.columns.contains(c) && c != sortCol),
       s"statsCols must be data columns other than the sort column, got " +
         s"${statsCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(sketchCols.forall(c => df.columns.contains(c) && c != sortCol),
+      s"sketchCols must be data columns other than the sort column, got " +
+        s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val n = 1 << shardsLog2
     val sk = SketchOps.quantileSketch(df, Nil, sortCol, subLog2)
     val bounds: Seq[Long] =
@@ -713,12 +720,13 @@ object SketchRegistry {
       }
     val v = col(sortCol).cast("long")
     val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
-    val registry = sharded.groupBy(col("shard"))
+    val registry = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
           statsCols.flatMap(c => Seq(
             min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c")))): _*)
+            max(col(c).cast("long")).as(s"max_$c")))): _*),
+      sharded, sketchCols, bloomBitsLog2, bloomK)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -730,8 +738,25 @@ object SketchRegistry {
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
       Files.write(staging.resolve("_zonemap_meta"),
-        s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}"
+        (s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}" +
+          s"\n${sketchCols.mkString(",")}\n$bloomBitsLog2\n$bloomK")
           .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Join one `bloom_<c>` per `sketchCols` entry onto per-shard zone-map
+    * rows — equality skipping for columns the range layout scatters,
+    * where min/max rectangles carry no signal; all-null shards get an
+    * all-zero filter (admits nothing), like the hash registry's.
+    */
+  private def addShardBlooms(zonemap: DataFrame, sharded: DataFrame,
+                             sketchCols: Seq[String], bitsLog2: Int,
+                             k: Int): DataFrame = {
+    val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
+    sketchCols.foldLeft(zonemap) { (acc, c) =>
+      acc.join(SketchOps.bloomSketch(sharded, Seq("shard"), c, bitsLog2, k)
+          .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
+        .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
     }
   }
 
@@ -771,20 +796,26 @@ object SketchRegistry {
         s"got ${rows.columns.sorted.mkString(",")}")
     val v = col(m.sortCol).cast("long")
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
-    val batchStats = sharded.groupBy(col("shard"))
+    val batchStats = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
           m.statsCols.flatMap(c => Seq(
             min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c")))): _*)
-    val mergedZoneMap = zoneMap(spark, root, Some(ver))
-      .unionByName(batchStats)
+            max(col(c).cast("long")).as(s"max_$c")))): _*),
+      sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK)
+    val both = zoneMap(spark, root, Some(ver)).unionByName(batchStats)
+    val mergedBase = both
       .groupBy(col("shard"))
       .agg(min(col("min_v")).as("min_v"),
         (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
           m.statsCols.flatMap(c => Seq(
             min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c")))): _*)
+    // secondary Blooms merge by word-OR, exactly like the hash registry's
+    val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
+        s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
+    }
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
       clusterForWrite(sharded, m.sortCol, filesPerShard, n)
@@ -820,6 +851,10 @@ object SketchRegistry {
       case Array(sc, s, sl, bs, stc) => RangeMeta(sc, s.toInt, sl.toInt,
         bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
         stc.split(",").filter(_.nonEmpty).toSeq)
+      case Array(sc, s, sl, bs, stc, skc, bb, bk) => RangeMeta(sc, s.toInt,
+        sl.toInt, bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        stc.split(",").filter(_.nonEmpty).toSeq,
+        skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt)
       case other => throw new IllegalStateException(
         s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -897,6 +932,42 @@ object SketchRegistry {
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
           .filter(col(c).cast("long").between(lo, hi))
+    }
+  }
+
+  /** Equality `IN`-lookup on a Bloom-indexed column of a RANGE-sharded
+    * table: the layout clusters by the sort column, so a scattered
+    * column's min/max spans everything — but its per-shard `bloom_<c>`
+    * zone-map rows still prune. Admission runs distributed against the
+    * broadcast zone map (registry-only); admitted shard dirs are opened
+    * and the exact IN filter kills Bloom false positives — result rows
+    * are exactly the plain IN's (the events-by-time table probed by
+    * user id, the canonical shape).
+    */
+  def rangeLookupBy(spark: SparkSession, root: String, c: String,
+                    values: Seq[Long],
+                    version: Option[Long] = None): DataFrame = {
+    val m = rangeMeta(root, version)
+    require(m.sketchCols.contains(c),
+      s"'$c' carries no zone-map Bloom — commit with sketchCols " +
+        s"including it (committed: ${m.sketchCols.mkString(",")})")
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    if (values.isEmpty)
+      return TableStore.readVersion(spark, root, v).filter(lit(false))
+    import spark.implicits._
+    val reg = zoneMap(spark, root, Some(v))
+      .select(col("shard"), col(s"bloom_$c").as("bloom"))
+    val shards = SketchOps.bloomMightContain(broadcast(reg),
+        values.toDF("__v"), Nil, "__v", m.bloomBitsLog2, m.bloomK)
+      .filter(col("might_contain")).select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    shards match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(c).cast("long").isin(values: _*))
     }
   }
 

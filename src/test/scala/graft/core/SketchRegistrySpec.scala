@@ -638,6 +638,49 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(g2.getMessage.contains("same key column"))
   }
 
+  test("range-layout secondary Blooms: scattered-column IN probes prune, appends OR-merge") {
+    def shardsReadOf(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.inputFiles.flatMap(f =>
+        "shard=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    // t ascending (the layout), u scattered — EXCEPT value 777, planted
+    // only in the first time-eighth (one shard's rows)
+    val df = (0 until 1600).map { i =>
+      val u = if (i < 200 && i % 10 == 0) 777L else (i.toLong * 2654435761L) % 10000
+      (i.toLong, i.toLong * 3, u)
+    }.toDF("id", "t", "u")
+    val root = java.nio.file.Files.createTempDirectory("skrange_sb").toString
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 3,
+      subLog2 = 5, sketchCols = Seq("u"), bloomBitsLog2 = 14)
+    assert(SketchRegistry.rangeMeta(root).sketchCols == Seq("u"))
+    // exact IN semantics on present + absent values
+    val got = SketchRegistry.rangeLookupBy(spark, root, "u", Seq(777L, 123456L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0 until 200 by 10).map(_.toLong))
+    // the planted single-shard value reads one dir
+    assert(shardsReadOf(SketchRegistry.rangeLookupBy(spark, root, "u",
+      Seq(777L))).size == 1)
+    // a Bloom-rejected value opens no data file (probe-found miss)
+    val miss = (800000L until 800200L).find(v =>
+      SketchRegistry.rangeLookupBy(spark, root, "u", Seq(v))
+        .queryExecution.executedPlan.toString.indexOf("FileScan") < 0).get
+    assert(SketchRegistry.rangeLookupBy(spark, root, "u", Seq(miss))
+      .collect().isEmpty)
+    // append: the batch's Blooms OR into the zone map — a value appended
+    // into NEW time territory becomes findable, pruned to its shards
+    SketchRegistry.appendRangeSharded(spark, root,
+      (9000 until 9020).map(i => (i.toLong, i.toLong * 3, 55555L))
+        .toDF("id", "t", "u"))
+    val app = SketchRegistry.rangeLookupBy(spark, root, "u", Seq(55555L))
+    assert(app.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (9000L until 9020L).toSeq)
+    assert(shardsReadOf(app).size <= 2, s"read ${shardsReadOf(app)}")
+    // unindexed column fails loudly
+    val g = intercept[IllegalArgumentException] {
+      SketchRegistry.rangeLookupBy(spark, root, "id", Seq(1L))
+    }
+    assert(g.getMessage.contains("no zone-map Bloom"))
+  }
+
   test("changeFeedPruned: row-identical to the full feed, reads only differing shard pairs") {
     def shardsReadOf(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.inputFiles.flatMap(f =>
