@@ -581,6 +581,14 @@ object GraftEngine {
                    checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.IngestStream.ingestStream(spark, root, source, checkpointDir)
 
+  /** ingest_range_stream: the time-series variant — exactly-once streaming
+    * appends into a range-sharded (zone-mapped) table.
+    */
+  def ingestRangeStream(spark: org.apache.spark.sql.SparkSession, root: String,
+                        source: DataFrame,
+                        checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.IngestStream.ingestRangeStream(spark, root, source, checkpointDir)
+
   /** commit_zordered / box_lookup: two-dimensional zone maps — each
     * column buckets by rank (quantile-sketch bounds), the shard is the
     * Morton interleave of the bucket indices, exact per-shard rectangles

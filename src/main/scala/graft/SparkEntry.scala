@@ -3596,6 +3596,44 @@ object SparkEntry {
       graft.core.SketchRegistry.rangeLookupBy(s, root, "user_id",
           Seq(3L, 7L, 999999L))
         .select(col("event_id"), col("user_id"), col("event_type"))
+    },
+
+    // Exactly-once streaming ingest into the RANGE layout — the
+    // time-series front door: a LIVE MemoryStream lands two micro-batches
+    // of future events (time advances into the top shard, as production
+    // event time does), each as one atomic zone-map-maintained version;
+    // a hand-offered replay of batch 0 must be a no-op (duplicated rows
+    // would hash-mismatch). The result reads through the zone map across
+    // old and streamed territory.
+    "q222_range_ingest_stream" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q222_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      def batch(lo: Int, hi: Int) = (lo until hi).map(i =>
+        (7000000L + i, 5L, "streamed", 1893456000000000L + i * 1000000L))
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Long)]
+      val q = graft.streaming.IngestStream.ingestRangeStream(s, root,
+        stream.toDF().toDF("event_id", "user_id", "event_type", "ts_us"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        stream.addData(batch(0, 30))
+        q.processAllAvailable()
+        stream.addData(batch(30, 60))
+        q.processAllAvailable()
+        val replayed = graft.streaming.IngestStream.ingestBatchRange(s, root,
+          batch(0, 30).toDF("event_id", "user_id", "event_type", "ts_us"),
+          batchId = 0L)
+        require(!replayed, "replayed batch 0 must be skipped")
+        graft.core.SketchRegistry.rangeLookup(s, root,
+            1704326400000000L, 1993456000000000L)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .localCheckpoint(true)
+      } finally q.stop()
     }
   )
 
@@ -8280,7 +8318,16 @@ object SparkEntry {
     // Bloom false positives die at the exact filter: the probe IS the IN
     "q221_range_bloom" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE user_id IN (3, 7, 999999)""".stripMargin
+        |WHERE user_id IN (3, 7, 999999)""".stripMargin,
+
+    // exactly-once: each streamed event appears ONCE despite the replay;
+    // the window spans old events and the streamed future territory
+    "q222_range_ingest_stream" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704326400000000 AND 1993456000000000
+        |UNION ALL
+        |SELECT CAST(7000000 + i AS BIGINT), CAST(5 AS BIGINT), 'streamed'
+        |FROM (SELECT unnest(generate_series(0, 59)) AS i) g""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

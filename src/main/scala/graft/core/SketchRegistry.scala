@@ -638,6 +638,7 @@ object SketchRegistry {
         .parquet(staging.resolve("_zonemap").toString)
       Files.copy(Paths.get(root, s"v_$v", "_zonemap_meta"),
         staging.resolve("_zonemap_meta"))
+      carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
     }
   }
 
@@ -785,7 +786,8 @@ object SketchRegistry {
     */
   def appendRangeSharded(spark: SparkSession, root: String, rows: DataFrame,
                          expectedVersion: Option[Long] = None,
-                         filesPerShard: Int = 1): Long = {
+                         filesPerShard: Int = 1,
+                         stagingExtra: java.nio.file.Path => Unit = _ => ()): Long = {
     val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = rangeMeta(root, Some(ver))
@@ -830,6 +832,8 @@ object SketchRegistry {
         .parquet(staging.resolve("_zonemap").toString)
       Files.copy(Paths.get(root, s"v_$ver", "_zonemap_meta"),
         staging.resolve("_zonemap_meta"))
+      carryIfPresent(Paths.get(root, s"v_$ver"), staging, "_ingest_progress")
+      stagingExtra(staging)
     }
   }
 

@@ -93,4 +93,43 @@ object IngestStream {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** [[ingestBatch]] for a RANGE-sharded table — the time-series front
+    * door: micro-batch rows take shards from the persisted bounds
+    * (event time keeps landing in the top shard as it advances), the
+    * zone map merges exactly, and the same in-commit marker makes
+    * replays no-ops.
+    */
+  def ingestBatchRange(spark: SparkSession, root: String, batch: DataFrame,
+                       batchId: Long, filesPerShard: Int = 1): Boolean = {
+    if (lastIngestedBatch(root).exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      SketchRegistry.appendRangeSharded(spark, root, batch,
+        filesPerShard = filesPerShard,
+        stagingExtra = staging => Files.write(
+          staging.resolve("_ingest_progress"),
+          batchId.toString.getBytes(StandardCharsets.UTF_8)))
+      true
+    }
+  }
+
+  /** [[ingestStream]] for a RANGE-sharded table (bootstrap with
+    * [[SketchRegistry.commitRangeSharded]] first — its bounds, stats
+    * columns, and secondary Blooms carry to every streamed batch).
+    */
+  def ingestRangeStream(spark: SparkSession, root: String, source: DataFrame,
+                        checkpointDir: Option[String] = None,
+                        trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                        filesPerShard: Int = 1): StreamingQuery = {
+    SketchRegistry.rangeMeta(root) // loud guard: range layout required
+    val writer = source.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => {
+        ingestBatchRange(spark, root, batch, batchId, filesPerShard); ()
+      })
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

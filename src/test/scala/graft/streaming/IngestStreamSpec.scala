@@ -103,6 +103,64 @@ class IngestStreamSpec extends AnyFunSuite with SparkTest {
     assert(IngestStream.lastIngestedBatch(root).contains(7L))
   }
 
+  test("range ingest: live stream appends into fixed bounds, zone map exact, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_r").toString
+    SketchRegistry.commitRangeSharded(
+      (0 until 800).map(i => (i.toLong, i.toLong * 10)).toDF("id", "t"),
+      root, "t", shardsLog2 = 2, subLog2 = 5)
+    val bounds = SketchRegistry.rangeMeta(root).bounds
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = IngestStream.ingestRangeStream(spark, root,
+      stream.toDF().toDF("id", "t"),
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      // two batches: in-range values AND time advancing past the top bound
+      stream.addData((5000 until 5030).map(i => (i.toLong, 4000L)))
+      q.processAllAvailable()
+      stream.addData((6000 until 6020).map(i => (i.toLong, 90000L + i)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SketchRegistry.rangeMeta(root).bounds == bounds,
+      "streamed appends must not move the bounds")
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 850L)
+    // zone map == exact post-stream stats
+    val zm = SketchRegistry.zoneMap(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("t")), max(col("t")), count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(zm == direct)
+    // a replayed batch id is skipped, version untouched
+    val v = TableStore.currentVersion(root).get
+    assert(!IngestStream.ingestBatchRange(spark, root,
+      Seq((5000L, 4000L)).toDF("id", "t"), batchId = 0L))
+    assert(TableStore.currentVersion(root).contains(v))
+    assert(IngestStream.lastIngestedBatch(root).nonEmpty)
+    // pruned range reads stay exact over streamed territory
+    assert(SketchRegistry.rangeLookup(spark, root, 90000L, 99999L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (6000L until 6020L).toSeq)
+    // compaction carries the marker (restart dedup survives maintenance)
+    SketchRegistry.compactRangeSharded(spark, root)
+    assert(!IngestStream.ingestBatchRange(spark, root,
+      Seq((5000L, 4000L)).toDF("id", "t"), batchId = 0L))
+  }
+
+  test("ingestRangeStream requires a range-sharded table") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val bare = java.nio.file.Files.createTempDirectory("ingest_rb").toString
+    TableStore.commit(Seq((1L, 2L)).toDF("id", "t"), bare)
+    val ex = intercept[IllegalArgumentException] {
+      IngestStream.ingestRangeStream(spark, bare, stream.toDF().toDF("id", "t"))
+    }
+    assert(ex.getMessage.contains("no zone map"))
+  }
+
   test("ingestStream requires a bootstrapped sketch table") {
     implicit val sqlCtx = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
