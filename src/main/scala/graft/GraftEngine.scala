@@ -642,6 +642,10 @@ object GraftEngine {
                     column: String, values: Seq[Long]): DataFrame =
     core.SketchRegistry.rangeLookupBy(spark, root, column, values)
 
+  def zoneMapDiff(spark: org.apache.spark.sql.SparkSession, root: String,
+                  fromVersion: Long, toVersion: Long): DataFrame =
+    core.SketchRegistry.zoneMapDiff(spark, root, fromVersion, toVersion)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

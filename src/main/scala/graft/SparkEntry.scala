@@ -3634,6 +3634,26 @@ object SparkEntry {
           .select(col("event_id"), col("user_id"), col("event_type"))
           .localCheckpoint(true)
       } finally q.stop()
+    },
+
+    // Zone-map version diff: which shards a commit touched, exact row
+    // deltas, and whether each shard's value rectangle EXTENDED — all off
+    // the zone maps alone, zero data files opened (registryDiff's range
+    // complement). The oracle re-derives both versions' shard assignment
+    // from the bound chain and recomputes deltas + extension relationally.
+    "q223_zonemap_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr("octet_length(text)").cast("long").as("len"))
+      val root = java.nio.file.Files.createTempDirectory("q223_store").toString
+      val v0 = graft.core.SketchRegistry.commitRangeSharded(docs, root, "len",
+        shardsLog2 = 3, subLog2 = 5)
+      val batch = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          (col("len") * 3).as("len"))
+      val v1 = graft.core.SketchRegistry.appendRangeSharded(s, root, batch)
+      graft.core.SketchRegistry.zoneMapDiff(s, root, v0, v1)
+        .select(col("shard"), col("n_rows_before"), col("n_rows_after"),
+          col("row_delta"), col("range_extended"))
     }
   )
 
@@ -8327,7 +8347,47 @@ object SparkEntry {
         |WHERE epoch_us(ts) BETWEEN 1704326400000000 AND 1993456000000000
         |UNION ALL
         |SELECT CAST(7000000 + i AS BIGINT), CAST(5 AS BIGINT), 'streamed'
-        |FROM (SELECT unnest(generate_series(0, 59)) AS i) g""".stripMargin
+        |FROM (SELECT unnest(generate_series(0, 59)) AS i) g""".stripMargin,
+
+    // q208's bound chain, both versions' shard assignment, deltas +
+    // rectangle extension relationally
+    "q223_zonemap_diff" ->
+      """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |bins AS (SELECT x,
+        |    CASE WHEN x < 32 THEN CAST(x AS INT)
+        |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
+        |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM d),
+        |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
+        |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bc),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum),
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
+        |bounds AS (SELECT DISTINCT bound FROM picks),
+        |allr AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x, 0 AS is_new
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT CAST(octet_length(encode(text)) AS BIGINT) * 3, 1
+        |    FROM documents WHERE doc_id < 100),
+        |asg AS (SELECT x, is_new,
+        |    (SELECT count(*) FROM bounds WHERE bound <= x) AS shard FROM allr),
+        |agg AS (SELECT CAST(shard AS INT) AS shard,
+        |    sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS na,
+        |    count(*) AS nb,
+        |    min(CASE WHEN is_new = 0 THEN x END) AS mina,
+        |    max(CASE WHEN is_new = 0 THEN x END) AS maxa,
+        |    min(x) AS minb, max(x) AS maxb
+        |  FROM asg GROUP BY shard)
+        |SELECT shard, CAST(na AS BIGINT) AS n_rows_before,
+        |  CAST(nb AS BIGINT) AS n_rows_after,
+        |  CAST(nb - na AS BIGINT) AS row_delta,
+        |  coalesce(na = 0 AND nb > 0 OR minb < mina OR maxb > maxa, FALSE)
+        |    AS range_extended
+        |FROM agg WHERE nb - na <> 0
+        |   OR coalesce(na = 0 AND nb > 0 OR minb < mina OR maxb > maxa, FALSE)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -939,6 +939,35 @@ object SketchRegistry {
     }
   }
 
+  /** Shard-level diff of two RANGE-sharded versions off their ZONE MAPS
+    * alone — O(2^shardsLog2) rows, zero data files opened: which shards
+    * changed, exact row deltas, and whether the shard's value rectangle
+    * EXTENDED (an append-visible signal; rewrites inside the old range
+    * move counts but not bounds). The [[registryDiff]] complement for the
+    * range layout — the ops probe for "what did that commit touch".
+    */
+  def zoneMapDiff(spark: SparkSession, root: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    rangeMeta(root, Some(fromVersion)) // both versions must carry the layout
+    rangeMeta(root, Some(toVersion))
+    val a = zoneMap(spark, root, Some(fromVersion))
+      .select(col("shard"), col("n_rows").as("__na"),
+        col("min_v").as("__mina"), col("max_v").as("__maxa"))
+    val b = zoneMap(spark, root, Some(toVersion))
+      .select(col("shard"), col("n_rows").as("__nb"),
+        col("min_v").as("__minb"), col("max_v").as("__maxb"))
+    a.join(b, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("__na"), lit(0L)).as("n_rows_before"),
+        coalesce(col("__nb"), lit(0L)).as("n_rows_after"),
+        (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
+          .as("row_delta"),
+        coalesce(col("__na").isNull && col("__nb").isNotNull ||
+          col("__minb") < col("__mina") || col("__maxb") > col("__maxa"),
+          lit(false)).as("range_extended"))
+      .filter(col("row_delta") =!= 0L || col("range_extended"))
+  }
+
   /** Equality `IN`-lookup on a Bloom-indexed column of a RANGE-sharded
     * table: the layout clusters by the sort column, so a scattered
     * column's min/max spans everything — but its per-shard `bloom_<c>`

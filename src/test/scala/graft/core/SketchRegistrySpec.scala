@@ -274,6 +274,20 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
           .select("id").collect().map(_.getLong(0)).sorted.toSeq,
         s"window [$lo, $hi]")
     }
+    // zoneMapDiff off the zone maps alone: exactly the appended shards,
+    // exact deltas, rectangle extension only where values left old bounds
+    val diff = SketchRegistry.zoneMapDiff(spark, root, v0, v1).collect()
+      .map(r => r.getInt(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    val expDelta = back.filter(col("id") >= 2000)
+      .groupBy(col("shard")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(diff.view.mapValues(_._1).toMap == expDelta)
+    // values 50000+ extend the top shard's rectangle; the in-range 250s
+    // (inside [0, 995]) must NOT flag extension unless at a shard edge
+    val topShard = back.filter(col("v") >= 50000L)
+      .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    assert(topShard.size == 1 && diff(topShard.head)._2,
+      "the advanced-time shard must report range_extended")
     // compact folds the appended files; rows and zone map unchanged
     assert((0 to 3).exists(s => files(v1, s).size >= 2))
     val v2 = SketchRegistry.compactRangeSharded(spark, root)
