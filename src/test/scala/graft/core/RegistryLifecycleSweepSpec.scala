@@ -96,4 +96,62 @@ class RegistryLifecycleSweepSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("range layout: random append/compact/vacuum walks keep zone map and reads exact") {
+    for (seed <- Seq(11L, 12L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = java.nio.file.Files.createTempDirectory(s"rsweep$seed").toString
+      val ref = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var nextId = 0L
+      def fresh(n: Int, v: Int => Long): Seq[(Long, Long)] = {
+        val rows = (0 until n).map(i => (nextId + i, v(i)))
+        nextId += n; rows
+      }
+      val init = fresh(500, i => (i % 100).toLong * 7)
+      ref ++= init
+      SketchRegistry.commitRangeSharded(init.toDF("id", "t"), root, "t",
+        shardsLog2 = 3, subLog2 = 5)
+      val bounds = SketchRegistry.rangeMeta(root).bounds
+      val script = scala.collection.mutable.ArrayBuffer.empty[String]
+      def check(step: String): Unit = {
+        val ctx = s"seed=$seed script=${script.mkString("→")} at $step"
+        val back = TableStore.read(spark, root)
+        assert(back.select("id", "t").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == ref.sorted.toSeq, ctx)
+        assert(SketchRegistry.rangeMeta(root).bounds == bounds, ctx)
+        // zone map == direct stats of the CURRENT rows, always
+        val zm = SketchRegistry.zoneMap(spark, root).collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val direct = back.groupBy(col("shard"))
+          .agg(min(col("t")), max(col("t")), count(lit(1))).collect()
+          .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        assert(zm == direct, ctx)
+        // a random window read is exact
+        val lo = rnd.nextInt(800).toLong
+        val hi = lo + rnd.nextInt(5000)
+        assert(SketchRegistry.rangeLookup(spark, root, lo, hi)
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+          ref.filter(r => r._2 >= lo && r._2 <= hi).map(_._1).sorted.toSeq,
+          s"$ctx window [$lo,$hi]")
+      }
+      check("init")
+      for (step <- 0 until 6) {
+        rnd.nextInt(3) match {
+          case 0 => // append: mixed in-range and advancing values
+            val batch = fresh(10 + rnd.nextInt(40),
+              i => if (i % 3 == 0) 10000L + rnd.nextInt(1000) else rnd.nextInt(700).toLong)
+            ref ++= batch
+            SketchRegistry.appendRangeSharded(spark, root, batch.toDF("id", "t"))
+            script += s"append(${batch.size})"
+          case 1 =>
+            SketchRegistry.compactRangeSharded(spark, root)
+            script += "compact"
+          case 2 =>
+            TableStore.vacuum(root, keep = 1, graceMs = 0L)
+            script += "vacuum"
+        }
+        check(s"step$step")
+      }
+    }
+  }
 }
