@@ -646,6 +646,16 @@ object GraftEngine {
                   fromVersion: Long, toVersion: Long): DataFrame =
     core.SketchRegistry.zoneMapDiff(spark, root, fromVersion, toVersion)
 
+  /** read_indexed: TRANSPARENT data skipping — a DataFrame over the
+    * committed version whose scans prune shard directories through the
+    * registry/zone map on PLAIN filters and SQL predicates, no special
+    * verb. Unrecognized predicates degrade to a full scan, never a wrong
+    * answer.
+    */
+  def readIndexed(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame =
+    core.SketchFileIndex.readIndexed(spark, root)
+
   /** commit_range_sharded / range_lookup: the zone-map complement of the
     * hash registry — layout by value range with bounds rank-picked off
     * the deterministic quantile sketch, exact per-shard (min, max, count)

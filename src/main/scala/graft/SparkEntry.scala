@@ -3654,6 +3654,38 @@ object SparkEntry {
       graft.core.SketchRegistry.zoneMapDiff(s, root, v0, v1)
         .select(col("shard"), col("n_rows_before"), col("n_rows_after"),
           col("row_delta"), col("range_extended"))
+    },
+
+    // TRANSPARENT Catalyst data skipping: readIndexed wraps the committed
+    // version in a custom FileIndex, so a PLAIN filter (or SQL predicate)
+    // on the key prunes shard directories with no special verb — the
+    // lakehouse integration point. Rows are always exactly the unpruned
+    // read's; the spec pins one-shard scans for hits and zero-partition
+    // scans for misses off FileSourceScanExec itself.
+    "q224_indexed_read" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q224_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .filter(col("doc_id").isin(3L, 77L, 214L, 9999999L))
+        .select(col("doc_id"), col("source"))
+    },
+
+    // The same transparency on the RANGE layout: a plain BETWEEN on the
+    // sort column opens only intersecting zones through the FileIndex —
+    // SQL included (this query routes through spark.sql to prove it).
+    "q225_indexed_window" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q225_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q225_events")
+      s.sql("""SELECT event_id, user_id, event_type FROM q225_events
+               WHERE ts_us BETWEEN 1704240000000000 AND 1704412800000000""")
     }
   )
 
@@ -8387,7 +8419,17 @@ object SparkEntry {
         |  coalesce(na = 0 AND nb > 0 OR minb < mina OR maxb > maxa, FALSE)
         |    AS range_extended
         |FROM agg WHERE nb - na <> 0
-        |   OR coalesce(na = 0 AND nb > 0 OR minb < mina OR maxb > maxa, FALSE)""".stripMargin
+        |   OR coalesce(na = 0 AND nb > 0 OR minb < mina OR maxb > maxa, FALSE)""".stripMargin,
+
+    // index pruning may only cost reads, never rows: the probe IS the IN
+    "q224_indexed_read" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id IN (3, 77, 214, 9999999)""".stripMargin,
+
+    // and the window IS the plain BETWEEN
+    "q225_indexed_window" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -1,0 +1,250 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** TRANSPARENT Catalyst-integrated data skipping: a custom [[FileIndex]]
+  * over a sketch-indexed or range-sharded [[TableStore]] version, so a
+  * plain DataFrame filter prunes shard directories with no special verb —
+  * `readIndexed(root).filter($"id" === 5)` opens one file, `.filter($"t"
+  * BETWEEN a AND b)` opens intersecting zones, and an unrecognized
+  * predicate degrades to a full scan, never a wrong answer. This is the
+  * lakehouse integration point (how Delta/Iceberg plug statistics into
+  * Spark): `FileSourceScanExec` hands the scan's partition AND data
+  * filters to [[SketchFileIndex.listFiles]], which consults only the
+  * registry/zone map snapshot — the same pruning authority the explicit
+  * verbs ([[SketchRegistry.lookupWithSketches]], `rangeLookup`, …) use,
+  * now reachable from any Catalyst plan, including SQL.
+  *
+  * Soundness: every rule below only ever REMOVES shards that provably
+  * hold no matching row (Bloom: no false negatives; zone maps: exact
+  * min/max), and conjunction-only semantics are respected — `listFiles`
+  * receives the filters of one scan as a conjunctive sequence, each
+  * handled filter restricts independently, and unhandled filters restrict
+  * nothing. Disjunctions arrive as single `Or` expressions and are left
+  * unhandled (full scan).
+  */
+final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
+    extends FileIndex {
+
+  private val versionDir = s"$root/v_$version"
+
+  // layout detection: hash registry, range zone map, or both guards fail
+  private val hashMeta: Option[SketchRegistry.Meta] =
+    try Some(SketchRegistry.meta(root, Some(version)))
+    catch { case _: IllegalArgumentException => None }
+  private val rangeMeta: Option[SketchRegistry.RangeMeta] =
+    if (hashMeta.isDefined) None
+    else Some(SketchRegistry.rangeMeta(root, Some(version))) // loud guard
+
+  private val numShards =
+    1 << hashMeta.map(_.shardsLog2).getOrElse(rangeMeta.get.shardsLog2)
+
+  /** Shard directories and their files, snapshotted at construction (the
+    * version is immutable — that is TableStore's whole contract).
+    */
+  private val shardFiles: Map[Int, Array[FileStatus]] = {
+    val fs = new HPath(versionDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until numShards).flatMap { s =>
+      val d = new HPath(s"$versionDir/shard=$s")
+      if (!fs.exists(d)) None
+      else Some(s -> fs.listStatus(d).filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+    }.toMap
+  }
+
+  /** Driver-side pruning state, loaded lazily on the first planned scan:
+    * per-shard Bloom words per indexed column, and the exact stats
+    * windows. Bounded by shards × filter words — planning metadata.
+    */
+  private lazy val bloomsByCol: Map[String, Map[Int, Array[Long]]] = {
+    def load(dfCols: Seq[String], reg: DataFrame): Map[String, Map[Int, Array[Long]]] =
+      dfCols.map { c =>
+        c -> reg.select("shard", s"bloom_$c").collect()
+          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      }.toMap
+    hashMeta match {
+      case Some(m) =>
+        val reg = SketchRegistry.registry(spark, root, Some(version))
+        val key = Map(m.keyCol -> reg.select("shard", "bloom").collect()
+          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap)
+        key ++ load(m.sketchCols, reg)
+      case None =>
+        load(rangeMeta.get.sketchCols,
+          SketchRegistry.zoneMap(spark, root, Some(version)))
+    }
+  }
+
+  private lazy val statsByCol: Map[String, Map[Int, (Long, Long)]] =
+    rangeMeta match {
+      case None => Map.empty
+      case Some(m) =>
+        val zm = SketchRegistry.zoneMap(spark, root, Some(version))
+        ((m.sortCol, "min_v", "max_v") +:
+          m.statsCols.map(c => (c, s"min_$c", s"max_$c"))).map {
+          case (c, lo, hi) =>
+            c -> zm.select("shard", lo, hi).collect().flatMap { r =>
+              if (r.isNullAt(1) || r.isNullAt(2)) None // no info ⇒ keep shard
+              else Some(r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+            }.toMap
+        }.toMap
+    }
+
+  private def bloomParams: (Int, Int) = hashMeta
+    .map(m => (m.bitsLog2, m.k))
+    .getOrElse((rangeMeta.get.bloomBitsLog2, rangeMeta.get.bloomK))
+
+  private def bloomAdmits(words: Array[Long], v: Long): Boolean = {
+    val (bitsLog2, k) = bloomParams
+    val mask = (1L << bitsLog2) - 1
+    var i = 0
+    while (i < k) {
+      val p = graft.functions.HashKernels.splitmix64(v + i) & mask
+      if ((words((p >>> 6).toInt) & (1L << (p & 63).toInt)) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case x: Long => Some(x)
+    case x: Int => Some(x.toLong)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case _ => None
+  }
+
+  /** Shards any of `values` might live in, for a filter on `name` —
+    * None when the column carries no pruning artifact.
+    */
+  private def equalityShards(name: String, values: Seq[Long]): Option[Set[Int]] = {
+    val viaBloom = bloomsByCol.get(name).map { perShard =>
+      val candidates: Set[Int] = hashMeta match {
+        case Some(m) if name == m.keyCol => // key values hash to their shard
+          values.map(v => (graft.functions.HashKernels.splitmix64(v)
+            & ((1L << m.shardsLog2) - 1)).toInt).toSet
+        case _ => shardFiles.keySet
+      }
+      candidates.filter(s => perShard.get(s)
+        .exists(words => values.exists(v => bloomAdmits(words, v))))
+    }
+    viaBloom.orElse(rangeShards(name, values.min, values.max))
+  }
+
+  /** Shards whose [min, max] window intersects [lo, hi] on `name`. */
+  private def rangeShards(name: String, lo: Long, hi: Long): Option[Set[Int]] =
+    statsByCol.get(name).map { perShard =>
+      shardFiles.keySet.filter(s => perShard.get(s) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // all-null stats: no information, must read
+      })
+    }
+
+  private def admittedShards(dataFilters: Seq[Expression]): Set[Int] = {
+    var admitted: Set[Int] = shardFiles.keySet
+    def restrict(o: Option[Set[Int]]): Unit =
+      o.foreach(s => admitted = admitted.intersect(s))
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+      case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(x => litLong(x.asInstanceOf[Literal]))
+        if (vs.nonEmpty && vs.length == list.length)
+          restrict(equalityShards(a.name, vs))
+      case InSet(a: AttributeReference, set) =>
+        val vs = set.toSeq.collect { case x: Long => x; case x: Int => x.toLong }
+        if (vs.nonEmpty && vs.length == set.size)
+          restrict(equalityShards(a.name, vs))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, v + 1, Long.MaxValue)))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, v, Long.MaxValue)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v - 1)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v - 1)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, v + 1, Long.MaxValue)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).foreach(v => restrict(rangeShards(a.name, v, Long.MaxValue)))
+      case _ => () // unhandled predicate: restricts nothing (sound)
+    }
+    admitted
+  }
+
+  /** Evaluate the scan's partition filters for one shard value — Spark
+    * relies on the index to apply these (it strips them from the row
+    * filter), so skipping this would return wrong rows, not just extra
+    * files.
+    */
+  private def partitionAdmits(partitionFilters: Seq[Expression], s: Int): Boolean =
+    partitionFilters.forall { f =>
+      val bound = f.transform {
+        case a: AttributeReference if a.name == "shard" => Literal(s, IntegerType)
+      }
+      bound.foldable && (bound.eval(InternalRow.empty) match {
+        case b: Boolean => b
+        case null => false
+        case _ => true
+      }) || !bound.foldable // can't evaluate ⇒ keep (sound)
+    }
+
+  override val rootPaths: Seq[HPath] = Seq(new HPath(versionDir))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val admitted = admittedShards(dataFilters)
+      .filter(s => partitionAdmits(partitionFilters, s))
+    admitted.toSeq.sorted.map(s =>
+      PartitionDirectory(InternalRow(s), shardFiles(s)))
+  }
+
+  override def inputFiles: Array[String] =
+    shardFiles.values.flatten.map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = () // versions are immutable
+
+  override def sizeInBytes: Long =
+    shardFiles.values.flatten.map(_.getLen).sum
+
+  override val partitionSchema: StructType =
+    StructType(Seq(StructField("shard", IntegerType, nullable = false)))
+}
+
+object SketchFileIndex {
+
+  /** A DataFrame over the committed (or given) version whose SCANS prune
+    * through the registry/zone map automatically: plain `.filter`s (and
+    * SQL predicates) on the key column, secondary Bloom columns, the sort
+    * column, or stats columns open only admitted shard directories.
+    * Result rows are always exactly the unpruned read's under the same
+    * predicates (spec-pinned); unrecognized predicates read everything.
+    */
+  def readIndexed(spark: SparkSession, root: String,
+                  version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val index = new SketchFileIndex(spark, root, v)
+    val dataSchema = StructType(TableStore.readVersion(spark, root, v)
+      .schema.filterNot(_.name == "shard"))
+    val relation = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+      None, new ParquetFileFormat(), Map.empty)(spark)
+    org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,
+      LogicalRelation(relation, isStreaming = false))
+  }
+}

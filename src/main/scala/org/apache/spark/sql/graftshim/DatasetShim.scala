@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge from a Catalyst [[LogicalPlan]] to a public DataFrame.
+  *
+  * Spark 4.x keeps `Dataset.ofRows` `private[sql]`; extension libraries
+  * that construct relations directly (e.g. a custom `FileIndex` wrapped
+  * in a `HadoopFsRelation`) need this one-hop shim in the
+  * `org.apache.spark.sql` namespace — the [[ColumnShim]] pattern.
+  */
+object DatasetShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

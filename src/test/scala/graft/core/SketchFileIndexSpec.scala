@@ -1,0 +1,123 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Transparent Catalyst data skipping through the custom FileIndex. */
+class SketchFileIndexSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def scannedShards(df: DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      .flatMap(_.selectedPartitions.toPartitionArray.map(pf =>
+        "shard=(\\d+)".r.findFirstMatchIn(pf.filePath.toString).get.group(1).toInt))
+      .distinct.sorted
+
+  test("hash layout: plain filters prune through the registry, rows always exact") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_h").toString
+    val df = (0 until 1000).map(i => (i.toLong, (i % 50).toLong, s"p$i"))
+      .toDF("id", "sec", "payload")
+    SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4, sketchCols = Seq("sec"))
+    val full = TableStore.read(spark, root)
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    assert(idx.count() == 1000L) // unfiltered read sees everything
+    // key equality: ONE shard scanned, rows == plain filter
+    val hit = idx.filter(col("id") === 123L)
+    assert(hit.collect().map(_.getString(2)).toSeq == Seq("p123"))
+    assert(scannedShards(hit).size == 1)
+    // key miss: ZERO partitions scanned, zero rows
+    val miss = idx.filter(col("id") === 777777L)
+    assert(scannedShards(miss).isEmpty && miss.collect().isEmpty)
+    // IN on the key: at most |values| shards
+    val in = idx.filter(col("id").isin(1L, 2L, 900000L))
+    assert(in.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(scannedShards(in).size <= 3)
+    // secondary Bloom column: exact rows; absent value scans nothing
+    val sec = idx.filter(col("sec") === 7L)
+    assert(sec.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.filter(col("sec") === 7L).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    val secMiss = (600000L until 600200L).find(v =>
+      scannedShards(idx.filter(col("sec") === v)).isEmpty).get
+    assert(idx.filter(col("sec") === secMiss).collect().isEmpty)
+    // conjunction: key + secondary intersect
+    val both = idx.filter(col("id") === 123L && col("sec") === (123L % 50))
+    assert(both.count() == 1L && scannedShards(both).size == 1)
+    // unrecognized predicate: full scan, exact rows
+    val like = idx.filter(col("payload").startsWith("p99"))
+    assert(like.count() == full.filter(col("payload").startsWith("p99")).count())
+    // the shard partition column itself still filters correctly
+    val byShard = idx.filter(col("shard") === 3)
+    assert(byShard.collect().forall(_.getInt(3) == 3))
+    assert(scannedShards(byShard) == Seq(3))
+    assert(byShard.count() == full.filter(col("shard") === 3).count())
+    // SQL reaches the same pruning
+    idx.createOrReplaceTempView("sfi_hash")
+    val viaSql = spark.sql("SELECT payload FROM sfi_hash WHERE id = 123")
+    assert(viaSql.collect().map(_.getString(0)).toSeq == Seq("p123"))
+    assert(scannedShards(viaSql).size == 1)
+  }
+
+  test("range layout: windows prune through the zone map; stats and Bloom columns too") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_r").toString
+    // t ascending, id correlated, u scattered with a planted value
+    val df = (0 until 1600).map { i =>
+      val u = if (i < 200 && i % 10 == 0) 777L else (i.toLong * 2654435761L) % 10000
+      (i.toLong, i.toLong * 3, u)
+    }.toDF("id", "t", "u")
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 3,
+      subLog2 = 5, statsCols = Seq("id"), sketchCols = Seq("u"),
+      bloomBitsLog2 = 14)
+    val full = TableStore.read(spark, root)
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    // sort-column window: strict shard subset, exact rows
+    val win = idx.filter(col("t").between(100L, 500L))
+    assert(win.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.filter(col("t").between(100L, 500L)).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    assert(scannedShards(win).size < 8, s"read ${scannedShards(win)}")
+    // window outside every zone: nothing scanned
+    assert(scannedShards(idx.filter(col("t") > 99999L)).isEmpty)
+    // one-sided comparisons prune as half-open windows
+    val tail = idx.filter(col("t") >= 4500L)
+    assert(tail.count() == full.filter(col("t") >= 4500L).count())
+    assert(scannedShards(tail).size < 8)
+    // correlated stats column window prunes
+    val byId = idx.filter(col("id").between(100L, 150L))
+    assert(byId.count() == 51L)
+    assert(scannedShards(byId).size < 8)
+    // secondary Bloom on the range layout: planted value reads one shard
+    val byU = idx.filter(col("u") === 777L)
+    assert(byU.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 200 by 10).map(_.toLong))
+    assert(scannedShards(byU).size == 1, s"read ${scannedShards(byU)}")
+    // equality on the sort column is a [v, v] window
+    val eq = idx.filter(col("t") === 300L)
+    assert(eq.count() == 1L && scannedShards(eq).size == 1)
+  }
+
+  test("readIndexed guards: plain tables rejected, time travel works") {
+    val bare = java.nio.file.Files.createTempDirectory("sfi_b").toString
+    TableStore.commit(Seq((1L, "a")).toDF("id", "v"), bare)
+    intercept[IllegalArgumentException] {
+      SketchFileIndex.readIndexed(spark, bare)
+    }
+    // time travel: the index snapshots one version
+    val root = java.nio.file.Files.createTempDirectory("sfi_t").toString
+    val v0 = SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "p"),
+      root, "id", shardsLog2 = 2, bitsLog2 = 10, k = 3)
+    SketchRegistry.appendWithSketches(spark, root,
+      Seq((5000L, "new")).toDF("id", "p"))
+    assert(SketchFileIndex.readIndexed(spark, root, Some(v0))
+      .filter(col("id") === 5000L).collect().isEmpty)
+    assert(SketchFileIndex.readIndexed(spark, root)
+      .filter(col("id") === 5000L).count() == 1L)
+  }
+}
