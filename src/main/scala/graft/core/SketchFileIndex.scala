@@ -35,16 +35,22 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
 
   private val versionDir = s"$root/v_$version"
 
-  // layout detection: hash registry, range zone map, or both guards fail
+  // layout detection: hash registry, range zone map, or 2-D Z-order map;
+  // a version carrying none of the three fails loudly
   private val hashMeta: Option[SketchRegistry.Meta] =
     try Some(SketchRegistry.meta(root, Some(version)))
     catch { case _: IllegalArgumentException => None }
   private val rangeMeta: Option[SketchRegistry.RangeMeta] =
     if (hashMeta.isDefined) None
-    else Some(SketchRegistry.rangeMeta(root, Some(version))) // loud guard
+    else try Some(SketchRegistry.rangeMeta(root, Some(version)))
+    catch { case _: IllegalArgumentException => None }
+  private val zMeta: Option[ZOrderStore.ZMeta] =
+    if (hashMeta.isDefined || rangeMeta.isDefined) None
+    else Some(ZOrderStore.zMeta(root, Some(version))) // loud last guard
 
-  private val numShards =
-    1 << hashMeta.map(_.shardsLog2).getOrElse(rangeMeta.get.shardsLog2)
+  private val numShards = hashMeta.map(m => 1 << m.shardsLog2)
+    .orElse(rangeMeta.map(m => 1 << m.shardsLog2))
+    .getOrElse(1 << (2 * zMeta.get.bitsPerCol))
 
   /** Shard directories and their files, snapshotted at construction (the
     * version is immutable — that is TableStore's whole contract).
@@ -76,30 +82,40 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
         val key = Map(m.keyCol -> reg.select("shard", "bloom").collect()
           .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap)
         key ++ load(m.sketchCols, reg)
-      case None =>
-        load(rangeMeta.get.sketchCols,
-          SketchRegistry.zoneMap(spark, root, Some(version)))
+      case None => rangeMeta match {
+        case Some(m) =>
+          load(m.sketchCols, SketchRegistry.zoneMap(spark, root, Some(version)))
+        case None => Map.empty // z-order carries rectangles, no Blooms
+      }
     }
   }
 
-  private lazy val statsByCol: Map[String, Map[Int, (Long, Long)]] =
-    rangeMeta match {
-      case None => Map.empty
-      case Some(m) =>
-        val zm = SketchRegistry.zoneMap(spark, root, Some(version))
-        ((m.sortCol, "min_v", "max_v") +:
-          m.statsCols.map(c => (c, s"min_$c", s"max_$c"))).map {
-          case (c, lo, hi) =>
-            c -> zm.select("shard", lo, hi).collect().flatMap { r =>
-              if (r.isNullAt(1) || r.isNullAt(2)) None // no info ⇒ keep shard
-              else Some(r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-            }.toMap
+  private lazy val statsByCol: Map[String, Map[Int, (Long, Long)]] = {
+    def collectWindows(zm: DataFrame,
+                       cols: Seq[(String, String, String)]): Map[String, Map[Int, (Long, Long)]] =
+      cols.map { case (c, lo, hi) =>
+        c -> zm.select("shard", lo, hi).collect().flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None // no info ⇒ keep shard
+          else Some(r.getInt(0) -> (r.getLong(1), r.getLong(2)))
         }.toMap
+      }.toMap
+    (rangeMeta, zMeta) match {
+      case (Some(m), _) =>
+        collectWindows(SketchRegistry.zoneMap(spark, root, Some(version)),
+          (m.sortCol, "min_v", "max_v") +:
+            m.statsCols.map(c => (c, s"min_$c", s"max_$c")))
+      case (None, Some(m)) => // BOTH interleaved columns prune as windows,
+        // so a plain 2-D box filter opens only intersecting rectangles
+        collectWindows(ZOrderStore.zoneMap2d(spark, root, Some(version)),
+          Seq((m.colA, "min_a", "max_a"), (m.colB, "min_b", "max_b")))
+      case _ => Map.empty
     }
+  }
 
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))
-    .getOrElse((rangeMeta.get.bloomBitsLog2, rangeMeta.get.bloomK))
+    .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))
+    .getOrElse((6, 1)) // z-order: no Blooms, never consulted
 
   private def bloomAdmits(words: Array[Long], v: Long): Boolean = {
     val (bitsLog2, k) = bloomParams

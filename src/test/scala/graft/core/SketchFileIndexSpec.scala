@@ -102,6 +102,32 @@ class SketchFileIndexSpec extends AnyFunSuite with SparkTest {
     assert(eq.count() == 1L && scannedShards(eq).size == 1)
   }
 
+  test("z-order layout: plain 2-D box filters prune rectangles") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_z").toString
+    val grid = (for (a <- 0 until 40; b <- 0 until 40)
+      yield (a.toLong * 40 + b, a.toLong, b.toLong)).toDF("id", "a", "b")
+    ZOrderStore.commitZOrdered(grid, root, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    assert(idx.count() == 1600L)
+    // one bucket cell in both dimensions: 1 of 16 shards scanned
+    val cell = idx.filter(col("a").between(0L, 8L) && col("b").between(0L, 8L))
+    assert(cell.count() == 81L)
+    assert(scannedShards(cell).size == 1, s"read ${scannedShards(cell)}")
+    // one dimension restricted: 4 of 16 — and the same in the OTHER
+    // dimension, the property a single-column sort cannot give both ways
+    assert(scannedShards(idx.filter(col("a").between(0L, 8L))).size == 4)
+    assert(scannedShards(idx.filter(col("b").between(9L, 18L))).size == 4)
+    // outside every rectangle: zero partitions planned
+    assert(scannedShards(idx.filter(col("a") > 100L)).isEmpty)
+    // rows always exact, SQL included
+    idx.createOrReplaceTempView("sfi_z")
+    val viaSql = spark.sql(
+      "SELECT id FROM sfi_z WHERE a BETWEEN 5 AND 25 AND b BETWEEN 12 AND 33")
+    assert(viaSql.collect().map(_.getLong(0)).sorted.toSeq ==
+      grid.filter(col("a").between(5, 25) && col("b").between(12, 33))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("readIndexed guards: plain tables rejected, time travel works") {
     val bare = java.nio.file.Files.createTempDirectory("sfi_b").toString
     TableStore.commit(Seq((1L, "a")).toDF("id", "v"), bare)
