@@ -43,6 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectOptimizerRule(_ => VectorExprSimplification)
     e.injectOptimizerRule(_ => LshJoinRewrite)
+    e.injectOptimizerRule(_ => SketchJoinDispatch)
   }
 }
 
@@ -204,5 +205,191 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)
     case other     => Seq(other)
+  }
+}
+
+/** TRANSPARENT sketch-driven join dispatch — the join-side analog of
+  * [[graft.core.SketchFileIndex]]'s transparent data skipping: an INNER
+  * equi-join between two `readIndexed` hash-layout relations on their key
+  * columns is dispatched the way
+  * [[graft.operators.SketchOps.equiJoinPlanFromRegistry]] decides — from
+  * the tables' PERSISTED registry sketches, zero data-file reads:
+  *
+  *  - `broadcast_left` / `broadcast_right` → the matching side gets a
+  *    BROADCAST join hint (Spark's own size estimate never sees row
+  *    counts; the registry's exact `n_rows` does);
+  *  - `salted_left` / `salted_right` → the join rewrites to
+  *    [[graft.operators.JoinOps.skewAwareJoin]]'s hot-key-split shape
+  *    (detected hot keys salt across `buckets` reducers, cold keys join
+  *    plainly, the halves union) — bit-identical rows, different shuffle;
+  *  - `shuffle` → the plan is left alone.
+  *
+  * Result rows are ALWAYS exactly the plain join's (spec- and
+  * oracle-pinned) — the decision changes the shuffle shape, never the
+  * semantics. OFF by default (plan-time registry reads cost driver jobs);
+  * opt in per session:
+  *
+  *   - `spark.graft.sketchJoinDispatch.enabled`          (default false)
+  *   - `spark.graft.sketchJoinDispatch.broadcastMaxRows` (default 1000000)
+  *   - `spark.graft.sketchJoinDispatch.buckets`          (default 16)
+  *
+  * Scope (anything outside it is left to Catalyst untouched): inner joins,
+  * a single `l.key = r.key` condition naming BOTH tables' registry key
+  * columns (same name), both sides a bare/projected `readIndexed`
+  * relation, no existing join hint, non-key column names disjoint across
+  * sides, and both registries carrying CM rows at identical parameters.
+  * Decisions are cached per (root, version) pair — optimizer batches run
+  * to fixed point, and the registry is immutable per version.
+  */
+object SketchJoinDispatch extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, JoinHint, BROADCAST}
+  import org.apache.spark.sql.catalyst.expressions.NamedExpression
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import graft.core.SketchFileIndex
+  import graft.operators.{JoinOps, SketchOps}
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.sketchJoinDispatch.enabled", "false").toBoolean
+  private def broadcastMaxRows: Long =
+    conf.getConfString("spark.graft.sketchJoinDispatch.broadcastMaxRows",
+      "1000000").toLong
+  private def buckets: Int =
+    conf.getConfString("spark.graft.sketchJoinDispatch.buckets", "16").toInt
+
+  /** Versions are immutable, so a (roots, versions, threshold) decision
+    * never changes — cache it across the optimizer's fixed-point passes
+    * and across queries over the same snapshots.
+    */
+  private val planCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String, Long, Long), SketchOps.EquiJoinPlan]()
+
+  /** The SketchFileIndex beneath a join child, looking through
+    * attribute-only Projects (column pruning inserts those) and
+    * IsNotNull-only Filters (constraint inference pushes
+    * `isnotnull(joinKey)` to each side — null keys never join, so the
+    * registry counts only OVERestimate, which keeps the decision
+    * conservative, never unsound). Any other Filter invalidates the
+    * registry's row counts and leaves the join untouched.
+    */
+  private def indexUnder(p: LogicalPlan): Option[SketchFileIndex] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SketchFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexUnder(child)
+    case Filter(cond, child) if isNotNullOnly(cond) => indexUnder(child)
+    case _ => None
+  }
+
+  private def isNotNullOnly(e: Expression): Boolean = e match {
+    case And(a, b) => isNotNullOnly(a) && isNotNullOnly(b)
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(_: AttributeReference) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    val spark = org.apache.spark.sql.SparkSession.active
+    plan.transform {
+      case j @ Join(left, right, Inner,
+          Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
+          if hint == JoinHint.NONE && dispatchable(j, left, right, x, y) =>
+        val (la, _) =
+          if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
+        val li = indexUnder(left).get
+        val ri = indexUnder(right).get
+        val decision = planCache.computeIfAbsent(
+          (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion,
+            broadcastMaxRows),
+          _ => SketchOps.equiJoinPlanFromRegistry(spark,
+            li.tableRoot, ri.tableRoot,
+            Some(li.tableVersion), Some(ri.tableVersion),
+            broadcastMaxRows = broadcastMaxRows))
+        decision.strategy match {
+          case "broadcast_left" =>
+            Join(left, right, Inner, j.condition,
+              JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None))
+          case "broadcast_right" =>
+            Join(left, right, Inner, j.condition,
+              JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
+          case "salted_left" =>
+            rewriteSalted(spark, j, left, right, la.name, saltLeft = true)
+          case "salted_right" =>
+            rewriteSalted(spark, j, left, right, la.name, saltLeft = false)
+          case _ => j // shuffle: Catalyst's plain exchange join is right
+        }
+    }
+  }
+
+  /** All the scope conditions that make the rewrite applicable AND safe. */
+  private def dispatchable(j: Join, left: LogicalPlan, right: LogicalPlan,
+                           x: AttributeReference, y: AttributeReference): Boolean = {
+    val oriented =
+      if (x.references.subsetOf(left.outputSet) &&
+        y.references.subsetOf(right.outputSet)) Some((x, y))
+      else if (y.references.subsetOf(left.outputSet) &&
+        x.references.subsetOf(right.outputSet)) Some((y, x))
+      else None
+    oriented.exists { case (la, ra) =>
+      (indexUnder(left), indexUnder(right)) match {
+        case (Some(li), Some(ri)) =>
+          (li.hashLayoutMeta, ri.hashLayoutMeta) match {
+            case (Some(ml), Some(mr)) =>
+              ml.keyCol == la.name && mr.keyCol == ra.name &&
+                la.name == ra.name && // skewAwareJoin joins by shared name
+                ml.cmDepth > 0 && mr.cmDepth > 0 &&
+                ml.cmDepth == mr.cmDepth &&
+                ml.cmWidthLog2 == mr.cmWidthLog2 && ml.hllP == mr.hllP &&
+                // the name-keyed output re-projection needs unique names
+                left.output.map(_.name).filterNot(_ == la.name)
+                  .intersect(right.output.map(_.name)).isEmpty
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+  }
+
+  /** Build the hot-key-split salted join as a DataFrame over the ORIGINAL
+    * child plans (fully declarative — [[JoinOps.skewAwareJoin]]'s
+    * threshold rides as a broadcast aggregate, no driver action), then
+    * re-project to the original Join's output attributes: every original
+    * output resolves by NAME in the rewritten subtree (non-key names are
+    * disjoint by precondition; BOTH original key attributes map to the
+    * surviving key column — equal values under the inner equi-join), and
+    * aliases pin the original exprIds so parents resolve unchanged.
+    */
+  private def rewriteSalted(spark: org.apache.spark.sql.SparkSession, j: Join,
+                            left: LogicalPlan, right: LogicalPlan,
+                            key: String, saltLeft: Boolean): LogicalPlan = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val dfL = org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark, left)
+    val dfR = org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark, right)
+    // the salt source only has to VARY within a key on the salted side —
+    // which bucket a row lands in never affects correctness (the other
+    // side replicates to every bucket), so a per-row id is safe
+    val joined =
+      if (saltLeft)
+        JoinOps.skewAwareJoin(dfL, dfR, Seq(key),
+          monotonically_increasing_id(), buckets = buckets, auto = true)
+      else
+        JoinOps.skewAwareJoin(dfR, dfL, Seq(key),
+          monotonically_increasing_id(), buckets = buckets, auto = true)
+    // the subtree is freshly ANALYZED, but EliminateResolvedHint already
+    // ran for this query — fold its ResolvedHint nodes (skewAwareJoin's
+    // broadcast(hot) markers) into join hints ourselves, or physical
+    // planning rejects the plan
+    val analyzed = org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint
+      .apply(joined.queryExecution.analyzed)
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    val projList: Seq[NamedExpression] = j.output.map { o =>
+      val src = byName(o.name)
+      if (src.exprId == o.exprId) src else Alias(src, o.name)(exprId = o.exprId)
+    }
+    Project(projList, analyzed)
   }
 }

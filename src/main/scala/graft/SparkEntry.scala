@@ -3686,6 +3686,191 @@ object SparkEntry {
         .createOrReplaceTempView("q225_events")
       s.sql("""SELECT event_id, user_id, event_type FROM q225_events
                WHERE ts_us BETWEEN 1704240000000000 AND 1704412800000000""")
+    },
+
+    // Registry-only join planning — the q195 decision with ZERO data-file
+    // reads: both sides commit through the sketch registry (whose rows now
+    // carry per-shard CM beside Bloom/HLL), and the dispatch decision
+    // merges the PERSISTED per-shard sketches (CM by addition, HLL by
+    // register max — both bit-identical to fresh builds), so the output
+    // must equal q195's field for field. The oracle replays the same
+    // arithmetic from the raw data, proving metadata-only planning loses
+    // nothing. At 100 TB this is the point: the decision costs two
+    // registry reads, never a table scan (spec-pinned by planning against
+    // physically hidden data files).
+    "q226_registry_join_plan" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val uniL = li.select(col("l_partkey").as("k"))
+      val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"))
+      val dimR = Tables.part(s, dir).select(col("p_partkey").as("k"))
+      val smlL = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("k"))
+      val smlR = Tables.nation(s, dir).select(col("n_nationkey").cast("long").as("k"))
+      def commit(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+        val root = java.nio.file.Files.createTempDirectory(s"q226_$tag").toString
+        graft.core.SketchRegistry.commitWithSketches(df, root, "k",
+          shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
+          cmDepth = 4, cmWidthLog2 = 12)
+        root
+      }
+      Seq(("uniform", uniL, dimR), ("skewed", skwL, dimR), ("small_dim", smlL, smlR))
+        .map { case (name, l, r) =>
+          val p = graft.operators.SketchOps.equiJoinPlanFromRegistry(s,
+            commit(l, s"${name}_l"), commit(r, s"${name}_r"),
+            broadcastMaxRows = 100L)
+          (name, p.nLeft, p.nRight, p.ndvLeftMicro, p.ndvRightMicro,
+            p.fmaxLeftEst, p.fmaxRightEst, p.joinSizeEst, p.strategy)
+        }
+        .toDF("scenario", "n_left", "n_right", "ndv_left_micro",
+          "ndv_right_micro", "fmax_left_est", "fmax_right_est",
+          "join_size_est", "strategy")
+    },
+
+    // TRANSPARENT join dispatch — the join-side analog of q224's
+    // transparent skipping: a PLAIN spark.sql join over two readIndexed
+    // views takes the registry-decided shape (the planted-skew arm salts
+    // via the hot-key split, the uniform arm stays a plain exchange)
+    // through an injected optimizer rule, no special verb. Rows must be
+    // bit-identical to the plain join on both arms — the oracle is the
+    // same plain SQL join as q196's.
+    "q227_dispatched_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val part = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_size"))
+      val uniL = li.select(col("l_partkey").as("k"), col("l_orderkey"))
+      val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
+      def commit(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+        val root = java.nio.file.Files.createTempDirectory(s"q227_$tag").toString
+        graft.core.SketchRegistry.commitWithSketches(df, root, "k",
+          shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
+          cmDepth = 4, cmWidthLog2 = 12)
+        root
+      }
+      graft.core.SketchFileIndex.readIndexed(s, commit(uniL, "uni"))
+        .createOrReplaceTempView("q227_uni")
+      graft.core.SketchFileIndex.readIndexed(s, commit(skwL, "skw"))
+        .createOrReplaceTempView("q227_skw")
+      graft.core.SketchFileIndex.readIndexed(s, commit(part, "part"))
+        .createOrReplaceTempView("q227_part")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100")
+      try {
+        def arm(view: String, tag: String) = s.sql(
+          s"""SELECT '$tag' AS scenario, k, count(*) AS n_rows,
+             |  sum(l_orderkey) AS sum_ord,
+             |  sum(CAST(p_size AS BIGINT)) AS sum_size
+             |FROM $view JOIN q227_part USING (k) GROUP BY k""".stripMargin)
+        arm("q227_uni", "uniform").unionByName(arm("q227_skw", "skewed"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      }
+    },
+
+    // Z-order keyed UPSERT/DELETE — the hash layout's incremental
+    // maintenance on the 2-D layout: changed keys locate their OLD cells
+    // through the per-cell key Bloom (false positives cost a cell
+    // rewrite, never a wrong row), upsert rows pin their NEW cells
+    // exactly, and only the union rewrites — the rest hard-links with
+    // zone-map rows carried bit-identically (spec pins the inode carry).
+    // Oracle: the plain merge semantics replayed in SQL.
+    "q228_zorder_changes" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"))
+      val root = java.nio.file.Files.createTempDirectory("q228_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"),
+        bloomBitsLog2 = 12)
+      val ups = li.filter(col("id") % 97 === 0)
+        .select(col("id"), (col("qty") + 100L).as("qty"), col("pk"))
+        .unionByName((0 until 20).map(i =>
+          (900000000L + i, 7L + i, 42L + i)).toDF("id", "qty", "pk"))
+      val dels = li.filter(col("id") % 89 === 1).select(col("id"))
+      graft.core.ZOrderStore.applyChangesZOrdered(s, root, "id", ups, dels)
+      graft.core.TableStore.read(s, root).select("id", "qty", "pk")
+    },
+
+    // Equality probes on a column the 2-D layout scatters: per-cell
+    // secondary Blooms prune where rectangles carry no signal — the
+    // q214 story on the Z-order layout. Result rows are exactly the
+    // plain IN's.
+    "q229_zorder_lookup_by" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      val root = java.nio.file.Files.createTempDirectory("q229_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("sk"),
+        bloomBitsLog2 = 12)
+      graft.core.ZOrderStore.zLookupBy(s, root, "sk", Seq(3L, 7L, 999999L))
+        .select("id", "qty", "pk", "sk")
+    },
+
+    // Exactly-once streaming ingest on the Z-ORDER layout — q211's
+    // protocol on the 2-D store: each micro-batch lands as one atomic
+    // version through appendZOrdered (persisted bucket bounds, exact
+    // rectangle merge), the batchId marker rides INSIDE the commit, and
+    // a hand-replayed batch must be a no-op. Oracle: the union,
+    // box-filtered.
+    "q230_zorder_ingest_stream" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"))
+      val root = java.nio.file.Files.createTempDirectory("q230_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5)
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val q = graft.streaming.IngestStream.ingestZOrderStream(s, root,
+        stream.toDF().toDF("id", "qty", "pk"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      try {
+        stream.addData((8000000L until 8000020L).map(i => (i, 5L, 100L)))
+        q.processAllAvailable()
+        stream.addData((8000020L until 8000040L).map(i => (i, 90000L + i % 7, 3L)))
+        q.processAllAvailable()
+        val replayed = graft.streaming.IngestStream.ingestBatchZOrder(s, root,
+          (8000000L until 8000020L).map(i => (i, 5L, 100L))
+            .toDF("id", "qty", "pk"), batchId = 0L)
+        require(!replayed, "replayed batch 0 must be skipped")
+        graft.core.ZOrderStore.boxLookup(s, root, 0L, 10L, 0L, 200L)
+          .select("id", "qty", "pk").localCheckpoint(true)
+      } finally q.stop()
+    },
+
+    // STRING-keyed registry — real corpora key on URLs/doc-id strings:
+    // the commit hashes the key through the pinned xxhash64 recorded in
+    // the meta, every probe re-derives the same hash, and the final
+    // filter compares the ORIGINAL strings (an xxhash collision costs a
+    // read, never a wrong row). Batch + point lookups; the spec pins the
+    // pruned-shard reads and the FileIndex plan on a string literal.
+    // Oracle: the plain IN over the same derived URLs.
+    "q231_string_key_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(
+        concat(lit("https://corpus.example/"), col("source"), lit("/"),
+          col("doc_id").cast("string")).as("url"),
+        col("doc_id"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q231_store").toString
+      graft.core.SketchRegistry.commitWithSketches(docs, root, "url",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      val probes = docs.filter(col("doc_id") % 7 === 3).select(col("url"))
+        .unionByName(Seq("https://corpus.example/nowhere/1",
+          "https://corpus.example/nowhere/2").toDF("url"))
+      graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "url")
+        .select("url", "doc_id", "source")
     }
   )
 
@@ -7704,116 +7889,11 @@ object SparkEntry {
     // heavy-key bounds, and the min-over-rows inner-product join size;
     // HLL p=12 registers over the distinct keys give the micro-floored
     // ndv; the dispatch CASE reruns the same integer arithmetic
-    "q195_join_plan" ->
-      """WITH lkeys AS (
-        |  SELECT 'uniform' AS sc, l_partkey AS x FROM lineitem
-        |  UNION ALL
-        |  SELECT 'skewed', CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END FROM lineitem
-        |  UNION ALL
-        |  SELECT 'small_dim', CAST(c_nationkey AS BIGINT) FROM customer),
-        |rkeys AS (
-        |  SELECT 'uniform' AS sc, p_partkey AS x FROM part
-        |  UNION ALL
-        |  SELECT 'skewed', p_partkey FROM part
-        |  UNION ALL
-        |  SELECT 'small_dim', CAST(n_nationkey AS BIGINT) FROM nation),
-        |allk AS (SELECT sc, 'l' AS side, x FROM lkeys
-        |         UNION ALL SELECT sc, 'r', x FROM rkeys),
-        |kc AS (SELECT sc, side, x, count(*) AS n FROM allk GROUP BY 1, 2, 3),
-        |inp AS (SELECT sc, side, n, i, CAST(x + i AS HUGEINT) AS x0
-        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
-        |z0 AS (SELECT sc, side, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
-        |x1 AS (SELECT sc, side, n, i, xor(z, z // 1073741824) AS xx FROM z0),
-        |z1 AS (SELECT sc, side, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
-        |x2 AS (SELECT sc, side, n, i, xor(z, z // 134217728) AS xx FROM z1),
-        |z2 AS (SELECT sc, side, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
-        |cellh AS (SELECT sc, side, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c,
-        |          CAST(sum(n) AS BIGINT) AS v
-        |          FROM z2 GROUP BY 1, 2, 3, 4),
-        |fm AS (SELECT sc, side, CAST(min(rowmax) AS BIGINT) AS fmax
-        |       FROM (SELECT sc, side, i, max(v) AS rowmax FROM cellh GROUP BY 1, 2, 3)
-        |       GROUP BY 1, 2),
-        |ns AS (SELECT sc, side, count(*) AS n FROM allk GROUP BY 1, 2),
-        |rowsum AS (
-        |  SELECT a.sc, a.i, sum(CAST(a.v AS HUGEINT) * b.v) AS s
-        |  FROM (SELECT * FROM cellh WHERE side = 'l') a
-        |  JOIN (SELECT * FROM cellh WHERE side = 'r') b
-        |    ON a.sc = b.sc AND a.i = b.i AND a.c = b.c
-        |  GROUP BY 1, 2),
-        |jse AS (SELECT sc, CAST(min(coalesce(s, 0)) AS BIGINT) AS join_size_est
-        |        FROM (SELECT g.sc, r.i, rs.s
-        |              FROM (SELECT DISTINCT sc FROM allk) g
-        |              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r
-        |              LEFT JOIN rowsum rs ON rs.sc = g.sc AND rs.i = r.i)
-        |        GROUP BY 1),
-        |dk AS (SELECT DISTINCT sc, side, x FROM allk),
-        |hz0 AS (SELECT sc, side, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM dk),
-        |hx1 AS (SELECT sc, side, xor(z, z // 1073741824) AS xx FROM hz0),
-        |hz1 AS (SELECT sc, side, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx1),
-        |hx2 AS (SELECT sc, side, xor(z, z // 134217728) AS xx FROM hz1),
-        |hz2 AS (SELECT sc, side, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx2),
-        |hh AS (SELECT sc, side, xor(z, z // 2147483648) AS u FROM hz2),
-        |hrr AS (SELECT sc, side, CAST(u % 4096 AS INT) AS idx, CAST(u // 4096 AS BIGINT) AS rem FROM hh),
-        |hrk AS (SELECT sc, side, idx,
-        |  CASE WHEN rem = 0 THEN 53 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
-        |  FROM hrr),
-        |hreg AS (SELECT sc, side, idx, max(rank) AS r FROM hrk GROUP BY 1, 2, 3),
-        |hdense AS (
-        |  SELECT gs.sc, gs.side, i.idx, coalesce(hreg.r, 0) AS r
-        |  FROM (SELECT DISTINCT sc, side FROM allk) gs
-        |  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS idx) i
-        |  LEFT JOIN hreg ON hreg.sc = gs.sc AND hreg.side = gs.side AND hreg.idx = i.idx),
-        |hest AS (
-        |  SELECT sc, side,
-        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
-        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
-        |  FROM hdense GROUP BY 1, 2),
-        |hfin AS (
-        |  SELECT sc, side,
-        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
-        |      THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
-        |  FROM (SELECT sc, side, zeros,
-        |          (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / sp AS raw
-        |        FROM hest)),
-        |dec AS (
-        |  SELECT nl.sc AS scenario,
-        |    nl.n AS n_left, nr.n AS n_right,
-        |    hl.est_micro AS ndv_left_micro, hr.est_micro AS ndv_right_micro,
-        |    fl.fmax AS fmax_left_est, fr.fmax AS fmax_right_est,
-        |    jse.join_size_est
-        |  FROM (SELECT * FROM ns WHERE side = 'l') nl
-        |  JOIN (SELECT * FROM ns WHERE side = 'r') nr ON nr.sc = nl.sc
-        |  JOIN (SELECT * FROM fm WHERE side = 'l') fl ON fl.sc = nl.sc
-        |  JOIN (SELECT * FROM fm WHERE side = 'r') fr ON fr.sc = nl.sc
-        |  JOIN (SELECT * FROM hfin WHERE side = 'l') hl ON hl.sc = nl.sc
-        |  JOIN (SELECT * FROM hfin WHERE side = 'r') hr ON hr.sc = nl.sc
-        |  JOIN jse ON jse.sc = nl.sc)
-        |SELECT scenario, n_left, n_right, ndv_left_micro, ndv_right_micro,
-        |  fmax_left_est, fmax_right_est, join_size_est,
-        |  CASE
-        |    WHEN least(n_left, n_right) <= 100 THEN
-        |      CASE WHEN n_right <= n_left THEN 'broadcast_right' ELSE 'broadcast_left' END
-        |    WHEN fmax_left_est > greatest(16, 16 * CAST(n_left // greatest(1, CAST(ndv_left_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_left'
-        |    WHEN fmax_right_est > greatest(16, 16 * CAST(n_right // greatest(1, CAST(ndv_right_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_right'
-        |    ELSE 'shuffle'
-        |  END AS strategy
-        |FROM dec""".stripMargin,
+    "q195_join_plan" -> joinPlanOracleSql,
 
     // the plain-SQL join the planned execution must be bit-identical to,
     // on both the uniform and the planted-skew fixture
-    "q196_planned_join" ->
-      """WITH p AS (SELECT p_partkey AS k, p_size FROM part),
-        |uni AS (SELECT l_partkey AS k, l_orderkey FROM lineitem),
-        |skw AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END AS k,
-        |               l_orderkey FROM lineitem)
-        |SELECT 'uniform' AS scenario, k, count(*) AS n_rows,
-        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ord,
-        |  CAST(sum(p_size) AS BIGINT) AS sum_size
-        |FROM uni JOIN p USING (k) GROUP BY 1, 2
-        |UNION ALL
-        |SELECT 'skewed', k, count(*),
-        |  CAST(sum(l_orderkey) AS BIGINT), CAST(sum(p_size) AS BIGINT)
-        |FROM skw JOIN p USING (k) GROUP BY 1, 2""".stripMargin,
+    "q196_planned_join" -> plainScenarioJoinOracleSql,
 
     // the full log-linear bin replay: exact bins below 32, 32 sub-bins
     // per octave via binary-digit-count log2 and integer shifts, window
@@ -8429,7 +8509,59 @@ object SparkEntry {
     // and the window IS the plain BETWEEN
     "q225_indexed_window" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin
+        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin,
+
+    // registry-only planning must lose nothing vs the rescan plan: the
+    // oracle is q195's full replay, field for field
+    "q226_registry_join_plan" -> joinPlanOracleSql,
+
+    // transparent dispatch must be bit-identical to the plain join —
+    // q196's oracle verbatim
+    "q227_dispatched_join" -> plainScenarioJoinOracleSql,
+
+    // keyed upsert/delete on the 2-D layout: the plain merge semantics —
+    // upserts replace (insert when absent, winning over a same-key
+    // delete), deletes vanish, everything else untouched
+    "q228_zorder_changes" ->
+      """WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk FROM lineitem),
+        |ups AS (SELECT id, qty + 100 AS qty, pk FROM base WHERE id % 97 = 0
+        |  UNION ALL
+        |  SELECT CAST(900000000 + i AS BIGINT), CAST(7 + i AS BIGINT),
+        |         CAST(42 + i AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(0, 19)) AS i))
+        |SELECT id, qty, pk FROM base WHERE id % 97 <> 0 AND id % 89 <> 1
+        |UNION ALL SELECT id, qty, pk FROM ups""".stripMargin,
+
+    // Bloom-pruned IN on a scattered column of the Z-order layout: the
+    // probe IS the plain IN
+    "q229_zorder_lookup_by" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS id,
+        |  CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk, l_suppkey AS sk
+        |FROM lineitem WHERE l_suppkey IN (3, 7, 999999)""".stripMargin,
+
+    // exactly-once z-order ingest: the union of seed + both batches (a
+    // doubled batch would break the hash), box-filtered like the query
+    "q230_zorder_ingest_stream" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), CAST(5 AS BIGINT), CAST(100 AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(8000000, 8000019)) AS i)
+        |  UNION ALL
+        |  SELECT CAST(i AS BIGINT), CAST(90000 + i % 7 AS BIGINT), CAST(3 AS BIGINT)
+        |  FROM (SELECT unnest(generate_series(8000020, 8000039)) AS i))
+        |SELECT id, qty, pk FROM base
+        |WHERE qty BETWEEN 0 AND 10 AND pk BETWEEN 0 AND 200""".stripMargin,
+
+    // string-keyed lookups are the plain IN over the derived URLs — the
+    // xxhash64 routing is engine-internal, the final string equality is
+    // the contract (absent probes return nothing)
+    "q231_string_key_lookup" ->
+      """WITH d AS (SELECT 'https://corpus.example/' || source || '/' ||
+        |    CAST(doc_id AS VARCHAR) AS url, doc_id, source FROM documents)
+        |SELECT url, doc_id, source FROM d WHERE doc_id % 7 = 3""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct
@@ -8442,6 +8574,122 @@ object SparkEntry {
     * micro-floored estimate with the linear-counting branch — all at
     * p = 9 (512 registers).
     */
+  /** The full sketch-driven join-plan replay, shared by q195 (fresh
+    * sketches) and q226 (persisted registry sketches) — the two paths are
+    * bit-identical by construction, so one oracle pins both.
+    */
+  private def joinPlanOracleSql: String =
+    """WITH lkeys AS (
+        |  SELECT 'uniform' AS sc, l_partkey AS x FROM lineitem
+        |  UNION ALL
+        |  SELECT 'skewed', CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END FROM lineitem
+        |  UNION ALL
+        |  SELECT 'small_dim', CAST(c_nationkey AS BIGINT) FROM customer),
+        |rkeys AS (
+        |  SELECT 'uniform' AS sc, p_partkey AS x FROM part
+        |  UNION ALL
+        |  SELECT 'skewed', p_partkey FROM part
+        |  UNION ALL
+        |  SELECT 'small_dim', CAST(n_nationkey AS BIGINT) FROM nation),
+        |allk AS (SELECT sc, 'l' AS side, x FROM lkeys
+        |         UNION ALL SELECT sc, 'r', x FROM rkeys),
+        |kc AS (SELECT sc, side, x, count(*) AS n FROM allk GROUP BY 1, 2, 3),
+        |inp AS (SELECT sc, side, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT sc, side, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT sc, side, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT sc, side, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT sc, side, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT sc, side, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT sc, side, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c,
+        |          CAST(sum(n) AS BIGINT) AS v
+        |          FROM z2 GROUP BY 1, 2, 3, 4),
+        |fm AS (SELECT sc, side, CAST(min(rowmax) AS BIGINT) AS fmax
+        |       FROM (SELECT sc, side, i, max(v) AS rowmax FROM cellh GROUP BY 1, 2, 3)
+        |       GROUP BY 1, 2),
+        |ns AS (SELECT sc, side, count(*) AS n FROM allk GROUP BY 1, 2),
+        |rowsum AS (
+        |  SELECT a.sc, a.i, sum(CAST(a.v AS HUGEINT) * b.v) AS s
+        |  FROM (SELECT * FROM cellh WHERE side = 'l') a
+        |  JOIN (SELECT * FROM cellh WHERE side = 'r') b
+        |    ON a.sc = b.sc AND a.i = b.i AND a.c = b.c
+        |  GROUP BY 1, 2),
+        |jse AS (SELECT sc, CAST(min(coalesce(s, 0)) AS BIGINT) AS join_size_est
+        |        FROM (SELECT g.sc, r.i, rs.s
+        |              FROM (SELECT DISTINCT sc FROM allk) g
+        |              CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) r
+        |              LEFT JOIN rowsum rs ON rs.sc = g.sc AND rs.i = r.i)
+        |        GROUP BY 1),
+        |dk AS (SELECT DISTINCT sc, side, x FROM allk),
+        |hz0 AS (SELECT sc, side, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM dk),
+        |hx1 AS (SELECT sc, side, xor(z, z // 1073741824) AS xx FROM hz0),
+        |hz1 AS (SELECT sc, side, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx1),
+        |hx2 AS (SELECT sc, side, xor(z, z // 134217728) AS xx FROM hz1),
+        |hz2 AS (SELECT sc, side, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx2),
+        |hh AS (SELECT sc, side, xor(z, z // 2147483648) AS u FROM hz2),
+        |hrr AS (SELECT sc, side, CAST(u % 4096 AS INT) AS idx, CAST(u // 4096 AS BIGINT) AS rem FROM hh),
+        |hrk AS (SELECT sc, side, idx,
+        |  CASE WHEN rem = 0 THEN 53 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM hrr),
+        |hreg AS (SELECT sc, side, idx, max(rank) AS r FROM hrk GROUP BY 1, 2, 3),
+        |hdense AS (
+        |  SELECT gs.sc, gs.side, i.idx, coalesce(hreg.r, 0) AS r
+        |  FROM (SELECT DISTINCT sc, side FROM allk) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS idx) i
+        |  LEFT JOIN hreg ON hreg.sc = gs.sc AND hreg.side = gs.side AND hreg.idx = i.idx),
+        |hest AS (
+        |  SELECT sc, side,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM hdense GROUP BY 1, 2),
+        |hfin AS (
+        |  SELECT sc, side,
+        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+        |      THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |  FROM (SELECT sc, side, zeros,
+        |          (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / sp AS raw
+        |        FROM hest)),
+        |dec AS (
+        |  SELECT nl.sc AS scenario,
+        |    nl.n AS n_left, nr.n AS n_right,
+        |    hl.est_micro AS ndv_left_micro, hr.est_micro AS ndv_right_micro,
+        |    fl.fmax AS fmax_left_est, fr.fmax AS fmax_right_est,
+        |    jse.join_size_est
+        |  FROM (SELECT * FROM ns WHERE side = 'l') nl
+        |  JOIN (SELECT * FROM ns WHERE side = 'r') nr ON nr.sc = nl.sc
+        |  JOIN (SELECT * FROM fm WHERE side = 'l') fl ON fl.sc = nl.sc
+        |  JOIN (SELECT * FROM fm WHERE side = 'r') fr ON fr.sc = nl.sc
+        |  JOIN (SELECT * FROM hfin WHERE side = 'l') hl ON hl.sc = nl.sc
+        |  JOIN (SELECT * FROM hfin WHERE side = 'r') hr ON hr.sc = nl.sc
+        |  JOIN jse ON jse.sc = nl.sc)
+        |SELECT scenario, n_left, n_right, ndv_left_micro, ndv_right_micro,
+        |  fmax_left_est, fmax_right_est, join_size_est,
+        |  CASE
+        |    WHEN least(n_left, n_right) <= 100 THEN
+        |      CASE WHEN n_right <= n_left THEN 'broadcast_right' ELSE 'broadcast_left' END
+        |    WHEN fmax_left_est > greatest(16, 16 * CAST(n_left // greatest(1, CAST(ndv_left_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_left'
+        |    WHEN fmax_right_est > greatest(16, 16 * CAST(n_right // greatest(1, CAST(ndv_right_micro // 1000000 AS BIGINT)) AS BIGINT)) THEN 'salted_right'
+        |    ELSE 'shuffle'
+        |  END AS strategy
+        |FROM dec""".stripMargin
+
+  /** The plain-SQL scenario join q196 (explicit planEquiJoin) and q227
+    * (transparent dispatch rule) must both be bit-identical to.
+    */
+  private def plainScenarioJoinOracleSql: String =
+    """WITH p AS (SELECT p_partkey AS k, p_size FROM part),
+        |uni AS (SELECT l_partkey AS k, l_orderkey FROM lineitem),
+        |skw AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7 ELSE l_partkey END AS k,
+        |               l_orderkey FROM lineitem)
+        |SELECT 'uniform' AS scenario, k, count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_ord,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size
+        |FROM uni JOIN p USING (k) GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'skewed', k, count(*),
+        |  CAST(sum(l_orderkey) AS BIGINT), CAST(sum(p_size) AS BIGINT)
+        |FROM skw JOIN p USING (k) GROUP BY 1, 2""".stripMargin
+
   private def hllRollupOracleSql(vSelect: String, g1Out: String,
                                  g2Out: String): String =
     s"""WITH v AS ($vSelect),

@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     extends FileIndex {
 
+  /** The store identity, exposed for plan-level consumers (the sketch
+    * join-dispatch rule resolves the registry to plan from off these).
+    */
+  def tableRoot: String = root
+  def tableVersion: Long = version
+
   private val versionDir = s"$root/v_$version"
 
   // layout detection: hash registry, range zone map, or 2-D Z-order map;
@@ -47,6 +53,11 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private val zMeta: Option[ZOrderStore.ZMeta] =
     if (hashMeta.isDefined || rangeMeta.isDefined) None
     else Some(ZOrderStore.zMeta(root, Some(version))) // loud last guard
+
+  /** The hash-layout registry meta, if this is a hash-sharded store —
+    * the join-dispatch rule matches on its key column and CM presence.
+    */
+  def hashLayoutMeta: Option[SketchRegistry.Meta] = hashMeta
 
   private val numShards = hashMeta.map(m => 1 << m.shardsLog2)
     .orElse(rangeMeta.map(m => 1 << m.shardsLog2))
@@ -66,28 +77,52 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     }.toMap
   }
 
-  /** Driver-side pruning state, loaded lazily on the first planned scan:
-    * per-shard Bloom words per indexed column, and the exact stats
-    * windows. Bounded by shards × filter words — planning metadata.
+  /** Which registry column holds `name`'s per-shard Bloom words, if the
+    * column is Bloom-indexed at all on this layout.
     */
-  private lazy val bloomsByCol: Map[String, Map[Int, Array[Long]]] = {
-    def load(dfCols: Seq[String], reg: DataFrame): Map[String, Map[Int, Array[Long]]] =
-      dfCols.map { c =>
-        c -> reg.select("shard", s"bloom_$c").collect()
-          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
-      }.toMap
-    hashMeta match {
-      case Some(m) =>
-        val reg = SketchRegistry.registry(spark, root, Some(version))
-        val key = Map(m.keyCol -> reg.select("shard", "bloom").collect()
-          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap)
-        key ++ load(m.sketchCols, reg)
-      case None => rangeMeta match {
-        case Some(m) =>
-          load(m.sketchCols, SketchRegistry.zoneMap(spark, root, Some(version)))
-        case None => Map.empty // z-order carries rectangles, no Blooms
-      }
+  private def bloomRegistryCol(name: String): Option[String] = hashMeta match {
+    case Some(m) if name == m.keyCol => Some("bloom")
+    case Some(m) if m.sketchCols.contains(name) => Some(s"bloom_$name")
+    case Some(_) => None
+    case None =>
+      val secondary = rangeMeta.map(_.sketchCols)
+        .orElse(zMeta.map(_.sketchCols)).getOrElse(Nil)
+      if (secondary.contains(name)) Some(s"bloom_$name") else None
+  }
+
+  private def registryFrame: DataFrame = hashMeta match {
+    case Some(_) => SketchRegistry.registry(spark, root, Some(version))
+    case None => rangeMeta match {
+      case Some(_) => SketchRegistry.zoneMap(spark, root, Some(version))
+      case None    => ZOrderStore.zoneMap2d(spark, root, Some(version))
     }
+  }
+
+  /** Driver-side Bloom pruning state, loaded LAZILY per REFERENCED column:
+    * a scan's first filter on column c collects c's per-shard words and
+    * caches them for the index's lifetime; columns the query never filters
+    * cost nothing. Driver-resident bytes per loaded column =
+    * shards × 2^(bitsLog2 − 6) × 8 B (≤ 8 MiB/col at the 4096-shard ×
+    * 2 KiB-filter defaults; commit-time `bitsLog2 ≤ 24` bounds the worst
+    * case). The cache is append-only and idempotent, so a lost race costs
+    * a duplicate load, never a wrong answer.
+    */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[Int, Array[Long]]]]()
+
+  private def bloomFor(name: String): Option[Map[Int, Array[Long]]] =
+    bloomCache.computeIfAbsent(name, _ =>
+      bloomRegistryCol(name).map { regCol =>
+        registryFrame.select("shard", regCol).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+      })
+
+  /** Test/ops introspection: the Bloom columns a scan has actually paid
+    * to load so far.
+    */
+  private[core] def loadedBloomCols: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    bloomCache.asScala.collect { case (c, Some(_)) => c }.toSet
   }
 
   private lazy val statsByCol: Map[String, Map[Int, (Long, Long)]] = {
@@ -115,7 +150,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))
     .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))
-    .getOrElse((6, 1)) // z-order: no Blooms, never consulted
+    .getOrElse((zMeta.get.bloomBitsLog2, zMeta.get.bloomK))
 
   private def bloomAdmits(words: Array[Long], v: Long): Boolean = {
     val (bitsLog2, k) = bloomParams
@@ -137,11 +172,26 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     case _ => None
   }
 
+  /** The layout BIGINT an EQUALITY literal on `name` probes with: the
+    * value itself for integral literals, and — for the hash layout's
+    * STRING key column only — the meta's pinned xxhash64 of the string
+    * (the same hash the commit sharded and sketched with). String
+    * literals on any other column prune nothing (sound); range
+    * comparisons never hash (xxhash is not order-preserving), which is
+    * why only the equality arms call this.
+    */
+  private def litEqLong(name: String, l: Literal): Option[Long] = l.value match {
+    case s: org.apache.spark.unsafe.types.UTF8String
+        if hashMeta.exists(m => m.keyIsString && m.keyCol == name) =>
+      Some(SketchRegistry.xxhash64String(s.toString))
+    case _ => litLong(l)
+  }
+
   /** Shards any of `values` might live in, for a filter on `name` —
     * None when the column carries no pruning artifact.
     */
   private def equalityShards(name: String, values: Seq[Long]): Option[Set[Int]] = {
-    val viaBloom = bloomsByCol.get(name).map { perShard =>
+    val viaBloom = bloomFor(name).map { perShard =>
       val candidates: Set[Int] = hashMeta match {
         case Some(m) if name == m.keyCol => // key values hash to their shard
           values.map(v => (graft.functions.HashKernels.splitmix64(v)
@@ -167,35 +217,52 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     var admitted: Set[Int] = shardFiles.keySet
     def restrict(o: Option[Set[Int]]): Unit =
       o.foreach(s => admitted = admitted.intersect(s))
+    // saturating strict-comparison windows: `x > Long.MaxValue` /
+    // `x < Long.MinValue` hold for NO value, so they admit zero shards on
+    // any column (sound without stats) — where a wrapped `v ± 1` would
+    // turn the empty range into an admit-everything window
+    def above(name: String, v: Long): Option[Set[Int]] =
+      if (v == Long.MaxValue) Some(Set.empty)
+      else rangeShards(name, v + 1, Long.MaxValue)
+    def below(name: String, v: Long): Option[Set[Int]] =
+      if (v == Long.MinValue) Some(Set.empty)
+      else rangeShards(name, Long.MinValue, v - 1)
     dataFilters.foreach {
       case EqualTo(a: AttributeReference, l: Literal) =>
-        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+        litEqLong(a.name, l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
       case EqualTo(l: Literal, a: AttributeReference) =>
-        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+        litEqLong(a.name, l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
       case EqualNullSafe(a: AttributeReference, l: Literal) =>
-        litLong(l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
+        litEqLong(a.name, l).foreach(v => restrict(equalityShards(a.name, Seq(v))))
       case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-        val vs = list.flatMap(x => litLong(x.asInstanceOf[Literal]))
+        val vs = list.flatMap(x => litEqLong(a.name, x.asInstanceOf[Literal]))
         if (vs.nonEmpty && vs.length == list.length)
           restrict(equalityShards(a.name, vs))
       case InSet(a: AttributeReference, set) =>
-        val vs = set.toSeq.collect { case x: Long => x; case x: Int => x.toLong }
+        val isStringKey =
+          hashMeta.exists(m => m.keyIsString && m.keyCol == a.name)
+        val vs = set.toSeq.collect {
+          case x: Long => x
+          case x: Int => x.toLong
+          case s: org.apache.spark.unsafe.types.UTF8String if isStringKey =>
+            SketchRegistry.xxhash64String(s.toString)
+        }
         if (vs.nonEmpty && vs.length == set.size)
           restrict(equalityShards(a.name, vs))
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        litLong(l).foreach(v => restrict(rangeShards(a.name, v + 1, Long.MaxValue)))
+        litLong(l).foreach(v => restrict(above(a.name, v)))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
         litLong(l).foreach(v => restrict(rangeShards(a.name, v, Long.MaxValue)))
       case LessThan(a: AttributeReference, l: Literal) =>
-        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v - 1)))
+        litLong(l).foreach(v => restrict(below(a.name, v)))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
         litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v)))
       case GreaterThan(l: Literal, a: AttributeReference) =>
-        litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v - 1)))
+        litLong(l).foreach(v => restrict(below(a.name, v)))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
         litLong(l).foreach(v => restrict(rangeShards(a.name, Long.MinValue, v)))
       case LessThan(l: Literal, a: AttributeReference) =>
-        litLong(l).foreach(v => restrict(rangeShards(a.name, v + 1, Long.MaxValue)))
+        litLong(l).foreach(v => restrict(above(a.name, v)))
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
         litLong(l).foreach(v => restrict(rangeShards(a.name, v, Long.MaxValue)))
       case _ => () // unhandled predicate: restricts nothing (sound)
@@ -205,19 +272,27 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
 
   /** Evaluate the scan's partition filters for one shard value — Spark
     * relies on the index to apply these (it strips them from the row
-    * filter), so skipping this would return wrong rows, not just extra
-    * files.
+    * filter), so a partition filter this method cannot evaluate would
+    * return WRONG ROWS, not just extra files, if the shard were silently
+    * admitted. `shard` is the ONLY partition column, so after substituting
+    * it the expression must fold; anything else fails LOUDLY.
     */
   private def partitionAdmits(partitionFilters: Seq[Expression], s: Int): Boolean =
     partitionFilters.forall { f =>
       val bound = f.transform {
         case a: AttributeReference if a.name == "shard" => Literal(s, IntegerType)
       }
-      bound.foldable && (bound.eval(InternalRow.empty) match {
+      if (!bound.foldable)
+        throw new IllegalStateException(
+          s"partition filter $f did not fold after binding shard=$s — " +
+            "admitting the shard would drop the filter from row evaluation " +
+            "and return wrong rows; scan the version without readIndexed " +
+            "and report the predicate shape")
+      bound.eval(InternalRow.empty) match {
         case b: Boolean => b
         case null => false
         case _ => true
-      }) || !bound.foldable // can't evaluate ⇒ keep (sound)
+      }
     }
 
   override val rootPaths: Seq[HPath] = Seq(new HPath(versionDir))
@@ -250,11 +325,24 @@ object SketchFileIndex {
     * column, or stats columns open only admitted shard directories.
     * Result rows are always exactly the unpruned read's under the same
     * predicates (spec-pinned); unrecognized predicates read everything.
+    *
+    * Vacuum contract (spec-pinned): the read PINS a version — the index
+    * snapshots that version's file listing at construction and never
+    * refreshes (versions are immutable). [[TableStore.vacuum]]'s retention
+    * window (`keep`, default current + previous) is the reader-drain
+    * contract, exactly Delta's: hold `keep` wide enough to cover in-flight
+    * readers. A reader that outlives its version's retention fails LOUDLY
+    * — constructing over a vacuumed version throws here (the version
+    * directory is gone), and a scan whose version is vacuumed mid-flight
+    * dies with the missing-file error, never silently returns partial
+    * rows.
     */
   def readIndexed(spark: SparkSession, root: String,
                   version: Option[Long] = None): DataFrame = {
     val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, s"v_$v")),
+      s"v_$v under $root was vacuumed; only ${TableStore.versions(root).mkString(", ")} remain")
     val index = new SketchFileIndex(spark, root, v)
     val dataSchema = StructType(TableStore.readVersion(spark, root, v)
       .schema.filterNot(_.name == "shard"))

@@ -35,10 +35,39 @@ import graft.operators.SketchOps
 object SketchRegistry {
 
   /** Registry parameters, persisted beside the data so lookups can never
-    * probe with mismatched hashing.
+    * probe with mismatched hashing. `cmDepth = 0` marks a registry written
+    * before per-shard CM rows existed (no registry-only join planning).
+    * `keyIsString = true` means the key column is a STRING whose layout
+    * BIGINT is the pinned `xxhash64` (Spark's SQL xxhash64, seed 42) —
+    * persisted so write and probe sides can never hash differently.
     */
   final case class Meta(keyCol: String, shardsLog2: Int, bitsLog2: Int,
-                        k: Int, hllP: Int, sketchCols: Seq[String] = Nil)
+                        k: Int, hllP: Int, sketchCols: Seq[String] = Nil,
+                        cmDepth: Int = 0, cmWidthLog2: Int = 0,
+                        keyIsString: Boolean = false)
+
+  /** The BIGINT the layout hashes for the key: the value itself for
+    * integral keys, the pinned `xxhash64` for string keys. Every shard
+    * assignment, sketch build, and probe routes through this ONE
+    * expression — the trap of "caller hashed at write time but not at
+    * probe time" cannot occur.
+    */
+  private def keyHashExpr(keyIsString: Boolean,
+                          c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (keyIsString) xxhash64(c) else c.cast("long")
+
+  /** Driver-side replica of Spark's `xxhash64` on one string — evaluates
+    * the actual Catalyst expression, so it can never drift from the
+    * engine's hash.
+    */
+  private[core] def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)),
+      42L) // Spark's xxhash64 SQL seed
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
 
   /** Cluster a shard-columned DataFrame so each shard DIRECTORY receives
     * exactly `filesPerShard` parquet files. Without this, `partitionBy`
@@ -46,35 +75,46 @@ object SketchRegistry {
     * tasks × shards small files per commit, compounding under incremental
     * maintenance. One keyed shuffle buys the layout: `filesPerShard = 1`
     * (the default) clusters purely by shard; larger values sub-split each
-    * shard by a second decorrelated key hash (size files toward the
-    * ~128 MB–1 GB parquet sweet spot at scale). The sub-split shuffle
+    * shard by a second decorrelated hash of `hashBasis` (size files toward
+    * the ~128 MB–1 GB parquet sweet spot at scale). The sub-split shuffle
     * pins an EXPLICIT partition count (`numShards × filesPerShard`) —
     * repartition-by-expression alone lets AQE coalesce small shuffle
     * partitions, which would silently fold the sub-splits back together.
     */
-  private def clusterForWrite(df: DataFrame, keyCol: String,
+  private def clusterForWrite(df: DataFrame, hashBasis: org.apache.spark.sql.Column,
                               filesPerShard: Int, numShards: Int): DataFrame = {
     require(filesPerShard >= 1, s"filesPerShard must be >= 1, got $filesPerShard")
     if (filesPerShard == 1) df.repartition(col("shard"))
     else df.repartition(numShards * filesPerShard, col("shard"),
       pmod(graft.functions.GraftFunctions.splitmix64(
-        col(keyCol).cast("long") + lit(0x517cc1b7L)), lit(filesPerShard.toLong)))
+        hashBasis + lit(0x517cc1b7L)), lit(filesPerShard.toLong)))
   }
 
-  /** One registry row per non-empty shard: the key column's Bloom + HLL
-    * + row count, plus one `bloom_<c>` secondary Bloom per `sketchCols`
+  /** One registry row per non-empty shard: the key column's Bloom + HLL +
+    * CM + row count, plus one `bloom_<c>` secondary Bloom per `sketchCols`
     * entry — equality data-skipping on NON-layout columns, the lakehouse
     * Bloom-index story (a hash layout scatters every other column, so
     * per-shard min/max is useless there; per-shard membership bits are
     * not). A shard whose rows are all null in `c` carries an all-zero
-    * `bloom_<c>` (admits nothing).
+    * `bloom_<c>` (admits nothing). The per-shard CM rows (frequency
+    * counters over the key hash) exist for REGISTRY-ONLY join planning
+    * ([[graft.operators.SketchOps.equiJoinPlanFromRegistry]]): counters
+    * are linear, so any slice's CM is a query-time SUM of its shards' —
+    * disk cost depth·2^widthLog2 longs per shard row (128 KiB at the
+    * 4×2^12 default, ~0.0005% of a 24 GB shard), never driver-collected
+    * in bulk (merges run distributed; one merged sketch collects).
+    * `keyHashCol` is the materialized BIGINT hash column all key sketches
+    * build on.
     */
-  private def buildRegistryRows(sharded: DataFrame, keyCol: String,
+  private def buildRegistryRows(sharded: DataFrame, keyHashCol: String,
                                 bitsLog2: Int, k: Int, hllP: Int,
-                                sketchCols: Seq[String]): DataFrame = {
-    val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyCol, bitsLog2, k)
-      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyCol, hllP),
+                                sketchCols: Seq[String],
+                                cmDepth: Int, cmWidthLog2: Int): DataFrame = {
+    val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyHashCol, bitsLog2, k)
+      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyHashCol, hllP),
         Seq("shard"))
+      .join(SketchOps.cmSketch(sharded, Seq("shard"), keyHashCol,
+        cmDepth, cmWidthLog2), Seq("shard"))
       .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
         Seq("shard"))
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
@@ -86,39 +126,59 @@ object SketchRegistry {
   }
 
   /** Opt-in sketch-indexed commit: the data lands hash-sharded on
-    * `keyCol` (integral — the sketch contract) with the registry in the
-    * same atomic commit. Costs two extra aggregations over the input
-    * (Bloom + HLL builds, map-side partial) and one shuffle for the
-    * shard layout (which also bounds output files to `filesPerShard`
-    * per shard — see [[clusterForWrite]]). Reads of the table see the
-    * extra `shard` column — the layout is part of the table's contract,
-    * like any partitioned table's.
+    * `keyCol` (integral, or STRING — a string key hashes through the
+    * pinned `xxhash64` recorded in the meta, so probes can never hash
+    * differently) with the registry in the same atomic commit. Costs
+    * three extra aggregations over the input (Bloom + HLL + CM builds,
+    * map-side partial) and one shuffle for the shard layout (which also
+    * bounds output files to `filesPerShard` per shard — see
+    * [[clusterForWrite]]). Reads of the table see the extra `shard`
+    * column — the layout is part of the table's contract, like any
+    * partitioned table's.
     */
   def commitWithSketches(df: DataFrame, root: String, keyCol: String,
                          shardsLog2: Int = 3, bitsLog2: Int = 14, k: Int = 4,
                          hllP: Int = 12,
                          expectedVersion: Option[Long] = None,
                          filesPerShard: Int = 1,
-                         sketchCols: Seq[String] = Nil): Long = {
+                         sketchCols: Seq[String] = Nil,
+                         cmDepth: Int = 4, cmWidthLog2: Int = 12): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
+    // Bound the per-column Bloom registry: a planner (SketchFileIndex) may
+    // hold one column's filters driver-side — shards × 2^(bitsLog2-6) × 8 B
+    // per referenced column, ≤ 2^12 × 2^18 × 8 B = 8 GiB at the extremes of
+    // both bounds but ≤ 64 MiB/col at the 4096-shard default. Past 2^24
+    // bits (2 MiB per shard-row) the registry itself becomes the scan;
+    // shard the keys finer instead of widening the filter.
+    require(bitsLog2 >= 6 && bitsLog2 <= 24,
+      s"bitsLog2 must be in [6, 24], got $bitsLog2 — a 2^$bitsLog2-bit " +
+        "filter per shard is past the registry's driver-plannable budget; " +
+        "raise shardsLog2 (more, smaller shards) instead")
     require(sketchCols.forall(c => df.columns.contains(c) && c != keyCol),
       s"sketchCols must be data columns other than the key, got " +
         s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(cmDepth >= 1 && cmDepth <= 16,
+      s"cmDepth must be in [1, 16], got $cmDepth")
+    val keyIsString =
+      df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
     val n = 1 << shardsLog2
-    val sharded = df.withColumn("shard",
-      graft.functions.GraftFunctions.splitmix64(col(keyCol).cast("long"))
+    val sharded = df
+      .withColumn("__kh", keyHashExpr(keyIsString, col(keyCol)))
+      .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val registry = buildRegistryRows(sharded, keyCol, bitsLog2, k, hllP,
-      sketchCols)
+    val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
+      sketchCols, cmDepth, cmWidthLog2)
     TableStore.commitStaged(root, expectedVersion) { staging =>
-      clusterForWrite(sharded, keyCol, filesPerShard, n)
+      clusterForWrite(sharded, col("__kh"), filesPerShard, n)
+        .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
-        s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}"
+        (s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
+          s"\n$cmDepth\n$cmWidthLog2\n${if (keyIsString) "string" else "int"}")
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -136,11 +196,15 @@ object SketchRegistry {
         "commitWithSketches to enable sketch-pruned lookups")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n", -1).map(_.trim) match {
-      case Array(key, s, b, kk, hp) =>
+      case Array(key, s, b, kk, hp) => // pre-CM registry
         Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt)
-      case Array(key, s, b, kk, hp, sc) =>
+      case Array(key, s, b, kk, hp, sc) => // pre-CM registry with sketchCols
         Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
           sc.split(",").filter(_.nonEmpty).toSeq)
+      case Array(key, s, b, kk, hp, sc, cd, cw, kt) =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
+          sc.split(",").filter(_.nonEmpty).toSeq, cd.toInt, cw.toInt,
+          kt == "string")
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -170,11 +234,34 @@ object SketchRegistry {
     * shard IF its Bloom row admits the key — empty on a definite miss
     * (the data-skipping decision; false positives at the published rate,
     * never false negatives). Reads ONE registry row, no data files.
+    * Integral-keyed tables only; string keys go through
+    * [[prunedShardsString]].
     */
   def prunedShards(spark: SparkSession, root: String, key: Long,
                    version: Option[Long] = None): Seq[Int] = {
     val m = meta(root, version)
-    val shard = (graft.functions.HashKernels.splitmix64(key)
+    require(!m.keyIsString,
+      s"'${m.keyCol}' is a STRING key — probe with the string value " +
+        "(prunedShardsString / lookupWithSketches(String)); a raw BIGINT " +
+        "is not its xxhash64")
+    prunedShardsByHash(spark, root, m, version, key)
+  }
+
+  /** [[prunedShards]] for a STRING-keyed table: the probe hashes through
+    * the SAME pinned xxhash64 the commit recorded, so write and probe
+    * sides can never disagree.
+    */
+  def prunedShardsString(spark: SparkSession, root: String, key: String,
+                         version: Option[Long] = None): Seq[Int] = {
+    val m = meta(root, version)
+    require(m.keyIsString,
+      s"'${m.keyCol}' is not a string key — probe with the integral value")
+    prunedShardsByHash(spark, root, m, version, xxhash64String(key))
+  }
+
+  private def prunedShardsByHash(spark: SparkSession, root: String, m: Meta,
+                                 version: Option[Long], hash: Long): Seq[Int] = {
+    val shard = (graft.functions.HashKernels.splitmix64(hash)
       & ((1L << m.shardsLog2) - 1)).toInt
     registry(spark, root, version)
       .filter(col("shard") === shard).select(col("bloom"))
@@ -184,7 +271,7 @@ object SketchRegistry {
         val words = r.getSeq[Long](0)
         val mask = (1L << m.bitsLog2) - 1
         val admitted = (0 until m.k).forall { i =>
-          val p = graft.functions.HashKernels.splitmix64(key + i) & mask
+          val p = graft.functions.HashKernels.splitmix64(hash + i) & mask
           (words((p >>> 6).toInt) & (1L << (p & 63).toInt)) != 0L
         }
         if (admitted) Seq(shard) else Nil
@@ -209,14 +296,18 @@ object SketchRegistry {
     val m = meta(root, version)
     val v = version.orElse(TableStore.currentVersion(root)).get
     val n = 1 << m.shardsLog2
-    val p = probes.select(col(probeKeyCol).cast("long").as("__k")).distinct()
+    // probes carry BOTH the layout hash (shard + Bloom admission) and the
+    // ORIGINAL value (the final exact semi-join, which kills Bloom false
+    // positives AND — for string keys — xxhash collisions)
+    val p = probes.select(col(probeKeyCol).as("__orig")).distinct()
+      .withColumn("__k", keyHashExpr(m.keyIsString, col("__orig")))
       .withColumn("shard",
         graft.functions.GraftFunctions.splitmix64(col("__k"))
           .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val admitted = SketchOps.bloomMightContain(
         broadcast(registry(spark, root, version).select(col("shard"), col("bloom"))),
         p, Seq("shard"), "__k", m.bitsLog2, m.k)
-      .filter(col("might_contain")).select(col("__k"), col("shard"))
+      .filter(col("might_contain")).select(col("__orig"), col("shard"))
     val shards = admitted.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (shards.isEmpty)
@@ -227,8 +318,8 @@ object SketchRegistry {
     else
       spark.read.option("basePath", s"$root/v_$v")
         .parquet(shards.map(s => s"$root/v_$v/shard=$s").toIndexedSeq: _*)
-        .join(admitted.select(col("__k")),
-          col(m.keyCol) === col("__k"), "left_semi")
+        .join(admitted.select(col("__orig")),
+          col(m.keyCol) === col("__orig"), "left_semi")
   }
 
   /** [[TableStore.changeFeed]] restricted to the shard directories that
@@ -428,17 +519,17 @@ object SketchRegistry {
     val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = meta(root, Some(v))
-    val dataCols = TableStore.readVersion(spark, root, v).columns
-      .filterNot(_ == "shard").toSeq
-    require(upserts.columns.sorted.sameElements(dataCols.sorted),
-      s"upserts must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
-        s"got ${upserts.columns.sorted.mkString(",")}")
+    require(m.cmDepth > 0,
+      s"$root's registry predates per-shard CM rows — re-commit with the " +
+        "current commitWithSketches before applying changes")
+    TableStore.requireSameDataSchema(upserts,
+      TableStore.readVersion(spark, root, v), "upserts")
     val n = 1 << m.shardsLog2
     def shardOf(c: org.apache.spark.sql.Column) =
-      graft.functions.GraftFunctions.splitmix64(c.cast("long"))
+      graft.functions.GraftFunctions.splitmix64(keyHashExpr(m.keyIsString, c))
         .bitwiseAND(lit((n - 1).toLong)).cast("int")
-    val changedKeys = upserts.select(col(m.keyCol).cast("long").as("__k"))
-      .union(deleteKeys.select(col(deleteKeys.columns.head).cast("long").as("__k")))
+    val changedKeys = upserts.select(col(m.keyCol).as("__k"))
+      .union(deleteKeys.select(col(deleteKeys.columns.head).as("__k")))
       .distinct()
     val touched = changedKeys.select(shardOf(col("__k")).as("shard"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
@@ -452,15 +543,16 @@ object SketchRegistry {
       else spark.read.option("basePath", s"$root/v_$v")
         .parquet(oldTouchedDirs.map(s => s"$root/v_$v/shard=$s"): _*)
     val newTouched = oldTouched
-      .join(broadcast(changedKeys), col(m.keyCol).cast("long") === col("__k"),
-        "left_anti")
+      .join(broadcast(changedKeys), col(m.keyCol) === col("__k"), "left_anti")
       .unionByName(upserts.withColumn("shard", shardOf(col(m.keyCol))))
-    val touchedRegistry = buildRegistryRows(newTouched, m.keyCol,
-      m.bitsLog2, m.k, m.hllP, m.sketchCols)
+      .withColumn("__kh", keyHashExpr(m.keyIsString, col(m.keyCol)))
+    val touchedRegistry = buildRegistryRows(newTouched, "__kh",
+      m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2)
     val carried = registry(spark, root, Some(v))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(newTouched, m.keyCol, filesPerShard, 1 << m.shardsLog2)
+      clusterForWrite(newTouched, col("__kh"), filesPerShard, 1 << m.shardsLog2)
+        .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       existingDirs.filterNot(touched.contains).foreach { s =>
@@ -498,22 +590,27 @@ object SketchRegistry {
     val v = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = meta(root, Some(v))
-    val dataCols = TableStore.readVersion(spark, root, v).columns
-      .filterNot(_ == "shard").toSeq
-    require(rows.columns.sorted.sameElements(dataCols.sorted),
-      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
-        s"got ${rows.columns.sorted.mkString(",")}")
+    require(m.cmDepth > 0,
+      s"$root's registry predates per-shard CM rows — re-commit with the " +
+        "current commitWithSketches before appending")
+    TableStore.requireSameDataSchema(rows,
+      TableStore.readVersion(spark, root, v), "append rows")
     val n = 1 << m.shardsLog2
-    val sharded = rows.withColumn("shard",
-      graft.functions.GraftFunctions.splitmix64(col(m.keyCol).cast("long"))
+    val sharded = rows
+      .withColumn("__kh", keyHashExpr(m.keyIsString, col(m.keyCol)))
+      .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val batchRegistry = buildRegistryRows(sharded, m.keyCol, m.bitsLog2,
-      m.k, m.hllP, m.sketchCols)
+    val batchRegistry = buildRegistryRows(sharded, "__kh", m.bitsLog2,
+      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2)
     val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
     val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
       .join(SketchOps.hllMergeSketches(both, Seq("shard"), "hll", m.hllP),
         Seq("shard"))
+      // CM counters are linear: the appended registry is the SUM — exact,
+      // and bit-identical to re-sketching the unioned data
+      .join(SketchOps.cmMergeSketches(both, Seq("shard"), "cm",
+        m.cmDepth, m.cmWidthLog2), Seq("shard"))
       .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows")),
         Seq("shard"))
     val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
@@ -521,7 +618,8 @@ object SketchRegistry {
         s"bloom_$c", m.bitsLog2), Seq("shard"))
     }
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(sharded, m.keyCol, filesPerShard, n)
+      clusterForWrite(sharded, col("__kh"), filesPerShard, n)
+        .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       (0 until n).map(s => s"shard=$s")
@@ -543,9 +641,9 @@ object SketchRegistry {
     * into the staged copy (via `stagingExtra`) overrides the carried
     * value.
     */
-  private def carryIfPresent(prevDir: java.nio.file.Path,
-                             staging: java.nio.file.Path,
-                             name: String): Unit = {
+  private[core] def carryIfPresent(prevDir: java.nio.file.Path,
+                                   staging: java.nio.file.Path,
+                                   name: String): Unit = {
     val p = prevDir.resolve(name)
     if (Files.exists(p))
       Files.copy(p, staging.resolve(name),
@@ -583,7 +681,8 @@ object SketchRegistry {
     val fatData = spark.read.option("basePath", s"$root/v_$v")
       .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(fatData, m.keyCol, filesPerShard, n)
+      clusterForWrite(fatData,
+        keyHashExpr(m.keyIsString, col(m.keyCol)), filesPerShard, n)
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       (0 until n).filterNot(fat.contains).map(s => s"shard=$s")
@@ -626,7 +725,7 @@ object SketchRegistry {
     val fatData = spark.read.option("basePath", s"$root/v_$v")
       .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(fatData, m.sortCol, filesPerShard, n)
+      clusterForWrite(fatData, col(m.sortCol).cast("long"), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
@@ -709,6 +808,9 @@ object SketchRegistry {
     require(sketchCols.forall(c => df.columns.contains(c) && c != sortCol),
       s"sketchCols must be data columns other than the sort column, got " +
         s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(bloomBitsLog2 >= 6 && bloomBitsLog2 <= 24,
+      s"bloomBitsLog2 must be in [6, 24], got $bloomBitsLog2 — same " +
+        "driver-plannable budget as commitWithSketches' bitsLog2")
     val n = 1 << shardsLog2
     val sk = SketchOps.quantileSketch(df, Nil, sortCol, subLog2)
     val bounds: Seq[Long] =
@@ -732,7 +834,8 @@ object SketchRegistry {
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
       // skip row groups inside a shard on top of the shard-level zone map
-      clusterForWrite(sharded, sortCol, filesPerShard, 1 << shardsLog2)
+      clusterForWrite(sharded, col(sortCol).cast("long"), filesPerShard,
+        1 << shardsLog2)
         .sortWithinPartitions(col("shard"), col(sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
@@ -750,9 +853,9 @@ object SketchRegistry {
     * where min/max rectangles carry no signal; all-null shards get an
     * all-zero filter (admits nothing), like the hash registry's.
     */
-  private def addShardBlooms(zonemap: DataFrame, sharded: DataFrame,
-                             sketchCols: Seq[String], bitsLog2: Int,
-                             k: Int): DataFrame = {
+  private[core] def addShardBlooms(zonemap: DataFrame, sharded: DataFrame,
+                                   sketchCols: Seq[String], bitsLog2: Int,
+                                   k: Int): DataFrame = {
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
     sketchCols.foldLeft(zonemap) { (acc, c) =>
       acc.join(SketchOps.bloomSketch(sharded, Seq("shard"), c, bitsLog2, k)
@@ -791,11 +894,8 @@ object SketchRegistry {
     val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = rangeMeta(root, Some(ver))
-    val dataCols = TableStore.readVersion(spark, root, ver).columns
-      .filterNot(_ == "shard").toSeq
-    require(rows.columns.sorted.sameElements(dataCols.sorted),
-      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
-        s"got ${rows.columns.sorted.mkString(",")}")
+    TableStore.requireSameDataSchema(rows,
+      TableStore.readVersion(spark, root, ver), "append rows")
     val v = col(m.sortCol).cast("long")
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
     val batchStats = addShardBlooms(sharded.groupBy(col("shard"))
@@ -820,7 +920,7 @@ object SketchRegistry {
     }
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
-      clusterForWrite(sharded, m.sortCol, filesPerShard, n)
+      clusterForWrite(sharded, col(m.sortCol).cast("long"), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
@@ -1020,6 +1120,31 @@ object SketchRegistry {
           case Some(x) => TableStore.readVersion(spark, root, x)
           case None    => TableStore.read(spark, root)
         }).filter(lit(false)) // schema only; optimizes to an empty relation
+      case shards =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(m.keyCol) === key)
+    }
+  }
+
+  /** [[lookupWithSketches]] for a STRING-keyed table (URL- or doc-id-keyed
+    * corpora — the shape real corpus stores have): the probe hashes
+    * through the meta's pinned xxhash64 for shard + Bloom admission, and
+    * the final filter compares the ORIGINAL string, so a Bloom false
+    * positive or an xxhash collision costs a read, never a wrong row.
+    * Result rows are exactly `TableStore.read(...).filter(keyCol === key)`'s
+    * (spec- and oracle-pinned).
+    */
+  def lookupWithSketchesString(spark: SparkSession, root: String, key: String,
+                               version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    prunedShardsString(spark, root, key, version) match {
+      case Nil =>
+        (version match {
+          case Some(x) => TableStore.readVersion(spark, root, x)
+          case None    => TableStore.read(spark, root)
+        }).filter(lit(false))
       case shards =>
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)

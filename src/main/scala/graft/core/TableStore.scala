@@ -201,6 +201,29 @@ object TableStore {
     commitStaged(root, expectedVersion, lockStaleMs, lockWaitMs)(staging =>
       df.write.mode("overwrite").parquet(staging.toString))
 
+  /** Require `rows` to carry exactly the table's data columns — same NAMES
+    * and same DATA TYPES. A name-only check would let a batch with matching
+    * names but different physical types write a second parquet schema into
+    * the same shard directories, where later reads without mergeSchema can
+    * fail or bind the wrong schema.
+    */
+  private[core] def requireSameDataSchema(rows: DataFrame, table: DataFrame,
+                                          what: String): Unit = {
+    val dataCols = table.schema.fields.filterNot(_.name == "shard")
+    val names = dataCols.map(_.name).sorted
+    require(rows.columns.sorted.sameElements(names),
+      s"$what must carry the table's data columns ${names.mkString(",")}, " +
+        s"got ${rows.columns.sorted.mkString(",")}")
+    val mismatched = dataCols.flatMap { f =>
+      val got = rows.schema(f.name).dataType
+      if (got == f.dataType) None
+      else Some(s"${f.name}: table ${f.dataType.simpleString} vs batch ${got.simpleString}")
+    }
+    require(mismatched.isEmpty,
+      s"$what column types must match the table's physical schema — " +
+        mismatched.mkString("; "))
+  }
+
   /** Hard-link every regular file of `src` into `dst` (copy fallback on
     * filesystems without links) — how untouched shard data carries into
     * a new staged version for zero bytes rewritten. Spark part-file

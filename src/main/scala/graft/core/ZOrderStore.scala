@@ -26,22 +26,36 @@ import graft.operators.SketchOps
   * ([[graft.operators.LayoutOps.zValue]] — pure integer column
   * arithmetic). One EXACT zone-map row per non-empty shard — per-shard
   * min/max of BOTH columns plus the row count — rides the same atomic
-  * version commit, so zone map and data can never tear apart.
+  * version commit, so zone map and data can never tear apart. Optional
+  * `sketchCols` add one per-shard Bloom per column (equality skipping for
+  * columns the 2-D layout scatters — the [[SketchRegistry]] secondary-
+  * index story on the interleaved layout), which also powers the KEYED
+  * maintenance verb [[applyChangesZOrdered]].
   *
   * A 2-D box predicate then opens only the shard directories whose exact
   * (min_a..max_a) × (min_b..max_b) rectangle intersects the box
   * ([[boxLookup]]) — with rank-balanced buckets a box covering 1/k of
   * each dimension's rank space reads ~1/k² of the table, where either
   * single-column layout reads ~1/k of it.
+  *
+  * Lifecycle parity with the other two layouts: [[commitZOrdered]] →
+  * [[appendZOrdered]] (link-only, exact rectangle merge) →
+  * [[applyChangesZOrdered]] (keyed upsert/delete, touched cells only) →
+  * [[compactZOrdered]] (layout-only) → [[TableStore.vacuum]], with
+  * [[graft.streaming.IngestStream.ingestZOrderStream]] as the
+  * exactly-once streaming front door (every verb carries the
+  * `_ingest_progress` marker forward).
   */
 object ZOrderStore {
 
   /** Persisted layout parameters: the two columns, bits per column, the
-    * sketch resolution the bounds were picked at, and both deduped
-    * ascending bound lists.
+    * sketch resolution the bounds were picked at, both deduped ascending
+    * bound lists, and the secondary-Bloom columns/parameters.
     */
   final case class ZMeta(colA: String, colB: String, bitsPerCol: Int,
-                         subLog2: Int, boundsA: Seq[Long], boundsB: Seq[Long])
+                         subLog2: Int, boundsA: Seq[Long], boundsB: Seq[Long],
+                         sketchCols: Seq[String] = Nil,
+                         bloomBitsLog2: Int = 14, bloomK: Int = 4)
 
   /** Rank-pick `2^bits − 1` bucket bounds for `c` off the deterministic
     * quantile sketch — the same derivation chain
@@ -89,31 +103,67 @@ object ZOrderStore {
     acc.cast("int")
   }
 
+  /** The persisted-bounds shard assignment for `rows` under meta `m`. */
+  private def shardColOf(m: ZMeta): Column =
+    zShard(bucketCol(m.colA, m.boundsA), bucketCol(m.colB, m.boundsB),
+      m.bitsPerCol)
+
+  /** Exact per-shard rectangle + count stats, plus one `bloom_<c>` per
+    * sketch column (via [[SketchRegistry.addShardBlooms]] — the shared
+    * secondary-index builder).
+    */
+  private def zStats(sharded: DataFrame, colA: String, colB: String,
+                     sketchCols: Seq[String], bitsLog2: Int,
+                     k: Int): DataFrame = {
+    val va = col(colA).cast("long")
+    val vb = col(colB).cast("long")
+    SketchRegistry.addShardBlooms(
+      sharded.groupBy(col("shard")).agg(
+        min(va).as("min_a"), max(va).as("max_a"),
+        min(vb).as("min_b"), max(vb).as("max_b"),
+        count(lit(1)).as("n_rows")),
+      sharded, sketchCols, bitsLog2, k)
+  }
+
+  private def writeZMeta(staging: java.nio.file.Path, colA: String,
+                         colB: String, bits: Int, subLog2: Int,
+                         boundsA: Seq[Long], boundsB: Seq[Long],
+                         sketchCols: Seq[String], bloomBitsLog2: Int,
+                         bloomK: Int): Unit =
+    Files.write(staging.resolve("_zonemap2d_meta"),
+      (s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n" +
+        s"${boundsB.mkString(",")}\n${sketchCols.mkString(",")}\n" +
+        s"$bloomBitsLog2\n$bloomK").getBytes(StandardCharsets.UTF_8))
+
   /** Commit `df` Z-order-sharded on (`colA`, `colB`) with the 2-D zone map
     * in the same atomic version. `shardsLog2` must be even (bits split
     * equally between the columns); both columns must be integral,
-    * non-negative, non-null. Costs one quantile-sketch aggregation per
-    * column, one clustering shuffle, and an exact per-shard stats
-    * aggregation.
+    * non-negative, non-null. `sketchCols` adds per-shard secondary Blooms
+    * (required on the key column for [[applyChangesZOrdered]]). Costs one
+    * quantile-sketch aggregation per column, one clustering shuffle, and
+    * an exact per-shard stats aggregation.
     */
   def commitZOrdered(df: DataFrame, root: String, colA: String, colB: String,
                      shardsLog2: Int = 4, subLog2: Int = 5,
-                     expectedVersion: Option[Long] = None): Long = {
+                     expectedVersion: Option[Long] = None,
+                     sketchCols: Seq[String] = Nil,
+                     bloomBitsLog2: Int = 14, bloomK: Int = 4): Long = {
     require(shardsLog2 >= 2 && shardsLog2 <= 8 && shardsLog2 % 2 == 0,
       s"shardsLog2 must be even in [2, 8], got $shardsLog2 — bits split " +
         "equally across the two interleaved columns")
     require(colA != colB, "z-order columns must differ")
+    require(sketchCols.forall(df.columns.contains),
+      s"sketchCols must be data columns, got ${sketchCols.mkString(",")} " +
+        s"vs ${df.columns.mkString(",")}")
+    require(bloomBitsLog2 >= 6 && bloomBitsLog2 <= 24,
+      s"bloomBitsLog2 must be in [6, 24], got $bloomBitsLog2 — same " +
+        "driver-plannable budget as commitWithSketches' bitsLog2")
     val bits = shardsLog2 / 2
     val boundsA = rankBounds(df, colA, bits, subLog2)
     val boundsB = rankBounds(df, colB, bits, subLog2)
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
-    val va = col(colA).cast("long")
-    val vb = col(colB).cast("long")
-    val zonemap = sharded.groupBy(col("shard")).agg(
-      min(va).as("min_a"), max(va).as("max_a"),
-      min(vb).as("min_b"), max(vb).as("max_b"),
-      count(lit(1)).as("n_rows"))
+    val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2, bloomK)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // one keyed shuffle clusters rows by shard (one file per shard dir),
       // sorted within the file by (colA, colB) so parquet row-group stats
@@ -124,9 +174,8 @@ object ZOrderStore {
         .parquet(staging.toString)
       zonemap.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap2d").toString)
-      Files.write(staging.resolve("_zonemap2d_meta"),
-        s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n${boundsB.mkString(",")}"
-          .getBytes(StandardCharsets.UTF_8))
+      writeZMeta(staging, colA, colB, bits, subLog2, boundsA, boundsB,
+        sketchCols, bloomBitsLog2, bloomK)
     }
   }
 
@@ -135,35 +184,32 @@ object ZOrderStore {
     * dimension's last bound land in its top bucket — bounds stay fixed on
     * append, re-commit to re-balance), every existing data file
     * hard-links into the new version, and the zone map updates by exact
-    * per-shard rectangle merge (min/min, max/max, count add) of the old
-    * map with the batch's stats — no data rescan. Commit cost is the
-    * batch plus link metadata.
+    * per-shard rectangle merge (min/min, max/max, count add; secondary
+    * Blooms word-OR) of the old map with the batch's stats — no data
+    * rescan. Commit cost is the batch plus link metadata. The streaming
+    * ingest marker (and any `stagingExtra` artifact) rides the same
+    * atomic commit.
     */
   def appendZOrdered(spark: SparkSession, root: String, rows: DataFrame,
-                     expectedVersion: Option[Long] = None): Long = {
+                     expectedVersion: Option[Long] = None,
+                     stagingExtra: java.nio.file.Path => Unit = _ => ()): Long = {
     val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val m = zMeta(root, Some(ver))
-    val dataCols = TableStore.readVersion(spark, root, ver).columns
-      .filterNot(_ == "shard").toSeq
-    require(rows.columns.sorted.sameElements(dataCols.sorted),
-      s"append rows must carry the table's data columns ${dataCols.sorted.mkString(",")}, " +
-        s"got ${rows.columns.sorted.mkString(",")}")
-    val sharded = rows.withColumn("shard",
-      zShard(bucketCol(m.colA, m.boundsA), bucketCol(m.colB, m.boundsB),
-        m.bitsPerCol))
-    val va = col(m.colA).cast("long")
-    val vb = col(m.colB).cast("long")
-    val batchStats = sharded.groupBy(col("shard")).agg(
-      min(va).as("min_a"), max(va).as("max_a"),
-      min(vb).as("min_b"), max(vb).as("max_b"),
-      count(lit(1)).as("n_rows"))
-    val mergedZoneMap = zoneMap2d(spark, root, Some(ver))
-      .unionByName(batchStats)
-      .groupBy(col("shard")).agg(
-        min(col("min_a")).as("min_a"), max(col("max_a")).as("max_a"),
-        min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
-        sum(col("n_rows")).as("n_rows"))
+    TableStore.requireSameDataSchema(rows,
+      TableStore.readVersion(spark, root, ver), "append rows")
+    val sharded = rows.withColumn("shard", shardColOf(m))
+    val batchStats = zStats(sharded, m.colA, m.colB, m.sketchCols,
+      m.bloomBitsLog2, m.bloomK)
+    val both = zoneMap2d(spark, root, Some(ver)).unionByName(batchStats)
+    val mergedBase = both.groupBy(col("shard")).agg(
+      min(col("min_a")).as("min_a"), max(col("max_a")).as("max_a"),
+      min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
+      sum(col("n_rows")).as("n_rows"))
+    val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
+        s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
+    }
     val n = 1 << (2 * m.bitsPerCol)
     TableStore.commitStaged(root, Some(ver)) { staging =>
       sharded.repartition(col("shard"))
@@ -178,13 +224,102 @@ object ZOrderStore {
         .parquet(staging.resolve("_zonemap2d").toString)
       Files.copy(Paths.get(root, s"v_$ver", "_zonemap2d_meta"),
         staging.resolve("_zonemap2d_meta"))
+      SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
+        "_ingest_progress")
+      stagingExtra(staging)
+    }
+  }
+
+  /** Keyed UPSERT/DELETE against a Z-order-sharded table that rewrites and
+    * re-sketches ONLY the touched cells — [[SketchRegistry
+    * .applyChangesWithSketches]]'s incremental-maintenance shape on the
+    * 2-D layout. The hash layout knows a changed key's shard from the
+    * hash; here the layout says nothing about where a KEY lives, so the
+    * per-cell `bloom_<keyCol>` secondary index locates the cells that
+    * might hold the OLD rows (false positives cost a cell rewrite, never
+    * a wrong row; false negatives cannot occur), and the upsert rows'
+    * (colA, colB) values pin their NEW cells exactly. Touched = the
+    * union (collected as cell IDS — ≤ 4^bits ints); each touched cell is
+    * rebuilt as (old rows minus changed keys) ∪ its upserts and
+    * re-statted/re-Bloomed from its new rows alone; untouched cells
+    * hard-link through with their zone-map rows carried bit-identically.
+    *
+    * Semantics (spec-pinned, identical to the hash layout's): rows whose
+    * key appears in `deleteKeys` vanish; rows whose key appears in
+    * `upserts` are REPLACED by the upsert rows (insert when absent); all
+    * other rows are untouched. Requires the table committed with
+    * `sketchCols` including `keyCol` (loud failure otherwise). The commit
+    * is CAS-pinned; returns the new version.
+    */
+  def applyChangesZOrdered(spark: SparkSession, root: String, keyCol: String,
+                           upserts: DataFrame, deleteKeys: DataFrame,
+                           expectedVersion: Option[Long] = None): Long = {
+    val ver = expectedVersion.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val m = zMeta(root, Some(ver))
+    require(m.sketchCols.contains(keyCol),
+      s"keyed changes need a per-cell Bloom on '$keyCol' to locate old " +
+        s"rows — commit with sketchCols including it (committed: " +
+        s"${m.sketchCols.mkString(",")})")
+    TableStore.requireSameDataSchema(upserts,
+      TableStore.readVersion(spark, root, ver), "upserts")
+    val changedKeys = upserts.select(col(keyCol).cast("long").as("__k"))
+      .union(deleteKeys.select(col(deleteKeys.columns.head).cast("long").as("__k")))
+      .distinct()
+    // cells that might hold an OLD row of a changed key: Bloom admission
+    // runs distributed against the broadcast zone map; only cell ids collect
+    val reg = zoneMap2d(spark, root, Some(ver))
+      .select(col("shard"), col(s"bloom_$keyCol").as("bloom"))
+    val oldCells = SketchOps.bloomMightContain(broadcast(reg), changedKeys,
+        Nil, "__k", m.bloomBitsLog2, m.bloomK)
+      .filter(col("might_contain")).select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    // cells the upsert rows land in under the persisted bounds: exact
+    val newCells = upserts.select(shardColOf(m).as("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val touched = (oldCells ++ newCells).distinct.sorted.toSeq
+    if (touched.isEmpty) return ver // no old rows possible, no upserts: no-op
+    val n = 1 << (2 * m.bitsPerCol)
+    val existingDirs = (0 until n).filter(s =>
+      Files.isDirectory(Paths.get(root, s"v_$ver", s"shard=$s")))
+    val oldTouchedDirs = existingDirs.filter(touched.contains)
+    val oldTouched =
+      if (oldTouchedDirs.isEmpty)
+        TableStore.readVersion(spark, root, ver).filter(lit(false))
+      else spark.read.option("basePath", s"$root/v_$ver")
+        .parquet(oldTouchedDirs.map(s => s"$root/v_$ver/shard=$s"): _*)
+    val newTouched = oldTouched
+      .join(broadcast(changedKeys), col(keyCol).cast("long") === col("__k"),
+        "left_anti")
+      .unionByName(upserts.withColumn("shard", shardColOf(m)))
+    val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
+      m.bloomBitsLog2, m.bloomK)
+    val carried = zoneMap2d(spark, root, Some(ver))
+      .filter(!col("shard").isin(touched: _*))
+    TableStore.commitStaged(root, Some(ver)) { staging =>
+      newTouched.repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      existingDirs.filterNot(touched.contains).foreach { s =>
+        TableStore.linkDirInto(Paths.get(root, s"v_$ver", s"shard=$s"),
+          staging.resolve(s"shard=$s"))
+      }
+      carried.unionByName(touchedStats).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
+      Files.copy(Paths.get(root, s"v_$ver", "_zonemap2d_meta"),
+        staging.resolve("_zonemap2d_meta"))
+      SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
+        "_ingest_progress")
     }
   }
 
   /** Compact a Z-order-sharded table after a run of appends: shards with
     * more than `maxFilesPerShard` parquet files rewrite to one sorted
     * file, every other shard hard-links through; data unchanged ⇒ zone
-    * map carries verbatim. No-op returns the current version.
+    * map carries verbatim, ingest marker carries forward. No-op returns
+    * the current version.
     */
   def compactZOrdered(spark: SparkSession, root: String,
                       maxFilesPerShard: Int = 1): Long = {
@@ -219,6 +354,8 @@ object ZOrderStore {
         .parquet(staging.resolve("_zonemap2d").toString)
       Files.copy(Paths.get(root, s"v_$v", "_zonemap2d_meta"),
         staging.resolve("_zonemap2d_meta"))
+      SketchRegistry.carryIfPresent(Paths.get(root, s"v_$v"), staging,
+        "_ingest_progress")
     }
   }
 
@@ -233,20 +370,23 @@ object ZOrderStore {
     require(Files.exists(p),
       s"v_$v under $root carries no 2-D zone map — commit it with " +
         "commitZOrdered to enable box-pruned reads")
+    def longs(s: String) = s.split(",").filter(_.nonEmpty).map(_.toLong).toSeq
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split("\n", -1) match {
-      case Array(a, b, bits, sl, ba, bb) => ZMeta(a, b, bits.toInt, sl.toInt,
-        ba.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
-        bb.split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      case Array(a, b, bits, sl, ba, bb) =>
+        ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb))
+      case Array(a, b, bits, sl, ba, bb, skc, bbits, bk) =>
+        ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
+          skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt)
       case other => throw new IllegalStateException(
         s"torn _zonemap2d_meta under $root/v_$v: ${other.mkString("|")}")
     }
   }
 
   /** The exact 2-D zone-map rows of the committed (or given) version:
-    * (shard, min_a, max_a, min_b, max_b, n_rows), one row per non-empty
-    * shard — planning statistics AND pruning authority, zero data files
-    * touched.
+    * (shard, min_a, max_a, min_b, max_b, n_rows[, bloom_<c>…]), one row
+    * per non-empty shard — planning statistics AND pruning authority,
+    * zero data files touched.
     */
   def zoneMap2d(spark: SparkSession, root: String,
                 version: Option[Long] = None): DataFrame = {
@@ -289,6 +429,42 @@ object ZOrderStore {
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
           .filter(inBox)
+    }
+  }
+
+  /** Equality `IN`-lookup on a Bloom-indexed column of a Z-order table:
+    * the 2-D layout clusters by (colA, colB), so any OTHER column
+    * scatters and rectangles carry no signal — but its per-cell
+    * `bloom_<c>` rows still prune. Admission runs distributed against the
+    * broadcast zone map (registry-only; ≤ 4^bits ids collect); admitted
+    * cell dirs are opened and the exact IN filter kills Bloom false
+    * positives — result rows are exactly the plain IN's
+    * ([[SketchRegistry.rangeLookupBy]]'s contract on the 2-D layout).
+    */
+  def zLookupBy(spark: SparkSession, root: String, c: String,
+                values: Seq[Long],
+                version: Option[Long] = None): DataFrame = {
+    val m = zMeta(root, version)
+    require(m.sketchCols.contains(c),
+      s"'$c' carries no per-cell Bloom — commit with sketchCols " +
+        s"including it (committed: ${m.sketchCols.mkString(",")})")
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    if (values.isEmpty)
+      return TableStore.readVersion(spark, root, v).filter(lit(false))
+    import spark.implicits._
+    val reg = zoneMap2d(spark, root, Some(v))
+      .select(col("shard"), col(s"bloom_$c").as("bloom"))
+    val shards = SketchOps.bloomMightContain(broadcast(reg),
+        values.toDF("__v"), Nil, "__v", m.bloomBitsLog2, m.bloomK)
+      .filter(col("might_contain")).select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    shards match {
+      case Nil =>
+        TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss =>
+        spark.read.option("basePath", s"$root/v_$v")
+          .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+          .filter(col(c).cast("long").isin(values: _*))
     }
   }
 }

@@ -695,10 +695,26 @@ object SketchOps {
                    depth: Int = 4, widthLog2: Int = 12, p: Int = 12,
                    broadcastMaxRows: Long = 1000000L,
                    hotFactor: Long = JoinOps.autoHotFactor,
-                   hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan = {
+                   hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan =
+    planFromSketchFrames(
+      cmSketch(left, Nil, keyCol, depth, widthLog2),
+      cmSketch(right, Nil, keyCol, depth, widthLog2),
+      hllCardinality(left, Nil, keyCol, p).collect().head.getLong(0),
+      hllCardinality(right, Nil, keyCol, p).collect().head.getLong(0),
+      depth, widthLog2, broadcastMaxRows, hotFactor, hotFloor)
+
+  /** The shared decision core: both planning paths (fresh sketches,
+    * persisted registry sketches) feed the SAME arithmetic, and because
+    * sketch merges are bit-identical to fresh builds, the two paths
+    * return bit-identical plans on the same data (spec-pinned).
+    */
+  private def planFromSketchFrames(cmL: DataFrame, cmR: DataFrame,
+                                   ndvL: Long, ndvR: Long,
+                                   depth: Int, widthLog2: Int,
+                                   broadcastMaxRows: Long,
+                                   hotFactor: Long,
+                                   hotFloor: Long): EquiJoinPlan = {
     val w = 1 << widthLog2
-    val cmL = cmSketch(left, Nil, keyCol, depth, widthLog2)
-    val cmR = cmSketch(right, Nil, keyCol, depth, widthLog2)
     val joinSizeEst = cmJoinSizeEstimate(cmL, cmR, Nil, depth, widthLog2)
       .collect().head.getAs[Long]("join_size_est")
     def stats(cm: DataFrame): (Long, Long) = {
@@ -710,8 +726,6 @@ object SketchOps {
     }
     val (nLeft, fmaxL) = stats(cmL)
     val (nRight, fmaxR) = stats(cmR)
-    val ndvL = hllCardinality(left, Nil, keyCol, p).collect().head.getLong(0)
-    val ndvR = hllCardinality(right, Nil, keyCol, p).collect().head.getLong(0)
     def hot(n: Long, fmax: Long, ndvMicro: Long): Boolean =
       fmax > math.max(hotFloor,
         hotFactor * (n / math.max(1L, ndvMicro / 1000000L)))
@@ -722,6 +736,55 @@ object SketchOps {
       else if (hot(nRight, fmaxR, ndvR)) "salted_right"
       else "shuffle"
     EquiJoinPlan(nLeft, nRight, ndvL, ndvR, fmaxL, fmaxR, joinSizeEst, strategy)
+  }
+
+  /** [[equiJoinPlan]] with ZERO data-file reads — the decision comes from
+    * the two tables' PERSISTED per-shard registry sketches
+    * ([[graft.core.SketchRegistry.commitWithSketches]] stores one CM + HLL
+    * row per shard and maintains them under append/upsert/compact), merged
+    * at plan time: CM by element-wise addition, HLL by register max — both
+    * merges bit-identical to sketching the data fresh, so this returns the
+    * SAME `EquiJoinPlan` as [[equiJoinPlan]] over the tables' rows at the
+    * registry's parameters (spec- and oracle-pinned). This is the 100 TB
+    * point of sketch planning: the dispatch decision costs two registry
+    * reads (≤ 2^shardsLog2 fixed-size rows a side), never a table scan.
+    * Both tables must be committed with CM rows (registries written before
+    * the CM column fail loudly — re-commit to upgrade) and with identical
+    * (cmDepth, cmWidthLog2, hllP).
+    */
+  def equiJoinPlanFromRegistry(spark: org.apache.spark.sql.SparkSession,
+                               rootA: String, rootB: String,
+                               versionA: Option[Long] = None,
+                               versionB: Option[Long] = None,
+                               broadcastMaxRows: Long = 1000000L,
+                               hotFactor: Long = JoinOps.autoHotFactor,
+                               hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan = {
+    import graft.core.SketchRegistry
+    val ma = SketchRegistry.meta(rootA, versionA)
+    val mb = SketchRegistry.meta(rootB, versionB)
+    def requireCm(m: SketchRegistry.Meta, root: String): Unit =
+      require(m.cmDepth > 0,
+        s"$root's registry predates per-shard CM rows — re-commit with " +
+          "the current commitWithSketches to enable registry-only join " +
+          "planning")
+    requireCm(ma, rootA); requireCm(mb, rootB)
+    require(ma.cmDepth == mb.cmDepth && ma.cmWidthLog2 == mb.cmWidthLog2 &&
+        ma.hllP == mb.hllP,
+      s"registry-only planning requires identical sketch parameters: " +
+        s"(cmDepth,cmWidthLog2,hllP) = (${ma.cmDepth},${ma.cmWidthLog2},${ma.hllP}) " +
+        s"vs (${mb.cmDepth},${mb.cmWidthLog2},${mb.hllP})")
+    def merged(root: String, v: Option[Long]): (DataFrame, Long) = {
+      val reg = SketchRegistry.registry(spark, root, v)
+      val cm = cmMergeSketches(reg.select(col("cm")), Nil, "cm",
+        ma.cmDepth, ma.cmWidthLog2)
+      val ndv = hllMergeSketches(reg.select(col("hll")), Nil, "hll", ma.hllP)
+        .select(hllEstimate(col("hll"), ma.hllP)).collect().head.getLong(0)
+      (cm, ndv)
+    }
+    val (cmA, ndvA) = merged(rootA, versionA)
+    val (cmB, ndvB) = merged(rootB, versionB)
+    planFromSketchFrames(cmA, cmB, ndvA, ndvB, ma.cmDepth, ma.cmWidthLog2,
+      broadcastMaxRows, hotFactor, hotFloor)
   }
 
   /** Run `left ⋈ right ON keyCol` the way [[equiJoinPlan]] dispatches it:

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import graft.core.{SketchRegistry, TableStore}
+import graft.core.{SketchRegistry, TableStore, ZOrderStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -16,13 +16,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * per-batch commit cost is the batch alone — never the table.
   *
   * The exactly-once protocol is the Delta/Iceberg idempotent-writer
-  * pattern: the micro-batch's `batchId` is written as an
-  * `_ingest_progress` marker INSIDE the same atomic version rename→swap
-  * as the data and registry. On failure-replay (Structured Streaming
-  * re-runs a batch whose commit outcome it never learned) the marker of
-  * the CURRENT version says the batch already landed and [[ingestBatch]]
-  * becomes a no-op — a batch can never append twice. Maintenance commits
-  * ([[SketchRegistry.compactWithSketches]],
+  * pattern, scoped per WRITER (Delta's `txnAppId`/`txnVersion`): the
+  * micro-batch's `batchId` is written under the stream's `writerId` into
+  * the `_ingest_progress` marker INSIDE the same atomic version
+  * rename→swap as the data and registry. On failure-replay (Structured
+  * Streaming re-runs a batch whose commit outcome it never learned) the
+  * writer's marker in the CURRENT version says the batch already landed
+  * and [[ingestBatch]] becomes a no-op — a batch can never append twice.
+  * Distinct writers dedup independently, so a restarted query WITHOUT a
+  * durable checkpoint (whose batchIds restart at 0) must run under a
+  * FRESH `writerId`; an incoming batchId more than `maxReplayLag` below
+  * the same writer's marker fails LOUDLY instead of silently dropping
+  * batches — Structured Streaming only ever replays the most recent
+  * batch, so a deeper regression always means a lost/reset checkpoint.
+  * Maintenance commits ([[SketchRegistry.compactWithSketches]],
   * [[SketchRegistry.applyChangesWithSketches]], further appends) CARRY
   * the marker forward, so compaction between restarts never resets the
   * dedup watermark. Single-writer per table, like every file-layout
@@ -36,39 +43,94 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestStream {
 
-  /** The highest micro-batch id already committed into `root`'s CURRENT
-    * version, read off the `_ingest_progress` marker — None before any
-    * streamed batch landed.
+  /** The default writer scope — single-stream tables never need another. */
+  val defaultWriterId = "default"
+
+  /** Parse the marker file: one `writerId\tbatchId` line per writer (a
+    * bare-long line is the pre-scoping format and reads as the default
+    * writer's entry).
     */
-  def lastIngestedBatch(root: String): Option[Long] =
-    TableStore.currentVersion(root).flatMap { v =>
+  private def readMarkers(root: String): Map[String, Long] =
+    TableStore.currentVersion(root).map { v =>
       val p = Paths.get(root, s"v_$v", "_ingest_progress")
-      if (!Files.exists(p)) None
-      else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .trim.toLong)
-    }
+      if (!Files.exists(p)) Map.empty[String, Long]
+      else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+          line.split("\t") match {
+            case Array(w, b) => w -> b.toLong
+            case Array(b)    => defaultWriterId -> b.toLong
+            case _ => throw new IllegalStateException(
+              s"torn _ingest_progress line under $root: '$line'")
+          }
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  private def serializeMarkers(m: Map[String, Long]): Array[Byte] =
+    m.toSeq.sortBy(_._1).map { case (w, b) => s"$w\t$b" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+
+  /** The highest micro-batch id `writerId` already committed into `root`'s
+    * CURRENT version, read off the `_ingest_progress` marker — None before
+    * any streamed batch landed under that writer.
+    */
+  def lastIngestedBatch(root: String,
+                        writerId: String = defaultWriterId): Option[Long] =
+    readMarkers(root).get(writerId)
+
+  /** Fail loudly on a batchId regression deeper than the replay window:
+    * Structured Streaming replays at most the LAST batch, so anything
+    * further below the writer's marker means the query restarted with a
+    * reset (temp/lost) checkpoint — accepting its ids would silently drop
+    * every batch until they pass the old marker.
+    */
+  private def guardRegression(root: String, writerId: String, batchId: Long,
+                              marker: Long, maxReplayLag: Long): Unit =
+    if (marker - batchId > maxReplayLag)
+      throw new IllegalStateException(
+        s"ingest batchId $batchId for writer '$writerId' is more than " +
+          s"$maxReplayLag below the committed marker $marker under $root — " +
+          "the stream's batchIds were reset (restart without a durable " +
+          "checkpointDir?). Pass a persistent checkpointDir to resume the " +
+          "old numbering, or run the restarted query under a fresh writerId")
+
+  private def writeMarker(root: String, writerId: String, batchId: Long)
+  : java.nio.file.Path => Unit = { staging =>
+    val merged = readMarkers(root) + (writerId -> batchId)
+    Files.write(staging.resolve("_ingest_progress"), serializeMarkers(merged))
+  }
 
   /** Idempotently append one micro-batch: a `batchId` at or below the
-    * committed marker is a replay and returns false untouched; otherwise
-    * the batch lands via [[SketchRegistry.appendWithSketches]] with the
-    * marker in the same atomic commit and the call returns true. Empty
-    * batches advance the marker only when they must (they are skipped
-    * entirely — no empty version churn — because a replayed empty batch
-    * is indistinguishable from a skipped one).
+    * writer's committed marker is a replay and returns false untouched
+    * (more than `maxReplayLag` below it fails loudly — see
+    * [[guardRegression]]); otherwise the batch lands via
+    * [[SketchRegistry.appendWithSketches]] with the marker in the same
+    * atomic commit and the call returns true. Empty batches advance the
+    * marker only when they must (they are skipped entirely — no empty
+    * version churn — because a replayed empty batch is indistinguishable
+    * from a skipped one).
     */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  batchId: Long, filesPerShard: Int = 1): Boolean = {
-    if (lastIngestedBatch(root).exists(_ >= batchId)) false
-    else if (batch.isEmpty) false
-    else {
-      SketchRegistry.appendWithSketches(spark, root, batch,
-        filesPerShard = filesPerShard,
-        stagingExtra = staging => Files.write(
-          staging.resolve("_ingest_progress"),
-          batchId.toString.getBytes(StandardCharsets.UTF_8)))
-      true
+                  batchId: Long, filesPerShard: Int = 1,
+                  writerId: String = defaultWriterId,
+                  maxReplayLag: Long = 1L): Boolean = {
+    requireWriterId(writerId)
+    lastIngestedBatch(root, writerId) match {
+      case Some(marker) if marker >= batchId =>
+        guardRegression(root, writerId, batchId, marker, maxReplayLag); false
+      case _ =>
+        if (batch.isEmpty) false
+        else {
+          SketchRegistry.appendWithSketches(spark, root, batch,
+            filesPerShard = filesPerShard,
+            stagingExtra = writeMarker(root, writerId, batchId))
+          true
+        }
     }
   }
+
+  private def requireWriterId(writerId: String): Unit =
+    require(writerId.nonEmpty && !writerId.exists(c => c == '\n' || c == '\t'),
+      s"writerId must be non-empty without tab/newline, got '$writerId'")
 
   /** Run `source` (a streaming DataFrame carrying exactly the table's
     * data columns) into the sketch-indexed table at `root`, one atomic
@@ -77,18 +139,24 @@ object IngestStream {
     * commit pins the key column and sketch parameters every appended
     * batch inherits). Pass `checkpointDir` for restartable exactly-once
     * across driver failures; the in-commit marker dedups replays either
-    * way. Stop with `.stop()` like any stream.
+    * way, and a restart WITHOUT a durable checkpoint must use a fresh
+    * `writerId` (its batchIds restart at 0 — the marker guard fails
+    * loudly otherwise). Stop with `.stop()` like any stream.
     */
   def ingestStream(spark: SparkSession, root: String, source: DataFrame,
                    checkpointDir: Option[String] = None,
                    trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                   filesPerShard: Int = 1): StreamingQuery = {
+                   filesPerShard: Int = 1,
+                   writerId: String = defaultWriterId,
+                   maxReplayLag: Long = 1L): StreamingQuery = {
     SketchRegistry.meta(root) // loud guard: bootstrapped sketch table required
+    requireWriterId(writerId)
     val writer = source.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch((batch: DataFrame, batchId: Long) => {
-        ingestBatch(spark, root, batch, batchId, filesPerShard); ()
+        ingestBatch(spark, root, batch, batchId, filesPerShard, writerId,
+          maxReplayLag); ()
       })
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
@@ -101,16 +169,21 @@ object IngestStream {
     * replays no-ops.
     */
   def ingestBatchRange(spark: SparkSession, root: String, batch: DataFrame,
-                       batchId: Long, filesPerShard: Int = 1): Boolean = {
-    if (lastIngestedBatch(root).exists(_ >= batchId)) false
-    else if (batch.isEmpty) false
-    else {
-      SketchRegistry.appendRangeSharded(spark, root, batch,
-        filesPerShard = filesPerShard,
-        stagingExtra = staging => Files.write(
-          staging.resolve("_ingest_progress"),
-          batchId.toString.getBytes(StandardCharsets.UTF_8)))
-      true
+                       batchId: Long, filesPerShard: Int = 1,
+                       writerId: String = defaultWriterId,
+                       maxReplayLag: Long = 1L): Boolean = {
+    requireWriterId(writerId)
+    lastIngestedBatch(root, writerId) match {
+      case Some(marker) if marker >= batchId =>
+        guardRegression(root, writerId, batchId, marker, maxReplayLag); false
+      case _ =>
+        if (batch.isEmpty) false
+        else {
+          SketchRegistry.appendRangeSharded(spark, root, batch,
+            filesPerShard = filesPerShard,
+            stagingExtra = writeMarker(root, writerId, batchId))
+          true
+        }
     }
   }
 
@@ -121,13 +194,63 @@ object IngestStream {
   def ingestRangeStream(spark: SparkSession, root: String, source: DataFrame,
                         checkpointDir: Option[String] = None,
                         trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                        filesPerShard: Int = 1): StreamingQuery = {
+                        filesPerShard: Int = 1,
+                        writerId: String = defaultWriterId,
+                        maxReplayLag: Long = 1L): StreamingQuery = {
     SketchRegistry.rangeMeta(root) // loud guard: range layout required
+    requireWriterId(writerId)
     val writer = source.writeStream
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch((batch: DataFrame, batchId: Long) => {
-        ingestBatchRange(spark, root, batch, batchId, filesPerShard); ()
+        ingestBatchRange(spark, root, batch, batchId, filesPerShard, writerId,
+          maxReplayLag); ()
+      })
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** [[ingestBatch]] for a Z-ORDER-sharded table — the 2-D dashboard
+    * front door: micro-batch rows take shards from the persisted bucket
+    * bounds of BOTH interleaved columns, the 2-D zone map merges exactly
+    * (rectangle union + count add), and the same in-commit marker makes
+    * replays no-ops.
+    */
+  def ingestBatchZOrder(spark: SparkSession, root: String, batch: DataFrame,
+                        batchId: Long,
+                        writerId: String = defaultWriterId,
+                        maxReplayLag: Long = 1L): Boolean = {
+    requireWriterId(writerId)
+    lastIngestedBatch(root, writerId) match {
+      case Some(marker) if marker >= batchId =>
+        guardRegression(root, writerId, batchId, marker, maxReplayLag); false
+      case _ =>
+        if (batch.isEmpty) false
+        else {
+          ZOrderStore.appendZOrdered(spark, root, batch,
+            stagingExtra = writeMarker(root, writerId, batchId))
+          true
+        }
+    }
+  }
+
+  /** [[ingestStream]] for a Z-ORDER-sharded table (bootstrap with
+    * [[ZOrderStore.commitZOrdered]] first — its bucket bounds carry to
+    * every streamed batch).
+    */
+  def ingestZOrderStream(spark: SparkSession, root: String, source: DataFrame,
+                         checkpointDir: Option[String] = None,
+                         trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                         writerId: String = defaultWriterId,
+                         maxReplayLag: Long = 1L): StreamingQuery = {
+    ZOrderStore.zMeta(root) // loud guard: z-order layout required
+    requireWriterId(writerId)
+    val writer = source.writeStream
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, batchId: Long) => {
+        ingestBatchZOrder(spark, root, batch, batchId, writerId,
+          maxReplayLag); ()
       })
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry}
+
+/** Transparent sketch-driven join dispatch: plain SQL joins over two
+  * readIndexed relations take the registry-decided shape — salted on the
+  * planted-skew fixture, broadcast-hinted on the small dimension, plain on
+  * the uniform one — with rows always exactly the plain join's.
+  */
+class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(SketchJoinDispatch))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SketchJoinDispatch
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.sketchJoinDispatch.enabled")
+    spark.conf.unset("spark.graft.sketchJoinDispatch.broadcastMaxRows")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SketchJoinDispatch)
+    super.afterAll()
+  }
+
+  private def commit(df: DataFrame, tag: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(s"sjd_$tag").toString
+    SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4, hllP = 12, cmDepth = 4, cmWidthLog2 = 12)
+    root
+  }
+
+  private def withDispatch[T](broadcastMaxRows: Long)(body: => T): T = {
+    spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+    spark.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows",
+      broadcastMaxRows.toString)
+    // Spark's own size-based auto-broadcast off, so any broadcast shape in
+    // the plan is OUR hint's doing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+  test("planted skew salts, uniform stays plain, small dim broadcasts — rows always exact") {
+    // left uniform over 50 keys; right plants key 7 hot (half its rows)
+    val left = (0 until 5000).map(i => ((i % 50).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 5000)
+      .map(i => (if (i % 2 == 0) 7L else ((i / 2) % 50).toLong, i.toLong)).toDF("k", "rv")
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val (rl, rr, rd) = (commit(left, "l"), commit(right, "r"), commit(dim, "d"))
+    val rl2 = commit(left, "l2")
+    SketchFileIndex.readIndexed(spark, rl).createOrReplaceTempView("sjd_l")
+    SketchFileIndex.readIndexed(spark, rr).createOrReplaceTempView("sjd_r")
+    SketchFileIndex.readIndexed(spark, rd).createOrReplaceTempView("sjd_d")
+    SketchFileIndex.readIndexed(spark, rl2).createOrReplaceTempView("sjd_l2")
+    withDispatch(broadcastMaxRows = 100L) {
+      // salted_right: optimized plan shows the hot-key split union
+      val salted = spark.sql(
+        "SELECT l.k, l.lv, r.rv FROM sjd_l l JOIN sjd_r r ON l.k = r.k")
+      val opt = salted.queryExecution.optimizedPlan.toString
+      assert(opt.contains("Union"), s"expected the salted union shape:\n$opt")
+      assert(sortedRows(salted) ==
+        sortedRows(left.join(right, Seq("k")).select("k", "lv", "rv")),
+        "salted dispatch must be row-identical to the plain join")
+      // broadcast_right: the physical plan broadcasts DESPITE
+      // autoBroadcastJoinThreshold = -1 — only the registry hint does that
+      val bcast = spark.sql(
+        "SELECT l.k, l.lv, d.name FROM sjd_l l JOIN sjd_d d ON l.k = d.k")
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        s"expected a registry-hinted broadcast:\n${bcast.queryExecution.executedPlan}")
+      assert(sortedRows(bcast) ==
+        sortedRows(left.join(dim, Seq("k")).select("k", "lv", "name")))
+      // uniform × uniform at a threshold below both sides: plain shuffle —
+      // no union, no broadcast
+      val plain = spark.sql(
+        "SELECT l.k, l.lv, r.lv AS rv2 FROM sjd_l l JOIN sjd_l2 r ON l.k = r.k")
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("Union"))
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(plain.count() == left.join(
+        left.select(col("k"), col("lv").as("lv2")), Seq("k")).count())
+    }
+  }
+
+  test("disabled by default: the same SQL stays a single plain join") {
+    val left = (0 until 2000).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 2000)
+      .map(i => (if (i % 2 == 0) 3L else (i % 20).toLong, i.toLong)).toDF("k", "rv")
+    val (rl, rr) = (commit(left, "dl"), commit(right, "dr"))
+    SketchFileIndex.readIndexed(spark, rl).createOrReplaceTempView("sjd_dl")
+    SketchFileIndex.readIndexed(spark, rr).createOrReplaceTempView("sjd_dr")
+    val q = spark.sql(
+      "SELECT l.k, l.lv, r.rv FROM sjd_dl l JOIN sjd_dr r ON l.k = r.k")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(sortedRows(q) ==
+      sortedRows(left.join(right, Seq("k")).select("k", "lv", "rv")))
+  }
+
+  test("out-of-scope joins are left alone: extra conjunct, filtered side, shard selected") {
+    val left = (0 until 2000).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 2000)
+      .map(i => (if (i % 2 == 0) 3L else (i % 20).toLong, i.toLong)).toDF("k", "rv")
+    val (rl, rr) = (commit(left, "ol"), commit(right, "or"))
+    SketchFileIndex.readIndexed(spark, rl).createOrReplaceTempView("sjd_ol")
+    SketchFileIndex.readIndexed(spark, rr).createOrReplaceTempView("sjd_or")
+    withDispatch(broadcastMaxRows = 100L) {
+      // extra non-equi conjunct: untouched (single-EqualTo scope)
+      val multi = spark.sql("SELECT l.k, l.lv, r.rv FROM sjd_ol l JOIN sjd_or r " +
+        "ON l.k = r.k AND l.lv < r.rv")
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("Union"))
+      assert(sortedRows(multi) == sortedRows(
+        left.join(right, left("k") === right("k") && left("lv") < right("rv"))
+          .select(left("k"), left("lv"), right("rv"))))
+      // a filtered side invalidates registry row counts: untouched
+      val filtered = spark.sql("SELECT l.k, l.lv, r.rv FROM sjd_ol l JOIN sjd_or r " +
+        "ON l.k = r.k WHERE r.rv < 100")
+      assert(!filtered.queryExecution.optimizedPlan.toString.contains("Union"))
+      // selecting BOTH shard columns collides on the name: untouched
+      val shards = spark.sql("SELECT l.shard, r.shard AS rs FROM sjd_ol l " +
+        "JOIN sjd_or r ON l.k = r.k")
+      assert(!shards.queryExecution.optimizedPlan.toString.contains("Union"))
+      assert(shards.count() == left.join(right, Seq("k")).count())
+    }
+  }
+}

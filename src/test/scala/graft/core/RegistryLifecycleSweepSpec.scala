@@ -20,6 +20,7 @@ class RegistryLifecycleSweepSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getInt(r.fieldIndex("shard")) -> (
         r.getSeq[Long](r.fieldIndex("bloom")).toList,
         r.getSeq[Int](r.fieldIndex("hll")).toList,
+        r.getSeq[Long](r.fieldIndex("cm")).toList, // CM maintained bit-exact too
         r.getLong(r.fieldIndex("n_rows")))).toMap
 
   test("random op scripts keep rows, registry, and lookups exact at every step") {

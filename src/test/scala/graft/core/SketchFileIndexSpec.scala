@@ -128,6 +128,159 @@ class SketchFileIndexSpec extends AnyFunSuite with SparkTest {
         .select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("bloom state loads lazily per referenced column only") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val root = java.nio.file.Files.createTempDirectory("sfi_lazy").toString
+    SketchRegistry.commitWithSketches(
+      (0 until 500).map(i => (i.toLong, (i % 20).toLong, (i % 7).toLong))
+        .toDF("id", "sec", "ter"),
+      root, "id", shardsLog2 = 3, bitsLog2 = 12, k = 4,
+      sketchCols = Seq("sec", "ter"))
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    val fi = idx.queryExecution.analyzed.collect {
+      case l: LogicalRelation =>
+        l.relation.asInstanceOf[HadoopFsRelation].location
+    }.head.asInstanceOf[SketchFileIndex]
+    assert(fi.loadedBloomCols.isEmpty, "nothing loaded before any scan")
+    // a key-only filter pays for the key column's Blooms alone
+    idx.filter(col("id") === 42L).collect()
+    assert(fi.loadedBloomCols == Set("id"),
+      s"key-only scan must not load secondary Blooms, got ${fi.loadedBloomCols}")
+    // filtering a secondary column loads exactly that column on demand
+    idx.filter(col("sec") === 3L).collect()
+    assert(fi.loadedBloomCols == Set("id", "sec"))
+    // the never-filtered third column is never paid for
+    idx.filter(col("id") < 100L).collect()
+    assert(!fi.loadedBloomCols.contains("ter"))
+  }
+
+  test("impossible strict comparisons admit zero shards instead of wrapping") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_wrap").toString
+    val df = (0 until 400).map(i => (i.toLong, i.toLong * 3)).toDF("id", "t")
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 2)
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    // x < Long.MinValue / x > Long.MaxValue hold for NO value: a wrapped
+    // v±1 would turn these into admit-everything windows
+    for (f <- Seq(idx.filter(col("t") < Long.MinValue),
+      idx.filter(col("t") > Long.MaxValue),
+      idx.filter(lit(Long.MaxValue) < col("t")),
+      idx.filter(lit(Long.MinValue) > col("t")))) {
+      assert(scannedShards(f).isEmpty, s"expected zero shards for ${f.queryExecution}")
+      assert(f.collect().isEmpty)
+    }
+    // the saturated-but-possible boundaries still behave
+    assert(idx.filter(col("t") >= Long.MinValue).count() == 400L)
+    assert(idx.filter(col("t") <= Long.MaxValue).count() == 400L)
+  }
+
+  test("partition filters that fail to fold after binding fail loudly") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    val root = java.nio.file.Files.createTempDirectory("sfi_pf").toString
+    SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "p"),
+      root, "id", shardsLog2 = 2, bitsLog2 = 10, k = 3)
+    val fi = new SketchFileIndex(spark, root,
+      TableStore.currentVersion(root).get)
+    // a partition filter over an attribute the binder cannot substitute
+    // must throw — silently admitting the shard would return wrong rows,
+    // because Spark strips partition filters from row-level evaluation
+    val alien = EqualTo(AttributeReference("other", IntegerType)(), Literal(1))
+    val ex = intercept[IllegalStateException] {
+      fi.listFiles(Seq(alien), Nil)
+    }
+    assert(ex.getMessage.contains("did not fold"))
+  }
+
+  test("vacuum contract: reads pin a version; a vacuumed version fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_vac").toString
+    val v0 = SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (i.toLong, s"p$i")).toDF("id", "p"),
+      root, "id", shardsLog2 = 2, bitsLog2 = 10, k = 3)
+    SketchRegistry.appendWithSketches(spark, root,
+      Seq((500L, "x")).toDF("id", "p"))
+    SketchRegistry.appendWithSketches(spark, root,
+      Seq((501L, "y")).toDF("id", "p"))
+    // within the retention window the pinned read works
+    assert(SketchFileIndex.readIndexed(spark, root, Some(v0)).count() == 100L)
+    TableStore.vacuum(root, keep = 1, graceMs = 0L)
+    val ex = intercept[IllegalArgumentException] {
+      SketchFileIndex.readIndexed(spark, root, Some(v0))
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+    // the current version still reads
+    assert(SketchFileIndex.readIndexed(spark, root).count() == 102L)
+  }
+
+  test("registry Bloom width is bounded at commit (driver-plannable budget)") {
+    val df = Seq((1L, "a")).toDF("id", "p")
+    val root = java.nio.file.Files.createTempDirectory("sfi_bits").toString
+    val ex = intercept[IllegalArgumentException] {
+      SketchRegistry.commitWithSketches(df, root, "id", bitsLog2 = 26)
+    }
+    assert(ex.getMessage.contains("bitsLog2"))
+    val df2 = Seq((1L, 2L)).toDF("id", "t")
+    val ex2 = intercept[IllegalArgumentException] {
+      SketchRegistry.commitRangeSharded(df2, root, "t", bloomBitsLog2 = 25)
+    }
+    assert(ex2.getMessage.contains("bloomBitsLog2"))
+  }
+
+  test("hash/range appends and upserts reject batches whose column TYPES differ") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_ty").toString
+    SketchRegistry.commitWithSketches(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), root, "id",
+      shardsLog2 = 2, bitsLog2 = 10, k = 3)
+    val wrong = Seq((3, "c")).toDF("id", "p") // id INT, table LONG
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.appendWithSketches(spark, root, wrong)
+    }.getMessage.contains("column types"))
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.applyChangesWithSketches(spark, root, wrong,
+        Seq(1L).toDF("id"))
+    }.getMessage.contains("column types"))
+    val rroot = java.nio.file.Files.createTempDirectory("sfi_tyr").toString
+    SketchRegistry.commitRangeSharded(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "t"), rroot, "t", shardsLog2 = 2)
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.appendRangeSharded(spark, rroot,
+        Seq((3, 30L)).toDF("id", "t"))
+    }.getMessage.contains("column types"))
+  }
+
+  test("string-keyed table: string-literal filters prune through the pinned xxhash64") {
+    val root = java.nio.file.Files.createTempDirectory("sfi_str").toString
+    val docs = (0 until 800).map(i => (s"https://ex.com/d/$i", i.toLong))
+      .toDF("url", "doc_id")
+    SketchRegistry.commitWithSketches(docs, root, "url",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    assert(SketchRegistry.meta(root).keyIsString)
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    // equality on the string key: ONE shard scanned, rows exact
+    val hit = idx.filter(col("url") === "https://ex.com/d/123")
+    assert(hit.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(123L))
+    assert(scannedShards(hit).size == 1, s"read ${scannedShards(hit)}")
+    // a definite miss scans zero partitions
+    val miss = idx.filter(col("url") === "https://ex.com/absent/1")
+    assert(scannedShards(miss).isEmpty && miss.collect().isEmpty)
+    // IN over string literals prunes to <= |values| shards
+    val in = idx.filter(col("url").isin(
+      "https://ex.com/d/1", "https://ex.com/d/2", "https://ex.com/gone"))
+    assert(in.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(scannedShards(in).size <= 3)
+    // SQL string predicates reach the same pruning
+    idx.createOrReplaceTempView("sfi_str_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM sfi_str_v WHERE url = 'https://ex.com/d/7'")
+    assert(viaSql.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(scannedShards(viaSql).size == 1)
+    // a string literal on a NON-key column prunes nothing but stays exact
+    val docs2 = idx.filter(col("url") > "https://ex.com/d/5")
+    assert(docs2.count() ==
+      docs.filter(col("url") > "https://ex.com/d/5").count())
+  }
+
   test("readIndexed guards: plain tables rejected, time travel works") {
     val bare = java.nio.file.Files.createTempDirectory("sfi_b").toString
     TableStore.commit(Seq((1L, "a")).toDF("id", "v"), bare)

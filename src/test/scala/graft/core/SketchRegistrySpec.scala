@@ -328,7 +328,10 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     // compact: every shard folds back to one file, data and registry
     // rows unchanged
     val regBefore = SketchRegistry.registry(spark, root).collect()
-      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toList, r.getLong(3))).toMap
+      .map(r => r.getInt(r.fieldIndex("shard")) -> (
+        r.getSeq[Long](r.fieldIndex("bloom")).toList,
+        r.getSeq[Long](r.fieldIndex("cm")).toList,
+        r.getLong(r.fieldIndex("n_rows")))).toMap
     val rowsBefore = TableStore.read(spark, root).select("id", "payload")
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     val v3 = SketchRegistry.compactWithSketches(spark, root)
@@ -338,7 +341,10 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(TableStore.read(spark, root).select("id", "payload")
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq == rowsBefore)
     assert(SketchRegistry.registry(spark, root).collect()
-      .map(r => r.getInt(0) -> (r.getSeq[Long](1).toList, r.getLong(3))).toMap
+      .map(r => r.getInt(r.fieldIndex("shard")) -> (
+        r.getSeq[Long](r.fieldIndex("bloom")).toList,
+        r.getSeq[Long](r.fieldIndex("cm")).toList,
+        r.getLong(r.fieldIndex("n_rows")))).toMap
       == regBefore)
     // a second compact is a no-op: same version back
     assert(SketchRegistry.compactWithSketches(spark, root) == v3)
@@ -693,6 +699,62 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
       SketchRegistry.rangeLookupBy(spark, root, "id", Seq(1L))
     }
     assert(g.getMessage.contains("no zone-map Bloom"))
+  }
+
+  test("string-keyed registry: lookups route through the pinned xxhash64, lifecycle maintains it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("skstr").toString
+    val docs = (0 until 600).map(i => (s"u://$i", s"p$i")).toDF("url", "payload")
+    SketchRegistry.commitWithSketches(docs, root, "url",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val m = SketchRegistry.meta(root)
+    assert(m.keyIsString && m.keyCol == "url")
+    // point lookup: exact row, one pruned shard; misses read zero files
+    assert(SketchRegistry.lookupWithSketchesString(spark, root, "u://123")
+      .collect().map(_.getString(1)).toSeq == Seq("p123"))
+    assert(SketchRegistry.prunedShardsString(spark, root, "u://123").size == 1)
+    val missUrl = (5000 until 5200).map(i => s"u://$i")
+      .find(u => SketchRegistry.prunedShardsString(spark, root, u).isEmpty).get
+    assert(SketchRegistry.lookupWithSketchesString(spark, root, missUrl)
+      .collect().isEmpty)
+    // batch lookup == plain IN semantics
+    val probes = (Seq("u://1", "u://77", "u://absent") ++
+      (0 until 50).map(i => s"u://${i * 7}")).toDF("url")
+    val got = SketchRegistry.lookupManyWithSketches(spark, root, probes, "url")
+      .select("url", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val want = docs.join(probes.distinct(), Seq("url"), "left_semi")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == want)
+    // the integral probe API refuses a string-keyed table loudly
+    val ex = intercept[IllegalArgumentException] {
+      SketchRegistry.lookupWithSketches(spark, root, 123L)
+    }
+    assert(ex.getMessage.contains("STRING key"))
+    // append + upsert/delete maintain the string-hashed registry exactly
+    SketchRegistry.appendWithSketches(spark, root,
+      (1000 until 1040).map(i => (s"u://$i", s"a$i")).toDF("url", "payload"))
+    SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = Seq(("u://5", "edited"), ("u://2000", "fresh")).toDF("url", "payload"),
+      deleteKeys = Seq("u://6", "u://7").toDF("url"))
+    val fresh = java.nio.file.Files.createTempDirectory("skstr_f").toString
+    val refRows = ((0 until 600).filterNot(i => i == 5 || i == 6 || i == 7)
+      .map(i => (s"u://$i", s"p$i")) ++
+      (1000 until 1040).map(i => (s"u://$i", s"a$i")) ++
+      Seq(("u://5", "edited"), ("u://2000", "fresh")))
+    SketchRegistry.commitWithSketches(refRows.toDF("url", "payload"), fresh,
+      "url", shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    def regMap(r: String) = SketchRegistry.registry(spark, r).collect()
+      .map(row => row.getInt(row.fieldIndex("shard")) -> (
+        row.getSeq[Long](row.fieldIndex("bloom")).toList,
+        row.getSeq[Int](row.fieldIndex("hll")).toList,
+        row.getSeq[Long](row.fieldIndex("cm")).toList,
+        row.getLong(row.fieldIndex("n_rows")))).toMap
+    assert(regMap(root) == regMap(fresh),
+      "string-keyed lifecycle must maintain the registry bit-identically")
+    assert(TableStore.read(spark, root).select("url", "payload").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      refRows.sorted)
   }
 
   test("changeFeedPruned: row-identical to the full feed, reads only differing shard pairs") {

@@ -198,4 +198,108 @@ class ZOrderStoreSpec extends AnyFunSuite with SparkTest {
     // a second compact is a version-stable no-op
     assert(ZOrderStore.compactZOrdered(spark, root) == v2)
   }
+
+  test("applyChangesZOrdered: upsert/delete semantics, touched cells only, links carry") {
+    val root = java.nio.file.Files.createTempDirectory("zord_ch").toString
+    val v0 = ZOrderStore.commitZOrdered(grid(), root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"), bloomBitsLog2 = 12)
+    // upsert: id=0 moves cells entirely (a 0→35, b 0→35); id=41 updates in
+    // place; id=9999 is a fresh insert. delete: ids 1, 2, and absent 8888.
+    val ups = Seq((0L, 35L, 35L), (41L, 1L, 1L), (9999L, 38L, 38L))
+      .toDF("id", "a", "b")
+    val dels = Seq(1L, 2L, 8888L).toDF("id")
+    val v1 = ZOrderStore.applyChangesZOrdered(spark, root, "id", ups, dels)
+    assert(v1 == v0 + 1)
+    val back = TableStore.read(spark, root)
+    // reference semantics computed directly
+    val want = grid().filter(!col("id").isin(0L, 41L, 1L, 2L, 8888L, 9999L))
+      .unionByName(ups)
+      .select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(back.select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq == want)
+    // zone map (stats + blooms) == a direct rebuild of the same rows
+    val zm = ZOrderStore.zoneMap2d(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        r.getSeq[Long](r.fieldIndex("bloom_id")).toList))).toMap
+    // bounds carry over unchanged, so the expected stats rebuild directly
+    // from the committed rows
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+        count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(zm.view.mapValues(v => (v._1, v._2, v._3, v._4, v._5)).toMap == direct)
+    // carried + rebuilt per-cell Blooms are bit-identical to a fresh build
+    val freshBlooms = graft.operators.SketchOps
+      .bloomSketch(back, Seq("shard"), "id", bitsLog2 = 12, k = 4).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toList).toMap
+    assert(zm.view.mapValues(_._6).toMap == freshBlooms)
+    // untouched cells carried as hard links
+    def ino(f: java.io.File) = java.nio.file.Files
+      .getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]
+    def files(v: Long, s: Int) = {
+      val d = new java.io.File(s"$root/v_$v/shard=$s")
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val changedCells = ZOrderStore.zoneMap2d(spark, root, Some(v0))
+      .select("shard").collect().map(_.getInt(0)).filter { s =>
+        val a = files(v0, s).map(f => f.getName -> ino(f)).toMap
+        val b = files(v1, s).map(f => f.getName -> ino(f)).toMap
+        a != b
+      }
+    assert(changedCells.nonEmpty && changedCells.length < 16,
+      s"only touched cells may rewrite, got ${changedCells.mkString(",")}")
+    // keyCol without a committed Bloom fails loudly
+    val bare = java.nio.file.Files.createTempDirectory("zord_chb").toString
+    ZOrderStore.commitZOrdered(grid(), bare, "a", "b", shardsLog2 = 4)
+    val ex = intercept[IllegalArgumentException] {
+      ZOrderStore.applyChangesZOrdered(spark, bare, "id", ups, dels)
+    }
+    assert(ex.getMessage.contains("sketchCols"))
+  }
+
+  test("zLookupBy: per-cell Blooms prune a scattered column; rows exact") {
+    val root = java.nio.file.Files.createTempDirectory("zord_lb").toString
+    // u is scattered relative to the (a, b) layout with a planted value
+    val df = (for (a <- 0 until 40; b <- 0 until 40) yield {
+      val i = a * 40 + b
+      val u = if (i < 100 && i % 10 == 0) 777L else (i.toLong * 2654435761L) % 100000
+      (i.toLong, a.toLong, b.toLong, u)
+    }).toDF("id", "a", "b", "u")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4,
+      subLog2 = 5, sketchCols = Seq("u"), bloomBitsLog2 = 14)
+    val hit = ZOrderStore.zLookupBy(spark, root, "u", Seq(777L))
+    assert(hit.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 100 by 10).map(_.toLong))
+    assert(shardsRead(hit).size < 16, s"read ${shardsRead(hit)}")
+    // a definite miss opens zero data files
+    val missVal = (900000L until 900200L).find(v =>
+      ZOrderStore.zLookupBy(spark, root, "u", Seq(v)).inputFiles.isEmpty).get
+    assert(ZOrderStore.zLookupBy(spark, root, "u", Seq(missVal))
+      .collect().isEmpty)
+    // empty probe set reads nothing; un-Bloomed column fails loudly
+    assert(ZOrderStore.zLookupBy(spark, root, "u", Nil).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      ZOrderStore.zLookupBy(spark, root, "id", Seq(1L))
+    }
+  }
+
+  test("append/upsert reject a batch whose column TYPES differ from the table's") {
+    val root = java.nio.file.Files.createTempDirectory("zord_ty").toString
+    ZOrderStore.commitZOrdered(grid(), root, "a", "b", shardsLog2 = 4,
+      sketchCols = Seq("id"))
+    val wrong = Seq((1, 2L, 3L)).toDF("id", "a", "b") // id INT, table LONG
+    val ex = intercept[IllegalArgumentException] {
+      ZOrderStore.appendZOrdered(spark, root, wrong)
+    }
+    assert(ex.getMessage.contains("column types"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ZOrderStore.applyChangesZOrdered(spark, root, "id", wrong,
+        Seq(1L).toDF("id"))
+    }
+    assert(ex2.getMessage.contains("column types"))
+  }
 }

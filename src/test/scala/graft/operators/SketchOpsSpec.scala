@@ -527,6 +527,73 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
     assert(plan.joinSizeEst >= exact, s"${plan.joinSizeEst} < $exact")
   }
 
+  test("equiJoinPlanFromRegistry == the rescan plan, with ZERO data-file reads") {
+    import graft.core.SketchRegistry
+    // same fixtures as the planEquiJoin spec: salted_right + broadcast_right
+    val left = (0 until 5000).map(i => ((i % 50).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 5000)
+      .map(i => (if (i % 2 == 0) 7L else ((i / 2) % 50).toLong, i.toLong)).toDF("k", "rv")
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    def commit(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"rjp_$tag").toString
+      SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+        bitsLog2 = 12, k = 4, hllP = 12, cmDepth = 4, cmWidthLog2 = 12)
+      root
+    }
+    val (rl, rr, rd) = (commit(left, "l"), commit(right, "r"), commit(dim, "d"))
+    // the registry decision is BIT-IDENTICAL to the rescan decision —
+    // every field, not just the strategy (merges == fresh sketches)
+    val rescan = SketchOps.equiJoinPlan(left, right, "k",
+      depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L)
+    // physically remove every data file: planning must not notice
+    def hideData(root: String): Unit = {
+      val v = graft.core.TableStore.currentVersion(root).get
+      (0 until 8).foreach { s =>
+        val d = new java.io.File(s"$root/v_$v/shard=$s")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => assert(f.renameTo(new java.io.File(f.getPath + ".hidden"))))
+      }
+    }
+    Seq(rl, rr, rd).foreach(hideData)
+    val fromReg = SketchOps.equiJoinPlanFromRegistry(spark, rl, rr,
+      broadcastMaxRows = 100L)
+    assert(fromReg == rescan, s"$fromReg vs $rescan")
+    assert(fromReg.strategy == "salted_right")
+    val dimPlan = SketchOps.equiJoinPlanFromRegistry(spark, rl, rd,
+      broadcastMaxRows = 100L)
+    assert(dimPlan.strategy == "broadcast_right")
+    assert(dimPlan == SketchOps.equiJoinPlan(left, dim, "k",
+      depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L))
+    // the registry stays exact under the ingest lifecycle: append then
+    // re-plan == re-sketch of the appended data (CM adds, HLL maxes)
+    def unhide(root: String): Unit = {
+      val v = graft.core.TableStore.currentVersion(root).get
+      (0 until 8).foreach { s =>
+        val d = new java.io.File(s"$root/v_$v/shard=$s")
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".hidden"))
+          .foreach(f => assert(f.renameTo(
+            new java.io.File(f.getPath.stripSuffix(".hidden")))))
+      }
+    }
+    Seq(rl, rr, rd).foreach(unhide)
+    val batch = (5000 until 6000).map(i => (7L, i.toLong)).toDF("k", "lv")
+    SketchRegistry.appendWithSketches(spark, rl, batch)
+    val appended = SketchOps.equiJoinPlanFromRegistry(spark, rl, rr,
+      broadcastMaxRows = 100L)
+    assert(appended == SketchOps.equiJoinPlan(left.unionByName(batch), right,
+      "k", depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L))
+    // mismatched sketch parameters fail loudly
+    val other = java.nio.file.Files.createTempDirectory("rjp_w").toString
+    SketchRegistry.commitWithSketches(dim, other, "k", shardsLog2 = 2,
+      bitsLog2 = 12, k = 4, cmWidthLog2 = 10)
+    val ex = intercept[IllegalArgumentException] {
+      SketchOps.equiJoinPlanFromRegistry(spark, rl, other)
+    }
+    assert(ex.getMessage.contains("identical sketch parameters"))
+  }
+
   test("cmJoinSizeEstimate counter products cannot wrap: decimal inner products") {
     // hand-built sketches (depth=2, w=4): row 0 carries counters whose
     // BIGINT product wraps (4e9 * 4e9 = 1.6e19 > Long.MaxValue); row 1

@@ -161,6 +161,131 @@ class IngestStreamSpec extends AnyFunSuite with SparkTest {
     assert(ex.getMessage.contains("no zone map"))
   }
 
+  test("writer-scoped markers: distinct writers dedup independently, maintenance carries both") {
+    val (root, _) = seedTable(50)
+    val bA = (500 until 510).map(i => (i.toLong, s"a$i")).toDF("id", "payload")
+    val bB = (600 until 610).map(i => (i.toLong, s"b$i")).toDF("id", "payload")
+    assert(IngestStream.ingestBatch(spark, root, bA, batchId = 3L, writerId = "wA"))
+    // a DIFFERENT writer's batchId 0 is not deduped against wA's marker
+    assert(IngestStream.ingestBatch(spark, root, bB, batchId = 0L, writerId = "wB"))
+    assert(IngestStream.lastIngestedBatch(root, "wA").contains(3L))
+    assert(IngestStream.lastIngestedBatch(root, "wB").contains(0L))
+    assert(IngestStream.lastIngestedBatch(root).isEmpty) // default writer untouched
+    // replays dedup per writer
+    assert(!IngestStream.ingestBatch(spark, root, bA, batchId = 3L, writerId = "wA"))
+    assert(!IngestStream.ingestBatch(spark, root, bB, batchId = 0L, writerId = "wB"))
+    // maintenance carries the WHOLE marker map, not one writer's entry
+    SketchRegistry.compactWithSketches(spark, root)
+    assert(IngestStream.lastIngestedBatch(root, "wA").contains(3L))
+    assert(IngestStream.lastIngestedBatch(root, "wB").contains(0L))
+    assert(TableStore.read(spark, root).count() == 70L)
+    // writer ids with separators are rejected up front
+    intercept[IllegalArgumentException] {
+      IngestStream.ingestBatch(spark, root, bA, 9L, writerId = "w\tbad")
+    }
+  }
+
+  test("batchId regression beyond the replay window fails loudly (reset checkpoint)") {
+    val (root, _) = seedTable(50)
+    val b = (500 until 510).map(i => (i.toLong, s"x$i")).toDF("id", "payload")
+    assert(IngestStream.ingestBatch(spark, root, b, batchId = 5L))
+    // replay of the marker batch and of marker-1 are silent no-ops
+    assert(!IngestStream.ingestBatch(spark, root, b, batchId = 5L))
+    assert(!IngestStream.ingestBatch(spark, root, b, batchId = 4L))
+    // batchId 0 against marker 5 means the stream restarted without its
+    // checkpoint — silent dedup here would drop batches 1..5 of the new run
+    val ex = intercept[IllegalStateException] {
+      IngestStream.ingestBatch(spark, root, b, batchId = 0L)
+    }
+    assert(ex.getMessage.contains("reset") && ex.getMessage.contains("writerId"))
+    // the documented remedy works: a fresh writerId accepts the new numbering
+    assert(IngestStream.ingestBatch(spark, root,
+      (700 until 705).map(i => (i.toLong, s"y$i")).toDF("id", "payload"),
+      batchId = 0L, writerId = "run2"))
+    // the range arm enforces the same guard
+    val rroot = java.nio.file.Files.createTempDirectory("ingest_rg").toString
+    SketchRegistry.commitRangeSharded(
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "t"),
+      rroot, "t", shardsLog2 = 2)
+    assert(IngestStream.ingestBatchRange(spark, rroot,
+      Seq((500L, 500L)).toDF("id", "t"), batchId = 6L))
+    intercept[IllegalStateException] {
+      IngestStream.ingestBatchRange(spark, rroot,
+        Seq((501L, 501L)).toDF("id", "t"), batchId = 1L)
+    }
+  }
+
+  test("z-order ingest: live stream appends into fixed bucket bounds, zone map exact, replay no-op") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_z").toString
+    graft.core.ZOrderStore.commitZOrdered(
+      (for (a <- 0 until 40; b <- 0 until 40)
+        yield (a.toLong * 40 + b, a.toLong, b.toLong)).toDF("id", "a", "b"),
+      root, "a", "b", shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"))
+    val m0 = graft.core.ZOrderStore.zMeta(root)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val q = IngestStream.ingestZOrderStream(spark, root,
+      stream.toDF().toDF("id", "a", "b"),
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((5000 until 5030).map(i => (i.toLong, 5L, 35L)))
+      q.processAllAvailable()
+      stream.addData((6000 until 6020).map(i => (i.toLong, 900L, 7L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m1 = graft.core.ZOrderStore.zMeta(root)
+    assert(m1.boundsA == m0.boundsA && m1.boundsB == m0.boundsB,
+      "streamed appends must not move the bucket bounds")
+    val back = TableStore.read(spark, root)
+    assert(back.count() == 1650L)
+    // zone map stats == exact post-stream stats
+    val zm = graft.core.ZOrderStore.zoneMap2d(spark, root).collect()
+      .map(r => (r.getInt(0), (r.getLong(r.fieldIndex("min_a")),
+        r.getLong(r.fieldIndex("max_a")), r.getLong(r.fieldIndex("min_b")),
+        r.getLong(r.fieldIndex("max_b")),
+        r.getLong(r.fieldIndex("n_rows"))))).toMap
+    val direct = back.groupBy(col("shard"))
+      .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")),
+        count(lit(1))).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(zm == direct)
+    // a replayed batch id is skipped, version untouched
+    val v = TableStore.currentVersion(root).get
+    assert(!IngestStream.ingestBatchZOrder(spark, root,
+      Seq((5000L, 5L, 35L)).toDF("id", "a", "b"), batchId = 1L))
+    assert(TableStore.currentVersion(root).contains(v))
+    // box reads stay exact over streamed territory (past-bounds top cell)
+    assert(graft.core.ZOrderStore.boxLookup(spark, root, 800L, 999L, 0L, 10L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (6000L until 6020L).toSeq)
+    // compaction carries the marker (restart dedup survives maintenance)
+    graft.core.ZOrderStore.compactZOrdered(spark, root)
+    assert(!IngestStream.ingestBatchZOrder(spark, root,
+      Seq((5000L, 5L, 35L)).toDF("id", "a", "b"), batchId = 1L))
+    // ... and so does a keyed upsert/delete maintenance commit
+    graft.core.ZOrderStore.applyChangesZOrdered(spark, root, "id",
+      upserts = Seq((5000L, 6L, 36L)).toDF("id", "a", "b"),
+      deleteKeys = Seq(5001L).toDF("id"))
+    assert(!IngestStream.ingestBatchZOrder(spark, root,
+      Seq((5000L, 5L, 35L)).toDF("id", "a", "b"), batchId = 1L))
+    assert(IngestStream.lastIngestedBatch(root).contains(1L))
+  }
+
+  test("ingestZOrderStream requires a z-order table") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val bare = java.nio.file.Files.createTempDirectory("ingest_zb").toString
+    TableStore.commit(Seq((1L, 2L, 3L)).toDF("id", "a", "b"), bare)
+    val ex = intercept[IllegalArgumentException] {
+      IngestStream.ingestZOrderStream(spark, bare,
+        stream.toDF().toDF("id", "a", "b"))
+    }
+    assert(ex.getMessage.contains("no 2-D zone map"))
+  }
+
   test("ingestStream requires a bootstrapped sketch table") {
     implicit val sqlCtx = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
