@@ -759,4 +759,51 @@ object GraftEngine {
   def materializedViewStatus(spark: org.apache.spark.sql.SparkSession,
                              sourceRoot: String, viewRoot: String): DataFrame =
     graft.streaming.IvmStream.viewStatus(spark, sourceRoot, viewRoot)
+
+  /** plan_join_from_registry: the q195 dispatch decision from the two
+    * tables' PERSISTED per-shard registry sketches alone — zero data-file
+    * reads, bit-identical to [[planJoin]] over the rows at the same
+    * parameters. The 100 TB planning shape; pass the result to
+    * [[plannedJoin]]'s `plan` (or let [[graft.SketchJoinDispatch]] apply
+    * it transparently to SQL joins over [[readIndexed]] views).
+    */
+  def planJoinFromRegistry(spark: org.apache.spark.sql.SparkSession,
+                           rootA: String, rootB: String,
+                           broadcastMaxRows: Long = 1000000L)
+      : operators.SketchOps.EquiJoinPlan =
+    operators.SketchOps.equiJoinPlanFromRegistry(spark, rootA, rootB,
+      broadcastMaxRows = broadcastMaxRows)
+
+  /** apply_changes_zordered / z_lookup_by: the Z-order layout's keyed
+    * incremental maintenance (touched cells located through the per-cell
+    * key Bloom, everything else hard-links) and the scattered-column
+    * Bloom IN-probe on the 2-D layout.
+    */
+  def applyChangesZOrdered(spark: org.apache.spark.sql.SparkSession,
+                           root: String, keyCol: String,
+                           upserts: DataFrame, deleteKeys: DataFrame): Long =
+    core.ZOrderStore.applyChangesZOrdered(spark, root, keyCol, upserts,
+      deleteKeys)
+
+  def zLookupBy(spark: org.apache.spark.sql.SparkSession, root: String,
+                column: String, values: Seq[Long]): DataFrame =
+    core.ZOrderStore.zLookupBy(spark, root, column, values)
+
+  /** ingest_zorder_stream: exactly-once streaming appends into a
+    * Z-order-sharded table — q211's protocol on the 2-D layout.
+    */
+  def ingestZOrderStream(spark: org.apache.spark.sql.SparkSession,
+                         root: String, source: DataFrame,
+                         checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.IngestStream.ingestZOrderStream(spark, root, source,
+      checkpointDir)
+
+  /** lookup_string / lookup_many: string-keyed registry probes — URL- or
+    * doc-id-string-keyed corpora route through the meta's pinned xxhash64
+    * and compare original strings at the end.
+    */
+  def lookupWithSketchesString(spark: org.apache.spark.sql.SparkSession,
+                               root: String, key: String): DataFrame =
+    core.SketchRegistry.lookupWithSketchesString(spark, root, key)
 }

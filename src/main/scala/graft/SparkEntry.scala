@@ -3081,24 +3081,39 @@ object SparkEntry {
     // every dispatch path: the uniform fixture (shuffle) and the planted
     // 30%-hot-key fixture (salted via auto hot-key detection) aggregate
     // to the same per-key counts and sums the oracle's plain SQL join
-    // produces. The plan changes the shuffle shape, never the rows.
+    // produces. The plan changes the shuffle shape, never the rows —
+    // and since round 13 the DECISION comes from the persisted registry
+    // sketches (equiJoinPlanFromRegistry), never a rescan of the sides.
     "q196_planned_join" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val part = Tables.part(s, dir).select(col("p_partkey").as("k"), col("p_size"))
       val uniL = li.select(col("l_partkey").as("k"), col("l_orderkey"))
       val skwL = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
         .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
-      def planned(l: org.apache.spark.sql.DataFrame) =
+      def commit(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+        val root = java.nio.file.Files.createTempDirectory(s"q196_$tag").toString
+        graft.core.SketchRegistry.commitWithSketches(df, root, "k",
+          shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
+          cmDepth = 4, cmWidthLog2 = 12)
+        root
+      }
+      val partRoot = commit(part, "part")
+      def planned(l: org.apache.spark.sql.DataFrame, tag: String) = {
+        val plan = graft.operators.SketchOps.equiJoinPlanFromRegistry(s,
+          commit(l, tag), partRoot, broadcastMaxRows = 100L)
         graft.operators.SketchOps.planEquiJoin(l, part, "k",
           saltFromLeft = col("l_orderkey"), saltFromRight = col("p_size"),
-          depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L)
+          depth = 4, widthLog2 = 12, p = 12, broadcastMaxRows = 100L,
+          plan = Some(plan))
+      }
       def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.groupBy(col("k")).agg(count(lit(1)).as("n_rows"),
             sum(col("l_orderkey")).as("sum_ord"),
             sum(col("p_size").cast("long")).as("sum_size"))
           .select(lit(tag).as("scenario"), col("k"), col("n_rows"),
             col("sum_ord"), col("sum_size"))
-      agg(planned(uniL), "uniform").unionByName(agg(planned(skwL), "skewed"))
+      agg(planned(uniL, "uni"), "uniform")
+        .unionByName(agg(planned(skwL, "skw"), "skewed"))
     },
 
     // Mergeable quantile sketch — the distribution complement completing
@@ -3178,6 +3193,9 @@ object SparkEntry {
       graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
         shardsLog2 = 3, bitsLog2 = 12, k = 4)
       val probes = (0L until 10L) ++ (1000000L until 1000010L)
+      // BENCH NOTE: this demo runs 20 sequential point lookups, i.e. ~40
+      // driver job launches — its wall time measures job-launch latency,
+      // NOT engine cost. The batched verb (q202/q206) is the scale path.
       probes.map { key =>
         val admitted = graft.core.SketchRegistry.prunedShards(s, root, key)
         val found = graft.core.SketchRegistry.lookupWithSketches(s, root, key).count()
