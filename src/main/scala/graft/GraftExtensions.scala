@@ -243,7 +243,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   */
 object SketchJoinDispatch extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{HintInfo, JoinHint, BROADCAST}
-  import org.apache.spark.sql.catalyst.expressions.NamedExpression
+  import org.apache.spark.sql.catalyst.expressions.{In, NamedExpression}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import graft.core.SketchFileIndex
   import graft.operators.{JoinOps, SketchOps}
@@ -262,6 +262,10 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     */
   private val planCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, String, Long, Long), SketchOps.EquiJoinPlan]()
+
+  /** Bloom-AND co-located shard admission, cached the same way. */
+  private val colocCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String, Long), Seq[Int]]()
 
   /** The SketchFileIndex beneath a join child, looking through
     * attribute-only Projects (column pruning inserts those) and
@@ -309,21 +313,72 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
             li.tableRoot, ri.tableRoot,
             Some(li.tableVersion), Some(ri.tableVersion),
             broadcastMaxRows = broadcastMaxRows))
+        // Bloom-AND co-located shard pruning rides on top of ANY strategy:
+        // with identical key-hash layouts, key k lives in the same shard
+        // on both sides, and a shard pair whose Bloom bitmaps share no bit
+        // provably holds no common key — the join opens only co-populated
+        // passing shard dirs (a disjoint pair opens ZERO data files), rows
+        // unchanged (false AND-bits cost a read, never a wrong row).
+        val coloc = colocatedAdmitted(spark, li, ri)
+        val (l2, r2) = coloc match {
+          case Some(adm) => (pruneShards(left, adm), pruneShards(right, adm))
+          case None      => (left, right)
+        }
+        val pruned = coloc.isDefined
         decision.strategy match {
           case "broadcast_left" =>
-            Join(left, right, Inner, j.condition,
+            Join(l2, r2, Inner, j.condition,
               JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None))
           case "broadcast_right" =>
-            Join(left, right, Inner, j.condition,
+            Join(l2, r2, Inner, j.condition,
               JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
           case "salted_left" =>
-            rewriteSalted(spark, j, left, right, la.name, saltLeft = true)
+            rewriteSalted(spark, j, l2, r2, la.name, saltLeft = true)
           case "salted_right" =>
-            rewriteSalted(spark, j, left, right, la.name, saltLeft = false)
-          case _ => j // shuffle: Catalyst's plain exchange join is right
+            rewriteSalted(spark, j, l2, r2, la.name, saltLeft = false)
+          case _ if pruned => Join(l2, r2, Inner, j.condition, JoinHint.NONE)
+          case _ => j // shuffle, nothing to prune: the plain plan is right
         }
     }
   }
+
+  /** The Bloom-AND-admitted shard ids when the two relations share the
+    * key-hash layout exactly (same shardsLog2/bitsLog2/k — the AND proof
+    * needs identical hash families); None otherwise, or when every
+    * populated shard is admitted (injecting a filter would be noise).
+    */
+  private def colocatedAdmitted(spark: org.apache.spark.sql.SparkSession,
+                                li: SketchFileIndex,
+                                ri: SketchFileIndex): Option[Set[Int]] = {
+    val (ml, mr) = (li.hashLayoutMeta.get, ri.hashLayoutMeta.get)
+    if (ml.shardsLog2 != mr.shardsLog2 || ml.bitsLog2 != mr.bitsLog2 ||
+      ml.k != mr.k) return None
+    val admitted = colocCache.computeIfAbsent(
+      (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion),
+      _ => graft.core.SketchRegistry.joinPrunedShards(spark,
+        li.tableRoot, ri.tableRoot,
+        Some(li.tableVersion), Some(ri.tableVersion)))
+    if (admitted.size >= (1 << ml.shardsLog2)) None
+    else Some(admitted.toSet)
+  }
+
+  /** Inject `shard IN (admitted)` directly above each sketch relation —
+    * `shard` is the layout's partition column, so FileSourceStrategy
+    * hands the filter to the FileIndex and only admitted dirs open.
+    */
+  private def pruneShards(side: LogicalPlan, admitted: Set[Int]): LogicalPlan =
+    side.transformUp {
+      case l: LogicalRelation if indexUnder(l).isDefined =>
+        val shardAttr = l.output.find(_.name == "shard").getOrElse(
+          throw new IllegalStateException(
+            "sketch relation lost its shard column — cannot prune"))
+        val cond =
+          if (admitted.isEmpty)
+            org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral
+          else In(shardAttr,
+            admitted.toSeq.sorted.map(s => Literal(s): Expression))
+        Filter(cond, l)
+    }
 
   /** All the scope conditions that make the rewrite applicable AND safe. */
   private def dispatchable(j: Join, left: LogicalPlan, right: LogicalPlan,

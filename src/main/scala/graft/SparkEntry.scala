@@ -3732,11 +3732,12 @@ object SparkEntry {
           cmDepth = 4, cmWidthLog2 = 12)
         root
       }
-      Seq(("uniform", uniL, dimR), ("skewed", skwL, dimR), ("small_dim", smlL, smlR))
-        .map { case (name, l, r) =>
+      val dimRoot = commit(dimR, "dim") // shared by the two fact scenarios
+      Seq(("uniform", uniL, dimRoot), ("skewed", skwL, dimRoot),
+        ("small_dim", smlL, commit(smlR, "sml_r")))
+        .map { case (name, l, rRoot) =>
           val p = graft.operators.SketchOps.equiJoinPlanFromRegistry(s,
-            commit(l, s"${name}_l"), commit(r, s"${name}_r"),
-            broadcastMaxRows = 100L)
+            commit(l, s"${name}_l"), rRoot, broadcastMaxRows = 100L)
           (name, p.nLeft, p.nRight, p.ndvLeftMicro, p.ndvRightMicro,
             p.fmaxLeftEst, p.fmaxRightEst, p.joinSizeEst, p.strategy)
         }

@@ -112,6 +112,58 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
       sortedRows(left.join(right, Seq("k")).select("k", "lv", "rv")))
   }
 
+  test("co-located Bloom-AND pruning rides transparently: disjoint join opens zero files") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps stages whose plans plain collect() does not descend into
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    // the verified-collision-free disjoint fixture (see SketchRegistrySpec:
+    // 2^16-bit filters, 40 keys at base 102000 — sparse regime, splitmix
+    // positions replayed collision-free)
+    def commit16(df: DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"sjdc_$tag").toString
+      SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+        bitsLog2 = 16, k = 4)
+      root
+    }
+    val a = (0 until 600).map(i => (i.toLong, s"a$i")).toDF("k", "pa")
+    val c = (102000 until 102040).map(i => (i.toLong, i)).toDF("k", "x")
+    SketchFileIndex.readIndexed(spark, commit16(a, "a"))
+      .createOrReplaceTempView("sjdc_a")
+    SketchFileIndex.readIndexed(spark, commit16(c, "c"))
+      .createOrReplaceTempView("sjdc_c")
+    // one-shard overlap: D holds only shard-5 keys of A
+    val oneShard = (0 until 600).map(_.toLong)
+      .filter(k => (graft.functions.HashKernels.splitmix64(k) & 7L) == 5L)
+    val d = oneShard.map(kk => (kk, s"d$kk")).toDF("k", "pd")
+    SketchFileIndex.readIndexed(spark, commit16(d, "d"))
+      .createOrReplaceTempView("sjdc_d")
+    withDispatch(broadcastMaxRows = 5L) { // below every side: no broadcast arm
+      // disjoint key spaces: the SQL join plans ZERO scan partitions
+      val disjoint = spark.sql(
+        "SELECT a.k, a.pa, c.x FROM sjdc_a a JOIN sjdc_c c ON a.k = c.k")
+      assert(disjoint.collect().isEmpty)
+      assert(scannedParts(disjoint) == 0,
+        s"disjoint join must open no shard dir:\n${disjoint.queryExecution.executedPlan}")
+      // concentrated overlap: exactly one shard pair opens, rows exact
+      val narrow = spark.sql(
+        "SELECT a.k, a.pa, d.pd FROM sjdc_a a JOIN sjdc_d d ON a.k = d.k")
+      assert(narrow.collect().length == oneShard.size)
+      assert(scannedParts(narrow) == 2, // shard 5 on each side
+        s"expected one shard pair:\n${narrow.queryExecution.executedPlan}")
+      assert(sortedRows(narrow) ==
+        sortedRows(a.join(d, Seq("k")).select("k", "pa", "pd")))
+    }
+  }
+
   test("out-of-scope joins are left alone: extra conjunct, filtered side, shard selected") {
     val left = (0 until 2000).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 2000)

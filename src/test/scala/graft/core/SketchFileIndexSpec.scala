@@ -106,8 +106,16 @@ class SketchFileIndexSpec extends AnyFunSuite with SparkTest {
     val root = java.nio.file.Files.createTempDirectory("sfi_z").toString
     val grid = (for (a <- 0 until 40; b <- 0 until 40)
       yield (a.toLong * 40 + b, a.toLong, b.toLong)).toDF("id", "a", "b")
-    ZOrderStore.commitZOrdered(grid, root, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    ZOrderStore.commitZOrdered(grid, root, "a", "b", shardsLog2 = 4, subLog2 = 5,
+      sketchCols = Seq("id"), bloomBitsLog2 = 14)
     val idx = SketchFileIndex.readIndexed(spark, root)
+    // a per-cell secondary Bloom prunes equality on the scattered column
+    val byId = idx.filter(col("id") === 777L)
+    assert(byId.collect().map(_.getLong(0)).toSeq == Seq(777L))
+    assert(scannedShards(byId).size < 16, s"read ${scannedShards(byId)}")
+    val idMiss = (700000L until 700200L).find(v =>
+      scannedShards(idx.filter(col("id") === v)).isEmpty).get
+    assert(idx.filter(col("id") === idMiss).collect().isEmpty)
     assert(idx.count() == 1600L)
     // one bucket cell in both dimensions: 1 of 16 shards scanned
     val cell = idx.filter(col("a").between(0L, 8L) && col("b").between(0L, 8L))
