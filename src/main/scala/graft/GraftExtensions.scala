@@ -233,11 +233,16 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   *   - `spark.graft.sketchJoinDispatch.broadcastMaxRows` (default 1000000)
   *   - `spark.graft.sketchJoinDispatch.buckets`          (default 16)
   *
-  * Scope (anything outside it is left to Catalyst untouched): inner joins,
-  * a single `l.key = r.key` condition naming BOTH tables' registry key
-  * columns (same name), both sides a bare/projected `readIndexed`
-  * relation, no existing join hint, non-key column names disjoint across
-  * sides, and both registries carrying CM rows at identical parameters.
+  * Scope (anything outside it is left to Catalyst untouched): INNER,
+  * LEFT OUTER, LEFT SEMI, and LEFT ANTI joins with a single
+  * `l.key = r.key` condition naming BOTH tables' registry key columns,
+  * both sides a bare/projected `readIndexed` relation, no existing join
+  * hint, and both registries carrying CM rows at identical parameters.
+  * The non-inner types get what is semantically legal: broadcast-RIGHT
+  * hints and side-appropriate Bloom-AND pruning (right-only for
+  * outer/anti — every left row must survive; both sides for semi);
+  * salting and the same-key-name / disjoint-non-key-name requirements
+  * apply to INNER only (the salted rewrite re-projects by name).
   * Decisions are cached per (root, version) pair — optimizer batches run
   * to fixed point, and the registry is immutable per version.
   */
@@ -295,13 +300,38 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Join types the dispatch understands, with their side constraints:
+    * INNER gets the full treatment; LEFT OUTER / LEFT SEMI / LEFT ANTI
+    * get what is semantically legal — broadcast-RIGHT hints (the only
+    * broadcast build Spark's BroadcastHashJoin supports for them) and
+    * side-appropriate Bloom-AND pruning:
+    *
+    *  - LeftOuter / LeftAnti: RIGHT side only. Every left row must
+    *    survive (unmatched rows emit nulls / ARE the output), but right
+    *    rows in non-co-admitted shards provably match nothing — dropping
+    *    them changes no row's match status.
+    *  - LeftSemi: BOTH sides. Left rows in non-admitted shards provably
+    *    have no match and are absent from the semi output anyway.
+    *
+    * Salting stays INNER-only ([[JoinOps.skewAwareJoin]]'s shape).
+    */
+  private def supported(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case Inner => true
+      case org.apache.spark.sql.catalyst.plans.LeftOuter => true
+      case org.apache.spark.sql.catalyst.plans.LeftSemi => true
+      case org.apache.spark.sql.catalyst.plans.LeftAnti => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val spark = org.apache.spark.sql.SparkSession.active
     plan.transform {
-      case j @ Join(left, right, Inner,
+      case j @ Join(left, right, jt,
           Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
-          if hint == JoinHint.NONE && dispatchable(j, left, right, x, y) =>
+          if hint == JoinHint.NONE && supported(jt) &&
+            dispatchable(j, left, right, x, y) =>
         val (la, _) =
           if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
         val li = indexUnder(left).get
@@ -318,26 +348,31 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         // on both sides, and a shard pair whose Bloom bitmaps share no bit
         // provably holds no common key — the join opens only co-populated
         // passing shard dirs (a disjoint pair opens ZERO data files), rows
-        // unchanged (false AND-bits cost a read, never a wrong row).
+        // unchanged (false AND-bits cost a read, never a wrong row). Which
+        // SIDES may prune depends on the join type (see [[supported]]).
         val coloc = colocatedAdmitted(spark, li, ri)
+        val pruneLeft = jt == Inner || jt ==
+          org.apache.spark.sql.catalyst.plans.LeftSemi
         val (l2, r2) = coloc match {
-          case Some(adm) => (pruneShards(left, adm), pruneShards(right, adm))
-          case None      => (left, right)
+          case Some(adm) =>
+            (if (pruneLeft) pruneShards(left, adm) else left,
+              pruneShards(right, adm))
+          case None => (left, right)
         }
         val pruned = coloc.isDefined
+        val bcastLeft = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
+        val bcastRight = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
         decision.strategy match {
-          case "broadcast_left" =>
-            Join(l2, r2, Inner, j.condition,
-              JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None))
-          case "broadcast_right" =>
-            Join(l2, r2, Inner, j.condition,
-              JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST)))))
-          case "salted_left" =>
+          case "broadcast_left" if jt == Inner =>
+            Join(l2, r2, jt, j.condition, bcastLeft)
+          case "broadcast_right" => // BuildRight is legal for all four types
+            Join(l2, r2, jt, j.condition, bcastRight)
+          case "salted_left" if jt == Inner =>
             rewriteSalted(spark, j, l2, r2, la.name, saltLeft = true)
-          case "salted_right" =>
+          case "salted_right" if jt == Inner =>
             rewriteSalted(spark, j, l2, r2, la.name, saltLeft = false)
-          case _ if pruned => Join(l2, r2, Inner, j.condition, JoinHint.NONE)
-          case _ => j // shuffle, nothing to prune: the plain plan is right
+          case _ if pruned => Join(l2, r2, jt, j.condition, JoinHint.NONE)
+          case _ => j // nothing legal to change: the plain plan is right
         }
     }
   }
@@ -394,14 +429,18 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         case (Some(li), Some(ri)) =>
           (li.hashLayoutMeta, ri.hashLayoutMeta) match {
             case (Some(ml), Some(mr)) =>
-              ml.keyCol == la.name && mr.keyCol == ra.name &&
-                la.name == ra.name && // skewAwareJoin joins by shared name
+              // the salted rewrite (INNER only) joins by shared key name
+              // and re-projects by name, so it additionally needs the
+              // same key name and disjoint non-key names; hint/prune
+              // dispatch for the other join types does not
+              val saltedSafe = j.joinType != Inner ||
+                (la.name == ra.name &&
+                  left.output.map(_.name).filterNot(_ == la.name)
+                    .intersect(right.output.map(_.name)).isEmpty)
+              ml.keyCol == la.name && mr.keyCol == ra.name && saltedSafe &&
                 ml.cmDepth > 0 && mr.cmDepth > 0 &&
                 ml.cmDepth == mr.cmDepth &&
-                ml.cmWidthLog2 == mr.cmWidthLog2 && ml.hllP == mr.hllP &&
-                // the name-keyed output re-projection needs unique names
-                left.output.map(_.name).filterNot(_ == la.name)
-                  .intersect(right.output.map(_.name)).isEmpty
+                ml.cmWidthLog2 == mr.cmWidthLog2 && ml.hllP == mr.hllP
             case _ => false
           }
         case _ => false

@@ -164,6 +164,65 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("outer/semi/anti joins: broadcast-right hints and side-legal pruning, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    def commit16(df: DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"sjdo_$tag").toString
+      SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+        bitsLog2 = 16, k = 4)
+      root
+    }
+    val a = (0 until 600).map(i => (i.toLong, s"a$i")).toDF("k", "pa")
+    // right side holds only shard-5 keys — pruning evidence per side
+    val oneShard = (0 until 600).map(_.toLong)
+      .filter(kk => (graft.functions.HashKernels.splitmix64(kk) & 7L) == 5L)
+    val d = oneShard.map(kk => (kk.toLong, s"d$kk")).toDF("k", "pd")
+    val ra = commit16(a, "a")
+    val rd = commit16(d, "d")
+    SketchFileIndex.readIndexed(spark, ra).createOrReplaceTempView("sjdo_a")
+    SketchFileIndex.readIndexed(spark, rd).createOrReplaceTempView("sjdo_d")
+    val aParts = scannedParts(SketchFileIndex.readIndexed(spark, ra)
+      .select("k").filter(col("k").isNotNull))
+    withDispatch(broadcastMaxRows = 1000L) { // d (75ish rows) broadcasts
+      // LEFT OUTER: every left row survives (left NOT pruned), right
+      // prunes to its one shard, the join broadcasts despite threshold -1
+      val outer = spark.sql(
+        "SELECT a.k, a.pa, d.pd FROM sjdo_a a LEFT JOIN sjdo_d d ON a.k = d.k")
+      assert(outer.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sortedRows(outer) ==
+        sortedRows(a.join(d, Seq("k"), "left").select("k", "pa", "pd")))
+      val outerScans = allScans(outer.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length)
+      assert(outerScans.contains(1), s"right side must prune to one shard: $outerScans")
+      assert(outerScans.contains(aParts), s"left side must NOT prune: $outerScans vs $aParts")
+      // LEFT SEMI: both sides prune to the co-admitted shard
+      val semi = spark.sql(
+        "SELECT a.k, a.pa FROM sjdo_a a LEFT SEMI JOIN sjdo_d d ON a.k = d.k")
+      assert(sortedRows(semi) ==
+        sortedRows(a.join(d, Seq("k"), "left_semi").select("k", "pa")))
+      assert(scannedParts(semi) == 2, s"semi must read one shard pair, got ${scannedParts(semi)}")
+      // LEFT ANTI: left rows WITHOUT a match — left must NOT prune (the
+      // pruned-away shards ARE output), right prunes
+      val anti = spark.sql(
+        "SELECT a.k, a.pa FROM sjdo_a a LEFT ANTI JOIN sjdo_d d ON a.k = d.k")
+      assert(sortedRows(anti) ==
+        sortedRows(a.join(d, Seq("k"), "left_anti").select("k", "pa")))
+      val antiScans = allScans(anti.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length)
+      assert(antiScans.contains(aParts), s"anti left side must NOT prune: $antiScans")
+    }
+  }
+
   test("out-of-scope joins are left alone: extra conjunct, filtered side, shard selected") {
     val left = (0 until 2000).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 2000)

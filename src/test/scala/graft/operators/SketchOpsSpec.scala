@@ -592,6 +592,22 @@ class SketchOpsSpec extends AnyFunSuite with SparkTest {
       SketchOps.equiJoinPlanFromRegistry(spark, rl, other)
     }
     assert(ex.getMessage.contains("identical sketch parameters"))
+    // STRING-keyed tables plan from the registry too (the rescan path
+    // cannot even sketch a string column — registry CM is built on the
+    // pinned key hash): exact row counts, sane broadcast decision
+    val sa = (0 until 5000).map(i => (s"u://${i % 50}", i.toLong)).toDF("k", "lv")
+    val sb = (0 until 40).map(i => (s"u://$i", s"d$i")).toDF("k", "name")
+    val (ra, rb) = (java.nio.file.Files.createTempDirectory("rjp_sa").toString,
+      java.nio.file.Files.createTempDirectory("rjp_sb").toString)
+    SketchRegistry.commitWithSketches(sa, ra, "k", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4)
+    SketchRegistry.commitWithSketches(sb, rb, "k", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4)
+    val sPlan = SketchOps.equiJoinPlanFromRegistry(spark, ra, rb,
+      broadcastMaxRows = 100L)
+    assert(sPlan.nLeft == 5000L && sPlan.nRight == 40L)
+    assert(sPlan.strategy == "broadcast_right")
+    assert(sPlan.joinSizeEst >= sa.join(sb, Seq("k")).count())
   }
 
   test("cmJoinSizeEstimate counter products cannot wrap: decimal inner products") {
