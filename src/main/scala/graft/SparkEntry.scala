@@ -3213,6 +3213,7 @@ object SparkEntry {
       graft.core.SketchRegistry.commitWithSketches(docs, root, "doc_id",
         shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 9)
       graft.core.SketchRegistry.shardStats(s, root)
+        .select("shard", "n_rows", "ndv_micro") // fmax_est is q232's story
     },
 
     // Batch Bloom-pruned semi-join through the registry: result rows are
@@ -3890,6 +3891,25 @@ object SparkEntry {
           "https://corpus.example/nowhere/2").toDF("url"))
       graft.core.SketchRegistry.lookupManyWithSketches(s, root, probes, "url")
         .select("url", "doc_id", "source")
+    },
+
+    // Per-shard HEAVY-KEY bounds off the registry alone — the second
+    // consumer of the per-shard CM rows: shardStats now serves (n_rows,
+    // ndv, fmax_est) per shard with zero data files touched, so a hot
+    // key's shard is diagnosable from metadata (the planted key 7's
+    // shard carries ~30% of the table and its fmax_est dwarfs
+    // n_rows/ndv). The oracle replays the full chain: splitmix shard
+    // assignment, per-shard CM cells, min-over-rows max counters, and
+    // the p=9 HLL ndv.
+    "q232_shard_fmax" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val keys = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
+      val root = java.nio.file.Files.createTempDirectory("q232_store").toString
+      graft.core.SketchRegistry.commitWithSketches(keys, root, "k",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 9,
+        cmDepth = 4, cmWidthLog2 = 12)
+      graft.core.SketchRegistry.shardStats(s, root)
     }
   )
 
@@ -8580,7 +8600,70 @@ object SparkEntry {
     "q231_string_key_lookup" ->
       """WITH d AS (SELECT 'https://corpus.example/' || source || '/' ||
         |    CAST(doc_id AS VARCHAR) AS url, doc_id, source FROM documents)
-        |SELECT url, doc_id, source FROM d WHERE doc_id % 7 = 3""".stripMargin
+        |SELECT url, doc_id, source FROM d WHERE doc_id % 7 = 3""".stripMargin,
+
+    // per-shard stats replay: splitmix shard assignment, CM cells
+    // (splitmix64(x+i) low 12 bits, weighted by key multiplicity) with
+    // min-over-rows max counters, and the q201-style p=9 HLL ndv over
+    // distinct keys per shard
+    "q232_shard_fmax" ->
+      """WITH keys AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7
+        |    ELSE l_partkey END AS x FROM lineitem),
+        |kc AS (SELECT x, count(*) AS n FROM keys GROUP BY x),
+        |z0a AS (SELECT x, n, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM kc),
+        |x1a AS (SELECT x, n, xor(z, z // 1073741824) AS xx FROM z0a),
+        |z1a AS (SELECT x, n, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1a),
+        |x2a AS (SELECT x, n, xor(z, z // 134217728) AS xx FROM z1a),
+        |z2a AS (SELECT x, n, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2a),
+        |sh AS (SELECT x, n, CAST(xor(z, z // 2147483648) % 8 AS INT) AS shard FROM z2a),
+        |cnt AS (SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows FROM sh GROUP BY 1),
+        |inp AS (SELECT shard, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT shard, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT shard, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT shard, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT shard, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT shard, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cellh AS (SELECT shard, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c,
+        |          CAST(sum(n) AS BIGINT) AS v
+        |          FROM z2 GROUP BY 1, 2, 3),
+        |fm AS (SELECT shard, CAST(min(rowmax) AS BIGINT) AS fmax
+        |       FROM (SELECT shard, i, max(v) AS rowmax FROM cellh GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |v AS (SELECT DISTINCT shard AS g, x FROM sh),
+        |hz0 AS (SELECT g, ((CAST(x AS HUGEINT) + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM v),
+        |hx1 AS (SELECT g, xor(z, z // 1073741824) AS xx FROM hz0),
+        |hz1 AS (SELECT g, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx1),
+        |hx2 AS (SELECT g, xor(z, z // 134217728) AS xx FROM hz1),
+        |hz2 AS (SELECT g, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM hx2),
+        |hh AS (SELECT g, xor(z, z // 2147483648) AS u FROM hz2),
+        |hrr AS (SELECT g, CAST(u % 512 AS INT) AS idx, CAST(u // 512 AS BIGINT) AS rem FROM hh),
+        |hrk AS (SELECT g, idx,
+        |  CASE WHEN rem = 0 THEN 56 ELSE CAST(log2(rem & (-rem)) AS INT) + 1 END AS rank
+        |  FROM hrr),
+        |hreg AS (SELECT g, idx, max(rank) AS r FROM hrk GROUP BY g, idx),
+        |hdense AS (
+        |  SELECT gs.g, i.idx, coalesce(hreg.r, 0) AS r
+        |  FROM (SELECT DISTINCT g FROM v) gs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 511)) AS idx) i
+        |  LEFT JOIN hreg ON hreg.g = gs.g AND hreg.idx = i.idx),
+        |hest AS (
+        |  SELECT g,
+        |    list_sum(list(2.0 ** (-r) ORDER BY idx)) AS sp,
+        |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+        |  FROM hdense GROUP BY g),
+        |hfin AS (
+        |  SELECT g,
+        |    CAST(floor(1e6 * CASE WHEN raw <= 2.5 * 512.0 AND zeros > 0
+        |      THEN 512.0 * ln(512.0 / zeros) ELSE raw END) AS BIGINT) AS est_micro
+        |  FROM (SELECT g, zeros,
+        |          (0.7213 / (1 + 1.079 / 512.0)) * 512.0 * 512.0 / sp AS raw
+        |        FROM hest))
+        |SELECT cnt.shard, cnt.n_rows, hfin.est_micro AS ndv_micro,
+        |  fm.fmax AS fmax_est
+        |FROM cnt
+        |JOIN hfin ON hfin.g = cnt.shard
+        |JOIN fm ON fm.shard = cnt.shard""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

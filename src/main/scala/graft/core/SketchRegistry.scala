@@ -221,13 +221,28 @@ object SketchRegistry {
   }
 
   /** Per-shard planning statistics served off the registry ALONE — zero
-    * data files touched: (shard, n_rows, ndv_micro).
+    * data files touched: (shard, n_rows, ndv_micro[, fmax_est]).
+    * `fmax_est` (registries with CM rows only) is the per-shard
+    * heavy-key upper bound — MIN over the CM's depth rows of the row's
+    * max counter, the [[SketchOps.equiJoinPlan]] skew signal at SHARD
+    * granularity: a shard whose fmax_est dwarfs n_rows∕ndv carries a hot
+    * key, diagnosed without opening a data file.
     */
   def shardStats(spark: SparkSession, root: String,
                  version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
-    registry(spark, root, version).select(col("shard"), col("n_rows"),
-      SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"))
+    val base = registry(spark, root, version).select(col("shard"),
+      col("n_rows"), SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"),
+      col("cm"))
+    if (m.cmDepth == 0) base.drop("cm")
+    else {
+      val w = 1 << m.cmWidthLog2
+      val rowMaxes = (0 until m.cmDepth).map(i =>
+        array_max(slice(col("cm"), i * w + 1, w)))
+      base.withColumn("fmax_est",
+        if (rowMaxes.length == 1) rowMaxes.head else least(rowMaxes: _*))
+        .drop("cm")
+    }
   }
 
   /** The shard directories a lookup of `key` must read: the key's hash

@@ -701,6 +701,31 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(g.getMessage.contains("no zone-map Bloom"))
   }
 
+  test("shardStats fmax_est: per-shard heavy-key bounds off the registry, never undercounting") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("skfmax").toString
+    // key 7 planted hot: 3000 rows; 50 cold keys with 40 rows each
+    val rows = ((0 until 3000).map(_ => 7L) ++
+      (0 until 2000).map(i => 100L + i % 50)).map(k => (k, s"p$k"))
+    SketchRegistry.commitWithSketches(rows.toDF("id", "payload"), root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val stats = SketchRegistry.shardStats(spark, root).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val trueMax = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .groupBy { case (k, _) =>
+        (graft.functions.HashKernels.splitmix64(k) & 7L).toInt }
+      .view.mapValues(_.values.max).toMap
+    trueMax.foreach { case (s, mx) =>
+      val (n, fmax) = stats(s)
+      assert(fmax >= mx, s"shard $s: fmax_est $fmax undercounts true max $mx")
+      assert(fmax <= n, s"shard $s: fmax_est $fmax exceeds the shard's rows $n")
+    }
+    // the hot key's shard is diagnosable from metadata alone
+    val hotShard = (graft.functions.HashKernels.splitmix64(7L) & 7L).toInt
+    assert(stats(hotShard)._2 >= 3000L)
+    assert(stats.filter(_._1 != hotShard).values.forall(_._2 < 3000L))
+  }
+
   test("string-keyed registry: lookups route through the pinned xxhash64, lifecycle maintains it") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("skstr").toString
