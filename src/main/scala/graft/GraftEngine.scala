@@ -806,4 +806,14 @@ object GraftEngine {
   def lookupWithSketchesString(spark: org.apache.spark.sql.SparkSession,
                                root: String, key: String): DataFrame =
     core.SketchRegistry.lookupWithSketchesString(spark, root, key)
+
+  /** key_frequency_estimates: "how hot are these suspect keys" off the
+    * registry's merged per-shard CM sketches — overcount-only, zero data
+    * files touched; integral and string keys both route through the
+    * meta's pinned hash.
+    */
+  def keyFrequencyEstimates(spark: org.apache.spark.sql.SparkSession,
+                            root: String, probes: DataFrame,
+                            probeKeyCol: String): DataFrame =
+    core.SketchRegistry.keyFrequencyEstimates(spark, root, probes, probeKeyCol)
 }

@@ -3910,6 +3910,30 @@ object SparkEntry {
         shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 9,
         cmDepth = 4, cmWidthLog2 = 12)
       graft.core.SketchRegistry.shardStats(s, root)
+    },
+
+    // Key-frequency TRIAGE off the registry — the third CM-row consumer:
+    // "how hot are these suspect keys" answered by merging the per-shard
+    // CM sketches (addition — bit-identical to sketching the rows) and
+    // reading each probe's min-over-rows counter, zero data files
+    // touched. Overcount-only (the planted hot key reads exact or above,
+    // the absent key reads whatever its cells collide into — never a
+    // false zero-for-present). Exact counts ride alongside.
+    "q233_key_freq_registry" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val keys = li.select(when(col("l_orderkey") % 10 < 3, lit(7L))
+        .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
+      val root = java.nio.file.Files.createTempDirectory("q233_store").toString
+      graft.core.SketchRegistry.commitWithSketches(keys, root, "k",
+        shardsLog2 = 3, bitsLog2 = 12, k = 4,
+        cmDepth = 4, cmWidthLog2 = 12)
+      val probes = Seq(7L, 1L, 2L, 50L, 999999L).toDF("probe")
+      graft.core.SketchRegistry.keyFrequencyEstimates(s, root, probes, "probe")
+        .join(keys.groupBy(col("k")).agg(count(lit(1)).as("__n")),
+          col("probe") === col("k"), "left")
+        .select(col("probe"), col("est"),
+          coalesce(col("__n"), lit(0L)).as("n_exact"))
     }
   )
 
@@ -8663,7 +8687,40 @@ object SparkEntry {
         |  fm.fmax AS fmax_est
         |FROM cnt
         |JOIN hfin ON hfin.g = cnt.shard
-        |JOIN fm ON fm.shard = cnt.shard""".stripMargin
+        |JOIN fm ON fm.shard = cnt.shard""".stripMargin,
+
+    // q189's probe replay over the merged registry CM: weighted cells at
+    // width 4096, probe lookups = min over rows of coalesce(cell, 0),
+    // exact counts alongside (absent probe -> 0)
+    "q233_key_freq_registry" ->
+      """WITH keys AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 7
+        |    ELSE l_partkey END AS x FROM lineitem),
+        |kc AS (SELECT x, count(*) AS n FROM keys GROUP BY 1),
+        |inp AS (SELECT x, n, i, CAST(x + i AS HUGEINT) AS x0
+        |        FROM kc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |z0 AS (SELECT x, n, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM inp),
+        |x1 AS (SELECT x, n, i, xor(z, z // 1073741824) AS xx FROM z0),
+        |z1 AS (SELECT x, n, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x1),
+        |x2 AS (SELECT x, n, i, xor(z, z // 134217728) AS xx FROM z1),
+        |z2 AS (SELECT x, n, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM x2),
+        |cells AS (SELECT x, n, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c FROM z2),
+        |reg AS (SELECT i, c, CAST(sum(n) AS BIGINT) AS v FROM cells GROUP BY 1, 2),
+        |pr(probe) AS (VALUES (CAST(7 AS BIGINT)), (1), (2), (50), (999999)),
+        |pinp AS (SELECT probe, i, CAST(probe + i AS HUGEINT) AS x0
+        |        FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) ri),
+        |pz0 AS (SELECT probe, i, ((x0 + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) AS z FROM pinp),
+        |px1 AS (SELECT probe, i, xor(z, z // 1073741824) AS xx FROM pz0),
+        |pz1 AS (SELECT probe, i, (xx * 484763065::HUGEINT + ((xx * 3210233709::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM px1),
+        |px2 AS (SELECT probe, i, xor(z, z // 134217728) AS xx FROM pz1),
+        |pz2 AS (SELECT probe, i, (xx * 321982955::HUGEINT + ((xx * 2496678331::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS z FROM px2),
+        |pcells AS (SELECT probe, i, CAST(xor(z, z // 2147483648) % 4096 AS INT) AS c FROM pz2),
+        |est AS (SELECT probe, CAST(min(coalesce(reg.v, 0)) AS BIGINT) AS est
+        |        FROM pcells LEFT JOIN reg ON reg.i = pcells.i AND reg.c = pcells.c
+        |        GROUP BY 1)
+        |SELECT pr.probe, est.est,
+        |  CAST(coalesce(kc.n, 0) AS BIGINT) AS n_exact
+        |FROM pr JOIN est ON est.probe = pr.probe
+        |LEFT JOIN kc ON kc.x = pr.probe""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

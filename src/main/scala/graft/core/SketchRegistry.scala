@@ -1119,6 +1119,34 @@ object SketchRegistry {
     }
   }
 
+  /** Point-FREQUENCY estimates for probe keys off the registry ALONE —
+    * the third consumer of the per-shard CM rows (after
+    * [[graft.operators.SketchOps.equiJoinPlanFromRegistry]] and
+    * [[shardStats]]'s fmax): the per-shard sketches merge by addition
+    * into the table's global CM (bit-identical to sketching the rows),
+    * and each probe reads its min-over-rows counter — an overestimate by
+    * at most εN, zero data files touched. The triage for "how hot are
+    * these suspect keys" (boilerplate doc ids, null-ish defaults, hot
+    * users) before paying an exact count. Probes hash through the meta's
+    * pinned key derivation, so integral and string keys both work.
+    * Output: probes' columns + `est`.
+    */
+  def keyFrequencyEstimates(spark: SparkSession, root: String,
+                            probes: DataFrame, probeKeyCol: String,
+                            version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    require(m.cmDepth > 0,
+      s"$root's registry predates per-shard CM rows — re-commit with the " +
+        "current commitWithSketches to enable frequency estimates")
+    val merged = SketchOps.cmMergeSketches(
+      registry(spark, root, version).select(col("cm")), Nil, "cm",
+      m.cmDepth, m.cmWidthLog2)
+    val p = probes.withColumn("__k",
+      keyHashExpr(m.keyIsString, col(probeKeyCol)))
+    SketchOps.cmEstimate(merged, p, Nil, "__k", m.cmDepth, m.cmWidthLog2)
+      .drop("__k")
+  }
+
   /** Keyed point lookup through the registry: a Bloom miss returns the
     * empty result WITHOUT opening any data file (the plan collapses to an
     * empty LocalRelation); a hit reads exactly one shard directory of

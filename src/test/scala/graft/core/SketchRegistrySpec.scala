@@ -726,6 +726,42 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     assert(stats.filter(_._1 != hotShard).values.forall(_._2 < 3000L))
   }
 
+  test("keyFrequencyEstimates: registry-merged CM probes overcount only, string keys too") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("skfreq").toString
+    val rows = ((0 until 3000).map(_ => 7L) ++
+      (0 until 2000).map(i => 100L + i % 50)).map(k => (k, s"p$k"))
+    SketchRegistry.commitWithSketches(rows.toDF("id", "payload"), root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val truth = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      .withDefaultValue(0L)
+    val probes = Seq(7L, 100L, 120L, 999999L).toDF("probe")
+    val est = SketchRegistry.keyFrequencyEstimates(spark, root, probes, "probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(7L, 100L, 120L, 999999L).foreach { k =>
+      assert(est(k) >= truth(k), s"key $k: est ${est(k)} undercounts ${truth(k)}")
+    }
+    assert(est(7L) >= 3000L && est(7L) <= 5000L) // hot key dominates, bounded by N
+    // the estimate equals cmEstimate over a FRESH global sketch (the
+    // per-shard merge is bit-identical to sketching the rows)
+    val fresh = graft.operators.SketchOps.cmEstimate(
+      graft.operators.SketchOps.cmSketch(rows.toDF("id", "p"), Nil, "id",
+        4, 12),
+      probes, Nil, "probe", 4, 12)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est")).toMap
+    assert(est == fresh)
+    // string keys hash through the meta's pinned derivation
+    val sroot = java.nio.file.Files.createTempDirectory("skfreq_s").toString
+    SketchRegistry.commitWithSketches(
+      ((0 until 500).map(_ => "u://hot") ++ (0 until 100).map(i => s"u://$i"))
+        .map(u => (u, 1)).toDF("url", "one"),
+      sroot, "url", shardsLog2 = 2, bitsLog2 = 12, k = 4)
+    val sEst = SketchRegistry.keyFrequencyEstimates(spark, sroot,
+      Seq("u://hot", "u://3", "u://absent").toDF("u"), "u")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sEst("u://hot") >= 500L && sEst("u://3") >= 1L)
+  }
+
   test("string-keyed registry: lookups route through the pinned xxhash64, lifecycle maintains it") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("skstr").toString
