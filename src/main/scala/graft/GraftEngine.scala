@@ -816,4 +816,15 @@ object GraftEngine {
                             root: String, probes: DataFrame,
                             probeKeyCol: String): DataFrame =
     core.SketchRegistry.keyFrequencyEstimates(spark, root, probes, probeKeyCol)
+
+  /** change_feed_pruned_by: the shard-pruned change feed on ANY layout
+    * (hash, range, Z-order) with explicit id columns — inode-identical
+    * shard pairs skipped, moved rows caught through both their cells,
+    * the IVM tick at O(changed cells).
+    */
+  def changeFeedPrunedBy(spark: org.apache.spark.sql.SparkSession,
+                         root: String, idCols: Seq[String],
+                         baseVersion: Long, toVersion: Long): DataFrame =
+    core.SketchRegistry.changeFeedPrunedBy(spark, root, idCols,
+      baseVersion, toVersion)
 }

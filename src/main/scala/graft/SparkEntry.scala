@@ -3934,6 +3934,40 @@ object SparkEntry {
           col("probe") === col("k"), "left")
         .select(col("probe"), col("est"),
           coalesce(col("__n"), lit(0L)).as("n_exact"))
+    },
+
+    // The pruned change feed on the 2-D layout — the IVM tick at
+    // O(changed cells) on Z-order stores: the inode-diff argument never
+    // needed the hash pinning (a row that MOVES cells when an upsert
+    // changes its layout values makes BOTH its old and new cell differ,
+    // so both images enter the keyed diff), so changeFeedPrunedBy serves
+    // any shard-directory layout with explicit id columns. Semantics
+    // exactly changeFeed's; the oracle derives the diff relationally
+    // (upsert wins over a same-key delete, exactly as applyChanges
+    // executes it).
+    "q234_zorder_pruned_feed" -> { (s, dir) =>
+      import s.implicits._
+      // keyed diffs need UNIQUE ids — documents' doc_id is; the synthetic
+      // lineitem's (orderkey, linenumber) is NOT (replace-semantics
+      // verbs like q228 tolerate duplicates, keyed feeds cannot)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        expr("octet_length(text)").cast("long").as("len"), col("source"))
+      val root = java.nio.file.Files.createTempDirectory("q234_store").toString
+      val v0 = graft.core.ZOrderStore.commitZOrdered(docs, root, "len",
+        "doc_id", shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("doc_id"),
+        bloomBitsLog2 = 12)
+      // the +1000 length edit MOVES rows between cells in the len
+      // dimension — the case the hash feed never faces
+      val ups = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), (col("len") + 1000L).as("len"), col("source"))
+        .unionByName((0 until 15).map(i =>
+          (900000L + i, 50L + i, "new")).toDF("doc_id", "len", "source"))
+      val dels = docs.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+      val v1 = graft.core.ZOrderStore.applyChangesZOrdered(s, root, "doc_id",
+        ups, dels)
+      graft.core.SketchRegistry.changeFeedPrunedBy(s, root, Seq("doc_id"),
+          v0, v1)
+        .select(col("_change_type"), col("doc_id"), col("len"), col("source"))
     }
   )
 
@@ -8720,7 +8754,28 @@ object SparkEntry {
         |SELECT pr.probe, est.est,
         |  CAST(coalesce(kc.n, 0) AS BIGINT) AS n_exact
         |FROM pr JOIN est ON est.probe = pr.probe
-        |LEFT JOIN kc ON kc.x = pr.probe""".stripMargin
+        |LEFT JOIN kc ON kc.x = pr.probe""".stripMargin,
+
+    // the z-order edit script's diff replayed relationally: upserts are
+    // updates (pre+post) wherever the key existed, inserts otherwise;
+    // deletes vanish UNLESS the same key was upserted (upsert wins,
+    // exactly as applyChangesZOrdered executes)
+    "q234_zorder_pruned_feed" ->
+      """WITH base AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len, source
+        |  FROM documents)
+        |SELECT 'insert' AS _change_type, CAST(900000 + i AS BIGINT) AS doc_id,
+        |    CAST(50 + i AS BIGINT) AS len, 'new' AS source
+        |  FROM (SELECT unnest(generate_series(0, 14)) AS i) g
+        |UNION ALL
+        |SELECT 'delete', doc_id, len, source FROM base
+        |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT 'update_preimage', doc_id, len, source FROM base
+        |  WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT 'update_postimage', doc_id, len + 1000, source FROM base
+        |  WHERE doc_id % 7 = 3""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -354,7 +354,41 @@ object SketchRegistry {
                        baseVersion: Long, toVersion: Long): DataFrame = {
     val m = meta(root, Some(toVersion))
     meta(root, Some(baseVersion)) // both versions must carry the layout
-    val n = 1 << m.shardsLog2
+    changeFeedPrunedByDirs(spark, root, Seq(m.keyCol), baseVersion, toVersion)
+  }
+
+  /** [[changeFeedPruned]] for ANY shard-directory layout (hash, range,
+    * Z-order) with the id columns given explicitly — the soundness
+    * argument never needed the hash pinning: a row that MOVES between
+    * shard directories (a Z-order upsert changing its layout values)
+    * makes BOTH its old and new directory differ by inode, so both of
+    * its images enter the keyed diff; a shard pair with identical
+    * parquet inode sets holds identical bytes and cannot contribute a
+    * feed row. Output and semantics are exactly
+    * [[TableStore.changeFeed]]'s (spec- and oracle-pinned); an
+    * all-identical version pair performs NO data read. This is the IVM
+    * tick at O(changed cells) on the 2-D and range stores.
+    */
+  def changeFeedPrunedBy(spark: SparkSession, root: String,
+                         idCols: Seq[String],
+                         baseVersion: Long, toVersion: Long): DataFrame =
+    changeFeedPrunedByDirs(spark, root, idCols, baseVersion, toVersion)
+
+  private def changeFeedPrunedByDirs(spark: SparkSession, root: String,
+                                     idCols: Seq[String],
+                                     baseVersion: Long,
+                                     toVersion: Long): DataFrame = {
+    def shardsOf(v: Long): Set[Int] = {
+      val d = Paths.get(root, s"v_$v")
+      val listing = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("shard="))
+          .map(_.getFileName.toString.stripPrefix("shard=").toInt).toSet
+      } finally listing.close()
+    }
     def fileIds(v: Long, s: Int): Option[Set[Long]] = {
       val d = Paths.get(root, s"v_$v", s"shard=$s")
       if (!Files.isDirectory(d)) Some(Set.empty)
@@ -371,7 +405,8 @@ object SketchRegistry {
              _: IllegalArgumentException => None // can't prove identity
       }
     }
-    val differ = (0 until n).filter { s =>
+    val candidates = (shardsOf(baseVersion) ++ shardsOf(toVersion)).toSeq.sorted
+    val differ = candidates.filter { s =>
       (fileIds(baseVersion, s), fileIds(toVersion, s)) match {
         case (Some(a), Some(b)) => a != b
         case _ => true // unknown ⇒ diff it: a wasted read, never a missed row
@@ -385,7 +420,7 @@ object SketchRegistry {
         .parquet(dirs.map(s => s"$root/v_$v/shard=$s"): _*)
     }
     TableStore.changeFeedFrames(side(baseVersion), side(toVersion),
-      Seq(m.keyCol), baseVersion, toVersion)
+      idCols, baseVersion, toVersion)
   }
 
   /** The shard pairs an equi-join of two SAME-LAYOUT sketch tables must

@@ -287,6 +287,38 @@ class ZOrderStoreSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("changeFeedPrunedBy: row-identical to the full feed on the 2-D layout, moved rows included") {
+    val root = java.nio.file.Files.createTempDirectory("zord_feed").toString
+    val v0 = ZOrderStore.commitZOrdered(grid(), root, "a", "b",
+      shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"), bloomBitsLog2 = 12)
+    // id 0 MOVES cells entirely (a 0→35, b 0→35): both its old and new
+    // cell must enter the diff; id 41 edits in place; inserts + deletes
+    val ups = Seq((0L, 35L, 35L), (41L, 1L, 2L), (9999L, 38L, 38L))
+      .toDF("id", "a", "b")
+    val dels = Seq(3L, 4L).toDF("id")
+    val v1 = ZOrderStore.applyChangesZOrdered(spark, root, "id", ups, dels)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("_change_type", "id", "a", "b").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    val pruned = SketchRegistry.changeFeedPrunedBy(spark, root, Seq("id"), v0, v1)
+    val full = TableStore.changeFeed(spark, root, Seq("id"), v0, v1)
+    assert(rows(pruned) == rows(full), "pruned feed must equal the full feed")
+    // the moved row appears as an update with both images
+    assert(rows(pruned).collect {
+      case (t, 0L, a, b) => (t, a, b)
+    }.toSet == Set(("update_preimage", 0L, 0L), ("update_postimage", 35L, 35L)))
+    // only differing cells are read: strict subset of the 16 dirs per side
+    val read = pruned.inputFiles.flatMap(f =>
+      "(v_\\d+/shard=\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(read.nonEmpty && read.size < 32, s"read $read")
+    // a lag-0 pair reads nothing at all
+    val idle = SketchRegistry.changeFeedPrunedBy(spark, root, Seq("id"), v1, v1)
+    assert(idle.collect().isEmpty)
+    assert(!idle.queryExecution.executedPlan.toString.contains("FileScan"),
+      "identical versions must not open any data file")
+  }
+
   test("append/upsert reject a batch whose column TYPES differ from the table's") {
     val root = java.nio.file.Files.createTempDirectory("zord_ty").toString
     ZOrderStore.commitZOrdered(grid(), root, "a", "b", shardsLog2 = 4,
