@@ -263,14 +263,24 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
 
   /** Versions are immutable, so a (roots, versions, threshold) decision
     * never changes — cache it across the optimizer's fixed-point passes
-    * and across queries over the same snapshots.
+    * and across queries over the same snapshots. SIZE-CAPPED LRU, not an
+    * unbounded map: streaming ingest commits a version per micro-batch,
+    * and with dispatch enabled every tick's version pair would otherwise
+    * add an entry for the driver's lifetime. 256 entries comfortably
+    * covers the live table pairs of a session; superseded versions age
+    * out by access order.
     */
-  private val planCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String, Long, Long), SketchOps.EquiJoinPlan]()
+  private val cacheMax = 256
+  private val planCache = new graft.util.LruCache[
+    (String, Long, String, Long, Long), SketchOps.EquiJoinPlan](cacheMax)
 
   /** Bloom-AND co-located shard admission, cached the same way. */
-  private val colocCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String, Long), Seq[Int]]()
+  private val colocCache = new graft.util.LruCache[
+    (String, Long, String, Long), Seq[Int]](cacheMax)
+
+  /** Test/ops introspection: current cache occupancy. */
+  private[graft] def cacheSizes: (Int, Int) = (planCache.size, colocCache.size)
+  private[graft] def cacheCapacity: Int = cacheMax
 
   /** The SketchFileIndex beneath a join child, looking through
     * attribute-only Projects (column pruning inserts those) and
@@ -336,10 +346,10 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
           if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
         val li = indexUnder(left).get
         val ri = indexUnder(right).get
-        val decision = planCache.computeIfAbsent(
+        val decision = planCache.getOrElseUpdate(
           (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion,
-            broadcastMaxRows),
-          _ => SketchOps.equiJoinPlanFromRegistry(spark,
+            broadcastMaxRows))(
+          SketchOps.equiJoinPlanFromRegistry(spark,
             li.tableRoot, ri.tableRoot,
             Some(li.tableVersion), Some(ri.tableVersion),
             broadcastMaxRows = broadcastMaxRows))
@@ -387,10 +397,10 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
                                 ri: SketchFileIndex): Option[Set[Int]] = {
     val (ml, mr) = (li.hashLayoutMeta.get, ri.hashLayoutMeta.get)
     if (ml.shardsLog2 != mr.shardsLog2 || ml.bitsLog2 != mr.bitsLog2 ||
-      ml.k != mr.k) return None
-    val admitted = colocCache.computeIfAbsent(
-      (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion),
-      _ => graft.core.SketchRegistry.joinPrunedShards(spark,
+      ml.k != mr.k || ml.keyIsString != mr.keyIsString) return None
+    val admitted = colocCache.getOrElseUpdate(
+      (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion))(
+      graft.core.SketchRegistry.joinPrunedShards(spark,
         li.tableRoot, ri.tableRoot,
         Some(li.tableVersion), Some(ri.tableVersion)))
     if (admitted.size >= (1 << ml.shardsLog2)) None

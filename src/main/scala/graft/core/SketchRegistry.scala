@@ -231,17 +231,21 @@ object SketchRegistry {
   def shardStats(spark: SparkSession, root: String,
                  version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
+    // pre-CM registries (meta cmDepth == 0) have NO cm column in their
+    // _sketches parquet — never select it unconditionally, or old tables
+    // lose shardStats to an AnalysisException instead of serving the
+    // documented (shard, n_rows, ndv_micro) subset
     val base = registry(spark, root, version).select(col("shard"),
-      col("n_rows"), SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"),
-      col("cm"))
-    if (m.cmDepth == 0) base.drop("cm")
+      col("n_rows"), SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"))
+    if (m.cmDepth == 0) base
     else {
       val w = 1 << m.cmWidthLog2
       val rowMaxes = (0 until m.cmDepth).map(i =>
         array_max(slice(col("cm"), i * w + 1, w)))
-      base.withColumn("fmax_est",
-        if (rowMaxes.length == 1) rowMaxes.head else least(rowMaxes: _*))
-        .drop("cm")
+      registry(spark, root, version).select(col("shard"), col("n_rows"),
+        SketchOps.hllEstimate(col("hll"), m.hllP).as("ndv_micro"),
+        (if (rowMaxes.length == 1) rowMaxes.head else least(rowMaxes: _*))
+          .as("fmax_est"))
     }
   }
 
@@ -443,6 +447,14 @@ object SketchRegistry {
       s"co-located join requires identical layouts: " +
         s"(shardsLog2,bitsLog2,k) = (${ma.shardsLog2},${ma.bitsLog2},${ma.k}) " +
         s"vs (${mb.shardsLog2},${mb.bitsLog2},${mb.k})")
+    // the Bloom-AND proof needs both sides to have hashed the SAME key
+    // domain: a string-keyed table's xxhash64 words ANDed against an
+    // integral-keyed table's raw-value words would be meaningless
+    // admission — shards holding matching keys could be silently dropped
+    require(ma.keyIsString == mb.keyIsString,
+      s"co-located join requires the same key kind, got " +
+        s"${if (ma.keyIsString) "string" else "int"}-keyed '$rootA' vs " +
+        s"${if (mb.keyIsString) "string" else "int"}-keyed '$rootB'")
     val a = registry(spark, rootA, versionA)
       .select(col("shard"), col("bloom").as("__ba"))
     val b = registry(spark, rootB, versionB)

@@ -1,0 +1,40 @@
+package graft.util
+
+/** Size-capped LRU memo for driver-side planning caches.
+  *
+  * The sketch join-dispatch rule caches one registry decision per immutable
+  * (root, version) pair — correct forever, but a session running streaming
+  * ingest commits a new version per micro-batch, so an UNbounded map grows
+  * for the driver's lifetime (hours of 50 ms triggers = tens of thousands
+  * of dead entries per joined table pair). Access-ordered eviction keeps
+  * the live working set (current versions re-hit on every optimizer pass)
+  * and lets superseded versions age out.
+  *
+  * `getOrElseUpdate` holds the cache lock across `compute` — the computes
+  * behind it are driver-side registry reads that must not run concurrently
+  * per key anyway (ConcurrentHashMap.computeIfAbsent, which this replaces,
+  * blocked the same way).
+  */
+final class LruCache[K, V](maxEntries: Int) {
+  require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
+
+  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size() > maxEntries
+  }
+
+  def getOrElseUpdate(key: K)(compute: => V): V = map.synchronized {
+    if (map.containsKey(key)) map.get(key)
+    else {
+      val v = compute
+      map.put(key, v)
+      v
+    }
+  }
+
+  def size: Int = map.synchronized(map.size())
+
+  def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
+
+  def clear(): Unit = map.synchronized(map.clear())
+}

@@ -223,6 +223,32 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("planning caches are bounded: many version pairs never exceed the LRU cap") {
+    val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")
+    val rl = commit(left, "cl")
+    val rr = commit(right, "cr")
+    SketchFileIndex.readIndexed(spark, rl).createOrReplaceTempView("sjd_cl")
+    withDispatch(broadcastMaxRows = 10L) {
+      // streaming-ingest shape: each commit is a fresh version pair; the
+      // caches fill per pair but stay ≤ the cap forever (no unbounded
+      // growth in a long-lived driver)
+      (0 until 3).foreach { i =>
+        SketchFileIndex.readIndexed(spark, rr).createOrReplaceTempView("sjd_cr")
+        val q = spark.sql(
+          "SELECT l.k, l.lv, r.rv FROM sjd_cl l JOIN sjd_cr r ON l.k = r.k")
+        assert(q.count() == left.join(
+          graft.core.TableStore.read(spark, rr), Seq("k")).count())
+        val (p, c) = SketchJoinDispatch.cacheSizes
+        assert(p > 0, "the plan cache must be exercised")
+        assert(p <= SketchJoinDispatch.cacheCapacity &&
+          c <= SketchJoinDispatch.cacheCapacity)
+        SketchRegistry.appendWithSketches(spark, rr,
+          Seq(((i % 20).toLong, 9000L + i)).toDF("k", "rv"))
+      }
+    }
+  }
+
   test("out-of-scope joins are left alone: extra conjunct, filtered side, shard selected") {
     val left = (0 until 2000).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 2000)

@@ -858,4 +858,49 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
     if (v3 != v2)
       assert(SketchRegistry.changeFeedPruned(spark, root, v2, v3).collect().isEmpty)
   }
+
+  test("shardStats on a pre-CM registry: serves (shard, n_rows, ndv_micro), no fmax_est") {
+    val root = java.nio.file.Files.createTempDirectory("skreg_precm").toString
+    val df = (0 until 500).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    SketchRegistry.commitWithSketches(df, root, "id",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    // simulate a registry written before per-shard CM rows existed: the
+    // meta parser explicitly supports the 5-field arity, and such a
+    // version's _sketches parquet has NO cm column — shardStats must
+    // degrade to the documented stats subset, not die selecting cm
+    val vdir = java.nio.file.Paths.get(root, "v_0")
+    val legacy = spark.read.parquet(vdir.resolve("_sketches").toString)
+      .drop("cm").collect()
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(vdir.resolve("_sketches").toString)
+        .drop("cm").schema)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(legacy: _*)), legacySchema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(vdir.resolve("_sketches").toString)
+    java.nio.file.Files.write(vdir.resolve("_sketches_meta"),
+      "id\n3\n12\n4\n12".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val m = SketchRegistry.meta(root)
+    assert(m.cmDepth == 0, "the 5-field meta marks a pre-CM registry")
+    val stats = SketchRegistry.shardStats(spark, root)
+    assert(stats.columns.toSeq == Seq("shard", "n_rows", "ndv_micro"))
+    assert(stats.agg(sum(col("n_rows"))).collect().head.getLong(0) == 500L)
+    assert(stats.collect().forall(_.getLong(2) > 0L))
+  }
+
+  test("joinPrunedShards rejects mixed key kinds: string xxhash words never AND against raw-int words") {
+    val rootI = java.nio.file.Files.createTempDirectory("skreg_ki").toString
+    val rootS = java.nio.file.Files.createTempDirectory("skreg_ks").toString
+    SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (i.toLong, i)).toDF("k", "x"), rootI, "k",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    SketchRegistry.commitWithSketches(
+      (0 until 100).map(i => (s"u$i", i)).toDF("k", "x"), rootS, "k",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val e = intercept[IllegalArgumentException] {
+      SketchRegistry.joinPrunedShards(spark, rootI, rootS)
+    }
+    assert(e.getMessage.contains("key kind"))
+  }
 }

@@ -1,0 +1,33 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The size-capped LRU behind the join-dispatch planning caches: bounded
+  * occupancy under unbounded distinct keys, access-ordered eviction.
+  */
+class LruCacheSpec extends AnyFunSuite {
+
+  test("caps occupancy: N distinct keys leave at most maxEntries") {
+    val c = new LruCache[Int, String](3)
+    (0 until 50).foreach(i => c.getOrElseUpdate(i)(s"v$i"))
+    assert(c.size == 3)
+    assert((47 to 49).forall(c.contains), "the newest keys survive")
+    assert((0 to 46).forall(!c.contains(_)), "older keys are evicted")
+  }
+
+  test("access renews recency: a re-read key survives newer inserts") {
+    val c = new LruCache[String, Int](2)
+    c.getOrElseUpdate("a")(1)
+    c.getOrElseUpdate("b")(2)
+    assert(c.getOrElseUpdate("a")(99) == 1) // hit, not recompute
+    c.getOrElseUpdate("c")(3) // evicts b (least recently used), not a
+    assert(c.contains("a") && c.contains("c") && !c.contains("b"))
+  }
+
+  test("computes once per live key") {
+    val c = new LruCache[Int, Int](4)
+    var computes = 0
+    (0 until 10).foreach(_ => c.getOrElseUpdate(7) { computes += 1; 42 })
+    assert(computes == 1 && c.getOrElseUpdate(7)(0) == 42)
+  }
+}
