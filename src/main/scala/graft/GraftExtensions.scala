@@ -236,8 +236,11 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   * Scope (anything outside it is left to Catalyst untouched): INNER,
   * LEFT OUTER, LEFT SEMI, and LEFT ANTI joins with a single
   * `l.key = r.key` condition naming BOTH tables' registry key columns,
-  * both sides a bare/projected `readIndexed` relation, no existing join
-  * hint, and both registries carrying CM rows at identical parameters.
+  * both sides a `readIndexed` relation under any stack of attribute-only
+  * Projects and DETERMINISTIC Filters (registry counts are upper bounds
+  * for a filtered side — see [[indexUnder]] for the soundness argument
+  * per strategy), no existing join hint, and both registries carrying CM
+  * rows at identical parameters.
   * The non-inner types get what is semantically legal: broadcast-RIGHT
   * hints and side-appropriate Bloom-AND pruning (right-only for
   * outer/anti — every left row must survive; both sides for semi);
@@ -283,12 +286,25 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
   private[graft] def cacheCapacity: Int = cacheMax
 
   /** The SketchFileIndex beneath a join child, looking through
-    * attribute-only Projects (column pruning inserts those) and
-    * IsNotNull-only Filters (constraint inference pushes
-    * `isnotnull(joinKey)` to each side — null keys never join, so the
-    * registry counts only OVERestimate, which keeps the decision
-    * conservative, never unsound). Any other Filter invalidates the
-    * registry's row counts and leaves the join untouched.
+    * attribute-only Projects (column pruning inserts those) and ANY
+    * deterministic Filter — the `WHERE side.x > 5` shape of real queries.
+    * A filter only ever REMOVES rows, so the registry's exact row counts
+    * become UPPER bounds for the filtered relation, and every dispatch
+    * decision stays sound on upper bounds:
+    *
+    *  - broadcast: a side that fits the row budget unfiltered still fits
+    *    filtered;
+    *  - salting: [[JoinOps.skewAwareJoin]] detects hot keys from the
+    *    RUNTIME (filtered) data itself (`auto = true`), so a filtered-out
+    *    hot key simply doesn't split — harmless, never wrong;
+    *  - Bloom-AND co-located pruning: a shard pair with no common key has
+    *    none after filtering either side — filter-independent.
+    *
+    * Only the "plain is right" arm loses precision (a filter could shrink
+    * a side below the broadcast budget unnoticed) — acceptable: it is the
+    * no-op. Non-deterministic filters stop the walk: the salted rewrite
+    * re-evaluates the child's filter in both union branches, which a
+    * rand()-style predicate cannot tolerate.
     */
   private def indexUnder(p: LogicalPlan): Option[SketchFileIndex] = p match {
     case l: LogicalRelation => l.relation match {
@@ -300,14 +316,8 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     }
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
       indexUnder(child)
-    case Filter(cond, child) if isNotNullOnly(cond) => indexUnder(child)
+    case Filter(cond, child) if cond.deterministic => indexUnder(child)
     case _ => None
-  }
-
-  private def isNotNullOnly(e: Expression): Boolean = e match {
-    case And(a, b) => isNotNullOnly(a) && isNotNullOnly(b)
-    case org.apache.spark.sql.catalyst.expressions.IsNotNull(_: AttributeReference) => true
-    case _ => false
   }
 
   /** Join types the dispatch understands, with their side constraints:
@@ -341,6 +351,7 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
       case j @ Join(left, right, jt,
           Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
           if hint == JoinHint.NONE && supported(jt) &&
+            !alreadyPruned(left) && !alreadyPruned(right) &&
             dispatchable(j, left, right, x, y) =>
         val (la, _) =
           if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
@@ -405,6 +416,27 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         Some(li.tableVersion), Some(ri.tableVersion)))
     if (admitted.size >= (1 << ml.shardsLog2)) None
     else Some(admitted.toSet)
+  }
+
+  /** True when the side already carries the injected `shard IN (...)`
+    * prune filter directly above its sketch relation — the marker that
+    * this join was dispatched on an earlier fixed-point pass of the
+    * optimizer batch. Without this guard the rule would re-fire every
+    * pass and stack identical filters until the iteration cap (the
+    * filters used to be the accidental stop themselves, back when any
+    * non-IsNotNull Filter blocked [[indexUnder]]). A USER-written shard
+    * filter also matches — dispatch skips it, which is merely
+    * conservative (Catalyst plans the join plainly).
+    */
+  private def alreadyPruned(p: LogicalPlan): Boolean = p match {
+    case Filter(cond, _: LogicalRelation) => cond match {
+      case In(a: AttributeReference, _) if a.name == "shard" => true
+      case Literal(false, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    case Filter(_, child) => alreadyPruned(child)
+    case Project(_, child) => alreadyPruned(child)
+    case _ => false
   }
 
   /** Inject `shard IN (admitted)` directly above each sketch relation —

@@ -223,6 +223,88 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("dispatch survives real WHERE clauses: registry counts as upper bounds, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    // left uniform over 50 keys; right plants key 7 hot enough for the
+    // registry hot rule (fmax 2500 > 16 × 5000/50); dim small
+    val left = (0 until 5000).map(i => ((i % 50).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 5000)
+      .map(i => (if (i % 2 == 0) 7L else ((i / 2) % 50).toLong, i.toLong)).toDF("k", "rv")
+    val dim = (0 until 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    SketchFileIndex.readIndexed(spark, commit(left, "fl"))
+      .createOrReplaceTempView("sjd_fl")
+    SketchFileIndex.readIndexed(spark, commit(right, "fr"))
+      .createOrReplaceTempView("sjd_fr")
+    SketchFileIndex.readIndexed(spark, commit(dim, "fd"))
+      .createOrReplaceTempView("sjd_fd")
+    withDispatch(broadcastMaxRows = 100L) {
+      // filtered skew side: still salts (the hot-key split detects from
+      // the FILTERED data), rows exactly the plain filtered join's
+      val salted = spark.sql("SELECT l.k, l.lv, r.rv FROM sjd_fl l JOIN sjd_fr r " +
+        "ON l.k = r.k WHERE r.rv < 1000 AND l.lv % 3 = 0")
+      assert(salted.queryExecution.optimizedPlan.toString.contains("Union"),
+        s"filtered skew join must still salt:\n${salted.queryExecution.optimizedPlan}")
+      assert(sortedRows(salted) == sortedRows(
+        left.filter(col("lv") % 3 === 0)
+          .join(right.filter(col("rv") < 1000), Seq("k"))
+          .select("k", "lv", "rv")))
+      // filtered broadcast side: the dim still broadcasts despite
+      // autoBroadcastJoinThreshold = -1 (upper-bound counts stay legal)
+      val bcast = spark.sql("SELECT l.k, l.lv, d.name FROM sjd_fl l JOIN sjd_fd d " +
+        "ON l.k = d.k WHERE l.lv >= 500")
+      assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"filtered join must keep the registry broadcast hint:\n${bcast.queryExecution.executedPlan}")
+      assert(sortedRows(bcast) == sortedRows(
+        left.filter(col("lv") >= 500).join(dim, Seq("k"))
+          .select("k", "lv", "name")))
+    }
+  }
+
+  test("filtered disjoint pair still opens zero files: coloc pruning is filter-independent") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    // the verified-collision-free disjoint fixture (2^16-bit filters,
+    // 40 keys at base 102000 — sparse regime, see SketchRegistrySpec)
+    def commit16(df: DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"sjdf_$tag").toString
+      SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+        bitsLog2 = 16, k = 4)
+      root
+    }
+    val a = (0 until 600).map(i => (i.toLong, s"a$i")).toDF("k", "pa")
+    val c = (102000 until 102040).map(i => (i.toLong, i)).toDF("k", "x")
+    SketchFileIndex.readIndexed(spark, commit16(a, "a"))
+      .createOrReplaceTempView("sjdf_a")
+    SketchFileIndex.readIndexed(spark, commit16(c, "c"))
+      .createOrReplaceTempView("sjdf_c")
+    withDispatch(broadcastMaxRows = 5L) {
+      val disjoint = spark.sql("SELECT a.k, a.pa, c.x FROM sjdf_a a JOIN sjdf_c c " +
+        "ON a.k = c.k WHERE a.pa LIKE 'a%' AND c.x % 2 = 0")
+      assert(disjoint.collect().isEmpty)
+      assert(scannedParts(disjoint) == 0,
+        s"filtered disjoint join must open no shard dir:\n${disjoint.queryExecution.executedPlan}")
+    }
+  }
+
   test("planning caches are bounded: many version pairs never exceed the LRU cap") {
     val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")
@@ -264,10 +346,11 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
       assert(sortedRows(multi) == sortedRows(
         left.join(right, left("k") === right("k") && left("lv") < right("rv"))
           .select(left("k"), left("lv"), right("rv"))))
-      // a filtered side invalidates registry row counts: untouched
-      val filtered = spark.sql("SELECT l.k, l.lv, r.rv FROM sjd_ol l JOIN sjd_or r " +
-        "ON l.k = r.k WHERE r.rv < 100")
-      assert(!filtered.queryExecution.optimizedPlan.toString.contains("Union"))
+      // a NON-DETERMINISTIC filter stops the walk: the salted rewrite
+      // would re-evaluate it in both union branches
+      val rnd = spark.sql("SELECT l.k, l.lv, r.rv FROM sjd_ol l JOIN sjd_or r " +
+        "ON l.k = r.k WHERE rand() >= 0.0")
+      assert(!rnd.queryExecution.optimizedPlan.toString.contains("Union"))
       // selecting BOTH shard columns collides on the name: untouched
       val shards = spark.sql("SELECT l.shard, r.shard AS rs FROM sjd_ol l " +
         "JOIN sjd_or r ON l.k = r.k")
