@@ -571,6 +571,15 @@ object GraftEngine {
                    fromVersion: Long, toVersion: Long): DataFrame =
     core.SketchRegistry.registryDiff(spark, root, fromVersion, toVersion)
 
+  /** table_stats: exact row count / shard count / covered-column min-max
+    * off the committed metadata alone — zero data files opened (the
+    * Delta/Iceberg manifest-stats verb). The transparent SQL complement
+    * is [[graft.MetadataAggCollapse]].
+    */
+  def tableStats(spark: org.apache.spark.sql.SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame =
+    core.SketchRegistry.tableStats(spark, root, version)
+
   /** ingest_stream: exactly-once streaming ingest into a sketch-indexed
     * table — one atomic registry-maintained version per micro-batch, the
     * batchId committed inside the version so failure replays can never

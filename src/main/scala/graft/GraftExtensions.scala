@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => VectorExprSimplification)
     e.injectOptimizerRule(_ => LshJoinRewrite)
     e.injectOptimizerRule(_ => SketchJoinDispatch)
+    e.injectOptimizerRule(_ => MetadataAggCollapse)
   }
 }
 
@@ -205,6 +206,108 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   private def splitConj(e: Expression): Seq[Expression] = e match {
     case And(a, b) => splitConj(a) ++ splitConj(b)
     case other     => Seq(other)
+  }
+}
+
+/** METADATA-ONLY aggregate answering — the manifest-stats trick Delta and
+  * Iceberg play, at the engine's layout layer: an UNFILTERED, ungrouped
+  * `count(*)` / `min(c)` / `max(c)` over a `readIndexed` relation
+  * collapses to a one-row [[LocalRelation]] holding the registry's exact
+  * numbers — the scan disappears from the plan entirely (spec-pinned:
+  * ZERO FileScan). Soundness is exactness, not bounds:
+  *
+  *  - `count(*)`: per-shard `n_rows` is an exact count on every layout,
+  *    maintained exactly by every verb (append sums, upsert rebuilds the
+  *    touched shards, compact carries) — so the sum IS the row count;
+  *  - `min`/`max`: only columns with EXACT zone-map stats qualify — the
+  *    range layout's sort column and `statsCols`, the Z layout's two
+  *    interleaved columns (per-shard min/max over non-null values, null
+  *    only for all-null shards — matching SQL min/max null semantics
+  *    exactly, including the all-null → null and empty-table → null
+  *    cases). Hash-layout columns never qualify (Blooms carry
+  *    membership, not order).
+  *
+  * ANY Filter above the relation disqualifies the collapse (unlike the
+  * join dispatch there is no upper-bound slack in an exact answer), as
+  * does any aggregate beyond count(non-null literal)/min/max over a
+  * covered integral column, grouping, DISTINCT, or FILTER clauses —
+  * those plans are left to Catalyst untouched. OFF by default:
+  *
+  *   - `spark.graft.metadataAgg.enabled` (default false)
+  *
+  * The verb-level sibling is [[graft.core.SketchRegistry.tableStats]].
+  */
+object MetadataAggCollapse extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+  import graft.core.SketchFileIndex
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.metadataAgg.enabled", "false").toBoolean
+
+  /** Unlike the join dispatch, NOTHING may sit between the aggregate and
+    * the relation except attribute-only Projects — a Filter (even
+    * IsNotNull) changes the exact answer.
+    */
+  private def indexUnder(p: LogicalPlan): Option[SketchFileIndex] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SketchFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexUnder(child)
+    case _ => None
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def toTyped(v: Option[Long], dt: DataType): Any = (v, dt) match {
+    case (None, _) => null
+    case (Some(x), LongType) => x
+    case (Some(x), IntegerType) => x.toInt
+    case (Some(x), ShortType) => x.toShort
+    case (Some(x), ByteType) => x.toByte
+    case _ => null // unreachable: integral() gates the match arms
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined =>
+        val idx = indexUnder(child).get
+        val answers: Seq[Option[Any]] = aggExprs.map {
+          case Alias(AggregateExpression(
+              Count(Seq(l: Literal)), Complete, false, None, _), _)
+              if l.value != null => // count of a non-null literal = row count
+            Some(idx.metadataRowCount)
+          case Alias(ae @ AggregateExpression(
+              Min(a: AttributeReference), Complete, false, None, _), _)
+              if integral(a.dataType) =>
+            idx.metadataMinMax(a.name).map(mm => toTyped(mm._1, a.dataType))
+          case Alias(ae @ AggregateExpression(
+              Max(a: AttributeReference), Complete, false, None, _), _)
+              if integral(a.dataType) =>
+            idx.metadataMinMax(a.name).map(mm => toTyped(mm._2, a.dataType))
+          // a foldable result expression (SELECT 'tag', count(*), NULL …)
+          // evaluates inline — Literal.eval already yields the internal
+          // format the LocalRelation row needs
+          case Alias(e, _) if e.foldable => Some(e.eval(InternalRow.empty))
+          case _ => None
+        }
+        if (answers.nonEmpty && answers.forall(_.isDefined))
+          LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(answers.map(_.get))))
+        else agg
+    }
   }
 }
 

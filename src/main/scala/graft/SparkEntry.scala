@@ -3990,6 +3990,49 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
       }
+    },
+
+    // Metadata-only aggregates — the manifest-stats answer Delta/Iceberg
+    // serve, at the engine's layout layer: with MetadataAggCollapse on,
+    // an UNFILTERED count(*)/min/max over a readIndexed relation
+    // collapses to the registry's exact numbers and the scan VANISHES
+    // from the plan (required inline: zero FileScan on both arms).
+    // Exactness, not estimation: per-shard n_rows is an exact count on
+    // every layout, zone-map min/max exact on the range layout — so the
+    // oracle is simply the same aggregates recomputed from the raw
+    // parquet. At 100 TB this is the difference between a free answer
+    // and a full scan.
+    "q236_metadata_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val rRoot = java.nio.file.Files.createTempDirectory("q236_range").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, rRoot, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, statsCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, rRoot)
+        .createOrReplaceTempView("q236_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "uni"))
+        .createOrReplaceTempView("q236_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val range = s.sql(
+          """SELECT 'range' AS layout, count(*) AS n, min(ts_us) AS mn,
+            |  max(ts_us) AS mx, min(event_id) AS mn_e, max(event_id) AS mx_e
+            |FROM q236_ev""".stripMargin)
+        val hash = s.sql(
+          """SELECT 'hash' AS layout, count(*) AS n, CAST(NULL AS BIGINT) AS mn,
+            |  CAST(NULL AS BIGINT) AS mx, CAST(NULL AS BIGINT) AS mn_e,
+            |  CAST(NULL AS BIGINT) AS mx_e
+            |FROM q236_li""".stripMargin)
+        Seq(("range", range), ("hash", hash)).foreach { case (tag, df) =>
+          require(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+            s"$tag metadata aggregate must not open a data file")
+        }
+        range.unionByName(hash).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4206,6 +4249,27 @@ object SparkEntry {
         df.queryExecution.sparkPlan
         df
       } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+    },
+    "q236_metadata_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val rRoot = java.nio.file.Files.createTempDirectory("q236p_range").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, rRoot, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, statsCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, rRoot)
+        .createOrReplaceTempView("q236p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT count(*) AS n, min(ts_us) AS mn, max(ts_us) AS mx,
+            |  min(event_id) AS mn_e, max(event_id) AS mx_e
+            |FROM q236p_ev""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — no FileScan at all
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -8917,7 +8981,16 @@ object SparkEntry {
         |SELECT 'skewed', k, count(*),
         |  CAST(sum(l_orderkey) AS BIGINT), CAST(sum(p_size) AS BIGINT)
         |FROM skw JOIN p USING (k)
-        |WHERE l_orderkey % 7 = 0 AND p_size >= 10 GROUP BY 1, 2""".stripMargin
+        |WHERE l_orderkey % 7 = 0 AND p_size >= 10 GROUP BY 1, 2""".stripMargin,
+
+    // the same aggregates recomputed from the raw parquet — the
+    // metadata-collapsed plan must be EXACT, not estimated
+    "q236_metadata_agg" ->
+      """SELECT 'range' AS layout, count(*) AS n,
+        |  min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx,
+        |  min(event_id) AS mn_e, max(event_id) AS mx_e FROM events
+        |UNION ALL
+        |SELECT 'hash', count(*), NULL, NULL, NULL, NULL FROM lineitem""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -147,6 +147,32 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     }
   }
 
+  /** EXACT total row count off the registry/zone map alone — per-shard
+    * `n_rows` is exact on every layout and maintained exactly by every
+    * verb (append sums, upsert rebuilds touched shards, compact carries).
+    * Consumed by [[graft.MetadataAggCollapse]] to answer an unfiltered
+    * `count(*)` with zero data files.
+    */
+  lazy val metadataRowCount: Long =
+    registryFrame.select("n_rows").collect().iterator
+      .map(_.getLong(0)).sum
+
+  /** EXACT (min, max) of `name` off the zone map, for columns the layout
+    * carries exact stats on — the range layout's sort column and
+    * statsCols, the Z layout's two interleaved columns. None on the hash
+    * layout or an uncovered column (Blooms carry membership, not order).
+    * `Some((None, None))` means the column is all-null in every shard —
+    * also exact (per-shard min/max ignore nulls, so a shard contributes
+    * stats iff it holds a non-null value; [[statsByCol]] drops null-stat
+    * shards).
+    */
+  def metadataMinMax(name: String): Option[(Option[Long], Option[Long])] =
+    statsByCol.get(name).map { perShard =>
+      val mins = perShard.values.map(_._1)
+      val maxes = perShard.values.map(_._2)
+      (mins.minOption, maxes.maxOption)
+    }
+
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))
     .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))

@@ -1194,6 +1194,61 @@ object SketchRegistry {
       .drop("__k")
   }
 
+  /** Table-level planning statistics off the COMMITTED METADATA alone —
+    * zero data files opened, the Delta/Iceberg manifest-stats verb at the
+    * engine's layout layer: exact total row count (per-shard `n_rows` is
+    * exact on every layout and maintained by every verb), shard count,
+    * and — where the layout carries EXACT zone-map stats — per-column
+    * exact min/max: the range layout's sort column and `statsCols`, the
+    * Z-order layout's two interleaved columns. Output one row per covered
+    * column as (layout, n_rows, n_shards, column, min_v, max_v); the hash
+    * layout (Blooms carry membership, not order) emits a single row with
+    * a null column. An all-null stats column reports null min/max — also
+    * exact. The transparent complement is [[graft.MetadataAggCollapse]],
+    * which serves unfiltered `count(*)`/`min`/`max` SQL over a
+    * `readIndexed` relation from the same numbers.
+    */
+  def tableStats(spark: SparkSession, root: String,
+                 version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val hash = try Some(meta(root, Some(v)))
+      catch { case _: IllegalArgumentException => None }
+    val range = if (hash.isDefined) None
+      else try Some(rangeMeta(root, Some(v)))
+      catch { case _: IllegalArgumentException => None }
+    import spark.implicits._
+    def fromZoneMap(layout: String, zm: DataFrame,
+                    cols: Seq[(String, String, String)]): DataFrame = {
+      val rows = zm.collect()
+      val n = rows.iterator.map(r => r.getLong(r.fieldIndex("n_rows"))).sum
+      val shards = rows.length
+      def nonNull(field: String): Seq[Long] = rows.toSeq.flatMap { r =>
+        val i = r.fieldIndex(field)
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      }
+      cols.map { case (c, lo, hi) =>
+        (layout, n, shards, Option(c), nonNull(lo).minOption, nonNull(hi).maxOption)
+      }.toDF("layout", "n_rows", "n_shards", "column", "min_v", "max_v")
+    }
+    (hash, range) match {
+      case (Some(_), _) =>
+        val rows = registry(spark, root, Some(v))
+          .select(col("shard"), col("n_rows")).collect()
+        Seq(("hash", rows.iterator.map(_.getLong(1)).sum, rows.length,
+          Option.empty[String], Option.empty[Long], Option.empty[Long]))
+          .toDF("layout", "n_rows", "n_shards", "column", "min_v", "max_v")
+      case (None, Some(m)) =>
+        fromZoneMap("range", zoneMap(spark, root, Some(v)),
+          (m.sortCol, "min_v", "max_v") +:
+            m.statsCols.map(c => (c, s"min_$c", s"max_$c")))
+      case (None, None) =>
+        val m = ZOrderStore.zMeta(root, Some(v)) // loud last guard
+        fromZoneMap("zorder", ZOrderStore.zoneMap2d(spark, root, Some(v)),
+          Seq((m.colA, "min_a", "max_a"), (m.colB, "min_b", "max_b")))
+    }
+  }
+
   /** Keyed point lookup through the registry: a Bloom miss returns the
     * empty result WITHOUT opening any data file (the plan collapses to an
     * empty LocalRelation); a hit reads exactly one shard directory of

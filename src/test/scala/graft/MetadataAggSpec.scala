@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry, ZOrderStore}
+
+/** Metadata-only aggregate answering: unfiltered count(*)/min/max over a
+  * readIndexed relation collapse to the registry's exact numbers — zero
+  * FileScan in the plan, values identical to the full computation.
+  */
+class MetadataAggSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(MetadataAggCollapse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetadataAggCollapse
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.metadataAgg.enabled")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == MetadataAggCollapse)
+    super.afterAll()
+  }
+
+  private def withRule[T](body: => T): T = {
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try body
+    finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+
+  private def collapsed(df: DataFrame): Boolean = {
+    val opt = df.queryExecution.optimizedPlan
+    val isLocal = opt.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    isLocal && !df.queryExecution.executedPlan.toString.contains("FileScan")
+  }
+
+  test("range layout: count/min/max on sort + stats columns collapse to exact values, zero FileScan") {
+    val root = java.nio.file.Files.createTempDirectory("magg_range").toString
+    // event_id correlates with ts; val3 carries an all-null stats column
+    val df = (0 until 900).map(i => (1000L + i, i.toLong * 7 % 500, i % 13))
+      .toDF("ts", "event_id", "x")
+      .withColumn("allnull", lit(null).cast("long"))
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      statsCols = Seq("event_id", "allnull"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_r")
+    withRule {
+      val q = spark.sql("""SELECT count(*) AS n, min(ts) AS mn_ts, max(ts) AS mx_ts,
+        min(event_id) AS mn_e, max(event_id) AS mx_e,
+        min(allnull) AS mn_null, max(allnull) AS mx_null FROM magg_r""")
+      assert(collapsed(q), s"expected a metadata collapse:\n${q.queryExecution.optimizedPlan}")
+      val r = q.collect().head
+      assert(r.getLong(0) == 900L && r.getLong(1) == 1000L && r.getLong(2) == 1899L)
+      assert(r.getLong(3) == 0L && r.getLong(4) == 499L)
+      assert(r.isNullAt(5) && r.isNullAt(6), "all-null stats column must report null min/max")
+      // the collapse must equal the full computation field for field
+      val full = df.agg(count(lit(1)), min("ts"), max("ts"),
+        min("event_id"), max("event_id"), min("allnull"), max("allnull"))
+        .collect().head
+      assert(q.collect().head.toSeq == full.toSeq)
+    }
+  }
+
+  test("hash layout: count(*) collapses; min over the key does not (no order info)") {
+    val root = java.nio.file.Files.createTempDirectory("magg_hash").toString
+    val df = (0 until 700).map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    SketchRegistry.commitWithSketches(df, root, "id", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_h")
+    withRule {
+      val cnt = spark.sql("SELECT count(*) AS n FROM magg_h")
+      assert(collapsed(cnt))
+      assert(cnt.collect().head.getLong(0) == 700L)
+      val mn = spark.sql("SELECT min(id) AS mn FROM magg_h")
+      assert(!collapsed(mn), "a hash layout has no exact order stats — must scan")
+      assert(mn.collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("z-order layout: both interleaved columns collapse") {
+    val root = java.nio.file.Files.createTempDirectory("magg_z").toString
+    val df = (0 until 600).map(i => (i.toLong, (i % 40).toLong, (i * 3 % 50).toLong))
+      .toDF("id", "a", "b")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_z")
+    withRule {
+      val q = spark.sql(
+        "SELECT count(*) AS n, min(a) AS mna, max(a) AS mxa, min(b) AS mnb, max(b) AS mxb FROM magg_z")
+      assert(collapsed(q))
+      assert(q.collect().head.toSeq == Seq(600L, 0L, 39L, 0L, 49L))
+    }
+  }
+
+  test("disqualifiers: filters, grouping, other aggregates, disabled-by-default all scan — with right answers") {
+    val root = java.nio.file.Files.createTempDirectory("magg_dq").toString
+    val df = (0 until 500).map(i => (100L + i, i.toLong)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_d")
+    // disabled: untouched
+    val off = spark.sql("SELECT count(*) AS n FROM magg_d")
+    assert(!collapsed(off) && off.collect().head.getLong(0) == 500L)
+    withRule {
+      // a WHERE clause changes the exact answer: no collapse, exact scan result
+      val filtered = spark.sql("SELECT count(*) AS n FROM magg_d WHERE ts < 300")
+      assert(!collapsed(filtered) && filtered.collect().head.getLong(0) == 200L)
+      // grouping: untouched
+      val grouped = spark.sql("SELECT ts % 2 AS g, count(*) AS n FROM magg_d GROUP BY 1")
+      assert(!collapsed(grouped) && grouped.collect().map(_.getLong(1)).sum == 500L)
+      // an uncovered aggregate (sum) keeps the whole plan scanning
+      val mixed = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM magg_d")
+      assert(!collapsed(mixed))
+      assert(mixed.collect().head.toSeq == Seq(500L, (0L until 500L).sum))
+      // count(v) skips nulls — NOT the row count: untouched
+      val cntCol = spark.sql("SELECT count(v) AS n FROM magg_d")
+      assert(!collapsed(cntCol) && cntCol.collect().head.getLong(0) == 500L)
+    }
+  }
+
+  test("maintenance keeps the collapse exact: append + upsert paths") {
+    val root = java.nio.file.Files.createTempDirectory("magg_m").toString
+    val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchRegistry.appendRangeSharded(spark, root,
+      (0 until 50).map(i => (5000L + i, i.toLong)).toDF("ts", "v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_m")
+    withRule {
+      val q = spark.sql("SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM magg_m")
+      assert(collapsed(q))
+      assert(q.collect().head.toSeq == Seq(450L, 100L, 5049L))
+    }
+    // the verb-level sibling agrees
+    val stats = SketchRegistry.tableStats(spark, root).collect()
+    assert(stats.length == 1 && stats.head.getString(0) == "range")
+    assert(stats.head.getLong(1) == 450L)
+    assert(stats.head.getLong(4) == 100L && stats.head.getLong(5) == 5049L)
+  }
+}
