@@ -337,13 +337,16 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   *   - `spark.graft.sketchJoinDispatch.buckets`          (default 16)
   *
   * Scope (anything outside it is left to Catalyst untouched): INNER,
-  * LEFT OUTER, LEFT SEMI, and LEFT ANTI joins with a single
-  * `l.key = r.key` condition naming BOTH tables' registry key columns,
-  * both sides a `readIndexed` relation under any stack of attribute-only
-  * Projects and DETERMINISTIC Filters (registry counts are upper bounds
-  * for a filtered side — see [[indexUnder]] for the soundness argument
-  * per strategy), no existing join hint, and both registries carrying CM
-  * rows at identical parameters.
+  * LEFT OUTER, LEFT SEMI, and LEFT ANTI joins whose condition is a
+  * conjunction of attribute equalities naming EXACTLY both tables'
+  * registry key column sets (one conjunct for a single key, one per
+  * component for a composite key — positionally aligned, the combined
+  * hash is order-sensitive), both sides a `readIndexed` relation under
+  * any stack of attribute-only Projects and DETERMINISTIC Filters
+  * (registry counts are upper bounds for a filtered side — see
+  * [[indexUnder]] for the soundness argument per strategy), no existing
+  * join hint, matching key-hash domains (`keyKind`), and both
+  * registries carrying CM rows at identical parameters.
   * The non-inner types get what is semantically legal: broadcast-RIGHT
   * hints and side-appropriate Bloom-AND pruning (right-only for
   * outer/anti — every left row must survive; both sides for semi);
@@ -447,17 +450,38 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The condition's conjuncts when EVERY one is an attribute-equality
+    * oriented across the two sides — (leftAttr, rightAttr) pairs; None
+    * when any conjunct is something else (left to Catalyst).
+    */
+  private def keyPairs(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+  : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case o         => Seq(o)
+    }
+    val pairs = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) Some((a, b))
+        else if (b.references.subsetOf(left.outputSet) &&
+          a.references.subsetOf(right.outputSet)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val spark = org.apache.spark.sql.SparkSession.active
     plan.transform {
-      case j @ Join(left, right, jt,
-          Some(EqualTo(x: AttributeReference, y: AttributeReference)), hint)
+      case j @ Join(left, right, jt, Some(cond), hint)
           if hint == JoinHint.NONE && supported(jt) &&
             !alreadyPruned(left) && !alreadyPruned(right) &&
-            dispatchable(j, left, right, x, y) =>
-        val (la, _) =
-          if (x.references.subsetOf(left.outputSet)) (x, y) else (y, x)
+            keyPairs(cond, left, right)
+              .exists(dispatchable(j, left, right, _)) =>
+        val pairs = keyPairs(cond, left, right).get
         val li = indexUnder(left).get
         val ri = indexUnder(right).get
         val decision = planCache.getOrElseUpdate(
@@ -492,9 +516,9 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
           case "broadcast_right" => // BuildRight is legal for all four types
             Join(l2, r2, jt, j.condition, bcastRight)
           case "salted_left" if jt == Inner =>
-            rewriteSalted(spark, j, l2, r2, la.name, saltLeft = true)
+            rewriteSalted(spark, j, l2, r2, pairs.map(_._1.name), saltLeft = true)
           case "salted_right" if jt == Inner =>
-            rewriteSalted(spark, j, l2, r2, la.name, saltLeft = false)
+            rewriteSalted(spark, j, l2, r2, pairs.map(_._1.name), saltLeft = false)
           case _ if pruned => Join(l2, r2, jt, j.condition, JoinHint.NONE)
           case _ => j // nothing legal to change: the plain plan is right
         }
@@ -560,29 +584,44 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         Filter(cond, l)
     }
 
-  /** All the scope conditions that make the rewrite applicable AND safe. */
+  /** All the scope conditions that make the rewrite applicable AND safe:
+    * the equality pairs must name EXACTLY each side's committed key
+    * column set (single or composite — a two-conjunct equi-join on a
+    * (k1, k2)-committed pair dispatches like a single-key one), the two
+    * registries must share the key-hash DOMAIN (`keyKind` — int/string/
+    * multi:kinds — or their sketches describe incomparable hashes) and
+    * the sketch parameters, and the salted rewrite (INNER only) keeps
+    * its same-name/disjoint-non-key-name requirements.
+    */
   private def dispatchable(j: Join, left: LogicalPlan, right: LogicalPlan,
-                           x: AttributeReference, y: AttributeReference): Boolean = {
-    val oriented =
-      if (x.references.subsetOf(left.outputSet) &&
-        y.references.subsetOf(right.outputSet)) Some((x, y))
-      else if (y.references.subsetOf(left.outputSet) &&
-        x.references.subsetOf(right.outputSet)) Some((y, x))
-      else None
-    oriented.exists { case (la, ra) =>
+                           pairs: Seq[(AttributeReference, AttributeReference)])
+  : Boolean =
+    pairs.nonEmpty && {
+      val lNames = pairs.map(_._1.name)
+      val rNames = pairs.map(_._2.name)
       (indexUnder(left), indexUnder(right)) match {
         case (Some(li), Some(ri)) =>
           (li.hashLayoutMeta, ri.hashLayoutMeta) match {
             case (Some(ml), Some(mr)) =>
-              // the salted rewrite (INNER only) joins by shared key name
-              // and re-projects by name, so it additionally needs the
-              // same key name and disjoint non-key names; hint/prune
-              // dispatch for the other join types does not
+              // the salted rewrite (INNER only) joins by shared key names
+              // and re-projects by name, so it additionally needs
+              // name-identical pairs and disjoint non-key names;
+              // hint/prune dispatch for the other join types does not
               val saltedSafe = j.joinType != Inner ||
-                (la.name == ra.name &&
-                  left.output.map(_.name).filterNot(_ == la.name)
+                (pairs.forall(p => p._1.name == p._2.name) &&
+                  left.output.map(_.name).filterNot(lNames.contains)
                     .intersect(right.output.map(_.name)).isEmpty)
-              ml.keyCol == la.name && mr.keyCol == ra.name && saltedSafe &&
+              // the combined hash is ORDER-sensitive: the Bloom-AND shard
+              // proof needs each pair to align positionally across the
+              // two committed key orders (a=x AND b=y over (a,b)/(x,y)
+              // layouts aligns; a=y AND b=x does not — left alone)
+              val aligned = pairs.forall(p =>
+                ml.keyCols.indexOf(p._1.name) == mr.keyCols.indexOf(p._2.name))
+              lNames.distinct.size == lNames.size &&
+                rNames.distinct.size == rNames.size &&
+                lNames.toSet == ml.keyCols.toSet &&
+                rNames.toSet == mr.keyCols.toSet && aligned &&
+                ml.keyKind == mr.keyKind && saltedSafe &&
                 ml.cmDepth > 0 && mr.cmDepth > 0 &&
                 ml.cmDepth == mr.cmDepth &&
                 ml.cmWidthLog2 == mr.cmWidthLog2 && ml.hllP == mr.hllP
@@ -591,7 +630,6 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         case _ => false
       }
     }
-  }
 
   /** Build the hot-key-split salted join as a DataFrame over the ORIGINAL
     * child plans (fully declarative — [[JoinOps.skewAwareJoin]]'s
@@ -604,7 +642,7 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     */
   private def rewriteSalted(spark: org.apache.spark.sql.SparkSession, j: Join,
                             left: LogicalPlan, right: LogicalPlan,
-                            key: String, saltLeft: Boolean): LogicalPlan = {
+                            keys: Seq[String], saltLeft: Boolean): LogicalPlan = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
     val dfL = org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark, left)
     val dfR = org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark, right)
@@ -613,10 +651,10 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     // side replicates to every bucket), so a per-row id is safe
     val joined =
       if (saltLeft)
-        JoinOps.skewAwareJoin(dfL, dfR, Seq(key),
+        JoinOps.skewAwareJoin(dfL, dfR, keys,
           monotonically_increasing_id(), buckets = buckets, auto = true)
       else
-        JoinOps.skewAwareJoin(dfR, dfL, Seq(key),
+        JoinOps.skewAwareJoin(dfR, dfL, keys,
           monotonically_increasing_id(), buckets = buckets, auto = true)
     // the subtree is freshly ANALYZED, but EliminateResolvedHint already
     // ran for this query — fold its ResolvedHint nodes (skewAwareJoin's

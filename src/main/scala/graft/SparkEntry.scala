@@ -4033,6 +4033,62 @@ object SparkEntry {
         }
         range.unionByName(hash).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // COMPOSITE-key registry — the reference's own session entries key on
+    // (session_id, seq) and lineitem on (l_orderkey, l_linenumber): the
+    // commit records per-column kinds beside the pinned combined
+    // xxhash64, every probe re-derives the same hash, and the final
+    // semi-join compares every ORIGINAL component — so callers never
+    // hand-hash a combined column (the round-13 gap). Batch tuple
+    // lookup == the plain tuple-IN filter; absent tuples whose
+    // COMPONENTS both exist prove the hash is over the tuple, not the
+    // parts. Oracle: the plain filter (probes are exactly the %97 rows).
+    "q237_composite_key_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val root = RegistryFixtures.root(s, dir, "ckL")
+      val probes = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey").as("o"), col("l_linenumber").as("l"))
+        .unionByName(Seq((1L, 99), (2L, 99)).toDF("o", "l"))
+      graft.core.SketchRegistry.lookupManyWithSketchesKeys(s, root,
+          probes, Seq("o", "l"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("qty"))
+    },
+
+    // Transparent dispatch on a TWO-KEY equi-join: the rule recognizes
+    // the conjunction of attribute equalities covering both tables'
+    // committed key sets (positionally aligned — the combined hash is
+    // order-sensitive), takes the registry decision off the combined-
+    // hash sketches, and broadcast-hints the %50 dim slice from its
+    // exact registry row count (required inline; the spec additionally
+    // pins it with Spark's own size-based broadcast disabled). Rows
+    // bit-identical to the plain two-key join, duplicates and all.
+    "q238_composite_dispatch" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "ckL"))
+        .createOrReplaceTempView("q238_l")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "ckR"))
+        .createOrReplaceTempView("q238_r")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "50000")
+      try {
+        val df = s.sql(
+          """SELECT l.l_orderkey, l.l_linenumber, l.qty, r.pk
+            |FROM q238_l l JOIN q238_r r
+            |  ON l.l_orderkey = r.l_orderkey
+            | AND l.l_linenumber = r.l_linenumber""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "two-key dispatch lost the registry broadcast hint")
+        df.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      }
     }
   )
 
@@ -4270,6 +4326,28 @@ object SparkEntry {
         df.queryExecution.sparkPlan // a LocalTableScan — no FileScan at all
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q238_composite_dispatch" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "ckL"))
+        .createOrReplaceTempView("q238p_l")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "ckR"))
+        .createOrReplaceTempView("q238p_r")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "50000")
+      try {
+        val df = s.sql(
+          """SELECT l.l_orderkey, l.l_linenumber, l.qty, r.pk
+            |FROM q238p_l l JOIN q238p_r r
+            |  ON l.l_orderkey = r.l_orderkey
+            | AND l.l_linenumber = r.l_linenumber""".stripMargin)
+        df.queryExecution.sparkPlan
+        df
+      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
     }
   )
 
@@ -4292,27 +4370,45 @@ object SparkEntry {
       */
     def root(s: SparkSession, dir: String, kind: String): String =
       roots.computeIfAbsent((dir, kind), _ => {
-        val df = kind match {
-          case "uni" => Tables.lineitem(s, dir)
-            .select(col("l_partkey").as("k"), col("l_orderkey"))
-          case "skw" => Tables.lineitem(s, dir)
+        val r = java.nio.file.Files
+          .createTempDirectory(s"graft_regfix_$kind").toString
+        def single(df: org.apache.spark.sql.DataFrame): String = {
+          graft.core.SketchRegistry.commitWithSketches(df, r, "k",
+            shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
+            cmDepth = 4, cmWidthLog2 = 12)
+          r
+        }
+        def composite(df: org.apache.spark.sql.DataFrame): String = {
+          graft.core.SketchRegistry.commitWithSketchesKeys(df, r,
+            Seq("l_orderkey", "l_linenumber"),
+            shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
+            cmDepth = 4, cmWidthLog2 = 12)
+          r
+        }
+        kind match {
+          case "uni" => single(Tables.lineitem(s, dir)
+            .select(col("l_partkey").as("k"), col("l_orderkey")))
+          case "skw" => single(Tables.lineitem(s, dir)
             .select(when(col("l_orderkey") % 10 < 3, lit(7L))
-              .otherwise(col("l_partkey")).as("k"), col("l_orderkey"))
-          case "part" => Tables.part(s, dir)
-            .select(col("p_partkey").as("k"), col("p_size"))
-          case "smlL" => Tables.customer(s, dir)
-            .select(col("c_nationkey").cast("long").as("k"))
-          case "smlR" => Tables.nation(s, dir)
-            .select(col("n_nationkey").cast("long").as("k"))
+              .otherwise(col("l_partkey")).as("k"), col("l_orderkey")))
+          case "part" => single(Tables.part(s, dir)
+            .select(col("p_partkey").as("k"), col("p_size")))
+          case "smlL" => single(Tables.customer(s, dir)
+            .select(col("c_nationkey").cast("long").as("k")))
+          case "smlR" => single(Tables.nation(s, dir)
+            .select(col("n_nationkey").cast("long").as("k")))
+          // composite (l_orderkey, l_linenumber) pair: the full table and
+          // the %50 dim slice — q237/q238
+          case "ckL" => composite(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity").cast("long").as("qty")))
+          case "ckR" => composite(Tables.lineitem(s, dir)
+            .filter(col("l_orderkey") % 50 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey").as("pk")))
           case other => throw new IllegalArgumentException(
             s"unknown registry fixture kind '$other'")
         }
-        val r = java.nio.file.Files
-          .createTempDirectory(s"graft_regfix_$kind").toString
-        graft.core.SketchRegistry.commitWithSketches(df, r, "k",
-          shardsLog2 = 3, bitsLog2 = 12, k = 4, hllP = 12,
-          cmDepth = 4, cmWidthLog2 = 12)
-        r
       })
   }
 
@@ -8990,7 +9086,25 @@ object SparkEntry {
         |  min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx,
         |  min(event_id) AS mn_e, max(event_id) AS mx_e FROM events
         |UNION ALL
-        |SELECT 'hash', count(*), NULL, NULL, NULL, NULL FROM lineitem""".stripMargin
+        |SELECT 'hash', count(*), NULL, NULL, NULL, NULL FROM lineitem""".stripMargin,
+
+    // the probes ARE the %97 rows' key tuples, so the tuple-IN lookup
+    // must return exactly those rows (duplicate tuples and all); the two
+    // planted absent tuples whose components both exist add nothing
+    "q237_composite_key_lookup" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+
+    // the plain two-key join replayed relationally — the dispatched
+    // broadcast shape must change the shuffle, never the rows
+    "q238_composite_dispatch" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_partkey AS pk
+        |           FROM lineitem WHERE l_orderkey % 50 = 0)
+        |SELECT li.l_orderkey, li.l_linenumber,
+        |  CAST(li.l_quantity AS BIGINT) AS qty, r.pk
+        |FROM lineitem li JOIN r
+        |  ON li.l_orderkey = r.l_orderkey
+        | AND li.l_linenumber = r.l_linenumber""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -239,10 +239,62 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       })
     }
 
+  /** COMPOSITE-key pruning: when an equality-literal conjunction covers
+    * EVERY key component (`k1 = a AND k2 = b`), the combined pinned
+    * xxhash64 yields the tuple's shard and Bloom admission exactly like a
+    * single-key point probe. `dataFilters` IS one scan's conjunction, so
+    * collecting per-column equality literals across it is sound; a
+    * PARTIAL cover (only some components) prunes nothing — the combined
+    * hash needs every component. Literal kinds must normalize like the
+    * commit's (integral → long, string as-is) or the filter is ignored
+    * (sound). Multiple equalities on one component intersect to
+    * at-most-one candidate anyway (contradictions scan, never lie).
+    */
+  private def compositeKeyShards(dataFilters: Seq[Expression]): Option[Set[Int]] =
+    hashMeta.filter(_.isComposite).flatMap { m =>
+      def litOf(e: Expression): Option[(String, Literal)] = e match {
+        case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, l))
+        case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, l))
+        case EqualNullSafe(a: AttributeReference, l: Literal) => Some((a.name, l))
+        case EqualNullSafe(l: Literal, a: AttributeReference) => Some((a.name, l))
+        case _ => None
+      }
+      val eqs: Map[String, Literal] =
+        dataFilters.flatMap(litOf).groupBy(_._1).map { case (n, ls) => n -> ls.head._2 }
+      val comps: Option[Seq[org.apache.spark.sql.catalyst.expressions.Literal]] =
+        if (!m.keyCols.forall(eqs.contains)) None
+        else {
+          val norm = m.keyCols.zip(m.keyKinds).map { case (c, kind) =>
+            (eqs(c).value, kind) match {
+              case (s: org.apache.spark.unsafe.types.UTF8String, "string") =>
+                Some(Literal.create(s,
+                  org.apache.spark.sql.types.StringType))
+              case (_, "string") => None
+              case _ => litLong(eqs(c)).map(v =>
+                Literal(v, org.apache.spark.sql.types.LongType))
+            }
+          }
+          if (norm.forall(_.isDefined)) Some(norm.map(_.get)) else None
+        }
+      comps.map { lits =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64(lits, 42L)
+          .eval(InternalRow.empty).asInstanceOf[Long]
+        val shard = (graft.functions.HashKernels.splitmix64(h)
+          & ((1L << m.shardsLog2) - 1)).toInt
+        bloomFor(m.keyCol) match { // the key Bloom column, cached lazily
+          case Some(perShard) if perShard.get(shard).exists(bloomAdmits(_, h)) =>
+            Set(shard)
+          case Some(_) => Set.empty[Int]
+          case None => shardFiles.keySet.toSet
+        }
+      }
+    }
+
   private def admittedShards(dataFilters: Seq[Expression]): Set[Int] = {
     var admitted: Set[Int] = shardFiles.keySet
     def restrict(o: Option[Set[Int]]): Unit =
       o.foreach(s => admitted = admitted.intersect(s))
+    restrict(compositeKeyShards(dataFilters))
     // saturating strict-comparison windows: `x > Long.MaxValue` /
     // `x < Long.MinValue` hold for NO value, so they admit zero shards on
     // any column (sound without stats) — where a wrapped `v ± 1` would

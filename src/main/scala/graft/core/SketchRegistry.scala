@@ -40,11 +40,29 @@ object SketchRegistry {
     * `keyIsString = true` means the key column is a STRING whose layout
     * BIGINT is the pinned `xxhash64` (Spark's SQL xxhash64, seed 42) —
     * persisted so write and probe sides can never hash differently.
+    * `keyKinds` non-empty marks a COMPOSITE key ([[commitWithSketchesKeys]]):
+    * `keyCol` then holds the comma-joined column list and `keyKinds` the
+    * per-column normalized kind ("int" = integral cast to BIGINT before
+    * hashing, "string" = as-is) — the layout BIGINT is the pinned
+    * `xxhash64(c1', c2', …)` over the NORMALIZED columns, so two tables
+    * with the same keyKind can never hash the same logical key
+    * differently even when their physical column widths differ.
     */
   final case class Meta(keyCol: String, shardsLog2: Int, bitsLog2: Int,
                         k: Int, hllP: Int, sketchCols: Seq[String] = Nil,
                         cmDepth: Int = 0, cmWidthLog2: Int = 0,
-                        keyIsString: Boolean = false)
+                        keyIsString: Boolean = false,
+                        keyKinds: Seq[String] = Nil) {
+    def isComposite: Boolean = keyKinds.nonEmpty
+    def keyCols: Seq[String] =
+      if (isComposite) keyCol.split(",").toSeq else Seq(keyCol)
+    /** The hash-domain identity two layouts must share for ANY cross-table
+      * bitmap/sketch comparison (Bloom-AND co-location, dispatch).
+      */
+    def keyKind: String =
+      if (isComposite) s"multi:${keyKinds.mkString(",")}"
+      else if (keyIsString) "string" else "int"
+  }
 
   /** The BIGINT the layout hashes for the key: the value itself for
     * integral keys, the pinned `xxhash64` for string keys. Every shard
@@ -55,6 +73,58 @@ object SketchRegistry {
   private def keyHashExpr(keyIsString: Boolean,
                           c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     if (keyIsString) xxhash64(c) else c.cast("long")
+
+  /** The meta-aware layout hash over a frame's key column(s) — every
+    * maintenance verb and probe routes through this ONE derivation.
+    */
+  private def keyHashExprM(m: Meta): org.apache.spark.sql.Column =
+    if (m.isComposite)
+      xxhash64(m.keyCols.zip(m.keyKinds).map {
+        case (c, "string") => col(c)
+        case (c, _)        => col(c).cast("long")
+      }: _*)
+    else keyHashExpr(m.keyIsString, col(m.keyCol))
+
+  /** The normalized kind of a composite key column — integral widths all
+    * hash as BIGINT, so two tables keyed on (INT, BIGINT) and (BIGINT,
+    * BIGINT) columns holding the same logical keys share the hash domain.
+    */
+  private def kindOf(dt: org.apache.spark.sql.types.DataType,
+                     c: String): String = dt match {
+    case org.apache.spark.sql.types.StringType => "string"
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => "int"
+    case other => throw new IllegalArgumentException(
+      s"composite key column '$c' must be integral or string, got $other")
+  }
+
+  /** Driver-side replica of the composite layout hash: evaluates the SAME
+    * Catalyst `XxHash64` over literals normalized exactly like
+    * [[keyHashExprM]] normalizes columns — the probe can never hash
+    * differently from the commit.
+    */
+  private[core] def xxhash64Multi(values: Seq[Any], kinds: Seq[String]): Long = {
+    require(values.length == kinds.length,
+      s"expected ${kinds.length} key values, got ${values.length}")
+    val exprs = values.zip(kinds).map {
+      case (s: String, "string") =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType)
+      case (v, "string") => throw new IllegalArgumentException(
+        s"expected a string key component, got $v")
+      case (v: Number, _) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          v.longValue(), org.apache.spark.sql.types.LongType)
+      case (v, _) => throw new IllegalArgumentException(
+        s"expected an integral key component, got $v")
+    }
+    org.apache.spark.sql.catalyst.expressions.XxHash64(exprs, 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+  }
 
   /** Driver-side replica of Spark's `xxhash64` on one string — evaluates
     * the actual Catalyst expression, so it can never drift from the
@@ -183,6 +253,71 @@ object SketchRegistry {
     }
   }
 
+  /** COMPOSITE-key opt-in sketch-indexed commit — the multi-column
+    * complement of [[commitWithSketches]] (the reference's own session
+    * entries key on (session_id, seq); lineitem needs (l_orderkey,
+    * l_linenumber)): the layout BIGINT is the pinned
+    * `xxhash64(normalized key columns)` with the per-column kinds
+    * recorded in the meta, so callers never hand-hash a combined column
+    * (the trap the string-key work closed for one column) and probes can
+    * never hash differently from the commit. Everything downstream —
+    * registry rows, Bloom/HLL/CM sketches, append/upsert/compact
+    * maintenance, FileIndex pruning on full-key equality conjunctions,
+    * join dispatch on two-conjunct equi-joins — rides the same combined
+    * hash. Key columns must be integral or string (loud otherwise);
+    * integral widths normalize to BIGINT before hashing.
+    */
+  def commitWithSketchesKeys(df: DataFrame, root: String,
+                             keyCols: Seq[String],
+                             shardsLog2: Int = 3, bitsLog2: Int = 14,
+                             k: Int = 4, hllP: Int = 12,
+                             expectedVersion: Option[Long] = None,
+                             filesPerShard: Int = 1,
+                             sketchCols: Seq[String] = Nil,
+                             cmDepth: Int = 4, cmWidthLog2: Int = 12): Long = {
+    require(keyCols.size >= 2,
+      s"composite commit needs >= 2 key columns, got ${keyCols.mkString(",")}" +
+        " — use commitWithSketches for a single key")
+    require(keyCols.distinct.size == keyCols.size,
+      s"duplicate key columns: ${keyCols.mkString(",")}")
+    require(keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} must all exist in " +
+        df.columns.mkString(","))
+    require(keyCols.forall(!_.contains(",")),
+      "key column names must not contain ','")
+    require(shardsLog2 >= 0 && shardsLog2 <= 12,
+      s"shardsLog2 must be in [0, 12], got $shardsLog2")
+    require(bitsLog2 >= 6 && bitsLog2 <= 24,
+      s"bitsLog2 must be in [6, 24], got $bitsLog2")
+    require(sketchCols.forall(c => df.columns.contains(c) && !keyCols.contains(c)),
+      s"sketchCols must be data columns other than the keys, got " +
+        s"${sketchCols.mkString(",")}")
+    require(cmDepth >= 1 && cmDepth <= 16,
+      s"cmDepth must be in [1, 16], got $cmDepth")
+    val kinds = keyCols.map(c => kindOf(df.schema(c).dataType, c))
+    val m = Meta(keyCols.mkString(","), shardsLog2, bitsLog2, k, hllP,
+      sketchCols, cmDepth, cmWidthLog2, keyIsString = false, keyKinds = kinds)
+    val n = 1 << shardsLog2
+    val sharded = df
+      .withColumn("__kh", keyHashExprM(m))
+      .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
+        .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+    val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
+      sketchCols, cmDepth, cmWidthLog2)
+    TableStore.commitStaged(root, expectedVersion) { staging =>
+      clusterForWrite(sharded, col("__kh"), filesPerShard, n)
+        .drop("__kh")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging.toString)
+      registry.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_sketches").toString)
+      Files.write(staging.resolve("_sketches_meta"),
+        (s"${m.keyCol}\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
+          s"\n$cmDepth\n$cmWidthLog2\nmulti:${kinds.mkString(",")}")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
   /** The persisted parameters of `root`'s committed (or given) version.
     * Fails loudly when the version was not committed via
     * [[commitWithSketches]].
@@ -204,7 +339,11 @@ object SketchRegistry {
       case Array(key, s, b, kk, hp, sc, cd, cw, kt) =>
         Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
           sc.split(",").filter(_.nonEmpty).toSeq, cd.toInt, cw.toInt,
-          kt == "string")
+          keyIsString = kt == "string",
+          keyKinds =
+            if (kt.startsWith("multi:"))
+              kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
+            else Nil)
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -263,7 +402,23 @@ object SketchRegistry {
       s"'${m.keyCol}' is a STRING key — probe with the string value " +
         "(prunedShardsString / lookupWithSketches(String)); a raw BIGINT " +
         "is not its xxhash64")
+    require(!m.isComposite,
+      s"'${m.keyCol}' is a COMPOSITE key — probe with all components " +
+        "(prunedShardsKeys / lookupWithSketchesKeys); a single BIGINT is " +
+        "not the combined xxhash64")
     prunedShardsByHash(spark, root, m, version, key)
+  }
+
+  /** [[prunedShards]] for a COMPOSITE-keyed table: the probe's components
+    * hash through the SAME pinned combined xxhash64 the commit recorded
+    * (kinds from the meta), so write and probe sides can never disagree.
+    */
+  def prunedShardsKeys(spark: SparkSession, root: String, key: Seq[Any],
+                       version: Option[Long] = None): Seq[Int] = {
+    val m = meta(root, version)
+    require(m.isComposite,
+      s"'${m.keyCol}' is not a composite key — probe with the single value")
+    prunedShardsByHash(spark, root, m, version, xxhash64Multi(key, m.keyKinds))
   }
 
   /** [[prunedShards]] for a STRING-keyed table: the probe hashes through
@@ -274,7 +429,8 @@ object SketchRegistry {
                          version: Option[Long] = None): Seq[Int] = {
     val m = meta(root, version)
     require(m.keyIsString,
-      s"'${m.keyCol}' is not a string key — probe with the integral value")
+      s"'${m.keyCol}' is not a string key — probe with the integral value" +
+        (if (m.isComposite) " tuple (prunedShardsKeys)" else ""))
     prunedShardsByHash(spark, root, m, version, xxhash64String(key))
   }
 
@@ -313,6 +469,9 @@ object SketchRegistry {
                              probes: DataFrame, probeKeyCol: String,
                              version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
+    require(!m.isComposite,
+      s"'${m.keyCol}' is a COMPOSITE key — probe with all components " +
+        "(lookupManyWithSketchesKeys)")
     val v = version.orElse(TableStore.currentVersion(root)).get
     val n = 1 << m.shardsLog2
     // probes carry BOTH the layout hash (shard + Bloom admission) and the
@@ -339,6 +498,58 @@ object SketchRegistry {
         .parquet(shards.map(s => s"$root/v_$v/shard=$s").toIndexedSeq: _*)
         .join(admitted.select(col("__orig")),
           col(m.keyCol) === col("__orig"), "left_semi")
+  }
+
+  /** [[lookupManyWithSketches]] for a COMPOSITE-keyed table: probe TUPLES
+    * (one column per key component, given in the committed key order)
+    * hash through the meta's pinned combined xxhash64 for shard + Bloom
+    * admission, and the final exact semi-join compares every ORIGINAL
+    * component — Bloom false positives and xxhash collisions cost a
+    * read, never a wrong row. Result rows are exactly the committed rows
+    * whose key tuple appears in `probes`.
+    */
+  def lookupManyWithSketchesKeys(spark: SparkSession, root: String,
+                                 probes: DataFrame,
+                                 probeKeyCols: Seq[String],
+                                 version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    require(m.isComposite,
+      s"'${m.keyCol}' is not a composite key — probe with lookupManyWithSketches")
+    require(probeKeyCols.size == m.keyCols.size,
+      s"expected ${m.keyCols.size} probe columns (${m.keyCol}), got " +
+        probeKeyCols.mkString(","))
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    val n = 1 << m.shardsLog2
+    val orig = probeKeyCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__orig$i") }
+    val hashBasis = m.keyKinds.zipWithIndex.map {
+      case ("string", i) => col(s"__orig$i")
+      case (_, i)        => col(s"__orig$i").cast("long")
+    }
+    val p = probes.select(orig: _*).distinct()
+      .withColumn("__k", xxhash64(hashBasis: _*))
+      .withColumn("shard",
+        graft.functions.GraftFunctions.splitmix64(col("__k"))
+          .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+    val admitted = SketchOps.bloomMightContain(
+        broadcast(registry(spark, root, version).select(col("shard"), col("bloom"))),
+        p, Seq("shard"), "__k", m.bitsLog2, m.k)
+      .filter(col("might_contain"))
+      .select(col("shard") +: m.keyCols.indices.map(i => col(s"__orig$i")): _*)
+    val shards = admitted.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (shards.isEmpty)
+      TableStore.readVersion(spark, root, v).filter(lit(false))
+    else {
+      val data = spark.read.option("basePath", s"$root/v_$v")
+        .parquet(shards.map(s => s"$root/v_$v/shard=$s").toIndexedSeq: _*)
+      val cond = m.keyCols.zipWithIndex
+        .map { case (c, i) => data(c) === col(s"__orig$i") }
+        .reduce(_ && _)
+      data.join(
+        admitted.select(m.keyCols.indices.map(i => col(s"__orig$i")): _*),
+        cond, "left_semi")
+    }
   }
 
   /** [[TableStore.changeFeed]] restricted to the shard directories that
@@ -449,12 +660,12 @@ object SketchRegistry {
         s"vs (${mb.shardsLog2},${mb.bitsLog2},${mb.k})")
     // the Bloom-AND proof needs both sides to have hashed the SAME key
     // domain: a string-keyed table's xxhash64 words ANDed against an
-    // integral-keyed table's raw-value words would be meaningless
-    // admission — shards holding matching keys could be silently dropped
-    require(ma.keyIsString == mb.keyIsString,
+    // integral-keyed table's raw-value words (or a 2-component combined
+    // hash against a 3-component one) would be meaningless admission —
+    // shards holding matching keys could be silently dropped
+    require(ma.keyKind == mb.keyKind,
       s"co-located join requires the same key kind, got " +
-        s"${if (ma.keyIsString) "string" else "int"}-keyed '$rootA' vs " +
-        s"${if (mb.keyIsString) "string" else "int"}-keyed '$rootB'")
+        s"${ma.keyKind}-keyed '$rootA' vs ${mb.keyKind}-keyed '$rootB'")
     val a = registry(spark, rootA, versionA)
       .select(col("shard"), col("bloom").as("__ba"))
     val b = registry(spark, rootB, versionB)
@@ -495,10 +706,10 @@ object SketchRegistry {
     }
     val a = side(rootA, va)
     val bRaw = side(rootB, vb).drop("shard")
-    val collide = bRaw.columns.filter(c => c != ma.keyCol &&
+    val collide = bRaw.columns.filter(c => !ma.keyCols.contains(c) &&
       a.columns.contains(c))
     val b = collide.foldLeft(bRaw)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
-    a.join(b, Seq(ma.keyCol))
+    a.join(b, ma.keyCols)
   }
 
   /** The shard directories an equality probe on SECONDARY column `c`
@@ -587,13 +798,29 @@ object SketchRegistry {
     TableStore.requireSameDataSchema(upserts,
       TableStore.readVersion(spark, root, v), "upserts")
     val n = 1 << m.shardsLog2
-    def shardOf(c: org.apache.spark.sql.Column) =
-      graft.functions.GraftFunctions.splitmix64(keyHashExpr(m.keyIsString, c))
+    val kc = m.keyCols
+    require(deleteKeys.columns.length == kc.size,
+      s"deleteKeys must carry ${kc.size} column(s) for key (${m.keyCol}), " +
+        s"got ${deleteKeys.columns.mkString(",")}")
+    // the layout hash over renamed probe columns — the same normalization
+    // keyHashExprM applies to the table's own key columns
+    def hashOf(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (m.isComposite)
+        xxhash64(cols.zip(m.keyKinds).map {
+          case (c, "string") => c
+          case (c, _)        => c.cast("long")
+        }: _*)
+      else keyHashExpr(m.keyIsString, cols.head)
+    def shardOf(cols: Seq[org.apache.spark.sql.Column]) =
+      graft.functions.GraftFunctions.splitmix64(hashOf(cols))
         .bitwiseAND(lit((n - 1).toLong)).cast("int")
-    val changedKeys = upserts.select(col(m.keyCol).as("__k"))
-      .union(deleteKeys.select(col(deleteKeys.columns.head).as("__k")))
+    val changedKeys = upserts
+      .select(kc.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }: _*)
+      .union(deleteKeys.select(deleteKeys.columns.toSeq.zipWithIndex
+        .map { case (c, i) => col(c).as(s"__k$i") }: _*))
       .distinct()
-    val touched = changedKeys.select(shardOf(col("__k")).as("shard"))
+    val touched = changedKeys
+      .select(shardOf(kc.indices.map(i => col(s"__k$i"))).as("shard"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return v // empty change batch: nothing to commit
     val existingDirs = (0 until n).filter(s =>
@@ -604,10 +831,12 @@ object SketchRegistry {
         TableStore.readVersion(spark, root, v).filter(lit(false))
       else spark.read.option("basePath", s"$root/v_$v")
         .parquet(oldTouchedDirs.map(s => s"$root/v_$v/shard=$s"): _*)
+    val antiCond = kc.zipWithIndex
+      .map { case (c, i) => col(c) === col(s"__k$i") }.reduce(_ && _)
     val newTouched = oldTouched
-      .join(broadcast(changedKeys), col(m.keyCol) === col("__k"), "left_anti")
-      .unionByName(upserts.withColumn("shard", shardOf(col(m.keyCol))))
-      .withColumn("__kh", keyHashExpr(m.keyIsString, col(m.keyCol)))
+      .join(broadcast(changedKeys), antiCond, "left_anti")
+      .unionByName(upserts.withColumn("shard", shardOf(kc.map(col))))
+      .withColumn("__kh", keyHashExprM(m))
     val touchedRegistry = buildRegistryRows(newTouched, "__kh",
       m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2)
     val carried = registry(spark, root, Some(v))
@@ -659,7 +888,7 @@ object SketchRegistry {
       TableStore.readVersion(spark, root, v), "append rows")
     val n = 1 << m.shardsLog2
     val sharded = rows
-      .withColumn("__kh", keyHashExpr(m.keyIsString, col(m.keyCol)))
+      .withColumn("__kh", keyHashExprM(m))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val batchRegistry = buildRegistryRows(sharded, "__kh", m.bitsLog2,
@@ -743,8 +972,7 @@ object SketchRegistry {
     val fatData = spark.read.option("basePath", s"$root/v_$v")
       .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(fatData,
-        keyHashExpr(m.keyIsString, col(m.keyCol)), filesPerShard, n)
+      clusterForWrite(fatData, keyHashExprM(m), filesPerShard, n)
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
       (0 until n).filterNot(fat.contains).map(s => s"shard=$s")
@@ -1185,6 +1413,9 @@ object SketchRegistry {
     require(m.cmDepth > 0,
       s"$root's registry predates per-shard CM rows — re-commit with the " +
         "current commitWithSketches to enable frequency estimates")
+    require(!m.isComposite,
+      s"'${m.keyCol}' is a COMPOSITE key — single-column probes cannot " +
+        "hash the combined key; probe with keyFrequencyEstimatesKeys")
     val merged = SketchOps.cmMergeSketches(
       registry(spark, root, version).select(col("cm")), Nil, "cm",
       m.cmDepth, m.cmWidthLog2)
@@ -1249,6 +1480,34 @@ object SketchRegistry {
     }
   }
 
+  /** [[keyFrequencyEstimates]] for a COMPOSITE-keyed table: probe tuples
+    * hash through the pinned combined xxhash64 before the merged-CM read.
+    */
+  def keyFrequencyEstimatesKeys(spark: SparkSession, root: String,
+                                probes: DataFrame,
+                                probeKeyCols: Seq[String],
+                                version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    require(m.cmDepth > 0,
+      s"$root's registry predates per-shard CM rows — re-commit to enable " +
+        "frequency estimates")
+    require(m.isComposite,
+      s"'${m.keyCol}' is not a composite key — probe with keyFrequencyEstimates")
+    require(probeKeyCols.size == m.keyCols.size,
+      s"expected ${m.keyCols.size} probe columns (${m.keyCol}), got " +
+        probeKeyCols.mkString(","))
+    val merged = SketchOps.cmMergeSketches(
+      registry(spark, root, version).select(col("cm")), Nil, "cm",
+      m.cmDepth, m.cmWidthLog2)
+    val p = probes.withColumn("__k",
+      xxhash64(probeKeyCols.zip(m.keyKinds).map {
+        case (c, "string") => col(c)
+        case (c, _)        => col(c).cast("long")
+      }: _*))
+    SketchOps.cmEstimate(merged, p, Nil, "__k", m.cmDepth, m.cmWidthLog2)
+      .drop("__k")
+  }
+
   /** Keyed point lookup through the registry: a Bloom miss returns the
     * empty result WITHOUT opening any data file (the plan collapses to an
     * empty LocalRelation); a hit reads exactly one shard directory of
@@ -1294,6 +1553,32 @@ object SketchRegistry {
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
           .filter(col(m.keyCol) === key)
+    }
+  }
+
+  /** [[lookupWithSketches]] for a COMPOSITE-keyed table (the session
+    * store's (session_id, seq), lineitem's (l_orderkey, l_linenumber)):
+    * components hash through the meta's pinned combined xxhash64 for
+    * shard + Bloom admission, the final filter compares every ORIGINAL
+    * component — a Bloom false positive or an xxhash collision costs a
+    * read, never a wrong row. Result rows are exactly the plain
+    * all-components equality filter's (spec- and oracle-pinned).
+    */
+  def lookupWithSketchesKeys(spark: SparkSession, root: String, key: Seq[Any],
+                             version: Option[Long] = None): DataFrame = {
+    val m = meta(root, version)
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    prunedShardsKeys(spark, root, key, version) match {
+      case Nil =>
+        (version match {
+          case Some(x) => TableStore.readVersion(spark, root, x)
+          case None    => TableStore.read(spark, root)
+        }).filter(lit(false))
+      case shards =>
+        val data = spark.read.option("basePath", s"$root/v_$v")
+          .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
+        data.filter(m.keyCols.zip(key)
+          .map { case (c, kv) => col(c) === lit(kv) }.reduce(_ && _))
     }
   }
 }

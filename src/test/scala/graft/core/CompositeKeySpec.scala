@@ -1,0 +1,233 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Composite-key sketch registry: the combined pinned xxhash64 layout,
+  * point/batch lookups, FileIndex pruning on full-key conjunctions, and
+  * maintenance verbs on multi-column keys.
+  */
+class CompositeKeySpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+    val fs = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    fs.filter(_.isDirectory).flatMap(dataFiles) ++
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getPath.contains("_sketches"))
+  }
+
+  private def fixture = (0 until 40).flatMap(o =>
+    (1 to 5).map(l => (o.toLong, l, s"p${o}_$l")))
+    .toDF("okey", "line", "payload")
+
+  test("commit + point/batch lookup: combined-hash layout, exact IN-tuple semantics, pruned reads") {
+    val root = java.nio.file.Files.createTempDirectory("ck_base").toString
+    val df = fixture
+    val v = SketchRegistry.commitWithSketchesKeys(df, root,
+      Seq("okey", "line"), shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    assert(v == 0L)
+    val m = SketchRegistry.meta(root)
+    assert(m.isComposite && m.keyCols == Seq("okey", "line") &&
+      m.keyKinds == Seq("int", "int") && m.keyKind == "multi:int,int")
+    // shard column equals the documented combined-hash derivation
+    val back = TableStore.read(spark, root)
+    val expectShard = graft.functions.GraftFunctions.splitmix64(
+      xxhash64(col("okey").cast("long"), col("line").cast("long")))
+      .bitwiseAND(lit(7L)).cast("int")
+    assert(back.filter(col("shard") =!= expectShard).count() == 0L)
+    // point lookup: present tuple == the plain two-equality filter,
+    // reading exactly one shard directory
+    val hit = SketchRegistry.lookupWithSketchesKeys(spark, root, Seq(7L, 3))
+    assert(hit.select("payload").collect().map(_.getString(0)).toSeq == Seq("p7_3"))
+    val shards = SketchRegistry.prunedShardsKeys(spark, root, Seq(7L, 3))
+    assert(shards.length == 1)
+    // absent tuple: both components exist, the TUPLE does not → a Bloom
+    // miss opens zero data files (or a rare FP opens one and filters to 0)
+    val miss = SketchRegistry.lookupWithSketchesKeys(spark, root, Seq(7L, 99))
+    assert(miss.collect().isEmpty)
+    // batch lookup == IN-tuple semantics, absent tuples drop
+    val probes = Seq((1L, 2), (7L, 3), (39L, 5), (7L, 99), (999L, 1))
+      .toDF("o", "l")
+    val got = SketchRegistry.lookupManyWithSketchesKeys(spark, root,
+      probes, Seq("o", "l")).select("payload")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("p1_2", "p39_5", "p7_3"))
+    // single-key verbs reject the composite table loudly, and vice versa
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.lookupWithSketches(spark, root, 7L)
+    }.getMessage.contains("COMPOSITE"))
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.lookupManyWithSketches(spark, root, probes, "o")
+    }.getMessage.contains("COMPOSITE"))
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.keyFrequencyEstimates(spark, root, probes, "o")
+    }.getMessage.contains("COMPOSITE"))
+    val single = java.nio.file.Files.createTempDirectory("ck_single").toString
+    SketchRegistry.commitWithSketches(df.select("okey", "payload"), single, "okey",
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.lookupWithSketchesKeys(spark, single, Seq(7L, 3))
+    }.getMessage.contains("not a composite"))
+    // commit guards: one column, unknown column, non-scalar kind
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.commitWithSketchesKeys(df, root, Seq("okey"))
+    }.getMessage.contains(">= 2"))
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.commitWithSketchesKeys(df, root, Seq("okey", "nope"))
+    }.getMessage.contains("must all exist"))
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.commitWithSketchesKeys(
+        df.withColumn("arr", array(lit(1))), root, Seq("okey", "arr"))
+    }.getMessage.contains("integral or string"))
+  }
+
+  test("mixed int+string composite keys hash through normalized kinds") {
+    val root = java.nio.file.Files.createTempDirectory("ck_mixed").toString
+    val df = (0 until 60).map(i => (s"s${i % 6}", i, i * 10))
+      .toDF("sess", "seq", "v")
+    SketchRegistry.commitWithSketchesKeys(df, root, Seq("sess", "seq"),
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val m = SketchRegistry.meta(root)
+    assert(m.keyKinds == Seq("string", "int"))
+    val hit = SketchRegistry.lookupWithSketchesKeys(spark, root, Seq("s3", 15))
+    assert(hit.select("v").collect().map(_.getInt(0)).toSeq == Seq(150))
+    assert(SketchRegistry.lookupWithSketchesKeys(spark, root, Seq("s9", 15))
+      .collect().isEmpty)
+    // frequency triage over tuples: present tuple >= exact 1, never 0
+    val est = SketchRegistry.keyFrequencyEstimatesKeys(spark, root,
+      Seq(("s3", 15), ("s9", 15)).toDF("a", "b"), Seq("a", "b"))
+      .orderBy("a").collect()
+    assert(est(0).getLong(est(0).fieldIndex("est")) >= 1L)
+  }
+
+  test("maintenance on composite keys: append merges, upsert/delete replace by tuple, compact carries") {
+    val root = java.nio.file.Files.createTempDirectory("ck_maint").toString
+    val df = fixture
+    SketchRegistry.commitWithSketchesKeys(df, root, Seq("okey", "line"),
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    // append: registry merge must be bit-identical to a fresh build of the union
+    val batch = (100 until 110).flatMap(o => (1 to 2).map(l =>
+      (o.toLong, l, s"n${o}_$l"))).toDF("okey", "line", "payload")
+    SketchRegistry.appendWithSketches(spark, root, batch)
+    val fresh = java.nio.file.Files.createTempDirectory("ck_fresh").toString
+    SketchRegistry.commitWithSketchesKeys(df.unionByName(batch), fresh,
+      Seq("okey", "line"), shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val a = SketchRegistry.registry(spark, root).orderBy("shard").collect()
+    val b = SketchRegistry.registry(spark, fresh).orderBy("shard").collect()
+    assert(a.length == b.length &&
+      a.zip(b).forall { case (x, y) => x.toSeq == y.toSeq },
+      "appended registry must be bit-identical to the fresh union build")
+    // upsert one tuple + delete one tuple: replace-by-tuple semantics
+    val v1 = SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = Seq((7L, 3, "EDITED")).toDF("okey", "line", "payload"),
+      deleteKeys = Seq((1L, 2)).toDF("o", "l"))
+    val now = TableStore.readVersion(spark, root, v1)
+    assert(now.filter(col("okey") === 7L && col("line") === 3)
+      .select("payload").collect().map(_.getString(0)).toSeq == Seq("EDITED"))
+    assert(now.filter(col("okey") === 1L && col("line") === 2).count() == 0L)
+    // sibling line of a deleted tuple survives (tuple-granular, not okey-granular)
+    assert(now.filter(col("okey") === 1L && col("line") === 3).count() == 1L)
+    assert(now.count() == df.count() + batch.count() - 1)
+    // deleteKeys arity guard
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.applyChangesWithSketches(spark, root,
+        upserts = Seq((8L, 1, "x")).toDF("okey", "line", "payload"),
+        deleteKeys = Seq(1L).toDF("o"))
+    }.getMessage.contains("deleteKeys"))
+    // compact after the append run carries the registry verbatim
+    val before = SketchRegistry.registry(spark, root).orderBy("shard").collect()
+    val v2 = SketchRegistry.compactWithSketches(spark, root)
+    if (v2 != v1) {
+      val after = SketchRegistry.registry(spark, root).orderBy("shard").collect()
+      assert(before.zip(after).forall { case (x, y) => x.toSeq == y.toSeq })
+    }
+  }
+
+  test("FileIndex prunes full-key equality conjunctions; partial cover scans; SQL path works") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedParts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.selectedPartitions.toPartitionArray.length
+      }.sum
+    val root = java.nio.file.Files.createTempDirectory("ck_idx").toString
+    SketchRegistry.commitWithSketchesKeys(fixture, root, Seq("okey", "line"),
+      shardsLog2 = 3, bitsLog2 = 12, k = 4)
+    val all = dataFiles(new java.io.File(s"$root/v_0")).size
+    val idx = SketchFileIndex.readIndexed(spark, root)
+    // full-key conjunction: at most one shard opens, rows exact
+    val hit = idx.filter(col("okey") === 7L && col("line") === 3)
+    assert(hit.select("payload").collect().map(_.getString(0)).toSeq == Seq("p7_3"))
+    assert(scannedParts(hit) == 1, s"full-key equality must open one shard, got ${scannedParts(hit)}")
+    // absent tuple: zero partitions (components exist, tuple does not)
+    val miss = idx.filter(col("okey") === 7L && col("line") === 99)
+    assert(miss.collect().isEmpty)
+    assert(scannedParts(miss) == 0,
+      s"absent tuple must open nothing:\n${miss.queryExecution.executedPlan}")
+    // partial cover: one component alone carries no combined hash — full scan,
+    // exact rows
+    val partial = idx.filter(col("okey") === 7L)
+    assert(partial.count() == 5L)
+    assert(scannedParts(partial) == all || scannedParts(partial) == 8,
+      "partial key equality must not prune through the combined hash")
+    // SQL path
+    idx.createOrReplaceTempView("ck_sql")
+    val sql = spark.sql("SELECT payload FROM ck_sql WHERE okey = 12 AND line = 4")
+    assert(sql.collect().map(_.getString(0)).toSeq == Seq("p12_4"))
+    assert(scannedParts(sql) == 1)
+  }
+
+  test("transparent dispatch on a two-key equi-join: broadcast hint + coloc pruning, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val left = fixture
+    val right = (0 until 40 by 4).flatMap(o => (1 to 5).map(l =>
+      (o.toLong, l, o * 100 + l))).toDF("okey", "line", "rv")
+    def commit(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"ck_dsp_$tag").toString
+      SketchRegistry.commitWithSketchesKeys(df, root, Seq("okey", "line"),
+        shardsLog2 = 3, bitsLog2 = 12, k = 4)
+      root
+    }
+    SketchFileIndex.readIndexed(spark, commit(left, "l"))
+      .createOrReplaceTempView("ck_l")
+    SketchFileIndex.readIndexed(spark, commit(right, "r"))
+      .createOrReplaceTempView("ck_r")
+    if (!spark.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+    spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+    spark.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "80")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql("""SELECT l.okey, l.line, l.payload, r.rv
+        FROM ck_l l JOIN ck_r r ON l.okey = r.okey AND l.line = r.line""")
+      // right side (50 rows) fits the 80-row budget: a registry-hinted
+      // broadcast despite autoBroadcastJoinThreshold = -1
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"two-key dispatch must broadcast:\n${q.queryExecution.executedPlan}")
+      val expected = left.join(right, Seq("okey", "line"))
+        .select("okey", "line", "payload", "rv")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(q.collect().map(_.toSeq.mkString("|")).sorted.toSeq == expected)
+      // misaligned pairs (okey = line AND line = okey) stay untouched
+      val crossed = spark.sql("""SELECT l.payload FROM ck_l l JOIN ck_r r
+        ON l.okey = r.line AND l.line = r.okey""")
+      assert(!crossed.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == graft.SketchJoinDispatch)
+    }
+  }
+}
