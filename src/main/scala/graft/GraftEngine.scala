@@ -635,6 +635,21 @@ object GraftEngine {
                column: String, values: Seq[Long]): DataFrame =
     core.SketchRegistry.lookupBySecondaryIn(spark, root, column, values)
 
+  /** colocated_range_join: sort-column equi-join of two range-sharded
+    * tables reading only zone-map-intersecting shard directories — the
+    * time-series enrichment join. Layouts need not share bounds.
+    */
+  def colocatedRangeJoin(spark: org.apache.spark.sql.SparkSession,
+                         rootA: String, rootB: String): DataFrame =
+    core.SketchRegistry.colocatedRangeJoin(spark, rootA, rootB)
+
+  /** colocated_z_join: (colA, colB)-equality join of two Z-order tables
+    * reading only rectangle-intersecting cells of either side.
+    */
+  def colocatedZJoin(spark: org.apache.spark.sql.SparkSession,
+                     rootA: String, rootB: String): DataFrame =
+    core.ZOrderStore.colocatedZJoin(spark, rootA, rootB)
+
   def rangeLookupOn(spark: org.apache.spark.sql.SparkSession, root: String,
                     column: String, lo: Long, hi: Long): DataFrame =
     core.SketchRegistry.rangeLookupOn(spark, root, column, lo, hi)

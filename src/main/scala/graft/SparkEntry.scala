@@ -4089,6 +4089,52 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
       }
+    },
+
+    // Zone-map CO-LOCATION on the range layout — the time-series
+    // enrichment join: both tables lay out by time (with their OWN
+    // quantile bounds — intersection is on raw value windows, so the
+    // layouts need not share anything), and the sort-column equi-join
+    // reads only shard pairs whose exact windows intersect. A narrow
+    // enrichment table opens only the fact shards its span touches; a
+    // disjoint pair opens zero files (both spec-pinned off inputFiles).
+    // Rows are exactly the plain inner join's on the timestamp.
+    "q239_colocated_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val rootA = java.nio.file.Files.createTempDirectory("q239_a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q239_b").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id"), col("user_id")),
+        rootA, "ts_us", shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.filter(col("ts_us").between(1704240000000000L, 1704412800000000L))
+          .select(col("ts_us"), col("event_id").as("b_id")),
+        rootB, "ts_us", shardsLog2 = 2, subLog2 = 5)
+      graft.core.SketchRegistry.colocatedRangeJoin(s, rootA, rootB)
+        .select(col("ts_us"), col("event_id"), col("user_id"), col("b_id"))
+    },
+
+    // The 2-D analog: two Z-order tables joined on their layout columns
+    // read only rectangle-intersecting cells — the enrichment table's
+    // narrow qty slice touches a fraction of the fact table's cells.
+    // Rows are exactly the plain (qty, pk) inner join's.
+    "q240_colocated_z_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      val rootA = java.nio.file.Files.createTempDirectory("q240_a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q240_b").toString
+      graft.core.ZOrderStore.commitZOrdered(
+        li.select(col("qty"), col("pk"), col("id")), rootA, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5)
+      graft.core.ZOrderStore.commitZOrdered(
+        li.filter(col("qty") <= 5).select(col("qty"), col("pk"), col("sk")),
+        rootB, "qty", "pk", shardsLog2 = 4, subLog2 = 5)
+      graft.core.ZOrderStore.colocatedZJoin(s, rootA, rootB)
+        .select(col("qty"), col("pk"), col("id"), col("sk"))
     }
   )
 
@@ -9104,7 +9150,26 @@ object SparkEntry {
         |  CAST(li.l_quantity AS BIGINT) AS qty, r.pk
         |FROM lineitem li JOIN r
         |  ON li.l_orderkey = r.l_orderkey
-        | AND li.l_linenumber = r.l_linenumber""".stripMargin
+        | AND li.l_linenumber = r.l_linenumber""".stripMargin,
+
+    // the plain timestamp equi-join against the window slice — the
+    // zone-map-pruned read must lose nothing
+    "q239_colocated_range_join" ->
+      """WITH a AS (SELECT epoch_us(ts) AS ts_us, event_id, user_id FROM events),
+        |b AS (SELECT epoch_us(ts) AS ts_us, event_id AS b_id FROM events
+        |      WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000)
+        |SELECT a.ts_us, a.event_id, a.user_id, b.b_id
+        |FROM a JOIN b USING (ts_us)""".stripMargin,
+
+    // the plain (qty, pk) join against the narrow-qty slice
+    "q240_colocated_z_join" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk,
+        |             l_orderkey * 10 + l_linenumber AS id FROM lineitem),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_partkey AS pk,
+        |             l_suppkey AS sk FROM lineitem
+        |      WHERE CAST(l_quantity AS BIGINT) <= 5)
+        |SELECT a.qty, a.pk, a.id, b.sk
+        |FROM a JOIN b USING (qty, pk)""".stripMargin
   )
 
   /** The from-scratch v1 hybrid-view recompute (count/sum/min/max/distinct

@@ -1329,6 +1329,70 @@ object SketchRegistry {
     }
   }
 
+  /** The shard subsets a sort-column equi-join of two RANGE-sharded
+    * tables must read, off the two ZONE MAPS alone: a shard of one side
+    * can contribute a joined row only if its exact [min_v, max_v] window
+    * intersects SOME shard window of the other side (equal values lie in
+    * both windows) — window lists may have gaps, so each shard checks
+    * against the other side's LIST, not its global span. Zone maps are
+    * exact, so the prune has no false negatives; ≤ 2^shardsLog2 windows
+    * per side compare driver-side (≤ 256×256 at the layout cap). Unlike
+    * the hash layout's Bloom-AND ([[joinPrunedShards]]), the two layouts
+    * need NOT share bounds — intersection is on raw value windows.
+    */
+  def rangeColocatedShards(spark: SparkSession, rootA: String, rootB: String,
+                           versionA: Option[Long] = None,
+                           versionB: Option[Long] = None): (Seq[Int], Seq[Int]) = {
+    def windows(root: String, v: Option[Long]): Seq[(Int, Long, Long)] =
+      zoneMap(spark, root, v).select(col("shard"), col("min_v"), col("max_v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val wa = windows(rootA, versionA)
+    val wb = windows(rootB, versionB)
+    def keep(self: Seq[(Int, Long, Long)],
+             other: Seq[(Int, Long, Long)]): Seq[Int] =
+      self.filter { case (_, lo, hi) =>
+        other.exists { case (_, olo, ohi) => hi >= olo && lo <= ohi }
+      }.map(_._1).sorted
+    (keep(wa, wb), keep(wb, wa))
+  }
+
+  /** Equi-join two RANGE-sharded tables on their shared sort column,
+    * reading only [[rangeColocatedShards]]-admitted shard directories of
+    * either side — the time-series enrichment join (events laid out by
+    * time joined to an enrichment table laid out by time): result rows
+    * are exactly the plain inner join's on the sort column (zone maps
+    * are exact — a pruned shard provably holds no matching value; a kept
+    * shard costs a read, never a wrong row). Columns: A's, then B's
+    * non-sort data columns (suffixed `_b` on collision; B's shard
+    * column — a DIFFERENT layout's artifact — drops). When the two
+    * tables' value spans are disjoint this opens ZERO data files on both
+    * sides; a narrow enrichment table opens only the fact shards its
+    * window touches.
+    */
+  def colocatedRangeJoin(spark: SparkSession, rootA: String, rootB: String,
+                         versionA: Option[Long] = None,
+                         versionB: Option[Long] = None): DataFrame = {
+    val ma = rangeMeta(rootA, versionA)
+    val mb = rangeMeta(rootB, versionB)
+    require(ma.sortCol == mb.sortCol,
+      s"co-located range join requires the same sort column, got " +
+        s"'${ma.sortCol}' vs '${mb.sortCol}'")
+    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
+    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val (sa, sb) = rangeColocatedShards(spark, rootA, rootB, Some(va), Some(vb))
+    def side(root: String, v: Long, shards: Seq[Int]): DataFrame = shards match {
+      case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss => spark.read.option("basePath", s"$root/v_$v")
+        .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+    }
+    val a = side(rootA, va, sa)
+    val bRaw = side(rootB, vb, sb).drop("shard")
+    val collide = bRaw.columns.filter(c => c != ma.sortCol &&
+      a.columns.contains(c))
+    val b = collide.foldLeft(bRaw)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
+    a.join(b, Seq(ma.sortCol))
+  }
+
   /** Shard-level diff of two RANGE-sharded versions off their ZONE MAPS
     * alone — O(2^shardsLog2) rows, zero data files opened: which shards
     * changed, exact row deltas, and whether the shard's value rectangle

@@ -467,4 +467,66 @@ object ZOrderStore {
           .filter(col(c).cast("long").isin(values: _*))
     }
   }
+
+  /** The shard subsets a (colA, colB)-equality join of two Z-ORDER tables
+    * must read, off the two 2-D zone maps alone: a cell contributes a
+    * joined row only if its exact rectangle intersects SOME rectangle of
+    * the other side in BOTH dimensions. The 2-D analog of
+    * [[SketchRegistry.rangeColocatedShards]]; layouts need NOT share
+    * bucket bounds — intersection is on raw value rectangles.
+    */
+  def zColocatedShards(spark: SparkSession, rootA: String, rootB: String,
+                       versionA: Option[Long] = None,
+                       versionB: Option[Long] = None): (Seq[Int], Seq[Int]) = {
+    def rects(root: String, v: Option[Long]): Seq[(Int, Long, Long, Long, Long)] =
+      zoneMap2d(spark, root, v)
+        .select(col("shard"), col("min_a"), col("max_a"),
+          col("min_b"), col("max_b"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val ra = rects(rootA, versionA)
+    val rb = rects(rootB, versionB)
+    def keep(self: Seq[(Int, Long, Long, Long, Long)],
+             other: Seq[(Int, Long, Long, Long, Long)]): Seq[Int] =
+      self.filter { case (_, aLo, aHi, bLo, bHi) =>
+        other.exists { case (_, oaLo, oaHi, obLo, obHi) =>
+          aHi >= oaLo && aLo <= oaHi && bHi >= obLo && bLo <= obHi
+        }
+      }.map(_._1).sorted
+    (keep(ra, rb), keep(rb, ra))
+  }
+
+  /** Equi-join two Z-ORDER tables on their shared layout columns, reading
+    * only rectangle-intersecting cells of either side — result rows are
+    * exactly the plain inner join's on (colA, colB) (rectangles are
+    * exact; a pruned cell provably holds no matching pair, a kept cell
+    * costs a read, never a wrong row). Columns: A's, then B's non-layout
+    * data columns (suffixed `_b` on collision). Disjoint rectangles open
+    * ZERO data files on both sides.
+    */
+  def colocatedZJoin(spark: SparkSession, rootA: String, rootB: String,
+                     versionA: Option[Long] = None,
+                     versionB: Option[Long] = None): DataFrame = {
+    val ma = zMeta(rootA, versionA)
+    val mb = zMeta(rootB, versionB)
+    require(ma.colA == mb.colA && ma.colB == mb.colB,
+      s"co-located z-join requires the same layout columns, got " +
+        s"(${ma.colA},${ma.colB}) vs (${mb.colA},${mb.colB})")
+    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
+    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val (sa, sb) = zColocatedShards(spark, rootA, rootB, Some(va), Some(vb))
+    def side(root: String, v: Long, shards: Seq[Int]): DataFrame = shards match {
+      case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))
+      case ss => spark.read.option("basePath", s"$root/v_$v")
+        .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
+    }
+    val keys = Seq(ma.colA, ma.colB)
+    val a = side(rootA, va, sa)
+    val bRaw = side(rootB, vb, sb).drop("shard")
+    val collide = bRaw.columns.filter(c => !keys.contains(c) &&
+      a.columns.contains(c))
+    val b = collide.foldLeft(bRaw)((d, c) => d.withColumnRenamed(c, s"${c}_b"))
+    a.join(b, keys)
+  }
 }

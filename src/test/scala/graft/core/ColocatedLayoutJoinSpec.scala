@@ -1,0 +1,104 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+
+/** Zone-map co-location for range and Z-order layouts: sort-column /
+  * layout-column equi-joins read only window- or rectangle-intersecting
+  * shard pairs, with rows exactly the plain join's.
+  */
+class ColocatedLayoutJoinSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  private def shardsReadOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.flatMap(_.split("/").filter(_.startsWith("shard=")))
+      .toSet
+
+  private def versionedShards(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.inputFiles.map { f =>
+      val parts = f.split("/")
+      (parts.takeWhile(!_.startsWith("v_")).last,
+        parts.filter(_.startsWith("shard=")).head)
+    }.toSet
+
+  test("colocatedRangeJoin: narrow enrichment opens only intersecting fact shards; rows exact; disjoint opens nothing") {
+    val rootA = java.nio.file.Files.createTempDirectory("crj_a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("crj_b").toString
+    val rootC = java.nio.file.Files.createTempDirectory("crj_c").toString
+    // fact: ts 0..7999 over 8 shards (~1000 wide); enrichment: one narrow
+    // slice [3000, 3399]; disjoint table: far future span
+    val fact = (0 until 8000).map(i => (i.toLong, i % 97)).toDF("ts", "v")
+    val enrich = (3000 until 3400).map(i => (i.toLong, s"e$i")).toDF("ts", "tag")
+    val far = (1000000 until 1000200).map(i => (i.toLong, s"f$i")).toDF("ts", "tag")
+    SketchRegistry.commitRangeSharded(fact, rootA, "ts", shardsLog2 = 3)
+    SketchRegistry.commitRangeSharded(enrich, rootB, "ts", shardsLog2 = 2)
+    SketchRegistry.commitRangeSharded(far, rootC, "ts", shardsLog2 = 1)
+    val joined = SketchRegistry.colocatedRangeJoin(spark, rootA, rootB)
+    // rows exactly the plain inner join's
+    val expected = fact.join(enrich, Seq("ts"))
+      .select("ts", "v", "tag").collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(joined.select("ts", "v", "tag").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq == expected)
+    assert(joined.count() == 400L)
+    // the fact side opens only the window-intersecting shard(s): the
+    // 400-wide slice touches at most 2 of 8 quantile shards
+    val factShards = versionedShards(joined).filter(_._1.contains("crj_a"))
+    assert(factShards.size <= 2 && factShards.nonEmpty,
+      s"narrow enrichment must prune the fact side, read $factShards")
+    // disjoint spans: zero files on both sides, empty result
+    val disjoint = SketchRegistry.colocatedRangeJoin(spark, rootA, rootC)
+    assert(disjoint.collect().isEmpty)
+    assert(disjoint.inputFiles.isEmpty,
+      s"disjoint spans must open nothing, read ${disjoint.inputFiles.toSeq}")
+    // different sort columns fail loudly
+    val rootD = java.nio.file.Files.createTempDirectory("crj_d").toString
+    SketchRegistry.commitRangeSharded(
+      (0 until 100).map(i => (i.toLong, i)).toDF("other", "v"), rootD, "other",
+      shardsLog2 = 1)
+    assert(intercept[IllegalArgumentException] {
+      SketchRegistry.colocatedRangeJoin(spark, rootA, rootD)
+    }.getMessage.contains("same sort column"))
+  }
+
+  test("colocatedZJoin: rectangle intersection prunes both sides; rows exact; disjoint opens nothing") {
+    val rootA = java.nio.file.Files.createTempDirectory("czj_a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("czj_b").toString
+    val rootC = java.nio.file.Files.createTempDirectory("czj_c").toString
+    // fact grid: a in 0..39, b in 0..39; enrichment: a low corner slice
+    val fact = (0 until 1600).map(i => ((i % 40).toLong, (i / 40).toLong, i))
+      .toDF("a", "b", "v")
+    val corner = (0 until 100).map(i => ((i % 10).toLong, (i / 10).toLong, s"c$i"))
+      .toDF("a", "b", "tag")
+    val far = (0 until 100).map(i => (900L + i % 10, 900L + i / 10, s"f$i"))
+      .toDF("a", "b", "tag")
+    ZOrderStore.commitZOrdered(fact, rootA, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    ZOrderStore.commitZOrdered(corner, rootB, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    ZOrderStore.commitZOrdered(far, rootC, "a", "b", shardsLog2 = 2, subLog2 = 5)
+    val joined = ZOrderStore.colocatedZJoin(spark, rootA, rootB)
+    val expected = fact.join(corner, Seq("a", "b"))
+      .select("a", "b", "v", "tag").collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(joined.select("a", "b", "v", "tag").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq == expected)
+    assert(joined.count() == 100L)
+    // the corner slice intersects only the low-rank cells of the fact
+    // grid: a strict subset of its 16 cells opens
+    val factShards = versionedShards(joined).filter(_._1.contains("czj_a"))
+    assert(factShards.size < 16 && factShards.nonEmpty,
+      s"corner enrichment must prune the fact side, read $factShards")
+    // fully disjoint rectangles: zero files, empty result
+    val disjoint = ZOrderStore.colocatedZJoin(spark, rootA, rootC)
+    assert(disjoint.collect().isEmpty)
+    assert(disjoint.inputFiles.isEmpty)
+    // mismatched layout columns fail loudly
+    val rootD = java.nio.file.Files.createTempDirectory("czj_d").toString
+    ZOrderStore.commitZOrdered(
+      (0 until 100).map(i => ((i % 10).toLong, (i / 10).toLong, i))
+        .toDF("x", "y", "v"), rootD, "x", "y", shardsLog2 = 2, subLog2 = 5)
+    assert(intercept[IllegalArgumentException] {
+      ZOrderStore.colocatedZJoin(spark, rootA, rootD)
+    }.getMessage.contains("same layout columns"))
+  }
+}
