@@ -387,6 +387,13 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
   private val colocCache = new graft.util.LruCache[
     (String, Long, String, Long), Seq[Int]](cacheMax)
 
+  /** Ordered-layout (range/Z) co-located admission — per-SIDE shard
+    * lists (unlike the hash layout, the two sides' admitted ids differ:
+    * intersection is on raw value windows, not a shared hash).
+    */
+  private val orderedColocCache = new graft.util.LruCache[
+    (String, Long, String, Long), (Seq[Int], Seq[Int])](cacheMax)
+
   /** Test/ops introspection: current cache occupancy. */
   private[graft] def cacheSizes: (Int, Int) = (planCache.size, colocCache.size)
   private[graft] def cacheCapacity: Int = cacheMax
@@ -472,10 +479,84 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     if (pairs.forall(_.isDefined)) Some(pairs.map(_.get)) else None
   }
 
+  /** True when the equality pairs ride the two relations' ORDERED
+    * layouts: one pair naming both range layouts' sort columns, or two
+    * pairs mapping colA→colA and colB→colB of two Z layouts (crossed
+    * pairs — l.a = r.b — fail: window intersection would compare
+    * different dimensions). Zone maps are on `cast(long)` windows, so
+    * admission is an upper bound of original-value matches — sound.
+    */
+  private def orderedDispatchable(left: LogicalPlan, right: LogicalPlan,
+                                  pairs: Seq[(AttributeReference, AttributeReference)])
+  : Boolean =
+    (indexUnder(left), indexUnder(right)) match {
+      case (Some(li), Some(ri)) =>
+        (li.rangeLayoutMeta, ri.rangeLayoutMeta) match {
+          case (Some(ml), Some(mr)) =>
+            pairs.size == 1 && pairs.head._1.name == ml.sortCol &&
+              pairs.head._2.name == mr.sortCol
+          case _ =>
+            (li.zLayoutMeta, ri.zLayoutMeta) match {
+              case (Some(ml), Some(mr)) =>
+                pairs.size == 2 &&
+                  pairs.map(_._1.name).distinct.size == 2 &&
+                  pairs.exists(p => p._1.name == ml.colA && p._2.name == mr.colA) &&
+                  pairs.exists(p => p._1.name == ml.colB && p._2.name == mr.colB)
+              case _ => false
+            }
+        }
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     val spark = org.apache.spark.sql.SparkSession.active
     plan.transform {
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if hint == JoinHint.NONE && supported(jt) &&
+            !alreadyPruned(left) && !alreadyPruned(right) &&
+            keyPairs(cond, left, right)
+              .exists(orderedDispatchable(left, right, _)) =>
+        // ORDERED-layout co-location: equi-joins on the sort column of
+        // two RANGE-laid relations (or the layout columns of two
+        // Z-ordered relations) prune each side to its window/rectangle-
+        // intersecting shards — per-side lists, the layouts need not
+        // share bounds — and broadcast-hint a side whose EXACT zone-map
+        // row count fits the budget (upper bound under filters, so the
+        // hint stays legal). No CM rows on these layouts ⇒ no salting.
+        val li = indexUnder(left).get
+        val ri = indexUnder(right).get
+        val (admL, admR) = orderedColocCache.getOrElseUpdate(
+          (li.tableRoot, li.tableVersion, ri.tableRoot, ri.tableVersion))(
+          if (li.rangeLayoutMeta.isDefined)
+            graft.core.SketchRegistry.rangeColocatedShards(spark,
+              li.tableRoot, ri.tableRoot,
+              Some(li.tableVersion), Some(ri.tableVersion))
+          else
+            graft.core.ZOrderStore.zColocatedShards(spark,
+              li.tableRoot, ri.tableRoot,
+              Some(li.tableVersion), Some(ri.tableVersion)))
+        val pruneLeft = jt == Inner ||
+          jt == org.apache.spark.sql.catalyst.plans.LeftSemi
+        val l2 = if (pruneLeft && admL.size < li.populatedShardIds.size)
+          pruneShards(left, admL.toSet) else left
+        val r2 = if (admR.size < ri.populatedShardIds.size)
+          pruneShards(right, admR.toSet) else right
+        val bcastL = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
+        val bcastR = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+        val hintOpt =
+          if (ri.metadataRowCount <= broadcastMaxRows)
+            Some(bcastR) // BuildRight is legal for all four types
+          else if (li.metadataRowCount <= broadcastMaxRows && jt == Inner)
+            Some(bcastL)
+          else None
+        hintOpt match {
+          case Some(h) => Join(l2, r2, jt, j.condition, h)
+          case None if (l2 ne left) || (r2 ne right) =>
+            Join(l2, r2, jt, j.condition, JoinHint.NONE)
+          case None => j
+        }
+
       case j @ Join(left, right, jt, Some(cond), hint)
           if hint == JoinHint.NONE && supported(jt) &&
             !alreadyPruned(left) && !alreadyPruned(right) &&

@@ -4135,6 +4135,52 @@ object SparkEntry {
         rootB, "qty", "pk", shardsLog2 = 4, subLog2 = 5)
       graft.core.ZOrderStore.colocatedZJoin(s, rootA, rootB)
         .select(col("qty"), col("pk"), col("id"), col("sk"))
+    },
+
+    // q239's enrichment join made TRANSPARENT: a plain spark.sql join on
+    // the sort column of two readIndexed RANGE relations takes the
+    // zone-map co-location automatically — per-side `shard IN` filters
+    // from exact window intersection (the layouts share no bounds), plus
+    // a broadcast hint for the slice whose exact zone-map row count fits
+    // the budget. Rows bit-identical to the plain join (q239's oracle,
+    // verbatim); the spec pins scanned-partition subsets, zero-file
+    // disjoint pairs, and side-legal pruning for outer joins.
+    "q241_dispatched_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val rootA = java.nio.file.Files.createTempDirectory("q241_a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q241_b").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id"), col("user_id")),
+        rootA, "ts_us", shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.filter(col("ts_us").between(1704240000000000L, 1704412800000000L))
+          .select(col("ts_us"), col("event_id").as("b_id")),
+        rootB, "ts_us", shardsLog2 = 2, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, rootA)
+        .createOrReplaceTempView("q241_a")
+      graft.core.SketchFileIndex.readIndexed(s, rootB)
+        .createOrReplaceTempView("q241_b")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      try {
+        val df = s.sql(
+          """SELECT ts_us, a.event_id, a.user_id, b.b_id
+            |FROM q241_a a JOIN q241_b b USING (ts_us)""".stripMargin)
+        // the enrichment slice must broadcast off its exact zone-map
+        // count, and the fact side must carry the injected shard prune
+        require(df.queryExecution.executedPlan.toString
+            .contains("BroadcastHashJoin"),
+          "range dispatch lost the zone-map broadcast hint")
+        require(df.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "range dispatch lost the window-intersection shard prune")
+        df.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      }
     }
   )
 
@@ -4391,6 +4437,35 @@ object SparkEntry {
             |FROM q238p_l l JOIN q238p_r r
             |  ON l.l_orderkey = r.l_orderkey
             | AND l.l_linenumber = r.l_linenumber""".stripMargin)
+        df.queryExecution.sparkPlan
+        df
+      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+    },
+    "q241_dispatched_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val rootA = java.nio.file.Files.createTempDirectory("q241p_a").toString
+      val rootB = java.nio.file.Files.createTempDirectory("q241p_b").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id"), col("user_id")),
+        rootA, "ts_us", shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.filter(col("ts_us").between(1704240000000000L, 1704412800000000L))
+          .select(col("ts_us"), col("event_id").as("b_id")),
+        rootB, "ts_us", shardsLog2 = 2, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, rootA)
+        .createOrReplaceTempView("q241p_a")
+      graft.core.SketchFileIndex.readIndexed(s, rootB)
+        .createOrReplaceTempView("q241p_b")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      try {
+        val df = s.sql(
+          """SELECT ts_us, a.event_id, a.user_id, b.b_id
+            |FROM q241p_a a JOIN q241p_b b USING (ts_us)""".stripMargin)
         df.queryExecution.sparkPlan
         df
       } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
@@ -8536,18 +8611,20 @@ object SparkEntry {
     // count(bounds <= x) and exact per-shard stats
     "q204_range_stats" ->
       """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |mnv AS (SELECT min(x) AS m FROM d),
+        |ds AS (SELECT x - m AS x FROM d, mnv),
         |bins AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM d),
+        |  FROM ds),
         |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
         |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bc),
         |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cum),
-        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) + (SELECT m FROM mnv) AS bound
         |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
         |bounds AS (SELECT DISTINCT bound FROM picks),
         |sharded AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
@@ -8612,18 +8689,20 @@ object SparkEntry {
     // of original + batch assigned against those fixed bounds, exact stats
     "q208_range_append" ->
       """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |mnv AS (SELECT min(x) AS m FROM d),
+        |ds AS (SELECT x - m AS x FROM d, mnv),
         |bins AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM d),
+        |  FROM ds),
         |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
         |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bc),
         |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cum),
-        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) + (SELECT m FROM mnv) AS bound
         |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
         |bounds AS (SELECT DISTINCT bound FROM picks),
         |allr AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents
@@ -8689,33 +8768,37 @@ object SparkEntry {
     // exact per-shard rectangles
     "q212_zorder_stats" ->
       """WITH dA AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |mnA AS (SELECT min(x) AS m FROM dA),
+        |dsA AS (SELECT x - m AS x FROM dA, mnA),
         |binsA AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM dA),
+        |  FROM dsA),
         |bcA AS (SELECT b, count(*) AS c FROM binsA GROUP BY b),
         |cumA AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bcA),
         |lbvA AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cumA),
-        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) + (SELECT m FROM mnA) AS bound
         |  FROM lbvA, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
         |boundsA AS (SELECT DISTINCT bound FROM picksA),
         |dB AS (SELECT l_orderkey AS x FROM lineitem),
+        |mnB AS (SELECT min(x) AS m FROM dB),
+        |dsB AS (SELECT x - m AS x FROM dB, mnB),
         |binsB AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM dB),
+        |  FROM dsB),
         |bcB AS (SELECT b, count(*) AS c FROM binsB GROUP BY b),
         |cumB AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bcB),
         |lbvB AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cumB),
-        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) + (SELECT m FROM mnB) AS bound
         |  FROM lbvB, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
         |boundsB AS (SELECT DISTINCT bound FROM picksB),
         |rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS a, l_orderkey AS bb
@@ -8811,33 +8894,37 @@ object SparkEntry {
     // fixed at commit), the union assigned against them, exact rectangles
     "q219_zorder_append" ->
       """WITH dA AS (SELECT CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |mnA AS (SELECT min(x) AS m FROM dA),
+        |dsA AS (SELECT x - m AS x FROM dA, mnA),
         |binsA AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM dA),
+        |  FROM dsA),
         |bcA AS (SELECT b, count(*) AS c FROM binsA GROUP BY b),
         |cumA AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bcA),
         |lbvA AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cumA),
-        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |picksA AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) + (SELECT m FROM mnA) AS bound
         |  FROM lbvA, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
         |boundsA AS (SELECT DISTINCT bound FROM picksA),
         |dB AS (SELECT l_orderkey AS x FROM lineitem),
+        |mnB AS (SELECT min(x) AS m FROM dB),
+        |dsB AS (SELECT x - m AS x FROM dB, mnB),
         |binsB AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM dB),
+        |  FROM dsB),
         |bcB AS (SELECT b, count(*) AS c FROM binsB GROUP BY b),
         |cumB AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bcB),
         |lbvB AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cumB),
-        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) AS bound
+        |picksB AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 4 + 1 THEN lo END) + (SELECT m FROM mnB) AS bound
         |  FROM lbvB, (SELECT unnest(generate_series(1, 3)) AS i) g GROUP BY i),
         |boundsB AS (SELECT DISTINCT bound FROM picksB),
         |rows0 AS (SELECT CAST(l_quantity AS BIGINT) AS a, l_orderkey AS bb
@@ -8892,18 +8979,20 @@ object SparkEntry {
     // rectangle extension relationally
     "q223_zonemap_diff" ->
       """WITH d AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x FROM documents),
+        |mnv AS (SELECT min(x) AS m FROM d),
+        |ds AS (SELECT x - m AS x FROM d, mnv),
         |bins AS (SELECT x,
         |    CASE WHEN x < 32 THEN CAST(x AS INT)
         |         ELSE 32 + (length(bin(x)) - 1 - 5) * 32 +
         |              CAST((x >> (length(bin(x)) - 1 - 5)) % 32 AS INT) END AS b
-        |  FROM d),
+        |  FROM ds),
         |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
         |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
         |    sum(c) OVER () AS nt FROM bc),
         |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
         |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
         |  FROM cum),
-        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) AS bound
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) + (SELECT m FROM mnv) AS bound
         |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
         |bounds AS (SELECT DISTINCT bound FROM picks),
         |allr AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x, 0 AS is_new
@@ -9153,13 +9242,10 @@ object SparkEntry {
         | AND li.l_linenumber = r.l_linenumber""".stripMargin,
 
     // the plain timestamp equi-join against the window slice — the
-    // zone-map-pruned read must lose nothing
-    "q239_colocated_range_join" ->
-      """WITH a AS (SELECT epoch_us(ts) AS ts_us, event_id, user_id FROM events),
-        |b AS (SELECT epoch_us(ts) AS ts_us, event_id AS b_id FROM events
-        |      WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000)
-        |SELECT a.ts_us, a.event_id, a.user_id, b.b_id
-        |FROM a JOIN b USING (ts_us)""".stripMargin,
+    // zone-map-pruned read must lose nothing (shared with q241's
+    // transparent dispatch of the same join)
+    "q239_colocated_range_join" -> colocRangeJoinOracleSql,
+    "q241_dispatched_range_join" -> colocRangeJoinOracleSql,
 
     // the plain (qty, pk) join against the narrow-qty slice
     "q240_colocated_z_join" ->
@@ -9182,6 +9268,18 @@ object SparkEntry {
     * micro-floored estimate with the linear-counting branch — all at
     * p = 9 (512 registers).
     */
+  /** The plain timestamp equi-join against the window slice — shared by
+    * q239 (the colocatedRangeJoin verb) and q241 (the same join through
+    * the transparent dispatch rule): zone-map co-location must lose
+    * nothing on either path.
+    */
+  private def colocRangeJoinOracleSql: String =
+    """WITH a AS (SELECT epoch_us(ts) AS ts_us, event_id, user_id FROM events),
+      |b AS (SELECT epoch_us(ts) AS ts_us, event_id AS b_id FROM events
+      |      WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000)
+      |SELECT a.ts_us, a.event_id, a.user_id, b.b_id
+      |FROM a JOIN b USING (ts_us)""".stripMargin
+
   /** The full sketch-driven join-plan replay, shared by q195 (fresh
     * sketches) and q226 (persisted registry sketches) — the two paths are
     * bit-identical by construction, so one oracle pins both.

@@ -59,6 +59,19 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     */
   def hashLayoutMeta: Option[SketchRegistry.Meta] = hashMeta
 
+  /** The range-layout zone-map meta, if this is a range-sharded store —
+    * the join-dispatch rule co-locates sort-column equi-joins off it.
+    */
+  def rangeLayoutMeta: Option[SketchRegistry.RangeMeta] = rangeMeta
+
+  /** The Z-order layout meta, if this is a Z-ordered store. */
+  def zLayoutMeta: Option[ZOrderStore.ZMeta] = zMeta
+
+  /** The populated shard ids of the snapshot (pruning-injection callers
+    * skip the filter when every populated shard is admitted anyway).
+    */
+  private[graft] def populatedShardIds: Set[Int] = shardFiles.keySet
+
   private val numShards = hashMeta.map(m => 1 << m.shardsLog2)
     .orElse(rangeMeta.map(m => 1 << m.shardsLog2))
     .getOrElse(1 << (2 * zMeta.get.bitsPerCol))

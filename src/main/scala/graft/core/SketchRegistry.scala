@@ -1068,9 +1068,13 @@ object SketchRegistry {
     * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
     * everywhere, so per-shard min/max is useless there; here the layout
     * itself is by value range: shard BOUNDS come from the deterministic
-    * [[SketchOps.quantileSketch]] on `sortCol` (rank picks at i∕2^shardsLog2,
-    * deduped — engine- AND oracle-replayable, unlike a sampled
-    * rangepartitioner), a row's shard is the count of bounds ≤ its value,
+    * [[SketchOps.quantileSketch]] on `sortCol` MIN-SHIFTED (rank picks at
+    * i∕2^shardsLog2 over x − min, shifted back and deduped — engine- AND
+    * oracle-replayable, unlike a sampled rangepartitioner; the shift
+    * matters on absolute domains like epoch timestamps, whose tiny
+    * RELATIVE spread would otherwise collapse the log-binned sketch into
+    * one bin and the layout into one shard), a row's shard is the count
+    * of bounds ≤ its value,
     * and the registry persists one EXACT (shard, min_v, max_v, n_rows)
     * zone-map row per non-empty shard inside the same atomic version
     * commit. A range predicate then opens only the shard directories
@@ -1102,13 +1106,23 @@ object SketchRegistry {
       s"bloomBitsLog2 must be in [6, 24], got $bloomBitsLog2 — same " +
         "driver-plannable budget as commitWithSketches' bitsLog2")
     val n = 1 << shardsLog2
-    val sk = SketchOps.quantileSketch(df, Nil, sortCol, subLog2)
+    // absolute domains (epoch timestamps) have tiny RELATIVE spread —
+    // unshifted, the log-binned sketch collapses them into one bin and
+    // every rank pick into one bound, degenerating the layout to a
+    // single shard. Sketch the MIN-SHIFTED column and shift the picks
+    // back: the persisted bound VALUES absorb the shift, so probes,
+    // appends, and zone maps never see it.
     val bounds: Seq[Long] =
       if (n == 1) Nil
       else {
+        val mnRow = df.agg(min(col(sortCol).cast("long"))).collect().head
+        val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
+        val sk = SketchOps.quantileSketch(
+          df.select((col(sortCol).cast("long") - mn).as("__s")), Nil, "__s",
+          subLog2)
         val row = SketchOps.quantilesFromSketches(sk, Nil,
           (1 until n).map(i => (i, n)), subLog2).collect().head
-        (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")))
+        (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
           .distinct.sorted
       }
     val v = col(sortCol).cast("long")

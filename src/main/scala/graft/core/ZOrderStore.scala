@@ -67,10 +67,19 @@ object ZOrderStore {
     val n = 1 << bits
     if (n == 1) Nil
     else {
-      val sk = SketchOps.quantileSketch(df, Nil, c, subLog2)
+      // absolute domains (epoch timestamps) have tiny RELATIVE spread —
+      // unshifted, the log-binned sketch collapses them into one bin and
+      // every rank pick into one bound, degenerating the layout to a
+      // single shard. Sketch the MIN-SHIFTED column and shift the picks
+      // back: the persisted bound VALUES absorb the shift, so probes,
+      // appends, and zone maps never see it.
+      val mnRow = df.agg(min(col(c).cast("long"))).collect().head
+      val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
+      val sk = SketchOps.quantileSketch(
+        df.select((col(c).cast("long") - mn).as("__s")), Nil, "__s", subLog2)
       val row = SketchOps.quantilesFromSketches(sk, Nil,
         (1 until n).map(i => (i, n)), subLog2).collect().head
-      (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")))
+      (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
         .distinct.sorted
     }
   }

@@ -305,6 +305,102 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("ordered-layout dispatch: range windows prune per side, zone-map counts broadcast, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Seq[Int] =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length)
+    def commitRange(df: DataFrame, tag: String, shardsLog2: Int): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"sjdr_$tag").toString
+      SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = shardsLog2)
+      root
+    }
+    // fact: ts 0..7999 over 8 shards; enrichment: [3000, 3399]; far: disjoint
+    val fact = (0 until 8000).map(i => (i.toLong, i % 97)).toDF("ts", "v")
+    val enrich = (3000 until 3400).map(i => (i.toLong, s"e$i")).toDF("ts", "tag")
+    val far = (1000000 until 1000200).map(i => (i.toLong, s"f$i")).toDF("ts", "tag")
+    SketchFileIndex.readIndexed(spark, commitRange(fact, "fact", 3))
+      .createOrReplaceTempView("sjdr_fact")
+    SketchFileIndex.readIndexed(spark, commitRange(enrich, "enr", 2))
+      .createOrReplaceTempView("sjdr_enr")
+    SketchFileIndex.readIndexed(spark, commitRange(far, "far", 1))
+      .createOrReplaceTempView("sjdr_far")
+    withDispatch(broadcastMaxRows = 1000L) { // enrichment (400) fits, fact (8000) doesn't
+      val q = spark.sql(
+        "SELECT f.ts, f.v, e.tag FROM sjdr_fact f JOIN sjdr_enr e ON f.ts = e.ts")
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"zone-map count must broadcast the slice despite threshold -1:\n${q.queryExecution.executedPlan}")
+      assert(sortedRows(q) == sortedRows(
+        fact.join(enrich, Seq("ts")).select("ts", "v", "tag")))
+      val parts = scannedParts(q)
+      assert(parts.exists(_ <= 2) && parts.sum < 8 + 4,
+        s"fact side must prune to its intersecting shards: $parts")
+      // disjoint spans: zero scan partitions on both sides
+      val disjoint = spark.sql(
+        "SELECT f.ts, f.v, x.tag FROM sjdr_fact f JOIN sjdr_far x ON f.ts = x.ts")
+      assert(disjoint.collect().isEmpty)
+      assert(scannedParts(disjoint).sum == 0,
+        s"disjoint windows must open nothing:\n${disjoint.queryExecution.executedPlan}")
+      // LEFT OUTER: every fact row survives — fact must NOT prune; the
+      // enrichment side still broadcasts and prunes
+      val outer = spark.sql(
+        "SELECT f.ts, f.v, e.tag FROM sjdr_fact f LEFT JOIN sjdr_enr e ON f.ts = e.ts")
+      assert(sortedRows(outer) == sortedRows(
+        fact.join(enrich, Seq("ts"), "left").select("ts", "v", "tag")))
+      assert(outer.count() == 8000L)
+    }
+  }
+
+  test("ordered-layout dispatch on Z rectangles: aligned pairs prune, crossed pairs are untouched") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    def commitZ(df: DataFrame, tag: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"sjdz_$tag").toString
+      graft.core.ZOrderStore.commitZOrdered(df, root, "a", "b",
+        shardsLog2 = 4, subLog2 = 5)
+      root
+    }
+    val fact = (0 until 1600).map(i => ((i % 40).toLong, (i / 40).toLong, i))
+      .toDF("a", "b", "v")
+    val corner = (0 until 100).map(i => ((i % 10).toLong, (i / 10).toLong, s"c$i"))
+      .toDF("a", "b", "tag")
+    SketchFileIndex.readIndexed(spark, commitZ(fact, "fact"))
+      .createOrReplaceTempView("sjdz_fact")
+    SketchFileIndex.readIndexed(spark, commitZ(corner, "cor"))
+      .createOrReplaceTempView("sjdz_cor")
+    withDispatch(broadcastMaxRows = 10L) { // neither side fits: pure pruning
+      val q = spark.sql("""SELECT f.a, f.b, f.v, c.tag FROM sjdz_fact f
+        JOIN sjdz_cor c ON f.a = c.a AND f.b = c.b""")
+      assert(sortedRows(q) == sortedRows(
+        fact.join(corner, Seq("a", "b")).select("a", "b", "v", "tag")))
+      assert(scannedParts(q) < 16 + 16,
+        s"corner slice must prune the fact rectangles: ${scannedParts(q)}")
+      // crossed pairs compare different dimensions: untouched (no prune)
+      val crossed = spark.sql("""SELECT f.v FROM sjdz_fact f
+        JOIN sjdz_cor c ON f.a = c.b AND f.b = c.a""")
+      assert(!crossed.queryExecution.optimizedPlan.toString.contains(" IN ("))
+      assert(crossed.count() ==
+        fact.join(corner, fact("a") === corner("b") && fact("b") === corner("a"))
+          .count())
+    }
+  }
+
   test("planning caches are bounded: many version pairs never exceed the LRU cap") {
     val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")
