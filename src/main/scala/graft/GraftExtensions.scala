@@ -239,6 +239,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   */
 object MetadataAggCollapse extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.NamedExpression
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -279,9 +280,169 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     case _ => null // unreachable: integral() gates the match arms
   }
 
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case o => o
+  }
+
+  private def isRowCount(e: Expression): Boolean = e match {
+    case AggregateExpression(Count(Seq(l: Literal)), Complete, false, None, _) =>
+      l.value != null
+    case _ => false
+  }
+
+  /** Per-column CLOSED intervals when every conjunct is a comparison
+    * between a GUARDED layout column and an integral literal (or an
+    * IsNotNull on one — a no-op, the commit guards those columns
+    * non-null). None when any conjunct is anything else. Strict bounds
+    * saturate; contradictory conjuncts produce an empty (lo > hi)
+    * interval, which counts zero rows — exactly the predicate's truth.
+    */
+  private def intervalsOf(cond: Expression, guarded: Set[String])
+  : Option[Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, LessThanOrEqual}
+    def litL(l: Literal): Option[Long] = l.value match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Byte => Some(x.toLong)
+      case _ => None
+    }
+    var iv = Map.empty[String, (Long, Long)]
+    def restrict(c: String, lo: Long, hi: Long): Boolean = {
+      val (l0, h0) = iv.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      iv = iv.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+      true
+    }
+    def above(c: String, v: Long): Boolean = // x > v
+      if (v == Long.MaxValue) restrict(c, 1L, 0L) else restrict(c, v + 1, Long.MaxValue)
+    def below(c: String, v: Long): Boolean = // x < v
+      if (v == Long.MinValue) restrict(c, 1L, 0L) else restrict(c, Long.MinValue, v - 1)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case o => Seq(o)
+    }
+    val ok = conjuncts(cond).forall {
+      case IsNotNull(a: AttributeReference) if guarded(a.name) => true
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
+      case GreaterThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => above(a.name, v))
+      case LessThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => below(a.name, v))
+      case EqualTo(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
+      case GreaterThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => below(a.name, v))
+      case LessThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => above(a.name, v))
+      case EqualTo(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, v))
+      case _ => false
+    }
+    if (ok) Some(iv) else None
+  }
+
+  /** The (filter, index, intervals) of a WINDOWED count: exactly one
+    * count(*) (plus foldable result expressions) over a Filter whose
+    * every conjunct is a range predicate on a non-null-guarded layout
+    * column of a range/Z relation.
+    */
+  private def windowedCount(child0: LogicalPlan,
+                            aggExprs: Seq[NamedExpression])
+  : Option[(Filter, SketchFileIndex, Map[String, (Long, Long)])] = {
+    val shapeOk =
+      aggExprs.count { case Alias(e, _) => isRowCount(e); case _ => false } == 1 &&
+        aggExprs.forall {
+          case Alias(e, _) => isRowCount(e) || e.foldable
+          case _ => false
+        }
+    if (!shapeOk) return None
+    stripProjects(child0) match {
+      case f @ Filter(cond, fchild) =>
+        indexUnder(fchild).flatMap { idx =>
+          val guarded = idx.nonNullLayoutCols
+          if (guarded.isEmpty) None // hash layout: no exact windows
+          else intervalsOf(cond, guarded).map(region => (f, idx, region))
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
+      // WINDOWED count — the time-window shape: count(*) over a range
+      // predicate on the layout column. Shards whose exact windows the
+      // region FULLY contains count from metadata (the commit guards the
+      // layout columns non-null, so every row of a contained shard
+      // satisfies the predicate); only BOUNDARY shards (intersecting,
+      // not contained) scan, with the original filter. A month window
+      // over a year-laid table reads its two boundary shards.
+      case agg @ Aggregate(Nil, aggExprs, child0, _)
+          if windowedCount(child0, aggExprs).isDefined =>
+        val (f, idx, region) = windowedCount(child0, aggExprs).get
+        val counts = idx.shardRowCounts
+        val windows: Map[String, Map[Int, (Long, Long)]] =
+          region.keys.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty))
+            .toMap
+        def contained(s: Int) = region.forall { case (c, (lo, hi)) =>
+          windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
+        def intersects(s: Int) = region.forall { case (c, (lo, hi)) =>
+          lo <= hi &&
+            windows(c).get(s).exists { case (wl, wh) => wh >= lo && wl <= hi } }
+        val populated = counts.keySet.toSeq.sorted
+        val cont = populated.filter(contained)
+        val bound = populated.filter(s => intersects(s) && !contained(s))
+        val fullSum = cont.iterator.map(counts).sum
+        if (bound.isEmpty) {
+          // fully metadata-answerable (incl. the unsatisfiable-predicate
+          // and all-shards-contained cases)
+          val values = aggExprs.map {
+            case Alias(e, _) if isRowCount(e) => fullSum
+            case Alias(e, _) => e.eval(InternalRow.empty)
+          }
+          LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+        } else if (cont.isEmpty && bound.size >= populated.size) {
+          agg // every shard is boundary: nothing gained, leave it alone
+        } else {
+          // metadata sum + boundary-only scan: the inner aggregate runs
+          // the ORIGINAL filter over just the boundary shard dirs, then
+          // the contained total adds on top
+          import org.apache.spark.sql.catalyst.expressions.{Add, In}
+          val prunedChild = f.child.transformUp {
+            case l: LogicalRelation if (l.relation match {
+              case h: HadoopFsRelation => h.location.isInstanceOf[SketchFileIndex]
+              case _ => false
+            }) =>
+              val shardAttr = l.output.find(_.name == "shard").getOrElse(
+                throw new IllegalStateException(
+                  "sketch relation lost its shard column — cannot prune"))
+              Filter(In(shardAttr, bound.map(s => Literal(s): Expression)), l)
+          }
+          val countIdx = aggExprs.indexWhere {
+            case Alias(e, _) => isRowCount(e); case _ => false }
+          val innerCnt = Alias(
+            aggExprs(countIdx).asInstanceOf[Alias].child, "__boundary_cnt")()
+          val innerExprs = aggExprs.updated(countIdx, innerCnt)
+          val inner = Aggregate(Nil, innerExprs, Filter(f.condition, prunedChild))
+          val projList: Seq[NamedExpression] =
+            agg.output.zip(aggExprs).zipWithIndex.map { case ((o, e), i) =>
+              if (i == countIdx)
+                Alias(Add(innerCnt.toAttribute, Literal(fullSum)), o.name)(
+                  exprId = o.exprId)
+              else o
+            }
+          Project(projList, inner)
+        }
+
       case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined =>
         val idx = indexUnder(child).get
         val answers: Seq[Option[Any]] = aggExprs.map {

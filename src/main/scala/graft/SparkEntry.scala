@@ -4181,6 +4181,42 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
       }
+    },
+
+    // WINDOWED count — the time-window shape at 100 TB: count(*) over a
+    // range predicate on the layout column sums the EXACT n_rows of
+    // every shard the window fully contains (the commit guards the sort
+    // column non-null, so containment proves every row matches) and
+    // scans only the BOUNDARY shards; a full-span or unsatisfiable
+    // window never opens a file at all (required inline). The oracle is
+    // the plain filtered count — exactness, not estimation.
+    "q242_windowed_count" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q242_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q242_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val win = s.sql(
+          """SELECT 'window' AS arm, count(*) AS n FROM q242_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin)
+        val full = s.sql(
+          "SELECT 'full' AS arm, count(*) AS n FROM q242_ev WHERE ts_us >= 0")
+        val none = s.sql(
+          "SELECT 'empty' AS arm, count(*) AS n FROM q242_ev WHERE ts_us > 10 AND ts_us < 5")
+        Seq(("full", full), ("empty", none)).foreach { case (tag, df) =>
+          require(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+            s"$tag-window count must not open a data file")
+        }
+        win.unionByName(full).unionByName(none).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4469,6 +4505,27 @@ object SparkEntry {
         df.queryExecution.sparkPlan
         df
       } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+    },
+    "q242_windowed_count" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q242p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q242p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT count(*) AS n FROM q242p_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin)
+        df.queryExecution.sparkPlan // boundary-only scan + metadata Add
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -9246,6 +9303,15 @@ object SparkEntry {
     // transparent dispatch of the same join)
     "q239_colocated_range_join" -> colocRangeJoinOracleSql,
     "q241_dispatched_range_join" -> colocRangeJoinOracleSql,
+
+    // the plain filtered counts — the windowed collapse must be exact
+    "q242_windowed_count" ->
+      """SELECT 'window' AS arm, count(*) AS n FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1704412800000000
+        |UNION ALL
+        |SELECT 'full', count(*) FROM events
+        |UNION ALL
+        |SELECT 'empty', CAST(0 AS BIGINT)""".stripMargin,
 
     // the plain (qty, pk) join against the narrow-qty slice
     "q240_colocated_z_join" ->

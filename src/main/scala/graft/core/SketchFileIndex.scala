@@ -186,6 +186,28 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       (mins.minOption, maxes.maxOption)
     }
 
+  /** Per-shard exact [min, max] windows of `name`, for the windowed-count
+    * collapse (shards whose window a predicate FULLY contains count from
+    * metadata; only boundary shards scan). None for uncovered columns.
+    */
+  private[graft] def columnWindows(name: String): Option[Map[Int, (Long, Long)]] =
+    statsByCol.get(name)
+
+  /** Exact per-shard row counts off the registry/zone map. */
+  private[graft] lazy val shardRowCounts: Map[Int, Long] =
+    registryFrame.select("shard", "n_rows").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** The layout columns the commit GUARDS non-null (range sort column,
+    * Z-order's two interleaved columns) — a shard window fully inside a
+    * predicate interval proves EVERY row of the shard satisfies it only
+    * when the column cannot be null.
+    */
+  private[graft] def nonNullLayoutCols: Set[String] =
+    rangeMeta.map(m => Set(m.sortCol))
+      .orElse(zMeta.map(m => Set(m.colA, m.colB)))
+      .getOrElse(Set.empty)
+
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))
     .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))

@@ -124,6 +124,96 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("windowed count: contained shards count from metadata, only boundary shards scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_w").toString
+    // ts 0..7999 over 8 quantile shards (~1000 wide each)
+    val df = (0 until 8000).map(i => (i.toLong, i % 97)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_w")
+    withRule {
+      // interior window: 4701 rows, only the two boundary shards scan
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM magg_w WHERE ts BETWEEN 1500 AND 6200")
+      assert(q.collect().head.getLong(0) == 4701L)
+      val parts = scannedParts(q)
+      assert(parts > 0 && parts <= 2,
+        s"only boundary shards may scan, got $parts:\n${q.queryExecution.executedPlan}")
+      // full-span window: pure metadata, zero FileScan
+      val full = spark.sql(
+        "SELECT 'w' AS tag, count(*) AS n FROM magg_w WHERE ts >= 0 AND ts < 100000")
+      assert(full.collect().head.getLong(1) == 8000L)
+      assert(collapsed(full), s"full-span window must collapse:\n${full.queryExecution.optimizedPlan}")
+      // unsatisfiable window: zero, zero FileScan
+      val none = spark.sql(
+        "SELECT count(*) AS n FROM magg_w WHERE ts > 10 AND ts < 5")
+      assert(none.collect().head.getLong(0) == 0L && collapsed(none))
+      // an extra non-range conjunct disqualifies (right answer, scans)
+      val mixed = spark.sql(
+        "SELECT count(*) AS n FROM magg_w WHERE ts BETWEEN 1500 AND 6200 AND v % 2 = 0")
+      assert(!collapsed(mixed))
+      assert(mixed.collect().head.getLong(0) ==
+        df.filter(col("ts").between(1500, 6200) && col("v") % 2 === 0).count())
+    }
+  }
+
+  test("windowed count on Z boxes and on non-guarded columns") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val zroot = java.nio.file.Files.createTempDirectory("magg_wz").toString
+    val zdf = (0 until 1600).map(i => ((i % 40).toLong, (i / 40).toLong, i))
+      .toDF("a", "b", "v")
+    ZOrderStore.commitZOrdered(zdf, zroot, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, zroot).createOrReplaceTempView("magg_wz")
+    withRule {
+      // a 2-D box: interior cells count from rectangles, boundary scans
+      val q = spark.sql(
+        "SELECT count(*) AS n FROM magg_wz WHERE a BETWEEN 5 AND 33 AND b BETWEEN 7 AND 29")
+      assert(q.collect().head.getLong(0) ==
+        zdf.filter(col("a").between(5, 33) && col("b").between(7, 29)).count())
+      assert(scannedParts(q) < 16,
+        s"interior cells must count from metadata: ${scannedParts(q)}")
+      // one-dimension-only predicate works too
+      val oneD = spark.sql("SELECT count(*) AS n FROM magg_wz WHERE a >= 20")
+      assert(oneD.collect().head.getLong(0) == 800L)
+    }
+    // a range-layout STATS column is not null-guarded: no windowed
+    // collapse (nulls would be counted into contained shards), answers
+    // stay right
+    val rroot = java.nio.file.Files.createTempDirectory("magg_ws").toString
+    val rdf = (0 until 1000).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong)))
+      .toDF("ts", "e")
+    SketchRegistry.commitRangeSharded(rdf, rroot, "ts", shardsLog2 = 2,
+      statsCols = Seq("e"))
+    SketchFileIndex.readIndexed(spark, rroot).createOrReplaceTempView("magg_ws")
+    withRule {
+      val q = spark.sql("SELECT count(*) AS n FROM magg_ws WHERE e BETWEEN 100 AND 700")
+      assert(!collapsed(q), "stats-column windows must not drive the windowed count")
+      assert(q.collect().head.getLong(0) ==
+        rdf.filter(col("e").between(100, 700)).count())
+    }
+  }
+
   test("maintenance keeps the collapse exact: append + upsert paths") {
     val root = java.nio.file.Files.createTempDirectory("magg_m").toString
     val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")
