@@ -350,49 +350,70 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     if (ok) Some(iv) else None
   }
 
-  /** The (filter, index, intervals) of a WINDOWED count: exactly one
-    * count(*) (plus foldable result expressions) over a Filter whose
-    * every conjunct is a range predicate on a non-null-guarded layout
-    * column of a range/Z relation.
+  /** Windowed-aggregate classification of one result expression. */
+  private sealed trait WKind
+  private case object WCnt extends WKind
+  private final case class WMin(a: AttributeReference) extends WKind
+  private final case class WMax(a: AttributeReference) extends WKind
+  private case object WFold extends WKind
+
+  /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
+    * count(*) / min / max over GUARDED layout columns (plus foldable
+    * result expressions) over a Filter whose every conjunct is a range
+    * predicate on a non-null-guarded layout column of a range/Z
+    * relation. min/max qualify because a contained shard's exact window
+    * endpoint IS its contribution (every row of the shard satisfies the
+    * predicate), so only boundary shards need the scan.
     */
-  private def windowedCount(child0: LogicalPlan,
-                            aggExprs: Seq[NamedExpression])
-  : Option[(Filter, SketchFileIndex, Map[String, (Long, Long)])] = {
-    val shapeOk =
-      aggExprs.count { case Alias(e, _) => isRowCount(e); case _ => false } == 1 &&
-        aggExprs.forall {
-          case Alias(e, _) => isRowCount(e) || e.foldable
-          case _ => false
-        }
-    if (!shapeOk) return None
+  private def windowedAgg(child0: LogicalPlan,
+                          aggExprs: Seq[NamedExpression])
+  : Option[(Filter, SketchFileIndex, Map[String, (Long, Long)], Seq[WKind])] =
     stripProjects(child0) match {
       case f @ Filter(cond, fchild) =>
         indexUnder(fchild).flatMap { idx =>
           val guarded = idx.nonNullLayoutCols
-          if (guarded.isEmpty) None // hash layout: no exact windows
-          else intervalsOf(cond, guarded).map(region => (f, idx, region))
+          if (guarded.isEmpty) return None // hash layout: no exact windows
+          val kinds: Seq[Option[WKind]] = aggExprs.map {
+            case Alias(e, _) if isRowCount(e) => Some(WCnt)
+            case Alias(AggregateExpression(
+                Min(a: AttributeReference), Complete, false, None, _), _)
+                if guarded(a.name) && integral(a.dataType) => Some(WMin(a))
+            case Alias(AggregateExpression(
+                Max(a: AttributeReference), Complete, false, None, _), _)
+                if guarded(a.name) && integral(a.dataType) => Some(WMax(a))
+            case Alias(e, _) if e.foldable => Some(WFold)
+            case _ => None
+          }
+          val ks = kinds.flatten
+          if (ks.size != aggExprs.size || !ks.exists(_ != WFold)) None
+          else intervalsOf(cond, guarded).map(region => (f, idx, region, ks))
         }
       case _ => None
     }
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      // WINDOWED count — the time-window shape: count(*) over a range
-      // predicate on the layout column. Shards whose exact windows the
-      // region FULLY contains count from metadata (the commit guards the
-      // layout columns non-null, so every row of a contained shard
-      // satisfies the predicate); only BOUNDARY shards (intersecting,
-      // not contained) scan, with the original filter. A month window
-      // over a year-laid table reads its two boundary shards.
+      // WINDOWED aggregates — the time-window shape: count(*)/min/max
+      // over a range predicate on the layout column(s). Shards whose
+      // exact windows the region FULLY contains answer from metadata
+      // (the commit guards the layout columns non-null, so every row of
+      // a contained shard satisfies the predicate, and its exact window
+      // endpoints ARE its min/max contributions); only BOUNDARY shards
+      // (intersecting, not contained) scan, with the original filter —
+      // the count adds, min/max combine via Least/Greatest. A month
+      // window over a year-laid table reads its two boundary shards.
       case agg @ Aggregate(Nil, aggExprs, child0, _)
-          if windowedCount(child0, aggExprs).isDefined =>
-        val (f, idx, region) = windowedCount(child0, aggExprs).get
+          if windowedAgg(child0, aggExprs).isDefined =>
+        val (f, idx, region, kinds) = windowedAgg(child0, aggExprs).get
         val counts = idx.shardRowCounts
+        val aggCols: Set[String] = kinds.collect {
+          case WMin(a) => a.name
+          case WMax(a) => a.name
+        }.toSet
         val windows: Map[String, Map[Int, (Long, Long)]] =
-          region.keys.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty))
-            .toMap
+          (region.keySet ++ aggCols)
+            .map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
         def contained(s: Int) = region.forall { case (c, (lo, hi)) =>
           windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
         def intersects(s: Int) = region.forall { case (c, (lo, hi)) =>
@@ -402,21 +423,28 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         val cont = populated.filter(contained)
         val bound = populated.filter(s => intersects(s) && !contained(s))
         val fullSum = cont.iterator.map(counts).sum
+        def contMin(c: String): Option[Long] =
+          cont.flatMap(s => windows(c).get(s).map(_._1)).minOption
+        def contMax(c: String): Option[Long] =
+          cont.flatMap(s => windows(c).get(s).map(_._2)).maxOption
         if (bound.isEmpty) {
           // fully metadata-answerable (incl. the unsatisfiable-predicate
           // and all-shards-contained cases)
-          val values = aggExprs.map {
-            case Alias(e, _) if isRowCount(e) => fullSum
-            case Alias(e, _) => e.eval(InternalRow.empty)
+          val values = aggExprs.zip(kinds).map {
+            case (_, WCnt) => fullSum
+            case (Alias(_, _), WMin(a)) => toTyped(contMin(a.name), a.dataType)
+            case (Alias(_, _), WMax(a)) => toTyped(contMax(a.name), a.dataType)
+            case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
+            case _ => null // unreachable: kinds align with aggExprs
           }
           LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
         } else if (cont.isEmpty && bound.size >= populated.size) {
           agg // every shard is boundary: nothing gained, leave it alone
         } else {
-          // metadata sum + boundary-only scan: the inner aggregate runs
+          // metadata part + boundary-only scan: the inner aggregate runs
           // the ORIGINAL filter over just the boundary shard dirs, then
-          // the contained total adds on top
-          import org.apache.spark.sql.catalyst.expressions.{Add, In}
+          // the contained contribution folds in above
+          import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, In, Least}
           val prunedChild = f.child.transformUp {
             case l: LogicalRelation if (l.relation match {
               case h: HadoopFsRelation => h.location.isInstanceOf[SketchFileIndex]
@@ -427,18 +455,35 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   "sketch relation lost its shard column — cannot prune"))
               Filter(In(shardAttr, bound.map(s => Literal(s): Expression)), l)
           }
-          val countIdx = aggExprs.indexWhere {
-            case Alias(e, _) => isRowCount(e); case _ => false }
-          val innerCnt = Alias(
-            aggExprs(countIdx).asInstanceOf[Alias].child, "__boundary_cnt")()
-          val innerExprs = aggExprs.updated(countIdx, innerCnt)
+          val innerExprs: Seq[NamedExpression] =
+            aggExprs.zip(kinds).zipWithIndex.map {
+              case ((a: Alias, k), i) if k != WFold =>
+                Alias(a.child, s"__boundary_$i")()
+              case ((e, _), _) => e
+            }
           val inner = Aggregate(Nil, innerExprs, Filter(f.condition, prunedChild))
           val projList: Seq[NamedExpression] =
-            agg.output.zip(aggExprs).zipWithIndex.map { case ((o, e), i) =>
-              if (i == countIdx)
-                Alias(Add(innerCnt.toAttribute, Literal(fullSum)), o.name)(
-                  exprId = o.exprId)
-              else o
+            agg.output.zip(aggExprs).zip(kinds).zipWithIndex.map {
+              case (((o, _), k), i) =>
+                def innerAttr = innerExprs(i).toAttribute
+                k match {
+                  case WCnt =>
+                    Alias(Add(innerAttr, Literal(fullSum)), o.name)(
+                      exprId = o.exprId)
+                  case WMin(a) => contMin(a.name) match {
+                    case Some(v) => Alias(Least(Seq(innerAttr,
+                      Literal(toTyped(Some(v), a.dataType), a.dataType))),
+                      o.name)(exprId = o.exprId)
+                    case None => Alias(innerAttr, o.name)(exprId = o.exprId)
+                  }
+                  case WMax(a) => contMax(a.name) match {
+                    case Some(v) => Alias(Greatest(Seq(innerAttr,
+                      Literal(toTyped(Some(v), a.dataType), a.dataType))),
+                      o.name)(exprId = o.exprId)
+                    case None => Alias(innerAttr, o.name)(exprId = o.exprId)
+                  }
+                  case WFold => o
+                }
             }
           Project(projList, inner)
         }

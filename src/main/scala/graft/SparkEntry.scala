@@ -4217,6 +4217,39 @@ object SparkEntry {
         }
         win.unionByName(full).unionByName(none).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // WINDOWED min/max — same discipline as the windowed count: a
+    // contained shard's exact window endpoints ARE its min/max
+    // contributions (every row satisfies the predicate), so the plan is
+    // Least/Greatest over (metadata candidate, boundary-only scan); a
+    // full-span window answers min/max with zero files (required
+    // inline). Oracle: the plain filtered aggregates.
+    "q243_windowed_minmax" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q243_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q243_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val win = s.sql(
+          """SELECT 'window' AS arm, count(*) AS n, min(ts_us) AS mn,
+            |  max(ts_us) AS mx FROM q243_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
+        val full = s.sql(
+          """SELECT 'full' AS arm, count(*) AS n, min(ts_us) AS mn,
+            |  max(ts_us) AS mx FROM q243_ev WHERE ts_us >= 0""".stripMargin)
+        require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+          "full-span min/max must not open a data file")
+        win.unionByName(full).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4524,6 +4557,28 @@ object SparkEntry {
           """SELECT count(*) AS n FROM q242p_ev
             |WHERE ts_us BETWEEN 1704240000000000 AND 1704412800000000""".stripMargin)
         df.queryExecution.sparkPlan // boundary-only scan + metadata Add
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q243_windowed_minmax" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q243p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q243p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT count(*) AS n, min(ts_us) AS mn, max(ts_us) AS mx
+            |FROM q243p_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
+        df.queryExecution.sparkPlan // Least/Greatest over boundary scan
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
@@ -9303,6 +9358,15 @@ object SparkEntry {
     // transparent dispatch of the same join)
     "q239_colocated_range_join" -> colocRangeJoinOracleSql,
     "q241_dispatched_range_join" -> colocRangeJoinOracleSql,
+
+    // the plain filtered aggregates — windowed min/max must be exact
+    "q243_windowed_minmax" ->
+      """SELECT 'window' AS arm, count(*) AS n,
+        |  min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1705536000000000
+        |UNION ALL
+        |SELECT 'full', count(*), min(epoch_us(ts)), max(epoch_us(ts))
+        |FROM events""".stripMargin,
 
     // the plain filtered counts — the windowed collapse must be exact
     "q242_windowed_count" ->

@@ -167,6 +167,53 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("windowed min/max: contained window endpoints combine with the boundary scan via Least/Greatest") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_mm").toString
+    val df = (0 until 8000).map(i => (i.toLong, i % 97)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_mm")
+    withRule {
+      // interior window: min/max/count all exact, boundary-only scan
+      val q = spark.sql("""SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx
+        FROM magg_mm WHERE ts BETWEEN 1500 AND 6200""")
+      assert(q.collect().head.toSeq == Seq(4701L, 1500L, 6200L))
+      assert(scannedParts(q) <= 2,
+        s"only boundary shards may scan: ${scannedParts(q)}")
+      // a window starting exactly at a shard edge: min comes from the
+      // contained shard's window endpoint (metadata), max from boundary
+      val edge = spark.sql("""SELECT min(ts) AS mn, max(ts) AS mx
+        FROM magg_mm WHERE ts >= 2000 AND ts < 6001""")
+      assert(edge.collect().head.toSeq == Seq(2000L, 6000L))
+      // full span: pure metadata for min/max too
+      val full = spark.sql(
+        "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM magg_mm WHERE ts >= 0")
+      assert(full.collect().head.toSeq == Seq(8000L, 0L, 7999L))
+      assert(collapsed(full))
+      // empty window: count 0, null min/max
+      val none = spark.sql(
+        "SELECT count(*) AS n, min(ts) AS mn FROM magg_mm WHERE ts > 9 AND ts < 5")
+      val r = none.collect().head
+      assert(r.getLong(0) == 0L && r.isNullAt(1) && collapsed(none))
+      // min over a NON-guarded column inside a window: disqualified
+      // (v carries no exact windows), answers stay right
+      val vmin = spark.sql(
+        "SELECT min(v) AS mn FROM magg_mm WHERE ts BETWEEN 1500 AND 6200")
+      assert(!collapsed(vmin))
+      assert(vmin.collect().head.getInt(0) == 0)
+    }
+  }
+
   test("windowed count on Z boxes and on non-guarded columns") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
