@@ -240,7 +240,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
 object MetadataAggCollapse extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.NamedExpression
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
@@ -355,6 +355,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   private case object WCnt extends WKind
   private final case class WMin(a: AttributeReference) extends WKind
   private final case class WMax(a: AttributeReference) extends WKind
+  private final case class WSum(a: AttributeReference) extends WKind
+  private final case class WCntCol(a: AttributeReference) extends WKind
   private case object WFold extends WKind
 
   /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
@@ -373,6 +375,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         indexUnder(fchild).flatMap { idx =>
           val guarded = idx.nonNullLayoutCols
           if (guarded.isEmpty) return None // hash layout: no exact windows
+          val sumCovered: Set[String] = idx.sumStatsByCol.keySet
           val kinds: Seq[Option[WKind]] = aggExprs.map {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
@@ -381,6 +384,15 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(AggregateExpression(
                 Max(a: AttributeReference), Complete, false, None, _), _)
                 if guarded(a.name) && integral(a.dataType) => Some(WMax(a))
+            // sum/count over a sumCols column: a contained shard's stored
+            // (sum, cnt) IS its exact contribution — nulls excluded on
+            // both sides of the equality, so no non-null guard needed
+            case Alias(AggregateExpression(
+                Sum(a: AttributeReference, _), Complete, false, None, _), _)
+                if sumCovered(a.name) && integral(a.dataType) => Some(WSum(a))
+            case Alias(AggregateExpression(
+                Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+                if sumCovered(a.name) || guarded(a.name) => Some(WCntCol(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
@@ -427,6 +439,16 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           cont.flatMap(s => windows(c).get(s).map(_._1)).minOption
         def contMax(c: String): Option[Long] =
           cont.flatMap(s => windows(c).get(s).map(_._2)).maxOption
+        def contSum(c: String): Option[Long] = {
+          val parts = cont.flatMap(s =>
+            idx.sumStatsByCol.getOrElse(c, Map.empty).get(s).flatMap(_._1))
+          if (parts.isEmpty) None else Some(parts.sum)
+        }
+        def contCnt(a: AttributeReference): Long =
+          if (idx.nonNullLayoutCols(a.name)) fullSum
+          else cont.iterator.map(s =>
+            idx.sumStatsByCol.getOrElse(a.name, Map.empty)
+              .get(s).map(_._2).getOrElse(0L)).sum
         if (bound.isEmpty) {
           // fully metadata-answerable (incl. the unsatisfiable-predicate
           // and all-shards-contained cases)
@@ -434,6 +456,9 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case (_, WCnt) => fullSum
             case (Alias(_, _), WMin(a)) => toTyped(contMin(a.name), a.dataType)
             case (Alias(_, _), WMax(a)) => toTyped(contMax(a.name), a.dataType)
+            case (Alias(_, _), WSum(a)) =>
+              contSum(a.name).map(v => v: Any).orNull
+            case (Alias(_, _), WCntCol(a)) => contCnt(a)
             case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
             case _ => null // unreachable: kinds align with aggExprs
           }
@@ -444,7 +469,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           // metadata part + boundary-only scan: the inner aggregate runs
           // the ORIGINAL filter over just the boundary shard dirs, then
           // the contained contribution folds in above
-          import org.apache.spark.sql.catalyst.expressions.{Add, Greatest, In, Least}
+          import org.apache.spark.sql.catalyst.expressions.{Add, Coalesce, Greatest, In, Least}
           val prunedChild = f.child.transformUp {
             case l: LogicalRelation if (l.relation match {
               case h: HadoopFsRelation => h.location.isInstanceOf[SketchFileIndex]
@@ -482,6 +507,19 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                       o.name)(exprId = o.exprId)
                     case None => Alias(innerAttr, o.name)(exprId = o.exprId)
                   }
+                  // a boundary with NO matching non-null rows yields a
+                  // null partial sum — coalesce to 0 before adding the
+                  // (non-null by construction) contained contribution
+                  case WSum(a) => contSum(a.name) match {
+                    case Some(v) => Alias(Add(
+                      Coalesce(Seq(innerAttr,
+                        Literal(0L, org.apache.spark.sql.types.LongType))),
+                      Literal(v)), o.name)(exprId = o.exprId)
+                    case None => Alias(innerAttr, o.name)(exprId = o.exprId)
+                  }
+                  case WCntCol(a) =>
+                    Alias(Add(innerAttr, Literal(contCnt(a))), o.name)(
+                      exprId = o.exprId)
                   case WFold => o
                 }
             }
@@ -490,11 +528,30 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
 
       case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined =>
         val idx = indexUnder(child).get
+        def sumStats(c: String): Option[Map[Int, (Option[Long], Long)]] =
+          idx.sumStatsByCol.get(c)
         val answers: Seq[Option[Any]] = aggExprs.map {
           case Alias(AggregateExpression(
               Count(Seq(l: Literal)), Complete, false, None, _), _)
               if l.value != null => // count of a non-null literal = row count
             Some(idx.metadataRowCount)
+          // count(c): non-null count — the row count when the layout
+          // GUARDS c non-null, the exact Σ cnt_<c> when c carries sum
+          // stats, untouched otherwise
+          case Alias(AggregateExpression(
+              Count(Seq(a: AttributeReference)), Complete, false, None, _), _) =>
+            if (idx.nonNullLayoutCols(a.name)) Some(idx.metadataRowCount)
+            else sumStats(a.name).map(_.values.iterator.map(_._2).sum)
+          // sum(c): exact Σ of per-shard sums (SQL null when every shard
+          // is all-null / the table is empty); integral inputs only —
+          // Sum's result type is then BIGINT, matching the stored longs
+          case Alias(AggregateExpression(
+              Sum(a: AttributeReference, _), Complete, false, None, _), _)
+              if integral(a.dataType) =>
+            sumStats(a.name).map { per =>
+              val parts = per.values.iterator.flatMap(_._1).toSeq
+              if (parts.isEmpty) null else parts.sum
+            }
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)
               if integral(a.dataType) =>

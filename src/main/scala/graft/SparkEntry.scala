@@ -4250,6 +4250,40 @@ object SparkEntry {
           "full-span min/max must not open a data file")
         win.unionByName(full).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // Per-shard EXACT sums (sumCols): the zone map gains (sum_<c>,
+    // cnt_<c>) rows — both LINEAR, so appends merge them by addition and
+    // they stay exact through the ingest lifecycle. sum(c)/count(c) over
+    // the table answer with ZERO files (required inline); a windowed
+    // sum takes contained shards' stored sums + a boundary-only scan.
+    // count(ts) on the null-guarded sort column is the row count.
+    // Oracle: the plain aggregates — exactness, not estimation.
+    "q244_metadata_sums" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q244_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q244_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val full = s.sql(
+          """SELECT 'full' AS arm, sum(event_id) AS se, count(event_id) AS ce,
+            |  count(ts_us) AS ct FROM q244_ev""".stripMargin)
+        require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+          "metadata sums must not open a data file")
+        val win = s.sql(
+          """SELECT 'window' AS arm, sum(event_id) AS se,
+            |  count(event_id) AS ce, count(ts_us) AS ct FROM q244_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
+        full.unionByName(win).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4579,6 +4613,27 @@ object SparkEntry {
             |FROM q243p_ev
             |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
         df.queryExecution.sparkPlan // Least/Greatest over boundary scan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q244_metadata_sums" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q244p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q244p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT sum(event_id) AS se, count(event_id) AS ce FROM q244p_ev
+            |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
+        df.queryExecution.sparkPlan // Add(Coalesce(boundary), contained)
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
@@ -9358,6 +9413,15 @@ object SparkEntry {
     // transparent dispatch of the same join)
     "q239_colocated_range_join" -> colocRangeJoinOracleSql,
     "q241_dispatched_range_join" -> colocRangeJoinOracleSql,
+
+    // the plain aggregates — metadata sums must be exact
+    "q244_metadata_sums" ->
+      """SELECT 'full' AS arm, CAST(sum(event_id) AS BIGINT) AS se,
+        |  count(event_id) AS ce, count(ts) AS ct FROM events
+        |UNION ALL
+        |SELECT 'window', CAST(sum(event_id) AS BIGINT), count(event_id), count(ts)
+        |FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin,
 
     // the plain filtered aggregates — windowed min/max must be exact
     "q243_windowed_minmax" ->

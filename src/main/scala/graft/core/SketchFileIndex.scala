@@ -208,6 +208,26 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       .orElse(zMeta.map(m => Set(m.colA, m.colB)))
       .getOrElse(Set.empty)
 
+  /** Per-shard EXACT (sum, non-null count) of a `sumCols` column — sums
+    * of the cast-BIGINT non-null values (a sum is None for an all-null
+    * shard), maintained exactly by append's additive merge. Empty map
+    * for uncovered columns.
+    */
+  private[graft] lazy val sumStatsByCol: Map[String, Map[Int, (Option[Long], Long)]] =
+    rangeMeta.map { m =>
+      if (m.sumCols.isEmpty) Map.empty[String, Map[Int, (Option[Long], Long)]]
+      else {
+        val zm = registryFrame
+        m.sumCols.map { c =>
+          c -> zm.select("shard", s"sum_$c", s"cnt_$c")
+            .collect().map { r =>
+              r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+                r.getLong(2))
+            }.toMap
+        }.toMap
+      }
+    }.getOrElse(Map.empty)
+
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))
     .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))

@@ -1058,11 +1058,16 @@ object SketchRegistry {
   /** Range-layout parameters, persisted beside the data: the sort column,
     * the shard count, the quantile-sketch resolution the bounds were
     * picked at, and the deduped ascending bound values themselves.
+    * `sumCols` columns carry per-shard EXACT (sum_<c>, cnt_<c>) rows —
+    * sum of the cast-BIGINT non-null values and the non-null count —
+    * enabling metadata-only sum/count(c) answering; both merge by
+    * addition on append, so they stay exact under the ingest lifecycle.
     */
   final case class RangeMeta(sortCol: String, shardsLog2: Int, subLog2: Int,
                              bounds: Seq[Long], statsCols: Seq[String] = Nil,
                              sketchCols: Seq[String] = Nil,
-                             bloomBitsLog2: Int = 14, bloomK: Int = 4)
+                             bloomBitsLog2: Int = 14, bloomK: Int = 4,
+                             sumCols: Seq[String] = Nil)
 
   /** RANGE-sharded opt-in commit — the zone-map complement of
     * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
@@ -1092,7 +1097,8 @@ object SketchRegistry {
                          filesPerShard: Int = 1,
                          statsCols: Seq[String] = Nil,
                          sketchCols: Seq[String] = Nil,
-                         bloomBitsLog2: Int = 14, bloomK: Int = 4): Long = {
+                         bloomBitsLog2: Int = 14, bloomK: Int = 4,
+                         sumCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 8,
       s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
         "is already directory-granularity; split WITHIN shards by file size")
@@ -1102,6 +1108,9 @@ object SketchRegistry {
     require(sketchCols.forall(c => df.columns.contains(c) && c != sortCol),
       s"sketchCols must be data columns other than the sort column, got " +
         s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(sumCols.forall(df.columns.contains),
+      s"sumCols must be data columns, got " +
+        s"${sumCols.mkString(",")} vs ${df.columns.mkString(",")}")
     require(bloomBitsLog2 >= 6 && bloomBitsLog2 <= 24,
       s"bloomBitsLog2 must be in [6, 24], got $bloomBitsLog2 — same " +
         "driver-plannable budget as commitWithSketches' bitsLog2")
@@ -1130,9 +1139,12 @@ object SketchRegistry {
     val registry = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-          statsCols.flatMap(c => Seq(
+          (statsCols.flatMap(c => Seq(
             min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c")))): _*),
+            max(col(c).cast("long")).as(s"max_$c"))) ++
+          sumCols.flatMap(c => Seq(
+            sum(col(c).cast("long")).as(s"sum_$c"),
+            count(col(c)).as(s"cnt_$c"))))): _*),
       sharded, sketchCols, bloomBitsLog2, bloomK)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
@@ -1147,7 +1159,8 @@ object SketchRegistry {
         .parquet(staging.resolve("_zonemap").toString)
       Files.write(staging.resolve("_zonemap_meta"),
         (s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}" +
-          s"\n${sketchCols.mkString(",")}\n$bloomBitsLog2\n$bloomK")
+          s"\n${sketchCols.mkString(",")}\n$bloomBitsLog2\n$bloomK" +
+          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -1205,18 +1218,26 @@ object SketchRegistry {
     val batchStats = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-          m.statsCols.flatMap(c => Seq(
+          (m.statsCols.flatMap(c => Seq(
             min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c")))): _*),
+            max(col(c).cast("long")).as(s"max_$c"))) ++
+          m.sumCols.flatMap(c => Seq(
+            sum(col(c).cast("long")).as(s"sum_$c"),
+            count(col(c)).as(s"cnt_$c"))))): _*),
       sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK)
     val both = zoneMap(spark, root, Some(ver)).unionByName(batchStats)
     val mergedBase = both
       .groupBy(col("shard"))
+      // sums and non-null counts are LINEAR: addition merges them exactly
+      // (sum() skips a side's null — an all-null shard — correctly)
       .agg(min(col("min_v")).as("min_v"),
         (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
-          m.statsCols.flatMap(c => Seq(
+          (m.statsCols.flatMap(c => Seq(
             min(col(s"min_$c")).as(s"min_$c"),
-            max(col(s"max_$c")).as(s"max_$c")))): _*)
+            max(col(s"max_$c")).as(s"max_$c"))) ++
+          m.sumCols.flatMap(c => Seq(
+            sum(col(s"sum_$c")).as(s"sum_$c"),
+            sum(col(s"cnt_$c")).as(s"cnt_$c"))))): _*)
     // secondary Blooms merge by word-OR, exactly like the hash registry's
     val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
@@ -1263,6 +1284,12 @@ object SketchRegistry {
         sl.toInt, bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
         stc.split(",").filter(_.nonEmpty).toSeq,
         skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt)
+      case Array(sc, s, sl, bs, stc, skc, bb, bk, suc) => RangeMeta(sc,
+        s.toInt, sl.toInt,
+        bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        stc.split(",").filter(_.nonEmpty).toSeq,
+        skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt,
+        suc.split(",").filter(_.nonEmpty).toSeq)
       case other => throw new IllegalStateException(
         s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")
     }

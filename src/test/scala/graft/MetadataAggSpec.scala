@@ -261,6 +261,65 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("sumCols: exact sum/count(c) collapse, windowed sums, append-maintained, null-aware") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_sum").toString
+    // v nullable every 5th row; z all-null
+    val df = (0 until 4000).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong * 3)))
+      .toDF("ts", "v")
+      .withColumn("z", lit(null).cast("long"))
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      sumCols = Seq("v", "z"))
+    SketchRegistry.appendRangeSharded(spark, root,
+      (0 until 300).map(i => (9000L + i, Some(7L))).toDF("ts", "v")
+        .withColumn("z", lit(null).cast("long")))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_s")
+    val expSum = (0 until 4000).filter(_ % 5 != 0).map(_.toLong * 3).sum + 300 * 7L
+    val expCnt = 3200L + 300L
+    withRule {
+      // unfiltered: sum(v), count(v), count(ts) (guarded = row count),
+      // sum(z) (all-null -> null) all collapse with zero FileScan
+      val q = spark.sql("""SELECT sum(v) AS s, count(v) AS cv, count(ts) AS ct,
+        sum(z) AS sz, count(z) AS cz, count(*) AS n FROM magg_s""")
+      assert(collapsed(q), s"sum stats must collapse:\n${q.queryExecution.optimizedPlan}")
+      val r = q.collect().head
+      assert(r.getLong(0) == expSum && r.getLong(1) == expCnt &&
+        r.getLong(2) == 4300L && r.isNullAt(3) && r.getLong(4) == 0L &&
+        r.getLong(5) == 4300L)
+      // value identity against the full computation
+      assert(r.toSeq == df.unionByName(
+        (0 until 300).map(i => (9000L + i, Some(7L))).toDF("ts", "v")
+          .withColumn("z", lit(null).cast("long")))
+        .agg(sum("v"), count("v"), count("ts"), sum("z"), count("z"),
+          count(lit(1))).collect().head.toSeq)
+      // windowed sum/count: contained shards contribute stored sums,
+      // only boundary shards scan
+      val w = spark.sql("""SELECT count(*) AS n, sum(v) AS s, count(v) AS cv
+        FROM magg_s WHERE ts BETWEEN 700 AND 3100""")
+      val exp = df.filter(col("ts").between(700, 3100))
+        .agg(count(lit(1)), sum("v"), count("v")).collect().head
+      assert(w.collect().head.toSeq == exp.toSeq)
+      assert(scannedParts(w) <= 2,
+        s"windowed sum must scan boundary shards only: ${scannedParts(w)}")
+      // sum over an uncovered column: untouched, right answer
+      val unc = spark.sql("SELECT sum(ts) AS s FROM magg_s")
+      assert(!collapsed(unc))
+      assert(unc.collect().head.getLong(0) ==
+        (0 until 4000).map(_.toLong).sum + (0 until 300).map(9000L + _).sum)
+    }
+  }
+
   test("maintenance keeps the collapse exact: append + upsert paths") {
     val root = java.nio.file.Files.createTempDirectory("magg_m").toString
     val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")
