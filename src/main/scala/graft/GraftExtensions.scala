@@ -600,7 +600,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   *   - `spark.graft.sketchJoinDispatch.buckets`          (default 16)
   *
   * Scope (anything outside it is left to Catalyst untouched): INNER,
-  * LEFT OUTER, LEFT SEMI, and LEFT ANTI joins whose condition is a
+  * LEFT OUTER, LEFT SEMI, LEFT ANTI, and RIGHT OUTER joins whose condition is a
   * conjunction of attribute equalities naming EXACTLY both tables'
   * registry key column sets (one conjunct for a single key, one per
   * component for a composite key — positionally aligned, the combined
@@ -610,9 +610,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   * [[indexUnder]] for the soundness argument per strategy), no existing
   * join hint, matching key-hash domains (`keyKind`), and both
   * registries carrying CM rows at identical parameters.
-  * The non-inner types get what is semantically legal: broadcast-RIGHT
-  * hints and side-appropriate Bloom-AND pruning (right-only for
-  * outer/anti — every left row must survive; both sides for semi);
+  * The non-inner types get what is semantically legal: broadcast hints
+  * on their one supported build side and side-appropriate Bloom-AND
+  * pruning (right-only for left-outer/anti, left-only for right-outer —
+  * every preserved-side row must survive; both sides for semi);
   * salting and the same-key-name / disjoint-non-key-name requirements
   * apply to INNER only (the salted rewrite re-projects by name).
   * Decisions are cached per (root, version) pair — optimizer batches run
@@ -697,15 +698,16 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
   }
 
   /** Join types the dispatch understands, with their side constraints:
-    * INNER gets the full treatment; LEFT OUTER / LEFT SEMI / LEFT ANTI
-    * get what is semantically legal — broadcast-RIGHT hints (the only
-    * broadcast build Spark's BroadcastHashJoin supports for them) and
-    * side-appropriate Bloom-AND pruning:
+    * INNER gets the full treatment; the one-sided types get what is
+    * semantically legal — broadcast hints only on the build side their
+    * BroadcastHashJoin supports (BuildRight for the LEFT-typed joins,
+    * BuildLeft for RIGHT OUTER) and side-appropriate Bloom-AND pruning:
     *
     *  - LeftOuter / LeftAnti: RIGHT side only. Every left row must
     *    survive (unmatched rows emit nulls / ARE the output), but right
     *    rows in non-co-admitted shards provably match nothing — dropping
     *    them changes no row's match status.
+    *  - RightOuter: the mirror — LEFT side only.
     *  - LeftSemi: BOTH sides. Left rows in non-admitted shards provably
     *    have no match and are absent from the semi output anyway.
     *
@@ -717,8 +719,16 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.plans.LeftOuter => true
       case org.apache.spark.sql.catalyst.plans.LeftSemi => true
       case org.apache.spark.sql.catalyst.plans.LeftAnti => true
+      case org.apache.spark.sql.catalyst.plans.RightOuter => true
       case _ => false
     }
+
+  /** Which sides may receive the injected shard-prune filter per type. */
+  private def mayPruneLeft(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt == Inner || jt == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+      jt == org.apache.spark.sql.catalyst.plans.RightOuter
+  private def mayPruneRight(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt != org.apache.spark.sql.catalyst.plans.RightOuter
 
   /** The condition's conjuncts when EVERY one is an attribute-equality
     * oriented across the two sides — (leftAttr, rightAttr) pairs; None
@@ -799,19 +809,19 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
             graft.core.ZOrderStore.zColocatedShards(spark,
               li.tableRoot, ri.tableRoot,
               Some(li.tableVersion), Some(ri.tableVersion)))
-        val pruneLeft = jt == Inner ||
-          jt == org.apache.spark.sql.catalyst.plans.LeftSemi
-        val l2 = if (pruneLeft && admL.size < li.populatedShardIds.size)
+        val l2 = if (mayPruneLeft(jt) && admL.size < li.populatedShardIds.size)
           pruneShards(left, admL.toSet) else left
-        val r2 = if (admR.size < ri.populatedShardIds.size)
+        val r2 = if (mayPruneRight(jt) && admR.size < ri.populatedShardIds.size)
           pruneShards(right, admR.toSet) else right
         val bcastL = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
         val bcastR = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+        val rightOuterZ = jt == org.apache.spark.sql.catalyst.plans.RightOuter
         val hintOpt =
-          if (ri.metadataRowCount <= broadcastMaxRows)
-            Some(bcastR) // BuildRight is legal for all four types
-          else if (li.metadataRowCount <= broadcastMaxRows && jt == Inner)
-            Some(bcastL)
+          if (ri.metadataRowCount <= broadcastMaxRows && !rightOuterZ)
+            Some(bcastR) // BuildRight: inner + the left-typed joins
+          else if (li.metadataRowCount <= broadcastMaxRows &&
+            (jt == Inner || rightOuterZ))
+            Some(bcastL) // BuildLeft: inner + right outer
           else None
         hintOpt match {
           case Some(h) => Join(l2, r2, jt, j.condition, h)
@@ -843,21 +853,21 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
         // unchanged (false AND-bits cost a read, never a wrong row). Which
         // SIDES may prune depends on the join type (see [[supported]]).
         val coloc = colocatedAdmitted(spark, li, ri)
-        val pruneLeft = jt == Inner || jt ==
-          org.apache.spark.sql.catalyst.plans.LeftSemi
         val (l2, r2) = coloc match {
           case Some(adm) =>
-            (if (pruneLeft) pruneShards(left, adm) else left,
-              pruneShards(right, adm))
+            (if (mayPruneLeft(jt)) pruneShards(left, adm) else left,
+              if (mayPruneRight(jt)) pruneShards(right, adm) else right)
           case None => (left, right)
         }
-        val pruned = coloc.isDefined
+        val pruned = (l2 ne left) || (r2 ne right)
         val bcastLeft = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
         val bcastRight = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+        val rightOuter = jt == org.apache.spark.sql.catalyst.plans.RightOuter
         decision.strategy match {
-          case "broadcast_left" if jt == Inner =>
+          case "broadcast_left" if jt == Inner || rightOuter =>
             Join(l2, r2, jt, j.condition, bcastLeft)
-          case "broadcast_right" => // BuildRight is legal for all four types
+          case "broadcast_right" if !rightOuter =>
+            // BuildRight is legal for inner and the left-typed joins
             Join(l2, r2, jt, j.condition, bcastRight)
           case "salted_left" if jt == Inner =>
             rewriteSalted(spark, j, l2, r2, pairs.map(_._1.name), saltLeft = true)

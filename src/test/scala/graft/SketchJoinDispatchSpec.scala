@@ -220,6 +220,17 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
       val antiScans = allScans(anti.queryExecution.executedPlan)
         .map(_.selectedPartitions.toPartitionArray.length)
       assert(antiScans.contains(aParts), s"anti left side must NOT prune: $antiScans")
+      // RIGHT OUTER: the mirror — every RIGHT row survives (right must
+      // NOT prune), the LEFT side prunes to the co-admitted shard; the
+      // small d side is the preserved side here so no broadcast is
+      // asserted (BuildLeft would broadcast the big side)
+      val router = spark.sql(
+        "SELECT a.k, a.pa, d.pd FROM sjdo_a a RIGHT JOIN sjdo_d d ON a.k = d.k")
+      assert(sortedRows(router) ==
+        sortedRows(a.join(d, Seq("k"), "right").select("k", "pa", "pd")))
+      val routerScans = allScans(router.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length)
+      assert(routerScans.contains(1), s"right-outer left side must prune: $routerScans")
     }
   }
 
