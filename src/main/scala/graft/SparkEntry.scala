@@ -4284,6 +4284,40 @@ object SparkEntry {
             |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
         full.unionByName(win).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // The Z-order analog of q244: per-cell exact (sum, cnt) rows for a
+    // column the 2-D layout scatters, maintained by the same additive
+    // merges — a BOX-windowed sum takes the fully-contained cells'
+    // stored sums and scans only rectangle-boundary cells; the full
+    // table answers with zero files (required inline). Oracle: the
+    // plain aggregates.
+    "q245_z_metadata_sums" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      val root = java.nio.file.Files.createTempDirectory("q245_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5, sumCols = Seq("sk"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q245_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val full = s.sql(
+          """SELECT 'full' AS arm, sum(sk) AS ss, count(sk) AS cs,
+            |  count(*) AS n FROM q245_li""".stripMargin)
+        require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+          "z metadata sums must not open a data file")
+        val box = s.sql(
+          """SELECT 'box' AS arm, sum(sk) AS ss, count(sk) AS cs,
+            |  count(*) AS n FROM q245_li
+            |WHERE qty BETWEEN 5 AND 40 AND pk >= 100""".stripMargin)
+        full.unionByName(box).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4634,6 +4668,29 @@ object SparkEntry {
           """SELECT sum(event_id) AS se, count(event_id) AS ce FROM q244p_ev
             |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
         df.queryExecution.sparkPlan // Add(Coalesce(boundary), contained)
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q245_z_metadata_sums" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        col("l_partkey").as("pk"),
+        col("l_suppkey").as("sk"))
+      val root = java.nio.file.Files.createTempDirectory("q245p_store").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5, sumCols = Seq("sk"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q245p_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT sum(sk) AS ss, count(sk) AS cs, count(*) AS n
+            |FROM q245p_li
+            |WHERE qty BETWEEN 5 AND 40 AND pk >= 100""".stripMargin)
+        df.queryExecution.sparkPlan // boundary-cell scan + metadata sums
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
@@ -9413,6 +9470,15 @@ object SparkEntry {
     // transparent dispatch of the same join)
     "q239_colocated_range_join" -> colocRangeJoinOracleSql,
     "q241_dispatched_range_join" -> colocRangeJoinOracleSql,
+
+    // the plain aggregates — Z-order metadata sums must be exact
+    "q245_z_metadata_sums" ->
+      """SELECT 'full' AS arm, CAST(sum(l_suppkey) AS BIGINT) AS ss,
+        |  count(l_suppkey) AS cs, count(*) AS n FROM lineitem
+        |UNION ALL
+        |SELECT 'box', CAST(sum(l_suppkey) AS BIGINT), count(l_suppkey), count(*)
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS BIGINT) BETWEEN 5 AND 40 AND l_partkey >= 100""".stripMargin,
 
     // the plain aggregates — metadata sums must be exact
     "q244_metadata_sums" ->

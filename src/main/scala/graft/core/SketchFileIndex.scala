@@ -213,20 +213,21 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     * shard), maintained exactly by append's additive merge. Empty map
     * for uncovered columns.
     */
-  private[graft] lazy val sumStatsByCol: Map[String, Map[Int, (Option[Long], Long)]] =
-    rangeMeta.map { m =>
-      if (m.sumCols.isEmpty) Map.empty[String, Map[Int, (Option[Long], Long)]]
-      else {
-        val zm = registryFrame
-        m.sumCols.map { c =>
-          c -> zm.select("shard", s"sum_$c", s"cnt_$c")
-            .collect().map { r =>
-              r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
-                r.getLong(2))
-            }.toMap
-        }.toMap
-      }
-    }.getOrElse(Map.empty)
+  private[graft] lazy val sumStatsByCol: Map[String, Map[Int, (Option[Long], Long)]] = {
+    val covered = rangeMeta.map(_.sumCols)
+      .orElse(zMeta.map(_.sumCols)).getOrElse(Nil)
+    if (covered.isEmpty) Map.empty
+    else {
+      val zm = registryFrame
+      covered.map { c =>
+        c -> zm.select("shard", s"sum_$c", s"cnt_$c")
+          .collect().map { r =>
+            r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+              r.getLong(2))
+          }.toMap
+      }.toMap
+    }
+  }
 
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))

@@ -55,7 +55,8 @@ object ZOrderStore {
   final case class ZMeta(colA: String, colB: String, bitsPerCol: Int,
                          subLog2: Int, boundsA: Seq[Long], boundsB: Seq[Long],
                          sketchCols: Seq[String] = Nil,
-                         bloomBitsLog2: Int = 14, bloomK: Int = 4)
+                         bloomBitsLog2: Int = 14, bloomK: Int = 4,
+                         sumCols: Seq[String] = Nil)
 
   /** Rank-pick `2^bits − 1` bucket bounds for `c` off the deterministic
     * quantile sketch — the same derivation chain
@@ -123,14 +124,17 @@ object ZOrderStore {
     */
   private def zStats(sharded: DataFrame, colA: String, colB: String,
                      sketchCols: Seq[String], bitsLog2: Int,
-                     k: Int): DataFrame = {
+                     k: Int, sumCols: Seq[String] = Nil): DataFrame = {
     val va = col(colA).cast("long")
     val vb = col(colB).cast("long")
     SketchRegistry.addShardBlooms(
       sharded.groupBy(col("shard")).agg(
-        min(va).as("min_a"), max(va).as("max_a"),
-        min(vb).as("min_b"), max(vb).as("max_b"),
-        count(lit(1)).as("n_rows")),
+        min(va).as("min_a"),
+        (max(va).as("max_a") +: min(vb).as("min_b") +:
+          max(vb).as("max_b") +: count(lit(1)).as("n_rows") +:
+          sumCols.flatMap(c => Seq(
+            sum(col(c).cast("long")).as(s"sum_$c"),
+            count(col(c)).as(s"cnt_$c")))): _*),
       sharded, sketchCols, bitsLog2, k)
   }
 
@@ -138,11 +142,13 @@ object ZOrderStore {
                          colB: String, bits: Int, subLog2: Int,
                          boundsA: Seq[Long], boundsB: Seq[Long],
                          sketchCols: Seq[String], bloomBitsLog2: Int,
-                         bloomK: Int): Unit =
+                         bloomK: Int, sumCols: Seq[String] = Nil): Unit =
     Files.write(staging.resolve("_zonemap2d_meta"),
       (s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n" +
         s"${boundsB.mkString(",")}\n${sketchCols.mkString(",")}\n" +
-        s"$bloomBitsLog2\n$bloomK").getBytes(StandardCharsets.UTF_8))
+        s"$bloomBitsLog2\n$bloomK" +
+        (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
+        .getBytes(StandardCharsets.UTF_8))
 
   /** Commit `df` Z-order-sharded on (`colA`, `colB`) with the 2-D zone map
     * in the same atomic version. `shardsLog2` must be even (bits split
@@ -156,7 +162,11 @@ object ZOrderStore {
                      shardsLog2: Int = 4, subLog2: Int = 5,
                      expectedVersion: Option[Long] = None,
                      sketchCols: Seq[String] = Nil,
-                     bloomBitsLog2: Int = 14, bloomK: Int = 4): Long = {
+                     bloomBitsLog2: Int = 14, bloomK: Int = 4,
+                     sumCols: Seq[String] = Nil): Long = {
+    require(sumCols.forall(df.columns.contains),
+      s"sumCols must be data columns, got ${sumCols.mkString(",")} " +
+        s"vs ${df.columns.mkString(",")}")
     require(shardsLog2 >= 2 && shardsLog2 <= 8 && shardsLog2 % 2 == 0,
       s"shardsLog2 must be even in [2, 8], got $shardsLog2 — bits split " +
         "equally across the two interleaved columns")
@@ -172,7 +182,8 @@ object ZOrderStore {
     val boundsB = rankBounds(df, colB, bits, subLog2)
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
-    val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2, bloomK)
+    val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2,
+      bloomK, sumCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // one keyed shuffle clusters rows by shard (one file per shard dir),
       // sorted within the file by (colA, colB) so parquet row-group stats
@@ -184,7 +195,7 @@ object ZOrderStore {
       zonemap.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap2d").toString)
       writeZMeta(staging, colA, colB, bits, subLog2, boundsA, boundsB,
-        sketchCols, bloomBitsLog2, bloomK)
+        sketchCols, bloomBitsLog2, bloomK, sumCols)
     }
   }
 
@@ -209,12 +220,16 @@ object ZOrderStore {
       TableStore.readVersion(spark, root, ver), "append rows")
     val sharded = rows.withColumn("shard", shardColOf(m))
     val batchStats = zStats(sharded, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK)
+      m.bloomBitsLog2, m.bloomK, m.sumCols)
     val both = zoneMap2d(spark, root, Some(ver)).unionByName(batchStats)
+    // sums and non-null counts are LINEAR: addition merges them exactly
     val mergedBase = both.groupBy(col("shard")).agg(
-      min(col("min_a")).as("min_a"), max(col("max_a")).as("max_a"),
-      min(col("min_b")).as("min_b"), max(col("max_b")).as("max_b"),
-      sum(col("n_rows")).as("n_rows"))
+      min(col("min_a")).as("min_a"),
+      (max(col("max_a")).as("max_a") +: min(col("min_b")).as("min_b") +:
+        max(col("max_b")).as("max_b") +: sum(col("n_rows")).as("n_rows") +:
+        m.sumCols.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"sum_$c"),
+          sum(col(s"cnt_$c")).as(s"cnt_$c")))): _*)
     val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
         s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
@@ -302,7 +317,7 @@ object ZOrderStore {
         "left_anti")
       .unionByName(upserts.withColumn("shard", shardColOf(m)))
     val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK)
+      m.bloomBitsLog2, m.bloomK, m.sumCols)
     val carried = zoneMap2d(spark, root, Some(ver))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(ver)) { staging =>
@@ -387,6 +402,10 @@ object ZOrderStore {
       case Array(a, b, bits, sl, ba, bb, skc, bbits, bk) =>
         ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
           skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt)
+      case Array(a, b, bits, sl, ba, bb, skc, bbits, bk, suc) =>
+        ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
+          skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt,
+          suc.split(",").filter(_.nonEmpty).toSeq)
       case other => throw new IllegalStateException(
         s"torn _zonemap2d_meta under $root/v_$v: ${other.mkString("|")}")
     }

@@ -320,6 +320,51 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("Z-order sumCols: box-windowed sums, append + keyed-upsert maintained") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_zsum").toString
+    val df = (0 until 1600).map(i =>
+      ((i % 40).toLong, (i / 40).toLong, i.toLong, i.toLong * 7))
+      .toDF("a", "b", "id", "v")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4,
+      subLog2 = 5, sketchCols = Seq("id"), bloomBitsLog2 = 12,
+      sumCols = Seq("v"))
+    // append + keyed upsert/delete: the sums must stay exact through both
+    val batch = (0 until 50).map(i =>
+      (3L + i % 7, 5L + i % 9, 90000L + i, 11L)).toDF("a", "b", "id", "v")
+    ZOrderStore.appendZOrdered(spark, root, batch)
+    ZOrderStore.applyChangesZOrdered(spark, root, "id",
+      upserts = Seq((7L, 7L, 42L, 1000000L)).toDF("a", "b", "id", "v"),
+      deleteKeys = Seq(99L).toDF("id"))
+    val now = graft.core.TableStore.read(spark, root)
+      .select("a", "b", "id", "v")
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_zs")
+    withRule {
+      val full = spark.sql("SELECT sum(v) AS s, count(v) AS c FROM magg_zs")
+      assert(collapsed(full), s"Z sums must collapse:\n${full.queryExecution.optimizedPlan}")
+      assert(full.collect().head.toSeq ==
+        now.agg(sum("v"), count("v")).collect().head.toSeq)
+      // box-windowed sum: interior cells from stored sums, boundary scans
+      val box = spark.sql(
+        "SELECT count(*) AS n, sum(v) AS s FROM magg_zs WHERE a BETWEEN 5 AND 33 AND b BETWEEN 7 AND 29")
+      assert(box.collect().head.toSeq ==
+        now.filter(col("a").between(5, 33) && col("b").between(7, 29))
+          .agg(count(lit(1)), sum("v")).collect().head.toSeq)
+      assert(scannedParts(box) < 16,
+        s"interior cells must sum from metadata: ${scannedParts(box)}")
+    }
+  }
+
   test("maintenance keeps the collapse exact: append + upsert paths") {
     val root = java.nio.file.Files.createTempDirectory("magg_m").toString
     val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")
