@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry}
+
+/** Exercises the PRODUCTION registration path (spark.sql.extensions →
+  * injectOptimizerRule), where the dispatch rule runs INSIDE the operator
+  * optimization batch next to CombineFilters — unlike the test/bench path
+  * (experimental.extraOptimizations), which runs isolated.
+  */
+class ScratchExtLoopSpec extends AnyFunSuite {
+
+  test("prune-only dispatch under WHERE via injectOptimizerRule") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("scratch-ext")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      def commit16(df: DataFrame, tag: String): String = {
+        val root = java.nio.file.Files.createTempDirectory(s"sce_$tag").toString
+        SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+          bitsLog2 = 16, k = 4, hllP = 12, cmDepth = 4, cmWidthLog2 = 12)
+        root
+      }
+      val a = (0 until 4000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "av")
+      val b = (0 until 4000).map(i => ((i % 2).toLong, i.toLong)).toDF("k", "bv")
+      SketchFileIndex.readIndexed(spark, commit16(a, "a"))
+        .createOrReplaceTempView("sce_a")
+      SketchFileIndex.readIndexed(spark, commit16(b, "b"))
+        .createOrReplaceTempView("sce_b")
+      spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      spark.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "5")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql("SELECT a.k, a.av, b.bv FROM sce_a a JOIN sce_b b " +
+        "ON a.k = b.k WHERE a.av % 3 = 0 AND b.bv < 1000")
+      val opt = df.queryExecution.optimizedPlan.toString
+      val nIn = "shard#\\d+ IN".r.findAllIn(opt).size
+      info(s"shard-IN occurrences in optimized plan: $nIn")
+      info(s"OPTIMIZED (truncated):\n${opt.linesIterator.take(30).mkString("\n")}")
+      assert(nIn <= 2, s"injected prune filter stacked $nIn times")
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}

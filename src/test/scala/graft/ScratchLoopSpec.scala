@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry}
+
+class ScratchLoopSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(SketchJoinDispatch))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SketchJoinDispatch
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.sketchJoinDispatch.enabled")
+    spark.conf.unset("spark.graft.sketchJoinDispatch.broadcastMaxRows")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == SketchJoinDispatch)
+    super.afterAll()
+  }
+
+  private def commit16(df: DataFrame, tag: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(s"scr_$tag").toString
+    SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
+      bitsLog2 = 16, k = 4, hllP = 12, cmDepth = 4, cmWidthLog2 = 12)
+    root
+  }
+
+  test("prune-only dispatch under a WHERE filter converges") {
+    // uniform, both sides too big to broadcast, keys overlap in a strict
+    // shard subset so coloc pruning admits fewer than 8 shards
+    val a = (0 until 4000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "av")
+    val b = (0 until 4000).map(i => ((i % 2).toLong, i.toLong)).toDF("k", "bv")
+    SketchFileIndex.readIndexed(spark, commit16(a, "a"))
+      .createOrReplaceTempView("scr_a")
+    SketchFileIndex.readIndexed(spark, commit16(b, "b"))
+      .createOrReplaceTempView("scr_b")
+    spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+    spark.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "5")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql("SELECT a.k, a.av, b.bv FROM scr_a a JOIN scr_b b " +
+        "ON a.k = b.k WHERE a.av % 3 = 0 AND b.bv < 1000")
+      val opt = df.queryExecution.optimizedPlan.toString
+      val nIn = "shard#\\d+ IN".r.findAllIn(opt).size
+      info(s"shard-IN occurrences in optimized plan: $nIn")
+      info(s"OPTIMIZED:\n$opt")
+      assert(nIn <= 2, s"injected prune filter stacked $nIn times:\n$opt")
+    } finally {
+      spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

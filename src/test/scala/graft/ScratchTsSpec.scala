@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry}
+
+class ScratchTsSpec extends AnyFunSuite with SparkTest with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(MetadataAggCollapse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetadataAggCollapse
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.metadataAgg.enabled")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == MetadataAggCollapse)
+    super.afterAll()
+  }
+
+  test("windowed count over a TIMESTAMP sort column") {
+    // 1000 hourly events through January 2024, timestamp-typed sort col
+    val ev = (0 until 1000)
+      .map(i => (1704067200L + i * 3600L, i.toLong)).toDF("sec", "v")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val root = java.nio.file.Files.createTempDirectory("scrts").toString
+    SketchRegistry.commitRangeSharded(ev, root, "ts", shardsLog2 = 3,
+      subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("scrts")
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM scrts " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00Z'").collect().head.getLong(0)
+      val expected = spark.sql("SELECT count(*) AS n FROM scrts " +
+        "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00Z' AND v IS NOT NULL")
+        .collect().head.getLong(0) // v IS NOT NULL defeats the collapse
+      val truth = ev.filter(col("ts") >= expr("TIMESTAMP'2024-01-10 00:00:00Z'"))
+        .count()
+      info(s"collapsed=$n plainViaIndex=$expected truth=$truth")
+      assert(n == truth, s"windowed count wrong: collapsed=$n truth=$truth")
+    } finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+}
