@@ -10,25 +10,47 @@ package graft.util
   * the live working set (current versions re-hit on every optimizer pass)
   * and lets superseded versions age out.
   *
-  * `getOrElseUpdate` holds the cache lock across `compute` — the computes
-  * behind it are driver-side registry reads that must not run concurrently
-  * per key anyway (ConcurrentHashMap.computeIfAbsent, which this replaces,
-  * blocked the same way).
+  * Lock scope is PER KEY, not per cache: the map lock is held only to look
+  * up / install a [[java.util.concurrent.FutureTask]] holder (a few map
+  * operations), never across `compute`. The computes behind this cache are
+  * driver-side registry reads — Spark jobs taking ~100 ms+ — so a
+  * cache-wide compute lock would serialize dispatch planning (and pure
+  * cache HITS) for every unrelated table pair across all concurrent
+  * queries. With the holder scheme, concurrent callers of the SAME key
+  * still compute once (waiters block on that key's task alone), callers of
+  * DIFFERENT keys never wait on each other, and a FAILED compute removes
+  * its holder so the key is retryable rather than poisoned.
   */
 final class LruCache[K, V](maxEntries: Int) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")
 
-  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-      size() > maxEntries
-  }
+  private val map =
+    new java.util.LinkedHashMap[K, java.util.concurrent.FutureTask[V]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, java.util.concurrent.FutureTask[V]]): Boolean =
+        size() > maxEntries
+    }
 
-  def getOrElseUpdate(key: K)(compute: => V): V = map.synchronized {
-    if (map.containsKey(key)) map.get(key)
-    else {
-      val v = compute
-      map.put(key, v)
-      v
+  def getOrElseUpdate(key: K)(compute: => V): V = {
+    var created = false
+    val task = map.synchronized {
+      val existing = map.get(key)
+      if (existing != null) existing
+      else {
+        val t = new java.util.concurrent.FutureTask[V](() => compute)
+        map.put(key, t)
+        created = true
+        t
+      }
+    }
+    if (created) task.run() // the installer computes; others await get()
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        // un-poison: the NEXT caller recomputes (eviction may already have
+        // replaced the holder — only remove our own)
+        map.synchronized { if (map.get(key) eq task) map.remove(key) }
+        throw e.getCause
     }
   }
 

@@ -30,4 +30,46 @@ class LruCacheSpec extends AnyFunSuite {
     (0 until 10).foreach(_ => c.getOrElseUpdate(7) { computes += 1; 42 })
     assert(computes == 1 && c.getOrElseUpdate(7)(0) == 42)
   }
+
+  test("a slow compute on one key never blocks another key (per-key lock)") {
+    val c = new LruCache[String, Int](8)
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => c.getOrElseUpdate("a") {
+      aStarted.countDown(); release.await(); 1
+    })
+    slow.start()
+    aStarted.await() // a's compute is now in flight and will not finish
+    val t0 = System.nanoTime()
+    val b = c.getOrElseUpdate("b")(2) // must return while a still computes
+    val bMillis = (System.nanoTime() - t0) / 1e6
+    assert(b == 2 && bMillis < 2000, s"b took ${bMillis}ms behind a's compute")
+    assert(slow.isAlive, "a's compute must still be in flight when b returns")
+    release.countDown()
+    slow.join()
+    assert(c.getOrElseUpdate("a")(99) == 1)
+  }
+
+  test("concurrent callers of the SAME key compute once; all see the value") {
+    val c = new LruCache[Int, Int](8)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (0 until 8).map(_ => new Thread(() => {
+      go.await()
+      results.add(c.getOrElseUpdate(5) { computes.incrementAndGet(); Thread.sleep(50); 77 })
+    }))
+    threads.foreach(_.start()); go.countDown(); threads.foreach(_.join())
+    assert(computes.get() == 1, "one compute serves all waiters on the key")
+    assert(results.size == 8 && results.stream().allMatch(_ == 77))
+  }
+
+  test("a failed compute does not poison the key") {
+    val c = new LruCache[Int, Int](4)
+    intercept[IllegalStateException] {
+      c.getOrElseUpdate(3)(throw new IllegalStateException("boom"))
+    }
+    assert(!c.contains(3), "the failed holder is removed")
+    assert(c.getOrElseUpdate(3)(11) == 11, "the next caller recomputes")
+  }
 }
