@@ -465,4 +465,34 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
       assert(shards.count() == left.join(right, Seq("k")).count())
     }
   }
+
+  test("FULL OUTER joins are never dispatched: no hint, no prune, rows exact") {
+    // Nothing the dispatch does is semantically legal for full outer:
+    // NEITHER side may prune (every row of both sides must be preserved —
+    // an unmatched row in a non-co-admitted shard still emits its
+    // null-padded output row), BroadcastHashJoin supports neither build
+    // side for FullOuter at these hints' semantics, and the salted union
+    // shape is inner-only. This pin is the invariant a refactor of
+    // [[SketchJoinDispatch.supported]] must not silently widen.
+    val left = (0 until 2000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "lv")
+    val right = (0 until 2000) // keys 20-59: half-overlapping domains, so
+      .map(i => ((i % 40 + 20).toLong, i.toLong)).toDF("k", "rv") // both sides
+    val (rl, rr) = (commit(left, "fol"), commit(right, "for")) // have unmatched rows
+    SketchFileIndex.readIndexed(spark, rl).createOrReplaceTempView("sjd_fol")
+    SketchFileIndex.readIndexed(spark, rr).createOrReplaceTempView("sjd_for")
+    withDispatch(broadcastMaxRows = 1000000L) { // budget admits either side
+      val q = spark.sql("SELECT l.k AS lk, r.k AS rk, l.lv, r.rv " +
+        "FROM sjd_fol l FULL OUTER JOIN sjd_for r ON l.k = r.k")
+      val opt = q.queryExecution.optimizedPlan.toString
+      val phys = q.queryExecution.executedPlan.toString
+      assert(!opt.contains("Union"), s"full outer must not salt:\n$opt")
+      assert(!opt.contains("shard IN"), s"full outer must not prune:\n$opt")
+      assert(!phys.contains("BroadcastHashJoin"),
+        s"full outer must not broadcast off the registry hint:\n$phys")
+      assert(sortedRows(q) == sortedRows(
+        left.join(right, left("k") === right("k"), "full_outer")
+          .select(left("k").as("lk"), right("k").as("rk"),
+            left("lv"), right("rv"))))
+    }
+  }
 }
