@@ -403,6 +403,21 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Extractor wrapper so the transform's guard and body share ONE
+    * [[windowedAgg]] classification pass (it walks the child and
+    * consults registry-backed accessors — cheap, but not free twice).
+    */
+  private object WindowedAgg {
+    def unapply(p: LogicalPlan): Option[(Aggregate, Filter, SketchFileIndex,
+        Map[String, (Long, Long)], Seq[WKind])] = p match {
+      case agg @ Aggregate(Nil, aggExprs, child0, _) =>
+        windowedAgg(child0, aggExprs).map { case (f, idx, region, kinds) =>
+          (agg, f, idx, region, kinds)
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
@@ -415,9 +430,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // (intersecting, not contained) scan, with the original filter —
       // the count adds, min/max combine via Least/Greatest. A month
       // window over a year-laid table reads its two boundary shards.
-      case agg @ Aggregate(Nil, aggExprs, child0, _)
-          if windowedAgg(child0, aggExprs).isDefined =>
-        val (f, idx, region, kinds) = windowedAgg(child0, aggExprs).get
+      case WindowedAgg(agg, f, idx, region, kinds) =>
+        val aggExprs = agg.aggregateExpressions
         val counts = idx.shardRowCounts
         val aggCols: Set[String] = kinds.collect {
           case WMin(a) => a.name

@@ -3768,6 +3768,7 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
       }
     },
 
@@ -3989,6 +3990,7 @@ object SparkEntry {
         arm("q235_uni", "uniform").unionByName(skewArm).localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
       }
     },
 
@@ -4088,6 +4090,7 @@ object SparkEntry {
         df.localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
       }
     },
 
@@ -4180,6 +4183,7 @@ object SparkEntry {
         df.localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
       }
     },
 
@@ -4509,7 +4513,10 @@ object SparkEntry {
             |FROM q227p_skw JOIN q227p_part USING (k) GROUP BY k""".stripMargin)
         df.queryExecution.sparkPlan // materialize while the rule is on
         df
-      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+      }
     },
     "q235_filtered_dispatch" -> { (s, dir) =>
       graft.core.SketchFileIndex.readIndexed(s,
@@ -4533,7 +4540,10 @@ object SparkEntry {
             |GROUP BY k""".stripMargin)
         df.queryExecution.sparkPlan
         df
-      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+      }
     },
     "q236_metadata_agg" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -4576,7 +4586,10 @@ object SparkEntry {
             | AND l.l_linenumber = r.l_linenumber""".stripMargin)
         df.queryExecution.sparkPlan
         df
-      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+      }
     },
     "q241_dispatched_range_join" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
@@ -4605,7 +4618,10 @@ object SparkEntry {
             |FROM q241p_a a JOIN q241p_b b USING (ts_us)""".stripMargin)
         df.queryExecution.sparkPlan
         df
-      } finally s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+      }
     },
     "q242_windowed_count" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select(col("event_id"),
