@@ -225,7 +225,13 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   *    only for all-null shards — matching SQL min/max null semantics
   *    exactly, including the all-null → null and empty-table → null
   *    cases). Hash-layout columns never qualify (Blooms carry
-  *    membership, not order).
+  *    membership, not order);
+  *  - `sum(c)`/`count(c)`/`avg(c)`: columns committed with `sumCols`
+  *    carry per-shard EXACT (sum, non-null count) on EVERY layout —
+  *    hash, range, and Z — so the total sum/count are exact additions
+  *    and avg is the exact stored-sum ÷ stored-cnt (order info is not
+  *    needed for linear stats, which is why the hash layout qualifies
+  *    here but not for min/max).
   *
   * ANY Filter above the relation disqualifies the collapse (unlike the
   * join dispatch there is no upper-bound slack in an exact answer), as
@@ -240,7 +246,7 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
 object MetadataAggCollapse extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.NamedExpression
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
@@ -565,6 +571,19 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             sumStats(a.name).map { per =>
               val parts = per.values.iterator.flatMap(_._1).toSeq
               if (parts.isEmpty) null else parts.sum
+            }
+          // avg(c) = stored-sum ÷ stored-cnt — both exact, so the quotient
+          // is the exact mean (double division of exact integers; SQL
+          // null when no non-null value exists). Integral inputs only,
+          // matching Average's DOUBLE result type for them.
+          case Alias(AggregateExpression(
+              Average(a: AttributeReference, _), Complete, false, None, _), _)
+              if integral(a.dataType) =>
+            sumStats(a.name).map { per =>
+              val cnt = per.values.iterator.map(_._2).sum
+              val parts = per.values.iterator.flatMap(_._1).toSeq
+              if (cnt == 0L || parts.isEmpty) null
+              else parts.sum.toDouble / cnt
             }
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)

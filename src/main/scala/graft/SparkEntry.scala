@@ -4322,6 +4322,38 @@ object SparkEntry {
             |WHERE qty BETWEEN 5 AND 40 AND pk >= 100""".stripMargin)
         full.unionByName(box).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // sumCols on the HASH layout + avg() collapse — linear (sum, cnt)
+    // stats are layout-independent, so a hash-keyed table now answers
+    // sum/count/avg over committed sumCols with ZERO files (required
+    // inline), closing the "sum over a hash table rescans" gap; avg is
+    // the exact stored-sum ÷ stored-cnt wherever both collapse. The
+    // oracle computes the same quotient explicitly — exactness, not
+    // estimation.
+    "q246_hash_metadata_sums" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_suppkey").as("sk"))
+      val root = java.nio.file.Files.createTempDirectory("q246_store").toString
+      graft.core.SketchRegistry.commitWithSketches(li, root, "id",
+        shardsLog2 = 3, bitsLog2 = 14, sumCols = Seq("qty", "sk"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q246_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val full = s.sql(
+          """SELECT 'full' AS arm, sum(qty) AS sq, count(qty) AS cq,
+            |  avg(qty) AS aq, sum(sk) AS ss, avg(sk) AS ask,
+            |  count(*) AS n FROM q246_li""".stripMargin)
+        require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+          "hash-layout metadata sums/avg must not open a data file")
+        full.localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -9495,6 +9527,19 @@ object SparkEntry {
         |SELECT 'box', CAST(sum(l_suppkey) AS BIGINT), count(l_suppkey), count(*)
         |FROM lineitem
         |WHERE CAST(l_quantity AS BIGINT) BETWEEN 5 AND 40 AND l_partkey >= 100""".stripMargin,
+
+    // the plain aggregates, with avg written as the explicit
+    // sum ÷ count quotient the collapse computes — hash-layout sum
+    // stats must be exact
+    "q246_hash_metadata_sums" ->
+      """SELECT 'full' AS arm,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  count(l_quantity) AS cq,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(l_quantity) AS aq,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS ss,
+        |  CAST(sum(l_suppkey) AS DOUBLE) / count(l_suppkey) AS ask,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
 
     // the plain aggregates — metadata sums must be exact
     "q244_metadata_sums" ->

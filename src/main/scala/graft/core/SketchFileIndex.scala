@@ -214,7 +214,8 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     * for uncovered columns.
     */
   private[graft] lazy val sumStatsByCol: Map[String, Map[Int, (Option[Long], Long)]] = {
-    val covered = rangeMeta.map(_.sumCols)
+    val covered = hashMeta.map(_.sumCols)
+      .orElse(rangeMeta.map(_.sumCols))
       .orElse(zMeta.map(_.sumCols)).getOrElse(Nil)
     if (covered.isEmpty) Map.empty
     else {

@@ -52,7 +52,8 @@ object SketchRegistry {
                         k: Int, hllP: Int, sketchCols: Seq[String] = Nil,
                         cmDepth: Int = 0, cmWidthLog2: Int = 0,
                         keyIsString: Boolean = false,
-                        keyKinds: Seq[String] = Nil) {
+                        keyKinds: Seq[String] = Nil,
+                        sumCols: Seq[String] = Nil) {
     def isComposite: Boolean = keyKinds.nonEmpty
     def keyCols: Seq[String] =
       if (isComposite) keyCol.split(",").toSeq else Seq(keyCol)
@@ -179,13 +180,20 @@ object SketchRegistry {
   private def buildRegistryRows(sharded: DataFrame, keyHashCol: String,
                                 bitsLog2: Int, k: Int, hllP: Int,
                                 sketchCols: Seq[String],
-                                cmDepth: Int, cmWidthLog2: Int): DataFrame = {
+                                cmDepth: Int, cmWidthLog2: Int,
+                                sumCols: Seq[String] = Nil): DataFrame = {
+    // per-shard EXACT (sum_<c>, cnt_<c>) beside n_rows for each sumCols
+    // column — linear stats, so append merges them by addition and the
+    // metadata-only sum/count/avg answering works on the hash layout too
     val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyHashCol, bitsLog2, k)
       .join(SketchOps.hllSketch(sharded, Seq("shard"), keyHashCol, hllP),
         Seq("shard"))
       .join(SketchOps.cmSketch(sharded, Seq("shard"), keyHashCol,
         cmDepth, cmWidthLog2), Seq("shard"))
-      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"),
+        sumCols.flatMap(c => Seq(
+          sum(col(c).cast("long")).as(s"sum_$c"),
+          count(col(c)).as(s"cnt_$c"))): _*),
         Seq("shard"))
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
     sketchCols.foldLeft(base) { (acc, c) =>
@@ -212,7 +220,8 @@ object SketchRegistry {
                          expectedVersion: Option[Long] = None,
                          filesPerShard: Int = 1,
                          sketchCols: Seq[String] = Nil,
-                         cmDepth: Int = 4, cmWidthLog2: Int = 12): Long = {
+                         cmDepth: Int = 4, cmWidthLog2: Int = 12,
+                         sumCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
     // Bound the per-column Bloom registry: a planner (SketchFileIndex) may
@@ -230,6 +239,9 @@ object SketchRegistry {
         s"${sketchCols.mkString(",")} vs ${df.columns.mkString(",")}")
     require(cmDepth >= 1 && cmDepth <= 16,
       s"cmDepth must be in [1, 16], got $cmDepth")
+    require(sumCols.forall(df.columns.contains),
+      s"sumCols must be data columns, got " +
+        s"${sumCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val keyIsString =
       df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
     val n = 1 << shardsLog2
@@ -238,7 +250,7 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2)
+      sketchCols, cmDepth, cmWidthLog2, sumCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
@@ -248,7 +260,8 @@ object SketchRegistry {
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
         (s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
-          s"\n$cmDepth\n$cmWidthLog2\n${if (keyIsString) "string" else "int"}")
+          s"\n$cmDepth\n$cmWidthLog2\n${if (keyIsString) "string" else "int"}" +
+          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -274,7 +287,8 @@ object SketchRegistry {
                              expectedVersion: Option[Long] = None,
                              filesPerShard: Int = 1,
                              sketchCols: Seq[String] = Nil,
-                             cmDepth: Int = 4, cmWidthLog2: Int = 12): Long = {
+                             cmDepth: Int = 4, cmWidthLog2: Int = 12,
+                             sumCols: Seq[String] = Nil): Long = {
     require(keyCols.size >= 2,
       s"composite commit needs >= 2 key columns, got ${keyCols.mkString(",")}" +
         " — use commitWithSketches for a single key")
@@ -294,6 +308,9 @@ object SketchRegistry {
         s"${sketchCols.mkString(",")}")
     require(cmDepth >= 1 && cmDepth <= 16,
       s"cmDepth must be in [1, 16], got $cmDepth")
+    require(sumCols.forall(df.columns.contains),
+      s"sumCols must be data columns, got " +
+        s"${sumCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val kinds = keyCols.map(c => kindOf(df.schema(c).dataType, c))
     val m = Meta(keyCols.mkString(","), shardsLog2, bitsLog2, k, hllP,
       sketchCols, cmDepth, cmWidthLog2, keyIsString = false, keyKinds = kinds)
@@ -303,7 +320,7 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2)
+      sketchCols, cmDepth, cmWidthLog2, sumCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
@@ -313,7 +330,8 @@ object SketchRegistry {
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
         (s"${m.keyCol}\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
-          s"\n$cmDepth\n$cmWidthLog2\nmulti:${kinds.mkString(",")}")
+          s"\n$cmDepth\n$cmWidthLog2\nmulti:${kinds.mkString(",")}" +
+          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -344,6 +362,15 @@ object SketchRegistry {
             if (kt.startsWith("multi:"))
               kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
             else Nil)
+      case Array(key, s, b, kk, hp, sc, cd, cw, kt, suc) =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
+          sc.split(",").filter(_.nonEmpty).toSeq, cd.toInt, cw.toInt,
+          keyIsString = kt == "string",
+          keyKinds =
+            if (kt.startsWith("multi:"))
+              kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
+            else Nil,
+          sumCols = suc.split(",").filter(_.nonEmpty).toSeq)
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -838,7 +865,8 @@ object SketchRegistry {
       .unionByName(upserts.withColumn("shard", shardOf(kc.map(col))))
       .withColumn("__kh", keyHashExprM(m))
     val touchedRegistry = buildRegistryRows(newTouched, "__kh",
-      m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2)
+      m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
+      m.sumCols)
     val carried = registry(spark, root, Some(v))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
@@ -892,7 +920,7 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val batchRegistry = buildRegistryRows(sharded, "__kh", m.bitsLog2,
-      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2)
+      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols)
     val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
     val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
@@ -902,7 +930,12 @@ object SketchRegistry {
       // and bit-identical to re-sketching the unioned data
       .join(SketchOps.cmMergeSketches(both, Seq("shard"), "cm",
         m.cmDepth, m.cmWidthLog2), Seq("shard"))
-      .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows")),
+      // sums and non-null counts are LINEAR too: addition merges the
+      // sumCols stats exactly (sum() skips an all-null side correctly)
+      .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows"),
+        m.sumCols.flatMap(c => Seq(
+          sum(col(s"sum_$c")).as(s"sum_$c"),
+          sum(col(s"cnt_$c")).as(s"cnt_$c"))): _*),
         Seq("shard"))
     val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),

@@ -365,6 +365,63 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("hash-layout sumCols + avg(): sum/count/avg collapse with zero FileScan, append + upsert maintained") {
+    val root = java.nio.file.Files.createTempDirectory("magg_hsum").toString
+    // v nullable every 4th row; z all-null
+    val df = (0 until 3000).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(i.toLong * 5)))
+      .toDF("id", "v")
+      .withColumn("z", lit(null).cast("long"))
+    SketchRegistry.commitWithSketches(df, root, "id", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4, sumCols = Seq("v", "z"))
+    // append merges (sum, cnt) additively; keyed upsert/delete rebuilds
+    // the touched shards' stats from their new rows — both must stay exact
+    SketchRegistry.appendWithSketches(spark, root,
+      (5000 until 5200).map(i => (i.toLong, Some(13L))).toDF("id", "v")
+        .withColumn("z", lit(null).cast("long")))
+    SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = Seq((7L, Some(1000000L), Option.empty[Long]))
+        .toDF("id", "v", "z"),
+      deleteKeys = Seq(42L).toDF("id"))
+    val now = graft.core.TableStore.read(spark, root).select("id", "v", "z")
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_hs")
+    withRule {
+      val q = spark.sql("""SELECT sum(v) AS s, count(v) AS cv, avg(v) AS av,
+        sum(z) AS sz, avg(z) AS az, count(*) AS n FROM magg_hs""")
+      assert(collapsed(q),
+        s"hash sum stats must collapse:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().head.toSeq == now.agg(sum("v"), count("v"),
+        avg("v"), sum("z"), avg("z"), count(lit(1))).collect().head.toSeq)
+      // min over the hash layout still never collapses (Blooms carry
+      // membership, not order) — and the un-collapsed answer is right
+      val mn = spark.sql("SELECT min(id) AS m FROM magg_hs")
+      assert(!collapsed(mn))
+      assert(mn.collect().head.getLong(0) == 0L)
+    }
+    // avg over a range layout's sumCols collapses through the same arm
+    val rroot = java.nio.file.Files.createTempDirectory("magg_ravg").toString
+    val rdf = (0 until 900).map(i =>
+      (100L + i, if (i % 3 == 0) None else Some(i.toLong * 2)))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(rdf, rroot, "ts", shardsLog2 = 3,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, rroot)
+      .createOrReplaceTempView("magg_ravg")
+    withRule {
+      val a = spark.sql("SELECT avg(v) AS a, avg(ts) AS at FROM magg_ravg")
+      // ts carries no sum stats -> the mixed aggregate is left alone,
+      // with the right answer; v alone collapses
+      assert(!collapsed(a))
+      assert(a.collect().head.toSeq ==
+        rdf.agg(avg("v"), avg("ts")).collect().head.toSeq)
+      val av = spark.sql("SELECT avg(v) AS a FROM magg_ravg")
+      assert(collapsed(av),
+        s"range avg must collapse:\n${av.queryExecution.optimizedPlan}")
+      assert(av.collect().head.toSeq ==
+        rdf.agg(avg("v")).collect().head.toSeq)
+    }
+  }
+
   test("maintenance keeps the collapse exact: append + upsert paths") {
     val root = java.nio.file.Files.createTempDirectory("magg_m").toString
     val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")
