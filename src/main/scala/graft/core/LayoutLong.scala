@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeReplaceable, UnixDate, UnixMicros}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
+
+/** The canonical BIGINT a layout / stats / sum column normalizes to —
+  * the ONE unit rule every commit- and probe-side consumer shares:
+  *
+  *  - TIMESTAMP columns normalize to MICROSECONDS since epoch. This is
+  *    Catalyst's own internal representation, so a probe-time filter
+  *    literal (`ts >= TIMESTAMP'…'` arrives as a micros Long) compares
+  *    against zone-map windows in the SAME unit. A plain
+  *    `cast(ts AS LONG)` yields SECONDS — committing windows in seconds
+  *    while probing in micros made every range predicate on a
+  *    timestamp-laid table prune ALL shards (wrong rows, not just a
+  *    slow plan). TIMESTAMP_NTZ casts through TIMESTAMP first; sessions
+  *    are pinned UTC ([[GraftSession]]), so the wall-clock micros match
+  *    the NTZ literal representation.
+  *  - Everything else keeps the former `CAST(c AS BIGINT)` semantics
+  *    (identity on integrals, floor on doubles).
+  *
+  * Implemented as a [[RuntimeReplaceable]] so the dispatch happens at
+  * ANALYSIS time on the resolved child type — call sites hold plain
+  * `Column`s and cannot know the schema — and the optimizer then
+  * executes the plain Cast / UnixMicros (codegen'd, zero overhead).
+  */
+case class LayoutLong(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case TimestampType => UnixMicros(child)
+    case TimestampNTZType => UnixMicros(Cast(child, TimestampType, Some("UTC")))
+    // DATE literals arrive as days-since-epoch Ints — unix_date is the
+    // matching normalization (a plain CAST date→long is just null)
+    case DateType => Cast(UnixDate(child), LongType)
+    case _ => Cast(child, LongType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LayoutLong =
+    copy(child = newChild)
+}
+
+object LayoutLong {
+  /** `Column`-level entry point for the commit/probe sites. */
+  def longCol(c: Column): Column =
+    ColumnShim.column(LayoutLong(ColumnShim.expression(c)))
+}

@@ -73,7 +73,7 @@ object SketchRegistry {
     */
   private def keyHashExpr(keyIsString: Boolean,
                           c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    if (keyIsString) xxhash64(c) else c.cast("long")
+    if (keyIsString) xxhash64(c) else LayoutLong.longCol(c)
 
   /** The meta-aware layout hash over a frame's key column(s) — every
     * maintenance verb and probe routes through this ONE derivation.
@@ -82,7 +82,7 @@ object SketchRegistry {
     if (m.isComposite)
       xxhash64(m.keyCols.zip(m.keyKinds).map {
         case (c, "string") => col(c)
-        case (c, _)        => col(c).cast("long")
+        case (c, _)        => LayoutLong.longCol(col(c))
       }: _*)
     else keyHashExpr(m.keyIsString, col(m.keyCol))
 
@@ -192,7 +192,7 @@ object SketchRegistry {
         cmDepth, cmWidthLog2), Seq("shard"))
       .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"),
         sumCols.flatMap(c => Seq(
-          sum(col(c).cast("long")).as(s"sum_$c"),
+          sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))): _*),
         Seq("shard"))
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
@@ -551,7 +551,7 @@ object SketchRegistry {
       col(c).as(s"__orig$i") }
     val hashBasis = m.keyKinds.zipWithIndex.map {
       case ("string", i) => col(s"__orig$i")
-      case (_, i)        => col(s"__orig$i").cast("long")
+      case (_, i)        => LayoutLong.longCol(col(s"__orig$i"))
     }
     val p = probes.select(orig: _*).distinct()
       .withColumn("__k", xxhash64(hashBasis: _*))
@@ -783,7 +783,7 @@ object SketchRegistry {
       case shards =>
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(shards.map(s => s"$root/v_$v/shard=$s"): _*)
-          .filter(col(c).cast("long").isin(values: _*))
+          .filter(LayoutLong.longCol(col(c)).isin(values: _*))
     }
   }
 
@@ -835,7 +835,7 @@ object SketchRegistry {
       if (m.isComposite)
         xxhash64(cols.zip(m.keyKinds).map {
           case (c, "string") => c
-          case (c, _)        => c.cast("long")
+          case (c, _)        => LayoutLong.longCol(c)
         }: _*)
       else keyHashExpr(m.keyIsString, cols.head)
     def shardOf(cols: Seq[org.apache.spark.sql.Column]) =
@@ -1048,7 +1048,7 @@ object SketchRegistry {
     val fatData = spark.read.option("basePath", s"$root/v_$v")
       .parquet(fat.map(s => s"$root/v_$v/shard=$s"): _*)
     TableStore.commitStaged(root, Some(v)) { staging =>
-      clusterForWrite(fatData, col(m.sortCol).cast("long"), filesPerShard, n)
+      clusterForWrite(fatData, LayoutLong.longCol(col(m.sortCol)), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
@@ -1157,33 +1157,33 @@ object SketchRegistry {
     val bounds: Seq[Long] =
       if (n == 1) Nil
       else {
-        val mnRow = df.agg(min(col(sortCol).cast("long"))).collect().head
+        val mnRow = df.agg(min(LayoutLong.longCol(col(sortCol)))).collect().head
         val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
         val sk = SketchOps.quantileSketch(
-          df.select((col(sortCol).cast("long") - mn).as("__s")), Nil, "__s",
+          df.select((LayoutLong.longCol(col(sortCol)) - mn).as("__s")), Nil, "__s",
           subLog2)
         val row = SketchOps.quantilesFromSketches(sk, Nil,
           (1 until n).map(i => (i, n)), subLog2).collect().head
         (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
           .distinct.sorted
       }
-    val v = col(sortCol).cast("long")
+    val v = LayoutLong.longCol(col(sortCol))
     val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
     val registry = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
           (statsCols.flatMap(c => Seq(
-            min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c"))) ++
+            min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+            max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
           sumCols.flatMap(c => Seq(
-            sum(col(c).cast("long")).as(s"sum_$c"),
+            sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
             count(col(c)).as(s"cnt_$c"))))): _*),
       sharded, sketchCols, bloomBitsLog2, bloomK)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
       // skip row groups inside a shard on top of the shard-level zone map
-      clusterForWrite(sharded, col(sortCol).cast("long"), filesPerShard,
+      clusterForWrite(sharded, LayoutLong.longCol(col(sortCol)), filesPerShard,
         1 << shardsLog2)
         .sortWithinPartitions(col("shard"), col(sortCol))
         .write.mode("overwrite").partitionBy("shard")
@@ -1219,7 +1219,7 @@ object SketchRegistry {
     */
   private def rangeShardCol(sortCol: String,
                             bounds: Seq[Long]): org.apache.spark.sql.Column = {
-    val v = col(sortCol).cast("long")
+    val v = LayoutLong.longCol(col(sortCol))
     val guarded = when(assert_true(v.isNotNull && v >= 0,
       lit(s"range-sharded layout requires non-negative non-null '$sortCol'"))
       .isNull, v)
@@ -1246,16 +1246,16 @@ object SketchRegistry {
     val m = rangeMeta(root, Some(ver))
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
-    val v = col(m.sortCol).cast("long")
+    val v = LayoutLong.longCol(col(m.sortCol))
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
     val batchStats = addShardBlooms(sharded.groupBy(col("shard"))
       .agg(min(v).as("min_v"),
         (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
           (m.statsCols.flatMap(c => Seq(
-            min(col(c).cast("long")).as(s"min_$c"),
-            max(col(c).cast("long")).as(s"max_$c"))) ++
+            min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+            max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
           m.sumCols.flatMap(c => Seq(
-            sum(col(c).cast("long")).as(s"sum_$c"),
+            sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
             count(col(c)).as(s"cnt_$c"))))): _*),
       sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK)
     val both = zoneMap(spark, root, Some(ver)).unionByName(batchStats)
@@ -1278,7 +1278,7 @@ object SketchRegistry {
     }
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
-      clusterForWrite(sharded, col(m.sortCol).cast("long"), filesPerShard, n)
+      clusterForWrite(sharded, LayoutLong.longCol(col(m.sortCol)), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
@@ -1360,7 +1360,7 @@ object SketchRegistry {
                   version: Option[Long] = None): DataFrame = {
     val m = rangeMeta(root, version)
     val v = version.orElse(TableStore.currentVersion(root)).get
-    val between = col(m.sortCol).cast("long").between(lo, hi)
+    val between = LayoutLong.longCol(col(m.sortCol)).between(lo, hi)
     prunedRangeShards(spark, root, lo, hi, Some(v)) match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -1399,7 +1399,7 @@ object SketchRegistry {
       case ss =>
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
-          .filter(col(c).cast("long").between(lo, hi))
+          .filter(LayoutLong.longCol(col(c)).between(lo, hi))
     }
   }
 
@@ -1528,7 +1528,7 @@ object SketchRegistry {
       case ss =>
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
-          .filter(col(c).cast("long").isin(values: _*))
+          .filter(LayoutLong.longCol(col(c)).isin(values: _*))
     }
   }
 
@@ -1640,7 +1640,7 @@ object SketchRegistry {
     val p = probes.withColumn("__k",
       xxhash64(probeKeyCols.zip(m.keyKinds).map {
         case (c, "string") => col(c)
-        case (c, _)        => col(c).cast("long")
+        case (c, _)        => LayoutLong.longCol(col(c))
       }: _*))
     SketchOps.cmEstimate(merged, p, Nil, "__k", m.cmDepth, m.cmWidthLog2)
       .drop("__k")

@@ -74,10 +74,10 @@ object ZOrderStore {
       // single shard. Sketch the MIN-SHIFTED column and shift the picks
       // back: the persisted bound VALUES absorb the shift, so probes,
       // appends, and zone maps never see it.
-      val mnRow = df.agg(min(col(c).cast("long"))).collect().head
+      val mnRow = df.agg(min(LayoutLong.longCol(col(c)))).collect().head
       val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
       val sk = SketchOps.quantileSketch(
-        df.select((col(c).cast("long") - mn).as("__s")), Nil, "__s", subLog2)
+        df.select((LayoutLong.longCol(col(c)) - mn).as("__s")), Nil, "__s", subLog2)
       val row = SketchOps.quantilesFromSketches(sk, Nil,
         (1 until n).map(i => (i, n)), subLog2).collect().head
       (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
@@ -89,7 +89,7 @@ object ZOrderStore {
     * guard the quantile sketch's domain requires.
     */
   private def bucketCol(c: String, bounds: Seq[Long]): Column = {
-    val v = col(c).cast("long")
+    val v = LayoutLong.longCol(col(c))
     val guarded = when(assert_true(v.isNotNull && v >= 0,
       lit(s"z-order layout requires non-negative non-null '$c'"))
       .isNull, v)
@@ -125,15 +125,15 @@ object ZOrderStore {
   private def zStats(sharded: DataFrame, colA: String, colB: String,
                      sketchCols: Seq[String], bitsLog2: Int,
                      k: Int, sumCols: Seq[String] = Nil): DataFrame = {
-    val va = col(colA).cast("long")
-    val vb = col(colB).cast("long")
+    val va = LayoutLong.longCol(col(colA))
+    val vb = LayoutLong.longCol(col(colB))
     SketchRegistry.addShardBlooms(
       sharded.groupBy(col("shard")).agg(
         min(va).as("min_a"),
         (max(va).as("max_a") +: min(vb).as("min_b") +:
           max(vb).as("max_b") +: count(lit(1)).as("n_rows") +:
           sumCols.flatMap(c => Seq(
-            sum(col(c).cast("long")).as(s"sum_$c"),
+            sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
             count(col(c)).as(s"cnt_$c")))): _*),
       sharded, sketchCols, bitsLog2, k)
   }
@@ -287,8 +287,8 @@ object ZOrderStore {
         s"${m.sketchCols.mkString(",")})")
     TableStore.requireSameDataSchema(upserts,
       TableStore.readVersion(spark, root, ver), "upserts")
-    val changedKeys = upserts.select(col(keyCol).cast("long").as("__k"))
-      .union(deleteKeys.select(col(deleteKeys.columns.head).cast("long").as("__k")))
+    val changedKeys = upserts.select(LayoutLong.longCol(col(keyCol)).as("__k"))
+      .union(deleteKeys.select(LayoutLong.longCol(col(deleteKeys.columns.head)).as("__k")))
       .distinct()
     // cells that might hold an OLD row of a changed key: Bloom admission
     // runs distributed against the broadcast zone map; only cell ids collect
@@ -313,7 +313,7 @@ object ZOrderStore {
       else spark.read.option("basePath", s"$root/v_$ver")
         .parquet(oldTouchedDirs.map(s => s"$root/v_$ver/shard=$s"): _*)
     val newTouched = oldTouched
-      .join(broadcast(changedKeys), col(keyCol).cast("long") === col("__k"),
+      .join(broadcast(changedKeys), LayoutLong.longCol(col(keyCol)) === col("__k"),
         "left_anti")
       .unionByName(upserts.withColumn("shard", shardColOf(m)))
     val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
@@ -448,8 +448,8 @@ object ZOrderStore {
                 version: Option[Long] = None): DataFrame = {
     val m = zMeta(root, version)
     val v = version.orElse(TableStore.currentVersion(root)).get
-    val inBox = col(m.colA).cast("long").between(aLo, aHi) &&
-      col(m.colB).cast("long").between(bLo, bHi)
+    val inBox = LayoutLong.longCol(col(m.colA)).between(aLo, aHi) &&
+      LayoutLong.longCol(col(m.colB)).between(bLo, bHi)
     prunedBoxShards(spark, root, aLo, aHi, bLo, bHi, Some(v)) match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -492,7 +492,7 @@ object ZOrderStore {
       case ss =>
         spark.read.option("basePath", s"$root/v_$v")
           .parquet(ss.map(s => s"$root/v_$v/shard=$s"): _*)
-          .filter(col(c).cast("long").isin(values: _*))
+          .filter(LayoutLong.longCol(col(c)).isin(values: _*))
     }
   }
 

@@ -1,31 +1,40 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{SketchFileIndex, SketchRegistry}
 
-/** Exercises the PRODUCTION registration path (spark.sql.extensions →
-  * injectOptimizerRule), where the dispatch rule runs INSIDE the operator
-  * optimization batch next to CombineFilters — unlike the test/bench path
-  * (experimental.extraOptimizations), which runs isolated.
+/** Exercises the PRODUCTION registration path (extensions injected at
+  * session build → injectOptimizerRule), where the dispatch rule runs
+  * INSIDE the operator optimization batch next to CombineFilters — unlike
+  * the test/bench path (experimental.extraOptimizations), which runs
+  * isolated. Pins that the injected prune filter does not stack across
+  * the batch's fixed-point passes.
+  *
+  * The extension session is built OVER THE SHARED SparkContext
+  * (`withExtensions` + getOrCreate after clearing the thread's
+  * active/default session) — suites run in parallel in one JVM, so
+  * stopping the context here would NPE every concurrently-running suite
+  * mid-query (it did: the round-15 full-suite DedupOps/KnnOps failures
+  * were this spec's old `spark.stop()`).
   */
-class ScratchExtLoopSpec extends AnyFunSuite {
+class ScratchExtLoopSpec extends AnyFunSuite with SparkTest {
 
-  test("prune-only dispatch under WHERE via injectOptimizerRule") {
-    SparkSession.getActiveSession.foreach(_.stop())
+  test("prune-only dispatch under WHERE via injected optimizer rule") {
+    spark.sparkContext // ensure the shared context exists first
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("scratch-ext")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.shuffle.partitions", "4")
-      .getOrCreate()
-    import spark.implicits._
+    val ext = SparkSession.builder()
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate() // same SparkContext, fresh session state + extensions
+    import ext.implicits._
     try {
+      require(ext ne spark, "extension session must be a fresh session")
+      require(ext.sparkContext eq spark.sparkContext,
+        "extension session must reuse the shared context, never stop it")
       def commit16(df: DataFrame, tag: String): String = {
         val root = java.nio.file.Files.createTempDirectory(s"sce_$tag").toString
         SketchRegistry.commitWithSketches(df, root, "k", shardsLog2 = 3,
@@ -34,24 +43,27 @@ class ScratchExtLoopSpec extends AnyFunSuite {
       }
       val a = (0 until 4000).map(i => ((i % 40).toLong, i.toLong)).toDF("k", "av")
       val b = (0 until 4000).map(i => ((i % 2).toLong, i.toLong)).toDF("k", "bv")
-      SketchFileIndex.readIndexed(spark, commit16(a, "a"))
+      SketchFileIndex.readIndexed(ext, commit16(a, "a"))
         .createOrReplaceTempView("sce_a")
-      SketchFileIndex.readIndexed(spark, commit16(b, "b"))
+      SketchFileIndex.readIndexed(ext, commit16(b, "b"))
         .createOrReplaceTempView("sce_b")
-      spark.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
-      spark.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "5")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = spark.sql("SELECT a.k, a.av, b.bv FROM sce_a a JOIN sce_b b " +
+      ext.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      ext.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "5")
+      ext.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ext.sql("SELECT a.k, a.av, b.bv FROM sce_a a JOIN sce_b b " +
         "ON a.k = b.k WHERE a.av % 3 = 0 AND b.bv < 1000")
       val opt = df.queryExecution.optimizedPlan.toString
       val nIn = "shard#\\d+ IN".r.findAllIn(opt).size
       info(s"shard-IN occurrences in optimized plan: $nIn")
-      info(s"OPTIMIZED (truncated):\n${opt.linesIterator.take(30).mkString("\n")}")
+      assert(nIn >= 1, "the injected rule must fire on the production path")
       assert(nIn <= 2, s"injected prune filter stacked $nIn times")
     } finally {
-      spark.stop()
+      // restore the shared sessions for concurrently/later-running suites;
+      // the context stays up (it was never ours to stop)
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
     }
   }
 }
