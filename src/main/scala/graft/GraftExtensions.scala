@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LshJoinRewrite)
     e.injectOptimizerRule(_ => SketchJoinDispatch)
     e.injectOptimizerRule(_ => MetadataAggCollapse)
+    e.injectOptimizerRule(_ => OrderedLimitPushdown)
   }
 }
 
@@ -234,10 +235,15 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   *    here but not for min/max).
   *
   * ANY Filter above the relation disqualifies the collapse (unlike the
-  * join dispatch there is no upper-bound slack in an exact answer), as
-  * does any aggregate beyond count(non-null literal)/min/max over a
-  * covered integral column, grouping, DISTINCT, or FILTER clauses —
-  * those plans are left to Catalyst untouched. OFF by default:
+  * join dispatch there is no upper-bound slack in an exact answer),
+  * except the WINDOWED arm (range predicates on guarded layout columns
+  * — contained shards answer from metadata, boundary shards scan); a
+  * single GROUP BY whose grouping is a monotone BUCKETING of a guarded
+  * layout column (`ts div n`, `(ts div n) * n`) collapses per group the
+  * same way (bucket-contained shards from metadata, bucket-spanning
+  * shards scan once). Any other aggregate shape — uncovered columns,
+  * DISTINCT, FILTER clauses, other groupings — is left to Catalyst
+  * untouched. OFF by default:
   *
   *   - `spark.graft.metadataAgg.enabled` (default false)
   *
@@ -245,9 +251,9 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   */
 object MetadataAggCollapse extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions.NamedExpression
+  import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Multiply, NamedExpression}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Union}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
   import graft.core.SketchFileIndex
@@ -277,13 +283,32 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Types whose layout metadata is a faithful Long: the integrals
+    * (identity) and the timestamp types, whose Catalyst-internal value
+    * IS micros-since-epoch — [[graft.core.LayoutLong]] commits their
+    * windows in exactly that unit, so a stored window endpoint can be
+    * handed back as the min/max VALUE, not just used for pruning.
+    * (Doubles are excluded: their `CAST AS BIGINT` stats floor.)
+    */
+  private def longBacked(dt: DataType): Boolean = integral(dt) || (dt match {
+    case org.apache.spark.sql.types.TimestampType
+       | org.apache.spark.sql.types.TimestampNTZType
+       | org.apache.spark.sql.types.DateType => true
+    case _ => false
+  })
+
   private def toTyped(v: Option[Long], dt: DataType): Any = (v, dt) match {
     case (None, _) => null
     case (Some(x), LongType) => x
     case (Some(x), IntegerType) => x.toInt
     case (Some(x), ShortType) => x.toShort
     case (Some(x), ByteType) => x.toByte
-    case _ => null // unreachable: integral() gates the match arms
+    // internal timestamp representation IS the micros Long; dates are
+    // days-since-epoch Ints (LayoutLong commits both in those units)
+    case (Some(x), org.apache.spark.sql.types.TimestampType) => x
+    case (Some(x), org.apache.spark.sql.types.TimestampNTZType) => x
+    case (Some(x), org.apache.spark.sql.types.DateType) => x.toInt
+    case _ => null // unreachable: longBacked() gates the match arms
   }
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
@@ -364,6 +389,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   private final case class WSum(a: AttributeReference) extends WKind
   private final case class WCntCol(a: AttributeReference) extends WKind
   private case object WFold extends WKind
+  /** The grouping expression's own slot (GROUP-BY collapse only). */
+  private case object WLabel extends WKind
 
   /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
     * count(*) / min / max over GUARDED layout columns (plus foldable
@@ -386,10 +413,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
                 Min(a: AttributeReference), Complete, false, None, _), _)
-                if guarded(a.name) && integral(a.dataType) => Some(WMin(a))
+                if guarded(a.name) && longBacked(a.dataType) => Some(WMin(a))
             case Alias(AggregateExpression(
                 Max(a: AttributeReference), Complete, false, None, _), _)
-                if guarded(a.name) && integral(a.dataType) => Some(WMax(a))
+                if guarded(a.name) && longBacked(a.dataType) => Some(WMax(a))
             // sum/count over a sumCols column: a contained shard's stored
             // (sum, cnt) IS its exact contribution — nulls excluded on
             // both sides of the equality, so no non-null guard needed
@@ -408,6 +435,226 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+
+  /** A monotone integral bucketing of one layout attribute — the GROUP-BY
+    * shapes the collapse understands: `a`, `a div n`, `(a div n) * m`
+    * (the multiply's literal on either side; an exact integral→BIGINT
+    * Cast around `a` looks through). `bucket` replicates Spark's
+    * TRUNCATING IntegralDivide exactly (Java long division), and
+    * truncating division by a positive constant is monotone
+    * non-decreasing — so equal buckets at a shard's two exact window
+    * endpoints prove EVERY row of the shard falls in ONE group. `label`
+    * is the group VALUE in the expression's result type; the multiply
+    * folds into the label only, while containment tests stay on the
+    * finer `bucket` (sound: bucket-equal implies label-equal, and equal
+    * labels ARE the same SQL group even when different buckets collide,
+    * e.g. `* 0`).
+    */
+  private final case class Bucketing(attr: AttributeReference,
+                                     bucket: Long => Long,
+                                     label: Long => Any)
+
+  private def bucketingOf(e: Expression): Option[Bucketing] = {
+    def underlying(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference if integral(a.dataType) => Some(a)
+      case c: Cast if c.dataType == LongType =>
+        c.child match {
+          case a: AttributeReference if integral(a.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    def posLit(x: Expression): Option[Long] = x match {
+      case Literal(n: Long, LongType) if n > 0 => Some(n)
+      case Literal(n: Int, IntegerType) if n > 0 => Some(n.toLong)
+      case _ => None
+    }
+    def divOf(x: Expression): Option[(AttributeReference, Long)] = x match {
+      case d: IntegralDivide =>
+        underlying(d.left).flatMap(a => posLit(d.right).map(n => (a, n)))
+      case _ => None
+    }
+    e match {
+      case a: AttributeReference if longBacked(a.dataType) =>
+        Some(Bucketing(a, v => v, v => toTyped(Some(v), a.dataType)))
+      case d: IntegralDivide =>
+        divOf(d).map { case (a, n) =>
+          Bucketing(a, v => v / n, v => (v / n): Any)
+        }
+      case m: Multiply =>
+        def longLit(x: Expression): Option[Long] = x match {
+          case Literal(v: Long, LongType) => Some(v)
+          case _ => None
+        }
+        (divOf(m.left), longLit(m.right), longLit(m.left), divOf(m.right)) match {
+          case (Some((a, n)), Some(mm), _, _) =>
+            Some(Bucketing(a, v => v / n, v => ((v / n) * mm): Any))
+          case (_, _, Some(mm), Some((a, n))) =>
+            Some(Bucketing(a, v => v / n, v => ((v / n) * mm): Any))
+          case _ => None
+        }
+      // date_trunc('day'|'hour'|…, ts) over a TIMESTAMP layout column —
+      // THE dashboard grouping. Calendar truncation is monotone
+      // non-decreasing in the instant, and under a UTC zone it is a pure
+      // function of the micros our zone maps store, replicated exactly
+      // by [[truncMicros]] (property-pinned against Spark's own
+      // evaluation in the spec). Non-UTC zones are left to Catalyst —
+      // DST makes wall-clock truncation zone-dependent, and our windows
+      // know nothing of zones. The label is the truncated micros itself
+      // (Catalyst's internal TimestampType value).
+      case tt: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+          if tt.timeZoneId.exists(isUtcZone) =>
+        val level = tt.format match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            Some(s.toString.toUpperCase(java.util.Locale.ROOT))
+          case _ => None
+        }
+        val tsAttr = tt.timestamp match {
+          case a: AttributeReference
+              if a.dataType == org.apache.spark.sql.types.TimestampType =>
+            Some(a)
+          case _ => None
+        }
+        for {
+          lv <- level if truncLevels(lv)
+          a <- tsAttr
+        } yield Bucketing(a, v => truncMicros(v, lv),
+          v => truncMicros(v, lv): Any)
+      case _ => None
+    }
+  }
+
+  private def isUtcZone(tz: String): Boolean =
+    tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z" ||
+      tz == "+00:00" || tz == "UTC+00:00"
+
+  private val truncLevels: Set[String] = Set(
+    "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MON", "MM", "WEEK",
+    "DAY", "DD", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
+
+  /** Spark's `date_trunc(level, ts)` on the internal micros, for a UTC
+    * zone — proleptic-Gregorian calendar truncation via java.time, the
+    * same calendar Catalyst uses. Monotone non-decreasing by
+    * construction (floor to a calendar boundary).
+    */
+  private def truncMicros(v: Long, level: String): Long = {
+    import java.time.{DayOfWeek, LocalDateTime, ZoneOffset}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    if (level == "MICROSECOND") return v
+    val ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(v, 1000000L),
+      (Math.floorMod(v, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+    val t = level match {
+      case "YEAR" | "YYYY" | "YY" =>
+        ldt.withDayOfYear(1).truncatedTo(ChronoUnit.DAYS)
+      case "QUARTER" =>
+        val m = ((ldt.getMonthValue - 1) / 3) * 3 + 1
+        ldt.withDayOfMonth(1).withMonth(m).truncatedTo(ChronoUnit.DAYS)
+      case "MONTH" | "MON" | "MM" =>
+        ldt.withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
+      case "WEEK" =>
+        ldt.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+          .truncatedTo(ChronoUnit.DAYS)
+      case "DAY" | "DD" => ldt.truncatedTo(ChronoUnit.DAYS)
+      case "HOUR" => ldt.truncatedTo(ChronoUnit.HOURS)
+      case "MINUTE" => ldt.truncatedTo(ChronoUnit.MINUTES)
+      case "SECOND" => ldt.truncatedTo(ChronoUnit.SECONDS)
+      case "MILLISECOND" => ldt.truncatedTo(ChronoUnit.MILLIS)
+      case other => throw new IllegalStateException(
+        s"unreachable: truncLevels admitted '$other'")
+    }
+    t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+  }
+
+  /** The (index, bucketing, kinds) of a GROUP-BY bucket aggregate: an
+    * UNFILTERED single-grouping Aggregate over a readIndexed range/Z
+    * relation whose grouping expression is a monotone bucketing of a
+    * non-null-guarded layout column, and whose every result is the group
+    * label, count(*), min/max over guarded layout columns, sum/count
+    * over covered columns, or a foldable. A shard whose exact window maps
+    * into ONE bucket contributes that group's count/min/max/sum from
+    * metadata alone; only bucket-SPANNING shards scan.
+    */
+  private def groupedAgg(ge0: Expression, aggExprs: Seq[NamedExpression],
+                         child0: LogicalPlan)
+  : Option[(SketchFileIndex, Bucketing, Seq[WKind])] = {
+    // Walk Projects down to the sketch relation, SUBSTITUTING alias
+    // definitions into the grouping expression as we go —
+    // PullOutGroupingExpressions extracts a complex grouping into a
+    // `_groupingexpression` Project alias long before this rule runs, so
+    // the Aggregate itself groups on a bare attribute. Deterministic
+    // Projects only (the rewrite re-evaluates the subtree). No Filter may
+    // intervene: the collapse is exact, and a filter changes the answer.
+    def walk(p: LogicalPlan, e: Expression)
+    : Option[(SketchFileIndex, LogicalRelation, Expression)] = p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case i: SketchFileIndex => Some((i, l, e))
+          case _ => None
+        }
+        case _ => None
+      }
+      case Project(exprs, child) if exprs.forall(_.deterministic) =>
+        val subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+          exprs.collect { case a: Alias => a.exprId -> a.child }.toMap
+        walk(child, e.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId) =>
+            subst(ar.exprId)
+        })
+      case _ => None
+    }
+    walk(child0, ge0).flatMap { case (idx, rel, ge) =>
+      val guarded = idx.nonNullLayoutCols
+      if (guarded.isEmpty) return None // hash layout: no exact windows
+      val sumCovered: Set[String] = idx.sumStatsByCol.keySet
+      // aggregated columns must be the RELATION'S OWN attributes (by
+      // exprId) — a Project alias named like a covered column must never
+      // borrow that column's stats
+      val relIds = rel.output.map(_.exprId).toSet
+      def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
+      bucketingOf(ge)
+        .filter(b => relAttr(b.attr) && guarded(b.attr.name))
+        .flatMap { bk =>
+          val kinds: Seq[Option[WKind]] = aggExprs.map {
+            case Alias(e, _) if e.semanticEquals(ge0) => Some(WLabel)
+            case a: AttributeReference if a.semanticEquals(ge0) => Some(WLabel)
+            case Alias(e, _) if isRowCount(e) => Some(WCnt)
+            case Alias(AggregateExpression(
+                Min(a: AttributeReference), Complete, false, None, _), _)
+                if relAttr(a) && guarded(a.name) && longBacked(a.dataType) =>
+              Some(WMin(a))
+            case Alias(AggregateExpression(
+                Max(a: AttributeReference), Complete, false, None, _), _)
+                if relAttr(a) && guarded(a.name) && longBacked(a.dataType) =>
+              Some(WMax(a))
+            case Alias(AggregateExpression(
+                Sum(a: AttributeReference, _), Complete, false, None, _), _)
+                if relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+              Some(WSum(a))
+            case Alias(AggregateExpression(
+                Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+                if relAttr(a) && (sumCovered(a.name) || guarded(a.name)) =>
+              Some(WCntCol(a))
+            case Alias(e, _) if e.foldable => Some(WFold)
+            case _ => None
+          }
+          val ks = kinds.flatten
+          if (ks.size != aggExprs.size ||
+            !ks.exists(k => k != WFold && k != WLabel)) None
+          else Some((idx, bk, ks))
+        }
+    }
+  }
+
+  private object GroupedAgg {
+    def unapply(p: LogicalPlan)
+    : Option[(Aggregate, SketchFileIndex, Bucketing, Seq[WKind])] = p match {
+      case agg @ Aggregate(Seq(ge), aggExprs, child0, _) =>
+        groupedAgg(ge, aggExprs, child0).map { case (idx, bk, ks) =>
+          (agg, idx, bk, ks)
+        }
+      case _ => None
+    }
+  }
 
   /** Extractor wrapper so the transform's guard and body share ONE
     * [[windowedAgg]] classification pass (it walks the child and
@@ -541,9 +788,148 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                     Alias(Add(innerAttr, Literal(contCnt(a))), o.name)(
                       exprId = o.exprId)
                   case WFold => o
+                  case WLabel => throw new IllegalStateException(
+                    "WLabel is GROUP-BY-only; windowedAgg never emits it")
                 }
             }
           Project(projList, inner)
+        }
+
+      // GROUP-BY bucket collapse — the dashboard shape at 100 TB:
+      // `SELECT ts div N, count(*), sum(c) … GROUP BY 1` over a
+      // range/Z-laid table. Shards whose exact window maps into ONE
+      // bucket contribute their (n_rows, window endpoints, stored sums)
+      // to that group from METADATA; only bucket-spanning shards scan,
+      // once, with the original grouping — the two halves merge through
+      // an outer re-aggregate (counts/sums add, min/min and max/max
+      // combine). All shards contained ⇒ a pure LocalRelation, zero
+      // FileScan. A day-bucketed count over a year-laid table scans
+      // only the handful of shards whose windows straddle a midnight.
+      case GroupedAgg(agg, idx, bk, kinds) =>
+        import org.apache.spark.sql.catalyst.expressions.In
+        val ge = agg.groupingExpressions.head
+        val aggExprs = agg.aggregateExpressions
+        val counts = idx.shardRowCounts
+        val aggCols: Set[String] = kinds.collect {
+          case WMin(a) => a.name
+          case WMax(a) => a.name
+        }.toSet + bk.attr.name
+        val windows: Map[String, Map[Int, (Long, Long)]] =
+          aggCols.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
+        val populated = counts.keySet.toSeq.sorted
+        val gw = windows(bk.attr.name)
+        val cont = populated.filter(s => gw.get(s).exists { case (wl, wh) =>
+          bk.bucket(wl) == bk.bucket(wh) })
+        if (cont.isEmpty) agg // every shard spans buckets: nothing gained
+        else {
+          val bound = populated.filterNot(cont.contains)
+          // per-LABEL metadata contributions over the contained shards
+          // (≤ one label per shard — driver cost O(2^shardsLog2))
+          val byLabel: Seq[(Any, Seq[Int])] =
+            cont.groupBy(s => bk.label(gw(s)._1)).toSeq
+          def mMin(c: String, ss: Seq[Int]): Option[Long] =
+            ss.flatMap(s => windows(c).get(s).map(_._1)).minOption
+          def mMax(c: String, ss: Seq[Int]): Option[Long] =
+            ss.flatMap(s => windows(c).get(s).map(_._2)).maxOption
+          def mSum(c: String, ss: Seq[Int]): Option[Long] = {
+            val parts = ss.flatMap(s =>
+              idx.sumStatsByCol.getOrElse(c, Map.empty).get(s).flatMap(_._1))
+            if (parts.isEmpty) None else Some(parts.sum)
+          }
+          def mCnt(a: AttributeReference, ss: Seq[Int]): Long =
+            if (idx.nonNullLayoutCols(a.name)) ss.iterator.map(counts).sum
+            else ss.iterator.map(s =>
+              idx.sumStatsByCol.getOrElse(a.name, Map.empty)
+                .get(s).map(_._2).getOrElse(0L)).sum
+          if (bound.isEmpty) {
+            // every shard contained: the whole aggregate IS its metadata
+            val rows = byLabel.map { case (lbl, ss) =>
+              InternalRow.fromSeq(aggExprs.zip(kinds).map {
+                case (_, WLabel) => lbl
+                case (_, WCnt) => ss.iterator.map(counts).sum
+                case (_, WMin(a)) => toTyped(mMin(a.name, ss), a.dataType)
+                case (_, WMax(a)) => toTyped(mMax(a.name, ss), a.dataType)
+                case (_, WSum(a)) => mSum(a.name, ss).map(v => v: Any).orNull
+                case (_, WCntCol(a)) => mCnt(a, ss)
+                case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
+                case (e, WFold) => e.eval(InternalRow.empty)
+              })
+            }
+            LocalRelation(agg.output, rows)
+          } else {
+            // boundary shards scan ONCE with the original grouping; the
+            // contained contribution rides in as a LocalRelation of
+            // per-label partials, and an outer re-aggregate merges the
+            // halves (count/sum add, min/max combine — all exact)
+            val pruned = agg.child.transformUp {
+              case l: LogicalRelation if (l.relation match {
+                case h: HadoopFsRelation => h.location.isInstanceOf[SketchFileIndex]
+                case _ => false
+              }) =>
+                val shardAttr = l.output.find(_.name == "shard").getOrElse(
+                  throw new IllegalStateException(
+                    "sketch relation lost its shard column — cannot prune"))
+                Filter(In(shardAttr, bound.map(s => Literal(s): Expression)), l)
+            }
+            val innerPartials: Seq[Option[NamedExpression]] =
+              aggExprs.zip(kinds).zipWithIndex.map {
+                case ((a: Alias, k), i) if k != WFold && k != WLabel =>
+                  Some(Alias(a.child, s"__p_$i")())
+                case _ => None
+              }
+            val innerExprs: Seq[NamedExpression] =
+              Alias(ge, "__g")() +: innerPartials.flatten
+            val inner = Aggregate(Seq(ge), innerExprs, pruned)
+            val posOf = scala.collection.mutable.Map[Int, Int]()
+            var nextPos = 1
+            innerPartials.zipWithIndex.foreach {
+              case (Some(_), i) => posOf(i) = nextPos; nextPos += 1
+              case _ => ()
+            }
+            val metaAttrs = inner.output.map(a =>
+              AttributeReference(a.name, a.dataType, nullable = true)())
+            val metaRows = byLabel.map { case (lbl, ss) =>
+              val vals = new Array[Any](inner.output.size)
+              vals(0) = lbl
+              aggExprs.indices.foreach { i =>
+                posOf.get(i).foreach { p =>
+                  vals(p) = kinds(i) match {
+                    case WCnt => ss.iterator.map(counts).sum
+                    case WMin(a) => toTyped(mMin(a.name, ss), a.dataType)
+                    case WMax(a) => toTyped(mMax(a.name, ss), a.dataType)
+                    case WSum(a) => mSum(a.name, ss).map(v => v: Any).orNull
+                    case WCntCol(a) => mCnt(a, ss)
+                    case _ => null // unreachable: posOf covers agg kinds only
+                  }
+                }
+              }
+              InternalRow.fromSeq(vals.toSeq)
+            }
+            val u = Union(Seq(inner, LocalRelation(metaAttrs, metaRows)))
+            val uOut = u.output
+            val gAttr = uOut.head
+            val results: Seq[NamedExpression] =
+              agg.output.zip(aggExprs).zip(kinds).zipWithIndex.map {
+                case (((o, e), k), i) => k match {
+                  case WLabel => Alias(gAttr, o.name)(exprId = o.exprId)
+                  case WFold => e match {
+                    case a: Alias => Alias(a.child, o.name)(exprId = o.exprId)
+                    case _ => o
+                  }
+                  case WMin(_) => Alias(AggregateExpression(
+                    Min(uOut(posOf(i))), Complete, isDistinct = false),
+                    o.name)(exprId = o.exprId)
+                  case WMax(_) => Alias(AggregateExpression(
+                    Max(uOut(posOf(i))), Complete, isDistinct = false),
+                    o.name)(exprId = o.exprId)
+                  case _ => // WCnt / WSum / WCntCol all merge by addition
+                    Alias(AggregateExpression(
+                      Sum(uOut(posOf(i))), Complete, isDistinct = false),
+                      o.name)(exprId = o.exprId)
+                }
+              }
+            Aggregate(Seq(gAttr), results, u)
+          }
         }
 
       case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined =>
@@ -587,11 +973,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)
-              if integral(a.dataType) =>
+              if longBacked(a.dataType) =>
             idx.metadataMinMax(a.name).map(mm => toTyped(mm._1, a.dataType))
           case Alias(ae @ AggregateExpression(
               Max(a: AttributeReference), Complete, false, None, _), _)
-              if integral(a.dataType) =>
+              if longBacked(a.dataType) =>
             idx.metadataMinMax(a.name).map(mm => toTyped(mm._2, a.dataType))
           // a foldable result expression (SELECT 'tag', count(*), NULL …)
           // evaluates inline — Literal.eval already yields the internal
@@ -603,6 +989,147 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(answers.map(_.get))))
         else agg
+    }
+  }
+}
+
+/** TRANSPARENT ORDER-BY-layout-column LIMIT-k shard pruning — the
+  * "latest events" shape at 100 TB: `SELECT * FROM t ORDER BY ts DESC
+  * LIMIT 100` over a range-laid table needs O(1) shards, not a full
+  * scan, because the layout's exact per-shard [min, max] windows
+  * totally order the shards on the sort column.
+  *
+  * Soundness. Walking shards from the sort direction's end, once the
+  * already-selected shards hold ≥ k rows whose sort-column values
+  * STRICTLY beat every unselected shard's window (value > U for DESC
+  * where U = max window-max over unselected; symmetric for ASC), every
+  * row of the true top-k lies in a selected shard: any unselected row
+  * is beaten by those ≥ k strictly-better rows under ANY tie-breaking
+  * secondary sort keys — so the rule is sound for multi-key sorts, and
+  * the strict comparison is what buys that. The sort column must be a
+  * layout column the commit GUARDS non-null (a null would escape the
+  * windows); the Sort + Limit stay on top (Spark still plans
+  * `TakeOrderedAndProject`, now over the pruned scan), so the rewrite
+  * can never change the answer — it only removes shards that provably
+  * cannot contribute.
+  *
+  * Scope: `Limit(k, Sort(order, global, child))` — optionally through a
+  * deterministic Project between Limit and Sort — where the FIRST sort
+  * key resolves (through deterministic Project aliases) to a guarded
+  * layout attribute of a `readIndexed` range/Z relation, k > 0, and the
+  * selection actually excludes at least one populated shard. Everything
+  * else (intervening Filters, expression sort keys, hash layouts) is
+  * left to Catalyst untouched — a Filter changes which rows compete, so
+  * pruning under one would be unsound without re-deriving bounds.
+  * OFF by default:
+  *
+  *   - `spark.graft.orderedLimit.enabled` (default false)
+  *
+  * (The reference's stores return recency-ordered pages from native
+  * B-tree indexes, e.g. recall's ORDER BY created_at DESC LIMIT paths;
+  * this is the shard-metadata equivalent for immutable range layouts.)
+  */
+object OrderedLimitPushdown extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, In, IntegerLiteral, SortOrder}
+  import org.apache.spark.sql.catalyst.plans.logical.{Limit, LocalLimit, Sort}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import graft.core.SketchFileIndex
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.orderedLimit.enabled", "false").toBoolean
+
+  /** Resolve `e` through deterministic Project aliases down to a
+    * readIndexed relation; yields the index, the relation, and the
+    * fully-substituted expression over relation attributes.
+    */
+  private def walk(p: LogicalPlan, e: Expression)
+  : Option[(SketchFileIndex, LogicalRelation, Expression)] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SketchFileIndex => Some((i, l, e))
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(exprs, child) if exprs.forall(_.deterministic) =>
+      val subst = exprs.collect {
+        case a: Alias => a.exprId -> a.child
+      }.toMap
+      walk(child, e.transformUp {
+        case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+      })
+    case _ => None
+  }
+
+  /** The minimal direction-ordered shard subset guaranteed to contain
+    * every top-k row, or None when no strict subset suffices. General
+    * over overlapping windows (Z cells): `guaranteed` counts only shards
+    * whose whole window strictly beats every unselected window.
+    */
+  private def selectShards(windows: Map[Int, (Long, Long)],
+                           counts: Map[Int, Long],
+                           desc: Boolean, k: Long): Option[Seq[Int]] = {
+    val populated = counts.keySet.toSeq
+    if (populated.exists(s => !windows.contains(s))) return None
+    val ordered =
+      if (desc) populated.sortBy(s => (-windows(s)._2, s))
+      else populated.sortBy(s => (windows(s)._1, s))
+    var i = 1
+    while (i < ordered.size) {
+      val rest = ordered.drop(i)
+      val u = if (desc) rest.iterator.map(s => windows(s)._2).max
+              else rest.iterator.map(s => windows(s)._1).min
+      val guaranteed = ordered.take(i).iterator
+        .filter(s => if (desc) windows(s)._1 > u else windows(s)._2 < u)
+        .map(counts).sum
+      if (guaranteed >= k) return Some(ordered.take(i))
+      i += 1
+    }
+    None // needs every shard: nothing gained
+  }
+
+  private def prune(sortExpr: Expression, desc: Boolean, k: Int,
+                    child: LogicalPlan): Option[LogicalPlan] =
+    walk(child, sortExpr).flatMap { case (idx, rel, resolved) =>
+      val relIds = rel.output.map(_.exprId).toSet
+      val attr = resolved match {
+        case a: AttributeReference
+            if relIds.contains(a.exprId) && idx.nonNullLayoutCols(a.name) =>
+          Some(a)
+        case _ => None
+      }
+      for {
+        a <- attr
+        windows <- idx.columnWindows(a.name)
+        selected <- selectShards(windows, idx.shardRowCounts, desc, k.toLong)
+      } yield child.transformUp {
+        case l: LogicalRelation if l.eq(rel) =>
+          val shardAttr = l.output.find(_.name == "shard").getOrElse(
+            throw new IllegalStateException(
+              "sketch relation lost its shard column — cannot prune"))
+          Filter(In(shardAttr, selected.map(s => Literal(s): Expression)), l)
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transform {
+      case lim @ Limit(IntegerLiteral(k),
+          s @ Sort(SortOrder(se, dir, _, _) +: _, true, child, _)) if k > 0 =>
+        prune(se, dir == Descending, k, child)
+          .map(p => lim.withNewChildren(Seq(
+            lim.children.head.withNewChildren(Seq(s.withNewChildren(Seq(p)))))))
+          .getOrElse(lim)
+      case lim @ Limit(IntegerLiteral(k), Project(ps,
+          s @ Sort(SortOrder(se, dir, _, _) +: _, true, child, _)))
+          if k > 0 && ps.forall(_.deterministic) =>
+        prune(se, dir == Descending, k, child)
+          .map { p =>
+            val proj = lim.children.head.children.head
+            lim.withNewChildren(Seq(lim.children.head.withNewChildren(Seq(
+              proj.withNewChildren(Seq(s.withNewChildren(Seq(p))))))))
+          }
+          .getOrElse(lim)
     }
   }
 }
@@ -649,6 +1176,12 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   * every preserved-side row must survive; both sides for semi);
   * salting and the same-key-name / disjoint-non-key-name requirements
   * apply to INNER only (the salted rewrite re-projects by name).
+  * A readIndexed pair the hash/ordered arms cannot dispatch — differing
+  * layouts (hash dim × range fact), mismatched sketch parameters, or
+  * equi-keys that aren't the layout keys — still gets the one
+  * layout-AGNOSTIC decision: a broadcast hint from the registries'
+  * exact row counts (no pruning, no salting — counts are sound upper
+  * bounds regardless of layout).
   * Decisions are cached per (root, version) pair — optimizer batches run
   * to fixed point, and the registry is immutable per version.
   */
@@ -909,6 +1442,33 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
           case _ if pruned => Join(l2, r2, jt, j.condition, JoinHint.NONE)
           case _ => j // nothing legal to change: the plain plan is right
         }
+
+      // CROSS-LAYOUT fallback — a hash-keyed dim joined to a range-laid
+      // fact (or any readIndexed pair the arms above cannot dispatch:
+      // differing layouts, mismatched sketch parameters, equi-keys that
+      // aren't the layout keys). Nothing can prune or salt, but the
+      // registries' EXACT row counts are layout-AGNOSTIC — so the one
+      // layout-independent decision still fires: a side whose exact
+      // count fits the budget gets the broadcast hint Spark's size
+      // estimator would never grant it (upper bound under filters —
+      // [[indexUnder]] — so the hint stays legal). Rows unchanged by
+      // construction: a hint never changes semantics.
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if hint == JoinHint.NONE && supported(jt) &&
+            !alreadyPruned(left) && !alreadyPruned(right) &&
+            keyPairs(cond, left, right).exists(_.nonEmpty) &&
+            indexUnder(left).isDefined && indexUnder(right).isDefined =>
+        val li = indexUnder(left).get
+        val ri = indexUnder(right).get
+        val bcastL = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
+        val bcastR = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
+        val rOuter = jt == org.apache.spark.sql.catalyst.plans.RightOuter
+        if (ri.metadataRowCount <= broadcastMaxRows && !rOuter)
+          Join(left, right, jt, j.condition, bcastR)
+        else if (li.metadataRowCount <= broadcastMaxRows &&
+          (jt == Inner || rOuter))
+          Join(left, right, jt, j.condition, bcastL)
+        else j
     }
   }
 

@@ -4354,6 +4354,172 @@ object SparkEntry {
           "hash-layout metadata sums/avg must not open a data file")
         full.localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // GROUP BY bucket collapse — the dashboard shape at 100 TB:
+    // count/sum/min/max per time bucket over a range-laid table. A
+    // shard whose exact window maps into ONE bucket contributes that
+    // group's numbers from metadata alone; only bucket-straddling
+    // shards scan, once, with the original grouping (required inline:
+    // the week arm's plan pins the boundary-only `shard IN` prune, and
+    // the one-giant-bucket arm answers with ZERO files). Oracle: the
+    // plain grouped aggregates — exactness, not estimation.
+    "q247_bucket_group_collapse" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q247_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q247_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        // ~3.7-day shards vs 7-day buckets: some shards contained, the
+        // straddlers scan — the mixed path
+        val week = s.sql(
+          """SELECT 'week' AS arm, ts_us div 604800000000 AS b,
+            |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx
+            |FROM q247_ev GROUP BY 2""".stripMargin)
+        require(week.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "bucketed GROUP BY lost the bucket-straddler shard prune")
+        // one giant bucket contains every shard: pure metadata, no files
+        val all = s.sql(
+          """SELECT 'all' AS arm, ts_us div 10000000000000 AS b,
+            |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx
+            |FROM q247_ev GROUP BY 2""".stripMargin)
+        require(!all.queryExecution.executedPlan.toString.contains("FileScan"),
+          "all-contained grouped collapse must not open a data file")
+        week.unionByName(all).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // ORDER BY layout-col LIMIT k shard pruning — the "latest events"
+    // query at 100 TB: the top-k of a range-laid table lives in the top
+    // shard(s); the rule prunes the rest off exact shard windows and
+    // leaves Sort+Limit on top, so TakeOrderedAndProject runs over O(1)
+    // shard dirs instead of the whole table (required inline: both arms'
+    // plans pin the `shard IN` prune). The unique event_id tiebreak
+    // makes the top-k SET deterministic for the oracle.
+    "q248_ordered_limit_pushdown" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q248_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q248_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val latest = s.sql(
+          """SELECT 'latest' AS arm, ts_us, event_id FROM q248_ev
+            |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin)
+        require(latest.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "latest-k lost its top-shard prune")
+        val earliest = s.sql(
+          """SELECT 'earliest' AS arm, ts_us, event_id FROM q248_ev
+            |ORDER BY ts_us ASC, event_id ASC LIMIT 100""".stripMargin)
+        require(earliest.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "earliest-k lost its bottom-shard prune")
+        latest.unionByName(earliest).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+
+    // Cross-layout broadcast — a range-laid event fact enriched by a
+    // hash-keyed customer dim on a key that is NEITHER side's layout
+    // match (the fact is laid out on time, not user): no arm can prune
+    // or salt, but the registries' exact row counts are layout-agnostic,
+    // so the dim still gets the broadcast hint Spark's size estimator is
+    // denied here (autoBroadcastJoinThreshold = -1 inline — the
+    // BroadcastHashJoin in the required plan is OUR hint's doing).
+    // Oracle: the plain join — a hint changes the shuffle, never a row.
+    "q249_cross_layout_broadcast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("user_id"))
+      val fRoot = java.nio.file.Files.createTempDirectory("q249_fact").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, fRoot, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      val cu = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val dRoot = java.nio.file.Files.createTempDirectory("q249_dim").toString
+      graft.core.SketchRegistry.commitWithSketches(cu, dRoot, "c_custkey",
+        shardsLog2 = 3, bitsLog2 = 12)
+      graft.core.SketchFileIndex.readIndexed(s, fRoot)
+        .createOrReplaceTempView("q249_ev")
+      graft.core.SketchFileIndex.readIndexed(s, dRoot)
+        .createOrReplaceTempView("q249_cu")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          """SELECT e.event_id, e.ts_us, c.c_mktsegment
+            |FROM q249_ev e JOIN q249_cu c ON e.user_id = c.c_custkey""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "cross-layout dim must broadcast off its exact registry count")
+        df.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    },
+
+    // TIMESTAMP columns as layout columns, end to end — the lakehouse
+    // norm (Delta/Iceberg tables are laid out on raw event_time, not on
+    // a pre-derived epoch BIGINT). The layout commits its windows in
+    // MICROS (LayoutLong — Catalyst's internal timestamp unit, the unit
+    // probe literals arrive in; a plain CAST-to-long would commit
+    // SECONDS and mis-prune every timestamp predicate). Two arms,
+    // rewrite shapes required inline: a TIMESTAMP-literal window
+    // answers contained shards from metadata (boundary-only `shard IN`
+    // prune) with min/max handed back as timestamps; and the dashboard
+    // GROUP BY date_trunc('week', ts) collapses per bucket (UTC
+    // calendar truncation replicated exactly — property-pinned against
+    // Spark's own in ScalaTest). Oracle: the plain computations.
+    "q250_timestamp_layout" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("ts"), col("event_id"))
+      val root = java.nio.file.Files.createTempDirectory("q250_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q250_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val window = s.sql(
+          """SELECT 'window' AS arm, CAST(NULL AS TIMESTAMP) AS b,
+            |  count(*) AS n, sum(event_id) AS se,
+            |  min(ts) AS mn, max(ts) AS mx
+            |FROM q250_ev
+            |WHERE ts >= TIMESTAMP'2024-01-03 00:00:00Z'
+            |  AND ts <= TIMESTAMP'2024-01-18 00:00:00Z'""".stripMargin)
+        require(window.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "timestamp window lost its boundary-only shard prune")
+        val weekly = s.sql(
+          """SELECT 'weekly' AS arm, date_trunc('week', ts) AS b,
+            |  count(*) AS n, sum(event_id) AS se,
+            |  min(ts) AS mn, max(ts) AS mx
+            |FROM q250_ev GROUP BY 2""".stripMargin)
+        require(weekly.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "date_trunc GROUP BY lost its bucket-straddler shard prune")
+        window.unionByName(weekly).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -4739,6 +4905,126 @@ object SparkEntry {
             |FROM q245p_li
             |WHERE qty BETWEEN 5 AND 40 AND pk >= 100""".stripMargin)
         df.queryExecution.sparkPlan // boundary-cell scan + metadata sums
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q246_hash_metadata_sums" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_suppkey").as("sk"))
+      val root = java.nio.file.Files.createTempDirectory("q246p_store").toString
+      graft.core.SketchRegistry.commitWithSketches(li, root, "id",
+        shardsLog2 = 3, bitsLog2 = 14, sumCols = Seq("qty", "sk"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q246p_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT sum(qty) AS sq, count(qty) AS cq, avg(qty) AS aq,
+            |  sum(sk) AS ss, avg(sk) AS ask, count(*) AS n
+            |FROM q246p_li""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q247_bucket_group_collapse" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q247p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q247p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT ts_us div 604800000000 AS b, count(*) AS n,
+            |  sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx
+            |FROM q247p_ev GROUP BY 1""".stripMargin)
+        df.queryExecution.sparkPlan // straddler-only scan ∪ per-label metadata
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q248_ordered_limit_pushdown" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      val root = java.nio.file.Files.createTempDirectory("q248p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(
+        ev.select(col("ts_us"), col("event_id")), root, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q248p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT ts_us, event_id FROM q248p_ev
+            |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin)
+        df.queryExecution.sparkPlan // TakeOrderedAndProject over shard IN (…)
+        df
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+    "q249_cross_layout_broadcast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("user_id"))
+      val fRoot = java.nio.file.Files.createTempDirectory("q249p_fact").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, fRoot, "ts_us",
+        shardsLog2 = 3, subLog2 = 5)
+      val cu = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val dRoot = java.nio.file.Files.createTempDirectory("q249p_dim").toString
+      graft.core.SketchRegistry.commitWithSketches(cu, dRoot, "c_custkey",
+        shardsLog2 = 3, bitsLog2 = 12)
+      graft.core.SketchFileIndex.readIndexed(s, fRoot)
+        .createOrReplaceTempView("q249p_ev")
+      graft.core.SketchFileIndex.readIndexed(s, dRoot)
+        .createOrReplaceTempView("q249p_cu")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          """SELECT e.event_id, e.ts_us, c.c_mktsegment
+            |FROM q249p_ev e JOIN q249p_cu c ON e.user_id = c.c_custkey""".stripMargin)
+        df.queryExecution.sparkPlan // BroadcastHashJoin from the registry count
+        df
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    },
+    "q250_timestamp_layout" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("ts"), col("event_id"))
+      val root = java.nio.file.Files.createTempDirectory("q250p_store").toString
+      graft.core.SketchRegistry.commitRangeSharded(ev, root, "ts",
+        shardsLog2 = 3, subLog2 = 5, sumCols = Seq("event_id"))
+      graft.core.SketchFileIndex.readIndexed(s, root)
+        .createOrReplaceTempView("q250p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT date_trunc('week', ts) AS b, count(*) AS n,
+            |  sum(event_id) AS se, min(ts) AS mn, max(ts) AS mx
+            |FROM q250p_ev GROUP BY 1""".stripMargin)
+        df.queryExecution.sparkPlan // straddler-only scan ∪ weekly metadata
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
@@ -9527,6 +9813,53 @@ object SparkEntry {
         |SELECT 'box', CAST(sum(l_suppkey) AS BIGINT), count(l_suppkey), count(*)
         |FROM lineitem
         |WHERE CAST(l_quantity AS BIGINT) BETWEEN 5 AND 40 AND l_partkey >= 100""".stripMargin,
+
+    // the plain grouped aggregates — the per-bucket metadata collapse
+    // must be exact group for group (// is DuckDB integer division =
+    // Spark's div on these non-negative micros)
+    "q247_bucket_group_collapse" ->
+      """SELECT 'week' AS arm, epoch_us(ts) // 604800000000 AS b,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
+        |  count(event_id) AS ce, min(epoch_us(ts)) AS mn,
+        |  max(epoch_us(ts)) AS mx
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'all', epoch_us(ts) // 10000000000000,
+        |  count(*), CAST(sum(event_id) AS BIGINT), count(event_id),
+        |  min(epoch_us(ts)), max(epoch_us(ts))
+        |FROM events GROUP BY 2""".stripMargin,
+
+    // the plain sorted limits — the unique event_id tiebreak pins the
+    // exact top-k SET, so the shard-pruned plan must reproduce it
+    "q248_ordered_limit_pushdown" ->
+      """SELECT * FROM (
+        |  SELECT 'latest' AS arm, epoch_us(ts) AS ts_us, event_id
+        |  FROM events ORDER BY ts_us DESC, event_id DESC LIMIT 100)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'earliest' AS arm, epoch_us(ts) AS ts_us, event_id
+        |  FROM events ORDER BY ts_us ASC, event_id ASC LIMIT 100)""".stripMargin,
+
+    // the plain fact × dim join — the cross-layout broadcast hint must
+    // change the shuffle shape, never a row
+    "q249_cross_layout_broadcast" ->
+      """SELECT e.event_id, epoch_us(e.ts) AS ts_us, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // the plain window + weekly-trunc aggregates over the raw parquet —
+    // the timestamp-layout collapses must be exact, timestamps included
+    // (DuckDB's date_trunc('week') is the same ISO Monday truncation)
+    "q250_timestamp_layout" ->
+      """SELECT 'window' AS arm, CAST(NULL AS TIMESTAMP) AS b,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
+        |  min(ts) AS mn, max(ts) AS mx
+        |FROM events
+        |WHERE ts >= TIMESTAMP'2024-01-03 00:00:00'
+        |  AND ts <= TIMESTAMP'2024-01-18 00:00:00'
+        |UNION ALL
+        |SELECT 'weekly', date_trunc('week', ts), count(*),
+        |  CAST(sum(event_id) AS BIGINT), min(ts), max(ts)
+        |FROM events GROUP BY 2""".stripMargin,
 
     // the plain aggregates, with avg written as the explicit
     // sum ÷ count quotient the collapse computes — hash-layout sum

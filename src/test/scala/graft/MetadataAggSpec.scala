@@ -422,6 +422,89 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("GROUP BY bucket collapse: contained shards answer per group from metadata, only bucket-spanning shards scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_grp").toString
+    // v nullable every 5th row — sums must stay null-aware per group
+    val df = (0 until 4000).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong * 3)))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_g")
+    def expected(bucket: Long) = df
+      .groupBy((col("ts") / bucket).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), count("v").as("cv"),
+        min("ts").as("mn"), max("ts").as("mx"))
+      .orderBy("b").collect().map(_.toSeq).toSeq
+    withRule {
+      // ~500-row quantile shards; 750-wide buckets make some shards
+      // contained and some bucket-spanning
+      val q = spark.sql("""SELECT ts div 750 AS b, count(*) AS n,
+        sum(v) AS s, count(v) AS cv, min(ts) AS mn, max(ts) AS mx
+        FROM magg_g GROUP BY 1 ORDER BY b""")
+      assert(q.collect().map(_.toSeq).toSeq == expected(750))
+      val parts = scannedParts(q)
+      assert(parts > 0 && parts < 8,
+        s"bucketed GROUP BY must scan only bucket-spanning shards, got $parts/8")
+      // one giant bucket contains every shard: pure LocalRelation
+      val one = spark.sql("""SELECT ts div 1000000 AS b, count(*) AS n,
+        sum(v) AS s FROM magg_g GROUP BY 1""")
+      assert(collapsed(one),
+        s"all-contained grouping must collapse:\n${one.queryExecution.optimizedPlan}")
+      assert(one.collect().head.toSeq == Seq(0L, 4000L,
+        (0 until 4000).filter(_ % 5 != 0).map(_.toLong * 3).sum))
+      // date_trunc-shaped label: (ts div n) * n
+      val lbl = spark.sql("""SELECT (ts div 750) * 750 AS b, count(*) AS n
+        FROM magg_g GROUP BY 1 ORDER BY b""")
+      assert(lbl.collect().map(_.toSeq).toSeq ==
+        df.groupBy(((col("ts") / 750).cast("long") * 750).as("b"))
+          .agg(count(lit(1)).as("n")).orderBy("b").collect().map(_.toSeq).toSeq)
+      assert(scannedParts(lbl) < 8)
+      // disqualifiers stay untouched with right answers: non-monotone
+      // grouping, avg per group, grouping under a filter
+      val mod = spark.sql(
+        "SELECT ts % 7 AS g, count(*) AS n FROM magg_g GROUP BY 1")
+      assert(scannedParts(mod) == 8)
+      assert(mod.collect().map(_.getLong(1)).sum == 4000L)
+      val av = spark.sql(
+        "SELECT ts div 750 AS b, avg(v) AS a FROM magg_g GROUP BY 1")
+      assert(scannedParts(av) == 8)
+      val filt = spark.sql(
+        "SELECT ts div 750 AS b, count(*) AS n FROM magg_g WHERE ts >= 100 GROUP BY 1")
+      assert(scannedParts(filt) == 8)
+      assert(filt.collect().map(_.getLong(1)).sum == 3900L)
+    }
+  }
+
+  test("GROUP BY bucket collapse on the Z layout: colA buckets, colB min/max, sumCols per group") {
+    val root = java.nio.file.Files.createTempDirectory("magg_zgrp").toString
+    val df = (0 until 1600).map(i =>
+      ((i % 40).toLong, (i / 40).toLong, i.toLong * 7)).toDF("a", "b", "v")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4,
+      subLog2 = 5, sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_zg")
+    withRule {
+      val q = spark.sql("""SELECT a div 10 AS g, count(*) AS n, sum(v) AS s,
+        min(b) AS mb, max(b) AS xb FROM magg_zg GROUP BY 1 ORDER BY g""")
+      val exp = df.groupBy((col("a") / 10).cast("long").as("g"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("b").as("mb"), max("b").as("xb"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+    }
+  }
+
   test("maintenance keeps the collapse exact: append + upsert paths") {
     val root = java.nio.file.Files.createTempDirectory("magg_m").toString
     val df = (0 until 400).map(i => (100L + i, i.toLong)).toDF("ts", "v")

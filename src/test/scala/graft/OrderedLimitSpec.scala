@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry, ZOrderStore}
+
+/** ORDER BY layout-column LIMIT k shard pruning: the top-k of a
+  * range/Z-laid table comes from the handful of shards at the sort
+  * direction's end — the rule prunes the rest off exact shard windows,
+  * keeps Sort+Limit on top (TakeOrderedAndProject over the pruned scan),
+  * and never changes the answer.
+  */
+class OrderedLimitSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(OrderedLimitPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ OrderedLimitPushdown
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.orderedLimit.enabled")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == OrderedLimitPushdown)
+    super.afterAll()
+  }
+
+  private def withRule[T](body: => T): T = {
+    spark.conf.set("spark.graft.orderedLimit.enabled", "true")
+    try body
+    finally spark.conf.set("spark.graft.orderedLimit.enabled", "false")
+  }
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: QueryStageExec => allScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+  private def scannedParts(df: DataFrame): Int =
+    allScans(df.queryExecution.executedPlan)
+      .map(_.selectedPartitions.toPartitionArray.length).sum
+
+  test("range layout: ORDER BY sort-col LIMIT k opens only the top shards, both directions, exact rows") {
+    val root = java.nio.file.Files.createTempDirectory("olim_range").toString
+    // unique ts ⇒ a deterministic top-k set
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong * 3 % 1000))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_r")
+    withRule {
+      val desc = spark.sql(
+        "SELECT ts, v FROM olim_r ORDER BY ts DESC LIMIT 100")
+      assert(desc.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        (3999 to 3900 by -1).map(i => (i.toLong, i.toLong * 3 % 1000)))
+      val p = scannedParts(desc)
+      assert(p > 0 && p <= 2,
+        s"top-100 of 4000 over 8 ~500-row shards needs 1 shard, got $p/8")
+      val asc = spark.sql(
+        "SELECT ts FROM olim_r ORDER BY ts ASC LIMIT 100")
+      assert(asc.collect().map(_.getLong(0)).toSeq ==
+        (0L until 100L))
+      assert(scannedParts(asc) <= 2)
+      // k spanning multiple shards still prunes the untouched ones
+      val big = spark.sql(
+        "SELECT ts FROM olim_r ORDER BY ts DESC LIMIT 1500")
+      assert(big.collect().map(_.getLong(0)).min == 2500L)
+      val pb = scannedParts(big)
+      assert(pb >= 3 && pb < 8, s"top-1500 needs ~3-4 shards, got $pb/8")
+    }
+  }
+
+  test("ties at shard boundaries with secondary sort keys stay exact (strict-separation guarantee)") {
+    val root = java.nio.file.Files.createTempDirectory("olim_ties").toString
+    // ts is i/4 ⇒ heavy duplication, duplicates straddle quantile-shard
+    // boundaries; id is the unique tiebreak
+    val df = (0 until 4000).map(i => (i.toLong / 4, i.toLong)).toDF("ts", "id")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_t")
+    withRule {
+      val q = spark.sql(
+        "SELECT ts, id FROM olim_t ORDER BY ts DESC, id ASC LIMIT 50")
+      val exp = df.orderBy(col("ts").desc, col("id").asc).limit(50)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) < 8)
+    }
+  }
+
+  test("projection shapes resolve through aliases; disqualifiers leave the plan alone") {
+    val root = java.nio.file.Files.createTempDirectory("olim_proj").toString
+    val df = (0 until 2000).map(i => (i.toLong, s"d$i")).toDF("ts", "s")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_p")
+    withRule {
+      // SELECT list narrower than the table, sort col aliased
+      val q = spark.sql(
+        "SELECT ts AS t2, s FROM olim_p ORDER BY t2 DESC LIMIT 10")
+      assert(q.collect().map(_.getLong(0)).toSeq == (1999 to 1990 by -1).map(_.toLong))
+      assert(scannedParts(q) < 8)
+      // a WHERE clause disqualifies (bounds not re-derived under filters)
+      val f = spark.sql(
+        "SELECT ts FROM olim_p WHERE s != 'd0' ORDER BY ts DESC LIMIT 10")
+      assert(scannedParts(f) == 8)
+      assert(f.collect().map(_.getLong(0)).toSeq == (1999 to 1990 by -1).map(_.toLong))
+      // sorting a non-layout column disqualifies
+      val ns = spark.sql("SELECT s FROM olim_p ORDER BY s DESC LIMIT 5")
+      assert(scannedParts(ns) == 8)
+    }
+  }
+
+  test("Z layout: overlapping cell windows still prune soundly on either interleaved column") {
+    val root = java.nio.file.Files.createTempDirectory("olim_z").toString
+    val df = (0 until 3200).map(i =>
+      ((i % 80).toLong, (i / 80).toLong)).toDF("a", "b")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4, subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_z")
+    withRule {
+      val q = spark.sql("SELECT a, b FROM olim_z ORDER BY a DESC, b DESC LIMIT 40")
+      val exp = df.orderBy(col("a").desc, col("b").desc).limit(40)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) < 16,
+        "Z top-k should exclude at least the opposite corner cells")
+    }
+  }
+
+  test("rule off / hash layout: untouched") {
+    val root = java.nio.file.Files.createTempDirectory("olim_off").toString
+    val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("ts", "k")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_o")
+    // conf off: full scan
+    val q = spark.sql("SELECT ts FROM olim_o ORDER BY ts DESC LIMIT 5")
+    assert(scannedParts(q) == 8)
+    // hash layout: no windows to prune with
+    val hroot = java.nio.file.Files.createTempDirectory("olim_hash").toString
+    SketchRegistry.commitWithSketches(df, hroot, "k", shardsLog2 = 3,
+      bitsLog2 = 12)
+    SketchFileIndex.readIndexed(spark, hroot).createOrReplaceTempView("olim_h")
+    withRule {
+      val h = spark.sql("SELECT k FROM olim_h ORDER BY k DESC LIMIT 5")
+      assert(h.collect().map(_.getLong(0)).toSeq == (999 to 995 by -1).map(_.toLong))
+    }
+  }
+}

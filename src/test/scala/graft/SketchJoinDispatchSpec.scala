@@ -412,6 +412,45 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("cross-layout fallback: hash dim × range fact broadcasts off exact counts, rows exact") {
+    // range-laid fact on ts (the join key k is NOT its layout column),
+    // hash-keyed dim on k — neither the hash arm (fact has no hash meta)
+    // nor the ordered arm (dim has no range meta) can dispatch, but the
+    // exact row counts still can
+    val fact = (0 until 4000).map(i => (i.toLong, (i % 50).toLong, i.toLong * 3))
+      .toDF("ts", "k", "v")
+    val dim = (0 until 50).map(i => (i.toLong, i.toLong * 100)).toDF("k", "dv")
+    val fRoot = java.nio.file.Files.createTempDirectory("sjd_xf").toString
+    SketchRegistry.commitRangeSharded(fact, fRoot, "ts", shardsLog2 = 3)
+    val dRoot = commit(dim, "xd")
+    SketchFileIndex.readIndexed(spark, fRoot).createOrReplaceTempView("sjd_xfact")
+    SketchFileIndex.readIndexed(spark, dRoot).createOrReplaceTempView("sjd_xdim")
+    val expected = sortedRows(
+      fact.join(dim, Seq("k")).select(fact("ts"), fact("v"), dim("dv")))
+    withDispatch(broadcastMaxRows = 100L) {
+      // dim (50 rows) fits the budget: BuildRight broadcast, Spark's own
+      // size estimate disabled so the shape is OUR hint's doing
+      val q = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_xfact f JOIN sjd_xdim d ON f.k = d.k""")
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"cross-layout dim must broadcast:\n${q.queryExecution.executedPlan}")
+      assert(sortedRows(q) == expected)
+      // RIGHT OUTER: BuildLeft is the only legal build side — the small
+      // LEFT side gets the hint
+      val ro = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_xdim d RIGHT OUTER JOIN sjd_xfact f ON d.k = f.k""")
+      assert(ro.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sortedRows(ro) == expected)
+    }
+    withDispatch(broadcastMaxRows = 10L) {
+      // neither side fits: untouched, no hint
+      val plain = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_xfact f JOIN sjd_xdim d ON f.k = d.k""")
+      assert(!plain.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sortedRows(plain) == expected)
+    }
+  }
+
   test("planning caches are bounded: many version pairs never exceed the LRU cap") {
     val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")

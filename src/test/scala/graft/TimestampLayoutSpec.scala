@@ -1,0 +1,220 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry, ZOrderStore}
+
+/** TIMESTAMP columns as layout columns, end to end. The unit rule under
+  * test: [[graft.core.LayoutLong]] commits zone-map windows / quantile
+  * bounds / hash keys in MICROS since epoch — Catalyst's internal
+  * timestamp representation — so probe-time filter literals
+  * (`ts >= TIMESTAMP'…'` arrives as a micros Long) compare in the same
+  * unit. The old `CAST(ts AS LONG)` committed SECONDS and mis-pruned
+  * every timestamp predicate by a factor of 10^6 (all shards dropped →
+  * zero rows — a correctness bug, caught by the round-15 scratch probe).
+  */
+class TimestampLayoutSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq(MetadataAggCollapse, OrderedLimitPushdown).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.metadataAgg.enabled")
+    spark.conf.unset("spark.graft.orderedLimit.enabled")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(r =>
+        r == MetadataAggCollapse || r == OrderedLimitPushdown)
+    super.afterAll()
+  }
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: QueryStageExec => allScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+  private def scannedParts(df: DataFrame): Int =
+    allScans(df.queryExecution.executedPlan)
+      .map(_.selectedPartitions.toPartitionArray.length).sum
+
+  /** 1000 hourly events through January 2024, TIMESTAMP sort column. */
+  private def hourly: DataFrame = (0 until 1000)
+    .map(i => (1704067200L + i * 3600L, i.toLong)).toDF("sec", "v")
+    .select(timestamp_seconds(col("sec")).as("ts"), col("v"))
+
+  test("range layout on a TIMESTAMP column: filters prune in micros and return exact rows") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_range").toString
+    SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 3,
+      subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_r")
+    val q = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM tsl_r " +
+      "WHERE ts >= TIMESTAMP'2024-01-10 00:00:00Z' AND v IS NOT NULL")
+    val truth = hourly.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp"))
+    assert(q.collect().head.getLong(0) == truth.count())
+    assert(scannedParts(q) < 8, "late-January predicate must prune early shards")
+    // equality probe through the quantile windows
+    val eq = spark.sql("SELECT v FROM tsl_r " +
+      "WHERE ts = TIMESTAMP'2024-01-01 05:00:00Z'")
+    assert(eq.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(scannedParts(eq) <= 2)
+  }
+
+  test("windowed metadata collapse over TIMESTAMP literals: count/min/max exact, boundary-only scan") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_win").toString
+    SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 3,
+      subLog2 = 5, sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_w")
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try {
+      val q = spark.sql(
+        """SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx, sum(v) AS s
+          |FROM tsl_w WHERE ts >= TIMESTAMP'2024-01-10 00:00:00Z'
+          |             AND ts <  TIMESTAMP'2024-01-25 00:00:00Z'""".stripMargin)
+      val truth = hourly.filter(
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)), min("ts"), max("ts"), sum("v"))
+        .collect().head
+      val r = q.collect().head
+      assert(r.getLong(0) == truth.getLong(0))
+      assert(r.getTimestamp(1) == truth.getTimestamp(1))
+      assert(r.getTimestamp(2) == truth.getTimestamp(2))
+      assert(r.getLong(3) == truth.getLong(3))
+      val parts = scannedParts(q)
+      assert(parts < 8,
+        s"mid-January window must answer contained shards from metadata, got $parts/8")
+    } finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+
+  test("GROUP BY date_trunc over a TIMESTAMP layout column collapses per bucket, all levels exact") {
+    // minutes-resolution data so second/minute/hour/day/week/month all
+    // have non-trivial buckets; 32 shards = many shard endpoints pin
+    // truncMicros against Spark's own date_trunc evaluation
+    val df = (0 until 6000)
+      .map(i => (1704067200L + i * 937L, i.toLong)).toDF("sec", "v")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val root = java.nio.file.Files.createTempDirectory("tsl_grp").toString
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 5,
+      subLog2 = 5, sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_g")
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try {
+      Seq("hour", "day", "week", "month", "quarter", "year", "minute").foreach { lv =>
+        val q = spark.sql(
+          s"""SELECT date_trunc('$lv', ts) AS b, count(*) AS n, sum(v) AS s,
+             |  min(ts) AS mn, max(ts) AS mx
+             |FROM tsl_g GROUP BY 1 ORDER BY b""".stripMargin)
+        val exp = df.groupBy(date_trunc(lv, col("ts")).as("b"))
+          .agg(count(lit(1)).as("n"), sum("v").as("s"),
+            min("ts").as("mn"), max("ts").as("mx"))
+          .orderBy("b").collect().map(_.toSeq).toSeq
+        assert(q.collect().map(_.toSeq).toSeq == exp,
+          s"date_trunc('$lv') grouped collapse diverged from Spark's own")
+      }
+      // prune assertion needs buckets WIDER than shards (~2 days each):
+      // 7-day weeks make interior shards bucket-contained, so only the
+      // week-straddling shards scan
+      val week = spark.sql("""SELECT date_trunc('week', ts) AS b, count(*) AS n
+        FROM tsl_g GROUP BY 1""")
+      assert(scannedParts(week) < 32,
+        "week-bucketed GROUP BY must scan only bucket-straddling shards")
+      // non-UTC zone argument must NOT collapse (left to Catalyst)
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        val nyc = spark.sql("""SELECT date_trunc('day', ts) AS b, count(*) AS n
+          FROM tsl_g GROUP BY 1""")
+        assert(scannedParts(nyc) == 32,
+          "non-UTC sessions must not use UTC-window containment")
+        assert(nyc.collect().map(_.getLong(1)).sum == 6000L)
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    } finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+
+  test("ORDER BY TIMESTAMP LIMIT k prunes to the top shards") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_lim").toString
+    SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 3,
+      subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_l")
+    spark.conf.set("spark.graft.orderedLimit.enabled", "true")
+    try {
+      val q = spark.sql("SELECT ts, v FROM tsl_l ORDER BY ts DESC LIMIT 24")
+      assert(q.collect().map(_.getLong(1)).toSeq ==
+        (999 to 976 by -1).map(_.toLong))
+      assert(scannedParts(q) <= 2)
+    } finally spark.conf.set("spark.graft.orderedLimit.enabled", "false")
+  }
+
+  test("hash layout keyed by a TIMESTAMP column: equality lookups prune and hit") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_hash").toString
+    SketchRegistry.commitWithSketches(hourly, root, "ts", shardsLog2 = 3,
+      bitsLog2 = 12)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_h")
+    val q = spark.sql(
+      "SELECT v FROM tsl_h WHERE ts = TIMESTAMP'2024-01-03 07:00:00Z'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(55L))
+    assert(scannedParts(q) <= 2, "timestamp key must Bloom-prune to its shard")
+  }
+
+  test("DATE layout columns: days-unit windows prune DATE literals, min/max collapse as dates") {
+    val df = (0 until 730).map(i => (i, i.toLong * 5))
+      .toDF("d0", "v")
+      .select(date_add(lit("2023-01-01").cast("date"), col("d0")).as("d"),
+        col("v"))
+    val root = java.nio.file.Files.createTempDirectory("tsl_date").toString
+    SketchRegistry.commitRangeSharded(df, root, "d", shardsLog2 = 3,
+      subLog2 = 5)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_d")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM tsl_d WHERE d >= DATE'2024-06-01' AND v IS NOT NULL")
+    assert(q.collect().head.getLong(0) ==
+      df.filter(col("d") >= lit("2024-06-01").cast("date")).count())
+    assert(scannedParts(q) < 8, "late-2024 date predicate must prune 2023 shards")
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try {
+      val mm = spark.sql(
+        """SELECT count(*) AS n, min(d) AS mn, max(d) AS mx FROM tsl_d
+          |WHERE d >= DATE'2023-04-01' AND d <= DATE'2024-03-31'""".stripMargin)
+      val truth = df.filter(col("d") >= lit("2023-04-01").cast("date") &&
+          col("d") <= lit("2024-03-31").cast("date"))
+        .agg(count(lit(1)), min("d"), max("d")).collect().head
+      val r = mm.collect().head
+      assert(r.getLong(0) == truth.getLong(0))
+      assert(r.getDate(1) == truth.getDate(1))
+      assert(r.getDate(2) == truth.getDate(2))
+      assert(scannedParts(mm) < 8)
+    } finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+
+  test("append maintenance keeps timestamp windows exact in micros") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_app").toString
+    SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 3,
+      subLog2 = 5)
+    val more = (1000 until 1200)
+      .map(i => (1704067200L + i * 3600L, i.toLong)).toDF("sec", "v")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("v"))
+    SketchRegistry.appendRangeSharded(spark, root, more)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_a")
+    val q = spark.sql("SELECT count(*) AS n FROM tsl_a " +
+      "WHERE ts >= TIMESTAMP'2024-02-10 00:00:00Z'")
+    val truthN = (0 until 1200).count(i =>
+      1704067200L + i * 3600L >= 1707523200L)
+    assert(q.collect().head.getLong(0) == truthN)
+    assert(scannedParts(q) < 8)
+  }
+}
