@@ -388,6 +388,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   private final case class WMax(a: AttributeReference) extends WKind
   private final case class WSum(a: AttributeReference) extends WKind
   private final case class WCntCol(a: AttributeReference) extends WKind
+  /** avg over a sumCols column: answered as stored-sum ÷ stored-cnt —
+    * merges across the metadata/scan halves through a (sum, cnt) partial
+    * PAIR, never by averaging averages.
+    */
+  private final case class WAvg(a: AttributeReference) extends WKind
   private case object WFold extends WKind
   /** The grouping expression's own slot (GROUP-BY collapse only). */
   private case object WLabel extends WKind
@@ -426,6 +431,9 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if sumCovered(a.name) || guarded(a.name) => Some(WCntCol(a))
+            case Alias(AggregateExpression(
+                Average(a: AttributeReference, _), Complete, false, None, _), _)
+                if sumCovered(a.name) && integral(a.dataType) => Some(WAvg(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
@@ -634,6 +642,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if relAttr(a) && (sumCovered(a.name) || guarded(a.name)) =>
               Some(WCntCol(a))
+            case Alias(AggregateExpression(
+                Average(a: AttributeReference, _), Complete, false, None, _), _)
+                if relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+              Some(WAvg(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
@@ -726,6 +738,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case (Alias(_, _), WSum(a)) =>
               contSum(a.name).map(v => v: Any).orNull
             case (Alias(_, _), WCntCol(a)) => contCnt(a)
+            case (Alias(_, _), WAvg(a)) =>
+              val cnt = contCnt(a)
+              contSum(a.name).filter(_ => cnt > 0L)
+                .map(s => (s.toDouble / cnt): Any).orNull
             case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
             case _ => null // unreachable: kinds align with aggExprs
           }
@@ -747,12 +763,28 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   "sketch relation lost its shard column — cannot prune"))
               Filter(In(shardAttr, bound.map(s => Literal(s): Expression)), l)
           }
-          val innerExprs: Seq[NamedExpression] =
+          // one partial per result slot, EXCEPT avg: averaging partial
+          // averages would weight the halves wrongly, so avg carries a
+          // (sum, cnt) partial PAIR — base slot = the sum, plus an
+          // appended count column per avg
+          val baseExprs: Seq[NamedExpression] =
             aggExprs.zip(kinds).zipWithIndex.map {
+              case ((_: Alias, WAvg(a)), i) =>
+                Alias(AggregateExpression(Sum(a), Complete,
+                  isDistinct = false), s"__boundary_$i")()
               case ((a: Alias, k), i) if k != WFold =>
                 Alias(a.child, s"__boundary_$i")()
               case ((e, _), _) => e
             }
+          val avgCntPos: Map[Int, Int] = kinds.zipWithIndex.collect {
+            case (WAvg(_), i) => i
+          }.zipWithIndex.map { case (i, j) => i -> (baseExprs.size + j) }.toMap
+          val avgCntExprs: Seq[NamedExpression] = kinds.zipWithIndex.collect {
+            case (WAvg(a), i) =>
+              Alias(AggregateExpression(Count(Seq(a)), Complete,
+                isDistinct = false), s"__boundary_cnt_$i")()
+          }
+          val innerExprs = baseExprs ++ avgCntExprs
           val inner = Aggregate(Nil, innerExprs, Filter(f.condition, prunedChild))
           val projList: Seq[NamedExpression] =
             agg.output.zip(aggExprs).zip(kinds).zipWithIndex.map {
@@ -787,6 +819,22 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   case WCntCol(a) =>
                     Alias(Add(innerAttr, Literal(contCnt(a))), o.name)(
                       exprId = o.exprId)
+                  // exact total sum ÷ exact total count across the two
+                  // halves; an all-null total leaves the sum null and the
+                  // division answers SQL-null, matching avg()
+                  case WAvg(a) =>
+                    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+                    val cntAttr = innerExprs(avgCntPos(i)).toAttribute
+                    val totalSum = contSum(a.name) match {
+                      case Some(v) => Add(Coalesce(Seq(innerAttr,
+                        Literal(0L, org.apache.spark.sql.types.LongType))),
+                        Literal(v))
+                      case None => innerAttr: Expression
+                    }
+                    val totalCnt = Add(cntAttr, Literal(contCnt(a)))
+                    val dbl = org.apache.spark.sql.types.DoubleType
+                    Alias(Divide(Cast(totalSum, dbl), Cast(totalCnt, dbl)),
+                      o.name)(exprId = o.exprId)
                   case WFold => o
                   case WLabel => throw new IllegalStateException(
                     "WLabel is GROUP-BY-only; windowedAgg never emits it")
@@ -851,6 +899,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 case (_, WMax(a)) => toTyped(mMax(a.name, ss), a.dataType)
                 case (_, WSum(a)) => mSum(a.name, ss).map(v => v: Any).orNull
                 case (_, WCntCol(a)) => mCnt(a, ss)
+                case (_, WAvg(a)) =>
+                  val cnt = mCnt(a, ss)
+                  mSum(a.name, ss).filter(_ => cnt > 0L)
+                    .map(s => (s.toDouble / cnt): Any).orNull
                 case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
                 case (e, WFold) => e.eval(InternalRow.empty)
               })
@@ -871,14 +923,25 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                     "sketch relation lost its shard column — cannot prune"))
                 Filter(In(shardAttr, bound.map(s => Literal(s): Expression)), l)
             }
+            // one partial per result slot, EXCEPT avg: averaging partial
+            // averages would weight the halves wrongly, so avg's base
+            // slot carries the SUM and an appended column the COUNT
             val innerPartials: Seq[Option[NamedExpression]] =
               aggExprs.zip(kinds).zipWithIndex.map {
+                case ((_: Alias, WAvg(a)), i) =>
+                  Some(Alias(AggregateExpression(Sum(a), Complete,
+                    isDistinct = false), s"__p_$i")())
                 case ((a: Alias, k), i) if k != WFold && k != WLabel =>
                   Some(Alias(a.child, s"__p_$i")())
                 case _ => None
               }
+            val avgCntExprs: Seq[NamedExpression] = kinds.zipWithIndex.collect {
+              case (WAvg(a), i) =>
+                Alias(AggregateExpression(Count(Seq(a)), Complete,
+                  isDistinct = false), s"__p_cnt_$i")()
+            }
             val innerExprs: Seq[NamedExpression] =
-              Alias(ge, "__g")() +: innerPartials.flatten
+              (Alias(ge, "__g")() +: innerPartials.flatten) ++ avgCntExprs
             val inner = Aggregate(Seq(ge), innerExprs, pruned)
             val posOf = scala.collection.mutable.Map[Int, Int]()
             var nextPos = 1
@@ -886,6 +949,9 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               case (Some(_), i) => posOf(i) = nextPos; nextPos += 1
               case _ => ()
             }
+            val avgCntPos: Map[Int, Int] = kinds.zipWithIndex.collect {
+              case (WAvg(_), i) => i
+            }.zipWithIndex.map { case (i, j) => i -> (nextPos + j) }.toMap
             val metaAttrs = inner.output.map(a =>
               AttributeReference(a.name, a.dataType, nullable = true)())
             val metaRows = byLabel.map { case (lbl, ss) =>
@@ -899,7 +965,14 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                     case WMax(a) => toTyped(mMax(a.name, ss), a.dataType)
                     case WSum(a) => mSum(a.name, ss).map(v => v: Any).orNull
                     case WCntCol(a) => mCnt(a, ss)
+                    case WAvg(a) => mSum(a.name, ss).map(v => v: Any).orNull
                     case _ => null // unreachable: posOf covers agg kinds only
+                  }
+                }
+                avgCntPos.get(i).foreach { p =>
+                  vals(p) = kinds(i) match {
+                    case WAvg(a) => mCnt(a, ss)
+                    case _ => null // unreachable: avgCntPos is WAvg-only
                   }
                 }
               }
@@ -922,6 +995,17 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   case WMax(_) => Alias(AggregateExpression(
                     Max(uOut(posOf(i))), Complete, isDistinct = false),
                     o.name)(exprId = o.exprId)
+                  // exact per-group total sum ÷ total count — never an
+                  // average of the two halves' averages
+                  case WAvg(_) =>
+                    import org.apache.spark.sql.catalyst.expressions.{Cast, Divide}
+                    val dbl = org.apache.spark.sql.types.DoubleType
+                    Alias(Divide(
+                      Cast(AggregateExpression(Sum(uOut(posOf(i))),
+                        Complete, isDistinct = false), dbl),
+                      Cast(AggregateExpression(Sum(uOut(avgCntPos(i))),
+                        Complete, isDistinct = false), dbl)),
+                      o.name)(exprId = o.exprId)
                   case _ => // WCnt / WSum / WCntCol all merge by addition
                     Alias(AggregateExpression(
                       Sum(uOut(posOf(i))), Complete, isDistinct = false),
@@ -1017,11 +1101,15 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   * deterministic Project between Limit and Sort — where the FIRST sort
   * key resolves (through deterministic Project aliases) to a guarded
   * layout attribute of a `readIndexed` range/Z relation, k > 0, and the
-  * selection actually excludes at least one populated shard. Everything
-  * else (intervening Filters, expression sort keys, hash layouts) is
-  * left to Catalyst untouched — a Filter changes which rows compete, so
-  * pruning under one would be unsound without re-deriving bounds.
-  * OFF by default:
+  * selection actually excludes at least one populated shard. WHERE
+  * clauses whose every conjunct is a range/equality on guarded layout
+  * columns compose ("latest k of the last week"): shards outside the
+  * filter region drop outright, only region-CONTAINED shards (every row
+  * survives the filter, so n_rows is the eligible count) count toward
+  * the guarantee, and the unselected bound caps at the region edge.
+  * Any other filter shape, expression sort keys, or hash layouts are
+  * left to Catalyst untouched — there the eligible-count bound is
+  * unknowable from metadata. OFF by default:
   *
   *   - `spark.graft.orderedLimit.enabled` (default false)
   *
@@ -1038,76 +1126,178 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.orderedLimit.enabled", "false").toBoolean
 
-  /** Resolve `e` through deterministic Project aliases down to a
-    * readIndexed relation; yields the index, the relation, and the
-    * fully-substituted expression over relation attributes.
+  /** Resolve `e` through deterministic Project aliases AND deterministic
+    * Filters down to a readIndexed relation; yields the index, the
+    * relation, the fully-substituted expression over relation attributes,
+    * and the collected filter conditions (substituted the same way).
     */
-  private def walk(p: LogicalPlan, e: Expression)
-  : Option[(SketchFileIndex, LogicalRelation, Expression)] = p match {
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case i: SketchFileIndex => Some((i, l, e))
+  private def walk(p: LogicalPlan, e: Expression, conds: Seq[Expression])
+  : Option[(SketchFileIndex, LogicalRelation, Expression, Seq[Expression])] =
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location match {
+          case i: SketchFileIndex => Some((i, l, e, conds))
+          case _ => None
+        }
         case _ => None
       }
+      case Project(exprs, child) if exprs.forall(_.deterministic) =>
+        val subst = exprs.collect {
+          case a: Alias => a.exprId -> a.child
+        }.toMap
+        def sub(x: Expression): Expression = x.transformUp {
+          case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
+        }
+        walk(child, sub(e), conds.map(sub))
+      case Filter(cond, child) if cond.deterministic =>
+        walk(child, e, conds :+ cond)
       case _ => None
     }
-    case Project(exprs, child) if exprs.forall(_.deterministic) =>
-      val subst = exprs.collect {
-        case a: Alias => a.exprId -> a.child
-      }.toMap
-      walk(child, e.transformUp {
-        case ar: AttributeReference if subst.contains(ar.exprId) => subst(ar.exprId)
-      })
-    case _ => None
+
+  /** Per-column CLOSED intervals when every conjunct of every collected
+    * filter is a range/equality comparison between a GUARDED layout
+    * column and a long-backed literal (or an IsNotNull on one). The
+    * eligibility restriction the shard selection must honor: a shard
+    * counts toward the top-k guarantee only when its windows are FULLY
+    * inside every interval (all its rows survive the filter), and a
+    * shard outside any interval holds no eligible row at all. None when
+    * any conjunct is anything else — then the count bound is unknowable
+    * from metadata and the rule leaves the plan alone.
+    */
+  private def intervalsOf(conds: Seq[Expression], guarded: Set[String])
+  : Option[Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+    def litL(l: Literal): Option[Long] = l.value match {
+      case x: Long => Some(x)
+      case x: Int => Some(x.toLong)
+      case x: Short => Some(x.toLong)
+      case x: Byte => Some(x.toLong)
+      case _ => None
+    }
+    var iv = Map.empty[String, (Long, Long)]
+    def restrict(c: String, lo: Long, hi: Long): Boolean = {
+      val (l0, h0) = iv.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      iv = iv.updated(c, (math.max(l0, lo), math.min(h0, hi)))
+      true
+    }
+    def above(c: String, v: Long): Boolean =
+      if (v == Long.MaxValue) restrict(c, 1L, 0L) else restrict(c, v + 1, Long.MaxValue)
+    def below(c: String, v: Long): Boolean =
+      if (v == Long.MinValue) restrict(c, 1L, 0L) else restrict(c, Long.MinValue, v - 1)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case o => Seq(o)
+    }
+    val ok = conds.flatMap(conjuncts).forall {
+      case IsNotNull(a: AttributeReference) if guarded(a.name) => true
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
+      case GreaterThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => above(a.name, v))
+      case LessThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => below(a.name, v))
+      case EqualTo(a: AttributeReference, l: Literal) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
+      case GreaterThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => below(a.name, v))
+      case LessThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => above(a.name, v))
+      case EqualTo(l: Literal, a: AttributeReference) if guarded(a.name) =>
+        litL(l).exists(v => restrict(a.name, v, v))
+      case _ => false
+    }
+    if (ok) Some(iv) else None
   }
 
   /** The minimal direction-ordered shard subset guaranteed to contain
-    * every top-k row, or None when no strict subset suffices. General
-    * over overlapping windows (Z cells): `guaranteed` counts only shards
-    * whose whole window strictly beats every unselected window.
+    * every ELIGIBLE top-k row, or None when no strict subset suffices.
+    * General over overlapping windows (Z cells) and over a filter region:
+    *
+    *  - candidates: shards intersecting the region on every filtered
+    *    column — a shard outside it holds no eligible row and is dropped
+    *    outright (the same exclusion the FileIndex's own zone-map pruning
+    *    would make);
+    *  - `guaranteed` counts only REGION-CONTAINED candidates (every row
+    *    survives the filter, so n_rows is the eligible count) whose sort
+    *    window strictly beats every unselected candidate's best eligible
+    *    value (capped at the region's own sort bound — an unselected row
+    *    can never exceed min(window_max, hi)).
     */
-  private def selectShards(windows: Map[Int, (Long, Long)],
+  private def selectShards(sortCol: String,
+                           windowsByCol: Map[String, Map[Int, (Long, Long)]],
                            counts: Map[Int, Long],
-                           desc: Boolean, k: Long): Option[Seq[Int]] = {
+                           desc: Boolean, k: Long,
+                           region: Map[String, (Long, Long)]): Option[Seq[Int]] = {
+    val windows = windowsByCol(sortCol)
     val populated = counts.keySet.toSeq
     if (populated.exists(s => !windows.contains(s))) return None
+    def intersects(s: Int): Boolean = region.forall { case (c, (lo, hi)) =>
+      lo <= hi && windowsByCol.get(c).flatMap(_.get(s)).forall {
+        case (wl, wh) => wh >= lo && wl <= hi
+      }
+    }
+    def contained(s: Int): Boolean = region.forall { case (c, (lo, hi)) =>
+      windowsByCol.get(c).flatMap(_.get(s)).exists {
+        case (wl, wh) => wl >= lo && wh <= hi
+      }
+    }
+    val candidates = populated.filter(intersects)
+    if (candidates.isEmpty) return Some(Nil) // unsatisfiable filter
+    val (loS, hiS) = region.getOrElse(sortCol, (Long.MinValue, Long.MaxValue))
     val ordered =
-      if (desc) populated.sortBy(s => (-windows(s)._2, s))
-      else populated.sortBy(s => (windows(s)._1, s))
+      if (desc) candidates.sortBy(s => (-windows(s)._2, s))
+      else candidates.sortBy(s => (windows(s)._1, s))
     var i = 1
     while (i < ordered.size) {
       val rest = ordered.drop(i)
-      val u = if (desc) rest.iterator.map(s => windows(s)._2).max
-              else rest.iterator.map(s => windows(s)._1).min
+      val u = if (desc) rest.iterator.map(s => math.min(windows(s)._2, hiS)).max
+              else rest.iterator.map(s => math.max(windows(s)._1, loS)).min
       val guaranteed = ordered.take(i).iterator
-        .filter(s => if (desc) windows(s)._1 > u else windows(s)._2 < u)
+        .filter(s => contained(s) &&
+          (if (desc) windows(s)._1 > u else windows(s)._2 < u))
         .map(counts).sum
       if (guaranteed >= k) return Some(ordered.take(i))
       i += 1
     }
-    None // needs every shard: nothing gained
+    // no strict candidate subset suffices: leave the plan alone — the
+    // FileIndex's own zone-map pruning already applies the region
+    None
   }
 
   private def prune(sortExpr: Expression, desc: Boolean, k: Int,
                     child: LogicalPlan): Option[LogicalPlan] =
-    walk(child, sortExpr).flatMap { case (idx, rel, resolved) =>
+    walk(child, sortExpr, Nil).flatMap { case (idx, rel, resolved, conds) =>
       val relIds = rel.output.map(_.exprId).toSet
+      val guarded = idx.nonNullLayoutCols
       val attr = resolved match {
         case a: AttributeReference
-            if relIds.contains(a.exprId) && idx.nonNullLayoutCols(a.name) =>
+            if relIds.contains(a.exprId) && guarded(a.name) =>
           Some(a)
         case _ => None
       }
       for {
         a <- attr
-        windows <- idx.columnWindows(a.name)
-        selected <- selectShards(windows, idx.shardRowCounts, desc, k.toLong)
+        region <- intervalsOf(conds, guarded)
+        windowsByCol = (region.keySet + a.name)
+          .flatMap(c => idx.columnWindows(c).map(c -> _)).toMap
+        if windowsByCol.contains(a.name)
+        selected <- selectShards(a.name, windowsByCol, idx.shardRowCounts,
+          desc, k.toLong, region)
       } yield child.transformUp {
         case l: LogicalRelation if l.eq(rel) =>
           val shardAttr = l.output.find(_.name == "shard").getOrElse(
             throw new IllegalStateException(
               "sketch relation lost its shard column — cannot prune"))
-          Filter(In(shardAttr, selected.map(s => Literal(s): Expression)), l)
+          val cond =
+            if (selected.isEmpty) Literal.FalseLiteral
+            else In(shardAttr, selected.map(s => Literal(s): Expression))
+          Filter(cond, l)
       }
     }
 

@@ -4254,12 +4254,15 @@ object SparkEntry {
       try {
         val full = s.sql(
           """SELECT 'full' AS arm, sum(event_id) AS se, count(event_id) AS ce,
-            |  count(ts_us) AS ct FROM q244_ev""".stripMargin)
+            |  count(ts_us) AS ct, avg(event_id) AS ae FROM q244_ev""".stripMargin)
         require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
           "metadata sums must not open a data file")
+        // the windowed avg folds contained (sum, cnt) into the boundary
+        // scan as a pair — exact total sum over exact total count
         val win = s.sql(
           """SELECT 'window' AS arm, sum(event_id) AS se,
-            |  count(event_id) AS ce, count(ts_us) AS ct FROM q244_ev
+            |  count(event_id) AS ce, count(ts_us) AS ct,
+            |  avg(event_id) AS ae FROM q244_ev
             |WHERE ts_us BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin)
         full.unionByName(win).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
@@ -4353,7 +4356,7 @@ object SparkEntry {
         val week = s.sql(
           """SELECT 'week' AS arm, ts_us div 604800000000 AS b,
             |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
-            |  min(ts_us) AS mn, max(ts_us) AS mx
+            |  min(ts_us) AS mn, max(ts_us) AS mx, avg(event_id) AS ae
             |FROM q247_ev GROUP BY 2""".stripMargin)
         require(week.queryExecution.optimizedPlan.toString.contains(" IN ("),
           "bucketed GROUP BY lost the bucket-straddler shard prune")
@@ -4361,7 +4364,7 @@ object SparkEntry {
         val all = s.sql(
           """SELECT 'all' AS arm, ts_us div 10000000000000 AS b,
             |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
-            |  min(ts_us) AS mn, max(ts_us) AS mx
+            |  min(ts_us) AS mn, max(ts_us) AS mx, avg(event_id) AS ae
             |FROM q247_ev GROUP BY 2""".stripMargin)
         require(!all.queryExecution.executedPlan.toString.contains("FileScan"),
           "all-contained grouped collapse must not open a data file")
@@ -4395,7 +4398,17 @@ object SparkEntry {
             |ORDER BY ts_us ASC, event_id ASC LIMIT 100""".stripMargin)
         require(earliest.queryExecution.optimizedPlan.toString.contains(" IN ("),
           "earliest-k lost its bottom-shard prune")
-        latest.unionByName(earliest).localCheckpoint(true)
+        // "latest 100 of the first half of January": the filter region
+        // caps the competition at the cut, so the selection lands on the
+        // cut-boundary shard(s), not the table's top — both prunings
+        // compose in one shard IN
+        val recent = s.sql(
+          """SELECT 'recent' AS arm, ts_us, event_id FROM q248_ev
+            |WHERE ts_us < 1705276800000000
+            |ORDER BY ts_us DESC, event_id DESC LIMIT 100""".stripMargin)
+        require(recent.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "windowed latest-k lost its cut-boundary shard prune")
+        latest.unionByName(earliest).unionByName(recent).localCheckpoint(true)
       } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
     },
 
@@ -9761,12 +9774,14 @@ object SparkEntry {
       """SELECT 'week' AS arm, epoch_us(ts) // 604800000000 AS b,
         |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
         |  count(event_id) AS ce, min(epoch_us(ts)) AS mn,
-        |  max(epoch_us(ts)) AS mx
+        |  max(epoch_us(ts)) AS mx,
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id) AS ae
         |FROM events GROUP BY 2
         |UNION ALL
         |SELECT 'all', epoch_us(ts) // 10000000000000,
         |  count(*), CAST(sum(event_id) AS BIGINT), count(event_id),
-        |  min(epoch_us(ts)), max(epoch_us(ts))
+        |  min(epoch_us(ts)), max(epoch_us(ts)),
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id)
         |FROM events GROUP BY 2""".stripMargin,
 
     // the plain sorted limits — the unique event_id tiebreak pins the
@@ -9778,7 +9793,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM (
         |  SELECT 'earliest' AS arm, epoch_us(ts) AS ts_us, event_id
-        |  FROM events ORDER BY ts_us ASC, event_id ASC LIMIT 100)""".stripMargin,
+        |  FROM events ORDER BY ts_us ASC, event_id ASC LIMIT 100)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'recent' AS arm, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE epoch_us(ts) < 1705276800000000
+        |  ORDER BY ts_us DESC, event_id DESC LIMIT 100)""".stripMargin,
 
     // the plain fact × dim join — the cross-layout broadcast hint must
     // change the shuffle shape, never a row
@@ -9817,9 +9837,11 @@ object SparkEntry {
     // the plain aggregates — metadata sums must be exact
     "q244_metadata_sums" ->
       """SELECT 'full' AS arm, CAST(sum(event_id) AS BIGINT) AS se,
-        |  count(event_id) AS ce, count(ts) AS ct FROM events
+        |  count(event_id) AS ce, count(ts) AS ct,
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id) AS ae FROM events
         |UNION ALL
-        |SELECT 'window', CAST(sum(event_id) AS BIGINT), count(event_id), count(ts)
+        |SELECT 'window', CAST(sum(event_id) AS BIGINT), count(event_id), count(ts),
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id)
         |FROM events
         |WHERE epoch_us(ts) BETWEEN 1704240000000000 AND 1705536000000000""".stripMargin,
 

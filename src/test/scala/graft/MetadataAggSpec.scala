@@ -471,19 +471,68 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
         df.groupBy(((col("ts") / 750).cast("long") * 750).as("b"))
           .agg(count(lit(1)).as("n")).orderBy("b").collect().map(_.toSeq).toSeq)
       assert(scannedParts(lbl) < 8)
+      // avg per group: exact total-sum ÷ total-count across the metadata
+      // and scan halves — never an average of averages. Nullable v makes
+      // per-group counts differ from n_rows, so a weighting bug would
+      // show immediately.
+      val av = spark.sql("""SELECT ts div 750 AS b, avg(v) AS a
+        FROM magg_g GROUP BY 1 ORDER BY b""")
+      val avExp = df.groupBy((col("ts") / 750).cast("long").as("b"))
+        .agg(avg("v").as("a")).orderBy("b").collect().map(_.toSeq).toSeq
+      assert(av.collect().map(_.toSeq).toSeq == avExp)
+      assert(scannedParts(av) < 8,
+        "grouped avg must scan only bucket-spanning shards")
       // disqualifiers stay untouched with right answers: non-monotone
-      // grouping, avg per group, grouping under a filter
+      // grouping, avg on an uncovered column, grouping under a filter
       val mod = spark.sql(
         "SELECT ts % 7 AS g, count(*) AS n FROM magg_g GROUP BY 1")
       assert(scannedParts(mod) == 8)
       assert(mod.collect().map(_.getLong(1)).sum == 4000L)
-      val av = spark.sql(
-        "SELECT ts div 750 AS b, avg(v) AS a FROM magg_g GROUP BY 1")
-      assert(scannedParts(av) == 8)
+      val avTs = spark.sql(
+        "SELECT ts div 750 AS b, avg(ts) AS a FROM magg_g GROUP BY 1")
+      assert(scannedParts(avTs) == 8,
+        "avg over a column without sum stats must stay untouched")
       val filt = spark.sql(
         "SELECT ts div 750 AS b, count(*) AS n FROM magg_g WHERE ts >= 100 GROUP BY 1")
       assert(scannedParts(filt) == 8)
       assert(filt.collect().map(_.getLong(1)).sum == 3900L)
+    }
+  }
+
+  test("windowed avg: contained (sum, cnt) stats fold into the boundary scan exactly") {
+    val root = java.nio.file.Files.createTempDirectory("magg_wavg").toString
+    // v null every 3rd row — the eligible count differs from n_rows
+    val df = (0 until 4000).map(i =>
+      (i.toLong, if (i % 3 == 0) None else Some(i.toLong * 11)))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_wa")
+    withRule {
+      val q = spark.sql("""SELECT avg(v) AS a, sum(v) AS s, count(v) AS c
+        FROM magg_wa WHERE ts BETWEEN 700 AND 3100""")
+      val exp = df.filter(col("ts").between(700, 3100))
+        .agg(avg("v"), sum("v"), count("v")).collect().head
+      val r = q.collect().head
+      assert(r.getDouble(0) == exp.getDouble(0))
+      assert(r.getLong(1) == exp.getLong(1))
+      assert(r.getLong(2) == exp.getLong(2))
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case f: FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.length
+        case other => other.children.map(scans).sum
+      }
+      assert(scans(q.queryExecution.executedPlan) < 8,
+        "windowed avg must scan boundary shards only")
+      // all-contained window: pure metadata, zero FileScan
+      val full = spark.sql("SELECT avg(v) AS a FROM magg_wa WHERE ts >= 0")
+      assert(collapsed(full))
+      val expFull = df.agg(avg("v")).collect().head.getDouble(0)
+      assert(full.collect().head.getDouble(0) == expFull)
     }
   }
 

@@ -107,7 +107,8 @@ class OrderedLimitSpec extends AnyFunSuite with SparkTest
         "SELECT ts AS t2, s FROM olim_p ORDER BY t2 DESC LIMIT 10")
       assert(q.collect().map(_.getLong(0)).toSeq == (1999 to 1990 by -1).map(_.toLong))
       assert(scannedParts(q) < 8)
-      // a WHERE clause disqualifies (bounds not re-derived under filters)
+      // a WHERE clause on a NON-layout column disqualifies (the eligible
+      // count per shard is unknowable from metadata)
       val f = spark.sql(
         "SELECT ts FROM olim_p WHERE s != 'd0' ORDER BY ts DESC LIMIT 10")
       assert(scannedParts(f) == 8)
@@ -115,6 +116,35 @@ class OrderedLimitSpec extends AnyFunSuite with SparkTest
       // sorting a non-layout column disqualifies
       val ns = spark.sql("SELECT s FROM olim_p ORDER BY s DESC LIMIT 5")
       assert(scannedParts(ns) == 8)
+    }
+  }
+
+  test("filtered top-k: WHERE on the layout column composes — latest k of a window") {
+    val root = java.nio.file.Files.createTempDirectory("olim_filt").toString
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong * 7)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_f")
+    withRule {
+      // "latest 50 of the first 3000": eligible rows end at 2999, so the
+      // top shard is excluded by the region and the answer comes from the
+      // shards just below the cut — both prunings compose
+      val q = spark.sql("""SELECT ts, v FROM olim_f WHERE ts < 3000
+        ORDER BY ts DESC LIMIT 50""")
+      assert(q.collect().map(_.getLong(0)).toSeq ==
+        (2999 to 2950 by -1).map(_.toLong))
+      val p = scannedParts(q)
+      assert(p > 0 && p <= 2,
+        s"windowed latest-50 needs the cut-boundary shard(s) only, got $p/8")
+      // region + ASC from the window's floor
+      val asc = spark.sql("""SELECT ts FROM olim_f
+        WHERE ts BETWEEN 1000 AND 2000 ORDER BY ts ASC LIMIT 25""")
+      assert(asc.collect().map(_.getLong(0)).toSeq == (1000L to 1024L))
+      assert(scannedParts(asc) <= 2)
+      // unsatisfiable region: zero shards, right answer
+      val none = spark.sql(
+        "SELECT ts FROM olim_f WHERE ts > 10 AND ts < 5 ORDER BY ts DESC LIMIT 5")
+      assert(none.collect().isEmpty)
+      assert(scannedParts(none) == 0)
     }
   }
 
