@@ -499,6 +499,27 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("HAVING and ORDER BY compose over the collapsed GROUP BY: they sit ABOVE the rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("magg_hav").toString
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong % 100)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_h")
+    withRule {
+      // HAVING becomes a Filter above the Aggregate — the rewrite
+      // replaces the Aggregate beneath it, so the filter applies to the
+      // merged groups unchanged
+      val q = spark.sql("""SELECT ts div 750 AS b, count(*) AS n, sum(v) AS s
+        FROM magg_h GROUP BY 1 HAVING count(*) >= 500
+        ORDER BY s DESC, b LIMIT 3""")
+      val exp = df.groupBy((col("ts") / 750).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .filter(col("n") >= 500).orderBy(col("s").desc, col("b")).limit(3)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+    }
+  }
+
   test("windowed avg: contained (sum, cnt) stats fold into the boundary scan exactly") {
     val root = java.nio.file.Files.createTempDirectory("magg_wavg").toString
     // v null every 3rd row — the eligible count differs from n_rows
