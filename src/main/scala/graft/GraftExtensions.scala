@@ -210,129 +210,68 @@ object LshJoinRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** METADATA-ONLY aggregate answering — the manifest-stats trick Delta and
-  * Iceberg play, at the engine's layout layer: an UNFILTERED, ungrouped
-  * `count(*)` / `min(c)` / `max(c)` over a `readIndexed` relation
-  * collapses to a one-row [[LocalRelation]] holding the registry's exact
-  * numbers — the scan disappears from the plan entirely (spec-pinned:
-  * ZERO FileScan). Soundness is exactness, not bounds:
-  *
-  *  - `count(*)`: per-shard `n_rows` is an exact count on every layout,
-  *    maintained exactly by every verb (append sums, upsert rebuilds the
-  *    touched shards, compact carries) — so the sum IS the row count;
-  *  - `min`/`max`: only columns with EXACT zone-map stats qualify — the
-  *    range layout's sort column and `statsCols`, the Z layout's two
-  *    interleaved columns (per-shard min/max over non-null values, null
-  *    only for all-null shards — matching SQL min/max null semantics
-  *    exactly, including the all-null → null and empty-table → null
-  *    cases). Hash-layout columns never qualify (Blooms carry
-  *    membership, not order);
-  *  - `sum(c)`/`count(c)`/`avg(c)`: columns committed with `sumCols`
-  *    carry per-shard EXACT (sum, non-null count) on EVERY layout —
-  *    hash, range, and Z — so the total sum/count are exact additions
-  *    and avg is the exact stored-sum ÷ stored-cnt (order info is not
-  *    needed for linear stats, which is why the hash layout qualifies
-  *    here but not for min/max).
-  *
-  * ANY Filter above the relation disqualifies the collapse (unlike the
-  * join dispatch there is no upper-bound slack in an exact answer),
-  * except the WINDOWED arm (range predicates on guarded layout columns
-  * — contained shards answer from metadata, boundary shards scan); a
-  * single GROUP BY whose grouping is a monotone BUCKETING of a guarded
-  * layout column (`ts div n`, `(ts div n) * n`) collapses per group the
-  * same way (bucket-contained shards from metadata, bucket-spanning
-  * shards scan once). Any other aggregate shape — uncovered columns,
-  * DISTINCT, FILTER clauses, other groupings — is left to Catalyst
-  * untouched. OFF by default:
-  *
-  *   - `spark.graft.metadataAgg.enabled` (default false)
-  *
-  * The verb-level sibling is [[graft.core.SketchRegistry.tableStats]].
+/** Shared expression/metadata helpers for the layout-aware optimizer rules
+  * ([[MetadataAggCollapse]], [[OrderedLimitPushdown]],
+  * [[SketchJoinDispatch]]) — ONE definition of "which types' layout
+  * metadata is a faithful Long", "which filter shapes become per-column
+  * intervals", and "which expressions are monotone bucketings", so the
+  * rules can never drift apart on literal handling or unit semantics
+  * (they used to carry near-verbatim copies of `intervalsOf`).
   */
-object MetadataAggCollapse extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, Multiply, NamedExpression}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Union}
-  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
-  import graft.core.SketchFileIndex
+private[graft] object LayoutExprs {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, IntegralDivide, IsNotNull, LessThanOrEqual, Multiply, UnixMicros}
+  import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType => IntType, LongType => LType, ShortType, TimestampNTZType, TimestampType}
 
-  private def enabled: Boolean =
-    conf.getConfString("spark.graft.metadataAgg.enabled", "false").toBoolean
-
-  /** Unlike the join dispatch, NOTHING may sit between the aggregate and
-    * the relation except attribute-only Projects — a Filter (even
-    * IsNotNull) changes the exact answer.
-    */
-  private def indexUnder(p: LogicalPlan): Option[SketchFileIndex] = p match {
-    case l: LogicalRelation => l.relation match {
-      case h: HadoopFsRelation => h.location match {
-        case i: SketchFileIndex => Some(i)
-        case _ => None
-      }
-      case _ => None
-    }
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      indexUnder(child)
-    case _ => None
-  }
-
-  private def integral(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | ShortType | ByteType => true
+  def integral(dt: DataType): Boolean = dt match {
+    case LType | IntType | ShortType | ByteType => true
     case _ => false
   }
 
   /** Types whose layout metadata is a faithful Long: the integrals
-    * (identity) and the timestamp types, whose Catalyst-internal value
-    * IS micros-since-epoch — [[graft.core.LayoutLong]] commits their
-    * windows in exactly that unit, so a stored window endpoint can be
-    * handed back as the min/max VALUE, not just used for pruning.
-    * (Doubles are excluded: their `CAST AS BIGINT` stats floor.)
+    * (identity) and the temporal types, whose Catalyst-internal value IS
+    * micros-since-epoch / days-since-epoch — [[graft.core.LayoutLong]]
+    * commits their windows in exactly those units, so a stored window
+    * endpoint can be handed back as the min/max VALUE, not just used for
+    * pruning. (Doubles are excluded: their `CAST AS BIGINT` stats floor.)
     */
-  private def longBacked(dt: DataType): Boolean = integral(dt) || (dt match {
-    case org.apache.spark.sql.types.TimestampType
-       | org.apache.spark.sql.types.TimestampNTZType
-       | org.apache.spark.sql.types.DateType => true
+  def longBacked(dt: DataType): Boolean = integral(dt) || (dt match {
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   })
 
-  private def toTyped(v: Option[Long], dt: DataType): Any = (v, dt) match {
+  /** A stored metadata Long handed back in `dt`'s INTERNAL representation
+    * (timestamps = the micros Long, dates = the days Int).
+    */
+  def toTyped(v: Option[Long], dt: DataType): Any = (v, dt) match {
     case (None, _) => null
-    case (Some(x), LongType) => x
-    case (Some(x), IntegerType) => x.toInt
+    case (Some(x), LType) => x
+    case (Some(x), IntType) => x.toInt
     case (Some(x), ShortType) => x.toShort
     case (Some(x), ByteType) => x.toByte
-    // internal timestamp representation IS the micros Long; dates are
-    // days-since-epoch Ints (LayoutLong commits both in those units)
-    case (Some(x), org.apache.spark.sql.types.TimestampType) => x
-    case (Some(x), org.apache.spark.sql.types.TimestampNTZType) => x
-    case (Some(x), org.apache.spark.sql.types.DateType) => x.toInt
+    case (Some(x), TimestampType) => x
+    case (Some(x), TimestampNTZType) => x
+    case (Some(x), DateType) => x.toInt
     case _ => null // unreachable: longBacked() gates the match arms
   }
 
-  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
-    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
-      stripProjects(c)
-    case o => o
-  }
-
-  private def isRowCount(e: Expression): Boolean = e match {
-    case AggregateExpression(Count(Seq(l: Literal)), Complete, false, None, _) =>
-      l.value != null
-    case _ => false
-  }
-
-  /** Per-column CLOSED intervals when every conjunct is a comparison
-    * between a GUARDED layout column and an integral literal (or an
-    * IsNotNull on one — a no-op, the commit guards those columns
-    * non-null). None when any conjunct is anything else. Strict bounds
-    * saturate; contradictory conjuncts produce an empty (lo > hi)
-    * interval, which counts zero rows — exactly the predicate's truth.
+  /** Exact Long sum — throws [[ArithmeticException]] on overflow. Rule
+    * arms catch it and bail to the UNrewritten plan, which then
+    * reproduces each EvalMode's own overflow semantics (ANSI raises,
+    * LEGACY wraps) instead of silently answering a wrapped total from
+    * metadata.
     */
-  private def intervalsOf(cond: Expression, guarded: Set[String])
+  def sumExact(parts: Seq[Long]): Long = parts.foldLeft(0L)(Math.addExact)
+
+  /** Per-column CLOSED intervals when every conjunct of every condition
+    * is a range/equality comparison between a GUARDED layout column and a
+    * long-backed literal (or an IsNotNull on one — a no-op, the commit
+    * guards those columns non-null). None when any conjunct is anything
+    * else. Strict bounds saturate; contradictory conjuncts produce an
+    * empty (lo > hi) interval, which admits zero rows — exactly the
+    * predicate's truth.
+    */
+  def intervalsOf(conds: Seq[Expression], guarded: Set[String])
   : Option[Map[String, (Long, Long)]] = {
-    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, LessThanOrEqual}
     def litL(l: Literal): Option[Long] = l.value match {
       case x: Long => Some(x)
       case x: Int => Some(x.toLong)
@@ -354,7 +293,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case o => Seq(o)
     }
-    val ok = conjuncts(cond).forall {
+    val ok = conds.flatMap(conjuncts).forall {
       case IsNotNull(a: AttributeReference) if guarded(a.name) => true
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
         litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
@@ -381,6 +320,239 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     if (ok) Some(iv) else None
   }
 
+  /** A monotone integral bucketing of one layout attribute — the shapes
+    * the GROUP-BY collapse and the ordered-limit pushdown understand:
+    * `a`, `a div n`, `(a div n) * m`, `date_trunc(level, ts)` under UTC,
+    * and `unix_micros(...)` around any of the timestamp forms. `bucket`
+    * replicates Spark's evaluation exactly and is monotone NON-DECREASING
+    * in the stored Long (truncating division by a positive constant;
+    * calendar floor), so equal buckets at a shard's two exact window
+    * endpoints prove EVERY row of the shard falls in ONE group. `label`
+    * is the group VALUE in the expression's result type (internal
+    * representation); a multiply folds into the label only, while
+    * containment tests stay on the finer `bucket` (sound: bucket-equal
+    * implies label-equal, and equal labels ARE the same SQL group even
+    * when different buckets collide, e.g. `* 0`). `monotoneLabel` marks
+    * the labels themselves monotone non-decreasing in the stored Long —
+    * what the ORDERED-limit consumer needs (a `* -3` label flips order
+    * and is excluded there, while the GROUP-BY consumer doesn't care).
+    */
+  final case class Bucketing(attr: AttributeReference,
+                             bucket: Long => Long,
+                             label: Long => Any,
+                             monotoneLabel: Boolean)
+
+  def bucketingOf(e: Expression): Option[Bucketing] = {
+    def underlying(x: Expression): Option[AttributeReference] = x match {
+      case a: AttributeReference if integral(a.dataType) => Some(a)
+      case c: Cast if c.dataType == LType =>
+        c.child match {
+          case a: AttributeReference if integral(a.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
+    def posLit(x: Expression): Option[Long] = x match {
+      case Literal(n: Long, LType) if n > 0 => Some(n)
+      case Literal(n: Int, IntType) if n > 0 => Some(n.toLong)
+      case _ => None
+    }
+    def divOf(x: Expression): Option[(AttributeReference, Long)] = x match {
+      case d: IntegralDivide =>
+        underlying(d.left).flatMap(a => posLit(d.right).map(n => (a, n)))
+      case _ => None
+    }
+    e match {
+      case a: AttributeReference if longBacked(a.dataType) =>
+        Some(Bucketing(a, v => v, v => toTyped(Some(v), a.dataType),
+          monotoneLabel = true))
+      case d: IntegralDivide =>
+        divOf(d).map { case (a, n) =>
+          Bucketing(a, v => v / n, v => (v / n): Any, monotoneLabel = true)
+        }
+      case m: Multiply =>
+        def longLit(x: Expression): Option[Long] = x match {
+          case Literal(v: Long, LType) => Some(v)
+          case _ => None
+        }
+        // label multiplication via multiplyExact: an overflowing label is
+        // an overflow the SCAN plan must adjudicate per its EvalMode —
+        // the rule arms catch the exception and bail
+        (divOf(m.left), longLit(m.right), longLit(m.left), divOf(m.right)) match {
+          case (Some((a, n)), Some(mm), _, _) =>
+            Some(Bucketing(a, v => v / n,
+              v => Math.multiplyExact(v / n, mm): Any, monotoneLabel = mm > 0))
+          case (_, _, Some(mm), Some((a, n))) =>
+            Some(Bucketing(a, v => v / n,
+              v => Math.multiplyExact(v / n, mm): Any, monotoneLabel = mm > 0))
+          case _ => None
+        }
+      // date_trunc('day'|'hour'|…, ts) over a TIMESTAMP layout column —
+      // THE dashboard grouping. Calendar truncation is monotone
+      // non-decreasing in the instant, and under a UTC zone it is a pure
+      // function of the micros our zone maps store, replicated exactly
+      // by [[truncMicros]] (property-pinned against Spark's own
+      // evaluation in the spec). Non-UTC zones are left to Catalyst —
+      // DST makes wall-clock truncation zone-dependent, and our windows
+      // know nothing of zones. The label is the truncated micros itself
+      // (Catalyst's internal TimestampType value).
+      case tt: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+          if tt.timeZoneId.exists(isUtcZone) =>
+        val level = tt.format match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            Some(s.toString.toUpperCase(java.util.Locale.ROOT))
+          case _ => None
+        }
+        val tsAttr = tt.timestamp match {
+          case a: AttributeReference if a.dataType == TimestampType => Some(a)
+          case _ => None
+        }
+        for {
+          lv <- level if truncLevels(lv)
+          a <- tsAttr
+        } yield Bucketing(a, v => truncMicros(v, lv),
+          v => truncMicros(v, lv): Any, monotoneLabel = true)
+      // unix_micros(…) around a TIMESTAMP bucketing — the BIGINT spelling
+      // of a time bucket (`unix_micros(date_trunc('day', ts))`): for a
+      // TIMESTAMP attribute every inner label is ALREADY the internal
+      // micros Long, so the wrapper is the identity on labels and
+      // preserves monotonicity
+      case u: UnixMicros =>
+        bucketingOf(u.child).filter(_.attr.dataType == TimestampType)
+      case _ => None
+    }
+  }
+
+  def isUtcZone(tz: String): Boolean =
+    tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z" ||
+      tz == "+00:00" || tz == "UTC+00:00"
+
+  val truncLevels: Set[String] = Set(
+    "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MON", "MM", "WEEK",
+    "DAY", "DD", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
+
+  /** Spark's `date_trunc(level, ts)` on the internal micros, for a UTC
+    * zone — proleptic-Gregorian calendar truncation via java.time, the
+    * same calendar Catalyst uses. Monotone non-decreasing by
+    * construction (floor to a calendar boundary).
+    */
+  def truncMicros(v: Long, level: String): Long = {
+    import java.time.{DayOfWeek, LocalDateTime, ZoneOffset}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    if (level == "MICROSECOND") return v
+    val ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(v, 1000000L),
+      (Math.floorMod(v, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+    val t = level match {
+      case "YEAR" | "YYYY" | "YY" =>
+        ldt.withDayOfYear(1).truncatedTo(ChronoUnit.DAYS)
+      case "QUARTER" =>
+        val m = ((ldt.getMonthValue - 1) / 3) * 3 + 1
+        ldt.withDayOfMonth(1).withMonth(m).truncatedTo(ChronoUnit.DAYS)
+      case "MONTH" | "MON" | "MM" =>
+        ldt.withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
+      case "WEEK" =>
+        ldt.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+          .truncatedTo(ChronoUnit.DAYS)
+      case "DAY" | "DD" => ldt.truncatedTo(ChronoUnit.DAYS)
+      case "HOUR" => ldt.truncatedTo(ChronoUnit.HOURS)
+      case "MINUTE" => ldt.truncatedTo(ChronoUnit.MINUTES)
+      case "SECOND" => ldt.truncatedTo(ChronoUnit.SECONDS)
+      case "MILLISECOND" => ldt.truncatedTo(ChronoUnit.MILLIS)
+      case other => throw new IllegalStateException(
+        s"unreachable: truncLevels admitted '$other'")
+    }
+    t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+  }
+}
+
+/** METADATA-ONLY aggregate answering — the manifest-stats trick Delta and
+  * Iceberg play, at the engine's layout layer: an UNFILTERED, ungrouped
+  * `count(*)` / `min(c)` / `max(c)` over a `readIndexed` relation
+  * collapses to a one-row [[LocalRelation]] holding the registry's exact
+  * numbers — the scan disappears from the plan entirely (spec-pinned:
+  * ZERO FileScan). Soundness is exactness, not bounds:
+  *
+  *  - `count(*)`: per-shard `n_rows` is an exact count on every layout,
+  *    maintained exactly by every verb (append sums, upsert rebuilds the
+  *    touched shards, compact carries) — so the sum IS the row count;
+  *  - `min`/`max`: only columns with EXACT zone-map stats qualify — the
+  *    range layout's sort column and `statsCols`, the Z layout's two
+  *    interleaved columns (per-shard min/max over non-null values, null
+  *    only for all-null shards — matching SQL min/max null semantics
+  *    exactly, including the all-null → null and empty-table → null
+  *    cases). Hash-layout columns never qualify (Blooms carry
+  *    membership, not order);
+  *  - `sum(c)`/`count(c)`/`avg(c)`: columns committed with `sumCols`
+  *    carry per-shard EXACT (sum, non-null count) on EVERY layout —
+  *    hash, range, and Z — so the total sum/count are exact additions
+  *    and avg is the exact stored-sum ÷ stored-cnt (order info is not
+  *    needed for linear stats, which is why the hash layout qualifies
+  *    here but not for min/max).
+  *
+  * ANY Filter above the relation disqualifies the collapse (unlike the
+  * join dispatch there is no upper-bound slack in an exact answer),
+  * UNLESS its every conjunct is a range/equality predicate on a guarded
+  * layout column: the WINDOWED arm (region-contained shards answer from
+  * metadata, boundary shards scan) and the GROUP-BY arm compose with
+  * such filters. A GROUP BY whose every grouping expression is a
+  * monotone BUCKETING of a guarded layout column (`ts div n`,
+  * `(ts div n) * n`, `date_trunc(level, ts)` under UTC,
+  * `unix_micros(…)` of either) collapses per group the same way —
+  * region∩bucket-contained shards from metadata, shards straddling
+  * either boundary scan once with the original filter+grouping; the Z
+  * layout guards TWO columns, so the two-key dashboard
+  * `GROUP BY bucketA, bucketB` qualifies there. Any other aggregate
+  * shape — uncovered columns, DISTINCT, FILTER clauses, try_-mode
+  * aggregates, other groupings — is left to Catalyst untouched. OFF by
+  * default:
+  *
+  *   - `spark.graft.metadataAgg.enabled` (default false)
+  *
+  * The verb-level sibling is [[graft.core.SketchRegistry.tableStats]].
+  */
+object MetadataAggCollapse extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{EvalMode, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Union}
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+  import graft.core.SketchFileIndex
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.metadataAgg.enabled", "false").toBoolean
+
+  /** Unlike the join dispatch, NOTHING may sit between the aggregate and
+    * the relation except attribute-only Projects — a Filter (even
+    * IsNotNull) changes the exact answer.
+    */
+  private def indexUnder(p: LogicalPlan): Option[SketchFileIndex] = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case i: SketchFileIndex => Some(i)
+        case _ => None
+      }
+      case _ => None
+    }
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      indexUnder(child)
+    case _ => None
+  }
+
+  import LayoutExprs.{integral, longBacked, sumExact, toTyped, Bucketing, bucketingOf}
+
+  private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, c) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case o => o
+  }
+
+  private def isRowCount(e: Expression): Boolean = e match {
+    case AggregateExpression(Count(Seq(l: Literal)), Complete, false, None, _) =>
+      l.value != null
+    case _ => false
+  }
+
   /** Windowed-aggregate classification of one result expression. */
   private sealed trait WKind
   private case object WCnt extends WKind
@@ -394,8 +566,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     */
   private final case class WAvg(a: AttributeReference) extends WKind
   private case object WFold extends WKind
-  /** The grouping expression's own slot (GROUP-BY collapse only). */
-  private case object WLabel extends WKind
+  /** The j-th grouping expression's own slot (GROUP-BY collapse only). */
+  private final case class WLabel(j: Int) extends WKind
 
   /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
     * count(*) / min / max over GUARDED layout columns (plus foldable
@@ -424,193 +596,85 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 if guarded(a.name) && longBacked(a.dataType) => Some(WMax(a))
             // sum/count over a sumCols column: a contained shard's stored
             // (sum, cnt) IS its exact contribution — nulls excluded on
-            // both sides of the equality, so no non-null guard needed
+            // both sides of the equality, so no non-null guard needed.
+            // TRY mode is excluded (here and in the grouped/plain arms):
+            // try_sum answers NULL on overflow, which the rewrite's
+            // null-means-all-null Coalesce merge cannot represent; ANSI
+            // and LEGACY are safe because the metadata half sums via
+            // [[LayoutExprs.sumExact]] and the arm bails to the plain
+            // plan on overflow — the scan then adjudicates per its mode
             case Alias(AggregateExpression(
-                Sum(a: AttributeReference, _), Complete, false, None, _), _)
-                if sumCovered(a.name) && integral(a.dataType) => Some(WSum(a))
+                Sum(a: AttributeReference, mode), Complete, false, None, _), _)
+                if mode.evalMode != EvalMode.TRY &&
+                  sumCovered(a.name) && integral(a.dataType) => Some(WSum(a))
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if sumCovered(a.name) || guarded(a.name) => Some(WCntCol(a))
             case Alias(AggregateExpression(
-                Average(a: AttributeReference, _), Complete, false, None, _), _)
-                if sumCovered(a.name) && integral(a.dataType) => Some(WAvg(a))
+                Average(a: AttributeReference, mode), Complete, false, None, _), _)
+                if mode != EvalMode.TRY &&
+                  sumCovered(a.name) && integral(a.dataType) => Some(WAvg(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
           val ks = kinds.flatten
           if (ks.size != aggExprs.size || !ks.exists(_ != WFold)) None
-          else intervalsOf(cond, guarded).map(region => (f, idx, region, ks))
+          else LayoutExprs.intervalsOf(Seq(cond), guarded)
+            .map(region => (f, idx, region, ks))
         }
       case _ => None
     }
 
-  /** A monotone integral bucketing of one layout attribute — the GROUP-BY
-    * shapes the collapse understands: `a`, `a div n`, `(a div n) * m`
-    * (the multiply's literal on either side; an exact integral→BIGINT
-    * Cast around `a` looks through). `bucket` replicates Spark's
-    * TRUNCATING IntegralDivide exactly (Java long division), and
-    * truncating division by a positive constant is monotone
-    * non-decreasing — so equal buckets at a shard's two exact window
-    * endpoints prove EVERY row of the shard falls in ONE group. `label`
-    * is the group VALUE in the expression's result type; the multiply
-    * folds into the label only, while containment tests stay on the
-    * finer `bucket` (sound: bucket-equal implies label-equal, and equal
-    * labels ARE the same SQL group even when different buckets collide,
-    * e.g. `* 0`).
+  /** The (index, bucketings, region, kinds) of a GROUP-BY bucket
+    * aggregate: an Aggregate over a readIndexed range/Z relation —
+    * optionally through deterministic Projects AND deterministic Filters
+    * whose every conjunct is a range/equality predicate on a guarded
+    * layout column — whose EVERY grouping expression is a monotone
+    * bucketing of a non-null-guarded layout column (one for the range
+    * layout's sort column; the Z layout admits its two interleaved
+    * columns, so a two-key dashboard `GROUP BY bucketA, bucketB`
+    * qualifies), and whose every result is a group label, count(*),
+    * min/max over guarded layout columns, sum/count/avg over covered
+    * columns, or a foldable. A shard fully inside the filter region
+    * whose window maps into ONE bucket per grouping contributes that
+    * group's count/min/max/sum from metadata alone; shards straddling
+    * EITHER a region or a bucket boundary scan once with the original
+    * filter+grouping; shards outside the region drop outright.
     */
-  private final case class Bucketing(attr: AttributeReference,
-                                     bucket: Long => Long,
-                                     label: Long => Any)
-
-  private def bucketingOf(e: Expression): Option[Bucketing] = {
-    def underlying(x: Expression): Option[AttributeReference] = x match {
-      case a: AttributeReference if integral(a.dataType) => Some(a)
-      case c: Cast if c.dataType == LongType =>
-        c.child match {
-          case a: AttributeReference if integral(a.dataType) => Some(a)
-          case _ => None
-        }
-      case _ => None
-    }
-    def posLit(x: Expression): Option[Long] = x match {
-      case Literal(n: Long, LongType) if n > 0 => Some(n)
-      case Literal(n: Int, IntegerType) if n > 0 => Some(n.toLong)
-      case _ => None
-    }
-    def divOf(x: Expression): Option[(AttributeReference, Long)] = x match {
-      case d: IntegralDivide =>
-        underlying(d.left).flatMap(a => posLit(d.right).map(n => (a, n)))
-      case _ => None
-    }
-    e match {
-      case a: AttributeReference if longBacked(a.dataType) =>
-        Some(Bucketing(a, v => v, v => toTyped(Some(v), a.dataType)))
-      case d: IntegralDivide =>
-        divOf(d).map { case (a, n) =>
-          Bucketing(a, v => v / n, v => (v / n): Any)
-        }
-      case m: Multiply =>
-        def longLit(x: Expression): Option[Long] = x match {
-          case Literal(v: Long, LongType) => Some(v)
-          case _ => None
-        }
-        (divOf(m.left), longLit(m.right), longLit(m.left), divOf(m.right)) match {
-          case (Some((a, n)), Some(mm), _, _) =>
-            Some(Bucketing(a, v => v / n, v => ((v / n) * mm): Any))
-          case (_, _, Some(mm), Some((a, n))) =>
-            Some(Bucketing(a, v => v / n, v => ((v / n) * mm): Any))
-          case _ => None
-        }
-      // date_trunc('day'|'hour'|…, ts) over a TIMESTAMP layout column —
-      // THE dashboard grouping. Calendar truncation is monotone
-      // non-decreasing in the instant, and under a UTC zone it is a pure
-      // function of the micros our zone maps store, replicated exactly
-      // by [[truncMicros]] (property-pinned against Spark's own
-      // evaluation in the spec). Non-UTC zones are left to Catalyst —
-      // DST makes wall-clock truncation zone-dependent, and our windows
-      // know nothing of zones. The label is the truncated micros itself
-      // (Catalyst's internal TimestampType value).
-      case tt: org.apache.spark.sql.catalyst.expressions.TruncTimestamp
-          if tt.timeZoneId.exists(isUtcZone) =>
-        val level = tt.format match {
-          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-            Some(s.toString.toUpperCase(java.util.Locale.ROOT))
-          case _ => None
-        }
-        val tsAttr = tt.timestamp match {
-          case a: AttributeReference
-              if a.dataType == org.apache.spark.sql.types.TimestampType =>
-            Some(a)
-          case _ => None
-        }
-        for {
-          lv <- level if truncLevels(lv)
-          a <- tsAttr
-        } yield Bucketing(a, v => truncMicros(v, lv),
-          v => truncMicros(v, lv): Any)
-      case _ => None
-    }
-  }
-
-  private def isUtcZone(tz: String): Boolean =
-    tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z" ||
-      tz == "+00:00" || tz == "UTC+00:00"
-
-  private val truncLevels: Set[String] = Set(
-    "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MON", "MM", "WEEK",
-    "DAY", "DD", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
-
-  /** Spark's `date_trunc(level, ts)` on the internal micros, for a UTC
-    * zone — proleptic-Gregorian calendar truncation via java.time, the
-    * same calendar Catalyst uses. Monotone non-decreasing by
-    * construction (floor to a calendar boundary).
-    */
-  private def truncMicros(v: Long, level: String): Long = {
-    import java.time.{DayOfWeek, LocalDateTime, ZoneOffset}
-    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
-    if (level == "MICROSECOND") return v
-    val ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(v, 1000000L),
-      (Math.floorMod(v, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
-    val t = level match {
-      case "YEAR" | "YYYY" | "YY" =>
-        ldt.withDayOfYear(1).truncatedTo(ChronoUnit.DAYS)
-      case "QUARTER" =>
-        val m = ((ldt.getMonthValue - 1) / 3) * 3 + 1
-        ldt.withDayOfMonth(1).withMonth(m).truncatedTo(ChronoUnit.DAYS)
-      case "MONTH" | "MON" | "MM" =>
-        ldt.withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
-      case "WEEK" =>
-        ldt.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
-          .truncatedTo(ChronoUnit.DAYS)
-      case "DAY" | "DD" => ldt.truncatedTo(ChronoUnit.DAYS)
-      case "HOUR" => ldt.truncatedTo(ChronoUnit.HOURS)
-      case "MINUTE" => ldt.truncatedTo(ChronoUnit.MINUTES)
-      case "SECOND" => ldt.truncatedTo(ChronoUnit.SECONDS)
-      case "MILLISECOND" => ldt.truncatedTo(ChronoUnit.MILLIS)
-      case other => throw new IllegalStateException(
-        s"unreachable: truncLevels admitted '$other'")
-    }
-    t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
-  }
-
-  /** The (index, bucketing, kinds) of a GROUP-BY bucket aggregate: an
-    * UNFILTERED single-grouping Aggregate over a readIndexed range/Z
-    * relation whose grouping expression is a monotone bucketing of a
-    * non-null-guarded layout column, and whose every result is the group
-    * label, count(*), min/max over guarded layout columns, sum/count
-    * over covered columns, or a foldable. A shard whose exact window maps
-    * into ONE bucket contributes that group's count/min/max/sum from
-    * metadata alone; only bucket-SPANNING shards scan.
-    */
-  private def groupedAgg(ge0: Expression, aggExprs: Seq[NamedExpression],
+  private def groupedAgg(ges0: Seq[Expression], aggExprs: Seq[NamedExpression],
                          child0: LogicalPlan)
-  : Option[(SketchFileIndex, Bucketing, Seq[WKind])] = {
+  : Option[(SketchFileIndex, Seq[Bucketing],
+      Map[String, (Long, Long)], Seq[WKind])] = {
     // Walk Projects down to the sketch relation, SUBSTITUTING alias
-    // definitions into the grouping expression as we go —
-    // PullOutGroupingExpressions extracts a complex grouping into a
-    // `_groupingexpression` Project alias long before this rule runs, so
-    // the Aggregate itself groups on a bare attribute. Deterministic
-    // Projects only (the rewrite re-evaluates the subtree). No Filter may
-    // intervene: the collapse is exact, and a filter changes the answer.
-    def walk(p: LogicalPlan, e: Expression)
-    : Option[(SketchFileIndex, LogicalRelation, Expression)] = p match {
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation => h.location match {
-          case i: SketchFileIndex => Some((i, l, e))
+    // definitions into the grouping expressions and collected filter
+    // conditions as we go — PullOutGroupingExpressions extracts a complex
+    // grouping into a `_groupingexpression` Project alias long before
+    // this rule runs, so the Aggregate itself groups on a bare attribute.
+    // Deterministic Projects/Filters only (the rewrite re-evaluates the
+    // subtree over the boundary shards).
+    def walk(p: LogicalPlan, ges: Seq[Expression], conds: Seq[Expression])
+    : Option[(SketchFileIndex, LogicalRelation, Seq[Expression], Seq[Expression])] =
+      p match {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location match {
+            case i: SketchFileIndex => Some((i, l, ges, conds))
+            case _ => None
+          }
           case _ => None
         }
+        case Project(exprs, child) if exprs.forall(_.deterministic) =>
+          val subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+            exprs.collect { case a: Alias => a.exprId -> a.child }.toMap
+          def sub(x: Expression): Expression = x.transformUp {
+            case ar: AttributeReference if subst.contains(ar.exprId) =>
+              subst(ar.exprId)
+          }
+          walk(child, ges.map(sub), conds.map(sub))
+        case Filter(cond, child) if cond.deterministic =>
+          walk(child, ges, conds :+ cond)
         case _ => None
       }
-      case Project(exprs, child) if exprs.forall(_.deterministic) =>
-        val subst: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
-          exprs.collect { case a: Alias => a.exprId -> a.child }.toMap
-        walk(child, e.transformUp {
-          case ar: AttributeReference if subst.contains(ar.exprId) =>
-            subst(ar.exprId)
-        })
-      case _ => None
-    }
-    walk(child0, ge0).flatMap { case (idx, rel, ge) =>
+    walk(child0, ges0, Nil).flatMap { case (idx, rel, ges, conds) =>
       val guarded = idx.nonNullLayoutCols
       if (guarded.isEmpty) return None // hash layout: no exact windows
       val sumCovered: Set[String] = idx.sumStatsByCol.keySet
@@ -619,12 +683,18 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // borrow that column's stats
       val relIds = rel.output.map(_.exprId).toSet
       def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
-      bucketingOf(ge)
-        .filter(b => relAttr(b.attr) && guarded(b.attr.name))
-        .flatMap { bk =>
-          val kinds: Seq[Option[WKind]] = aggExprs.map {
-            case Alias(e, _) if e.semanticEquals(ge0) => Some(WLabel)
-            case a: AttributeReference if a.semanticEquals(ge0) => Some(WLabel)
+      val buckets: Seq[Option[Bucketing]] = ges.map(g =>
+        bucketingOf(g).filter(b => relAttr(b.attr) && guarded(b.attr.name)))
+      if (buckets.exists(_.isEmpty)) return None
+      LayoutExprs.intervalsOf(conds, guarded).flatMap { region =>
+        val kinds: Seq[Option[WKind]] = aggExprs.map { ae =>
+          val labelIdx = ges0.indexWhere(g => ae match {
+            case Alias(e, _) => e.semanticEquals(g)
+            case a: AttributeReference => a.semanticEquals(g)
+            case _ => false
+          })
+          if (labelIdx >= 0) Some(WLabel(labelIdx))
+          else ae match {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
                 Min(a: AttributeReference), Complete, false, None, _), _)
@@ -635,34 +705,38 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 if relAttr(a) && guarded(a.name) && longBacked(a.dataType) =>
               Some(WMax(a))
             case Alias(AggregateExpression(
-                Sum(a: AttributeReference, _), Complete, false, None, _), _)
-                if relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+                Sum(a: AttributeReference, mode), Complete, false, None, _), _)
+                if mode.evalMode != EvalMode.TRY &&
+                  relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
               Some(WSum(a))
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if relAttr(a) && (sumCovered(a.name) || guarded(a.name)) =>
               Some(WCntCol(a))
             case Alias(AggregateExpression(
-                Average(a: AttributeReference, _), Complete, false, None, _), _)
-                if relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+                Average(a: AttributeReference, mode), Complete, false, None, _), _)
+                if mode != EvalMode.TRY &&
+                  relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
               Some(WAvg(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
-          val ks = kinds.flatten
-          if (ks.size != aggExprs.size ||
-            !ks.exists(k => k != WFold && k != WLabel)) None
-          else Some((idx, bk, ks))
         }
+        val ks = kinds.flatten
+        if (ks.size != aggExprs.size ||
+          !ks.exists(k => k != WFold && !k.isInstanceOf[WLabel])) None
+        else Some((idx, buckets.map(_.get), region, ks))
+      }
     }
   }
 
   private object GroupedAgg {
     def unapply(p: LogicalPlan)
-    : Option[(Aggregate, SketchFileIndex, Bucketing, Seq[WKind])] = p match {
-      case agg @ Aggregate(Seq(ge), aggExprs, child0, _) =>
-        groupedAgg(ge, aggExprs, child0).map { case (idx, bk, ks) =>
-          (agg, idx, bk, ks)
+    : Option[(Aggregate, SketchFileIndex, Seq[Bucketing],
+        Map[String, (Long, Long)], Seq[WKind])] = p match {
+      case agg @ Aggregate(ges, aggExprs, child0, _) if ges.nonEmpty =>
+        groupedAgg(ges, aggExprs, child0).map { case (idx, bks, region, ks) =>
+          (agg, idx, bks, region, ks)
         }
       case _ => None
     }
@@ -695,7 +769,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // (intersecting, not contained) scan, with the original filter —
       // the count adds, min/max combine via Least/Greatest. A month
       // window over a year-laid table reads its two boundary shards.
-      case WindowedAgg(agg, f, idx, region, kinds) =>
+      case WindowedAgg(agg, f, idx, region, kinds) => try {
         val aggExprs = agg.aggregateExpressions
         val counts = idx.shardRowCounts
         val aggCols: Set[String] = kinds.collect {
@@ -721,7 +795,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         def contSum(c: String): Option[Long] = {
           val parts = cont.flatMap(s =>
             idx.sumStatsByCol.getOrElse(c, Map.empty).get(s).flatMap(_._1))
-          if (parts.isEmpty) None else Some(parts.sum)
+          if (parts.isEmpty) None else Some(sumExact(parts))
         }
         def contCnt(a: AttributeReference): Long =
           if (idx.nonNullLayoutCols(a.name)) fullSum
@@ -836,45 +910,69 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                     Alias(Divide(Cast(totalSum, dbl), Cast(totalCnt, dbl)),
                       o.name)(exprId = o.exprId)
                   case WFold => o
-                  case WLabel => throw new IllegalStateException(
+                  case WLabel(_) => throw new IllegalStateException(
                     "WLabel is GROUP-BY-only; windowedAgg never emits it")
                 }
             }
           Project(projList, inner)
         }
+      } catch {
+        // a metadata-half sum overflowed Long: bail to the unrewritten
+        // plan so the scan adjudicates per its own EvalMode (ANSI raises,
+        // LEGACY wraps) instead of answering a wrapped total silently
+        case _: ArithmeticException => agg
+      }
 
       // GROUP-BY bucket collapse — the dashboard shape at 100 TB:
-      // `SELECT ts div N, count(*), sum(c) … GROUP BY 1` over a
-      // range/Z-laid table. Shards whose exact window maps into ONE
-      // bucket contribute their (n_rows, window endpoints, stored sums)
-      // to that group from METADATA; only bucket-spanning shards scan,
-      // once, with the original grouping — the two halves merge through
-      // an outer re-aggregate (counts/sums add, min/min and max/max
-      // combine). All shards contained ⇒ a pure LocalRelation, zero
-      // FileScan. A day-bucketed count over a year-laid table scans
-      // only the handful of shards whose windows straddle a midnight.
-      case GroupedAgg(agg, idx, bk, kinds) =>
+      // `SELECT ts div N, count(*), sum(c) … [WHERE range-predicates]
+      // GROUP BY 1[, 2]` over a range/Z-laid table. Shards fully inside
+      // the filter region whose exact window maps into ONE bucket per
+      // grouping contribute their (n_rows, window endpoints, stored
+      // sums) to that group from METADATA; shards straddling either a
+      // region or a bucket boundary scan once, with the original
+      // filter+grouping — the two halves merge through an outer
+      // re-aggregate (counts/sums add, min/min and max/max combine);
+      // shards outside the region drop outright. All candidates
+      // contained ⇒ a pure LocalRelation, zero FileScan. A day-bucketed
+      // count over the last month of a year-laid table scans only the
+      // handful of shards straddling a midnight or the month cut.
+      case GroupedAgg(agg, idx, bks, region, kinds) => try {
         import org.apache.spark.sql.catalyst.expressions.In
-        val ge = agg.groupingExpressions.head
+        val ges = agg.groupingExpressions
         val aggExprs = agg.aggregateExpressions
         val counts = idx.shardRowCounts
         val aggCols: Set[String] = kinds.collect {
           case WMin(a) => a.name
           case WMax(a) => a.name
-        }.toSet + bk.attr.name
+        }.toSet ++ bks.map(_.attr.name) ++ region.keySet
         val windows: Map[String, Map[Int, (Long, Long)]] =
           aggCols.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
         val populated = counts.keySet.toSeq.sorted
-        val gw = windows(bk.attr.name)
-        val cont = populated.filter(s => gw.get(s).exists { case (wl, wh) =>
-          bk.bucket(wl) == bk.bucket(wh) })
-        if (cont.isEmpty) agg // every shard spans buckets: nothing gained
-        else {
-          val bound = populated.filterNot(cont.contains)
-          // per-LABEL metadata contributions over the contained shards
-          // (≤ one label per shard — driver cost O(2^shardsLog2))
-          val byLabel: Seq[(Any, Seq[Int])] =
-            cont.groupBy(s => bk.label(gw(s)._1)).toSeq
+        def regionIntersects(s: Int): Boolean = region.forall {
+          case (c, (lo, hi)) => lo <= hi &&
+            windows(c).get(s).exists { case (wl, wh) => wh >= lo && wl <= hi } }
+        def regionContained(s: Int): Boolean = region.forall {
+          case (c, (lo, hi)) =>
+            windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
+        def bucketContained(s: Int): Boolean = bks.forall(bk =>
+          windows(bk.attr.name).get(s).exists { case (wl, wh) =>
+            bk.bucket(wl) == bk.bucket(wh) })
+        val candidates = populated.filter(regionIntersects)
+        val cont = candidates.filter(s => regionContained(s) && bucketContained(s))
+        if (candidates.isEmpty) {
+          // no shard holds an eligible row (unsatisfiable/region-disjoint
+          // filter, or an empty table): a grouped aggregate over empty
+          // input is ZERO rows
+          LocalRelation(agg.output, Nil)
+        } else if (cont.isEmpty) {
+          agg // every candidate straddles a boundary: nothing gained
+        } else {
+          val bound = candidates.filterNot(cont.contains)
+          // per-LABEL-TUPLE metadata contributions over the contained
+          // shards (≤ one tuple per shard — driver cost O(2^shardsLog2))
+          val byLabel: Seq[(Seq[Any], Seq[Int])] =
+            cont.groupBy(s =>
+              bks.map(bk => bk.label(windows(bk.attr.name)(s)._1))).toSeq
           def mMin(c: String, ss: Seq[Int]): Option[Long] =
             ss.flatMap(s => windows(c).get(s).map(_._1)).minOption
           def mMax(c: String, ss: Seq[Int]): Option[Long] =
@@ -882,7 +980,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           def mSum(c: String, ss: Seq[Int]): Option[Long] = {
             val parts = ss.flatMap(s =>
               idx.sumStatsByCol.getOrElse(c, Map.empty).get(s).flatMap(_._1))
-            if (parts.isEmpty) None else Some(parts.sum)
+            if (parts.isEmpty) None else Some(sumExact(parts))
           }
           def mCnt(a: AttributeReference, ss: Seq[Int]): Long =
             if (idx.nonNullLayoutCols(a.name)) ss.iterator.map(counts).sum
@@ -890,10 +988,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               idx.sumStatsByCol.getOrElse(a.name, Map.empty)
                 .get(s).map(_._2).getOrElse(0L)).sum
           if (bound.isEmpty) {
-            // every shard contained: the whole aggregate IS its metadata
-            val rows = byLabel.map { case (lbl, ss) =>
+            // every candidate contained: the whole aggregate IS metadata
+            val rows = byLabel.map { case (lbls, ss) =>
               InternalRow.fromSeq(aggExprs.zip(kinds).map {
-                case (_, WLabel) => lbl
+                case (_, WLabel(j)) => lbls(j)
                 case (_, WCnt) => ss.iterator.map(counts).sum
                 case (_, WMin(a)) => toTyped(mMin(a.name, ss), a.dataType)
                 case (_, WMax(a)) => toTyped(mMax(a.name, ss), a.dataType)
@@ -909,10 +1007,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }
             LocalRelation(agg.output, rows)
           } else {
-            // boundary shards scan ONCE with the original grouping; the
-            // contained contribution rides in as a LocalRelation of
-            // per-label partials, and an outer re-aggregate merges the
-            // halves (count/sum add, min/max combine — all exact)
+            // boundary shards scan ONCE with the original filter and
+            // grouping; the contained contribution rides in as a
+            // LocalRelation of per-label partials, and an outer
+            // re-aggregate merges the halves (count/sum add, min/max
+            // combine — all exact)
             val pruned = agg.child.transformUp {
               case l: LogicalRelation if (l.relation match {
                 case h: HadoopFsRelation => h.location.isInstanceOf[SketchFileIndex]
@@ -931,7 +1030,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 case ((_: Alias, WAvg(a)), i) =>
                   Some(Alias(AggregateExpression(Sum(a), Complete,
                     isDistinct = false), s"__p_$i")())
-                case ((a: Alias, k), i) if k != WFold && k != WLabel =>
+                case ((a: Alias, k), i)
+                    if k != WFold && !k.isInstanceOf[WLabel] =>
                   Some(Alias(a.child, s"__p_$i")())
                 case _ => None
               }
@@ -940,11 +1040,13 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 Alias(AggregateExpression(Count(Seq(a)), Complete,
                   isDistinct = false), s"__p_cnt_$i")()
             }
+            val innerLabels: Seq[NamedExpression] =
+              ges.zipWithIndex.map { case (g, j) => Alias(g, s"__g$j")() }
             val innerExprs: Seq[NamedExpression] =
-              (Alias(ge, "__g")() +: innerPartials.flatten) ++ avgCntExprs
-            val inner = Aggregate(Seq(ge), innerExprs, pruned)
+              (innerLabels ++ innerPartials.flatten) ++ avgCntExprs
+            val inner = Aggregate(ges, innerExprs, pruned)
             val posOf = scala.collection.mutable.Map[Int, Int]()
-            var nextPos = 1
+            var nextPos = ges.size
             innerPartials.zipWithIndex.foreach {
               case (Some(_), i) => posOf(i) = nextPos; nextPos += 1
               case _ => ()
@@ -954,9 +1056,9 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }.zipWithIndex.map { case (i, j) => i -> (nextPos + j) }.toMap
             val metaAttrs = inner.output.map(a =>
               AttributeReference(a.name, a.dataType, nullable = true)())
-            val metaRows = byLabel.map { case (lbl, ss) =>
+            val metaRows = byLabel.map { case (lbls, ss) =>
               val vals = new Array[Any](inner.output.size)
-              vals(0) = lbl
+              ges.indices.foreach(j => vals(j) = lbls(j))
               aggExprs.indices.foreach { i =>
                 posOf.get(i).foreach { p =>
                   vals(p) = kinds(i) match {
@@ -980,11 +1082,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }
             val u = Union(Seq(inner, LocalRelation(metaAttrs, metaRows)))
             val uOut = u.output
-            val gAttr = uOut.head
             val results: Seq[NamedExpression] =
               agg.output.zip(aggExprs).zip(kinds).zipWithIndex.map {
                 case (((o, e), k), i) => k match {
-                  case WLabel => Alias(gAttr, o.name)(exprId = o.exprId)
+                  case WLabel(j) => Alias(uOut(j), o.name)(exprId = o.exprId)
                   case WFold => e match {
                     case a: Alias => Alias(a.child, o.name)(exprId = o.exprId)
                     case _ => o
@@ -1012,11 +1113,16 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                       o.name)(exprId = o.exprId)
                 }
               }
-            Aggregate(Seq(gAttr), results, u)
+            Aggregate(uOut.take(ges.size), results, u)
           }
         }
+      } catch {
+        // a metadata-half sum or label multiply overflowed Long: bail to
+        // the unrewritten plan — the scan adjudicates per its EvalMode
+        case _: ArithmeticException => agg
+      }
 
-      case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined =>
+      case agg @ Aggregate(Nil, aggExprs, child, _) if indexUnder(child).isDefined => try {
         val idx = indexUnder(child).get
         def sumStats(c: String): Option[Map[Int, (Option[Long], Long)]] =
           idx.sumStatsByCol.get(c)
@@ -1034,26 +1140,28 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             else sumStats(a.name).map(_.values.iterator.map(_._2).sum)
           // sum(c): exact Σ of per-shard sums (SQL null when every shard
           // is all-null / the table is empty); integral inputs only —
-          // Sum's result type is then BIGINT, matching the stored longs
+          // Sum's result type is then BIGINT, matching the stored longs.
+          // TRY excluded (try_sum answers NULL on overflow; sumExact
+          // bails this arm to the scan plan instead)
           case Alias(AggregateExpression(
-              Sum(a: AttributeReference, _), Complete, false, None, _), _)
-              if integral(a.dataType) =>
+              Sum(a: AttributeReference, mode), Complete, false, None, _), _)
+              if mode.evalMode != EvalMode.TRY && integral(a.dataType) =>
             sumStats(a.name).map { per =>
               val parts = per.values.iterator.flatMap(_._1).toSeq
-              if (parts.isEmpty) null else parts.sum
+              if (parts.isEmpty) null else sumExact(parts)
             }
           // avg(c) = stored-sum ÷ stored-cnt — both exact, so the quotient
           // is the exact mean (double division of exact integers; SQL
           // null when no non-null value exists). Integral inputs only,
           // matching Average's DOUBLE result type for them.
           case Alias(AggregateExpression(
-              Average(a: AttributeReference, _), Complete, false, None, _), _)
-              if integral(a.dataType) =>
+              Average(a: AttributeReference, mode), Complete, false, None, _), _)
+              if mode != EvalMode.TRY && integral(a.dataType) =>
             sumStats(a.name).map { per =>
               val cnt = per.values.iterator.map(_._2).sum
               val parts = per.values.iterator.flatMap(_._1).toSeq
               if (cnt == 0L || parts.isEmpty) null
-              else parts.sum.toDouble / cnt
+              else sumExact(parts).toDouble / cnt
             }
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)
@@ -1073,6 +1181,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(answers.map(_.get))))
         else agg
+      } catch {
+        // a metadata sum overflowed Long: bail to the unrewritten plan —
+        // the scan adjudicates per its EvalMode (ANSI raises, LEGACY wraps)
+        case _: ArithmeticException => agg
+      }
     }
   }
 }
@@ -1100,16 +1213,20 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   * Scope: `Limit(k, Sort(order, global, child))` — optionally through a
   * deterministic Project between Limit and Sort — where the FIRST sort
   * key resolves (through deterministic Project aliases) to a guarded
-  * layout attribute of a `readIndexed` range/Z relation, k > 0, and the
+  * layout attribute of a `readIndexed` range/Z relation, OR to a
+  * monotone non-decreasing bucketing of one (`ts div n`,
+  * `date_trunc(level, ts)` under UTC, `unix_micros(…)` of either — the
+  * "latest 100 by day" shape; separation is then proved bucket-strictly,
+  * since a non-strict key ties across a whole bucket), k > 0, and the
   * selection actually excludes at least one populated shard. WHERE
   * clauses whose every conjunct is a range/equality on guarded layout
   * columns compose ("latest k of the last week"): shards outside the
   * filter region drop outright, only region-CONTAINED shards (every row
   * survives the filter, so n_rows is the eligible count) count toward
   * the guarantee, and the unselected bound caps at the region edge.
-  * Any other filter shape, expression sort keys, or hash layouts are
-  * left to Catalyst untouched — there the eligible-count bound is
-  * unknowable from metadata. OFF by default:
+  * Any other filter shape, non-monotone sort expressions, or hash
+  * layouts are left to Catalyst untouched — there the eligible-count
+  * bound is unknowable from metadata. OFF by default:
   *
   *   - `spark.graft.orderedLimit.enabled` (default false)
   *
@@ -1154,70 +1271,13 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Per-column CLOSED intervals when every conjunct of every collected
-    * filter is a range/equality comparison between a GUARDED layout
-    * column and a long-backed literal (or an IsNotNull on one). The
-    * eligibility restriction the shard selection must honor: a shard
-    * counts toward the top-k guarantee only when its windows are FULLY
-    * inside every interval (all its rows survive the filter), and a
-    * shard outside any interval holds no eligible row at all. None when
-    * any conjunct is anything else — then the count bound is unknowable
-    * from metadata and the rule leaves the plan alone.
-    */
-  private def intervalsOf(conds: Seq[Expression], guarded: Set[String])
-  : Option[Map[String, (Long, Long)]] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
-    def litL(l: Literal): Option[Long] = l.value match {
-      case x: Long => Some(x)
-      case x: Int => Some(x.toLong)
-      case x: Short => Some(x.toLong)
-      case x: Byte => Some(x.toLong)
-      case _ => None
-    }
-    var iv = Map.empty[String, (Long, Long)]
-    def restrict(c: String, lo: Long, hi: Long): Boolean = {
-      val (l0, h0) = iv.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      iv = iv.updated(c, (math.max(l0, lo), math.min(h0, hi)))
-      true
-    }
-    def above(c: String, v: Long): Boolean =
-      if (v == Long.MaxValue) restrict(c, 1L, 0L) else restrict(c, v + 1, Long.MaxValue)
-    def below(c: String, v: Long): Boolean =
-      if (v == Long.MinValue) restrict(c, 1L, 0L) else restrict(c, Long.MinValue, v - 1)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(a, b) => conjuncts(a) ++ conjuncts(b)
-      case o => Seq(o)
-    }
-    val ok = conds.flatMap(conjuncts).forall {
-      case IsNotNull(a: AttributeReference) if guarded(a.name) => true
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
-      case GreaterThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
-        litL(l).exists(v => above(a.name, v))
-      case LessThan(a: AttributeReference, l: Literal) if guarded(a.name) =>
-        litL(l).exists(v => below(a.name, v))
-      case EqualTo(a: AttributeReference, l: Literal) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, v, v))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, Long.MinValue, v))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
-      case GreaterThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
-        litL(l).exists(v => below(a.name, v))
-      case LessThan(l: Literal, a: AttributeReference) if guarded(a.name) =>
-        litL(l).exists(v => above(a.name, v))
-      case EqualTo(l: Literal, a: AttributeReference) if guarded(a.name) =>
-        litL(l).exists(v => restrict(a.name, v, v))
-      case _ => false
-    }
-    if (ok) Some(iv) else None
-  }
-
   /** The minimal direction-ordered shard subset guaranteed to contain
     * every ELIGIBLE top-k row, or None when no strict subset suffices.
-    * General over overlapping windows (Z cells) and over a filter region:
+    * General over overlapping windows (Z cells), over a filter region,
+    * and over a MONOTONE BUCKETING of the sort column (`ORDER BY
+    * date_trunc('day', ts) DESC, id` — the first key is a NON-strict
+    * monotone function of the layout column, so ties span whole buckets
+    * and the strict-separation proof must compare BUCKETS, not values):
     *
     *  - candidates: shards intersecting the region on every filtered
     *    column — a shard outside it holds no eligible row and is dropped
@@ -1225,16 +1285,19 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
     *    would make);
     *  - `guaranteed` counts only REGION-CONTAINED candidates (every row
     *    survives the filter, so n_rows is the eligible count) whose sort
-    *    window strictly beats every unselected candidate's best eligible
-    *    value (capped at the region's own sort bound — an unselected row
-    *    can never exceed min(window_max, hi)).
+    *    window's worst BUCKET strictly beats every unselected candidate's
+    *    best eligible bucket (the raw best value caps at the region's own
+    *    sort bound — an unselected row can never exceed min(window_max,
+    *    hi) — and the bucketing is monotone non-decreasing, so the cap's
+    *    bucket bounds the bucket). For the identity bucketing this is
+    *    exactly strict value separation.
     */
-  private def selectShards(sortCol: String,
+  private def selectShards(bk: LayoutExprs.Bucketing,
                            windowsByCol: Map[String, Map[Int, (Long, Long)]],
                            counts: Map[Int, Long],
                            desc: Boolean, k: Long,
                            region: Map[String, (Long, Long)]): Option[Seq[Int]] = {
-    val windows = windowsByCol(sortCol)
+    val windows = windowsByCol(bk.attr.name)
     val populated = counts.keySet.toSeq
     if (populated.exists(s => !windows.contains(s))) return None
     def intersects(s: Int): Boolean = region.forall { case (c, (lo, hi)) =>
@@ -1249,7 +1312,7 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
     }
     val candidates = populated.filter(intersects)
     if (candidates.isEmpty) return Some(Nil) // unsatisfiable filter
-    val (loS, hiS) = region.getOrElse(sortCol, (Long.MinValue, Long.MaxValue))
+    val (loS, hiS) = region.getOrElse(bk.attr.name, (Long.MinValue, Long.MaxValue))
     val ordered =
       if (desc) candidates.sortBy(s => (-windows(s)._2, s))
       else candidates.sortBy(s => (windows(s)._1, s))
@@ -1260,7 +1323,8 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
               else rest.iterator.map(s => math.max(windows(s)._1, loS)).min
       val guaranteed = ordered.take(i).iterator
         .filter(s => contained(s) &&
-          (if (desc) windows(s)._1 > u else windows(s)._2 < u))
+          (if (desc) bk.bucket(windows(s)._1) > bk.bucket(u)
+           else bk.bucket(windows(s)._2) < bk.bucket(u)))
         .map(counts).sum
       if (guaranteed >= k) return Some(ordered.take(i))
       i += 1
@@ -1275,19 +1339,21 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
     walk(child, sortExpr, Nil).flatMap { case (idx, rel, resolved, conds) =>
       val relIds = rel.output.map(_.exprId).toSet
       val guarded = idx.nonNullLayoutCols
-      val attr = resolved match {
-        case a: AttributeReference
-            if relIds.contains(a.exprId) && guarded(a.name) =>
-          Some(a)
-        case _ => None
-      }
       for {
-        a <- attr
-        region <- intervalsOf(conds, guarded)
-        windowsByCol = (region.keySet + a.name)
+        // the first sort key: a guarded layout attribute, or a MONOTONE
+        // bucketing of one (`ts div n`, `date_trunc(level, ts)` under
+        // UTC, `unix_micros(…)` around either). Labels must be monotone
+        // NON-DECREASING in the stored Long (a `* -3` flips the sort
+        // direction and is rejected) — bucket-strict separation then
+        // proves the top-k under ANY tiebreak keys.
+        bk <- LayoutExprs.bucketingOf(resolved)
+          if bk.monotoneLabel && relIds.contains(bk.attr.exprId) &&
+            guarded(bk.attr.name)
+        region <- LayoutExprs.intervalsOf(conds, guarded)
+        windowsByCol = (region.keySet + bk.attr.name)
           .flatMap(c => idx.columnWindows(c).map(c -> _)).toMap
-        if windowsByCol.contains(a.name)
-        selected <- selectShards(a.name, windowsByCol, idx.shardRowCounts,
+        if windowsByCol.contains(bk.attr.name)
+        selected <- selectShards(bk, windowsByCol, idx.shardRowCounts,
           desc, k.toLong, region)
       } yield child.transformUp {
         case l: LogicalRelation if l.eq(rel) =>
@@ -1368,10 +1434,12 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
   * apply to INNER only (the salted rewrite re-projects by name).
   * A readIndexed pair the hash/ordered arms cannot dispatch — differing
   * layouts (hash dim × range fact), mismatched sketch parameters, or
-  * equi-keys that aren't the layout keys — still gets the one
-  * layout-AGNOSTIC decision: a broadcast hint from the registries'
-  * exact row counts (no pruning, no salting — counts are sound upper
-  * bounds regardless of layout).
+  * equi-keys that aren't the layout keys — still gets the
+  * layout-AGNOSTIC decisions: a broadcast hint from the registries'
+  * exact row counts (sound upper bounds regardless of layout), and —
+  * when the fact side committed a secondary Bloom on the join column —
+  * a fact-shard prune against the broadcast dim's key set (dim-filter
+  * pushdown: a fact shard admitting no dim key provably joins nothing).
   * Decisions are cached per (root, version) pair — optimizer batches run
   * to fixed point, and the registry is immutable per version.
   */
@@ -1413,6 +1481,12 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     */
   private val orderedColocCache = new graft.util.LruCache[
     (String, Long, String, Long), (Seq[Int], Seq[Int])](cacheMax)
+
+  /** Cross-layout secondary-Bloom fact admission, keyed by (fact root,
+    * fact version, dim root, dim version, fact join column).
+    */
+  private val crossPruneCache = new graft.util.LruCache[
+    (String, Long, String, Long, String), Seq[Int]](cacheMax)
 
   /** Test/ops introspection: current cache occupancy. */
   private[graft] def cacheSizes: (Int, Int) = (planCache.size, colocCache.size)
@@ -1636,13 +1710,21 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
       // CROSS-LAYOUT fallback — a hash-keyed dim joined to a range-laid
       // fact (or any readIndexed pair the arms above cannot dispatch:
       // differing layouts, mismatched sketch parameters, equi-keys that
-      // aren't the layout keys). Nothing can prune or salt, but the
-      // registries' EXACT row counts are layout-AGNOSTIC — so the one
+      // aren't the layout keys). Nothing can salt, but the registries'
+      // EXACT row counts are layout-AGNOSTIC — so the one
       // layout-independent decision still fires: a side whose exact
       // count fits the budget gets the broadcast hint Spark's size
       // estimator would never grant it (upper bound under filters —
-      // [[indexUnder]] — so the hint stays legal). Rows unchanged by
-      // construction: a hint never changes semantics.
+      // [[indexUnder]] — so the hint stays legal). And when the FACT
+      // side committed a secondary Bloom on the join column
+      // (`sketchCols`), the broadcast dim's key set AND-probes the
+      // fact's per-shard Blooms — the classic dim-filter pushdown: fact
+      // shards admitting NO dim key provably join nothing and their
+      // dirs never open (Bloom false positives cost a read, false
+      // negatives cannot occur; side legality per join type as in
+      // [[mayPruneLeft]]/[[mayPruneRight]]). Rows unchanged by
+      // construction: a hint never changes semantics, and pruned shards
+      // provably contribute none.
       case j @ Join(left, right, jt, Some(cond), hint)
           if hint == JoinHint.NONE && supported(jt) &&
             !alreadyPruned(left) && !alreadyPruned(right) &&
@@ -1650,15 +1732,81 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
             indexUnder(left).isDefined && indexUnder(right).isDefined =>
         val li = indexUnder(left).get
         val ri = indexUnder(right).get
+        val pairs = keyPairs(cond, left, right).get
         val bcastL = JoinHint(Some(HintInfo(strategy = Some(BROADCAST))), None)
         val bcastR = JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
         val rOuter = jt == org.apache.spark.sql.catalyst.plans.RightOuter
-        if (ri.metadataRowCount <= broadcastMaxRows && !rOuter)
-          Join(left, right, jt, j.condition, bcastR)
-        else if (li.metadataRowCount <= broadcastMaxRows &&
-          (jt == Inner || rOuter))
-          Join(left, right, jt, j.condition, bcastL)
-        else j
+        if (ri.metadataRowCount <= broadcastMaxRows && !rOuter) {
+          val l2 =
+            if (mayPruneLeft(jt))
+              crossBloomPruned(spark, left, li, right, ri, pairs.map(_.swap))
+            else left
+          Join(l2, right, jt, j.condition, bcastR)
+        } else if (li.metadataRowCount <= broadcastMaxRows &&
+          (jt == Inner || rOuter)) {
+          val r2 =
+            if (mayPruneRight(jt))
+              crossBloomPruned(spark, right, ri, left, li, pairs)
+            else right
+          Join(left, r2, jt, j.condition, bcastL)
+        } else j
+    }
+  }
+
+  /** The fact side with its secondary-Bloom shard prune applied, or the
+    * side untouched when it cannot prune. `pairs` is (dimAttr, factAttr)
+    * per equi-conjunct; a SINGLE-column join whose fact column carries a
+    * committed per-shard Bloom qualifies (the hash layout's own key
+    * column qualifies too when it is a plain integral key — its Bloom is
+    * over the same [[graft.core.LayoutLong]] value the probe derives;
+    * string/composite key hashes live in another domain and are left
+    * alone). The dim's DISTINCT key set is read once per (fact version,
+    * dim version, column) — a plan-time Spark job over a side already
+    * bounded by the broadcast budget — and the admission memoizes in
+    * [[crossPruneCache]].
+    */
+  private def crossBloomPruned(spark: org.apache.spark.sql.SparkSession,
+                               fact: LogicalPlan, factIdx: SketchFileIndex,
+                               dim: LogicalPlan, dimIdx: SketchFileIndex,
+                               pairs: Seq[(AttributeReference, AttributeReference)])
+  : LogicalPlan = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (pairs.size != 1) return fact
+    val (dimAttr, factAttr) = pairs.head
+    if (!LayoutExprs.longBacked(dimAttr.dataType) ||
+      !LayoutExprs.longBacked(factAttr.dataType)) return fact
+    // both attrs must be their RELATION's own columns (not renames): the
+    // fact's Bloom registry column and the dim's readIndexed re-read
+    // resolve BY NAME against the stored tables
+    def relAttrs(p: LogicalPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      p.collectLeaves().flatMap(_.output.map(_.exprId)).toSet
+    if (!relAttrs(fact).contains(factAttr.exprId) ||
+      !relAttrs(dim).contains(dimAttr.exprId)) return fact
+    // a hash layout's string/composite key Blooms live in the xxhash
+    // domain — a LayoutLong probe would silently admit nothing
+    val keyDomainOk = factIdx.hashLayoutMeta.forall(m =>
+      !m.keyCols.contains(factAttr.name) || (!m.keyIsString && !m.isComposite))
+    if (!keyDomainOk) return fact
+    factIdx.secondaryBloom(factAttr.name) match {
+      case Some((reg, bitsLog2, k)) =>
+        val admitted = crossPruneCache.getOrElseUpdate(
+          (factIdx.tableRoot, factIdx.tableVersion,
+            dimIdx.tableRoot, dimIdx.tableVersion, factAttr.name)) {
+          // the UNFILTERED dim keys — a superset of the filtered dim's,
+          // so the admission stays a sound upper bound under dim filters
+          val keys = SketchFileIndex.readIndexed(spark, dimIdx.tableRoot,
+              Some(dimIdx.tableVersion))
+            .select(graft.core.LayoutLong.longCol(col(dimAttr.name)).as("__v"))
+            .na.drop().distinct()
+          SketchOps.bloomMightContain(broadcast(reg), keys, Nil, "__v",
+              bitsLog2, k)
+            .filter(col("might_contain")).select(col("shard")).distinct()
+            .collect().map(_.getInt(0)).sorted.toSeq
+        }
+        if (admitted.size < factIdx.populatedShardIds.size)
+          pruneShards(fact, admitted.toSet)
+        else fact
+      case None => fact
     }
   }
 

@@ -4275,14 +4275,8 @@ object SparkEntry {
     // table answers with zero files (required inline). Oracle: the
     // plain aggregates.
     "q245_z_metadata_sums" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(
-        col("l_quantity").cast("long").as("qty"),
-        col("l_partkey").as("pk"),
-        col("l_suppkey").as("sk"))
-      val root = java.nio.file.Files.createTempDirectory("q245_store").toString
-      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
-        shardsLog2 = 4, subLog2 = 5, sumCols = Seq("sk"))
-      graft.core.SketchFileIndex.readIndexed(s, root)
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "zqp"))
         .createOrReplaceTempView("q245_li")
       if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
         s.experimental.extraOptimizations =
@@ -4310,14 +4304,8 @@ object SparkEntry {
     // oracle computes the same quotient explicitly — exactness, not
     // estimation.
     "q246_hash_metadata_sums" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-        col("l_quantity").cast("long").as("qty"),
-        col("l_suppkey").as("sk"))
-      val root = java.nio.file.Files.createTempDirectory("q246_store").toString
-      graft.core.SketchRegistry.commitWithSketches(li, root, "id",
-        shardsLog2 = 3, bitsLog2 = 14, sumCols = Seq("qty", "sk"))
-      graft.core.SketchFileIndex.readIndexed(s, root)
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "liq"))
         .createOrReplaceTempView("q246_li")
       if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
         s.experimental.extraOptimizations =
@@ -4486,6 +4474,200 @@ object SparkEntry {
         require(weekly.queryExecution.optimizedPlan.toString.contains(" IN ("),
           "date_trunc GROUP BY lost its bucket-straddler shard prune")
         window.unionByName(weekly).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // FILTERED GROUP-BY bucket collapse — THE dashboard shape at 100 TB:
+    // `WHERE time-range GROUP BY time-bucket`. The filter region composes
+    // with the bucket containment: shards outside the region drop
+    // outright, region∩bucket-contained shards answer per group from
+    // metadata, and only shards straddling EITHER boundary scan — with
+    // the ORIGINAL filter (required inline: the mixed arm's plan pins
+    // the straddler-only `shard IN`). An unsatisfiable region answers
+    // ZERO groups with zero files; a region covering everything under
+    // one giant bucket answers entirely from metadata. Oracle: the plain
+    // filtered grouped aggregates — exactness, not estimation.
+    "q251_filtered_group_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q251_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        // two ISO weeks of a ~30-day table, weekly buckets over ~3.7-day
+        // shards: region-edge and week-straddling shards scan, the rest
+        // answer from metadata
+        val mixed = s.sql(
+          """SELECT 'mixed' AS arm, ts_us div 604800000000 AS b,
+            |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx, avg(event_id) AS ae
+            |FROM q251_ev
+            |WHERE ts_us >= 1704672000000000 AND ts_us < 1705881600000000
+            |GROUP BY 2""".stripMargin)
+        require(mixed.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "filtered grouped collapse lost its straddler-only shard prune")
+        // unsatisfiable region: a grouped aggregate over zero eligible
+        // rows is ZERO groups — answered with zero data files
+        val none = s.sql(
+          """SELECT 'none' AS arm, ts_us div 604800000000 AS b,
+            |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx, avg(event_id) AS ae
+            |FROM q251_ev WHERE ts_us < 0 GROUP BY 2""".stripMargin)
+        require(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+          "empty-region grouped collapse must not open a data file")
+        // region covers every shard, one giant bucket: pure metadata
+        val all = s.sql(
+          """SELECT 'all' AS arm, ts_us div 10000000000000 AS b,
+            |  count(*) AS n, sum(event_id) AS se, count(event_id) AS ce,
+            |  min(ts_us) AS mn, max(ts_us) AS mx, avg(event_id) AS ae
+            |FROM q251_ev WHERE ts_us >= 0 GROUP BY 2""".stripMargin)
+        require(!all.queryExecution.executedPlan.toString.contains("FileScan"),
+          "region-contained grouped collapse must not open a data file")
+        mixed.unionByName(none).unionByName(all).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // min/max on the HASH layout via statsCols — order stats beside the
+    // linear sumCols: per-shard exact (min_<c>, max_<c>) windows merge by
+    // Least/Greatest on append and rebuild on upsert, so a hash-keyed
+    // table now answers min/max/sum/avg/count entirely from its registry
+    // (required inline: ZERO FileScan). The windows exist for ANSWERING,
+    // not pruning — a hash layout scatters value ranges, so they carry
+    // no skip signal. Oracle: the plain aggregates.
+    "q252_hash_stats_minmax" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "liq"))
+        .createOrReplaceTempView("q252_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val full = s.sql(
+          """SELECT 'full' AS arm, min(qty) AS mnq, max(qty) AS mxq,
+            |  min(sk) AS mns, max(sk) AS mxs, sum(qty) AS sq,
+            |  avg(sk) AS ask, count(*) AS n FROM q252_li""".stripMargin)
+        require(!full.queryExecution.executedPlan.toString.contains("FileScan"),
+          "hash-layout statsCols min/max must not open a data file")
+        full.localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // ORDER BY a monotone BUCKETING of the layout column, LIMIT k — the
+    // "latest 100 by day" shape: the first sort key is a NON-strict
+    // monotone function of the layout column (`ts div day`,
+    // `date_trunc('day', ts)`), so ties span whole buckets and the
+    // separation proof compares buckets, not values — shards whose
+    // windows' worst bucket strictly beats every unselected shard's best
+    // bucket guarantee the top-k (required inline: both arms' plans pin
+    // the `shard IN` prune; Sort+Limit stay on top, so the rewrite can
+    // only remove provably-irrelevant shards). The unique event_id
+    // tiebreak pins the exact top-k SET for the oracle.
+    "q253_bucketed_ordered_limit" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q253_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evt"))
+        .createOrReplaceTempView("q253_evt")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val day = s.sql(
+          """SELECT 'day' AS arm, ts_us div 86400000000 AS b, event_id
+            |FROM q253_ev
+            |ORDER BY b DESC, event_id DESC LIMIT 50""".stripMargin)
+        require(day.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "day-bucketed latest-k lost its top-shard prune")
+        val trunc = s.sql(
+          """SELECT 'trunc' AS arm,
+            |  unix_micros(date_trunc('day', ts)) AS b, event_id
+            |FROM q253_evt
+            |ORDER BY b DESC, event_id DESC LIMIT 50""".stripMargin)
+        require(trunc.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "date_trunc latest-k lost its top-shard prune")
+        day.unionByName(trunc).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+
+    // Cross-layout dim-filter pushdown — the hash dim's key set AND-probes
+    // the range fact's per-shard `sketchCols` Bloom on the join column:
+    // fact shards admitting NO dim key provably join nothing and never
+    // open (event_id tracks ts, so a first-12-hours dim concentrates in
+    // the earliest time shard — required inline: the plan pins BOTH the
+    // BroadcastHashJoin from the registry's exact count
+    // (autoBroadcastJoinThreshold = -1, the hint is ours) AND the fact's
+    // `shard IN` subset). Oracle: the plain join — prune and hint change
+    // the scan and shuffle, never a row.
+    "q254_cross_layout_bloom_prune" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q254_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evd"))
+        .createOrReplaceTempView("q254_d")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          """SELECT e.ts_us, e.event_id, d.event_type
+            |FROM q254_ev e JOIN q254_d d ON e.event_id = d.event_id""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "cross-layout dim must broadcast off its exact registry count")
+        require(df.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "fact side lost its secondary-Bloom dim-filter shard prune")
+        df.localCheckpoint(true)
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    },
+
+    // TWO-key grouped collapse on the Z layout — `GROUP BY bucketA,
+    // bucketB` over both interleaved columns: a cell whose exact
+    // rectangle maps into ONE (bucketA, bucketB) pair contributes that
+    // group's stats from its zone-map row; only rectangle-straddling
+    // cells scan (the coarse arm's single giant bucket pair answers with
+    // ZERO files, required inline). qty∈[1,50] and linenumber∈[1,7] are
+    // sf-stable domains, so the containment behavior is scale-
+    // independent. Oracle: the plain two-key grouped aggregates.
+    "q255_z_two_key_group_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "zql"))
+        .createOrReplaceTempView("q255_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val mixed = s.sql(
+          """SELECT 'mixed' AS arm, qty div 25 AS qb, ln div 3 AS lb,
+            |  count(*) AS n, sum(sk) AS ss, min(qty) AS mnq, max(ln) AS mxl
+            |FROM q255_li GROUP BY 2, 3""".stripMargin)
+        // rank-picked cell bounds wobble slightly across scale factors:
+        // either some cells straddle a bucket cut (straddler-only IN) or
+        // none do (pure metadata) — both are the collapse firing
+        val mp = mixed.queryExecution
+        require(mp.optimizedPlan.toString.contains(" IN (") ||
+          !mp.executedPlan.toString.contains("FileScan"),
+          "two-key grouped collapse fired neither prune nor full collapse")
+        val coarse = s.sql(
+          """SELECT 'coarse' AS arm, qty div 100 AS qb, ln div 10 AS lb,
+            |  count(*) AS n, sum(sk) AS ss, min(qty) AS mnq, max(ln) AS mxl
+            |FROM q255_li GROUP BY 2, 3""".stripMargin)
+        require(!coarse.queryExecution.executedPlan.toString.contains("FileScan"),
+          "single-bucket-pair two-key collapse must not open a data file")
+        mixed.unionByName(coarse).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
@@ -4831,14 +5013,8 @@ object SparkEntry {
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     },
     "q245_z_metadata_sums" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(
-        col("l_quantity").cast("long").as("qty"),
-        col("l_partkey").as("pk"),
-        col("l_suppkey").as("sk"))
-      val root = java.nio.file.Files.createTempDirectory("q245p_store").toString
-      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
-        shardsLog2 = 4, subLog2 = 5, sumCols = Seq("sk"))
-      graft.core.SketchFileIndex.readIndexed(s, root)
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "zqp"))
         .createOrReplaceTempView("q245p_li")
       if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
         s.experimental.extraOptimizations =
@@ -4854,14 +5030,8 @@ object SparkEntry {
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     },
     "q246_hash_metadata_sums" -> { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
-        col("l_quantity").cast("long").as("qty"),
-        col("l_suppkey").as("sk"))
-      val root = java.nio.file.Files.createTempDirectory("q246p_store").toString
-      graft.core.SketchRegistry.commitWithSketches(li, root, "id",
-        shardsLog2 = 3, bitsLog2 = 14, sumCols = Seq("qty", "sk"))
-      graft.core.SketchFileIndex.readIndexed(s, root)
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "liq"))
         .createOrReplaceTempView("q246p_li")
       if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
         s.experimental.extraOptimizations =
@@ -4951,6 +5121,98 @@ object SparkEntry {
         df.queryExecution.sparkPlan // straddler-only scan ∪ weekly metadata
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q251_filtered_group_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q251p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT ts_us div 604800000000 AS b, count(*) AS n,
+            |  sum(event_id) AS se, min(ts_us) AS mn, max(ts_us) AS mx
+            |FROM q251p_ev
+            |WHERE ts_us >= 1704672000000000 AND ts_us < 1705881600000000
+            |GROUP BY 1""".stripMargin)
+        df.queryExecution.sparkPlan // region∪bucket straddler-only scan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q252_hash_stats_minmax" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "liq"))
+        .createOrReplaceTempView("q252p_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT min(qty) AS mnq, max(qty) AS mxq, min(sk) AS mns,
+            |  max(sk) AS mxs, count(*) AS n FROM q252p_li""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q253_bucketed_ordered_limit" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q253p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT ts_us div 86400000000 AS b, event_id FROM q253p_ev
+            |ORDER BY b DESC, event_id DESC LIMIT 50""".stripMargin)
+        df.queryExecution.sparkPlan // TakeOrderedAndProject over shard IN
+        df
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+    "q254_cross_layout_bloom_prune" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q254p_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evd"))
+        .createOrReplaceTempView("q254p_d")
+      if (!s.experimental.extraOptimizations.contains(graft.SketchJoinDispatch))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.SketchJoinDispatch
+      s.conf.set("spark.graft.sketchJoinDispatch.enabled", "true")
+      s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = s.sql(
+          """SELECT e.ts_us, e.event_id, d.event_type
+            |FROM q254p_ev e JOIN q254p_d d ON e.event_id = d.event_id""".stripMargin)
+        df.queryExecution.sparkPlan // BroadcastHashJoin + fact shard IN
+        df
+      } finally {
+        s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
+        s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
+        s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    },
+    "q255_z_two_key_group_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "zql"))
+        .createOrReplaceTempView("q255p_li")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT qty div 25 AS qb, ln div 3 AS lb, count(*) AS n,
+            |  sum(sk) AS ss FROM q255p_li GROUP BY 1, 2""".stripMargin)
+        df.queryExecution.sparkPlan // straddling cells ∪ per-pair metadata
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -5022,7 +5284,12 @@ object SparkEntry {
                 unix_micros(col("ts")).as("ts_us"), col("event_id"),
                 col("user_id")),
               r, "ts_us", shardsLog2 = 3, subLog2 = 5,
-              statsCols = Seq("event_id"), sumCols = Seq("event_id"))
+              statsCols = Seq("event_id"), sumCols = Seq("event_id"),
+              // per-shard event_id Bloom for the cross-layout dim-filter
+              // pushdown (q254) — 2^20 bits keeps the per-key FP rate
+              // ~1e-5 at ~12.5 K keys/shard (sf0.1), so a concentrated
+              // dim key set admits only the shards that truly hold it
+              sketchCols = Seq("event_id"), bloomBitsLog2 = 20)
             r
           // customer hash-keyed dim — q249's broadcast side
           case "cud" =>
@@ -5031,12 +5298,55 @@ object SparkEntry {
                 .select(col("c_custkey"), col("c_mktsegment")),
               r, "c_custkey", shardsLog2 = 3, bitsLog2 = 12)
             r
-          // events range layout on the raw TIMESTAMP column — q250
+          // events range layout on the raw TIMESTAMP column — q250/q253
           case "evt" =>
             graft.core.SketchRegistry.commitRangeSharded(
               Tables.events(s, dir).select(col("ts"), col("event_id")),
               r, "ts", shardsLog2 = 3, subLog2 = 5,
               sumCols = Seq("event_id"))
+            r
+          // the first-12-hours event slice, hash-keyed on event_id —
+          // q254's broadcast dim (event_id tracks ts, so its keys
+          // concentrate in the fact's earliest time shard)
+          case "evd" =>
+            graft.core.SketchRegistry.commitWithSketches(
+              Tables.events(s, dir)
+                .filter(unix_micros(col("ts")) < lit(1704110400000000L))
+                .select(col("event_id"), col("event_type")),
+              r, "event_id", shardsLog2 = 3, bitsLog2 = 12)
+            r
+          // lineitem hash-keyed with BOTH linear (sum, cnt) and order
+          // (min, max) stats — the q246/q252 metadata-collapse store
+          case "liq" =>
+            graft.core.SketchRegistry.commitWithSketches(
+              Tables.lineitem(s, dir).select(
+                (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+                col("l_quantity").cast("long").as("qty"),
+                col("l_suppkey").as("sk")),
+              r, "id", shardsLog2 = 3, bitsLog2 = 14,
+              sumCols = Seq("qty", "sk"), statsCols = Seq("qty", "sk"))
+            r
+          // lineitem Z-laid on (qty, pk) with sk sums — q245
+          case "zqp" =>
+            graft.core.ZOrderStore.commitZOrdered(
+              Tables.lineitem(s, dir).select(
+                col("l_quantity").cast("long").as("qty"),
+                col("l_partkey").as("pk"),
+                col("l_suppkey").as("sk")),
+              r, "qty", "pk", shardsLog2 = 4, subLog2 = 5,
+              sumCols = Seq("sk"))
+            r
+          // lineitem Z-laid on (qty, ln) — both columns have sf-STABLE
+          // value ranges (1..50, 1..7), so q255's two-key bucket
+          // containment behaves the same at every scale factor
+          case "zql" =>
+            graft.core.ZOrderStore.commitZOrdered(
+              Tables.lineitem(s, dir).select(
+                col("l_quantity").cast("long").as("qty"),
+                col("l_linenumber").cast("long").as("ln"),
+                col("l_suppkey").as("sk")),
+              r, "qty", "ln", shardsLog2 = 4, subLog2 = 5,
+              sumCols = Seq("sk"))
             r
           case other => throw new IllegalArgumentException(
             s"unknown registry fixture kind '$other'")
@@ -9862,6 +10172,80 @@ object SparkEntry {
         |SELECT 'full', count(*) FROM events
         |UNION ALL
         |SELECT 'empty', CAST(0 AS BIGINT)""".stripMargin,
+
+    // the plain filtered grouped aggregates — the region∩bucket collapse
+    // must be exact group for group (// is DuckDB integer division =
+    // Spark's div on these non-negative micros)
+    "q251_filtered_group_collapse" ->
+      """SELECT 'mixed' AS arm, epoch_us(ts) // 604800000000 AS b,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
+        |  count(event_id) AS ce, min(epoch_us(ts)) AS mn,
+        |  max(epoch_us(ts)) AS mx,
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id) AS ae
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704672000000000
+        |  AND epoch_us(ts) < 1705881600000000
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'none', epoch_us(ts) // 604800000000, count(*),
+        |  CAST(sum(event_id) AS BIGINT), count(event_id),
+        |  min(epoch_us(ts)), max(epoch_us(ts)),
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id)
+        |FROM events WHERE epoch_us(ts) < 0 GROUP BY 2
+        |UNION ALL
+        |SELECT 'all', epoch_us(ts) // 10000000000000, count(*),
+        |  CAST(sum(event_id) AS BIGINT), count(event_id),
+        |  min(epoch_us(ts)), max(epoch_us(ts)),
+        |  CAST(sum(event_id) AS DOUBLE) / count(event_id)
+        |FROM events WHERE epoch_us(ts) >= 0 GROUP BY 2""".stripMargin,
+
+    // the plain aggregates — hash-layout min/max windows must be exact
+    "q252_hash_stats_minmax" ->
+      """SELECT 'full' AS arm,
+        |  min(CAST(l_quantity AS BIGINT)) AS mnq,
+        |  max(CAST(l_quantity AS BIGINT)) AS mxq,
+        |  min(l_suppkey) AS mns, max(l_suppkey) AS mxs,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(sum(l_suppkey) AS DOUBLE) / count(l_suppkey) AS ask,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
+
+    // the plain bucketed sorted limits — the unique event_id tiebreak
+    // pins the exact top-k SET under the non-strict first key
+    "q253_bucketed_ordered_limit" ->
+      """SELECT * FROM (
+        |  SELECT 'day' AS arm, epoch_us(ts) // 86400000000 AS b, event_id
+        |  FROM events ORDER BY b DESC, event_id DESC LIMIT 50)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'trunc' AS arm, epoch_us(date_trunc('day', ts)) AS b,
+        |    event_id
+        |  FROM events ORDER BY b DESC, event_id DESC LIMIT 50)""".stripMargin,
+
+    // the plain fact × sliced-dim join — Bloom pruning and the broadcast
+    // hint change the scan and shuffle, never a row
+    "q254_cross_layout_bloom_prune" ->
+      """SELECT epoch_us(e.ts) AS ts_us, e.event_id, d.event_type
+        |FROM events e JOIN (
+        |  SELECT event_id, event_type FROM events
+        |  WHERE epoch_us(ts) < 1704110400000000) d
+        |ON e.event_id = d.event_id""".stripMargin,
+
+    // the plain two-key grouped aggregates over the Z columns
+    "q255_z_two_key_group_collapse" ->
+      """SELECT 'mixed' AS arm, CAST(l_quantity AS BIGINT) // 25 AS qb,
+        |  CAST(l_linenumber AS BIGINT) // 3 AS lb, count(*) AS n,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS ss,
+        |  min(CAST(l_quantity AS BIGINT)) AS mnq,
+        |  max(CAST(l_linenumber AS BIGINT)) AS mxl
+        |FROM lineitem GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'coarse', CAST(l_quantity AS BIGINT) // 100,
+        |  CAST(l_linenumber AS BIGINT) // 10, count(*),
+        |  CAST(sum(l_suppkey) AS BIGINT),
+        |  min(CAST(l_quantity AS BIGINT)),
+        |  max(CAST(l_linenumber AS BIGINT))
+        |FROM lineitem GROUP BY 2, 3""".stripMargin,
 
     // the plain (qty, pk) join against the narrow-qty slice
     "q240_colocated_z_join" ->

@@ -156,7 +156,14 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
         // so a plain 2-D box filter opens only intersecting rectangles
         collectWindows(ZOrderStore.zoneMap2d(spark, root, Some(version)),
           Seq((m.colA, "min_a", "max_a"), (m.colB, "min_b", "max_b")))
-      case _ => Map.empty
+      case _ => // hash layout: statsCols carry exact per-shard windows
+        // too — hash scatters value ranges, so they rarely PRUNE, but
+        // they answer metadata-only min/max exactly (and a range
+        // predicate that does fall outside every window still skips)
+        hashMeta.map(m => collectWindows(
+          SketchRegistry.registry(spark, root, Some(version)),
+          m.statsCols.map(c => (c, s"min_$c", s"max_$c"))))
+          .getOrElse(Map.empty)
     }
   }
 
@@ -172,8 +179,9 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
 
   /** EXACT (min, max) of `name` off the zone map, for columns the layout
     * carries exact stats on — the range layout's sort column and
-    * statsCols, the Z layout's two interleaved columns. None on the hash
-    * layout or an uncovered column (Blooms carry membership, not order).
+    * statsCols, the Z layout's two interleaved columns, the hash
+    * layout's statsCols. None on an uncovered column (Blooms carry
+    * membership, not order).
     * `Some((None, None))` means the column is all-null in every shard —
     * also exact (per-shard min/max ignore nulls, so a shard contributes
     * stats iff it holds a non-null value; [[statsByCol]] drops null-stat
@@ -234,6 +242,55 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     .map(m => (m.bitsLog2, m.k))
     .orElse(rangeMeta.map(m => (m.bloomBitsLog2, m.bloomK)))
     .getOrElse((zMeta.get.bloomBitsLog2, zMeta.get.bloomK))
+
+  /** The (per-shard (shard, bloom) frame, bitsLog2, k) of `name`'s
+    * committed Bloom, if any — the cross-layout join dispatch AND-probes
+    * it with a broadcast dim's key set (values must be the column's
+    * [[LayoutLong]], which is how every commit path sketches them).
+    */
+  private[graft] def secondaryBloom(name: String): Option[(DataFrame, Int, Int)] =
+    bloomRegistryCol(name).map { regCol =>
+      val (bits, k) = bloomParams
+      val rf = registryFrame // bind once: the def builds a fresh frame
+      (rf.select(rf("shard"), rf(regCol).as("bloom")), bits, k)
+    }
+
+  /** Layout-unit guard (v2 format): persisted Long artifacts — zone-map
+    * windows, sum stats, Bloom bits, key hashes — are derived via
+    * [[LayoutLong]] (Catalyst-internal micros/days for temporal columns)
+    * since the `units:micros` meta token. A store committed WITHOUT the
+    * token under the old bare-CAST semantics carries SECONDS for
+    * timestamp columns and nulls for dates; probing it with micros
+    * literals would silently mis-prune (wrong rows) — reject loudly and
+    * ask for a re-commit. Integral-only stores are unit-agnostic and
+    * pass regardless of the token.
+    */
+  private[core] def requireUnitSafe(dataSchema: StructType): Unit = {
+    val (units, statCols) = hashMeta
+      .map(m => (m.units, m.keyCols ++ m.sketchCols ++ m.sumCols ++ m.statsCols))
+      .orElse(rangeMeta.map(m =>
+        (m.units, m.sortCol +: (m.statsCols ++ m.sketchCols ++ m.sumCols))))
+      .getOrElse((zMeta.get.units,
+        Seq(zMeta.get.colA, zMeta.get.colB) ++
+          zMeta.get.sketchCols ++ zMeta.get.sumCols))
+    if (units != "micros") {
+      val temporal = statCols.distinct.filter(c =>
+        dataSchema.find(_.name == c).exists(_.dataType match {
+          case org.apache.spark.sql.types.TimestampType
+             | org.apache.spark.sql.types.TimestampNTZType
+             | org.apache.spark.sql.types.DateType => true
+          case _ => false
+        }))
+      require(temporal.isEmpty,
+        s"v_$version under $root was committed before layout-unit " +
+          s"normalization (no 'units:micros' meta token) and its stat/" +
+          s"sketch column(s) ${temporal.mkString(", ")} are temporal: " +
+          "the persisted windows/sums/Bloom bits are in SECONDS while " +
+          "probes arrive in Catalyst-internal micros — reading through " +
+          "the index would silently mis-prune. Re-commit the table with " +
+          "the current engine to migrate.")
+    }
+  }
 
   private def bloomAdmits(words: Array[Long], v: Long): Boolean = {
     val (bitsLog2, k) = bloomParams
@@ -481,6 +538,7 @@ object SketchFileIndex {
     val index = new SketchFileIndex(spark, root, v)
     val dataSchema = StructType(TableStore.readVersion(spark, root, v)
       .schema.filterNot(_.name == "shard"))
+    index.requireUnitSafe(dataSchema) // pre-LayoutLong temporal stores lie
     val relation = HadoopFsRelation(index, index.partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty)(spark)
     org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,

@@ -53,7 +53,9 @@ object SketchRegistry {
                         cmDepth: Int = 0, cmWidthLog2: Int = 0,
                         keyIsString: Boolean = false,
                         keyKinds: Seq[String] = Nil,
-                        sumCols: Seq[String] = Nil) {
+                        sumCols: Seq[String] = Nil,
+                        statsCols: Seq[String] = Nil,
+                        units: String = "") {
     def isComposite: Boolean = keyKinds.nonEmpty
     def keyCols: Seq[String] =
       if (isComposite) keyCol.split(",").toSeq else Seq(keyCol)
@@ -181,23 +183,38 @@ object SketchRegistry {
                                 bitsLog2: Int, k: Int, hllP: Int,
                                 sketchCols: Seq[String],
                                 cmDepth: Int, cmWidthLog2: Int,
-                                sumCols: Seq[String] = Nil): DataFrame = {
+                                sumCols: Seq[String] = Nil,
+                                statsCols: Seq[String] = Nil): DataFrame = {
     // per-shard EXACT (sum_<c>, cnt_<c>) beside n_rows for each sumCols
     // column — linear stats, so append merges them by addition and the
-    // metadata-only sum/count/avg answering works on the hash layout too
+    // metadata-only sum/count/avg answering works on the hash layout too.
+    // statsCols carry per-shard EXACT (min_<c>, max_<c>) (null for an
+    // all-null shard): order stats, so append merges them by
+    // Least/Greatest and min/max answering works on the hash layout too
+    // — for ANSWERING only, never for pruning (the hash layout scatters
+    // value ranges, so per-shard windows carry no skip signal there).
     val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyHashCol, bitsLog2, k)
       .join(SketchOps.hllSketch(sharded, Seq("shard"), keyHashCol, hllP),
         Seq("shard"))
       .join(SketchOps.cmSketch(sharded, Seq("shard"), keyHashCol,
         cmDepth, cmWidthLog2), Seq("shard"))
       .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"),
-        sumCols.flatMap(c => Seq(
+        (sumCols.flatMap(c => Seq(
           sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-          count(col(c)).as(s"cnt_$c"))): _*),
+          count(col(c)).as(s"cnt_$c"))) ++
+        statsCols.flatMap(c => Seq(
+          min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+          max(LayoutLong.longCol(col(c))).as(s"max_$c")))): _*),
         Seq("shard"))
+    // secondary Blooms sketch the LayoutLong of the column — the SAME
+    // unit probes arrive in (a bare cast would commit timestamp bits in
+    // seconds and mis-prune every equality; for integrals LayoutLong IS
+    // the cast, bit-identical)
+    val withLl = sketchCols.foldLeft(sharded)((d, c) =>
+      d.withColumn(s"__ll_$c", LayoutLong.longCol(col(c))))
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
     sketchCols.foldLeft(base) { (acc, c) =>
-      acc.join(SketchOps.bloomSketch(sharded, Seq("shard"), c, bitsLog2, k)
+      acc.join(SketchOps.bloomSketch(withLl, Seq("shard"), s"__ll_$c", bitsLog2, k)
           .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
         .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
     }
@@ -221,7 +238,8 @@ object SketchRegistry {
                          filesPerShard: Int = 1,
                          sketchCols: Seq[String] = Nil,
                          cmDepth: Int = 4, cmWidthLog2: Int = 12,
-                         sumCols: Seq[String] = Nil): Long = {
+                         sumCols: Seq[String] = Nil,
+                         statsCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
     // Bound the per-column Bloom registry: a planner (SketchFileIndex) may
@@ -242,6 +260,9 @@ object SketchRegistry {
     require(sumCols.forall(df.columns.contains),
       s"sumCols must be data columns, got " +
         s"${sumCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(statsCols.forall(df.columns.contains),
+      s"statsCols must be data columns, got " +
+        s"${statsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val keyIsString =
       df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
     val n = 1 << shardsLog2
@@ -250,7 +271,7 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2, sumCols)
+      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
@@ -259,12 +280,30 @@ object SketchRegistry {
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
-        (s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
-          s"\n$cmDepth\n$cmWidthLog2\n${if (keyIsString) "string" else "int"}" +
-          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
-          .getBytes(StandardCharsets.UTF_8))
+        hashMetaText(keyCol, shardsLog2, bitsLog2, k, hllP, sketchCols,
+          cmDepth, cmWidthLog2, if (keyIsString) "string" else "int",
+          sumCols, statsCols).getBytes(StandardCharsets.UTF_8))
     }
   }
+
+  /** The v2 `_sketches_meta` text: the v1 positional lines, then the
+    * sumCols/statsCols lines (always present, possibly empty) and the
+    * LAYOUT-UNIT token. `units:micros` asserts every persisted Long
+    * artifact (windows, sums, Bloom bits, key hashes) was derived via
+    * [[LayoutLong]] — Catalyst-internal units (micros/days for temporal
+    * columns). A store whose meta lacks the token was committed under
+    * the old bare-CAST semantics (SECONDS for timestamps) and is
+    * REJECTED by [[SketchFileIndex.readIndexed]] when any layout-stat
+    * column is temporal — silent reinterpretation would mis-prune.
+    */
+  private def hashMetaText(keyCol: String, shardsLog2: Int, bitsLog2: Int,
+                           k: Int, hllP: Int, sketchCols: Seq[String],
+                           cmDepth: Int, cmWidthLog2: Int, keyKind: String,
+                           sumCols: Seq[String],
+                           statsCols: Seq[String]): String =
+    s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
+      s"\n$cmDepth\n$cmWidthLog2\n$keyKind" +
+      s"\n${sumCols.mkString(",")}\n${statsCols.mkString(",")}\nunits:micros"
 
   /** COMPOSITE-key opt-in sketch-indexed commit — the multi-column
     * complement of [[commitWithSketches]] (the reference's own session
@@ -288,7 +327,8 @@ object SketchRegistry {
                              filesPerShard: Int = 1,
                              sketchCols: Seq[String] = Nil,
                              cmDepth: Int = 4, cmWidthLog2: Int = 12,
-                             sumCols: Seq[String] = Nil): Long = {
+                             sumCols: Seq[String] = Nil,
+                             statsCols: Seq[String] = Nil): Long = {
     require(keyCols.size >= 2,
       s"composite commit needs >= 2 key columns, got ${keyCols.mkString(",")}" +
         " — use commitWithSketches for a single key")
@@ -311,6 +351,9 @@ object SketchRegistry {
     require(sumCols.forall(df.columns.contains),
       s"sumCols must be data columns, got " +
         s"${sumCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(statsCols.forall(df.columns.contains),
+      s"statsCols must be data columns, got " +
+        s"${statsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     val kinds = keyCols.map(c => kindOf(df.schema(c).dataType, c))
     val m = Meta(keyCols.mkString(","), shardsLog2, bitsLog2, k, hllP,
       sketchCols, cmDepth, cmWidthLog2, keyIsString = false, keyKinds = kinds)
@@ -320,7 +363,7 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2, sumCols)
+      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
@@ -329,10 +372,9 @@ object SketchRegistry {
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
-        (s"${m.keyCol}\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
-          s"\n$cmDepth\n$cmWidthLog2\nmulti:${kinds.mkString(",")}" +
-          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
-          .getBytes(StandardCharsets.UTF_8))
+        hashMetaText(m.keyCol, shardsLog2, bitsLog2, k, hllP, sketchCols,
+          cmDepth, cmWidthLog2, s"multi:${kinds.mkString(",")}",
+          sumCols, statsCols).getBytes(StandardCharsets.UTF_8))
     }
   }
 
@@ -371,6 +413,20 @@ object SketchRegistry {
               kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
             else Nil,
           sumCols = suc.split(",").filter(_.nonEmpty).toSeq)
+      // the v2 format: sumCols and statsCols lines always present
+      // (possibly empty), then the layout-unit token
+      case Array(key, s, b, kk, hp, sc, cd, cw, kt, suc, stc, un)
+          if un.startsWith("units:") =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
+          sc.split(",").filter(_.nonEmpty).toSeq, cd.toInt, cw.toInt,
+          keyIsString = kt == "string",
+          keyKinds =
+            if (kt.startsWith("multi:"))
+              kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
+            else Nil,
+          sumCols = suc.split(",").filter(_.nonEmpty).toSeq,
+          statsCols = stc.split(",").filter(_.nonEmpty).toSeq,
+          units = un.stripPrefix("units:"))
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -866,7 +922,7 @@ object SketchRegistry {
       .withColumn("__kh", keyHashExprM(m))
     val touchedRegistry = buildRegistryRows(newTouched, "__kh",
       m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
-      m.sumCols)
+      m.sumCols, m.statsCols)
     val carried = registry(spark, root, Some(v))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
@@ -920,7 +976,8 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val batchRegistry = buildRegistryRows(sharded, "__kh", m.bitsLog2,
-      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols)
+      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
+      m.statsCols)
     val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
     val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
@@ -931,11 +988,16 @@ object SketchRegistry {
       .join(SketchOps.cmMergeSketches(both, Seq("shard"), "cm",
         m.cmDepth, m.cmWidthLog2), Seq("shard"))
       // sums and non-null counts are LINEAR too: addition merges the
-      // sumCols stats exactly (sum() skips an all-null side correctly)
+      // sumCols stats exactly (sum() skips an all-null side correctly);
+      // statsCols windows merge by min/min and max/max — exact, and
+      // null-skipping handles an all-null side the same way
       .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows"),
-        m.sumCols.flatMap(c => Seq(
+        (m.sumCols.flatMap(c => Seq(
           sum(col(s"sum_$c")).as(s"sum_$c"),
-          sum(col(s"cnt_$c")).as(s"cnt_$c"))): _*),
+          sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+        m.statsCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c")))): _*),
         Seq("shard"))
     val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
@@ -1100,7 +1162,8 @@ object SketchRegistry {
                              bounds: Seq[Long], statsCols: Seq[String] = Nil,
                              sketchCols: Seq[String] = Nil,
                              bloomBitsLog2: Int = 14, bloomK: Int = 4,
-                             sumCols: Seq[String] = Nil)
+                             sumCols: Seq[String] = Nil,
+                             units: String = "")
 
   /** RANGE-sharded opt-in commit — the zone-map complement of
     * [[commitWithSketches]]'s hash layout. Hash shards spray key ranges
@@ -1190,10 +1253,12 @@ object SketchRegistry {
         .parquet(staging.toString)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
+      // v2 meta: the sumCols line always present (possibly empty), then
+      // the layout-unit token — see [[hashMetaText]] for the contract
       Files.write(staging.resolve("_zonemap_meta"),
         (s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}" +
           s"\n${sketchCols.mkString(",")}\n$bloomBitsLog2\n$bloomK" +
-          (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
+          s"\n${sumCols.mkString(",")}\nunits:micros")
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -1207,8 +1272,15 @@ object SketchRegistry {
                                    sketchCols: Seq[String], bitsLog2: Int,
                                    k: Int): DataFrame = {
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
+    // Blooms sketch the LayoutLong of the column — the SAME unit probe
+    // literals arrive in (a bare cast would commit timestamp bits in
+    // SECONDS while probes carry micros: every equality would
+    // false-NEGATIVE and prune shards that hold the rows — wrong rows,
+    // not a slow plan; for integrals LayoutLong IS the cast, bit-identical)
+    val withLl = sketchCols.foldLeft(sharded)((d, c) =>
+      d.withColumn(s"__ll_$c", LayoutLong.longCol(col(c))))
     sketchCols.foldLeft(zonemap) { (acc, c) =>
-      acc.join(SketchOps.bloomSketch(sharded, Seq("shard"), c, bitsLog2, k)
+      acc.join(SketchOps.bloomSketch(withLl, Seq("shard"), s"__ll_$c", bitsLog2, k)
           .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
         .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
     }
@@ -1323,6 +1395,14 @@ object SketchRegistry {
         stc.split(",").filter(_.nonEmpty).toSeq,
         skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt,
         suc.split(",").filter(_.nonEmpty).toSeq)
+      case Array(sc, s, sl, bs, stc, skc, bb, bk, suc, un)
+          if un.startsWith("units:") => RangeMeta(sc,
+        s.toInt, sl.toInt,
+        bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        stc.split(",").filter(_.nonEmpty).toSeq,
+        skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt,
+        suc.split(",").filter(_.nonEmpty).toSeq,
+        units = un.stripPrefix("units:"))
       case other => throw new IllegalStateException(
         s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")
     }

@@ -56,7 +56,8 @@ object ZOrderStore {
                          subLog2: Int, boundsA: Seq[Long], boundsB: Seq[Long],
                          sketchCols: Seq[String] = Nil,
                          bloomBitsLog2: Int = 14, bloomK: Int = 4,
-                         sumCols: Seq[String] = Nil)
+                         sumCols: Seq[String] = Nil,
+                         units: String = "")
 
   /** Rank-pick `2^bits − 1` bucket bounds for `c` off the deterministic
     * quantile sketch — the same derivation chain
@@ -143,11 +144,13 @@ object ZOrderStore {
                          boundsA: Seq[Long], boundsB: Seq[Long],
                          sketchCols: Seq[String], bloomBitsLog2: Int,
                          bloomK: Int, sumCols: Seq[String] = Nil): Unit =
+    // v2 meta: the sumCols line always present (possibly empty), then
+    // the layout-unit token — see [[SketchRegistry]] for the contract
     Files.write(staging.resolve("_zonemap2d_meta"),
       (s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n" +
         s"${boundsB.mkString(",")}\n${sketchCols.mkString(",")}\n" +
         s"$bloomBitsLog2\n$bloomK" +
-        (if (sumCols.isEmpty) "" else s"\n${sumCols.mkString(",")}"))
+        s"\n${sumCols.mkString(",")}\nunits:micros")
         .getBytes(StandardCharsets.UTF_8))
 
   /** Commit `df` Z-order-sharded on (`colA`, `colB`) with the 2-D zone map
@@ -406,6 +409,12 @@ object ZOrderStore {
         ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
           skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt,
           suc.split(",").filter(_.nonEmpty).toSeq)
+      case Array(a, b, bits, sl, ba, bb, skc, bbits, bk, suc, un)
+          if un.startsWith("units:") =>
+        ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
+          skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt,
+          suc.split(",").filter(_.nonEmpty).toSeq,
+          units = un.stripPrefix("units:"))
       case other => throw new IllegalStateException(
         s"torn _zonemap2d_meta under $root/v_$v: ${other.mkString("|")}")
     }

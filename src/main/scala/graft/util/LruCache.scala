@@ -20,6 +20,12 @@ package graft.util
   * still compute once (waiters block on that key's task alone), callers of
   * DIFFERENT keys never wait on each other, and a FAILED compute removes
   * its holder so the key is retryable rather than poisoned.
+  *
+  * One benign race at capacity churn: an IN-FLIGHT holder can be
+  * LRU-evicted before its compute finishes, so the next caller of that
+  * key installs a second task and computes concurrently — duplicate
+  * driver work, never a wrong or torn value (each caller reads its own
+  * task's result).
   */
 final class LruCache[K, V](maxEntries: Int) {
   require(maxEntries >= 1, s"maxEntries must be >= 1, got $maxEntries")

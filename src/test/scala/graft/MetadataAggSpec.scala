@@ -483,7 +483,9 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
       assert(scannedParts(av) < 8,
         "grouped avg must scan only bucket-spanning shards")
       // disqualifiers stay untouched with right answers: non-monotone
-      // grouping, avg on an uncovered column, grouping under a filter
+      // grouping, avg on an uncovered column, a NON-interval filter
+      // conjunct (interval filters now COMPOSE — see the filtered
+      // grouped-collapse test)
       val mod = spark.sql(
         "SELECT ts % 7 AS g, count(*) AS n FROM magg_g GROUP BY 1")
       assert(scannedParts(mod) == 8)
@@ -493,9 +495,195 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
       assert(scannedParts(avTs) == 8,
         "avg over a column without sum stats must stay untouched")
       val filt = spark.sql(
-        "SELECT ts div 750 AS b, count(*) AS n FROM magg_g WHERE ts >= 100 GROUP BY 1")
-      assert(scannedParts(filt) == 8)
-      assert(filt.collect().map(_.getLong(1)).sum == 3900L)
+        "SELECT ts div 750 AS b, count(*) AS n FROM magg_g WHERE v % 2 = 0 GROUP BY 1")
+      assert(scannedParts(filt) == 8,
+        "a non-interval filter conjunct must disqualify the grouped collapse")
+      assert(filt.collect().map(_.getLong(1)).sum ==
+        df.filter(col("v") % 2 === 0).count())
+    }
+  }
+
+  test("filtered GROUP BY bucket collapse: the region composes with bucket containment") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_fg").toString
+    val df = (0 until 4000).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(i.toLong * 3)))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_fg")
+    withRule {
+      // WHERE time-range GROUP BY time-bucket — THE dashboard shape:
+      // region∩bucket-contained shards answer per group from metadata,
+      // only region- or bucket-straddling shards scan
+      val q = spark.sql("""SELECT ts div 750 AS b, count(*) AS n,
+        sum(v) AS s, count(v) AS cv, min(ts) AS mn, max(ts) AS mx,
+        avg(v) AS a
+        FROM magg_fg WHERE ts >= 600 AND ts < 3700 GROUP BY 1 ORDER BY b""")
+      val exp = df.filter(col("ts") >= 600 && col("ts") < 3700)
+        .groupBy((col("ts") / 750).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"), count("v").as("cv"),
+          min("ts").as("mn"), max("ts").as("mx"), avg("v").as("a"))
+        .orderBy("b").collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      val parts = scannedParts(q)
+      assert(parts > 0 && parts < 8,
+        s"only region- or bucket-straddling shards may scan, got $parts/8")
+      // shards OUTSIDE the region never scan: a tight interior window
+      // touches only its intersecting shards
+      val tight = spark.sql("""SELECT ts div 750 AS b, count(*) AS n
+        FROM magg_fg WHERE ts >= 1500 AND ts < 2250 GROUP BY 1 ORDER BY b""")
+      val tightExp = df.filter(col("ts") >= 1500 && col("ts") < 2250)
+        .groupBy((col("ts") / 750).cast("long").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("b").collect().map(_.toSeq).toSeq
+      assert(tight.collect().map(_.toSeq).toSeq == tightExp)
+      assert(scannedParts(tight) <= 4,
+        s"region-disjoint shards must drop outright: ${scannedParts(tight)}")
+      // unsatisfiable region: a grouped aggregate over zero eligible
+      // rows is ZERO rows — answered with zero files
+      val none = spark.sql(
+        "SELECT ts div 750 AS b, count(*) AS n FROM magg_fg WHERE ts < 0 GROUP BY 1")
+      assert(none.collect().isEmpty && collapsed(none),
+        s"empty region must answer zero groups from metadata:\n${none.queryExecution.optimizedPlan}")
+      // region covering everything under one giant bucket: pure metadata
+      val all = spark.sql("""SELECT ts div 1000000 AS b, count(*) AS n,
+        sum(v) AS s FROM magg_fg WHERE ts >= 0 GROUP BY 1""")
+      assert(collapsed(all))
+      assert(all.collect().head.toSeq == Seq(0L, 4000L,
+        (0 until 4000).filter(_ % 5 != 0).map(_.toLong * 3).sum))
+    }
+  }
+
+  test("two-key GROUP BY collapse on the Z layout: cells contained in BOTH bucketings answer from rectangles") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_z2").toString
+    val df = (0 until 1600).map(i =>
+      ((i % 40).toLong, (i / 40).toLong, i.toLong * 7)).toDF("a", "b", "v")
+    ZOrderStore.commitZOrdered(df, root, "a", "b", shardsLog2 = 4,
+      subLog2 = 5, sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_z2")
+    withRule {
+      val q = spark.sql("""SELECT a div 10 AS ga, b div 10 AS gb,
+        count(*) AS n, sum(v) AS s, min(a) AS mna, max(b) AS mxb
+        FROM magg_z2 GROUP BY 1, 2 ORDER BY ga, gb""")
+      val exp = df.groupBy((col("a") / 10).cast("long").as("ga"),
+          (col("b") / 10).cast("long").as("gb"))
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("a").as("mna"), max("b").as("mxb"))
+        .orderBy("ga", "gb").collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) < 16,
+        s"cells contained in both bucketings must answer from metadata: ${scannedParts(q)}")
+      // one giant bucket pair contains every cell: pure LocalRelation
+      val one = spark.sql("""SELECT a div 100 AS ga, b div 100 AS gb,
+        count(*) AS n, sum(v) AS s FROM magg_z2 GROUP BY 1, 2""")
+      assert(collapsed(one),
+        s"single-pair grouping must collapse:\n${one.queryExecution.optimizedPlan}")
+      assert(one.collect().head.toSeq ==
+        Seq(0L, 0L, 1600L, (0 until 1600).map(_.toLong * 7).sum))
+      // a box filter on one dimension composes with the two bucketings
+      val filt = spark.sql("""SELECT a div 10 AS ga, b div 10 AS gb,
+        count(*) AS n FROM magg_z2 WHERE a >= 8 AND a < 32
+        GROUP BY 1, 2 ORDER BY ga, gb""")
+      val fExp = df.filter(col("a") >= 8 && col("a") < 32)
+        .groupBy((col("a") / 10).cast("long").as("ga"),
+          (col("b") / 10).cast("long").as("gb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ga", "gb").collect().map(_.toSeq).toSeq
+      assert(filt.collect().map(_.toSeq).toSeq == fExp)
+    }
+  }
+
+  test("hash-layout statsCols: min/max collapse with zero FileScan, append + upsert maintained") {
+    val root = java.nio.file.Files.createTempDirectory("magg_hmm").toString
+    // v nullable every 4th row; z all-null
+    val df = (0 until 3000).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(i.toLong * 5)))
+      .toDF("id", "v")
+      .withColumn("z", lit(null).cast("long"))
+    SketchRegistry.commitWithSketches(df, root, "id", shardsLog2 = 3,
+      bitsLog2 = 12, k = 4, sumCols = Seq("v"), statsCols = Seq("v", "z"))
+    // append merges windows by Least/Greatest; keyed upsert/delete
+    // rebuilds the touched shards' windows from their new rows
+    SketchRegistry.appendWithSketches(spark, root,
+      (5000 until 5200).map(i => (i.toLong, Some(13L))).toDF("id", "v")
+        .withColumn("z", lit(null).cast("long")))
+    SketchRegistry.applyChangesWithSketches(spark, root,
+      upserts = Seq((7L, Some(100000000L), Option.empty[Long]))
+        .toDF("id", "v", "z"),
+      deleteKeys = Seq(42L).toDF("id"))
+    val now = graft.core.TableStore.read(spark, root).select("id", "v", "z")
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_hmm")
+    withRule {
+      val q = spark.sql("""SELECT min(v) AS mn, max(v) AS mx, min(z) AS mz,
+        max(z) AS xz, sum(v) AS s, count(*) AS n FROM magg_hmm""")
+      assert(collapsed(q),
+        s"hash statsCols min/max must collapse:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().head.toSeq == now.agg(min("v"), max("v"),
+        min("z"), max("z"), sum("v"), count(lit(1))).collect().head.toSeq)
+      // min over the KEY still does not collapse — the key carries
+      // Blooms (membership), not windows (order)
+      val mn = spark.sql("SELECT min(id) AS m FROM magg_hmm")
+      assert(!collapsed(mn))
+      assert(mn.collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("overflowing metadata sums bail to the scan plan — EvalMode semantics preserved") {
+    val root = java.nio.file.Files.createTempDirectory("magg_ovf").toString
+    // one row per shard keeps every PER-SHARD sum exact; the TOTAL
+    // overflows Long, so the collapse must not answer a wrapped value
+    val big = Long.MaxValue / 3
+    val df = Seq((0L, big), (1000L, big), (2000L, big), (3000L, big))
+      .toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 2,
+      sumCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_ovf")
+    withRule {
+      val q = spark.sql("SELECT sum(v) AS s FROM magg_ovf")
+      assert(!collapsed(q),
+        s"an overflowing metadata sum must bail to the scan:\n${q.queryExecution.optimizedPlan}")
+      if (spark.conf.get("spark.sql.ansi.enabled").toBoolean) {
+        val e = intercept[Throwable] { q.collect() }
+        def chain(t: Throwable): Seq[String] =
+          if (t == null) Nil else t.toString +: chain(t.getCause)
+        assert(chain(e).exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
+          m.toLowerCase.contains("overflow")), s"expected ANSI overflow, got $e")
+      } else {
+        // LEGACY wraps — and the scan plan is the authority on the value
+        assert(q.collect().head.getLong(0) ==
+          df.agg(sum("v")).collect().head.getLong(0))
+      }
+      // try_sum answers NULL on overflow and is EXCLUDED from the
+      // collapse — the scan adjudicates
+      val t = spark.sql("SELECT try_sum(v) AS s FROM magg_ovf")
+      assert(!collapsed(t), "try_-mode aggregates must never collapse")
+      assert(t.collect().head.isNullAt(0))
+      // a non-overflowing sibling on the same table still collapses
+      val cnt = spark.sql("SELECT count(v) AS c, count(*) AS n FROM magg_ovf")
+      assert(collapsed(cnt))
+      assert(cnt.collect().head.toSeq == Seq(4L, 4L))
     }
   }
 

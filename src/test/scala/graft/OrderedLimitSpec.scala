@@ -164,6 +164,88 @@ class OrderedLimitSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("monotone bucketed sort keys: ORDER BY (ts div n) / date_trunc DESC LIMIT k prunes bucket-strictly") {
+    val root = java.nio.file.Files.createTempDirectory("olim_bkt").toString
+    // unique id tiebreak ⇒ a deterministic top-k SET under the
+    // non-strict bucketed first key
+    val df = (0 until 4000).map(i => (i.toLong, i.toLong)).toDF("ts", "id")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_b")
+    withRule {
+      // 300-wide buckets over ~500-row shards: a whole bucket ties, so
+      // the selection must extend until STRICTLY better buckets hold k
+      val q = spark.sql("""SELECT ts div 300 AS b, id FROM olim_b
+        ORDER BY b DESC, id DESC LIMIT 50""")
+      val exp = df.select((col("ts") / 300).cast("long").as("b"), col("id"))
+        .orderBy(col("b").desc, col("id").desc).limit(50)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      val p = scannedParts(q)
+      assert(p > 0 && p < 8, s"bucketed top-50 must prune shards, got $p/8")
+      // ASC end too
+      val asc = spark.sql("""SELECT ts div 300 AS b, id FROM olim_b
+        ORDER BY b ASC, id ASC LIMIT 50""")
+      val ascExp = df.select((col("ts") / 300).cast("long").as("b"), col("id"))
+        .orderBy(col("b").asc, col("id").asc).limit(50)
+        .collect().map(_.toSeq).toSeq
+      assert(asc.collect().map(_.toSeq).toSeq == ascExp)
+      assert(scannedParts(asc) < 8)
+      // the bucket-strict guarantee matters: with a TIEBREAK that
+      // PREFERS rows from lower shards inside the boundary bucket, a
+      // value-strict selection would return wrong rows — pin exactness
+      val tie = spark.sql("""SELECT ts div 300 AS b, id FROM olim_b
+        ORDER BY b DESC, id ASC LIMIT 450""")
+      val tieExp = df.select((col("ts") / 300).cast("long").as("b"), col("id"))
+        .orderBy(col("b").desc, col("id").asc).limit(450)
+        .collect().map(_.toSeq).toSeq
+      assert(tie.collect().map(_.toSeq).toSeq == tieExp)
+      // a WHERE region on the layout column composes with the bucketing
+      val filt = spark.sql("""SELECT ts div 300 AS b, id FROM olim_b
+        WHERE ts < 3000 ORDER BY b DESC, id DESC LIMIT 50""")
+      val fExp = df.filter(col("ts") < 3000)
+        .select((col("ts") / 300).cast("long").as("b"), col("id"))
+        .orderBy(col("b").desc, col("id").desc).limit(50)
+        .collect().map(_.toSeq).toSeq
+      assert(filt.collect().map(_.toSeq).toSeq == fExp)
+      assert(scannedParts(filt) < 8)
+      // non-monotone labels must NOT prune: * -1 flips the order
+      val neg = spark.sql("""SELECT (ts div 300) * -1 AS b, id FROM olim_b
+        ORDER BY b DESC, id DESC LIMIT 50""")
+      val negExp = df.select(((col("ts") / 300).cast("long") * -1).as("b"),
+          col("id"))
+        .orderBy(col("b").desc, col("id").desc).limit(50)
+        .collect().map(_.toSeq).toSeq
+      assert(neg.collect().map(_.toSeq).toSeq == negExp)
+      assert(scannedParts(neg) == 8,
+        "an order-flipping label must leave the plan alone")
+    }
+    // date_trunc / unix_micros over a raw TIMESTAMP layout column
+    val troot = java.nio.file.Files.createTempDirectory("olim_tr").toString
+    val tdf = (0 until 4000).map(i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i.toLong * 647)), i.toLong)).toDF("ts", "id")
+    SketchRegistry.commitRangeSharded(tdf, troot, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, troot).createOrReplaceTempView("olim_tt")
+    withRule {
+      val q = spark.sql("""SELECT date_trunc('day', ts) AS d, id FROM olim_tt
+        ORDER BY d DESC, id DESC LIMIT 60""")
+      val exp = tdf.select(date_trunc("day", col("ts")).as("d"), col("id"))
+        .orderBy(col("d").desc, col("id").desc).limit(60)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) < 8,
+        "date_trunc latest-k must prune to the top shards")
+      val um = spark.sql("""SELECT unix_micros(date_trunc('day', ts)) AS d,
+        id FROM olim_tt ORDER BY d DESC, id DESC LIMIT 60""")
+      val umExp = tdf.select(unix_micros(date_trunc("day", col("ts"))).as("d"),
+          col("id"))
+        .orderBy(col("d").desc, col("id").desc).limit(60)
+        .collect().map(_.toSeq).toSeq
+      assert(um.collect().map(_.toSeq).toSeq == umExp)
+      assert(scannedParts(um) < 8)
+    }
+  }
+
   test("rule off / hash layout: untouched") {
     val root = java.nio.file.Files.createTempDirectory("olim_off").toString
     val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("ts", "k")

@@ -451,6 +451,78 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("cross-layout secondary-Bloom fact pruning: the dim's key set prunes fact shards, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    // the fact's join key k CORRELATES with its range layout column ts
+    // (the events shape: ids track time), so a dim holding only low keys
+    // concentrates in the low-ts shards — the Bloom AND-probe must admit
+    // only those and provably-empty shards never open
+    val fact = (0 until 4000).map(i => (i.toLong, i.toLong, i.toLong * 3))
+      .toDF("ts", "k", "v")
+    val dim = (0 until 300).map(i => (i.toLong, i.toLong * 100)).toDF("k", "dv")
+    val fRoot = java.nio.file.Files.createTempDirectory("sjd_bpf").toString
+    SketchRegistry.commitRangeSharded(fact, fRoot, "ts", shardsLog2 = 3,
+      sketchCols = Seq("k"), bloomBitsLog2 = 16)
+    val dRoot = commit(dim, "bpd")
+    SketchFileIndex.readIndexed(spark, fRoot).createOrReplaceTempView("sjd_bf")
+    SketchFileIndex.readIndexed(spark, dRoot).createOrReplaceTempView("sjd_bd")
+    val expected = sortedRows(
+      fact.join(dim, Seq("k")).select(fact("ts"), fact("v"), dim("dv")))
+    withDispatch(broadcastMaxRows = 1000L) {
+      val q = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_bf f JOIN sjd_bd d ON f.k = d.k""")
+      assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sortedRows(q) == expected)
+      // the 300 dim keys live in the fact's lowest ~500-row time shard:
+      // only it (plus Bloom false positives) may open
+      val factParts = allScans(q.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.core.SketchFileIndex])
+        .filter(_.relation.location.asInstanceOf[graft.core.SketchFileIndex]
+          .tableRoot == fRoot)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+      assert(factParts > 0 && factParts < 8,
+        s"dim-filter pushdown must prune fact shards, got $factParts/8")
+      // LEFT OUTER fact-on-the-left: the preserved side must NOT prune
+      // (every fact row survives), rows exactly the plain left join's
+      val lo = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_bf f LEFT OUTER JOIN sjd_bd d ON f.k = d.k""")
+      assert(sortedRows(lo) == sortedRows(fact.join(dim, Seq("k"), "left")
+        .select(fact("ts"), fact("v"), dim("dv"))))
+      val loFactParts = allScans(lo.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.core.SketchFileIndex])
+        .filter(_.relation.location.asInstanceOf[graft.core.SketchFileIndex]
+          .tableRoot == fRoot)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+      assert(loFactParts == 8,
+        "a preserved fact side must never be pruned")
+      // a dim with keys the fact never holds: zero admitted fact shards,
+      // inner join answers empty without opening a fact file
+      val ghost = (900000 until 900100).map(i => (i.toLong, 1L)).toDF("k", "dv")
+      val gRoot = commit(ghost, "bpg")
+      SketchFileIndex.readIndexed(spark, gRoot).createOrReplaceTempView("sjd_bg")
+      val none = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_bf f JOIN sjd_bg d ON f.k = d.k""")
+      assert(none.collect().isEmpty)
+    }
+    // a fact WITHOUT the k Bloom: no pruning artifact, broadcast only —
+    // rows still exact (the accessor answers None, the arm degrades)
+    val plainRoot = java.nio.file.Files.createTempDirectory("sjd_bpp").toString
+    SketchRegistry.commitRangeSharded(fact, plainRoot, "ts", shardsLog2 = 3)
+    SketchFileIndex.readIndexed(spark, plainRoot).createOrReplaceTempView("sjd_bp")
+    withDispatch(broadcastMaxRows = 1000L) {
+      val q = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_bp f JOIN sjd_bd d ON f.k = d.k""")
+      assert(sortedRows(q) == expected)
+    }
+  }
+
   test("planning caches are bounded: many version pairs never exceed the LRU cap") {
     val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")

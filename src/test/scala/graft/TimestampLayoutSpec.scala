@@ -201,6 +201,84 @@ class TimestampLayoutSpec extends AnyFunSuite with SparkTest
     } finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
   }
 
+  test("secondary Blooms on a TIMESTAMP sketch column probe in micros: equality returns exact rows") {
+    // the Bloom sibling of the r15 window-unit rule: commit-side Bloom
+    // inputs route through LayoutLong, so temporal sketch columns hash
+    // in MICROS — the unit readIndexed probes equality literals in.
+    // (Before this, bloomSketch's integral guard rejected temporal
+    // sketchCols at commit — loud, never wrong — and a bare CAST would
+    // have hashed SECONDS: every probe a false negative → pruned shards
+    // that hold the rows. LayoutLong both enables and unit-aligns them.)
+    val df = (0 until 1000)
+      .map(i => (i.toLong, 1704067200L + (i % 200) * 3600L)).toDF("id", "sec")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ev_ts"))
+    val root = java.nio.file.Files.createTempDirectory("tsl_sbloom").toString
+    // range-laid on id; ev_ts is a SECONDARY Bloom column the layout
+    // scatters (every shard holds every hour)
+    SketchRegistry.commitRangeSharded(df, root, "id", shardsLog2 = 3,
+      subLog2 = 5, sketchCols = Seq("ev_ts"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("tsl_sb")
+    val q = spark.sql(
+      "SELECT id FROM tsl_sb WHERE ev_ts = TIMESTAMP'2024-01-01 07:00:00Z'")
+    val exp = df.filter(col("ev_ts") ===
+      lit("2024-01-01 07:00:00").cast("timestamp"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(exp.nonEmpty, "fixture must hold matching rows")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == exp,
+      "micros-probed equality over a timestamp Bloom must return every row")
+    // a planted MISS prunes everything: zero files opened
+    val none = spark.sql(
+      "SELECT id FROM tsl_sb WHERE ev_ts = TIMESTAMP'2031-05-05 00:00:00Z'")
+    assert(none.collect().isEmpty)
+    assert(scannedParts(none) == 0,
+      "a planted timestamp miss must open zero data files")
+    // the same probe works on the Z layout's per-cell Blooms
+    val zdf = df.select(col("id"), (col("id") % 40).as("a2"), col("ev_ts"))
+      .withColumn("b2", col("id") % 50)
+    val zroot = java.nio.file.Files.createTempDirectory("tsl_zbloom").toString
+    ZOrderStore.commitZOrdered(zdf.select("a2", "b2", "id", "ev_ts"), zroot,
+      "a2", "b2", shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("ev_ts"))
+    SketchFileIndex.readIndexed(spark, zroot).createOrReplaceTempView("tsl_zb")
+    val zq = spark.sql(
+      "SELECT id FROM tsl_zb WHERE ev_ts = TIMESTAMP'2024-01-01 07:00:00Z'")
+    assert(zq.collect().map(_.getLong(0)).sorted.toSeq == exp)
+  }
+
+  test("layout-unit format token: a pre-LayoutLong temporal store is rejected loudly, integral stores pass") {
+    val root = java.nio.file.Files.createTempDirectory("tsl_units").toString
+    SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 2,
+      subLog2 = 5)
+    // strip the units token, simulating a store committed under the old
+    // bare-CAST semantics (windows would be in seconds)
+    val v = graft.core.TableStore.currentVersion(root).get
+    val metaPath = java.nio.file.Paths.get(root, s"v_$v", "_zonemap_meta")
+    val lines = new String(java.nio.file.Files.readAllBytes(metaPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
+    assert(lines.last == "units:micros", "v2 meta must carry the unit token")
+    java.nio.file.Files.write(metaPath,
+      lines.dropRight(2).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      SketchFileIndex.readIndexed(spark, root)
+    }
+    assert(e.getMessage.contains("layout-unit"),
+      s"legacy temporal store must be rejected with a migration message: $e")
+    // an INTEGRAL legacy store is unit-agnostic: reads fine without the token
+    val iroot = java.nio.file.Files.createTempDirectory("tsl_units_i").toString
+    val idf = (0 until 500).map(i => (i.toLong, i.toLong)).toDF("ts", "v")
+    SketchRegistry.commitRangeSharded(idf, iroot, "ts", shardsLog2 = 2,
+      subLog2 = 5)
+    val iv = graft.core.TableStore.currentVersion(iroot).get
+    val imeta = java.nio.file.Paths.get(iroot, s"v_$iv", "_zonemap_meta")
+    val ilines = new String(java.nio.file.Files.readAllBytes(imeta),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
+    java.nio.file.Files.write(imeta,
+      ilines.dropRight(2).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val q = SketchFileIndex.readIndexed(spark, iroot).filter(col("ts") >= 400)
+    assert(q.count() == 100L)
+  }
+
   test("append maintenance keeps timestamp windows exact in micros") {
     val root = java.nio.file.Files.createTempDirectory("tsl_app").toString
     SketchRegistry.commitRangeSharded(hourly, root, "ts", shardsLog2 = 3,
