@@ -263,15 +263,28 @@ private[graft] object LayoutExprs {
   def sumExact(parts: Seq[Long]): Long = parts.foldLeft(0L)(Math.addExact)
 
   /** Per-column CLOSED intervals when every conjunct of every condition
-    * is a range/equality comparison between a GUARDED layout column and a
-    * long-backed literal (or an IsNotNull on one — a no-op, the commit
-    * guards those columns non-null). None when any conjunct is anything
-    * else. Strict bounds saturate; contradictory conjuncts produce an
-    * empty (lo > hi) interval, which admits zero rows — exactly the
-    * predicate's truth.
+    * is a range/equality comparison between an ALLOWED column and a
+    * long-backed literal, or an IsNotNull on one. None when any conjunct
+    * is anything else. Strict bounds saturate; contradictory conjuncts
+    * produce an empty (lo > hi) interval, which admits zero rows —
+    * exactly the predicate's truth.
+    *
+    * IsNotNull handling is two-tiered: on a `nonNullGuarded` column (the
+    * layout commit guards it non-null) it is a true no-op; on any other
+    * allowed column it adds a FULL-RANGE interval entry — the entry
+    * restricts nothing numerically, but it forces consumers that prove
+    * per-shard containment to run their non-null proof for that column
+    * (a shard with nulls has rows IsNotNull rejects, so "window inside
+    * interval" alone would overcount).
     */
   def intervalsOf(conds: Seq[Expression], guarded: Set[String])
+  : Option[Map[String, (Long, Long)]] =
+    intervalsOf(conds, guarded, guarded)
+
+  def intervalsOf(conds: Seq[Expression], allowed: Set[String],
+                  nonNullGuarded: Set[String])
   : Option[Map[String, (Long, Long)]] = {
+    val guarded = allowed
     def litL(l: Literal): Option[Long] = l.value match {
       case x: Long => Some(x)
       case x: Int => Some(x.toLong)
@@ -294,7 +307,8 @@ private[graft] object LayoutExprs {
       case o => Seq(o)
     }
     val ok = conds.flatMap(conjuncts).forall {
-      case IsNotNull(a: AttributeReference) if guarded(a.name) => true
+      case IsNotNull(a: AttributeReference) if guarded(a.name) =>
+        nonNullGuarded(a.name) || restrict(a.name, Long.MinValue, Long.MaxValue)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
         litL(l).exists(v => restrict(a.name, v, Long.MaxValue))
       case LessThanOrEqual(a: AttributeReference, l: Literal) if guarded(a.name) =>
@@ -678,15 +692,24 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       val guarded = idx.nonNullLayoutCols
       if (guarded.isEmpty) return None // hash layout: no exact windows
       val sumCovered: Set[String] = idx.sumStatsByCol.keySet
+      // statsCols-WINDOWED columns qualify for grouping/region/min-max
+      // too — the correlated-dimension dashboard (`GROUP BY id-bucket`
+      // over a time-laid table whose ids track time): containment then
+      // additionally needs the per-shard NON-NULL proof
+      // ([[SketchFileIndex.nonNullProven]] — cnt_<c> == n_rows), because
+      // windows ignore nulls while groups and filters do not
+      val windowed: Set[String] = idx.windowedCols
+      def statOk(n: String): Boolean = guarded(n) || windowed(n)
       // aggregated columns must be the RELATION'S OWN attributes (by
       // exprId) — a Project alias named like a covered column must never
       // borrow that column's stats
       val relIds = rel.output.map(_.exprId).toSet
       def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
       val buckets: Seq[Option[Bucketing]] = ges.map(g =>
-        bucketingOf(g).filter(b => relAttr(b.attr) && guarded(b.attr.name)))
+        bucketingOf(g).filter(b => relAttr(b.attr) && statOk(b.attr.name)))
       if (buckets.exists(_.isEmpty)) return None
-      LayoutExprs.intervalsOf(conds, guarded).flatMap { region =>
+      LayoutExprs.intervalsOf(conds, guarded ++ windowed, guarded)
+        .flatMap { region =>
         val kinds: Seq[Option[WKind]] = aggExprs.map { ae =>
           val labelIdx = ges0.indexWhere(g => ae match {
             case Alias(e, _) => e.semanticEquals(g)
@@ -698,11 +721,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
                 Min(a: AttributeReference), Complete, false, None, _), _)
-                if relAttr(a) && guarded(a.name) && longBacked(a.dataType) =>
+                if relAttr(a) && statOk(a.name) && longBacked(a.dataType) =>
               Some(WMin(a))
             case Alias(AggregateExpression(
                 Max(a: AttributeReference), Complete, false, None, _), _)
-                if relAttr(a) && guarded(a.name) && longBacked(a.dataType) =>
+                if relAttr(a) && statOk(a.name) && longBacked(a.dataType) =>
               Some(WMax(a))
             case Alias(AggregateExpression(
                 Sum(a: AttributeReference, mode), Complete, false, None, _), _)
@@ -948,15 +971,23 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         val windows: Map[String, Map[Int, (Long, Long)]] =
           aggCols.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
         val populated = counts.keySet.toSeq.sorted
+        // dropping a non-intersecting shard is sound even when the column
+        // is nullable (a NULL satisfies no range predicate, and an
+        // all-null-stats shard has no window and drops for the same
+        // reason); CONTAINMENT additionally needs the per-shard non-null
+        // proof on merely-windowed columns — a shard with nulls has rows
+        // the filter rejects / a NULL group the bucket label cannot carry
         def regionIntersects(s: Int): Boolean = region.forall {
           case (c, (lo, hi)) => lo <= hi &&
             windows(c).get(s).exists { case (wl, wh) => wh >= lo && wl <= hi } }
         def regionContained(s: Int): Boolean = region.forall {
           case (c, (lo, hi)) =>
-            windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
+            idx.nonNullProven(c, s, counts(s)) &&
+              windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
         def bucketContained(s: Int): Boolean = bks.forall(bk =>
-          windows(bk.attr.name).get(s).exists { case (wl, wh) =>
-            bk.bucket(wl) == bk.bucket(wh) })
+          idx.nonNullProven(bk.attr.name, s, counts(s)) &&
+            windows(bk.attr.name).get(s).exists { case (wl, wh) =>
+              bk.bucket(wl) == bk.bucket(wh) })
         val candidates = populated.filter(regionIntersects)
         val cont = candidates.filter(s => regionContained(s) && bucketContained(s))
         if (candidates.isEmpty) {

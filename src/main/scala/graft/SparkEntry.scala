@@ -4617,15 +4617,28 @@ object SparkEntry {
       s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "100000")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        val df = s.sql(
-          """SELECT e.ts_us, e.event_id, d.event_type
+        val join = s.sql(
+          """SELECT 'join' AS arm, e.ts_us, e.event_id, d.event_type
             |FROM q254_ev e JOIN q254_d d ON e.event_id = d.event_id""".stripMargin)
-        require(df.queryExecution.executedPlan.toString
+        require(join.queryExecution.executedPlan.toString
           .contains("BroadcastHashJoin"),
           "cross-layout dim must broadcast off its exact registry count")
-        require(df.queryExecution.optimizedPlan.toString.contains(" IN ("),
+        require(join.queryExecution.optimizedPlan.toString.contains(" IN ("),
           "fact side lost its secondary-Bloom dim-filter shard prune")
-        df.localCheckpoint(true)
+        // the same pushdown through an IN subquery — Spark plans it as a
+        // LEFT SEMI join, which the cross arm dispatches the same way:
+        // dim broadcast + fact shard prune (semi may prune BOTH sides)
+        val semi = s.sql(
+          """SELECT 'semi' AS arm, ts_us, event_id,
+            |  CAST(NULL AS STRING) AS event_type
+            |FROM q254_ev
+            |WHERE event_id IN (SELECT event_id FROM q254_d)""".stripMargin)
+        require(semi.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "IN-subquery dim must broadcast off its exact registry count")
+        require(semi.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "IN-subquery fact lost its secondary-Bloom dim-filter shard prune")
+        join.unionByName(semi).localCheckpoint(true)
       } finally {
         s.conf.set("spark.graft.sketchJoinDispatch.enabled", "false")
         s.conf.set("spark.graft.sketchJoinDispatch.broadcastMaxRows", "1000000")
@@ -4668,6 +4681,51 @@ object SparkEntry {
         require(!coarse.queryExecution.executedPlan.toString.contains("FileScan"),
           "single-bucket-pair two-key collapse must not open a data file")
         mixed.unionByName(coarse).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // CORRELATED-DIMENSION grouped collapse — `GROUP BY id-bucket` over a
+    // TIME-laid table whose ids track time (the events shape): event_id
+    // carries statsCols windows AND sumCols counts, so a shard whose
+    // window maps into one id-bucket and whose cnt_event_id == n_rows
+    // (the per-shard NON-NULL proof — windows ignore nulls, groups do
+    // not) contributes from metadata; only bucket-straddling shards
+    // scan. The divisor derives from the table's own row count so the
+    // bucketing is scale-independent (the oracle recomputes it as a
+    // scalar subquery). The 'both' arm composes a guarded time bucketing
+    // with the windowed id bucketing in ONE GROUP BY.
+    "q256_correlated_dim_group" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q256_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val d = math.max(Tables.events(s, dir).count() / 5L, 1L)
+        val dim = s.sql(
+          s"""SELECT 'dim' AS arm, event_id div $d AS eb,
+             |  CAST(NULL AS BIGINT) AS wk, count(*) AS n,
+             |  sum(event_id) AS se, min(ts_us) AS mn, max(ts_us) AS mx
+             |FROM q256_ev GROUP BY 2""".stripMargin)
+        // 0.999 ts↔id correlation: id windows per time shard are narrow,
+        // so n/5-wide id buckets contain whole shards — the plan either
+        // pins the straddler-only prune or collapses outright
+        val dp = dim.queryExecution
+        require(dp.optimizedPlan.toString.contains(" IN (") ||
+          !dp.executedPlan.toString.contains("FileScan"),
+          "correlated-dimension grouping fired neither prune nor collapse")
+        val both = s.sql(
+          s"""SELECT 'both' AS arm, event_id div $d AS eb,
+             |  ts_us div 604800000000 AS wk, count(*) AS n,
+             |  sum(event_id) AS se, min(ts_us) AS mn, max(ts_us) AS mx
+             |FROM q256_ev GROUP BY 2, 3""".stripMargin)
+        val bp = both.queryExecution
+        require(bp.optimizedPlan.toString.contains(" IN (") ||
+          !bp.executedPlan.toString.contains("FileScan"),
+          "time×id two-key grouping fired neither prune nor collapse")
+        dim.unionByName(both).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
@@ -5211,6 +5269,24 @@ object SparkEntry {
           """SELECT qty div 25 AS qb, ln div 3 AS lb, count(*) AS n,
             |  sum(sk) AS ss FROM q255p_li GROUP BY 1, 2""".stripMargin)
         df.queryExecution.sparkPlan // straddling cells ∪ per-pair metadata
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q256_correlated_dim_group" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evr"))
+        .createOrReplaceTempView("q256p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val d = math.max(Tables.events(s, dir).count() / 5L, 1L)
+        val df = s.sql(
+          s"""SELECT event_id div $d AS eb, count(*) AS n,
+             |  sum(event_id) AS se, min(ts_us) AS mn, max(ts_us) AS mx
+             |FROM q256p_ev GROUP BY 1""".stripMargin)
+        df.queryExecution.sparkPlan // id-bucket straddlers ∪ metadata
         df
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
@@ -10222,14 +10298,38 @@ object SparkEntry {
         |    event_id
         |  FROM events ORDER BY b DESC, event_id DESC LIMIT 50)""".stripMargin,
 
-    // the plain fact × sliced-dim join — Bloom pruning and the broadcast
-    // hint change the scan and shuffle, never a row
+    // the plain fact × sliced-dim join and the plain IN-subquery — Bloom
+    // pruning and the broadcast hint change the scan and shuffle, never
+    // a row
     "q254_cross_layout_bloom_prune" ->
-      """SELECT epoch_us(e.ts) AS ts_us, e.event_id, d.event_type
+      """SELECT 'join' AS arm, epoch_us(e.ts) AS ts_us, e.event_id,
+        |  d.event_type
         |FROM events e JOIN (
         |  SELECT event_id, event_type FROM events
         |  WHERE epoch_us(ts) < 1704110400000000) d
-        |ON e.event_id = d.event_id""".stripMargin,
+        |ON e.event_id = d.event_id
+        |UNION ALL
+        |SELECT 'semi', epoch_us(ts), event_id, CAST(NULL AS VARCHAR)
+        |FROM events
+        |WHERE event_id IN (SELECT event_id FROM events
+        |                   WHERE epoch_us(ts) < 1704110400000000)""".stripMargin,
+
+    // the plain correlated-dimension grouped aggregates — the divisor is
+    // the same floor(count/5) the Spark side injects as a literal
+    "q256_correlated_dim_group" ->
+      """SELECT 'dim' AS arm,
+        |  event_id // ((SELECT count(*) FROM events) // 5) AS eb,
+        |  CAST(NULL AS BIGINT) AS wk, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS se,
+        |  min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'both',
+        |  event_id // ((SELECT count(*) FROM events) // 5),
+        |  epoch_us(ts) // 604800000000, count(*),
+        |  CAST(sum(event_id) AS BIGINT),
+        |  min(epoch_us(ts)), max(epoch_us(ts))
+        |FROM events GROUP BY 2, 3""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

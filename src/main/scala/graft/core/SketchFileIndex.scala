@@ -201,6 +201,24 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private[graft] def columnWindows(name: String): Option[Map[Int, (Long, Long)]] =
     statsByCol.get(name)
 
+  /** Every column with exact per-shard windows (sort/interleave columns
+    * plus statsCols) — the grouped collapse admits bucketings/regions on
+    * any of them, proving per-shard containment with [[nonNullProven]]
+    * where the commit does not already guard the column non-null.
+    */
+  private[graft] def windowedCols: Set[String] = statsByCol.keySet
+
+  /** True when shard `s` provably holds NO null in `c`: the layout
+    * guards the column non-null, or the column's exact sumCols non-null
+    * count equals the shard's row count. The proof a containment
+    * argument needs on a merely-windowed (statsCols) column — windows
+    * ignore nulls, so "window inside interval/bucket" alone says nothing
+    * about a shard's null rows.
+    */
+  private[graft] def nonNullProven(c: String, s: Int, nRows: Long): Boolean =
+    nonNullLayoutCols(c) ||
+      sumStatsByCol.get(c).exists(_.get(s).exists(_._2 == nRows))
+
   /** Exact per-shard row counts off the registry/zone map. */
   private[graft] lazy val shardRowCounts: Map[Int, Long] =
     registryFrame.select("shard", "n_rows").collect()

@@ -650,6 +650,80 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("correlated-dimension grouping: statsCols windows + the per-shard non-null proof drive the collapse") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_cdim").toString
+    // e tracks ts exactly (a correlated id); NULL only inside ts
+    // [1000, 1100) — ONE shard loses its non-null proof, the rest keep it
+    val df = (0 until 4000).map { i =>
+      val ts = i.toLong
+      (ts, if (ts >= 1000 && ts < 1100) None else Some(ts * 2))
+    }.toDF("ts", "e")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      statsCols = Seq("e"), sumCols = Seq("e"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_cd")
+    withRule {
+      // GROUP BY e-bucket over the ts-laid table: proof-carrying shards
+      // whose e-window maps into one 1600-bucket contribute from
+      // metadata; the null-bearing shard and bucket-straddlers scan —
+      // and the scan half computes the NULL group exactly
+      val q = spark.sql("""SELECT e div 1600 AS eb, count(*) AS n,
+        sum(e) AS s, count(e) AS ce, min(ts) AS mn, max(ts) AS mx
+        FROM magg_cd GROUP BY 1 ORDER BY eb""")
+      val exp = df.groupBy((col("e") / 1600).cast("long").as("eb"))
+        .agg(count(lit(1)).as("n"), sum("e").as("s"), count("e").as("ce"),
+          min("ts").as("mn"), max("ts").as("mx"))
+        .orderBy(col("eb").asc_nulls_first).collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      val parts = scannedParts(q)
+      assert(parts > 0 && parts < 8,
+        s"proof-carrying contained shards must answer from metadata, got $parts/8")
+      // min/max over the windowed dimension column itself — null-skipping
+      // windows ARE the exact per-shard min/max contributions
+      val mm = spark.sql("""SELECT ts div 1000 AS b, min(e) AS mn, max(e) AS mx
+        FROM magg_cd GROUP BY 1 ORDER BY b""")
+      val mmExp = df.groupBy((col("ts") / 1000).cast("long").as("b"))
+        .agg(min("e").as("mn"), max("e").as("mx"))
+        .orderBy("b").collect().map(_.toSeq).toSeq
+      assert(mm.collect().map(_.toSeq).toSeq == mmExp)
+      assert(scannedParts(mm) < 8)
+      // a FILTER on the windowed column composes (region drop is sound
+      // with nulls — they satisfy no range predicate; containment runs
+      // the proof), incl. an explicit IS NOT NULL conjunct
+      val filt = spark.sql("""SELECT e div 1600 AS eb, count(*) AS n
+        FROM magg_cd WHERE e >= 2000 AND e < 7000 AND e IS NOT NULL
+        GROUP BY 1 ORDER BY eb""")
+      val fExp = df.filter(col("e") >= 2000 && col("e") < 7000)
+        .groupBy((col("e") / 1600).cast("long").as("eb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("eb").collect().map(_.toSeq).toSeq
+      assert(filt.collect().map(_.toSeq).toSeq == fExp)
+      assert(scannedParts(filt) < 8)
+      // a column with windows but NO sum stats has no proof anywhere:
+      // grouping on it never collapses, answers stay right
+      val root2 = java.nio.file.Files.createTempDirectory("magg_cd2").toString
+      SketchRegistry.commitRangeSharded(df, root2, "ts", shardsLog2 = 3,
+        statsCols = Seq("e"))
+      SketchFileIndex.readIndexed(spark, root2)
+        .createOrReplaceTempView("magg_cd2")
+      val noproof = spark.sql("""SELECT e div 1600 AS eb, count(*) AS n
+        FROM magg_cd2 GROUP BY 1""")
+      assert(scannedParts(noproof) == 8,
+        "no sumCols ⇒ no non-null proof ⇒ no metadata contribution")
+      assert(noproof.collect().map(_.getLong(1)).sum == 4000L)
+    }
+  }
+
   test("overflowing metadata sums bail to the scan plan — EvalMode semantics preserved") {
     val root = java.nio.file.Files.createTempDirectory("magg_ovf").toString
     // one row per shard keeps every PER-SHARD sum exact; the TOTAL
