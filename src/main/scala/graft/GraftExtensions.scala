@@ -584,12 +584,16 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   private final case class WLabel(j: Int) extends WKind
 
   /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
-    * count(*) / min / max over GUARDED layout columns (plus foldable
-    * result expressions) over a Filter whose every conjunct is a range
-    * predicate on a non-null-guarded layout column of a range/Z
-    * relation. min/max qualify because a contained shard's exact window
-    * endpoint IS its contribution (every row of the shard satisfies the
-    * predicate), so only boundary shards need the scan.
+    * count(*) / min / max over windowed columns (plus foldable result
+    * expressions) over a Filter whose every conjunct is a range
+    * predicate on a windowed column of a range/Z relation — the layout's
+    * non-null-guarded columns, or statsCols columns with the per-shard
+    * non-null PROOF applied at containment time (like the grouped arm:
+    * region drops are sound with nulls, containment is not). min/max
+    * qualify because a contained shard's exact window endpoint IS its
+    * contribution (every row of the shard satisfies the predicate, and
+    * min/max skip nulls exactly like windows do), so only boundary
+    * shards need the scan.
     */
   private def windowedAgg(child0: LogicalPlan,
                           aggExprs: Seq[NamedExpression])
@@ -599,15 +603,17 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         indexUnder(fchild).flatMap { idx =>
           val guarded = idx.nonNullLayoutCols
           if (guarded.isEmpty) return None // hash layout: no exact windows
+          val windowed: Set[String] = idx.windowedCols
+          def statOk(n: String): Boolean = guarded(n) || windowed(n)
           val sumCovered: Set[String] = idx.sumStatsByCol.keySet
           val kinds: Seq[Option[WKind]] = aggExprs.map {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
                 Min(a: AttributeReference), Complete, false, None, _), _)
-                if guarded(a.name) && longBacked(a.dataType) => Some(WMin(a))
+                if statOk(a.name) && longBacked(a.dataType) => Some(WMin(a))
             case Alias(AggregateExpression(
                 Max(a: AttributeReference), Complete, false, None, _), _)
-                if guarded(a.name) && longBacked(a.dataType) => Some(WMax(a))
+                if statOk(a.name) && longBacked(a.dataType) => Some(WMax(a))
             // sum/count over a sumCols column: a contained shard's stored
             // (sum, cnt) IS its exact contribution — nulls excluded on
             // both sides of the equality, so no non-null guard needed.
@@ -633,7 +639,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           }
           val ks = kinds.flatten
           if (ks.size != aggExprs.size || !ks.exists(_ != WFold)) None
-          else LayoutExprs.intervalsOf(Seq(cond), guarded)
+          else LayoutExprs.intervalsOf(Seq(cond), guarded ++ windowed, guarded)
             .map(region => (f, idx, region, ks))
         }
       case _ => None
@@ -802,8 +808,14 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         val windows: Map[String, Map[Int, (Long, Long)]] =
           (region.keySet ++ aggCols)
             .map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
+        // containment on a merely-windowed (statsCols) region column
+        // needs the per-shard non-null proof — a null row fails the
+        // filter while the window says nothing about it; dropping a
+        // non-intersecting shard needs no proof (a null satisfies no
+        // range predicate)
         def contained(s: Int) = region.forall { case (c, (lo, hi)) =>
-          windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
+          idx.nonNullProven(c, s, counts(s)) &&
+            windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
         def intersects(s: Int) = region.forall { case (c, (lo, hi)) =>
           lo <= hi &&
             windows(c).get(s).exists { case (wl, wh) => wh >= lo && wl <= hi } }

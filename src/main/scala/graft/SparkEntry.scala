@@ -4725,7 +4725,20 @@ object SparkEntry {
         require(bp.optimizedPlan.toString.contains(" IN (") ||
           !bp.executedPlan.toString.contains("FileScan"),
           "time×id two-key grouping fired neither prune nor collapse")
-        dim.unionByName(both).localCheckpoint(true)
+        // the UNGROUPED windowed arm over the same correlated dimension:
+        // a mid-half id-range predicate answers proof-carrying contained
+        // shards from metadata and scans only the cut-boundary shards
+        val win = s.sql(
+          s"""SELECT 'win' AS arm, CAST(NULL AS BIGINT) AS eb,
+             |  CAST(NULL AS BIGINT) AS wk, count(*) AS n,
+             |  sum(event_id) AS se, min(ts_us) AS mn, max(ts_us) AS mx
+             |FROM q256_ev
+             |WHERE event_id >= ${d + 1L} AND event_id < ${4L * d}""".stripMargin)
+        val wp = win.queryExecution
+        require(wp.optimizedPlan.toString.contains(" IN (") ||
+          !wp.executedPlan.toString.contains("FileScan"),
+          "correlated-dimension window fired neither prune nor collapse")
+        dim.unionByName(both).unionByName(win).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
@@ -10329,7 +10342,14 @@ object SparkEntry {
         |  epoch_us(ts) // 604800000000, count(*),
         |  CAST(sum(event_id) AS BIGINT),
         |  min(epoch_us(ts)), max(epoch_us(ts))
-        |FROM events GROUP BY 2, 3""".stripMargin,
+        |FROM events GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'win', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  count(*), CAST(sum(event_id) AS BIGINT),
+        |  min(epoch_us(ts)), max(epoch_us(ts))
+        |FROM events
+        |WHERE event_id >= ((SELECT count(*) FROM events) // 5) + 1
+        |  AND event_id < 4 * ((SELECT count(*) FROM events) // 5)""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

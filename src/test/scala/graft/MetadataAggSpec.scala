@@ -721,6 +721,25 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
       assert(scannedParts(noproof) == 8,
         "no sumCols ⇒ no non-null proof ⇒ no metadata contribution")
       assert(noproof.collect().map(_.getLong(1)).sum == 4000L)
+      // the UNGROUPED windowed arm over the correlated dimension:
+      // proof-carrying contained shards answer from metadata; the
+      // null-bearing shard (inside the region, no proof) and the
+      // cut-boundary shards scan
+      val win = spark.sql("""SELECT count(*) AS n, sum(e) AS s,
+        min(ts) AS mn, max(ts) AS mx, min(e) AS mne
+        FROM magg_cd WHERE e >= 1000 AND e < 7000""")
+      val winExp = df.filter(col("e") >= 1000 && col("e") < 7000)
+        .agg(count(lit(1)), sum("e"), min("ts"), max("ts"), min("e"))
+        .collect().head.toSeq
+      assert(win.collect().head.toSeq == winExp)
+      assert(scannedParts(win) < 8,
+        s"windowed correlated-dim aggregate must scan boundary+unproven shards only: ${scannedParts(win)}")
+      // without the proof the windowed answers stay right, and the
+      // region still DROPS non-intersecting shards (sound with nulls)
+      val winNp = spark.sql(
+        "SELECT count(*) AS n FROM magg_cd2 WHERE e >= 1000 AND e < 3000")
+      assert(winNp.collect().head.getLong(0) ==
+        df.filter(col("e") >= 1000 && col("e") < 3000).count())
     }
   }
 
