@@ -81,7 +81,13 @@ object Bench {
         .mkString("{", ",", "}")).mkString("[", ",", "]")
     val env = s"""{"load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
       s""""cores":${Runtime.getRuntime.availableProcessors}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","pass_totals":$passTotals,"env":$env,"failed":$failedJson,"queries":$qs,"queries_by_pass":$byPass,"sf":"$sfDir"}"""
+    // shared-fixture store commits happen once per JVM inside whichever
+    // query runs first — surface their wall time so cross-round query
+    // diffs aren't polluted by fixture-build attribution
+    val fixtures = SparkEntry.fixtureBuildSecs.toSeq.collect {
+      case ((d, kind), sec) if d == sfDir => s"\"$kind\":$sec"
+    }.sorted.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","pass_totals":$passTotals,"env":$env,"fixture_secs":$fixtures,"failed":$failedJson,"queries":$qs,"queries_by_pass":$byPass,"sf":"$sfDir"}"""
     println(line)
     // Also persist the JSON to a file: a truncated/contended console tail
     // once destroyed a round's perf evidence (r04), so stdout is no longer

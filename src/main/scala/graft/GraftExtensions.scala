@@ -491,11 +491,13 @@ private[graft] object LayoutExprs {
   *    touched shards, compact carries) — so the sum IS the row count;
   *  - `min`/`max`: only columns with EXACT zone-map stats qualify — the
   *    range layout's sort column and `statsCols`, the Z layout's two
-  *    interleaved columns (per-shard min/max over non-null values, null
-  *    only for all-null shards — matching SQL min/max null semantics
-  *    exactly, including the all-null → null and empty-table → null
-  *    cases). Hash-layout columns never qualify (Blooms carry
-  *    membership, not order);
+  *    interleaved columns, and the HASH layout's `statsCols` (per-shard
+  *    min/max over non-null values, null only for all-null shards —
+  *    matching SQL min/max null semantics exactly, including the
+  *    all-null → null and empty-table → null cases). Hash statsCols
+  *    windows exist for ANSWERING only, never pruning (the hash layout
+  *    scatters value ranges); a hash KEY column without statsCols still
+  *    never qualifies — its Bloom carries membership, not order;
   *  - `sum(c)`/`count(c)`/`avg(c)`: columns committed with `sumCols`
   *    carry per-shard EXACT (sum, non-null count) on EVERY layout —
   *    hash, range, and Z — so the total sum/count are exact additions
@@ -515,7 +517,16 @@ private[graft] object LayoutExprs {
   * region∩bucket-contained shards from metadata, shards straddling
   * either boundary scan once with the original filter+grouping; the Z
   * layout guards TWO columns, so the two-key dashboard
-  * `GROUP BY bucketA, bucketB` qualifies there. Any other aggregate
+  * `GROUP BY bucketA, bucketB` qualifies there. ONE grouping expression
+  * may instead be a CATEGORICAL `labelCols` column (the time×category
+  * dashboard `GROUP BY date-bucket, event_type`, or the reference's
+  * GROUP BY source / decay_level stats shapes): the registry stores
+  * each shard's exact per-label row counts (nulls as their own entry,
+  * matching SQL's null group), so a region∩bucket-contained shard
+  * contributes every (bucket, label) count from metadata — labels
+  * cannot straddle; only count shapes qualify then (count(*), count of
+  * the label column or a guarded column), and a shard that bailed at
+  * commit (> labelMax distinct labels) scans. Any other aggregate
   * shape — uncovered columns, DISTINCT, FILTER clauses, try_-mode
   * aggregates, other groupings — is left to Catalyst untouched. OFF by
   * default:
@@ -527,7 +538,7 @@ private[graft] object LayoutExprs {
 object MetadataAggCollapse extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{EvalMode, NamedExpression}
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Union}
   import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
   import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
@@ -535,6 +546,59 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     conf.getConfString("spark.graft.metadataAgg.enabled", "false").toBoolean
+
+  /** `approx_count_distinct` answering from the registry's per-shard HLL
+    * sketches (the hash layout's key sketch; the range layout's
+    * `distinctCols`). DOUBLY opt-in, because unlike every other arm the
+    * answer is not bit-identical to the unrewritten plan's: Spark's own
+    * HyperLogLogPlusPlus and the registry sketch are DIFFERENT estimators
+    * of the same quantity, both approximate within their published
+    * error — enabling this trades Spark's estimate for the registry's
+    * (computed with ZERO data files; registers max-merge, so the merged
+    * estimate is bit-identical to running the registry's own sketch over
+    * the covered rows — spec-pinned).
+    */
+  private def approxDistinctEnabled: Boolean =
+    conf.getConfString("spark.graft.metadataAgg.approxDistinct.enabled",
+      "false").toBoolean
+
+  /** Versioned snapshots are immutable, so a (root, version, column,
+    * shard subset) estimate never changes — memoized across queries.
+    */
+  private val ndvCache = new graft.util.LruCache[
+    (String, Long, String, String), Long](256)
+
+  /** The merged-HLL distinct estimate of `c` over `shards` — registers
+    * max-merge driver-side (each array is 2^p ints off the registry; no
+    * data file opens), then the estimate evaluates through
+    * [[graft.operators.SketchOps.hllEstimate]]'s own expression tree
+    * over a ONE-ROW local frame, so the double arithmetic can never
+    * drift from the verb's. That evaluation is a plan-time, single-row,
+    * scan-free job — bounded and memoized, same cost class as the join
+    * dispatch's registry probes.
+    */
+  private def mergedNdv(idx: SketchFileIndex, c: String,
+                        shards: Seq[Int]): Option[Long] =
+    idx.hllRegistersFor(c).map { case (regs, p) =>
+      ndvCache.getOrElseUpdate(
+        (idx.tableRoot, idx.tableVersion, c, shards.mkString(","))) {
+        val m = 1 << p
+        val merged = new Array[Int](m)
+        shards.foreach { s =>
+          regs.get(s).foreach { arr =>
+            var i = 0
+            while (i < m) {
+              if (arr(i) > merged(i)) merged(i) = arr(i); i += 1
+            }
+          }
+        }
+        import org.apache.spark.sql.functions.typedlit
+        org.apache.spark.sql.SparkSession.active.range(1)
+          .select(graft.operators.SketchOps
+            .hllEstimate(typedlit(merged.toSeq), p).as("e"))
+          .head.getLong(0) / 1000000L
+      }
+    }
 
   /** Unlike the join dispatch, NOTHING may sit between the aggregate and
     * the relation except attribute-only Projects — a Filter (even
@@ -579,9 +643,25 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     * PAIR, never by averaging averages.
     */
   private final case class WAvg(a: AttributeReference) extends WKind
+  /** approx_count_distinct over an HLL-sketched column (opt-in — see
+    * [[approxDistinctEnabled]]); answered only when EVERY candidate
+    * shard is contained (an HLL cannot split across a scan half).
+    */
+  private final case class WNdv(a: AttributeReference) extends WKind
   private case object WFold extends WKind
   /** The j-th grouping expression's own slot (GROUP-BY collapse only). */
   private final case class WLabel(j: Int) extends WKind
+
+  /** One grouping dimension of the GROUP-BY collapse: a monotone
+    * BUCKETING of a windowed layout column (shards contribute when their
+    * window maps into one bucket), or a CATEGORICAL label column whose
+    * per-shard `labels_<c>` stats carry exact per-label row counts
+    * (every proof-carrying shard contributes per label — labels cannot
+    * straddle).
+    */
+  private sealed trait GDim
+  private final case class BDim(bk: Bucketing) extends GDim
+  private final case class LDim(attr: AttributeReference) extends GDim
 
   /** The (filter, index, intervals, kinds) of a WINDOWED aggregate:
     * count(*) / min / max over windowed columns (plus foldable result
@@ -629,11 +709,18 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   sumCovered(a.name) && integral(a.dataType) => Some(WSum(a))
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
-                if sumCovered(a.name) || guarded(a.name) => Some(WCntCol(a))
+                if idx.cntCovered(a.name) || guarded(a.name) => Some(WCntCol(a))
             case Alias(AggregateExpression(
                 Average(a: AttributeReference, mode), Complete, false, None, _), _)
                 if mode != EvalMode.TRY &&
                   sumCovered(a.name) && integral(a.dataType) => Some(WAvg(a))
+            case Alias(AggregateExpression(
+                h: HyperLogLogPlusPlus, Complete, false, None, _), _)
+                if approxDistinctEnabled => h.child match {
+              case a: AttributeReference
+                  if idx.hllRegistersFor(a.name).isDefined => Some(WNdv(a))
+              case _ => None
+            }
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
@@ -663,7 +750,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     */
   private def groupedAgg(ges0: Seq[Expression], aggExprs: Seq[NamedExpression],
                          child0: LogicalPlan)
-  : Option[(SketchFileIndex, Seq[Bucketing],
+  : Option[(SketchFileIndex, Seq[GDim],
       Map[String, (Long, Long)], Seq[WKind])] = {
     // Walk Projects down to the sketch relation, SUBSTITUTING alias
     // definitions into the grouping expressions and collected filter
@@ -711,9 +798,28 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // borrow that column's stats
       val relIds = rel.output.map(_.exprId).toSet
       def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
-      val buckets: Seq[Option[Bucketing]] = ges.map(g =>
-        bucketingOf(g).filter(b => relAttr(b.attr) && statOk(b.attr.name)))
-      if (buckets.exists(_.isEmpty)) return None
+      val dims: Seq[Option[GDim]] = ges.map { g =>
+        bucketingOf(g).filter(b => relAttr(b.attr) && statOk(b.attr.name))
+          .map(BDim(_): GDim)
+          .orElse(g match {
+            // a CATEGORICAL dimension: a bare labelCols attribute — the
+            // registry's per-shard label stats carry exact per-label row
+            // counts (incl. the null-label group), so each proof-carrying
+            // shard contributes per label from metadata
+            case a: AttributeReference
+                if a.dataType == org.apache.spark.sql.types.StringType &&
+                  relAttr(a) && idx.labelCols(a.name) &&
+                  idx.labelStats(a.name).isDefined => Some(LDim(a))
+            case _ => None
+          })
+      }
+      if (dims.exists(_.isEmpty)) return None
+      val ds = dims.map(_.get)
+      // at most ONE label dimension: per-shard label counts are marginal
+      // distributions — a two-label GROUP BY needs the joint, which the
+      // registry does not store
+      if (ds.count(_.isInstanceOf[LDim]) > 1) return None
+      val labelName = ds.collectFirst { case LDim(a) => a.name }
       LayoutExprs.intervalsOf(conds, guarded ++ windowed, guarded)
         .flatMap { region =>
         val kinds: Seq[Option[WKind]] = aggExprs.map { ae =>
@@ -740,7 +846,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               Some(WSum(a))
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
-                if relAttr(a) && (sumCovered(a.name) || guarded(a.name)) =>
+                if relAttr(a) && (idx.cntCovered(a.name) || guarded(a.name) ||
+                  labelName.contains(a.name)) =>
               Some(WCntCol(a))
             case Alias(AggregateExpression(
                 Average(a: AttributeReference, mode), Complete, false, None, _), _)
@@ -752,20 +859,31 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           }
         }
         val ks = kinds.flatten
-        if (ks.size != aggExprs.size ||
+        // with a label dimension only count shapes qualify: per-GROUP
+        // counts are exact for the label column itself (the null-label
+        // group counts 0) and for layout-guarded columns (count = group
+        // size); min/max/sum/avg would need per-label stats the registry
+        // does not store
+        val labelKindsOk = labelName.isEmpty || ks.forall {
+          case WCnt | WFold => true
+          case _: WLabel => true
+          case WCntCol(a) => guarded(a.name) || labelName.contains(a.name)
+          case _ => false
+        }
+        if (ks.size != aggExprs.size || !labelKindsOk ||
           !ks.exists(k => k != WFold && !k.isInstanceOf[WLabel])) None
-        else Some((idx, buckets.map(_.get), region, ks))
+        else Some((idx, ds, region, ks))
       }
     }
   }
 
   private object GroupedAgg {
     def unapply(p: LogicalPlan)
-    : Option[(Aggregate, SketchFileIndex, Seq[Bucketing],
+    : Option[(Aggregate, SketchFileIndex, Seq[GDim],
         Map[String, (Long, Long)], Seq[WKind])] = p match {
       case agg @ Aggregate(ges, aggExprs, child0, _) if ges.nonEmpty =>
-        groupedAgg(ges, aggExprs, child0).map { case (idx, bks, region, ks) =>
-          (agg, idx, bks, region, ks)
+        groupedAgg(ges, aggExprs, child0).map { case (idx, ds, region, ks) =>
+          (agg, idx, ds, region, ks)
         }
       case _ => None
     }
@@ -835,8 +953,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         def contCnt(a: AttributeReference): Long =
           if (idx.nonNullLayoutCols(a.name)) fullSum
           else cont.iterator.map(s =>
-            idx.sumStatsByCol.getOrElse(a.name, Map.empty)
-              .get(s).map(_._2).getOrElse(0L)).sum
+            idx.nonNullCnt(a.name, s).getOrElse(0L)).sum
         if (bound.isEmpty) {
           // fully metadata-answerable (incl. the unsatisfiable-predicate
           // and all-shards-contained cases)
@@ -851,12 +968,21 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               val cnt = contCnt(a)
               contSum(a.name).filter(_ => cnt > 0L)
                 .map(s => (s.toDouble / cnt): Any).orNull
+            // all candidates contained: the merged contained-shard HLLs
+            // cover exactly the filter-eligible rows (drops hold no
+            // eligible row; an unsatisfiable region merges zero shards —
+            // all-zero registers estimate 0, matching the empty input)
+            case (Alias(_, _), WNdv(a)) =>
+              mergedNdv(idx, a.name, cont).map(v => v: Any).orNull
             case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
             case _ => null // unreachable: kinds align with aggExprs
           }
           LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
         } else if (cont.isEmpty && bound.size >= populated.size) {
           agg // every shard is boundary: nothing gained, leave it alone
+        } else if (kinds.exists(_.isInstanceOf[WNdv])) {
+          agg // an HLL cannot split across a metadata/scan pair: a
+              // boundary shard's eligible-row sketch is unknowable
         } else {
           // metadata part + boundary-only scan: the inner aggregate runs
           // the ORIGINAL filter over just the boundary shard dirs, then
@@ -971,17 +1097,21 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // contained ⇒ a pure LocalRelation, zero FileScan. A day-bucketed
       // count over the last month of a year-laid table scans only the
       // handful of shards straddling a midnight or the month cut.
-      case GroupedAgg(agg, idx, bks, region, kinds) => try {
+      case GroupedAgg(agg, idx, ds, region, kinds) => try {
         import org.apache.spark.sql.catalyst.expressions.In
         val ges = agg.groupingExpressions
         val aggExprs = agg.aggregateExpressions
         val counts = idx.shardRowCounts
+        val bks = ds.collect { case BDim(bk) => bk }
+        val labelDim = ds.collectFirst { case LDim(a) => a }
         val aggCols: Set[String] = kinds.collect {
           case WMin(a) => a.name
           case WMax(a) => a.name
         }.toSet ++ bks.map(_.attr.name) ++ region.keySet
         val windows: Map[String, Map[Int, (Long, Long)]] =
           aggCols.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
+        val labelsByShard: Map[Int, Option[Seq[(Option[String], Long)]]] =
+          labelDim.flatMap(a => idx.labelStats(a.name)).getOrElse(Map.empty)
         val populated = counts.keySet.toSeq.sorted
         // dropping a non-intersecting shard is sound even when the column
         // is nullable (a NULL satisfies no range predicate, and an
@@ -996,12 +1126,20 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           case (c, (lo, hi)) =>
             idx.nonNullProven(c, s, counts(s)) &&
               windows(c).get(s).exists { case (wl, wh) => wl >= lo && wh <= hi } }
-        def bucketContained(s: Int): Boolean = bks.forall(bk =>
-          idx.nonNullProven(bk.attr.name, s, counts(s)) &&
-            windows(bk.attr.name).get(s).exists { case (wl, wh) =>
-              bk.bucket(wl) == bk.bucket(wh) })
+        // a BUCKET dimension contains a shard when its window maps into
+        // ONE bucket (with the non-null proof); a LABEL dimension when
+        // the shard's label stats exist (each label IS its own group —
+        // nulls included via the null-label entry, so no proof needed) —
+        // a bailed (> labelMax) shard must scan
+        def dimContained(s: Int): Boolean = ds.forall {
+          case BDim(bk) =>
+            idx.nonNullProven(bk.attr.name, s, counts(s)) &&
+              windows(bk.attr.name).get(s).exists { case (wl, wh) =>
+                bk.bucket(wl) == bk.bucket(wh) }
+          case LDim(_) => labelsByShard.get(s).exists(_.isDefined)
+        }
         val candidates = populated.filter(regionIntersects)
-        val cont = candidates.filter(s => regionContained(s) && bucketContained(s))
+        val cont = candidates.filter(s => regionContained(s) && dimContained(s))
         if (candidates.isEmpty) {
           // no shard holds an eligible row (unsatisfiable/region-disjoint
           // filter, or an empty table): a grouped aggregate over empty
@@ -1011,11 +1149,6 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           agg // every candidate straddles a boundary: nothing gained
         } else {
           val bound = candidates.filterNot(cont.contains)
-          // per-LABEL-TUPLE metadata contributions over the contained
-          // shards (≤ one tuple per shard — driver cost O(2^shardsLog2))
-          val byLabel: Seq[(Seq[Any], Seq[Int])] =
-            cont.groupBy(s =>
-              bks.map(bk => bk.label(windows(bk.attr.name)(s)._1))).toSeq
           def mMin(c: String, ss: Seq[Int]): Option[Long] =
             ss.flatMap(s => windows(c).get(s).map(_._1)).minOption
           def mMax(c: String, ss: Seq[Int]): Option[Long] =
@@ -1028,24 +1161,85 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           def mCnt(a: AttributeReference, ss: Seq[Int]): Long =
             if (idx.nonNullLayoutCols(a.name)) ss.iterator.map(counts).sum
             else ss.iterator.map(s =>
-              idx.sumStatsByCol.getOrElse(a.name, Map.empty)
-                .get(s).map(_._2).getOrElse(0L)).sum
+              idx.nonNullCnt(a.name, s).getOrElse(0L)).sum
+          // per-LABEL-TUPLE metadata contributions over the contained
+          // shards, as (tuple, partial(i), avgCnt(i)) — partial(i) is
+          // result slot i's metadata PARTIAL (avg rides as its sum, the
+          // count in the companion function). Bucket-only groupings
+          // yield ≤ one tuple per shard (driver cost O(2^shardsLog2));
+          // a label dimension multiplies by the shard's ≤ labelMax
+          // stored labels, counts adding across shards per tuple.
+          val byLabel: Seq[(Seq[Any], Int => Any, Int => Any)] =
+            labelDim match {
+              case None =>
+                cont.groupBy(s => ds.map {
+                  case BDim(bk) => bk.label(windows(bk.attr.name)(s)._1)
+                  case _ => throw new IllegalStateException(
+                    "unreachable: labelDim is None")
+                }).toSeq.map { case (lbls, ss) =>
+                  val f: Int => Any = i => kinds(i) match {
+                    case WCnt => ss.iterator.map(counts).sum
+                    case WMin(a) => toTyped(mMin(a.name, ss), a.dataType)
+                    case WMax(a) => toTyped(mMax(a.name, ss), a.dataType)
+                    case WSum(a) => mSum(a.name, ss).map(v => v: Any).orNull
+                    case WCntCol(a) => mCnt(a, ss)
+                    case WAvg(a) => mSum(a.name, ss).map(v => v: Any).orNull
+                    case _ => null // WLabel/WFold never reach the partials
+                  }
+                  val fcnt: Int => Any = i => kinds(i) match {
+                    case WAvg(a) => mCnt(a, ss)
+                    case _ => null
+                  }
+                  (lbls, f, fcnt)
+                }
+              case Some(la) =>
+                // tuple = (bucket labels, the stored label); counts add
+                // across contained shards per tuple — entries partition
+                // each shard exactly, nulls forming their own group
+                val accRows = scala.collection.mutable.LinkedHashMap[
+                  Seq[Any], Long]()
+                val accNonNull = scala.collection.mutable.LinkedHashMap[
+                  Seq[Any], Long]()
+                cont.foreach { s =>
+                  val entries = labelsByShard(s).get
+                  entries.foreach { case (lOpt, cnt) =>
+                    val lv = lOpt.map(x => org.apache.spark.unsafe.types
+                      .UTF8String.fromString(x)).orNull
+                    val tuple: Seq[Any] = ds.map {
+                      case BDim(bk) => bk.label(windows(bk.attr.name)(s)._1)
+                      case LDim(_) => lv
+                    }
+                    accRows.updateWith(tuple)(o => Some(o.getOrElse(0L) + cnt))
+                    if (lOpt.isDefined) accNonNull.updateWith(tuple)(o =>
+                      Some(o.getOrElse(0L) + cnt))
+                  }
+                }
+                accRows.toSeq.map { case (tuple, rows) =>
+                  val f: Int => Any = i => kinds(i) match {
+                    case WCnt => rows
+                    case WCntCol(a) if a.name == la.name =>
+                      accNonNull.getOrElse(tuple, 0L)
+                    case WCntCol(_) => rows // layout-guarded: never null
+                    case _ => null // classification restricted the kinds
+                  }
+                  (tuple, f, (_: Int) => null: Any)
+                }
+            }
           if (bound.isEmpty) {
             // every candidate contained: the whole aggregate IS metadata
-            val rows = byLabel.map { case (lbls, ss) =>
-              InternalRow.fromSeq(aggExprs.zip(kinds).map {
-                case (_, WLabel(j)) => lbls(j)
-                case (_, WCnt) => ss.iterator.map(counts).sum
-                case (_, WMin(a)) => toTyped(mMin(a.name, ss), a.dataType)
-                case (_, WMax(a)) => toTyped(mMax(a.name, ss), a.dataType)
-                case (_, WSum(a)) => mSum(a.name, ss).map(v => v: Any).orNull
-                case (_, WCntCol(a)) => mCnt(a, ss)
-                case (_, WAvg(a)) =>
-                  val cnt = mCnt(a, ss)
-                  mSum(a.name, ss).filter(_ => cnt > 0L)
-                    .map(s => (s.toDouble / cnt): Any).orNull
-                case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
-                case (e, WFold) => e.eval(InternalRow.empty)
+            val rows = byLabel.map { case (lbls, f, fcnt) =>
+              InternalRow.fromSeq(aggExprs.zip(kinds).zipWithIndex.map {
+                case ((_, WLabel(j)), _) => lbls(j)
+                case ((Alias(e, _), WFold), _) => e.eval(InternalRow.empty)
+                case ((e, WFold), _) => e.eval(InternalRow.empty)
+                case ((_, WAvg(_)), i) =>
+                  // exact stored-sum ÷ stored-cnt, SQL-null when no
+                  // non-null value exists
+                  val cnt = fcnt(i).asInstanceOf[Long]
+                  val sm = f(i)
+                  if (sm == null || cnt == 0L) null
+                  else sm.asInstanceOf[Long].toDouble / cnt
+                case ((_, _), i) => f(i)
               })
             }
             LocalRelation(agg.output, rows)
@@ -1099,27 +1293,12 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }.zipWithIndex.map { case (i, j) => i -> (nextPos + j) }.toMap
             val metaAttrs = inner.output.map(a =>
               AttributeReference(a.name, a.dataType, nullable = true)())
-            val metaRows = byLabel.map { case (lbls, ss) =>
+            val metaRows = byLabel.map { case (lbls, f, fcnt) =>
               val vals = new Array[Any](inner.output.size)
               ges.indices.foreach(j => vals(j) = lbls(j))
               aggExprs.indices.foreach { i =>
-                posOf.get(i).foreach { p =>
-                  vals(p) = kinds(i) match {
-                    case WCnt => ss.iterator.map(counts).sum
-                    case WMin(a) => toTyped(mMin(a.name, ss), a.dataType)
-                    case WMax(a) => toTyped(mMax(a.name, ss), a.dataType)
-                    case WSum(a) => mSum(a.name, ss).map(v => v: Any).orNull
-                    case WCntCol(a) => mCnt(a, ss)
-                    case WAvg(a) => mSum(a.name, ss).map(v => v: Any).orNull
-                    case _ => null // unreachable: posOf covers agg kinds only
-                  }
-                }
-                avgCntPos.get(i).foreach { p =>
-                  vals(p) = kinds(i) match {
-                    case WAvg(a) => mCnt(a, ss)
-                    case _ => null // unreachable: avgCntPos is WAvg-only
-                  }
-                }
+                posOf.get(i).foreach(p => vals(p) = f(i))
+                avgCntPos.get(i).foreach(p => vals(p) = fcnt(i))
               }
               InternalRow.fromSeq(vals.toSeq)
             }
@@ -1175,12 +1354,16 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               if l.value != null => // count of a non-null literal = row count
             Some(idx.metadataRowCount)
           // count(c): non-null count — the row count when the layout
-          // GUARDS c non-null, the exact Σ cnt_<c> when c carries sum
-          // stats, untouched otherwise
+          // GUARDS c non-null, the exact Σ cnt_<c> when c carries a
+          // non-null count (sumCols, or the statsCols auto-count),
+          // untouched otherwise
           case Alias(AggregateExpression(
               Count(Seq(a: AttributeReference)), Complete, false, None, _), _) =>
             if (idx.nonNullLayoutCols(a.name)) Some(idx.metadataRowCount)
-            else sumStats(a.name).map(_.values.iterator.map(_._2).sum)
+            else if (idx.cntCovered(a.name))
+              Some(idx.shardRowCounts.keysIterator
+                .map(s => idx.nonNullCnt(a.name, s).getOrElse(0L)).sum)
+            else None
           // sum(c): exact Σ of per-shard sums (SQL null when every shard
           // is all-null / the table is empty); integral inputs only —
           // Sum's result type is then BIGINT, matching the stored longs.
@@ -1206,6 +1389,18 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               if (cnt == 0L || parts.isEmpty) null
               else sumExact(parts).toDouble / cnt
             }
+          // approx_count_distinct(c): the registry's per-shard HLLs merge
+          // to the table-wide estimate with zero data files (opt-in — the
+          // registry's estimator replaces Spark's, see
+          // [[approxDistinctEnabled]])
+          case Alias(AggregateExpression(
+              h: HyperLogLogPlusPlus, Complete, false, None, _), _)
+              if approxDistinctEnabled => h.child match {
+            case a: AttributeReference =>
+              mergedNdv(idx, a.name, idx.shardRowCounts.keySet.toSeq.sorted)
+                .map(v => v: Any)
+            case _ => None
+          }
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)
               if longBacked(a.dataType) =>
@@ -1262,11 +1457,14 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   * "latest 100 by day" shape; separation is then proved bucket-strictly,
   * since a non-strict key ties across a whole bucket), k > 0, and the
   * selection actually excludes at least one populated shard. WHERE
-  * clauses whose every conjunct is a range/equality on guarded layout
-  * columns compose ("latest k of the last week"): shards outside the
-  * filter region drop outright, only region-CONTAINED shards (every row
-  * survives the filter, so n_rows is the eligible count) count toward
-  * the guarantee, and the unselected bound caps at the region edge.
+  * clauses whose every conjunct is a range/equality on a guarded layout
+  * column OR a statsCols-WINDOWED column compose ("latest k of the last
+  * week", "latest k in an id range"): shards outside the filter region
+  * drop outright, only region-CONTAINED shards (every row survives the
+  * filter, so n_rows is the eligible count — a merely-windowed column
+  * additionally needs the per-shard NON-NULL proof, since windows ignore
+  * nulls while filters reject them) count toward the guarantee, and the
+  * unselected bound caps at the region edge.
   * Any other filter shape, non-monotone sort expressions, or hash
   * layouts are left to Catalyst untouched — there the eligible-count
   * bound is unknowable from metadata. OFF by default:
@@ -1339,7 +1537,8 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
                            windowsByCol: Map[String, Map[Int, (Long, Long)]],
                            counts: Map[Int, Long],
                            desc: Boolean, k: Long,
-                           region: Map[String, (Long, Long)]): Option[Seq[Int]] = {
+                           region: Map[String, (Long, Long)],
+                           proven: (String, Int) => Boolean): Option[Seq[Int]] = {
     val windows = windowsByCol(bk.attr.name)
     val populated = counts.keySet.toSeq
     if (populated.exists(s => !windows.contains(s))) return None
@@ -1348,8 +1547,12 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
         case (wl, wh) => wh >= lo && wl <= hi
       }
     }
+    // containment on a merely-WINDOWED (statsCols) region column needs
+    // the per-shard non-null proof — a null row fails the filter while
+    // the window says nothing about it, so n_rows would overcount the
+    // eligible rows and the guarantee would select too few shards
     def contained(s: Int): Boolean = region.forall { case (c, (lo, hi)) =>
-      windowsByCol.get(c).flatMap(_.get(s)).exists {
+      proven(c, s) && windowsByCol.get(c).flatMap(_.get(s)).exists {
         case (wl, wh) => wl >= lo && wh <= hi
       }
     }
@@ -1392,21 +1595,37 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
         bk <- LayoutExprs.bucketingOf(resolved)
           if bk.monotoneLabel && relIds.contains(bk.attr.exprId) &&
             guarded(bk.attr.name)
-        region <- LayoutExprs.intervalsOf(conds, guarded)
+        // WHERE conjuncts may also name statsCols-WINDOWED columns (the
+        // correlated-id-range shape): region drops stay sound with nulls,
+        // and selectShards runs the per-shard non-null proof before a
+        // contained shard's n_rows counts toward the guarantee — the
+        // same math the grouped collapse already proved
+        region <- LayoutExprs.intervalsOf(conds,
+          guarded ++ idx.windowedCols, guarded)
         windowsByCol = (region.keySet + bk.attr.name)
           .flatMap(c => idx.columnWindows(c).map(c -> _)).toMap
         if windowsByCol.contains(bk.attr.name)
-        selected <- selectShards(bk, windowsByCol, idx.shardRowCounts,
-          desc, k.toLong, region)
+        counts = idx.shardRowCounts
+        selected <- selectShards(bk, windowsByCol, counts,
+          desc, k.toLong, region,
+          (c, s) => idx.nonNullProven(c, s, counts(s)))
       } yield child.transformUp {
         case l: LogicalRelation if l.eq(rel) =>
-          val shardAttr = l.output.find(_.name == "shard").getOrElse(
-            throw new IllegalStateException(
-              "sketch relation lost its shard column — cannot prune"))
-          val cond =
-            if (selected.isEmpty) Literal.FalseLiteral
-            else In(shardAttr, selected.map(s => Literal(s): Expression))
-          Filter(cond, l)
+          if (selected.isEmpty)
+            // no shard intersects the filter region: no relation row can
+            // survive the WHERE above, so the subtree is provably empty —
+            // an empty LocalRelation beats a Filter(false) the last-batch
+            // optimizer can no longer fold away (the scan would still
+            // list every shard)
+            org.apache.spark.sql.catalyst.plans.logical
+              .LocalRelation(l.output, Nil)
+          else {
+            val shardAttr = l.output.find(_.name == "shard").getOrElse(
+              throw new IllegalStateException(
+                "sketch relation lost its shard column — cannot prune"))
+            Filter(In(shardAttr,
+              selected.map(s => Literal(s): Expression)), l)
+          }
       }
     }
 
@@ -1457,6 +1676,9 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
   *   - `spark.graft.sketchJoinDispatch.enabled`          (default false)
   *   - `spark.graft.sketchJoinDispatch.broadcastMaxRows` (default 1000000)
   *   - `spark.graft.sketchJoinDispatch.buckets`          (default 16)
+  *   - `spark.graft.sketchJoinDispatch.bloomPrune.enabled` (default true —
+  *     the cross-layout arm's plan-time dim-key Bloom probe; disable to
+  *     keep the broadcast hint without the planning-latency cost)
   *
   * Scope (anything outside it is left to Catalyst untouched): INNER,
   * LEFT OUTER, LEFT SEMI, LEFT ANTI, and RIGHT OUTER joins whose condition is a
@@ -1526,7 +1748,12 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
     (String, Long, String, Long), (Seq[Int], Seq[Int])](cacheMax)
 
   /** Cross-layout secondary-Bloom fact admission, keyed by (fact root,
-    * fact version, dim root, dim version, fact join column).
+    * fact version, dim root, dim version, "factCol=dimCol"). BOTH column
+    * names key the entry: the admitted set is computed from the DIM
+    * column's distinct keys, so a second join of the same fact column
+    * against a DIFFERENT dim column of the same dim table must memoize
+    * its own admission — reusing the first would prune fact shards that
+    * actually join (wrong rows, silently).
     */
   private val crossPruneCache = new graft.util.LruCache[
     (String, Long, String, Long, String), Seq[Int]](cacheMax)
@@ -1759,12 +1986,15 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
       // count fits the budget gets the broadcast hint Spark's size
       // estimator would never grant it (upper bound under filters —
       // [[indexUnder]] — so the hint stays legal). And when the FACT
-      // side committed a secondary Bloom on the join column
+      // side committed a secondary Bloom on a join column
       // (`sketchCols`), the broadcast dim's key set AND-probes the
       // fact's per-shard Blooms — the classic dim-filter pushdown: fact
       // shards admitting NO dim key provably join nothing and their
-      // dirs never open (Bloom false positives cost a read, false
-      // negatives cannot occur; side legality per join type as in
+      // dirs never open; a COMPOSITE equi-join probes each Bloom-covered
+      // component independently and intersects the admissions (a joining
+      // row must match on every component). (Bloom false positives cost
+      // a read, false negatives cannot occur; side legality per join
+      // type as in
       // [[mayPruneLeft]]/[[mayPruneRight]]). Rows unchanged by
       // construction: a hint never changes semantics, and pruned shards
       // provably contribute none.
@@ -1798,59 +2028,80 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
 
   /** The fact side with its secondary-Bloom shard prune applied, or the
     * side untouched when it cannot prune. `pairs` is (dimAttr, factAttr)
-    * per equi-conjunct; a SINGLE-column join whose fact column carries a
-    * committed per-shard Bloom qualifies (the hash layout's own key
+    * per equi-conjunct; every pair whose fact column carries a committed
+    * per-shard Bloom probes INDEPENDENTLY and the admissions INTERSECT —
+    * sound for composite keys because a joining fact row must match some
+    * dim row on EVERY component, so a shard no dim value of ANY single
+    * component admits provably joins nothing. (The hash layout's own key
     * column qualifies too when it is a plain integral key — its Bloom is
     * over the same [[graft.core.LayoutLong]] value the probe derives;
-    * string/composite key hashes live in another domain and are left
-    * alone). The dim's DISTINCT key set is read once per (fact version,
-    * dim version, column) — a plan-time Spark job over a side already
-    * bounded by the broadcast budget — and the admission memoizes in
-    * [[crossPruneCache]].
+    * string/composite key hashes live in the xxhash domain and are left
+    * alone.) Non-qualifying pairs simply don't restrict.
+    *
+    * COST MODEL (the honest part): each un-memoized pair runs a PLAN-TIME
+    * Spark job — the dim's distinct keys (bounded: the caller only probes
+    * when the dim's exact registry count fits `broadcastMaxRows`) AND-
+    * probe the fact's per-shard Blooms, and only the admitted SHARD IDS
+    * collect. The job runs inside optimizer rule application, so a slow
+    * filesystem stalls PLANNING of the first query per (fact version, dim
+    * version, column pair) — execution is never blocked, and the result
+    * memoizes in [[crossPruneCache]]. A latency-sensitive session keeps
+    * the broadcast hint but skips the probe via
+    *
+    *   - `spark.graft.sketchJoinDispatch.bloomPrune.enabled` (default true)
     */
+  private def bloomPruneEnabled: Boolean =
+    conf.getConfString("spark.graft.sketchJoinDispatch.bloomPrune.enabled",
+      "true").toBoolean
+
   private def crossBloomPruned(spark: org.apache.spark.sql.SparkSession,
                                fact: LogicalPlan, factIdx: SketchFileIndex,
                                dim: LogicalPlan, dimIdx: SketchFileIndex,
                                pairs: Seq[(AttributeReference, AttributeReference)])
   : LogicalPlan = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    if (pairs.size != 1) return fact
-    val (dimAttr, factAttr) = pairs.head
-    if (!LayoutExprs.longBacked(dimAttr.dataType) ||
-      !LayoutExprs.longBacked(factAttr.dataType)) return fact
-    // both attrs must be their RELATION's own columns (not renames): the
+    if (!bloomPruneEnabled) return fact
+    // every attr must be its RELATION's own column (not a rename): the
     // fact's Bloom registry column and the dim's readIndexed re-read
     // resolve BY NAME against the stored tables
     def relAttrs(p: LogicalPlan): Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
       p.collectLeaves().flatMap(_.output.map(_.exprId)).toSet
-    if (!relAttrs(fact).contains(factAttr.exprId) ||
-      !relAttrs(dim).contains(dimAttr.exprId)) return fact
+    val factIds = relAttrs(fact)
+    val dimIds = relAttrs(dim)
     // a hash layout's string/composite key Blooms live in the xxhash
     // domain — a LayoutLong probe would silently admit nothing
-    val keyDomainOk = factIdx.hashLayoutMeta.forall(m =>
-      !m.keyCols.contains(factAttr.name) || (!m.keyIsString && !m.isComposite))
-    if (!keyDomainOk) return fact
-    factIdx.secondaryBloom(factAttr.name) match {
-      case Some((reg, bitsLog2, k)) =>
-        val admitted = crossPruneCache.getOrElseUpdate(
-          (factIdx.tableRoot, factIdx.tableVersion,
-            dimIdx.tableRoot, dimIdx.tableVersion, factAttr.name)) {
-          // the UNFILTERED dim keys — a superset of the filtered dim's,
-          // so the admission stays a sound upper bound under dim filters
-          val keys = SketchFileIndex.readIndexed(spark, dimIdx.tableRoot,
-              Some(dimIdx.tableVersion))
-            .select(graft.core.LayoutLong.longCol(col(dimAttr.name)).as("__v"))
-            .na.drop().distinct()
-          SketchOps.bloomMightContain(broadcast(reg), keys, Nil, "__v",
-              bitsLog2, k)
-            .filter(col("might_contain")).select(col("shard")).distinct()
-            .collect().map(_.getInt(0)).sorted.toSeq
-        }
-        if (admitted.size < factIdx.populatedShardIds.size)
-          pruneShards(fact, admitted.toSet)
-        else fact
-      case None => fact
+    def keyDomainOk(factName: String): Boolean =
+      factIdx.hashLayoutMeta.forall(m =>
+        !m.keyCols.contains(factName) || (!m.keyIsString && !m.isComposite))
+    val usable = pairs.filter { case (dimAttr, factAttr) =>
+      LayoutExprs.longBacked(dimAttr.dataType) &&
+        LayoutExprs.longBacked(factAttr.dataType) &&
+        factIds.contains(factAttr.exprId) && dimIds.contains(dimAttr.exprId) &&
+        keyDomainOk(factAttr.name) &&
+        factIdx.secondaryBloom(factAttr.name).isDefined
     }
+    if (usable.isEmpty) return fact
+    val admitted = usable.map { case (dimAttr, factAttr) =>
+      val (reg, bitsLog2, k) = factIdx.secondaryBloom(factAttr.name).get
+      crossPruneCache.getOrElseUpdate(
+        (factIdx.tableRoot, factIdx.tableVersion,
+          dimIdx.tableRoot, dimIdx.tableVersion,
+          s"${factAttr.name}=${dimAttr.name}")) {
+        // the UNFILTERED dim keys — a superset of the filtered dim's,
+        // so the admission stays a sound upper bound under dim filters
+        val keys = SketchFileIndex.readIndexed(spark, dimIdx.tableRoot,
+            Some(dimIdx.tableVersion))
+          .select(graft.core.LayoutLong.longCol(col(dimAttr.name)).as("__v"))
+          .na.drop().distinct()
+        SketchOps.bloomMightContain(broadcast(reg), keys, Nil, "__v",
+            bitsLog2, k)
+          .filter(col("might_contain")).select(col("shard")).distinct()
+          .collect().map(_.getInt(0)).sorted.toSeq
+      }.toSet
+    }.reduce(_ intersect _)
+    if (admitted.size < factIdx.populatedShardIds.size)
+      pruneShards(fact, admitted)
+    else fact
   }
 
   /** The Bloom-AND-admitted shard ids when the two relations share the
@@ -1901,15 +2152,20 @@ object SketchJoinDispatch extends Rule[LogicalPlan] {
   private def pruneShards(side: LogicalPlan, admitted: Set[Int]): LogicalPlan =
     side.transformUp {
       case l: LogicalRelation if indexUnder(l).isDefined =>
-        val shardAttr = l.output.find(_.name == "shard").getOrElse(
-          throw new IllegalStateException(
-            "sketch relation lost its shard column — cannot prune"))
-        val cond =
-          if (admitted.isEmpty)
-            org.apache.spark.sql.catalyst.expressions.Literal.FalseLiteral
-          else In(shardAttr,
-            admitted.toSeq.sorted.map(s => Literal(s): Expression))
-        Filter(cond, l)
+        if (admitted.isEmpty)
+          // zero admitted shards: the side provably contributes no
+          // joining row — an empty LocalRelation beats a Filter(false)
+          // the last-batch optimizer can no longer fold away (the scan
+          // would still list every shard)
+          org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation(l.output, Nil)
+        else {
+          val shardAttr = l.output.find(_.name == "shard").getOrElse(
+            throw new IllegalStateException(
+              "sketch relation lost its shard column — cannot prune"))
+          Filter(In(shardAttr,
+            admitted.toSeq.sorted.map(s => Literal(s): Expression)), l)
+        }
     }
 
   /** All the scope conditions that make the rewrite applicable AND safe:

@@ -209,15 +209,50 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private[graft] def windowedCols: Set[String] = statsByCol.keySet
 
   /** True when shard `s` provably holds NO null in `c`: the layout
-    * guards the column non-null, or the column's exact sumCols non-null
-    * count equals the shard's row count. The proof a containment
-    * argument needs on a merely-windowed (statsCols) column — windows
-    * ignore nulls, so "window inside interval/bucket" alone says nothing
-    * about a shard's null rows.
+    * guards the column non-null, or the column's exact non-null count
+    * (a sumCols cnt, or the auto-committed statsCols cnt) equals the
+    * shard's row count. The proof a containment argument needs on a
+    * merely-windowed (statsCols) column — windows ignore nulls, so
+    * "window inside interval/bucket" alone says nothing about a shard's
+    * null rows.
     */
   private[graft] def nonNullProven(c: String, s: Int, nRows: Long): Boolean =
-    nonNullLayoutCols(c) ||
-      sumStatsByCol.get(c).exists(_.get(s).exists(_._2 == nRows))
+    nonNullLayoutCols(c) || nonNullCnt(c, s).contains(nRows)
+
+  /** The exact per-shard non-null count of `c`, from whichever count the
+    * registry carries — the sumCols (sum, cnt) pair or the statsCols
+    * auto-count (identical values where both exist; they are the same
+    * aggregate, written once).
+    */
+  private[graft] def nonNullCnt(c: String, s: Int): Option[Long] =
+    sumStatsByCol.get(c).flatMap(_.get(s).map(_._2))
+      .orElse(statsCntByCol.get(c).flatMap(_.get(s)))
+
+  /** Columns with an exact per-shard non-null count available — the
+    * admission test for metadata-only `count(c)` answering.
+    */
+  private[graft] def cntCovered(c: String): Boolean =
+    sumStatsByCol.contains(c) || statsCntByCol.contains(c)
+
+  /** Per-shard exact non-null counts auto-committed beside statsCols
+    * windows (cnt_<c>). Registries written before the auto-count lack
+    * the column and simply don't appear here — their windows stay
+    * proof-free and consumers degrade to the scan, never to a wrong
+    * answer.
+    */
+  private[graft] lazy val statsCntByCol: Map[String, Map[Int, Long]] = {
+    val covered = hashMeta.map(_.statsCols)
+      .orElse(rangeMeta.map(_.statsCols)).getOrElse(Nil)
+    if (covered.isEmpty) Map.empty
+    else {
+      val rf = registryFrame
+      val have = rf.columns.toSet
+      covered.filter(c => have.contains(s"cnt_$c")).map { c =>
+        c -> rf.select("shard", s"cnt_$c").collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }.toMap
+    }
+  }
 
   /** Exact per-shard row counts off the registry/zone map. */
   private[graft] lazy val shardRowCounts: Map[Int, Long] =
@@ -255,6 +290,64 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       }.toMap
     }
   }
+
+  /** Columns with per-shard label stats (range/Z layouts' `labelCols`). */
+  private[graft] def labelCols: Set[String] =
+    rangeMeta.map(_.labelCols.toSet)
+      .orElse(zMeta.map(_.labelCols.toSet)).getOrElse(Set.empty)
+
+  /** Per-shard label stats of `c`: for each populated shard,
+    * `Some(entries)` = the shard's EXACT per-label row counts (label
+    * None = the shard's null rows; entries partition the shard, so
+    * Σcnt = n_rows), `None` = the shard bailed at commit (> labelMax
+    * distinct labels) and must scan. Loaded lazily per referenced column
+    * and cached for the index's lifetime, like [[bloomFor]].
+    */
+  private[graft] def labelStats(c: String)
+  : Option[Map[Int, Option[Seq[(Option[String], Long)]]]] =
+    labelCache.computeIfAbsent(c, _ =>
+      if (!labelCols(c)) None
+      else Some(registryFrame.select("shard", s"labels_$c").collect().map { r =>
+        val s = r.getInt(0)
+        val v =
+          if (r.isNullAt(1)) None
+          else Some(r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => (Option(e.getString(0)), e.getLong(1))).toSeq)
+        s -> v
+      }.toMap))
+
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Map[Int, Option[Seq[(Option[String], Long)]]]]]()
+
+  /** Columns with per-shard HLL register arrays: the hash layout's own
+    * key column (plain integral single keys only — its registry `hll`
+    * sketches the key value itself) and the range layout's
+    * `distinctCols`. Yields (per-shard registers, p); registers
+    * max-merge, so any shard subset's merged estimate is bit-identical
+    * to sketching those shards' rows.
+    */
+  private[graft] def hllRegistersFor(name: String)
+  : Option[(Map[Int, Array[Int]], Int)] =
+    hllRegCache.computeIfAbsent(name, _ => {
+      val colAndP: Option[(String, Int)] = hashMeta match {
+        case Some(m)
+            if name == m.keyCol && !m.keyIsString && !m.isComposite =>
+          Some(("hll", m.hllP))
+        case Some(_) => None
+        case None => rangeMeta match {
+          case Some(m) if m.distinctCols.contains(name) =>
+            Some((s"hll_$name", m.hllP))
+          case _ => None
+        }
+      }
+      colAndP.map { case (regCol, p) =>
+        (registryFrame.select("shard", regCol).collect()
+          .map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap, p)
+      }
+    })
+
+  private val hllRegCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Map[Int, Array[Int]], Int)]]()
 
   private def bloomParams: (Int, Int) = hashMeta
     .map(m => (m.bitsLog2, m.k))

@@ -193,6 +193,12 @@ object SketchRegistry {
     // Least/Greatest and min/max answering works on the hash layout too
     // — for ANSWERING only, never for pruning (the hash layout scatters
     // value ranges, so per-shard windows carry no skip signal there).
+    // EVERY statsCols column ALSO carries its exact non-null count
+    // (cnt_<c>, one Long per shard, deduped against sumCols') so windows
+    // always arrive PROOF-CAPABLE: containment arguments need to know a
+    // shard holds no nulls (windows ignore nulls; filters and groups do
+    // not), and without the count a merely-windowed column silently
+    // degrades to a full scan.
     val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyHashCol, bitsLog2, k)
       .join(SketchOps.hllSketch(sharded, Seq("shard"), keyHashCol, hllP),
         Seq("shard"))
@@ -204,7 +210,9 @@ object SketchRegistry {
           count(col(c)).as(s"cnt_$c"))) ++
         statsCols.flatMap(c => Seq(
           min(LayoutLong.longCol(col(c))).as(s"min_$c"),
-          max(LayoutLong.longCol(col(c))).as(s"max_$c")))): _*),
+          max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
+        statsCols.filterNot(sumCols.contains).map(c =>
+          count(col(c)).as(s"cnt_$c"))): _*),
         Seq("shard"))
     // secondary Blooms sketch the LayoutLong of the column — the SAME
     // unit probes arrive in (a bare cast would commit timestamp bits in
@@ -920,11 +928,16 @@ object SketchRegistry {
       .join(broadcast(changedKeys), antiCond, "left_anti")
       .unionByName(upserts.withColumn("shard", shardOf(kc.map(col))))
       .withColumn("__kh", keyHashExprM(m))
-    val touchedRegistry = buildRegistryRows(newTouched, "__kh",
-      m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
-      m.sumCols, m.statsCols)
-    val carried = registry(spark, root, Some(v))
-      .filter(!col("shard").isin(touched: _*))
+    val oldReg = registry(spark, root, Some(v))
+    // align to the OLD registry's schema: a pre-auto-count store lacks
+    // cnt_<c> for statsCols-only columns, so the rebuilt shard rows drop
+    // theirs (the store keeps its format until a re-commit migrates it)
+    val touchedRegistry = m.statsCols.filterNot(m.sumCols.contains)
+      .filterNot(c => oldReg.columns.contains(s"cnt_$c"))
+      .foldLeft(buildRegistryRows(newTouched, "__kh",
+        m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
+        m.sumCols, m.statsCols))((d, c) => d.drop(s"cnt_$c"))
+    val carried = oldReg.filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(newTouched, col("__kh"), filesPerShard, 1 << m.shardsLog2)
         .drop("__kh")
@@ -975,10 +988,18 @@ object SketchRegistry {
       .withColumn("__kh", keyHashExprM(m))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val batchRegistry = buildRegistryRows(sharded, "__kh", m.bitsLog2,
-      m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
-      m.statsCols)
-    val both = registry(spark, root, Some(v)).unionByName(batchRegistry)
+    val old = registry(spark, root, Some(v))
+    // statsCols non-null counts (cnt_<c>) merge additively like the
+    // sumCols counts — but a registry committed BEFORE the auto-count
+    // lacks the column, so the batch side drops it and the store keeps
+    // its old (proof-free) format until a re-commit migrates it
+    val autoCnt = m.statsCols.filterNot(m.sumCols.contains)
+    val keptCnt = autoCnt.filter(c => old.columns.contains(s"cnt_$c"))
+    val batchRegistry = autoCnt.filterNot(keptCnt.contains)
+      .foldLeft(buildRegistryRows(sharded, "__kh", m.bitsLog2,
+        m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
+        m.statsCols))((d, c) => d.drop(s"cnt_$c"))
+    val both = old.unionByName(batchRegistry)
     val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
       .join(SketchOps.hllMergeSketches(both, Seq("shard"), "hll", m.hllP),
@@ -997,7 +1018,8 @@ object SketchRegistry {
           sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
         m.statsCols.flatMap(c => Seq(
           min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c")))): _*),
+          max(col(s"max_$c")).as(s"max_$c"))) ++
+        keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c"))): _*),
         Seq("shard"))
     val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
@@ -1163,6 +1185,10 @@ object SketchRegistry {
                              sketchCols: Seq[String] = Nil,
                              bloomBitsLog2: Int = 14, bloomK: Int = 4,
                              sumCols: Seq[String] = Nil,
+                             labelCols: Seq[String] = Nil,
+                             labelMax: Int = 32,
+                             distinctCols: Seq[String] = Nil,
+                             hllP: Int = 12,
                              units: String = "")
 
   /** RANGE-sharded opt-in commit — the zone-map complement of
@@ -1194,7 +1220,24 @@ object SketchRegistry {
                          statsCols: Seq[String] = Nil,
                          sketchCols: Seq[String] = Nil,
                          bloomBitsLog2: Int = 14, bloomK: Int = 4,
-                         sumCols: Seq[String] = Nil): Long = {
+                         sumCols: Seq[String] = Nil,
+                         labelCols: Seq[String] = Nil,
+                         labelMax: Int = 32,
+                         distinctCols: Seq[String] = Nil,
+                         hllP: Int = 12): Long = {
+    require(labelCols.forall(c => df.columns.contains(c) &&
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType),
+      s"labelCols must be STRING data columns, got " +
+        s"${labelCols.mkString(",")} vs ${df.schema.simpleString}")
+    require(labelMax >= 1 && labelMax <= 1024,
+      s"labelMax must be in [1, 1024], got $labelMax — a per-shard label " +
+        "set is driver-plannable metadata, not a dictionary")
+    require(distinctCols.forall(df.columns.contains),
+      s"distinctCols must be data columns, got " +
+        s"${distinctCols.mkString(",")} vs ${df.columns.mkString(",")}")
+    require(hllP >= 4 && hllP <= 16,
+      s"hllP must be in [4, 16], got $hllP — 2^$hllP ints per shard row " +
+        "must stay registry-sized")
     require(shardsLog2 >= 0 && shardsLog2 <= 8,
       s"shardsLog2 must be in [0, 8], got $shardsLog2 — 256 range shards " +
         "is already directory-granularity; split WITHIN shards by file size")
@@ -1232,16 +1275,23 @@ object SketchRegistry {
       }
     val v = LayoutLong.longCol(col(sortCol))
     val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
-    val registry = addShardBlooms(sharded.groupBy(col("shard"))
-      .agg(min(v).as("min_v"),
-        (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-          (statsCols.flatMap(c => Seq(
-            min(LayoutLong.longCol(col(c))).as(s"min_$c"),
-            max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
-          sumCols.flatMap(c => Seq(
-            sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-            count(col(c)).as(s"cnt_$c"))))): _*),
-      sharded, sketchCols, bloomBitsLog2, bloomK)
+    // statsCols windows ship with their exact non-null counts (cnt_<c>,
+    // deduped against sumCols') so containment proofs never need a
+    // separate sumCols commit of the same column
+    val registry = addShardHlls(addShardLabels(addShardBlooms(
+      sharded.groupBy(col("shard"))
+        .agg(min(v).as("min_v"),
+          (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+            (statsCols.flatMap(c => Seq(
+              min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+              max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
+            sumCols.flatMap(c => Seq(
+              sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
+              count(col(c)).as(s"cnt_$c"))) ++
+            statsCols.filterNot(sumCols.contains).map(c =>
+              count(col(c)).as(s"cnt_$c")))): _*),
+      sharded, sketchCols, bloomBitsLog2, bloomK),
+      sharded, labelCols, labelMax), sharded, distinctCols, hllP)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -1253,12 +1303,14 @@ object SketchRegistry {
         .parquet(staging.toString)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
-      // v2 meta: the sumCols line always present (possibly empty), then
-      // the layout-unit token — see [[hashMetaText]] for the contract
+      // v3 meta: the v2 lines, then labelCols/labelMax/distinctCols/hllP
+      // (always present, possibly empty), then the layout-unit token —
+      // see [[hashMetaText]] for the contract
       Files.write(staging.resolve("_zonemap_meta"),
         (s"$sortCol\n$shardsLog2\n$subLog2\n${bounds.mkString(",")}\n${statsCols.mkString(",")}" +
           s"\n${sketchCols.mkString(",")}\n$bloomBitsLog2\n$bloomK" +
-          s"\n${sumCols.mkString(",")}\nunits:micros")
+          s"\n${sumCols.mkString(",")}\n${labelCols.mkString(",")}\n$labelMax" +
+          s"\n${distinctCols.mkString(",")}\n$hllP\nunits:micros")
           .getBytes(StandardCharsets.UTF_8))
     }
   }
@@ -1285,6 +1337,81 @@ object SketchRegistry {
         .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
     }
   }
+
+  /** One `labels_<c>` array column per `labelCols` entry joined onto the
+    * per-shard stats rows — the CATEGORICAL-dimension artifact: the
+    * shard's DISTINCT values of `c` with their EXACT row counts, one
+    * struct (l, c) per value including a null-label entry counting the
+    * shard's null rows (SQL GROUP BY makes null its own group), sorted
+    * for determinism; the column is NULL (no info — consumers scan) when
+    * the shard's distinct non-null labels exceed `labelMax`. Entries
+    * partition the shard exactly (Σc = n_rows), so a time×category
+    * dashboard (`GROUP BY time-bucket, event_type`) answers each
+    * contained shard's per-label counts from metadata alone — no
+    * singleton-label requirement.
+    */
+  private[core] def addShardLabels(stats: DataFrame, sharded: DataFrame,
+                                   labelCols: Seq[String],
+                                   labelMax: Int): DataFrame =
+    labelCols.foldLeft(stats) { (acc, c) =>
+      val coln = s"labels_$c"
+      val perLabel = sharded.select(col("shard"), col(c).as("__l"))
+        .groupBy(col("shard"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(
+          struct(col("__l").as("l"), col("__c").as("c")))).as(coln))
+        .select(col("shard"),
+          when(size(filter(col(coln), e => e.getField("l").isNotNull))
+            <= labelMax, col(coln)).as(coln))
+      acc.join(perLabel, Seq("shard"), "left")
+    }
+
+  /** Merge two versions' `labels_<c>` rows per shard: counts add per
+    * label (exact — they are plain row counts), a side that bailed (null
+    * array) poisons the merge to null, and a merged set past `labelMax`
+    * bails the shard too — identical to what a fresh full build would
+    * store.
+    */
+  private[core] def mergeShardLabels(both: DataFrame, c: String,
+                                     labelMax: Int): DataFrame = {
+    val coln = s"labels_$c"
+    val nf = both.groupBy(col("shard"))
+      .agg(max(when(col(coln).isNull, 1).otherwise(0)).as("__nf"))
+    val merged = both.filter(col(coln).isNotNull)
+      .select(col("shard"), explode(col(coln)).as("__e"))
+      .select(col("shard"), col("__e.l").as("__l"), col("__e.c").as("__c"))
+      .groupBy(col("shard"), col("__l"))
+      .agg(sum(col("__c")).as("__c"))
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(
+        struct(col("__l").as("l"), col("__c").as("c")))).as(coln))
+    nf.join(merged, Seq("shard"), "left")
+      .select(col("shard"),
+        when(col("__nf") === 0 &&
+          size(filter(col(coln), e => e.getField("l").isNotNull)) <= labelMax,
+          col(coln)).as(coln))
+  }
+
+  /** One dense `hll_<c>` register array per `distinctCols` entry joined
+    * onto the per-shard stats rows — per-shard approximate-distinct
+    * sketches of the column's [[LayoutLong]] (the same unit probes
+    * arrive in). Registers max-merge, so any shard SUBSET's merged
+    * estimate is bit-identical to sketching those shards' rows directly
+    * — what the windowed `approx_count_distinct` collapse consumes. An
+    * all-null shard carries all-zero registers (estimate 0).
+    */
+  private[core] def addShardHlls(stats: DataFrame, sharded: DataFrame,
+                                 distinctCols: Seq[String],
+                                 hllP: Int): DataFrame =
+    distinctCols.foldLeft(stats) { (acc, c) =>
+      val withLl = sharded.select(col("shard"),
+        LayoutLong.longCol(col(c)).as("__ll"))
+      acc.join(SketchOps.hllSketch(withLl, Seq("shard"), "__ll", hllP)
+          .withColumnRenamed("hll", s"hll_$c"), Seq("shard"), "left")
+        .withColumn(s"hll_$c",
+          coalesce(col(s"hll_$c"), array_repeat(lit(0), 1 << hllP)))
+    }
 
   /** shard = count of bounds ≤ value — the replayable range assignment,
     * with the loud non-negative/non-null guard inline.
@@ -1320,17 +1447,29 @@ object SketchRegistry {
       TableStore.readVersion(spark, root, ver), "append rows")
     val v = LayoutLong.longCol(col(m.sortCol))
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
-    val batchStats = addShardBlooms(sharded.groupBy(col("shard"))
-      .agg(min(v).as("min_v"),
-        (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-          (m.statsCols.flatMap(c => Seq(
-            min(LayoutLong.longCol(col(c))).as(s"min_$c"),
-            max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
-          m.sumCols.flatMap(c => Seq(
-            sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-            count(col(c)).as(s"cnt_$c"))))): _*),
-      sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK)
-    val both = zoneMap(spark, root, Some(ver)).unionByName(batchStats)
+    val oldZm = zoneMap(spark, root, Some(ver))
+    // statsCols non-null counts merge additively; a zone map committed
+    // BEFORE the auto-count lacks the column, so the batch side drops it
+    // and the store keeps its old (proof-free) format until re-commit
+    val autoCnt = m.statsCols.filterNot(m.sumCols.contains)
+    val keptCnt = autoCnt.filter(c => oldZm.columns.contains(s"cnt_$c"))
+    val batchStats = autoCnt.filterNot(keptCnt.contains)
+      .foldLeft(addShardHlls(addShardLabels(addShardBlooms(
+        sharded.groupBy(col("shard"))
+          .agg(min(v).as("min_v"),
+            (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+              (m.statsCols.flatMap(c => Seq(
+                min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+                max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
+              m.sumCols.flatMap(c => Seq(
+                sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
+                count(col(c)).as(s"cnt_$c"))) ++
+              autoCnt.map(c => count(col(c)).as(s"cnt_$c")))): _*),
+        sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK),
+        sharded, m.labelCols, m.labelMax),
+        sharded, m.distinctCols, m.hllP))(
+        (d, c) => d.drop(s"cnt_$c"))
+    val both = oldZm.unionByName(batchStats)
     val mergedBase = both
       .groupBy(col("shard"))
       // sums and non-null counts are LINEAR: addition merges them exactly
@@ -1342,11 +1481,21 @@ object SketchRegistry {
             max(col(s"max_$c")).as(s"max_$c"))) ++
           m.sumCols.flatMap(c => Seq(
             sum(col(s"sum_$c")).as(s"sum_$c"),
-            sum(col(s"cnt_$c")).as(s"cnt_$c"))))): _*)
-    // secondary Blooms merge by word-OR, exactly like the hash registry's
-    val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+            sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+          keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")))): _*)
+    // secondary Blooms merge by word-OR, exactly like the hash registry's;
+    // label counts add per label (null = bailed poisons); HLL registers
+    // max-merge — all bit-identical to a fresh full build
+    val mergedWithBlooms = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
         s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
+    }
+    val mergedWithLabels = m.labelCols.foldLeft(mergedWithBlooms) { (acc, c) =>
+      acc.join(mergeShardLabels(both, c, m.labelMax), Seq("shard"))
+    }
+    val mergedZoneMap = m.distinctCols.foldLeft(mergedWithLabels) { (acc, c) =>
+      acc.join(SketchOps.hllMergeSketches(both, Seq("shard"),
+        s"hll_$c", m.hllP), Seq("shard"))
     }
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
@@ -1402,6 +1551,18 @@ object SketchRegistry {
         stc.split(",").filter(_.nonEmpty).toSeq,
         skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt,
         suc.split(",").filter(_.nonEmpty).toSeq,
+        units = un.stripPrefix("units:"))
+      // v3: labelCols/labelMax/distinctCols/hllP between sumCols and the
+      // unit token
+      case Array(sc, s, sl, bs, stc, skc, bb, bk, suc, lbc, lbm, dcc, hp, un)
+          if un.startsWith("units:") => RangeMeta(sc,
+        s.toInt, sl.toInt,
+        bs.split(",").filter(_.nonEmpty).map(_.toLong).toSeq,
+        stc.split(",").filter(_.nonEmpty).toSeq,
+        skc.split(",").filter(_.nonEmpty).toSeq, bb.toInt, bk.toInt,
+        suc.split(",").filter(_.nonEmpty).toSeq,
+        lbc.split(",").filter(_.nonEmpty).toSeq, lbm.toInt,
+        dcc.split(",").filter(_.nonEmpty).toSeq, hp.toInt,
         units = un.stripPrefix("units:"))
       case other => throw new IllegalStateException(
         s"torn _zonemap_meta under $root/v_$v: ${other.mkString("|")}")

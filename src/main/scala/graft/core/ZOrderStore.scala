@@ -57,6 +57,8 @@ object ZOrderStore {
                          sketchCols: Seq[String] = Nil,
                          bloomBitsLog2: Int = 14, bloomK: Int = 4,
                          sumCols: Seq[String] = Nil,
+                         labelCols: Seq[String] = Nil,
+                         labelMax: Int = 32,
                          units: String = "")
 
   /** Rank-pick `2^bits − 1` bucket bounds for `c` off the deterministic
@@ -125,10 +127,12 @@ object ZOrderStore {
     */
   private def zStats(sharded: DataFrame, colA: String, colB: String,
                      sketchCols: Seq[String], bitsLog2: Int,
-                     k: Int, sumCols: Seq[String] = Nil): DataFrame = {
+                     k: Int, sumCols: Seq[String] = Nil,
+                     labelCols: Seq[String] = Nil,
+                     labelMax: Int = 32): DataFrame = {
     val va = LayoutLong.longCol(col(colA))
     val vb = LayoutLong.longCol(col(colB))
-    SketchRegistry.addShardBlooms(
+    SketchRegistry.addShardLabels(SketchRegistry.addShardBlooms(
       sharded.groupBy(col("shard")).agg(
         min(va).as("min_a"),
         (max(va).as("max_a") +: min(vb).as("min_b") +:
@@ -136,21 +140,26 @@ object ZOrderStore {
           sumCols.flatMap(c => Seq(
             sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
             count(col(c)).as(s"cnt_$c")))): _*),
-      sharded, sketchCols, bitsLog2, k)
+      sharded, sketchCols, bitsLog2, k),
+      sharded, labelCols, labelMax)
   }
 
   private def writeZMeta(staging: java.nio.file.Path, colA: String,
                          colB: String, bits: Int, subLog2: Int,
                          boundsA: Seq[Long], boundsB: Seq[Long],
                          sketchCols: Seq[String], bloomBitsLog2: Int,
-                         bloomK: Int, sumCols: Seq[String] = Nil): Unit =
-    // v2 meta: the sumCols line always present (possibly empty), then
-    // the layout-unit token — see [[SketchRegistry]] for the contract
+                         bloomK: Int, sumCols: Seq[String] = Nil,
+                         labelCols: Seq[String] = Nil,
+                         labelMax: Int = 32): Unit =
+    // v3 meta: the v2 lines, then labelCols/labelMax (always present,
+    // possibly empty), then the layout-unit token — see
+    // [[SketchRegistry]] for the contract
     Files.write(staging.resolve("_zonemap2d_meta"),
       (s"$colA\n$colB\n$bits\n$subLog2\n${boundsA.mkString(",")}\n" +
         s"${boundsB.mkString(",")}\n${sketchCols.mkString(",")}\n" +
         s"$bloomBitsLog2\n$bloomK" +
-        s"\n${sumCols.mkString(",")}\nunits:micros")
+        s"\n${sumCols.mkString(",")}\n${labelCols.mkString(",")}\n$labelMax" +
+        s"\nunits:micros")
         .getBytes(StandardCharsets.UTF_8))
 
   /** Commit `df` Z-order-sharded on (`colA`, `colB`) with the 2-D zone map
@@ -166,10 +175,18 @@ object ZOrderStore {
                      expectedVersion: Option[Long] = None,
                      sketchCols: Seq[String] = Nil,
                      bloomBitsLog2: Int = 14, bloomK: Int = 4,
-                     sumCols: Seq[String] = Nil): Long = {
+                     sumCols: Seq[String] = Nil,
+                     labelCols: Seq[String] = Nil,
+                     labelMax: Int = 32): Long = {
     require(sumCols.forall(df.columns.contains),
       s"sumCols must be data columns, got ${sumCols.mkString(",")} " +
         s"vs ${df.columns.mkString(",")}")
+    require(labelCols.forall(c => df.columns.contains(c) &&
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType),
+      s"labelCols must be STRING data columns, got " +
+        s"${labelCols.mkString(",")} vs ${df.schema.simpleString}")
+    require(labelMax >= 1 && labelMax <= 1024,
+      s"labelMax must be in [1, 1024], got $labelMax")
     require(shardsLog2 >= 2 && shardsLog2 <= 8 && shardsLog2 % 2 == 0,
       s"shardsLog2 must be even in [2, 8], got $shardsLog2 — bits split " +
         "equally across the two interleaved columns")
@@ -186,7 +203,7 @@ object ZOrderStore {
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
     val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2,
-      bloomK, sumCols)
+      bloomK, sumCols, labelCols, labelMax)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // one keyed shuffle clusters rows by shard (one file per shard dir),
       // sorted within the file by (colA, colB) so parquet row-group stats
@@ -198,7 +215,7 @@ object ZOrderStore {
       zonemap.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap2d").toString)
       writeZMeta(staging, colA, colB, bits, subLog2, boundsA, boundsB,
-        sketchCols, bloomBitsLog2, bloomK, sumCols)
+        sketchCols, bloomBitsLog2, bloomK, sumCols, labelCols, labelMax)
     }
   }
 
@@ -223,7 +240,7 @@ object ZOrderStore {
       TableStore.readVersion(spark, root, ver), "append rows")
     val sharded = rows.withColumn("shard", shardColOf(m))
     val batchStats = zStats(sharded, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols)
+      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax)
     val both = zoneMap2d(spark, root, Some(ver)).unionByName(batchStats)
     // sums and non-null counts are LINEAR: addition merges them exactly
     val mergedBase = both.groupBy(col("shard")).agg(
@@ -233,9 +250,14 @@ object ZOrderStore {
         m.sumCols.flatMap(c => Seq(
           sum(col(s"sum_$c")).as(s"sum_$c"),
           sum(col(s"cnt_$c")).as(s"cnt_$c")))): _*)
-    val mergedZoneMap = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+    val mergedWithBlooms = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
         s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
+    }
+    // label counts add per label; a bailed (null) side poisons its shard
+    val mergedZoneMap = m.labelCols.foldLeft(mergedWithBlooms) { (acc, c) =>
+      acc.join(SketchRegistry.mergeShardLabels(both, c, m.labelMax),
+        Seq("shard"))
     }
     val n = 1 << (2 * m.bitsPerCol)
     TableStore.commitStaged(root, Some(ver)) { staging =>
@@ -320,7 +342,7 @@ object ZOrderStore {
         "left_anti")
       .unionByName(upserts.withColumn("shard", shardColOf(m)))
     val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols)
+      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax)
     val carried = zoneMap2d(spark, root, Some(ver))
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(ver)) { staging =>
@@ -414,6 +436,14 @@ object ZOrderStore {
         ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
           skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt,
           suc.split(",").filter(_.nonEmpty).toSeq,
+          units = un.stripPrefix("units:"))
+      // v3: labelCols/labelMax between sumCols and the unit token
+      case Array(a, b, bits, sl, ba, bb, skc, bbits, bk, suc, lbc, lbm, un)
+          if un.startsWith("units:") =>
+        ZMeta(a, b, bits.toInt, sl.toInt, longs(ba), longs(bb),
+          skc.split(",").filter(_.nonEmpty).toSeq, bbits.toInt, bk.toInt,
+          suc.split(",").filter(_.nonEmpty).toSeq,
+          lbc.split(",").filter(_.nonEmpty).toSeq, lbm.toInt,
           units = un.stripPrefix("units:"))
       case other => throw new IllegalStateException(
         s"torn _zonemap2d_meta under $root/v_$v: ${other.mkString("|")}")

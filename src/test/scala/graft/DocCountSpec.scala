@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The docs' query count is a GENERATED assertion, not prose: the
+  * ORACLES.md header must state exactly `SparkEntry.queries.size`, and
+  * every declared query must carry an oracle (the driver gate treats a
+  * missing oracle as a weaker rows-only check — this engine declares
+  * none). The count drifted twice across rounds when queries landed
+  * after the doc was written; now the suite fails instead.
+  */
+class DocCountSpec extends AnyFunSuite {
+
+  test("ORACLES.md header count equals SparkEntry.queries.size") {
+    val header = scala.io.Source.fromFile("docs/ORACLES.md", "UTF-8")
+      .getLines().next()
+    val m = "how all (\\d+) queries".r.findFirstMatchIn(header).getOrElse(
+      fail(s"ORACLES.md header lost its count sentence: $header"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"docs/ORACLES.md says ${m.group(1)} queries but SparkEntry " +
+        s"declares ${SparkEntry.queries.size} — regenerate the doc header")
+  }
+
+  test("every declared query has an oracle, and no oracle is orphaned") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+}

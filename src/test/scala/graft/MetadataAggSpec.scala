@@ -709,18 +709,31 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
         .orderBy("eb").collect().map(_.toSeq).toSeq
       assert(filt.collect().map(_.toSeq).toSeq == fExp)
       assert(scannedParts(filt) < 8)
-      // a column with windows but NO sum stats has no proof anywhere:
-      // grouping on it never collapses, answers stay right
+      // a column committed with statsCols ALONE auto-carries its exact
+      // non-null count (cnt_<c>), so its windows arrive PROOF-CAPABLE:
+      // grouping on it collapses exactly like the sumCols-backed store,
+      // the null-bearing shard still scans (its cnt < n_rows), and
+      // count(e) answers from the same counts with zero files
       val root2 = java.nio.file.Files.createTempDirectory("magg_cd2").toString
       SketchRegistry.commitRangeSharded(df, root2, "ts", shardsLog2 = 3,
         statsCols = Seq("e"))
       SketchFileIndex.readIndexed(spark, root2)
         .createOrReplaceTempView("magg_cd2")
-      val noproof = spark.sql("""SELECT e div 1600 AS eb, count(*) AS n
-        FROM magg_cd2 GROUP BY 1""")
-      assert(scannedParts(noproof) == 8,
-        "no sumCols ⇒ no non-null proof ⇒ no metadata contribution")
-      assert(noproof.collect().map(_.getLong(1)).sum == 4000L)
+      val autop = spark.sql("""SELECT e div 1600 AS eb, count(*) AS n,
+        count(e) AS ce FROM magg_cd2 GROUP BY 1 ORDER BY eb""")
+      val autopExp = df.groupBy((col("e") / 1600).cast("long").as("eb"))
+        .agg(count(lit(1)).as("n"), count("e").as("ce"))
+        .orderBy(col("eb").asc_nulls_first).collect().map(_.toSeq).toSeq
+      assert(autop.collect().map(_.toSeq).toSeq == autopExp)
+      val autopParts = scannedParts(autop)
+      assert(autopParts > 0 && autopParts < 8,
+        s"statsCols auto-count must prove non-null shards for the grouped " +
+          s"collapse, got $autopParts/8")
+      val ce = spark.sql("SELECT count(e) AS ce FROM magg_cd2")
+      assert(collapsed(ce),
+        s"count(c) over an auto-counted statsCols column must answer from " +
+          s"metadata:\n${ce.queryExecution.optimizedPlan}")
+      assert(ce.collect().head.getLong(0) == 3900L)
       // the UNGROUPED windowed arm over the correlated dimension:
       // proof-carrying contained shards answer from metadata; the
       // null-bearing shard (inside the region, no proof) and the
@@ -734,12 +747,298 @@ class MetadataAggSpec extends AnyFunSuite with SparkTest
       assert(win.collect().head.toSeq == winExp)
       assert(scannedParts(win) < 8,
         s"windowed correlated-dim aggregate must scan boundary+unproven shards only: ${scannedParts(win)}")
-      // without the proof the windowed answers stay right, and the
-      // region still DROPS non-intersecting shards (sound with nulls)
+      // the windowed arm on the statsCols-only store: the auto-count
+      // proves containment, the null-bearing shard (cnt < n_rows) and
+      // cut-boundary shards scan, non-intersecting shards drop
       val winNp = spark.sql(
         "SELECT count(*) AS n FROM magg_cd2 WHERE e >= 1000 AND e < 3000")
       assert(winNp.collect().head.getLong(0) ==
         df.filter(col("e") >= 1000 && col("e") < 3000).count())
+      assert(scannedParts(winNp) < 8,
+        s"auto-counted windows must collapse the windowed arm too: " +
+          s"${scannedParts(winNp)}/8")
+    }
+  }
+
+  test("categorical labelCols: GROUP BY bucket, label collapses to per-label metadata counts") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def scannedParts(df: DataFrame): Int =
+      allScans(df.queryExecution.executedPlan)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    val root = java.nio.file.Files.createTempDirectory("magg_lbl").toString
+    val cats = Array("click", "view", "error")
+    // 4 labels incl. a NULL run (its own SQL group); hi is a
+    // high-cardinality column that must BAIL (> labelMax distinct)
+    val df = (0 until 4000).map { i =>
+      val cat = if (i % 37 == 0) None else Some(cats(i % 3))
+      (i.toLong, cat, s"u${i % 200}", i % 5)
+    }.toDF("ts", "cat", "hi", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      labelCols = Seq("cat", "hi"), labelMax = 8)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_lb")
+    def expect(sql: String, expected: DataFrame): DataFrame = {
+      val q = spark.sql(sql)
+      val got = q.collect().map(_.toSeq).toSeq
+      val exp = expected.collect().map(_.toSeq).toSeq
+      assert(got == exp, s"$sql\n got $got\n exp $exp")
+      q
+    }
+    withRule {
+      // time-bucket × category: every shard is region-free and
+      // bucket-contained or straddling — straddlers only scan, counts
+      // exact including the NULL-label group
+      val q = expect("""SELECT ts div 1000 AS b, cat, count(*) AS n,
+          count(cat) AS nc, count(ts) AS nt
+        FROM magg_lb GROUP BY 1, 2 ORDER BY b, cat NULLS FIRST""",
+        df.groupBy((col("ts") / 1000).cast("long").as("b"), col("cat"))
+          .agg(count(lit(1)).as("n"), count("cat").as("nc"),
+            count("ts").as("nt"))
+          .orderBy(col("b"), col("cat").asc_nulls_first))
+      // quantile bounds rarely align with round buckets: bucket
+      // straddlers (and only they) scan
+      assert(scannedParts(q) < 8,
+        s"bucket straddlers only must scan, got ${scannedParts(q)}/8")
+      // label alone (the reference's GROUP BY source/decay_level stats
+      // shape): pure metadata, zero files
+      val alone = expect(
+        """SELECT cat, count(*) AS n FROM magg_lb
+          |GROUP BY 1 ORDER BY cat NULLS FIRST""".stripMargin,
+        df.groupBy(col("cat")).agg(count(lit(1)).as("n"))
+          .orderBy(col("cat").asc_nulls_first))
+      assert(scannedParts(alone) == 0)
+      // a WHERE region composes: straddlers scan with filter+grouping
+      val filt = expect("""SELECT ts div 1000 AS b, cat, count(*) AS n
+        FROM magg_lb WHERE ts >= 700 AND ts < 3300
+        GROUP BY 1, 2 ORDER BY b, cat NULLS FIRST""",
+        df.filter(col("ts") >= 700 && col("ts") < 3300)
+          .groupBy((col("ts") / 1000).cast("long").as("b"), col("cat"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("b"), col("cat").asc_nulls_first))
+      val fparts = scannedParts(filt)
+      assert(fparts > 0 && fparts < 8,
+        s"region straddlers only must scan, got $fparts/8")
+      // the bailed high-cardinality column: right answers, full scan
+      val bail = expect(
+        """SELECT hi, count(*) AS n FROM magg_lb
+          |GROUP BY 1 ORDER BY hi""".stripMargin,
+        df.groupBy(col("hi")).agg(count(lit(1)).as("n")).orderBy("hi"))
+      assert(scannedParts(bail) == 8,
+        "a > labelMax column must scan — bailed stats carry no info")
+      // non-count aggregates with a label dimension stay untouched
+      val mm = spark.sql(
+        "SELECT cat, min(ts) AS mn FROM magg_lb GROUP BY 1")
+      assert(scannedParts(mm) == 8,
+        "min/max need per-label stats the registry does not store")
+      // two label dimensions: marginals can't make a joint — untouched
+      val two = spark.sql(
+        "SELECT cat, hi, count(*) AS n FROM magg_lb GROUP BY 1, 2")
+      assert(scannedParts(two) == 8)
+    }
+    // APPEND: label counts merge additively; grouped answers stay exact
+    val batch = (4000 until 5000).map { i =>
+      (i.toLong, Some("purchase"), s"u${i % 200}", i % 5)
+    }.toDF("ts", "cat", "hi", "v")
+    SketchRegistry.appendRangeSharded(spark, root, batch)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_lb2")
+    val all = df.unionByName(batch)
+    withRule {
+      val q = spark.sql("""SELECT cat, count(*) AS n FROM magg_lb2
+        GROUP BY 1 ORDER BY cat NULLS FIRST""")
+      val exp = all.groupBy(col("cat")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cat").asc_nulls_first).collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) == 0,
+        "merged label stats must still answer from metadata")
+    }
+    // Z layout: GROUP BY an interleaved-column bucket × label
+    val zroot = java.nio.file.Files.createTempDirectory("magg_lblz").toString
+    val zdf = (0 until 4000).map { i =>
+      (i.toLong % 50, (i % 7).toLong, Some(cats(i % 3)).filter(_ => i % 41 != 0))
+    }.toDF("qty", "ln", "cat")
+    ZOrderStore.commitZOrdered(zdf, zroot, "qty", "ln", shardsLog2 = 4,
+      labelCols = Seq("cat"))
+    SketchFileIndex.readIndexed(spark, zroot).createOrReplaceTempView("magg_lbz")
+    withRule {
+      val q = spark.sql("""SELECT qty div 100 AS qb, cat, count(*) AS n
+        FROM magg_lbz GROUP BY 1, 2 ORDER BY qb, cat NULLS FIRST""")
+      val exp = zdf.groupBy((col("qty") / 100).cast("long").as("qb"), col("cat"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("qb"), col("cat").asc_nulls_first)
+        .collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      assert(scannedParts(q) == 0,
+        s"single-bucket Z cells must answer per label from metadata, " +
+          s"got ${scannedParts(q)}/16")
+    }
+  }
+
+  test("statsCols auto-count: append merges it additively; pre-auto-count stores stay readable") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val root = java.nio.file.Files.createTempDirectory("magg_acnt").toString
+    val base = (0 until 2000).map(i => (i.toLong,
+      if (i % 97 == 0) None else Some(i.toLong * 2))).toDF("ts", "e")
+    val batch = (2000 until 3000).map(i => (i.toLong, Some(i.toLong * 2)))
+      .toDF("ts", "e")
+    SketchRegistry.commitRangeSharded(base, root, "ts", shardsLog2 = 2,
+      statsCols = Seq("e"))
+    SketchRegistry.appendRangeSharded(spark, root, batch)
+    // merged counts must equal a fresh full build's (addition is exact)
+    val zm = SketchRegistry.zoneMap(spark, root)
+      .select("shard", "cnt_e", "n_rows").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val all = base.unionByName(batch)
+    val expCnt = all.filter(col("e").isNotNull).count()
+    assert(zm.values.map(_._1).sum == expCnt)
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("magg_ac")
+    withRule {
+      val q = spark.sql("SELECT count(e) AS ce FROM magg_ac")
+      assert(collapsed(q), "appended auto-counts must still answer count(c)")
+      assert(q.collect().head.getLong(0) == expCnt)
+    }
+    // a store whose zone map PREDATES the auto-count (no cnt_e column):
+    // maintenance verbs must align to the old schema instead of failing
+    // the union, and consumers must degrade to the scan, never misread
+    val oldRoot = java.nio.file.Files.createTempDirectory("magg_ocnt").toString
+    SketchRegistry.commitRangeSharded(base, oldRoot, "ts", shardsLog2 = 2,
+      statsCols = Seq("e"))
+    val v0 = graft.core.TableStore.currentVersion(oldRoot).get
+    val stripped = SketchRegistry.zoneMap(spark, oldRoot).drop("cnt_e")
+      .collect()
+    val schema = SketchRegistry.zoneMap(spark, oldRoot).drop("cnt_e").schema
+    val zmDir = java.nio.file.Paths.get(oldRoot, s"v_$v0", "_zonemap")
+    val tmp = java.nio.file.Files.createTempDirectory("magg_ozm")
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(stripped: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(zmDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.move(tmp, zmDir)
+    // append to the stripped store: the batch side must drop its cnt_e
+    SketchRegistry.appendRangeSharded(spark, oldRoot, batch)
+    assert(!SketchRegistry.zoneMap(spark, oldRoot).columns.contains("cnt_e"),
+      "a pre-auto-count store keeps its format until a re-commit")
+    SketchFileIndex.readIndexed(spark, oldRoot)
+      .createOrReplaceTempView("magg_oc")
+    withRule {
+      val g = spark.sql(
+        "SELECT e div 1600 AS eb, count(*) AS n FROM magg_oc GROUP BY 1")
+      val gPlan = g.queryExecution.optimizedPlan.toString
+      assert(!gPlan.contains("Union") && !gPlan.contains(" IN ("),
+        s"a proof-free store must scan everything — degrading, never " +
+          s"misreading:\n$gPlan")
+      assert(g.collect().map(_.getLong(1)).sum == 3000L)
+    }
+  }
+
+  test("approx_count_distinct collapses to merged registry HLLs (opt-in) — bit-identical to the verb") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def withNdv[T](body: => T): T = {
+      spark.conf.set("spark.graft.metadataAgg.approxDistinct.enabled", "true")
+      try body
+      finally spark.conf
+        .unset("spark.graft.metadataAgg.approxDistinct.enabled")
+    }
+    def verbEst(df: DataFrame, c: String, p: Int): Long =
+      graft.operators.SketchOps.hllCardinality(df, Nil, c, p)
+        .collect().head.getLong(0) / 1000000L
+    // HASH layout: the key's registry HLL answers the table-wide ndv
+    val hroot = java.nio.file.Files.createTempDirectory("magg_adh").toString
+    val hdf = (0 until 4000).map(i => ((i % 700).toLong, i.toLong))
+      .toDF("k", "v")
+    SketchRegistry.commitWithSketches(hdf, hroot, "k", shardsLog2 = 3,
+      hllP = 12)
+    SketchFileIndex.readIndexed(spark, hroot).createOrReplaceTempView("magg_adh")
+    withRule {
+      withNdv {
+        val q = spark.sql("SELECT approx_count_distinct(k) AS d FROM magg_adh")
+        assert(collapsed(q),
+          s"hash-key approx ndv must collapse:\n${q.queryExecution.optimizedPlan}")
+        assert(q.collect().head.getLong(0) == verbEst(hdf, "k", 12),
+          "registers max-merge: the merged estimate must be bit-identical " +
+            "to the verb's over the same rows")
+      }
+      // conf OFF (default): Spark's own HLL++ answers — plan untouched
+      val off = spark.sql("SELECT approx_count_distinct(k) AS d FROM magg_adh")
+      assert(!collapsed(off),
+        "approx-distinct answering must stay opt-in — the estimators differ")
+    }
+    // RANGE layout distinctCols: unfiltered, windowed-contained,
+    // boundary-bail, unsatisfiable
+    val rroot = java.nio.file.Files.createTempDirectory("magg_adr").toString
+    val rdf = (0 until 4000).map(i => (i.toLong, (i / 4).toLong))
+      .toDF("ts", "u")
+    SketchRegistry.commitRangeSharded(rdf, rroot, "ts", shardsLog2 = 3,
+      distinctCols = Seq("u"), hllP = 12)
+    SketchFileIndex.readIndexed(spark, rroot).createOrReplaceTempView("magg_adr")
+    val zm = SketchRegistry.zoneMap(spark, rroot)
+      .select("shard", "min_v", "max_v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    withRule {
+      withNdv {
+        val full = spark.sql(
+          "SELECT approx_count_distinct(u) AS d FROM magg_adr")
+        assert(collapsed(full))
+        assert(full.collect().head.getLong(0) == verbEst(rdf, "u", 12))
+        // a shard-exact region: shards 2..5 contained, 0-1 and 6-7 drop
+        val (lo, hi) = (zm(2)._1, zm(5)._2)
+        val win = spark.sql(s"""SELECT approx_count_distinct(u) AS d
+          FROM magg_adr WHERE ts >= $lo AND ts <= $hi""")
+        assert(!win.queryExecution.executedPlan.toString.contains("FileScan"),
+          s"contained shards must answer from merged HLLs:\n" +
+            s"${win.queryExecution.optimizedPlan}")
+        assert(win.collect().head.getLong(0) ==
+          verbEst(rdf.filter(col("ts") >= lo && col("ts") <= hi), "u", 12),
+          "a shard subset's merged registers must equal sketching its rows")
+        // a mid-shard cut: the boundary shard's eligible sketch is
+        // unknowable — the arm bails, Spark's own estimator answers
+        val mid = spark.sql(s"""SELECT approx_count_distinct(u) AS d
+          FROM magg_adr WHERE ts >= $lo AND ts <= ${hi - 3}""")
+        assert(allScans(mid.queryExecution.executedPlan).nonEmpty,
+          "a boundary shard must bail the approx-ndv arm to the scan")
+        // unsatisfiable region: zero shards merge to all-zero registers —
+        // estimate 0 over provably-empty input, zero files
+        val none = spark.sql(
+          "SELECT approx_count_distinct(u) AS d FROM magg_adr WHERE ts < 0")
+        assert(!none.queryExecution.executedPlan.toString.contains("FileScan"))
+        assert(none.collect().head.getLong(0) == 0L)
+      }
+    }
+    // APPEND maintains the sketches: max-merge is bit-identical to a
+    // fresh build over the union
+    val batch = (4000 until 5000).map(i => (i.toLong, (i / 2).toLong))
+      .toDF("ts", "u")
+    SketchRegistry.appendRangeSharded(spark, rroot, batch)
+    SketchFileIndex.readIndexed(spark, rroot).createOrReplaceTempView("magg_ad2")
+    withRule {
+      withNdv {
+        val q = spark.sql("SELECT approx_count_distinct(u) AS d FROM magg_ad2")
+        assert(collapsed(q))
+        assert(q.collect().head.getLong(0) ==
+          verbEst(rdf.unionByName(batch), "u", 12))
+      }
     }
   }
 

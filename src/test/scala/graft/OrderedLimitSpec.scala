@@ -246,6 +246,45 @@ class OrderedLimitSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("WHERE on a statsCols-windowed column composes: proof-carrying shards drive the guarantee") {
+    val root = java.nio.file.Files.createTempDirectory("olim_scw").toString
+    // e tracks ts (a correlated id); NULL only inside ts [2000, 2100) —
+    // that shard's window stays but its non-null proof breaks
+    val df = (0 until 4000).map { i =>
+      val ts = i.toLong
+      (ts, if (ts >= 2000 && ts < 2100) None else Some(ts * 2), i % 7)
+    }.toDF("ts", "e", "v")
+    SketchRegistry.commitRangeSharded(df, root, "ts", shardsLog2 = 3,
+      statsCols = Seq("e"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_scw")
+    withRule {
+      // latest 20 among e in [1000, 6000): the top eligible rows live in
+      // the shard holding ts≈3000; shards above the e-region drop, the
+      // rest never need opening once the guarantee holds
+      val q = spark.sql("""SELECT ts, e, v FROM olim_scw
+        WHERE e >= 1000 AND e < 6000 ORDER BY ts DESC LIMIT 20""")
+      val exp = df.filter(col("e") >= 1000 && col("e") < 6000)
+        .orderBy(col("ts").desc).limit(20).collect().map(_.toSeq).toSeq
+      assert(q.collect().map(_.toSeq).toSeq == exp)
+      val parts = scannedParts(q)
+      assert(parts > 0 && parts < 8,
+        s"a windowed-column WHERE must compose with the top-k prune, got $parts/8")
+      // region covering the NULL-bearing shard: its rows are eligible-
+      // uncertain (no proof), so it cannot count toward the guarantee —
+      // but the answer must stay exact regardless of which shards open
+      val qn = spark.sql("""SELECT ts, e, v FROM olim_scw
+        WHERE e >= 1000 AND e < 4600 ORDER BY ts DESC LIMIT 20""")
+      val expN = df.filter(col("e") >= 1000 && col("e") < 4600)
+        .orderBy(col("ts").desc).limit(20).collect().map(_.toSeq).toSeq
+      assert(qn.collect().map(_.toSeq).toSeq == expN)
+      // an unsatisfiable windowed region: zero shards, zero rows
+      val q0 = spark.sql("""SELECT ts, e, v FROM olim_scw
+        WHERE e < 0 ORDER BY ts DESC LIMIT 20""")
+      assert(q0.collect().isEmpty)
+      assert(scannedParts(q0) == 0)
+    }
+  }
+
   test("rule off / hash layout: untouched") {
     val root = java.nio.file.Files.createTempDirectory("olim_off").toString
     val df = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("ts", "k")

@@ -523,6 +523,117 @@ class SketchJoinDispatchSpec extends AnyFunSuite with SparkTest
     }
   }
 
+  test("composite cross-layout Bloom prune: per-component admissions intersect, rows exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    def factParts(df: DataFrame, root: String): Int =
+      allScans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.isInstanceOf[graft.core.SketchFileIndex])
+        .filter(_.relation.location.asInstanceOf[graft.core.SketchFileIndex]
+          .tableRoot == root)
+        .map(_.selectedPartitions.toPartitionArray.length).sum
+    // fact: a and b BOTH track the layout column ts. The dim's `a` keys
+    // live at BOTH ends of the table (low + high shards) while its `b`
+    // keys live only at the LOW end — the a-probe alone admits both ends,
+    // the b-probe alone admits the low end, and only the INTERSECTION is
+    // the true admission (a composite-joining row must match on EVERY
+    // component).
+    val fact = (0 until 4000).map(i => (i.toLong, i.toLong, i.toLong, i * 3L))
+      .toDF("ts", "a", "b", "v")
+    val dim = ((0 until 100).map(i => (i.toLong, i.toLong, 1L)) ++
+      (0 until 100).map(i => (3900L + i, i.toLong, 2L))).toDF("a", "b", "dv")
+    val fRoot = java.nio.file.Files.createTempDirectory("sjd_ccf").toString
+    SketchRegistry.commitRangeSharded(fact, fRoot, "ts", shardsLog2 = 3,
+      sketchCols = Seq("a", "b"), bloomBitsLog2 = 16)
+    val dRoot = java.nio.file.Files.createTempDirectory("sjd_ccd").toString
+    SketchRegistry.commitWithSketches(dim, dRoot, "a", shardsLog2 = 3,
+      bitsLog2 = 12)
+    SketchFileIndex.readIndexed(spark, fRoot).createOrReplaceTempView("sjd_ccf")
+    SketchFileIndex.readIndexed(spark, dRoot).createOrReplaceTempView("sjd_ccd")
+    val expected = sortedRows(fact.join(dim, Seq("a", "b"))
+      .select(fact("ts"), fact("v"), dim("dv")))
+    withDispatch(broadcastMaxRows = 1000L) {
+      val two = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_ccf f JOIN sjd_ccd d ON f.a = d.a AND f.b = d.b""")
+      assert(two.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+      assert(sortedRows(two) == expected)
+      val twoParts = factParts(two, fRoot)
+      // the single-component a-join admits both ends of the table
+      val one = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_ccf f JOIN sjd_ccd d ON f.a = d.a""")
+      val oneParts = factParts(one, fRoot)
+      assert(twoParts > 0 && twoParts < oneParts,
+        s"composite AND-probe must intersect below the single-component " +
+          s"admission, got $twoParts vs $oneParts (of 8)")
+    }
+  }
+
+  test("same fact column vs two DIFFERENT dim columns: each pair memoizes its own admission") {
+    // the dim's k1 keys live at the fact's LOW end, its k2 keys at the
+    // HIGH end; the second join must not reuse the first join's cached
+    // admission (it would prune the high shards that actually join and
+    // silently lose every row)
+    val fact = (0 until 4000).map(i => (i.toLong, i.toLong, i * 3L))
+      .toDF("ts", "k", "v")
+    val dim = (0 until 100).map(i => (i.toLong, 3900L + i, i * 10L))
+      .toDF("k1", "k2", "dv")
+    val fRoot = java.nio.file.Files.createTempDirectory("sjd_dcf").toString
+    SketchRegistry.commitRangeSharded(fact, fRoot, "ts", shardsLog2 = 3,
+      sketchCols = Seq("k"), bloomBitsLog2 = 16)
+    val dRoot = java.nio.file.Files.createTempDirectory("sjd_dcd").toString
+    SketchRegistry.commitWithSketches(dim, dRoot, "k1", shardsLog2 = 3,
+      bitsLog2 = 12)
+    SketchFileIndex.readIndexed(spark, fRoot).createOrReplaceTempView("sjd_dcf")
+    SketchFileIndex.readIndexed(spark, dRoot).createOrReplaceTempView("sjd_dcd")
+    withDispatch(broadcastMaxRows = 1000L) {
+      val lo = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_dcf f JOIN sjd_dcd d ON f.k = d.k1""")
+      assert(sortedRows(lo) == sortedRows(
+        fact.join(dim, fact("k") === dim("k1"))
+          .select(fact("ts"), fact("v"), dim("dv"))))
+      val hi = spark.sql("""SELECT f.ts, f.v, d.dv
+        FROM sjd_dcf f JOIN sjd_dcd d ON f.k = d.k2""")
+      assert(sortedRows(hi) == sortedRows(
+        fact.join(dim, fact("k") === dim("k2"))
+          .select(fact("ts"), fact("v"), dim("dv"))),
+        "stale (fact column)-keyed cache reused the k1 admission for the " +
+          "k2 join and lost the high-shard rows")
+      assert(hi.collect().length == 100)
+    }
+  }
+
+  test("bloomPrune escape hatch: conf off keeps the broadcast hint, skips the plan-time probe") {
+    val fact = (0 until 4000).map(i => (i.toLong, i.toLong, i * 3L))
+      .toDF("ts", "k", "v")
+    val dim = (0 until 300).map(i => (i.toLong, i * 100L)).toDF("k", "dv")
+    val fRoot = java.nio.file.Files.createTempDirectory("sjd_ehf").toString
+    SketchRegistry.commitRangeSharded(fact, fRoot, "ts", shardsLog2 = 3,
+      sketchCols = Seq("k"), bloomBitsLog2 = 16)
+    val dRoot = commit(dim, "ehd")
+    SketchFileIndex.readIndexed(spark, fRoot).createOrReplaceTempView("sjd_ehf")
+    SketchFileIndex.readIndexed(spark, dRoot).createOrReplaceTempView("sjd_ehd")
+    withDispatch(broadcastMaxRows = 1000L) {
+      spark.conf.set("spark.graft.sketchJoinDispatch.bloomPrune.enabled", "false")
+      try {
+        val q = spark.sql("""SELECT f.ts, f.v, d.dv
+          FROM sjd_ehf f JOIN sjd_ehd d ON f.k = d.k""")
+        assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "the hatch must keep the registry-count broadcast hint")
+        assert(!q.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "the hatch must skip the shard prune entirely")
+        assert(sortedRows(q) == sortedRows(fact.join(dim, Seq("k"))
+          .select(fact("ts"), fact("v"), dim("dv"))))
+      } finally spark.conf
+        .unset("spark.graft.sketchJoinDispatch.bloomPrune.enabled")
+    }
+  }
+
   test("planning caches are bounded: many version pairs never exceed the LRU cap") {
     val left = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "lv")
     val right = (0 until 400).map(i => ((i % 20).toLong, i.toLong)).toDF("k", "rv")

@@ -254,9 +254,11 @@ class TimestampLayoutSpec extends AnyFunSuite with SparkTest
     val metaPath = java.nio.file.Paths.get(root, s"v_$v", "_zonemap_meta")
     val lines = new String(java.nio.file.Files.readAllBytes(metaPath),
       java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
-    assert(lines.last == "units:micros", "v2 meta must carry the unit token")
+    assert(lines.last == "units:micros", "meta must carry the unit token")
+    // v3 metas carry labelCols/labelMax/distinctCols/hllP before the
+    // token — strip all five tail lines to recreate the legacy shape
     java.nio.file.Files.write(metaPath,
-      lines.dropRight(2).mkString("\n")
+      lines.dropRight(5).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val e = intercept[IllegalArgumentException] {
       SketchFileIndex.readIndexed(spark, root)
@@ -273,7 +275,7 @@ class TimestampLayoutSpec extends AnyFunSuite with SparkTest
     val ilines = new String(java.nio.file.Files.readAllBytes(imeta),
       java.nio.charset.StandardCharsets.UTF_8).split("\n", -1)
     java.nio.file.Files.write(imeta,
-      ilines.dropRight(2).mkString("\n")
+      ilines.dropRight(5).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val q = SketchFileIndex.readIndexed(spark, iroot).filter(col("ts") >= 400)
     assert(q.count() == 100L)

@@ -546,8 +546,10 @@ class SketchRegistrySpec extends AnyFunSuite with SparkTest {
       subLog2 = 5, statsCols = Seq("id", "r"))
     assert(SketchRegistry.rangeMeta(root).statsCols == Seq("id", "r"))
     val zm = SketchRegistry.zoneMap(spark, root)
+    // statsCols auto-carry their exact non-null counts (cnt_<c>) so
+    // windows always arrive proof-capable for containment arguments
     assert(zm.columns.toSet == Set("shard", "min_v", "max_v", "n_rows",
-      "min_id", "max_id", "min_r", "max_r"))
+      "min_id", "max_id", "min_r", "max_r", "cnt_id", "cnt_r"))
     // correlated column: a tight id window reads a strict shard subset
     val byId = SketchRegistry.rangeLookupOn(spark, root, "id", 100L, 150L)
     assert(byId.select("id").collect().map(_.getLong(0)).sorted.toSeq
