@@ -577,6 +577,22 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     * scan-free job — bounded and memoized, same cost class as the join
     * dispatch's registry probes.
     */
+  /** The EXACT distinct-label count of `c` over `shards` — the per-shard
+    * label sets union (nulls are not values, so the null-label entry
+    * never counts); None when the column carries no label stats or any
+    * of the shards bailed at commit (its labels are unknown — the caller
+    * must leave the plan to the scan).
+    */
+  private def labelUnionCount(idx: SketchFileIndex, c: String,
+                              shards: Seq[Int]): Option[Long] =
+    idx.labelStats(c).flatMap { per =>
+      val sets = shards.map(s => per.getOrElse(s, None))
+      if (sets.exists(_.isEmpty)) None
+      else Some(sets.iterator.flatMap(_.get).collect {
+        case (Some(l), cnt) if cnt > 0L => l
+      }.toSet.size.toLong)
+    }
+
   private def mergedNdv(idx: SketchFileIndex, c: String,
                         shards: Seq[Int]): Option[Long] =
     idx.hllRegistersFor(c).map { case (regs, p) =>
@@ -648,6 +664,13 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     * shard is contained (an HLL cannot split across a scan half).
     */
   private final case class WNdv(a: AttributeReference) extends WKind
+  /** EXACT count(DISTINCT c) over a labelCols column: the per-shard label
+    * sets union to the distinct non-null labels; answered only when EVERY
+    * candidate shard is contained AND proof-carrying (a bailed shard's
+    * labels are unknown, and an exact distinct cannot split across a
+    * metadata/scan pair).
+    */
+  private final case class WDct(a: AttributeReference) extends WKind
   private case object WFold extends WKind
   /** The j-th grouping expression's own slot (GROUP-BY collapse only). */
   private final case class WLabel(j: Int) extends WKind
@@ -721,6 +744,12 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   if idx.hllRegistersFor(a.name).isDefined => Some(WNdv(a))
               case _ => None
             }
+            // EXACT distinct over a label column — no opt-in needed (the
+            // stored label sets are exact, unlike the HLL estimate)
+            case Alias(AggregateExpression(
+                Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+                if idx.labelCols(a.name) &&
+                  idx.labelStats(a.name).isDefined => Some(WDct(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
@@ -820,6 +849,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // registry does not store
       if (ds.count(_.isInstanceOf[LDim]) > 1) return None
       val labelName = ds.collectFirst { case LDim(a) => a.name }
+      // measure columns committed INSIDE the label struct (labelStatsCols):
+      // with a label dimension, min/max/sum/avg/count over them are exact
+      // per (bucket-tuple, label) from the stored per-label stats
+      val labelMeasured: String => Boolean = n =>
+        labelName.exists(ln => idx.labelMeasureCols(ln).contains(n))
       LayoutExprs.intervalsOf(conds, guarded ++ windowed, guarded)
         .flatMap { region =>
         val kinds: Seq[Option[WKind]] = aggExprs.map { ae =>
@@ -833,41 +867,53 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(e, _) if isRowCount(e) => Some(WCnt)
             case Alias(AggregateExpression(
                 Min(a: AttributeReference), Complete, false, None, _), _)
-                if relAttr(a) && statOk(a.name) && longBacked(a.dataType) =>
+                if relAttr(a) && (statOk(a.name) || labelMeasured(a.name)) &&
+                  longBacked(a.dataType) =>
               Some(WMin(a))
             case Alias(AggregateExpression(
                 Max(a: AttributeReference), Complete, false, None, _), _)
-                if relAttr(a) && statOk(a.name) && longBacked(a.dataType) =>
+                if relAttr(a) && (statOk(a.name) || labelMeasured(a.name)) &&
+                  longBacked(a.dataType) =>
               Some(WMax(a))
             case Alias(AggregateExpression(
                 Sum(a: AttributeReference, mode), Complete, false, None, _), _)
-                if mode.evalMode != EvalMode.TRY &&
-                  relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+                if mode.evalMode != EvalMode.TRY && relAttr(a) &&
+                  (sumCovered(a.name) || labelMeasured(a.name)) &&
+                  integral(a.dataType) =>
               Some(WSum(a))
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if relAttr(a) && (idx.cntCovered(a.name) || guarded(a.name) ||
-                  labelName.contains(a.name)) =>
+                  labelName.contains(a.name) || labelMeasured(a.name)) =>
               Some(WCntCol(a))
             case Alias(AggregateExpression(
                 Average(a: AttributeReference, mode), Complete, false, None, _), _)
-                if mode != EvalMode.TRY &&
-                  relAttr(a) && sumCovered(a.name) && integral(a.dataType) =>
+                if mode != EvalMode.TRY && relAttr(a) &&
+                  (sumCovered(a.name) || labelMeasured(a.name)) &&
+                  integral(a.dataType) =>
               Some(WAvg(a))
             case Alias(e, _) if e.foldable => Some(WFold)
             case _ => None
           }
         }
         val ks = kinds.flatten
-        // with a label dimension only count shapes qualify: per-GROUP
-        // counts are exact for the label column itself (the null-label
-        // group counts 0) and for layout-guarded columns (count = group
-        // size); min/max/sum/avg would need per-label stats the registry
-        // does not store
+        // with a label dimension, count shapes qualify (per-GROUP counts
+        // are exact for the label column itself — the null-label group
+        // counts 0 — and for layout-guarded columns, count = group size),
+        // and min/max/sum/avg/count qualify over labelStatsCols measures
+        // (exact per-(shard, label) stats stored in the label struct)
         val labelKindsOk = labelName.isEmpty || ks.forall {
           case WCnt | WFold => true
           case _: WLabel => true
-          case WCntCol(a) => guarded(a.name) || labelName.contains(a.name)
+          case WCntCol(a) => guarded(a.name) || labelName.contains(a.name) ||
+            labelMeasured(a.name)
+          // per-label measure stats answer these exactly per group tuple;
+          // a windowed-but-unmeasured column stays rejected (its shard
+          // window says nothing about one label's rows)
+          case WMin(a) => labelMeasured(a.name)
+          case WMax(a) => labelMeasured(a.name)
+          case WSum(a) => labelMeasured(a.name)
+          case WAvg(a) => labelMeasured(a.name)
           case _ => false
         }
         if (ks.size != aggExprs.size || !labelKindsOk ||
@@ -974,15 +1020,26 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             // all-zero registers estimate 0, matching the empty input)
             case (Alias(_, _), WNdv(a)) =>
               mergedNdv(idx, a.name, cont).map(v => v: Any).orNull
+            case (Alias(_, _), WDct(a)) =>
+              labelUnionCount(idx, a.name, cont).map(v => v: Any).orNull
             case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
             case _ => null // unreachable: kinds align with aggExprs
           }
-          LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+          // a contained-but-bailed shard's labels are unknown: exact
+          // distinct must then bail to the scan plan (sound, never wrong)
+          if (kinds.exists(_.isInstanceOf[WDct]) &&
+            kinds.zip(values).exists {
+              case (WDct(_), v) => v == null && cont.nonEmpty
+              case _ => false
+            }) agg
+          else LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
         } else if (cont.isEmpty && bound.size >= populated.size) {
           agg // every shard is boundary: nothing gained, leave it alone
-        } else if (kinds.exists(_.isInstanceOf[WNdv])) {
-          agg // an HLL cannot split across a metadata/scan pair: a
-              // boundary shard's eligible-row sketch is unknowable
+        } else if (kinds.exists(k => k.isInstanceOf[WNdv] ||
+            k.isInstanceOf[WDct])) {
+          agg // neither an HLL nor an exact distinct can split across a
+              // metadata/scan pair: a boundary shard's eligible rows'
+              // sketch / label set is unknowable
         } else {
           // metadata part + boundary-only scan: the inner aggregate runs
           // the ORIGINAL filter over just the boundary shard dirs, then
@@ -1195,34 +1252,76 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
               case Some(la) =>
                 // tuple = (bucket labels, the stored label); counts add
                 // across contained shards per tuple — entries partition
-                // each shard exactly, nulls forming their own group
+                // each shard exactly, nulls forming their own group.
+                // labelStatsCols measures merge by their own algebra per
+                // tuple: sums/counts add (Math.addExact — overflow bails
+                // the whole rewrite), mins/maxes combine
+                val fullByShard = idx.labelEntriesFull(la.name)
+                  .getOrElse(Map.empty)
+                val measureCols = idx.labelMeasureCols(la.name).toSet
                 val accRows = scala.collection.mutable.LinkedHashMap[
                   Seq[Any], Long]()
                 val accNonNull = scala.collection.mutable.LinkedHashMap[
                   Seq[Any], Long]()
+                final class MAcc {
+                  var sum: Option[Long] = None; var cnt = 0L
+                  var mn: Option[Long] = None; var mx: Option[Long] = None
+                }
+                val accM = scala.collection.mutable.LinkedHashMap[
+                  (Seq[Any], String), MAcc]()
                 cont.foreach { s =>
-                  val entries = labelsByShard(s).get
-                  entries.foreach { case (lOpt, cnt) =>
-                    val lv = lOpt.map(x => org.apache.spark.unsafe.types
+                  val entries = fullByShard(s).get
+                  entries.foreach { e =>
+                    val lv = e.label.map(x => org.apache.spark.unsafe.types
                       .UTF8String.fromString(x)).orNull
                     val tuple: Seq[Any] = ds.map {
                       case BDim(bk) => bk.label(windows(bk.attr.name)(s)._1)
                       case LDim(_) => lv
                     }
-                    accRows.updateWith(tuple)(o => Some(o.getOrElse(0L) + cnt))
-                    if (lOpt.isDefined) accNonNull.updateWith(tuple)(o =>
-                      Some(o.getOrElse(0L) + cnt))
+                    accRows.updateWith(tuple)(o =>
+                      Some(Math.addExact(o.getOrElse(0L), e.cnt)))
+                    if (e.label.isDefined) accNonNull.updateWith(tuple)(o =>
+                      Some(o.getOrElse(0L) + e.cnt))
+                    e.measures.foreach { case (m, st) =>
+                      val acc = accM.getOrElseUpdate((tuple, m), new MAcc)
+                      st.sum.foreach(v => acc.sum =
+                        Some(acc.sum.fold(v)(Math.addExact(_, v))))
+                      acc.cnt += st.cnt
+                      st.min.foreach(v => acc.mn =
+                        Some(acc.mn.fold(v)(_ min v)))
+                      st.max.foreach(v => acc.mx =
+                        Some(acc.mx.fold(v)(_ max v)))
+                    }
                   }
                 }
+                def mAcc(tuple: Seq[Any], m: String): Option[MAcc] =
+                  accM.get((tuple, m))
                 accRows.toSeq.map { case (tuple, rows) =>
                   val f: Int => Any = i => kinds(i) match {
                     case WCnt => rows
                     case WCntCol(a) if a.name == la.name =>
                       accNonNull.getOrElse(tuple, 0L)
+                    case WCntCol(a) if measureCols(a.name) =>
+                      mAcc(tuple, a.name).map(_.cnt).getOrElse(0L)
                     case WCntCol(_) => rows // layout-guarded: never null
+                    case WMin(a) =>
+                      toTyped(mAcc(tuple, a.name).flatMap(_.mn), a.dataType)
+                    case WMax(a) =>
+                      toTyped(mAcc(tuple, a.name).flatMap(_.mx), a.dataType)
+                    case WSum(a) =>
+                      mAcc(tuple, a.name).flatMap(_.sum)
+                        .map(v => v: Any).orNull
+                    case WAvg(a) =>
+                      mAcc(tuple, a.name).flatMap(_.sum)
+                        .map(v => v: Any).orNull
                     case _ => null // classification restricted the kinds
                   }
-                  (tuple, f, (_: Int) => null: Any)
+                  val fcnt: Int => Any = i => kinds(i) match {
+                    case WAvg(a) =>
+                      mAcc(tuple, a.name).map(_.cnt).getOrElse(0L)
+                    case _ => null
+                  }
+                  (tuple, f, fcnt)
                 }
             }
           if (bound.isEmpty) {
@@ -1401,6 +1500,14 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 .map(v => v: Any)
             case _ => None
           }
+          // count(DISTINCT c) over a labelCols column: the per-shard
+          // label sets union EXACTLY (unlike the HLL arm, no opt-in);
+          // None — leave the plan alone — when any shard bailed
+          case Alias(AggregateExpression(
+              Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+              if idx.labelCols(a.name) =>
+            labelUnionCount(idx, a.name,
+              idx.shardRowCounts.keySet.toSeq.sorted).map(v => v: Any)
           case Alias(ae @ AggregateExpression(
               Min(a: AttributeReference), Complete, false, None, _), _)
               if longBacked(a.dataType) =>
@@ -1538,15 +1645,22 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
                            counts: Map[Int, Long],
                            desc: Boolean, k: Long,
                            region: Map[String, (Long, Long)],
-                           proven: (String, Int) => Boolean): Option[Seq[Int]] = {
+                           proven: (String, Int) => Boolean,
+                           labelAdmits: Int => Boolean = _ => true,
+                           eligibleCnt: Option[Int => Long] = None)
+  : Option[Seq[Int]] = {
     val windows = windowsByCol(bk.attr.name)
     val populated = counts.keySet.toSeq
     if (populated.exists(s => !windows.contains(s))) return None
-    def intersects(s: Int): Boolean = region.forall { case (c, (lo, hi)) =>
-      lo <= hi && windowsByCol.get(c).flatMap(_.get(s)).forall {
-        case (wl, wh) => wh >= lo && wl <= hi
+    // a label-EQ conjunct drops label-disjoint shards from candidacy the
+    // way a region conjunct drops window-disjoint ones (exact sets — no
+    // eligible row exists there); bailed shards stay candidates
+    def intersects(s: Int): Boolean = labelAdmits(s) &&
+      region.forall { case (c, (lo, hi)) =>
+        lo <= hi && windowsByCol.get(c).flatMap(_.get(s)).forall {
+          case (wl, wh) => wh >= lo && wl <= hi
+        }
       }
-    }
     // containment on a merely-WINDOWED (statsCols) region column needs
     // the per-shard non-null proof — a null row fails the filter while
     // the window says nothing about it, so n_rows would overcount the
@@ -1562,6 +1676,11 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
     val ordered =
       if (desc) candidates.sortBy(s => (-windows(s)._2, s))
       else candidates.sortBy(s => (windows(s)._1, s))
+    // a region-contained shard's guaranteed eligible rows: every row
+    // passes the range conjuncts, so the label conjunct's EXACT per-shard
+    // match count (or n_rows without one) is the lower bound the top-k
+    // guarantee needs; a label-bailed shard contributes 0 (unknown)
+    val guaranteeCnt: Int => Long = eligibleCnt.getOrElse(counts)
     var i = 1
     while (i < ordered.size) {
       val rest = ordered.drop(i)
@@ -1571,7 +1690,7 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
         .filter(s => contained(s) &&
           (if (desc) bk.bucket(windows(s)._1) > bk.bucket(u)
            else bk.bucket(windows(s)._2) < bk.bucket(u)))
-        .map(counts).sum
+        .map(guaranteeCnt).sum
       if (guaranteed >= k) return Some(ordered.take(i))
       i += 1
     }
@@ -1580,11 +1699,81 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
     None
   }
 
+  /** Split one label-EQ/IN conjunct on a labelCols relation attribute
+    * into (column, wanted labels); anything else is None.
+    */
+  private def labelEqOf(e: Expression, idx: SketchFileIndex,
+                        relIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+  : Option[(String, Set[String])] = {
+    def str(l: Literal): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    def ok(a: AttributeReference): Boolean =
+      relIds.contains(a.exprId) && idx.labelCols(a.name) &&
+        idx.labelStats(a.name).isDefined
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, l: Literal) if ok(a) =>
+        str(l).map(v => a.name -> Set(v))
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: Literal, a: AttributeReference) if ok(a) =>
+        str(l).map(v => a.name -> Set(v))
+      case In(a: AttributeReference, list)
+          if ok(a) && list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(x => str(x.asInstanceOf[Literal]))
+        if (vs.length == list.length) Some(a.name -> vs.toSet) else None
+      case _ => None
+    }
+  }
+
   private def prune(sortExpr: Expression, desc: Boolean, k: Int,
                     child: LogicalPlan): Option[LogicalPlan] =
-    walk(child, sortExpr, Nil).flatMap { case (idx, rel, resolved, conds) =>
+    walk(child, sortExpr, Nil).flatMap { case (idx, rel, resolved, conds0) =>
       val relIds = rel.output.map(_.exprId).toSet
       val guarded = idx.nonNullLayoutCols
+      // ONE label-EQ/IN conjunct may ride beside the range conjuncts: the
+      // per-shard label sets give the EXACT eligible-row count a
+      // region-contained shard contributes to the top-k guarantee (two
+      // label COLUMNS would need the joint distribution — bail, the
+      // FileIndex still label-prunes the scan). IsNotNull conjuncts the
+      // optimizer infers from the label equality restrict nothing here
+      // (the label match already implies non-null).
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conjuncts(a) ++ conjuncts(b)
+        case o => Seq(o)
+      }
+      val flat = conds0.flatMap(conjuncts)
+      val labelPairs = flat.map(c => c -> labelEqOf(c, idx, relIds))
+      val wanted: Map[String, Set[String]] = labelPairs.collect {
+        case (_, Some((c, vs))) => (c, vs)
+      }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).reduce(_ intersect _) }
+      val labelColsHit: Set[String] = wanted.keySet
+      val conds = labelPairs.collect { case (c, None) => c }.filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => labelColsHit(a.name)
+        case _ => false
+      }
+      if (wanted.size > 1) return None
+      val labelStatsBy = wanted.keys.map(c => c -> idx.labelStats(c).get).toMap
+      val labelAdmits: Int => Boolean = s => wanted.forall { case (c, vs) =>
+        labelStatsBy(c).getOrElse(s, None) match {
+          case Some(entries) =>
+            entries.exists(e => e._1.exists(vs) && e._2 > 0L)
+          case None => true // bailed: unknown labels, must stay a candidate
+        }
+      }
+      val eligibleCnt: Option[Int => Long] =
+        if (wanted.isEmpty) None
+        else {
+          val (c, vs) = wanted.head
+          Some(s => labelStatsBy(c).getOrElse(s, None) match {
+            case Some(entries) => entries.iterator
+              .filter(e => e._1.exists(vs)).map(_._2).sum
+            case None => 0L // bailed: contributes nothing to the guarantee
+          })
+        }
       for {
         // the first sort key: a guarded layout attribute, or a MONOTONE
         // bucketing of one (`ts div n`, `date_trunc(level, ts)` under
@@ -1608,7 +1797,8 @@ object OrderedLimitPushdown extends Rule[LogicalPlan] {
         counts = idx.shardRowCounts
         selected <- selectShards(bk, windowsByCol, counts,
           desc, k.toLong, region,
-          (c, s) => idx.nonNullProven(c, s, counts(s)))
+          (c, s) => idx.nonNullProven(c, s, counts(s)),
+          labelAdmits, eligibleCnt)
       } yield child.transformUp {
         case l: LogicalRelation if l.eq(rel) =>
           if (selected.isEmpty)

@@ -4976,6 +4976,188 @@ object SparkEntry {
         s.conf.set("spark.graft.metadataAgg.enabled", "false")
         s.conf.unset("spark.graft.metadataAgg.approxDistinct.enabled")
       }
+    },
+
+    // DICTIONARY-style shard pruning on STRING columns: the evl store's
+    // labelCols carry each shard's exact label set, so string equality /
+    // IN / IS NULL / <> / LIKE-prefix predicates prune shard directories
+    // transparently in the FileIndex — the string dimension's answer to
+    // zone maps (a time-banded `tier` label opens only its bands; an
+    // absent label opens ZERO files; an uncorrelated label and a column
+    // that bailed at labelMax (> 32 distinct per shard) prune nothing
+    // and still answer exactly). Scanned-partition counts are required
+    // inline against the full-scan control.
+    "q262_label_prune" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q262_ev")
+      def parts(df: org.apache.spark.sql.DataFrame): Int = {
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case q: QueryStageExec => go(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(go)
+        }
+        go(df.queryExecution.executedPlan)
+          .map(_.selectedPartitions.toPartitionArray.length).sum
+      }
+      def arm(name: String, where: String): org.apache.spark.sql.DataFrame =
+        s.sql(s"SELECT '$name' AS arm, event_id FROM q262_ev WHERE $where")
+      val all = parts(s.sql("SELECT '' AS arm, event_id FROM q262_ev"))
+      val eq = arm("eq", "tier = 'w1'")
+      require(parts(eq) < all,
+        s"tier='w1' must open a strict shard subset (control $all)")
+      val inq = arm("in", "tier IN ('w2','w4')")
+      require(parts(inq) < all, "tier IN (w2,w4) must prune")
+      val none = arm("none", "tier = 'w9'")
+      require(parts(none) == 0, "an absent label must open ZERO files")
+      val ne = arm("ne", "tier <> 'w1'")
+      val pre = arm("pre", "tier LIKE 'w1%'")
+      require(parts(pre) < all, "LIKE-prefix must consult the label set")
+      val bail = arm("bail", "hc = '7'")
+      require(parts(bail) == all,
+        "a bailed label column must restrict nothing (and answer exactly)")
+      val unc = arm("uncorr", "etype = 'click'")
+      val nul = arm("null", "tier IS NULL")
+      eq.unionByName(inq).unionByName(none).unionByName(ne)
+        .unionByName(pre).unionByName(bail).unionByName(unc)
+        .unionByName(nul)
+    },
+
+    // Per-label MEASURE collapse: the evl store's labelStatsCols carry
+    // each (shard, label) group's exact (sum, count, min, max) of
+    // event_id/user_id, so `GROUP BY tier` with sum/min/max/avg answers
+    // with ZERO FileScan, and the week×tier dashboard (grouped, then
+    // range-filtered) scans straddlers only — the full time × category ×
+    // measure dashboard from metadata. Plans required inline.
+    "q263_label_measure_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q263_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val tier = s.sql(
+          """SELECT 'type' AS arm, CAST(NULL AS BIGINT) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, min(event_id) AS mne,
+            |  max(event_id) AS mxe, avg(event_id) AS ae,
+            |  count(user_id) AS cu, sum(user_id) AS su
+            |FROM q263_ev GROUP BY 3""".stripMargin)
+        require(!tier.queryExecution.executedPlan.toString.contains("FileScan"),
+          "label-measure grouping must answer entirely from metadata")
+        val week = s.sql(
+          """SELECT 'week' AS arm,
+            |  unix_micros(date_trunc('week', ts)) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, min(event_id) AS mne,
+            |  max(event_id) AS mxe, avg(event_id) AS ae,
+            |  count(user_id) AS cu, sum(user_id) AS su
+            |FROM q263_ev GROUP BY 2, 3""".stripMargin)
+        val wp = week.queryExecution
+        require(wp.optimizedPlan.toString.contains(" IN (") ||
+          !wp.executedPlan.toString.contains("FileScan"),
+          "week×tier measure grouping fired neither prune nor collapse")
+        val filt = s.sql(
+          """SELECT 'filt' AS arm,
+            |  unix_micros(date_trunc('week', ts)) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, min(event_id) AS mne,
+            |  max(event_id) AS mxe, avg(event_id) AS ae,
+            |  count(user_id) AS cu, sum(user_id) AS su
+            |FROM q263_ev
+            |WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+            |  AND ts < TIMESTAMP'2024-01-22 00:00:00'
+            |GROUP BY 2, 3""".stripMargin)
+        val fp = filt.queryExecution
+        require(fp.optimizedPlan.toString.contains(" IN (") ||
+          !fp.executedPlan.toString.contains("FileScan"),
+          "filtered week×tier measure grouping fired neither prune nor collapse")
+        tier.unionByName(week).unionByName(filt).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // EXACT count(DISTINCT label) from the union of per-shard label sets
+    // (no opt-in — unlike the q261 HLL estimate these are exact): the
+    // whole table and a shard-contained ts window answer with ZERO
+    // FileScan, an unsatisfiable window answers 0, and a column whose
+    // label stats bailed at commit (hc: 100 distinct > labelMax) leaves
+    // the plan to the scan — exact either way. Plans required inline.
+    "q264_exact_distinct_labels" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q264_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val all = s.sql(
+          "SELECT 'all' AS arm, count(DISTINCT tier) AS d FROM q264_ev")
+        require(!all.queryExecution.executedPlan.toString.contains("FileScan"),
+          "table-wide exact distinct must answer from label sets")
+        // a shard-exact ts window off the zone map (micros bounds)
+        val zm = graft.core.SketchRegistry.zoneMap(s,
+            RegistryFixtures.root(s, dir, "evl"))
+          .select("shard", "min_v", "max_v").collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        val (lo, hi) = (zm(2)._1, zm(5)._2)
+        val win = s.sql(
+          s"""SELECT 'win' AS arm, count(DISTINCT tier) AS d FROM q264_ev
+             |WHERE ts >= timestamp_micros(${lo}L)
+             |  AND ts <= timestamp_micros(${hi}L)""".stripMargin)
+        require(!win.queryExecution.executedPlan.toString.contains("FileScan"),
+          "shard-contained window distinct must answer from label sets")
+        val none = s.sql(
+          """SELECT 'none' AS arm, count(DISTINCT tier) AS d FROM q264_ev
+            |WHERE ts < TIMESTAMP'2000-01-01 00:00:00'""".stripMargin)
+        require(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+          "unsatisfiable window distinct must answer 0 with zero files")
+        val bail = s.sql(
+          "SELECT 'bail' AS arm, count(DISTINCT hc) AS d FROM q264_ev")
+        require(bail.queryExecution.executedPlan.toString.contains("FileScan"),
+          "bailed label stats must leave exact distinct to the scan")
+        all.unionByName(win).unionByName(none).unionByName(bail)
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // LABEL-filtered top-k: "latest 50 CLICK events" — a label-EQ/IN
+    // conjunct rides the ordered-limit prune, with the per-shard EXACT
+    // label counts driving the top-k guarantee (a shard counts only the
+    // rows that MATCH the label, so thin-label tails keep extending the
+    // selection instead of returning wrong rows); a range region
+    // composes conjunctively. Shard prune required inline.
+    "q265_label_ordered_limit" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q265_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val late = s.sql(
+          """SELECT 'late' AS arm, event_id FROM q265_ev
+            |WHERE tier = 'w4'
+            |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)
+        require(late.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "label-filtered latest-k lost its guarantee-driven shard prune")
+        val early = s.sql(
+          """SELECT 'early' AS arm, event_id FROM q265_ev
+            |WHERE tier IN ('w1')
+            |ORDER BY ts ASC, event_id ASC LIMIT 40""".stripMargin)
+        require(early.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "label-IN earliest-k lost its shard prune")
+        val comp = s.sql(
+          """SELECT 'comp' AS arm, event_id FROM q265_ev
+            |WHERE tier = 'w2' AND ts >= TIMESTAMP'2024-01-10 00:00:00'
+            |ORDER BY ts DESC, event_id DESC LIMIT 25""".stripMargin)
+        require(comp.queryExecution.optimizedPlan.toString.contains(" IN ("),
+          "label+range composed latest-k lost its shard prune")
+        late.unionByName(early).unionByName(comp).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
     }
   )
 
@@ -5635,6 +5817,63 @@ object SparkEntry {
         s.conf.set("spark.graft.metadataAgg.enabled", "false")
         s.conf.unset("spark.graft.metadataAgg.approxDistinct.enabled")
       }
+    },
+    "q262_label_prune" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q262p_ev")
+      val df = s.sql(
+        "SELECT event_id FROM q262p_ev WHERE tier = 'w1'")
+      df.queryExecution.executedPlan // label-pruned shard subset scan
+      df
+    },
+    "q265_label_ordered_limit" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q265p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.OrderedLimitPushdown))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.OrderedLimitPushdown
+      s.conf.set("spark.graft.orderedLimit.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT event_id FROM q265p_ev WHERE tier = 'w4'
+            |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin)
+        df.queryExecution.sparkPlan // TakeOrdered over the pruned subset
+        df
+      } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+    "q264_exact_distinct_labels" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q264p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          "SELECT count(DISTINCT tier) AS d FROM q264p_ev")
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+    "q263_label_measure_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q263p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT tier, count(*) AS n, sum(event_id) AS se,
+            |  min(event_id) AS mne, avg(user_id) AS au
+            |FROM q263p_ev GROUP BY tier""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -5753,6 +5992,27 @@ object SparkEntry {
                   .otherwise(col("event_type")).as("etype")),
               r, "ts", shardsLog2 = 3, subLog2 = 5,
               sumCols = Seq("event_id"), labelCols = Seq("etype"))
+            r
+          // events range-laid on ts with a TIME-CORRELATED label (weekly
+          // tier bands — fixed UTC cutoffs, SF-stable because every SF
+          // spans the same January), an uncorrelated label (event_type),
+          // and a high-cardinality column that bails at labelMax — the
+          // q262 label-prune store
+          case "evl" =>
+            val cut = (d: String) => to_timestamp(lit(s"2024-01-$d 00:00:00"))
+            graft.core.SketchRegistry.commitRangeSharded(
+              Tables.events(s, dir).select(col("ts"), col("event_id"),
+                col("user_id"),
+                when(col("event_id") % 37 === 0, lit(null).cast("string"))
+                  .otherwise(when(col("ts") < cut("08"), "w1")
+                    .when(col("ts") < cut("15"), "w2")
+                    .when(col("ts") < cut("22"), "w3").otherwise("w4"))
+                  .as("tier"),
+                col("event_type").as("etype"),
+                (col("event_id") % 100).cast("string").as("hc")),
+              r, "ts", shardsLog2 = 3, subLog2 = 5,
+              labelCols = Seq("tier", "etype", "hc"),
+              labelStatsCols = Seq("event_id", "user_id"))
             r
           // the first-12-hours event slice, hash-keyed on event_id —
           // q254's broadcast dim (event_id tracks ts, so its keys
@@ -10839,6 +11099,122 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'none', ${hllNdvSql(
             "SELECT DISTINCT user_id AS x FROM events WHERE epoch_us(ts) < 0")}""".stripMargin,
+
+    // re-derives the evl labels from raw events (same tier cutoffs, null
+    // rule, and hc modulus) and replays every predicate arm — the Spark
+    // side answers each from a label-pruned shard subset
+    "q262_label_prune" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier,
+        |    event_type AS etype,
+        |    CAST(event_id % 100 AS VARCHAR) AS hc
+        |  FROM events)
+        |SELECT 'eq' AS arm, event_id FROM t WHERE tier = 'w1'
+        |UNION ALL SELECT 'in', event_id FROM t WHERE tier IN ('w2','w4')
+        |UNION ALL SELECT 'none', event_id FROM t WHERE tier = 'w9'
+        |UNION ALL SELECT 'ne', event_id FROM t WHERE tier <> 'w1'
+        |UNION ALL SELECT 'pre', event_id FROM t WHERE tier LIKE 'w1%'
+        |UNION ALL SELECT 'bail', event_id FROM t WHERE hc = '7'
+        |UNION ALL SELECT 'uncorr', event_id FROM t WHERE etype = 'click'
+        |UNION ALL SELECT 'null', event_id FROM t WHERE tier IS NULL""".stripMargin,
+
+    // the same tier derivation, then the three measure-dashboard arms
+    "q263_label_measure_collapse" ->
+      """WITH t AS (
+        |  SELECT ts, event_id, user_id,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier
+        |  FROM events)
+        |SELECT 'type' AS arm, CAST(NULL AS BIGINT) AS b, tier,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
+        |  min(event_id) AS mne, max(event_id) AS mxe, avg(event_id) AS ae,
+        |  count(user_id) AS cu, CAST(sum(user_id) AS BIGINT) AS su
+        |FROM t GROUP BY 3
+        |UNION ALL
+        |SELECT 'week', epoch_us(date_trunc('week', ts)), tier,
+        |  count(*), CAST(sum(event_id) AS BIGINT), min(event_id),
+        |  max(event_id), avg(event_id), count(user_id),
+        |  CAST(sum(user_id) AS BIGINT)
+        |FROM t GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'filt', epoch_us(date_trunc('week', ts)), tier,
+        |  count(*), CAST(sum(event_id) AS BIGINT), min(event_id),
+        |  max(event_id), avg(event_id), count(user_id),
+        |  CAST(sum(user_id) AS BIGINT)
+        |FROM t
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY 2, 3""".stripMargin,
+
+    // re-derives the tier/hc labels AND the evl store's quantile shard
+    // bounds (the same log-binned rank chain as q261's window oracle —
+    // same sort values, shardsLog2 = 3, subLog2 = 5), so the 'win' arm's
+    // shard-2..5 slice is recomputed independently
+    "q264_exact_distinct_labels" ->
+      """WITH dd AS (SELECT epoch_us(ts) AS t, event_id, ts FROM events),
+        |mnv AS (SELECT min(t) AS m FROM dd),
+        |ds AS (SELECT t - m AS xs FROM dd, mnv),
+        |bins AS (SELECT xs,
+        |    CASE WHEN xs < 32 THEN CAST(xs AS INT)
+        |         ELSE 32 + (length(bin(xs)) - 1 - 5) * 32 +
+        |              CAST((xs >> (length(bin(xs)) - 1 - 5)) % 32 AS INT) END AS b
+        |  FROM ds),
+        |bc AS (SELECT b, count(*) AS c FROM bins GROUP BY b),
+        |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum,
+        |    sum(c) OVER () AS nt FROM bc),
+        |lbv AS (SELECT *, CASE WHEN b < 32 THEN CAST(b AS BIGINT)
+        |    ELSE CAST(32 + (b - 32) % 32 AS BIGINT) << ((b - 32) // 32) END AS lo
+        |  FROM cum),
+        |picks AS (SELECT i, min(CASE WHEN cum >= (nt - 1) * i // 8 + 1 THEN lo END) + (SELECT m FROM mnv) AS bound
+        |  FROM lbv, (SELECT unnest(generate_series(1, 7)) AS i) g GROUP BY i),
+        |bounds AS (SELECT DISTINCT bound FROM picks),
+        |lbl AS (SELECT ts, event_id,
+        |    (SELECT count(*) FROM bounds WHERE bound <= dd.t) AS shard,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier,
+        |    CAST(event_id % 100 AS VARCHAR) AS hc
+        |  FROM dd)
+        |SELECT 'all' AS arm, count(DISTINCT tier) AS d FROM lbl
+        |UNION ALL SELECT 'win', count(DISTINCT tier) FROM lbl
+        |  WHERE shard BETWEEN 2 AND 5
+        |UNION ALL SELECT 'none', count(DISTINCT tier) FROM lbl
+        |  WHERE ts < TIMESTAMP '2000-01-01 00:00:00'
+        |UNION ALL SELECT 'bail', count(DISTINCT hc) FROM lbl""".stripMargin,
+
+    // the same tier derivation; plain filtered sorted limits with a
+    // unique tiebreak (event_id) so the top-k SET is deterministic
+    "q265_label_ordered_limit" ->
+      """WITH t AS (
+        |  SELECT ts, event_id,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier
+        |  FROM events)
+        |SELECT 'late' AS arm, event_id FROM
+        |  (SELECT event_id FROM t WHERE tier = 'w4'
+        |   ORDER BY ts DESC, event_id DESC LIMIT 50)
+        |UNION ALL
+        |SELECT 'early', event_id FROM
+        |  (SELECT event_id FROM t WHERE tier = 'w1'
+        |   ORDER BY ts ASC, event_id ASC LIMIT 40)
+        |UNION ALL
+        |SELECT 'comp', event_id FROM
+        |  (SELECT event_id FROM t
+        |   WHERE tier = 'w2' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |   ORDER BY ts DESC, event_id DESC LIMIT 25)""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

@@ -319,6 +319,51 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private val labelCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[Map[Int, Option[Seq[(Option[String], Long)]]]]]()
 
+  /** The MEASURE columns riding inside `labels_<c>`'s struct (commit-time
+    * `labelStatsCols` — the registry schema itself declares them as
+    * `s_<m>` fields, no meta field needed).
+    */
+  private[graft] def labelMeasureCols(c: String): Seq[String] =
+    labelMeasureColsCache.computeIfAbsent(c, _ =>
+      if (!labelCols(c)) Nil
+      else SketchRegistry.labelMeasuresOf(registryFrame.schema, c))
+
+  private val labelMeasureColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Per-shard FULL label entries of `c` — the [[labelStats]] counts plus
+    * each entry's per-measure stats: (sum, non-null count, min, max) of
+    * the measure's LayoutLong over exactly that (shard, label) group.
+    * Sum/min/max are None when the group's measure values are all null.
+    * Same bail semantics as [[labelStats]] (None = scan the shard).
+    */
+  private[graft] def labelEntriesFull(c: String)
+  : Option[Map[Int, Option[Seq[SketchFileIndex.LabelEntry]]]] =
+    labelFullCache.computeIfAbsent(c, _ =>
+      if (!labelCols(c)) None
+      else {
+        val ms = labelMeasureCols(c)
+        Some(registryFrame.select("shard", s"labels_$c").collect().map { r =>
+          val s = r.getInt(0)
+          val v =
+            if (r.isNullAt(1)) None
+            else Some(r.getSeq[org.apache.spark.sql.Row](1).map { e =>
+              def optLong(f: String): Option[Long] = {
+                val i = e.fieldIndex(f)
+                if (e.isNullAt(i)) None else Some(e.getLong(i))
+              }
+              SketchFileIndex.LabelEntry(Option(e.getString(0)), e.getLong(1),
+                ms.map(m => m -> SketchFileIndex.MStats(
+                  optLong(s"s_$m"), optLong(s"n_$m").getOrElse(0L),
+                  optLong(s"mn_$m"), optLong(s"mx_$m"))).toMap)
+            }.toSeq)
+          s -> v
+        }.toMap)
+      })
+
+  private val labelFullCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Map[Int, Option[Seq[SketchFileIndex.LabelEntry]]]]]()
+
   /** Columns with per-shard HLL register arrays: the hash layout's own
     * key column (plain integral single keys only — its registry `hll`
     * sketches the key value itself) and the range layout's
@@ -515,11 +560,91 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       }
     }
 
+  /** Shards a label predicate admits: `admit` judges one shard's EXACT
+    * per-label row counts (see [[labelStats]]); a shard whose stats
+    * bailed at commit (> labelMax distinct labels) restricts nothing.
+    * None when `name` carries no label artifact — dictionary-style
+    * pruning for STRING dimensions, which windows cannot serve.
+    */
+  private def labelShards(name: String)(
+      admit: Seq[(Option[String], Long)] => Boolean): Option[Set[Int]] =
+    if (!labelCols(name)) None
+    else labelStats(name).map { perShard =>
+      shardFiles.keySet.filter(s => perShard.get(s) match {
+        case Some(Some(entries)) => admit(entries)
+        case _ => true // bailed (or untracked) shard: no signal, must read
+      })
+    }
+
+  private def hasLabel(entries: Seq[(Option[String], Long)],
+                       p: String => Boolean): Boolean =
+    entries.exists(e => e._1.exists(p) && e._2 > 0L)
+
+  private def hasNullLabel(entries: Seq[(Option[String], Long)]): Boolean =
+    entries.exists(e => e._1.isEmpty && e._2 > 0L)
+
+  private def strLit(l: Literal): Option[String] = l.value match {
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
   private def admittedShards(dataFilters: Seq[Expression]): Set[Int] = {
     var admitted: Set[Int] = shardFiles.keySet
     def restrict(o: Option[Set[Int]]): Unit =
       o.foreach(s => admitted = admitted.intersect(s))
     restrict(compositeKeyShards(dataFilters))
+    // string predicates on a labelCols column prune by exact label-set
+    // membership (Filter semantics: a NULL comparison is never satisfied,
+    // so equality/IN/LIKE arms only consult non-null labels; the IS NULL
+    // arm only the null entry). Each arm is a pure membership judgment
+    // over per-shard stats — conjunction-sound like every other restrict.
+    def labelEq(name: String, l: Literal): Unit =
+      strLit(l).foreach(s => restrict(labelShards(name)(hasLabel(_, _ == s))))
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, l: Literal) => labelEq(a.name, l)
+      case EqualTo(l: Literal, a: AttributeReference) => labelEq(a.name, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) restrict(labelShards(a.name)(hasNullLabel))
+        else labelEq(a.name, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        if (l.value == null) restrict(labelShards(a.name)(hasNullLabel))
+        else labelEq(a.name, l)
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(x => strLit(x.asInstanceOf[Literal]))
+        if (vs.length == list.length)
+          restrict(labelShards(a.name)(hasLabel(_, vs.toSet)))
+      case InSet(a: AttributeReference, set) if set.nonEmpty =>
+        val vs = set.toSeq.collect {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }
+        if (vs.length == set.size)
+          restrict(labelShards(a.name)(hasLabel(_, vs.toSet)))
+      case IsNull(a: AttributeReference) =>
+        restrict(labelShards(a.name)(hasNullLabel))
+      case IsNotNull(a: AttributeReference) =>
+        restrict(labelShards(a.name)(hasLabel(_, _ => true)))
+      case Not(EqualTo(a: AttributeReference, l: Literal)) =>
+        strLit(l).foreach(s =>
+          restrict(labelShards(a.name)(hasLabel(_, _ != s))))
+      case Not(EqualTo(l: Literal, a: AttributeReference)) =>
+        strLit(l).foreach(s =>
+          restrict(labelShards(a.name)(hasLabel(_, _ != s))))
+      case Not(EqualNullSafe(a: AttributeReference, l: Literal)) =>
+        // <=> is null-safe: NOT (a <=> 'x') also holds for null rows
+        strLit(l).foreach(s => restrict(labelShards(a.name)(es =>
+          hasNullLabel(es) || hasLabel(es, _ != s))))
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        strLit(l).foreach(s =>
+          restrict(labelShards(a.name)(hasLabel(_, _.startsWith(s)))))
+      case EndsWith(a: AttributeReference, l: Literal) =>
+        strLit(l).foreach(s =>
+          restrict(labelShards(a.name)(hasLabel(_, _.endsWith(s)))))
+      case Contains(a: AttributeReference, l: Literal) =>
+        strLit(l).foreach(s =>
+          restrict(labelShards(a.name)(hasLabel(_, _.contains(s)))))
+      case _ => ()
+    }
     // saturating strict-comparison windows: `x > Long.MaxValue` /
     // `x < Long.MinValue` hold for NO value, so they admit zero shards on
     // any column (sound without stats) — where a wrapped `v ± 1` would
@@ -621,6 +746,19 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
 }
 
 object SketchFileIndex {
+
+  /** One (shard, label) group's measure stats: exact sum / non-null
+    * count / min / max of the measure's LayoutLong over the group; the
+    * Options are None when the group holds no non-null measure value.
+    */
+  final case class MStats(sum: Option[Long], cnt: Long,
+                          min: Option[Long], max: Option[Long])
+
+  /** One stored label entry: the label (None = the shard's null rows),
+    * its exact row count, and per-measure stats keyed by measure column.
+    */
+  final case class LabelEntry(label: Option[String], cnt: Long,
+                              measures: Map[String, MStats])
 
   /** A DataFrame over the committed (or given) version whose SCANS prune
     * through the registry/zone map automatically: plain `.filter`s (and

@@ -1224,11 +1224,18 @@ object SketchRegistry {
                          labelCols: Seq[String] = Nil,
                          labelMax: Int = 32,
                          distinctCols: Seq[String] = Nil,
-                         hllP: Int = 12): Long = {
+                         hllP: Int = 12,
+                         labelStatsCols: Seq[String] = Nil): Long = {
     require(labelCols.forall(c => df.columns.contains(c) &&
       df.schema(c).dataType == org.apache.spark.sql.types.StringType),
       s"labelCols must be STRING data columns, got " +
         s"${labelCols.mkString(",")} vs ${df.schema.simpleString}")
+    require(labelStatsCols.isEmpty || labelCols.nonEmpty,
+      "labelStatsCols ride inside labelCols structs — declare labelCols")
+    require(labelStatsCols.forall(m => df.columns.contains(m) &&
+      !labelCols.contains(m)),
+      s"labelStatsCols must be non-label data columns, got " +
+        s"${labelStatsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     require(labelMax >= 1 && labelMax <= 1024,
       s"labelMax must be in [1, 1024], got $labelMax — a per-shard label " +
         "set is driver-plannable metadata, not a dictionary")
@@ -1291,7 +1298,8 @@ object SketchRegistry {
             statsCols.filterNot(sumCols.contains).map(c =>
               count(col(c)).as(s"cnt_$c")))): _*),
       sharded, sketchCols, bloomBitsLog2, bloomK),
-      sharded, labelCols, labelMax), sharded, distinctCols, hllP)
+      sharded, labelCols, labelMax, _ => labelStatsCols),
+      sharded, distinctCols, hllP)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -1352,20 +1360,52 @@ object SketchRegistry {
     */
   private[core] def addShardLabels(stats: DataFrame, sharded: DataFrame,
                                    labelCols: Seq[String],
-                                   labelMax: Int): DataFrame =
+                                   labelMax: Int,
+                                   labelStatsCols: String => Seq[String] =
+                                     _ => Nil): DataFrame =
     labelCols.foldLeft(stats) { (acc, c) =>
       val coln = s"labels_$c"
-      val perLabel = sharded.select(col("shard"), col(c).as("__l"))
+      // per-label MEASURE stats ride inside the struct (fields
+      // s_<m>/n_<m>/mn_<m>/mx_<m> — exact per-(shard, label) sum,
+      // non-null count, min, max of the measure's LayoutLong): the
+      // registry schema itself declares them, so no meta field is
+      // needed and readers discover measures from the struct
+      val ms = labelStatsCols(c)
+      val measureAggs = ms.flatMap(m => Seq(
+        sum(LayoutLong.longCol(col(m))).as(s"__s_$m"),
+        count(col(m)).as(s"__n_$m"),
+        min(LayoutLong.longCol(col(m))).as(s"__mn_$m"),
+        max(LayoutLong.longCol(col(m))).as(s"__mx_$m")))
+      val entry = struct((col("__l").as("l") +: col("__c").as("c") +:
+        ms.flatMap(m => Seq(col(s"__s_$m").as(s"s_$m"),
+          col(s"__n_$m").as(s"n_$m"), col(s"__mn_$m").as(s"mn_$m"),
+          col(s"__mx_$m").as(s"mx_$m")))): _*)
+      val perLabel = sharded
+        .select((col("shard") +: col(c).as("__l") +: ms.map(col)): _*)
         .groupBy(col("shard"), col("__l"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("__c"), measureAggs: _*)
         .groupBy(col("shard"))
-        .agg(sort_array(collect_list(
-          struct(col("__l").as("l"), col("__c").as("c")))).as(coln))
+        .agg(sort_array(collect_list(entry)).as(coln))
         .select(col("shard"),
           when(size(filter(col(coln), e => e.getField("l").isNotNull))
             <= labelMax, col(coln)).as(coln))
       acc.join(perLabel, Seq("shard"), "left")
     }
+
+  /** The measure columns a committed `labels_<c>` struct carries, read
+    * off `schema` (the `s_<m>` field names) — the self-describing
+    * counterpart of a meta field.
+    */
+  private[graft] def labelMeasuresOf(schema: org.apache.spark.sql.types.StructType,
+                                     c: String): Seq[String] =
+    schema.find(_.name == s"labels_$c").toSeq.flatMap(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          st: org.apache.spark.sql.types.StructType, _) =>
+        st.fieldNames.toSeq.collect {
+          case f if f.startsWith("s_") => f.stripPrefix("s_")
+        }
+      case _ => Nil
+    })
 
   /** Merge two versions' `labels_<c>` rows per shard: counts add per
     * label (exact — they are plain row counts), a side that bailed (null
@@ -1376,16 +1416,31 @@ object SketchRegistry {
   private[core] def mergeShardLabels(both: DataFrame, c: String,
                                      labelMax: Int): DataFrame = {
     val coln = s"labels_$c"
+    // measure fields merge by their own algebra (sum/cnt add, min/max
+    // combine) — discovered from the struct schema, so pre-measure and
+    // measure-carrying stores both merge to exactly a fresh build's rows
+    val ms = labelMeasuresOf(both.schema, c)
     val nf = both.groupBy(col("shard"))
       .agg(max(when(col(coln).isNull, 1).otherwise(0)).as("__nf"))
     val merged = both.filter(col(coln).isNotNull)
       .select(col("shard"), explode(col(coln)).as("__e"))
-      .select(col("shard"), col("__e.l").as("__l"), col("__e.c").as("__c"))
+      .select((col("shard") +: col("__e.l").as("__l") +:
+        col("__e.c").as("__c") +: ms.flatMap(m => Seq(
+          col(s"__e.s_$m").as(s"__s_$m"), col(s"__e.n_$m").as(s"__n_$m"),
+          col(s"__e.mn_$m").as(s"__mn_$m"),
+          col(s"__e.mx_$m").as(s"__mx_$m")))): _*)
       .groupBy(col("shard"), col("__l"))
-      .agg(sum(col("__c")).as("__c"))
+      .agg(sum(col("__c")).as("__c"), ms.flatMap(m => Seq(
+        sum(col(s"__s_$m")).as(s"__s_$m"),
+        sum(col(s"__n_$m")).as(s"__n_$m"),
+        min(col(s"__mn_$m")).as(s"__mn_$m"),
+        max(col(s"__mx_$m")).as(s"__mx_$m"))): _*)
       .groupBy(col("shard"))
       .agg(sort_array(collect_list(
-        struct(col("__l").as("l"), col("__c").as("c")))).as(coln))
+        struct((col("__l").as("l") +: col("__c").as("c") +:
+          ms.flatMap(m => Seq(col(s"__s_$m").as(s"s_$m"),
+            col(s"__n_$m").as(s"n_$m"), col(s"__mn_$m").as(s"mn_$m"),
+            col(s"__mx_$m").as(s"mx_$m")))): _*))).as(coln))
     nf.join(merged, Seq("shard"), "left")
       .select(col("shard"),
         when(col("__nf") === 0 &&
@@ -1466,7 +1521,10 @@ object SketchRegistry {
                 count(col(c)).as(s"cnt_$c"))) ++
               autoCnt.map(c => count(col(c)).as(s"cnt_$c")))): _*),
         sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK),
-        sharded, m.labelCols, m.labelMax),
+        // per-label measures mirror the OLD struct schema exactly, so
+        // unionByName lines up and the merge equals a fresh full build
+        sharded, m.labelCols, m.labelMax,
+        c => labelMeasuresOf(oldZm.schema, c)),
         sharded, m.distinctCols, m.hllP))(
         (d, c) => d.drop(s"cnt_$c"))
     val both = oldZm.unionByName(batchStats)

@@ -129,7 +129,9 @@ object ZOrderStore {
                      sketchCols: Seq[String], bitsLog2: Int,
                      k: Int, sumCols: Seq[String] = Nil,
                      labelCols: Seq[String] = Nil,
-                     labelMax: Int = 32): DataFrame = {
+                     labelMax: Int = 32,
+                     labelStatsCols: String => Seq[String] =
+                       _ => Nil): DataFrame = {
     val va = LayoutLong.longCol(col(colA))
     val vb = LayoutLong.longCol(col(colB))
     SketchRegistry.addShardLabels(SketchRegistry.addShardBlooms(
@@ -141,7 +143,7 @@ object ZOrderStore {
             sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
             count(col(c)).as(s"cnt_$c")))): _*),
       sharded, sketchCols, bitsLog2, k),
-      sharded, labelCols, labelMax)
+      sharded, labelCols, labelMax, labelStatsCols)
   }
 
   private def writeZMeta(staging: java.nio.file.Path, colA: String,
@@ -177,7 +179,14 @@ object ZOrderStore {
                      bloomBitsLog2: Int = 14, bloomK: Int = 4,
                      sumCols: Seq[String] = Nil,
                      labelCols: Seq[String] = Nil,
-                     labelMax: Int = 32): Long = {
+                     labelMax: Int = 32,
+                     labelStatsCols: Seq[String] = Nil): Long = {
+    require(labelStatsCols.isEmpty || labelCols.nonEmpty,
+      "labelStatsCols ride inside labelCols structs — declare labelCols")
+    require(labelStatsCols.forall(m => df.columns.contains(m) &&
+      !labelCols.contains(m)),
+      s"labelStatsCols must be non-label data columns, got " +
+        s"${labelStatsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     require(sumCols.forall(df.columns.contains),
       s"sumCols must be data columns, got ${sumCols.mkString(",")} " +
         s"vs ${df.columns.mkString(",")}")
@@ -203,7 +212,7 @@ object ZOrderStore {
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
     val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2,
-      bloomK, sumCols, labelCols, labelMax)
+      bloomK, sumCols, labelCols, labelMax, _ => labelStatsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // one keyed shuffle clusters rows by shard (one file per shard dir),
       // sorted within the file by (colA, colB) so parquet row-group stats
@@ -239,9 +248,13 @@ object ZOrderStore {
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
     val sharded = rows.withColumn("shard", shardColOf(m))
+    val oldZm2 = zoneMap2d(spark, root, Some(ver))
+    // per-label measures mirror the OLD struct schema exactly, so
+    // unionByName lines up and the merge equals a fresh full build
     val batchStats = zStats(sharded, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax)
-    val both = zoneMap2d(spark, root, Some(ver)).unionByName(batchStats)
+      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
+      c => SketchRegistry.labelMeasuresOf(oldZm2.schema, c))
+    val both = oldZm2.unionByName(batchStats)
     // sums and non-null counts are LINEAR: addition merges them exactly
     val mergedBase = both.groupBy(col("shard")).agg(
       min(col("min_a")).as("min_a"),
@@ -341,9 +354,11 @@ object ZOrderStore {
       .join(broadcast(changedKeys), LayoutLong.longCol(col(keyCol)) === col("__k"),
         "left_anti")
       .unionByName(upserts.withColumn("shard", shardColOf(m)))
+    val oldZmU = zoneMap2d(spark, root, Some(ver))
     val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax)
-    val carried = zoneMap2d(spark, root, Some(ver))
+      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
+      c => SketchRegistry.labelMeasuresOf(oldZmU.schema, c))
+    val carried = oldZmU
       .filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(ver)) { staging =>
       newTouched.repartition(col("shard"))

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry}
+
+/** Per-label MEASURE stats (`labelStatsCols`): a range/Z commit stores,
+  * inside each shard's label entry, the exact (sum, non-null count, min,
+  * max) of designated measure columns over that (shard, label) group —
+  * so `GROUP BY category` (and `GROUP BY time-bucket, category`) with
+  * sum/min/max/avg/count over the measures answers from metadata, not
+  * just counts. Pinned here: exactness against the unrewritten plan,
+  * null-measure groups staying SQL-null, timestamp measures returning
+  * typed values, the straddler-scan hybrid, overflow bail, and the
+  * append path merging measures bit-identically to a fresh build.
+  */
+class LabelMeasureSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    if (!spark.experimental.extraOptimizations.contains(MetadataAggCollapse))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MetadataAggCollapse
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.metadataAgg.enabled")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == MetadataAggCollapse)
+    super.afterAll()
+  }
+
+  private def withRule[T](body: => T): T = {
+    spark.conf.set("spark.graft.metadataAgg.enabled", "true")
+    try body
+    finally spark.conf.set("spark.graft.metadataAgg.enabled", "false")
+  }
+
+  private def zeroScan(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("FileScan")
+
+  /** t ascending; tier = 400-row bands with nulls every 50th row;
+    * v = t*3 (never null); w = t%97 but null every 7th row;
+    * ts = a timestamp measure (micros-typed round trip).
+    */
+  private def fixture: DataFrame = (0 until 1600).map { i =>
+    val tier = if (i % 50 == 0) null
+               else if (i < 400) "a" else if (i < 800) "b"
+               else if (i < 1200) "c" else "d"
+    val w: java.lang.Long = if (i % 7 == 0) null else (i % 97).toLong
+    (i.toLong, tier, i.toLong * 3, w, 1704067200000000L + i * 1000000L)
+  }.toDF("t", "tier", "v", "w", "us")
+    .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("lblmeasure").toString
+    SketchRegistry.commitRangeSharded(fixture, r, "t", shardsLog2 = 3,
+      subLog2 = 5, labelCols = Seq("tier"),
+      labelStatsCols = Seq("v", "w", "ts"))
+    r
+  }
+
+  private def sql(q: String): DataFrame = {
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("lm_t")
+    spark.sql(q)
+  }
+
+  private def truth(q: String): Seq[String] = {
+    fixture.createOrReplaceTempView("lm_raw")
+    spark.sql(q.replace("lm_t", "lm_raw")).collect()
+      .map(_.toString).sorted.toSeq
+  }
+
+  test("GROUP BY label with sum/min/max/avg/count over measures collapses to zero FileScan, exact") {
+    val q = """SELECT tier, count(*) AS n, sum(v) AS sv, min(v) AS mnv,
+      |max(v) AS mxv, avg(v) AS av, count(w) AS cw, sum(w) AS sw,
+      |min(ts) AS mnts, max(ts) AS mxts
+      |FROM lm_t GROUP BY tier""".stripMargin
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      assert(zeroScan(df),
+        s"expected a full metadata collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+  }
+
+  test("an all-null measure group yields SQL nulls, not zeros") {
+    // w is null on every 7th row; restrict to the null-tier group where
+    // w may still be present — instead plant an all-null check directly:
+    // tier 'a' rows with t % 7 == 0 exist, so use a measure null for an
+    // entire label: v2 = v only for tier <> 'a'
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_null").toString
+    val df2 = fixture.withColumn("v2",
+      when(col("tier") === "a", lit(null).cast("long")).otherwise(col("v")))
+    SketchRegistry.commitRangeSharded(df2, r2, "t", shardsLog2 = 2,
+      labelCols = Seq("tier"), labelStatsCols = Seq("v2"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_n")
+    val q = "SELECT tier, sum(v2) AS s, min(v2) AS mn, avg(v2) AS a, " +
+      "count(v2) AS c FROM lm_n GROUP BY tier"
+    df2.createOrReplaceTempView("lm_n_raw")
+    val expect = spark.sql(q.replace("lm_n", "lm_n_raw")).collect()
+      .map(_.toString).sorted.toSeq
+    withRule {
+      val df = spark.sql(q)
+      assert(zeroScan(df))
+      val got = df.collect()
+      assert(got.map(_.toString).sorted.toSeq == expect)
+      val aRow = got.find(r => !r.isNullAt(0) && r.getString(0) == "a").get
+      assert(aRow.isNullAt(1) && aRow.isNullAt(2) && aRow.isNullAt(3) &&
+        aRow.getLong(4) == 0L, s"all-null measure group must be null: $aRow")
+    }
+  }
+
+  test("time-bucket × label with measure sums: straddlers scan once, union re-aggregates exactly") {
+    val q = """SELECT t div 500 AS b, tier, count(*) AS n, sum(v) AS sv,
+      |avg(w) AS aw, max(v) AS mxv
+      |FROM lm_t GROUP BY t div 500, tier""".stripMargin
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      // quantile shard bounds are data-derived: buckets of 500 over 8
+      // shards of ~200 rows leave straddlers — the plan must be a Union
+      // of a pruned scan and the metadata partials (or fully collapse)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains(" IN (") || zeroScan(df),
+        s"expected straddler-only scan or full collapse:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+  }
+
+  test("windowed-but-unmeasured aggregate with a label dim stays unrewritten (exact but scans)") {
+    // t is the sort column (windowed) but NOT a labelStatsCols measure:
+    // min(t) per label cannot come from label stats — values must still
+    // be exact via the ordinary scan
+    val q = "SELECT tier, min(t) AS mnt FROM lm_t GROUP BY tier"
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      assert(!zeroScan(df),
+        "min over an unmeasured column must not collapse under a label dim")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+  }
+
+  test("append merges per-label measures bit-identically to a fresh full build") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_app").toString
+    val half1 = fixture.filter(col("t") < 1000)
+    val half2 = fixture.filter(col("t") >= 1000)
+    SketchRegistry.commitRangeSharded(half1, r2, "t", shardsLog2 = 2,
+      labelCols = Seq("tier"), labelStatsCols = Seq("v", "w"))
+    SketchRegistry.appendRangeSharded(spark, r2, half2)
+    // fresh build over the SAME shard bounds: re-commit with the merged
+    // data through the same bounds by appending to an empty-bounds clone
+    // is not possible — instead compare against recomputing the stats
+    // from the appended store's own data per shard
+    val appended = SketchRegistry.zoneMap(spark, r2)
+      .select(col("shard"), col("labels_tier")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.toString).sorted.toSeq).toMap
+    val data = SketchFileIndex.readIndexed(spark, r2)
+    val recomputed = data
+      .groupBy(col("shard"), col("tier"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("s_v"),
+        count(col("v")).as("n_v"), min(col("v")).as("mn_v"),
+        max(col("v")).as("mx_v"), sum(col("w")).as("s_w"),
+        count(col("w")).as("n_w"), min(col("w")).as("mn_w"),
+        max(col("w")).as("mx_w"))
+      .collect().groupBy(_.getInt(0)).map { case (s, rows) =>
+        s -> rows.map(r => org.apache.spark.sql.Row(
+          r.get(1), r.getLong(2), if (r.isNullAt(3)) null else r.getLong(3),
+          r.getLong(4), if (r.isNullAt(5)) null else r.getLong(5),
+          if (r.isNullAt(6)) null else r.getLong(6),
+          if (r.isNullAt(7)) null else r.getLong(7), r.getLong(8),
+          if (r.isNullAt(9)) null else r.getLong(9),
+          if (r.isNullAt(10)) null else r.getLong(10)).toString)
+          .sorted.toSeq
+      }
+    assert(appended == recomputed,
+      s"appended label stats diverge from a recompute:\n$appended\nvs\n$recomputed")
+  }
+
+  test("count(DISTINCT label) answers exactly from the union of label sets") {
+    val q = "SELECT count(DISTINCT tier) AS d FROM lm_t"
+    withRule {
+      val df = sql(q)
+      assert(zeroScan(df),
+        s"exact distinct over labels must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().head.getLong(0) == 4L) // a b c d; null is no value
+    }
+    // an unsatisfiable window: zero shards union to zero labels
+    withRule {
+      val none = sql("SELECT count(DISTINCT tier) AS d FROM lm_t WHERE t < 0")
+      assert(zeroScan(none))
+      assert(none.collect().head.getLong(0) == 0L)
+    }
+  }
+
+  test("windowed count(DISTINCT label) answers over a shard-contained region, bails on straddlers") {
+    // a shard-exact window off the zone map: whole shards 2..5
+    val zm = SketchRegistry.zoneMap(spark, root)
+      .select("shard", "min_v", "max_v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (lo, hi) = (zm(2)._1, zm(5)._2)
+    val q = s"SELECT count(DISTINCT tier) AS d FROM lm_t " +
+      s"WHERE t >= $lo AND t <= $hi"
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      assert(zeroScan(df),
+        s"shard-contained distinct must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+    // a mid-shard boundary: exact distinct cannot split — plan unrewritten
+    withRule {
+      val df = sql(s"SELECT count(DISTINCT tier) AS d FROM lm_t " +
+        s"WHERE t >= ${lo + 1} AND t <= $hi")
+      assert(!zeroScan(df),
+        "a boundary shard must force the scan for exact distinct")
+      assert(df.collect().head.getLong(0) ==
+        truth(s"SELECT count(DISTINCT tier) AS d FROM lm_t " +
+          s"WHERE t >= ${lo + 1} AND t <= $hi").head
+          .stripPrefix("[").stripSuffix("]").toLong)
+    }
+  }
+
+  test("count(DISTINCT label) with a bailed shard stays unrewritten but exact") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_dct").toString
+    // 100 distinct labels per shard > labelMax 32: every shard bails
+    val df2 = (0 until 800).map(i => (i.toLong, (i % 100).toString))
+      .toDF("t", "lbl")
+    SketchRegistry.commitRangeSharded(df2, r2, "t", shardsLog2 = 2,
+      labelCols = Seq("lbl"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_d")
+    withRule {
+      val df = spark.sql("SELECT count(DISTINCT lbl) AS d FROM lm_d")
+      assert(!zeroScan(df),
+        "bailed label stats must leave the plan to the scan")
+      assert(df.collect().head.getLong(0) == 100L)
+    }
+  }
+
+  test("a metadata-half measure-sum overflow bails to the scan plan") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_ovf").toString
+    val big = Seq((1L, "x", Long.MaxValue - 10), (2L, "x", 100L),
+      (900L, "x", 5L), (901L, "x", 6L))
+      .toDF("t", "lbl", "m")
+    SketchRegistry.commitRangeSharded(big, r2, "t", shardsLog2 = 1,
+      subLog2 = 2, labelCols = Seq("lbl"), labelStatsCols = Seq("m"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_o")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try withRule {
+      val df = spark.sql("SELECT lbl, sum(m) AS s FROM lm_o GROUP BY lbl")
+      // the per-shard stored sums are fine; merging the two shards' sums
+      // for label x overflows Long — the rewrite must bail (scan plan),
+      // and the scan adjudicates per EvalMode (LEGACY wraps here)
+      assert(!zeroScan(df),
+        "overflowing measure merge must bail to the scan plan")
+      df.collect() // evaluates without the rewrite corrupting anything
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{SketchFileIndex, SketchRegistry, ZOrderStore}
+
+/** Dictionary-style shard pruning on STRING columns: a range/Z commit's
+  * `labelCols` stats carry each shard's EXACT label set, so string
+  * equality / IN / LIKE-prefix / null-ness predicates prune shard
+  * directories the way integral windows prune ranges — the string
+  * dimension's answer to zone maps. Soundness cases pinned here: a
+  * label-correlated predicate opens a strict shard subset with exact
+  * rows; an uncorrelated label and a bailed (> labelMax) column prune
+  * nothing and still answer exactly; NOT-equality semantics keep null
+  * rows out (Filter semantics) while null-safe NOT keeps them in.
+  */
+class LabelPruneSpec extends AnyFunSuite with SparkTest
+    with BeforeAndAfterAll {
+
+  import spark.implicits._
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+    case q: QueryStageExec => allScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(allScans)
+  }
+  private def scannedParts(df: DataFrame): Int =
+    allScans(df.queryExecution.executedPlan)
+      .map(_.selectedPartitions.toPartitionArray.length).sum
+
+  /** 1600 rows, t = 0..1599 ascending; labels:
+    *   tier   — t-correlated 400-row bands a/b/c/d, null every 50th row
+    *   mod    — (t % 3): every shard holds all three labels
+    *   sparse — "x" only on t ∈ [800, 1000), null elsewhere
+    *   hc     — (t % 100): 100 distinct per shard, bails at labelMax=32
+    */
+  private def fixture: DataFrame = (0 until 1600).map { i =>
+    val tier = if (i % 50 == 0) null
+               else if (i < 400) "a" else if (i < 800) "b"
+               else if (i < 1200) "c" else "d"
+    val sparse = if (i >= 800 && i < 1000) "x" else null
+    (i.toLong, tier, (i % 3).toString, sparse, (i % 100).toString)
+  }.toDF("t", "tier", "mod", "sparse", "hc")
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("labelprune").toString
+    SketchRegistry.commitRangeSharded(fixture, r, "t", shardsLog2 = 3,
+      subLog2 = 5, labelCols = Seq("tier", "mod", "sparse", "hc"))
+    r
+  }
+  private def tbl: DataFrame = SketchFileIndex.readIndexed(spark, root)
+
+  private def expectedT(p: Int => Boolean): Seq[Long] =
+    (0 until 1600).filter(p).map(_.toLong)
+
+  test("string equality on a correlated label opens a strict shard subset, rows exact") {
+    val q = tbl.filter(col("tier") === "a").select("t")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i < 400 && i % 50 != 0))
+    val parts = scannedParts(q)
+    assert(parts >= 1 && parts <= 3, // 2 bands + at most one straddler
+      s"tier='a' spans 2 of 8 quantile shards, scanned $parts")
+  }
+
+  test("IN and the InSet compilation both prune by label-set membership") {
+    val q = tbl.filter(col("tier").isin("a", "d")).select("t")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => (i < 400 || i >= 1200) && i % 50 != 0))
+    assert(scannedParts(q) <= 6, "a∪d spans 4 bands + straddlers")
+    // > inSetConversionThreshold (10) literals compile to InSet
+    val many = Seq("a", "z1", "z2", "z3", "z4", "z5", "z6", "z7", "z8",
+      "z9", "z10")
+    val qs = tbl.filter(col("tier").isin(many: _*)).select("t")
+    assert(qs.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i < 400 && i % 50 != 0))
+    assert(scannedParts(qs) <= 3,
+      "absent labels must not admit shards through the InSet path")
+  }
+
+  test("a label no shard holds opens zero files") {
+    val q = tbl.filter(col("tier") === "nosuch").select("t")
+    assert(q.count() == 0L)
+    assert(scannedParts(q) == 0)
+  }
+
+  test("IS NOT NULL prunes all-null shards; IS NULL prunes never-null shards") {
+    val nn = tbl.filter(col("sparse").isNotNull).select("t")
+    assert(nn.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i >= 800 && i < 1000))
+    assert(scannedParts(nn) <= 2,
+      "sparse is non-null on one 200-row band only")
+    val nl = tbl.filter(col("sparse").isNull).select("t")
+    assert(nl.count() == 1400L)
+    assert(scannedParts(nl) <= 8) // nulls nearly everywhere: little signal
+    // tier nulls appear in EVERY shard: no prune, exact rows
+    val tn = tbl.filter(col("tier").isNull).select("t")
+    assert(tn.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i % 50 == 0))
+  }
+
+  test("NOT-equality prunes shards holding only the excluded label (nulls stay out)") {
+    val q = tbl.filter(col("tier") =!= "a").select("t")
+    // Filter semantics: null rows never satisfy <>, and shards whose only
+    // labels are {a, null} are provably empty for it
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i >= 400 && i % 50 != 0))
+    assert(scannedParts(q) <= 7, "the pure-a shards must drop")
+    // null-safe NOT keeps null rows: sparse's null shards must stay
+    val qn = tbl.filter(!(col("sparse") <=> "x")).select("t")
+    assert(qn.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i < 800 || i >= 1000))
+  }
+
+  test("LIKE prefix / suffix / contains consult the label set") {
+    val q = tbl.filter(col("tier").startsWith("a")).select("t")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i < 400 && i % 50 != 0))
+    assert(scannedParts(q) <= 3)
+    val none = tbl.filter(col("tier").endsWith("zz"))
+      .unionAll(tbl.filter(col("tier").contains("zz")))
+    assert(none.count() == 0L)
+    assert(scannedParts(none) == 0)
+  }
+
+  test("uncorrelated and bailed label columns prune nothing but answer exactly") {
+    val m = tbl.filter(col("mod") === "1").select("t")
+    assert(m.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(_ % 3 == 1))
+    assert(scannedParts(m) == 8, "every shard holds mod=1 — no prune")
+    // hc bailed at commit (100 distinct > labelMax 32): stats are NULL,
+    // the column restricts nothing, the answer stays exact
+    val h = tbl.filter(col("hc") === "7").select("t")
+    assert(h.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(_ % 100 == 7))
+    assert(scannedParts(h) == 8)
+  }
+
+  test("label predicates compose with window predicates conjunctively") {
+    val q = tbl.filter(col("tier") === "a" && col("t") >= 200).select("t")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq
+      == expectedT(i => i >= 200 && i < 400 && i % 50 != 0))
+    assert(scannedParts(q) <= 2,
+      "t>=200 window ∩ tier=a labels is at most band 2 + a straddler")
+  }
+
+  test("Z layout carries the same label pruning") {
+    val zroot = java.nio.file.Files.createTempDirectory("labelprune_z").toString
+    val zdf = (0 until 1024).map { i =>
+      (i.toLong % 32, i.toLong / 32,
+        if (i % 32 < 8) "lo" else "hi") // correlated with colA quadrant
+    }.toDF("a", "b", "lbl")
+    ZOrderStore.commitZOrdered(zdf, zroot, "a", "b", shardsLog2 = 4,
+      subLog2 = 4, labelCols = Seq("lbl"))
+    val zt = SketchFileIndex.readIndexed(spark, zroot)
+    val q = zt.filter(col("lbl") === "lo").select("a", "b")
+    assert(q.count() == 256L)
+    val parts = scannedParts(q)
+    assert(parts < 16 && parts >= 1,
+      s"lo lives in the low-a cells only, scanned $parts of 16")
+  }
+}

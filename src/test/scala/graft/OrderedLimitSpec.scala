@@ -303,4 +303,78 @@ class OrderedLimitSpec extends AnyFunSuite with SparkTest
       assert(h.collect().map(_.getLong(0)).toSeq == (999 to 995 by -1).map(_.toLong))
     }
   }
+
+  test("label-EQ filtered top-k: per-shard label counts drive the guarantee, exact rows") {
+    val root = java.nio.file.Files.createTempDirectory("olim_label").toString
+    // t ascending; label correlates with t EXCEPT it thins out at the top:
+    // the top shard holds only 3 'hot' rows, so a guarantee that counted
+    // n_rows would stop one shard short and return wrong rows — the
+    // per-shard label counts keep extending until truly >= k
+    val df = (0 until 1600).map { i =>
+      val lbl = if (i >= 1400) { if (i % 67 == 0) "hot" else "cold" }
+                else if (i % 2 == 0) "hot" else "cold"
+      (i.toLong, lbl, i.toLong * 7)
+    }.toDF("t", "lbl", "v")
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 3,
+      labelCols = Seq("lbl"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_l")
+    val q = "SELECT t, v FROM olim_l WHERE lbl = 'hot' ORDER BY t DESC LIMIT 50"
+    val expect = df.filter(col("lbl") === "hot").orderBy(col("t").desc)
+      .limit(50).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    withRule {
+      val got = spark.sql(q)
+      assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == expect)
+      val p = scannedParts(got)
+      assert(p > 0 && p < 8,
+        s"label top-k must open a strict shard subset, got $p/8")
+    }
+    // IN over labels composes the same way
+    withRule {
+      val got = spark.sql(
+        "SELECT t FROM olim_l WHERE lbl IN ('hot') ORDER BY t ASC LIMIT 30")
+      assert(got.collect().map(_.getLong(0)).toSeq ==
+        df.filter(col("lbl") === "hot").orderBy(col("t").asc)
+          .limit(30).collect().map(_.getLong(0)).toSeq)
+      assert(scannedParts(got) < 8)
+    }
+  }
+
+  test("label top-k composes with a range region; two label columns / bailed stats leave the plan alone") {
+    val root = java.nio.file.Files.createTempDirectory("olim_label2").toString
+    val df = (0 until 1600).map { i =>
+      val lbl = if (i % 2 == 0) "x" else "y"
+      (i.toLong, lbl, (i % 3).toString, (i % 100).toString)
+    }.toDF("t", "lbl", "m3", "hc")
+    SketchRegistry.commitRangeSharded(df, root, "t", shardsLog2 = 3,
+      labelCols = Seq("lbl", "m3", "hc"))
+    SketchFileIndex.readIndexed(spark, root).createOrReplaceTempView("olim_l2")
+    withRule {
+      // label + range compose: region drops the top shards, labels count
+      val got = spark.sql("SELECT t FROM olim_l2 " +
+        "WHERE lbl = 'x' AND t < 800 ORDER BY t DESC LIMIT 20")
+      assert(got.collect().map(_.getLong(0)).toSeq ==
+        (0 until 800).filter(_ % 2 == 0).map(_.toLong).sorted.reverse.take(20))
+      assert(scannedParts(got) < 8)
+    }
+    withRule {
+      // TWO label columns: the joint distribution is unknown — this rule
+      // must leave the plan alone (exactness via the ordinary scan; the
+      // FileIndex may still label-prune, so only values are pinned)
+      val got = spark.sql("SELECT t FROM olim_l2 " +
+        "WHERE lbl = 'x' AND m3 = '0' ORDER BY t DESC LIMIT 10")
+      assert(got.collect().map(_.getLong(0)).toSeq ==
+        (0 until 1600).filter(i => i % 2 == 0 && i % 3 == 0)
+          .map(_.toLong).sorted.reverse.take(10))
+    }
+    withRule {
+      // a commit-bailed label column (100 distinct > labelMax): admits
+      // everything, contributes nothing to the guarantee — values exact
+      val got = spark.sql("SELECT t FROM olim_l2 " +
+        "WHERE hc = '7' ORDER BY t DESC LIMIT 5")
+      assert(got.collect().map(_.getLong(0)).toSeq ==
+        (0 until 1600).filter(_ % 100 == 7).map(_.toLong)
+          .sorted.reverse.take(5))
+    }
+  }
 }
