@@ -812,7 +812,17 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       }
     walk(child0, ges0, Nil).flatMap { case (idx, rel, ges, conds) =>
       val guarded = idx.nonNullLayoutCols
-      if (guarded.isEmpty) return None // hash layout: no exact windows
+      // hash layout (no guarded windows): label stats are layout-agnostic,
+      // so a PURE-label grouping with no filter still collapses (the
+      // reference's GROUP BY source/decay_level stats shape) — anything
+      // needing windows or a region keeps the scan
+      val pureLabel = conds.isEmpty && ges.nonEmpty && ges.forall {
+        case a: AttributeReference =>
+          a.dataType == org.apache.spark.sql.types.StringType &&
+            idx.labelCols(a.name)
+        case _ => false
+      }
+      if (guarded.isEmpty && !pureLabel) return None
       val sumCovered: Set[String] = idx.sumStatsByCol.keySet
       // statsCols-WINDOWED columns qualify for grouping/region/min-max
       // too — the correlated-dimension dashboard (`GROUP BY id-bucket`

@@ -5158,6 +5158,48 @@ object SparkEntry {
           "label+range composed latest-k lost its shard prune")
         late.unionByName(early).unionByName(comp).localCheckpoint(true)
       } finally s.conf.set("spark.graft.orderedLimit.enabled", "false")
+    },
+
+    // Hash-layout labelCols: the corpus-stats dashboard on the PRIMARY
+    // layout — documents hash-keyed on doc_id carry per-shard label
+    // stats for source and lang (plus n_chars measures inside the
+    // structs), so `GROUP BY source` / `GROUP BY lang` with
+    // count/sum/min/max/avg(n_chars) and count(DISTINCT source) answer
+    // with ZERO FileScan (the reference's own GROUP BY source /
+    // decay_level stats shape, pkg/memory/sqlite.go:653-722 — here from
+    // metadata instead of a table scan). Labels are layout-agnostic
+    // ANSWERING artifacts: hash scattering removes the prune signal,
+    // not the collapse. Plans required inline.
+    "q266_hash_label_stats" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "doc"))
+        .createOrReplaceTempView("q266_doc")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        def arm(name: String, g: String) = {
+          val df = s.sql(
+            s"""SELECT '$name' AS arm, $g AS lbl, count(*) AS n,
+               |  sum(n_chars) AS sc, min(n_chars) AS mn,
+               |  max(n_chars) AS mx, avg(n_chars) AS ac
+               |FROM q266_doc GROUP BY $g""".stripMargin)
+          require(!df.queryExecution.executedPlan.toString.contains("FileScan"),
+            s"hash GROUP BY $g must answer entirely from label stats")
+          df
+        }
+        val nsrc = s.sql(
+          """SELECT 'nsrc' AS arm, CAST(NULL AS STRING) AS lbl,
+            |  count(DISTINCT source) AS n, CAST(NULL AS BIGINT) AS sc,
+            |  CAST(NULL AS BIGINT) AS mn, CAST(NULL AS BIGINT) AS mx,
+            |  CAST(NULL AS DOUBLE) AS ac
+            |FROM q266_doc""".stripMargin)
+        require(!nsrc.queryExecution.executedPlan.toString.contains("FileScan"),
+          "hash count(DISTINCT label) must answer from the label-set union")
+        arm("src", "source").unionByName(arm("lang", "lang"))
+          .unionByName(nsrc).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -5827,6 +5869,22 @@ object SparkEntry {
       df.queryExecution.executedPlan // label-pruned shard subset scan
       df
     },
+    "q266_hash_label_stats" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "doc"))
+        .createOrReplaceTempView("q266p_doc")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT source, count(*) AS n, sum(n_chars) AS sc,
+            |  avg(n_chars) AS ac FROM q266p_doc GROUP BY source""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
     "q265_label_ordered_limit" -> { (s, dir) =>
       graft.core.SketchFileIndex.readIndexed(s,
           RegistryFixtures.root(s, dir, "evl"))
@@ -6013,6 +6071,17 @@ object SparkEntry {
               r, "ts", shardsLog2 = 3, subLog2 = 5,
               labelCols = Seq("tier", "etype", "hc"),
               labelStatsCols = Seq("event_id", "user_id"))
+            r
+          // documents hash-keyed on doc_id with source/lang label stats
+          // and n_chars measures — the q266 corpus-stats store
+          case "doc" =>
+            graft.core.SketchRegistry.commitWithSketches(
+              Tables.documents(s, dir)
+                .select(col("doc_id"), col("source"), col("lang"),
+                  col("n_chars")),
+              r, "doc_id", shardsLog2 = 3, bitsLog2 = 12,
+              labelCols = Seq("source", "lang"),
+              labelStatsCols = Seq("n_chars"))
             r
           // the first-12-hours event slice, hash-keyed on event_id —
           // q254's broadcast dim (event_id tracks ts, so its keys
@@ -11215,6 +11284,22 @@ object SparkEntry {
         |  (SELECT event_id FROM t
         |   WHERE tier = 'w2' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |   ORDER BY ts DESC, event_id DESC LIMIT 25)""".stripMargin,
+
+    // the plain corpus-stats dashboard over raw documents
+    "q266_hash_label_stats" ->
+      """SELECT 'src' AS arm, source AS lbl, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sc, min(n_chars) AS mn,
+        |  max(n_chars) AS mx, avg(n_chars) AS ac
+        |FROM documents GROUP BY source
+        |UNION ALL
+        |SELECT 'lang', lang, count(*), CAST(sum(n_chars) AS BIGINT),
+        |  min(n_chars), max(n_chars), avg(n_chars)
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT 'nsrc', CAST(NULL AS VARCHAR), count(DISTINCT source),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |FROM documents""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

@@ -291,9 +291,14 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     }
   }
 
-  /** Columns with per-shard label stats (range/Z layouts' `labelCols`). */
+  /** Columns with per-shard label stats (`labelCols` — all three
+    * layouts: labels are layout-agnostic answering artifacts; on the
+    * hash layout they carry no PRUNE signal, every shard usually holds
+    * every label, but GROUP BY category still collapses off them).
+    */
   private[graft] def labelCols: Set[String] =
-    rangeMeta.map(_.labelCols.toSet)
+    hashMeta.map(_.labelCols.toSet)
+      .orElse(rangeMeta.map(_.labelCols.toSet))
       .orElse(zMeta.map(_.labelCols.toSet)).getOrElse(Set.empty)
 
   /** Per-shard label stats of `c`: for each populated shard,

@@ -55,7 +55,9 @@ object SketchRegistry {
                         keyKinds: Seq[String] = Nil,
                         sumCols: Seq[String] = Nil,
                         statsCols: Seq[String] = Nil,
-                        units: String = "") {
+                        units: String = "",
+                        labelCols: Seq[String] = Nil,
+                        labelMax: Int = 32) {
     def isComposite: Boolean = keyKinds.nonEmpty
     def keyCols: Seq[String] =
       if (isComposite) keyCol.split(",").toSeq else Seq(keyCol)
@@ -184,7 +186,11 @@ object SketchRegistry {
                                 sketchCols: Seq[String],
                                 cmDepth: Int, cmWidthLog2: Int,
                                 sumCols: Seq[String] = Nil,
-                                statsCols: Seq[String] = Nil): DataFrame = {
+                                statsCols: Seq[String] = Nil,
+                                labelCols: Seq[String] = Nil,
+                                labelMax: Int = 32,
+                                labelStatsCols: String => Seq[String] =
+                                  _ => Nil): DataFrame = {
     // per-shard EXACT (sum_<c>, cnt_<c>) beside n_rows for each sumCols
     // column — linear stats, so append merges them by addition and the
     // metadata-only sum/count/avg answering works on the hash layout too.
@@ -221,11 +227,15 @@ object SketchRegistry {
     val withLl = sketchCols.foldLeft(sharded)((d, c) =>
       d.withColumn(s"__ll_$c", LayoutLong.longCol(col(c))))
     val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
-    sketchCols.foldLeft(base) { (acc, c) =>
+    // label stats are layout-agnostic (exact per-(shard, label) counts
+    // and optional measure stats) — hash scattering removes their PRUNE
+    // signal but not their ANSWERING power: GROUP BY category collapses
+    // on the primary layout the same way it does on range/Z
+    addShardLabels(sketchCols.foldLeft(base) { (acc, c) =>
       acc.join(SketchOps.bloomSketch(withLl, Seq("shard"), s"__ll_$c", bitsLog2, k)
           .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
         .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
-    }
+    }, sharded, labelCols, labelMax, labelStatsCols)
   }
 
   /** Opt-in sketch-indexed commit: the data lands hash-sharded on
@@ -247,9 +257,24 @@ object SketchRegistry {
                          sketchCols: Seq[String] = Nil,
                          cmDepth: Int = 4, cmWidthLog2: Int = 12,
                          sumCols: Seq[String] = Nil,
-                         statsCols: Seq[String] = Nil): Long = {
+                         statsCols: Seq[String] = Nil,
+                         labelCols: Seq[String] = Nil,
+                         labelMax: Int = 32,
+                         labelStatsCols: Seq[String] = Nil): Long = {
     require(shardsLog2 >= 0 && shardsLog2 <= 12,
       s"shardsLog2 must be in [0, 12], got $shardsLog2")
+    require(labelCols.forall(c => df.columns.contains(c) &&
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType),
+      s"labelCols must be STRING data columns, got " +
+        s"${labelCols.mkString(",")} vs ${df.schema.simpleString}")
+    require(labelMax >= 1 && labelMax <= 1024,
+      s"labelMax must be in [1, 1024], got $labelMax")
+    require(labelStatsCols.isEmpty || labelCols.nonEmpty,
+      "labelStatsCols ride inside labelCols structs — declare labelCols")
+    require(labelStatsCols.forall(m => df.columns.contains(m) &&
+      !labelCols.contains(m)),
+      s"labelStatsCols must be non-label data columns, got " +
+        s"${labelStatsCols.mkString(",")} vs ${df.columns.mkString(",")}")
     // Bound the per-column Bloom registry: a planner (SketchFileIndex) may
     // hold one column's filters driver-side — shards × 2^(bitsLog2-6) × 8 B
     // per referenced column, ≤ 2^12 × 2^18 × 8 B = 8 GiB at the extremes of
@@ -279,7 +304,8 @@ object SketchRegistry {
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
     val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols)
+      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols,
+      labelCols, labelMax, _ => labelStatsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
@@ -290,7 +316,8 @@ object SketchRegistry {
       Files.write(staging.resolve("_sketches_meta"),
         hashMetaText(keyCol, shardsLog2, bitsLog2, k, hllP, sketchCols,
           cmDepth, cmWidthLog2, if (keyIsString) "string" else "int",
-          sumCols, statsCols).getBytes(StandardCharsets.UTF_8))
+          sumCols, statsCols, labelCols, labelMax)
+          .getBytes(StandardCharsets.UTF_8))
     }
   }
 
@@ -308,10 +335,15 @@ object SketchRegistry {
                            k: Int, hllP: Int, sketchCols: Seq[String],
                            cmDepth: Int, cmWidthLog2: Int, keyKind: String,
                            sumCols: Seq[String],
-                           statsCols: Seq[String]): String =
+                           statsCols: Seq[String],
+                           labelCols: Seq[String] = Nil,
+                           labelMax: Int = 32): String =
     s"$keyCol\n$shardsLog2\n$bitsLog2\n$k\n$hllP\n${sketchCols.mkString(",")}" +
       s"\n$cmDepth\n$cmWidthLog2\n$keyKind" +
-      s"\n${sumCols.mkString(",")}\n${statsCols.mkString(",")}\nunits:micros"
+      s"\n${sumCols.mkString(",")}\n${statsCols.mkString(",")}" +
+      (if (labelCols.isEmpty) ""
+       else s"\n${labelCols.mkString(",")}\n$labelMax") +
+      "\nunits:micros"
 
   /** COMPOSITE-key opt-in sketch-indexed commit — the multi-column
     * complement of [[commitWithSketches]] (the reference's own session
@@ -435,6 +467,22 @@ object SketchRegistry {
           sumCols = suc.split(",").filter(_.nonEmpty).toSeq,
           statsCols = stc.split(",").filter(_.nonEmpty).toSeq,
           units = un.stripPrefix("units:"))
+      // v3: labelCols/labelMax between statsCols and the unit token
+      // (written only when labelCols were declared — v2 stores stay v2)
+      case Array(key, s, b, kk, hp, sc, cd, cw, kt, suc, stc, lbc, lbm, un)
+          if un.startsWith("units:") =>
+        Meta(key, s.toInt, b.toInt, kk.toInt, hp.toInt,
+          sc.split(",").filter(_.nonEmpty).toSeq, cd.toInt, cw.toInt,
+          keyIsString = kt == "string",
+          keyKinds =
+            if (kt.startsWith("multi:"))
+              kt.stripPrefix("multi:").split(",").filter(_.nonEmpty).toSeq
+            else Nil,
+          sumCols = suc.split(",").filter(_.nonEmpty).toSeq,
+          statsCols = stc.split(",").filter(_.nonEmpty).toSeq,
+          units = un.stripPrefix("units:"),
+          labelCols = lbc.split(",").filter(_.nonEmpty).toSeq,
+          labelMax = lbm.toInt)
       case other => throw new IllegalStateException(
         s"torn _sketches_meta under $root/v_$v: ${other.mkString("|")}")
     }
@@ -936,7 +984,8 @@ object SketchRegistry {
       .filterNot(c => oldReg.columns.contains(s"cnt_$c"))
       .foldLeft(buildRegistryRows(newTouched, "__kh",
         m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
-        m.sumCols, m.statsCols))((d, c) => d.drop(s"cnt_$c"))
+        m.sumCols, m.statsCols, m.labelCols, m.labelMax,
+        c => labelMeasuresOf(oldReg.schema, c)))((d, c) => d.drop(s"cnt_$c"))
     val carried = oldReg.filter(!col("shard").isin(touched: _*))
     TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(newTouched, col("__kh"), filesPerShard, 1 << m.shardsLog2)
@@ -998,7 +1047,8 @@ object SketchRegistry {
     val batchRegistry = autoCnt.filterNot(keptCnt.contains)
       .foldLeft(buildRegistryRows(sharded, "__kh", m.bitsLog2,
         m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
-        m.statsCols))((d, c) => d.drop(s"cnt_$c"))
+        m.statsCols, m.labelCols, m.labelMax,
+        c => labelMeasuresOf(old.schema, c)))((d, c) => d.drop(s"cnt_$c"))
     val both = old.unionByName(batchRegistry)
     val mergedBase = SketchOps
       .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
@@ -1021,9 +1071,15 @@ object SketchRegistry {
           max(col(s"max_$c")).as(s"max_$c"))) ++
         keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c"))): _*),
         Seq("shard"))
-    val mergedRegistry = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
+    val mergedWithBloomCols = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
         s"bloom_$c", m.bitsLog2), Seq("shard"))
+    }
+    // label counts (and measure stats) add per label; a bailed side
+    // poisons its shard — identical to a fresh full build
+    val mergedRegistry = m.labelCols.foldLeft(mergedWithBloomCols) {
+      (acc, c) => acc.join(mergeShardLabels(both, c, m.labelMax),
+        Seq("shard"))
     }
     TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)

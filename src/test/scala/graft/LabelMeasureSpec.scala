@@ -266,4 +266,56 @@ class LabelMeasureSpec extends AnyFunSuite with SparkTest
       df.collect() // evaluates without the rewrite corrupting anything
     } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
+
+  test("hash layout: pure-label grouping with measures collapses; filters and appends stay exact") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_hash").toString
+    val df2 = (0 until 1200).map { i =>
+      val lbl = if (i % 11 == 0) null else ("s" + (i % 4))
+      (i.toLong, lbl, i.toLong * 5, (i % 7).toLong)
+    }.toDF("k", "src", "v", "w")
+    SketchRegistry.commitWithSketches(df2, r2, "k", shardsLog2 = 3,
+      bitsLog2 = 12, labelCols = Seq("src"), labelStatsCols = Seq("v", "w"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_h")
+    df2.createOrReplaceTempView("lm_h_raw")
+    val q = "SELECT src, count(*) AS n, sum(v) AS sv, min(v) AS mnv, " +
+      "max(w) AS mxw, avg(w) AS aw, count(v) AS cv FROM lm_h GROUP BY src"
+    val expect = spark.sql(q.replace("lm_h", "lm_h_raw")).collect()
+      .map(_.toString).sorted.toSeq
+    withRule {
+      val df = spark.sql(q)
+      assert(zeroScan(df),
+        s"hash pure-label grouping must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+      // exact distinct over the label collapses on the hash layout too
+      val d = spark.sql("SELECT count(DISTINCT src) AS d FROM lm_h")
+      assert(zeroScan(d))
+      assert(d.collect().head.getLong(0) == 4L)
+      // a WHERE needs windows the hash layout does not carry: scan, exact
+      val f = spark.sql("SELECT src, count(*) AS n FROM lm_h " +
+        "WHERE k < 600 GROUP BY src")
+      assert(!zeroScan(f),
+        "hash grouped collapse must not fire under a filter")
+      assert(f.collect().map(_.toString).sorted.toSeq ==
+        spark.sql("SELECT src, count(*) AS n FROM lm_h_raw " +
+          "WHERE k < 600 GROUP BY src").collect().map(_.toString).sorted.toSeq)
+    }
+    // append maintains per-label measures additively: post-append collapse
+    // equals a raw recompute over the union
+    SketchRegistry.appendWithSketches(spark, r2,
+      (1200 until 1500).map { i =>
+        (i.toLong, "s" + (i % 4), i.toLong * 5, (i % 7).toLong)
+      }.toDF("k", "src", "v", "w"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_h2")
+    val union = df2.unionByName((1200 until 1500).map { i =>
+      (i.toLong, "s" + (i % 4), i.toLong * 5, (i % 7).toLong)
+    }.toDF("k", "src", "v", "w"))
+    union.createOrReplaceTempView("lm_h2_raw")
+    withRule {
+      val df = spark.sql(q.replace("lm_h", "lm_h2"))
+      assert(zeroScan(df), "post-append hash label collapse must still fire")
+      assert(df.collect().map(_.toString).sorted.toSeq ==
+        spark.sql(q.replace("lm_h", "lm_h2_raw")).collect()
+          .map(_.toString).sorted.toSeq)
+    }
+  }
 }
