@@ -277,6 +277,28 @@ private[graft] object LayoutExprs {
     * (a shard with nulls has rows IsNotNull rejects, so "window inside
     * interval" alone would overcount).
     */
+  /** One string equality/IN conjunct: (attribute, wanted labels). The
+    * CALLER checks the attribute is its relation's own labelCols column.
+    */
+  def stringEqOf(e: Expression): Option[(AttributeReference, Set[String])] = {
+    def str(l: Literal): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        str(l).map(v => a -> Set(v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        str(l).map(v => a -> Set(v))
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: AttributeReference, list)
+          if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.flatMap(x => str(x.asInstanceOf[Literal]))
+        if (vs.length == list.length) Some(a -> vs.toSet) else None
+      case _ => None
+    }
+  }
+
   def intervalsOf(conds: Seq[Expression], guarded: Set[String])
   : Option[Map[String, (Long, Long)]] =
     intervalsOf(conds, guarded, guarded)
@@ -779,8 +801,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     */
   private def groupedAgg(ges0: Seq[Expression], aggExprs: Seq[NamedExpression],
                          child0: LogicalPlan)
-  : Option[(SketchFileIndex, Seq[GDim],
-      Map[String, (Long, Long)], Seq[WKind])] = {
+  : Option[(SketchFileIndex, Seq[GDim], Map[String, (Long, Long)],
+      Seq[WKind], Option[(String, Set[String])])] = {
     // Walk Projects down to the sketch relation, SUBSTITUTING alias
     // definitions into the grouping expressions and collected filter
     // conditions as we go — PullOutGroupingExpressions extracts a complex
@@ -812,11 +834,44 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       }
     walk(child0, ges0, Nil).flatMap { case (idx, rel, ges, conds) =>
       val guarded = idx.nonNullLayoutCols
+      // aggregated columns must be the RELATION'S OWN attributes (by
+      // exprId) — a Project alias named like a covered column must never
+      // borrow that column's stats
+      val relIds = rel.output.map(_.exprId).toSet
+      def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
+      // ONE label-EQ/IN conjunct may ride beside the range conjuncts:
+      // `WHERE category = 'x' GROUP BY day` answers from the per-label
+      // stats — a shard's matching rows are EXACTLY its wanted-label
+      // entries (counts, and measure stats when committed). Optimizer-
+      // inferred IsNotNull(label) conjuncts are absorbed (the label
+      // match already implies non-null); two label-filter COLUMNS would
+      // need the joint distribution — bail, the scan stays exact.
+      def conjunctsOf(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conjunctsOf(a) ++ conjunctsOf(b)
+        case o => Seq(o)
+      }
+      val flat = conds.flatMap(conjunctsOf)
+      val labelPairs = flat.map(c => c -> LayoutExprs.stringEqOf(c).filter {
+        case (a, _) => relAttr(a) && idx.labelCols(a.name) &&
+          idx.labelStats(a.name).isDefined
+      })
+      val wantedByCol: Map[String, Set[String]] = labelPairs.collect {
+        case (_, Some((a, vs))) => (a.name, vs)
+      }.groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(_._2).reduce(_ intersect _) }
+      if (wantedByCol.size > 1) return None
+      val wanted: Option[(String, Set[String])] = wantedByCol.headOption
+      val rangeConds = labelPairs.collect { case (c, None) => c }.filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => wanted.exists(_._1 == a.name)
+        case _ => false
+      }
       // hash layout (no guarded windows): label stats are layout-agnostic,
-      // so a PURE-label grouping with no filter still collapses (the
-      // reference's GROUP BY source/decay_level stats shape) — anything
-      // needing windows or a region keeps the scan
-      val pureLabel = conds.isEmpty && ges.nonEmpty && ges.forall {
+      // so a PURE-label grouping — label filter allowed — still collapses
+      // (the reference's GROUP BY source/decay_level stats shape);
+      // anything needing windows or a region keeps the scan
+      val pureLabel = rangeConds.isEmpty && ges.nonEmpty && ges.forall {
         case a: AttributeReference =>
           a.dataType == org.apache.spark.sql.types.StringType &&
             idx.labelCols(a.name)
@@ -832,11 +887,6 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // windows ignore nulls while groups and filters do not
       val windowed: Set[String] = idx.windowedCols
       def statOk(n: String): Boolean = guarded(n) || windowed(n)
-      // aggregated columns must be the RELATION'S OWN attributes (by
-      // exprId) — a Project alias named like a covered column must never
-      // borrow that column's stats
-      val relIds = rel.output.map(_.exprId).toSet
-      def relAttr(a: AttributeReference): Boolean = relIds.contains(a.exprId)
       val dims: Seq[Option[GDim]] = ges.map { g =>
         bucketingOf(g).filter(b => relAttr(b.attr) && statOk(b.attr.name))
           .map(BDim(_): GDim)
@@ -859,12 +909,18 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // registry does not store
       if (ds.count(_.isInstanceOf[LDim]) > 1) return None
       val labelName = ds.collectFirst { case LDim(a) => a.name }
+      // a label FILTER on a different column than the label DIM would
+      // need the joint distribution — bail (the FileIndex still prunes)
+      if (wanted.exists(fw => labelName.exists(_ != fw._1))) return None
+      // the ONE label column whose per-shard entries drive this rewrite:
+      // the grouping dimension's, or the filter's
+      val sourceLabel: Option[String] = labelName.orElse(wanted.map(_._1))
       // measure columns committed INSIDE the label struct (labelStatsCols):
-      // with a label dimension, min/max/sum/avg/count over them are exact
-      // per (bucket-tuple, label) from the stored per-label stats
+      // with a label source, min/max/sum/avg/count over them are exact
+      // per (bucket-tuple[, label]) from the stored per-label stats
       val labelMeasured: String => Boolean = n =>
-        labelName.exists(ln => idx.labelMeasureCols(ln).contains(n))
-      LayoutExprs.intervalsOf(conds, guarded ++ windowed, guarded)
+        sourceLabel.exists(ln => idx.labelMeasureCols(ln).contains(n))
+      LayoutExprs.intervalsOf(rangeConds, guarded ++ windowed, guarded)
         .flatMap { region =>
         val kinds: Seq[Option[WKind]] = aggExprs.map { ae =>
           val labelIdx = ges0.indexWhere(g => ae match {
@@ -894,7 +950,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             case Alias(AggregateExpression(
                 Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
                 if relAttr(a) && (idx.cntCovered(a.name) || guarded(a.name) ||
-                  labelName.contains(a.name) || labelMeasured(a.name)) =>
+                  sourceLabel.contains(a.name) || labelMeasured(a.name)) =>
               Some(WCntCol(a))
             case Alias(AggregateExpression(
                 Average(a: AttributeReference, mode), Complete, false, None, _), _)
@@ -912,10 +968,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         // counts 0 — and for layout-guarded columns, count = group size),
         // and min/max/sum/avg/count qualify over labelStatsCols measures
         // (exact per-(shard, label) stats stored in the label struct)
-        val labelKindsOk = labelName.isEmpty || ks.forall {
+        val labelKindsOk = sourceLabel.isEmpty || ks.forall {
           case WCnt | WFold => true
           case _: WLabel => true
-          case WCntCol(a) => guarded(a.name) || labelName.contains(a.name) ||
+          case WCntCol(a) => guarded(a.name) || sourceLabel.contains(a.name) ||
             labelMeasured(a.name)
           // per-label measure stats answer these exactly per group tuple;
           // a windowed-but-unmeasured column stays rejected (its shard
@@ -928,7 +984,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         }
         if (ks.size != aggExprs.size || !labelKindsOk ||
           !ks.exists(k => k != WFold && !k.isInstanceOf[WLabel])) None
-        else Some((idx, ds, region, ks))
+        else Some((idx, ds, region, ks, wanted))
       }
     }
   }
@@ -936,10 +992,12 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
   private object GroupedAgg {
     def unapply(p: LogicalPlan)
     : Option[(Aggregate, SketchFileIndex, Seq[GDim],
-        Map[String, (Long, Long)], Seq[WKind])] = p match {
+        Map[String, (Long, Long)], Seq[WKind],
+        Option[(String, Set[String])])] = p match {
       case agg @ Aggregate(ges, aggExprs, child0, _) if ges.nonEmpty =>
-        groupedAgg(ges, aggExprs, child0).map { case (idx, ds, region, ks) =>
-          (agg, idx, ds, region, ks)
+        groupedAgg(ges, aggExprs, child0).map {
+          case (idx, ds, region, ks, wanted) =>
+            (agg, idx, ds, region, ks, wanted)
         }
       case _ => None
     }
@@ -1164,13 +1222,18 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
       // contained ⇒ a pure LocalRelation, zero FileScan. A day-bucketed
       // count over the last month of a year-laid table scans only the
       // handful of shards straddling a midnight or the month cut.
-      case GroupedAgg(agg, idx, ds, region, kinds) => try {
+      case GroupedAgg(agg, idx, ds, region, kinds, wanted) => try {
         import org.apache.spark.sql.catalyst.expressions.In
         val ges = agg.groupingExpressions
         val aggExprs = agg.aggregateExpressions
         val counts = idx.shardRowCounts
         val bks = ds.collect { case BDim(bk) => bk }
         val labelDim = ds.collectFirst { case LDim(a) => a }
+        // the label column whose entries drive this rewrite: the grouping
+        // dimension's, or — for `WHERE category='x' GROUP BY bucket` —
+        // the filter's (classification pinned them equal when both exist)
+        val sourceLabelCol: Option[String] =
+          labelDim.map(_.name).orElse(wanted.map(_._1))
         val aggCols: Set[String] = kinds.collect {
           case WMin(a) => a.name
           case WMax(a) => a.name
@@ -1178,7 +1241,22 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
         val windows: Map[String, Map[Int, (Long, Long)]] =
           aggCols.map(c => c -> idx.columnWindows(c).getOrElse(Map.empty)).toMap
         val labelsByShard: Map[Int, Option[Seq[(Option[String], Long)]]] =
-          labelDim.flatMap(a => idx.labelStats(a.name)).getOrElse(Map.empty)
+          sourceLabelCol.flatMap(idx.labelStats).getOrElse(Map.empty)
+        // a label FILTER drops label-disjoint shards from candidacy (the
+        // exact sets prove no matching row lives there); a bailed shard
+        // stays a candidate and scans
+        def labelIntersects(s: Int): Boolean = wanted.forall { case (_, vs) =>
+          labelsByShard.get(s).flatten match {
+            case Some(entries) =>
+              entries.exists(e => e._1.exists(vs) && e._2 > 0L)
+            case None => true
+          }
+        }
+        // metadata contribution under a label source additionally needs
+        // the shard's label stats (a commit-bailed shard's labels — and
+        // under a filter, its matching rows — are unknown)
+        def labelProof(s: Int): Boolean =
+          sourceLabelCol.isEmpty || labelsByShard.get(s).exists(_.isDefined)
         val populated = counts.keySet.toSeq.sorted
         // dropping a non-intersecting shard is sound even when the column
         // is nullable (a NULL satisfies no range predicate, and an
@@ -1205,8 +1283,10 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 bk.bucket(wl) == bk.bucket(wh) }
           case LDim(_) => labelsByShard.get(s).exists(_.isDefined)
         }
-        val candidates = populated.filter(regionIntersects)
-        val cont = candidates.filter(s => regionContained(s) && dimContained(s))
+        val candidates = populated.filter(s =>
+          regionIntersects(s) && labelIntersects(s))
+        val cont = candidates.filter(s => regionContained(s) &&
+          dimContained(s) && labelProof(s))
         if (candidates.isEmpty) {
           // no shard holds an eligible row (unsatisfiable/region-disjoint
           // filter, or an empty table): a grouped aggregate over empty
@@ -1237,7 +1317,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           // a label dimension multiplies by the shard's ≤ labelMax
           // stored labels, counts adding across shards per tuple.
           val byLabel: Seq[(Seq[Any], Int => Any, Int => Any)] =
-            labelDim match {
+            sourceLabelCol match {
               case None =>
                 cont.groupBy(s => ds.map {
                   case BDim(bk) => bk.label(windows(bk.attr.name)(s)._1)
@@ -1259,16 +1339,19 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                   }
                   (lbls, f, fcnt)
                 }
-              case Some(la) =>
-                // tuple = (bucket labels, the stored label); counts add
+              case Some(src) =>
+                // tuple = (bucket labels[, the stored label]); counts add
                 // across contained shards per tuple — entries partition
-                // each shard exactly, nulls forming their own group.
+                // each shard exactly, nulls forming their own group. A
+                // label FILTER restricts each shard to its wanted-label
+                // entries (exactly the matching rows — nulls fail the
+                // equality and drop with the restriction).
                 // labelStatsCols measures merge by their own algebra per
                 // tuple: sums/counts add (Math.addExact — overflow bails
                 // the whole rewrite), mins/maxes combine
-                val fullByShard = idx.labelEntriesFull(la.name)
+                val fullByShard = idx.labelEntriesFull(src)
                   .getOrElse(Map.empty)
-                val measureCols = idx.labelMeasureCols(la.name).toSet
+                val measureCols = idx.labelMeasureCols(src).toSet
                 val accRows = scala.collection.mutable.LinkedHashMap[
                   Seq[Any], Long]()
                 val accNonNull = scala.collection.mutable.LinkedHashMap[
@@ -1280,7 +1363,11 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 val accM = scala.collection.mutable.LinkedHashMap[
                   (Seq[Any], String), MAcc]()
                 cont.foreach { s =>
-                  val entries = fullByShard(s).get
+                  val entries = wanted match {
+                    case Some((_, vs)) =>
+                      fullByShard(s).get.filter(_.label.exists(vs))
+                    case None => fullByShard(s).get
+                  }
                   entries.foreach { e =>
                     val lv = e.label.map(x => org.apache.spark.unsafe.types
                       .UTF8String.fromString(x)).orNull
@@ -1309,7 +1396,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 accRows.toSeq.map { case (tuple, rows) =>
                   val f: Int => Any = i => kinds(i) match {
                     case WCnt => rows
-                    case WCntCol(a) if a.name == la.name =>
+                    case WCntCol(a) if a.name == src =>
                       accNonNull.getOrElse(tuple, 0L)
                     case WCntCol(a) if measureCols(a.name) =>
                       mAcc(tuple, a.name).map(_.cnt).getOrElse(0L)

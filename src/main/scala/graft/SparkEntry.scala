@@ -5200,6 +5200,61 @@ object SparkEntry {
         arm("src", "source").unionByName(arm("lang", "lang"))
           .unionByName(nsrc).localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // LABEL-FILTER composition in the grouped collapse: `WHERE category
+    // = 'x' GROUP BY time-bucket` answers from the wanted-label entries —
+    // a shard's matching rows are EXACTLY its wanted-label counts (and
+    // measure stats), so label-pure shards contribute from metadata,
+    // label-disjoint shards drop, and straddlers scan with the original
+    // filter. Same-column filter+grouping restricts the groups; an
+    // absent label answers ZERO rows with zero files; the hash layout
+    // composes the filter with its pure-label grouping. Plans required
+    // inline.
+    "q267_label_filter_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q267_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "doc"))
+        .createOrReplaceTempView("q267_doc")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val week = s.sql(
+          """SELECT 'week' AS arm,
+            |  unix_micros(date_trunc('week', ts)) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, avg(user_id) AS au
+            |FROM q267_ev WHERE tier = 'w2' GROUP BY 2, 3""".stripMargin)
+        val wp = week.queryExecution
+        require(wp.optimizedPlan.toString.contains(" IN (") ||
+          !wp.executedPlan.toString.contains("FileScan"),
+          "label-filtered week grouping fired neither prune nor collapse")
+        val same = s.sql(
+          """SELECT 'same' AS arm, CAST(NULL AS BIGINT) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, avg(user_id) AS au
+            |FROM q267_ev WHERE tier IN ('w1', 'w3') GROUP BY 3""".stripMargin)
+        require(!same.queryExecution.executedPlan.toString.contains("FileScan"),
+          "same-column label filter + grouping must answer from metadata")
+        val none = s.sql(
+          """SELECT 'none' AS arm, CAST(NULL AS BIGINT) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se, avg(user_id) AS au
+            |FROM q267_ev WHERE tier = 'w9' GROUP BY 3""".stripMargin)
+        require(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+          "absent-label filter must answer zero groups with zero files")
+        val hash = s.sql(
+          """SELECT 'hash' AS arm, CAST(NULL AS BIGINT) AS b,
+            |  source AS tier, count(*) AS n, sum(n_chars) AS se,
+            |  avg(n_chars) AS au
+            |FROM q267_doc WHERE source IN ('src3', 'src7', 'src11')
+            |GROUP BY 3""".stripMargin)
+        require(!hash.queryExecution.executedPlan.toString.contains("FileScan"),
+          "hash label filter + grouping must answer from metadata")
+        week.unionByName(same).unionByName(none).unionByName(hash)
+          .localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -5868,6 +5923,23 @@ object SparkEntry {
         "SELECT event_id FROM q262p_ev WHERE tier = 'w1'")
       df.queryExecution.executedPlan // label-pruned shard subset scan
       df
+    },
+    "q267_label_filter_collapse" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q267p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT unix_micros(date_trunc('week', ts)) AS b, tier,
+            |  count(*) AS n, sum(event_id) AS se
+            |FROM q267p_ev WHERE tier = 'w2' GROUP BY 1, 2""".stripMargin)
+        df.queryExecution.sparkPlan // straddler-only scan ∪ label partials
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     },
     "q266_hash_label_stats" -> { (s, dir) =>
       graft.core.SketchFileIndex.readIndexed(s,
@@ -11300,6 +11372,34 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
         |FROM documents""".stripMargin,
+
+    // the same tier derivation; plain filtered grouped aggregates
+    "q267_label_filter_collapse" ->
+      """WITH t AS (
+        |  SELECT ts, event_id, user_id,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier
+        |  FROM events)
+        |SELECT 'week' AS arm, epoch_us(date_trunc('week', ts)) AS b, tier,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS se,
+        |  avg(user_id) AS au
+        |FROM t WHERE tier = 'w2' GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'same', CAST(NULL AS BIGINT), tier, count(*),
+        |  CAST(sum(event_id) AS BIGINT), avg(user_id)
+        |FROM t WHERE tier IN ('w1', 'w3') GROUP BY 3
+        |UNION ALL
+        |SELECT 'none', CAST(NULL AS BIGINT), tier, count(*),
+        |  CAST(sum(event_id) AS BIGINT), avg(user_id)
+        |FROM t WHERE tier = 'w9' GROUP BY 3
+        |UNION ALL
+        |SELECT 'hash', CAST(NULL AS BIGINT), source, count(*),
+        |  CAST(sum(n_chars) AS BIGINT), avg(n_chars)
+        |FROM documents WHERE source IN ('src3', 'src7', 'src11')
+        |GROUP BY 3""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

@@ -318,4 +318,111 @@ class LabelMeasureSpec extends AnyFunSuite with SparkTest
           .map(_.toString).sorted.toSeq)
     }
   }
+
+  test("label FILTER composes: WHERE category GROUP BY bucket answers from wanted-label entries") {
+    // WHERE tier = 'b' GROUP BY t div 400: every matching row lives in
+    // tier-b entries; counts and measure sums restrict to them exactly
+    val q = """SELECT t div 400 AS b, count(*) AS n, sum(v) AS sv,
+      |min(v) AS mnv, avg(w) AS aw, count(w) AS cw
+      |FROM lm_t WHERE tier = 'b' GROUP BY t div 400""".stripMargin
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains(" IN (") || zeroScan(df),
+        s"label-filtered bucket grouping fired neither prune nor collapse:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+    // filter col == dim col: groups restrict to the wanted labels
+    val q2 = "SELECT tier, count(*) AS n, sum(v) AS sv FROM lm_t " +
+      "WHERE tier IN ('a', 'd') GROUP BY tier"
+    val e2 = truth(q2)
+    withRule {
+      val df = sql(q2)
+      assert(zeroScan(df),
+        s"same-column label filter + grouping must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == e2)
+    }
+    // a label no shard holds: zero groups, zero files
+    withRule {
+      val df = sql("SELECT t div 400 AS b, count(*) AS n FROM lm_t " +
+        "WHERE tier = 'zz' GROUP BY t div 400")
+      assert(zeroScan(df))
+      assert(df.collect().isEmpty)
+    }
+    // label + range filters compose conjunctively (bucket 800 wide so a
+    // quantile-bounded shard fits inside one bucket — data-derived bounds
+    // never align with narrow round-number buckets)
+    val q3 = """SELECT t div 800 AS b, count(*) AS n, sum(v) AS sv
+      |FROM lm_t WHERE tier = 'b' AND t < 700 GROUP BY t div 800""".stripMargin
+    val e3 = truth(q3)
+    withRule {
+      val df = sql(q3)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains(" IN (") || zeroScan(df),
+        s"label+range composition fired neither prune nor collapse:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == e3)
+    }
+  }
+
+  test("label filter on a DIFFERENT column than the label dim stays unrewritten but exact") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_two").toString
+    val df2 = (0 until 1200).map { i =>
+      (i.toLong, "x" + (i % 2), "y" + (i % 3), i.toLong * 2)
+    }.toDF("t", "la", "lb", "v")
+    SketchRegistry.commitRangeSharded(df2, r2, "t", shardsLog2 = 2,
+      labelCols = Seq("la", "lb"), labelStatsCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_2")
+    df2.createOrReplaceTempView("lm_2_raw")
+    val q = "SELECT lb, count(*) AS n, sum(v) AS sv FROM lm_2 " +
+      "WHERE la = 'x0' GROUP BY lb"
+    val expect = spark.sql(q.replace("lm_2", "lm_2_raw")).collect()
+      .map(_.toString).sorted.toSeq
+    withRule {
+      val df = spark.sql(q)
+      assert(!zeroScan(df),
+        "cross-column label filter needs the joint distribution — must scan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+    // same store, filter col == dim col: collapses
+    withRule {
+      val df = spark.sql("SELECT la, count(*) AS n, sum(v) AS sv FROM lm_2 " +
+        "WHERE la = 'x1' GROUP BY la")
+      assert(zeroScan(df))
+      assert(df.collect().map(_.toString).sorted.toSeq ==
+        spark.sql("SELECT la, count(*) AS n, sum(v) AS sv FROM lm_2_raw " +
+          "WHERE la = 'x1' GROUP BY la").collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("hash layout: label filter + pure-label grouping collapses") {
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_hf").toString
+    val df2 = (0 until 900).map { i =>
+      (i.toLong, "g" + (i % 5), i.toLong % 50)
+    }.toDF("k", "grp", "v")
+    SketchRegistry.commitWithSketches(df2, r2, "k", shardsLog2 = 2,
+      bitsLog2 = 12, labelCols = Seq("grp"), labelStatsCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_hf")
+    df2.createOrReplaceTempView("lm_hf_raw")
+    val q = "SELECT grp, count(*) AS n, sum(v) AS sv, avg(v) AS av " +
+      "FROM lm_hf WHERE grp IN ('g1', 'g3') GROUP BY grp"
+    val expect = spark.sql(q.replace("lm_hf", "lm_hf_raw")).collect()
+      .map(_.toString).sorted.toSeq
+    withRule {
+      val df = spark.sql(q)
+      assert(zeroScan(df),
+        s"hash label filter + grouping must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+    // a RANGE predicate on the hash layout disqualifies (no windows)
+    withRule {
+      val df = spark.sql("SELECT grp, count(*) AS n FROM lm_hf " +
+        "WHERE grp = 'g1' AND k < 300 GROUP BY grp")
+      assert(!zeroScan(df), "hash layout cannot prove a range region")
+      assert(df.collect().map(_.toString).sorted.toSeq ==
+        spark.sql("SELECT grp, count(*) AS n FROM lm_hf_raw " +
+          "WHERE grp = 'g1' AND k < 300 GROUP BY grp").collect()
+          .map(_.toString).sorted.toSeq)
+    }
+  }
 }
