@@ -867,16 +867,20 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             a: AttributeReference) => wanted.exists(_._1 == a.name)
         case _ => false
       }
+      // an UNGROUPED aggregate belongs to the windowed/plain arms unless
+      // a label filter makes the entries machinery the answering path
+      if (ges.isEmpty && wanted.isEmpty) return None
       // hash layout (no guarded windows): label stats are layout-agnostic,
-      // so a PURE-label grouping — label filter allowed — still collapses
-      // (the reference's GROUP BY source/decay_level stats shape);
-      // anything needing windows or a region keeps the scan
-      val pureLabel = rangeConds.isEmpty && ges.nonEmpty && ges.forall {
+      // so a PURE-label grouping — label filter allowed, grouping may be
+      // empty under one — still collapses (the reference's GROUP BY
+      // source/decay_level stats shape); anything needing windows or a
+      // region keeps the scan
+      val pureLabel = rangeConds.isEmpty && ges.forall {
         case a: AttributeReference =>
           a.dataType == org.apache.spark.sql.types.StringType &&
             idx.labelCols(a.name)
         case _ => false
-      }
+      } && (ges.nonEmpty || wanted.isDefined)
       if (guarded.isEmpty && !pureLabel) return None
       val sumCovered: Set[String] = idx.sumStatsByCol.keySet
       // statsCols-WINDOWED columns qualify for grouping/region/min-max
@@ -994,7 +998,12 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
     : Option[(Aggregate, SketchFileIndex, Seq[GDim],
         Map[String, (Long, Long)], Seq[WKind],
         Option[(String, Set[String])])] = p match {
-      case agg @ Aggregate(ges, aggExprs, child0, _) if ges.nonEmpty =>
+      case agg @ Aggregate(ges, aggExprs, child0, _) =>
+        // ges may be EMPTY: a label-filtered GLOBAL aggregate
+        // (`SELECT count(*), sum(v) WHERE category='x'`) rides the same
+        // entries machinery — classification returns None for ungrouped
+        // shapes without a label filter, so the windowed/plain arms
+        // below still see them
         groupedAgg(ges, aggExprs, child0).map {
           case (idx, ds, region, ks, wanted) =>
             (agg, idx, ds, region, ks, wanted)
@@ -1287,11 +1296,23 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
           regionIntersects(s) && labelIntersects(s))
         val cont = candidates.filter(s => regionContained(s) &&
           dimContained(s) && labelProof(s))
+        // a GLOBAL aggregate over empty input is ONE row (count 0, sums
+        // and min/max/avg SQL-null) — only grouped aggregates answer
+        // zero groups
+        def emptyAggRow: InternalRow = InternalRow.fromSeq(
+          agg.aggregateExpressions.zip(kinds).map {
+            case (_, WCnt) => 0L
+            case (_, WCntCol(_)) => 0L
+            case (Alias(e, _), WFold) => e.eval(InternalRow.empty)
+            case (e, WFold) => e.eval(InternalRow.empty)
+            case _ => null
+          })
         if (candidates.isEmpty) {
           // no shard holds an eligible row (unsatisfiable/region-disjoint
-          // filter, or an empty table): a grouped aggregate over empty
-          // input is ZERO rows
-          LocalRelation(agg.output, Nil)
+          // filter, or an empty table): zero groups — or the one
+          // empty-input row when the aggregate is global
+          if (ges.isEmpty) LocalRelation(agg.output, Seq(emptyAggRow))
+          else LocalRelation(agg.output, Nil)
         } else if (cont.isEmpty) {
           agg // every candidate straddles a boundary: nothing gained
         } else {
@@ -1423,6 +1444,8 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
             }
           if (bound.isEmpty) {
             // every candidate contained: the whole aggregate IS metadata
+            // (a global aggregate whose restriction matched no entries
+            // still answers its one empty-input row)
             val rows = byLabel.map { case (lbls, f, fcnt) =>
               InternalRow.fromSeq(aggExprs.zip(kinds).zipWithIndex.map {
                 case ((_, WLabel(j)), _) => lbls(j)
@@ -1438,7 +1461,9 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                 case ((_, _), i) => f(i)
               })
             }
-            LocalRelation(agg.output, rows)
+            if (ges.isEmpty && rows.isEmpty)
+              LocalRelation(agg.output, Seq(emptyAggRow))
+            else LocalRelation(agg.output, rows)
           } else {
             // boundary shards scan ONCE with the original filter and
             // grouping; the contained contribution rides in as a

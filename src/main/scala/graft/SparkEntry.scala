@@ -5255,6 +5255,47 @@ object SparkEntry {
         week.unionByName(same).unionByName(none).unionByName(hash)
           .localCheckpoint(true)
       } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
+    },
+
+    // Label-filtered GLOBAL aggregates: `SELECT count(*), sum(x) WHERE
+    // category = 'x'` (no GROUP BY) answers from the wanted-label
+    // entries the same way — including the empty-input semantics (an
+    // absent label answers ONE row: count 0, sums/min/avg SQL-null,
+    // with zero files). Range and hash layouts both. Plans required
+    // inline.
+    "q268_label_global_agg" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q268_ev")
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "doc"))
+        .createOrReplaceTempView("q268_doc")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val ev = s.sql(
+          """SELECT 'ev' AS arm, count(*) AS n, sum(event_id) AS se,
+            |  min(event_id) AS mne, avg(user_id) AS au
+            |FROM q268_ev WHERE tier = 'w3'""".stripMargin)
+        require(!ev.queryExecution.executedPlan.toString.contains("FileScan"),
+          "label-filtered global aggregate must answer from metadata")
+        val none = s.sql(
+          """SELECT 'none' AS arm, count(*) AS n, sum(event_id) AS se,
+            |  min(event_id) AS mne, avg(user_id) AS au
+            |FROM q268_ev WHERE tier = 'w9'""".stripMargin)
+        require(!none.queryExecution.executedPlan.toString.contains("FileScan"),
+          "absent-label global aggregate must answer its empty-input row " +
+            "with zero files")
+        val doc = s.sql(
+          """SELECT 'doc' AS arm, count(*) AS n, sum(n_chars) AS se,
+            |  min(n_chars) AS mne, avg(n_chars) AS au
+            |FROM q268_doc WHERE source = 'src5'""".stripMargin)
+        require(!doc.queryExecution.executedPlan.toString.contains("FileScan"),
+          "hash label-filtered global aggregate must answer from metadata")
+        ev.unionByName(none).unionByName(doc).localCheckpoint(true)
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     }
   )
 
@@ -5923,6 +5964,22 @@ object SparkEntry {
         "SELECT event_id FROM q262p_ev WHERE tier = 'w1'")
       df.queryExecution.executedPlan // label-pruned shard subset scan
       df
+    },
+    "q268_label_global_agg" -> { (s, dir) =>
+      graft.core.SketchFileIndex.readIndexed(s,
+          RegistryFixtures.root(s, dir, "evl"))
+        .createOrReplaceTempView("q268p_ev")
+      if (!s.experimental.extraOptimizations.contains(graft.MetadataAggCollapse))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.MetadataAggCollapse
+      s.conf.set("spark.graft.metadataAgg.enabled", "true")
+      try {
+        val df = s.sql(
+          """SELECT count(*) AS n, sum(event_id) AS se
+            |FROM q268p_ev WHERE tier = 'w3'""".stripMargin)
+        df.queryExecution.sparkPlan // a LocalTableScan — zero FileScan
+        df
+      } finally s.conf.set("spark.graft.metadataAgg.enabled", "false")
     },
     "q267_label_filter_collapse" -> { (s, dir) =>
       graft.core.SketchFileIndex.readIndexed(s,
@@ -11400,6 +11457,30 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT), avg(n_chars)
         |FROM documents WHERE source IN ('src3', 'src7', 'src11')
         |GROUP BY 3""".stripMargin,
+
+    // the plain filtered global aggregates (a global aggregate over an
+    // absent label is ONE row: count 0, the rest null — both engines)
+    "q268_label_global_agg" ->
+      """WITH t AS (
+        |  SELECT ts, event_id, user_id,
+        |    CASE WHEN event_id % 37 = 0 THEN NULL
+        |         WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 'w1'
+        |         WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'w2'
+        |         WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'w3'
+        |         ELSE 'w4' END AS tier
+        |  FROM events)
+        |SELECT 'ev' AS arm, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS se, min(event_id) AS mne,
+        |  avg(user_id) AS au
+        |FROM t WHERE tier = 'w3'
+        |UNION ALL
+        |SELECT 'none', count(*), CAST(sum(event_id) AS BIGINT),
+        |  min(event_id), avg(user_id)
+        |FROM t WHERE tier = 'w9'
+        |UNION ALL
+        |SELECT 'doc', count(*), CAST(sum(n_chars) AS BIGINT),
+        |  min(n_chars), avg(n_chars)
+        |FROM documents WHERE source = 'src5'""".stripMargin,
 
     // the plain two-key grouped aggregates over the Z columns
     "q255_z_two_key_group_collapse" ->

@@ -425,4 +425,53 @@ class LabelMeasureSpec extends AnyFunSuite with SparkTest
           .map(_.toString).sorted.toSeq)
     }
   }
+
+  test("ungrouped aggregates with a label filter answer from wanted-label entries") {
+    val q = """SELECT count(*) AS n, sum(v) AS sv, min(v) AS mnv,
+      |max(v) AS mxv, avg(w) AS aw, count(w) AS cw
+      |FROM lm_t WHERE tier = 'c'""".stripMargin
+    val expect = truth(q)
+    withRule {
+      val df = sql(q)
+      assert(zeroScan(df),
+        s"label-filtered global aggregate must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    }
+    // absent label: ONE empty-input row — count 0, the rest SQL-null
+    withRule {
+      val df = sql("SELECT count(*) AS n, sum(v) AS sv, min(v) AS mnv " +
+        "FROM lm_t WHERE tier = 'zz'")
+      assert(zeroScan(df))
+      val r = df.collect()
+      assert(r.length == 1 && r.head.getLong(0) == 0L &&
+        r.head.isNullAt(1) && r.head.isNullAt(2),
+        s"global aggregate over an absent label must be (0, null, null): ${r.toSeq}")
+    }
+    // label + range straddler: hybrid — exact either way
+    val q2 = "SELECT count(*) AS n, sum(v) AS sv FROM lm_t " +
+      "WHERE tier = 'b' AND t < 700"
+    val e2 = truth(q2)
+    withRule {
+      val df = sql(q2)
+      assert(df.collect().map(_.toString).sorted.toSeq == e2)
+    }
+    // hash layout: pure label-filtered global aggregate collapses
+    val r2 = java.nio.file.Files.createTempDirectory("lblm_hg").toString
+    val df2 = (0 until 700).map(i => (i.toLong, "h" + (i % 3), i.toLong % 40))
+      .toDF("k", "grp", "v")
+    SketchRegistry.commitWithSketches(df2, r2, "k", shardsLog2 = 2,
+      bitsLog2 = 12, labelCols = Seq("grp"), labelStatsCols = Seq("v"))
+    SketchFileIndex.readIndexed(spark, r2).createOrReplaceTempView("lm_hg")
+    df2.createOrReplaceTempView("lm_hg_raw")
+    val q3 = "SELECT count(*) AS n, sum(v) AS sv, avg(v) AS av FROM lm_hg " +
+      "WHERE grp = 'h2'"
+    withRule {
+      val df = spark.sql(q3)
+      assert(zeroScan(df),
+        s"hash label-filtered global aggregate must collapse:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.toString).sorted.toSeq ==
+        spark.sql(q3.replace("lm_hg", "lm_hg_raw")).collect()
+          .map(_.toString).sorted.toSeq)
+    }
+  }
 }
