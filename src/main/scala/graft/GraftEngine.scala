@@ -34,7 +34,10 @@ object GraftEngine {
     * materializing results in a long-lived session; un-materialized results
     * stay correct and simply recompute from lineage.
     */
-  def releaseCaches(): Unit = graft.util.OpCaches.release()
+  def releaseCaches(): Unit = {
+    graft.util.OpCaches.release()
+    graft.core.MetaCache.clear() // memoized registry/zone-map projections
+  }
 
   /** deduplicate_chunks: the §3.1 pipeline (cluster → representative → MMR →
     * compress) over (group, id, text, embedding, score) chunks.

@@ -111,6 +111,15 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     }
   }
 
+  /** Collected registry projections route through [[MetaCache]]: the
+    * per-instance lazy caches below dedupe within ONE index, but a query
+    * that plans several times (or several queries over the same store)
+    * constructs a fresh index each time — the version-keyed memo makes
+    * each projection one Spark job per version, not per construction.
+    */
+  private def cachedRows(cols: String*): Array[org.apache.spark.sql.Row] =
+    MetaCache.rows(registryFrame, root, version, cols)
+
   /** Driver-side Bloom pruning state, loaded LAZILY per REFERENCED column:
     * a scan's first filter on column c collects c's per-shard words and
     * caches them for the index's lifetime; columns the query never filters
@@ -126,7 +135,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   private def bloomFor(name: String): Option[Map[Int, Array[Long]]] =
     bloomCache.computeIfAbsent(name, _ =>
       bloomRegistryCol(name).map { regCol =>
-        registryFrame.select("shard", regCol).collect()
+        cachedRows("shard", regCol)
           .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       })
 
@@ -142,10 +151,11 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     def collectWindows(zm: DataFrame,
                        cols: Seq[(String, String, String)]): Map[String, Map[Int, (Long, Long)]] =
       cols.map { case (c, lo, hi) =>
-        c -> zm.select("shard", lo, hi).collect().flatMap { r =>
-          if (r.isNullAt(1) || r.isNullAt(2)) None // no info ⇒ keep shard
-          else Some(r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        }.toMap
+        c -> MetaCache.rows(zm, root, version, Seq("shard", lo, hi))
+          .flatMap { r =>
+            if (r.isNullAt(1) || r.isNullAt(2)) None // no info ⇒ keep shard
+            else Some(r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          }.toMap
       }.toMap
     (rangeMeta, zMeta) match {
       case (Some(m), _) =>
@@ -173,9 +183,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
     * Consumed by [[graft.MetadataAggCollapse]] to answer an unfiltered
     * `count(*)` with zero data files.
     */
-  lazy val metadataRowCount: Long =
-    registryFrame.select("n_rows").collect().iterator
-      .map(_.getLong(0)).sum
+  lazy val metadataRowCount: Long = shardRowCounts.valuesIterator.sum
 
   /** EXACT (min, max) of `name` off the zone map, for columns the layout
     * carries exact stats on — the range layout's sort column and
@@ -245,10 +253,9 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       .orElse(rangeMeta.map(_.statsCols)).getOrElse(Nil)
     if (covered.isEmpty) Map.empty
     else {
-      val rf = registryFrame
-      val have = rf.columns.toSet
+      val have = registryFrame.columns.toSet
       covered.filter(c => have.contains(s"cnt_$c")).map { c =>
-        c -> rf.select("shard", s"cnt_$c").collect()
+        c -> cachedRows("shard", s"cnt_$c")
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
       }.toMap
     }
@@ -256,7 +263,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
 
   /** Exact per-shard row counts off the registry/zone map. */
   private[graft] lazy val shardRowCounts: Map[Int, Long] =
-    registryFrame.select("shard", "n_rows").collect()
+    cachedRows("shard", "n_rows")
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** The layout columns the commit GUARDS non-null (range sort column,
@@ -280,10 +287,9 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       .orElse(zMeta.map(_.sumCols)).getOrElse(Nil)
     if (covered.isEmpty) Map.empty
     else {
-      val zm = registryFrame
       covered.map { c =>
-        c -> zm.select("shard", s"sum_$c", s"cnt_$c")
-          .collect().map { r =>
+        c -> cachedRows("shard", s"sum_$c", s"cnt_$c")
+          .map { r =>
             r.getInt(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
               r.getLong(2))
           }.toMap
@@ -312,7 +318,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
   : Option[Map[Int, Option[Seq[(Option[String], Long)]]]] =
     labelCache.computeIfAbsent(c, _ =>
       if (!labelCols(c)) None
-      else Some(registryFrame.select("shard", s"labels_$c").collect().map { r =>
+      else Some(cachedRows("shard", s"labels_$c").map { r =>
         val s = r.getInt(0)
         val v =
           if (r.isNullAt(1)) None
@@ -348,7 +354,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
       if (!labelCols(c)) None
       else {
         val ms = labelMeasureCols(c)
-        Some(registryFrame.select("shard", s"labels_$c").collect().map { r =>
+        Some(cachedRows("shard", s"labels_$c").map { r =>
           val s = r.getInt(0)
           val v =
             if (r.isNullAt(1)) None
@@ -391,7 +397,7 @@ final class SketchFileIndex(spark: SparkSession, root: String, version: Long)
         }
       }
       colAndP.map { case (regCol, p) =>
-        (registryFrame.select("shard", regCol).collect()
+        (cachedRows("shard", regCol)
           .map(r => r.getInt(0) -> r.getSeq[Int](1).toArray).toMap, p)
       }
     })

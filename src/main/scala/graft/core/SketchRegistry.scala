@@ -205,12 +205,24 @@ object SketchRegistry {
     // shard holds no nulls (windows ignore nulls; filters and groups do
     // not), and without the count a merely-windowed column silently
     // degrades to a full scan.
-    val base = SketchOps.bloomSketch(sharded, Seq("shard"), keyHashCol, bitsLog2, k)
-      .join(SketchOps.hllSketch(sharded, Seq("shard"), keyHashCol, hllP),
-        Seq("shard"))
-      .join(SketchOps.cmSketch(sharded, Seq("shard"), keyHashCol,
-        cmDepth, cmWidthLog2), Seq("shard"))
-      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"),
+    // ONE grouped aggregation builds every artifact — key Bloom + HLL +
+    // CM, the exact counts/sums/windows, and one secondary Bloom per
+    // sketchCols entry — over a single read of the input (the two-step
+    // exploded builders in SketchOps cost one aggregation subtree and one
+    // per-shard join EACH; the fused SketchAggs forms are spec-pinned
+    // bit-identical). Secondary Blooms sketch the LayoutLong of the
+    // column — the SAME unit probes arrive in (a bare cast would commit
+    // timestamp bits in seconds and mis-prune every equality; for
+    // integrals LayoutLong IS the cast, bit-identical); an all-null shard
+    // aggregates to the all-zero filter (admits nothing), exactly the
+    // coalesce(zero) the join form produced.
+    val base = sharded.groupBy(col("shard")).agg(
+      graft.functions.SketchAggs.bloom_agg(col(keyHashCol), bitsLog2, k)
+        .as("bloom"),
+      (graft.functions.SketchAggs.hll_agg(col(keyHashCol), hllP).as("hll") +:
+        graft.functions.SketchAggs.cm_agg(col(keyHashCol), cmDepth, cmWidthLog2)
+          .as("cm") +:
+        count(lit(1)).as("n_rows") +:
         (sumCols.flatMap(c => Seq(
           sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
           count(col(c)).as(s"cnt_$c"))) ++
@@ -218,24 +230,15 @@ object SketchRegistry {
           min(LayoutLong.longCol(col(c))).as(s"min_$c"),
           max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
         statsCols.filterNot(sumCols.contains).map(c =>
-          count(col(c)).as(s"cnt_$c"))): _*),
-        Seq("shard"))
-    // secondary Blooms sketch the LayoutLong of the column — the SAME
-    // unit probes arrive in (a bare cast would commit timestamp bits in
-    // seconds and mis-prune every equality; for integrals LayoutLong IS
-    // the cast, bit-identical)
-    val withLl = sketchCols.foldLeft(sharded)((d, c) =>
-      d.withColumn(s"__ll_$c", LayoutLong.longCol(col(c))))
-    val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
+          count(col(c)).as(s"cnt_$c")) ++
+        sketchCols.map(c => graft.functions.SketchAggs
+          .bloom_agg(LayoutLong.longCol(col(c)), bitsLog2, k)
+          .as(s"bloom_$c")))): _*)
     // label stats are layout-agnostic (exact per-(shard, label) counts
     // and optional measure stats) — hash scattering removes their PRUNE
     // signal but not their ANSWERING power: GROUP BY category collapses
     // on the primary layout the same way it does on range/Z
-    addShardLabels(sketchCols.foldLeft(base) { (acc, c) =>
-      acc.join(SketchOps.bloomSketch(withLl, Seq("shard"), s"__ll_$c", bitsLog2, k)
-          .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
-        .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
-    }, sharded, labelCols, labelMax, labelStatsCols)
+    addShardLabels(base, sharded, labelCols, labelMax, labelStatsCols)
   }
 
   /** Opt-in sketch-indexed commit: the data lands hash-sharded on
@@ -575,20 +578,20 @@ object SketchRegistry {
 
   private def prunedShardsByHash(spark: SparkSession, root: String, m: Meta,
                                  version: Option[Long], hash: Long): Seq[Int] = {
+    val v = version.orElse(TableStore.currentVersion(root)).get
     val shard = (graft.functions.HashKernels.splitmix64(hash)
       & ((1L << m.shardsLog2) - 1)).toInt
-    registry(spark, root, version)
-      .filter(col("shard") === shard).select(col("bloom"))
-      .collect().headOption match {
+    // the registry rows memoize per immutable version (MetaCache): a
+    // point probe is pure driver arithmetic — zero Spark jobs after the
+    // version's first planning read
+    MetaCache.rows(registry(spark, root, Some(v)), root, v,
+        Seq("shard", "bloom"))
+      .find(_.getInt(0) == shard) match {
       case None => Nil // the shard holds no rows at all
       case Some(r) =>
-        val words = r.getSeq[Long](0)
-        val mask = (1L << m.bitsLog2) - 1
-        val admitted = (0 until m.k).forall { i =>
-          val p = graft.functions.HashKernels.splitmix64(hash + i) & mask
-          (words((p >>> 6).toInt) & (1L << (p & 63).toInt)) != 0L
-        }
-        if (admitted) Seq(shard) else Nil
+        if (MetaCache.bloomAdmits(r.getSeq[Long](1), hash, m.bitsLog2, m.k))
+          Seq(shard)
+        else Nil
     }
   }
 
@@ -805,14 +808,23 @@ object SketchRegistry {
     require(ma.keyKind == mb.keyKind,
       s"co-located join requires the same key kind, got " +
         s"${ma.keyKind}-keyed '$rootA' vs ${mb.keyKind}-keyed '$rootB'")
-    val a = registry(spark, rootA, versionA)
-      .select(col("shard"), col("bloom").as("__ba"))
-    val b = registry(spark, rootB, versionB)
-      .select(col("shard"), col("bloom").as("__bb"))
-    a.join(b, Seq("shard")) // inner: both sides non-empty
-      .filter(exists(zip_with(col("__ba"), col("__bb"),
-        (x, y) => x.bitwiseAND(y)), w => w =!= 0L))
-      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
+    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    // registry rows memoize per immutable version; the word-AND proof is
+    // pure driver arithmetic over ≤ 2^shardsLog2 filter pairs
+    def words(root: String, v: Long): Map[Int, Array[Long]] =
+      MetaCache.rows(registry(spark, root, Some(v)), root, v,
+          Seq("shard", "bloom"))
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+    val a = words(rootA, va)
+    val b = words(rootB, vb)
+    a.keySet.intersect(b.keySet).toSeq.filter { s => // both sides non-empty
+      val (wa, wb) = (a(s), b(s))
+      var i = 0
+      var hit = false
+      while (i < wa.length && !hit) { hit = (wa(i) & wb(i)) != 0L; i += 1 }
+      hit
+    }.sorted
   }
 
   /** Equi-join two sketch tables committed with the SAME key hash layout,
@@ -867,13 +879,11 @@ object SketchRegistry {
       s"'$c' carries no secondary Bloom — commit with sketchCols " +
         s"including it (committed: ${m.sketchCols.mkString(",")})")
     if (values.isEmpty) return Nil
-    import spark.implicits._
-    val reg = registry(spark, root, version)
-      .select(col("shard"), col(s"bloom_$c").as("bloom"))
-    SketchOps.bloomMightContain(broadcast(reg), values.toDF("__v"),
-        Nil, "__v", m.bitsLog2, m.k)
-      .filter(col("might_contain")).select(col("shard")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    val v = version.orElse(TableStore.currentVersion(root)).get
+    // literal probe list against registry-sized metadata: admission is
+    // pure driver arithmetic over the memoized rows — zero Spark jobs
+    MetaCache.admittedShards(registry(spark, root, Some(v)), root, v,
+      s"bloom_$c", values, m.bitsLog2, m.k)
   }
 
   /** Equality `IN`-lookup on a SECONDARY column through its per-shard
@@ -1050,31 +1060,27 @@ object SketchRegistry {
         m.statsCols, m.labelCols, m.labelMax,
         c => labelMeasuresOf(old.schema, c)))((d, c) => d.drop(s"cnt_$c"))
     val both = old.unionByName(batchRegistry)
-    val mergedBase = SketchOps
-      .bloomMergeSketches(both, Seq("shard"), "bloom", m.bitsLog2)
-      .join(SketchOps.hllMergeSketches(both, Seq("shard"), "hll", m.hllP),
-        Seq("shard"))
-      // CM counters are linear: the appended registry is the SUM — exact,
-      // and bit-identical to re-sketching the unioned data
-      .join(SketchOps.cmMergeSketches(both, Seq("shard"), "cm",
-        m.cmDepth, m.cmWidthLog2), Seq("shard"))
-      // sums and non-null counts are LINEAR too: addition merges the
-      // sumCols stats exactly (sum() skips an all-null side correctly);
-      // statsCols windows merge by min/min and max/max — exact, and
-      // null-skipping handles an all-null side the same way
-      .join(both.groupBy(col("shard")).agg(sum(col("n_rows")).as("n_rows"),
+    // ONE merge aggregation for every linear/latticed artifact: Bloom bits
+    // OR, HLL registers max, CM counters ADD (exact — bit-identical to
+    // re-sketching the unioned data), sums and non-null counts add
+    // (sum() skips an all-null side correctly), statsCols windows merge
+    // by min/min and max/max. The per-artifact merge joins this replaces
+    // cost one aggregation subtree + one per-shard join each.
+    val mergedBase = both.groupBy(col("shard")).agg(
+      mergeOrWords("bloom", m.bitsLog2).as("bloom"),
+      (mergeMaxRegisters("hll", m.hllP).as("hll") +:
+        mergeAddCells("cm", m.cmDepth * (1 << m.cmWidthLog2)).as("cm") +:
+        sum(col("n_rows")).as("n_rows") +:
         (m.sumCols.flatMap(c => Seq(
           sum(col(s"sum_$c")).as(s"sum_$c"),
           sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
         m.statsCols.flatMap(c => Seq(
           min(col(s"min_$c")).as(s"min_$c"),
           max(col(s"max_$c")).as(s"max_$c"))) ++
-        keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c"))): _*),
-        Seq("shard"))
-    val mergedWithBloomCols = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
-      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
-        s"bloom_$c", m.bitsLog2), Seq("shard"))
-    }
+        keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
+        m.sketchCols.map(c =>
+          mergeOrWords(s"bloom_$c", m.bitsLog2).as(s"bloom_$c")))): _*)
+    val mergedWithBloomCols = mergedBase
     // label counts (and measure stats) add per label; a bailed side
     // poisons its shard — identical to a fresh full build
     val mergedRegistry = m.labelCols.foldLeft(mergedWithBloomCols) {
@@ -1328,12 +1334,14 @@ object SketchRegistry {
       else {
         val mnRow = df.agg(min(LayoutLong.longCol(col(sortCol)))).collect().head
         val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
-        val sk = SketchOps.quantileSketch(
-          df.select((LayoutLong.longCol(col(sortCol)) - mn).as("__s")), Nil, "__s",
-          subLog2)
-        val row = SketchOps.quantilesFromSketches(sk, Nil,
-          (1 until n).map(i => (i, n)), subLog2).collect().head
-        (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
+        // fused one-pass sketch aggregation + driver-side rank picks
+        // (bit-identical to the quantileSketch → quantilesFromSketches
+        // chain, spec-pinned) — no exploded intermediate, no window job
+        val bins = df.agg(graft.functions.SketchAggs.quantile_agg(
+            LayoutLong.longCol(col(sortCol)) - mn, subLog2))
+          .collect().head.getSeq[Long](0).toArray
+        (1 until n)
+          .map(i => SketchOps.rankPickFromBins(bins, i, n, subLog2) + mn)
           .distinct.sorted
       }
     val v = LayoutLong.longCol(col(sortCol))
@@ -1341,7 +1349,13 @@ object SketchRegistry {
     // statsCols windows ship with their exact non-null counts (cnt_<c>,
     // deduped against sumCols') so containment proofs never need a
     // separate sumCols commit of the same column
-    val registry = addShardHlls(addShardLabels(addShardBlooms(
+    // ONE grouped aggregation builds the windows, counts, sums, secondary
+    // Blooms AND distinct-HLLs (the join-per-artifact form cost one
+    // aggregation subtree + one per-shard join each); labels keep their
+    // own two-level aggregation. The final select restores the exact
+    // column order the join form wrote (blooms, labels, hlls), so
+    // persisted zone maps are byte-compatible across the change.
+    val fused = addShardLabels(
       sharded.groupBy(col("shard"))
         .agg(min(v).as("min_v"),
           (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
@@ -1352,10 +1366,19 @@ object SketchRegistry {
               sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
               count(col(c)).as(s"cnt_$c"))) ++
             statsCols.filterNot(sumCols.contains).map(c =>
-              count(col(c)).as(s"cnt_$c")))): _*),
-      sharded, sketchCols, bloomBitsLog2, bloomK),
-      sharded, labelCols, labelMax, _ => labelStatsCols),
-      sharded, distinctCols, hllP)
+              count(col(c)).as(s"cnt_$c")) ++
+            sketchCols.map(c => graft.functions.SketchAggs
+              .bloom_agg(LayoutLong.longCol(col(c)), bloomBitsLog2, bloomK)
+              .as(s"bloom_$c")) ++
+            distinctCols.map(c => graft.functions.SketchAggs
+              .hll_agg(LayoutLong.longCol(col(c)), hllP)
+              .as(s"hll_$c")))): _*),
+      sharded, labelCols, labelMax, _ => labelStatsCols)
+    val registry = fused.select(
+      (fused.columns.filterNot(c => c.startsWith("labels_") ||
+          distinctCols.exists(d => c == s"hll_$d")) ++
+        labelCols.map(c => s"labels_$c") ++
+        distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -1379,28 +1402,29 @@ object SketchRegistry {
     }
   }
 
-  /** Join one `bloom_<c>` per `sketchCols` entry onto per-shard zone-map
-    * rows — equality skipping for columns the range layout scatters,
-    * where min/max rectangles carry no signal; all-null shards get an
-    * all-zero filter (admits nothing), like the hash registry's.
+  /** Per-group word-OR of Bloom word arrays — [[SketchOps
+    * .bloomMergeSketches]]'s exact expression as a single aggregate
+    * column, so several artifacts merge in ONE grouped aggregation
+    * instead of one join per artifact.
     */
-  private[core] def addShardBlooms(zonemap: DataFrame, sharded: DataFrame,
-                                   sketchCols: Seq[String], bitsLog2: Int,
-                                   k: Int): DataFrame = {
-    val zero = array_repeat(lit(0L), 1 << (bitsLog2 - 6))
-    // Blooms sketch the LayoutLong of the column — the SAME unit probe
-    // literals arrive in (a bare cast would commit timestamp bits in
-    // SECONDS while probes carry micros: every equality would
-    // false-NEGATIVE and prune shards that hold the rows — wrong rows,
-    // not a slow plan; for integrals LayoutLong IS the cast, bit-identical)
-    val withLl = sketchCols.foldLeft(sharded)((d, c) =>
-      d.withColumn(s"__ll_$c", LayoutLong.longCol(col(c))))
-    sketchCols.foldLeft(zonemap) { (acc, c) =>
-      acc.join(SketchOps.bloomSketch(withLl, Seq("shard"), s"__ll_$c", bitsLog2, k)
-          .withColumnRenamed("bloom", s"bloom_$c"), Seq("shard"), "left")
-        .withColumn(s"bloom_$c", coalesce(col(s"bloom_$c"), zero))
-    }
-  }
+  private[core] def mergeOrWords(c: String, bitsLog2: Int): org.apache.spark.sql.Column =
+    aggregate(collect_list(col(c)),
+      array_repeat(lit(0L), 1 << (bitsLog2 - 6)),
+      (acc, x) => zip_with(acc, x, (a, b) => a.bitwiseOR(b)))
+
+  /** Per-group register max of dense HLL arrays — [[SketchOps
+    * .hllMergeSketches]]'s exact expression as a single aggregate column.
+    */
+  private[core] def mergeMaxRegisters(c: String, p: Int): org.apache.spark.sql.Column =
+    aggregate(collect_list(col(c)), array_repeat(lit(0), 1 << p),
+      (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b)))
+
+  /** Per-group element-wise sum of dense counter arrays — [[SketchOps
+    * .cmMergeSketches]]'s exact expression as a single aggregate column.
+    */
+  private[core] def mergeAddCells(c: String, len: Int): org.apache.spark.sql.Column =
+    aggregate(collect_list(col(c)), array_repeat(lit(0L), len),
+      (acc, x) => zip_with(acc, x, (a, b) => a + b))
 
   /** One `labels_<c>` array column per `labelCols` entry joined onto the
     * per-shard stats rows — the CATEGORICAL-dimension artifact: the
@@ -1504,26 +1528,6 @@ object SketchRegistry {
           col(coln)).as(coln))
   }
 
-  /** One dense `hll_<c>` register array per `distinctCols` entry joined
-    * onto the per-shard stats rows — per-shard approximate-distinct
-    * sketches of the column's [[LayoutLong]] (the same unit probes
-    * arrive in). Registers max-merge, so any shard SUBSET's merged
-    * estimate is bit-identical to sketching those shards' rows directly
-    * — what the windowed `approx_count_distinct` collapse consumes. An
-    * all-null shard carries all-zero registers (estimate 0).
-    */
-  private[core] def addShardHlls(stats: DataFrame, sharded: DataFrame,
-                                 distinctCols: Seq[String],
-                                 hllP: Int): DataFrame =
-    distinctCols.foldLeft(stats) { (acc, c) =>
-      val withLl = sharded.select(col("shard"),
-        LayoutLong.longCol(col(c)).as("__ll"))
-      acc.join(SketchOps.hllSketch(withLl, Seq("shard"), "__ll", hllP)
-          .withColumnRenamed("hll", s"hll_$c"), Seq("shard"), "left")
-        .withColumn(s"hll_$c",
-          coalesce(col(s"hll_$c"), array_repeat(lit(0), 1 << hllP)))
-    }
-
   /** shard = count of bounds ≤ value — the replayable range assignment,
     * with the loud non-negative/non-null guard inline.
     */
@@ -1564,8 +1568,12 @@ object SketchRegistry {
     // and the store keeps its old (proof-free) format until re-commit
     val autoCnt = m.statsCols.filterNot(m.sumCols.contains)
     val keptCnt = autoCnt.filter(c => oldZm.columns.contains(s"cnt_$c"))
+    // batch stats in ONE grouped aggregation (blooms + hlls fused beside
+    // the windows/counts — the commit-side shape); labels keep their own
+    // two-level aggregation, mirroring the OLD struct schema exactly so
+    // unionByName lines up and the merge equals a fresh full build
     val batchStats = autoCnt.filterNot(keptCnt.contains)
-      .foldLeft(addShardHlls(addShardLabels(addShardBlooms(
+      .foldLeft(addShardLabels(
         sharded.groupBy(col("shard"))
           .agg(min(v).as("min_v"),
             (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
@@ -1575,19 +1583,26 @@ object SketchRegistry {
               m.sumCols.flatMap(c => Seq(
                 sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
                 count(col(c)).as(s"cnt_$c"))) ++
-              autoCnt.map(c => count(col(c)).as(s"cnt_$c")))): _*),
-        sharded, m.sketchCols, m.bloomBitsLog2, m.bloomK),
-        // per-label measures mirror the OLD struct schema exactly, so
-        // unionByName lines up and the merge equals a fresh full build
+              autoCnt.map(c => count(col(c)).as(s"cnt_$c")) ++
+              m.sketchCols.map(c => graft.functions.SketchAggs
+                .bloom_agg(LayoutLong.longCol(col(c)), m.bloomBitsLog2,
+                  m.bloomK).as(s"bloom_$c")) ++
+              m.distinctCols.map(c => graft.functions.SketchAggs
+                .hll_agg(LayoutLong.longCol(col(c)), m.hllP)
+                .as(s"hll_$c")))): _*),
         sharded, m.labelCols, m.labelMax,
-        c => labelMeasuresOf(oldZm.schema, c)),
-        sharded, m.distinctCols, m.hllP))(
+        c => labelMeasuresOf(oldZm.schema, c)))(
         (d, c) => d.drop(s"cnt_$c"))
     val both = oldZm.unionByName(batchStats)
+    // ONE merge aggregation: sums and non-null counts are LINEAR (addition
+    // merges them exactly; sum() skips a side's null — an all-null shard —
+    // correctly), windows merge by min/min + max/max, secondary Blooms by
+    // word-OR and distinct-HLLs by register max (the same zip_with
+    // expressions SketchOps' per-sketch mergers run, fused into one pass
+    // instead of one join per artifact) — all bit-identical to a fresh
+    // full build
     val mergedBase = both
       .groupBy(col("shard"))
-      // sums and non-null counts are LINEAR: addition merges them exactly
-      // (sum() skips a side's null — an all-null shard — correctly)
       .agg(min(col("min_v")).as("min_v"),
         (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
           (m.statsCols.flatMap(c => Seq(
@@ -1596,21 +1611,22 @@ object SketchRegistry {
           m.sumCols.flatMap(c => Seq(
             sum(col(s"sum_$c")).as(s"sum_$c"),
             sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
-          keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")))): _*)
-    // secondary Blooms merge by word-OR, exactly like the hash registry's;
-    // label counts add per label (null = bailed poisons); HLL registers
-    // max-merge — all bit-identical to a fresh full build
-    val mergedWithBlooms = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
-      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
-        s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
-    }
-    val mergedWithLabels = m.labelCols.foldLeft(mergedWithBlooms) { (acc, c) =>
+          keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
+          m.sketchCols.map(c =>
+            mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")) ++
+          m.distinctCols.map(c =>
+            mergeMaxRegisters(s"hll_$c", m.hllP).as(s"hll_$c")))): _*)
+    // label counts add per label (null = bailed poisons)
+    val mergedWithLabels = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(mergeShardLabels(both, c, m.labelMax), Seq("shard"))
     }
-    val mergedZoneMap = m.distinctCols.foldLeft(mergedWithLabels) { (acc, c) =>
-      acc.join(SketchOps.hllMergeSketches(both, Seq("shard"),
-        s"hll_$c", m.hllP), Seq("shard"))
-    }
+    // restore the exact column order the join form wrote (labels between
+    // blooms and hlls), so persisted zone maps stay byte-compatible
+    val mergedZoneMap = mergedWithLabels.select(
+      (mergedWithLabels.columns.filterNot(c => c.startsWith("labels_") ||
+          m.distinctCols.exists(d => c == s"hll_$d")) ++
+        m.labelCols.map(c => s"labels_$c") ++
+        m.distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
     val n = 1 << m.shardsLog2
     TableStore.commitStaged(root, Some(ver)) { staging =>
       clusterForWrite(sharded, LayoutLong.longCol(col(m.sortCol)), filesPerShard, n)
@@ -1701,10 +1717,16 @@ object SketchRegistry {
     * Reads the registry only.
     */
   def prunedRangeShards(spark: SparkSession, root: String, lo: Long, hi: Long,
-                        version: Option[Long] = None): Seq[Int] =
-    zoneMap(spark, root, version)
-      .filter(col("max_v") >= lo && col("min_v") <= hi)
-      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+                        version: Option[Long] = None): Seq[Int] = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    // window intersection over the memoized zone-map rows — pure driver
+    // arithmetic, zero Spark jobs after the version's first planning read
+    MetaCache.rows(zoneMap(spark, root, Some(v)), root, v,
+        Seq("shard", "min_v", "max_v"))
+      .collect { case r if r.getLong(2) >= lo && r.getLong(1) <= hi =>
+        r.getInt(0) }.toSeq.sorted
+  }
 
   /** Range read through the zone map: result rows are exactly
     * `TableStore.read(...).filter(sortCol BETWEEN lo AND hi)`'s
@@ -1744,10 +1766,11 @@ object SketchRegistry {
       s"'$c' carries no zone-map stats — commit with statsCols " +
         s"including it (committed: ${m.statsCols.mkString(",")})")
     val v = version.orElse(TableStore.currentVersion(root)).get
-    val shards = zoneMap(spark, root, Some(v))
-      .filter(col(s"min_$c").isNull ||
-        (col(s"max_$c") >= lo && col(s"min_$c") <= hi))
-      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+    val shards = MetaCache.rows(zoneMap(spark, root, Some(v)), root, v,
+        Seq("shard", s"min_$c", s"max_$c"))
+      .collect { case r if r.isNullAt(1) ||
+          (r.getLong(2) >= lo && r.getLong(1) <= hi) => r.getInt(0) }
+      .toSeq.sorted
     shards match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -1772,9 +1795,13 @@ object SketchRegistry {
   def rangeColocatedShards(spark: SparkSession, rootA: String, rootB: String,
                            versionA: Option[Long] = None,
                            versionB: Option[Long] = None): (Seq[Int], Seq[Int]) = {
-    def windows(root: String, v: Option[Long]): Seq[(Int, Long, Long)] =
-      zoneMap(spark, root, v).select(col("shard"), col("min_v"), col("max_v"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    def windows(root: String, version: Option[Long]): Seq[(Int, Long, Long)] = {
+      val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      MetaCache.rows(zoneMap(spark, root, Some(v)), root, v,
+          Seq("shard", "min_v", "max_v"))
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    }
     val wa = windows(rootA, versionA)
     val wb = windows(rootB, versionB)
     def keep(self: Seq[(Int, Long, Long)],
@@ -1870,13 +1897,10 @@ object SketchRegistry {
     val v = version.orElse(TableStore.currentVersion(root)).get
     if (values.isEmpty)
       return TableStore.readVersion(spark, root, v).filter(lit(false))
-    import spark.implicits._
-    val reg = zoneMap(spark, root, Some(v))
-      .select(col("shard"), col(s"bloom_$c").as("bloom"))
-    val shards = SketchOps.bloomMightContain(broadcast(reg),
-        values.toDF("__v"), Nil, "__v", m.bloomBitsLog2, m.bloomK)
-      .filter(col("might_contain")).select(col("shard")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    // literal probe list against registry-sized metadata: admission is
+    // pure driver arithmetic over the memoized rows — zero Spark jobs
+    val shards = MetaCache.admittedShards(zoneMap(spark, root, Some(v)),
+      root, v, s"bloom_$c", values, m.bloomBitsLog2, m.bloomK)
     shards match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))

@@ -66,10 +66,10 @@ object ZOrderStore {
     * [[SketchRegistry.commitRangeSharded]] uses, so oracles replay it
     * identically.
     */
-  private def rankBounds(df: DataFrame, c: String, bits: Int,
-                         subLog2: Int): Seq[Long] = {
+  private def rankBounds(df: DataFrame, colA: String, colB: String,
+                         bits: Int, subLog2: Int): (Seq[Long], Seq[Long]) = {
     val n = 1 << bits
-    if (n == 1) Nil
+    if (n == 1) (Nil, Nil)
     else {
       // absolute domains (epoch timestamps) have tiny RELATIVE spread —
       // unshifted, the log-binned sketch collapses them into one bin and
@@ -77,14 +77,29 @@ object ZOrderStore {
       // single shard. Sketch the MIN-SHIFTED column and shift the picks
       // back: the persisted bound VALUES absorb the shift, so probes,
       // appends, and zone maps never see it.
-      val mnRow = df.agg(min(LayoutLong.longCol(col(c)))).collect().head
-      val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
-      val sk = SketchOps.quantileSketch(
-        df.select((LayoutLong.longCol(col(c)) - mn).as("__s")), Nil, "__s", subLog2)
-      val row = SketchOps.quantilesFromSketches(sk, Nil,
-        (1 until n).map(i => (i, n)), subLog2).collect().head
-      (1 until n).map(i => row.getLong(row.fieldIndex(s"q${i}_$n")) + mn)
-        .distinct.sorted
+      //
+      // BOTH columns share each pass (one min aggregation, one fused
+      // quantile-sketch aggregation — the per-column sketch chain cost
+      // two full input scans per column), and the rank picks replay
+      // driver-side over the collected bins: the same cumulative-count
+      // arithmetic SketchOps.quantilesFromSketches pins, bit-identical
+      // bounds (spec-pinned).
+      val mnRow = df.agg(min(LayoutLong.longCol(col(colA))),
+        min(LayoutLong.longCol(col(colB)))).collect().head
+      val mnA = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
+      val mnB = if (mnRow.isNullAt(1)) 0L else mnRow.getLong(1)
+      val skRow = df.agg(
+        graft.functions.SketchAggs.quantile_agg(
+          LayoutLong.longCol(col(colA)) - mnA, subLog2),
+        graft.functions.SketchAggs.quantile_agg(
+          LayoutLong.longCol(col(colB)) - mnB, subLog2)).collect().head
+      def boundsOf(binSeq: Seq[Long], mn: Long): Seq[Long] = {
+        val bins = binSeq.toArray
+        (1 until n)
+          .map(i => SketchOps.rankPickFromBins(bins, i, n, subLog2) + mn)
+          .distinct.sorted
+      }
+      (boundsOf(skRow.getSeq[Long](0), mnA), boundsOf(skRow.getSeq[Long](1), mnB))
     }
   }
 
@@ -122,8 +137,8 @@ object ZOrderStore {
       m.bitsPerCol)
 
   /** Exact per-shard rectangle + count stats, plus one `bloom_<c>` per
-    * sketch column (via [[SketchRegistry.addShardBlooms]] — the shared
-    * secondary-index builder).
+    * sketch column (the fused [[graft.functions.SketchAggs.bloom_agg]]
+    * beside the stats in ONE aggregation).
     */
   private def zStats(sharded: DataFrame, colA: String, colB: String,
                      sketchCols: Seq[String], bitsLog2: Int,
@@ -134,15 +149,23 @@ object ZOrderStore {
                        _ => Nil): DataFrame = {
     val va = LayoutLong.longCol(col(colA))
     val vb = LayoutLong.longCol(col(colB))
-    SketchRegistry.addShardLabels(SketchRegistry.addShardBlooms(
+    // ONE grouped aggregation builds the rectangles, counts, sums AND the
+    // per-cell secondary Blooms (the join-per-artifact form cost one
+    // aggregation subtree + one per-shard join each; the fused
+    // SketchAggs.bloom_agg is spec-pinned bit-identical — an all-null
+    // shard aggregates to the all-zero filter); labels keep their own
+    // two-level aggregation.
+    SketchRegistry.addShardLabels(
       sharded.groupBy(col("shard")).agg(
         min(va).as("min_a"),
         (max(va).as("max_a") +: min(vb).as("min_b") +:
           max(vb).as("max_b") +: count(lit(1)).as("n_rows") +:
-          sumCols.flatMap(c => Seq(
+          (sumCols.flatMap(c => Seq(
             sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-            count(col(c)).as(s"cnt_$c")))): _*),
-      sharded, sketchCols, bitsLog2, k),
+            count(col(c)).as(s"cnt_$c"))) ++
+          sketchCols.map(c => graft.functions.SketchAggs
+            .bloom_agg(LayoutLong.longCol(col(c)), bitsLog2, k)
+            .as(s"bloom_$c")))): _*),
       sharded, labelCols, labelMax, labelStatsCols)
   }
 
@@ -207,8 +230,7 @@ object ZOrderStore {
       s"bloomBitsLog2 must be in [6, 24], got $bloomBitsLog2 — same " +
         "driver-plannable budget as commitWithSketches' bitsLog2")
     val bits = shardsLog2 / 2
-    val boundsA = rankBounds(df, colA, bits, subLog2)
-    val boundsB = rankBounds(df, colB, bits, subLog2)
+    val (boundsA, boundsB) = rankBounds(df, colA, colB, bits, subLog2)
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
     val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2,
@@ -255,20 +277,21 @@ object ZOrderStore {
       m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
       c => SketchRegistry.labelMeasuresOf(oldZm2.schema, c))
     val both = oldZm2.unionByName(batchStats)
-    // sums and non-null counts are LINEAR: addition merges them exactly
+    // ONE merge aggregation: sums and non-null counts are LINEAR (addition
+    // merges them exactly), rectangles merge by min/min + max/max, and
+    // secondary Blooms by word-OR — the per-artifact merge joins this
+    // replaces cost one aggregation subtree + one per-shard join each
     val mergedBase = both.groupBy(col("shard")).agg(
       min(col("min_a")).as("min_a"),
       (max(col("max_a")).as("max_a") +: min(col("min_b")).as("min_b") +:
         max(col("max_b")).as("max_b") +: sum(col("n_rows")).as("n_rows") +:
-        m.sumCols.flatMap(c => Seq(
+        (m.sumCols.flatMap(c => Seq(
           sum(col(s"sum_$c")).as(s"sum_$c"),
-          sum(col(s"cnt_$c")).as(s"cnt_$c")))): _*)
-    val mergedWithBlooms = m.sketchCols.foldLeft(mergedBase) { (acc, c) =>
-      acc.join(SketchOps.bloomMergeSketches(both, Seq("shard"),
-        s"bloom_$c", m.bloomBitsLog2), Seq("shard"))
-    }
+          sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+        m.sketchCols.map(c => SketchRegistry
+          .mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")))): _*)
     // label counts add per label; a bailed (null) side poisons its shard
-    val mergedZoneMap = m.labelCols.foldLeft(mergedWithBlooms) { (acc, c) =>
+    val mergedZoneMap = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
       acc.join(SketchRegistry.mergeShardLabels(both, c, m.labelMax),
         Seq("shard"))
     }
@@ -485,11 +508,17 @@ object ZOrderStore {
     */
   def prunedBoxShards(spark: SparkSession, root: String,
                       aLo: Long, aHi: Long, bLo: Long, bHi: Long,
-                      version: Option[Long] = None): Seq[Int] =
-    zoneMap2d(spark, root, version)
-      .filter(col("max_a") >= aLo && col("min_a") <= aHi &&
-        col("max_b") >= bLo && col("min_b") <= bHi)
-      .select(col("shard")).collect().map(_.getInt(0)).sorted.toSeq
+                      version: Option[Long] = None): Seq[Int] = {
+    val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    // rectangle intersection over the memoized zone-map rows — pure
+    // driver arithmetic, zero Spark jobs after the version's first read
+    MetaCache.rows(zoneMap2d(spark, root, Some(v)), root, v,
+        Seq("shard", "min_a", "max_a", "min_b", "max_b"))
+      .collect { case r if r.getLong(2) >= aLo && r.getLong(1) <= aHi &&
+          r.getLong(4) >= bLo && r.getLong(3) <= bHi => r.getInt(0) }
+      .toSeq.sorted
+  }
 
   /** 2-D box read through the zone map: result rows are exactly
     * `TableStore.read(...).filter(a BETWEEN … AND b BETWEEN …)`'s (spec-
@@ -533,13 +562,10 @@ object ZOrderStore {
     val v = version.orElse(TableStore.currentVersion(root)).get
     if (values.isEmpty)
       return TableStore.readVersion(spark, root, v).filter(lit(false))
-    import spark.implicits._
-    val reg = zoneMap2d(spark, root, Some(v))
-      .select(col("shard"), col(s"bloom_$c").as("bloom"))
-    val shards = SketchOps.bloomMightContain(broadcast(reg),
-        values.toDF("__v"), Nil, "__v", m.bloomBitsLog2, m.bloomK)
-      .filter(col("might_contain")).select(col("shard")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    // literal probe list against registry-sized metadata: admission is
+    // pure driver arithmetic over the memoized rows — zero Spark jobs
+    val shards = MetaCache.admittedShards(zoneMap2d(spark, root, Some(v)),
+      root, v, s"bloom_$c", values, m.bloomBitsLog2, m.bloomK)
     shards match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -560,13 +586,14 @@ object ZOrderStore {
   def zColocatedShards(spark: SparkSession, rootA: String, rootB: String,
                        versionA: Option[Long] = None,
                        versionB: Option[Long] = None): (Seq[Int], Seq[Int]) = {
-    def rects(root: String, v: Option[Long]): Seq[(Int, Long, Long, Long, Long)] =
-      zoneMap2d(spark, root, v)
-        .select(col("shard"), col("min_a"), col("max_a"),
-          col("min_b"), col("max_b"))
-        .collect()
+    def rects(root: String, version: Option[Long]): Seq[(Int, Long, Long, Long, Long)] = {
+      val v = version.orElse(TableStore.currentVersion(root)).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root"))
+      MetaCache.rows(zoneMap2d(spark, root, Some(v)), root, v,
+          Seq("shard", "min_a", "max_a", "min_b", "max_b"))
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSeq
+    }
     val ra = rects(rootA, versionA)
     val rb = rects(rootB, versionB)
     def keep(self: Seq[(Int, Long, Long, Long, Long)],

@@ -1,0 +1,289 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Single-pass aggregate forms of the engine's sketch builders.
+  *
+  * The DataFrame builders in [[graft.operators.SketchOps]] (bloomSketch /
+  * hllSketch / cmSketch / quantileSketch) each materialize an exploded
+  * intermediate and aggregate it in TWO keyed steps (cells, then the dense
+  * array), so a registry commit that needs Bloom + HLL + CM + counts +
+  * secondary Blooms runs 4+ separate aggregation subtrees over the same
+  * input and joins their per-shard outputs back together — 4+ reads of the
+  * input and a join per artifact, per commit. These
+  * [[TypedImperativeAggregate]]s build the identical dense arrays in ONE
+  * grouped aggregation: every sketch of every column becomes one AGG
+  * EXPRESSION over the same scan, partial-aggregated map-side (the shuffle
+  * carries one buffer per (task, shard), never exploded rows) and merged by
+  * the sketch's own algebra (OR / max / add — order-free, so the result is
+  * bit-identical to the two-step builders; specs pin this).
+  *
+  * Buffers are primitive arrays sized by the sketch parameters — the same
+  * driver-plannable budgets the commit verbs already `require` (a Bloom
+  * buffer is 2^(bitsLog2−6) longs, an HLL buffer 2^p bytes, a CM buffer
+  * depth·2^widthLog2 longs; per aggregation task that is `shards ×
+  * buffer`, the registry's own size, independent of row count). Update
+  * paths use the same [[HashKernels.splitmix64]] kernel the column
+  * expressions compile to, so admission/estimate arithmetic can never
+  * drift from the probe side.
+  */
+object SketchAggs {
+
+  /** One-pass [[graft.operators.SketchOps.bloomSketch]]: 2^bitsLog2-bit
+    * filter of `c` (a BIGINT column already in layout units), bit
+    * positions `splitmix64(x + i) & mask` for i < k, null inputs ignored
+    * (an all-null group yields the all-zero filter).
+    */
+  def bloom_agg(c: Column, bitsLog2: Int, k: Int): Column =
+    ColumnShim.column(
+      BloomAgg(ColumnShim.expression(c), bitsLog2, k).toAggregateExpression())
+
+  /** One-pass [[graft.operators.SketchOps.hllSketch]]: dense 2^p-register
+    * array of `c`'s splitmix64 stream, register-wise max, null inputs
+    * ignored (an all-null group yields all-zero registers — estimate 0).
+    */
+  def hll_agg(c: Column, p: Int): Column =
+    ColumnShim.column(
+      HllAgg(ColumnShim.expression(c), p).toAggregateExpression())
+
+  /** One-pass [[graft.operators.SketchOps.cmSketch]] (unit weights): dense
+    * depth×2^widthLog2 counter array, cell `(i, splitmix64(x+i) mod w)`
+    * += 1, null inputs ignored.
+    */
+  def cm_agg(c: Column, depth: Int, widthLog2: Int): Column =
+    ColumnShim.column(
+      CmAgg(ColumnShim.expression(c), depth, widthLog2).toAggregateExpression())
+
+  /** One-pass [[graft.operators.SketchOps.quantileSketch]] (unit weights):
+    * log-linear bin counts of `c` (non-negative BIGINT, loud otherwise),
+    * bins exact below 2^subLog2 and 2^subLog2 sub-bins per octave above.
+    */
+  def quantile_agg(c: Column, subLog2: Int): Column =
+    ColumnShim.column(
+      QuantileAgg(ColumnShim.expression(c), subLog2).toAggregateExpression())
+
+  private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(a.length * 8)
+    bb.asLongBuffer().put(a)
+    bb.array()
+  }
+
+  private[functions] def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](b.length / 8)
+    ByteBuffer.wrap(b).asLongBuffer().get(out)
+    out
+  }
+}
+
+/** Shared shape: LongType child, primitive-array buffer, non-null dense
+  * array result.
+  */
+sealed trait LongChildSketchAgg[T] extends TypedImperativeAggregate[T]
+    with UnaryLike[Expression] {
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT child, got ${t.simpleString}")
+  }
+}
+
+case class BloomAgg(child: Expression, bitsLog2: Int, k: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends LongChildSketchAgg[Array[Long]] {
+  private val mask = (1L << bitsLog2) - 1
+  private val nWords = 1 << (bitsLog2 - 6)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nWords)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val p = HashKernels.splitmix64(x + i) & mask
+        buf((p >>> 6).toInt) |= 1L << (p & 63L).toInt
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    SketchAggs.longsToBytes(buf)
+  override def deserialize(b: Array[Byte]): Array[Long] =
+    SketchAggs.bytesToLongs(b)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bloom_agg"
+  override def withNewMutableAggBufferOffset(n: Int): BloomAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): BloomAgg =
+    copy(child = c)
+}
+
+case class HllAgg(child: Expression, p: Int,
+                  mutableAggBufferOffset: Int = 0,
+                  inputAggBufferOffset: Int = 0)
+    extends LongChildSketchAgg[Array[Byte]] {
+  private val m = 1 << p
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = HashKernels.splitmix64(v.asInstanceOf[Long])
+      val idx = (h & (m - 1L)).toInt
+      val rem = h >>> p
+      // rank = trailing-zero count + 1 — exactly the builder's
+      // log2(rem & -rem) + 1 (a power of two is exact in double log2)
+      val rank =
+        if (rem == 0L) (64 - p + 1).toByte
+        else (java.lang.Long.numberOfTrailingZeros(rem) + 1).toByte
+      if (rank > buf(idx)) buf(idx) = rank
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(b: Array[Byte]): Array[Byte] = b
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hll_agg"
+  override def withNewMutableAggBufferOffset(n: Int): HllAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): HllAgg =
+    copy(child = c)
+}
+
+case class CmAgg(child: Expression, depth: Int, widthLog2: Int,
+                 mutableAggBufferOffset: Int = 0,
+                 inputAggBufferOffset: Int = 0)
+    extends LongChildSketchAgg[Array[Long]] {
+  private val w = 1 << widthLog2
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < depth) {
+        val c = (HashKernels.splitmix64(x + i) & (w - 1L)).toInt
+        buf(i * w + c) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    SketchAggs.longsToBytes(buf)
+  override def deserialize(b: Array[Byte]): Array[Long] =
+    SketchAggs.bytesToLongs(b)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cm_agg"
+  override def withNewMutableAggBufferOffset(n: Int): CmAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CmAgg =
+    copy(child = c)
+}
+
+case class QuantileAgg(child: Expression, subLog2: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends LongChildSketchAgg[Array[Long]] {
+  private val m = 1 << subLog2
+  private val nBins = (64 - subLog2) * m
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](nBins)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      if (x < 0) throw new IllegalArgumentException(
+        s"quantileSketch requires non-negative values in '${child.sql}'")
+      val b =
+        if (x < m) x.toInt
+        else {
+          val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+          m + (e - subLog2) * m + ((x >>> (e - subLog2)) % m).toInt
+        }
+      buf(b) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    SketchAggs.longsToBytes(buf)
+  override def deserialize(b: Array[Byte]): Array[Long] =
+    SketchAggs.bytesToLongs(b)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_quantile_agg"
+  override def withNewMutableAggBufferOffset(n: Int): QuantileAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): QuantileAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): QuantileAgg =
+    copy(child = c)
+}

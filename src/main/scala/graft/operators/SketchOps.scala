@@ -548,6 +548,35 @@ object SketchOps {
     * q{num}_{den}…) like `lengthQuantiles`. One keyed window over
     * |view|·bins rows — the data is never touched.
     */
+  /** Driver-side replay of ONE [[quantilesFromSketches]] rank pick over a
+    * collected bin array: rank = ⌊(n−1)·num∕den⌋ + 1 over cumulative bin
+    * counts, answer = the lower bound of the first bin reaching it —
+    * bit-identical to the DataFrame form (spec-pinned), so a caller that
+    * already holds a global sketch row (a commit deriving its shard
+    * bounds) pays zero extra Spark jobs. Loud on an empty sketch, like
+    * the DataFrame form's null-pick failure.
+    */
+  def rankPickFromBins(bins: Array[Long], num: Int, den: Int,
+                       subLog2: Int): Long = {
+    val m = 1 << subLog2
+    var nt = 0L
+    var i = 0
+    while (i < bins.length) { nt += bins(i); i += 1 }
+    require(nt > 0, "cannot rank-pick a quantile from an empty sketch")
+    val rank = (nt - 1) * num / den + 1
+    var cum = 0L
+    i = 0
+    while (i < bins.length) {
+      cum += bins(i)
+      if (cum >= rank) {
+        return if (i < m) i.toLong
+        else (m + (i - m) % m).toLong << ((i - m) / m)
+      }
+      i += 1
+    }
+    throw new IllegalStateException("unreachable: rank exceeds total count")
+  }
+
   def quantilesFromSketches(sketches: DataFrame, groupCols: Seq[String],
                             quantiles: Seq[(Int, Int)],
                             subLog2: Int = 5): DataFrame = {
@@ -695,30 +724,50 @@ object SketchOps {
                    depth: Int = 4, widthLog2: Int = 12, p: Int = 12,
                    broadcastMaxRows: Long = 1000000L,
                    hotFactor: Long = JoinOps.autoHotFactor,
-                   hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan =
-    planFromSketchFrames(
-      cmSketch(left, Nil, keyCol, depth, widthLog2),
-      cmSketch(right, Nil, keyCol, depth, widthLog2),
-      hllCardinality(left, Nil, keyCol, p).collect().head.getLong(0),
-      hllCardinality(right, Nil, keyCol, p).collect().head.getLong(0),
-      depth, widthLog2, broadcastMaxRows, hotFactor, hotFloor)
+                   hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan = {
+    // ONE fused aggregation per side (CM + HLL + estimate in the same
+    // job — the separate cmSketch / hllCardinality subtrees cost two
+    // more full scans per side); arrays and estimates are bit-identical
+    // to the two-step builders (SketchAggsSpec)
+    def side(df: DataFrame): (Array[Long], Long) = {
+      val r = df.agg(
+          graft.functions.SketchAggs.cm_agg(col(keyCol).cast("long"),
+            depth, widthLog2).as("cm"),
+          graft.functions.SketchAggs.hll_agg(col(keyCol).cast("long"), p)
+            .as("hll"))
+        .select(col("cm"), hllEstimate(col("hll"), p).as("ndv"))
+        .collect().head
+      (r.getSeq[Long](0).toArray, r.getLong(1))
+    }
+    val (cmL, ndvL) = side(left)
+    val (cmR, ndvR) = side(right)
+    planFromSketchArrays(cmL, cmR, ndvL, ndvR, depth, widthLog2,
+      broadcastMaxRows, hotFactor, hotFloor)
+  }
 
   /** The shared decision core: both planning paths (fresh sketches,
     * persisted registry sketches) feed the SAME arithmetic, and because
     * sketch merges are bit-identical to fresh builds, the two paths
-    * return bit-identical plans on the same data (spec-pinned).
+    * return bit-identical plans on the same data (spec-pinned). The
+    * inner-product join-size estimate still evaluates through
+    * [[cmJoinSizeEstimate]]'s own DECIMAL expression tree — over one-row
+    * LOCAL frames of the collected arrays, so its arithmetic (and its
+    * overflow behavior) can never drift from the DataFrame verb's.
     */
-  private def planFromSketchFrames(cmL: DataFrame, cmR: DataFrame,
+  private def planFromSketchArrays(cmL: Array[Long], cmR: Array[Long],
                                    ndvL: Long, ndvR: Long,
                                    depth: Int, widthLog2: Int,
                                    broadcastMaxRows: Long,
                                    hotFactor: Long,
                                    hotFloor: Long): EquiJoinPlan = {
     val w = 1 << widthLog2
-    val joinSizeEst = cmJoinSizeEstimate(cmL, cmR, Nil, depth, widthLog2)
+    val spark = org.apache.spark.sql.SparkSession.active
+    def local(arr: Array[Long]) =
+      spark.range(1).select(typedlit(arr.toSeq).as("cm"))
+    val joinSizeEst = cmJoinSizeEstimate(local(cmL), local(cmR), Nil,
+        depth, widthLog2)
       .collect().head.getAs[Long]("join_size_est")
-    def stats(cm: DataFrame): (Long, Long) = {
-      val arr = cm.collect().head.getSeq[Long](0)
+    def stats(arr: Array[Long]): (Long, Long) = {
       val n = arr.iterator.take(w).sum // each depth row's cells sum to N
       val fmax = (0 until depth)
         .map(i => arr.iterator.slice(i * w, (i + 1) * w).max).min
@@ -773,17 +822,35 @@ object SketchOps {
       s"registry-only planning requires identical sketch parameters: " +
         s"(cmDepth,cmWidthLog2,hllP) = (${ma.cmDepth},${ma.cmWidthLog2},${ma.hllP}) " +
         s"vs (${mb.cmDepth},${mb.cmWidthLog2},${mb.hllP})")
-    def merged(root: String, v: Option[Long]): (DataFrame, Long) = {
-      val reg = SketchRegistry.registry(spark, root, v)
-      val cm = cmMergeSketches(reg.select(col("cm")), Nil, "cm",
-        ma.cmDepth, ma.cmWidthLog2)
-      val ndv = hllMergeSketches(reg.select(col("hll")), Nil, "hll", ma.hllP)
-        .select(hllEstimate(col("hll"), ma.hllP)).collect().head.getLong(0)
+    // per-shard rows memoize per immutable version (MetaCache); CM merges
+    // by exact element-wise addition and HLL by register max DRIVER-side
+    // (bit-identical to the DataFrame mergers — both are order-free), and
+    // the estimate still evaluates through hllEstimate's own expression
+    // tree over a one-row local frame so the double arithmetic can never
+    // drift from the verb's
+    def merged(root: String, version: Option[Long]): (Array[Long], Long) = {
+      val v = version.orElse(graft.core.TableStore.currentVersion(root)).get
+      val rows = graft.core.MetaCache.rows(
+        SketchRegistry.registry(spark, root, Some(v)), root, v,
+        Seq("shard", "cm", "hll"))
+      val cm = new Array[Long](ma.cmDepth * (1 << ma.cmWidthLog2))
+      val regs = new Array[Int](1 << ma.hllP)
+      rows.foreach { r =>
+        val c = r.getSeq[Long](1)
+        var i = 0
+        while (i < cm.length) { cm(i) += c(i); i += 1 }
+        val h = r.getSeq[Int](2)
+        i = 0
+        while (i < regs.length) { if (h(i) > regs(i)) regs(i) = h(i); i += 1 }
+      }
+      val ndv = spark.range(1)
+        .select(hllEstimate(typedlit(regs.toSeq), ma.hllP).as("e"))
+        .collect().head.getLong(0)
       (cm, ndv)
     }
     val (cmA, ndvA) = merged(rootA, versionA)
     val (cmB, ndvB) = merged(rootB, versionB)
-    planFromSketchFrames(cmA, cmB, ndvA, ndvB, ma.cmDepth, ma.cmWidthLog2,
+    planFromSketchArrays(cmA, cmB, ndvA, ndvB, ma.cmDepth, ma.cmWidthLog2,
       broadcastMaxRows, hotFactor, hotFloor)
   }
 

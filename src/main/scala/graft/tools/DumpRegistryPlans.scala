@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.SketchOps
+
+/** Dev-only: write the BEFORE/AFTER physical plans of the registry-build
+  * aggregation to `plans/r18/` — `runMain graft.tools.DumpRegistryPlans
+  * [sfDir]`. The BEFORE shape is reconstructed from the SketchOps two-step
+  * builders (still present — the IVM/sketch-table verbs keep using them),
+  * joined per shard exactly as `buildRegistryRows` did through round 17;
+  * the AFTER shape is the fused one-aggregation form the commit paths now
+  * run (`graft.functions.SketchAggs`). Both frames evaluate to identical
+  * rows (SketchAggsSpec pins the arrays bit-for-bit).
+  */
+object DumpRegistryPlans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val s = graft.core.GraftSession.get(cores = 32)
+    val out = Paths.get("plans/r18")
+    Files.createDirectories(out)
+
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val n = 8
+    val sharded = docs
+      .withColumn("__kh", xxhash64(col("doc_id")))
+      .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
+        .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+
+    // BEFORE (through r17): one aggregation subtree per artifact, joined
+    val before = SketchOps.bloomSketch(sharded, Seq("shard"), "__kh", 12, 4)
+      .join(SketchOps.hllSketch(sharded, Seq("shard"), "__kh", 12), Seq("shard"))
+      .join(SketchOps.cmSketch(sharded, Seq("shard"), "__kh", 4, 12), Seq("shard"))
+      .join(sharded.groupBy(col("shard")).agg(count(lit(1)).as("n_rows")),
+        Seq("shard"))
+
+    // AFTER (r18): every artifact as one agg expression over one scan
+    val after = sharded.groupBy(col("shard")).agg(
+      graft.functions.SketchAggs.bloom_agg(col("__kh"), 12, 4).as("bloom"),
+      graft.functions.SketchAggs.hll_agg(col("__kh"), 12).as("hll"),
+      graft.functions.SketchAggs.cm_agg(col("__kh"), 4, 12).as("cm"),
+      count(lit(1)).as("n_rows"))
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.write(out.resolve(name), plan.getBytes(StandardCharsets.UTF_8))
+      println(s"wrote plans/r18/$name (${plan.linesIterator.size} lines)")
+    }
+    dump("registry_build_before.txt", before)
+    dump("registry_build_after.txt", after)
+
+    val nEx = (p: String) => Files.readAllLines(out.resolve(p)).stream()
+      .filter(l => l.contains("Exchange")).count()
+    println(s"Exchange count: before=${nEx("registry_build_before.txt")} " +
+      s"after=${nEx("registry_build_after.txt")}")
+    s.stop()
+  }
+}

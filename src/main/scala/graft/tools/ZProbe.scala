@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Dev-only substep breakdown of the q228-shape Z-order commit + keyed
+  * change batch: `runMain graft.tools.ZProbe [sfDir] [reps]`.
+  */
+object ZProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val s = graft.core.GraftSession.get(cores = 32)
+    import s.implicits._
+
+    def li = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      col("l_quantity").cast("long").as("qty"),
+      col("l_partkey").as("pk"))
+
+    def t(label: String)(body: => Any): Unit =
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        body
+        println(f"[zprobe] $label%-30s rep$i ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        graft.GraftEngine.releaseCaches()
+      }
+
+    t("scan only")(li.count())
+    t("commitZOrdered") {
+      val root = java.nio.file.Files.createTempDirectory("zp_c").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"),
+        bloomBitsLog2 = 12)
+    }
+    t("commit (no blooms)") {
+      val root = java.nio.file.Files.createTempDirectory("zp_nb").toString
+      graft.core.ZOrderStore.commitZOrdered(li, root, "qty", "pk",
+        shardsLog2 = 4, subLog2 = 5)
+    }
+    val root0 = java.nio.file.Files.createTempDirectory("zp_u").toString
+    graft.core.ZOrderStore.commitZOrdered(li, root0, "qty", "pk",
+      shardsLog2 = 4, subLog2 = 5, sketchCols = Seq("id"),
+      bloomBitsLog2 = 12)
+    t("applyChanges only") {
+      val ups = li.filter(col("id") % 97 === 0)
+        .select(col("id"), (col("qty") + 100L).as("qty"), col("pk"))
+        .unionByName((0 until 20).map(i =>
+          (900000000L + i, 7L + i, 42L + i)).toDF("id", "qty", "pk"))
+      val dels = li.filter(col("id") % 89 === 1).select(col("id"))
+      graft.core.ZOrderStore.applyChangesZOrdered(s, root0, "id", ups, dels)
+    }
+    s.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTest
+import graft.operators.SketchOps
+
+/** The fused one-pass sketch aggregates must be BIT-IDENTICAL to the
+  * two-step exploded builders they replaced in the commit paths — the
+  * registries they write are compared across versions (append merge ==
+  * fresh build) and replayed by oracles, so "approximately equal" is not a
+  * thing here.
+  */
+class SketchAggsSpec extends AnyFunSuite with SparkTest {
+
+  import spark.implicits._
+
+  // mixed magnitudes, duplicates, and nulls — every branch of the bin /
+  // register / word arithmetic
+  private def values: Seq[(Int, java.lang.Long)] =
+    (0L until 500L).map(i => ((i % 3).toInt,
+      java.lang.Long.valueOf(i * i * 31 + (i % 7)))) ++
+      Seq((0, null: java.lang.Long), (1, null: java.lang.Long),
+        (2, java.lang.Long.valueOf(0L)), (2, java.lang.Long.valueOf(1L))) ++
+      (0L until 50L).map(i => (2, java.lang.Long.valueOf(i))) // dups
+
+  private lazy val df = values.toDF("g", "x")
+
+  test("bloom_agg equals bloomSketch bit-for-bit") {
+    val bitsLog2 = 10
+    val k = 4
+    val fused = df.groupBy($"g")
+      .agg(SketchAggs.bloom_agg($"x", bitsLog2, k).as("bloom"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val twoStep = SketchOps.bloomSketch(df, Seq("g"), "x", bitsLog2, k)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == twoStep.keySet)
+    twoStep.foreach { case (g, words) => assert(fused(g) == words, s"group $g") }
+  }
+
+  test("bloom_agg of an all-null group is the all-zero filter") {
+    val allNull = Seq((0, null: java.lang.Long)).toDF("g", "x")
+    val words = allNull.groupBy($"g")
+      .agg(SketchAggs.bloom_agg($"x", 8, 3).as("bloom"))
+      .collect().head.getSeq[Long](1)
+    assert(words == Seq.fill(1 << (8 - 6))(0L))
+  }
+
+  test("hll_agg equals hllSketch bit-for-bit") {
+    val p = 9
+    val fused = df.groupBy($"g")
+      .agg(SketchAggs.hll_agg($"x", p).as("hll"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    val twoStep = SketchOps.hllSketch(df, Seq("g"), "x", p)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(fused.keySet == twoStep.keySet)
+    twoStep.foreach { case (g, regs) => assert(fused(g) == regs, s"group $g") }
+  }
+
+  test("cm_agg equals cmSketch bit-for-bit") {
+    val (depth, widthLog2) = (4, 8)
+    val fused = df.groupBy($"g")
+      .agg(SketchAggs.cm_agg($"x", depth, widthLog2).as("cm"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val twoStep = SketchOps.cmSketch(df, Seq("g"), "x", depth, widthLog2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == twoStep.keySet)
+    twoStep.foreach { case (g, cells) => assert(fused(g) == cells, s"group $g") }
+  }
+
+  test("quantile_agg equals quantileSketch bit-for-bit") {
+    val subLog2 = 5
+    val fused = df.groupBy($"g")
+      .agg(SketchAggs.quantile_agg($"x", subLog2).as("qsk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val twoStep = SketchOps.quantileSketch(df, Seq("g"), "x", subLog2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet == twoStep.keySet)
+    twoStep.foreach { case (g, bins) => assert(fused(g) == bins, s"group $g") }
+  }
+
+  test("rankPickFromBins equals quantilesFromSketches on every pick") {
+    val subLog2 = 5
+    val data = df.filter($"x".isNotNull).select($"x")
+    val sk = SketchOps.quantileSketch(data, Nil, "x", subLog2)
+    val picks = Seq((1, 8), (1, 4), (1, 2), (3, 4), (7, 8))
+    val row = SketchOps.quantilesFromSketches(sk, Nil, picks, subLog2)
+      .collect().head
+    val bins = sk.collect().head.getSeq[Long](0).toArray
+    picks.foreach { case (num, den) =>
+      assert(SketchOps.rankPickFromBins(bins, num, den, subLog2) ==
+        row.getLong(row.fieldIndex(s"q${num}_$den")), s"q$num/$den")
+    }
+  }
+
+  test("quantile_agg rejects negative values loudly") {
+    val neg = Seq((0, java.lang.Long.valueOf(-3L))).toDF("g", "x")
+    val e = intercept[Exception] {
+      neg.groupBy($"g").agg(SketchAggs.quantile_agg($"x", 5)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
