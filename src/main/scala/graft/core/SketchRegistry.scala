@@ -963,11 +963,17 @@ object SketchRegistry {
     def shardOf(cols: Seq[org.apache.spark.sql.Column]) =
       graft.functions.GraftFunctions.splitmix64(hashOf(cols))
         .bitwiseAND(lit((n - 1).toLong)).cast("int")
+    // persisted for the verb's own lifetime (unpersisted in the finally
+    // below — every consumer materializes inside this call): the key set
+    // is re-evaluated by the touched-shard collect, the anti-join
+    // broadcast under the data write, AND the anti-join under the
+    // registry rebuild — without the persist each re-derives it from
+    // full scans of the change inputs
     val changedKeys = upserts
       .select(kc.zipWithIndex.map { case (c, i) => col(c).as(s"__k$i") }: _*)
       .union(deleteKeys.select(deleteKeys.columns.toSeq.zipWithIndex
         .map { case (c, i) => col(c).as(s"__k$i") }: _*))
-      .distinct()
+      .distinct().persist()
     val touched = changedKeys
       .select(shardOf(kc.indices.map(i => col(s"__k$i"))).as("shard"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
@@ -982,10 +988,12 @@ object SketchRegistry {
         .parquet(oldTouchedDirs.map(s => s"$root/v_$v/shard=$s"): _*)
     val antiCond = kc.zipWithIndex
       .map { case (c, i) => col(c) === col(s"__k$i") }.reduce(_ && _)
+    // persisted: the rebuilt touched-shard rows feed BOTH the data write
+    // and the registry rebuild — one evaluation instead of two
     val newTouched = oldTouched
       .join(broadcast(changedKeys), antiCond, "left_anti")
       .unionByName(upserts.withColumn("shard", shardOf(kc.map(col))))
-      .withColumn("__kh", keyHashExprM(m))
+      .withColumn("__kh", keyHashExprM(m)).persist()
     val oldReg = registry(spark, root, Some(v))
     // align to the OLD registry's schema: a pre-auto-count store lacks
     // cnt_<c> for statsCols-only columns, so the rebuilt shard rows drop
@@ -997,7 +1005,7 @@ object SketchRegistry {
         m.sumCols, m.statsCols, m.labelCols, m.labelMax,
         c => labelMeasuresOf(oldReg.schema, c)))((d, c) => d.drop(s"cnt_$c"))
     val carried = oldReg.filter(!col("shard").isin(touched: _*))
-    TableStore.commitStaged(root, Some(v)) { staging =>
+    try TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(newTouched, col("__kh"), filesPerShard, 1 << m.shardsLog2)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
@@ -1012,6 +1020,9 @@ object SketchRegistry {
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
       carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
+    } finally {
+      newTouched.unpersist(blocking = false)
+      changedKeys.unpersist(blocking = false)
     }
   }
 
@@ -1043,10 +1054,14 @@ object SketchRegistry {
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, v), "append rows")
     val n = 1 << m.shardsLog2
+    // persisted for the verb's own lifetime (unpersisted in the finally
+    // below): the batch feeds BOTH its registry aggregation and the data
+    // write — one evaluation of the batch instead of two
     val sharded = rows
       .withColumn("__kh", keyHashExprM(m))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
+      .persist()
     val old = registry(spark, root, Some(v))
     // statsCols non-null counts (cnt_<c>) merge additively like the
     // sumCols counts — but a registry committed BEFORE the auto-count
@@ -1087,7 +1102,7 @@ object SketchRegistry {
       (acc, c) => acc.join(mergeShardLabels(both, c, m.labelMax),
         Seq("shard"))
     }
-    TableStore.commitStaged(root, Some(v)) { staging =>
+    try TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
@@ -1102,7 +1117,7 @@ object SketchRegistry {
         staging.resolve("_sketches_meta"))
       carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
       stagingExtra(staging)
-    }
+    } finally sharded.unpersist(blocking = false)
   }
 
   /** Carry an optional underscore-metadata file (e.g. the streaming
@@ -1561,7 +1576,11 @@ object SketchRegistry {
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
     val v = LayoutLong.longCol(col(m.sortCol))
+    // persisted for the verb's own lifetime (unpersisted in the finally
+    // below): the batch feeds BOTH its stats aggregation and the data
+    // write — one evaluation of the batch instead of two
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
+      .persist()
     val oldZm = zoneMap(spark, root, Some(ver))
     // statsCols non-null counts merge additively; a zone map committed
     // BEFORE the auto-count lacks the column, so the batch side drops it
@@ -1628,7 +1647,7 @@ object SketchRegistry {
         m.labelCols.map(c => s"labels_$c") ++
         m.distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
     val n = 1 << m.shardsLog2
-    TableStore.commitStaged(root, Some(ver)) { staging =>
+    try TableStore.commitStaged(root, Some(ver)) { staging =>
       clusterForWrite(sharded, LayoutLong.longCol(col(m.sortCol)), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
@@ -1643,7 +1662,7 @@ object SketchRegistry {
         staging.resolve("_zonemap_meta"))
       carryIfPresent(Paths.get(root, s"v_$ver"), staging, "_ingest_progress")
       stagingExtra(staging)
-    }
+    } finally sharded.unpersist(blocking = false)
   }
 
   /** The persisted range-layout parameters of `root`'s committed (or

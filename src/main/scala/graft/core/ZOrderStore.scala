@@ -269,7 +269,10 @@ object ZOrderStore {
     val m = zMeta(root, Some(ver))
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
-    val sharded = rows.withColumn("shard", shardColOf(m))
+    // persisted for the verb's own lifetime (unpersisted in the finally
+    // below): the batch feeds BOTH its stats aggregation and the data
+    // write — one evaluation of the batch instead of two
+    val sharded = rows.withColumn("shard", shardColOf(m)).persist()
     val oldZm2 = zoneMap2d(spark, root, Some(ver))
     // per-label measures mirror the OLD struct schema exactly, so
     // unionByName lines up and the merge equals a fresh full build
@@ -296,7 +299,7 @@ object ZOrderStore {
         Seq("shard"))
     }
     val n = 1 << (2 * m.bitsPerCol)
-    TableStore.commitStaged(root, Some(ver)) { staging =>
+    try TableStore.commitStaged(root, Some(ver)) { staging =>
       sharded.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
         .write.mode("overwrite").partitionBy("shard")
@@ -312,7 +315,7 @@ object ZOrderStore {
       SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
         "_ingest_progress")
       stagingExtra(staging)
-    }
+    } finally sharded.unpersist(blocking = false)
   }
 
   /** Keyed UPSERT/DELETE against a Z-order-sharded table that rewrites and
@@ -348,9 +351,15 @@ object ZOrderStore {
         s"${m.sketchCols.mkString(",")})")
     TableStore.requireSameDataSchema(upserts,
       TableStore.readVersion(spark, root, ver), "upserts")
+    // persisted for the verb's own lifetime (unpersisted in the finally
+    // below — every consumer materializes inside this call): the key set
+    // is re-evaluated by the Bloom probe, the anti-join broadcast under
+    // the data write, AND the anti-join under the stats aggregation —
+    // without the persist each re-derives it from full scans of the
+    // change inputs
     val changedKeys = upserts.select(LayoutLong.longCol(col(keyCol)).as("__k"))
       .union(deleteKeys.select(LayoutLong.longCol(col(deleteKeys.columns.head)).as("__k")))
-      .distinct()
+      .distinct().persist()
     // cells that might hold an OLD row of a changed key: Bloom admission
     // runs distributed against the broadcast zone map; only cell ids collect
     val reg = zoneMap2d(spark, root, Some(ver))
@@ -373,17 +382,20 @@ object ZOrderStore {
         TableStore.readVersion(spark, root, ver).filter(lit(false))
       else spark.read.option("basePath", s"$root/v_$ver")
         .parquet(oldTouchedDirs.map(s => s"$root/v_$ver/shard=$s"): _*)
+    // persisted: the rebuilt touched-cell rows feed BOTH the data write
+    // and the stats aggregation — one evaluation of the anti-join ∪ batch
+    // instead of two
     val newTouched = oldTouched
       .join(broadcast(changedKeys), LayoutLong.longCol(col(keyCol)) === col("__k"),
         "left_anti")
-      .unionByName(upserts.withColumn("shard", shardColOf(m)))
+      .unionByName(upserts.withColumn("shard", shardColOf(m))).persist()
     val oldZmU = zoneMap2d(spark, root, Some(ver))
     val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
       m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
       c => SketchRegistry.labelMeasuresOf(oldZmU.schema, c))
     val carried = oldZmU
       .filter(!col("shard").isin(touched: _*))
-    TableStore.commitStaged(root, Some(ver)) { staging =>
+    try TableStore.commitStaged(root, Some(ver)) { staging =>
       newTouched.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
         .write.mode("overwrite").partitionBy("shard")
@@ -399,6 +411,9 @@ object ZOrderStore {
         staging.resolve("_zonemap2d_meta"))
       SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
         "_ingest_progress")
+    } finally {
+      newTouched.unpersist(blocking = false)
+      changedKeys.unpersist(blocking = false)
     }
   }
 
