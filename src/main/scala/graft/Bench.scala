@@ -10,11 +10,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // engine requirement, not a bench tweak: the fused sketch
-      // aggregations run in ObjectHashAggregateExec and a 256-shard
-      // commit must not fall back to sort-based aggregation at the
-      // default 128-group threshold (see GraftSession for the bound)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up at the smallest sibling SF of the benchmarked dir: first-run

@@ -17,13 +17,6 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // the fused sketch aggregations (graft.functions.SketchAggs) run in
-      // ObjectHashAggregateExec; the default 128-group fallback flips a
-      // 256-shard commit to sort-based aggregation (an extra full sort of
-      // the input per commit). Shard counts are commit-time-bounded at
-      // 2^12 and each buffer is registry-sized, so the hash map stays
-      // small at ANY data scale — scale-independent, not a local tweak.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
