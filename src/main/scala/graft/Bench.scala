@@ -95,6 +95,14 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // The full per-query line above outgrew bounded stdout-tail captures at
+    // 268 queries (~10 KB — a 2 KB tail saw a truncated, unparseable line
+    // both rounds of r18's perf comparison). ALSO print a compact (<1 KB)
+    // summary as the LAST stdout line so any tail capture ends with a
+    // parseable record; the per-query map stays in the full line above and
+    // in $SPARK_GRAFT_BENCH_FILE. Additions only — methodology unchanged.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","jvm":"$jvm","passes":2,"agg":"min","n_queries":${results.size},"pass_totals":$passTotals,"env":$env,"failed":$failedJson,"cpus":"$cpus","sf":"$sfDir","detail":"$outFile"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -586,9 +586,20 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
 
   /** Versioned snapshots are immutable, so a (root, version, column,
     * shard subset) estimate never changes — memoized across queries.
+    * The shard subset enters the key as a fixed-size MD5 digest, not the
+    * joined id list: a wide store's admitted-shard lists are unbounded
+    * key material (thousands of ids per entry) where the digest is 32
+    * chars regardless.
     */
   private val ndvCache = new graft.util.LruCache[
     (String, Long, String, String), Long](256)
+
+  private def shardSetDigest(shards: Seq[Int]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4 * shards.length)
+    shards.foreach(buf.putInt)
+    md.digest(buf.array()).map("%02x".format(_)).mkString
+  }
 
   /** The merged-HLL distinct estimate of `c` over `shards` — registers
     * max-merge driver-side (each array is 2^p ints off the registry; no
@@ -619,7 +630,7 @@ object MetadataAggCollapse extends Rule[LogicalPlan] {
                         shards: Seq[Int]): Option[Long] =
     idx.hllRegistersFor(c).map { case (regs, p) =>
       ndvCache.getOrElseUpdate(
-        (idx.tableRoot, idx.tableVersion, c, shards.mkString(","))) {
+        (idx.tableRoot, idx.tableVersion, c, shardSetDigest(shards))) {
         val m = 1 << p
         val merged = new Array[Int](m)
         shards.foreach { s =>

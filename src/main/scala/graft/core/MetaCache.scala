@@ -39,6 +39,16 @@ object MetaCache {
     */
   def clear(): Unit = cache.clear()
 
+  /** Drop every memoized projection of `root` — called by
+    * [[TableStore.commitStaged]] on every successful commit, which closes
+    * the staleness edge structurally: a root deleted and re-created at the
+    * same path restarts version numbering, so without invalidation the
+    * (root, version) key of the NEW incarnation would silently serve the
+    * OLD store's rows. Entries for still-on-disk versions re-collect on
+    * next use (registry-sized reads — planning cost, never data).
+    */
+  def invalidateRoot(root: String): Unit = cache.removeIf(_._1 == root)
+
   /** Number of memoized projections (for tests). */
   def size: Int = cache.size
 

@@ -165,6 +165,34 @@ object SketchRegistry {
         hashBasis + lit(0x517cc1b7L)), lit(filesPerShard.toLong)))
   }
 
+  /** The just-written staged shard data of a commit, read back for the
+    * stats aggregation — the single-evaluation commit shape (guide §8
+    * "decide with small rows, move big rows once", adapted to commits:
+    * the input pipeline evaluates ONCE, in the clustered data write; the
+    * registry/zone-map then derives from a column-pruned columnar read
+    * of what was just written, never from a second evaluation of the
+    * source). Must be called AFTER the staged data write and BEFORE any
+    * old-version files are hard-linked into `staging` — the parquet
+    * FileIndex lists files eagerly at read time, so the frame sees
+    * exactly the fresh write (maintenance verbs rely on this: the batch
+    * stats must not include linked-in old rows). Sketch/stat aggregations
+    * are order-free and parquet round-trips values exactly, so the
+    * derived registry is bit-identical to one aggregated from the source.
+    * Falls back to an empty frame with `fallback`'s schema when the write
+    * produced no shard directory (empty input).
+    */
+  private[core] def readStaged(spark: SparkSession,
+                               staging: java.nio.file.Path,
+                               fallback: DataFrame): DataFrame = {
+    val listing = Files.list(staging)
+    val hasShardDir =
+      try listing.anyMatch(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("shard="))
+      finally listing.close()
+    if (hasShardDir) spark.read.parquet(staging.toString)
+    else fallback.filter(lit(false))
+  }
+
   /** One registry row per non-empty shard: the key column's Bloom + HLL +
     * CM + row count, plus one `bloom_<c>` secondary Bloom per `sketchCols`
     * entry — equality data-skipping on NON-layout columns, the lakehouse
@@ -306,14 +334,19 @@ object SketchRegistry {
       .withColumn("__kh", keyHashExpr(keyIsString, col(keyCol)))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols,
-      labelCols, labelMax, _ => labelStatsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // ONE evaluation of the commit input: the registry aggregates over
+      // the just-written staged parquet (pruned to the registry's input
+      // columns), not a second evaluation of the source — see readStaged
+      val written = readStaged(df.sparkSession, staging, sharded.drop("__kh"))
+        .withColumn("__kh", keyHashExpr(keyIsString, col(keyCol)))
+      val registry = buildRegistryRows(written, "__kh", bitsLog2, k, hllP,
+        sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols,
+        labelCols, labelMax, _ => labelStatsCols)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
@@ -405,13 +438,16 @@ object SketchRegistry {
       .withColumn("__kh", keyHashExprM(m))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-    val registry = buildRegistryRows(sharded, "__kh", bitsLog2, k, hllP,
-      sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation commit: registry from the staged write (readStaged)
+      val written = readStaged(df.sparkSession, staging, sharded.drop("__kh"))
+        .withColumn("__kh", keyHashExprM(m))
+      val registry = buildRegistryRows(written, "__kh", bitsLog2, k, hllP,
+        sketchCols, cmDepth, cmWidthLog2, sumCols, statsCols)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_sketches").toString)
       Files.write(staging.resolve("_sketches_meta"),
@@ -578,7 +614,7 @@ object SketchRegistry {
 
   private def prunedShardsByHash(spark: SparkSession, root: String, m: Meta,
                                  version: Option[Long], hash: Long): Seq[Int] = {
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val shard = (graft.functions.HashKernels.splitmix64(hash)
       & ((1L << m.shardsLog2) - 1)).toInt
     // the registry rows memoize per immutable version (MetaCache): a
@@ -614,7 +650,7 @@ object SketchRegistry {
     require(!m.isComposite,
       s"'${m.keyCol}' is a COMPOSITE key — probe with all components " +
         "(lookupManyWithSketchesKeys)")
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val n = 1 << m.shardsLog2
     // probes carry BOTH the layout hash (shard + Bloom admission) and the
     // ORIGINAL value (the final exact semi-join, which kills Bloom false
@@ -660,7 +696,7 @@ object SketchRegistry {
     require(probeKeyCols.size == m.keyCols.size,
       s"expected ${m.keyCols.size} probe columns (${m.keyCol}), got " +
         probeKeyCols.mkString(","))
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val n = 1 << m.shardsLog2
     val orig = probeKeyCols.zipWithIndex.map { case (c, i) =>
       col(c).as(s"__orig$i") }
@@ -808,8 +844,8 @@ object SketchRegistry {
     require(ma.keyKind == mb.keyKind,
       s"co-located join requires the same key kind, got " +
         s"${ma.keyKind}-keyed '$rootA' vs ${mb.keyKind}-keyed '$rootB'")
-    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
-    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val va = TableStore.resolveVersion(rootA, versionA)
+    val vb = TableStore.resolveVersion(rootB, versionB)
     // registry rows memoize per immutable version; the word-AND proof is
     // pure driver arithmetic over ≤ 2^shardsLog2 filter pairs
     def words(root: String, v: Long): Map[Int, Array[Long]] =
@@ -847,8 +883,8 @@ object SketchRegistry {
     require(ma.keyCol == mb.keyCol,
       s"co-located join requires the same key column, got " +
         s"'${ma.keyCol}' vs '${mb.keyCol}'")
-    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
-    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val va = TableStore.resolveVersion(rootA, versionA)
+    val vb = TableStore.resolveVersion(rootB, versionB)
     val shards = joinPrunedShards(spark, rootA, rootB, Some(va), Some(vb))
     def side(root: String, v: Long) = shards match {
       case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -879,7 +915,7 @@ object SketchRegistry {
       s"'$c' carries no secondary Bloom — commit with sketchCols " +
         s"including it (committed: ${m.sketchCols.mkString(",")})")
     if (values.isEmpty) return Nil
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     // literal probe list against registry-sized metadata: admission is
     // pure driver arithmetic over the memoized rows — zero Spark jobs
     MetaCache.admittedShards(registry(spark, root, Some(v)), root, v,
@@ -898,7 +934,7 @@ object SketchRegistry {
                           values: Seq[Long],
                           version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     prunedShardsBy(spark, root, c, values, Some(v)) match {
       case Nil =>
         TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -988,42 +1024,44 @@ object SketchRegistry {
         .parquet(oldTouchedDirs.map(s => s"$root/v_$v/shard=$s"): _*)
     val antiCond = kc.zipWithIndex
       .map { case (c, i) => col(c) === col(s"__k$i") }.reduce(_ && _)
-    // persisted: the rebuilt touched-shard rows feed BOTH the data write
-    // and the registry rebuild — one evaluation instead of two
     val newTouched = oldTouched
       .join(broadcast(changedKeys), antiCond, "left_anti")
       .unionByName(upserts.withColumn("shard", shardOf(kc.map(col))))
-      .withColumn("__kh", keyHashExprM(m)).persist()
+      .withColumn("__kh", keyHashExprM(m))
     val oldReg = registry(spark, root, Some(v))
-    // align to the OLD registry's schema: a pre-auto-count store lacks
-    // cnt_<c> for statsCols-only columns, so the rebuilt shard rows drop
-    // theirs (the store keeps its format until a re-commit migrates it)
-    val touchedRegistry = m.statsCols.filterNot(m.sumCols.contains)
-      .filterNot(c => oldReg.columns.contains(s"cnt_$c"))
-      .foldLeft(buildRegistryRows(newTouched, "__kh",
-        m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
-        m.sumCols, m.statsCols, m.labelCols, m.labelMax,
-        c => labelMeasuresOf(oldReg.schema, c)))((d, c) => d.drop(s"cnt_$c"))
     val carried = oldReg.filter(!col("shard").isin(touched: _*))
     try TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(newTouched, col("__kh"), filesPerShard, 1 << m.shardsLog2)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation upsert: the rebuilt touched-shard rows evaluate
+      // ONCE (the write — anti-join ∪ batch); their registry aggregates
+      // over the staged files read back BEFORE untouched shards link in
+      // (readStaged), replacing the r18 persist of the rebuilt frame —
+      // at scale the touched slice never pins in the block manager.
+      // align to the OLD registry's schema: a pre-auto-count store lacks
+      // cnt_<c> for statsCols-only columns, so the rebuilt shard rows drop
+      // theirs (the store keeps its format until a re-commit migrates it)
+      val written = readStaged(spark, staging, newTouched.drop("__kh"))
+        .withColumn("__kh", keyHashExprM(m))
+      val touchedRegistry = m.statsCols.filterNot(m.sumCols.contains)
+        .filterNot(c => oldReg.columns.contains(s"cnt_$c"))
+        .foldLeft(buildRegistryRows(written, "__kh",
+          m.bitsLog2, m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2,
+          m.sumCols, m.statsCols, m.labelCols, m.labelMax,
+          c => labelMeasuresOf(oldReg.schema, c)))((d, c) => d.drop(s"cnt_$c"))
+      carried.unionByName(touchedRegistry).coalesce(1)
+        .write.mode("overwrite").parquet(staging.resolve("_sketches").toString)
       existingDirs.filterNot(touched.contains).foreach { s =>
         val src = Paths.get(root, s"v_$v", s"shard=$s")
         val dst = staging.resolve(s"shard=$s")
         linkShardDir(src, dst)
       }
-      carried.unionByName(touchedRegistry).coalesce(1)
-        .write.mode("overwrite").parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
       carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
-    } finally {
-      newTouched.unpersist(blocking = false)
-      changedKeys.unpersist(blocking = false)
-    }
+    } finally changedKeys.unpersist(blocking = false)
   }
 
   /** See [[TableStore.linkDirInto]] — the shared link-only carryover. */
@@ -1054,14 +1092,10 @@ object SketchRegistry {
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, v), "append rows")
     val n = 1 << m.shardsLog2
-    // persisted for the verb's own lifetime (unpersisted in the finally
-    // below): the batch feeds BOTH its registry aggregation and the data
-    // write — one evaluation of the batch instead of two
     val sharded = rows
       .withColumn("__kh", keyHashExprM(m))
       .withColumn("shard", graft.functions.GraftFunctions.splitmix64(col("__kh"))
         .bitwiseAND(lit((n - 1).toLong)).cast("int"))
-      .persist()
     val old = registry(spark, root, Some(v))
     // statsCols non-null counts (cnt_<c>) merge additively like the
     // sumCols counts — but a registry committed BEFORE the auto-count
@@ -1069,55 +1103,61 @@ object SketchRegistry {
     // its old (proof-free) format until a re-commit migrates it
     val autoCnt = m.statsCols.filterNot(m.sumCols.contains)
     val keptCnt = autoCnt.filter(c => old.columns.contains(s"cnt_$c"))
-    val batchRegistry = autoCnt.filterNot(keptCnt.contains)
-      .foldLeft(buildRegistryRows(sharded, "__kh", m.bitsLog2,
-        m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
-        m.statsCols, m.labelCols, m.labelMax,
-        c => labelMeasuresOf(old.schema, c)))((d, c) => d.drop(s"cnt_$c"))
-    val both = old.unionByName(batchRegistry)
-    // ONE merge aggregation for every linear/latticed artifact: Bloom bits
-    // OR, HLL registers max, CM counters ADD (exact — bit-identical to
-    // re-sketching the unioned data), sums and non-null counts add
-    // (sum() skips an all-null side correctly), statsCols windows merge
-    // by min/min and max/max. The per-artifact merge joins this replaces
-    // cost one aggregation subtree + one per-shard join each.
-    val mergedBase = both.groupBy(col("shard")).agg(
-      mergeOrWords("bloom", m.bitsLog2).as("bloom"),
-      (mergeMaxRegisters("hll", m.hllP).as("hll") +:
-        mergeAddCells("cm", m.cmDepth * (1 << m.cmWidthLog2)).as("cm") +:
-        sum(col("n_rows")).as("n_rows") +:
-        (m.sumCols.flatMap(c => Seq(
-          sum(col(s"sum_$c")).as(s"sum_$c"),
-          sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
-        m.statsCols.flatMap(c => Seq(
-          min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c"))) ++
-        keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
-        m.sketchCols.map(c =>
-          mergeOrWords(s"bloom_$c", m.bitsLog2).as(s"bloom_$c")))): _*)
-    val mergedWithBloomCols = mergedBase
-    // label counts (and measure stats) add per label; a bailed side
-    // poisons its shard — identical to a fresh full build
-    val mergedRegistry = m.labelCols.foldLeft(mergedWithBloomCols) {
-      (acc, c) => acc.join(mergeShardLabels(both, c, m.labelMax),
-        Seq("shard"))
-    }
-    try TableStore.commitStaged(root, Some(v)) { staging =>
+    TableStore.commitStaged(root, Some(v)) { staging =>
       clusterForWrite(sharded, col("__kh"), filesPerShard, n)
         .drop("__kh")
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation append: the batch evaluates ONCE (the write);
+      // its registry aggregates over the staged files read back BEFORE
+      // the old version's files are linked in (readStaged), replacing the
+      // r18 persist of the batch frame — nothing is pinned in the block
+      // manager and the aggregation reads only the registry's columns
+      val written = readStaged(spark, staging, sharded.drop("__kh"))
+        .withColumn("__kh", keyHashExprM(m))
+      val batchRegistry = autoCnt.filterNot(keptCnt.contains)
+        .foldLeft(buildRegistryRows(written, "__kh", m.bitsLog2,
+          m.k, m.hllP, m.sketchCols, m.cmDepth, m.cmWidthLog2, m.sumCols,
+          m.statsCols, m.labelCols, m.labelMax,
+          c => labelMeasuresOf(old.schema, c)))((d, c) => d.drop(s"cnt_$c"))
+      val both = old.unionByName(batchRegistry)
+      // ONE merge aggregation for every linear/latticed artifact: Bloom bits
+      // OR, HLL registers max, CM counters ADD (exact — bit-identical to
+      // re-sketching the unioned data), sums and non-null counts add
+      // (sum() skips an all-null side correctly), statsCols windows merge
+      // by min/min and max/max. The per-artifact merge joins this replaces
+      // cost one aggregation subtree + one per-shard join each.
+      val mergedBase = both.groupBy(col("shard")).agg(
+        mergeOrWords("bloom", m.bitsLog2).as("bloom"),
+        (mergeMaxRegisters("hll", m.hllP).as("hll") +:
+          mergeAddCells("cm", m.cmDepth * (1 << m.cmWidthLog2)).as("cm") +:
+          sum(col("n_rows")).as("n_rows") +:
+          (m.sumCols.flatMap(c => Seq(
+            sum(col(s"sum_$c")).as(s"sum_$c"),
+            sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+          m.statsCols.flatMap(c => Seq(
+            min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"))) ++
+          keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
+          m.sketchCols.map(c =>
+            mergeOrWords(s"bloom_$c", m.bitsLog2).as(s"bloom_$c")))): _*)
+      // label counts (and measure stats) add per label; a bailed side
+      // poisons its shard — identical to a fresh full build
+      val mergedRegistry = m.labelCols.foldLeft(mergedBase) {
+        (acc, c) => acc.join(mergeShardLabels(both, c, m.labelMax),
+          Seq("shard"))
+      }
+      mergedRegistry.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_sketches").toString)
       (0 until n).map(s => s"shard=$s")
         .filter(d => Files.isDirectory(Paths.get(root, s"v_$v", d)))
         .foreach(d => linkShardDir(Paths.get(root, s"v_$v", d),
           staging.resolve(d)))
-      mergedRegistry.coalesce(1).write.mode("overwrite")
-        .parquet(staging.resolve("_sketches").toString)
       Files.copy(Paths.get(root, s"v_$v", "_sketches_meta"),
         staging.resolve("_sketches_meta"))
       carryIfPresent(Paths.get(root, s"v_$v"), staging, "_ingest_progress")
       stagingExtra(staging)
-    } finally sharded.unpersist(blocking = false)
+    }
   }
 
   /** Carry an optional underscore-metadata file (e.g. the streaming
@@ -1361,39 +1401,6 @@ object SketchRegistry {
       }
     val v = LayoutLong.longCol(col(sortCol))
     val sharded = df.withColumn("shard", rangeShardCol(sortCol, bounds))
-    // statsCols windows ship with their exact non-null counts (cnt_<c>,
-    // deduped against sumCols') so containment proofs never need a
-    // separate sumCols commit of the same column
-    // ONE grouped aggregation builds the windows, counts, sums, secondary
-    // Blooms AND distinct-HLLs (the join-per-artifact form cost one
-    // aggregation subtree + one per-shard join each); labels keep their
-    // own two-level aggregation. The final select restores the exact
-    // column order the join form wrote (blooms, labels, hlls), so
-    // persisted zone maps are byte-compatible across the change.
-    val fused = addShardLabels(
-      sharded.groupBy(col("shard"))
-        .agg(min(v).as("min_v"),
-          (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-            (statsCols.flatMap(c => Seq(
-              min(LayoutLong.longCol(col(c))).as(s"min_$c"),
-              max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
-            sumCols.flatMap(c => Seq(
-              sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-              count(col(c)).as(s"cnt_$c"))) ++
-            statsCols.filterNot(sumCols.contains).map(c =>
-              count(col(c)).as(s"cnt_$c")) ++
-            sketchCols.map(c => graft.functions.SketchAggs
-              .bloom_agg(LayoutLong.longCol(col(c)), bloomBitsLog2, bloomK)
-              .as(s"bloom_$c")) ++
-            distinctCols.map(c => graft.functions.SketchAggs
-              .hll_agg(LayoutLong.longCol(col(c)), hllP)
-              .as(s"hll_$c")))): _*),
-      sharded, labelCols, labelMax, _ => labelStatsCols)
-    val registry = fused.select(
-      (fused.columns.filterNot(c => c.startsWith("labels_") ||
-          distinctCols.exists(d => c == s"hll_$d")) ++
-        labelCols.map(c => s"labels_$c") ++
-        distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // cluster to bound files per shard, then sort WITHIN files by the
       // sort column so parquet row-group min/max stats are tight — engines
@@ -1403,6 +1410,45 @@ object SketchRegistry {
         .sortWithinPartitions(col("shard"), col(sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation commit: the zone-map stats aggregate over the
+      // just-written staged parquet (readStaged), not a second evaluation
+      // of the source — with the bounds' two pre-write passes, the input
+      // pipeline now evaluates 3x instead of 4x (1x for a single-shard
+      // commit, whose bounds are Nil).
+      // statsCols windows ship with their exact non-null counts (cnt_<c>,
+      // deduped against sumCols') so containment proofs never need a
+      // separate sumCols commit of the same column
+      // ONE grouped aggregation builds the windows, counts, sums, secondary
+      // Blooms AND distinct-HLLs (the join-per-artifact form cost one
+      // aggregation subtree + one per-shard join each); labels keep their
+      // own two-level aggregation. The final select restores the exact
+      // column order the join form wrote (blooms, labels, hlls), so
+      // persisted zone maps are byte-compatible across the change.
+      val written = readStaged(df.sparkSession, staging, sharded)
+      val fused = addShardLabels(
+        written.groupBy(col("shard"))
+          .agg(min(v).as("min_v"),
+            (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+              (statsCols.flatMap(c => Seq(
+                min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+                max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
+              sumCols.flatMap(c => Seq(
+                sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
+                count(col(c)).as(s"cnt_$c"))) ++
+              statsCols.filterNot(sumCols.contains).map(c =>
+                count(col(c)).as(s"cnt_$c")) ++
+              sketchCols.map(c => graft.functions.SketchAggs
+                .bloom_agg(LayoutLong.longCol(col(c)), bloomBitsLog2, bloomK)
+                .as(s"bloom_$c")) ++
+              distinctCols.map(c => graft.functions.SketchAggs
+                .hll_agg(LayoutLong.longCol(col(c)), hllP)
+                .as(s"hll_$c")))): _*),
+        written, labelCols, labelMax, _ => labelStatsCols)
+      val registry = fused.select(
+        (fused.columns.filterNot(c => c.startsWith("labels_") ||
+            distinctCols.exists(d => c == s"hll_$d")) ++
+          labelCols.map(c => s"labels_$c") ++
+          distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
       registry.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap").toString)
       // v3 meta: the v2 lines, then labelCols/labelMax/distinctCols/hllP
@@ -1576,93 +1622,93 @@ object SketchRegistry {
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
     val v = LayoutLong.longCol(col(m.sortCol))
-    // persisted for the verb's own lifetime (unpersisted in the finally
-    // below): the batch feeds BOTH its stats aggregation and the data
-    // write — one evaluation of the batch instead of two
     val sharded = rows.withColumn("shard", rangeShardCol(m.sortCol, m.bounds))
-      .persist()
     val oldZm = zoneMap(spark, root, Some(ver))
     // statsCols non-null counts merge additively; a zone map committed
     // BEFORE the auto-count lacks the column, so the batch side drops it
     // and the store keeps its old (proof-free) format until re-commit
     val autoCnt = m.statsCols.filterNot(m.sumCols.contains)
     val keptCnt = autoCnt.filter(c => oldZm.columns.contains(s"cnt_$c"))
-    // batch stats in ONE grouped aggregation (blooms + hlls fused beside
-    // the windows/counts — the commit-side shape); labels keep their own
-    // two-level aggregation, mirroring the OLD struct schema exactly so
-    // unionByName lines up and the merge equals a fresh full build
-    val batchStats = autoCnt.filterNot(keptCnt.contains)
-      .foldLeft(addShardLabels(
-        sharded.groupBy(col("shard"))
-          .agg(min(v).as("min_v"),
-            (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
-              (m.statsCols.flatMap(c => Seq(
-                min(LayoutLong.longCol(col(c))).as(s"min_$c"),
-                max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
-              m.sumCols.flatMap(c => Seq(
-                sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
-                count(col(c)).as(s"cnt_$c"))) ++
-              autoCnt.map(c => count(col(c)).as(s"cnt_$c")) ++
-              m.sketchCols.map(c => graft.functions.SketchAggs
-                .bloom_agg(LayoutLong.longCol(col(c)), m.bloomBitsLog2,
-                  m.bloomK).as(s"bloom_$c")) ++
-              m.distinctCols.map(c => graft.functions.SketchAggs
-                .hll_agg(LayoutLong.longCol(col(c)), m.hllP)
-                .as(s"hll_$c")))): _*),
-        sharded, m.labelCols, m.labelMax,
-        c => labelMeasuresOf(oldZm.schema, c)))(
-        (d, c) => d.drop(s"cnt_$c"))
-    val both = oldZm.unionByName(batchStats)
-    // ONE merge aggregation: sums and non-null counts are LINEAR (addition
-    // merges them exactly; sum() skips a side's null — an all-null shard —
-    // correctly), windows merge by min/min + max/max, secondary Blooms by
-    // word-OR and distinct-HLLs by register max (the same zip_with
-    // expressions SketchOps' per-sketch mergers run, fused into one pass
-    // instead of one join per artifact) — all bit-identical to a fresh
-    // full build
-    val mergedBase = both
-      .groupBy(col("shard"))
-      .agg(min(col("min_v")).as("min_v"),
-        (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
-          (m.statsCols.flatMap(c => Seq(
-            min(col(s"min_$c")).as(s"min_$c"),
-            max(col(s"max_$c")).as(s"max_$c"))) ++
-          m.sumCols.flatMap(c => Seq(
-            sum(col(s"sum_$c")).as(s"sum_$c"),
-            sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
-          keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
-          m.sketchCols.map(c =>
-            mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")) ++
-          m.distinctCols.map(c =>
-            mergeMaxRegisters(s"hll_$c", m.hllP).as(s"hll_$c")))): _*)
-    // label counts add per label (null = bailed poisons)
-    val mergedWithLabels = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
-      acc.join(mergeShardLabels(both, c, m.labelMax), Seq("shard"))
-    }
-    // restore the exact column order the join form wrote (labels between
-    // blooms and hlls), so persisted zone maps stay byte-compatible
-    val mergedZoneMap = mergedWithLabels.select(
-      (mergedWithLabels.columns.filterNot(c => c.startsWith("labels_") ||
-          m.distinctCols.exists(d => c == s"hll_$d")) ++
-        m.labelCols.map(c => s"labels_$c") ++
-        m.distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
     val n = 1 << m.shardsLog2
-    try TableStore.commitStaged(root, Some(ver)) { staging =>
+    TableStore.commitStaged(root, Some(ver)) { staging =>
       clusterForWrite(sharded, LayoutLong.longCol(col(m.sortCol)), filesPerShard, n)
         .sortWithinPartitions(col("shard"), col(m.sortCol))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation append: the batch evaluates ONCE (the write);
+      // its stats aggregate over the staged files read back BEFORE the old
+      // version's files link in (readStaged) — replaces the r18 persist.
+      // batch stats in ONE grouped aggregation (blooms + hlls fused beside
+      // the windows/counts — the commit-side shape); labels keep their own
+      // two-level aggregation, mirroring the OLD struct schema exactly so
+      // unionByName lines up and the merge equals a fresh full build
+      val written = readStaged(spark, staging, sharded)
+      val batchStats = autoCnt.filterNot(keptCnt.contains)
+        .foldLeft(addShardLabels(
+          written.groupBy(col("shard"))
+            .agg(min(v).as("min_v"),
+              (max(v).as("max_v") +: count(lit(1)).as("n_rows") +:
+                (m.statsCols.flatMap(c => Seq(
+                  min(LayoutLong.longCol(col(c))).as(s"min_$c"),
+                  max(LayoutLong.longCol(col(c))).as(s"max_$c"))) ++
+                m.sumCols.flatMap(c => Seq(
+                  sum(LayoutLong.longCol(col(c))).as(s"sum_$c"),
+                  count(col(c)).as(s"cnt_$c"))) ++
+                autoCnt.map(c => count(col(c)).as(s"cnt_$c")) ++
+                m.sketchCols.map(c => graft.functions.SketchAggs
+                  .bloom_agg(LayoutLong.longCol(col(c)), m.bloomBitsLog2,
+                    m.bloomK).as(s"bloom_$c")) ++
+                m.distinctCols.map(c => graft.functions.SketchAggs
+                  .hll_agg(LayoutLong.longCol(col(c)), m.hllP)
+                  .as(s"hll_$c")))): _*),
+          written, m.labelCols, m.labelMax,
+          c => labelMeasuresOf(oldZm.schema, c)))(
+          (d, c) => d.drop(s"cnt_$c"))
+      val both = oldZm.unionByName(batchStats)
+      // ONE merge aggregation: sums and non-null counts are LINEAR (addition
+      // merges them exactly; sum() skips a side's null — an all-null shard —
+      // correctly), windows merge by min/min + max/max, secondary Blooms by
+      // word-OR and distinct-HLLs by register max (the same zip_with
+      // expressions SketchOps' per-sketch mergers run, fused into one pass
+      // instead of one join per artifact) — all bit-identical to a fresh
+      // full build
+      val mergedBase = both
+        .groupBy(col("shard"))
+        .agg(min(col("min_v")).as("min_v"),
+          (max(col("max_v")).as("max_v") +: sum(col("n_rows")).as("n_rows") +:
+            (m.statsCols.flatMap(c => Seq(
+              min(col(s"min_$c")).as(s"min_$c"),
+              max(col(s"max_$c")).as(s"max_$c"))) ++
+            m.sumCols.flatMap(c => Seq(
+              sum(col(s"sum_$c")).as(s"sum_$c"),
+              sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+            keptCnt.map(c => sum(col(s"cnt_$c")).as(s"cnt_$c")) ++
+            m.sketchCols.map(c =>
+              mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")) ++
+            m.distinctCols.map(c =>
+              mergeMaxRegisters(s"hll_$c", m.hllP).as(s"hll_$c")))): _*)
+      // label counts add per label (null = bailed poisons)
+      val mergedWithLabels = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
+        acc.join(mergeShardLabels(both, c, m.labelMax), Seq("shard"))
+      }
+      // restore the exact column order the join form wrote (labels between
+      // blooms and hlls), so persisted zone maps stay byte-compatible
+      val mergedZoneMap = mergedWithLabels.select(
+        (mergedWithLabels.columns.filterNot(c => c.startsWith("labels_") ||
+            m.distinctCols.exists(d => c == s"hll_$d")) ++
+          m.labelCols.map(c => s"labels_$c") ++
+          m.distinctCols.map(c => s"hll_$c")).map(col).toSeq: _*)
+      mergedZoneMap.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap").toString)
       (0 until n).map(s => s"shard=$s")
         .filter(d => Files.isDirectory(Paths.get(root, s"v_$ver", d)))
         .foreach(d => linkShardDir(Paths.get(root, s"v_$ver", d),
           staging.resolve(d)))
-      mergedZoneMap.coalesce(1).write.mode("overwrite")
-        .parquet(staging.resolve("_zonemap").toString)
       Files.copy(Paths.get(root, s"v_$ver", "_zonemap_meta"),
         staging.resolve("_zonemap_meta"))
       carryIfPresent(Paths.get(root, s"v_$ver"), staging, "_ingest_progress")
       stagingExtra(staging)
-    } finally sharded.unpersist(blocking = false)
+    }
   }
 
   /** The persisted range-layout parameters of `root`'s committed (or
@@ -1755,7 +1801,7 @@ object SketchRegistry {
   def rangeLookup(spark: SparkSession, root: String, lo: Long, hi: Long,
                   version: Option[Long] = None): DataFrame = {
     val m = rangeMeta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val between = LayoutLong.longCol(col(m.sortCol)).between(lo, hi)
     prunedRangeShards(spark, root, lo, hi, Some(v)) match {
       case Nil =>
@@ -1784,7 +1830,7 @@ object SketchRegistry {
     require(m.statsCols.contains(c),
       s"'$c' carries no zone-map stats — commit with statsCols " +
         s"including it (committed: ${m.statsCols.mkString(",")})")
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val shards = MetaCache.rows(zoneMap(spark, root, Some(v)), root, v,
         Seq("shard", s"min_$c", s"max_$c"))
       .collect { case r if r.isNullAt(1) ||
@@ -1852,8 +1898,8 @@ object SketchRegistry {
     require(ma.sortCol == mb.sortCol,
       s"co-located range join requires the same sort column, got " +
         s"'${ma.sortCol}' vs '${mb.sortCol}'")
-    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
-    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val va = TableStore.resolveVersion(rootA, versionA)
+    val vb = TableStore.resolveVersion(rootB, versionB)
     val (sa, sb) = rangeColocatedShards(spark, rootA, rootB, Some(va), Some(vb))
     def side(root: String, v: Long, shards: Seq[Int]): DataFrame = shards match {
       case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))
@@ -1913,7 +1959,7 @@ object SketchRegistry {
     require(m.sketchCols.contains(c),
       s"'$c' carries no zone-map Bloom — commit with sketchCols " +
         s"including it (committed: ${m.sketchCols.mkString(",")})")
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     if (values.isEmpty)
       return TableStore.readVersion(spark, root, v).filter(lit(false))
     // literal probe list against registry-sized metadata: admission is
@@ -2053,7 +2099,7 @@ object SketchRegistry {
   def lookupWithSketches(spark: SparkSession, root: String, key: Long,
                          version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     prunedShards(spark, root, key, version) match {
       case Nil =>
         (version match {
@@ -2078,7 +2124,7 @@ object SketchRegistry {
   def lookupWithSketchesString(spark: SparkSession, root: String, key: String,
                                version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     prunedShardsString(spark, root, key, version) match {
       case Nil =>
         (version match {
@@ -2103,7 +2149,7 @@ object SketchRegistry {
   def lookupWithSketchesKeys(spark: SparkSession, root: String, key: Seq[Any],
                              version: Option[Long] = None): DataFrame = {
     val m = meta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     prunedShardsKeys(spark, root, key, version) match {
       case Nil =>
         (version match {

@@ -134,6 +134,14 @@ object TableStore {
       .stripPrefix("v_").toLong)
   }
 
+  /** The explicit `version` or the committed one, failing loudly (and
+    * uniformly — every probe/verb resolves through here) when the root has
+    * no committed version, instead of a bare `None.get`.
+    */
+  def resolveVersion(root: String, version: Option[Long]): Long =
+    version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+
   /** Read the current table state (parquet under the committed version). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(root).getOrElse(
@@ -317,6 +325,11 @@ object TableStore {
       Files.write(tmp, s"v_$next".getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, currentPtr(root),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // a commit under this root means its path may have been re-created
+      // since entries were memoized (version numbering restarts) — drop
+      // the root's planning rows so probes can never serve a dead
+      // incarnation's metadata
+      MetaCache.invalidateRoot(root)
       next
     } finally releaseLock(root, token)
   }

@@ -233,8 +233,6 @@ object ZOrderStore {
     val (boundsA, boundsB) = rankBounds(df, colA, colB, bits, subLog2)
     val sharded = df.withColumn("shard",
       zShard(bucketCol(colA, boundsA), bucketCol(colB, boundsB), bits))
-    val zonemap = zStats(sharded, colA, colB, sketchCols, bloomBitsLog2,
-      bloomK, sumCols, labelCols, labelMax, _ => labelStatsCols)
     TableStore.commitStaged(root, expectedVersion) { staging =>
       // one keyed shuffle clusters rows by shard (one file per shard dir),
       // sorted within the file by (colA, colB) so parquet row-group stats
@@ -243,6 +241,13 @@ object ZOrderStore {
         .sortWithinPartitions(col("shard"), col(colA), col(colB))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation commit: the 2-D zone map aggregates over the
+      // just-written staged parquet (SketchRegistry.readStaged), not a
+      // THIRD evaluation of the source — with rankBounds' two pre-write
+      // passes the input pipeline now evaluates 3x instead of 4x
+      val written = SketchRegistry.readStaged(df.sparkSession, staging, sharded)
+      val zonemap = zStats(written, colA, colB, sketchCols, bloomBitsLog2,
+        bloomK, sumCols, labelCols, labelMax, _ => labelStatsCols)
       zonemap.coalesce(1).write.mode("overwrite")
         .parquet(staging.resolve("_zonemap2d").toString)
       writeZMeta(staging, colA, colB, bits, subLog2, boundsA, boundsB,
@@ -269,53 +274,55 @@ object ZOrderStore {
     val m = zMeta(root, Some(ver))
     TableStore.requireSameDataSchema(rows,
       TableStore.readVersion(spark, root, ver), "append rows")
-    // persisted for the verb's own lifetime (unpersisted in the finally
-    // below): the batch feeds BOTH its stats aggregation and the data
-    // write — one evaluation of the batch instead of two
-    val sharded = rows.withColumn("shard", shardColOf(m)).persist()
+    val sharded = rows.withColumn("shard", shardColOf(m))
     val oldZm2 = zoneMap2d(spark, root, Some(ver))
-    // per-label measures mirror the OLD struct schema exactly, so
-    // unionByName lines up and the merge equals a fresh full build
-    val batchStats = zStats(sharded, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
-      c => SketchRegistry.labelMeasuresOf(oldZm2.schema, c))
-    val both = oldZm2.unionByName(batchStats)
-    // ONE merge aggregation: sums and non-null counts are LINEAR (addition
-    // merges them exactly), rectangles merge by min/min + max/max, and
-    // secondary Blooms by word-OR — the per-artifact merge joins this
-    // replaces cost one aggregation subtree + one per-shard join each
-    val mergedBase = both.groupBy(col("shard")).agg(
-      min(col("min_a")).as("min_a"),
-      (max(col("max_a")).as("max_a") +: min(col("min_b")).as("min_b") +:
-        max(col("max_b")).as("max_b") +: sum(col("n_rows")).as("n_rows") +:
-        (m.sumCols.flatMap(c => Seq(
-          sum(col(s"sum_$c")).as(s"sum_$c"),
-          sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
-        m.sketchCols.map(c => SketchRegistry
-          .mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")))): _*)
-    // label counts add per label; a bailed (null) side poisons its shard
-    val mergedZoneMap = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
-      acc.join(SketchRegistry.mergeShardLabels(both, c, m.labelMax),
-        Seq("shard"))
-    }
     val n = 1 << (2 * m.bitsPerCol)
-    try TableStore.commitStaged(root, Some(ver)) { staging =>
+    TableStore.commitStaged(root, Some(ver)) { staging =>
       sharded.repartition(col("shard"))
         .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation append: the batch evaluates ONCE (the write);
+      // its stats aggregate over the staged files read back BEFORE the
+      // old version's files link in (SketchRegistry.readStaged) —
+      // replaces the r18 persist of the batch frame.
+      // per-label measures mirror the OLD struct schema exactly, so
+      // unionByName lines up and the merge equals a fresh full build
+      val written = SketchRegistry.readStaged(spark, staging, sharded)
+      val batchStats = zStats(written, m.colA, m.colB, m.sketchCols,
+        m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
+        c => SketchRegistry.labelMeasuresOf(oldZm2.schema, c))
+      val both = oldZm2.unionByName(batchStats)
+      // ONE merge aggregation: sums and non-null counts are LINEAR (addition
+      // merges them exactly), rectangles merge by min/min + max/max, and
+      // secondary Blooms by word-OR — the per-artifact merge joins this
+      // replaces cost one aggregation subtree + one per-shard join each
+      val mergedBase = both.groupBy(col("shard")).agg(
+        min(col("min_a")).as("min_a"),
+        (max(col("max_a")).as("max_a") +: min(col("min_b")).as("min_b") +:
+          max(col("max_b")).as("max_b") +: sum(col("n_rows")).as("n_rows") +:
+          (m.sumCols.flatMap(c => Seq(
+            sum(col(s"sum_$c")).as(s"sum_$c"),
+            sum(col(s"cnt_$c")).as(s"cnt_$c"))) ++
+          m.sketchCols.map(c => SketchRegistry
+            .mergeOrWords(s"bloom_$c", m.bloomBitsLog2).as(s"bloom_$c")))): _*)
+      // label counts add per label; a bailed (null) side poisons its shard
+      val mergedZoneMap = m.labelCols.foldLeft(mergedBase) { (acc, c) =>
+        acc.join(SketchRegistry.mergeShardLabels(both, c, m.labelMax),
+          Seq("shard"))
+      }
+      mergedZoneMap.coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
       (0 until n).map(s => s"shard=$s")
         .filter(d => Files.isDirectory(Paths.get(root, s"v_$ver", d)))
         .foreach(d => TableStore.linkDirInto(Paths.get(root, s"v_$ver", d),
           staging.resolve(d)))
-      mergedZoneMap.coalesce(1).write.mode("overwrite")
-        .parquet(staging.resolve("_zonemap2d").toString)
       Files.copy(Paths.get(root, s"v_$ver", "_zonemap2d_meta"),
         staging.resolve("_zonemap2d_meta"))
       SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
         "_ingest_progress")
       stagingExtra(staging)
-    } finally sharded.unpersist(blocking = false)
+    }
   }
 
   /** Keyed UPSERT/DELETE against a Z-order-sharded table that rewrites and
@@ -382,17 +389,11 @@ object ZOrderStore {
         TableStore.readVersion(spark, root, ver).filter(lit(false))
       else spark.read.option("basePath", s"$root/v_$ver")
         .parquet(oldTouchedDirs.map(s => s"$root/v_$ver/shard=$s"): _*)
-    // persisted: the rebuilt touched-cell rows feed BOTH the data write
-    // and the stats aggregation — one evaluation of the anti-join ∪ batch
-    // instead of two
     val newTouched = oldTouched
       .join(broadcast(changedKeys), LayoutLong.longCol(col(keyCol)) === col("__k"),
         "left_anti")
-      .unionByName(upserts.withColumn("shard", shardColOf(m))).persist()
+      .unionByName(upserts.withColumn("shard", shardColOf(m)))
     val oldZmU = zoneMap2d(spark, root, Some(ver))
-    val touchedStats = zStats(newTouched, m.colA, m.colB, m.sketchCols,
-      m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
-      c => SketchRegistry.labelMeasuresOf(oldZmU.schema, c))
     val carried = oldZmU
       .filter(!col("shard").isin(touched: _*))
     try TableStore.commitStaged(root, Some(ver)) { staging =>
@@ -400,21 +401,27 @@ object ZOrderStore {
         .sortWithinPartitions(col("shard"), col(m.colA), col(m.colB))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(staging.toString)
+      // single-evaluation upsert: the rebuilt touched-cell rows evaluate
+      // ONCE (the write — anti-join ∪ batch); their stats aggregate over
+      // the staged files read back BEFORE untouched cells link in
+      // (SketchRegistry.readStaged) — replaces the r18 persist, so at
+      // scale the touched slice never pins in the block manager
+      val written = SketchRegistry.readStaged(spark, staging, newTouched)
+      val touchedStats = zStats(written, m.colA, m.colB, m.sketchCols,
+        m.bloomBitsLog2, m.bloomK, m.sumCols, m.labelCols, m.labelMax,
+        c => SketchRegistry.labelMeasuresOf(oldZmU.schema, c))
+      carried.unionByName(touchedStats).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("_zonemap2d").toString)
       existingDirs.filterNot(touched.contains).foreach { s =>
         TableStore.linkDirInto(Paths.get(root, s"v_$ver", s"shard=$s"),
           staging.resolve(s"shard=$s"))
       }
-      carried.unionByName(touchedStats).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(staging.resolve("_zonemap2d").toString)
       Files.copy(Paths.get(root, s"v_$ver", "_zonemap2d_meta"),
         staging.resolve("_zonemap2d_meta"))
       SketchRegistry.carryIfPresent(Paths.get(root, s"v_$ver"), staging,
         "_ingest_progress")
-    } finally {
-      newTouched.unpersist(blocking = false)
-      changedKeys.unpersist(blocking = false)
-    }
+    } finally changedKeys.unpersist(blocking = false)
   }
 
   /** Compact a Z-order-sharded table after a run of appends: shards with
@@ -545,7 +552,7 @@ object ZOrderStore {
                 aLo: Long, aHi: Long, bLo: Long, bHi: Long,
                 version: Option[Long] = None): DataFrame = {
     val m = zMeta(root, version)
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     val inBox = LayoutLong.longCol(col(m.colA)).between(aLo, aHi) &&
       LayoutLong.longCol(col(m.colB)).between(bLo, bHi)
     prunedBoxShards(spark, root, aLo, aHi, bLo, bHi, Some(v)) match {
@@ -574,7 +581,7 @@ object ZOrderStore {
     require(m.sketchCols.contains(c),
       s"'$c' carries no per-cell Bloom — commit with sketchCols " +
         s"including it (committed: ${m.sketchCols.mkString(",")})")
-    val v = version.orElse(TableStore.currentVersion(root)).get
+    val v = TableStore.resolveVersion(root, version)
     if (values.isEmpty)
       return TableStore.readVersion(spark, root, v).filter(lit(false))
     // literal probe list against registry-sized metadata: admission is
@@ -637,8 +644,8 @@ object ZOrderStore {
     require(ma.colA == mb.colA && ma.colB == mb.colB,
       s"co-located z-join requires the same layout columns, got " +
         s"(${ma.colA},${ma.colB}) vs (${mb.colA},${mb.colB})")
-    val va = versionA.orElse(TableStore.currentVersion(rootA)).get
-    val vb = versionB.orElse(TableStore.currentVersion(rootB)).get
+    val va = TableStore.resolveVersion(rootA, versionA)
+    val vb = TableStore.resolveVersion(rootB, versionB)
     val (sa, sb) = zColocatedShards(spark, rootA, rootB, Some(va), Some(vb))
     def side(root: String, v: Long, shards: Seq[Int]): DataFrame = shards match {
       case Nil => TableStore.readVersion(spark, root, v).filter(lit(false))

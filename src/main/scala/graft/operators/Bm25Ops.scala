@@ -93,19 +93,23 @@ object Bm25Ops {
     * skipping with no metastore, the IVF cell-layout recipe. The bucket
     * count persists in `<path>/meta` so append and query recompute the
     * same routing. `buckets = 0` writes the legacy flat layout (every
-    * query scans all posting files, pruning rows in the scan stage only).
+    * query scans all posting files, pruning rows in the scan stage only);
+    * `buckets < 0` (the default) derives the count from the corpus via
+    * [[deriveBuckets]] — scale-adaptive instead of a constant tuned for
+    * either a tiny local corpus or the cluster.
     */
-  def saveBm25Index(index: Bm25Index, path: String, buckets: Int = 64): Unit = {
-    if (buckets > 0) {
+  def saveBm25Index(index: Bm25Index, path: String, buckets: Int = -1): Unit = {
+    val nb = if (buckets < 0) deriveBuckets(index) else buckets
+    if (nb > 0) {
       // cluster on the bucket before the partitioned write: without it every
       // write task opens a file in every bucket directory it sees (tasks ×
       // buckets tiny files — measured 2x on the persisted-index fixtures);
       // clustered, the layout lands at ~one file per bucket per write
-      index.postings.withColumn("bucket", bucketOf(col("w"), buckets))
+      index.postings.withColumn("bucket", bucketOf(col("w"), nb))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       val spark = index.postings.sparkSession
-      spark.range(1).select(lit(buckets).as("buckets"))
+      spark.range(1).select(lit(nb).as("buckets"))
         .write.mode("overwrite").parquet(s"$path/meta")
     } else {
       index.postings.write.mode("overwrite").parquet(s"$path/postings")
@@ -118,6 +122,24 @@ object Bm25Ops {
       if (fs.exists(meta)) fs.delete(meta, true)
     }
     index.docLens.write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Scale-adaptive default bucket count for the persisted posting layout:
+    * one bucket per ~8M posting rows (a few hundred MB of parquet at
+    * typical term/doc-id/tf widths — the 128 MB–1 GB file-sizing band,
+    * guide §6), clamped to [4, 4096]. The floor keeps tiny corpora
+    * multi-bucket — the DPP file-skipping plan shape stays exercised —
+    * without strewing a 40 KB local corpus across 64 directories (the old
+    * fixed default); past the cap buckets grow in size rather than count
+    * (directory-count sanity at any scale). The postings frame is the
+    * build's persisted output, so the count is one pass over cached data —
+    * planning cost, never a fresh corpus scan.
+    */
+  private def deriveBuckets(index: Bm25Index): Int = {
+    val rowsPerBucket = 8L * 1000 * 1000
+    val rows = index.postings.count()
+    math.max(4L, math.min(4096L, (rows + rowsPerBucket - 1) / rowsPerBucket))
+      .toInt
   }
 
   /** Bucket count of a persisted layout; 0 for the legacy flat one. */

@@ -105,15 +105,20 @@ object GraphOps {
       val neighborMin = sym
         .join(labels.select(col("node").as("b"), col("component").as("nc")), "b")
         .groupBy(col("a")).agg(min(col("nc")).as("nmin"))
+      // carry the OLD label beside the new one through the (eager)
+      // checkpoint: the convergence probe then filters the materialized
+      // round frame instead of re-joining next against labels — one keyed
+      // join per round, not two (the extra checkpointed column is one long
+      // per node, dropped from the next round's labels view)
       val next = labels
         .join(neighborMin, col("node") === col("a"), "left")
-        .select(col("node"),
+        .select(col("node"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      val changed = next.as("x").join(labels.as("y"), "node")
-        .filter(col("x.component") =!= col("y.component")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("__prev"))
+        .limit(1).count()
+      labels = next.select(col("node"), col("component"))
       converged = changed == 0
       i += 1
     }

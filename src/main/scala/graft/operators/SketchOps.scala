@@ -725,6 +725,11 @@ object SketchOps {
                    broadcastMaxRows: Long = 1000000L,
                    hotFactor: Long = JoinOps.autoHotFactor,
                    hotFloor: Long = JoinOps.autoHotFloor): EquiJoinPlan = {
+    // the fused aggregation casts the key itself, so keep the two-step
+    // builders' loud non-integral guard: a string key would cast to null
+    // (empty sketches, ndv 0) and plan garbage instead of failing
+    requireIntegral(left, keyCol)
+    requireIntegral(right, keyCol)
     // ONE fused aggregation per side (CM + HLL + estimate in the same
     // job — the separate cmSketch / hllCardinality subtrees cost two
     // more full scans per side); arrays and estimates are bit-identical
@@ -829,7 +834,7 @@ object SketchOps {
     // tree over a one-row local frame so the double arithmetic can never
     // drift from the verb's
     def merged(root: String, version: Option[Long]): (Array[Long], Long) = {
-      val v = version.orElse(graft.core.TableStore.currentVersion(root)).get
+      val v = graft.core.TableStore.resolveVersion(root, version)
       val rows = graft.core.MetaCache.rows(
         SketchRegistry.registry(spark, root, Some(v)), root, v,
         Seq("shard", "cm", "hll"))

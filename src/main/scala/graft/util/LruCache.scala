@@ -65,4 +65,12 @@ final class LruCache[K, V](maxEntries: Int) {
   def contains(key: K): Boolean = map.synchronized(map.containsKey(key))
 
   def clear(): Unit = map.synchronized(map.clear())
+
+  /** Drop every entry whose key matches `p` (e.g. targeted invalidation of
+    * one table root's memoized planning rows when its path is re-committed).
+    * In-flight computes for removed keys finish for their current waiters;
+    * the next caller recomputes.
+    */
+  def removeIf(p: K => Boolean): Unit =
+    map.synchronized { map.keySet().removeIf(k => p(k)); () }
 }
